@@ -1,0 +1,373 @@
+"""EDF / EDF+C / EDF+D source: Spark-native binary ingestion.
+
+European Data Format: a 256-byte fixed-width ASCII global header, then
+``256 * nb_signal`` bytes of per-signal headers, then ``nb_data_rec``
+interleaved data records of 16-bit little-endian two's-complement samples.
+
+Reference parity (all citations into /root/reference/):
+- global header layout      processor/edf_processor/edf.py:34-45
+- signal header layout      processor/edf_processor/edf.py:46-55
+- sample decode+calibration processor/edf_processor/edf.py:8-18,56-76
+- TAL annotation parse      processor/edf_processor/edf.py:65-70
+- EDF+D record timestamps   processor/edf_processor/edf.py:105-109
+- start datetime Y2K pivot  processor/edf_processor/edf.py:99-103
+
+Spark-first design (NOT a port):
+- Ingestion is ``spark.read.format("binaryFile")`` — one row per file, so N
+  files decode on N executor cores with zero coordination.  The reference is
+  hard-limited to one file per process (main.py:15-16); here the same decode
+  scales horizontally to 100 TB of files.
+- The decode itself is a ``mapInPandas`` UDTF: binary row in → long-format
+  Arrow batches out.  Inside, decoding is one ``np.frombuffer('<i2')`` +
+  a reshape per file (fully vectorized) instead of the reference's
+  per-sample Python loop with O(n²) ``np.append`` (edf.py:73-76).
+- Batches are yielded per signal/record-window so executor memory stays
+  bounded regardless of file size (the reference holds the whole decoded
+  file in RAM).
+- Column pruning is pushed into the decoder via ``wanted_signals`` — the
+  UDTF analog of parquet column pruning (SURVEY.md §4).
+
+Known reference bugs intentionally NOT replicated:
+- ``data_signal`` is indexed by raw signal index even though annotation
+  signals were skipped when building it (edf.py:59-76) — misaligns when an
+  annotation signal is not last.  We key by signal index correctly.
+- The contiguous-path time step is ``(n-1)/n × (1/rate)`` due to paging
+  math (timeseries/base.py:357-369); we synthesize the ideal ``i/rate``
+  spacing (within the tests' ±1% tolerance).
+"""
+
+from __future__ import annotations
+
+import re
+from datetime import datetime, timezone
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_edf_spark.schemas import (
+    ANNOTATIONS_SCHEMA,
+    SAMPLES_SCHEMA,
+    SIGNAL_HEADERS_SCHEMA,
+)
+
+USEC = 1_000_000
+ANNOTATION_LABEL = "EDF Annotations"
+
+# Samples per Arrow batch emitted by the decode UDTF.  Bounds executor
+# memory: 2M rows ≈ 50 MB of Arrow buffers per in-flight batch.
+_BATCH_ROWS = 2_000_000
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python/numpy decode kernel (runs inside executors via mapInPandas)
+# ---------------------------------------------------------------------------
+
+
+def _ascii(b: bytes) -> str:
+    return b.strip().decode("utf-8", "ignore")
+
+
+def _fixed_fields(buf: bytes, width: int, n: int) -> list[bytes]:
+    """Split ``buf`` into ``n`` fixed-width fields (EDF header convention,
+    reference edf.py:46 uses ``re.findall(b'.{1,W}')``)."""
+    return re.findall(b".{1,%d}" % width, buf[: width * n])
+
+
+def parse_edf_header(content: bytes) -> dict:
+    """Parse the 256-byte global header + per-signal header arrays.
+
+    Field layout per reference edf.py:34-55 (EDF spec fixed widths).
+    """
+    h = {
+        "version": _ascii(content[0:8]),
+        "patient_id": _ascii(content[8:88]),
+        "record_id": _ascii(content[88:168]),
+        "start_date": _ascii(content[168:176]),
+        "start_time": _ascii(content[176:184]),
+        "nb_bytes": int(content[184:192]),
+        "reserved": _ascii(content[192:236]),
+        "nb_data_rec": int(content[236:244]),
+        "duration": float(content[244:252]),
+        "nb_signal": int(content[252:256]),
+    }
+    ns = h["nb_signal"]
+    p = 256
+    sig = content[p : p + 256 * ns]
+    off = 0
+
+    def take(width: int, conv):
+        nonlocal off
+        fields = _fixed_fields(sig[off : off + width * ns], width, ns)
+        off += width * ns
+        return [conv(f) for f in fields]
+
+    h["labels"] = take(16, _ascii)
+    h["transducer"] = take(80, _ascii)
+    h["phy_dim"] = take(8, _ascii)
+    h["phy_min"] = take(8, float)
+    h["phy_max"] = take(8, float)
+    h["dig_min"] = take(8, float)
+    h["dig_max"] = take(8, float)
+    h["prefiltering"] = take(80, _ascii)
+    h["nr_samples"] = take(8, int)
+    h["reserved_signal"] = take(32, _ascii)
+    h["header_bytes"] = 256 + 256 * ns
+    h["is_discontiguous"] = h["reserved"] == "EDF+D"
+    return h
+
+
+def edf_start_usec(start_date: str, start_time: str) -> int:
+    """EDF 'dd.mm.yy'+'hh.mm.ss' → µs since epoch, Y2K pivot yy<85 → 2000s
+    (reference edf.py:99-103; epoch conversion utils.py:55-66, naive UTC)."""
+    day, month, year = map(int, start_date.split("."))
+    hour, minute, second = map(int, start_time.split("."))
+    year = year + 2000 if year < 85 else year + 1900
+    dt = datetime(year, month, day, hour, minute, second, tzinfo=timezone.utc)
+    return int(dt.timestamp() * USEC)
+
+
+def _record_matrix(content: bytes, h: dict) -> np.ndarray:
+    """All data records as an int16 matrix of shape (nb_data_rec, rec_len).
+
+    One ``np.frombuffer`` for the whole data area — '<i2' natively gives the
+    two's-complement semantics the reference reimplements per sample
+    (edf.py:8-12 twos_comp of '<H' unpack).
+    """
+    rec_len = int(sum(h["nr_samples"]))
+    nb_rec = h["nb_data_rec"]
+    avail = (len(content) - h["header_bytes"]) // (2 * rec_len)
+    nb_rec = min(nb_rec, avail)  # tolerate truncated files
+    data = np.frombuffer(
+        content, dtype="<i2", count=nb_rec * rec_len, offset=h["header_bytes"]
+    )
+    return data.reshape(nb_rec, rec_len)
+
+
+def _signal_offsets(nr_samples: list[int]) -> list[int]:
+    offs, acc = [], 0
+    for n in nr_samples:
+        offs.append(acc)
+        acc += n
+    return offs
+
+
+def _tal_record_offsets(content: bytes, h: dict) -> np.ndarray | None:
+    """EDF+D per-record start offsets (seconds) from the first TAL of each
+    record's annotation signal (reference edf.py:65-70: the bytes before the
+    first ``\\x14\\x14`` parse as a float offset)."""
+    try:
+        ann_idx = h["labels"].index(ANNOTATION_LABEL)
+    except ValueError:
+        return None
+    rec = _record_matrix(content, h)  # int16 view; reinterpret ann cols as bytes
+    offs = _signal_offsets(h["nr_samples"])
+    a0, n_a = offs[ann_idx], h["nr_samples"][ann_idx]
+    out = np.empty(rec.shape[0], dtype=np.float64)
+    for r in range(rec.shape[0]):
+        segment = rec[r, a0 : a0 + n_a].tobytes()
+        head = segment.split(b"\x14\x14")[0]
+        try:
+            out[r] = float(head)
+        except ValueError:
+            out[r] = np.nan
+    return out
+
+
+def _calibration(h: dict, i: int) -> tuple[float, float]:
+    """Linear calibration constants for signal i: physical = gain·digital +
+    bias.  Algebraically identical to the reference's per-sample
+    ``bit_value * (offset + digital)`` (edf.py:14-18) with the constants
+    hoisted out of the loop (Catalyst-style constant folding, done here
+    because the decode is the one place Python touches samples)."""
+    gain = (h["phy_max"][i] - h["phy_min"][i]) / (h["dig_max"][i] - h["dig_min"][i])
+    bias = gain * ((h["phy_max"][i] / gain) - h["dig_max"][i])
+    return gain, bias
+
+
+def decode_edf_bytes(
+    path: str,
+    content: bytes,
+    wanted_signals: set[str] | None = None,
+) -> Iterator[pd.DataFrame]:
+    """Decode one EDF file into long-format sample batches.
+
+    Yields pandas DataFrames with SAMPLES_SCHEMA columns.  Timestamps:
+    - contiguous (EDF/EDF+C): t_i = start + round(i·1e6/rate)
+      (reference W3, timeseries/base.py:357-372 — ideal spacing, see module
+      docstring for the deliberate divergence)
+    - discontiguous (EDF+D): per record r with TAL offset o_r:
+      t_j = start + round(o_r·1e6 + j·1e6·duration/nr_samples)
+      (reference W4, edf.py:105-109, endpoint exclusive)
+    """
+    h = parse_edf_header(content)
+    start_usec = edf_start_usec(h["start_date"], h["start_time"])
+    rec = _record_matrix(content, h)
+    nb_rec = rec.shape[0]
+    offs = _signal_offsets(h["nr_samples"])
+    file_name = path.rsplit("/", 1)[-1]
+
+    rec_offsets_usec = None
+    if h["is_discontiguous"]:
+        tal = _tal_record_offsets(content, h)
+        if tal is not None:
+            rec_offsets_usec = np.round(tal * USEC).astype(np.int64)
+
+    for i, label in enumerate(h["labels"]):
+        if label == ANNOTATION_LABEL:
+            continue  # predicate pushed into the scan (reference P1)
+        if wanted_signals is not None and label not in wanted_signals:
+            continue  # column pruning pushed into the scan
+        n_i = h["nr_samples"][i]
+        if n_i <= 0 or nb_rec == 0:
+            continue
+        gain, bias = _calibration(h, i)
+        digital = rec[:, offs[i] : offs[i] + n_i]  # (nb_rec, n_i) int16 view
+        rate = n_i / h["duration"]
+
+        if rec_offsets_usec is not None:
+            # EDF+D: per-record base + intra-record linspace (exclusive end)
+            within = np.round(np.arange(n_i) * (h["duration"] * USEC / n_i)).astype(
+                np.int64
+            )
+            t_all = (start_usec + rec_offsets_usec)[:, None] + within[None, :]
+        else:
+            idx = np.arange(nb_rec * n_i, dtype=np.int64).reshape(nb_rec, n_i)
+            t_all = start_usec + np.round(idx * (USEC / rate)).astype(np.int64)
+
+        values = gain * digital.astype(np.float64) + bias
+
+        rows_per_batch = max(1, _BATCH_ROWS // n_i)
+        for r0 in range(0, nb_rec, rows_per_batch):
+            r1 = min(nb_rec, r0 + rows_per_batch)
+            yield pd.DataFrame(
+                {
+                    "file": file_name,
+                    "channel": label,
+                    "t_usec": t_all[r0:r1].ravel(),
+                    "value": values[r0:r1].ravel(),
+                }
+            )
+
+
+def signal_header_rows(path: str, content: bytes) -> pd.DataFrame:
+    """One metadata row per signal (reference S2+S3)."""
+    h = parse_edf_header(content)
+    start_usec = edf_start_usec(h["start_date"], h["start_time"])
+    file_name = path.rsplit("/", 1)[-1]
+    n = h["nb_signal"]
+    return pd.DataFrame(
+        {
+            "file": [file_name] * n,
+            "signal_idx": np.arange(n, dtype=np.int32),
+            "label": h["labels"],
+            "transducer": h["transducer"],
+            "phy_dim": h["phy_dim"],
+            "phy_min": h["phy_min"],
+            "phy_max": h["phy_max"],
+            "dig_min": h["dig_min"],
+            "dig_max": h["dig_max"],
+            "prefiltering": h["prefiltering"],
+            "nr_samples": np.array(h["nr_samples"], dtype=np.int32),
+            "rate": [ns / h["duration"] for ns in h["nr_samples"]],
+            "n_total_samples": np.array(
+                [ns * h["nb_data_rec"] for ns in h["nr_samples"]], dtype=np.int64
+            ),
+            "is_annotation": [lbl == ANNOTATION_LABEL for lbl in h["labels"]],
+            "file_start_usec": np.int64(start_usec),
+            "nb_data_rec": np.int32(h["nb_data_rec"]),
+            "record_duration_sec": h["duration"],
+            "is_discontiguous": h["is_discontiguous"],
+        }
+    )
+
+
+def annotation_rows(path: str, content: bytes) -> pd.DataFrame:
+    """Raw TAL segments per record (reference S5, edf.py:65-70)."""
+    h = parse_edf_header(content)
+    file_name = path.rsplit("/", 1)[-1]
+    cols = {"file": [], "record": [], "offset_sec": [], "raw": []}
+    try:
+        ann_idx = h["labels"].index(ANNOTATION_LABEL)
+    except ValueError:
+        return pd.DataFrame(cols)
+    rec = _record_matrix(content, h)
+    offs = _signal_offsets(h["nr_samples"])
+    a0, n_a = offs[ann_idx], h["nr_samples"][ann_idx]
+    for r in range(rec.shape[0]):
+        segment = rec[r, a0 : a0 + n_a].tobytes()
+        head = segment.split(b"\x14\x14")[0]
+        try:
+            offset = float(head)
+        except ValueError:
+            offset = None
+        cols["file"].append(file_name)
+        cols["record"].append(r)
+        cols["offset_sec"].append(offset)
+        cols["raw"].append(segment)
+    return pd.DataFrame(cols)
+
+
+# ---------------------------------------------------------------------------
+# Spark-facing API
+# ---------------------------------------------------------------------------
+
+
+def scan_edf_files(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed EDF file scan (reference S1, main.py:7-16 — minus the
+    one-file limit).  Extension predicate is pushed to the file listing."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.[eE][dD][fF]")
+        .load(path)
+    )
+
+
+def parse_signal_headers(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows → signal-header dimension table (S2/S3)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                yield signal_header_rows(path, bytes(content))
+
+    return binary_df.select("path", "content").mapInPandas(
+        gen, schema=SIGNAL_HEADERS_SCHEMA
+    )
+
+
+def decode_samples(
+    binary_df: DataFrame, wanted_signals: set[str] | None = None
+) -> DataFrame:
+    """binaryFile rows → long-format samples (S4 + W3/W4 + P1/P3/P4).
+
+    The returned plan is a narrow map over file rows — no shuffle; each file
+    decodes independently on its executor.
+    """
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                yield from decode_edf_bytes(path, bytes(content), wanted_signals)
+
+    return binary_df.select("path", "content").mapInPandas(gen, schema=SAMPLES_SCHEMA)
+
+
+def decode_annotations(binary_df: DataFrame) -> DataFrame:
+    """binaryFile rows → annotations table (S5)."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                yield annotation_rows(path, bytes(content))
+
+    return binary_df.select("path", "content").mapInPandas(
+        gen, schema=ANNOTATIONS_SCHEMA
+    )
+
+
+def with_timestamp_view(samples: DataFrame) -> DataFrame:
+    """Add a TimestampType view of t_usec (canonical stays int64 µs)."""
+    return samples.withColumn("ts", F.timestamp_micros("t_usec"))
