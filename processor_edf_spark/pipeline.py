@@ -1,0 +1,165 @@
+"""End-to-end EDF dataflow: files → samples + channel metadata.
+
+The Spark lifecycle (SURVEY.md §3.4):
+
+    binaryFile scan → decode UDTF (mapInPandas) → long-format samples
+      → [annotation filter, calibration — inside the decoder]
+      → channel registry (band-join dedup, J1-J3)
+      → gap sessionization (W1) + bounds/count aggregation (A1/A2)
+      → channels metadata + parquet/JSON sinks
+
+Replaces the reference's eager single-file pipeline
+(processor/edf_processor/processor.py:10-69 + base_processor/base.py:40-53):
+one declarative plan, per-file decode is shuffle-free, and the only
+shuffles are the per-channel aggregations — which operate on partial
+states, not raw samples.
+
+Error handling: the reference swallows decode errors and publishes partial
+output (processor.py:66-69).  Here a malformed file fails its own task and
+is reported; use ``scan → decode`` per-file status if quarantine semantics
+are needed (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from processor_edf_spark.operators.aggregate import channel_bounds
+from processor_edf_spark.operators.channels import get_or_create_channels
+from processor_edf_spark.operators.sessionize import contiguous_chunks
+from processor_edf_spark.sources.edf import (
+    decode_annotations,
+    decode_samples,
+    parse_signal_headers,
+    scan_edf_files,
+)
+
+
+def process_edf_directory(
+    spark: SparkSession,
+    input_dir: str,
+    existing_channels: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the full EDF pipeline over a directory (any number of files —
+    the reference's one-file limit, main.py:15-16, does not apply).
+
+    Returns ``(samples, channels, annotations)`` DataFrames.
+    ``existing_channels`` (id, name, rate, type, …) switches on append-mode
+    matching (J1), the batch equivalent of reference mode='append'
+    (timeseries/base.py:129-135).
+    """
+    binary = scan_edf_files(spark, input_dir)
+    samples = decode_samples(binary)
+    annotations = decode_annotations(binary)
+    headers = parse_signal_headers(binary)
+    channels = build_channel_metadata(samples, headers, existing_channels)
+    return samples, channels, annotations
+
+
+def build_channel_metadata(
+    samples: DataFrame,
+    headers: DataFrame,
+    existing_channels: DataFrame | None = None,
+) -> DataFrame:
+    """Channel metadata records mirroring timeseries-channel.schema.json.
+
+    Plan shape: samples aggregate twice on (file, channel) — bounds and
+    chunks — both shuffles move O(channels)/O(chunks) rows, not samples;
+    the header/registry joins are broadcasts.
+    """
+    signal_dim = (
+        headers.filter(~F.col("is_annotation"))
+        .select(
+            "file",
+            "signal_idx",
+            F.trim(F.col("label")).alias("name"),
+            F.col("phy_dim").alias("unit"),
+            "rate",
+            F.lit("CONTINUOUS").alias("type"),
+        )
+    )
+    registry = get_or_create_channels(signal_dim, existing_channels)
+
+    bounds = channel_bounds(samples, ["file", "channel"]).select(
+        F.col("file").alias("b_file"),
+        F.col("channel").alias("b_channel"),
+        "start",
+        "end",
+        "num_values",
+    )
+
+    # contiguousChunks: rate-dependent gap threshold → broadcast the rate in.
+    rate_dim = F.broadcast(
+        registry.select("file", F.col("name").alias("channel"), "rate")
+    )
+    chunks = contiguous_chunks(
+        samples.join(rate_dim, ["file", "channel"]),
+        keys=["file", "channel"],
+        rate_col="rate",
+    )
+    chunk_lists = chunks.groupBy("file", "channel").agg(
+        F.sort_array(F.collect_list(F.struct("index", "start", "end"))).alias(
+            "contiguousChunks"
+        )
+    ).select(
+        F.col("file").alias("c_file"),
+        F.col("channel").alias("c_channel"),
+        "contiguousChunks",
+    )
+
+    return (
+        registry.join(
+            bounds,
+            (F.col("file") == F.col("b_file")) & (F.col("name") == F.col("b_channel")),
+        )
+        .join(
+            chunk_lists,
+            (F.col("file") == F.col("c_file")) & (F.col("name") == F.col("c_channel")),
+        )
+        .select(
+            "id",
+            "file",
+            "index",
+            "name",
+            "start",
+            "end",
+            "unit",
+            "rate",
+            "type",
+            F.lit("default").alias("group"),
+            F.lit(0).cast("long").alias("lastAnnotation"),
+            "num_values",
+            "contiguousChunks",
+            F.array().cast(
+                "array<struct<key:string,value:string>>"
+            ).alias("properties"),
+        )
+    )
+
+
+def channel_dicts(channels: DataFrame) -> list[dict]:
+    """Channel rows as JSON-ready dicts (the reference's as_dict output,
+    timeseries/base.py:47-65).  Driver-side materialization — only for the
+    metadata dimension (thousands of rows), never samples."""
+    out = []
+    for row in channels.orderBy("file", "index").collect():
+        d = {
+            "name": row["name"],
+            "start": int(row["start"]),
+            "end": int(row["end"]),
+            "unit": row["unit"],
+            "rate": float(row["rate"]),
+            "type": row["type"],
+            "group": row["group"],
+            "lastAnnotation": int(row["lastAnnotation"]),
+            "contiguousChunks": [
+                {"index": int(c["index"]), "start": int(c["start"])}
+                for c in (row["contiguousChunks"] or [])
+            ],
+            "properties": list(row["properties"] or []),
+        }
+        if row["id"] is not None:
+            d["id"] = row["id"]
+        out.append(d)
+    return out

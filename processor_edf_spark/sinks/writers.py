@@ -1,0 +1,116 @@
+"""Sinks (S8-S10, SURVEY.md §2.1).
+
+Canonical sink is Parquet partitioned by file — columnar, splittable,
+row-group min/max stats on ``t_usec`` give the same data-skipping the
+reference's contiguousChunks index provides.  The bit-compatible
+``channel*.ts.bin`` + ``channel*.json`` writer reproduces the reference's
+output contract byte-for-byte where a consumer still needs it.
+
+Reference parity:
+- S8 binary channel sink   timeseries/base.py:265-294 (raw little-endian
+  float64 appends, filename scheme base.py:41-43)
+- S10 JSON metadata sink   base_processor/base.py:111-125 (publish_outputs:
+  ``channel.json`` for a single channel, ``channel-%05d.json`` with the
+  index for multiple; same suffix logic for .ts.bin)
+- S9 spike sink            timeseries/base.py:223-263 — layout reproduced,
+  not its py2-only bugs (``long``/bytes-join, SURVEY.md §7.3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_samples_parquet(samples: DataFrame, out_dir: str) -> None:
+    """Canonical sample sink.  Sorting within partitions by (channel, t)
+    maximizes parquet delta/RLE encoding and gives row-group time-range
+    stats — the scale replacement for .ts.bin appends."""
+    (
+        samples.repartition("file", "channel")
+        .sortWithinPartitions("channel", "t_usec")
+        .write.mode("overwrite")
+        .partitionBy("file")
+        .parquet(out_dir)
+    )
+
+
+def write_channels_json(channels: DataFrame, out_dir: str) -> None:
+    """Canonical metadata sink (newline-delimited JSON)."""
+    channels.coalesce(1).write.mode("overwrite").json(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Bit-compatible reference output (optional, S8/S10 byte parity)
+# ---------------------------------------------------------------------------
+
+
+def _suffix(index: int) -> str:
+    # reference base.py:41-43: no suffix for index 0
+    return f"-{index:05d}" if index > 0 else ""
+
+
+def write_reference_compatible(
+    samples: DataFrame, channel_dicts: list[dict], out_dir: str
+) -> None:
+    """Write ``channel{-%05d}.ts.bin`` (raw float64, chronological) and
+    ``channel{-%05d}.json`` exactly as the reference does.
+
+    Sample data streams through ``toLocalIterator`` per channel partition —
+    acceptable because this sink exists only for output-contract parity on
+    reference-scale inputs; at 100 TB use the parquet sink.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    order = {d["name"]: i for i, d in enumerate(channel_dicts)}
+
+    arranged = (
+        samples.repartition("channel")
+        .sortWithinPartitions("channel", "t_usec")
+        .select("channel", "value")
+    )
+    handles: dict[str, object] = {}
+    try:
+        for row in arranged.toLocalIterator():
+            ch = row["channel"].strip()
+            if ch not in handles:
+                idx = order.get(ch, len(order))
+                handles[ch] = open(
+                    os.path.join(out_dir, f"channel{_suffix(idx)}.ts.bin"), "wb"
+                )
+            handles[ch].write(struct.pack("<d", row["value"]))
+    finally:
+        for f in handles.values():
+            f.close()
+
+    for i, d in enumerate(channel_dicts):
+        with open(os.path.join(out_dir, f"channel{_suffix(i)}.json"), "w") as f:
+            json.dump(d, f)
+
+
+def write_spike_binary(
+    path: str, spikes: list[tuple[int, int, np.ndarray]], nsamples: int
+) -> None:
+    """S9 spike binary layout (reference timeseries/base.py:223-253):
+
+        waveform_offset(i64) num_spikes(i64) num_samples(i64)
+        [timestamp(i64) unit(u8)]*  waveforms(float64 matrix)
+
+    Implemented with the intended semantics — the reference's version is
+    unrunnable on py3 (``long`` NameError base.py:244, str/bytes join
+    base.py:235-238).
+    """
+    spike_bytes = b"".join(
+        np.int64(ts).tobytes() + bytes([unit]) for ts, unit, _ in spikes
+    )
+    wf = np.vstack([w for _, _, w in spikes]).astype(np.float64)
+    with open(path, "ab") as f:
+        f.write(np.int64(len(spike_bytes)).tobytes())
+        f.write(np.int64(len(spikes)).tobytes())
+        f.write(np.int64(nsamples).tobytes())
+        f.write(spike_bytes)
+        f.write(wf.tobytes())

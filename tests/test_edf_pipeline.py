@@ -1,0 +1,149 @@
+"""End-to-end EDF pipeline tests — same golden-check philosophy as the
+reference's parametrized tests (SURVEY.md §5, reference
+processor/base_processor/timeseries/tests.py):
+
+1. channel count matches
+2. per-channel sample counts match
+3. declared rate within 1%
+4. inferred rate (num_values / duration) within 1%
+5. value-level sine golden check at rtol=0.01 / atol=0.1
+6. EDF+D gap fixture → ≥2 contiguousChunks per channel
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from processor_edf_spark.pipeline import channel_dicts, process_edf_directory
+from tests.conftest import REFERENCE_SAMPLES
+from tests.edf_fixtures import sine, write_edf
+
+USEC = 1_000_000
+
+
+@pytest.fixture(scope="module")
+def edf_outputs(spark, tmp_path_factory):
+    samples, channels, annotations = process_edf_directory(spark, REFERENCE_SAMPLES)
+    samples = samples.cache()
+    return samples, channels.cache(), annotations
+
+
+def test_channel_counts(edf_outputs):
+    _, channels, _ = edf_outputs
+    per_file = {
+        r["file"]: r["n"]
+        for r in channels.groupBy("file").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_file == {"test.edf": 11, "sin_wave.edf": 2}
+
+
+def test_sample_counts_and_rates(edf_outputs):
+    _, channels, _ = edf_outputs
+    for row in channels.collect():
+        expected_n = 120_000 if row["file"] == "test.edf" else 12_000
+        expected_rate = 200.0 if row["file"] == "test.edf" else 800.0
+        assert row["num_values"] == expected_n
+        assert math.isclose(row["rate"], expected_rate, rel_tol=0.01)
+        # reference tests.py:68-72 rate cross-check
+        inferred = row["num_values"] / ((row["end"] - row["start"]) / USEC)
+        assert math.isclose(inferred, expected_rate, rel_tol=0.01)
+        # contiguous fixture → exactly one chunk starting at index 0
+        assert len(row["contiguousChunks"]) == 1
+        assert row["contiguousChunks"][0]["index"] == 0
+        assert row["contiguousChunks"][0]["start"] == row["start"]
+
+
+def test_annotation_channel_excluded(edf_outputs):
+    _, channels, _ = edf_outputs
+    assert (
+        channels.filter(F.col("name") == "EDF Annotations").count() == 0
+    )  # reference P1, processor.py:19-20
+
+
+def test_sine_golden_values(edf_outputs):
+    """Value-level golden check, reference tests.py:144-159 tolerances."""
+    samples, _, _ = edf_outputs
+    for name, freq in [("Sin 10Hz", 10.0), ("Sin 20Hz", 20.0)]:
+        pdf = (
+            samples.filter(
+                (F.col("file") == "sin_wave.edf") & (F.col("channel") == name)
+            )
+            .orderBy("t_usec")
+            .select("value")
+            .toPandas()
+        )
+        t = np.arange(len(pdf)) / 800.0
+        expected = 400.0 * np.sin(2 * np.pi * freq * t)
+        np.testing.assert_allclose(expected, pdf["value"].values, rtol=0.01, atol=0.1)
+
+
+def test_channel_dicts_schema(edf_outputs):
+    """Output contract: required keys of timeseries-channel.schema.json."""
+    _, channels, _ = edf_outputs
+    dicts = channel_dicts(channels)
+    assert len(dicts) == 13
+    for d in dicts:
+        for key in ("name", "start", "end", "unit", "rate", "type"):
+            assert key in d, key
+        assert d["type"] in ("CONTINUOUS", "UNIT")
+        assert isinstance(d["start"], int) and isinstance(d["end"], int)
+        assert d["end"] >= d["start"]
+        chunks = d["contiguousChunks"]
+        assert chunks[0]["index"] == 0
+        assert all(
+            chunks[i]["start"] < chunks[i + 1]["start"] for i in range(len(chunks) - 1)
+        )
+
+
+def test_edfd_gap_sessionization(spark, tmp_path):
+    """EDF+D with inter-record gaps ≫ 2/rate → multiple contiguousChunks
+    (reference W1 semantics, timeseries/base.py:322-342)."""
+    # 6 records of 1s at 100 Hz; gap of 10s between records 2|3 → 2 chunks
+    offsets = [0.0, 1.0, 2.0, 13.0, 14.0, 15.0]
+    write_edf(
+        str(tmp_path / "gaps.edf"),
+        signals=[{"label": "chanA", "rate": 100, "gen": sine(5.0)}],
+        nb_data_rec=6,
+        variant="EDF+D",
+        record_offsets_sec=offsets,
+    )
+    samples, channels, annotations = process_edf_directory(spark, str(tmp_path))
+    rows = channels.collect()
+    assert len(rows) == 1
+    ch = rows[0]
+    assert ch["num_values"] == 600
+    chunks = ch["contiguousChunks"]
+    assert len(chunks) == 2
+    assert chunks[0]["index"] == 0 and chunks[1]["index"] == 300
+    # second chunk starts 13s after file start
+    assert chunks[1]["start"] - chunks[0]["start"] == 13 * USEC
+    # TAL offsets parsed (reference S5, edf.py:65-70)
+    offs = [r["offset_sec"] for r in annotations.orderBy("record").collect()]
+    assert offs == offsets
+
+
+def test_append_mode_platform_match(spark, tmp_path):
+    """J1 band join: append mode reuses platform channel ids when name+type
+    match and rate is within ±2% (reference base.py:178-205)."""
+    write_edf(
+        str(tmp_path / "a.edf"),
+        signals=[
+            {"label": "EEG F3", "rate": 200, "gen": sine(8.0)},
+            {"label": "EEG F4", "rate": 200, "gen": sine(9.0)},
+        ],
+        nb_data_rec=2,
+    )
+    existing = spark.createDataFrame(
+        [
+            ("platform-1", "eeg f3", 201.0, "CONTINUOUS"),  # within 2% band
+            ("platform-2", "EEG F4", 300.0, "CONTINUOUS"),  # rate out of band
+        ],
+        "id string, name string, rate double, type string",
+    )
+    _, channels, _ = process_edf_directory(spark, str(tmp_path), existing)
+    by_name = {r["name"]: r for r in channels.collect()}
+    assert by_name["EEG F3"]["id"] == "platform-1"
+    assert not by_name["EEG F3"]["is_new"] if "is_new" in channels.columns else True
+    assert by_name["EEG F4"]["id"] != "platform-2"  # out-of-band → new channel
