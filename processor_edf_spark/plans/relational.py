@@ -1,0 +1,702 @@
+"""Relational query plans: TPC-H-style analytics + the reference's operator
+inventory (SURVEY.md §2) expressed on the driver's synthetic tables.
+
+Every plan is a declarative DataFrame build — Catalyst handles pushdown,
+pruning, join strategy (dimension sides broadcast under AQE thresholds),
+and whole-stage codegen.  Scale notes are per-query where non-obvious.
+
+Reference operator citations (/root/reference/processor/...):
+- P1/P6 filters+normalization      edf_processor/processor.py:19-20, base.py:191
+- P4 linear calibration            edf_processor/edf.py:14-18
+- J1 band join                     base_processor/timeseries/base.py:178-205
+- J3 get-or-create upsert          base_processor/timeseries/base.py:146-176
+- A1/A2 bounds+count               base_processor/timeseries/base.py:282-291
+- A4 mode-of-diffs rate            base_processor/timeseries/utils.py:14-32
+- A5 rate cross-check              base_processor/timeseries/tests.py:68-72
+- W1 gap sessionization            base_processor/timeseries/base.py:322-342
+- W2 non-overlap validation        base_processor/timeseries/base.py:87-95
+- W3 timestamp synthesis           base_processor/timeseries/base.py:357-372
+- F1-F4/F8 epoch & EDF date parse  timeseries/utils.py:55-74, edf.py:99-103
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from processor_edf_spark.plans.registry import load, register
+
+USEC = 1_000_000
+SESSION_GAP_USEC = 4 * 3600 * USEC  # 4h gap → several sessions/user on events
+
+
+def money_sum(col, scale: int = 2):
+    """Order-independent money aggregation: round each row's (bit-identical
+    IEEE) product to 4 decimals, sum exactly as decimal, emit double.
+
+    Plain SUM(double) differs across engines in the last ulp (summation
+    order), which flips ROUND(x, 2) at .xx5 boundaries — decimal summation
+    makes the Spark and DuckDB results bit-equal.
+    SQL equivalent: CAST(ROUND(SUM(CAST(ROUND(x,4) AS DECIMAL(28,4))), s) AS DOUBLE)
+    """
+    return F.round(F.sum(F.round(col, 4).cast("decimal(28,4)")), scale).cast("double")
+
+
+def _msum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(ROUND(SUM(CAST(ROUND({expr}, 4) AS DECIMAL(28,4))), {scale}) AS DOUBLE)"
+
+
+def money_avg(col, scale: int = 4):
+    """avg via exact decimal sum / count — one double division of identical
+    operands on both engines → identical result."""
+    dec_sum = F.sum(F.round(col, 4).cast("decimal(28,4)")).cast("double")
+    return F.round(dec_sum / F.count(F.lit(1)), scale)
+
+
+def _mavg_sql(expr: str, scale: int = 4) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND({expr}, 4) AS DECIMAL(28,4))) AS DOUBLE)"
+        f" / COUNT(*), {scale})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytical queries (the bench headliners)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           {sum_qty}        AS sum_qty,
+           {sum_base_price} AS sum_base_price,
+           {sum_disc_price} AS sum_disc_price,
+           {sum_charge}     AS sum_charge,
+           {avg_qty}        AS avg_qty,
+           {avg_price}      AS avg_price,
+           {avg_disc}       AS avg_disc,
+           COUNT(*)         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """.format(
+        sum_qty=_msum_sql("l_quantity"),
+        sum_base_price=_msum_sql("l_extendedprice"),
+        sum_disc_price=_msum_sql("l_extendedprice * (1 - l_discount)"),
+        sum_charge=_msum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)"),
+        avg_qty=_mavg_sql("l_quantity"),
+        avg_price=_mavg_sql("l_extendedprice"),
+        avg_disc=_mavg_sql("l_discount"),
+    ),
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan-heavy groupBy with map-side partial agg.
+    At 100 TB: 4-group output, shuffle moves only partial states."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(F.col("l_quantity")).alias("sum_qty"),
+            money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            money_avg(F.col("l_quantity")).alias("avg_qty"),
+            money_avg(F.col("l_extendedprice")).alias("avg_price"),
+            money_avg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_segment_revenue",
+    """
+    SELECT o.o_orderkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_usec,
+           {rev} AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1996-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    HAVING SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(28,4))) > 100000
+    """.format(rev=_msum_sql("l.l_extendedprice * (1 - l.l_discount)")),
+)
+def q3_segment_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: dim filter → fact join → agg.  customer is the small
+    side — broadcast it so lineitem never shuffles for the join."""
+    customer, orders, lineitem = load(spark, sf_dir, "customer", "orders", "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(F.round(revenue, 4).cast("decimal(28,4)")).alias("_rev"))
+        .filter(F.col("_rev") > 100000)
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_usec"
+            ),
+            F.round(F.col("_rev"), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+    SELECT n.n_name,
+           {rev} AS revenue
+    FROM region r
+    JOIN nation n    ON n.n_regionkey = r.r_regionkey
+    JOIN customer c  ON c.c_nationkey = n.n_nationkey
+    JOIN orders o    ON o.o_custkey = c.c_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """.format(rev=_msum_sql("l.l_extendedprice * (1 - l.l_discount)")),
+)
+def q5_region_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: star join.  region/nation/customer/supplier are all
+    dimensions → broadcast chain; only orders⋈lineitem is a real shuffle."""
+    region, nation, customer, orders, lineitem, supplier = load(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem", "supplier"
+    )
+    return (
+        lineitem.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT {rev} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """.format(rev=_msum_sql("l_extendedprice * l_discount")),
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter+sum — all predicates push to parquet."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference operator analogs on `events`
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_project_events",
+    """
+    SELECT event_id,
+           LOWER(TRIM(event_type)) AS event_type_norm,
+           user_id
+    FROM events
+    WHERE event_type <> 'error'
+    """,
+)
+def filter_project_events(spark, sf_dir):
+    """P1 annotation-filter + P6 name normalization analog."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.filter(F.col("event_type") != "error").select(
+        "event_id",
+        F.lower(F.trim("event_type")).alias("event_type_norm"),
+        "user_id",
+    )
+
+
+@register(
+    "calibrate_events",
+    """
+    SELECT event_id,
+           ROUND(((1000.0 - (-1000.0)) / (32767.0 - (-32768.0)))
+                 * ((1000.0 / ((1000.0 - (-1000.0)) / (32767.0 - (-32768.0)))) - 32767.0 + value), 6)
+             AS calibrated
+    FROM events
+    """,
+)
+def calibrate_events(spark, sf_dir):
+    """P4 linear calibration: bit_value·(offset + digital) with the EDF
+    constants (reference edf.py:14-18) — pure codegen'd column arithmetic."""
+    (events,) = load(spark, sf_dir, "events")
+    bit_value = (1000.0 - (-1000.0)) / (32767.0 - (-32768.0))
+    offset = (1000.0 / bit_value) - 32767.0
+    return events.select(
+        "event_id",
+        F.round(F.lit(bit_value) * (F.lit(offset) + F.col("value")), 6).alias(
+            "calibrated"
+        ),
+    )
+
+
+@register(
+    "agg_user_bounds",
+    """
+    SELECT user_id,
+           CAST(MIN(epoch_us(ts)) AS BIGINT) AS start,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS "end",
+           COUNT(*) AS num_values
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_user_bounds(spark, sf_dir):
+    """A1+A2: per-series min/max/count in one map-side-combined pass."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.min(F.expr("ts div 1000")).alias("start"),
+        F.max(F.expr("ts div 1000")).alias("end"),
+        F.count(F.lit(1)).alias("num_values"),
+    )
+
+
+@register(
+    "rate_crosscheck_users",
+    """
+    SELECT user_id,
+           ROUND(COUNT(*) / ((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 1000000.0), 6)
+             AS inferred_rate
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def rate_crosscheck_users(spark, sf_dir):
+    """A5: inferred rate = n / duration_sec (reference tests.py:68-72)."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.round(
+            F.count(F.lit(1))
+            / ((F.max(F.expr("ts div 1000")) - F.min(F.expr("ts div 1000"))) / float(USEC)),
+            6,
+        ).alias("inferred_rate")
+    )
+
+
+_SESSIONIZE_ORACLE = f"""
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_USEC}
+                    OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), chunked AS (
+        SELECT user_id, t,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS chunk_id
+        FROM flagged
+    )
+    SELECT user_id, chunk_id,
+           CAST(MIN(t) AS BIGINT) AS session_start,
+           CAST(MAX(t) AS BIGINT) AS session_end,
+           COUNT(*) AS n_events
+    FROM chunked
+    GROUP BY user_id, chunk_id
+"""
+
+
+@register("sessionize_events", _SESSIONIZE_ORACLE)
+def sessionize_events(spark, sf_dir):
+    """W1 gap sessionization: lag + running-sum boundary counting — the
+    reference's contiguous-chunk detection (base.py:322-342) on a generic
+    event stream.  One shuffle on user_id; linear within partitions."""
+    (events,) = load(spark, sf_dir, "events")
+    df = events.select("user_id", F.expr("ts div 1000").alias("t"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    boundary = F.when(
+        F.lag("t").over(w).isNull()
+        | ((F.col("t") - F.lag("t").over(w)) > SESSION_GAP_USEC),
+        1,
+    ).otherwise(0)
+    chunked = df.withColumn(
+        "chunk_id",
+        F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    return chunked.groupBy("user_id", "chunk_id").agg(
+        F.min("t").alias("session_start"),
+        F.max("t").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "session_window_events",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, epoch_us(ts) AS t,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {SESSION_GAP_USEC}
+                    OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), chunked AS (
+        SELECT user_id, t,
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY t
+                                   ROWS UNBOUNDED PRECEDING) AS chunk_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(t) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM chunked
+    GROUP BY user_id, chunk_id
+    """,
+)
+def session_window_events(spark, sf_dir):
+    """W1, native flavor: Spark's built-in ``session_window`` (the
+    Structured-Streaming-ready form — same code works under readStream).
+    Note session_window closes a session when the NEXT event is >= gap
+    away (merge condition is strict overlap), hence the >= in the oracle.
+    """
+    (events,) = load(spark, sf_dir, "events")
+    df = events.select("user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+    gap_sec = SESSION_GAP_USEC // USEC
+    return (
+        df.groupBy("user_id", F.session_window("ts", f"{gap_sec} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "mode_period_users",
+    """
+    WITH diffs AS (
+        SELECT user_id,
+               CAST(ROUND((epoch_us(ts) - LAG(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+                     / 60000000.0) AS BIGINT) AS period_min
+        FROM events
+    ), counted AS (
+        SELECT user_id, period_min, COUNT(*) AS cnt
+        FROM diffs WHERE period_min IS NOT NULL
+        GROUP BY user_id, period_min
+    )
+    SELECT user_id, period_min AS mode_period_min
+    FROM counted
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY cnt DESC, period_min ASC) = 1
+    """,
+)
+def mode_period_users(spark, sf_dir):
+    """A4 rate inference: mode of consecutive timestamp diffs (reference
+    utils.py:14-32), made deterministic — diffs bucketed to minutes, ties
+    broken by smallest period (a plain mode() is tie-ambiguous across
+    engines)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    diffs = (
+        events.select("user_id", F.expr("ts div 1000").alias("t"), "event_id")
+        .withColumn(
+            "period_min",
+            F.round((F.col("t") - F.lag("t").over(w)) / 60_000_000.0).cast("long"),
+        )
+        .filter(F.col("period_min").isNotNull())
+    )
+    counted = diffs.groupBy("user_id", "period_min").agg(F.count(F.lit(1)).alias("cnt"))
+    rk = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), F.col("period_min").asc()
+    )
+    return (
+        counted.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") == 1)
+        .select("user_id", F.col("period_min").alias("mode_period_min"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J3 analogs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "band_join_acctbal",
+    """
+    SELECT s.s_suppkey, c.c_custkey,
+           ROUND(ABS(1 - s.s_acctbal / c.c_acctbal), 6) AS band_dist
+    FROM supplier s
+    JOIN customer c
+      ON s.s_nationkey = c.c_nationkey
+     AND ABS(1 - s.s_acctbal / c.c_acctbal) < 0.02
+    """,
+)
+def band_join_acctbal(spark, sf_dir):
+    """J1 band join: equi keys + ±2% ratio band as residual — exactly the
+    reference's fuzzy channel match (base.py:188-198).  Catalyst plans hash
+    join on the equi key with the band as a post-join filter; the dimension
+    side broadcasts."""
+    supplier, customer = load(spark, sf_dir, "supplier", "customer")
+    band = F.abs(F.lit(1.0) - F.col("s_acctbal") / F.col("c_acctbal"))
+    return (
+        F.broadcast(supplier)
+        .join(
+            customer,
+            (F.col("s_nationkey") == F.col("c_nationkey")) & (band < 0.02),
+        )
+        .select("s_suppkey", "c_custkey", F.round(band, 6).alias("band_dist"))
+    )
+
+
+@register(
+    "get_or_create_parts",
+    """
+    WITH incoming AS (
+        SELECT DISTINCT p_brand, p_size FROM part
+    ), existing AS (
+        SELECT DISTINCT p_brand AS e_brand, p_size AS e_size,
+               p_brand || '/' || CAST(p_size AS VARCHAR) AS id
+        FROM part WHERE p_size <= 25
+    )
+    SELECT i.p_brand, i.p_size,
+           COALESCE(e.id, 'new:' || i.p_brand || '/' || CAST(i.p_size AS VARCHAR)) AS channel_id,
+           e.id IS NULL AS is_new
+    FROM incoming i
+    LEFT JOIN existing e ON i.p_brand = e.e_brand AND i.p_size = e.e_size
+    """,
+)
+def get_or_create_parts(spark, sf_dir):
+    """J3 get-or-create: left join registry + coalesce(existing, new id)
+    (reference base.py:146-176)."""
+    (part,) = load(spark, sf_dir, "part")
+    incoming = part.select("p_brand", "p_size").distinct()
+    existing = (
+        part.filter(F.col("p_size") <= 25)
+        .select(
+            F.col("p_brand").alias("e_brand"),
+            F.col("p_size").alias("e_size"),
+            F.concat_ws("/", "p_brand", F.col("p_size").cast("string")).alias("id"),
+        )
+        .distinct()
+    )
+    return (
+        incoming.join(
+            F.broadcast(existing),
+            (F.col("p_brand") == F.col("e_brand")) & (F.col("p_size") == F.col("e_size")),
+            "left",
+        )
+        .select(
+            "p_brand",
+            "p_size",
+            F.coalesce(
+                F.col("id"),
+                F.concat(
+                    F.lit("new:"),
+                    F.concat_ws("/", "p_brand", F.col("p_size").cast("string")),
+                ),
+            ).alias("channel_id"),
+            F.col("id").isNull().alias("is_new"),
+        )
+    )
+
+
+@register(
+    "overlap_validation",
+    """
+    WITH intervals AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(epoch_us(o_orderdate) AS BIGINT) AS start,
+               CAST(epoch_us(o_orderdate) AS BIGINT) + 2592000000000 AS "end"
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           COALESCE(start <= MAX("end") OVER (PARTITION BY o_custkey
+                        ORDER BY start, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), FALSE)
+             AS overlaps_previous
+    FROM intervals
+    """,
+)
+def overlap_validation(spark, sf_dir):
+    """W2 non-overlap invariant: flag intervals that overlap any earlier
+    interval of the same key (reference's sorted-insert asserts,
+    base.py:87-95, as a distributed validation column).  Orders become
+    30-day intervals per customer."""
+    (orders,) = load(spark, sf_dir, "orders")
+    od = F.col("o_orderdate").cast("timestamp")  # parquet ms → NTZ; session TZ is UTC
+    intervals = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(od).alias("start"),
+        (F.unix_micros(od) + F.lit(2_592_000_000_000)).alias("end"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("start", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return intervals.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(F.col("start") <= F.max("end").over(w), F.lit(False)).alias(
+            "overlaps_previous"
+        ),
+    )
+
+
+@register(
+    "timestamp_synthesis",
+    """
+    WITH starts AS (
+        SELECT user_id, CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_usec
+        FROM events GROUP BY user_id
+    )
+    SELECT s.user_id, g.i AS pos,
+           s.start_usec + g.i * 5000 AS t_usec
+    FROM starts s
+    CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 99)) AS i) g
+    """,
+)
+def timestamp_synthesis(spark, sf_dir):
+    """W3: synthesize 100 samples at 200 Hz from each series' start —
+    `sequence` + `posexplode`, JVM-side row expansion (the distributed
+    replacement for the reference's 30M-sample paging generator,
+    base.py:357-372).  Integer µs math → exact cross-engine parity."""
+    (events,) = load(spark, sf_dir, "events")
+    starts = events.groupBy("user_id").agg(
+        F.min(F.expr("ts div 1000")).alias("start_usec")
+    )
+    exploded = starts.select(
+        "user_id",
+        "start_usec",
+        F.posexplode(F.sequence(F.lit(0).cast("long"), F.lit(99).cast("long"))).alias(
+            "pos", "_i"
+        ),
+    )
+    return exploded.select(
+        "user_id",
+        "pos",
+        (F.col("start_usec") + F.col("_i") * 5000).alias("t_usec"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function parity (F1-F4, F8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "epoch_functions",
+    """
+    SELECT event_id,
+           ROUND(epoch_us(ts) / 1000000.0, 6)   AS secs,
+           epoch_ms(ts)                          AS msecs,
+           CAST(epoch_us(ts) AS BIGINT)          AS usecs,
+           CAST(FLOOR(value * 1000000) AS BIGINT) AS value_usecs
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def epoch_functions(spark, sf_dir):
+    """F1/F2/F4: seconds/millis/micros since epoch + secs→µs truncation
+    (reference utils.py:55-74)."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.round(F.expr("ts div 1000") / float(USEC), 6).alias("secs"),
+        F.expr("ts div 1000000").alias("msecs"),
+        F.expr("ts div 1000").alias("usecs"),
+        F.floor(F.col("value") * USEC).cast("long").alias("value_usecs"),
+    )
+
+
+@register(
+    "edf_date_parse",
+    """
+    WITH formatted AS (
+        SELECT o_orderkey, strftime(o_orderdate, '%d.%m.%y') AS edf_date
+        FROM orders WHERE o_orderkey < 1000
+    )
+    SELECT o_orderkey, edf_date,
+           CASE WHEN CAST(substr(edf_date, 7, 2) AS INT) < 85
+                THEN CAST(substr(edf_date, 7, 2) AS INT) + 2000
+                ELSE CAST(substr(edf_date, 7, 2) AS INT) + 1900 END AS pivot_year,
+           CAST(epoch_us(make_timestamp(
+               CASE WHEN CAST(substr(edf_date, 7, 2) AS INT) < 85
+                    THEN CAST(substr(edf_date, 7, 2) AS INT) + 2000
+                    ELSE CAST(substr(edf_date, 7, 2) AS INT) + 1900 END,
+               CAST(substr(edf_date, 4, 2) AS INT),
+               CAST(substr(edf_date, 1, 2) AS INT), 12, 57, 2.0)) AS BIGINT) AS start_usec
+    FROM formatted
+    """,
+)
+def edf_date_parse(spark, sf_dir):
+    """F8: EDF 'dd.mm.yy' date parse with the Y2K pivot (year<85 → 2000s,
+    reference edf.py:99-103).  Order years span 1995-2001 → both pivot
+    branches exercised."""
+    (orders,) = load(spark, sf_dir, "orders")
+    formatted = orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", F.date_format("o_orderdate", "dd.MM.yy").alias("edf_date")
+    )
+    yy = F.substring("edf_date", 7, 2).cast("int")
+    year = F.when(yy < 85, yy + 2000).otherwise(yy + 1900)
+    ts = F.make_timestamp(
+        year,
+        F.substring("edf_date", 4, 2).cast("int"),
+        F.substring("edf_date", 1, 2).cast("int"),
+        F.lit(12),
+        F.lit(57),
+        F.lit(2),
+    )
+    return formatted.select(
+        "o_orderkey",
+        "edf_date",
+        year.alias("pivot_year"),
+        F.unix_micros(ts).alias("start_usec"),
+    )

@@ -1,0 +1,403 @@
+"""Text analysis + deduplication plans over the `documents` table — the
+training-data-pipeline operators (SURVEY.md §M5 extensions): exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, language ID, quality scoring, token
+stats, fingerprinting, multimodal metadata.
+
+Scale notes:
+- Exact dedup and MinHash are single groupBy passes — linear, shuffle on
+  doc hash / (band, key): the 100 TB path.
+- The pairwise n-gram Jaccard joins documents on shared shingles — at scale
+  the shingle join explodes on hot shingles; it exists as the exact oracle
+  for what MinHash+LSH approximates (use LSH for >1 TB corpora).
+- All hashing is md5-based (operators/textfns.hash64) so DuckDB computes
+  bit-identical values for the correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from processor_edf_spark.operators.textfns import (
+    STOPWORDS,
+    hash64,
+    hash64_sql,
+    lang_id,
+    lang_id_sql,
+    tokens,
+    word_shingles,
+)
+from processor_edf_spark.plans.registry import load, register
+
+FP_PRIME = 1_000_000_007
+MINHASH_K = 8  # 8 hash functions → 4 LSH bands of width 2
+SHINGLE_K = 3
+JACCARD_THRESHOLD = 0.30
+
+_TOK_SQL = "regexp_split_to_array(trim(text), '\\s+')"
+_SHINGLE_SQL = (
+    "list_transform(generate_series(1, greatest(len({t}) - 2, 0)), "
+    "i -> array_to_string(list_slice({t}, i, i + 2), ' '))"
+).format(t=_TOK_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Token stats / quality / language ID
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len({_TOK_SQL}) AS n_tokens,
+           length(text) AS text_chars,
+           ROUND(list_aggregate(list_transform({_TOK_SQL}, t -> length(t)), 'sum')
+                 / CAST(len({_TOK_SQL}) AS DOUBLE), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def token_stats(spark, sf_dir):
+    """Token counting: whitespace tokens + average token length — all
+    array-expression work, no shuffle, no Python."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    total_len = F.aggregate(
+        F.transform(tok, lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return documents.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.length("text").alias("text_chars"),
+        F.round(total_len / F.size(tok).cast("double"), 4).alias("avg_token_len"),
+    )
+
+
+_STOP_EN = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           ROUND((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                 / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+           ROUND(len(list_filter({_TOK_SQL}, x -> x IN ({_STOP_EN})))
+                 / CAST(len({_TOK_SQL}) AS DOUBLE), 4) AS stopword_ratio,
+           ROUND(LEAST(1.0, len({_TOK_SQL}) / 50.0)
+                 * (1.0 - (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                        / CAST(length(text) AS DOUBLE))
+                 * (1.0 - ABS(len(list_filter({_TOK_SQL}, x -> x IN ({_STOP_EN})))
+                        / CAST(len({_TOK_SQL}) AS DOUBLE) - 0.4)), 4) AS quality_score
+    FROM documents
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality scoring: length, punctuation ratio, stopword ratio folded
+    into one deterministic score — the usual pre-training quality gate."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok).cast("double")
+    punct = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))
+    ) / F.length("text").cast("double")
+    stop_ratio = (
+        F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS["en"]))) / n_tok
+    )
+    score = (
+        F.least(F.lit(1.0), n_tok / 50.0)
+        * (1.0 - punct)
+        * (1.0 - F.abs(stop_ratio - 0.4))
+    )
+    return documents.select(
+        "doc_id",
+        F.round(punct, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+@register(
+    "lang_id_heuristic",
+    f"""
+    SELECT doc_id, lang AS declared_lang, {lang_id_sql()} AS predicted_lang
+    FROM documents
+    """,
+)
+def lang_id_heuristic(spark, sf_dir):
+    """Language ID via stopword-marker scoring with a deterministic argmax
+    (operators/textfns.lang_id)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_id(F.col("text"), tokens(F.col("text"))).alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM({hash64_sql('t')} % {FP_PRIME}) % {FP_PRIME} AS BIGINT) AS fingerprint
+    FROM tok GROUP BY doc_id
+    """,
+)
+def doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: order-independent hash-sum over distinct
+    tokens mod a prime — a compact content signature."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    return tok.groupBy("doc_id").agg(
+        (F.sum(hash64(F.col("t")) % FP_PRIME) % FP_PRIME)
+        .cast("long")
+        .alias("fingerprint")
+    )
+
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha256
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Multimodal plumbing: treat content as an opaque binary column with
+    typed metadata (byte length + content hash).  The same schema carries
+    image/audio/video payloads; see operators/multimodal.py for the decode
+    UDF scaffolding (stubbed — codec libs absent in this environment)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return documents.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.sha2(blob, 256).alias("content_sha256"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep lowest doc_id as canonical.  One
+    shuffle on the content hash — the always-first dedup pass at any scale."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return documents.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           ROUND(i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE), 4) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle join.
+    This is the *exact* oracle that MinHash+LSH approximates; the shingle
+    self-join is quadratic in hot shingles — at corpus scale run
+    minhash_lsh_pairs instead and verify candidates with this on the
+    candidate set only."""
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+        "double"
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n           ".join(
+        f"MIN({hash64_sql('shingle', str(k))}) AS mh{k}" for k in range(MINHASH_K)
+    )
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+        FROM documents
+    )
+    SELECT doc_id,
+           {mins}
+    FROM sh GROUP BY doc_id
+    """
+
+
+@register("minhash_signatures", _minhash_sig_sql())
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures: k=8 md5-salted hash functions, min per doc —
+    one explode + one groupBy (linear, the 100 TB dedup path)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
+        ).alias("shingle"),
+    )
+    aggs = [
+        F.min(hash64(F.col("shingle"), str(k))).alias(f"mh{k}")
+        for k in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _lsh_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_key "
+        f"FROM sig"
+        for b in range(MINHASH_K // 2)
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    """
+
+
+@register("minhash_lsh_pairs", _lsh_pairs_sql())
+def minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH candidate pairs: signatures → 4 bands of width 2 →
+    equi-join on (band, key).  All-equi join on banded keys means no
+    quadratic blowup: candidate generation is proportional to true
+    collisions.  This IS the scalable near-dup operator."""
+    sig = minhash_signatures(spark, sf_dir)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ":",
+                    F.col(f"mh{2*b}").cast("string"),
+                    F.col(f"mh{2*b+1}").cast("string"),
+                ).alias("band_key"),
+            )
+            for b in range(MINHASH_K // 2)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("band")).select(
+        "doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _simhash_sql() -> str:
+    tokhash = hash64_sql("t")
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {tokhash} % 65536 AS th
+        FROM (SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS t FROM documents)
+    ), sums AS (
+        SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register("simhash_16", _simhash_sql())
+def simhash_16(spark, sf_dir):
+    """SimHash (16-bit): per distinct token take a 16-bit md5-derived hash,
+    vote ±1 per bit position, sign of the sum is the fingerprint bit.
+    Near-dups differ in few bits (compare with hamming distance).  One
+    explode + one groupBy — linear at scale."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    ).select("doc_id", (hash64(F.col("t")) % 65536).alias("th"))
+    sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.shiftright(F.col("th"), j) % 2) == 1, 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(16)
+        ]
+    )
+    simhash = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))

@@ -41,6 +41,10 @@ def get_spark(app_name: str = "processor_edf_spark", cpus: int | None = None) ->
         # int64 µs-since-epoch; session TZ pinned to UTC so TimestampType
         # round-trips are stable across drivers/executors.
         .config("spark.sql.session.timeZone", "UTC")
+        # Some sources write INT64 TIMESTAMP(NANOS) parquet (e.g. pandas
+        # datetime64[ns]); Spark has no nanos timestamp — read as long ns
+        # and convert explicitly (`div 1000` ≡ DuckDB's µs truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # 128 MiB scan splits — the parquet-side default that keeps a 100 TB
         # scan at ~800k tasks rather than millions of tiny ones.
         .config("spark.sql.files.maxPartitionBytes", "134217728")

@@ -1,0 +1,62 @@
+"""Structured Streaming flavors of the reference's latent streaming
+semantics (SURVEY.md §2.8).
+
+- session windows: contiguous-chunk detection is exactly a session window
+  with gap 2/rate (reference timeseries/base.py:322-342);
+- monotonicity invariant: the reference rejects out-of-order/overlapping
+  appends (base.py:87-95) — expressed here as watermark + quarantine;
+- incremental append: new files merge into existing channels
+  (reference mode='append', base.py:129-135) — see registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+USEC = 1_000_000
+
+
+def stream_samples(spark, input_dir: str, schema) -> DataFrame:
+    """File-source stream of long-format sample batches (parquet drops).
+    Use trigger(availableNow=True) for batch-incremental runs."""
+    return spark.readStream.schema(schema).parquet(input_dir)
+
+
+def session_windowed_chunks(
+    samples: DataFrame,
+    rate_hz: float,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming gap sessionization: session_window with the reference's
+    2/rate gap.  Emits one row per closed session (chunk) per channel:
+    (file, channel, start_usec, end_usec, n_samples).
+
+    Watermark bounds state: sessions close once event time passes
+    window end + watermark — the streaming analog of the reference's
+    'no late data accepted' invariant (README.md:30-32)."""
+    gap_sec = 2.0 / rate_hz
+    with_ts = samples.withColumn("ts", F.timestamp_micros("t_usec"))
+    return (
+        with_ts.withWatermark("ts", watermark)
+        .groupBy("file", "channel", F.session_window("ts", f"{gap_sec} seconds"))
+        .agg(
+            F.min("t_usec").alias("start_usec"),
+            F.max("t_usec").alias("end_usec"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select("file", "channel", "start_usec", "end_usec", "n_samples")
+    )
+
+
+def quarantine_late(samples: DataFrame, watermark: str = "10 seconds") -> DataFrame:
+    """The reference asserts on out-of-order chunk appends; streaming-side
+    we drop-and-count instead: rows older than the watermark are excluded
+    by Spark, and this helper tags (doesn't drop) intra-batch regressions
+    for a quarantine sink."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("file", "channel").orderBy("t_usec")
+    return samples.withColumn(
+        "out_of_order", F.col("t_usec") < F.lag("t_usec").over(w)
+    )
