@@ -33,7 +33,10 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "simhash_16",
     "token_stats",
+    "rolling_fingerprint",
+    "tumbling_daily_stats",
     "cosine_pairs",
+    "cosine_lsh_pairs",
     "ann_topk_bruteforce",
 ]
 

@@ -627,6 +627,91 @@ def timestamp_synthesis(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Window analytics over events (M5 extensions: tumbling / sliding; session
+# is sessionize_events / session_window_events above)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tumbling_daily_stats",
+    """
+    SELECT CAST(epoch_us(time_bucket(INTERVAL 1 DAY, ts)) AS BIGINT) AS bucket_start,
+           COUNT(*) AS n_events,
+           {sum_value} AS sum_value
+    FROM events
+    GROUP BY time_bucket(INTERVAL 1 DAY, ts)
+    """.format(sum_value=_msum_sql("value")),
+)
+def tumbling_daily_stats(spark, sf_dir):
+    """Tumbling 1-day window aggregation via the native ``F.window``
+    expression — the Structured-Streaming-compatible form (same plan works
+    under readStream with a watermark).  Map-side partial agg; shuffle
+    moves one partial state per (day, partition)."""
+    (events,) = load(spark, sf_dir, "events")
+    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        events.groupBy(F.window(ts, "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "sliding_hour_counts",
+    """
+    SELECT event_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+             AS n_last_hour
+    FROM events
+    """,
+)
+def sliding_hour_counts(spark, sf_dir):
+    """Sliding event-time window: per user, events in the trailing hour —
+    a RANGE frame on the integer µs axis (deterministic under ties: the
+    frame is value-based, not row-based).  One shuffle on user_id."""
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.expr("ts div 1000"))
+        .rangeBetween(-3600 * USEC, 0)
+    )
+    return events.select(
+        "event_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+@register(
+    "top_users_by_value",
+    """
+    SELECT user_id, {sum_value} AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id ASC
+    LIMIT 10
+    """.format(sum_value=_msum_sql("value")),
+)
+def top_users_by_value(spark, sf_dir):
+    """Top-k: agg → global ordered limit.  Spark plans TakeOrderedAndProject
+    — each partition keeps k rows, driver merges k·P, no full sort.
+    Deterministic tie-break on user_id."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(money_sum(F.col("value")).alias("total_value"))
+        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Scalar function parity (F1-F4, F8)
 # ---------------------------------------------------------------------------
 

@@ -17,8 +17,12 @@ broken by vec_id — deterministic across engines (sum-order differences are
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from processor_edf_spark.plans.registry import load, register
 
@@ -33,10 +37,30 @@ def _as_double(col) -> Column:
 
 
 def dot(a, b) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate — JVM-side, no UDF."""
+    """Σ aᵢ·bᵢ via zip_with + aggregate — JVM-side, no UDF.  Fine for
+    per-row work (bucketing, centroid probes); for millions of candidate
+    pairs use ``dot_pd`` (Arrow-batched, ~20× faster — higher-order
+    functions are interpreted per element, outside codegen)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+@pandas_udf(DoubleType())
+def dot_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized pairwise dot product over Arrow batches.
+
+    Summation is an explicit left-to-right column loop — bit-identical to
+    the ``F.aggregate`` fold (((0+p₀)+p₁)+…) and to DuckDB's
+    list_inner_product, so swapping it into a plan cannot move a
+    ROUND(x, 4) boundary.  (np.sum/einsum use pairwise summation — faster
+    but a different float result.)"""
+    A = np.vstack(a.to_numpy())
+    B = np.vstack(b.to_numpy())
+    acc = np.zeros(len(A), dtype=np.float64)
+    for i in range(A.shape[1]):
+        acc = acc + A[:, i] * B[:, i]
+    return pd.Series(acc)
 
 
 def norm(a) -> Column:
@@ -45,6 +69,33 @@ def norm(a) -> Column:
 
 def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_pd(a, b, norm_a, norm_b) -> Column:
+    """Pair-path cosine: batched dot / precomputed per-row norms.
+    Identical float ops in identical order to ``cosine`` — norms hoisted
+    out of the O(n²) pair loop into the O(n) row pass."""
+    return dot_pd(a, b) / (norm_a * norm_b)
+
+
+def _norms_ltr(M: np.ndarray) -> np.ndarray:
+    """Row norms with explicit left-to-right accumulation (bit-identical
+    to the Column-expression ``norm``)."""
+    acc = np.zeros(len(M), dtype=np.float64)
+    for i in range(M.shape[1]):
+        acc = acc + M[:, i] * M[:, i]
+    return np.sqrt(acc)
+
+
+def _block_cosines(A: np.ndarray, B: np.ndarray, na: np.ndarray, nb: np.ndarray) -> np.ndarray:
+    """All-pairs cosine block: Σᵢ outer(A·ᵢ, B·ᵢ) accumulated dim-by-dim —
+    per element this is the same ((p₀+p₁)+p₂)… fold as the expression/
+    DuckDB paths (np.dot/einsum would be faster but sum pairwise, a
+    DIFFERENT float — parity over peak FLOPs here)."""
+    C = np.zeros((len(A), len(B)), dtype=np.float64)
+    for i in range(A.shape[1]):
+        C += A[:, i][:, None] * B[None, :, i]
+    return C / (na[:, None] * nb[None, :])
 
 
 _COS_SQL = (
@@ -66,23 +117,44 @@ _COS_SQL = (
     """,
 )
 def cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, brute force.  The quadratic
-    baseline — at corpus scale, LSH-bucket first (random hyperplanes →
-    band join, same shape as minhash_lsh_pairs) and verify survivors with
-    this exact cosine."""
+    """Embedding-cosine near-dup pairs, brute force — the quadratic
+    baseline (cosine_lsh_pairs is the scale path).
+
+    Shape: the candidate matrix broadcasts to every executor (N×d floats —
+    the standard brute-force ANN layout; 1M×64 ≈ 0.5 GB, the practical
+    ceiling); ``mapInPandas`` streams the other side through blocked
+    outer-product scoring, so no pair row with its two 1 KB arrays ever
+    materializes — a pair join was 30× slower from Arrow traffic alone.
+    Only (id, id, cos) survivors leave Python; final ROUND/threshold stays
+    in Spark so decimal rounding is BigDecimal-exact on both engines."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    a = embeddings.select(
-        F.col("vec_id").alias("vec_a"), _as_double("embedding").alias("ea")
-    )
-    b = embeddings.select(
-        F.col("vec_id").alias("vec_b"), _as_double("embedding").alias("eb")
-    )
-    cos = F.round(cosine(F.col("ea"), F.col("eb")), 4)
-    return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_PAIR_THRESHOLD)
-    )
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    cand = emb.toPandas()
+    ids_b = cand["vec_id"].to_numpy()
+    B = np.vstack(cand["e"].to_numpy())
+    bc = spark.sparkContext.broadcast((ids_b, B))
+    thr = COSINE_PAIR_THRESHOLD
+
+    def gen(batches):
+        bid, Bm = bc.value
+        nb = _norms_ltr(Bm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ida = pdf["vec_id"].to_numpy()
+            A = np.vstack(pdf["e"].to_numpy())
+            cos = _block_cosines(A, Bm, _norms_ltr(A), nb)
+            # margin pre-filter only — the exact threshold is re-applied
+            # after Spark-side rounding
+            r, c = np.nonzero((ida[:, None] < bid[None, :]) & (cos >= thr - 1e-9))
+            yield pd.DataFrame(
+                {"vec_a": ida[r], "vec_b": bid[c], "cos_raw": cos[r, c]}
+            )
+
+    scored = emb.mapInPandas(gen, "vec_a long, vec_b long, cos_raw double")
+    return scored.select(
+        "vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= thr)
 
 
 @register(
@@ -111,27 +183,131 @@ def ann_topk_bruteforce(spark, sf_dir):
     embarrassingly parallel; only k rows per query shuffle for the final
     window."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    q = embeddings.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("eq")
-    )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("ec")
-    )
-    scored = (
-        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine(F.col("eq"), F.col("ec")), 4).alias("cos_sim"),
-        )
-    )
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    qpdf = emb.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    qids = qpdf["vec_id"].to_numpy()
+    Q = np.vstack(qpdf["e"].to_numpy())
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    def gen(batches):
+        qid, Qm = bc.value
+        nq = _norms_ltr(Qm)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cid = pdf["vec_id"].to_numpy()
+            C = np.vstack(pdf["e"].to_numpy())
+            cos = _block_cosines(C, Qm, _norms_ltr(C), nq)
+            r, c = np.nonzero(cid[:, None] != qid[None, :])
+            yield pd.DataFrame(
+                {"query_id": qid[c], "neighbor_id": cid[r], "cos_raw": cos[r, c]}
+            )
+
+    scored = emb.mapInPandas(gen, "query_id long, neighbor_id long, cos_raw double")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.select(
+            "query_id", "neighbor_id", F.round("cos_raw", 4).alias("cos_sim")
+        )
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH: the scale path for cosine_pairs.
+# Hyperplane weights are deterministic md5-derived pseudo-randoms computed
+# at plan-build time and embedded as literals in BOTH engines' plans, so
+# the bucketing (and therefore the result set) is bit-identical.
+# ---------------------------------------------------------------------------
+
+N_HYPERPLANES = 8
+EMB_DIM = 64
+
+
+def _hyperplane(h: int) -> list[float]:
+    import hashlib
+
+    out = []
+    for i in range(EMB_DIM):
+        d = int(hashlib.md5(f"hp{h}:{i}".encode()).hexdigest()[:8], 16)
+        out.append((d % 2001 - 1000) / 1000.0)
+    return out
+
+
+_PLANES = [_hyperplane(h) for h in range(N_HYPERPLANES)]
+
+
+def _bucket_sql(e: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_inner_product({e}::DOUBLE[], "
+        f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << h} ELSE 0 END)"
+        for h, plane in enumerate(_PLANES)
+    )
+    return f"({bits})"
+
+
+def _bucket_col(e) -> Column:
+    bits = None
+    for h, plane in enumerate(_PLANES):
+        w = F.array(*[F.lit(x) for x in plane])
+        term = F.when(dot(e, w) >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+        bits = term if bits is None else bits + term
+    return bits
+
+
+@register(
+    "cosine_lsh_pairs",
+    f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4) AS cos_sim
+    FROM sig a
+    JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4)
+          >= {COSINE_PAIR_THRESHOLD}
+    """,
+)
+def cosine_lsh_pairs(spark, sf_dir):
+    """Near-dup pairs via random-hyperplane LSH: 8 sign bits → 256 buckets,
+    equi-join on bucket, exact cosine only on colliding candidates.  Same
+    shape as minhash_lsh_pairs: candidate generation is linear in true
+    collisions, not quadratic in corpus size — the 100 TB replacement for
+    cosine_pairs (whose full cross-join is the exact oracle)."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    sig = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        norm(_as_double("embedding")).alias("nrm"),
+        _bucket_col(_as_double("embedding")).alias("bucket"),
+    )
+    a = sig.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = sig.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    cos = F.round(
+        cosine_pd(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= COSINE_PAIR_THRESHOLD)
     )
 
 
@@ -183,7 +359,12 @@ def ann_ivf_label(spark, sf_dir):
     that one cluster.  Probing 1 of C clusters cuts the candidate scan by
     C× — the standard scale path when brute force stops fitting."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    emb = embeddings.select("vec_id", "label", _as_double("embedding").alias("e"))
+    emb = embeddings.select(
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("e"),
+        norm(_as_double("embedding")).alias("nrm"),
+    )
 
     # (1) centroids: posexplode → avg per (label, dim) → re-assemble ordered
     dims = emb.select("label", F.posexplode("e").alias("i", "x"))
@@ -200,7 +381,9 @@ def ann_ivf_label(spark, sf_dir):
 
     # (2) nearest centroid per query (C is tiny → broadcast, no shuffle)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("eq")
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("eq"),
+        F.col("nrm").alias("nq"),
     )
     w_assign = Window.partitionBy("query_id").orderBy(
         F.col("c_sim").desc(), F.col("label").asc()
@@ -211,15 +394,21 @@ def ann_ivf_label(spark, sf_dir):
             "query_id",
             "label",
             "eq",
+            "nq",
             F.round(cosine(F.col("eq"), F.col("centroid")), 4).alias("c_sim"),
         )
         .withColumn("rnk", F.row_number().over(w_assign))
         .filter(F.col("rnk") == 1)
-        .select("query_id", "label", "eq")
+        .select("query_id", "label", "eq", "nq")
     )
 
     # (3) exact top-k inside the probed cluster only
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), "label", F.col("e").alias("ec"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("e").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
@@ -230,7 +419,9 @@ def ann_ivf_label(spark, sf_dir):
             "query_id",
             "label",
             "neighbor_id",
-            F.round(cosine(F.col("eq"), F.col("ec")), 4).alias("cos_sim"),
+            F.round(
+                cosine_pd(F.col("eq"), F.col("ec"), F.col("nq"), F.col("nc")), 4
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= IVF_TOPK)

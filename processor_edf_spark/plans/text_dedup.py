@@ -162,6 +162,42 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+ROLL_BASE = 131
+
+
+@register(
+    "rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform({_TOK_SQL},
+                                  t -> {hash64_sql('t')} % {FP_PRIME})),
+               (acc, x) -> (acc * {ROLL_BASE} + x) % {FP_PRIME}
+           ) AS fingerprint
+    FROM documents
+    """,
+)
+def rolling_fingerprint(spark, sf_dir):
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash over
+    the token stream, fp = Σ h(tokᵢ)·B^(n-1-i) mod P — distinguishes
+    reordered duplicates that the order-independent doc_fingerprint
+    collapses.  Pure ``F.aggregate`` fold per row: no shuffle, no Python.
+    Mod applied per step keeps every intermediate < P·B ≪ 2⁶³ (Spark longs
+    wrap silently on overflow; DuckDB BIGINTs raise — staying small keeps
+    both engines exact and identical)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok_hashes = F.transform(
+        tokens(F.col("text")), lambda t: hash64(t) % FP_PRIME
+    )
+    fp = F.aggregate(
+        tok_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_BASE + x) % FP_PRIME,
+    )
+    return documents.select("doc_id", fp.alias("fingerprint"))
+
+
 @register(
     "multimodal_meta",
     """
@@ -271,14 +307,40 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+# MinHash family: ONE md5 per shingle, then k affine rehashes
+# h_k(x) = (a_k·x + b_k) mod P over the 31-bit base hash.  8 md5 calls per
+# shingle row was the sf0.1 bench bottleneck; the affine family is the
+# standard universal-hash construction and is pure integer codegen.
+# Constants derived from md5 at import (deterministic, engine-portable);
+# a_k < 2³¹ and base < 2³¹ keep a_k·base < 2⁶² — no int64 overflow in
+# either engine.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+
+
+def _affine_const(tag: str, k: int, lo: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"mh-{tag}{k}".encode()).hexdigest()[:7], 16) % (
+        MINHASH_P - lo
+    ) + lo
+
+
+MINHASH_AB = [
+    (_affine_const("a", k, 1), _affine_const("b", k, 0)) for k in range(MINHASH_K)
+]
+
+
 def _minhash_sig_sql() -> str:
+    base = f"({hash64_sql('shingle')} % {MINHASH_P})"
     mins = ",\n           ".join(
-        f"MIN({hash64_sql('shingle', str(k))}) AS mh{k}" for k in range(MINHASH_K)
+        f"MIN(({a} * base + {b}) % {MINHASH_P}) AS mh{k}"
+        for k, (a, b) in enumerate(MINHASH_AB)
     )
     return f"""
     WITH sh AS (
-        SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
-        FROM documents
+        SELECT doc_id, {base} AS base
+        FROM (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+              FROM documents)
     )
     SELECT doc_id,
            {mins}
@@ -288,18 +350,19 @@ def _minhash_sig_sql() -> str:
 
 @register("minhash_signatures", _minhash_sig_sql())
 def minhash_signatures(spark, sf_dir):
-    """MinHash signatures: k=8 md5-salted hash functions, min per doc —
-    one explode + one groupBy (linear, the 100 TB dedup path)."""
+    """MinHash signatures: k=8 universal hashes h_k = (a_k·md5₆₀ + b_k)
+    mod 2³¹-1, min per doc — one explode + one groupBy (linear, the
+    100 TB dedup path); one md5 per shingle, rehashes are integer codegen."""
     (documents,) = load(spark, sf_dir, "documents")
     sh = documents.select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
         ).alias("shingle"),
-    )
+    ).select("doc_id", (hash64(F.col("shingle")) % MINHASH_P).alias("base"))
     aggs = [
-        F.min(hash64(F.col("shingle"), str(k))).alias(f"mh{k}")
-        for k in range(MINHASH_K)
+        F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_AB)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 

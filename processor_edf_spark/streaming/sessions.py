@@ -49,14 +49,28 @@ def session_windowed_chunks(
     )
 
 
-def quarantine_late(samples: DataFrame, watermark: str = "10 seconds") -> DataFrame:
-    """The reference asserts on out-of-order chunk appends; streaming-side
-    we drop-and-count instead: rows older than the watermark are excluded
-    by Spark, and this helper tags (doesn't drop) intra-batch regressions
-    for a quarantine sink."""
+def quarantine_late(samples: DataFrame, arrival_col: str | None = None) -> DataFrame:
+    """The reference asserts on out-of-order chunk appends (base.py:87-95);
+    here we tag-don't-drop: a row is out_of_order when its timestamp
+    regresses below the running max of everything that ARRIVED before it
+    in the same channel.  ``arrival_col`` is the arrival sequence (batch
+    id, file offset …); without one, physical row order stands in (fine
+    for single-source tests, not stable across shuffles)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("file", "channel").orderBy("t_usec")
-    return samples.withColumn(
-        "out_of_order", F.col("t_usec") < F.lag("t_usec").over(w)
+    df = samples
+    added = False
+    if arrival_col is None:
+        arrival_col = "_arrival"
+        df = df.withColumn(arrival_col, F.monotonically_increasing_id())
+        added = True
+    w = (
+        Window.partitionBy("file", "channel")
+        .orderBy(arrival_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
+    out = df.withColumn(
+        "out_of_order",
+        F.coalesce(F.col("t_usec") < F.max("t_usec").over(w), F.lit(False)),
+    )
+    return out.drop(arrival_col) if added else out

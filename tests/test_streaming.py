@@ -1,0 +1,122 @@
+"""Structured Streaming surfaces (SURVEY.md §2.8):
+
+- streaming channel registry (append-mode get-or-create, stateful) —
+  reference mode='append', timeseries/base.py:129-221;
+- session-window gap chunking — reference base.py:322-342;
+- out-of-order tagging (monotonicity invariant) — reference base.py:87-95.
+
+All tests drive real streaming queries (file source → availableNow →
+memory sink) so the stateful operators run under the streaming engine,
+not a batch approximation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from processor_edf_spark.schemas import SAMPLES_SCHEMA
+from processor_edf_spark.streaming.registry import streaming_channel_registry
+from processor_edf_spark.streaming.sessions import (
+    quarantine_late,
+    session_windowed_chunks,
+    stream_samples,
+)
+
+USEC = 1_000_000
+
+
+def _run_stream(df, name: str, checkpoint: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_channel_registry_state(spark, tmp_path):
+    """Micro-batch 1 registers channels; micro-batch 2 must band-match the
+    SAME ids out of state (±2% rate) and register out-of-band rates anew."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    schema = "name string, rate double, type string"
+
+    spark.createDataFrame(
+        [("EEG F3", 200.0, "CONTINUOUS"), ("EEG F4", 250.0, "CONTINUOUS")], schema
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "b1"))
+    spark.createDataFrame(
+        [
+            ("eeg f3 ", 201.0, "CONTINUOUS"),  # normalized name, in-band rate
+            ("EEG F3", 300.0, "CONTINUOUS"),  # same name, out-of-band rate
+        ],
+        schema,
+    ).coalesce(1).write.parquet(os.path.join(in_dir, "b2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in_dir + "/*")
+    )
+    _run_stream(streaming_channel_registry(stream), "registry_out", ckpt)
+    rows = spark.sql("select * from registry_out").collect()
+    by = {}
+    for r in rows:
+        by.setdefault((r["name_key"], round(r["rate"])), r)
+
+    assert len(rows) == 4
+    # in-band 201 Hz reuses the id registered for 200 Hz
+    assert by[("eeg f3", 201)]["channel_id"] == by[("eeg f3", 200)]["channel_id"]
+    assert not by[("eeg f3", 201)]["is_new"]
+    # out-of-band 300 Hz gets a fresh id under the same key
+    assert by[("eeg f3", 300)]["channel_id"] != by[("eeg f3", 200)]["channel_id"]
+    assert by[("eeg f3", 300)]["is_new"]
+    assert by[("eeg f4", 250)]["is_new"]
+
+
+def test_session_windowed_chunks_stream(spark, tmp_path):
+    """Gap > 2/rate splits sessions; closed sessions emit once the
+    watermark passes (streaming analog of contiguousChunks)."""
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    rate = 1.0  # 1 Hz → session gap 2 s
+    rows = (
+        # session A: 0..2 s (3 samples)
+        [("f", "ch", t * USEC, 1.0) for t in range(3)]
+        # session B: 100..101 s — far enough that A closes under a 10 s
+        # watermark; B itself stays open (never emitted) by design
+        + [("f", "ch", (100 + t) * USEC, 2.0) for t in range(2)]
+    )
+    spark.createDataFrame(rows, SAMPLES_SCHEMA).coalesce(1).write.parquet(in_dir)
+
+    stream = stream_samples(spark, in_dir, SAMPLES_SCHEMA)
+    chunks = session_windowed_chunks(stream, rate_hz=rate)
+    _run_stream(chunks, "chunks_out", ckpt)
+    out = spark.sql("select * from chunks_out").collect()
+
+    assert len(out) == 1  # only the closed session A
+    a = out[0]
+    assert (a["start_usec"], a["end_usec"], a["n_samples"]) == (0, 2 * USEC, 3)
+
+
+def test_quarantine_flags_regression(spark):
+    """A row whose timestamp regresses below the running max of earlier
+    arrivals is tagged; in-order and equal timestamps are not (the
+    reference's strict `chunk.start > prev.end` assert, as a tag)."""
+    rows = [
+        ("f", "ch", 10 * USEC, 1.0, 0),
+        ("f", "ch", 10 * USEC, 1.0, 1),  # equal, not a regression
+        ("f", "ch", 8 * USEC, 1.0, 2),  # regression → tagged
+        ("f", "ch", 20 * USEC, 1.0, 3),  # recovers, in order
+        ("f", "other", 5 * USEC, 1.0, 4),  # other channel unaffected
+    ]
+    df = spark.createDataFrame(
+        rows, "file string, channel string, t_usec long, value double, seq long"
+    )
+    out = quarantine_late(df, arrival_col="seq").orderBy("seq").collect()
+    assert [r["out_of_order"] for r in out] == [False, False, True, False, False]
