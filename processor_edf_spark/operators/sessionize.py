@@ -87,6 +87,87 @@ def contiguous_chunks(
     )
 
 
+def hierarchical_chunks(
+    df: DataFrame,
+    id_col: str,
+    unit_col: str,
+    rate_col: str,
+    time_col: str = "t_usec",
+) -> DataFrame:
+    """Two-level gap detection for channels whose samples span many files.
+
+    A single window partitioned by channel id alone sorts the channel's
+    ENTIRE sample history in one task — the partition-skew anti-pattern
+    (one EEG channel at 100 TB is billions of rows).  Instead:
+
+    1. detect contiguous runs per (id, unit) — ``unit_col`` is the ingest
+       unit (file); thousands of bounded-size windows run in parallel;
+    2. merge the resulting O(chunks) chunk rows across units per id —
+       adjacent runs whose boundary gap ≤ threshold coalesce — a window
+       over chunk rows, not samples;
+    3. global ``index`` = running sum of merged-chunk sample counts.
+
+    Assumes units of one channel occupy non-interleaved time ranges (the
+    reference's non-overlap invariant, base.py:87-95; overlaps are a
+    quarantine case — see validate_nonoverlapping).
+
+    Output: id_col, chunk_id, index, start, end, n_samples.
+    """
+    chunked = with_chunk_id(df, [id_col, unit_col], time_col, rate_col=rate_col)
+    per_unit = chunked.groupBy(id_col, unit_col, "chunk_id").agg(
+        F.min(time_col).alias("start"),
+        F.max(time_col).alias("end"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.first(rate_col).alias("_rate"),
+    )
+    return merge_chunk_runs(per_unit, id_col=id_col, rate_col="_rate")
+
+
+def merge_chunk_runs(
+    runs: DataFrame, id_col: str, rate_col: str
+) -> DataFrame:
+    """Merge per-unit contiguous runs across units of the same channel:
+    adjacent runs whose boundary gap ≤ 2/rate coalesce; global ``index``
+    is the running sum of merged sample counts.  Operates on O(chunks)
+    rows — this is the reduce side of the two-level plan (the map side is
+    either ``with_chunk_id`` per unit or the decoder's pushed-down
+    ``chunk_run_rows``).
+
+    ``runs`` columns: id_col, start, end, n_samples, rate_col.
+    """
+    w = Window.partitionBy(id_col).orderBy("start")
+    gap = gap_threshold_usec(F.col(rate_col))
+    prev_end = F.lag("end").over(w)
+    boundary = F.when(
+        prev_end.isNull() | ((F.col("start") - prev_end) > gap), F.lit(1)
+    ).otherwise(F.lit(0))
+    regrouped = (
+        runs.withColumn(
+            "merged_id",
+            F.sum(boundary).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+        )
+        .groupBy(id_col, "merged_id")
+        .agg(
+            F.min("start").alias("start"),
+            F.max("end").alias("end"),
+            F.sum("n_samples").alias("n_samples"),
+        )
+    )
+    wi = Window.partitionBy(id_col).orderBy("start")
+    index = F.coalesce(
+        F.sum("n_samples").over(wi.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    ).cast("long")
+    return regrouped.select(
+        id_col,
+        F.col("merged_id").alias("chunk_id"),
+        index.alias("index"),
+        "start",
+        "end",
+        "n_samples",
+    )
+
+
 def validate_nonoverlapping(
     chunks: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -25,11 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from processor_edf_spark.operators.aggregate import channel_bounds
-from processor_edf_spark.operators.channels import get_or_create_channels
-from processor_edf_spark.operators.sessionize import contiguous_chunks
+from processor_edf_spark.operators.channels import (
+    get_or_create_channels,
+    match_existing_channels,
+)
+from processor_edf_spark.operators.sessionize import merge_chunk_runs
 from processor_edf_spark.sources.edf import (
     decode_annotations,
+    decode_chunk_runs,
     decode_samples,
     parse_signal_headers,
     scan_edf_files,
@@ -53,20 +56,24 @@ def process_edf_directory(
     samples = decode_samples(binary)
     annotations = decode_annotations(binary)
     headers = parse_signal_headers(binary)
-    channels = build_channel_metadata(samples, headers, existing_channels)
+    chunk_runs = decode_chunk_runs(binary)
+    channels = build_channel_metadata(chunk_runs, headers, existing_channels)
     return samples, channels, annotations
 
 
 def build_channel_metadata(
-    samples: DataFrame,
+    chunk_runs: DataFrame,
     headers: DataFrame,
     existing_channels: DataFrame | None = None,
 ) -> DataFrame:
     """Channel metadata records mirroring timeseries-channel.schema.json.
 
-    Plan shape: samples aggregate twice on (file, channel) — bounds and
-    chunks — both shuffles move O(channels)/O(chunks) rows, not samples;
-    the header/registry joins are broadcasts.
+    Plan shape — NO sample rows move anywhere: gap detection happened
+    inside the decode scan (``decode_chunk_runs``, one np.diff per
+    signal), so this plan only joins/aggregates O(chunks) run rows and
+    O(signals) header rows; the registry joins are broadcasts.  Bounds
+    (A1) and counts (A2) fall out of the merged chunk runs — every sample
+    belongs to exactly one run.
     """
     signal_dim = (
         headers.filter(~F.col("is_annotation"))
@@ -81,42 +88,46 @@ def build_channel_metadata(
     )
     registry = get_or_create_channels(signal_dim, existing_channels)
 
-    bounds = channel_bounds(samples, ["file", "channel"]).select(
-        F.col("file").alias("b_file"),
-        F.col("channel").alias("b_channel"),
-        "start",
-        "end",
-        "num_values",
+    # Merge path: several files can carry the SAME channel (reference
+    # append semantics, base.py:129-221 — samples accumulate, bounds
+    # extend).  Map every incoming (file, label) to its canonical channel
+    # id via the same J1 band match used for dedup, then aggregate bounds
+    # and chunks BY CHANNEL ID over the union of all matched files.
+    mapping = F.broadcast(
+        match_existing_channels(
+            signal_dim.select("file", "name", "rate", "type"),
+            registry.select("id", "name", "rate", "type"),
+        ).select(
+            F.col("file").alias("m_file"),
+            F.col("name").alias("m_channel"),
+            F.col("existing_id").alias("m_id"),
+            F.col("existing_rate").alias("m_rate"),
+        )
+    )
+    runs = chunk_runs.join(
+        mapping,
+        (F.col("file") == F.col("m_file")) & (F.col("channel") == F.col("m_channel")),
     )
 
-    # contiguousChunks: rate-dependent gap threshold → broadcast the rate in.
-    rate_dim = F.broadcast(
-        registry.select("file", F.col("name").alias("channel"), "rate")
-    )
-    chunks = contiguous_chunks(
-        samples.join(rate_dim, ["file", "channel"]),
-        keys=["file", "channel"],
-        rate_col="rate",
-    )
-    chunk_lists = chunks.groupBy("file", "channel").agg(
+    # Cross-file merge of the decoder's per-file runs (two-level plan:
+    # map side = np.diff in the scan, reduce side = O(chunks) window).
+    chunks = merge_chunk_runs(runs, id_col="m_id", rate_col="m_rate")
+
+    bounds = chunks.groupBy("m_id").agg(
+        F.min("start").alias("start"),
+        F.max("end").alias("end"),
+        F.sum("n_samples").alias("num_values"),
+    ).select(F.col("m_id").alias("b_id"), "start", "end", "num_values")
+
+    chunk_lists = chunks.groupBy("m_id").agg(
         F.sort_array(F.collect_list(F.struct("index", "start", "end"))).alias(
             "contiguousChunks"
         )
-    ).select(
-        F.col("file").alias("c_file"),
-        F.col("channel").alias("c_channel"),
-        "contiguousChunks",
-    )
+    ).select(F.col("m_id").alias("c_id"), "contiguousChunks")
 
     return (
-        registry.join(
-            bounds,
-            (F.col("file") == F.col("b_file")) & (F.col("name") == F.col("b_channel")),
-        )
-        .join(
-            chunk_lists,
-            (F.col("file") == F.col("c_file")) & (F.col("name") == F.col("c_channel")),
-        )
+        registry.join(bounds, F.col("id") == F.col("b_id"))
+        .join(chunk_lists, F.col("id") == F.col("c_id"))
         .select(
             "id",
             "file",

@@ -124,6 +124,28 @@ def test_edfd_gap_sessionization(spark, tmp_path):
     assert offs == offsets
 
 
+def test_multifile_channel_merge(spark, tmp_path):
+    """Two files carrying the same channel merge into ONE channel whose
+    bounds/count/chunks aggregate over BOTH files (reference append
+    semantics: samples accumulate into the matched channel,
+    base.py:154-157,282-291).  File B starts 100 s after file A ends →
+    the merged channel has two contiguousChunks."""
+    kwargs = dict(
+        signals=[{"label": "chanA", "rate": 100, "gen": sine(5.0)}], nb_data_rec=2
+    )
+    write_edf(str(tmp_path / "a.edf"), start_time="10.00.00", **kwargs)
+    write_edf(str(tmp_path / "b.edf"), start_time="10.01.42", **kwargs)
+    _, channels, _ = process_edf_directory(spark, str(tmp_path))
+    rows = channels.collect()
+    assert len(rows) == 1
+    ch = rows[0]
+    assert ch["num_values"] == 400  # 2 files × 2 records × 200 samples
+    assert len(ch["contiguousChunks"]) == 2
+    assert ch["contiguousChunks"][1]["index"] == 200
+    # end = fileB_start + 1.99 s; start = fileA_start; Δfiles = 102 s
+    assert (ch["end"] - ch["start"]) == 102 * USEC + 1_990_000
+
+
 def test_append_mode_platform_match(spark, tmp_path):
     """J1 band join: append mode reuses platform channel ids when name+type
     match and rate is within ±2% (reference base.py:178-205)."""
