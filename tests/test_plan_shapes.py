@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the plans we ship must stay the plans we
+designed for 100 TB — filters pushed into the parquet scan, columns
+pruned, dimension sides broadcast, aggregations map-side partial.  A
+regression here (a lost broadcast hint, a filter that stops pushing)
+changes nothing at sf0.001 and everything at scale, so it's guarded by
+tests rather than by re-reading .explain() output by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from processor_edf_spark.plans import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # all three predicates reach the parquet reader
+    assert "PushedFilters:" in plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(
+            f"{op}({col}" in plan for op in ("GreaterThan", "LessThan", "GreaterThanOrEqual", "IsNotNull")
+        ), f"no pushed filter on {col}:\n{plan[:2000]}"
+    # column pruning: q6 touches 4 columns; wide columns must not be read
+    assert "l_comment" not in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_q5_star_join_broadcasts(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    # every dimension (region/nation/customer/supplier) joins as broadcast
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+
+
+def test_q3_customer_broadcast(spark):
+    plan = plan_of(spark, "q3_segment_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_band_join_is_hash_join_with_residual(spark):
+    """J1: the equi part (nationkey) plans as a hash join; the ±2% band
+    stays a residual condition — NOT a nested-loop/cartesian."""
+    plan = plan_of(spark, "band_join_acctbal")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q1_partial_aggregation(spark):
+    """Map-side combine: partial_ aggregate functions before the exchange —
+    the shuffle moves 4 group states per partition, not 6M rows."""
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_" in plan, plan[:2000]
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_sessionize_single_shuffle(spark):
+    """W1 sessionization shuffles once on user_id; the window and the
+    follow-up aggregation reuse that partitioning."""
+    plan = plan_of(spark, "sessionize_events")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}:\n{plan[:2000]}"
+
+
+def test_dedup_exact_partial_agg(spark):
+    plan = plan_of(spark, "dedup_exact")
+    assert "partial_" in plan
+
+
+def test_minhash_no_cartesian(spark):
+    """LSH candidate generation must stay an equi-join on (band, key)."""
+    plan = plan_of(spark, "minhash_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["q6_forecast_revenue", "q1_pricing_summary"])
+def test_whole_stage_codegen(spark, name):
+    """The scan→filter→project→partial-agg pipeline stays inside
+    WholeStageCodegen (no interpreted evaluation in the hot path)."""
+    df = QUERIES[name](spark, SF_SMALL)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' marks WholeStageCodegen stages in plan strings
+    assert "*(1)" in plan, plan[:2000]
+    assert "*(1) Filter" in plan or "*(1) HashAggregate" in plan or "*(1) Project" in plan
