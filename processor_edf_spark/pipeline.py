@@ -34,6 +34,7 @@ from processor_edf_spark.sources.edf import (
     decode_annotations,
     decode_chunk_runs,
     decode_samples,
+    file_status,
     parse_signal_headers,
     scan_edf_files,
 )
@@ -43,6 +44,7 @@ def process_edf_directory(
     spark: SparkSession,
     input_dir: str,
     existing_channels: DataFrame | None = None,
+    quarantine: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the full EDF pipeline over a directory (any number of files —
     the reference's one-file limit, main.py:15-16, does not apply).
@@ -51,8 +53,16 @@ def process_edf_directory(
     ``existing_channels`` (id, name, rate, type, …) switches on append-mode
     matching (J1), the batch equivalent of reference mode='append'
     (timeseries/base.py:129-135).
+    ``quarantine=True`` drops files that fail the structural probe
+    (``file_status``) instead of failing the job — the per-file status
+    design of SURVEY.md §2.10 (the reference swallows errors and emits
+    partial output; we isolate them).  Use ``file_status(binary)`` to
+    report the quarantined set.
     """
     binary = scan_edf_files(spark, input_dir)
+    if quarantine:
+        good = file_status(binary).filter(F.col("ok")).select("path")
+        binary = binary.join(F.broadcast(good), "path")
     samples = decode_samples(binary)
     annotations = decode_annotations(binary)
     headers = parse_signal_headers(binary)

@@ -217,6 +217,30 @@ def ann_topk_bruteforce(spark, sf_dir):
     )
 
 
+@register(
+    "array_slice_projection",
+    """
+    SELECT vec_id,
+           ROUND(list_aggregate(list_transform(list_slice(embedding, 1, 8),
+                                               x -> x::DOUBLE), 'sum'), 4)
+             AS head8_sum
+    FROM embeddings
+    """,
+)
+def array_slice_projection(spark, sf_dir):
+    """P5 array-slice projection (reference ``read_signal(i, start, end)``
+    → ``data[start:end]``, edf.py:120-121): ``F.slice`` on the array
+    column, folded to a scalar — pure expression work, no shuffle."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    head = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
+    return embeddings.select(
+        "vec_id",
+        F.round(
+            F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("head8_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH: the scale path for cosine_pairs.
 # Hyperplane weights are deterministic md5-derived pseudo-randoms computed

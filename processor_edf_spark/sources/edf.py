@@ -389,6 +389,57 @@ def scan_edf_files(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+FILE_STATUS_SCHEMA = (
+    "path string, file string, ok boolean, error string, "
+    "nb_signal int, nb_data_rec int, n_bytes long"
+)
+
+
+def file_status(binary_df: DataFrame) -> DataFrame:
+    """Per-file decode status (SURVEY.md §2.10): validate header structure
+    and data-area consistency WITHOUT decoding samples.
+
+    The reference swallows decode errors and publishes partial output
+    (processor.py:66-69); the Spark design is the opposite — fail fast per
+    FILE, never per job: corrupt files surface here as ``ok=false`` rows
+    (PERMISSIVE-style status column) and the pipeline quarantines them,
+    while every healthy file still processes.  At 100 TB a single bad file
+    must never kill the run.
+    """
+
+    def probe(path: str, content: bytes) -> tuple:
+        name = path.rsplit("/", 1)[-1]
+        try:
+            h = parse_edf_header(content)
+            if h["nb_signal"] <= 0:
+                raise ValueError("no signals")
+            if h["duration"] <= 0:
+                raise ValueError(f"non-positive record duration {h['duration']}")
+            edf_start_usec(h["start_date"], h["start_time"])  # validates dates
+            rec_len = int(sum(h["nr_samples"]))
+            if rec_len <= 0:
+                raise ValueError("empty data records")
+            avail = (len(content) - h["header_bytes"]) // (2 * rec_len)
+            return (path, name, True, None, h["nb_signal"], min(h["nb_data_rec"], avail), len(content))
+        except Exception as e:  # noqa: BLE001 — any parse failure quarantines
+            return (path, name, False, f"{type(e).__name__}: {e}", None, None, len(content))
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                probe(path, bytes(content))
+                for path, content in zip(pdf["path"], pdf["content"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "file", "ok", "error", "nb_signal", "nb_data_rec", "n_bytes"],
+            )
+
+    return binary_df.select("path", "content").mapInPandas(
+        gen, schema=FILE_STATUS_SCHEMA
+    )
+
+
 def parse_signal_headers(binary_df: DataFrame) -> DataFrame:
     """binaryFile rows → signal-header dimension table (S2/S3)."""
 

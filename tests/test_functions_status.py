@@ -1,0 +1,132 @@
+"""Unit tests: scalar epoch functions (F1-F9), timestamp synthesis
+operators (W3/W4), and the per-file status/quarantine path (§2.10)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import functions as F
+
+from processor_edf_spark.functions.epoch import (
+    edf_datetime,
+    msecs_since_epoch,
+    sample_frequency,
+    secs_since_epoch,
+    secs_to_usecs,
+    usecs_since_epoch,
+    usecs_to_timestamp,
+)
+from processor_edf_spark.operators.timestamps import (
+    synthesize_contiguous,
+    synthesize_discontiguous,
+)
+from processor_edf_spark.pipeline import process_edf_directory
+from processor_edf_spark.sources.edf import file_status, scan_edf_files
+from tests.edf_fixtures import sine, write_edf
+
+USEC = 1_000_000
+
+
+def test_epoch_functions_roundtrip(spark):
+    """F1-F4: against Python's own epoch arithmetic (reference
+    utils.py:55-74 semantics, naive UTC)."""
+    dt = datetime(2019, 2, 12, 10, 15, 12, tzinfo=timezone.utc)
+    usec = int(dt.timestamp() * USEC)
+    df = spark.createDataFrame([(usec,)], "t_usec long").select(
+        usecs_to_timestamp(F.col("t_usec")).alias("ts"), "t_usec"
+    )
+    row = df.select(
+        secs_since_epoch(F.col("ts")).alias("secs"),
+        msecs_since_epoch(F.col("ts")).alias("msecs"),
+        usecs_since_epoch(F.col("ts")).alias("usecs"),
+        secs_to_usecs(F.lit(1.5)).alias("sec2usec"),
+    ).collect()[0]
+    assert row["secs"] == dt.timestamp()
+    assert row["msecs"] == usec // 1000
+    assert row["usecs"] == usec
+    assert row["sec2usec"] == 1_500_000
+
+
+@pytest.mark.parametrize(
+    "date_str,year", [("04.04.11", 2011), ("04.04.84", 2084), ("04.04.85", 1985)]
+)
+def test_edf_date_y2k_pivot(spark, date_str, year):
+    """F8: yy<85 → 2000s, else 1900s (reference edf.py:99-103)."""
+    df = spark.createDataFrame([(date_str, "12.57.02")], "d string, t string")
+    row = df.select(
+        edf_datetime(F.col("d"), F.col("t")).alias("ts")
+    ).collect()[0]
+    assert row["ts"].year == year
+    assert (row["ts"].month, row["ts"].day) == (4, 4)
+    assert (row["ts"].hour, row["ts"].minute, row["ts"].second) == (12, 57, 2)
+
+
+def test_sample_frequency(spark):
+    df = spark.createDataFrame([(200, 1.0), (57, 0.5)], "n int, d double")
+    rows = df.select(sample_frequency(F.col("n"), F.col("d")).alias("hz")).collect()
+    assert [r["hz"] for r in rows] == [200.0, 114.0]
+
+
+def test_synthesize_contiguous(spark):
+    """W3: t_i = start + round(i·1e6/rate) — 5 samples at 400 Hz."""
+    df = spark.createDataFrame([(1_000_000, 5, 400.0)], "start long, n int, rate double")
+    rows = (
+        synthesize_contiguous(df, "start", "n", "rate")
+        .orderBy("pos")
+        .select("pos", "t_usec")
+        .collect()
+    )
+    assert [(r["pos"], r["t_usec"]) for r in rows] == [
+        (0, 1_000_000),
+        (1, 1_002_500),
+        (2, 1_005_000),
+        (3, 1_007_500),
+        (4, 1_010_000),
+    ]
+
+
+def test_synthesize_discontiguous(spark):
+    """W4: per-record TAL offset + intra-record spacing, endpoint
+    EXCLUSIVE (reference edf.py:105-109)."""
+    df = spark.createDataFrame(
+        [(0, 0.0, 4, 1.0), (0, 10.0, 4, 1.0)],
+        "file_start long, off double, n int, dur double",
+    )
+    rows = (
+        synthesize_discontiguous(df, "file_start", "off", "n", "dur")
+        .orderBy("t_usec")
+        .select("t_usec")
+        .collect()
+    )
+    ts = [r["t_usec"] for r in rows]
+    assert ts[:4] == [0, 250_000, 500_000, 750_000]  # no t=1.0s (exclusive)
+    assert ts[4:] == [10_000_000, 10_250_000, 10_500_000, 10_750_000]
+
+
+def test_file_status_and_quarantine(spark, tmp_path):
+    """§2.10: a corrupt file flags ok=false with a reason; quarantine=True
+    processes the healthy files and drops the corrupt one — the job never
+    dies (unlike fail-fast default), nothing partial is emitted for it."""
+    write_edf(
+        str(tmp_path / "good.edf"),
+        signals=[{"label": "chanA", "rate": 100, "gen": sine(5.0)}],
+        nb_data_rec=2,
+    )
+    (tmp_path / "garbage.edf").write_bytes(b"not an edf file at all" * 20)
+
+    status = {
+        r["file"]: r
+        for r in file_status(scan_edf_files(spark, str(tmp_path))).collect()
+    }
+    assert status["good.edf"]["ok"]
+    assert status["good.edf"]["nb_signal"] == 1
+    assert not status["garbage.edf"]["ok"]
+    assert status["garbage.edf"]["error"]
+
+    samples, channels, _ = process_edf_directory(
+        spark, str(tmp_path), quarantine=True
+    )
+    rows = channels.collect()
+    assert [r["file"] for r in rows] == ["good.edf"]
+    assert samples.select("file").distinct().collect()[0]["file"] == "good.edf"
