@@ -159,6 +159,48 @@ def build_channel_metadata(
     )
 
 
+def validate_channels(channels: DataFrame) -> DataFrame:
+    """Output-contract validation (S10): the reference validates every
+    channel dict against timeseries-channel.schema.json before publishing
+    (timeseries/base.py:14-15,64 + resources/timeseries-channel.schema.json)
+    and asserts chunk order (base.py:87-95).  Distributed, validation is a
+    column: ``violations`` lists every failed constraint (empty = publish),
+    so callers choose quarantine vs fail — never silent partial output.
+    """
+    checks = {
+        # required fields (schema :69)
+        "missing_name": F.col("name").isNull() | (F.trim("name") == ""),
+        "missing_unit": F.col("unit").isNull(),
+        "missing_start": F.col("start").isNull(),
+        "missing_end": F.col("end").isNull(),
+        # type enum (schema :31-34, base.py:45)
+        "bad_type": ~F.col("type").isin("CONTINUOUS", "UNIT"),
+        "bad_rate": F.col("rate").isNull() | (F.col("rate") <= 0),
+        "end_before_start": F.col("end") < F.col("start"),
+        # chunks: sorted, non-overlapping, first at index 0 covering start
+        "chunks_empty": F.size("contiguousChunks") == 0,
+        "chunks_unsorted_or_overlap": F.exists(
+            F.zip_with(
+                F.slice("contiguousChunks", 1, F.greatest(F.size("contiguousChunks") - 1, F.lit(0))),
+                F.slice("contiguousChunks", 2, F.greatest(F.size("contiguousChunks") - 1, F.lit(0))),
+                lambda a, b: b["start"] <= a["end"],
+            ),
+            lambda x: x,
+        ),
+        "first_chunk_not_at_start": (F.element_at("contiguousChunks", 1)["index"] != 0)
+        | (F.element_at("contiguousChunks", 1)["start"] != F.col("start")),
+    }
+    violations = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in checks.items()]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return channels.withColumn("violations", violations).withColumn(
+        "valid", F.size("violations") == 0
+    )
+
+
 def channel_dicts(channels: DataFrame) -> list[dict]:
     """Channel rows as JSON-ready dicts (the reference's as_dict output,
     timeseries/base.py:47-65).  Driver-side materialization — only for the

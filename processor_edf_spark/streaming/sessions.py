@@ -23,6 +23,27 @@ def stream_samples(spark, input_dir: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(input_dir)
 
 
+def stream_edf_directory(spark, input_dir: str) -> DataFrame:
+    """Incremental EDF ingestion (§2.8 append mode, end-to-end): new .edf
+    files landing in ``input_dir`` decode into the long-format sample
+    stream — the SAME decode UDTF as batch (mapInPandas runs unchanged
+    under Structured Streaming).  Chain into ``session_windowed_chunks``
+    for incremental chunk detection or the stateful channel registry for
+    append-mode matching; the file source tracks processed files, so each
+    file decodes exactly once across restarts (checkpointed)."""
+    from processor_edf_spark.sources.edf import decode_samples
+
+    binary = (
+        spark.readStream.format("binaryFile")
+        .schema(  # streaming sources require an explicit schema
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.[eE][dD][fF]")
+        .load(input_dir)
+    )
+    return decode_samples(binary)
+
+
 def session_windowed_chunks(
     samples: DataFrame,
     rate_hz: float,

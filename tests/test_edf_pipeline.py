@@ -124,6 +124,42 @@ def test_edfd_gap_sessionization(spark, tmp_path):
     assert offs == offsets
 
 
+def test_validate_channels(spark, edf_outputs):
+    """S10 output validation: real pipeline output is clean; doctored rows
+    collect named violations instead of failing the job."""
+    from processor_edf_spark.pipeline import validate_channels
+
+    _, channels, _ = edf_outputs
+    validated = validate_channels(channels)
+    assert validated.filter(~F.col("valid")).count() == 0
+
+    bad = spark.createDataFrame(
+        [
+            {
+                "id": "x", "file": "f", "index": 0, "name": "  ", "start": 10,
+                "end": 5, "unit": None, "rate": -1.0, "type": "WEIRD",
+                "group": "g", "lastAnnotation": 0, "num_values": 1,
+                "contiguousChunks": [
+                    {"index": 0, "start": 10, "end": 20},
+                    {"index": 5, "start": 15, "end": 30},  # overlaps previous
+                ],
+                "properties": [],
+            }
+        ],
+        channels.schema,
+    )
+    row = validate_channels(bad).collect()[0]
+    assert not row["valid"]
+    assert set(row["violations"]) == {
+        "missing_name",
+        "missing_unit",
+        "bad_type",
+        "bad_rate",
+        "end_before_start",
+        "chunks_unsorted_or_overlap",
+    }
+
+
 def test_multifile_channel_merge(spark, tmp_path):
     """Two files carrying the same channel merge into ONE channel whose
     bounds/count/chunks aggregate over BOTH files (reference append

@@ -104,6 +104,36 @@ def test_session_windowed_chunks_stream(spark, tmp_path):
     assert (a["start_usec"], a["end_usec"], a["n_samples"]) == (0, 2 * USEC, 3)
 
 
+def test_stream_edf_end_to_end(spark, tmp_path):
+    """§2.8 incremental append, whole path: EDF files land in a directory
+    → binaryFile stream → the batch decode UDTF unchanged →
+    session-window chunking → memory sink.  Two files of the same channel
+    100 s apart → the earlier session closes and emits."""
+    from tests.edf_fixtures import sine, write_edf
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    kwargs = dict(
+        signals=[{"label": "chanA", "rate": 100, "gen": sine(5.0)}], nb_data_rec=2
+    )
+    write_edf(os.path.join(in_dir, "a.edf"), start_time="10.00.00", **kwargs)
+    write_edf(os.path.join(in_dir, "b.edf"), start_time="10.01.42", **kwargs)
+
+    from processor_edf_spark.streaming.sessions import stream_edf_directory
+
+    samples = stream_edf_directory(spark, in_dir)
+    chunks = session_windowed_chunks(samples, rate_hz=100.0)
+    _run_stream(chunks, "edf_stream_out", ckpt)
+    out = spark.sql(
+        "select channel, start_usec, n_samples from edf_stream_out"
+    ).collect()
+    # session A (file a.edf, 400 samples... a.edf alone has 200 samples)
+    # — files are distinct sessions 100 s apart; only A has closed
+    assert len(out) == 1
+    assert out[0]["channel"] == "chanA"
+    assert out[0]["n_samples"] == 200
+
+
 def test_quarantine_flags_regression(spark):
     """A row whose timestamp regresses below the running max of earlier
     arrivals is tagged; in-order and equal timestamps are not (the
