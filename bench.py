@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_16",
+    "simhash_near_pairs",
     "token_stats",
     "rolling_fingerprint",
     "tumbling_daily_stats",

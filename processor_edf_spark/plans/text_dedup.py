@@ -162,6 +162,33 @@ def doc_fingerprint(spark, sf_dir):
     )
 
 
+_BPE_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_bpe_tokens,
+           len({_TOK_SQL}) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark, sf_dir):
+    """Token counting, BPE-ish flavor: alpha runs / digit runs /
+    single punctuation as separate tokens (the pre-tokenizer split BPE
+    vocabularies build on), alongside the whitespace count.  Both are
+    single regexp passes — JVM regex, no shuffle."""
+    (documents,) = load(spark, sf_dir, "documents")
+    return documents.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+    )
+
+
 ROLL_BASE = 131
 
 
@@ -421,18 +448,18 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-def _simhash_sql() -> str:
+def _simhash_sql(bits: int = 16) -> str:
     tokhash = hash64_sql("t")
     bit_sums = ",\n           ".join(
         f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
-        for j in range(16)
+        for j in range(bits)
     )
     assemble = " + ".join(
-        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(16)
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
     return f"""
     WITH tok AS (
-        SELECT doc_id, {tokhash} % 65536 AS th
+        SELECT doc_id, {tokhash} % {1 << bits} AS th
         FROM (SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS t FROM documents)
     ), sums AS (
         SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id
@@ -441,26 +468,92 @@ def _simhash_sql() -> str:
     """
 
 
-@register("simhash_16", _simhash_sql())
-def simhash_16(spark, sf_dir):
-    """SimHash (16-bit): per distinct token take a 16-bit md5-derived hash,
-    vote ±1 per bit position, sign of the sum is the fingerprint bit.
-    Near-dups differ in few bits (compare with hamming distance).  One
-    explode + one groupBy — linear at scale."""
+def _simhash_df(spark, sf_dir, bits: int = 16):
+    """SimHash fingerprints at the given width: per distinct token take a
+    ``bits``-wide md5-derived hash, vote ±1 per bit position, sign of the
+    sum is the fingerprint bit.  One explode + one groupBy — linear."""
     (documents,) = load(spark, sf_dir, "documents")
     tok = documents.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
-    ).select("doc_id", (hash64(F.col("t")) % 65536).alias("th"))
+    ).select("doc_id", (hash64(F.col("t")) % (1 << bits)).alias("th"))
     sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when((F.shiftright(F.col("th"), j) % 2) == 1, 1).otherwise(-1)
             ).alias(f"s{j}")
-            for j in range(16)
+            for j in range(bits)
         ]
     )
     simhash = None
-    for j in range(16):
+    for j in range(bits):
         term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+@register("simhash_16", _simhash_sql(16))
+def simhash_16(spark, sf_dir):
+    """SimHash (16-bit): near-dups differ in few bits (hamming distance).
+    See ``_simhash_df``."""
+    return _simhash_df(spark, sf_dir, 16)
+
+
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_PAIR_BITS = 32  # 4 bands × 8 bits: buckets stay small (see below)
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH sims AS ({_simhash_sql(SIMHASH_PAIR_BITS)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
+def simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via byte-band LSH: split a 32-bit
+    fingerprint into 4 bytes; candidates share (band, byte); exact
+    hamming ≤ 3 filters survivors.  Pigeonhole guarantees perfect recall
+    (≤3 differing bits leave ≥1 of 4 bands untouched), so the banded join
+    returns EXACTLY the quadratic all-pairs result — which is what the
+    oracle computes — while candidate generation stays linear in true
+    collisions.  32-bit/8-bit bands rather than 16/4: 4-bit bands over a
+    few thousand docs put ~6% of the corpus in every bucket (the
+    candidate set went quadratic again — 15× slower); byte bands keep
+    buckets sparse."""
+    sims = _simhash_df(spark, sf_dir, SIMHASH_PAIR_BITS)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.shiftright("simhash", 8 * b) % 256).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.key").alias("key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
