@@ -626,6 +626,63 @@ def timestamp_synthesis(spark, sf_dir):
     )
 
 
+@register(
+    "semi_join_returned_orders",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def semi_join_returned_orders(spark, sf_dir):
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders with ≥1 returned
+    item.  The semi join never duplicates the probe side, so the
+    follow-up count is exact without a distinct — and the build side
+    carries only the join key."""
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "anti_join_idle_customers",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def anti_join_idle_customers(spark, sf_dir):
+    """NOT EXISTS → left-anti join: customers who never ordered, by
+    segment.  At scale the orders side is huge, but only its key column
+    ships into the join build — column pruning keeps the anti join
+    key-only."""
+    customer, orders = load(spark, sf_dir, "customer", "orders")
+    return (
+        customer.join(
+            orders.select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window analytics over events (M5 extensions: tumbling / sliding; session
 # is sessionize_events / session_window_events above)
