@@ -23,3 +23,19 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+from processor_edf_spark.pipeline import (  # noqa: E402,F401
+    build_channel_metadata,
+    channel_dicts,
+    process_edf_directory,
+    validate_channels,
+)
+from processor_edf_spark.session import get_spark  # noqa: E402,F401
+
+__all__ = [
+    "get_spark",
+    "process_edf_directory",
+    "build_channel_metadata",
+    "channel_dicts",
+    "validate_channels",
+]

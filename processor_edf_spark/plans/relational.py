@@ -768,6 +768,54 @@ def top_users_by_value(spark, sf_dir):
     )
 
 
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark, sf_dir):
+    """Semi-structured column support: extract a field from the JSON
+    ``props`` payload and aggregate it — ``get_json_object`` is JVM-side;
+    for hot fields at scale, parse once with ``from_json`` into a struct
+    column and let pruning/pushdown work on it."""
+    (events,) = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        events.filter(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.sum(k.cast("long")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "set_ops_event_types",
+    """
+    SELECT event_type FROM (
+        SELECT event_type FROM events WHERE user_id % 2 = 0
+        INTERSECT
+        SELECT event_type FROM events WHERE user_id % 2 = 1
+    )
+    """,
+)
+def set_ops_event_types(spark, sf_dir):
+    """Set operations: event types seen by BOTH user cohorts (INTERSECT
+    plans as an aggregate + semi join — dedup before the join keeps the
+    shuffle small)."""
+    (events,) = load(spark, sf_dir, "events")
+    even = events.filter(F.col("user_id") % 2 == 0).select("event_type")
+    odd = events.filter(F.col("user_id") % 2 == 1).select("event_type")
+    return even.intersect(odd)
+
+
 # ---------------------------------------------------------------------------
 # Scalar function parity (F1-F4, F8)
 # ---------------------------------------------------------------------------

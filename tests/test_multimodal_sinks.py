@@ -96,6 +96,30 @@ def test_reference_compatible_sink(spark, tmp_path):
     assert meta["name"] == "chA" and meta["rate"] == 1.0
 
 
+def test_parquet_sink_time_range_skipping(spark, tmp_path):
+    """The canonical sample sink sorts by (channel, t_usec) within
+    file-partitions, so parquet row-group min/max stats on t_usec give the
+    same data-skipping the reference's contiguousChunks index provides
+    (SURVEY.md §4).  A time-range read pushes its predicate to the scan
+    and returns exactly the in-range rows."""
+    from processor_edf_spark.sinks.writers import write_samples_parquet
+
+    rows = [("f.edf", "ch", t * USEC, float(t)) for t in range(1000)]
+    samples = spark.createDataFrame(rows, SAMPLES_SCHEMA)
+    out = str(tmp_path / "samples")
+    write_samples_parquet(samples, out)
+
+    back = spark.read.parquet(out)
+    q = back.filter(
+        (F.col("t_usec") >= 100 * USEC) & (F.col("t_usec") < 200 * USEC)
+    )
+    assert q.count() == 100
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "t_usec" in plan.split("PushedFilters")[1][:200]
+    # partition layout survives: file is a partition column
+    assert set(back.columns) == {"channel", "t_usec", "value", "file"}
+
+
 def test_spike_binary_layout(tmp_path):
     """S9 layout: waveform_offset, num_spikes, num_samples header, then
     (ts,unit) records, then the float64 waveform matrix (reference
