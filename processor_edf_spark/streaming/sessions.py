@@ -23,6 +23,39 @@ def stream_samples(spark, input_dir: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(input_dir)
 
 
+def stream_edf_channel_registry(spark, input_dir: str) -> DataFrame:
+    """The reference's append mode, fully incremental (§2.8 + §3.3): as
+    EDF files land, their signal headers stream into the STATEFUL channel
+    registry — each new signal either band-matches a channel registered
+    by an earlier micro-batch (same normalized name/type, rate within
+    ±2%) or registers a new one; state carries the registry across
+    batches and restarts (checkpointed).  This is the streaming flavor of
+    ``build_channel_metadata``'s get-or-create."""
+    from processor_edf_spark.sources.edf import parse_signal_headers
+    from processor_edf_spark.streaming.registry import streaming_channel_registry
+
+    binary = _stream_edf_binary(spark, input_dir)
+    headers = parse_signal_headers(binary)
+    incoming = headers.filter(~F.col("is_annotation")).select(
+        F.trim(F.col("label")).alias("name"),
+        "rate",
+        F.lit("CONTINUOUS").alias("type"),
+    )
+    return streaming_channel_registry(incoming)
+
+
+def _stream_edf_binary(spark, input_dir: str) -> DataFrame:
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(  # streaming sources require an explicit schema
+            "path string, modificationTime timestamp, length long, content binary"
+        )
+        .option("pathGlobFilter", "*.[eE][dD][fF]")
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+        .load(input_dir)
+    )
+
+
 def stream_edf_directory(spark, input_dir: str) -> DataFrame:
     """Incremental EDF ingestion (§2.8 append mode, end-to-end): new .edf
     files landing in ``input_dir`` decode into the long-format sample

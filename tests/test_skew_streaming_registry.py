@@ -1,0 +1,91 @@
+"""Salted aggregation equivalence + streaming EDF append-mode registry."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from processor_edf_spark.operators.skew import salted_agg
+from tests.edf_fixtures import sine, write_edf
+
+
+def test_salted_agg_matches_plain(spark):
+    """Salted two-phase agg must equal the direct groupBy on a skewed key
+    distribution (one key holds ~90% of rows)."""
+    rng = np.random.default_rng(3)
+    rows = [
+        ("hot" if rng.random() < 0.9 else f"k{rng.integers(5)}", float(v))
+        for v in rng.integers(0, 1000, size=20_000)
+    ]
+    df = spark.createDataFrame(rows, "key string, v double")
+    plain = {
+        r["key"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in df.groupBy("key")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count("v").alias("n"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r["key"]: (r["s"], r["n"], r["mn"], r["mx"])
+        for r in salted_agg(
+            df,
+            ["key"],
+            {
+                "s": ("sum", "v"),
+                "n": ("count", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+            },
+            n_salts=8,
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_streaming_edf_append_registry(spark, tmp_path):
+    """Append mode over real EDF drops: file B's channel (rate within ±2%)
+    must reuse the id registered from file A's micro-batch; the off-band
+    channel registers fresh.  maxFilesPerTrigger=1 forces the match to
+    cross micro-batch STATE, not batch-local dedup."""
+    from processor_edf_spark.streaming.sessions import stream_edf_channel_registry
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    write_edf(
+        os.path.join(in_dir, "a.edf"),
+        signals=[{"label": "EEG F3", "rate": 200, "gen": sine(8.0)}],
+        nb_data_rec=1,
+    )
+    write_edf(
+        os.path.join(in_dir, "b.edf"),
+        signals=[
+            {"label": "eeg f3", "rate": 201, "gen": sine(8.0)},  # in band
+            {"label": "EEG F3", "rate": 300, "gen": sine(8.0)},  # off band
+        ],
+        nb_data_rec=1,
+    )
+
+    q = (
+        stream_edf_channel_registry(spark, in_dir)
+        .writeStream.format("memory")
+        .queryName("edf_registry_out")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from edf_registry_out").collect()
+    by_rate = {round(r["rate"]): r for r in rows}
+    assert len(rows) == 3
+    # 201 Hz (file B) reuses the id registered for 200 Hz (file A)
+    assert by_rate[300]["channel_id"] != by_rate[200]["channel_id"]
+    assert by_rate[300]["is_new"]
+    assert by_rate[201]["channel_id"] == by_rate[200]["channel_id"]
+    assert not by_rate[201]["is_new"]
