@@ -769,6 +769,86 @@ def top_users_by_value(spark, sf_dir):
 
 
 @register(
+    "asof_last_signup",
+    """
+    WITH clicks AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+        FROM events WHERE event_type = 'click'
+    ), signups AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT c.event_id, c.user_id, s.t AS signup_t
+    FROM clicks c ASOF JOIN signups s
+      ON c.user_id = s.user_id AND c.t >= s.t
+    """,
+)
+def asof_last_signup(spark, sf_dir):
+    """As-of join — an operator Spark lacks natively, built the scalable
+    way: for each 'click', the same user's most recent 'signup' at
+    t ≤ click.t.  Instead of a range join + per-row max (quadratic on hot
+    keys), union both sides with a marker and take ``last(signup_t,
+    ignorenulls)`` over one (user, time)-ordered window: one shuffle,
+    linear scan, same plan shape at any scale.  Oracle: DuckDB's native
+    ASOF JOIN."""
+    (events,) = load(spark, sf_dir, "events")
+    t = F.expr("ts div 1000")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", t.alias("t"), F.lit(1).alias("is_click")
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        t.alias("t"),
+        F.lit(0).alias("is_click"),
+    )
+    combined = clicks.unionByName(signups).withColumn(
+        "sig_t", F.when(F.col("is_click") == 0, F.col("t"))
+    )
+    # signup sorts before click at equal t → ties are inclusive (>=)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_click")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        combined.withColumn("signup_t", F.last("sig_t", ignorenulls=True).over(w))
+        .filter((F.col("is_click") == 1) & F.col("signup_t").isNotNull())
+        .select("event_id", "user_id", "signup_t")
+    )
+
+
+@register(
+    "rollup_event_daily",
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(CAST(epoch_us(ts) AS BIGINT) // 86400000000, -1) AS day,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY ROLLUP(event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+    """,
+)
+def rollup_event_daily(spark, sf_dir):
+    """Hierarchical rollup (hypertable-style): per (type, day) counts
+    plus per-type subtotals plus the grand total in ONE pass —
+    ``rollup`` expands grouping sets; partial aggregation still applies,
+    so the shuffle moves one state per (set, group).  Subtotal NULLs are
+    coalesced to sentinels ('<all>', -1) so the output is null-free."""
+    (events,) = load(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000").alias("day")
+    return (
+        events.select("event_type", day)
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit(-1)).alias("day"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "json_props_stats",
     """
     SELECT event_type,

@@ -104,6 +104,26 @@ def test_synthesize_discontiguous(spark):
     assert ts[4:] == [10_000_000, 10_250_000, 10_500_000, 10_750_000]
 
 
+def test_decoder_signal_pruning(spark, tmp_path):
+    """Column pruning pushed into the decode UDTF (the scan-side analog of
+    parquet ReadSchema): only wanted signals are decoded and emitted."""
+    from processor_edf_spark.sources.edf import decode_samples
+
+    write_edf(
+        str(tmp_path / "two.edf"),
+        signals=[
+            {"label": "keep", "rate": 100, "gen": sine(5.0)},
+            {"label": "drop", "rate": 100, "gen": sine(9.0)},
+        ],
+        nb_data_rec=2,
+    )
+    binary = scan_edf_files(spark, str(tmp_path))
+    pruned = decode_samples(binary, wanted_signals={"keep"})
+    chans = [r["channel"] for r in pruned.select("channel").distinct().collect()]
+    assert chans == ["keep"]
+    assert pruned.count() == 200
+
+
 def test_file_status_and_quarantine(spark, tmp_path):
     """§2.10: a corrupt file flags ok=false with a reason; quarantine=True
     processes the healthy files and drops the corrupt one — the job never
