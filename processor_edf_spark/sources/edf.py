@@ -503,6 +503,42 @@ def decode_annotations(binary_df: DataFrame) -> DataFrame:
     )
 
 
+def parse_tal_annotations(annotations: DataFrame) -> DataFrame:
+    """Full EDF+ TAL parse — the reference collects raw TAL segments but
+    never publishes them (edf.py:117-118; extension point per SURVEY.md
+    §2.8).  Parses every Timestamped Annotation List in the raw bytes:
+    ``+onset[\\x15duration]\\x14text1\\x14text2…\\x14\\x00`` → one row per
+    (TAL, text): file, record, onset_sec, duration_sec, text.
+
+    Entirely declarative: split/explode/regexp column expressions (TAL
+    payloads are ASCII), so it's codegen'd and runs wherever the
+    annotations DataFrame lives — no extra Python pass over the bytes.
+    Record-start TALs (empty text) are excluded; they surface via
+    ``offset_sec`` on the annotations table instead.
+    """
+    tals = annotations.select(
+        "file",
+        "record",
+        F.posexplode(F.split(F.col("raw").cast("string"), "\x00")).alias(
+            "tal_idx", "tal"
+        ),
+    ).filter(F.col("tal") != "")
+    onset = F.regexp_extract("tal", r"^([+-][0-9.]+)", 1).cast("double")
+    duration = F.regexp_extract("tal", "\x15([0-9.]+)", 1)
+    texts = F.split(F.regexp_replace("tal", "^[^\x14]*\x14", ""), "\x14")
+    return (
+        tals.select(
+            "file",
+            "record",
+            "tal_idx",
+            onset.alias("onset_sec"),
+            F.when(duration != "", duration.cast("double")).alias("duration_sec"),
+            F.explode(texts).alias("text"),
+        )
+        .filter(F.col("text") != "")
+    )
+
+
 def with_timestamp_view(samples: DataFrame) -> DataFrame:
     """Add a TimestampType view of t_usec (canonical stays int64 µs)."""
     return samples.withColumn("ts", F.timestamp_micros("t_usec"))

@@ -28,6 +28,7 @@ def write_edf(
     variant: str = "EDF+C",
     record_offsets_sec: list[float] | None = None,
     annotation_nr_samples: int = 57,
+    annotations_per_record: dict[int, list[tuple]] | None = None,
 ) -> str:
     """Write a minimal valid EDF/EDF+C/EDF+D file.
 
@@ -35,7 +36,11 @@ def write_edf(
                    gen(t_seconds)->physical values}, ...]
     ``record_offsets_sec``: per-record TAL start offsets (EDF+D).
     """
-    has_ann = variant == "EDF+D" or record_offsets_sec is not None
+    has_ann = (
+        variant == "EDF+D"
+        or record_offsets_sec is not None
+        or annotations_per_record is not None
+    )
     ns = len(signals) + (1 if has_ann else 0)
     header_bytes = 256 + 256 * ns
 
@@ -90,6 +95,14 @@ def write_edf(
             records.append(dig.tobytes())
         if has_ann:
             tal = f"+{rec_offset:g}".encode() + b"\x14\x14\x00"
+            # additional event TALs: "+onset(\x15duration)?\x14text\x14\x00"
+            for onset, dur, text in (annotations_per_record or {}).get(r, []):
+                t = f"+{onset:g}".encode()
+                if dur is not None:
+                    t += b"\x15" + f"{dur:g}".encode()
+                t += b"\x14" + text.encode() + b"\x14\x00"
+                tal += t
+            assert len(tal) <= 2 * annotation_nr_samples, "TALs overflow signal"
             records.append(tal.ljust(2 * annotation_nr_samples, b"\x00"))
 
     with open(path, "wb") as f:

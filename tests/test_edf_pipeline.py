@@ -182,6 +182,34 @@ def test_multifile_channel_merge(spark, tmp_path):
     assert (ch["end"] - ch["start"]) == 102 * USEC + 1_990_000
 
 
+def test_tal_annotation_parse(spark, tmp_path):
+    """Full TAL parse: event annotations with onset/duration/text become
+    typed rows (the reference collects but never publishes these —
+    extension point, SURVEY.md §2.8)."""
+    from processor_edf_spark.pipeline import process_edf_directory as run
+    from processor_edf_spark.sources.edf import parse_tal_annotations
+
+    write_edf(
+        str(tmp_path / "ann.edf"),
+        signals=[{"label": "chanA", "rate": 100, "gen": sine(5.0)}],
+        nb_data_rec=2,
+        variant="EDF+D",
+        record_offsets_sec=[0.0, 1.0],
+        annotations_per_record={
+            0: [(0.25, 0.5, "seizure onset")],
+            1: [(1.5, None, "movement"), (1.75, 0.1, "artifact")],
+        },
+    )
+    _, _, annotations = run(spark, str(tmp_path))
+    parsed = parse_tal_annotations(annotations).orderBy("record", "tal_idx").collect()
+    got = [(r["onset_sec"], r["duration_sec"], r["text"]) for r in parsed]
+    assert got == [
+        (0.25, 0.5, "seizure onset"),
+        (1.5, None, "movement"),
+        (1.75, 0.1, "artifact"),
+    ]
+
+
 def test_append_mode_platform_match(spark, tmp_path):
     """J1 band join: append mode reuses platform channel ids when name+type
     match and rate is within ±2% (reference base.py:178-205)."""
