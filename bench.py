@@ -21,24 +21,39 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from processor_edf_spark.plans import QUERIES  # noqa: E402
 from processor_edf_spark.session import get_spark  # noqa: E402
 
+# Representative spread: TPC-H shapes, the reference's operator analogs,
+# window analytics, the dedup/text family, and similarity search.
+# dedup_ngram_jaccard is deliberately absent — it is the quadratic exact
+# oracle for minhash_lsh_pairs, not a production path.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_segment_revenue",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "semi_join_returned_orders",
+    "anti_join_idle_customers",
     "sessionize_events",
     "band_join_acctbal",
     "mode_period_users",
+    "asof_last_signup",
+    "rollup_event_daily",
+    "tumbling_daily_stats",
+    "sliding_hour_counts",
+    "json_props_stats",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_16",
     "simhash_near_pairs",
     "token_stats",
+    "bpe_token_count",
+    "text_quality",
+    "lang_id_heuristic",
+    "doc_fingerprint",
     "rolling_fingerprint",
-    "tumbling_daily_stats",
     "cosine_pairs",
     "cosine_lsh_pairs",
     "ann_topk_bruteforce",
+    "ann_ivf_label",
 ]
 
 
