@@ -36,6 +36,7 @@ HEADLINE = [
     "band_join_acctbal",
     "mode_period_users",
     "asof_last_signup",
+    "range_join_close_events",
     "rollup_event_daily",
     "tumbling_daily_stats",
     "sliding_hour_counts",

@@ -848,6 +848,70 @@ def rollup_event_daily(spark, sf_dir):
     )
 
 
+RANGE_JOIN_WINDOW_USEC = 5 * 60 * USEC  # pair events within 5 minutes
+
+
+@register(
+    "range_join_close_events",
+    f"""
+    SELECT a.event_id AS event_a, b.event_id AS event_b,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS dt_usec
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id > a.event_id
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN -{RANGE_JOIN_WINDOW_USEC}
+                                             AND {RANGE_JOIN_WINDOW_USEC}
+    """,
+)
+def range_join_close_events(spark, sf_dir):
+    """Range (interval) join — pairs of a user's events within ±5 min —
+    without the inequality-join trap: a naive ``|ta-tb| ≤ Δ`` condition
+    degrades to a per-key nested loop.  Instead each event lands in time
+    bucket ``t div Δ`` and probes (bucket-1, bucket, bucket+1): the join
+    is pure equi on (user, bucket) — hash join, linear — and the exact
+    Δ filter runs on collided candidates only.  The oracle is the naive
+    inequality join (same result, quadratic plan)."""
+    (events,) = load(spark, sf_dir, "events")
+    d = RANGE_JOIN_WINDOW_USEC
+    # integer bucket math throughout: floor((t±Δ)/Δ) ≡ (t div Δ) ± 1, so
+    # probing {base-1, base, base+1} is exact (no float-boundary drift)
+    ev = events.select(
+        "event_id",
+        "user_id",
+        F.expr("ts div 1000").alias("t"),
+        F.expr(f"(ts div 1000) div {d}").alias("base"),
+    )
+    a = ev.select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id").alias("u_a"),
+        F.col("t").alias("t_a"),
+        F.explode(
+            F.array(F.col("base") - 1, F.col("base"), F.col("base") + 1)
+        ).alias("bucket"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("u_b"),
+        F.col("t").alias("t_b"),
+        F.col("base").alias("bucket"),
+    )
+    return (
+        a.join(b, ["bucket"])
+        .filter(
+            (F.col("u_a") == F.col("u_b"))
+            & (F.col("event_b") > F.col("event_a"))
+            & (F.abs(F.col("t_b") - F.col("t_a")) <= d)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            (F.col("t_b") - F.col("t_a")).alias("dt_usec"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "json_props_stats",
     """
