@@ -848,6 +848,51 @@ def rollup_event_daily(spark, sf_dir):
     )
 
 
+@register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def distinct_users_per_type(spark, sf_dir):
+    """Distinct aggregation: exact COUNT(DISTINCT) — Catalyst expands it
+    into a two-level aggregate (dedup on (type, user), then count), both
+    levels with map-side partials.  At 100 TB swap in
+    ``approx_count_distinct`` (HLL) when ±2% suffices — one pass, O(1)
+    state per group."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "value_percentiles_per_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6)  AS p50,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def value_percentiles_per_type(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont`` — verified bit-equal after
+    rounding).  Exact percentile buffers the group's values; at 100 TB
+    use ``approx_percentile`` (t-digest) for bounded state."""
+    (events,) = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )
+
+
 RANGE_JOIN_WINDOW_USEC = 5 * 60 * USEC  # pair events within 5 minutes
 
 
