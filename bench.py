@@ -35,6 +35,8 @@ HEADLINE = [
     "sessionize_events",
     "band_join_acctbal",
     "mode_period_users",
+    "distinct_users_per_type",
+    "value_percentiles_per_type",
     "asof_last_signup",
     "range_join_close_events",
     "rollup_event_daily",
