@@ -124,6 +124,31 @@ def test_decoder_signal_pruning(spark, tmp_path):
     assert pruned.count() == 200
 
 
+def test_empty_input_dir(spark, tmp_path):
+    """No input files → empty outputs, no crash (the reference asserts on
+    anything but exactly one file; we handle zero gracefully)."""
+    samples, channels, annotations = process_edf_directory(spark, str(tmp_path))
+    assert samples.count() == 0
+    assert channels.count() == 0
+    assert annotations.count() == 0
+
+
+def test_truncated_edf_decodes_complete_records(spark, tmp_path):
+    """A file cut mid-record decodes only its complete records — tolerant
+    ingestion, num_values drops accordingly."""
+    path = write_edf(
+        str(tmp_path / "t.edf"),
+        signals=[{"label": "chanA", "rate": 100, "gen": sine(5.0)}],
+        nb_data_rec=4,
+    )
+    data = open(path, "rb").read()
+    open(path, "wb").write(data[: len(data) - 150])  # cut into record 4
+    _, channels, _ = process_edf_directory(spark, str(tmp_path))
+    rows = channels.collect()
+    assert len(rows) == 1
+    assert rows[0]["num_values"] == 300  # 3 complete records × 100
+
+
 def test_file_status_and_quarantine(spark, tmp_path):
     """§2.10: a corrupt file flags ok=false with a reason; quarantine=True
     processes the healthy files and drops the corrupt one — the job never
