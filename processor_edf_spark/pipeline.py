@@ -22,7 +22,7 @@ are needed (SURVEY.md §2.10).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from processor_edf_spark.operators.channels import (
@@ -161,6 +161,44 @@ def build_channel_metadata(
                 "array<struct<key:string,value:string>>"
             ).alias("properties"),
         )
+    )
+
+
+def build_unit_channel_metadata(spikes: DataFrame, rate: float = 30_000.0) -> DataFrame:
+    """Channel metadata for sparse UNIT (spike) channels — the reference
+    defines spikes and a spike sink but the EDF path never produces them
+    (timeseries/base.py:98-119,223-263); this completes the dataflow for
+    callers that do.  Bounds come from first/last spike timestamp exactly
+    as ``write_spike_data`` maintains them (base.py:255-261); each spike
+    train is one contiguous chunk starting at index 0 (sparse data has no
+    gap semantics)."""
+    bounds = spikes.groupBy("file", "channel").agg(
+        F.min("t_usec").alias("start"),
+        F.max("t_usec").alias("end"),
+        F.count(F.lit(1)).alias("num_values"),
+    )
+    w = Window.partitionBy("file").orderBy("channel")
+    return bounds.select(
+        F.concat_ws("#", "file", "channel").alias("id"),
+        "file",
+        (F.row_number().over(w) - 1).alias("index"),
+        F.col("channel").alias("name"),
+        "start",
+        "end",
+        F.lit("uV").alias("unit"),
+        F.lit(rate).alias("rate"),
+        F.lit("UNIT").alias("type"),
+        F.lit("default").alias("group"),
+        F.lit(0).cast("long").alias("lastAnnotation"),
+        "num_values",
+        F.array(
+            F.struct(
+                F.lit(0).cast("long").alias("index"),
+                F.col("start").alias("start"),
+                F.col("end").alias("end"),
+            )
+        ).alias("contiguousChunks"),
+        F.array().cast("array<struct<key:string,value:string>>").alias("properties"),
     )
 
 

@@ -120,6 +120,30 @@ def test_parquet_sink_time_range_skipping(spark, tmp_path):
     assert set(back.columns) == {"channel", "t_usec", "value", "file"}
 
 
+def test_unit_channel_metadata(spark):
+    """UNIT (spike) channel metadata: bounds from first/last spike, one
+    chunk, passes the output-contract validation with type=UNIT."""
+    from processor_edf_spark.pipeline import build_unit_channel_metadata, validate_channels
+    from processor_edf_spark.schemas import SPIKES_SCHEMA
+
+    spikes = spark.createDataFrame(
+        [
+            ("f.edf", "unit1", 100, 1, [0.1, 0.2]),
+            ("f.edf", "unit1", 900, 2, [0.3, 0.4]),
+            ("f.edf", "unit2", 500, 1, [0.5, 0.6]),
+        ],
+        SPIKES_SCHEMA,
+    )
+    chans = build_unit_channel_metadata(spikes)
+    rows = {r["name"]: r for r in chans.collect()}
+    assert rows["unit1"]["type"] == "UNIT"
+    assert (rows["unit1"]["start"], rows["unit1"]["end"]) == (100, 900)
+    assert rows["unit1"]["num_values"] == 2
+    assert rows["unit2"]["num_values"] == 1
+    v = validate_channels(chans)
+    assert v.filter(~F.col("valid")).count() == 0
+
+
 def test_spike_binary_layout(tmp_path):
     """S9 layout: waveform_offset, num_spikes, num_samples header, then
     (ts,unit) records, then the float64 waveform matrix (reference
