@@ -30,6 +30,11 @@ HEADLINE = [
     "q3_segment_revenue",
     "q5_region_revenue",
     "q6_forecast_revenue",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "top3_orders_per_customer",
+    "moving_avg_daily_revenue",
     "semi_join_returned_orders",
     "anti_join_idle_customers",
     "sessionize_events",
@@ -57,6 +62,7 @@ HEADLINE = [
     "cosine_lsh_pairs",
     "ann_topk_bruteforce",
     "ann_ivf_label",
+    "dedup_embedding_cosine",
 ]
 
 

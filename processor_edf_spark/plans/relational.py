@@ -1079,3 +1079,196 @@ def edf_date_parse(spark, sf_dir):
         year.alias("pivot_year"),
         F.unix_micros(ts).alias("start_usec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-1 widening: more TPC-H shapes + analytic window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
+    (l_shipdate > o_orderdate).  Catalyst plans a shuffled hash semi-join
+    on l_orderkey with the date conjunct as residual — lineitem is
+    deduplicated by the semi-join itself, so no distinct shuffle.  At
+    100 TB both sides partition on orderkey; no broadcast (fact⋈fact)."""
+    orders, lineitem = load(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        o.join(
+            lineitem,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT CAST(ROUND(100.00 * CAST({promo} AS DOUBLE) / CAST({total} AS DOUBLE), 4) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+    """.format(
+        promo="SUM(CAST(ROUND(CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END, 4) AS DECIMAL(28,4)))",
+        total="SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4) AS DECIMAL(28,4)))",
+    ),
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-aggregate ratio.  part is a dimension
+    → broadcast; the month filter pushes to the lineitem parquet scan so
+    only ~1/80th of the fact is read.  Decimal sums make the single
+    double division bit-identical across engines."""
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    dec = lambda c: F.sum(F.round(c, 4).cast("decimal(28,4)")).cast("double")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * dec(promo) / dec(rev), 4).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate_usec,
+           o.o_totalprice,
+           CAST(ROUND(SUM(CAST(ROUND(l.l_quantity, 4) AS DECIMAL(28,4))), 2) AS DOUBLE) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(28,4))) > 300
+    )
+    GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-subquery IN → aggregate-then-semi-join.
+    The inner agg and outer agg share the l_orderkey partitioning, so AQE
+    reuses one exchange; the tiny survivor set (sum_qty>300) broadcasts
+    into the semi-join rather than shuffling lineitem twice."""
+    customer, orders, lineitem = load(spark, sf_dir, "customer", "orders", "lineitem")
+    qty_dec = F.sum(F.round("l_quantity", 4).cast("decimal(28,4)"))
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(qty_dec.alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select(F.col("l_orderkey").alias("_big_key"))
+    )
+    return (
+        lineitem.join(
+            F.broadcast(big), F.col("l_orderkey") == F.col("_big_key"), "left_semi"
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(qty_dec, 2).cast("double").alias("sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_usec"
+            ),
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3 AND o_custkey < 200
+    """,
+)
+def top3_orders_per_customer(spark, sf_dir):
+    """Ranking window function (top-k per group).  ORDER BY carries the
+    o_orderkey tie-break so ROW_NUMBER is deterministic on both engines.
+    Catalyst rewrites rank-filter to a per-partition top-k (WindowGroupLimit)
+    — no full sort of each customer's orders at scale."""
+    (orders,) = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter((F.col("rn") <= 3) & (F.col("o_custkey") < 200))
+    )
+
+
+@register(
+    "moving_avg_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(28,4))) AS rev
+        FROM orders GROUP BY 1
+    )
+    SELECT CAST(strftime(day, '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(ROUND(CAST(rev AS DOUBLE), 2) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS ma7
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_daily_revenue(spark, sf_dir):
+    """Sliding-frame window aggregate: 7-day moving average of daily
+    revenue.  Decimal sums inside the frame + one double division keep
+    engines bit-identical.  Daily rollup shrinks the input to ~2.4k rows
+    before the (single-partition) ordered frame — at 100 TB the rollup is
+    the shuffle; the frame runs on the tiny aggregate."""
+    (orders,) = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(F.round("o_totalprice", 4).cast("decimal(28,4)")).alias("rev"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(F.col("rev").cast("double"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("ma7"),
+    )

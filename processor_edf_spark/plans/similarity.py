@@ -451,3 +451,35 @@ def ann_ivf_label(spark, sf_dir):
         .filter(F.col("rank") <= IVF_TOPK)
         .select("query_id", "label", "neighbor_id", "rank")
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id, a.label
+    FROM embeddings a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM embeddings b
+        WHERE b.vec_id < a.vec_id
+          AND ROUND({_COS_SQL.format(a='b.embedding', b='a.embedding')}, 4)
+              >= {COSINE_PAIR_THRESHOLD}
+    )
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP: keep each vector unless a
+    lower-id vector is cosine-similar above the threshold (canonical
+    keep-first-survivor policy).  Composition: the brute-force pair scan
+    (``cosine_pairs`` — broadcast candidate matrix, blocked mapInPandas
+    scoring, nothing quadratic materialized) → distinct dominated ids →
+    LEFT ANTI join back to the table.  At 100 TB the pair stage swaps for
+    ``cosine_lsh_pairs`` unchanged — the anti-join survives as-is."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    dominated = (
+        cosine_pairs(spark, sf_dir)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return embeddings.join(F.broadcast(dominated), "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )
