@@ -90,3 +90,35 @@ def test_whole_stage_codegen(spark, name):
     # '*(n)' marks WholeStageCodegen stages in plan strings
     assert "*(1)" in plan, plan[:2000]
     assert "*(1) Filter" in plan or "*(1) HashAggregate" in plan or "*(1) Project" in plan
+
+
+def test_q4_semi_join_no_cartesian(spark):
+    """Q4's EXISTS plans as a hash semi-join on l_orderkey with the
+    l_shipdate > o_orderdate conjunct as residual — never a nested loop."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_top3_window_group_limit(spark):
+    """rank-filter must rewrite to per-partition top-k (WindowGroupLimit,
+    partial before the shuffle) — a full sort of every customer's orders
+    is the 100 TB failure mode."""
+    plan = plan_of(spark, "top3_orders_per_customer")
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan
+
+
+def test_q18_semi_join_broadcast(spark):
+    """The tiny >300-qty survivor set broadcasts into the semi-join;
+    lineitem is not shuffled twice for it."""
+    plan = plan_of(spark, "q18_large_orders")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q14_part_broadcast(spark):
+    plan = plan_of(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters:" in plan
