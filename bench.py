@@ -45,6 +45,8 @@ HEADLINE = [
     "asof_last_signup",
     "range_join_close_events",
     "rollup_event_daily",
+    "cube_event_user_bucket",
+    "pivot_daily_event_counts",
     "tumbling_daily_stats",
     "sliding_hour_counts",
     "json_props_stats",

@@ -1272,3 +1272,73 @@ def moving_avg_daily_revenue(spark, sf_dir):
             F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
         ).alias("ma7"),
     )
+
+
+@register(
+    "cube_event_user_bucket",
+    """
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(user_id % 10, -1) AS user_bucket,
+           COUNT(*) AS n_events,
+           {val} AS sum_value
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 10)
+    """.format(val=_msum_sql("value")),
+)
+def cube_event_user_bucket(spark, sf_dir):
+    """Full CUBE grouping sets: (type, bucket), per-type, per-bucket, and
+    grand total in one pass.  Like ROLLUP, cube expands to grouping sets
+    with map-side partial aggregation — the shuffle carries one state per
+    (set, group), 4× the groups but zero extra fact scans.  Subtotal
+    NULLs → sentinels so the output is null-free for hashing."""
+    (events,) = load(spark, sf_dir, "events")
+    return (
+        events.select("event_type", (F.col("user_id") % 10).alias("user_bucket"), "value")
+        .cube("event_type", "user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit(-1)).alias("user_bucket"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "pivot_daily_event_counts",
+    """
+    SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pivot_daily_event_counts(spark, sf_dir):
+    """PIVOT (long → wide): one row per day, one column per event type.
+    Uses ``groupBy().pivot(col, values)`` with the value list given
+    explicitly — with an explicit list Spark skips the extra distinct-
+    collection job and plans a single pass of conditional aggregates
+    (exactly the FILTER clauses in the oracle).  At 100 TB an unlisted
+    pivot would scan twice; the listed form never does."""
+    (events,) = load(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000").alias("day")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (
+        events.select(day, "event_type")
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    out = wide.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+    return out
