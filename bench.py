@@ -50,6 +50,7 @@ HEADLINE = [
     "tumbling_daily_stats",
     "sliding_hour_counts",
     "json_props_stats",
+    "except_click_no_purchase",
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_16",

@@ -1342,3 +1342,27 @@ def pivot_daily_event_counts(spark, sf_dir):
         *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
     )
     return out
+
+
+@register(
+    "except_click_no_purchase",
+    """
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+    FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def except_click_no_purchase(spark, sf_dir):
+    """EXCEPT (set difference): (user, day) pairs with a click but no
+    purchase that day.  ``subtract`` is EXCEPT DISTINCT — Catalyst plans
+    aggregate-dedup on each side then a left-anti hash join, so the
+    shuffle carries distinct (user, day) pairs, not raw events.
+    Completes the set-op family next to ``set_ops_event_types``
+    (INTERSECT)."""
+    (events,) = load(spark, sf_dir, "events")
+    day = F.expr("(ts div 1000) div 86400000000").alias("day")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.subtract(buys)
