@@ -33,6 +33,7 @@ HEADLINE = [
     "q4_order_priority",
     "q14_promo_revenue",
     "q18_large_orders",
+    "q17_small_quantity_revenue",
     "top3_orders_per_customer",
     "moving_avg_daily_revenue",
     "semi_join_returned_orders",

@@ -1366,3 +1366,54 @@ def except_click_no_purchase(spark, sf_dir):
     clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
     buys = events.filter(F.col("event_type") == "purchase").select("user_id", day)
     return clicks.subtract(buys)
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH thresh AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(28,4))) AS DOUBLE)
+                      / COUNT(*)) AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {rev} AS avg_weekly_revenue, COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p   ON p.p_partkey = l.l_partkey
+    JOIN thresh t ON t.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#11'
+      AND l.l_quantity < t.qty_thresh
+    """.format(rev=_msum_sql("l.l_extendedprice / 52.0", 4)),
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into an aggregate + equi-join.  The per-part
+    aggregate and the probe share l_partkey partitioning, so AQE reuses
+    one exchange; part is a broadcast dimension.  The threshold is an
+    exact decimal sum / count double division — bit-identical on both
+    engines, so the `<` comparison can't flip at the boundary."""
+    lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    thresh = (
+        lineitem.groupBy(F.col("l_partkey").alias("_tp"))
+        .agg(
+            (
+                0.2
+                * (
+                    F.sum(F.round("l_quantity", 4).cast("decimal(28,4)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+            ).alias("qty_thresh")
+        )
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_brand") == "Brand#11")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(thresh, F.col("l_partkey") == F.col("_tp"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            money_sum(F.col("l_extendedprice") / 52.0, 4).alias("avg_weekly_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
