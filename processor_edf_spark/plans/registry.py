@@ -25,4 +25,15 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    """Read input tables, robust to *any* caller-built SparkSession.
+
+    The testdata parquet carries INT64 TIMESTAMP(NANOS) columns (pandas
+    datetime64[ns]); Spark has no nanosecond timestamp type and refuses the
+    file unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which
+    case the column arrives as long (ns since epoch) — exactly what every
+    plan here expects (``ts div 1000`` ≡ µs truncation).  The conf is
+    runtime-settable, so set it here rather than trusting whoever built the
+    session (the driver's harness uses a plain ``SparkSession.builder``).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
