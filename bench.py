@@ -89,6 +89,7 @@ def main() -> None:
             print(f"bench: {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    failed = sorted(n for n, t in timings.items() if t < 0)
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -97,11 +98,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "failed": failed,
                 "sf": sf,
             }
         )
     )
     spark.stop()
+    # a broken query must never make a round look faster — fail loudly
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -746,29 +746,6 @@ def sliding_hour_counts(spark, sf_dir):
 
 
 @register(
-    "top_users_by_value",
-    """
-    SELECT user_id, {sum_value} AS total_value
-    FROM events
-    GROUP BY user_id
-    ORDER BY total_value DESC, user_id ASC
-    LIMIT 10
-    """.format(sum_value=_msum_sql("value")),
-)
-def top_users_by_value(spark, sf_dir):
-    """Top-k: agg → global ordered limit.  Spark plans TakeOrderedAndProject
-    — each partition keeps k rows, driver merges k·P, no full sort.
-    Deterministic tie-break on user_id."""
-    (events,) = load(spark, sf_dir, "events")
-    return (
-        events.groupBy("user_id")
-        .agg(money_sum(F.col("value")).alias("total_value"))
-        .orderBy(F.col("total_value").desc(), F.col("user_id").asc())
-        .limit(10)
-    )
-
-
-@register(
     "asof_last_signup",
     """
     WITH clicks AS (
@@ -1387,14 +1364,23 @@ def except_click_no_purchase(spark, sf_dir):
 )
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17 shape: correlated scalar subquery (per-part average
-    quantity) decorrelated into an aggregate + equi-join.  The per-part
-    aggregate and the probe share l_partkey partitioning, so AQE reuses
-    one exchange; part is a broadcast dimension.  The threshold is an
-    exact decimal sum / count double division — bit-identical on both
-    engines, so the `<` comparison can't flip at the boundary."""
+    quantity) decorrelated into an aggregate + equi-join.  The Brand#11
+    part-key filter is applied (broadcast semi-join) BEFORE the per-part
+    threshold aggregate: since l_partkey determines the brand, the
+    per-part average over the semi-joined lineitem equals the average over
+    all of lineitem for every surviving part — same result, ~25× less agg
+    input at 100 TB (only ~1/25 of parts are Brand#11).  The filtered
+    probe and the threshold agg share l_partkey partitioning, so AQE
+    reuses one exchange.  The threshold is an exact decimal sum / count
+    double division — bit-identical on both engines, so the `<`
+    comparison can't flip at the boundary."""
     lineitem, part = load(spark, sf_dir, "lineitem", "part")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#11").select("p_partkey")
+    li_brand = lineitem.join(
+        F.broadcast(brand_parts), F.col("l_partkey") == F.col("p_partkey")
+    )
     thresh = (
-        lineitem.groupBy(F.col("l_partkey").alias("_tp"))
+        li_brand.groupBy(F.col("l_partkey").alias("_tp"))
         .agg(
             (
                 0.2
@@ -1406,11 +1392,7 @@ def q17_small_quantity_revenue(spark, sf_dir):
         )
     )
     return (
-        lineitem.join(
-            F.broadcast(part.filter(F.col("p_brand") == "Brand#11")),
-            F.col("l_partkey") == F.col("p_partkey"),
-        )
-        .join(thresh, F.col("l_partkey") == F.col("_tp"))
+        li_brand.join(thresh, F.col("l_partkey") == F.col("_tp"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             money_sum(F.col("l_extendedprice") / 52.0, 4).alias("avg_weekly_revenue"),

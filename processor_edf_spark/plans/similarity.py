@@ -104,6 +104,8 @@ _COS_SQL = (
     "sqrt(list_inner_product({b}::DOUBLE[], {b}::DOUBLE[])))"
 )
 
+N_BLOCKS = 8  # distributed all-pairs grid width (tasks = NB·(NB+1)/2)
+
 
 @register(
     "cosine_pairs",
@@ -117,41 +119,63 @@ _COS_SQL = (
     """,
 )
 def cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, brute force — the quadratic
-    baseline (cosine_lsh_pairs is the scale path).
+    """Embedding-cosine near-dup pairs, exact brute force — the quadratic
+    baseline (cosine_lsh_pairs is the sub-quadratic scale path).
 
-    Shape: the candidate matrix broadcasts to every executor (N×d floats —
-    the standard brute-force ANN layout; 1M×64 ≈ 0.5 GB, the practical
-    ceiling); ``mapInPandas`` streams the other side through blocked
-    outer-product scoring, so no pair row with its two 1 KB arrays ever
-    materializes — a pair join was 30× slower from Arrow traffic alone.
+    Distributed blocked self-join — the textbook exact all-pairs layout,
+    with NO driver collect and NO full-matrix broadcast: rows hash into NB
+    blocks; the A side replicates each row to block-pairs (b, j≥b), the B
+    side to (i≤b, b); a cogroup on the (i, j) grid cell hands each task
+    exactly two blocks (N/NB · d floats each — at 1M×64, NB=128 → ~4 MB a
+    side), scored as one numpy outer product.  Memory per task is O(N/NB),
+    shuffle is N·NB rows a side, compute the unavoidable O(N²·d) — spread
+    over NB²/2 independent tasks instead of funneled through the driver.
     Only (id, id, cos) survivors leave Python; final ROUND/threshold stays
     in Spark so decimal rounding is BigDecimal-exact on both engines."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
-    cand = emb.toPandas()
-    ids_b = cand["vec_id"].to_numpy()
-    B = np.vstack(cand["e"].to_numpy())
-    bc = spark.sparkContext.broadcast((ids_b, B))
     thr = COSINE_PAIR_THRESHOLD
+    nb = N_BLOCKS
+    emb = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        (F.crc32(F.col("vec_id").cast("string")) % nb).cast("int").alias("bkt"),
+    )
+    # A side appears in every grid cell (bkt, j) with j ≥ bkt; B side in
+    # (i, bkt) with i ≤ bkt → each unordered block pair meets exactly once.
+    a_side = emb.select(
+        "vec_id", "e", F.col("bkt").alias("gi"),
+        F.explode(F.sequence(F.col("bkt"), F.lit(nb - 1))).alias("gj"),
+    )
+    b_side = emb.select(
+        "vec_id", "e", F.col("bkt").alias("gj"),
+        F.explode(F.sequence(F.lit(0), F.col("bkt"))).alias("gi"),
+    )
 
-    def gen(batches):
-        bid, Bm = bc.value
-        nb = _norms_ltr(Bm)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ida = pdf["vec_id"].to_numpy()
-            A = np.vstack(pdf["e"].to_numpy())
-            cos = _block_cosines(A, Bm, _norms_ltr(A), nb)
-            # margin pre-filter only — the exact threshold is re-applied
-            # after Spark-side rounding
-            r, c = np.nonzero((ida[:, None] < bid[None, :]) & (cos >= thr - 1e-9))
-            yield pd.DataFrame(
-                {"vec_a": ida[r], "vec_b": bid[c], "cos_raw": cos[r, c]}
-            )
+    def score(key, left, right):
+        if not len(left) or not len(right):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos_raw": []})
+        ida = left["vec_id"].to_numpy()
+        A = np.vstack(left["e"].to_numpy())
+        idb = right["vec_id"].to_numpy()
+        B = np.vstack(right["e"].to_numpy())
+        cos = _block_cosines(A, B, _norms_ltr(A), _norms_ltr(B))
+        # margin pre-filter only — the exact threshold is re-applied after
+        # Spark-side rounding.  Diagonal cell sees each pair twice →
+        # dedup with a<b; off-diagonal sees each unordered pair exactly
+        # once (A from block i, B from block j) → keep all, normalize order.
+        if key[0] == key[1]:
+            mask = ida[:, None] < idb[None, :]
+        else:
+            mask = ida[:, None] != idb[None, :]
+        r, c = np.nonzero(mask & (cos >= thr - 1e-9))
+        lo, hi = np.minimum(ida[r], idb[c]), np.maximum(ida[r], idb[c])
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_raw": cos[r, c]})
 
-    scored = emb.mapInPandas(gen, "vec_a long, vec_b long, cos_raw double")
+    scored = (
+        a_side.groupby("gi", "gj")
+        .cogroup(b_side.groupby("gi", "gj"))
+        .applyInPandas(score, "vec_a long, vec_b long, cos_raw double")
+    )
     return scored.select(
         "vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim")
     ).filter(F.col("cos_sim") >= thr)
@@ -456,11 +480,16 @@ def ann_ivf_label(spark, sf_dir):
 @register(
     "dedup_embedding_cosine",
     f"""
-    SELECT a.vec_id, a.label
-    FROM embeddings a
+    WITH sig AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+        FROM embeddings
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
     WHERE NOT EXISTS (
-        SELECT 1 FROM embeddings b
-        WHERE b.vec_id < a.vec_id
+        SELECT 1 FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+        WHERE a.vec_id = e.vec_id
           AND ROUND({_COS_SQL.format(a='b.embedding', b='a.embedding')}, 4)
               >= {COSINE_PAIR_THRESHOLD}
     )
@@ -469,17 +498,22 @@ def ann_ivf_label(spark, sf_dir):
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding-cosine near-dup DEDUP: keep each vector unless a
     lower-id vector is cosine-similar above the threshold (canonical
-    keep-first-survivor policy).  Composition: the brute-force pair scan
-    (``cosine_pairs`` — broadcast candidate matrix, blocked mapInPandas
-    scoring, nothing quadratic materialized) → distinct dominated ids →
-    LEFT ANTI join back to the table.  At 100 TB the pair stage swaps for
-    ``cosine_lsh_pairs`` unchanged — the anti-join survives as-is."""
+    keep-first-survivor policy).  Pair generation is ``cosine_lsh_pairs``
+    — the sub-quadratic LSH path (bucketed equi-join, exact cosine only on
+    colliding candidates) — so nothing in this lineage collects to the
+    driver or goes O(N²): the 100 TB-safe composition.  Recall is the LSH
+    bucket-collision recall (the oracle mirrors the identical deterministic
+    bucketing, so both engines see the same pair set); the exact-quadratic
+    policy is recoverable by swapping in ``cosine_pairs`` unchanged.
+    Dominated ids → LEFT ANTI join back to the table (shuffle anti-join;
+    no broadcast hint — the dominated side is O(duplicates), unbounded at
+    scale, so AQE picks the strategy from runtime stats)."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     dominated = (
-        cosine_pairs(spark, sf_dir)
+        cosine_lsh_pairs(spark, sf_dir)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )
-    return embeddings.join(F.broadcast(dominated), "vec_id", "left_anti").select(
+    return embeddings.join(dominated, "vec_id", "left_anti").select(
         "vec_id", "label"
     )

