@@ -175,3 +175,25 @@ def test_file_status_and_quarantine(spark, tmp_path):
     rows = channels.collect()
     assert [r["file"] for r in rows] == ["good.edf"]
     assert samples.select("file").distinct().collect()[0]["file"] == "good.edf"
+
+
+def test_ns_to_us_truncation_matches_duckdb(spark):
+    """The engine's canonical ns→µs conversion is `ts div 1000` (Spark
+    integer div, truncation TOWARD ZERO).  DuckDB's epoch_us(TIMESTAMP_NS)
+    also truncates toward zero (-1500 ns → -1 µs, -999 ns → 0), so oracle
+    parity holds even for pre-1970 timestamps — pinned here so nobody
+    "fixes" it to floor division (-1500 → -2) and silently breaks parity."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    ns = [-1500, -999, -1, 0, 999, 1500]
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"ts": pd.to_datetime(np.array(ns, dtype="int64"), unit="ns")})
+    )
+    duck = [r[0] for r in con.execute("SELECT CAST(epoch_us(ts) AS BIGINT) FROM t").fetchall()]
+
+    sdf = spark.createDataFrame([(x,) for x in ns], "ts long")
+    got = [r["us"] for r in sdf.selectExpr("ts div 1000 AS us").collect()]
+    assert got == duck == [-1, 0, 0, 0, 0, 1]
