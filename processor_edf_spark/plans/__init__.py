@@ -17,10 +17,21 @@ from processor_edf_spark.plans import similarity  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
-# every distinct operator exactly once (TPC-H shapes, the reference's
-# operator analogs, the text/dedup/similarity families); redundant breadth
-# variants (extra grouping-set / set-op shapes, already mirrored by
-# tests/test_queries_oracle.py over ALL queries) come after.
+# every distinct operator; queries past slot 50 are ones with a green
+# driver row from an earlier round (tests/test_queries_oracle.py still
+# mirrors ALL of them, driver-exactly, every pytest run).
+#
+# r3 rotation: rollup/cube/pivot/set_ops/except/distinct were red in r1
+# (events load error, fixed in r2) but sat past the window in r2, so no
+# round had driver-verified them.  They move INTO the window this round;
+# six queries with green r2 rows and duplicated operator coverage move
+# out: calibrate_events (P-projection sibling filter_project_events stays;
+# P4 itself is pytest-golden-tested at sources/edf.py), sliding_hour_counts
+# (tumbling sibling stays), anti_join_idle_customers (semi sibling stays;
+# the EXCEPT query moving in is also an anti-join shape),
+# moving_avg_daily_revenue (window-frame sibling top3 stays),
+# minhash_signatures / simhash_16 (their consumers minhash_lsh_pairs /
+# simhash_near_pairs stay and transitively exercise them).
 _CANONICAL = [
     # TPC-H relational shapes
     "q1_pricing_summary",
@@ -33,7 +44,6 @@ _CANONICAL = [
     "q18_large_orders",
     # reference operator analogs over events (P/A/W/F rows of SURVEY §2)
     "filter_project_events",
-    "calibrate_events",
     "agg_user_bounds",
     "rate_crosscheck_users",
     "sessionize_events",
@@ -47,16 +57,19 @@ _CANONICAL = [
     "band_join_acctbal",
     "get_or_create_parts",
     "semi_join_returned_orders",
-    "anti_join_idle_customers",
     "asof_last_signup",
     "range_join_close_events",
-    # window / agg analytics
+    # window / agg / grouping-set analytics
     "tumbling_daily_stats",
-    "sliding_hour_counts",
     "top3_orders_per_customer",
-    "moving_avg_daily_revenue",
     "value_percentiles_per_type",
     "json_props_stats",
+    "rollup_event_daily",
+    "cube_event_user_bucket",
+    "pivot_daily_event_counts",
+    "set_ops_event_types",
+    "except_click_no_purchase",
+    "distinct_users_per_type",
     # text-analysis family
     "token_stats",
     "text_quality",
@@ -68,9 +81,7 @@ _CANONICAL = [
     # dedup family
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "minhash_signatures",
     "minhash_lsh_pairs",
-    "simhash_16",
     "simhash_near_pairs",
     # similarity / ANN family
     "cosine_pairs",
@@ -79,13 +90,13 @@ _CANONICAL = [
     "cosine_lsh_pairs",
     "ann_ivf_label",
     "dedup_embedding_cosine",
-    # ---- position 51+: breadth variants, operator coverage duplicated above
-    "rollup_event_daily",
-    "cube_event_user_bucket",
-    "pivot_daily_event_counts",
-    "set_ops_event_types",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
+    # ---- position 51+: green driver rows in r2, coverage duplicated above
+    "calibrate_events",
+    "sliding_hour_counts",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "minhash_signatures",
+    "simhash_16",
 ]
 
 

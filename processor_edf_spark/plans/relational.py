@@ -330,15 +330,19 @@ def rate_crosscheck_users(spark, sf_dir):
 
 _SESSIONIZE_ORACLE = f"""
     WITH flagged AS (
-        SELECT user_id, epoch_us(ts) AS t,
+        SELECT user_id, epoch_us(ts) AS t, event_id,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_USEC}
                     OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), chunked AS (
+        -- CAST: DuckDB window-SUM of INTEGER yields HUGEINT, which pandas
+        -- materializes as float64 (3.0 vs Spark's 3 → hash mismatch).
+        -- ORDER BY includes event_id so ties on t can't reorder the
+        -- cumulative sum relative to the lag window above.
         SELECT user_id, t,
-               SUM(boundary) OVER (PARTITION BY user_id ORDER BY t
-                                   ROWS UNBOUNDED PRECEDING) - 1 AS chunk_id
+               CAST(SUM(boundary) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS chunk_id
         FROM flagged
     )
     SELECT user_id, chunk_id,
@@ -378,14 +382,14 @@ def sessionize_events(spark, sf_dir):
     "session_window_events",
     f"""
     WITH flagged AS (
-        SELECT user_id, epoch_us(ts) AS t,
+        SELECT user_id, epoch_us(ts) AS t, event_id,
                CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= {SESSION_GAP_USEC}
                     OR LAG(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS boundary
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
     ), chunked AS (
         SELECT user_id, t,
-               SUM(boundary) OVER (PARTITION BY user_id ORDER BY t
+               SUM(boundary) OVER (PARTITION BY user_id ORDER BY t, event_id
                                    ROWS UNBOUNDED PRECEDING) AS chunk_id
         FROM flagged
     )

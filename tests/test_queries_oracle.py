@@ -95,12 +95,22 @@ def _coerce(v):
 
 
 def _tuple_eq(a, b):
+    """Driver-exact compare: the driver hashes raw values after a
+    column-name sort, so a DuckDB HUGEINT that pandas materializes as
+    float64 ``3.0`` must NOT equal Spark's int ``3`` here — type-laxness
+    in this mirror is exactly how the r2 sessionize hash mismatch escaped
+    to the driver.  Floats compare with tolerance only when BOTH sides
+    are floats; any int/float (or other cross-type) pairing fails."""
     if len(a) != len(b):
         return False
     for x, y in zip(a, b):
-        if isinstance(x, float) and isinstance(y, (float, int)):
-            if not math.isclose(x, float(y), rel_tol=1e-9, abs_tol=1e-9):
+        if isinstance(x, bool) != isinstance(y, bool):
+            return False
+        if isinstance(x, float) and isinstance(y, float):
+            if not math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9):
                 return False
+        elif type(x) is not type(y):
+            return False
         elif x != y:
             return False
     return True
