@@ -34,6 +34,15 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     plan here expects (``ts div 1000`` ≡ µs truncation).  The conf is
     runtime-settable, so set it here rather than trusting whoever built the
     session (the driver's harness uses a plain ``SparkSession.builder``).
+
+    DELIBERATE SESSION-WIDE SIDE EFFECT: after the first load() on a
+    session, any nanos-typed parquet column that session reads arrives as
+    long, not TIMESTAMP.  That is the contract every plan in this package
+    is written against (all testdata timestamp columns are nanos), and the
+    driver harness depends on it; a caller needing TIMESTAMP semantics for
+    its own reads must unset the conf or use a separate session.  Guarded
+    so it is applied once per session, not re-set on every call.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]

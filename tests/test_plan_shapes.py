@@ -133,10 +133,31 @@ def test_q17_threshold_agg_prefiltered(spark):
     assert "p_brand" in plan and "Brand#11" in plan, plan[:2000]
     # both lineitem consumers join against the broadcast part-key filter
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
-    agg_section = plan.split("HashAggregate")[0]
-    # no un-joined full-lineitem aggregate: every HashAggregate appears
-    # after a broadcast join in the operator tree string
     assert "partial_" in plan
+    # structural check that the threshold aggregate consumes the JOINED
+    # lineitem: in the one-operator-per-line tree string, every
+    # HashAggregate on l_partkey must have a BroadcastHashJoin somewhere
+    # below it (deeper in its input subtree = later lines).
+    lines = plan.splitlines()
+    agg_lines = [i for i, l in enumerate(lines)
+                 if "HashAggregate" in l and "l_partkey" in l]
+    join_lines = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l]
+    assert agg_lines, plan[:2000]
+    for i in agg_lines:
+        assert any(j > i for j in join_lines), (
+            f"HashAggregate on l_partkey at line {i} has no downstream "
+            f"BroadcastHashJoin:\n{plan[:2000]}"
+        )
+
+
+def test_cosine_lsh_banded_equi_join(spark):
+    """Banded hyperplane LSH must stay an equi-join on (band, bucket) —
+    candidate generation linear in collisions, never a cross product —
+    and OR-across-bands dedup must be present (the pair distinct)."""
+    plan = plan_of(spark, "cosine_lsh_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" not in plan  # not the quadratic path
 
 
 def test_cosine_pairs_no_driver_collect(spark):
