@@ -70,6 +70,44 @@ HEADLINE = [
 ]
 
 
+EDF_SAMPLE = "/root/reference/sample_data/test.edf"
+EDF_REPLICAS = 32
+
+
+def bench_edf_etl(spark) -> dict[str, float]:
+    """The EDF-scale ETL anchor (BASELINE.md: 21 s cold / 11 s warm for
+    channel metadata over 32x test.edf, 42.2 M samples): stage 32 replicas,
+    run the full pipeline (decode -> chunk merge/sessionize -> channel
+    metadata) and force both the sample decode and the metadata plan
+    through the noop sink.  Cold = first execution (includes scan/JIT),
+    warm = second."""
+    import shutil
+    import tempfile
+
+    from processor_edf_spark.pipeline import process_edf_directory
+
+    stage = tempfile.mkdtemp(prefix="edf_etl_", dir=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        for i in range(EDF_REPLICAS):
+            shutil.copy(EDF_SAMPLE, os.path.join(stage, f"test_{i:02d}.edf"))
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            samples, channels, _ = process_edf_directory(spark, stage)
+            samples.write.format("noop").mode("overwrite").save()
+            channels.write.format("noop").mode("overwrite").save()
+            return round(time.perf_counter() - t0, 3)
+
+        cold = run()
+        warm = run()
+        return {"cold": cold, "warm": warm}
+    except Exception as e:  # noqa: BLE001 — report, don't kill the query line
+        print(f"bench: edf_etl_32x FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        return {"cold": -1.0, "warm": -1.0}
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -89,7 +127,13 @@ def main() -> None:
             print(f"bench: {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    etl = bench_edf_etl(spark)
+
     failed = sorted(n for n, t in timings.items() if t < 0)
+    if etl["warm"] < 0:
+        failed.append("edf_etl_32x")
+    # total stays queries-only so it remains comparable to BASELINE.md's
+    # headline anchor; the ETL anchor (21 s cold / 11 s warm) is its own key
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(
         json.dumps(
@@ -98,6 +142,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "edf_etl_32x": etl,
                 "failed": failed,
                 "sf": sf,
             }
