@@ -150,6 +150,47 @@ def test_q17_threshold_agg_prefiltered(spark):
         )
 
 
+def test_rollup_cube_expand_single_shuffle(spark):
+    """Grouping sets plan as Expand + map-side partial agg + ONE shuffle on
+    the expanded keys — not one scan/shuffle per grouping set."""
+    for name in ("rollup_event_daily", "cube_event_user_bucket"):
+        plan = plan_of(spark, name)
+        assert "Expand" in plan, plan[:2000]
+        assert "partial_" in plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+        assert plan.count("Scan parquet") == 1
+
+
+def test_pivot_two_phase_partial(spark):
+    """Pivot = per-(day, type) partial agg, then partial_pivotfirst — both
+    phases map-side combined, single scan."""
+    plan = plan_of(spark, "pivot_daily_event_counts")
+    assert "pivotfirst" in plan, plan[:2000]
+    assert "partial_pivotfirst" in plan
+    assert "partial_count" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_set_ops_broadcast_no_cartesian(spark):
+    """INTERSECT/EXCEPT shapes: map-side dedup (HashAggregate below the
+    exchange) + broadcast hash join — never a nested loop."""
+    for name in ("set_ops_event_types", "except_click_no_purchase"):
+        plan = plan_of(spark, name)
+        assert "BroadcastHashJoin" in plan, plan[:2000]
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # distinct is two-phase: an aggregate on each side of the exchange
+        assert plan.count("HashAggregate") >= 2
+
+
+def test_count_distinct_two_phase(spark):
+    """count(distinct) expands to the (type, user) pre-aggregate before the
+    per-type merge — the shuffle moves deduped pairs, not raw events."""
+    plan = plan_of(spark, "distinct_users_per_type")
+    assert "partial_count(distinct" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_cosine_lsh_banded_equi_join(spark):
     """Banded hyperplane LSH must stay an equi-join on (band, bucket) —
     candidate generation linear in collisions, never a cross product —
