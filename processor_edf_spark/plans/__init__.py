@@ -97,6 +97,9 @@ _CANONICAL = [
     "moving_avg_daily_revenue",
     "minhash_signatures",
     "simhash_16",
+    # r3 additions (mirror + CORRECTNESS_LOCAL verified; window unchanged)
+    "ann_ivf_multiprobe",
+    "quantize_embeddings_int8",
 ]
 
 

@@ -564,6 +564,159 @@ def ann_ivf_label(spark, sf_dir):
     )
 
 
+IVF_PROBES = 3
+
+
+@register(
+    "ann_ivf_multiprobe",
+    f"""
+    WITH {_CENTROID_SQL},
+    assign AS (
+        SELECT query_id, label FROM (
+            SELECT q.vec_id AS query_id, c.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND({_COS_SQL.format(a='q.embedding', b='c.centroid')}, 4) DESC,
+                                c.label ASC) AS rnk
+            FROM embeddings q CROSS JOIN centroids c
+            WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rnk <= {IVF_PROBES}
+    )
+    SELECT query_id, neighbor_id, rnk AS rank FROM (
+        SELECT a.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.query_id
+                   ORDER BY ROUND({_COS_SQL.format(a='q.embedding', b='e.embedding')}, 4) DESC,
+                            e.vec_id ASC) AS rnk
+        FROM assign a
+        JOIN embeddings e ON e.label = a.label
+        JOIN embeddings q ON q.vec_id = a.query_id
+        WHERE e.vec_id <> a.query_id
+    ) WHERE rnk <= {IVF_TOPK}
+    """,
+)
+def ann_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN: like ``ann_ivf_label`` but each query probes
+    its IVF_PROBES (=3) nearest coarse centroids and ranks over the
+    UNION of those clusters — the standard recall knob (nprobe in FAISS
+    terms): recall rises toward exact as P→C while the candidate scan stays
+    N·P/C.  Plan shape is identical to the single-probe flavor (broadcast
+    centroids → broadcast the tiny probe assignment into the cluster-
+    partitioned candidate scan → per-query top-k window); each vector lives
+    in exactly one cluster, so the probed union needs no dedup."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id",
+        "label",
+        _as_double("embedding").alias("e"),
+        norm(_as_double("embedding")).alias("nrm"),
+    )
+    dims = emb.select("label", F.posexplode("e").alias("i", "x"))
+    centroid = (
+        dims.groupBy("label", "i")
+        .agg(F.round(F.avg("x"), 6).alias("v"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
+            ).alias("centroid")
+        )
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("eq"),
+        F.col("nrm").alias("nq"),
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.col("c_sim").desc(), F.col("label").asc()
+    )
+    assign = (
+        q.crossJoin(F.broadcast(centroid))
+        .select(
+            "query_id",
+            "label",
+            "eq",
+            "nq",
+            F.round(cosine(F.col("eq"), F.col("centroid")), 4).alias("c_sim"),
+        )
+        .withColumn("rnk", F.row_number().over(w_assign))
+        .filter(F.col("rnk") <= IVF_PROBES)
+        .select("query_id", "label", "eq", "nq")
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        F.col("e").alias("ec"),
+        F.col("nrm").alias("nc"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.join(F.broadcast(assign), "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_pd(F.col("eq"), F.col("ec"), F.col("nq"), F.col("nc")), 4
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVF_TOPK)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    SELECT vec_id, i - 1 AS dim,
+           CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(ROUND(x / (mx / 127.0)) AS BIGINT) END AS q,
+           ROUND(mx / 127.0, 6) AS scale
+    FROM (
+        SELECT vec_id,
+               list_aggregate(list_transform(embedding, v -> abs(v::DOUBLE)), 'max') AS mx,
+               unnest(list_transform(embedding, v -> v::DOUBLE)) AS x,
+               unnest(generate_series(1, len(embedding))) AS i
+        FROM embeddings
+    )
+    """,
+)
+def quantize_embeddings_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization — the storage/bandwidth op a
+    training pipeline runs before shipping embeddings to an ANN index or
+    a feature store: scale = max|x|/127, q = round(x/scale) ∈ [-127,127].
+    Emitted long-format (vec_id, dim, q, scale) so every value is a scalar
+    the oracle hashes exactly; 4× compression with dequant error ≤ scale/2
+    per element.  Pure column expressions — array_max/transform + one
+    posexplode, no shuffle at all (the plan is scan → project → generate;
+    partition-local, embarrassingly parallel at any scale).  All-zero
+    vectors quantize to q=0 with scale=0 on both engines."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    e = _as_double("embedding")
+    mx = F.array_max(F.transform(e, lambda v: F.abs(v)))
+    return (
+        embeddings.select(
+            "vec_id",
+            F.col("embedding"),
+            mx.alias("mx"),
+            F.posexplode(e).alias("dim", "x"),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            F.when(F.col("mx") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.round(F.col("x") / (F.col("mx") / F.lit(127.0)), 0).cast("long")
+            )
+            .alias("q"),
+            F.round(F.col("mx") / F.lit(127.0), 6).alias("scale"),
+        )
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     f"""

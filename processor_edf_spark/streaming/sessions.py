@@ -103,6 +103,33 @@ def session_windowed_chunks(
     )
 
 
+def dedup_stream_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on ingest — the streaming flavor of the batch
+    ``dedup_exact`` query: key every document by its content sha and drop
+    later arrivals of the same content.
+
+    Uses ``dropDuplicatesWithinWatermark`` rather than ``dropDuplicates``:
+    plain streaming dropDuplicates keeps every key seen FOREVER (state
+    grows with the corpus — unusable for a 100 TB ingest), while the
+    within-watermark variant expires a key's state once the watermark
+    passes it, bounding state to the duplicate-arrival horizon.  The
+    contract this trades away is exact global uniqueness: a duplicate
+    arriving more than ``delay`` after its twin is re-admitted — for
+    training-data ingest that residue is handled by the periodic batch
+    dedup pass (``dedup_exact`` / ``minhash_lsh_pairs``), the standard
+    lambda split.  State is hash-partitioned by the sha key, so the
+    operator scales out with no skew (sha is uniform)."""
+    keyed = docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    return keyed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        ["content_sha"]
+    )
+
+
 def quarantine_late(samples: DataFrame, arrival_col: str | None = None) -> DataFrame:
     """The reference asserts on out-of-order chunk appends (base.py:87-95);
     here we tag-don't-drop: a row is out_of_order when its timestamp

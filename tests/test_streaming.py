@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from processor_edf_spark.schemas import SAMPLES_SCHEMA
 from processor_edf_spark.streaming.registry import streaming_channel_registry
 from processor_edf_spark.streaming.sessions import (
+    dedup_stream_exact,
     quarantine_late,
     session_windowed_chunks,
     stream_samples,
@@ -150,3 +151,33 @@ def test_quarantine_flags_regression(spark):
     )
     out = quarantine_late(df, arrival_col="seq").orderBy("seq").collect()
     assert [r["out_of_order"] for r in out] == [False, False, True, False, False]
+
+
+def test_dedup_stream_exact(spark, tmp_path):
+    """Streaming ingest dedup: within the watermark horizon, later
+    arrivals of identical content are dropped; distinct content passes.
+    State is keyed by content sha and expires with the watermark (the
+    bounded-state contract of dropDuplicatesWithinWatermark)."""
+    import datetime as dt
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "the quick brown fox", t0),
+        (2, "the quick brown fox", t0 + dt.timedelta(seconds=30)),  # dup
+        (3, "an entirely different doc", t0 + dt.timedelta(seconds=60)),
+        (4, "the quick brown fox", t0 + dt.timedelta(seconds=90)),  # dup
+    ]
+    schema = "doc_id long, text string, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    deduped = dedup_stream_exact(stream, text_col="text", ts_col="ts")
+    _run_stream(deduped, "dedup_stream_out", ckpt)
+    out = spark.sql("select doc_id, text from dedup_stream_out").collect()
+
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+    assert {r["text"] for r in out} == {
+        "the quick brown fox",
+        "an entirely different doc",
+    }
