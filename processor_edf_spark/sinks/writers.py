@@ -45,6 +45,31 @@ def write_channels_json(channels: DataFrame, out_dir: str) -> None:
     channels.coalesce(1).write.mode("overwrite").json(out_dir)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """Bucketed-table sink: pre-shuffle the data ONCE at write time so every
+    later equi-join / aggregation on ``key`` runs shuffle-free — the
+    co-located-join technique for fact tables that are joined repeatedly
+    (samples by channel, events by user).  At 100 TB the one-time bucketed
+    write amortizes across every downstream join that would otherwise
+    re-shuffle the full table; two tables bucketed the same way (same key,
+    same count) sort-merge-join with ZERO Exchange on either side
+    (pinned by tests/test_plan_shapes.py::test_bucketed_join_no_shuffle).
+
+    ``buckets`` should be sized so each bucket file lands near the scan
+    split size (~128 MiB): buckets ≈ table_bytes / 128 MiB, rounded to a
+    power of two so half/double-bucket joins still co-locate."""
+    w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+    if path is not None:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
 # ---------------------------------------------------------------------------
 # Bit-compatible reference output (optional, S8/S10 byte parity)
 # ---------------------------------------------------------------------------

@@ -208,3 +208,40 @@ def test_cosine_pairs_no_driver_collect(spark):
     plan = plan_of(spark, "cosine_pairs")
     assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count must
+    sort-merge-join with ZERO Exchange — the write-once/join-many
+    co-location path write_bucketed exists for."""
+    from processor_edf_spark.sinks.writers import write_bucketed
+
+    events = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "user_id", "event_type", "value"
+    )
+    users = (
+        spark.read.parquet(f"{SF_SMALL}/events.parquet")
+        .groupBy("user_id")
+        .count()
+    )
+    for name in ("bkt_events", "bkt_users"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(events, "bkt_events", "user_id", 8, str(tmp_path / "e"))
+    write_bucketed(users, "bkt_users", "user_id", 8, str(tmp_path / "u"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable broadcast so the join must pick SMJ/shuffle strategy
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_events").join(spark.table("bkt_users"), "user_id")
+        joined.collect()  # AQE finalizes only on execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:2000]
+        assert "Exchange hashpartitioning" not in plan, (
+            "bucketed join re-shuffled:\n" + plan[:2000]
+        )
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("bkt_events", "bkt_users"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
