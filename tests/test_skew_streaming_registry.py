@@ -89,3 +89,38 @@ def test_streaming_edf_append_registry(spark, tmp_path):
     assert by_rate[300]["is_new"]
     assert by_rate[201]["channel_id"] == by_rate[200]["channel_id"]
     assert not by_rate[201]["is_new"]
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Join skew is AQE's job (salted_agg covers aggregation skew): with a
+    90%-hot key, the runtime plan must mark the sort-merge join skew=true
+    and split the hot partition — the session factory turns skewJoin on,
+    so this guards that a conf change can't silently lose it.  Thresholds
+    are lowered to make the tiny local dataset register as skewed."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 == 0, F.col("id") % 97)
+            .otherwise(F.lit(1))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(0, 2000).select(
+            (F.col("id") % 97).alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k")
+        joined.collect()  # AQE re-plans at runtime
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
