@@ -161,3 +161,31 @@ def test_spike_binary_layout(tmp_path):
     assert recs == [(100, 1), (200, 2)]
     waves = np.frombuffer(raw[24 + offset :], "<f8").reshape(2, 2)
     np.testing.assert_array_equal(waves, wf)
+
+
+def test_partitioned_sink_prunes_file_partitions(spark, tmp_path):
+    """write_samples_parquet lays samples out partitioned by file so a
+    single-file query reads ONE directory, not the whole dataset: the
+    file predicate must land in PartitionFilters (pruned at planning,
+    zero IO for other files) — at 100 TB this is the difference between
+    touching one recording and scanning the lake."""
+    from pyspark.sql import functions as F
+
+    from processor_edf_spark.sinks.writers import write_samples_parquet
+
+    rows = [
+        (f"rec_{i}.edf", "ch0", t * 1_000_000, float(t))
+        for i in range(4)
+        for t in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, "file string, channel string, t_usec long, value double"
+    )
+    out = str(tmp_path / "samples")
+    write_samples_parquet(df, out)
+
+    q = spark.read.parquet(out).filter(F.col("file") == "rec_2.edf")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    assert "rec_2.edf" in plan.split("PartitionFilters")[1][:300], plan[:2000]
+    assert q.count() == 50
