@@ -106,6 +106,13 @@ _COS_SQL = (
 
 N_BLOCKS = 8  # distributed all-pairs grid width (tasks = NB·(NB+1)/2)
 _SCORE_TILE_BYTES = 128 << 20  # per-task cap on the dense pair-score matrix
+# Pre-filter margin for the numpy scoring kernels: the exact threshold is
+# re-applied in Spark AFTER ROUND(cos, 4), so the kernel must keep every
+# pair that could still round up to the threshold — anything within half
+# the rounding quantum (5e-5) below it.  A full quantum of slack costs a
+# few extra candidate rows and can never drop a pair the oracle keeps
+# (e.g. raw 0.44996 rounds to 0.4500 ≥ 0.45 but fails a 1e-9 margin).
+_ROUND_MARGIN = 1e-4
 
 
 @register(
@@ -181,7 +188,7 @@ def cosine_pairs(spark, sf_dir):
                 mask = ida[t][:, None] < idb[None, :]
             else:
                 mask = ida[t][:, None] != idb[None, :]
-            r, c = np.nonzero(mask & (cos >= thr - 1e-9))
+            r, c = np.nonzero(mask & (cos >= thr - _ROUND_MARGIN))
             lo, hi = np.minimum(ida[t][r], idb[c]), np.maximum(ida[t][r], idb[c])
             out.append(pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_raw": cos[r, c]}))
         return pd.concat(out, ignore_index=True)
@@ -409,7 +416,7 @@ def _lsh_pair_frame(spark, sf_dir):
             t = slice(s, s + tile)
             cos = _block_cosines(M[t], M, nm[t], nm)
             r, c = np.nonzero(
-                (ids[t][:, None] < ids[None, :]) & (cos >= thr - 1e-9)
+                (ids[t][:, None] < ids[None, :]) & (cos >= thr - _ROUND_MARGIN)
             )
             out.append(
                 pd.DataFrame(
@@ -492,7 +499,19 @@ def ann_ivf_label(spark, sf_dir):
     """IVF-style ANN: (1) coarse centroids = elementwise mean per cluster,
     (2) assign each query to its nearest centroid, (3) exact search within
     that one cluster.  Probing 1 of C clusters cuts the candidate scan by
-    C× — the standard scale path when brute force stops fitting."""
+    C× — the standard scale path when brute force stops fitting.  Shared
+    plan: ``_ivf_search`` (the multiprobe flavor is the same search with
+    probes>1)."""
+    return _ivf_search(spark, sf_dir, probes=1).select(
+        "query_id", "label", "neighbor_id", "rank"
+    )
+
+
+def _ivf_search(spark, sf_dir, probes: int):
+    """Shared IVF search: centroids → per-query nearest ``probes``
+    centroids (broadcast, no shuffle) → exact top-k over the union of the
+    probed clusters.  Returns (query_id, label, neighbor_id, cos_sim,
+    rank); callers project their contract columns."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     emb = embeddings.select(
         "vec_id",
@@ -514,7 +533,7 @@ def ann_ivf_label(spark, sf_dir):
         )
     )
 
-    # (2) nearest centroid per query (C is tiny → broadcast, no shuffle)
+    # (2) nearest `probes` centroids per query (C is tiny → broadcast)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("eq"),
@@ -533,11 +552,12 @@ def ann_ivf_label(spark, sf_dir):
             F.round(cosine(F.col("eq"), F.col("centroid")), 4).alias("c_sim"),
         )
         .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") == 1)
+        .filter(F.col("rnk") <= probes)
         .select("query_id", "label", "eq", "nq")
     )
 
-    # (3) exact top-k inside the probed cluster only
+    # (3) exact top-k inside the probed cluster(s) only; each vector lives
+    # in exactly one cluster, so the probed union needs no dedup
     cand = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         "label",
@@ -560,7 +580,6 @@ def ann_ivf_label(spark, sf_dir):
         )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= IVF_TOPK)
-        .select("query_id", "label", "neighbor_id", "rank")
     )
 
 
@@ -604,67 +623,8 @@ def ann_ivf_multiprobe(spark, sf_dir):
     centroids → broadcast the tiny probe assignment into the cluster-
     partitioned candidate scan → per-query top-k window); each vector lives
     in exactly one cluster, so the probed union needs no dedup."""
-    (embeddings,) = load(spark, sf_dir, "embeddings")
-    emb = embeddings.select(
-        "vec_id",
-        "label",
-        _as_double("embedding").alias("e"),
-        norm(_as_double("embedding")).alias("nrm"),
-    )
-    dims = emb.select("label", F.posexplode("e").alias("i", "x"))
-    centroid = (
-        dims.groupBy("label", "i")
-        .agg(F.round(F.avg("x"), 6).alias("v"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "v"))), lambda s: s["v"]
-            ).alias("centroid")
-        )
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("eq"),
-        F.col("nrm").alias("nq"),
-    )
-    w_assign = Window.partitionBy("query_id").orderBy(
-        F.col("c_sim").desc(), F.col("label").asc()
-    )
-    assign = (
-        q.crossJoin(F.broadcast(centroid))
-        .select(
-            "query_id",
-            "label",
-            "eq",
-            "nq",
-            F.round(cosine(F.col("eq"), F.col("centroid")), 4).alias("c_sim"),
-        )
-        .withColumn("rnk", F.row_number().over(w_assign))
-        .filter(F.col("rnk") <= IVF_PROBES)
-        .select("query_id", "label", "eq", "nq")
-    )
-    cand = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        "label",
-        F.col("e").alias("ec"),
-        F.col("nrm").alias("nc"),
-    )
-    w_rank = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        cand.join(F.broadcast(assign), "label")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_pd(F.col("eq"), F.col("ec"), F.col("nq"), F.col("nc")), 4
-            ).alias("cos_sim"),
-        )
-        .withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= IVF_TOPK)
-        .select("query_id", "neighbor_id", "rank")
+    return _ivf_search(spark, sf_dir, probes=IVF_PROBES).select(
+        "query_id", "neighbor_id", "rank"
     )
 
 

@@ -30,7 +30,10 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import DataFrame, SparkSession
 
 from processor_edf_spark.pipeline import process_edf_directory, validate_channels
-from processor_edf_spark.sinks.writers import write_samples_parquet
+from processor_edf_spark.sinks.writers import (
+    write_channels_json,
+    write_samples_parquet,
+)
 
 
 def load_params_file(path: str):
@@ -62,7 +65,8 @@ def parse_cli_args(argv: Sequence[str], inputs: dict | None = None) -> dict:
         value = load_params_file(value)
         if key in out:
             if isinstance(out[key], list):
-                out[key].append(value)
+                # copy, don't append: the seed dict may be caller-owned
+                out[key] = [*out[key], value]
             else:
                 out[key] = [out[key], value]
         else:
@@ -136,8 +140,7 @@ def run_job(
     )
     if output_dir:
         write_samples_parquet(samples, os.path.join(output_dir, "samples"))
-        validated = validate_channels(channels)
-        validated.coalesce(1).write.mode("overwrite").json(
-            os.path.join(output_dir, "channels")
+        write_channels_json(
+            validate_channels(channels), os.path.join(output_dir, "channels")
         )
     return samples, channels, annotations

@@ -27,15 +27,17 @@ from processor_edf_spark.session import get_spark  # noqa: E402
 
 
 def _canon(v):
-    """Canonical string form for hashing: floats rounded to 6 decimals,
-    everything else via str — type-sensitive (int 3 != float 3.0)."""
+    """Canonical string form for hashing — type-sensitive (int 3 != float
+    3.0) and RAW for floats (repr, no rounding): every plan in this repo
+    already rounds its float outputs identically on both engines, so a
+    divergence at any decimal is a real parity bug this gate must catch,
+    exactly as the driver's raw-value hash would."""
     if isinstance(v, bool):
         return f"b:{v}"
     if isinstance(v, float):
-        r = round(v, 6)
-        if r == -0.0:
-            r = 0.0
-        return f"f:{r}"
+        if v == 0.0:  # collapse -0.0 / 0.0
+            v = 0.0
+        return f"f:{v!r}"
     if isinstance(v, int):
         return f"i:{v}"
     return f"s:{v}"
