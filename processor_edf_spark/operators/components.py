@@ -1,0 +1,121 @@
+"""Connected components over a pair/edge list — transitive dedup groups.
+
+Pairwise near-dup output (minhash_lsh_pairs, cosine_lsh_pairs,
+simhash_near_pairs) answers "who collides with whom"; production dedup
+needs the TRANSITIVE closure: if A~B and B~C, all three are one group and
+one survivor represents it.  That closure is connected components.
+
+Algorithm: min-label propagation with POINTER JUMPING — each round (1)
+lowers every node's label to the min over its neighbors' labels (one
+edge⋈label join + aggregation) and (2) path-halves: label[n] ←
+label[label[n]] (one label⋈label self-join), so label chains collapse
+geometrically.  Round count is O(log diameter) — the same bound as the
+large-star/small-star formulation (Kiveris et al., SoCC'14) with simpler
+state: one (node, component) row per node, hash-partitioned joins only.
+A 1M-node path converges in ~20 rounds of linear work, where plain
+label propagation (no jump step) would need 1M rounds.
+
+Iteration is driver-side ONLY for the loop control (a fixed small round
+count + a convergence check on an aggregate count — O(1) driver data per
+round); all per-edge work stays in executors.  Each round's result is
+localCheckpoint()ed to truncate the lineage, or the plan would double
+every iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Resolve the edge list to (node, component) where component is the
+    MINIMUM node id in each connected component — the keep-first-survivor
+    convention every dedup query here uses.
+
+    Singleton nodes (no edges) are the caller's concern: join the result
+    back to the entity table with a coalesce(component, id).
+    """
+    # undirected → both directions, as (node, neighbor)
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    # current best-known component per node: min over self + neighbors
+    comp = (
+        edges.groupBy("a")
+        .agg(F.min("b").alias("c"))
+        .select(
+            F.col("a").alias("node"),
+            F.least(F.col("a"), F.col("c")).alias("comp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # (1) propagate: node's component := min(component of node,
+        # components of its neighbors)  — one join + one aggregation
+        neighbor_comp = (
+            edges.join(comp.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nc"))
+        )
+        lowered = comp.join(
+            neighbor_comp.withColumnRenamed("a", "node"), "node", "left"
+        ).select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
+                "comp"
+            ),
+        )
+        # (2) pointer jump: comp[n] := comp[comp[n]] — label chains halve
+        # every round, giving O(log diameter) total rounds
+        jump_to = lowered.select(
+            F.col("node").alias("comp"), F.col("comp").alias("jc")
+        )
+        new_comp = (
+            lowered.join(jump_to, "comp", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # converged when no node's component changed this round
+        changed = (
+            new_comp.alias("n")
+            .join(comp.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        comp = new_comp
+        if changed == 0:
+            break
+    return comp.select("node", F.col("comp").alias("component"))
+
+
+def dedup_survivors(
+    entities: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "vec_a",
+    dst: str = "vec_b",
+) -> DataFrame:
+    """Transitive keep-first dedup: one row per connected component (the
+    minimum id) plus every singleton — the group-aware upgrade of the
+    pairwise LEFT ANTI in dedup_embedding_cosine (pairwise drops B for
+    A~B and C for B~C even when A,C never collide directly; transitive
+    keeps exactly one of {A,B,C})."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    labeled = entities.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    return labeled.filter(F.col(id_col) == F.col("component")).drop("component")

@@ -100,6 +100,8 @@ _CANONICAL = [
     # r3 additions (mirror + CORRECTNESS_LOCAL verified; window unchanged)
     "ann_ivf_multiprobe",
     "quantize_embeddings_int8",
+    "sample_hash_bucket",
+    "tfidf_top_terms",
 ]
 
 

@@ -557,3 +557,98 @@ def simhash_near_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling + term weighting (training-pipeline staples)
+# ---------------------------------------------------------------------------
+
+SAMPLE_BUCKETS = 100
+SAMPLE_KEEP = 10  # deterministic 10% sample
+
+
+@register(
+    "sample_hash_bucket",
+    f"""
+    SELECT doc_id, bucket FROM (
+        SELECT doc_id,
+               {hash64_sql("CAST(doc_id AS VARCHAR)", "sample")} % {SAMPLE_BUCKETS}
+                 AS bucket
+        FROM documents
+    ) WHERE bucket < {SAMPLE_KEEP}
+    """,
+)
+def sample_hash_bucket(spark, sf_dir):
+    """Deterministic hash-bucket sampling — the reproducible alternative to
+    rand()-based df.sample for corpus subsetting: md5(doc_id) % 100 < 10
+    keeps the SAME 10% on every engine, every run, every cluster size, so
+    a train/eval split or an ablation subset is stable across reruns and
+    auditable from the id alone.  Pure column expressions, no shuffle; at
+    100 TB the predicate rides the scan (row-group level after projection
+    pushdown) and the sample never materializes the rejected 90%."""
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id").cast("string"), "sample") % SAMPLE_BUCKETS
+    return (
+        documents.select("doc_id", bucket.alias("bucket"))
+        .filter(F.col("bucket") < SAMPLE_KEEP)
+    )
+
+
+TFIDF_TOPK = 3
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), idf AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT doc_id, term, score, rnk AS rank FROM (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(n.n / CAST(idf.df AS DOUBLE)), 6) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY ROUND(tf.tf * ln(n.n / CAST(idf.df AS DOUBLE)), 6) DESC,
+                            tf.term ASC) AS rnk
+        FROM tf JOIN idf USING (term) CROSS JOIN n
+    ) WHERE rnk <= {TFIDF_TOPK}
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-{TFIDF_TOPK} terms per document by tf·idf (raw tf × ln(N/df)) —
+    the keyword-extraction / relevance-weighting primitive.  Two linear
+    aggregations (tf per (doc, term); df per term) + an equi-join on term
+    + a per-doc top-k window that rewrites to WindowGroupLimit, so the
+    final sort never sees more than k rows per doc.  The scores are
+    rounded to 6 decimals BEFORE ranking with a term tiebreak, so the
+    ordering is identical across engines (ln is within 1 ulp on both —
+    far below the rounding grain).  df join is a plain shuffle equi-join
+    (term dimension is unbounded at scale; AQE broadcasts it when small).
+    """
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n") / F.col("df").cast("double")), 6
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOPK)
+        .select("doc_id", "term", "score", "rank")
+    )
