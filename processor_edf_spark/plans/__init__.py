@@ -14,6 +14,7 @@ from processor_edf_spark.plans.registry import ORACLE, QUERIES, register
 from processor_edf_spark.plans import relational  # noqa: E402,F401
 from processor_edf_spark.plans import text_dedup  # noqa: E402,F401
 from processor_edf_spark.plans import similarity  # noqa: E402,F401
+from processor_edf_spark.plans import tpch_extra  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -102,6 +103,25 @@ _CANONICAL = [
     "quantize_embeddings_int8",
     "sample_hash_bucket",
     "tfidf_top_terms",
+    # r3 additions, batch 2: adapted TPC-H completion (no partsusp /
+    # commitdate columns in testdata → shapes adapted, see tpch_extra.py)
+    # + NTILE window coverage.  Mirror + CORRECTNESS_LOCAL verified;
+    # first-50 window unchanged; rotation candidates for r4.
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "q22_idle_rich_customers",
+    "ntile_value_quartiles",
 ]
 
 
