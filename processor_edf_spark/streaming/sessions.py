@@ -155,3 +155,55 @@ def quarantine_late(samples: DataFrame, arrival_col: str | None = None) -> DataF
         F.coalesce(F.col("t_usec") < F.max("t_usec").over(w), F.lit(False)),
     )
     return out.drop(arrival_col) if added else out
+
+
+def enrich_stream_static(
+    stream: DataFrame, dim: DataFrame, on: str | list[str]
+) -> DataFrame:
+    """Stream-static enrichment join — the streaming ingest analog of the
+    batch dimension joins (q3/q5 style): every micro-batch of the stream
+    equi-joins the static dimension table.
+
+    Spark plans the static side as a broadcast per micro-batch when under
+    the AQE threshold (the common case: dimensions are small), so the
+    stream never shuffles for the join and needs no watermark — stream-
+    static joins are stateless by construction (only stream-stream joins
+    buffer state).  At 100 TB/day ingest the dimension re-resolves every
+    batch, so slowly-changing dims are picked up without restarting the
+    query."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts over a stream — the streaming
+    flavor of the batch ``tumbling_daily_stats`` query and the canonical
+    late-data pattern: rows later than ``delay`` behind the max seen
+    event time are dropped, and a window's aggregate emits exactly once
+    (append mode) when the watermark passes its end.
+
+    State is bounded to the windows inside the watermark horizon per key
+    — O(keys × horizon/window), independent of stream length.  The
+    aggregation is a streaming partial agg: each micro-batch combines
+    into per-(key, window) state, so the shuffle carries state deltas,
+    not raw events."""
+    return (
+        events.withWatermark(ts_col, delay)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -181,3 +181,60 @@ def test_dedup_stream_exact(spark, tmp_path):
         "the quick brown fox",
         "an entirely different doc",
     }
+
+
+def test_enrich_stream_static_join(spark, tmp_path):
+    """Stream-static join: each micro-batch broadcast-joins the static
+    dimension; rows without a dim match survive (left join), and the
+    query needs no watermark (stateless)."""
+    from processor_edf_spark.streaming.sessions import enrich_stream_static
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    schema = "event_id long, event_type string, value double"
+    spark.createDataFrame(
+        [(1, "click", 1.0), (2, "purchase", 2.0), (3, "unknown_kind", 3.0)],
+        schema,
+    ).coalesce(1).write.parquet(in_dir)
+    dim = spark.createDataFrame(
+        [("click", 0.1), ("purchase", 5.0)], "event_type string, weight double"
+    )
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    _run_stream(enrich_stream_static(stream, dim, "event_type"), "enriched", ckpt)
+    rows = {r["event_id"]: r for r in spark.sql("select * from enriched").collect()}
+
+    assert len(rows) == 3
+    assert rows[1]["weight"] == 0.1
+    assert rows[2]["weight"] == 5.0
+    assert rows[3]["weight"] is None  # left join keeps unmatched stream rows
+
+
+def test_tumbling_counts_stream_watermark(spark, tmp_path):
+    """Watermarked tumbling agg: closed windows emit once; a window still
+    inside the watermark horizon at end-of-input never emits (append
+    mode) — state stays bounded."""
+    from datetime import datetime
+
+    from processor_edf_spark.streaming.sessions import tumbling_counts_stream
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    schema = "ts timestamp, event_type string, value double"
+    rows = [
+        # window [10:00, 11:00): 2 clicks
+        (datetime(2026, 1, 1, 10, 5), "click", 1.0),
+        (datetime(2026, 1, 1, 10, 50), "click", 2.0),
+        # much later event advances the watermark far past 11:00 → the
+        # 10:00 window closes; its own window stays open, never emitted
+        (datetime(2026, 1, 1, 15, 0), "click", 4.0),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+
+    stream = spark.readStream.schema(schema).parquet(in_dir)
+    out = tumbling_counts_stream(stream, window="1 hour", delay="30 minutes")
+    _run_stream(out, "tumbling_out", ckpt)
+    got = spark.sql("select * from tumbling_out").collect()
+
+    assert len(got) == 1
+    r = got[0]
+    assert r["window_start"] == datetime(2026, 1, 1, 10, 0)
+    assert (r["event_type"], r["n_events"], r["sum_value"]) == ("click", 2, 3.0)
