@@ -689,17 +689,28 @@ def ngram_lang_profile(spark, sf_dir):
     counts, not the exploded corpus.  The per-lang top-k window rewrites
     to WindowGroupLimit.  Count ties are broken by gram text, so the
     selected k is deterministic cross-engine.  Both engines index
-    characters (not bytes): substr/substring agree on multi-byte text."""
+    characters (not bytes): substr/substring agree on multi-byte text.
+
+    The normalization (lower∘trim) is hoisted BELOW the Generate: explode
+    the position sequence first, then substring the already-normalized
+    column — normalizing inside the per-element lambda re-lowercases the
+    whole document once per trigram, an accidental O(n²) per doc that
+    measured 3× slower at sf0.1."""
     (documents,) = load(spark, sf_dir, "documents")
-    grams = documents.select(
+    # round-robin spread before the explode: a single-file scan is one
+    # partition, which would serialize the Generate + partial agg into
+    # one task (5000 docs shuffle for free; at real scale the scan is
+    # already multi-partition and this coalesces under AQE)
+    d = documents.select(
+        "lang", F.lower(F.trim(F.col("text"))).alias("t")
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    grams = d.select(
         "lang",
+        "t",
         F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(char_length(lower(trim(text))) - 2, 0)),"
-                " i -> substring(lower(trim(text)), i, 3))"
-            )
-        ).alias("gram"),
-    )
+            F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(0)))
+        ).alias("i"),
+    ).select("lang", F.expr("substring(t, i, 3)").alias("gram"))
     from pyspark.sql import Window
 
     w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("gram").asc())
@@ -738,7 +749,19 @@ def levenshtein_block_pairs(spark, sf_dir):
     both engines hash-partition), never across the corpus; the classic
     cheap recall-boosting complement to MinHash for short/templated text.
     Spark's levenshtein and DuckDB's are both the standard char-level DP,
-    so the integer distances agree exactly."""
+    so the integer distances agree exactly.
+
+    Two executed-plan refinements over the naive form (which measured
+    5.4 s at sf0.1 — the DP ran unguarded, first in the join residual,
+    in ONE task because the single parquet file scans as one partition):
+    the probe side round-robin repartitions so block scoring spreads
+    across the cluster even from a one-file scan (broadcast join → probe
+    rows need no co-location; at real scale the scan is already
+    multi-partition and AQE coalesces), and the Spark side uses the
+    threshold form ``levenshtein(l, r, d)`` — a banded O(n·d) DP that
+    returns -1 past the threshold, ~{LEV_MAX_DIST}/len of the full
+    DP's work.  ``dist >= 0`` ≡ the oracle's ``dist <= {LEV_MAX_DIST}``
+    for the surviving rows, whose emitted distance is exact."""
     (documents,) = load(spark, sf_dir, "documents")
     d = documents.select(
         "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("t")
@@ -748,7 +771,7 @@ def levenshtein_block_pairs(spark, sf_dir):
         F.col("lang").alias("lang_a"),
         F.col("t").alias("ta"),
         F.substring("t", 1, LEV_PREFIX).alias("pfx_a"),
-    )
+    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
@@ -757,7 +780,7 @@ def levenshtein_block_pairs(spark, sf_dir):
     )
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("pfx_a") == F.col("pfx_b"))
             & (F.col("doc_a") < F.col("doc_b")),
@@ -765,9 +788,11 @@ def levenshtein_block_pairs(spark, sf_dir):
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein(F.col("ta"), F.col("tb")).alias("edit_dist"),
+            F.levenshtein(F.col("ta"), F.col("tb"), LEV_MAX_DIST).alias(
+                "edit_dist"
+            ),
         )
-        .filter(F.col("edit_dist") <= LEV_MAX_DIST)
+        .filter(F.col("edit_dist") >= 0)
     )
 
 
