@@ -69,6 +69,32 @@ HEADLINE = [
     "dedup_embedding_cosine",
 ]
 
+# r3 additions, benched separately: the headline total must stay
+# comparable to BASELINE.md's 41-query anchor round-over-round, so new
+# queries accumulate into "extended_total" instead.
+EXTENDED = [
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "q22_idle_rich_customers",
+    "ntile_value_quartiles",
+    "semdedup_label",
+    "embedding_norm_stats",
+    "ngram_lang_profile",
+    "levenshtein_block_pairs",
+    "doc_length_histogram",
+]
+
 
 EDF_SAMPLE = "/root/reference/sample_data/test.edf"
 EDF_REPLICAS = 32
@@ -115,21 +141,28 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
 
     spark = get_spark("bench", cpus=cpus)
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm JIT/IO once
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001 — one bad query must not kill the line
-            print(f"bench: {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-            timings[name] = -1.0
 
+    def run_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES[name]
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm JIT/IO once
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — one bad query must not kill the line
+                print(f"bench: {name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+                timings[name] = -1.0
+        return timings
+
+    timings = run_set(HEADLINE)
+    extended = run_set(EXTENDED)
     etl = bench_edf_etl(spark)
 
-    failed = sorted(n for n, t in timings.items() if t < 0)
+    failed = sorted(
+        n for t in (timings, extended) for n, v in t.items() if v < 0
+    )
     if etl["warm"] < 0:
         failed.append("edf_etl_32x")
     # total stays queries-only so it remains comparable to BASELINE.md's
@@ -142,6 +175,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extended_total": round(
+                    sum(t for t in extended.values() if t >= 0), 3
+                ),
+                "extended": extended,
                 "edf_etl_32x": etl,
                 "failed": failed,
                 "sf": sf,
