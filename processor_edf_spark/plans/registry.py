@@ -46,3 +46,21 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]
+
+
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Widen scan parallelism for CPU-heavy per-row kernels (md5 per
+    shingle/token, edit-distance DP): a small single-file scan reads as
+    ONE partition (file < maxPartitionBytes), which serializes the kernel
+    into one task regardless of cluster width.
+
+    Conditional on purpose: the repartition (a full shuffle of the input)
+    is inserted only when the scan yields fewer partitions than the
+    session's shuffle width.  At real scale the file splitter already
+    produces >= that many partitions and this is a no-op — an
+    unconditional repartition would shuffle the whole corpus for nothing.
+    """
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df

@@ -26,7 +26,7 @@ from processor_edf_spark.operators.textfns import (
     tokens,
     word_shingles,
 )
-from processor_edf_spark.plans.registry import load, register
+from processor_edf_spark.plans.registry import load, register, spread
 
 FP_PRIME = 1_000_000_007
 MINHASH_K = 8  # 8 hash functions → 4 LSH bands of width 2
@@ -301,7 +301,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     minhash_lsh_pairs instead and verify candidates with this on the
     candidate set only."""
     (documents,) = load(spark, sf_dir, "documents")
-    sh = documents.select(
+    sh = spread(spark, documents).select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
@@ -381,7 +381,7 @@ def minhash_signatures(spark, sf_dir):
     mod 2³¹-1, min per doc — one explode + one groupBy (linear, the
     100 TB dedup path); one md5 per shingle, rehashes are integer codegen."""
     (documents,) = load(spark, sf_dir, "documents")
-    sh = documents.select(
+    sh = spread(spark, documents).select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
@@ -471,7 +471,11 @@ def _simhash_sql(bits: int = 16) -> str:
 def _simhash_df(spark, sf_dir, bits: int = 16):
     """SimHash fingerprints at the given width: per distinct token take a
     ``bits``-wide md5-derived hash, vote ±1 per bit position, sign of the
-    sum is the fingerprint bit.  One explode + one groupBy — linear."""
+    sum is the fingerprint bit.  One explode + one groupBy — linear.
+
+    No ``spread`` here (unlike the minhash shingle kernel): the per-doc
+    token kernel is light enough that the extra shuffle measured SLOWER
+    at sf0.1 (0.24 s → 0.45 s for simhash_16)."""
     (documents,) = load(spark, sf_dir, "documents")
     tok = documents.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
@@ -697,13 +701,9 @@ def ngram_lang_profile(spark, sf_dir):
     whole document once per trigram, an accidental O(n²) per doc that
     measured 3× slower at sf0.1."""
     (documents,) = load(spark, sf_dir, "documents")
-    # round-robin spread before the explode: a single-file scan is one
-    # partition, which would serialize the Generate + partial agg into
-    # one task (5000 docs shuffle for free; at real scale the scan is
-    # already multi-partition and this coalesces under AQE)
-    d = documents.select(
+    d = spread(spark, documents).select(
         "lang", F.lower(F.trim(F.col("text"))).alias("t")
-    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
     grams = d.select(
         "lang",
         "t",
@@ -754,10 +754,10 @@ def levenshtein_block_pairs(spark, sf_dir):
     Two executed-plan refinements over the naive form (which measured
     5.4 s at sf0.1 — the DP ran unguarded, first in the join residual,
     in ONE task because the single parquet file scans as one partition):
-    the probe side round-robin repartitions so block scoring spreads
-    across the cluster even from a one-file scan (broadcast join → probe
-    rows need no co-location; at real scale the scan is already
-    multi-partition and AQE coalesces), and the Spark side uses the
+    the probe side spreads (``registry.spread``: conditional round-robin
+    repartition, a no-op when the scan is already wide) so block scoring
+    parallelizes even from a one-file scan — broadcast join probe rows
+    need no co-location — and the Spark side uses the
     threshold form ``levenshtein(l, r, d)`` — a banded O(n·d) DP that
     returns -1 past the threshold, ~{LEV_MAX_DIST}/len of the full
     DP's work.  ``dist >= 0`` ≡ the oracle's ``dist <= {LEV_MAX_DIST}``
@@ -766,12 +766,12 @@ def levenshtein_block_pairs(spark, sf_dir):
     d = documents.select(
         "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("t")
     )
-    a = d.select(
+    a = spread(spark, d).select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang").alias("lang_a"),
         F.col("t").alias("ta"),
         F.substring("t", 1, LEV_PREFIX).alias("pfx_a"),
-    ).repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    )
     b = d.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
