@@ -130,6 +130,7 @@ _CANONICAL = [
     "ngram_lang_profile",
     "levenshtein_block_pairs",
     "doc_length_histogram",
+    "boilerplate_ngrams",
 ]
 
 

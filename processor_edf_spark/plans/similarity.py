@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from processor_edf_spark.plans.registry import load, register
+from processor_edf_spark.plans.registry import load, register, spread
 
 COSINE_PAIR_THRESHOLD = 0.45
 TOPK = 5
@@ -387,7 +387,12 @@ def _lsh_pair_frame(spark, sf_dir):
     candidate trade is intrinsic to LSH, not to this layout."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
     thr = COSINE_PAIR_THRESHOLD
-    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    # spread: the 16 hyperplane-dot folds per row are interpreted (outside
+    # codegen) and would serialize in the one-partition single-file scan;
+    # no-op when the scan is already wide (registry.spread)
+    emb = spread(spark, embeddings).select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
     sig = emb.select(
         "vec_id",
         "e",

@@ -827,3 +827,58 @@ def doc_length_histogram(spark, sf_dir):
             ).alias("avg_chars"),
         )
     )
+
+
+BOILER_K = 5  # words per phrase
+BOILER_MIN_DOCS = 3
+
+
+@register(
+    "boilerplate_ngrams",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOK_SQL} AS ts FROM documents
+    ), grams AS (
+        SELECT doc_id, array_to_string(ts[i:i+{BOILER_K - 1}], ' ') AS gram
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, greatest(len(ts) - {BOILER_K - 1}, 0))) AS i
+        )
+    )
+    SELECT gram, n_docs FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gram
+    ) WHERE n_docs >= {BOILER_MIN_DOCS}
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate-phrase detection: word {BOILER_K}-grams appearing in ≥
+    {BOILER_MIN_DOCS} distinct documents — the cross-document repetition
+    pass (CCNet-style) that finds headers/footers/templates for removal
+    before training.  (The corpus has no sentence punctuation, so the
+    repetition unit is the fixed-width word gram rather than the
+    sentence/paragraph.)
+
+    Explode → two-phase COUNT DISTINCT → threshold: the shuffle carries
+    (gram, doc_id) pairs pre-deduplicated map-side, and at 100 TB the
+    gram key space is bounded by the corpus vocabulary^k tail —
+    hash-partitioned, no hot key (natural-language gram frequencies are
+    Zipfian but the distinct-doc count dedup caps per-key work).
+    ``spread`` widens the one-file local scan for the per-doc gram
+    assembly (string joins dominate)."""
+    (documents,) = load(spark, sf_dir, "documents")
+    toks = spread(spark, documents).select(
+        "doc_id", tokens(F.col("text")).alias("ts")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(ts) - {BOILER_K - 1}, 0)),"
+                f" i -> array_join(slice(ts, i, {BOILER_K}), ' '))"
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
