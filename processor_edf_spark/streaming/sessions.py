@@ -207,3 +207,39 @@ def tumbling_counts_stream(
             "sum_value",
         )
     )
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "lts",
+    right_ts: str = "rts",
+    within: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: match rows sharing ``key`` whose event
+    times fall within ``within`` of each other (right_ts in
+    [left_ts, left_ts + within]) — the attribution pattern (click →
+    purchase within the hour) and the streaming flavor of the batch
+    ``range_join_close_events`` query.
+
+    Both sides carry watermarks, and the time-bound join condition is
+    what lets the engine EXPIRE buffered rows: a left row older than
+    (watermark - within) can never match a future right row, so its
+    state drops.  Without the interval condition a stream-stream inner
+    join must buffer both streams forever.  State per key is
+    O(rows inside the watermark+within horizon) — bounded, shuffle-
+    partitioned by key."""
+    lw = left.withWatermark(left_ts, delay)
+    rw = right.withWatermark(right_ts, delay)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {within}"))
+    )
+    return lw.join(rw, cond).select(
+        lw[key].alias(key),
+        lw[left_ts].alias(left_ts),
+        rw[right_ts].alias(right_ts),
+    )

@@ -238,3 +238,35 @@ def test_tumbling_counts_stream_watermark(spark, tmp_path):
     r = got[0]
     assert r["window_start"] == datetime(2026, 1, 1, 10, 0)
     assert (r["event_type"], r["n_events"], r["sum_value"]) == ("click", 2, 3.0)
+
+
+def test_interval_join_streams(spark, tmp_path):
+    """Stream-stream interval join: only (click, purchase) pairs with the
+    purchase inside [click, click + 1h] on the same user match; the
+    time-bound condition is what bounds the join state."""
+    from datetime import datetime
+
+    from processor_edf_spark.streaming.sessions import interval_join_streams
+
+    ldir, rdir, ckpt = (
+        str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "ckpt"),
+    )
+    t = lambda m: datetime(2026, 1, 1, 10, m)
+    spark.createDataFrame(
+        [(1, t(0)), (2, t(0))], "user_id long, lts timestamp"
+    ).coalesce(1).write.parquet(ldir)
+    spark.createDataFrame(
+        # user 1: in-window purchase; user 2: 90 min later (out of window);
+        # user 3: no click at all
+        [(1, t(30)), (2, datetime(2026, 1, 1, 11, 30)), (3, t(10))],
+        "user_id long, rts timestamp",
+    ).coalesce(1).write.parquet(rdir)
+
+    clicks = spark.readStream.schema("user_id long, lts timestamp").parquet(ldir)
+    buys = spark.readStream.schema("user_id long, rts timestamp").parquet(rdir)
+    out = interval_join_streams(clicks, buys, "user_id", within="1 hour")
+    _run_stream(out, "ij_out", ckpt)
+    rows = spark.sql("select * from ij_out").collect()
+
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
