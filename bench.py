@@ -93,6 +93,7 @@ EXTENDED = [
     "ngram_lang_profile",
     "levenshtein_block_pairs",
     "doc_length_histogram",
+    "boilerplate_ngrams",
 ]
 
 
