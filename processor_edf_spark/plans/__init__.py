@@ -131,6 +131,10 @@ _CANONICAL = [
     "levenshtein_block_pairs",
     "doc_length_histogram",
     "boilerplate_ngrams",
+    # r3 additions, batch 4: RANGE-frame window, INTERSECT ALL, date parts
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "dow_hour_heatmap",
 ]
 
 

@@ -879,3 +879,118 @@ def ntile_value_quartiles(spark, sf_dir):
             F.max("value").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# window / set-op surface extras (RANGE frames, INTERSECT ALL, date parts)
+# ---------------------------------------------------------------------------
+
+RANGE_FRAME_USEC = 3_600_000_000  # 1 hour
+
+
+@register(
+    "range_frame_user_avg",
+    f"""
+    WITH e AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_usec,
+               CAST(ROUND(value, 4) AS DECIMAL(28,4)) AS v
+        FROM events
+    )
+    SELECT user_id, t_usec,
+           ROUND(CAST(SUM(v) OVER w AS DOUBLE) / COUNT(*) OVER w, 4) AS avg_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY t_usec
+                 RANGE BETWEEN {RANGE_FRAME_USEC} PRECEDING AND CURRENT ROW)
+    """,
+)
+def range_frame_user_avg(spark, sf_dir):
+    """RANGE-frame window (vs the ROWS frame of moving_avg_daily_revenue):
+    per event, the user's average value over the TRAILING HOUR of event
+    time — frame membership decided by timestamp distance, not row count,
+    so rows with equal timestamps always share a frame (deterministic
+    under ties, no tiebreak needed).  The windowed SUM runs over exact
+    decimals: engines disagree on float window-aggregation order (segment
+    trees vs running sums), decimals make the tree shape irrelevant.
+    One shuffle on user_id; per-partition sort feeds the sliding frame in
+    O(n) amortized."""
+    (events,) = load(spark, sf_dir, "events")
+    e = events.select(
+        "user_id",
+        F.expr("ts div 1000").alias("t_usec"),
+        F.round(F.col("value"), 4).cast("decimal(28,4)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_usec")
+        .rangeBetween(-RANGE_FRAME_USEC, 0)
+    )
+    return e.select(
+        "user_id",
+        "t_usec",
+        F.round(
+            F.sum("v").over(w).cast("double") / F.count(F.lit(1)).over(w), 4
+        ).alias("avg_1h"),
+    )
+
+
+@register(
+    "intersect_all_user_days",
+    """
+    SELECT user_id, day FROM (
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id, strftime(ts, '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'purchase'
+    )
+    """,
+)
+def intersect_all_user_days(spark, sf_dir):
+    """INTERSECT ALL (multiset semantics — the set_ops_event_types query
+    covers plain INTERSECT): (user, day) click rows ∩ purchase rows
+    keeping MIN(multiplicity) copies, i.e. how many click-day slots also
+    had a purchase.  Spark plans intersectAll as a counted aggregate +
+    generate replay (two shuffles on the pair key), not a join — count
+    states shuffle, not row multisets."""
+    (events,) = load(spark, sf_dir, "events")
+    day = F.date_format(
+        F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+    ).alias("day")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return clicks.intersectAll(buys)
+
+
+@register(
+    "dow_hour_heatmap",
+    """
+    SELECT CAST(EXTRACT(isodow FROM ts) AS BIGINT) AS dow,
+           CAST(EXTRACT(hour  FROM ts) AS BIGINT) AS hour,
+           COUNT(*) AS n_events,
+           {sv} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """.format(sv=_msum_sql("value")),
+)
+def dow_hour_heatmap(spark, sf_dir):
+    """Activity heatmap by ISO weekday × hour (the date-part extraction
+    family: F8's EDF date parse covers construction, this covers
+    decomposition).  Spark's weekday() is 0=Monday, so weekday+1 ==
+    DuckDB's isodow; both engines evaluate in UTC (the session factory
+    pins spark.sql.session.timeZone=UTC and DuckDB timestamps are
+    naive).  Single groupBy over 168 output groups — partial agg makes
+    the shuffle negligible at any scale."""
+    (events,) = load(spark, sf_dir, "events")
+    tstamp = F.timestamp_micros(F.expr("ts div 1000"))
+    return (
+        events.select(
+            (F.weekday(tstamp) + 1).cast("long").alias("dow"),
+            F.hour(tstamp).cast("long").alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum(F.col("value")).alias("sum_value"),
+        )
+    )

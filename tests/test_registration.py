@@ -85,4 +85,4 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    assert len(QUERIES) == 81
+    assert len(QUERIES) == 84
