@@ -94,6 +94,9 @@ EXTENDED = [
     "levenshtein_block_pairs",
     "doc_length_histogram",
     "boilerplate_ngrams",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "dow_hour_heatmap",
 ]
 
 
