@@ -137,6 +137,17 @@ _CANONICAL = [
     "dow_hour_heatmap",
 ]
 
+# r4 rotation plan (for the next round's window, once CORRECTNESS_r03
+# confirms the current first 50): rotate IN the r3 additions that cover
+# operator families the window lacks — semdedup_label, boilerplate_ngrams,
+# range_frame_user_avg, intersect_all_user_days, q2_min_cost_supplier,
+# q13_order_count_distribution, q21_lone_fault_supplier, q22_idle_rich_
+# customers — swapping OUT green r3 rows whose coverage is duplicated
+# in-window (e.g. edf_date_parse/epoch_functions pair, tumbling vs the
+# grouping-set family, one of the two sessionize flavors).  Every rotated-
+# out query keeps its driver-green row from r2∪r3 plus the per-commit
+# CORRECTNESS_LOCAL record, so rotation stays coverage-neutral.
+
 
 def _reorder() -> None:
     missing = set(QUERIES) - set(_CANONICAL)
