@@ -1,0 +1,170 @@
+"""Pure-numpy decoders for UNCOMPRESSED media containers — real decode,
+no codec libraries (same approach as the EDF reader in sources/edf.py:
+fixed headers + ``np.frombuffer``):
+
+- PCM WAV (RIFF/WAVE, fmt 1, 8/16/32-bit) — chunk walk + one frombuffer;
+- BMP (BITMAPINFOHEADER, 24/32-bit uncompressed) — bottom-up padded rows
+  reshaped with numpy, no per-pixel Python;
+- binary PPM (P6, maxval ≤ 255) — ASCII header + raw RGB.
+
+Compressed codecs (JPEG/PNG/MP3/H.264) genuinely need external
+libraries; those payloads raise ``UnsupportedMediaError`` and the
+callers in operators/multimodal.py fall back to the documented
+deterministic stub.  The format sniffing is magic-byte based, so a mixed
+media column routes each payload to the right path per row.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class UnsupportedMediaError(ValueError):
+    """Payload is a format that needs an external codec library."""
+
+
+# ---------------------------------------------------------------------------
+# PCM WAV
+# ---------------------------------------------------------------------------
+
+_WAV_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+
+
+def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PCM RIFF/WAVE payload → (sample_rate, n_channels,
+    float64 samples in [-1, 1], shape (n_frames, n_channels)).
+
+    Chunk-walks the RIFF container (fmt/data chunks may appear in any
+    order, with vendor chunks between); one vectorized ``np.frombuffer``
+    decodes the sample block — no per-sample Python, mirroring the EDF
+    record decode discipline."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise UnsupportedMediaError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise UnsupportedMediaError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise UnsupportedMediaError(f"non-PCM wav (format {audio_format})")
+    if bits not in _WAV_DTYPES or n_channels < 1:
+        raise UnsupportedMediaError(f"unsupported PCM layout ({bits}-bit)")
+    raw = np.frombuffer(data, dtype=_WAV_DTYPES[bits])
+    raw = raw[: (len(raw) // n_channels) * n_channels].reshape(-1, n_channels)
+    if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
+        samples = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        samples = raw.astype(np.float64) / float(1 << (bits - 1))
+    return sample_rate, n_channels, samples
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal 16-bit PCM writer (tests + fixtures; also the inverse used
+    to round-trip-check the decoder).  ``samples`` in [-1, 1], shape
+    (n_frames,) or (n_frames, n_channels)."""
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    pcm = np.clip(np.round(arr * 32767.0), -32768, 32767).astype("<i2")
+    data = pcm.tobytes()
+    n_ch = arr.shape[1]
+    byte_rate = sample_rate * n_ch * 2
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, sample_rate, byte_rate, n_ch * 2, 16)
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24/32-bit) and binary PPM (P6)
+# ---------------------------------------------------------------------------
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed BMP or binary PPM payload → HxWx3 uint8 RGB.
+    Anything else (JPEG/PNG/...) raises UnsupportedMediaError."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise UnsupportedMediaError("not an uncompressed BMP/PPM payload")
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    if len(payload) < 54:
+        raise UnsupportedMediaError("truncated BMP header")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
+        raise UnsupportedMediaError(f"BMP variant (bpp={bpp}, comp={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise UnsupportedMediaError("truncated BMP pixel data")
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_offset)
+    rows = rows.reshape(height, stride)[:, : width * bytes_pp]
+    img = rows.reshape(height, width, bytes_pp)
+    if bottom_up:
+        img = img[::-1]
+    # BMP stores BGR(A) — reorder to RGB, drop alpha
+    return np.ascontiguousarray(img[:, :, 2::-1])
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    # (comment lines starting with '#' allowed inside the header)
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    width, height, maxval = fields
+    if maxval > 255:
+        raise UnsupportedMediaError("16-bit PPM")
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise UnsupportedMediaError("truncated PPM raster")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Minimal P6 writer (tests + fixtures)."""
+    arr = np.asarray(img, dtype=np.uint8)
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via index arithmetic — the vectorized
+    numpy form (no per-pixel loop, no external lib)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows[:, None], cols[None, :]]

@@ -3,9 +3,14 @@ with typed metadata, processed by Arrow-batched pandas functions over
 ``mapInPandas`` (SURVEY.md training-data extensions).
 
 The Spark-side contract is fully real — schemas, batching, partitioning,
-UDF signatures; only the codec calls are stubbed (image/audio libraries are
-not available in this container).  Swap ``_decode_image_stub`` for a real
-PIL/ffmpeg call and nothing else changes.
+UDF signatures — and so is the decode for UNCOMPRESSED containers:
+PCM WAV, BMP, and binary PPM decode with pure numpy
+(operators/media_codecs.py, same frombuffer discipline as the EDF
+reader).  Only compressed codecs (JPEG/PNG/MP3/H.264) are stubbed —
+they genuinely need external libraries not in this container; those
+payloads fall back to the deterministic stub with ``decoded=false`` so
+downstream consumers can tell real features from placeholders.  Swap the
+fallback for a PIL/ffmpeg call and nothing else changes.
 
 Design for 100 TB of media:
 - payloads stay in ``binary`` columns read via ``binaryFile`` or parquet —
@@ -44,6 +49,20 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType(), True),
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_usec", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
     ]
 )
 
@@ -58,11 +77,11 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """STUB decode: deterministic fake decoder (no codec libs in this
-    container).  Returns (width, height, 8-dim feature) derived from the
-    payload bytes so tests are reproducible.  Replace with PIL:
-    ``img = PIL.Image.open(io.BytesIO(payload))`` — the Spark plumbing
-    around it is unchanged."""
+    """STUB decode for COMPRESSED formats (JPEG/PNG — codec libs not in
+    this container): deterministic fake (width, height, 8-dim feature)
+    derived from the payload bytes so tests are reproducible.  Replace
+    with PIL: ``img = PIL.Image.open(io.BytesIO(payload))`` — the Spark
+    plumbing around it is unchanged."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     width = int(h[:4].sum()) % 4096 + 1
     height = int(h[4:8].sum()) % 4096 + 1
@@ -70,26 +89,103 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feature
 
 
+THUMB = 4  # feature = 4x4 grayscale thumbnail + per-channel means/stds
+
+
+def _image_feature(img: np.ndarray) -> np.ndarray:
+    """Deterministic 8-dim feature from a decoded HxWx3 image: per-channel
+    mean and std (÷255) plus the corners of a nearest-neighbor 2x2 gray
+    thumbnail — cheap, reproducible, and enough for embedding-shaped
+    downstream tests."""
+    from processor_edf_spark.operators.media_codecs import resize_nearest
+
+    f = img.astype(np.float64) / 255.0
+    thumb = resize_nearest(f.mean(axis=2), 2, 2).ravel()
+    return np.concatenate([f.mean(axis=(0, 1)), f.std(axis=(0, 1)), thumb[:2]])
+
+
 def extract_image_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract images: mapInPandas, one Arrow batch per
-    call, payload never leaves the executor."""
+    call, payload never leaves the executor.  Uncompressed BMP/PPM decode
+    for REAL (pure numpy); compressed payloads take the deterministic
+    stub and are flagged ``decoded=false``."""
+    from processor_edf_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        decode_image,
+    )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"media_id": [], "width": [], "height": [], "n_bytes": [], "feature": []}
+            rows = {
+                "media_id": [], "width": [], "height": [], "n_bytes": [],
+                "feature": [], "decoded": [],
+            }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                w, h, feat = _decode_image_stub(data)
+                try:
+                    img = decode_image(data)
+                    w, h = img.shape[1], img.shape[0]
+                    feat, real = _image_feature(img), True
+                except UnsupportedMediaError:
+                    w, h, feat = _decode_image_stub(data)
+                    real = False
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)
                 rows["n_bytes"].append(len(data))
-                rows["feature"].append(feat.tolist())
+                rows["feature"].append([float(x) for x in feat])
+                rows["decoded"].append(real)
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "image").select(
         "media_id", "payload"
     ).mapInPandas(gen, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract audio: PCM WAV decodes for REAL (RIFF
+    chunk walk + one ``np.frombuffer`` — the same vectorized discipline
+    as the EDF sample decoder); compressed audio (MP3/AAC) yields a
+    metadata-only row with ``decoded=false``.  rms/peak are the standard
+    corpus-audio health stats (silence / clipping detection)."""
+    from processor_edf_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        decode_wav_pcm,
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "n_channels": [],
+                "n_frames": [], "duration_usec": [], "rms": [], "peak": [],
+                "decoded": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                try:
+                    rate, n_ch, samples = decode_wav_pcm(data)
+                    n_frames = len(samples)
+                    rows["sample_rate"].append(rate)
+                    rows["n_channels"].append(n_ch)
+                    rows["n_frames"].append(n_frames)
+                    rows["duration_usec"].append(n_frames * 1_000_000 // rate)
+                    rows["rms"].append(float(np.sqrt(np.mean(samples**2))))
+                    rows["peak"].append(float(np.abs(samples).max(initial=0.0)))
+                    rows["decoded"].append(True)
+                except UnsupportedMediaError:
+                    rows["sample_rate"].append(None)
+                    rows["n_channels"].append(None)
+                    rows["n_frames"].append(None)
+                    rows["duration_usec"].append(None)
+                    rows["rms"].append(None)
+                    rows["peak"].append(None)
+                    rows["decoded"].append(False)
+                rows["media_id"].append(mid)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_usec: int = 1_000_000, max_frames: int = 16) -> DataFrame:

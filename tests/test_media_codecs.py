@@ -1,0 +1,127 @@
+"""Real-decode tests for the uncompressed-media codecs: numpy decoders
+round-trip synthetic fixtures with golden values (a sine's RMS is A/√2),
+and the Spark mapInPandas paths route real vs stubbed payloads per row.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from processor_edf_spark.operators.media_codecs import (
+    UnsupportedMediaError,
+    decode_image,
+    decode_wav_pcm,
+    encode_ppm,
+    encode_wav_pcm16,
+    resize_nearest,
+)
+from processor_edf_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_audio_features,
+    extract_image_features,
+)
+
+
+def _bmp24(img: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BMP writer for fixtures."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:  # bottom-up
+        line = row[:, ::-1].tobytes()  # RGB → BGR
+        raster += line + b"\0" * (stride - len(line))
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(raster), 0, 0, off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0)
+    return hdr + bytes(raster)
+
+
+def test_wav_pcm16_roundtrip_and_sine_rms():
+    rate, freq, amp, n = 8000, 440.0, 0.5, 8000
+    t = np.arange(n) / rate
+    sig = amp * np.sin(2 * np.pi * freq * t)
+    payload = encode_wav_pcm16(sig, rate)
+
+    got_rate, n_ch, samples = decode_wav_pcm(payload)
+    assert (got_rate, n_ch, len(samples)) == (rate, 1, n)
+    np.testing.assert_allclose(samples[:, 0], sig, atol=1 / 32767 + 1e-9)
+    # golden: RMS of A·sin = A/√2
+    rms = np.sqrt(np.mean(samples**2))
+    assert abs(rms - amp / np.sqrt(2)) < 1e-3
+
+
+def test_wav_stereo_and_vendor_chunk():
+    rate = 4000
+    stereo = np.stack([np.linspace(-1, 1, 100), np.linspace(1, -1, 100)], axis=1)
+    payload = encode_wav_pcm16(stereo, rate)
+    # splice an odd-sized vendor chunk (+1 alignment pad) between fmt and
+    # data — the walker must skip it, including the pad byte
+    fmt_end = 12 + 8 + 16
+    vendor = b"LIST" + struct.pack("<I", 5) + b"junk4" + b"\0"
+    payload = payload[:fmt_end] + vendor + payload[fmt_end:]
+    got_rate, n_ch, samples = decode_wav_pcm(payload)
+    assert (got_rate, n_ch, samples.shape) == (rate, 2, (100, 2))
+
+
+def test_wav_rejects_non_pcm():
+    bad = bytearray(encode_wav_pcm16(np.zeros(10), 8000))
+    struct.pack_into("<H", bad, 20, 3)  # audio_format = IEEE float
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav_pcm(bytes(bad))
+
+
+def test_bmp_and_ppm_decode_identical_image():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_image(_bmp24(img)), img)
+    np.testing.assert_array_equal(decode_image(encode_ppm(img)), img)
+
+
+def test_ppm_header_comments():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = encode_ppm(img).replace(b"P6\n", b"P6\n# a comment\n", 1)
+    np.testing.assert_array_equal(decode_image(payload), img)
+
+
+def test_decode_image_rejects_compressed():
+    with pytest.raises(UnsupportedMediaError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\0" * 64)
+
+
+def test_resize_nearest_exact_on_integer_scale():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8)
+    np.testing.assert_array_equal(up[::2, ::2], img)
+
+
+def test_spark_image_path_routes_real_and_stub(spark):
+    img = np.full((4, 4, 3), 128, dtype=np.uint8)
+    rows = [
+        (1, "image", encode_ppm(img), "image/x-portable-pixmap", None),
+        (2, "image", b"\xff\xd8\xff\xe0" + bytes(range(96)), "image/jpeg", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert out[1]["decoded"] and (out[1]["width"], out[1]["height"]) == (4, 4)
+    assert abs(out[1]["feature"][0] - 128 / 255) < 1e-6  # real channel mean
+    assert not out[2]["decoded"]  # compressed → stub, flagged
+
+
+def test_spark_audio_path_golden_rms(spark):
+    rate, amp = 8000, 0.25
+    sig = amp * np.sin(2 * np.pi * 440 * np.arange(8000) / rate)
+    rows = [
+        (1, "audio", encode_wav_pcm16(sig, rate), "audio/wav", None),
+        (2, "audio", b"ID3\x04" + b"\0" * 60, "audio/mpeg", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    r = out[1]
+    assert r["decoded"] and r["sample_rate"] == rate and r["n_frames"] == 8000
+    assert r["duration_usec"] == 1_000_000
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 1e-3
+    assert not out[2]["decoded"] and out[2]["rms"] is None
