@@ -5,7 +5,9 @@ fixed headers + ``np.frombuffer``):
 - PCM WAV (RIFF/WAVE, fmt 1, 8/16/32-bit) — chunk walk + one frombuffer;
 - BMP (BITMAPINFOHEADER, 24/32-bit uncompressed) — bottom-up padded rows
   reshaped with numpy, no per-pixel Python;
-- binary PPM (P6, maxval ≤ 255) — ASCII header + raw RGB.
+- binary PPM (P6, maxval ≤ 255) — ASCII header + raw RGB;
+- AVI demux (RIFF LIST walk) — real container parse for frame sampling;
+  per-frame decode then depends on the stream codec.
 
 Compressed codecs (JPEG/PNG/MP3/H.264) genuinely need external
 libraries; those payloads raise ``UnsupportedMediaError`` and the
@@ -168,3 +170,55 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     rows = (np.arange(out_h) * h) // out_h
     cols = (np.arange(out_w) * w) // out_w
     return img[rows[:, None], cols[None, :]]
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF) demux — raw/uncompressed frame streams
+# ---------------------------------------------------------------------------
+
+
+def demux_avi_frames(payload: bytes) -> tuple[int, list[bytes]]:
+    """Demux an AVI container → (usec_per_frame, ordered frame payloads).
+
+    Walks the nested RIFF LIST structure (hdrl for the avih main header,
+    movi for the frame chunks '##db'/'##dc') — the container parse is
+    pure byte arithmetic, no codec involved, so this is REAL demux for
+    any AVI; whether each frame's bytes then decode depends on the video
+    codec (raw/RGB frames need nothing further; compressed ones raise
+    at the frame-decode step, not here)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise UnsupportedMediaError("not a RIFF/AVI payload")
+    usec_per_frame: list[int] = []
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = payload[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", payload, pos + 4)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)  # skip list subtype
+            elif cid == b"avih" and size >= 4:
+                usec_per_frame.append(struct.unpack_from("<I", payload, body_start)[0])
+            elif cid[2:4] in (b"db", b"dc"):
+                frames.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(payload))
+    if not usec_per_frame:
+        raise UnsupportedMediaError("missing avih header")
+    return usec_per_frame[0], frames
+
+
+def encode_avi_raw(frames: list[bytes], usec_per_frame: int) -> bytes:
+    """Minimal AVI writer (tests + fixtures): one avih header in an hdrl
+    LIST, frames as '00db' chunks in a movi LIST."""
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack("<I", usec_per_frame) + b"\0" * 52
+    hdrl_body = b"hdrl" + avih
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = b"movi"
+    for f in frames:
+        movi_body += b"00db" + struct.pack("<I", len(f)) + f + (b"\0" if len(f) & 1 else b"")
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

@@ -189,21 +189,40 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_usec: int = 1_000_000, max_frames: int = 16) -> DataFrame:
-    """Frame-sample videos: emits one row per sampled frame.  The decode is
-    stubbed (deterministic byte slices); a real implementation calls the
-    demuxer inside the same generator."""
+    """Frame-sample videos: emits one row per sampled frame.  AVI
+    containers demux for REAL (RIFF LIST walk, operators/media_codecs.py)
+    — frames are taken at ≥ ``every_usec`` spacing from the stream's own
+    timing (avih µs/frame), capped at ``max_frames``.  Non-AVI containers
+    (MP4/MKV need a real demuxer lib) take the deterministic stub
+    (byte slices at synthetic timestamps)."""
+    from processor_edf_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        demux_avi_frames,
+    )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "t_usec": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
-                n = min(max_frames, max(1, len(data) // 64))
-                for i in range(n):
+                try:
+                    upf, frames = demux_avi_frames(data)
+                    stride = max(1, -(-every_usec // max(upf, 1)))  # ceil
+                    picked = [
+                        (i, i * upf, frames[i])
+                        for i in range(0, len(frames), stride)
+                    ][:max_frames]
+                except UnsupportedMediaError:
+                    n = min(max_frames, max(1, len(data) // 64))
+                    picked = [
+                        (i, i * every_usec, data[i * 64 : (i + 1) * 64])
+                        for i in range(n)
+                    ]
+                for idx, t, frame in picked:
                     out["media_id"].append(mid)
-                    out["frame_idx"].append(i)
-                    out["t_usec"].append(i * every_usec)
-                    out["frame"].append(data[i * 64 : (i + 1) * 64])
+                    out["frame_idx"].append(idx)
+                    out["t_usec"].append(t)
+                    out["frame"].append(frame)
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").select(

@@ -125,3 +125,39 @@ def test_spark_audio_path_golden_rms(spark):
     assert r["duration_usec"] == 1_000_000
     assert abs(r["rms"] - amp / np.sqrt(2)) < 1e-3
     assert not out[2]["decoded"] and out[2]["rms"] is None
+
+
+def test_avi_demux_roundtrip():
+    from processor_edf_spark.operators.media_codecs import (
+        demux_avi_frames,
+        encode_avi_raw,
+    )
+
+    frames = [bytes([i] * (10 + i)) for i in range(5)]  # odd+even sizes
+    payload = encode_avi_raw(frames, usec_per_frame=40_000)  # 25 fps
+    upf, got = demux_avi_frames(payload)
+    assert upf == 40_000
+    assert got == frames
+
+
+def test_spark_video_path_samples_real_avi_frames(spark):
+    from processor_edf_spark.operators.media_codecs import encode_avi_raw
+    from processor_edf_spark.operators.multimodal import sample_frames
+
+    frames = [bytes([i]) * 8 for i in range(50)]  # 50 frames @ 25 fps = 2 s
+    avi = encode_avi_raw(frames, usec_per_frame=40_000)
+    rows = [
+        (1, "video", avi, "video/x-msvideo", None),
+        (2, "video", bytes(range(200)), "video/mp4", None),  # stub path
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = sample_frames(media, every_usec=1_000_000, max_frames=16).collect()
+    real = sorted(
+        (r for r in out if r["media_id"] == 1), key=lambda r: r["frame_idx"]
+    )
+    # 1 s spacing over 25 fps → every 25th frame: indices 0 and 25
+    assert [(r["frame_idx"], r["t_usec"]) for r in real] == [
+        (0, 0), (25, 1_000_000),
+    ]
+    assert bytes(real[1]["frame"]) == frames[25]
+    assert any(r["media_id"] == 2 for r in out)  # stub path still emits
