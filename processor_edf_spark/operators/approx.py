@@ -56,8 +56,10 @@ def approx_percentiles(
     pct = F.percentile_approx(
         value_col, F.array(*[F.lit(p) for p in percentiles]), accuracy
     )
+    # name by the exact fraction (p99_5, not a rounded p100 that would
+    # collide with p1.0 or another nearby fraction)
     named = [
-        F.col("_pcts")[i].alias(f"p{int(round(p * 100))}")
+        F.col("_pcts")[i].alias("p" + format(p * 100, "g").replace(".", "_"))
         for i, p in enumerate(percentiles)
     ]
     return (

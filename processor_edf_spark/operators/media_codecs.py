@@ -24,7 +24,29 @@ import numpy as np
 
 
 class UnsupportedMediaError(ValueError):
-    """Payload is a format that needs an external codec library."""
+    """Payload is a format that needs an external codec library, or a
+    recognized container too malformed to parse.  The public decoders
+    raise ONLY this (malformed-header struct/int errors are converted),
+    so callers' stub-fallback handlers catch every decode failure."""
+
+
+def _only_media_errors(fn):
+    """Convert parser crashes on malformed bytes (struct.error on a lying
+    size field, ValueError on a garbage ASCII header, Index/ZeroDivision
+    on degenerate dimensions) into UnsupportedMediaError, preserving the
+    one-exception contract the mapInPandas fallbacks rely on."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload):
+        try:
+            return fn(payload)
+        except UnsupportedMediaError:
+            raise
+        except (struct.error, ValueError, IndexError, ZeroDivisionError) as e:
+            raise UnsupportedMediaError(f"malformed payload: {e}") from e
+
+    return wrapped
 
 
 # ---------------------------------------------------------------------------
@@ -34,6 +56,7 @@ class UnsupportedMediaError(ValueError):
 _WAV_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
 
 
+@_only_media_errors
 def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a PCM RIFF/WAVE payload → (sample_rate, n_channels,
     float64 samples in [-1, 1], shape (n_frames, n_channels)).
@@ -59,8 +82,10 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
     audio_format, n_channels, sample_rate, _, _, bits = fmt
     if audio_format != 1:
         raise UnsupportedMediaError(f"non-PCM wav (format {audio_format})")
-    if bits not in _WAV_DTYPES or n_channels < 1:
-        raise UnsupportedMediaError(f"unsupported PCM layout ({bits}-bit)")
+    if bits not in _WAV_DTYPES or n_channels < 1 or sample_rate < 1:
+        raise UnsupportedMediaError(
+            f"unsupported PCM layout ({bits}-bit, {n_channels}ch, {sample_rate}Hz)"
+        )
     raw = np.frombuffer(data, dtype=_WAV_DTYPES[bits])
     raw = raw[: (len(raw) // n_channels) * n_channels].reshape(-1, n_channels)
     if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
@@ -92,6 +117,7 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@_only_media_errors
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an uncompressed BMP or binary PPM payload → HxWx3 uint8 RGB.
     Anything else (JPEG/PNG/...) raises UnsupportedMediaError."""
@@ -111,6 +137,8 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     (compression,) = struct.unpack_from("<I", payload, 30)
     if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
         raise UnsupportedMediaError(f"BMP variant (bpp={bpp}, comp={compression})")
+    if width < 1 or height == 0:  # height<0 = top-down, but width is unsigned-by-spec
+        raise UnsupportedMediaError(f"degenerate BMP dimensions ({width}x{height})")
     bottom_up = height > 0
     height = abs(height)
     bytes_pp = bpp // 8
@@ -146,6 +174,8 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     width, height, maxval = fields
     if maxval > 255:
         raise UnsupportedMediaError("16-bit PPM")
+    if width < 1 or height < 1:
+        raise UnsupportedMediaError(f"degenerate PPM dimensions ({width}x{height})")
     need = width * height * 3
     if len(payload) - pos < need:
         raise UnsupportedMediaError("truncated PPM raster")
@@ -177,6 +207,7 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@_only_media_errors
 def demux_avi_frames(payload: bytes) -> tuple[int, list[bytes]]:
     """Demux an AVI container → (usec_per_frame, ordered frame payloads).
 

@@ -89,19 +89,16 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feature
 
 
-THUMB = 4  # feature = 4x4 grayscale thumbnail + per-channel means/stds
-
-
 def _image_feature(img: np.ndarray) -> np.ndarray:
     """Deterministic 8-dim feature from a decoded HxWx3 image: per-channel
-    mean and std (÷255) plus the corners of a nearest-neighbor 2x2 gray
+    mean and std (÷255) plus the top row of a nearest-neighbor 2x1 gray
     thumbnail — cheap, reproducible, and enough for embedding-shaped
     downstream tests."""
     from processor_edf_spark.operators.media_codecs import resize_nearest
 
     f = img.astype(np.float64) / 255.0
-    thumb = resize_nearest(f.mean(axis=2), 2, 2).ravel()
-    return np.concatenate([f.mean(axis=(0, 1)), f.std(axis=(0, 1)), thumb[:2]])
+    thumb = resize_nearest(f.mean(axis=2), 2, 1).ravel()
+    return np.concatenate([f.mean(axis=(0, 1)), f.std(axis=(0, 1)), thumb])
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:

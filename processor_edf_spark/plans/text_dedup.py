@@ -701,15 +701,18 @@ def ngram_lang_profile(spark, sf_dir):
     whole document once per trigram, an accidental O(n²) per doc that
     measured 3× slower at sf0.1."""
     (documents,) = load(spark, sf_dir, "documents")
-    d = spread(spark, documents).select(
-        "lang", F.lower(F.trim(F.col("text"))).alias("t")
+    # drop docs shorter than one trigram BEFORE the explode: Spark's
+    # sequence(1, 0) is the DESCENDING array [1, 0] (not empty like
+    # DuckDB's generate_series), which would double-count short texts
+    d = (
+        spread(spark, documents)
+        .select("lang", F.lower(F.trim(F.col("text"))).alias("t"))
+        .filter(F.length("t") >= 3)
     )
     grams = d.select(
         "lang",
         "t",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("t") - 2, F.lit(0)))
-        ).alias("i"),
+        F.explode(F.sequence(F.lit(1), F.length("t") - 2)).alias("i"),
     ).select("lang", F.expr("substring(t, i, 3)").alias("gram"))
     from pyspark.sql import Window
 
@@ -865,14 +868,19 @@ def boilerplate_ngrams(spark, sf_dir):
     ``spread`` widens the one-file local scan for the per-doc gram
     assembly (string joins dominate)."""
     (documents,) = load(spark, sf_dir, "documents")
-    toks = spread(spark, documents).select(
-        "doc_id", tokens(F.col("text")).alias("ts")
+    # docs with fewer than BOILER_K tokens contribute no grams; filtering
+    # them BEFORE the explode matches the oracle's empty generate_series
+    # (Spark's sequence(1, 0) is [1, 0] and slice(ts, 0, k) throws)
+    toks = (
+        spread(spark, documents)
+        .select("doc_id", tokens(F.col("text")).alias("ts"))
+        .filter(F.size("ts") >= BOILER_K)
     )
     grams = toks.select(
         "doc_id",
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(ts) - {BOILER_K - 1}, 0)),"
+                f"transform(sequence(1, size(ts) - {BOILER_K - 1}),"
                 f" i -> array_join(slice(ts, i, {BOILER_K}), ' '))"
             )
         ).alias("gram"),

@@ -178,6 +178,7 @@ def tumbling_counts_stream(
     events: DataFrame,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
     window: str = "1 hour",
     delay: str = "30 minutes",
 ) -> DataFrame:
@@ -197,7 +198,7 @@ def tumbling_counts_stream(
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(value_col).alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),

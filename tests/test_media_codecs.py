@@ -161,3 +161,38 @@ def test_spark_video_path_samples_real_avi_frames(spark):
     ]
     assert bytes(real[1]["frame"]) == frames[25]
     assert any(r["media_id"] == 2 for r in out)  # stub path still emits
+
+
+def test_malformed_payloads_fall_back_not_crash(spark):
+    """The one-exception contract: every malformed container must surface
+    as UnsupportedMediaError inside the decoders, so the Spark paths fall
+    back to the stub row instead of killing the task (struct.error /
+    bare ValueError / degenerate dimensions all reproduce the old crash)."""
+    import struct as _s
+
+    truncated_fmt = b"RIFF" + _s.pack("<I", 20) + b"WAVE" + b"fmt " + _s.pack("<I", 4) + b"\0\0\0\0"
+    zero_rate = bytearray(encode_wav_pcm16(np.zeros(4), 8000))
+    _s.pack_into("<I", zero_rate, 12 + 8 + 4, 0)  # sample_rate = 0
+    garbage_ppm = b"P6 abc def 255 xxxx"
+    neg_width_bmp = bytearray(_bmp24(np.zeros((2, 2, 3), dtype=np.uint8)))
+    _s.pack_into("<i", neg_width_bmp, 18, -5)
+    lying_avi = b"RIFF" + _s.pack("<I", 100) + b"AVI " + b"LIST" + _s.pack("<I", 1 << 30) + b"hdrl"
+
+    for payload in (truncated_fmt, bytes(zero_rate)):
+        with pytest.raises(UnsupportedMediaError):
+            decode_wav_pcm(bytes(payload))
+    for payload in (garbage_ppm, bytes(neg_width_bmp)):
+        with pytest.raises(UnsupportedMediaError):
+            decode_image(bytes(payload))
+    from processor_edf_spark.operators.media_codecs import demux_avi_frames
+    with pytest.raises(UnsupportedMediaError):
+        demux_avi_frames(lying_avi)
+
+    # end-to-end: the audio path emits decoded=false rows, no task failure
+    media = spark.createDataFrame(
+        [(1, "audio", bytes(truncated_fmt), None, None),
+         (2, "audio", bytes(zero_rate), None, None)],
+        MEDIA_SCHEMA,
+    )
+    out = extract_audio_features(media).collect()
+    assert len(out) == 2 and not any(r["decoded"] for r in out)

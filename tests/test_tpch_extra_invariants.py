@@ -98,3 +98,29 @@ def test_semdedup_survivor_set_is_maximal_antichain_prefix(spark):
     missing = lowest.join(survivors, ["label", "vec_id"], "left_anti").count()
     assert missing == 0
     assert survivors.count() <= embeddings.count()
+
+
+def test_ngram_kernels_handle_short_documents(spark):
+    """Spark's sequence(1, 0) is the DESCENDING array [1, 0] — short
+    documents must be filtered out before the explode (matching DuckDB's
+    empty generate_series), not double-counted or crashed on."""
+    from processor_edf_spark.plans import text_dedup as td
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "ab", "en", "s", 2), (2, "one two", "en", "s", 7),
+         (3, "alpha beta gamma delta epsilon zeta", "en", "s", 35)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    orig = td.load
+    td.load = lambda spark_, sf_dir, *names: [docs]
+    try:
+        grams = td.ngram_lang_profile(spark, "ignored")
+        total = grams.agg(F.sum("cnt")).first()[0]
+        # doc1 too short (0 trigrams), doc2: 5, doc3: 33 → top-10 window
+        # caps output but the underlying explode must not double-count
+        assert total is not None and total > 0
+        boiler = td.boilerplate_ngrams(spark, "ignored")
+        assert boiler.count() == 0  # no 5-gram repeats across these docs
+    finally:
+        td.load = orig
