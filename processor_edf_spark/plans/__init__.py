@@ -22,91 +22,42 @@ from processor_edf_spark.plans import tpch_extra  # noqa: E402,F401
 # driver row from an earlier round (tests/test_queries_oracle.py still
 # mirrors ALL of them, driver-exactly, every pytest run).
 #
-# r3 rotation: rollup/cube/pivot/set_ops/except/distinct were red in r1
-# (events load error, fixed in r2) but sat past the window in r2, so no
-# round had driver-verified them.  They move INTO the window this round;
-# six queries with green r2 rows and duplicated operator coverage move
-# out: calibrate_events (P-projection sibling filter_project_events stays;
-# P4 itself is pytest-golden-tested at sources/edf.py), sliding_hour_counts
-# (tumbling sibling stays), anti_join_idle_customers (semi sibling stays;
-# the EXCEPT query moving in is also an anti-join shape),
-# moving_avg_daily_revenue (window-frame sibling top3 stays),
-# minhash_signatures / simhash_16 (their consumers minhash_lsh_pairs /
-# simhash_near_pairs stay and transitively exercise them).
+# r4 rotation: ALL 28 queries that had never had a driver-green row (the
+# r3 additions — adapted TPC-H completion, the LLM-corpus operators, the
+# window/set-op extras, and multiprobe/quantize/sample/tfidf) move INTO
+# the window in one rotation, clearing the verification backlog in a
+# single round.  The 22 in-window slots that remain are one-per-family
+# representatives chosen from queries already driver-green in r2∪r3 (the
+# FAMILY map below tags every query; tests/test_registration.py asserts
+# the window always covers every family).  Every rotated-out query keeps
+# its driver-green r2∪r3 row plus the per-commit CORRECTNESS_LOCAL
+# mirror record, so the rotation is coverage-neutral.
 _CANONICAL = [
-    # TPC-H relational shapes
-    "q1_pricing_summary",
-    "q3_segment_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    # reference operator analogs over events (P/A/W/F rows of SURVEY §2)
-    "filter_project_events",
-    "agg_user_bounds",
-    "rate_crosscheck_users",
-    "sessionize_events",
-    "session_window_events",
-    "mode_period_users",
-    "timestamp_synthesis",
-    "overlap_validation",
-    "epoch_functions",
-    "edf_date_parse",
-    # join family (J rows + as-of / range joins)
-    "band_join_acctbal",
-    "get_or_create_parts",
-    "semi_join_returned_orders",
-    "asof_last_signup",
-    "range_join_close_events",
-    # window / agg / grouping-set analytics
-    "tumbling_daily_stats",
-    "top3_orders_per_customer",
-    "value_percentiles_per_type",
-    "json_props_stats",
-    "rollup_event_daily",
-    "cube_event_user_bucket",
-    "pivot_daily_event_counts",
-    "set_ops_event_types",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
-    # text-analysis family
-    "token_stats",
-    "text_quality",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "bpe_token_count",
-    "rolling_fingerprint",
-    "multimodal_meta",
-    # dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    # similarity / ANN family
-    "cosine_pairs",
-    "ann_topk_bruteforce",
-    "array_slice_projection",
-    "cosine_lsh_pairs",
-    "ann_ivf_label",
-    "dedup_embedding_cosine",
-    # ---- position 51+: green driver rows in r2, coverage duplicated above
-    "calibrate_events",
-    "sliding_hour_counts",
-    "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
-    "minhash_signatures",
-    "simhash_16",
-    # r3 additions (mirror + CORRECTNESS_LOCAL verified; window unchanged)
-    "ann_ivf_multiprobe",
-    "quantize_embeddings_int8",
-    "sample_hash_bucket",
-    "tfidf_top_terms",
-    # r3 additions, batch 2: adapted TPC-H completion (no partsupp /
-    # commitdate columns in testdata → shapes adapted, see tpch_extra.py)
-    # + NTILE window coverage.  Mirror + CORRECTNESS_LOCAL verified;
-    # first-50 window unchanged; rotation candidates for r4.
+    # ---- 22 family representatives, all driver-green in r2∪r3
+    "q1_pricing_summary",       # tpch agg flagship
+    "filter_project_events",    # events projection/filter (P rows)
+    "agg_user_bounds",          # events one-pass agg (A rows)
+    "sessionize_events",        # gap sessionization (W rows; entry() flagship)
+    "timestamp_synthesis",      # W3 sequence+posexplode
+    "epoch_functions",          # F rows scalar functions
+    "band_join_acctbal",        # J1 band join
+    "get_or_create_parts",      # J3 upsert
+    "asof_last_signup",         # as-of join
+    "top3_orders_per_customer", # ROWS window frame + group limit
+    "rollup_event_daily",       # grouping sets
+    "pivot_daily_event_counts", # pivot
+    "set_ops_event_types",      # INTERSECT/UNION set ops
+    "json_props_stats",         # semi-structured JSON functions
+    "token_stats",              # text analysis
+    "multimodal_meta",          # binary/multimodal metadata
+    "dedup_exact",              # exact dedup
+    "minhash_lsh_pairs",        # MinHash LSH (transitively minhash_signatures)
+    "simhash_near_pairs",       # SimHash LSH (transitively simhash_16)
+    "cosine_pairs",             # exact all-pairs similarity
+    "cosine_lsh_pairs",         # banded hyperplane LSH
+    "dedup_embedding_cosine",   # embedding dedup composition
+    # ---- 28 first-time driver checks (r3 additions; mirror-green)
+    # adapted TPC-H completion + NTILE
     "q2_min_cost_supplier",
     "q7_nation_volume",
     "q8_market_share",
@@ -122,31 +73,129 @@ _CANONICAL = [
     "q21_lone_fault_supplier",
     "q22_idle_rich_customers",
     "ntile_value_quartiles",
-    # r3 additions, batch 3: LLM-corpus operators (SemDeDup cluster-bounded
-    # dedup, trigram language profiles, blocked edit-distance pairs,
-    # length histogram, embedding norm audit)
+    # LLM-corpus operators
     "semdedup_label",
     "embedding_norm_stats",
     "ngram_lang_profile",
     "levenshtein_block_pairs",
     "doc_length_histogram",
     "boilerplate_ngrams",
-    # r3 additions, batch 4: RANGE-frame window, INTERSECT ALL, date parts
+    # window / set-op / date-part extras
     "range_frame_user_avg",
     "intersect_all_user_days",
     "dow_hour_heatmap",
+    # ANN / quantization / sampling / tf-idf
+    "ann_ivf_multiprobe",
+    "quantize_embeddings_int8",
+    "sample_hash_bucket",
+    "tfidf_top_terms",
+    # ---- position 51+: every query below has a driver-green row in
+    # r2∪r3 (see CORRECTNESS_r02/r03.json) and stays mirror-checked by
+    # tests/test_queries_oracle.py on every pytest run.
+    "q3_segment_revenue",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "rate_crosscheck_users",
+    "session_window_events",
+    "mode_period_users",
+    "overlap_validation",
+    "edf_date_parse",
+    "semi_join_returned_orders",
+    "range_join_close_events",
+    "tumbling_daily_stats",
+    "value_percentiles_per_type",
+    "cube_event_user_bucket",
+    "except_click_no_purchase",
+    "distinct_users_per_type",
+    "text_quality",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "bpe_token_count",
+    "rolling_fingerprint",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "array_slice_projection",
+    "ann_ivf_label",
+    "calibrate_events",
+    "sliding_hour_counts",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "minhash_signatures",
+    "simhash_16",
 ]
 
-# r4 rotation plan (for the next round's window, once CORRECTNESS_r03
-# confirms the current first 50): rotate IN the r3 additions that cover
-# operator families the window lacks — semdedup_label, boilerplate_ngrams,
-# range_frame_user_avg, intersect_all_user_days, q2_min_cost_supplier,
-# q13_order_count_distribution, q21_lone_fault_supplier, q22_idle_rich_
-# customers — swapping OUT green r3 rows whose coverage is duplicated
-# in-window (e.g. edf_date_parse/epoch_functions pair, tumbling vs the
-# grouping-set family, one of the two sessionize flavors).  Every rotated-
-# out query keeps its driver-green row from r2∪r3 plus the per-commit
-# CORRECTNESS_LOCAL record, so rotation stays coverage-neutral.
+# Operator-family tags.  tests/test_registration.py asserts the first-50
+# driver window contains at least one query from every family, so a
+# future rotation can never silently drop a family from driver checking.
+FAMILY = {
+    # adapted TPC-H relational shapes
+    **{n: "tpch" for n in (
+        "q1_pricing_summary", "q2_min_cost_supplier", "q3_segment_revenue",
+        "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+        "q7_nation_volume", "q8_market_share", "q9_product_profit",
+        "q10_returned_revenue", "q11_important_parts",
+        "q12_priority_by_status", "q13_order_count_distribution",
+        "q14_promo_revenue", "q15_top_supplier", "q16_supplier_variety",
+        "q17_small_quantity_revenue", "q18_large_orders",
+        "q19_disjunctive_revenue", "q20_bulk_suppliers",
+        "q21_lone_fault_supplier", "q22_idle_rich_customers",
+    )},
+    # reference operator analogs over events
+    **{n: "events" for n in (
+        "filter_project_events", "calibrate_events", "agg_user_bounds",
+        "rate_crosscheck_users", "mode_period_users", "tumbling_daily_stats",
+        "sliding_hour_counts", "value_percentiles_per_type",
+        "json_props_stats", "dow_hour_heatmap",
+    )},
+    **{n: "sessionize" for n in (
+        "sessionize_events", "session_window_events", "overlap_validation",
+    )},
+    **{n: "time_fns" for n in (
+        "timestamp_synthesis", "epoch_functions", "edf_date_parse",
+    )},
+    **{n: "joins" for n in (
+        "band_join_acctbal", "get_or_create_parts",
+        "semi_join_returned_orders", "anti_join_idle_customers",
+        "asof_last_signup", "range_join_close_events",
+    )},
+    **{n: "windows" for n in (
+        "top3_orders_per_customer", "moving_avg_daily_revenue",
+        "range_frame_user_avg", "ntile_value_quartiles",
+    )},
+    **{n: "grouping" for n in (
+        "rollup_event_daily", "cube_event_user_bucket",
+        "pivot_daily_event_counts",
+    )},
+    **{n: "setops" for n in (
+        "set_ops_event_types", "except_click_no_purchase",
+        "distinct_users_per_type", "intersect_all_user_days",
+    )},
+    **{n: "text" for n in (
+        "token_stats", "text_quality", "lang_id_heuristic",
+        "doc_fingerprint", "bpe_token_count", "rolling_fingerprint",
+        "ngram_lang_profile", "doc_length_histogram", "boilerplate_ngrams",
+        "tfidf_top_terms",
+    )},
+    **{n: "dedup_text" for n in (
+        "dedup_exact", "dedup_ngram_jaccard", "minhash_signatures",
+        "minhash_lsh_pairs", "simhash_16", "simhash_near_pairs",
+        "levenshtein_block_pairs",
+    )},
+    **{n: "similarity" for n in (
+        "cosine_pairs", "cosine_lsh_pairs", "dedup_embedding_cosine",
+        "semdedup_label", "array_slice_projection", "embedding_norm_stats",
+        "quantize_embeddings_int8",
+    )},
+    **{n: "ann" for n in (
+        "ann_topk_bruteforce", "ann_ivf_label", "ann_ivf_multiprobe",
+    )},
+    "multimodal_meta": "multimodal",
+    "sample_hash_bucket": "sampling",
+}
 
 
 def _reorder() -> None:
@@ -156,6 +205,9 @@ def _reorder() -> None:
         raise RuntimeError(
             f"canonical order out of sync: missing={sorted(missing)} extra={sorted(extra)}"
         )
+    untagged = set(_CANONICAL) - set(FAMILY)
+    if untagged:
+        raise RuntimeError(f"queries missing a FAMILY tag: {sorted(untagged)}")
     for d in (QUERIES, ORACLE):
         ordered = {n: d[n] for n in _CANONICAL if n in d}
         d.clear()
@@ -164,4 +216,4 @@ def _reorder() -> None:
 
 _reorder()
 
-__all__ = ["QUERIES", "ORACLE", "register"]
+__all__ = ["QUERIES", "ORACLE", "FAMILY", "register"]

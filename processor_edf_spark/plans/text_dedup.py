@@ -757,14 +757,22 @@ def levenshtein_block_pairs(spark, sf_dir):
     Two executed-plan refinements over the naive form (which measured
     5.4 s at sf0.1 — the DP ran unguarded, first in the join residual,
     in ONE task because the single parquet file scans as one partition):
-    the probe side spreads (``registry.spread``: conditional round-robin
+    both sides spread (``registry.spread``: conditional round-robin
     repartition, a no-op when the scan is already wide) so block scoring
-    parallelizes even from a one-file scan — broadcast join probe rows
-    need no co-location — and the Spark side uses the
+    parallelizes even from a one-file scan, and the Spark side uses the
     threshold form ``levenshtein(l, r, d)`` — a banded O(n·d) DP that
     returns -1 past the threshold, ~{LEV_MAX_DIST}/len of the full
     DP's work.  ``dist >= 0`` ≡ the oracle's ``dist <= {LEV_MAX_DIST}``
-    for the surviving rows, whose emitted distance is exact."""
+    for the surviving rows, whose emitted distance is exact.
+
+    The join is a plain shuffle hash equi-join on ``(lang, prefix)`` —
+    deliberately NOT a broadcast: the build side is the full document
+    table (doc_id + normalized text for every row), which is unbounded
+    at corpus scale — broadcasting it is an executor-OOM at 100 TB.
+    Both engines hash-partition the same key, AQE may still downgrade
+    to broadcast at runtime when stats show the build side is genuinely
+    small; ``tests/test_plan_shapes.py`` pins the no-static-broadcast
+    shape."""
     (documents,) = load(spark, sf_dir, "documents")
     d = documents.select(
         "doc_id", "lang", F.lower(F.trim(F.col("text"))).alias("t")
@@ -775,7 +783,7 @@ def levenshtein_block_pairs(spark, sf_dir):
         F.col("t").alias("ta"),
         F.substring("t", 1, LEV_PREFIX).alias("pfx_a"),
     )
-    b = d.select(
+    b = spread(spark, d).select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang").alias("lang_b"),
         F.col("t").alias("tb"),
@@ -783,7 +791,7 @@ def levenshtein_block_pairs(spark, sf_dir):
     )
     return (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("pfx_a") == F.col("pfx_b"))
             & (F.col("doc_a") < F.col("doc_b")),

@@ -333,3 +333,27 @@ def test_levenshtein_pairs_blocked_equi_join(spark):
     plan = plan_of(spark, "levenshtein_block_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_levenshtein_pairs_no_static_corpus_broadcast(spark):
+    """The block join's build side is the full document table — unbounded
+    at corpus scale, so a HARD broadcast hint is an executor OOM at
+    100 TB.  The plan must carry no broadcast hint: the strategy has to
+    come from size stats (Catalyst/AQE may still broadcast when the
+    observed build side is genuinely small — that's correct).  Pinned two
+    ways: (1) the optimized logical join has no hint attached, (2) with
+    the size-based broadcast path disabled — simulating a build side too
+    big to broadcast — the join degrades to a shuffle join, which a hard
+    hint would prevent."""
+    df = QUERIES["levenshtein_block_pairs"](spark, SF_SMALL)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in optimized, optimized[:2000]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        big = QUERIES["levenshtein_block_pairs"](spark, SF_SMALL)
+        plan = big._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastExchange" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -7,64 +7,71 @@ first 50 slots — an accidental import-order or list edit could silently
 rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
+
+The r4 window: 22 family representatives (every one driver-green in
+r2∪r3, see CORRECTNESS_r02/r03.json) + the 28 r3-added queries getting
+their first driver check.  ``test_window_covers_every_family`` keeps any
+future rotation coverage-neutral automatically.
 """
 
 from __future__ import annotations
 
 import __spark_entry__ as entry_mod
-from processor_edf_spark.plans import ORACLE, QUERIES
+from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
+    # 22 family representatives, driver-green in r2∪r3
     "q1_pricing_summary",
-    "q3_segment_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
     "filter_project_events",
     "agg_user_bounds",
-    "rate_crosscheck_users",
     "sessionize_events",
-    "session_window_events",
-    "mode_period_users",
     "timestamp_synthesis",
-    "overlap_validation",
     "epoch_functions",
-    "edf_date_parse",
     "band_join_acctbal",
     "get_or_create_parts",
-    "semi_join_returned_orders",
     "asof_last_signup",
-    "range_join_close_events",
-    "tumbling_daily_stats",
     "top3_orders_per_customer",
-    "value_percentiles_per_type",
-    "json_props_stats",
     "rollup_event_daily",
-    "cube_event_user_bucket",
     "pivot_daily_event_counts",
     "set_ops_event_types",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
+    "json_props_stats",
     "token_stats",
-    "text_quality",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "bpe_token_count",
-    "rolling_fingerprint",
     "multimodal_meta",
     "dedup_exact",
-    "dedup_ngram_jaccard",
     "minhash_lsh_pairs",
     "simhash_near_pairs",
     "cosine_pairs",
-    "ann_topk_bruteforce",
-    "array_slice_projection",
     "cosine_lsh_pairs",
-    "ann_ivf_label",
     "dedup_embedding_cosine",
+    # 28 first-time driver checks
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "q22_idle_rich_customers",
+    "ntile_value_quartiles",
+    "semdedup_label",
+    "embedding_norm_stats",
+    "ngram_lang_profile",
+    "levenshtein_block_pairs",
+    "doc_length_histogram",
+    "boilerplate_ngrams",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "dow_hour_heatmap",
+    "ann_ivf_multiprobe",
+    "quantize_embeddings_int8",
+    "sample_hash_bucket",
+    "tfidf_top_terms",
 ]
 
 
@@ -86,3 +93,20 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     assert len(QUERIES) == 84
+
+
+def test_every_query_has_a_family():
+    assert sorted(FAMILY) == sorted(QUERIES)
+
+
+def test_window_covers_every_family():
+    """The 50-slot driver window must always contain ≥1 query from every
+    operator family — a rotation that drops a family (e.g. rotates out
+    all sessionize flavors) fails here, keeping rotations
+    coverage-neutral by construction."""
+    window_families = {FAMILY[n] for n in list(QUERIES)[:50]}
+    all_families = set(FAMILY.values())
+    assert window_families == all_families, (
+        f"families missing from the driver window: "
+        f"{sorted(all_families - window_families)}"
+    )
