@@ -24,25 +24,51 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+# Canonical epoch-µs derivation for the testdata's timestamp columns.
+# The parquet carries naive (no-timezone) TIMESTAMP(MICROS) columns, which
+# Spark reads as TIMESTAMP_NTZ.  With the session timezone pinned to UTC
+# (load() below), ``cast(ntz AS timestamp)`` maps the wall-clock reading
+# onto the identical UTC instant, so ``unix_micros`` yields exactly what
+# DuckDB's ``epoch_us(ts)`` yields on the same naive value — the driver's
+# cross-engine hash compares epoch-µs BIGINTs, so this identity is the
+# whole correctness contract for time columns.  Filters that should reach
+# the parquet scan must compare the RAW column (Catalyst folds a
+# TIMESTAMP literal to NTZ and pushes the predicate); derive epoch-µs
+# only in post-filter projections.
+TS_US = "unix_micros(cast(ts as timestamp))"
+
+
+def ts_usec(col: str = "ts"):
+    """Column form of :data:`TS_US` for an arbitrary column name."""
+    from pyspark.sql import functions as F
+
+    return F.unix_micros(F.col(col).cast("timestamp"))
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     """Read input tables, robust to *any* caller-built SparkSession.
 
-    The testdata parquet carries INT64 TIMESTAMP(NANOS) columns (pandas
-    datetime64[ns]); Spark has no nanosecond timestamp type and refuses the
-    file unless ``spark.sql.legacy.parquet.nanosAsLong`` is set, in which
-    case the column arrives as long (ns since epoch) — exactly what every
-    plan here expects (``ts div 1000`` ≡ µs truncation).  The conf is
-    runtime-settable, so set it here rather than trusting whoever built the
-    session (the driver's harness uses a plain ``SparkSession.builder``).
+    Two runtime-settable session confs are pinned here rather than trusted
+    from whoever built the session (the driver's harness uses a plain
+    ``SparkSession.builder``):
 
-    DELIBERATE SESSION-WIDE SIDE EFFECT: after the first load() on a
-    session, any nanos-typed parquet column that session reads arrives as
-    long, not TIMESTAMP.  That is the contract every plan in this package
-    is written against (all testdata timestamp columns are nanos), and the
-    driver harness depends on it; a caller needing TIMESTAMP semantics for
-    its own reads must unset the conf or use a separate session.  Guarded
-    so it is applied once per session, not re-set on every call.
+    - ``spark.sql.session.timeZone=UTC`` — the testdata's timestamp
+      columns are naive TIMESTAMP(MICROS) (TIMESTAMP_NTZ in Spark); every
+      plan derives epoch-µs via :data:`TS_US`, which is only equal to
+      DuckDB's ``epoch_us`` when the NTZ→instant cast happens in UTC.
+    - ``spark.sql.legacy.parquet.nanosAsLong=true`` — some upstream
+      writers emit INT64 TIMESTAMP(NANOS) (pandas ``datetime64[ns]``),
+      which Spark otherwise refuses; with the conf the column arrives as
+      long ns for explicit conversion.  (The current testdata is µs, so
+      this is dormant compatibility, not the main path.)
+
+    DELIBERATE SESSION-WIDE SIDE EFFECT: both confs persist on the session
+    after the first load(); a caller needing different semantics for its
+    own reads must reset them or use a separate session.  Guarded so they
+    are applied once, not re-set per call.
     """
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return [spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names]

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from processor_edf_spark.plans.registry import load, register
+from processor_edf_spark.plans.registry import TS_US, load, register
 
 USEC = 1_000_000
 SESSION_GAP_USEC = 4 * 3600 * USEC  # 4h gap → several sessions/user on events
@@ -300,8 +300,8 @@ def agg_user_bounds(spark, sf_dir):
     """A1+A2: per-series min/max/count in one map-side-combined pass."""
     (events,) = load(spark, sf_dir, "events")
     return events.groupBy("user_id").agg(
-        F.min(F.expr("ts div 1000")).alias("start"),
-        F.max(F.expr("ts div 1000")).alias("end"),
+        F.min(F.expr(TS_US)).alias("start"),
+        F.max(F.expr(TS_US)).alias("end"),
         F.count(F.lit(1)).alias("num_values"),
     )
 
@@ -322,7 +322,7 @@ def rate_crosscheck_users(spark, sf_dir):
     return events.groupBy("user_id").agg(
         F.round(
             F.count(F.lit(1))
-            / ((F.max(F.expr("ts div 1000")) - F.min(F.expr("ts div 1000"))) / float(USEC)),
+            / ((F.max(F.expr(TS_US)) - F.min(F.expr(TS_US))) / float(USEC)),
             6,
         ).alias("inferred_rate")
     )
@@ -360,7 +360,7 @@ def sessionize_events(spark, sf_dir):
     reference's contiguous-chunk detection (base.py:322-342) on a generic
     event stream.  One shuffle on user_id; linear within partitions."""
     (events,) = load(spark, sf_dir, "events")
-    df = events.select("user_id", F.expr("ts div 1000").alias("t"), "event_id")
+    df = events.select("user_id", F.expr(TS_US).alias("t"), "event_id")
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     boundary = F.when(
         F.lag("t").over(w).isNull()
@@ -407,7 +407,7 @@ def session_window_events(spark, sf_dir):
     away (merge condition is strict overlap), hence the >= in the oracle.
     """
     (events,) = load(spark, sf_dir, "events")
-    df = events.select("user_id", F.timestamp_micros(F.expr("ts div 1000")).alias("ts"))
+    df = events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
     gap_sec = SESSION_GAP_USEC // USEC
     return (
         df.groupBy("user_id", F.session_window("ts", f"{gap_sec} seconds"))
@@ -447,7 +447,7 @@ def mode_period_users(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     diffs = (
-        events.select("user_id", F.expr("ts div 1000").alias("t"), "event_id")
+        events.select("user_id", F.expr(TS_US).alias("t"), "event_id")
         .withColumn(
             "period_min",
             F.round((F.col("t") - F.lag("t").over(w)) / 60_000_000.0).cast("long"),
@@ -614,7 +614,7 @@ def timestamp_synthesis(spark, sf_dir):
     base.py:357-372).  Integer µs math → exact cross-engine parity."""
     (events,) = load(spark, sf_dir, "events")
     starts = events.groupBy("user_id").agg(
-        F.min(F.expr("ts div 1000")).alias("start_usec")
+        F.min(F.expr(TS_US)).alias("start_usec")
     )
     exploded = starts.select(
         "user_id",
@@ -719,7 +719,7 @@ def tumbling_daily_stats(spark, sf_dir):
     under readStream with a watermark).  Map-side partial agg; shuffle
     moves one partial state per (day, partition)."""
     (events,) = load(spark, sf_dir, "events")
-    ts = F.timestamp_micros(F.expr("ts div 1000"))
+    ts = F.col("ts").cast("timestamp")
     return (
         events.groupBy(F.window(ts, "1 day").alias("w"))
         .agg(
@@ -751,7 +751,7 @@ def sliding_hour_counts(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.expr("ts div 1000"))
+        .orderBy(F.expr(TS_US))
         .rangeBetween(-3600 * USEC, 0)
     )
     return events.select(
@@ -783,7 +783,7 @@ def asof_last_signup(spark, sf_dir):
     linear scan, same plan shape at any scale.  Oracle: DuckDB's native
     ASOF JOIN."""
     (events,) = load(spark, sf_dir, "events")
-    t = F.expr("ts div 1000")
+    t = F.expr(TS_US)
     clicks = events.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", t.alias("t"), F.lit(1).alias("is_click")
     )
@@ -826,7 +826,7 @@ def rollup_event_daily(spark, sf_dir):
     so the shuffle moves one state per (set, group).  Subtotal NULLs are
     coalesced to sentinels ('<all>', -1) so the output is null-free."""
     (events,) = load(spark, sf_dir, "events")
-    day = F.expr("(ts div 1000) div 86400000000").alias("day")
+    day = F.expr(f"({TS_US}) div 86400000000").alias("day")
     return (
         events.select("event_type", day)
         .rollup("event_type", "day")
@@ -915,8 +915,8 @@ def range_join_close_events(spark, sf_dir):
     ev = events.select(
         "event_id",
         "user_id",
-        F.expr("ts div 1000").alias("t"),
-        F.expr(f"(ts div 1000) div {d}").alias("base"),
+        F.expr(TS_US).alias("t"),
+        F.expr(f"({TS_US}) div {d}").alias("base"),
     )
     a = ev.select(
         F.col("event_id").alias("event_a"),
@@ -1019,9 +1019,9 @@ def epoch_functions(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
     return events.filter(F.col("event_id") < 500).select(
         "event_id",
-        F.round(F.expr("ts div 1000") / float(USEC), 6).alias("secs"),
-        F.expr("ts div 1000000").alias("msecs"),
-        F.expr("ts div 1000").alias("usecs"),
+        F.round(F.expr(TS_US) / float(USEC), 6).alias("secs"),
+        F.expr("unix_millis(cast(ts as timestamp))").alias("msecs"),
+        F.expr(TS_US).alias("usecs"),
         F.floor(F.col("value") * USEC).cast("long").alias("value_usecs"),
     )
 
@@ -1320,7 +1320,7 @@ def pivot_daily_event_counts(spark, sf_dir):
     (exactly the FILTER clauses in the oracle).  At 100 TB an unlisted
     pivot would scan twice; the listed form never does."""
     (events,) = load(spark, sf_dir, "events")
-    day = F.expr("(ts div 1000) div 86400000000").alias("day")
+    day = F.expr(f"({TS_US}) div 86400000000").alias("day")
     types = ["click", "view", "purchase", "signup", "error"]
     wide = (
         events.select(day, "event_type")
@@ -1353,7 +1353,7 @@ def except_click_no_purchase(spark, sf_dir):
     Completes the set-op family next to ``set_ops_event_types``
     (INTERSECT)."""
     (events,) = load(spark, sf_dir, "events")
-    day = F.expr("(ts div 1000) div 86400000000").alias("day")
+    day = F.expr(f"({TS_US}) div 86400000000").alias("day")
     clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
     buys = events.filter(F.col("event_type") == "purchase").select("user_id", day)
     return clicks.subtract(buys)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from processor_edf_spark.plans.registry import load, register
+from processor_edf_spark.plans.registry import TS_US, load, register
 from processor_edf_spark.plans.relational import (
     _mavg_sql,
     _msum_sql,
@@ -916,7 +916,7 @@ def range_frame_user_avg(spark, sf_dir):
     (events,) = load(spark, sf_dir, "events")
     e = events.select(
         "user_id",
-        F.expr("ts div 1000").alias("t_usec"),
+        F.expr(TS_US).alias("t_usec"),
         F.round(F.col("value"), 4).cast("decimal(28,4)").alias("v"),
     )
     w = (
@@ -954,7 +954,7 @@ def intersect_all_user_days(spark, sf_dir):
     states shuffle, not row multisets."""
     (events,) = load(spark, sf_dir, "events")
     day = F.date_format(
-        F.timestamp_micros(F.expr("ts div 1000")), "yyyy-MM-dd"
+        F.col("ts").cast("timestamp"), "yyyy-MM-dd"
     ).alias("day")
     clicks = events.filter(F.col("event_type") == "click").select("user_id", day)
     buys = events.filter(F.col("event_type") == "purchase").select("user_id", day)
@@ -981,7 +981,7 @@ def dow_hour_heatmap(spark, sf_dir):
     naive).  Single groupBy over 168 output groups — partial agg makes
     the shuffle negligible at any scale."""
     (events,) = load(spark, sf_dir, "events")
-    tstamp = F.timestamp_micros(F.expr("ts div 1000"))
+    tstamp = F.col("ts").cast("timestamp")
     return (
         events.select(
             (F.weekday(tstamp) + 1).cast("long").alias("dow"),

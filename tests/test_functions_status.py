@@ -177,12 +177,55 @@ def test_file_status_and_quarantine(spark, tmp_path):
     assert samples.select("file").distinct().collect()[0]["file"] == "good.edf"
 
 
+def test_ntz_epoch_us_matches_duckdb(spark):
+    """The engine's canonical epoch-µs derivation is registry.TS_US:
+    ``unix_micros(cast(ts AS timestamp))`` over a TIMESTAMP_NTZ column
+    with the session timezone pinned to UTC.  DuckDB's ``epoch_us`` on
+    the same naive timestamps must agree exactly — including pre-1970
+    values, where a timezone leak or a floor/truncate divergence would
+    silently break every cross-engine hash."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from processor_edf_spark.plans.registry import TS_US
+
+    us = [-1_500_000, -1, 0, 1, 999_999, 86_400_000_001]
+    naive = pd.to_datetime(np.array(us, dtype="int64"), unit="us")
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"ts": naive}))
+    duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT CAST(epoch_us(ts) AS BIGINT) FROM t ORDER BY ts"
+        ).fetchall()
+    ]
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet reads of naive TIMESTAMP(MICROS) arrive as TIMESTAMP_NTZ;
+    # createDataFrame infers LTZ by default, so pin the inference type to
+    # mirror the engine's actual read path.
+    prev = spark.conf.get("spark.sql.timestampType")
+    spark.conf.set("spark.sql.timestampType", "TIMESTAMP_NTZ")
+    try:
+        sdf = spark.createDataFrame(pd.DataFrame({"ts": naive}))
+        assert dict(sdf.dtypes)["ts"] == "timestamp_ntz"
+    finally:
+        spark.conf.set("spark.sql.timestampType", prev)
+    got = [
+        r["us"]
+        for r in sdf.selectExpr(f"{TS_US} AS us").orderBy("us").collect()
+    ]
+    assert got == duck == sorted(us)
+
+
 def test_ns_to_us_truncation_matches_duckdb(spark):
-    """The engine's canonical ns→µs conversion is `ts div 1000` (Spark
-    integer div, truncation TOWARD ZERO).  DuckDB's epoch_us(TIMESTAMP_NS)
-    also truncates toward zero (-1500 ns → -1 µs, -999 ns → 0), so oracle
-    parity holds even for pre-1970 timestamps — pinned here so nobody
-    "fixes" it to floor division (-1500 → -2) and silently breaks parity."""
+    """Legacy nanos ingestion (spark.sql.legacy.parquet.nanosAsLong reads
+    INT64 TIMESTAMP(NANOS) as long ns): the explicit ns→µs conversion is
+    `ts div 1000` (Spark integer div, truncation TOWARD ZERO).  DuckDB's
+    epoch_us(TIMESTAMP_NS) also truncates toward zero (-1500 ns → -1 µs,
+    -999 ns → 0), so oracle parity holds even for pre-1970 timestamps —
+    pinned here so nobody "fixes" it to floor division (-1500 → -2)."""
     import duckdb
     import numpy as np
     import pandas as pd

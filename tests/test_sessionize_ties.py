@@ -31,7 +31,7 @@ def _events_with_ties(path: str) -> None:
     for i in range(4):
         rows.append((2, 100 + i, base))
     df = pd.DataFrame(rows, columns=["user_id", "event_id", "ts"])
-    df["ts"] = df["ts"].astype("datetime64[ns]")  # TIMESTAMP(NANOS) parquet
+    df["ts"] = df["ts"].astype("datetime64[us]")  # TIMESTAMP(MICROS), like testdata
     df["user_id"] = df["user_id"].astype(np.int64)
     df["event_id"] = df["event_id"].astype(np.int64)
     df.to_parquet(path)
