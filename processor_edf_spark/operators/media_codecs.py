@@ -71,6 +71,14 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # A declared size overrunning the payload would silently
+            # truncate the sample block (decoded=true with fewer samples)
+            # and a lying size skips any real chunks after it — malformed,
+            # not decodable.
+            raise UnsupportedMediaError(
+                f"chunk {cid!r} declares {size} bytes past end of payload"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
@@ -222,20 +230,33 @@ def demux_avi_frames(payload: bytes) -> tuple[int, list[bytes]]:
     usec_per_frame: list[int] = []
     frames: list[bytes] = []
 
-    def walk(pos: int, end: int) -> None:
+    # Iterative depth-first walk with an explicit continuation stack: a
+    # crafted payload of ~1000 nested LIST headers would blow Python's
+    # recursion limit, and RecursionError is not in _only_media_errors'
+    # converted set — so nesting depth must not consume interpreter
+    # stack.  On LIST, the sibling continuation is pushed and scanning
+    # descends into the body, preserving the exact pre-order a recursive
+    # walk yields (frame order across split movi LISTs matters).
+    stack: list[tuple[int, int]] = []
+    pos, end = 12, len(payload)
+    while True:
         while pos + 8 <= end:
             cid = payload[pos : pos + 4]
             (size,) = struct.unpack_from("<I", payload, pos + 4)
             body_start = pos + 8
+            nxt = body_start + size + (size & 1)
             if cid == b"LIST":
-                walk(body_start + 4, body_start + size)  # skip list subtype
-            elif cid == b"avih" and size >= 4:
+                stack.append((nxt, end))
+                pos, end = body_start + 4, min(body_start + size, end)
+                continue
+            if cid == b"avih" and size >= 4:
                 usec_per_frame.append(struct.unpack_from("<I", payload, body_start)[0])
             elif cid[2:4] in (b"db", b"dc"):
                 frames.append(payload[body_start : body_start + size])
-            pos = body_start + size + (size & 1)
-
-    walk(12, len(payload))
+            pos = nxt
+        if not stack:
+            break
+        pos, end = stack.pop()
     if not usec_per_frame:
         raise UnsupportedMediaError("missing avih header")
     return usec_per_frame[0], frames

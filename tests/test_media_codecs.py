@@ -196,3 +196,52 @@ def test_malformed_payloads_fall_back_not_crash(spark):
     )
     out = extract_audio_features(media).collect()
     assert len(out) == 2 and not any(r["decoded"] for r in out)
+
+def test_avi_deep_list_nesting_no_recursion_error():
+    """~1500 nested LIST headers must not blow the interpreter stack: the
+    demux walk is iterative (explicit continuation stack), so a crafted
+    ~24 KB payload parses (or raises UnsupportedMediaError) instead of
+    escaping as RecursionError and killing the mapInPandas task."""
+    from processor_edf_spark.operators.media_codecs import demux_avi_frames
+
+    depth = 1500
+    # innermost: a real avih chunk so the parse can succeed end-to-end
+    body = b"avih" + struct.pack("<I", 56) + struct.pack("<I", 40_000) + b"\0" * 52
+    for _ in range(depth):
+        body = b"LIST" + struct.pack("<I", len(body) + 4) + b"nest" + body
+    payload = b"RIFF" + struct.pack("<I", len(body) + 4) + b"AVI " + body
+    upf, frames = demux_avi_frames(payload)
+    assert upf == 40_000 and frames == []
+
+
+def test_avi_frame_order_preserved_across_split_movi_lists():
+    """Frames split across two movi LISTs (the AVIX pattern) must demux in
+    container order — pins the pre-order traversal of the iterative walk."""
+    from processor_edf_spark.operators.media_codecs import demux_avi_frames
+
+    def movi(frames):
+        body = b"movi"
+        for f in frames:
+            body += b"00db" + struct.pack("<I", len(f)) + f + (b"\0" if len(f) & 1 else b"")
+        return b"LIST" + struct.pack("<I", len(body)) + body
+
+    avih = b"avih" + struct.pack("<I", 56) + struct.pack("<I", 40_000) + b"\0" * 52
+    hdrl = b"LIST" + struct.pack("<I", len(avih) + 4) + b"hdrl" + avih
+    first, second = [b"aa", b"bbb"], [b"cccc", b"d\0"]
+    riff_body = b"AVI " + hdrl + movi(first) + movi(second)
+    payload = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    _, frames = demux_avi_frames(payload)
+    assert frames == first + second
+
+
+def test_wav_data_chunk_size_overrun_rejected():
+    """A data chunk whose declared size overruns the payload must raise
+    UnsupportedMediaError, not silently decode fewer samples as
+    decoded=true (and a lying size must not skip later real chunks)."""
+    good = bytearray(encode_wav_pcm16(np.zeros(100), 8000))
+    # data chunk header sits right after the 16-byte fmt body
+    data_hdr = 12 + 8 + 16
+    assert bytes(good[data_hdr : data_hdr + 4]) == b"data"
+    struct.pack_into("<I", good, data_hdr + 4, 10_000)  # declares past EOF
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav_pcm(bytes(good))
