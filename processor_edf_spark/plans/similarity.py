@@ -372,9 +372,10 @@ def _lsh_pair_frame(spark, sf_dir):
     (band, bucket) rows, group by (band, bucket), and score every
     within-bucket pair with the same tiled numpy kernel cosine_pairs uses
     — only (id, id, cos) threshold survivors leave Python.  A pair
-    colliding in k>1 bands is scored k times with bit-identical floats
-    (the kernel's per-pair fold doesn't depend on bucket membership), so
-    the OR-across-bands dedup is a DISTINCT on the tiny survivor set.
+    colliding in k>1 bands is scored once per band; BLAS reduction order
+    can vary with matrix shape, so the k scores are NOT guaranteed
+    bit-identical — the OR-across-bands dedup therefore groups on the
+    pair alone and keeps max(cos), never relying on float equality.
 
     This beats join-then-score candidate generation (equi-join on
     (band, bucket) + pair DISTINCT + embedding join-back + per-pair Arrow
@@ -434,9 +435,9 @@ def _lsh_pair_frame(spark, sf_dir):
         score_bucket, "vec_a long, vec_b long, cos_raw double"
     )
     return (
-        scored.select("vec_a", "vec_b", F.round("cos_raw", 4).alias("cos_sim"))
+        scored.groupBy("vec_a", "vec_b")
+        .agg(F.round(F.max("cos_raw"), 4).alias("cos_sim"))
         .filter(F.col("cos_sim") >= thr)
-        .distinct()
     )
 
 
@@ -718,6 +719,61 @@ def dedup_embedding_cosine(spark, sf_dir):
 
 
 SEMDEDUP_THETA = 0.30
+# Per-cluster pair scoring is |c|² — fine under SemDeDup's balanced-k-means
+# assumption, quadratic in a hot cluster without it.  Clusters above this
+# row count are sub-split by hash(vec_id) so no single task ever scores
+# more than max_cluster² pairs; pairs straddling sub-buckets are then NOT
+# compared (a documented recall trade on pathological clusters only —
+# under the cap the semantics are exactly the uncapped ones).
+SEMDEDUP_MAX_CLUSTER = 1 << 14
+
+
+def _semdedup_survivors(embeddings, max_cluster: int = SEMDEDUP_MAX_CLUSTER):
+    """Core of semdedup_label, parameterized for tests: survivors
+    (vec_id, label) after dominated-vector removal, with oversized
+    clusters hash-sub-split per :data:`SEMDEDUP_MAX_CLUSTER`."""
+    emb = embeddings.select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    ).withColumn("nrm", norm(F.col("e")))
+    # one row per cluster — tiny next to the corpus; plain join, AQE
+    # broadcasts it from runtime stats
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("c_sz"))
+    keyed = emb.join(sizes, "label").withColumn(
+        "sub",
+        F.pmod(
+            F.hash("vec_id"),
+            F.greatest(
+                F.lit(1), F.ceil(F.col("c_sz") / max_cluster).cast("int")
+            ),
+        ),
+    )
+    a = keyed.select(
+        "label",
+        "sub",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = keyed.select(
+        "label",
+        "sub",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dominated = (
+        a.join(b, ["label", "sub"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(
+                cosine_pd(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
+            )
+            >= SEMDEDUP_THETA
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return emb.join(dominated, "vec_id", "left_anti").select("vec_id", "label")
 
 
 @register(
@@ -749,40 +805,16 @@ def semdedup_label(spark, sf_dir):
     (O(Σ|c|²·d), not O(N²·d)) via a self-equi-join on label that both
     engines hash-partition, so each executor scores only co-clustered
     pairs — with C balanced clusters that is a C× cut, the standard
-    recipe at 100 TB where even LSH candidate sets get large.  Measured
-    at sf0.01 (θ={SEMDEDUP_THETA}): 111 same-label pairs → 95 dominated →
-    405 survivors.  Pair scoring uses the Arrow-batched ``cosine_pd``
-    with hoisted norms — bit-identical to the oracle's
-    list_inner_product fold."""
+    recipe at 100 TB where even LSH candidate sets get large.  Clusters
+    above {SEMDEDUP_MAX_CLUSTER} rows (balance assumption violated) are
+    hash-sub-split so no task is ever quadratic in a hot cluster — see
+    :func:`_semdedup_survivors`; below the cap (all driver scales) the
+    split is the identity.  Measured at sf0.01 (θ={SEMDEDUP_THETA}):
+    111 same-label pairs → 95 dominated → 405 survivors.  Pair scoring
+    uses the Arrow-batched ``cosine_pd`` with hoisted norms —
+    bit-identical to the oracle's list_inner_product fold."""
     (embeddings,) = load(spark, sf_dir, "embeddings")
-    emb = embeddings.select(
-        "vec_id", "label", _as_double("embedding").alias("e")
-    ).withColumn("nrm", norm(F.col("e")))
-    a = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = emb.select(
-        F.col("label"),
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    dominated = (
-        a.join(b, "label")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(
-                cosine_pd(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
-            )
-            >= SEMDEDUP_THETA
-        )
-        .select(F.col("id_b").alias("vec_id"))
-        .distinct()
-    )
-    return emb.join(dominated, "vec_id", "left_anti").select("vec_id", "label")
+    return _semdedup_survivors(embeddings)
 
 
 _NORM_SQL = "sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))"
