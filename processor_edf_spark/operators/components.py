@@ -40,6 +40,13 @@ def connected_components(
 
     Singleton nodes (no edges) are the caller's concern: join the result
     back to the entity table with a coalesce(component, id).
+
+    Raises ``RuntimeError`` if ``max_rounds`` is exhausted with labels
+    still changing: a silently-unconverged result mislabels components,
+    and callers (dedup_survivors) would drop the wrong rows with no way
+    to detect it.  With pointer jumping the bound is O(log diameter), so
+    the default 20 rounds covers ~1M-node chain diameters; raise
+    ``max_rounds`` for adversarially deeper graphs.
     """
     # undirected → both directions, as (node, neighbor)
     edges = (
@@ -99,6 +106,12 @@ def connected_components(
         comp = new_comp
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds; "
+            "labels were still changing — raise max_rounds (graph diameter "
+            f"exceeds ~2^{max_rounds})"
+        )
     return comp.select("node", F.col("comp").alias("component"))
 
 

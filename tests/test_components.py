@@ -84,3 +84,12 @@ def test_components_on_lsh_pairs(spark, sf_dir):
     # representative is a member and the minimum of its component
     mins = comp.groupBy("component").agg(F.min("node").alias("mn")).collect()
     assert all(r["component"] == r["mn"] for r in mins)
+
+
+def test_unconverged_raises_instead_of_silent_mislabel(spark):
+    """Exhausting max_rounds with labels still changing must raise, not
+    return wrong components that dedup_survivors would act on blindly."""
+    edges = [(i, i + 1) for i in range(40)]  # diameter 40 >> 2^1 rounds
+    pairs = spark.createDataFrame(edges, ["vec_a", "vec_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1).collect()
