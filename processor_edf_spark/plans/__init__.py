@@ -126,6 +126,12 @@ _CANONICAL = [
     "moving_avg_daily_revenue",
     "minhash_signatures",
     "simhash_16",
+    # ---- r4 additions (first driver check: r5 rotation; mirror-green
+    # from the commit that introduced each)
+    "minhash_jaccard_estimate",
+    "contamination_ngram_overlap",
+    "bm25_top_docs",
+    "knn_graph_bruteforce",
 ]
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50
@@ -183,8 +189,10 @@ FAMILY = {
     **{n: "dedup_text" for n in (
         "dedup_exact", "dedup_ngram_jaccard", "minhash_signatures",
         "minhash_lsh_pairs", "simhash_16", "simhash_near_pairs",
-        "levenshtein_block_pairs",
+        "levenshtein_block_pairs", "minhash_jaccard_estimate",
     )},
+    "contamination_ngram_overlap": "text",
+    "bm25_top_docs": "text",
     **{n: "similarity" for n in (
         "cosine_pairs", "cosine_lsh_pairs", "dedup_embedding_cosine",
         "semdedup_label", "array_slice_projection", "embedding_norm_stats",
@@ -192,6 +200,7 @@ FAMILY = {
     )},
     **{n: "ann" for n in (
         "ann_topk_bruteforce", "ann_ivf_label", "ann_ivf_multiprobe",
+        "knn_graph_bruteforce",
     )},
     "multimodal_meta": "multimodal",
     "sample_hash_bucket": "sampling",

@@ -853,3 +853,127 @@ def embedding_norm_stats(spark, sf_dir):
         F.min(F.round(F.col("nrm"), 4)).alias("min_norm"),
         F.max(F.round(F.col("nrm"), 4)).alias("max_norm"),
     )
+
+
+KNN_K = 5
+
+
+@register(
+    "knn_graph_bruteforce",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROUND({_COS_SQL.format(a='a.embedding', b='b.embedding')}, 4) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.vec_id <> b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rnk AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= {KNN_K}
+    """,
+)
+def knn_graph_bruteforce(spark, sf_dir):
+    """Exact k-NN graph: the top-{KNN_K} cosine neighbors of EVERY vector
+    (not just a query set) — the building block for embedding-based
+    curation (SemDeDup's cluster seeding, graph-based diversity sampling,
+    kNN-LM indexing).  ann_topk_bruteforce broadcasts a tiny query side;
+    here every vector is a query, so the layout is the cosine_pairs
+    blocked self-join grid instead: rows hash into {N_BLOCKS} blocks,
+    each unordered block pair meets in exactly one cogroup task, and each
+    task emits per-row BLOCK-LOCAL top-k candidates (k per row per block,
+    with a {_ROUND_MARGIN} raw-cosine margin so the later exact rounding
+    can never promote a dropped candidate past a kept one — the
+    cosine-boundary discipline of _ROUND_MARGIN).  The global per-vector
+    top-k then ranks only {N_BLOCKS}·k(+margin ties) partials per vector
+    — a per-key window over a few dozen rows, never the full candidate
+    matrix.  Off-diagonal cells emit both directions (A rows vs B block
+    and B rows vs A block) from the same tile, so the O(N²·d) compute is
+    still done once per unordered pair.
+
+    Scale: shuffle is N·{N_BLOCKS} replicated rows a side + N·{N_BLOCKS}·k
+    partials; per-task memory is two blocks + the tiled score buffer
+    (≤ _SCORE_TILE_BYTES).  The quadratic is intrinsic to an EXACT kNN
+    graph — the sub-quadratic variant is this same partial-top-k shape
+    sourced from LSH buckets (cosine_lsh_pairs) or IVF cells
+    (ann_ivf_label) instead of the full grid."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    k = KNN_K
+    nb = N_BLOCKS
+    emb = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        (F.crc32(F.col("vec_id").cast("string")) % nb).cast("int").alias("bkt"),
+    )
+    a_side = emb.select(
+        "vec_id", "e", F.col("bkt").alias("gi"),
+        F.explode(F.sequence(F.col("bkt"), F.lit(nb - 1))).alias("gj"),
+    )
+    # b-side columns get fresh names (fresh attribute ids): a cogroup of
+    # two branches of the SAME plan with a window downstream trips
+    # Catalyst into pruning the right child to its grouping keys only
+    # (observed on Spark 4.1: right arrives as just (gj, gi)); aliasing
+    # breaks the attribute sharing and the pruning leaves the data
+    # columns alone.
+    b_side = emb.select(
+        F.col("vec_id").alias("bv_id"),
+        F.col("e").alias("be"),
+        F.col("bkt").alias("gj"),
+        F.explode(F.sequence(F.lit(0), F.col("bkt"))).alias("gi"),
+    )
+
+    def emit_rowwise_topk(ids_q, cos, ids_c, mask):
+        """Block-local per-row top-k with the rounding margin: keep every
+        candidate within _ROUND_MARGIN of the row's k-th largest raw
+        cosine (candidates whose rounded value could tie into the top-k)."""
+        neg = np.where(mask, cos, -np.inf)
+        if neg.shape[1] > k:
+            kth = np.partition(neg, neg.shape[1] - k, axis=1)[:, neg.shape[1] - k]
+        else:
+            kth = np.full(len(neg), -np.inf)
+        keep = neg >= (kth[:, None] - _ROUND_MARGIN)
+        r, c = np.nonzero(keep & mask & np.isfinite(neg))
+        return pd.DataFrame(
+            {"q_id": ids_q[r], "n_id": ids_c[c], "cos_raw": cos[r, c]}
+        )
+
+    def partial(key, left, right):
+        if not len(left) or not len(right):
+            return pd.DataFrame({"q_id": [], "n_id": [], "cos_raw": []})
+        ida = left["vec_id"].to_numpy()
+        A = np.vstack(left["e"].to_numpy())
+        idb = right["bv_id"].to_numpy()
+        B = np.vstack(right["be"].to_numpy())
+        na, nb_ = _norms_ltr(A), _norms_ltr(B)
+        tile = max(1, _SCORE_TILE_BYTES // (max(len(B), 1) * 8))
+        out = []
+        for s in range(0, len(A), tile):
+            t = slice(s, s + tile)
+            cos = _block_cosines(A[t], B, na[t], nb_)
+            not_self = ida[t][:, None] != idb[None, :]
+            out.append(emit_rowwise_topk(ida[t], cos, idb, not_self))
+            if key[0] != key[1]:
+                # same tile, transposed: B rows' candidates from block A
+                out.append(emit_rowwise_topk(idb, cos.T, ida[t], not_self.T))
+        return pd.concat(out, ignore_index=True)
+
+    scored = (
+        a_side.groupby("gi", "gj")
+        .cogroup(b_side.groupby("gi", "gj"))
+        .applyInPandas(partial, "q_id long, n_id long, cos_raw double")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            F.col("q_id").alias("vec_id"),
+            F.col("n_id").alias("neighbor_id"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -898,3 +898,275 @@ def boilerplate_ngrams(spark, sf_dir):
         .agg(F.countDistinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard estimation, benchmark contamination, BM25 ranking
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_est_sql() -> str:
+    matches = " + ".join(
+        f"CASE WHEN a.mh{k} = b.mh{k} THEN 1 ELSE 0 END"
+        for k in range(MINHASH_K)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) AS band_key "
+        f"FROM sig"
+        for b in range(MINHASH_K // 2)
+    )
+    return f"""
+    WITH sig AS ({_minhash_sig_sql()}),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                    AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(({matches}) / {MINHASH_K}.0, 4) AS est_jaccard
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    """
+
+
+@register("minhash_jaccard_estimate", _jaccard_est_sql())
+def minhash_jaccard_estimate(spark, sf_dir):
+    """Estimated Jaccard for every LSH candidate pair: the fraction of the
+    {MINHASH_K} minhashes that agree — the unbiased MinHash estimator
+    (Broder '97), the number a production dedup thresholds on INSTEAD of
+    computing exact shingle intersections on the candidate set.  Two
+    narrow joins of the signature table (one row per doc, {MINHASH_K}
+    ints) against the candidate pairs; the estimate is integer equality
+    arithmetic — no text is ever rejoined, which is the point at 100 TB:
+    candidate verification touches signatures, not documents."""
+    sig = minhash_signatures(spark, sf_dir)
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_K)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MINHASH_K)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+        for k in range(MINHASH_K)
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / float(MINHASH_K), 4).alias("est_jaccard"),
+        )
+    )
+
+
+CONTAM_BENCH_MOD = 50  # doc_id % 50 == 0 -> the "benchmark" holdout set
+
+
+@register(
+    "contamination_ngram_overlap",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+        FROM documents
+    ),
+    bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0
+    ),
+    eval_sh AS (
+        SELECT sh.doc_id, sh.shingle,
+               CASE WHEN bench.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM sh LEFT JOIN bench USING (shingle)
+        WHERE sh.doc_id % {CONTAM_BENCH_MOD} <> 0
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(hit) AS BIGINT) AS n_contaminated,
+           ROUND(SUM(hit) / CAST(COUNT(*) AS DOUBLE), 4) AS contam_frac
+    FROM eval_sh GROUP BY doc_id
+    """,
+)
+def contamination_ngram_overlap(spark, sf_dir):
+    """Benchmark-contamination check (GPT-3 appx. C / PaLM style): for
+    every training document, the fraction of its distinct word
+    {SHINGLE_K}-grams that also occur in a holdout/benchmark set (here
+    the deterministic doc_id %% {CONTAM_BENCH_MOD} == 0 slice standing in
+    for an external eval suite).  High-overlap documents get dropped or
+    flagged before training.
+
+    Shape: explode both sides to distinct (doc, shingle), LEFT JOIN eval
+    shingles against the benchmark shingle set on the shingle key, count
+    hits per doc.  The benchmark side is DISTINCT shingles only — tiny
+    relative to the corpus (eval suites are fixed-size) — so AQE
+    broadcasts it at runtime; the eval side never shuffles more than its
+    exploded shingles, map-side-deduped.  No quadratic anything."""
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = spread(spark, documents).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
+        ).alias("shingle"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = sh.filter(F.col("doc_id") % CONTAM_BENCH_MOD != 0)
+    return (
+        ev.join(bench, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("contam_frac"),
+        )
+    )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "vector")
+BM25_TOPK = 20
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(MAX(CASE WHEN term = '{t}' THEN tf ELSE 0 END) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n               ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN df ELSE 0 END) AS df{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    # fixed-order float expression: idf_i * saturated-tf_i summed left to
+    # right, so both engines evaluate bit-identically before the round
+    score = " + ".join(
+        f"ln((n.n - d.df{i} + 0.5) / (d.df{i} + 0.5) + 1.0)"
+        f" * (t.tf{i} * {BM25_K1 + 1})"
+        f" / (t.tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / ad.avgdl))"
+        for i in range(len(BM25_TERMS))
+    )
+    terms_in = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    ad AS (SELECT SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dl),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    tf_long AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        WHERE term IN ({terms_in}) GROUP BY doc_id, term
+    ),
+    t AS (
+        SELECT doc_id, {tf_cols}
+        FROM tf_long GROUP BY doc_id
+    ),
+    df_long AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok
+        WHERE term IN ({terms_in}) GROUP BY term
+    ),
+    d AS (SELECT {df_cols} FROM df_long)
+    SELECT doc_id, score, rnk AS rank FROM (
+        SELECT t.doc_id,
+               ROUND({score}, 6) AS score,
+               ROW_NUMBER() OVER (
+                   ORDER BY ROUND({score}, 6) DESC, t.doc_id ASC) AS rnk
+        FROM t
+        JOIN dl USING (doc_id)
+        CROSS JOIN d CROSS JOIN n CROSS JOIN ad
+    ) WHERE rnk <= {BM25_TOPK}
+    """
+
+
+@register("bm25_top_docs", _bm25_sql())
+def bm25_top_docs(spark, sf_dir):
+    """BM25 retrieval (Robertson-Sparck Jones): top-{BM25_TOPK} documents
+    for the fixed query {BM25_TERMS}, k1={BM25_K1}, b={BM25_B}, idf =
+    ln((N-df+0.5)/(df+0.5)+1) — the classic lexical ranking a corpus
+    pipeline runs next to embedding ANN (hybrid retrieval).
+
+    Cross-engine float discipline: per-term tf/df are pivoted to COLUMNS
+    so the score is one fixed-order arithmetic expression (no float SUM
+    whose reduction order an engine may choose); every op is a correctly
+    rounded IEEE op, ln within 1 ulp on both engines, rounded to 6 before
+    ranking with a doc_id tiebreak (the tfidf_top_terms precedent).
+
+    Scale: two linear aggregations over the tokenized corpus, the term
+    filter rides the explode (only the {len(BM25_TERMS)} query terms
+    shuffle), df/avgdl/N are one-row broadcast aggregates, and the final
+    global top-k rewrites to a TakeOrdered — nothing quadratic, no
+    full-corpus sort."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    ad = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1)).cast("double")).alias("avgdl")
+    )
+    n = documents.agg(F.count(F.lit(1)).alias("n"))
+    qtok = tok.filter(F.col("term").isin(*BM25_TERMS))
+    tf_long = qtok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    t = tf_long.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("term") == term, F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(BM25_TERMS)
+        ]
+    )
+    df_long = qtok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    d = df_long.agg(
+        *[
+            F.max(F.when(F.col("term") == term, F.col("df")).otherwise(0)).alias(
+                f"df{i}"
+            )
+            for i, term in enumerate(BM25_TERMS)
+        ]
+    )
+    score = None
+    for i in range(len(BM25_TERMS)):
+        term_score = (
+            F.log(
+                (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+                + 1.0
+            )
+            * (F.col(f"tf{i}") * (BM25_K1 + 1))
+            / (
+                F.col(f"tf{i}")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score = term_score if score is None else score + term_score
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (rewrites to TakeOrderedAndProject —
+    # per-partition heaps, never a global single-partition sort of every
+    # scored doc), THEN rank the k survivors; the no-partition window runs
+    # over exactly BM25_TOPK rows.
+    topk = (
+        t.join(dl, "doc_id")
+        .crossJoin(F.broadcast(d))
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ad))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w))
