@@ -97,6 +97,11 @@ EXTENDED = [
     "range_frame_user_avg",
     "intersect_all_user_days",
     "dow_hour_heatmap",
+    # r4 additions
+    "minhash_jaccard_estimate",
+    "contamination_ngram_overlap",
+    "bm25_top_docs",
+    "knn_graph_bruteforce",
 ]
 
 
