@@ -1,0 +1,123 @@
+"""Distributed Lloyd's k-means over an embedding column — the real
+centroid learner behind the IVF queries (`ann_ivf_label` /
+`ann_ivf_multiprobe` use the testdata's label column as pre-assigned
+coarse cells; this operator is how those cells are LEARNED when no label
+exists).
+
+Shape per iteration (the classic scalable layout):
+- centroids live on the driver as a (k, d) numpy array, broadcast each
+  round — k·d floats, tiny next to the data;
+- assignment is one Arrow-batched mapInPandas pass: per batch, a
+  (batch, k) distance matrix via the same dim-by-dim accumulation
+  discipline as plans/similarity._block_cosines (deterministic float
+  order), argmin with lowest-centroid-id tie-break;
+- update is one groupBy(assignment) aggregation of per-dimension SUMs +
+  counts — map-side partial agg, so the shuffle carries k·d partials per
+  task, never rows.
+
+Driver-side data per round is exactly the k×(d+1) aggregate — O(k·d),
+independent of N.  Iteration count is the only driver loop (the same
+contract as operators/components.py).
+
+Determinism: init takes the k lowest-id vectors (no RNG), ties in
+argmin break to the lowest centroid index, and empty clusters keep
+their previous centroid — so fit(df) is bit-reproducible run-over-run
+and testable against a pure-numpy reference (tests/test_kmeans.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _distances(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Squared L2 distance matrix (rows × centroids), accumulated
+    dimension-by-dimension (fixed float order, mirrors _block_cosines)."""
+    D = np.zeros((len(M), len(C)), dtype=np.float64)
+    for i in range(M.shape[1]):
+        diff = M[:, i][:, None] - C[None, :, i]
+        D += diff * diff
+    return D
+
+
+def assign_clusters(
+    df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, cluster, dist_sq) for every row against the broadcast
+    centroid array — one Arrow pass, no shuffle."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            D = _distances(M, C)
+            a = np.argmin(D, axis=1)  # np.argmin returns the FIRST min → lowest id
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cluster": a.astype(np.int32),
+                    "dist_sq": D[np.arange(len(M)), a],
+                }
+            )
+
+    src = df.select(id_col, vec_col)
+    return src.mapInPandas(gen, f"{id_col} long, cluster int, dist_sq double")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Lloyd's iterations; returns the (k, d) centroid array.  Each round
+    is one assignment pass + one groupBy(cluster) of per-dimension sums —
+    the update aggregate collected to the driver is k·(d+1) values."""
+    seed_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    C = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
+    d = C.shape[1]
+    sum_cols = [
+        F.sum(F.col(vec_col).getItem(i).cast("double")).alias(f"s{i}")
+        for i in range(d)
+    ]
+    for _ in range(n_iter):
+        assigned = assign_clusters(df, C, id_col=id_col, vec_col=vec_col)
+        joined = assigned.join(df.select(id_col, vec_col), id_col)
+        agg = (
+            joined.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), *sum_cols)
+            .collect()
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for row in agg:
+            c = row["cluster"]
+            n = row["n"]
+            newC[c] = np.array([row[f"s{i}"] for i in range(d)]) / n
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C
+
+
+def kmeans_inertia(
+    df: DataFrame, centroids: np.ndarray, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> float:
+    """Sum of squared distances to the assigned centroid — the quantity
+    Lloyd's monotonically decreases; pinned by the tests."""
+    return (
+        assign_clusters(df, centroids, id_col=id_col, vec_col=vec_col)
+        .agg(F.sum("dist_sq"))
+        .collect()[0][0]
+    )

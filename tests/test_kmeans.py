@@ -1,0 +1,81 @@
+"""Distributed Lloyd's k-means vs a pure-numpy reference with identical
+deterministic policies (lowest-id seeding, first-min argmin, empty
+clusters keep their centroid) — the distributed update must be
+bit-compatible in structure and numerically equal within float-sum
+reassociation tolerance, and inertia must be monotone non-increasing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from processor_edf_spark.operators.kmeans import (
+    assign_clusters,
+    kmeans_fit,
+    kmeans_inertia,
+)
+
+
+def _numpy_kmeans(X: np.ndarray, k: int, n_iter: int) -> np.ndarray:
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        D = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(D, axis=1)
+        newC = C.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                newC[c] = X[m].mean(axis=0)
+        if np.allclose(newC, C, rtol=0, atol=0):
+            break
+        C = newC
+    return C
+
+
+def _blobs(n=120, d=8, k=3, spread=0.05):
+    rng = np.random.RandomState(7)
+    centers = rng.randn(k, d) * 3
+    X = np.vstack(
+        [centers[i % k] + spread * rng.randn(d) for i in range(n)]
+    )
+    return X
+
+
+def _df(spark, X):
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(X), dtype=np.int64), "embedding": [r.tolist() for r in X]}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    X = _blobs()
+    df = _df(spark, X)
+    C_spark = kmeans_fit(df, k=3, n_iter=5)
+    C_np = _numpy_kmeans(X, k=3, n_iter=5)
+    np.testing.assert_allclose(C_spark, C_np, rtol=1e-9, atol=1e-12)
+
+
+def test_kmeans_separates_blobs_and_inertia_monotone(spark):
+    X = _blobs()
+    df = _df(spark, X)
+    inertias = [
+        kmeans_inertia(df, kmeans_fit(df, k=3, n_iter=it)) for it in (1, 3, 6)
+    ]
+    assert inertias[0] >= inertias[1] >= inertias[2]
+    # converged assignment groups the construction's i%3 pattern
+    C = kmeans_fit(df, k=3, n_iter=6)
+    a = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, C).collect()
+    }
+    for i in range(len(X)):
+        assert a[i] == a[i % 3]  # same blob -> same cluster
+
+
+def test_assign_tie_breaks_to_lowest_centroid(spark):
+    df = _df(spark, np.array([[0.0, 0.0]]))
+    C = np.array([[1.0, 0.0], [-1.0, 0.0]])  # equidistant
+    got = assign_clusters(df, C).collect()[0]
+    assert got["cluster"] == 0
