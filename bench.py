@@ -102,6 +102,8 @@ EXTENDED = [
     "contamination_ngram_overlap",
     "bm25_top_docs",
     "knn_graph_bruteforce",
+    "stratified_sample_lang",
+    "funnel_conversion",
 ]
 
 

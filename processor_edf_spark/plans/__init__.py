@@ -132,6 +132,8 @@ _CANONICAL = [
     "contamination_ngram_overlap",
     "bm25_top_docs",
     "knn_graph_bruteforce",
+    "stratified_sample_lang",
+    "funnel_conversion",
 ]
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50
@@ -204,6 +206,8 @@ FAMILY = {
     )},
     "multimodal_meta": "multimodal",
     "sample_hash_bucket": "sampling",
+    "stratified_sample_lang": "sampling",
+    "funnel_conversion": "sessionize",
 }
 
 

@@ -1413,3 +1413,81 @@ def q17_small_quantity_revenue(spark, sf_dir):
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+FUNNEL_WINDOW_USEC = 3600 * USEC  # click -> purchase conversion horizon
+
+
+@register(
+    "funnel_conversion",
+    f"""
+    WITH cp AS (
+        SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    nxt AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN t END) OVER (
+                   PARTITION BY user_id ORDER BY t, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+               ) AS next_purchase_t
+        FROM cp
+    )
+    SELECT t // 86400000000 AS day,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CASE WHEN next_purchase_t - t <= {FUNNEL_WINDOW_USEC}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(SUM(CASE WHEN next_purchase_t - t <= {FUNNEL_WINDOW_USEC}
+                          THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4)
+               AS conv_rate
+    FROM nxt WHERE event_type = 'click'
+    GROUP BY t // 86400000000
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Click→purchase funnel: per day, the fraction of clicks followed by
+    a purchase from the same user within {FUNNEL_WINDOW_USEC}µs (1 h) —
+    the sequential-pattern / conversion-attribution shape (the simplest
+    MATCH_RECOGNIZE instance) a behavioral pipeline runs next to
+    sessionization.
+
+    Shape: filter to the two funnel stages FIRST (the predicate rides the
+    scan — at 100 TB the window sees only funnel events, not the firehose),
+    then ONE per-user forward-looking window (min over strictly-following
+    rows of the conditional purchase time, ties broken by event_id on both
+    engines) and a daily rollup.  One shuffle on user_id for the window +
+    one partial-agg shuffle on day; linear within partitions — the as-of
+    join family (asof_last_signup) pointed backward; this points forward."""
+    (events,) = load(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    cp = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id", "event_id", "event_type", F.expr(TS_US).alias("t")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = cp.withColumn(
+        "next_purchase_t",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("t"))
+        ).over(w),
+    )
+    converted = F.when(
+        F.col("next_purchase_t") - F.col("t") <= FUNNEL_WINDOW_USEC, 1
+    ).otherwise(0)
+    return (
+        nxt.filter(F.col("event_type") == "click")
+        .groupBy(F.expr("t div 86400000000").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum(converted).alias("n_converted"),
+            F.round(
+                F.sum(converted) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("conv_rate"),
+        )
+    )

@@ -1170,3 +1170,45 @@ def bm25_top_docs(spark, sf_dir):
     )
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+STRAT_N_PER_LANG = 20
+
+
+@register(
+    "stratified_sample_lang",
+    f"""
+    SELECT lang, doc_id, rnk AS rank FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {hash64_sql("CAST(doc_id AS VARCHAR)", "strat")} ASC,
+                            doc_id ASC) AS rnk
+        FROM documents
+    ) WHERE rnk <= {STRAT_N_PER_LANG}
+    """,
+)
+def stratified_sample_lang(spark, sf_dir):
+    """Stratified deterministic sampling: the {STRAT_N_PER_LANG}
+    lowest-md5-ranked documents PER LANGUAGE — the fixed-size-per-stratum
+    companion to ``sample_hash_bucket``'s fixed-rate global sample.  This
+    is how a multilingual corpus keeps low-resource languages represented
+    in an eval split: rate-based sampling keeps ~0 docs of a 0.01% lang,
+    top-n-by-hash keeps exactly n, and the md5 ranking makes the split
+    reproducible on any engine, any run, any cluster size (no rand()).
+
+    Shape: one shuffle on lang, per-stratum ROW_NUMBER rewrites to
+    WindowGroupLimit (per-partition top-n heaps BEFORE the shuffle), so
+    the sort never sees more than n rows per stratum per partition.  A
+    skewed stratum (one lang = 90% of the corpus) still caps at n rows
+    out per partition — the limit pushes ahead of the shuffle."""
+    (documents,) = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    rk = hash64(F.col("doc_id").cast("string"), "strat")
+    w = Window.partitionBy("lang").orderBy(rk.asc(), F.col("doc_id").asc())
+    return (
+        documents.select("lang", "doc_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= STRAT_N_PER_LANG)
+    )

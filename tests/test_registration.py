@@ -93,8 +93,9 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 84 through r3 + r4 additions (minhash_jaccard_estimate,
-    # contamination_ngram_overlap, bm25_top_docs, knn_graph_bruteforce)
-    assert len(QUERIES) == 88
+    # contamination_ngram_overlap, bm25_top_docs, knn_graph_bruteforce,
+    # stratified_sample_lang, funnel_conversion)
+    assert len(QUERIES) == 90
 
 
 def test_every_query_has_a_family():
