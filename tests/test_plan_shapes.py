@@ -357,3 +357,42 @@ def test_levenshtein_pairs_no_static_corpus_broadcast(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:2000]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_stratified_sample_window_group_limit(spark):
+    """Per-stratum top-n must rewrite to WindowGroupLimit so a skewed
+    stratum caps at n rows per partition before the shuffle."""
+    plan = plan_of(spark, "stratified_sample_lang")
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_bm25_global_topk_is_take_ordered(spark):
+    """The global top-k must be TakeOrderedAndProject (per-partition
+    heaps), never a single-partition sort/window over every scored doc."""
+    plan = plan_of(spark, "bm25_top_docs")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_knn_graph_blocked_cogroup_no_cartesian(spark):
+    """Exact kNN graph must be the blocked cogroup grid (cosine_pairs
+    layout), not a cartesian/broadcast-nested-loop pair join."""
+    plan = plan_of(spark, "knn_graph_bruteforce")
+    assert "FlatMapCoGroupsInPandas" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_filters_ride_the_scan(spark):
+    """The funnel-stage filter must reach the parquet scan: the window
+    sees only click/purchase rows, never the full event firehose."""
+    plan = plan_of(spark, "funnel_conversion")
+    assert "PushedFilters: [" in plan and "In(event_type" in plan, plan[:2000]
+
+
+def test_contamination_benchmark_join_no_cartesian(spark):
+    """Contamination overlap is an equi-join on the shingle key; the
+    benchmark side is distinct shingles (AQE may broadcast), never a
+    cartesian expansion."""
+    plan = plan_of(spark, "contamination_ngram_overlap")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
