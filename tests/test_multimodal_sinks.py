@@ -189,3 +189,42 @@ def test_partitioned_sink_prunes_file_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan, plan[:2000]
     assert "rec_2.edf" in plan.split("PartitionFilters")[1][:300], plan[:2000]
     assert q.count() == 50
+
+
+def test_write_training_shards_bounded_and_deterministic(spark, tmp_path):
+    """Every exported shard respects maxRecordsPerFile, rows survive
+    exactly, and two identical exports produce identical shard
+    contents (deterministic membership + in-shard order)."""
+    import glob
+
+    from processor_edf_spark.sinks.writers import write_training_shards
+
+    docs = spark.range(0, 1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 AS STRING) AS lang", "repeat('x', 10) AS text"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs, out, max_records_per_file=150, shard_key="lang",
+        order_cols=("doc_id",),
+    )
+    files = sorted(glob.glob(f"{out}/*.parquet"))
+    assert files
+    import pyarrow.parquet as pq
+
+    sizes = [pq.read_metadata(f).num_rows for f in files]
+    assert all(s <= 150 for s in sizes)
+    assert sum(sizes) == 1000
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.select("doc_id").distinct().count() == 1000
+
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(
+        docs, out2, max_records_per_file=150, shard_key="lang",
+        order_cols=("doc_id",),
+    )
+    import pandas as pd
+
+    a = pd.concat([pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{out}/*.parquet"))])
+    b = pd.concat([pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{out2}/*.parquet"))])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
