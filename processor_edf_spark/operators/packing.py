@@ -1,0 +1,132 @@
+"""Sequence packing and incremental (append-mode) dedup — the last two
+steps between a cleaned corpus and the trainer.
+
+Sequence packing: group documents into fixed-token-budget bins so the
+trainer sees dense sequences instead of one padded document each.
+Packing is PER PARTITION (greedy first-fit over a partition's documents)
+— the industry-standard approximation: a globally optimal bin packing is
+NP-hard and needs global state, while per-partition first-fit reaches
+~90%+ utilization on natural length distributions and keeps the operator
+embarrassingly parallel (each partition packs independently; bin ids are
+made globally unique by folding in the partition id).  One optional
+repartition upstream; the packing pass itself is a single
+state-carrying mapInPandas over each partition.
+
+Incremental dedup: the append-mode companion to the batch `dedup_exact`
+query — a persistent parquet store of content hashes; each new batch
+anti-joins against the store, and only fresh rows are admitted (and
+their hashes appended).  This is how a daily crawl drop dedups against
+the accumulated corpus without rescanning it: the store holds one
+16-byte-ish row per EVER-SEEN document (hash only, not text), the
+anti-join is a plain equi-join on the hash — shuffle bounded by the
+batch, store side scan-pruned to the hash column.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEQ_PID_SHIFT = 40  # seq_id = (partition_id << 40) | local bin counter
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+) -> DataFrame:
+    """Assign every document to a bin: returns (id, seq_id, seq_offset,
+    doc_len) where each seq_id's documents sum to ≤ ``budget`` tokens —
+    except a single document longer than the budget, which gets a bin of
+    its own (the trainer's truncation policy owns it; flagged
+    ``oversize``).
+
+    First-fit over the partition's rows in (length desc, id) order —
+    deterministic for a fixed partitioning; sort-desc first-fit (FFD) is
+    the classic 11/9·OPT+1 bound."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: list[pd.DataFrame] = [b for b in batches if len(b)]
+        if not rows:
+            return
+        pdf = pd.concat(rows, ignore_index=True)
+        pid = int(pdf["_pid"].iloc[0])
+        pdf = pdf.sort_values(
+            [len_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[int] = []  # remaining capacity per open bin
+        out_seq, out_off, out_over = [], [], []
+        for length in pdf[len_col].to_numpy():
+            placed = False
+            if length <= budget:
+                for i, cap in enumerate(bins):
+                    if cap >= length:
+                        out_seq.append(i)
+                        out_off.append(budget - cap)
+                        bins[i] = cap - length
+                        placed = True
+                        break
+            if not placed:
+                bins.append(max(budget - length, 0))
+                out_seq.append(len(bins) - 1)
+                out_off.append(0)
+            out_over.append(length > budget)
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "seq_id": [(pid << SEQ_PID_SHIFT) | s for s in out_seq],
+                "seq_offset": out_off,
+                "doc_len": pdf[len_col].to_numpy(),
+                "oversize": out_over,
+            }
+        )
+
+    src = df.select(id_col, len_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    return src.mapInPandas(
+        pack,
+        f"{id_col} long, seq_id long, seq_offset long, doc_len long, "
+        "oversize boolean",
+    )
+
+
+def dedup_incremental(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only rows whose content sha-256 has never been seen; append
+    the admitted hashes to the store.  Returns the admitted rows.
+
+    The batch itself is deduped first (keep lowest ``id_col`` per sha —
+    a per-sha window, batch-sized), then anti-joined against the store.
+    The store append is the admitted hashes only — one short row per
+    ever-seen document, scan-pruned to the hash column on read.  Not
+    transactional: one writer at a time (the ACID-append table-format
+    upgrade is a deployment choice, not an operator change)."""
+    from pyspark.sql import Window
+
+    keyed = batch.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_sha").orderBy(id_col)
+    batch_unique = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    try:
+        seen = spark.read.parquet(store_dir).select("content_sha")
+        fresh = batch_unique.join(seen, "content_sha", "left_anti")
+    except Exception:  # first batch: no store yet
+        fresh = batch_unique
+    # materialize before the store append so the admitted set is not
+    # re-derived against a store we are about to mutate
+    admitted = fresh.localCheckpoint(eager=True)
+    admitted.select("content_sha").write.mode("append").parquet(store_dir)
+    return admitted.drop("content_sha")

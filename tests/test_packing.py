@@ -1,0 +1,68 @@
+"""Sequence packing + incremental dedup (operators/packing.py)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from processor_edf_spark.operators.packing import (
+    dedup_incremental,
+    pack_sequences,
+)
+
+BUDGET = 100
+
+
+def test_pack_sequences_respects_budget_and_covers_all(spark):
+    lens = [60, 50, 40, 30, 30, 20, 10, 10, 150]  # 150 is oversize
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+    ).coalesce(1)
+    out = pack_sequences(df, BUDGET).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(len(lens)))
+    by_seq = defaultdict(list)
+    for r in out:
+        by_seq[r["seq_id"]].append(r)
+    for seq, rows in by_seq.items():
+        total = sum(r["doc_len"] for r in rows)
+        if any(r["oversize"] for r in rows):
+            assert len(rows) == 1  # oversize docs get their own bin
+        else:
+            assert total <= BUDGET
+            # offsets are a proper prefix layout within the bin
+            offs = sorted((r["seq_offset"], r["doc_len"]) for r in rows)
+            pos = 0
+            for off, ln in offs:
+                assert off == pos
+                pos += ln
+    # FFD on this distribution: 60+40, 50+30+20, 30+10+10 -> 3 bins + 1 oversize
+    assert len(by_seq) == 4
+
+
+def test_pack_sequences_partition_parallel_unique_ids(spark):
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(40)], "doc_id long, n_tokens long"
+    ).repartition(4)
+    out = pack_sequences(df, BUDGET).collect()
+    assert len(out) == 40
+    assert len({r["seq_id"] for r in out}) == 40  # 60 > 100/2: one per bin
+    assert sorted(r["doc_id"] for r in out) == list(range(40))
+
+
+def test_dedup_incremental_across_batches(spark, tmp_path):
+    store = str(tmp_path / "sha_store")
+    b1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    got1 = sorted(r["doc_id"] for r in dedup_incremental(spark, b1, store).collect())
+    assert got1 == [1, 2]  # in-batch dup of 'alpha' keeps lowest id
+
+    b2 = spark.createDataFrame(
+        [(4, "beta"), (5, "gamma"), (6, "gamma")], "doc_id long, text string"
+    )
+    got2 = sorted(r["doc_id"] for r in dedup_incremental(spark, b2, store).collect())
+    assert got2 == [5]  # 'beta' seen in batch 1; gamma keeps 5
+
+    b3 = spark.createDataFrame(
+        [(7, "alpha"), (8, "gamma")], "doc_id long, text string"
+    )
+    assert dedup_incremental(spark, b3, store).count() == 0
