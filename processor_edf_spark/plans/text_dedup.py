@@ -938,19 +938,47 @@ def minhash_jaccard_estimate(spark, sf_dir):
     """Estimated Jaccard for every LSH candidate pair: the fraction of the
     {MINHASH_K} minhashes that agree — the unbiased MinHash estimator
     (Broder '97), the number a production dedup thresholds on INSTEAD of
-    computing exact shingle intersections on the candidate set.  Two
-    narrow joins of the signature table (one row per doc, {MINHASH_K}
-    ints) against the candidate pairs; the estimate is integer equality
-    arithmetic — no text is ever rejoined, which is the point at 100 TB:
-    candidate verification touches signatures, not documents."""
+    computing exact shingle intersections on the candidate set.
+
+    The banded explode CARRIES the full signature ({MINHASH_K} ints per
+    row, 4× exploded), so the band self-join compares signatures in the
+    join residual and no join-back to the signature table exists — the
+    naive compose (candidate pairs ⋈ sig ⋈ sig) costs three more
+    computations of the signature aggregate (Spark does not reuse the
+    subtree across join branches: measured 4 parquet scans), i.e. three
+    extra full shingle+md5 passes over the corpus at 100 TB.  Carrying
+    {MINHASH_K} ints through one shuffle is strictly cheaper.  The same
+    estimate lands on every band a pair collides in (the mh columns are
+    identical), so the OR-across-bands dedup stays a plain DISTINCT."""
     sig = minhash_signatures(spark, sf_dir)
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    a = sig.select(
+    mh_cols = [f"mh{k}" for k in range(MINHASH_K)]
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    ":",
+                    F.col(f"mh{2*b}").cast("string"),
+                    F.col(f"mh{2*b+1}").cast("string"),
+                ).alias("band_key"),
+            )
+            for b in range(MINHASH_K // 2)
+        ]
+    )
+    bands = sig.select("doc_id", *mh_cols, F.explode(band_structs).alias("bb")).select(
+        "doc_id", *mh_cols, F.col("bb.band_idx").alias("band_idx"),
+        F.col("bb.band_key").alias("band_key"),
+    )
+    a = bands.select(
         F.col("doc_id").alias("doc_a"),
+        F.col("band_idx").alias("ba"),
+        F.col("band_key").alias("ka"),
         *[F.col(f"mh{k}").alias(f"a{k}") for k in range(MINHASH_K)],
     )
-    b = sig.select(
+    b = bands.select(
         F.col("doc_id").alias("doc_b"),
+        F.col("band_idx").alias("bb_"),
+        F.col("band_key").alias("kb"),
         *[F.col(f"mh{k}").alias(f"b{k}") for k in range(MINHASH_K)],
     )
     matches = sum(
@@ -958,13 +986,18 @@ def minhash_jaccard_estimate(spark, sf_dir):
         for k in range(MINHASH_K)
     )
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
+        a.join(
+            b,
+            (F.col("ba") == F.col("bb_"))
+            & (F.col("ka") == F.col("kb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .select(
             "doc_a",
             "doc_b",
             F.round(matches / float(MINHASH_K), 4).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 
