@@ -104,6 +104,9 @@ EXTENDED = [
     "knn_graph_bruteforce",
     "stratified_sample_lang",
     "funnel_conversion",
+    "knn_graph_lsh",
+    "embedding_dim_stats",
+    "cohort_retention",
 ]
 
 

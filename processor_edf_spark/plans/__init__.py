@@ -134,6 +134,9 @@ _CANONICAL = [
     "knn_graph_bruteforce",
     "stratified_sample_lang",
     "funnel_conversion",
+    "knn_graph_lsh",
+    "embedding_dim_stats",
+    "cohort_retention",
 ]
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50
@@ -208,6 +211,9 @@ FAMILY = {
     "sample_hash_bucket": "sampling",
     "stratified_sample_lang": "sampling",
     "funnel_conversion": "sessionize",
+    "knn_graph_lsh": "ann",
+    "embedding_dim_stats": "similarity",
+    "cohort_retention": "events",
 }
 
 

@@ -1491,3 +1491,46 @@ def funnel_conversion(spark, sf_dir):
             ).alias("conv_rate"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+        FROM events
+    ),
+    cohort AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM activity a JOIN cohort c USING (user_id)
+    WHERE a.day - c.cohort_day <= 14
+    GROUP BY c.cohort_day, a.day - c.cohort_day
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-active day, and
+    for each (cohort, day-offset ≤ 14) the count still active — the
+    standard growth-analytics rollup (and a two-level self-aggregation
+    shape: min-per-user, join back, regroup).
+
+    Scale: activity is the DISTINCT (user, day) projection (map-side
+    dedup before the shuffle); the cohort table is one row per user and
+    joins back on user_id — co-partitioned with activity's own shuffle,
+    so AQE plans one shuffle for both sides; the final rollup carries
+    partial states over ≤ cohorts×15 groups."""
+    (events,) = load(spark, sf_dir, "events")
+    day = F.expr(f"({TS_US}) div 86400000000")
+    activity = events.select("user_id", day.alias("day")).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("day_offset") <= 14)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -977,3 +977,97 @@ def knn_graph_bruteforce(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+@register(
+    "knn_graph_lsh",
+    f"""
+    WITH {_LSH_PAIRS_CTES},
+    sym AS (
+        SELECT vec_a AS vec_id, vec_b AS neighbor_id, cos_sim FROM lsh_pairs
+        UNION ALL
+        SELECT vec_b AS vec_id, vec_a AS neighbor_id, cos_sim FROM lsh_pairs
+    )
+    SELECT vec_id, neighbor_id, cos_sim, rnk AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk
+        FROM sym
+    )
+    WHERE rnk <= {KNN_K}
+    """,
+)
+def knn_graph_lsh(spark, sf_dir):
+    """Approximate kNN graph — the 100 TB replacement for
+    knn_graph_bruteforce: neighbor candidates come from the banded
+    hyperplane LSH buckets (cosine_lsh_pairs' shape) instead of the full
+    O(N²) grid, then the per-vector top-{KNN_K} ranks only LSH survivors.
+    Same recall contract as cosine_lsh_pairs (>99.9% at near-dup
+    similarity, thinning toward the {COSINE_PAIR_THRESHOLD} threshold),
+    and the candidate set is deterministic (fixed hyperplanes), so the
+    approximation itself is oracle-checkable — both engines rank the
+    SAME candidate pairs.  Cost: the banded explode shuffle + per-bucket
+    m² scoring + a per-key window over each vector's few collisions —
+    near-linear in true collisions, vs the grid's intrinsic quadratic."""
+    pairs = _lsh_pair_frame(spark, sf_dir)
+    sym = pairs.select(
+        F.col("vec_a").alias("vec_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "cos_sim",
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"),
+            F.col("vec_a").alias("neighbor_id"),
+            "cos_sim",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+    )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT dim,
+           ROUND(CAST(SUM(CAST(ROUND(v, 4) AS DECIMAL(28,4))) AS DOUBLE)
+                 / COUNT(*), 4) AS mean_v,
+           MIN(ROUND(v, 4)) AS min_v,
+           MAX(ROUND(v, 4)) AS max_v
+    FROM (
+        SELECT CAST(i - 1 AS INT) AS dim, embedding[i]::DOUBLE AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) dims
+    )
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-DIMENSION statistics over the embedding column — the
+    column-health companion to embedding_norm_stats' per-vector audit: a
+    dead dimension (zero variance), a saturated one, or a mean far off
+    zero shows up here before it poisons similarity search or
+    quantization ranges (quantize_embeddings_int8 buys its int8 range
+    from exactly these min/max).
+
+    posexplode → one partial-aggregated groupBy over d=64 keys: the
+    shuffle carries d partial states per task regardless of N.  The mean
+    uses the money_avg discipline (round-4 → exact decimal sum → one
+    double division) so the cross-engine compare is exact."""
+    (embeddings,) = load(spark, sf_dir, "embeddings")
+    dims = spread(spark, embeddings).select(
+        F.posexplode(_as_double("embedding")).alias("dim", "v")
+    )
+    return dims.groupBy("dim").agg(
+        F.round(
+            F.sum(F.round(F.col("v"), 4).cast("decimal(28,4)")).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_v"),
+        F.min(F.round(F.col("v"), 4)).alias("min_v"),
+        F.max(F.round(F.col("v"), 4)).alias("max_v"),
+    )
