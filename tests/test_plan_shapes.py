@@ -396,3 +396,24 @@ def test_contamination_benchmark_join_no_cartesian(spark):
     plan = plan_of(spark, "contamination_ngram_overlap")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_lsh_no_cartesian_banded_only(spark):
+    """The approximate kNN graph must stay LSH-bucketed: per-key window
+    over banded collisions — no cartesian, no grid cogroup."""
+    plan = plan_of(spark, "knn_graph_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_dim_stats_partial_agg(spark):
+    """The 64-key dimension rollup must partial-aggregate before its
+    shuffle (HashAggregate below the Exchange)."""
+    plan = plan_of(spark, "embedding_dim_stats")
+    assert plan.index("HashAggregate") < plan.index("Exchange"), plan[:1500]
+
+
+def test_cohort_retention_no_cartesian(spark):
+    plan = plan_of(spark, "cohort_retention")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
