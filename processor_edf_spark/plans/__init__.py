@@ -126,8 +126,8 @@ _CANONICAL = [
     "moving_avg_daily_revenue",
     "minhash_signatures",
     "simhash_16",
-    # ---- r4 additions (first driver check: r5 rotation; mirror-green
-    # from the commit that introduced each)
+    # ---- r4 additions (mirror-green from the commit that introduced
+    # each; driver-checked in r5 per the rotation plan below)
     "minhash_jaccard_estimate",
     "contamination_ngram_overlap",
     "bm25_top_docs",
@@ -138,6 +138,16 @@ _CANONICAL = [
     "embedding_dim_stats",
     "cohort_retention",
 ]
+
+# r5 rotation plan (execute at the START of round 5, the r2/r4
+# discipline): move ALL 9 r4 additions (positions 85-93 above) into the
+# first-50 window in one rotation — after r4's driver run they are the
+# only queries without a driver-green row.  Rotate out 9 in-window
+# queries that will then hold fresh r4 driver greens, keeping ≥1 per
+# family (test_window_covers_every_family enforces it; suggested outs:
+# q8/q9/q12/q13/q16/q19 from the 15-strong tpch block, ntile from
+# windows, doc_length_histogram from text, quantize from similarity).
+# Update tests/test_registration.py's frozen window in the same commit.
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50
 # driver window contains at least one query from every family, so a
