@@ -107,6 +107,7 @@ EXTENDED = [
     "knn_graph_lsh",
     "embedding_dim_stats",
     "cohort_retention",
+    "token_entropy",
 ]
 
 

@@ -14,8 +14,10 @@ the same way the media codecs are.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 # Deliberately simple patterns that parse identically in Java regex
 # (Spark) and RE2 (DuckDB/others): character classes + bounded repeats,
@@ -108,3 +110,34 @@ def repetition_stats(
             ),
         )
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Append ``zlib_ratio`` = deflate(text) bytes / utf-8 bytes — the
+    classic cheap repetitiveness signal (C4/Gopher family): template spam
+    and pathological repetition compress far below natural prose, so a
+    low ratio is a drop/inspect flag (and a very high one flags
+    already-compressed or random bytes masquerading as text).
+
+    zlib is stdlib — no container dependency — and a fixed level makes
+    the bytes (hence the ratio) deterministic across runs and workers.
+    Arrow-batched pandas_udf: compression is genuinely per-row Python,
+    but the batch transfer amortizes it; there is no JVM deflate
+    expression to prefer."""
+    import zlib
+
+    @pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return round(len(zlib.compress(raw, level)) / len(raw), 4)
+
+        return texts.map(one)
+
+    return df.withColumn("zlib_ratio", ratio(F.col(text_col)))

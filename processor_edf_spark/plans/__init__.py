@@ -137,16 +137,18 @@ _CANONICAL = [
     "knn_graph_lsh",
     "embedding_dim_stats",
     "cohort_retention",
+    "token_entropy",
 ]
 
 # r5 rotation plan (execute at the START of round 5, the r2/r4
-# discipline): move ALL 9 r4 additions (positions 85-93 above) into the
+# discipline): move ALL 10 r4 additions (positions 85-94 above) into the
 # first-50 window in one rotation — after r4's driver run they are the
 # only queries without a driver-green row.  Rotate out 9 in-window
 # queries that will then hold fresh r4 driver greens, keeping ≥1 per
 # family (test_window_covers_every_family enforces it; suggested outs:
 # q8/q9/q12/q13/q16/q19 from the 15-strong tpch block, ntile from
-# windows, doc_length_histogram from text, quantize from similarity).
+# windows, doc_length_histogram + ngram_lang_profile from text, quantize
+# from similarity).
 # Update tests/test_registration.py's frozen window in the same commit.
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50
@@ -224,6 +226,7 @@ FAMILY = {
     "knn_graph_lsh": "ann",
     "embedding_dim_stats": "similarity",
     "cohort_retention": "events",
+    "token_entropy": "text",
 }
 
 

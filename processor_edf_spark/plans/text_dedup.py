@@ -1245,3 +1245,48 @@ def stratified_sample_lang(spark, sf_dir):
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= STRAT_N_PER_LANG)
     )
+
+
+@register(
+    "token_entropy",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents)
+        GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n FROM tf GROUP BY doc_id)
+    SELECT tf.doc_id,
+           ROUND(CAST(SUM(CAST(ROUND(
+               -(tf.tf / CAST(dl.n AS DOUBLE)) * ln(tf.tf / CAST(dl.n AS DOUBLE)),
+               12) AS DECIMAL(28,12))) AS DOUBLE), 6) AS entropy,
+           dl.n AS n_tokens
+    FROM tf JOIN dl USING (doc_id)
+    GROUP BY tf.doc_id, dl.n
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Unigram (Shannon) entropy of each document's token distribution —
+    the information-density quality signal (template spam and keyword
+    stuffing crater it; natural prose sits near the corpus band).
+    Complements text_quality's surface ratios with a distributional one.
+
+    Float discipline: the per-term contribution −p·ln p is rounded to 12
+    decimals and summed as DECIMAL(28,12) — an exact, order-independent
+    sum (float Σ would expose each engine's reduction order) — then one
+    final round-6.  Two linear aggregations (tf per (doc, term), then the
+    per-doc fold); the second groupBy carries partial decimal sums."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n"))
+    p = F.col("tf") / F.col("n").cast("double")
+    contrib = F.round(-p * F.log(p), 12).cast("decimal(28,12)")
+    return (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(F.round(F.sum(contrib).cast("double"), 6).alias("entropy"))
+        .select("doc_id", "entropy", F.col("n").alias("n_tokens"))
+    )

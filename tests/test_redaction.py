@@ -52,3 +52,24 @@ def test_repetition_stats_line_fractions(spark):
     assert abs(got[0]["dup_char_frac"] - 0.5) < 1e-9
     assert got[1]["dup_unit_frac"] == 0.0 and got[1]["dup_char_frac"] == 0.0
     assert got[2]["dup_unit_frac"] is None and got[2]["dup_char_frac"] is None
+
+
+def test_compression_ratio_orders_repetitive_below_prose(spark):
+    from processor_edf_spark.operators.redaction import compression_ratio
+
+    rows = [
+        (0, "spam " * 200),                      # highly repetitive
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "wanders through seventeen distinct meadows describing "
+            "each flower it encounters in novel unrepeated vocabulary"),
+        (2, None),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+    assert got[0] < 0.1                  # template spam craters
+    assert got[1] > 0.5                  # natural-ish prose doesn't
+    assert got[2] is None and got[3] is None
+    # deterministic across invocations
+    again = {r["doc_id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+    assert got == again

@@ -92,10 +92,10 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 84 through r3 + 9 r4 additions (jaccard estimate, contamination,
+    # 84 through r3 + 10 r4 additions (jaccard estimate, contamination,
     # bm25, knn graphs x2, stratified sample, funnel, dim stats,
-    # cohort retention)
-    assert len(QUERIES) == 93
+    # cohort retention, token entropy)
+    assert len(QUERIES) == 94
 
 
 def test_every_query_has_a_family():
