@@ -66,3 +66,40 @@ def test_dedup_incremental_across_batches(spark, tmp_path):
         [(7, "alpha"), (8, "gamma")], "doc_id long, text string"
     )
     assert dedup_incremental(spark, b3, store).count() == 0
+
+
+def test_pack_sequences_invariants_random_lengths(spark):
+    """Property: for arbitrary length distributions, every doc is
+    assigned exactly once, non-oversize bins respect the budget, and
+    in-bin offsets tile the bin without overlap."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.integers(min_value=1, max_value=180), min_size=1, max_size=60)
+    )
+    def check(lens):
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(lens)], "doc_id long, n_tokens long"
+        ).coalesce(1)
+        out = pack_sequences(df, BUDGET).collect()
+        assert sorted(r["doc_id"] for r in out) == list(range(len(lens)))
+        by_seq = defaultdict(list)
+        for r in out:
+            by_seq[r["seq_id"]].append(r)
+        for rows in by_seq.values():
+            if any(r["oversize"] for r in rows):
+                assert len(rows) == 1
+                continue
+            assert sum(r["doc_len"] for r in rows) <= BUDGET
+            pos = 0
+            for off, ln in sorted((r["seq_offset"], r["doc_len"]) for r in rows):
+                assert off == pos
+                pos += ln
+
+    check()
