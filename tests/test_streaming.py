@@ -270,3 +270,37 @@ def test_interval_join_streams(spark, tmp_path):
 
     assert len(rows) == 1
     assert rows[0]["user_id"] == 1
+
+
+def test_stream_corpus_ingest_composition(spark, tmp_path):
+    """The document-side streaming composition: watermarked content
+    dedup + token gate + PII audit/scrub in one incremental query —
+    batch operators applied under readStream unchanged."""
+    import datetime as dt
+
+    from processor_edf_spark.streaming.corpus import stream_corpus_ingest
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (1, "reach me at bob@example.com for details", "en", t0),
+        (2, "reach me at bob@example.com for details", "en",
+         t0 + dt.timedelta(seconds=10)),                    # exact dup
+        (3, "tiny", "en", t0 + dt.timedelta(seconds=20)),   # token gate
+        (4, "a perfectly clean useful document", "en",
+         t0 + dt.timedelta(seconds=30)),
+    ]
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+
+    out_df = stream_corpus_ingest(spark, in_dir)
+    _run_stream(out_df, "corpus_ingest_out", ckpt)
+    got = {r["doc_id"]: r for r in spark.sql(
+        "select * from corpus_ingest_out").collect()}
+
+    assert sorted(got) == [1, 4]            # dup 2 dropped, tiny 3 gated
+    assert got[1]["has_pii"] and got[1]["n_email"] == 1
+    assert "<EMAIL>" in got[1]["clean_text"]
+    assert "bob@example.com" not in got[1]["clean_text"]
+    assert not got[4]["has_pii"]
+    assert got[4]["clean_text"] == got[4]["text"]
