@@ -79,3 +79,31 @@ def test_assign_tie_breaks_to_lowest_centroid(spark):
     C = np.array([[1.0, 0.0], [-1.0, 0.0]])  # equidistant
     got = assign_clusters(df, C).collect()[0]
     assert got["cluster"] == 0
+
+
+def test_ivf_search_recall_vs_bruteforce(spark):
+    """kmeans_fit -> ivf_search end-to-end on the sf0.01 embeddings:
+    probe-3 over 10 learned cells must recover most of the brute-force
+    top-5 for the 10 query vectors (measured 0.9; pinned conservatively)."""
+    from processor_edf_spark.operators.kmeans import ivf_search
+    from processor_edf_spark.plans.registry import load
+
+    (emb,) = load(spark, "/root/testdata/sf0.01", "embeddings")
+    pdf = emb.toPandas()
+    X = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    C = kmeans_fit(emb, k=10, n_iter=6)
+
+    norms = np.linalg.norm(X, axis=1)
+    cos = (X @ X.T) / np.outer(norms, norms)
+    np.fill_diagonal(cos, -2)
+    q_idx = np.arange(10)
+    got = ivf_search(emb, C, X[q_idx], ids[q_idx], k=5, nprobe=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = []
+    for qi in q_idx:
+        true5 = set(ids[np.argsort(-cos[qi])[:5]])
+        recalls.append(len(true5 & by_q.get(ids[qi], set())) / 5)
+    assert np.mean(recalls) >= 0.7
