@@ -304,3 +304,48 @@ def test_stream_corpus_ingest_composition(spark, tmp_path):
     assert "bob@example.com" not in got[1]["clean_text"]
     assert not got[4]["has_pii"]
     assert got[4]["clean_text"] == got[4]["text"]
+
+
+def test_stream_checkpoint_incremental_restart(spark, tmp_path):
+    """Restarting an availableNow query against the same checkpoint must
+    process ONLY files that landed since the last run — the exactly-once
+    incremental contract every deployment leans on (a restart that
+    re-emits old rows would duplicate the corpus downstream)."""
+    import datetime as dt
+
+    from processor_edf_spark.streaming.corpus import stream_corpus_ingest
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    t0 = dt.datetime(2024, 6, 1, 8, 0, 0)
+
+    def run_once():
+        q = (
+            stream_corpus_ingest(spark, in_dir)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "first drop document one two three", "en", t0)], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    assert [r["doc_id"] for r in spark.read.parquet(out_dir).collect()] == [1]
+
+    # second drop lands; restart with the SAME checkpoint — the file
+    # sink + checkpoint must process ONLY the new file, appending doc 2
+    # exactly once (no re-emit of doc 1)
+    spark.createDataFrame(
+        [(2, "second drop document four five six", "en",
+          t0 + dt.timedelta(minutes=30))], schema
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    run_once()
+    out = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(out) == [1, 2]
