@@ -22,18 +22,19 @@ from processor_edf_spark.plans import tpch_extra  # noqa: E402,F401
 # driver row from an earlier round (tests/test_queries_oracle.py still
 # mirrors ALL of them, driver-exactly, every pytest run).
 #
-# r4 rotation: ALL 28 queries that had never had a driver-green row (the
-# r3 additions — adapted TPC-H completion, the LLM-corpus operators, the
-# window/set-op extras, and multiprobe/quantize/sample/tfidf) move INTO
-# the window in one rotation, clearing the verification backlog in a
-# single round.  The 22 in-window slots that remain are one-per-family
-# representatives chosen from queries already driver-green in r2∪r3 (the
-# FAMILY map below tags every query; tests/test_registration.py asserts
-# the window always covers every family).  Every rotated-out query keeps
-# its driver-green r2∪r3 row plus the per-commit CORRECTNESS_LOCAL
-# mirror record, so the rotation is coverage-neutral.
+# r5 rotation (executed per the plan documented here in r4): ALL 10 r4
+# additions — the only queries that had never had a driver-green row —
+# move INTO the first-50 window; 10 queries that earned fresh r4 driver
+# greens rotate out (q8/q9/q12/q13/q16/q19 from the 15-strong tpch
+# block, ntile from windows, doc_length_histogram + ngram_lang_profile
+# from text, quantize from similarity — exactly the suggested outs).
+# After the r5 driver run, every one of the 94 registered queries has
+# had a driver-green row in some round.  Every rotated-out query keeps
+# its driver-green r4 row plus the per-commit CORRECTNESS_LOCAL mirror
+# record, so the rotation is coverage-neutral
+# (test_window_covers_every_family enforces family coverage).
 _CANONICAL = [
-    # ---- 22 family representatives, all driver-green in r2∪r3
+    # ---- 22 family representatives, all driver-green in r2∪r3∪r4
     "q1_pricing_summary",       # tpch agg flagship
     "filter_project_events",    # events projection/filter (P rows)
     "agg_user_bounds",          # events one-pass agg (A rows)
@@ -56,42 +57,51 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 28 first-time driver checks (r3 additions; mirror-green)
-    # adapted TPC-H completion + NTILE
+    # ---- 18 r3-era queries staying in-window (driver-green r4)
     "q2_min_cost_supplier",
     "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
     "q10_returned_revenue",
     "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
     "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
     "q20_bulk_suppliers",
     "q21_lone_fault_supplier",
     "q22_idle_rich_customers",
-    "ntile_value_quartiles",
-    # LLM-corpus operators
     "semdedup_label",
     "embedding_norm_stats",
-    "ngram_lang_profile",
     "levenshtein_block_pairs",
-    "doc_length_histogram",
     "boilerplate_ngrams",
-    # window / set-op / date-part extras
     "range_frame_user_avg",
     "intersect_all_user_days",
     "dow_hour_heatmap",
-    # ANN / quantization / sampling / tf-idf
     "ann_ivf_multiprobe",
-    "quantize_embeddings_int8",
     "sample_hash_bucket",
     "tfidf_top_terms",
+    # ---- 10 first-time driver checks (r4 additions; mirror-green)
+    "minhash_jaccard_estimate",
+    "contamination_ngram_overlap",
+    "bm25_top_docs",
+    "knn_graph_bruteforce",
+    "stratified_sample_lang",
+    "funnel_conversion",
+    "knn_graph_lsh",
+    "embedding_dim_stats",
+    "cohort_retention",
+    "token_entropy",
     # ---- position 51+: every query below has a driver-green row in
-    # r2∪r3 (see CORRECTNESS_r02/r03.json) and stays mirror-checked by
-    # tests/test_queries_oracle.py on every pytest run.
+    # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
+    # by tests/test_queries_oracle.py on every pytest run.
+    # rotated out in r5 (driver-green r4):
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "ntile_value_quartiles",
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    "quantize_embeddings_int8",
+    # rotated out in earlier rounds:
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -126,30 +136,15 @@ _CANONICAL = [
     "moving_avg_daily_revenue",
     "minhash_signatures",
     "simhash_16",
-    # ---- r4 additions (mirror-green from the commit that introduced
-    # each; driver-checked in r5 per the rotation plan below)
-    "minhash_jaccard_estimate",
-    "contamination_ngram_overlap",
-    "bm25_top_docs",
-    "knn_graph_bruteforce",
-    "stratified_sample_lang",
-    "funnel_conversion",
-    "knn_graph_lsh",
-    "embedding_dim_stats",
-    "cohort_retention",
-    "token_entropy",
 ]
 
-# r5 rotation plan (execute at the START of round 5, the r2/r4
-# discipline): move ALL 10 r4 additions (positions 85-94 above) into the
-# first-50 window in one rotation — after r4's driver run they are the
-# only queries without a driver-green row.  Rotate out 9 in-window
-# queries that will then hold fresh r4 driver greens, keeping ≥1 per
-# family (test_window_covers_every_family enforces it; suggested outs:
-# q8/q9/q12/q13/q16/q19 from the 15-strong tpch block, ntile from
-# windows, doc_length_histogram + ngram_lang_profile from text, quantize
-# from similarity).
-# Update tests/test_registration.py's frozen window in the same commit.
+# After the r5 rotation the driver-verification ledger is complete:
+# every registered query has (or gains in r5) a driver-green
+# CORRECTNESS row.  Future rotations only matter when NEW queries are
+# added — put them in the window immediately, rotating out
+# freshest-green in-window queries, keeping ≥1 per family
+# (test_window_covers_every_family enforces it), and update
+# tests/test_registration.py's frozen window in the same commit.
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50
 # driver window contains at least one query from every family, so a

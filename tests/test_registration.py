@@ -8,10 +8,11 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r4 window: 22 family representatives (every one driver-green in
-r2∪r3, see CORRECTNESS_r02/r03.json) + the 28 r3-added queries getting
-their first driver check.  ``test_window_covers_every_family`` keeps any
-future rotation coverage-neutral automatically.
+The r5 window: 22 family representatives + 18 r3-era queries (every one
+driver-green in r2∪r3∪r4, see CORRECTNESS_r0{2,3,4}.json) + the 10
+r4-added queries getting their first driver check.
+``test_window_covers_every_family`` keeps any future rotation
+coverage-neutral automatically.
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    # 22 family representatives, driver-green in r2∪r3
+    # 22 family representatives, driver-green in r2∪r3∪r4
     "q1_pricing_summary",
     "filter_project_events",
     "agg_user_bounds",
@@ -43,35 +44,36 @@ EXPECTED_FIRST_50 = [
     "cosine_pairs",
     "cosine_lsh_pairs",
     "dedup_embedding_cosine",
-    # 28 first-time driver checks
+    # 18 r3-era queries staying in-window (driver-green r4)
     "q2_min_cost_supplier",
     "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
     "q10_returned_revenue",
     "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
     "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
     "q20_bulk_suppliers",
     "q21_lone_fault_supplier",
     "q22_idle_rich_customers",
-    "ntile_value_quartiles",
     "semdedup_label",
     "embedding_norm_stats",
-    "ngram_lang_profile",
     "levenshtein_block_pairs",
-    "doc_length_histogram",
     "boilerplate_ngrams",
     "range_frame_user_avg",
     "intersect_all_user_days",
     "dow_hour_heatmap",
     "ann_ivf_multiprobe",
-    "quantize_embeddings_int8",
     "sample_hash_bucket",
     "tfidf_top_terms",
+    # 10 first-time driver checks (r4 additions)
+    "minhash_jaccard_estimate",
+    "contamination_ngram_overlap",
+    "bm25_top_docs",
+    "knn_graph_bruteforce",
+    "stratified_sample_lang",
+    "funnel_conversion",
+    "knn_graph_lsh",
+    "embedding_dim_stats",
+    "cohort_retention",
+    "token_entropy",
 ]
 
 
