@@ -86,6 +86,10 @@ def kmeans_fit(
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )
+    if len(seed_rows) < k:
+        raise ValueError(
+            f"kmeans_fit: k={k} exceeds the {len(seed_rows)} available rows"
+        )
     C = np.array([list(r[vec_col]) for r in seed_rows], dtype=np.float64)
     d = C.shape[1]
     sum_cols = [
@@ -159,7 +163,16 @@ def ivf_search(
     assigned = assign_clusters(df, C, id_col=id_col, vec_col=vec_col).select(
         id_col, "cluster"
     )
-    rows = df.select(id_col, vec_col).join(assigned, id_col)
+    # THE IVF pruning step: only cells some query probes reach the Arrow
+    # scoring pass at all.  The union is O(k) driver-side ints; the
+    # filter rides the scan, so at C cells / nprobe probes only
+    # ~q·nprobe/C of the corpus is scored instead of all of it.
+    probed_union = sorted({int(c) for row in probe_sets for c in row})
+    rows = (
+        df.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .filter(F.col("cluster").isin(probed_union))
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         Qm, qids, probes = bc.value
@@ -171,18 +184,20 @@ def ivf_search(
             mn = np.sqrt((M * M).sum(axis=1))
             cell = pdf["cluster"].to_numpy()
             ids = pdf[id_col].to_numpy()
-            cos = (M @ Qm.T) / np.outer(mn, qn)
             out = []
             for j in range(len(qids)):
                 mask = np.isin(cell, probes[j]) & (ids != qids[j])
                 if not mask.any():
                     continue
+                # per-query masked matvec: cost is (probed rows)·d, not
+                # (batch)·(queries)·d — no full M @ Qm.T materialized.
+                cos_j = (M[mask] @ Qm[j]) / (mn[mask] * qn[j])
                 out.append(
                     pd.DataFrame(
                         {
                             "query_id": qids[j],
                             "neighbor_id": ids[mask],
-                            "cos_raw": cos[mask, j],
+                            "cos_raw": cos_j,
                         }
                     )
                 )

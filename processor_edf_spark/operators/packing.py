@@ -101,6 +101,7 @@ def dedup_incremental(
     store_dir: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Admit only rows whose content sha-256 has never been seen; append
     the admitted hashes to the store.  Returns the admitted rows.
@@ -110,7 +111,20 @@ def dedup_incremental(
     The store append is the admitted hashes only — one short row per
     ever-seen document, scan-pruned to the hash column on read.  Not
     transactional: one writer at a time (the ACID-append table-format
-    upgrade is a deployment choice, not an operator change)."""
+    upgrade is a deployment choice, not an operator change).
+
+    Crash semantics (pinned by tests/test_packing.py): the store append
+    is the commit point.  A crash BEFORE the append leaves the store
+    untouched, so re-running the batch re-admits the same rows (no
+    loss); after a successful append, re-running admits nothing (no
+    duplication).  Only a genuinely missing store reads as "first
+    batch" — any other read failure (corrupt file, permission error)
+    propagates rather than silently re-admitting seen documents.
+
+    ``compact_every``: the append-per-batch layout accretes one small
+    file set per batch forever; when the store holds at least this many
+    files after the append, it is rewritten in place to a handful of
+    dense files (see ``compact_dedup_store``)."""
     from pyspark.sql import Window
 
     keyed = batch.withColumn("content_sha", F.sha2(F.col(text_col), 256))
@@ -120,13 +134,41 @@ def dedup_incremental(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    try:
+    if _store_exists(spark, store_dir):
         seen = spark.read.parquet(store_dir).select("content_sha")
         fresh = batch_unique.join(seen, "content_sha", "left_anti")
-    except Exception:  # first batch: no store yet
+    else:  # first batch: no store yet
         fresh = batch_unique
     # materialize before the store append so the admitted set is not
     # re-derived against a store we are about to mutate
     admitted = fresh.localCheckpoint(eager=True)
     admitted.select("content_sha").write.mode("append").parquet(store_dir)
+    if compact_every is not None:
+        if len(spark.read.parquet(store_dir).inputFiles()) >= compact_every:
+            compact_dedup_store(spark, store_dir)
     return admitted.drop("content_sha")
+
+
+def _store_exists(spark: SparkSession, store_dir: str) -> bool:
+    """Explicit Hadoop-FS existence probe (works for any supported
+    filesystem scheme, not just local paths) — the narrow alternative to
+    catching every read exception as 'first batch'."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
+def compact_dedup_store(
+    spark: SparkSession, store_dir: str, target_files: int = 4
+) -> int:
+    """Rewrite the append-only hash store into ``target_files`` dense
+    parquet files; returns the distinct-hash count.  The distinct set is
+    materialized (localCheckpoint) BEFORE the overwrite so the rewrite
+    never reads from the directory it is replacing.  Same one-writer
+    contract as the append itself."""
+    seen = spark.read.parquet(store_dir).select("content_sha").distinct()
+    mat = seen.localCheckpoint(eager=True)
+    n = mat.count()
+    mat.coalesce(target_files).write.mode("overwrite").parquet(store_dir)
+    return n

@@ -33,9 +33,18 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 20,
     undirected: bool = True,
+    tol: float | None = None,
 ) -> DataFrame:
     """(node, rank) with Σrank = 1.  ``undirected=True`` (the near-dup
-    default) inserts both directions of every pair first."""
+    default) inserts both directions of every pair first.
+
+    Convergence contract (mirrors ``connected_components``): with
+    ``tol`` set, each round also collects the O(1) L1 rank delta and the
+    loop exits early once delta < tol; if ``n_iter`` rounds exhaust
+    without converging, raises ``RuntimeError`` instead of silently
+    returning an unconverged ranking.  With ``tol=None`` (default) the
+    loop runs exactly ``n_iter`` rounds — the fixed-power-iteration
+    semantics the numpy-parity test pins."""
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if undirected:
         edges = edges.union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
@@ -48,9 +57,15 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:
+        # no-duplicates-found input: empty (node, rank) frame, so
+        # canonical_by_rank's coalesce path keeps every entity a
+        # singleton survivor instead of crashing on 1/n.
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    converged = tol is None
     for _ in range(n_iter):
         contribs = (
             ranks.join(out_deg, ranks["node"] == out_deg["s"], "left")
@@ -74,7 +89,7 @@ def pagerank(
             .agg(F.sum("share").alias("inflow"))
         )
         base = (1.0 - damping) / n + damping * dangling / n
-        ranks = (
+        new_ranks = (
             nodes.join(inbound, "node", "left")
             .select(
                 "node",
@@ -84,6 +99,26 @@ def pagerank(
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
+        )
+        if tol is not None:
+            # O(1) driver scalar per round, same discipline as the
+            # dangling-mass collect above
+            delta = (
+                new_ranks.alias("a")
+                .join(ranks.alias("b"), "node")
+                .agg(F.sum(F.abs(F.col("a.rank") - F.col("b.rank"))))
+                .collect()[0][0]
+            )
+            ranks = new_ranks
+            if delta < tol:
+                converged = True
+                break
+        else:
+            ranks = new_ranks
+    if not converged:
+        raise RuntimeError(
+            f"pagerank: {n_iter} rounds exhausted with L1 delta >= {tol} — "
+            "raise n_iter or loosen tol (slow-mixing graph)"
         )
     return ranks
 

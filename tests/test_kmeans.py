@@ -107,3 +107,32 @@ def test_ivf_search_recall_vs_bruteforce(spark):
         true5 = set(ids[np.argsort(-cos[qi])[:5]])
         recalls.append(len(true5 & by_q.get(ids[qi], set())) / 5)
     assert np.mean(recalls) >= 0.7
+
+
+def test_kmeans_fit_k_exceeds_rows_raises(spark):
+    import pytest
+
+    df = _df(spark, np.array([[0.0, 1.0], [1.0, 0.0]]))
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_fit(df, k=5, n_iter=1)
+
+
+def test_ivf_search_scores_only_probed_cells(spark):
+    """The IVF contract: rows outside the probed cells are never scored.
+    Three well-separated blobs, nprobe=1, k = corpus size — if the scan
+    were unpruned, far-blob members would appear in the result (k is big
+    enough to admit every scored candidate); with pruning, the neighbor
+    set is exactly the probed cell minus the query itself."""
+    from processor_edf_spark.operators.kmeans import ivf_search
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[40.0, 0.0], [0.0, 40.0], [-40.0, -40.0]])
+    X = np.vstack([centers[i % 3] + 0.1 * rng.randn(2) for i in range(30)])
+    df = _df(spark, X)
+    C = kmeans_fit(df, k=3, n_iter=5)
+
+    q_idx = [0]  # blob 0 member
+    got = ivf_search(df, C, X[q_idx], np.array(q_idx), k=len(X), nprobe=1)
+    neighbors = {r["neighbor_id"] for r in got.collect()}
+    blob0 = {i for i in range(30) if i % 3 == 0}
+    assert neighbors == blob0 - {0}

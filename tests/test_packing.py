@@ -103,3 +103,74 @@ def test_pack_sequences_invariants_random_lengths(spark):
                 pos += ln
 
     check()
+
+
+def test_dedup_incremental_corrupt_store_propagates(spark, tmp_path):
+    """A corrupt (non-parquet) store must raise, not read as 'first
+    batch' — silently re-admitting seen documents would break the
+    exactly-once dedup contract."""
+    import pytest
+
+    store = tmp_path / "sha_store"
+    store.mkdir()
+    (store / "part-00000.parquet").write_bytes(b"this is not parquet")
+    b = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    with pytest.raises(Exception):
+        dedup_incremental(spark, b, str(store)).collect()
+
+
+def test_dedup_incremental_restart_semantics(spark, tmp_path):
+    """The store append is the commit point: a crash between the
+    admitted-set checkpoint and the append (simulated by rolling the
+    store back to its pre-batch file set) re-admits the batch on rerun
+    (no loss); after a successful append, a rerun admits nothing (no
+    duplication)."""
+    import os
+
+    store = tmp_path / "sha_store"
+    b1 = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    assert dedup_incremental(spark, b1, str(store)).count() == 1
+
+    before = set(os.listdir(store))
+    b2 = spark.createDataFrame([(2, "beta")], "doc_id long, text string")
+    assert dedup_incremental(spark, b2, str(store)).count() == 1
+    # crash before append: roll the store back to the pre-batch files
+    for name in set(os.listdir(store)) - before:
+        (store / name).unlink()
+    assert (
+        dedup_incremental(spark, b2, str(store)).count() == 1
+    )  # re-admitted, not lost
+    # the append now committed: rerun is a no-op
+    assert dedup_incremental(spark, b2, str(store)).count() == 0
+
+
+def test_compact_dedup_store(spark, tmp_path):
+    """Compaction collapses the one-file-set-per-batch accretion into a
+    few dense files without changing dedup behavior; compact_every
+    triggers it from inside dedup_incremental."""
+    from processor_edf_spark.operators.packing import compact_dedup_store
+
+    store = tmp_path / "sha_store"
+    for i in range(5):
+        b = spark.createDataFrame(
+            [(i, f"doc-{i}")], "doc_id long, text string"
+        )
+        assert dedup_incremental(spark, b, str(store)).count() == 1
+    assert len(spark.read.parquet(str(store)).inputFiles()) >= 5
+
+    assert compact_dedup_store(spark, str(store), target_files=1) == 5
+    assert len(spark.read.parquet(str(store)).inputFiles()) == 1
+    # behavior unchanged: all five seen, a sixth admits
+    seen = spark.createDataFrame(
+        [(10, "doc-0"), (11, "doc-4"), (12, "doc-new")],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup_incremental(
+            spark, seen, str(store), compact_every=3
+        ).collect()
+    )
+    assert got == [12]
+    # compact_every=3 fired after the append (store had >=3 files)
+    assert len(spark.read.parquet(str(store)).inputFiles()) <= 4

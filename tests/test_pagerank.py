@@ -63,3 +63,46 @@ def test_canonical_by_rank_picks_central_doc(spark):
     # component {10,11} -> 10 (tie on symmetric pair, lowest id);
     # singleton 99 survives
     assert surv == [3, 10, 99]
+
+
+def test_pagerank_empty_pairs_yields_all_singletons(spark):
+    """No duplicates found (empty pair frame) is a realistic production
+    input: pagerank returns an empty rank frame instead of dividing by
+    n=0, and canonical_by_rank keeps every entity as a singleton."""
+    entities = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (1, 2, 3)], ["vec_id", "payload"]
+    )
+    pairs = spark.createDataFrame([], "vec_a long, vec_b long")
+    assert pagerank(pairs).count() == 0
+    surv = sorted(
+        r["vec_id"]
+        for r in canonical_by_rank(entities, pairs, "vec_id").collect()
+    )
+    assert surv == [1, 2, 3]
+
+
+def test_pagerank_tol_converges_early_and_matches_fixed_run(spark):
+    """With tol set, the loop exits on the L1 delta and the result
+    matches a long fixed-iteration run to the tolerance."""
+    pairs = spark.createDataFrame(EDGES, ["vec_a", "vec_b"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(pairs, n_iter=200, tol=1e-12).collect()
+    }
+    ref = _numpy_pagerank(EDGES, n_iter=100)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in ref:
+        assert abs(got[v] - ref[v]) < 1e-9
+
+
+def test_pagerank_tol_exhaustion_raises(spark):
+    """A chain graph mixes slowly: one round cannot reach a 1e-12 L1
+    delta, so exhausting n_iter with tol set must raise (the
+    connected_components discipline) instead of returning an
+    unconverged ranking."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(chain, ["vec_a", "vec_b"])
+    with pytest.raises(RuntimeError, match="exhausted"):
+        pagerank(pairs, n_iter=2, tol=1e-12)
