@@ -9,11 +9,14 @@ fixed headers + ``np.frombuffer``):
 - AVI demux (RIFF LIST walk) — real container parse for frame sampling;
   per-frame decode then depends on the stream codec.
 
-Compressed codecs (JPEG/PNG/MP3/H.264) genuinely need external
-libraries; those payloads raise ``UnsupportedMediaError`` and the
-callers in operators/multimodal.py fall back to the documented
-deterministic stub.  The format sniffing is magic-byte based, so a mixed
-media column routes each payload to the right path per row.
+Baseline JPEG (the format a real corpus is mostly made of) is decoded
+for real by the pure-numpy codec in operators/jpeg.py, routed from
+``decode_image`` by magic byte.  The remaining compressed codecs
+(PNG/MP3/H.264, progressive JPEG) genuinely need external libraries;
+those payloads raise ``UnsupportedMediaError`` and the callers in
+operators/multimodal.py fall back to the documented deterministic stub.
+The format sniffing is magic-byte based, so a mixed media column routes
+each payload to the right path per row.
 """
 
 from __future__ import annotations
@@ -127,13 +130,18 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
 
 @_only_media_errors
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an uncompressed BMP or binary PPM payload → HxWx3 uint8 RGB.
-    Anything else (JPEG/PNG/...) raises UnsupportedMediaError."""
+    """Decode an uncompressed BMP / binary PPM / baseline JPEG payload →
+    HxWx3 uint8 RGB.  Anything else (PNG, progressive JPEG, ...) raises
+    UnsupportedMediaError."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
-    raise UnsupportedMediaError("not an uncompressed BMP/PPM payload")
+    if payload[:2] == b"\xff\xd8":
+        from processor_edf_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise UnsupportedMediaError("not a BMP/PPM/baseline-JPEG payload")
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:

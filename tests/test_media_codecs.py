@@ -245,3 +245,101 @@ def test_wav_data_chunk_size_overrun_rejected():
     struct.pack_into("<I", good, data_hdr + 4, 10_000)  # declares past EOF
     with pytest.raises(UnsupportedMediaError):
         decode_wav_pcm(bytes(good))
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (operators/jpeg.py)
+# ---------------------------------------------------------------------------
+
+
+def _gradient_img(h=48, w=64):
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = np.linspace(0, 255, w)[None, :].astype(np.uint8)
+    img[:, :, 1] = np.linspace(0, 255, h)[:, None].astype(np.uint8)
+    img[:, :, 2] = 128
+    return img
+
+
+def test_jpeg_roundtrip_444_and_420_golden():
+    """Encoder and decoder are independent implementations of
+    DCT/Huffman/zigzag sharing only the T.81 spec constants — a tight
+    round-trip bound is a real golden check, not self-confirmation."""
+    from processor_edf_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    img = _gradient_img()
+    for sub, bound in (("444", 3.0), ("420", 5.5)):
+        out = decode_jpeg(encode_jpeg_baseline(img, quality=92, subsampling=sub))
+        assert out.shape == img.shape and out.dtype == np.uint8
+        err = np.abs(out.astype(float) - img.astype(float))
+        assert err.mean() < bound, (sub, err.mean())
+
+
+def test_jpeg_solid_color_near_exact():
+    from processor_edf_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    solid = np.full((16, 16, 3), [120, 130, 140], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(solid, quality=90))
+    assert np.abs(out.astype(int) - solid.astype(int)).max() <= 1
+
+
+def test_jpeg_odd_dimensions_and_grayscale():
+    from processor_edf_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    odd = _gradient_img()[:41, :53]
+    out = decode_jpeg(encode_jpeg_baseline(odd, quality=92, subsampling="420"))
+    assert out.shape == (41, 53, 3)
+    assert np.abs(out.astype(float) - odd.astype(float)).mean() < 6.0
+
+    gray = np.linspace(10, 240, 40 * 56).reshape(40, 56).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(gray, quality=92))
+    assert out.shape == (40, 56, 3)
+    np.testing.assert_array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.abs(out[:, :, 0].astype(float) - gray).mean() < 1.0
+
+
+def test_jpeg_malformed_and_progressive_raise_media_error_only():
+    """The one-exception hardening contract extends to JPEG: truncation,
+    garbage after SOI, and non-baseline SOF markers all surface as
+    UnsupportedMediaError (never struct/Index/KeyError)."""
+    from processor_edf_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    good = encode_jpeg_baseline(_gradient_img(16, 16), quality=85)
+    for payload in (
+        good[: len(good) // 2],          # truncated mid-scan
+        good[:2] + bytes(200),            # garbage after SOI
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1),  # progressive SOF2
+        b"\xff\xd8\xff\xe0" + bytes(range(96)),     # APP0 then junk
+    ):
+        with pytest.raises(UnsupportedMediaError):
+            decode_jpeg(payload)
+
+
+def test_spark_image_path_decodes_real_jpeg(spark):
+    """decode_image routes baseline JPEG for real now: the multimodal
+    feature extractor reports decoded=true with correct dimensions and
+    channel means (was: every JPEG fell to the stub)."""
+    from processor_edf_spark.operators.jpeg import encode_jpeg_baseline
+
+    img = np.full((12, 10, 3), [200, 100, 50], dtype=np.uint8)
+    rows = [
+        (1, "image", encode_jpeg_baseline(img, quality=95), "image/jpeg", None),
+        (2, "image", encode_jpeg_baseline(img, 95, "420"), "image/jpeg", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    for mid in (1, 2):
+        assert out[mid]["decoded"]
+        assert (out[mid]["width"], out[mid]["height"]) == (10, 12)
+        assert abs(out[mid]["feature"][0] - 200 / 255) < 0.02
