@@ -57,8 +57,7 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 18 r3-era queries staying in-window (driver-green r4)
-    "q2_min_cost_supplier",
+    # ---- 17 r3-era queries staying in-window (driver-green r4)
     "q7_nation_volume",
     "q10_returned_revenue",
     "q11_important_parts",
@@ -87,10 +86,14 @@ _CANONICAL = [
     "embedding_dim_stats",
     "cohort_retention",
     "token_entropy",
+    # ---- r5 additions, first driver check (mirror-green from their
+    # introducing commit; q2_min_cost_supplier rotated out to make room)
+    "funnel_k_stages",
     # ---- position 51+: every query below has a driver-green row in
     # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
     # by tests/test_queries_oracle.py on every pytest run.
     # rotated out in r5 (driver-green r4):
+    "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
     "q12_priority_by_status",
@@ -218,6 +221,7 @@ FAMILY = {
     "sample_hash_bucket": "sampling",
     "stratified_sample_lang": "sampling",
     "funnel_conversion": "sessionize",
+    "funnel_k_stages": "sessionize",
     "knn_graph_lsh": "ann",
     "embedding_dim_stats": "similarity",
     "cohort_retention": "events",

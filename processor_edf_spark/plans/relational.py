@@ -1493,6 +1493,131 @@ def funnel_conversion(spark, sf_dir):
     )
 
 
+FUNNEL_STAGES = ("view", "click", "signup", "purchase")
+FUNNEL_K_WINDOW_USEC = 7 * 86400 * USEC  # whole-funnel horizon from stage 1
+
+
+@register(
+    "funnel_k_stages",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t
+        FROM events
+        WHERE event_type IN ('view', 'click', 'signup', 'purchase')
+    ),
+    s1 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN t END) AS t1
+        FROM ev GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'click' AND t > t1
+                         AND t <= t1 + {FUNNEL_K_WINDOW_USEC} THEN t END) AS t2,
+               MIN(t1) AS t1
+        FROM ev e JOIN s1 USING (user_id) GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'signup' AND t > t2
+                         AND t <= t1 + {FUNNEL_K_WINDOW_USEC} THEN t END) AS t3,
+               MIN(t1) AS t1, MIN(t2) AS t2
+        FROM ev e JOIN s2 USING (user_id) GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id,
+               MIN(CASE WHEN event_type = 'purchase' AND t > t3
+                         AND t <= t1 + {FUNNEL_K_WINDOW_USEC} THEN t END) AS t4,
+               MIN(t1) AS t1, MIN(t2) AS t2, MIN(t3) AS t3
+        FROM ev e JOIN s3 USING (user_id) GROUP BY e.user_id
+    ),
+    counts AS (
+        SELECT CAST(COUNT(t1) AS BIGINT) AS c1, CAST(COUNT(t2) AS BIGINT) AS c2,
+               CAST(COUNT(t3) AS BIGINT) AS c3, CAST(COUNT(t4) AS BIGINT) AS c4
+        FROM s4
+    )
+    SELECT 1 AS stage, 'view' AS stage_name, c1 AS n_users,
+           CAST(1.0 AS DOUBLE) AS conv_from_prev FROM counts
+    UNION ALL SELECT 2, 'click', c2,
+           ROUND(c2 / CAST(c1 AS DOUBLE), 4) FROM counts
+    UNION ALL SELECT 3, 'signup', c3,
+           ROUND(c3 / CAST(c2 AS DOUBLE), 4) FROM counts
+    UNION ALL SELECT 4, 'purchase', c4,
+           ROUND(c4 / CAST(c3 AS DOUBLE), 4) FROM counts
+    """,
+)
+def funnel_k_stages(spark, sf_dir):
+    """N-stage ordered funnel (view → click → signup → purchase) with
+    MATCH_RECOGNIZE-style row-pattern semantics: stage i matches the
+    EARLIEST event of its type strictly after the stage-i−1 match, and
+    the whole funnel must complete within {FUNNEL_K_WINDOW_USEC}µs
+    (7 days) of the stage-1 match — the general sequential-pattern
+    workload the 2-stage funnel_conversion is the simplest instance of.
+    Returns one row per stage: (stage, stage_name, n_users,
+    conv_from_prev).
+
+    Shape: filter to the funnel's event types FIRST (the predicate rides
+    the scan), then ONE shuffle on user_id feeding a CHAIN of k window
+    aggregates over the same partitioning — each stage's match time is
+    min(t where type=sᵢ ∧ t > tᵢ₋₁ ∧ horizon), a window min whose
+    condition references the previous stage's window column, so Catalyst
+    plans k WindowExecs back-to-back with NO re-shuffle (pinned by
+    tests/test_plan_shapes.py).  The per-user depth rollup is a
+    partial agg to ONE row, unpivoted driver-free via stack(); the
+    k-row conv_from_prev lag runs on a 4-row frame.  The oracle's
+    equivalent chained-CTE formulation re-aggregates per stage; the
+    window-chain form costs one shuffle total regardless of k."""
+    from pyspark.sql import Window
+
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_type").isin(*FUNNEL_STAGES)).select(
+        "user_id", "event_type", F.expr(TS_US).alias("t")
+    )
+    w = Window.partitionBy("user_id")
+    horizon = F.col("t1") + F.lit(FUNNEL_K_WINDOW_USEC)
+    df = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == FUNNEL_STAGES[0], F.col("t"))).over(w)
+    )
+    prev = "t1"
+    for i, stage in enumerate(FUNNEL_STAGES[1:], start=2):
+        df = df.withColumn(
+            f"t{i}",
+            F.min(
+                F.when(
+                    (F.col("event_type") == stage)
+                    & (F.col("t") > F.col(prev))
+                    & (F.col("t") <= horizon),
+                    F.col("t"),
+                )
+            ).over(w),
+        )
+        prev = f"t{i}"
+    ks = range(1, len(FUNNEL_STAGES) + 1)
+    per_user = df.groupBy("user_id").agg(
+        *[F.min(f"t{i}").alias(f"t{i}") for i in ks]
+    )
+    one = per_user.agg(
+        *[F.count(f"t{i}").alias(f"c{i}") for i in ks]
+    )
+    stack_args = ", ".join(
+        f"{i}, '{s}', c{i}" for i, s in zip(ks, FUNNEL_STAGES)
+    )
+    staged = one.selectExpr(
+        f"stack({len(FUNNEL_STAGES)}, {stack_args}) AS (stage, stage_name, n_users)"
+    )
+    lw = Window.orderBy("stage")
+    return staged.select(
+        "stage",
+        "stage_name",
+        "n_users",
+        F.coalesce(
+            F.round(
+                F.col("n_users") / F.lag("n_users").over(lw).cast("double"), 4
+            ),
+            F.lit(1.0),
+        ).alias("conv_from_prev"),
+    )
+
+
 @register(
     "cohort_retention",
     f"""

@@ -417,3 +417,16 @@ def test_cohort_retention_no_cartesian(spark):
     plan = plan_of(spark, "cohort_retention")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_funnel_k_stages_window_chain_one_shuffle(spark):
+    """The k-stage funnel's chained window aggregates all share the
+    user_id partitioning: the per-event phase costs ONE
+    hashpartitioning exchange regardless of k (the 4-row stage unpivot
+    adds only a single-partition exchange), and the stage predicate
+    rides the parquet scan."""
+    plan = plan_of(spark, "funnel_k_stages")
+    assert "In(event_type" in plan, plan[:2000]
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:3000]}"
+    assert "CartesianProduct" not in plan

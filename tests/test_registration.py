@@ -44,8 +44,7 @@ EXPECTED_FIRST_50 = [
     "cosine_pairs",
     "cosine_lsh_pairs",
     "dedup_embedding_cosine",
-    # 18 r3-era queries staying in-window (driver-green r4)
-    "q2_min_cost_supplier",
+    # 17 r3-era queries staying in-window (driver-green r4)
     "q7_nation_volume",
     "q10_returned_revenue",
     "q11_important_parts",
@@ -74,6 +73,8 @@ EXPECTED_FIRST_50 = [
     "embedding_dim_stats",
     "cohort_retention",
     "token_entropy",
+    # r5 additions, first driver check
+    "funnel_k_stages",
 ]
 
 
@@ -94,10 +95,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 84 through r3 + 10 r4 additions (jaccard estimate, contamination,
-    # bm25, knn graphs x2, stratified sample, funnel, dim stats,
-    # cohort retention, token entropy)
-    assert len(QUERIES) == 94
+    # 84 through r3 + 10 r4 additions + r5 additions (funnel_k_stages)
+    assert len(QUERIES) == 95
 
 
 def test_every_query_has_a_family():
