@@ -125,7 +125,9 @@ def compression_ratio(
     the bytes (hence the ratio) deterministic across runs and workers.
     Arrow-batched pandas_udf: compression is genuinely per-row Python,
     but the batch transfer amortizes it; there is no JVM deflate
-    expression to prefer."""
+    expression to prefer.  At corpus scale this is a compute-once
+    column: persist it with the document (it is deterministic) rather
+    than re-deriving it per downstream query."""
     import zlib
 
     @pandas_udf("double")

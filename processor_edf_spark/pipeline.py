@@ -247,7 +247,13 @@ def validate_channels(channels: DataFrame) -> DataFrame:
 def channel_dicts(channels: DataFrame) -> list[dict]:
     """Channel rows as JSON-ready dicts (the reference's as_dict output,
     timeseries/base.py:47-65).  Driver-side materialization — only for the
-    metadata dimension (thousands of rows), never samples."""
+    metadata dimension, never samples.  Cardinality assumption: channel
+    count is bounded by files × signals-per-file (tens per file by the
+    EDF spec's 256-byte-per-signal header budget), so even a million-file
+    run collects millions of short rows at most — if channels ever
+    stopped being a dimension table, this sink (which mirrors the
+    reference's per-channel output contract) would need to become a
+    distributed write instead."""
     out = []
     for row in channels.orderBy("file", "index").collect():
         d = {
