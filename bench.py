@@ -21,94 +21,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from processor_edf_spark.plans import QUERIES  # noqa: E402
 from processor_edf_spark.session import get_spark  # noqa: E402
 
-# Representative spread: TPC-H shapes, the reference's operator analogs,
-# window analytics, the dedup/text family, and similarity search.
-# dedup_ngram_jaccard is deliberately absent — it is the quadratic exact
-# oracle for minhash_lsh_pairs, not a production path.
-HEADLINE = [
-    "q1_pricing_summary",
-    "q3_segment_revenue",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q17_small_quantity_revenue",
-    "top3_orders_per_customer",
-    "moving_avg_daily_revenue",
-    "semi_join_returned_orders",
-    "anti_join_idle_customers",
-    "sessionize_events",
-    "band_join_acctbal",
-    "mode_period_users",
-    "distinct_users_per_type",
-    "value_percentiles_per_type",
-    "asof_last_signup",
-    "range_join_close_events",
-    "rollup_event_daily",
-    "cube_event_user_bucket",
-    "pivot_daily_event_counts",
-    "tumbling_daily_stats",
-    "sliding_hour_counts",
-    "json_props_stats",
-    "except_click_no_purchase",
-    "dedup_exact",
-    "minhash_lsh_pairs",
-    "simhash_16",
-    "simhash_near_pairs",
-    "token_stats",
-    "bpe_token_count",
-    "text_quality",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "rolling_fingerprint",
-    "cosine_pairs",
-    "cosine_lsh_pairs",
-    "ann_topk_bruteforce",
-    "ann_ivf_label",
-    "dedup_embedding_cosine",
-]
-
-# r3 additions, benched separately: the headline total must stay
-# comparable to BASELINE.md's 41-query anchor round-over-round, so new
-# queries accumulate into "extended_total" instead.
-EXTENDED = [
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    "q22_idle_rich_customers",
-    "ntile_value_quartiles",
-    "semdedup_label",
-    "embedding_norm_stats",
-    "ngram_lang_profile",
-    "levenshtein_block_pairs",
-    "doc_length_histogram",
-    "boilerplate_ngrams",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "dow_hour_heatmap",
-    # r4 additions
-    "minhash_jaccard_estimate",
-    "contamination_ngram_overlap",
-    "bm25_top_docs",
-    "knn_graph_bruteforce",
-    "stratified_sample_lang",
-    "funnel_conversion",
-    "knn_graph_lsh",
-    "embedding_dim_stats",
-    "cohort_retention",
-    "token_entropy",
-]
+# r5: ONE list, ONE total — every registered query, derived from the
+# registry itself so a new query can never be silently unbenched (the
+# old headline/extended split made cross-round totals incomparable and
+# left 19 r2-era queries with no perf signal; BASELINE.md is re-anchored
+# to this full-surface total).  Includes the brute-force baselines
+# (dedup_ngram_jaccard, cosine_pairs, knn_graph_bruteforce …): they are
+# part of the shipped surface and their cost relative to the LSH/IVF
+# scale paths is itself the signal.
+HEADLINE = list(QUERIES)
 
 
 # The ETL anchor's input EDF: overridable so the bench is not coupled to
@@ -177,6 +98,73 @@ def bench_edf_etl(spark) -> dict[str, float]:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def bench_ml_operators(spark, sf_dir: str) -> dict[str, float]:
+    """Perf anchors for the operators with no oracle-query surface:
+    kmeans_fit → ivf_search (learned-cell ANN), pagerank over the LSH
+    near-dup graph, and sequence packing.  Inputs are materialized
+    OUTSIDE the timed region so each anchor times one operator, not its
+    upstream query."""
+    import numpy as np
+
+    from processor_edf_spark.operators.kmeans import ivf_search, kmeans_fit
+    from processor_edf_spark.operators.packing import pack_sequences
+    from processor_edf_spark.operators.pagerank import pagerank
+    from processor_edf_spark.plans.registry import load
+
+    out: dict[str, float] = {}
+    try:
+        (emb,) = load(spark, sf_dir, "embeddings")
+        emb = emb.localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        C = kmeans_fit(emb, k=16, n_iter=5)
+        out["kmeans_fit"] = round(time.perf_counter() - t0, 3)
+
+        qpdf = emb.limit(32).toPandas()
+        Q = np.vstack(qpdf["embedding"].to_numpy())
+        qids = qpdf["vec_id"].to_numpy()
+        t0 = time.perf_counter()
+        ivf_search(emb, C, Q, qids, k=10, nprobe=3).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["ivf_search"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: kmeans/ivf FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        out["kmeans_fit"] = out["ivf_search"] = -1.0
+
+    try:
+        pairs = QUERIES["cosine_lsh_pairs"](spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        t0 = time.perf_counter()
+        pagerank(pairs, src="vec_a", dst="vec_b", n_iter=10).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["pagerank_10it"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: pagerank FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        out["pagerank_10it"] = -1.0
+
+    try:
+        from pyspark.sql import functions as F
+
+        (docs,) = load(spark, sf_dir, "documents")
+        lens = docs.select(
+            F.col("doc_id"),
+            F.size(F.split(F.col("text"), r"\s+")).cast("long").alias(
+                "n_tokens"
+            ),
+        ).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        pack_sequences(lens, budget=2048).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out["pack_sequences"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: packing FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        out["pack_sequences"] = -1.0
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -200,18 +188,16 @@ def main() -> None:
         return timings
 
     timings = run_set(HEADLINE)
-    extended = run_set(EXTENDED)
     etl = bench_edf_etl(spark)
+    ops = bench_ml_operators(spark, sf_dir)
 
-    failed = sorted(
-        n for t in (timings, extended) for n, v in t.items() if v < 0
-    )
+    failed = sorted(n for n, v in timings.items() if v < 0)
+    failed += sorted(n for n, v in ops.items() if v < 0)
     if etl["warm"] < 0:
         failed.append("edf_etl_32x")
     # total stays queries-only so it remains comparable to BASELINE.md's
-    # headline anchor; the ETL anchor (21 s cold / 11 s warm) is its own key
+    # full-surface anchor; the ETL and ML-operator anchors are their own keys
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    extended_total = round(sum(t for t in extended.values() if t >= 0), 3)
     print(
         json.dumps(
             {
@@ -219,9 +205,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "extended_total": extended_total,
-                "extended": extended,
                 "edf_etl_32x": etl,
+                "ml_operators": ops,
                 "failed": failed,
                 "sf": sf,
             }
@@ -238,11 +223,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                "extended_total": extended_total,
                 "edf_etl_32x_warm": etl["warm"],
                 "edf_etl_32x_cold": etl["cold"],
+                "ml_operators": ops,
                 "n_queries": len(timings),
-                "n_extended": len(extended),
                 "failed": len(failed),
             }
         )
