@@ -9,12 +9,14 @@ fixed headers + ``np.frombuffer``):
 - AVI demux (RIFF LIST walk) — real container parse for frame sampling;
   per-frame decode then depends on the stream codec.
 
-Baseline JPEG (the format a real corpus is mostly made of) is decoded
-for real by the pure-numpy codec in operators/jpeg.py, routed from
-``decode_image`` by magic byte.  The remaining compressed codecs
-(PNG/MP3/H.264, progressive JPEG) genuinely need external libraries;
-those payloads raise ``UnsupportedMediaError`` and the callers in
-operators/multimodal.py fall back to the documented deterministic stub.
+Baseline JPEG and PNG (the formats a real corpus is mostly made of)
+are decoded for real by the pure-numpy codecs in operators/jpeg.py and
+operators/png.py (PNG's deflate is stdlib zlib, so that decode is
+complete and lossless), routed from ``decode_image`` by magic byte.
+The remaining compressed codecs (MP3/H.264, progressive JPEG)
+genuinely need external libraries; those payloads raise
+``UnsupportedMediaError`` and the callers in operators/multimodal.py
+fall back to the documented deterministic stub.
 The format sniffing is magic-byte based, so a mixed media column routes
 each payload to the right path per row.
 """
@@ -141,7 +143,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from processor_edf_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
-    raise UnsupportedMediaError("not a BMP/PPM/baseline-JPEG payload")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from processor_edf_spark.operators.png import decode_png
+
+        return decode_png(payload)
+    raise UnsupportedMediaError("not a BMP/PPM/JPEG/PNG payload")
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:

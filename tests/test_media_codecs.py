@@ -343,3 +343,107 @@ def test_spark_image_path_decodes_real_jpeg(spark):
         assert out[mid]["decoded"]
         assert (out[mid]["width"], out[mid]["height"]) == (10, 12)
         assert abs(out[mid]["feature"][0] - 200 / 255) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# PNG (operators/png.py)
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body))
+    )
+
+
+def test_png_lossless_roundtrip_all_filters():
+    """PNG is lossless, so the round-trip pins EXACT equality; the
+    encoder cycles filter types 0-4 per row, so a >=5-row image
+    exercises every unfilter path (None/Sub/Up/Average/Paeth)."""
+    from processor_edf_spark.operators.png import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)  # random = worst case
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    gray = rng.randint(0, 256, (21, 33), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png(gray)), np.repeat(gray[:, :, None], 3, axis=2)
+    )
+    rgba = rng.randint(0, 256, (10, 11, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(rgba)), rgba[:, :, :3])
+
+
+def test_png_palette_and_subbyte_depths():
+    """Hand-built PLTE + 8/4/1-bit index payloads: palette resolution
+    and sub-byte sample unpacking decode exactly."""
+    import zlib
+
+    from processor_edf_spark.operators.png import PNG_SIG, decode_png
+
+    palette = np.array(
+        [[250, 10, 20], [30, 200, 40], [5, 60, 250], [128, 128, 128]],
+        dtype=np.uint8,
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0], [1, 1, 3, 0]], dtype=np.uint8)
+
+    def build(depth):
+        h, w = idx.shape
+        lines = bytearray()
+        for y in range(h):
+            lines.append(0)  # filter None
+            packed = np.packbits(
+                np.unpackbits(idx[y][:, None], axis=1, count=8)[:, 8 - depth :]
+            )
+            lines += packed.tobytes()
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        return (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", palette.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for depth in (8, 4, 2):
+        np.testing.assert_array_equal(decode_png(build(depth)), palette[idx])
+
+
+def test_png_rejects_interlace_16bit_and_malformed():
+    from processor_edf_spark.operators.png import decode_png, encode_png
+
+    good = bytearray(encode_png(np.zeros((8, 8, 3), dtype=np.uint8)))
+    # IHDR body starts at 8 (sig) + 8 (len+type); interlace byte is its 13th
+    interlaced = bytearray(good)
+    interlaced[8 + 8 + 12] = 1
+    deep = bytearray(good)
+    deep[8 + 8 + 8] = 16
+    for payload in (
+        bytes(interlaced),
+        bytes(deep),
+        bytes(good[: len(good) // 2]),   # truncated chunk declaration
+        b"\x89PNG\r\n\x1a\n" + bytes(50),  # garbage chunks
+    ):
+        with pytest.raises(UnsupportedMediaError):
+            decode_png(payload)
+
+
+def test_spark_image_path_decodes_real_png(spark):
+    """decode_image routes PNG for real: decoded=true with exact
+    dimensions and channel means (PNG is lossless, so the mean is exact
+    to float rounding)."""
+    from processor_edf_spark.operators.png import encode_png
+
+    img = np.full((14, 9, 3), [60, 120, 240], dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", encode_png(img), "image/png", None)], MEDIA_SCHEMA
+    )
+    row = extract_image_features(media).collect()[0]
+    assert row["decoded"]
+    assert (row["width"], row["height"]) == (9, 14)
+    assert abs(row["feature"][0] - 60 / 255) < 1e-6
