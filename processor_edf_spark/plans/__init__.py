@@ -57,8 +57,7 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 17 r3-era queries staying in-window (driver-green r4)
-    "q7_nation_volume",
+    # ---- 15 r3-era queries staying in-window (driver-green r4)
     "q10_returned_revenue",
     "q11_important_parts",
     "q15_top_supplier",
@@ -71,7 +70,6 @@ _CANONICAL = [
     "boilerplate_ngrams",
     "range_frame_user_avg",
     "intersect_all_user_days",
-    "dow_hour_heatmap",
     "ann_ivf_multiprobe",
     "sample_hash_bucket",
     "tfidf_top_terms",
@@ -87,13 +85,17 @@ _CANONICAL = [
     "cohort_retention",
     "token_entropy",
     # ---- r5 additions, first driver check (mirror-green from their
-    # introducing commit; q2_min_cost_supplier rotated out to make room)
+    # introducing commit; q2/q7/dow_hour_heatmap rotated out to make room)
     "funnel_k_stages",
+    "split_assignment",
+    "normalize_text",
     # ---- position 51+: every query below has a driver-green row in
     # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
     # by tests/test_queries_oracle.py on every pytest run.
     # rotated out in r5 (driver-green r4):
     "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "dow_hour_heatmap",
     "q8_market_share",
     "q9_product_profit",
     "q12_priority_by_status",
@@ -222,6 +224,8 @@ FAMILY = {
     "stratified_sample_lang": "sampling",
     "funnel_conversion": "sessionize",
     "funnel_k_stages": "sessionize",
+    "split_assignment": "sampling",
+    "normalize_text": "text",
     "knn_graph_lsh": "ann",
     "embedding_dim_stats": "similarity",
     "cohort_retention": "events",

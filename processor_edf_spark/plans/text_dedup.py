@@ -598,6 +598,95 @@ def sample_hash_bucket(spark, sf_dir):
     )
 
 
+SPLIT_BUCKETS = 1000
+SPLIT_TRAIN = 900  # 90% train
+SPLIT_VAL = 950    # 5% val, 5% test
+
+
+@register(
+    "split_assignment",
+    f"""
+    SELECT doc_id,
+           CASE WHEN bucket < {SPLIT_TRAIN} THEN 'train'
+                WHEN bucket < {SPLIT_VAL} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               {hash64_sql("CAST(doc_id AS VARCHAR)", "split")} % {SPLIT_BUCKETS}
+                 AS bucket
+        FROM documents
+    )
+    """,
+)
+def split_assignment(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) by salted
+    md5-bucket of the document id — the split every training pipeline
+    needs to be STABLE: the same doc lands in the same split on every
+    engine, every run, every cluster size, and membership is auditable
+    from the id alone (no persisted split table to drift).  The salt
+    decorrelates it from ``sample_hash_bucket``'s buckets, so sampling
+    and splitting never alias.
+
+    Scale: pure column expressions — no shuffle, no state; at 100 TB
+    this rides the scan as a projection and the split can gate
+    per-split sinks in the same pass."""
+    (documents,) = load(spark, sf_dir, "documents")
+    bucket = hash64(F.col("doc_id").cast("string"), "split") % SPLIT_BUCKETS
+    return documents.select(
+        "doc_id",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "normalize_text",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_raw,
+           CAST(length(norm) AS BIGINT) AS n_norm,
+           sha256(norm) AS norm_sha
+    FROM (
+        SELECT doc_id, text,
+               lower(trim(regexp_replace(regexp_replace(text,
+                   '[\x00-\x1f]+', ' ', 'g'), '\s+', ' ', 'g'))) AS norm
+        FROM documents
+    )
+    """,
+)
+def normalize_text(spark, sf_dir):
+    """Dedup-grade text normalization: strip control characters,
+    collapse whitespace runs, trim, casefold — then sha-256 the
+    normalized form.  Exact dedup on raw bytes misses trivially-mutated
+    copies (extra spaces, CRLF vs LF, case); hashing the normalized
+    form is the standard first pass before MinHash.  The normalization
+    is two chained regexp passes chosen (like operators/redaction.py)
+    to parse identically in Java regex and RE2, so the DuckDB oracle
+    computes byte-identical hashes.
+
+    Scale: pure JVM column expressions in one codegen stage — no
+    shuffle, no Python; feed ``norm_sha`` to dedup_exact /
+    dedup_incremental unchanged."""
+    (documents,) = load(spark, sf_dir, "documents")
+    norm = F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), r"[\x00-\x1f]+", " "),
+                r"\s+",
+                " ",
+            )
+        )
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_raw"),
+        F.length(norm).cast("long").alias("n_norm"),
+        F.sha2(norm, 256).alias("norm_sha"),
+    )
+
+
 TFIDF_TOPK = 3
 
 

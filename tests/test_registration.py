@@ -44,8 +44,7 @@ EXPECTED_FIRST_50 = [
     "cosine_pairs",
     "cosine_lsh_pairs",
     "dedup_embedding_cosine",
-    # 17 r3-era queries staying in-window (driver-green r4)
-    "q7_nation_volume",
+    # 15 r3-era queries staying in-window (driver-green r4)
     "q10_returned_revenue",
     "q11_important_parts",
     "q15_top_supplier",
@@ -58,7 +57,6 @@ EXPECTED_FIRST_50 = [
     "boilerplate_ngrams",
     "range_frame_user_avg",
     "intersect_all_user_days",
-    "dow_hour_heatmap",
     "ann_ivf_multiprobe",
     "sample_hash_bucket",
     "tfidf_top_terms",
@@ -75,6 +73,8 @@ EXPECTED_FIRST_50 = [
     "token_entropy",
     # r5 additions, first driver check
     "funnel_k_stages",
+    "split_assignment",
+    "normalize_text",
 ]
 
 
@@ -95,8 +95,9 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 84 through r3 + 10 r4 additions + r5 additions (funnel_k_stages)
-    assert len(QUERIES) == 95
+    # 84 through r3 + 10 r4 additions + r5 additions (funnel_k_stages,
+    # split_assignment, normalize_text)
+    assert len(QUERIES) == 97
 
 
 def test_every_query_has_a_family():
