@@ -124,3 +124,40 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted join must equal the plain equi-join row-for-row on a
+    skewed fact distribution (one key ~90% of rows), for inner and for
+    left (including unmatched fact keys)."""
+    from processor_edf_spark.operators.skew import salted_join
+
+    rng = np.random.default_rng(11)
+    facts = spark.createDataFrame(
+        [
+            ("hot" if rng.random() < 0.9 else f"k{rng.integers(6)}", int(v))
+            for v in range(5_000)
+        ],
+        "key string, v long",
+    )
+    # k5 is absent from the dim side -> exercises left-join nulls
+    dim = spark.createDataFrame(
+        [(k, f"attr_{k}") for k in ["hot"] + [f"k{i}" for i in range(5)]],
+        "key string, attr string",
+    )
+    for how in ("inner", "left"):
+        plain = sorted(
+            (r["key"], r["v"], r["attr"])
+            for r in facts.join(dim, ["key"], how).collect()
+        )
+        salted = sorted(
+            (r["key"], r["v"], r["attr"])
+            for r in salted_join(facts, dim, ["key"], n_salts=8, how=how).collect()
+        )
+        assert salted == plain, how
+    # the salt must spread the hot key: the join runs on (key, _salt)
+    plan = (
+        salted_join(facts, dim, ["key"], n_salts=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "_salt" in plan
