@@ -165,6 +165,46 @@ def bench_ml_operators(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_media_decode(spark) -> dict[str, float]:
+    """Codec-path anchor: decode 256 JPEG + 256 PNG payloads through the
+    Spark multimodal feature extractor (the Arrow-batched per-row decode
+    the corpus image path runs).  Payloads are synthesized once
+    driver-side with the fixture encoders; the timed region is the
+    Spark pass only."""
+    import numpy as np
+
+    from processor_edf_spark.operators.jpeg import encode_jpeg_baseline
+    from processor_edf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+    from processor_edf_spark.operators.png import encode_png
+
+    out: dict[str, float] = {}
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, (96, 128, 3), dtype=np.uint8)
+    for key, payload in (
+        ("jpeg_decode_256", encode_jpeg_baseline(base, 85, "420")),
+        ("png_decode_256", encode_png(base)),
+    ):
+        try:
+            rows = [(i, "image", payload, "image/x", None) for i in range(256)]
+            media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(32)
+            media.localCheckpoint(eager=True)
+            t0 = time.perf_counter()
+            feats = extract_image_features(media)
+            feats.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 3)
+            n_real = feats.filter("decoded").count()
+            if n_real != 256:
+                raise RuntimeError(f"{n_real}/256 decoded")
+            out[key] = elapsed
+        except Exception as e:  # noqa: BLE001
+            print(f"bench: {key} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            out[key] = -1.0
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -190,6 +230,7 @@ def main() -> None:
     timings = run_set(HEADLINE)
     etl = bench_edf_etl(spark)
     ops = bench_ml_operators(spark, sf_dir)
+    ops.update(bench_media_decode(spark))
 
     failed = sorted(n for n, v in timings.items() if v < 0)
     failed += sorted(n for n, v in ops.items() if v < 0)

@@ -32,6 +32,23 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def normalized_text(col: Column) -> Column:
+    """Dedup-grade normalization: strip control characters, collapse
+    whitespace runs, trim, casefold — the ONE definition shared by the
+    ``normalize_text`` batch query and the streaming ingest dedup, so a
+    document dedups identically in both modes.  Patterns parse
+    identically in Java regex and RE2 (the redaction.py discipline).
+    DuckDB: lower(trim(regexp_replace(regexp_replace(x,
+    '[\\x00-\\x1f]+', ' ', 'g'), '\\s+', ' ', 'g')))"""
+    return F.lower(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(col, r"[\x00-\x1f]+", " "), r"\s+", " "
+            )
+        )
+    )
+
+
 def word_shingles(tok: Column, k: int = 3) -> Column:
     """k-word shingles: array of space-joined k-grams.
     DuckDB: list_transform(generate_series(1, len(t)-k+1),

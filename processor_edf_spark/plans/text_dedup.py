@@ -669,16 +669,10 @@ def normalize_text(spark, sf_dir):
     Scale: pure JVM column expressions in one codegen stage — no
     shuffle, no Python; feed ``norm_sha`` to dedup_exact /
     dedup_incremental unchanged."""
+    from processor_edf_spark.operators.textfns import normalized_text
+
     (documents,) = load(spark, sf_dir, "documents")
-    norm = F.lower(
-        F.trim(
-            F.regexp_replace(
-                F.regexp_replace(F.col("text"), r"[\x00-\x1f]+", " "),
-                r"\s+",
-                " ",
-            )
-        )
-    )
+    norm = normalized_text(F.col("text"))
     return documents.select(
         "doc_id",
         F.length("text").cast("long").alias("n_raw"),

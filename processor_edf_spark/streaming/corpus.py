@@ -29,14 +29,18 @@ def stream_corpus_ingest(
     schema: str = "doc_id long, text string, lang string, ts timestamp",
     dedup_delay: str = "10 minutes",
     min_tokens: int = 3,
+    normalize: bool = True,
 ) -> DataFrame:
-    """readStream(parquet drops) → watermarked content dedup → token
-    gate → PII audit + scrub.  Returns the streaming DataFrame; run with
+    """readStream(parquet drops) → watermarked content dedup (on the
+    NORMALIZED text by default — whitespace/case mutations of the same
+    document dedup, the production-realistic key) → token gate → PII
+    audit + scrub.  Returns the streaming DataFrame; run with
     ``trigger(availableNow=True)`` for batch-incremental catch-up or a
     processing-time trigger for continuous ingest."""
     stream = spark.readStream.schema(schema).parquet(input_dir)
     deduped = dedup_stream_exact(
-        stream, text_col="text", ts_col="ts", delay=dedup_delay
+        stream, text_col="text", ts_col="ts", delay=dedup_delay,
+        normalize=normalize,
     )
     gated = deduped.withColumn(
         "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))

@@ -108,6 +108,7 @@ def dedup_stream_exact(
     text_col: str = "text",
     ts_col: str = "ts",
     delay: str = "10 minutes",
+    normalize: bool = False,
 ) -> DataFrame:
     """Streaming exact dedup on ingest — the streaming flavor of the batch
     ``dedup_exact`` query: key every document by its content sha and drop
@@ -123,8 +124,18 @@ def dedup_stream_exact(
     training-data ingest that residue is handled by the periodic batch
     dedup pass (``dedup_exact`` / ``minhash_lsh_pairs``), the standard
     lambda split.  State is hash-partitioned by the sha key, so the
-    operator scales out with no skew (sha is uniform)."""
-    keyed = docs.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    operator scales out with no skew (sha is uniform).
+
+    ``normalize=True`` keys by the sha of the NORMALIZED text
+    (operators/textfns.normalized_text — the same expression the
+    ``normalize_text`` batch oracle validates), so whitespace/case
+    mutations of the same content dedup too."""
+    from processor_edf_spark.operators.textfns import normalized_text
+
+    key_src = (
+        normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    )
+    keyed = docs.withColumn("content_sha", F.sha2(key_src, 256))
     return keyed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
         ["content_sha"]
     )

@@ -430,3 +430,11 @@ def test_funnel_k_stages_window_chain_one_shuffle(spark):
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:3000]}"
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["split_assignment", "normalize_text"])
+def test_projection_queries_shuffle_free(spark, name):
+    """split_assignment and normalize_text are pure projections: zero
+    exchanges — at 100 TB they ride the scan."""
+    plan = plan_of(spark, name)
+    assert "Exchange" not in plan, plan[:2000]

@@ -349,3 +349,32 @@ def test_stream_checkpoint_incremental_restart(spark, tmp_path):
     run_once()
     out = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
     assert sorted(out) == [1, 2]
+
+
+def test_stream_corpus_ingest_dedups_normalized_variants(spark, tmp_path):
+    """With normalize=True (the default), a whitespace/case mutation of
+    an already-seen document dedups on the stream — the same
+    normalization the normalize_text batch oracle validates."""
+    import datetime as dt
+
+    from processor_edf_spark.streaming.corpus import stream_corpus_ingest
+
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 5, 1, 9, 0, 0)
+    rows = [
+        (1, "a perfectly clean useful document", "en", t0),
+        (2, "  A   perfectly clean\tuseful DOCUMENT ", "en",
+         t0 + dt.timedelta(seconds=5)),   # normalized dup of 1
+        (3, "a genuinely different document entirely", "en",
+         t0 + dt.timedelta(seconds=10)),
+    ]
+    schema = "doc_id long, text string, lang string, ts timestamp"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(in_dir)
+
+    out_df = stream_corpus_ingest(spark, in_dir)
+    _run_stream(out_df, "corpus_norm_out", ckpt)
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("select * from corpus_norm_out").collect()
+    )
+    assert got == [1, 3]  # the normalized twin (2) deduped
