@@ -403,10 +403,19 @@ class _BitWriter:
                 self.out.append(0x00)
         self.buf &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)  # 1-pad per spec
+
+    def marker(self, m: int) -> None:
+        """Emit a bare marker into the entropy stream (markers are never
+        byte-stuffed): pad to a byte boundary first."""
+        self.pad_to_byte()
+        self.out += bytes([0xFF, m])
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -476,13 +485,19 @@ def _encode_block(writer, block, qt, dc_tab, ac_tab, pred_dc):
 
 
 def encode_jpeg_baseline(
-    img: np.ndarray, quality: int = 90, subsampling: str = "444"
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode HxW (grayscale) or HxWx3 uint8 RGB as baseline JPEG with
     standard Annex K tables.  ``subsampling``: "444" (one block per
     component per MCU) or "420" (2x2 luma blocks + box-averaged chroma —
-    the layout real-world JPEGs overwhelmingly use).  Fixture-grade: no
-    restart intervals."""
+    the layout real-world JPEGs overwhelmingly use).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTn marker
+    every N MCUs with DC predictors reset — the layout camera firmware
+    commonly writes, and the fixture that exercises the decoder's
+    restart realignment."""
     arr = np.asarray(img, dtype=np.float64)
     gray = arr.ndim == 2
     if gray:
@@ -533,8 +548,13 @@ def encode_jpeg_baseline(
 
     writer = _BitWriter()
     pred = [0] * len(planes)
+    m = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and m and m % restart_interval == 0:
+                writer.marker(0xD0 + ((m // restart_interval - 1) & 7))
+                pred = [0] * len(planes)
+            m += 1
             for ci, (p, (ch, cv), tq) in enumerate(
                 zip(padded, comp_hv, comp_tq)
             ):
@@ -562,6 +582,8 @@ def encode_jpeg_baseline(
         huff_specs += [(0, 1, STD_DC_CHROMA), (1, 1, STD_AC_CHROMA)]
     for tc, th, (bits, values) in huff_specs:
         out += seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(values))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([len(planes)])
     for ci, tq in enumerate(comp_tq):
         sos += bytes([ci + 1, (tq << 4) | tq])

@@ -447,3 +447,22 @@ def test_spark_image_path_decodes_real_png(spark):
     assert row["decoded"]
     assert (row["width"], row["height"]) == (9, 14)
     assert abs(row["feature"][0] - 60 / 255) < 1e-6
+
+
+def test_jpeg_restart_intervals_decode_identically():
+    """DRI streams (RSTn marker + DC-predictor reset every N MCUs — the
+    layout camera firmware commonly writes) must decode to exactly the
+    same pixels as the marker-free encoding of the same image; this is
+    the only coverage of the decoder's restart realignment path."""
+    from processor_edf_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    img = _gradient_img()
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg_baseline(img, 92, sub))
+        for ri in (1, 3):
+            with_dri = encode_jpeg_baseline(img, 92, sub, restart_interval=ri)
+            assert b"\xff\xdd" in with_dri  # DRI segment present
+            np.testing.assert_array_equal(decode_jpeg(with_dri), base)
