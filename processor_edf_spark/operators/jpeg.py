@@ -129,6 +129,12 @@ def _dct_basis() -> np.ndarray:
 
 _T = _dct_basis()
 
+#: Decode-side sanity bound (shared with operators/png.py): 64 MP covers
+#: any plausible corpus image; beyond it a lying header is the likely
+#: cause, and refusing protects the executor from attacker-sized
+#: allocations in the per-row decode path.
+MAX_PIXELS = 1 << 26
+
 
 def _build_decode_table(bits: list[int], values: list[int]) -> dict:
     """Canonical Huffman: (code_length, code) → symbol."""
@@ -273,6 +279,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
             if height < 1 or width < 1 or ncomp not in (1, 3):
                 raise UnsupportedMediaError("unsupported SOF0 layout")
+            if height * width > MAX_PIXELS:
+                # a lying SOF dimension would otherwise allocate the
+                # full coefficient store BEFORE any entropy data is
+                # validated — multi-GB from a few flipped header bits
+                raise UnsupportedMediaError(
+                    f"image {width}x{height} exceeds the {MAX_PIXELS}-pixel "
+                    "decode bound"
+                )
             frame = (height, width, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(

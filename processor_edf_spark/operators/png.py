@@ -93,13 +93,24 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"bit depth {depth} for color type {color}")
     if width < 1 or height < 1:
         raise UnsupportedMediaError(f"degenerate dimensions ({width}x{height})")
+    from processor_edf_spark.operators.jpeg import MAX_PIXELS
+
+    if width * height > MAX_PIXELS:
+        # lying IHDR dims would otherwise drive the inflate target and
+        # the recon allocation to attacker-chosen sizes
+        raise UnsupportedMediaError(
+            f"image {width}x{height} exceeds the {MAX_PIXELS}-pixel decode bound"
+        )
 
     ch = _CHANNELS[color]
     bits_pp = depth * ch
     stride = -(-width * bits_pp // 8)  # bytes per scanline (packed)
     bpp = max(bits_pp // 8, 1)  # filter delta distance, per spec
-    raw = zlib.decompress(bytes(idat))
     need = (stride + 1) * height
+    # bounded inflate: we use exactly `need` bytes, so never materialize
+    # more — a deflate bomb in IDAT stops at the cap instead of OOMing
+    # the executor
+    raw = zlib.decompressobj().decompress(bytes(idat), need)
     if len(raw) < need:
         raise UnsupportedMediaError("IDAT inflates short of one scanline per row")
     raw = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(

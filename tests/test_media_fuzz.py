@@ -1,0 +1,133 @@
+"""Property-based fuzz of the image decoders' one-exception contract:
+for ARBITRARY bytes (random, truncated-valid, bit-flipped-valid), every
+decoder either returns a valid HxWx3 uint8 array or raises
+UnsupportedMediaError — never struct/Index/Key/Value/zlib errors and
+never a wrong-shaped result.  The mapInPandas stub fallbacks catch
+exactly UnsupportedMediaError, so any other escape would kill a whole
+Arrow batch at corpus scale (the TAL-fuzz discipline applied to the
+media path)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from processor_edf_spark.operators.jpeg import decode_jpeg, encode_jpeg_baseline
+from processor_edf_spark.operators.media_codecs import (
+    UnsupportedMediaError,
+    decode_image,
+)
+from processor_edf_spark.operators.png import decode_png, encode_png
+
+_SETTINGS = dict(max_examples=60, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+def _check(decoder, payload):
+    try:
+        out = decoder(payload)
+    except UnsupportedMediaError:
+        return
+    assert isinstance(out, np.ndarray) and out.dtype == np.uint8
+    assert out.ndim == 3 and out.shape[2] == 3
+
+
+_IMG = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+_GOOD_JPEG = encode_jpeg_baseline(_IMG, quality=80)
+_GOOD_PNG = encode_png(_IMG)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=0, max_size=400))
+def test_random_bytes_never_escape_media_error(data):
+    for prefix in (b"", b"\xff\xd8", b"\x89PNG\r\n\x1a\n", b"BM", b"P6"):
+        _check(decode_image, prefix + data)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=len(_GOOD_JPEG) - 1))
+def test_truncated_jpeg_never_escapes(cut):
+    _check(decode_jpeg, _GOOD_JPEG[:cut])
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=len(_GOOD_PNG) - 1))
+def test_truncated_png_never_escapes(cut):
+    _check(decode_png, _GOOD_PNG[:cut])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=2, max_value=len(_GOOD_JPEG) - 1),
+    st.integers(min_value=0, max_value=7),
+)
+def test_bitflipped_jpeg_never_escapes(pos, bit):
+    b = bytearray(_GOOD_JPEG)
+    b[pos] ^= 1 << bit
+    _check(decode_jpeg, bytes(b))
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=8, max_value=len(_GOOD_PNG) - 1),
+    st.integers(min_value=0, max_value=7),
+)
+def test_bitflipped_png_never_escapes(pos, bit):
+    b = bytearray(_GOOD_PNG)
+    b[pos] ^= 1 << bit
+    _check(decode_png, bytes(b))
+
+
+def test_lying_dimensions_rejected_before_allocation():
+    """Headers declaring absurd dimensions must raise the media error
+    BEFORE any proportional allocation: a few flipped header bits must
+    not cost gigabytes on an executor."""
+    import struct
+    import zlib
+
+    from processor_edf_spark.operators.png import PNG_SIG
+
+    # PNG: IHDR says 2^15 x 2^15 (1 GP) with a tiny IDAT
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    huge_png = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\0" * 64))
+        + chunk(b"IEND", b"")
+    )
+    _check(decode_png, huge_png)  # must raise, and fast
+
+    # JPEG: rewrite SOF0 dims of a valid stream to 65000 x 65000
+    b = bytearray(_GOOD_JPEG)
+    sof = bytes(b).index(b"\xff\xc0")
+    struct.pack_into(">HH", b, sof + 5, 65000, 65000)
+    _check(decode_jpeg, bytes(b))
+
+
+def test_png_deflate_bomb_bounded():
+    """An IDAT that inflates far past the declared image size must not
+    materialize: the inflate is capped at exactly the bytes the image
+    needs."""
+    import struct
+    import zlib
+
+    from processor_edf_spark.operators.png import PNG_SIG
+
+    def chunk(t, b):
+        return struct.pack(">I", len(b)) + t + b + struct.pack(">I", zlib.crc32(t + b))
+
+    # 2x2 RGB image, but the IDAT inflates to 64 MB of zeros
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = zlib.compress(b"\0" * (64 << 20), 9)  # ~64 KB compressed
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    out = decode_png(payload)  # decodes the 2x2 prefix, ignores the rest
+    assert out.shape == (2, 2, 3)
