@@ -9,14 +9,17 @@ fixed headers + ``np.frombuffer``):
 - AVI demux (RIFF LIST walk) — real container parse for frame sampling;
   per-frame decode then depends on the stream codec.
 
-Baseline JPEG and PNG (the formats a real corpus is mostly made of)
-are decoded for real by the pure-numpy codecs in operators/jpeg.py and
-operators/png.py (PNG's deflate is stdlib zlib, so that decode is
-complete and lossless), routed from ``decode_image`` by magic byte.
-The remaining compressed codecs (MP3/H.264, progressive JPEG)
-genuinely need external libraries; those payloads raise
-``UnsupportedMediaError`` and the callers in operators/multimodal.py
-fall back to the documented deterministic stub.
+Baseline JPEG, PNG, and GIF (the formats a real corpus is mostly made
+of) are decoded for real by the pure-numpy codecs in
+operators/jpeg.py, operators/png.py, and operators/gif.py (PNG's
+deflate is stdlib zlib and GIF's LZW is ~60 lines of Python, so both
+decodes are complete and lossless; GIF also demuxes animations for
+frame sampling, mirroring the AVI path), routed from ``decode_image``
+by magic byte.  The remaining compressed codecs (MP3/H.264,
+progressive JPEG) genuinely need external libraries; those payloads
+raise ``UnsupportedMediaError`` and the callers in
+operators/multimodal.py fall back to the documented deterministic
+stub.
 The format sniffing is magic-byte based, so a mixed media column routes
 each payload to the right path per row.
 """
@@ -147,7 +150,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from processor_edf_spark.operators.png import decode_png
 
         return decode_png(payload)
-    raise UnsupportedMediaError("not a BMP/PPM/JPEG/PNG payload")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from processor_edf_spark.operators.gif import decode_gif
+
+        return decode_gif(payload)
+    raise UnsupportedMediaError("not a BMP/PPM/JPEG/PNG/GIF payload")
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:

@@ -466,3 +466,94 @@ def test_jpeg_restart_intervals_decode_identically():
             with_dri = encode_jpeg_baseline(img, 92, sub, restart_interval=ri)
             assert b"\xff\xdd" in with_dri  # DRI segment present
             np.testing.assert_array_equal(decode_jpeg(with_dri), base)
+
+
+# ---------------------------------------------------------------------------
+# GIF (operators/gif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lossless_roundtrip_and_animation():
+    """LZW is lossless for palette content: single-frame round-trip pins
+    exact equality; a 3-frame animation composites draw-over frames
+    exactly and preserves per-frame delays."""
+    from processor_edf_spark.operators.gif import (
+        decode_gif,
+        demux_gif_frames,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.randint(0, 16, (33, 47))]
+    np.testing.assert_array_equal(decode_gif(encode_gif(img)), img)
+
+    f2 = img.copy()
+    f2[5:15, 5:20] = pal[0]
+    f3 = f2.copy()
+    f3[20:30, 30:40] = pal[1]
+    delays, frames = demux_gif_frames(encode_gif([img, f2, f3], [10, 20, 30]))
+    assert delays == [10, 20, 30]
+    for got, want in zip(frames, [img, f2, f3]):
+        np.testing.assert_array_equal(got, want)
+    # frame sampling never decodes past max_frames
+    _, head = demux_gif_frames(encode_gif([img, f2, f3]), max_frames=2)
+    assert len(head) == 2
+
+
+def test_gif_interlace_and_transparency():
+    """Hand-built interlaced frame with a transparency index: the
+    4-pass row reorder and the transparent-shows-background compositing
+    both decode exactly."""
+    from processor_edf_spark.operators.gif import _lzw_encode, decode_gif
+
+    rng = np.random.RandomState(4)
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    idx = rng.randint(0, 4, (16, 8)).astype(np.uint8)
+    order = np.concatenate(
+        [np.arange(s, 16, p) for s, p in ((0, 8), (4, 8), (2, 4), (1, 2))]
+    )
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 8, 16) + bytes([0x81, 0, 0])
+    out += pal.tobytes()
+    out += bytes([0x21, 0xF9, 4, 0x01]) + struct.pack("<H", 5) + bytes([3, 0])
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, 8, 16) + bytes([0x40])
+    data = _lzw_encode(idx[order].reshape(-1), 2)
+    out += bytes([2])
+    for i in range(0, len(data), 255):
+        c = data[i : i + 255]
+        out += bytes([len(c)]) + c
+    out += bytes([0, 0x3B])
+
+    got = decode_gif(bytes(out))
+    expect = pal[idx].copy()
+    expect[idx == 3] = pal[0]  # transparent pixels show the background
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_gif_rejects_malformed():
+    from processor_edf_spark.operators.gif import decode_gif, encode_gif
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = encode_gif(img)
+    for payload in (
+        good[: len(good) // 2],     # truncated sub-blocks
+        b"GIF89a" + bytes(20),       # degenerate screen/no data
+        b"NOTGIF" + good[6:],        # wrong signature
+    ):
+        with pytest.raises(UnsupportedMediaError):
+            decode_gif(payload)
+
+
+def test_spark_image_path_decodes_real_gif(spark):
+    from processor_edf_spark.operators.gif import encode_gif
+
+    img = np.full((11, 7, 3), [10, 250, 30], dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", encode_gif(img), "image/gif", None)], MEDIA_SCHEMA
+    )
+    row = extract_image_features(media).collect()[0]
+    assert row["decoded"]
+    assert (row["width"], row["height"]) == (7, 11)
+    assert abs(row["feature"][0] - 10 / 255) < 1e-6

@@ -131,3 +131,32 @@ def test_png_deflate_bomb_bounded():
     )
     out = decode_png(payload)  # decodes the 2x2 prefix, ignores the rest
     assert out.shape == (2, 2, 3)
+
+
+from processor_edf_spark.operators.gif import decode_gif, encode_gif  # noqa: E402
+
+_GOOD_GIF = encode_gif(_IMG[:8, :8] // 32 * 32)  # ≤256 colors
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=0, max_size=400))
+def test_random_bytes_gif_never_escapes(data):
+    for prefix in (b"", b"GIF89a", b"GIF87a"):
+        _check(decode_gif, prefix + data)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=len(_GOOD_GIF) - 1))
+def test_truncated_gif_never_escapes(cut):
+    _check(decode_gif, _GOOD_GIF[:cut])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=6, max_value=len(_GOOD_GIF) - 1),
+    st.integers(min_value=0, max_value=7),
+)
+def test_bitflipped_gif_never_escapes(pos, bit):
+    b = bytearray(_GOOD_GIF)
+    b[pos] ^= 1 << bit
+    _check(decode_gif, bytes(b))
