@@ -9,14 +9,14 @@ fixed headers + ``np.frombuffer``):
 - AVI demux (RIFF LIST walk) — real container parse for frame sampling;
   per-frame decode then depends on the stream codec.
 
-Baseline JPEG, PNG, and GIF (the formats a real corpus is mostly made
-of) are decoded for real by the pure-numpy codecs in
-operators/jpeg.py, operators/png.py, and operators/gif.py (PNG's
-deflate is stdlib zlib and GIF's LZW is ~60 lines of Python, so both
-decodes are complete and lossless; GIF also demuxes animations for
-frame sampling, mirroring the AVI path), routed from ``decode_image``
-by magic byte.  The remaining compressed codecs (MP3/H.264,
-progressive JPEG) genuinely need external libraries; those payloads
+JPEG (baseline AND progressive), PNG, and GIF (the formats a real
+corpus is mostly made of) are decoded for real by the pure-numpy
+codecs in operators/jpeg.py, operators/png.py, and operators/gif.py
+(PNG's deflate is stdlib zlib and GIF's LZW is ~60 lines of Python, so
+both decodes are complete and lossless; GIF also demuxes animations
+for frame sampling, mirroring the AVI path), routed from
+``decode_image`` by magic byte.  The remaining compressed codecs
+(MP3/H.264, WebP) genuinely need external libraries; those payloads
 raise ``UnsupportedMediaError`` and the callers in
 operators/multimodal.py fall back to the documented deterministic
 stub.

@@ -5,14 +5,15 @@ with typed metadata, processed by Arrow-batched pandas functions over
 The Spark-side contract is fully real — schemas, batching, partitioning,
 UDF signatures — and so is the decode for PCM WAV, BMP, binary PPM
 (operators/media_codecs.py, same frombuffer discipline as the EDF
-reader) AND baseline JPEG (pure-numpy T.81 codec, operators/jpeg.py)
-AND PNG (stdlib-zlib + numpy unfiltering, lossless —
-operators/png.py).  Only the remaining compressed codecs (MP3/H.264,
-progressive JPEG) are stubbed — they genuinely need external libraries
-not in this container; those payloads fall back to the deterministic
-stub with ``decoded=false`` so downstream consumers can tell real
-features from placeholders.  Swap the fallback for a PIL/ffmpeg call
-and nothing else changes.
+reader) AND JPEG — baseline and progressive, the full T.81 feature set
+(pure-numpy codec, operators/jpeg.py) — AND PNG (stdlib-zlib + numpy
+unfiltering, lossless — operators/png.py) AND GIF (pure-Python LZW +
+animation demux, operators/gif.py).  Only the remaining compressed
+codecs (MP3/H.264, WebP) are stubbed — they genuinely need external
+libraries not in this container; those payloads fall back to the
+deterministic stub with ``decoded=false`` so downstream consumers can
+tell real features from placeholders.  Swap the fallback for a
+PIL/ffmpeg call and nothing else changes.
 
 Design for 100 TB of media:
 - payloads stay in ``binary`` columns read via ``binaryFile`` or parquet —
@@ -80,10 +81,10 @@ FRAME_SAMPLE_SCHEMA = T.StructType(
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int, np.ndarray]:
     """STUB decode for formats still needing external codec libraries
-    (progressive JPEG, WebP …; baseline JPEG and PNG decode for real
-    via operators/jpeg.py and operators/png.py): deterministic fake
-    (width, height, 8-dim feature) derived from the payload bytes so
-    tests are reproducible.  Replace with PIL:
+    (WebP, TIFF …; JPEG — baseline and progressive — PNG, and GIF all
+    decode for real via operators/{jpeg,png,gif}.py): deterministic
+    fake (width, height, 8-dim feature) derived from the payload bytes
+    so tests are reproducible.  Replace with PIL:
     ``img = PIL.Image.open(io.BytesIO(payload))`` — the Spark plumbing
     around it is unchanged."""
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)

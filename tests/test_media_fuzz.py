@@ -160,3 +160,25 @@ def test_bitflipped_gif_never_escapes(pos, bit):
     b = bytearray(_GOOD_GIF)
     b[pos] ^= 1 << bit
     _check(decode_gif, bytes(b))
+
+
+from processor_edf_spark.operators.jpeg import encode_jpeg_progressive  # noqa: E402
+
+_GOOD_PROG = encode_jpeg_progressive(_IMG, quality=80)
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=len(_GOOD_PROG) - 1))
+def test_truncated_progressive_never_escapes(cut):
+    _check(decode_jpeg, _GOOD_PROG[:cut])
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=2, max_value=len(_GOOD_PROG) - 1),
+    st.integers(min_value=0, max_value=7),
+)
+def test_bitflipped_progressive_never_escapes(pos, bit):
+    b = bytearray(_GOOD_PROG)
+    b[pos] ^= 1 << bit
+    _check(decode_jpeg, bytes(b))
