@@ -9,9 +9,9 @@ fixed headers + ``np.frombuffer``):
 - AVI demux (RIFF LIST walk) — real container parse for frame sampling;
   per-frame decode then depends on the stream codec.
 
-JPEG (baseline AND progressive), PNG, and GIF (the formats a real
-corpus is mostly made of) are decoded for real by the pure-numpy
-codecs in operators/jpeg.py, operators/png.py, and operators/gif.py
+JPEG (baseline AND progressive), PNG, GIF, and uncompressed TIFF (the
+formats a real corpus is mostly made of) are decoded for real by the
+pure-numpy codecs in operators/{jpeg,png,gif,tiff}.py
 (PNG's deflate is stdlib zlib and GIF's LZW is ~60 lines of Python, so
 both decodes are complete and lossless; GIF also demuxes animations
 for frame sampling, mirroring the AVI path), routed from
@@ -154,7 +154,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         from processor_edf_spark.operators.gif import decode_gif
 
         return decode_gif(payload)
-    raise UnsupportedMediaError("not a BMP/PPM/JPEG/PNG/GIF payload")
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from processor_edf_spark.operators.tiff import decode_tiff
+
+        return decode_tiff(payload)
+    raise UnsupportedMediaError("not a BMP/PPM/JPEG/PNG/GIF/TIFF payload")
 
 
 def _decode_bmp(payload: bytes) -> np.ndarray:

@@ -1,0 +1,226 @@
+"""Pure-numpy TIFF decoder (uncompressed strips) — the scanned-document
+format a document-heavy corpus carries alongside JPEG/PNG/GIF.
+
+Scope is the baseline-TIFF profile that covers real uncompressed files:
+both byte orders (II/MM), 8-bit grayscale and RGB(A), strip layout
+(any RowsPerStrip), PlanarConfiguration chunky, first IFD only
+(multi-page TIFFs decode their first page — the frame-demux story
+belongs to GIF/AVI).  LZW/JPEG/deflate-compressed TIFFs, tiled layout,
+16-bit, and palette TIFFs raise ``UnsupportedMediaError`` into the
+callers' documented stub fallback; same one-exception contract and
+MAX_PIXELS bound as the other codecs.
+
+The fixture encoder writes the matching minimal profile, so the
+round-trip test pins exact equality (uncompressed → lossless).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from processor_edf_spark.operators.jpeg import MAX_PIXELS
+from processor_edf_spark.operators.media_codecs import UnsupportedMediaError
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """First IFD → HxWx3 uint8 RGB (gray replicated, alpha dropped)."""
+    try:
+        return _decode_tiff(payload)
+    except UnsupportedMediaError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError) as e:
+        raise UnsupportedMediaError(f"malformed TIFF: {e}") from e
+
+
+def _read_tag_values(payload, endian, vtype, count, value_field):
+    size = _TYPE_SIZE.get(vtype)
+    if size is None:
+        raise UnsupportedMediaError(f"TIFF value type {vtype}")
+    total = size * count
+    if total <= 4:
+        raw = value_field[:total]
+    else:
+        (off,) = struct.unpack(endian + "I", value_field)
+        if off + total > len(payload):
+            raise UnsupportedMediaError("TIFF tag data past end of payload")
+        raw = payload[off : off + total]
+    if vtype in (1, 2):
+        return list(raw)
+    fmt = {3: "H", 4: "I", 5: "Q"}[vtype]
+    if vtype == 5:  # RATIONAL: return numerators only (unused here)
+        return [
+            struct.unpack_from(endian + "II", raw, i * 8)[0]
+            for i in range(count)
+        ]
+    return list(struct.unpack(endian + fmt * count, raw))
+
+
+def _decode_tiff(payload: bytes) -> np.ndarray:
+    if payload[:2] == b"II":
+        endian = "<"
+    elif payload[:2] == b"MM":
+        endian = ">"
+    else:
+        raise UnsupportedMediaError("not a TIFF payload")
+    (magic,) = struct.unpack_from(endian + "H", payload, 2)
+    if magic != 42:
+        raise UnsupportedMediaError("bad TIFF magic")
+    (ifd_off,) = struct.unpack_from(endian + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise UnsupportedMediaError("IFD offset past end of payload")
+    (n_tags,) = struct.unpack_from(endian + "H", payload, ifd_off)
+    tags = {}
+    for i in range(n_tags):
+        base = ifd_off + 2 + 12 * i
+        tag, vtype, count = struct.unpack_from(endian + "HHI", payload, base)
+        tags[tag] = (vtype, count, payload[base + 8 : base + 12])
+
+    def tag_vals(tag, default=None):
+        if tag not in tags:
+            if default is not None:
+                return default
+            raise UnsupportedMediaError(f"missing required TIFF tag {tag}")
+        vtype, count, vf = tags[tag]
+        return _read_tag_values(payload, endian, vtype, count, vf)
+
+    width = tag_vals(256)[0]
+    height = tag_vals(257)[0]
+    if width < 1 or height < 1:
+        raise UnsupportedMediaError(f"degenerate dimensions ({width}x{height})")
+    if width * height > MAX_PIXELS:
+        raise UnsupportedMediaError(
+            f"image {width}x{height} exceeds the {MAX_PIXELS}-pixel decode bound"
+        )
+    compression = tag_vals(259, [1])[0]
+    if compression != 1:
+        raise UnsupportedMediaError(f"compressed TIFF (scheme {compression})")
+    photometric = tag_vals(262)[0]
+    if photometric not in (0, 1, 2):
+        raise UnsupportedMediaError(f"TIFF photometric {photometric}")
+    spp = tag_vals(277, [1])[0]
+    bits = tag_vals(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise UnsupportedMediaError(f"non-8-bit TIFF samples {bits}")
+    if tag_vals(284, [1])[0] != 1:
+        raise UnsupportedMediaError("planar TIFF layout")
+    if 322 in tags or 323 in tags:
+        raise UnsupportedMediaError("tiled TIFF layout")
+    if photometric == 2 and spp < 3:
+        raise UnsupportedMediaError("RGB TIFF with fewer than 3 samples")
+
+    offsets = tag_vals(273)
+    counts = tag_vals(279)
+    rows_per_strip = tag_vals(278, [height])[0]
+    if len(offsets) != len(counts):
+        raise UnsupportedMediaError("strip offset/count mismatch")
+    row_bytes = width * spp
+    raster = bytearray()
+    rows_done = 0
+    for off, cnt in zip(offsets, counts):
+        if off + cnt > len(payload):
+            raise UnsupportedMediaError("strip past end of payload")
+        rows_here = min(rows_per_strip, height - rows_done)
+        need = rows_here * row_bytes
+        if cnt < need:
+            raise UnsupportedMediaError("strip shorter than its rows")
+        raster += payload[off : off + need]
+        rows_done += rows_here
+    if rows_done < height:
+        raise UnsupportedMediaError("strips cover fewer rows than ImageLength")
+
+    img = np.frombuffer(bytes(raster), dtype=np.uint8, count=height * row_bytes)
+    img = img.reshape(height, width, spp)
+    if photometric == 2:
+        return np.ascontiguousarray(img[:, :, :3])  # drop alpha/extras
+    gray = img[:, :, 0]
+    if photometric == 0:  # WhiteIsZero: invert
+        gray = 255 - gray
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def encode_tiff(img: np.ndarray, rows_per_strip: int = 8) -> bytes:
+    """Minimal little-endian uncompressed TIFF writer (fixtures): 8-bit
+    gray (HxW) or RGB (HxWx3), strip layout."""
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else arr.shape[2]
+    data = arr.tobytes()
+    row_bytes = w * spp
+    strips = [
+        data[r0 * row_bytes : min(r0 + rows_per_strip, h) * row_bytes]
+        for r0 in range(0, h, rows_per_strip)
+    ]
+    return _assemble_tiff(w, h, spp, gray, strips, rows_per_strip)
+
+
+def _assemble_tiff(w, h, spp, gray, strips, rows_per_strip) -> bytes:
+    """Two-pass assembly: size the IFD + external arrays, then emit."""
+    n_strips = len(strips)
+    counts = [len(s) for s in strips]
+    tags = [256, 257, 258, 259, 262, 273, 277, 278, 279]
+    n_tags = len(tags)
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * n_tags + 4
+    ext_len = 0
+    bps_off = off_arr = cnt_arr = None
+    if spp != 1:
+        bps_off = ext_off + ext_len
+        ext_len += 2 * spp
+    if n_strips > 1:
+        off_arr = ext_off + ext_len
+        ext_len += 4 * n_strips
+        cnt_arr = ext_off + ext_len
+        ext_len += 4 * n_strips
+    data_start = ext_off + ext_len
+    offs = []
+    pos = data_start
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+
+    def entry(tag, vtype, count, value):
+        return struct.pack("<HHI", tag, vtype, count) + value
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    ifd = struct.pack("<H", n_tags)
+    ifd += entry(256, 4, 1, long_val(w))
+    ifd += entry(257, 4, 1, long_val(h))
+    if spp == 1:
+        ifd += entry(258, 3, 1, short_val(8))
+    else:
+        ifd += entry(258, 3, spp, long_val(bps_off))
+    ifd += entry(259, 3, 1, short_val(1))
+    ifd += entry(262, 3, 1, short_val(1 if gray else 2))
+    if n_strips == 1:
+        ifd += entry(273, 4, 1, long_val(offs[0]))
+    else:
+        ifd += entry(273, 4, n_strips, long_val(off_arr))
+    ifd += entry(277, 3, 1, short_val(spp))
+    ifd += entry(278, 4, 1, long_val(rows_per_strip))
+    if n_strips == 1:
+        ifd += entry(279, 4, 1, long_val(counts[0]))
+    else:
+        ifd += entry(279, 4, n_strips, long_val(cnt_arr))
+    ifd += struct.pack("<I", 0)  # no next IFD
+
+    ext = bytearray()
+    if spp != 1:
+        ext += struct.pack("<" + "H" * spp, *([8] * spp))
+    if n_strips > 1:
+        ext += struct.pack("<" + "I" * n_strips, *offs)
+        ext += struct.pack("<" + "I" * n_strips, *counts)
+
+    out = b"II" + struct.pack("<HI", 42, ifd_off) + ifd + bytes(ext)
+    for s in strips:
+        out += s
+    return out

@@ -602,3 +602,66 @@ def test_spark_image_path_decodes_progressive_jpeg(spark):
     assert row["decoded"]
     assert (row["width"], row["height"]) == (10, 12)
     assert abs(row["feature"][0] - 200 / 255) < 0.02
+
+
+# ---------------------------------------------------------------------------
+# TIFF (operators/tiff.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_lossless_roundtrip_and_photometrics():
+    """Uncompressed TIFF is lossless: strip-layout round-trips pin
+    exact equality for RGB and gray; WhiteIsZero inverts."""
+    from processor_edf_spark.operators.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_tiff(encode_tiff(img)), img)
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(img, rows_per_strip=100)), img
+    )
+    gray = rng.randint(0, 256, (21, 33), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_tiff(encode_tiff(gray)), np.repeat(gray[:, :, None], 3, axis=2)
+    )
+    # WhiteIsZero: flip the photometric tag in place → inverted gray
+    p = bytearray(encode_tiff(gray))
+    n_tags = struct.unpack_from("<H", p, 8)[0]
+    for i in range(n_tags):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", p, base)[0] == 262:
+            struct.pack_into("<H", p, base + 8, 0)
+    np.testing.assert_array_equal(decode_tiff(bytes(p))[:, :, 0], 255 - gray)
+
+
+def test_tiff_rejects_compressed_tiled_and_malformed():
+    from processor_edf_spark.operators.tiff import decode_tiff, encode_tiff
+
+    good = bytearray(encode_tiff(np.zeros((8, 8, 3), dtype=np.uint8)))
+    n_tags = struct.unpack_from("<H", good, 8)[0]
+    compressed = bytearray(good)
+    for i in range(n_tags):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", compressed, base)[0] == 259:
+            struct.pack_into("<H", compressed, base + 8, 5)  # LZW
+    for payload in (
+        bytes(compressed),
+        bytes(good[: len(good) // 2]),
+        b"II*\x00" + bytes(20),
+        b"XX*\x00" + bytes(good[4:]),
+    ):
+        with pytest.raises(UnsupportedMediaError):
+            decode_tiff(payload)
+
+
+def test_spark_image_path_decodes_real_tiff(spark):
+    from processor_edf_spark.operators.tiff import encode_tiff
+
+    img = np.full((13, 17, 3), [5, 90, 180], dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", encode_tiff(img), "image/tiff", None)], MEDIA_SCHEMA
+    )
+    row = extract_image_features(media).collect()[0]
+    assert row["decoded"]
+    assert (row["width"], row["height"]) == (17, 13)
+    assert abs(row["feature"][0] - 5 / 255) < 1e-6

@@ -182,3 +182,26 @@ def test_bitflipped_progressive_never_escapes(pos, bit):
     b = bytearray(_GOOD_PROG)
     b[pos] ^= 1 << bit
     _check(decode_jpeg, bytes(b))
+
+
+from processor_edf_spark.operators.tiff import decode_tiff, encode_tiff  # noqa: E402
+
+_GOOD_TIFF = encode_tiff(_IMG)
+
+
+@settings(**_SETTINGS)
+@given(st.binary(min_size=0, max_size=400))
+def test_random_bytes_tiff_never_escapes(data):
+    for prefix in (b"", b"II*\x00", b"MM\x00*"):
+        _check(decode_tiff, prefix + data)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=4, max_value=len(_GOOD_TIFF) - 1),
+    st.integers(min_value=0, max_value=7),
+)
+def test_bitflipped_tiff_never_escapes(pos, bit):
+    b = bytearray(_GOOD_TIFF)
+    b[pos] ^= 1 << bit
+    _check(decode_tiff, bytes(b))
