@@ -283,7 +283,12 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+                ch, cv = hv >> 4, hv & 0x0F
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise UnsupportedMediaError(
+                        f"SOF sampling factors {ch}x{cv} out of range"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             if height < 1 or width < 1 or ncomp not in (1, 3):
                 raise UnsupportedMediaError("unsupported SOF layout")
             if height * width > MAX_PIXELS:

@@ -64,6 +64,26 @@ def _only_media_errors(fn):
 _WAV_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry µ-law / A-law → linear int16 decode tables (ITU G.711,
+    the classic public-domain ulaw2linear/alaw2linear algorithms),
+    built once with vectorized numpy."""
+    u = (~np.arange(256)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+    a = np.arange(256) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_DECODE, _ALAW_DECODE = _g711_tables()
+
+
 @_only_media_errors
 def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a PCM RIFF/WAVE payload → (sample_rate, n_channels,
@@ -96,12 +116,21 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
     if fmt is None or data is None:
         raise UnsupportedMediaError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1:
-        raise UnsupportedMediaError(f"non-PCM wav (format {audio_format})")
-    if bits not in _WAV_DTYPES or n_channels < 1 or sample_rate < 1:
+    if audio_format not in (1, 6, 7):
+        raise UnsupportedMediaError(f"unsupported wav format {audio_format}")
+    if n_channels < 1 or sample_rate < 1:
         raise UnsupportedMediaError(
-            f"unsupported PCM layout ({bits}-bit, {n_channels}ch, {sample_rate}Hz)"
+            f"unsupported layout ({n_channels}ch, {sample_rate}Hz)"
         )
+    if audio_format in (6, 7):  # G.711 A-law / µ-law: 8-bit companded
+        if bits != 8:
+            raise UnsupportedMediaError(f"{bits}-bit G.711 wav")
+        table = _ALAW_DECODE if audio_format == 6 else _ULAW_DECODE
+        raw = table[np.frombuffer(data, dtype=np.uint8)]
+        raw = raw[: (len(raw) // n_channels) * n_channels].reshape(-1, n_channels)
+        return sample_rate, n_channels, raw.astype(np.float64) / 32768.0
+    if bits not in _WAV_DTYPES:
+        raise UnsupportedMediaError(f"unsupported PCM layout ({bits}-bit)")
     raw = np.frombuffer(data, dtype=_WAV_DTYPES[bits])
     raw = raw[: (len(raw) // n_channels) * n_channels].reshape(-1, n_channels)
     if bits == 8:  # 8-bit WAV is unsigned, midpoint 128
@@ -109,6 +138,28 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
     else:
         samples = raw.astype(np.float64) / float(1 << (bits - 1))
     return sample_rate, n_channels, samples
+
+
+def encode_wav_ulaw(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal µ-law (G.711, wav format 7) writer — the fixture for the
+    companded-decode path.  ``samples`` in [-1, 1], mono.  Vectorized
+    classic linear2ulaw (bias/segment/mantissa)."""
+    pcm = np.clip(np.round(np.asarray(samples) * 32767.0), -32635, 32635).astype(
+        np.int64
+    )
+    sign = np.where(pcm < 0, 0x80, 0)
+    mag = np.abs(pcm) + 0x84
+    exponent = np.floor(np.log2(mag)).astype(np.int64) - 7
+    exponent = np.clip(exponent, 0, 7)
+    mantissa = (mag >> (exponent + 3)) & 0x0F
+    u = (~(sign | (exponent << 4) | mantissa)) & 0xFF
+    data = u.astype(np.uint8).tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 7, 1, sample_rate, sample_rate, 1, 8
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:

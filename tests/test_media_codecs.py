@@ -665,3 +665,41 @@ def test_spark_image_path_decodes_real_tiff(spark):
     assert row["decoded"]
     assert (row["width"], row["height"]) == (17, 13)
     assert abs(row["feature"][0] - 5 / 255) < 1e-6
+
+
+def test_wav_g711_ulaw_alaw_decode():
+    """G.711 companded WAV (formats 7/6): decode tables match the
+    reference algorithm's known points, and a µ-law-encoded sine
+    round-trips within companding error through the audio path."""
+    from processor_edf_spark.operators.media_codecs import (
+        _ALAW_DECODE,
+        _ULAW_DECODE,
+        encode_wav_ulaw,
+    )
+
+    # classic ulaw2linear/alaw2linear reference points
+    assert _ULAW_DECODE[0xFF] == 0 and _ULAW_DECODE[0x7F] == 0
+    assert _ULAW_DECODE[0x80] == 32124 and _ULAW_DECODE[0x00] == -32124
+    assert _ALAW_DECODE[0x55] == -8 and _ALAW_DECODE[0xD5] == 8
+
+    rate, amp = 8000, 0.5
+    sig = amp * np.sin(2 * np.pi * 440 * np.arange(8000) / rate)
+    got_rate, ch, out = decode_wav_pcm(encode_wav_ulaw(sig, rate))
+    assert (got_rate, ch) == (rate, 1)
+    # companding error bound at this amplitude: one µ-law segment step
+    assert np.abs(out[:, 0] - sig).max() < 0.02
+    assert abs(np.sqrt(np.mean(out**2)) - amp / np.sqrt(2)) < 2e-3
+
+
+def test_spark_audio_path_decodes_g711(spark):
+    from processor_edf_spark.operators.media_codecs import encode_wav_ulaw
+
+    rate, amp = 8000, 0.25
+    sig = amp * np.sin(2 * np.pi * 440 * np.arange(8000) / rate)
+    media = spark.createDataFrame(
+        [(1, "audio", encode_wav_ulaw(sig, rate), "audio/basic", None)],
+        MEDIA_SCHEMA,
+    )
+    r = extract_audio_features(media).collect()[0]
+    assert r["decoded"] and r["sample_rate"] == rate and r["n_frames"] == 8000
+    assert abs(r["rms"] - amp / np.sqrt(2)) < 2e-3
