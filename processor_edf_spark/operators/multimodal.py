@@ -194,26 +194,47 @@ def sample_frames(media: DataFrame, every_usec: int = 1_000_000, max_frames: int
     """Frame-sample videos: emits one row per sampled frame.  AVI
     containers demux for REAL (RIFF LIST walk, operators/media_codecs.py)
     — frames are taken at ≥ ``every_usec`` spacing from the stream's own
-    timing (avih µs/frame), capped at ``max_frames``.  Non-AVI containers
-    (MP4/MKV need a real demuxer lib) take the deterministic stub
-    (byte slices at synthetic timestamps)."""
+    timing (avih µs/frame), capped at ``max_frames``.  Animated GIFs
+    (a corpus's most common "video") also demux for real
+    (operators/gif.py): frames are composited, sampled on the
+    cumulative per-frame delays, and emitted as lossless PNG bytes.
+    Other containers (MP4/MKV need a real demuxer lib) take the
+    deterministic stub (byte slices at synthetic timestamps)."""
     from processor_edf_spark.operators.media_codecs import (
         UnsupportedMediaError,
         demux_avi_frames,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from processor_edf_spark.operators.gif import demux_gif_frames
+        from processor_edf_spark.operators.png import encode_png
+
+        def pick_gif(data: bytes):
+            delays, frames = demux_gif_frames(data)
+            picked, next_t, cum = [], 0, 0
+            for i, (d_cs, fr) in enumerate(zip(delays, frames)):
+                if cum >= next_t:
+                    picked.append((i, cum, encode_png(fr)))
+                    next_t = cum + every_usec
+                    if len(picked) >= max_frames:
+                        break
+                cum += d_cs * 10_000  # GIF delays are centiseconds
+            return picked
+
         for pdf in batches:
             out = {"media_id": [], "frame_idx": [], "t_usec": [], "frame": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
                 try:
-                    upf, frames = demux_avi_frames(data)
-                    stride = max(1, -(-every_usec // max(upf, 1)))  # ceil
-                    picked = [
-                        (i, i * upf, frames[i])
-                        for i in range(0, len(frames), stride)
-                    ][:max_frames]
+                    if data[:6] in (b"GIF87a", b"GIF89a"):
+                        picked = pick_gif(data)
+                    else:
+                        upf, frames = demux_avi_frames(data)
+                        stride = max(1, -(-every_usec // max(upf, 1)))  # ceil
+                        picked = [
+                            (i, i * upf, frames[i])
+                            for i in range(0, len(frames), stride)
+                        ][:max_frames]
                 except UnsupportedMediaError:
                     n = min(max_frames, max(1, len(data) // 64))
                     picked = [

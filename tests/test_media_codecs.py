@@ -703,3 +703,29 @@ def test_spark_audio_path_decodes_g711(spark):
     r = extract_audio_features(media).collect()[0]
     assert r["decoded"] and r["sample_rate"] == rate and r["n_frames"] == 8000
     assert abs(r["rms"] - amp / np.sqrt(2)) < 2e-3
+
+
+def test_spark_video_path_samples_animated_gif(spark):
+    """Animated GIFs go through the video frame-sampling path for real:
+    frames composited, sampled on cumulative delays, emitted as
+    lossless PNG bytes that decode back to the exact frame."""
+    from processor_edf_spark.operators.gif import encode_gif
+    from processor_edf_spark.operators.multimodal import sample_frames
+    from processor_edf_spark.operators.png import decode_png
+
+    pal = np.array([[0, 0, 0], [255, 255, 255], [200, 30, 40]], dtype=np.uint8)
+    rng = np.random.RandomState(6)
+    frames = [pal[rng.randint(0, 3, (12, 16))] for _ in range(6)]
+    # 50 cs per frame = 0.5 s; sampling every 1 s picks frames 0, 2, 4
+    gif = encode_gif(frames, delays_cs=[50] * 6)
+    media = spark.createDataFrame(
+        [(1, "video", gif, "image/gif", None)], MEDIA_SCHEMA
+    )
+    got = sorted(
+        sample_frames(media, every_usec=1_000_000, max_frames=16).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert [(r["frame_idx"], r["t_usec"]) for r in got] == [
+        (0, 0), (2, 1_000_000), (4, 2_000_000),
+    ]
+    np.testing.assert_array_equal(decode_png(bytes(got[1]["frame"])), frames[2])
