@@ -231,7 +231,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _decode_jpeg(payload)
     except UnsupportedMediaError:
         raise
-    except (struct.error, ValueError, IndexError, KeyError, _RestartHit) as e:
+    except (
+        struct.error,
+        ValueError,
+        IndexError,
+        KeyError,
+        OverflowError,
+        _RestartHit,
+    ) as e:
         raise UnsupportedMediaError(f"malformed JPEG: {e}") from e
 
 
@@ -361,6 +368,10 @@ def _decode_scan(payload, scan_start, frame, scan_map, qt, huff_dc, huff_ac, res
                 for h in range(c["h"]):
                     zz = np.zeros(64, dtype=np.int32)
                     s = reader.decode(dct)
+                    if s > 15:
+                        # a corrupt table can decode any symbol byte; a
+                        # 255-bit receive would overflow the store
+                        raise UnsupportedMediaError(f"DC size {s} out of range")
                     pred[ci] += reader.receive_extend(s)
                     zz[0] = pred[ci]
                     k = 1
@@ -552,6 +563,8 @@ def _progressive_dc_scan(
         for ci, dc_t, by, bx in blocks_of(m):
             if ah == 0:
                 s = reader.decode(huff_dc[dc_t])
+                if s > 15:
+                    raise UnsupportedMediaError(f"DC size {s} out of range")
                 pred_dc[ci] += reader.receive_extend(s)
                 store[ci][by, bx, 0] = pred_dc[ci] << al
             else:  # refinement: one correction bit

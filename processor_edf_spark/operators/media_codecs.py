@@ -83,6 +83,132 @@ def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
 
 _ULAW_DECODE, _ALAW_DECODE = _g711_tables()
 
+# IMA ADPCM (wav format 0x11) — public DVI/IMA spec tables
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX = np.array(
+    [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32
+)
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int):
+    """Sequential IMA ADPCM inner loop (the spec's reference algorithm);
+    per-sample like every entropy decode here."""
+    out = []
+    for nib in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 4:
+            diff += step
+        if nib & 2:
+            diff += step >> 1
+        if nib & 1:
+            diff += step >> 2
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        out.append(predictor)
+        index = max(0, min(88, index + int(_IMA_INDEX[nib])))
+    return out, predictor, index
+
+
+def _decode_ima_adpcm(data: bytes, n_channels: int, block_align: int) -> np.ndarray:
+    """IMA ADPCM block layout: per block, a 4-byte header per channel
+    (int16 predictor, uint8 step index, reserved), then 4-byte groups
+    (8 nibbles) alternating per channel."""
+    if block_align < 4 * n_channels or block_align % 4:
+        raise UnsupportedMediaError(f"bad ADPCM block align {block_align}")
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]  # final block may be short
+        if len(block) < 4 * n_channels:
+            break
+        preds, idxs = [], []
+        for c in range(n_channels):
+            pred, idx = struct.unpack_from("<hBx", block, 4 * c)
+            if idx > 88:
+                raise UnsupportedMediaError(f"ADPCM step index {idx}")
+            preds.append(pred)
+            idxs.append(idx)
+            chans[c].append(pred)  # the header predictor IS sample 0
+        pos = 4 * n_channels
+        while pos + 4 * n_channels <= len(block):
+            for c in range(n_channels):
+                grp = block[pos + 4 * c : pos + 4 * c + 4]
+                nibs = []
+                for byte in grp:
+                    nibs.append(byte & 0x0F)
+                    nibs.append(byte >> 4)
+                smp, preds[c], idxs[c] = _ima_decode_nibbles(
+                    nibs, preds[c], idxs[c]
+                )
+                chans[c].extend(smp)
+            pos += 4 * n_channels
+    n = min(len(c) for c in chans)
+    if n == 0:
+        raise UnsupportedMediaError("ADPCM data shorter than one block")
+    return np.stack(
+        [np.asarray(c[:n], dtype=np.int16) for c in chans], axis=1
+    )
+
+
+def encode_wav_ima_adpcm(
+    samples: np.ndarray, sample_rate: int, block_align: int = 256
+) -> bytes:
+    """Minimal mono IMA ADPCM (wav format 0x11) writer — the fixture for
+    the compressed-audio decode path.  ``samples`` in [-1, 1]."""
+    pcm = np.clip(
+        np.round(np.asarray(samples, dtype=np.float64) * 32767.0),
+        -32768,
+        32767,
+    ).astype(np.int32)
+    spb = (block_align - 4) * 2 + 1  # samples per block, mono
+    blocks = bytearray()
+    pos = 0
+    # seed the step index from the first delta so the adaptation attack
+    # doesn't start at step 7 for a loud signal
+    first_diff = abs(int(pcm[1]) - int(pcm[0])) if len(pcm) > 1 else 0
+    index = int(np.searchsorted(_IMA_STEPS, first_diff).clip(0, 88))
+    while pos < len(pcm):
+        chunk = pcm[pos : pos + spb]
+        pos += spb
+        pred = int(chunk[0])
+        blocks += struct.pack("<hBx", pred, index)
+        nibs = []
+        for s in chunk[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(s) - pred
+            nib = 8 if diff < 0 else 0
+            diff = abs(diff)
+            mask = 4
+            acc = step >> 3
+            for shift in (0, 1, 2):
+                if diff >= step >> shift:
+                    nib |= mask
+                    diff -= step >> shift
+                    acc += step >> shift
+                mask >>= 1
+            pred = pred - acc if nib & 8 else pred + acc
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(_IMA_INDEX[nib])))
+            nibs.append(nib)
+        nibs += [0] * (-len(nibs) % 8)  # pad the final 4-byte group
+        for i in range(0, len(nibs), 2):
+            blocks.append(nibs[i] | (nibs[i + 1] << 4))
+    data = bytes(blocks)
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    hdr += b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 0x11, 1, sample_rate, sample_rate, block_align, 4
+    )
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
 
 @_only_media_errors
 def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
@@ -115,13 +241,16 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise UnsupportedMediaError("missing fmt/data chunk")
-    audio_format, n_channels, sample_rate, _, _, bits = fmt
-    if audio_format not in (1, 6, 7):
+    audio_format, n_channels, sample_rate, _, block_align, bits = fmt
+    if audio_format not in (1, 6, 7, 0x11):
         raise UnsupportedMediaError(f"unsupported wav format {audio_format}")
     if n_channels < 1 or sample_rate < 1:
         raise UnsupportedMediaError(
             f"unsupported layout ({n_channels}ch, {sample_rate}Hz)"
         )
+    if audio_format == 0x11:  # IMA ADPCM
+        raw = _decode_ima_adpcm(data, n_channels, block_align)
+        return sample_rate, n_channels, raw.astype(np.float64) / 32768.0
     if audio_format in (6, 7):  # G.711 A-law / µ-law: 8-bit companded
         if bits != 8:
             raise UnsupportedMediaError(f"{bits}-bit G.711 wav")
