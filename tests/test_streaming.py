@@ -378,3 +378,105 @@ def test_stream_corpus_ingest_dedups_normalized_variants(spark, tmp_path):
         for r in spark.sql("select * from corpus_norm_out").collect()
     )
     assert got == [1, 3]  # the normalized twin (2) deduped
+
+
+def test_stream_funnel_parity_with_batch_query(spark, tmp_path):
+    """Stream/batch parity: the stateful streaming funnel over the
+    sf0.001 events (one in-order availableNow pass) must yield exactly
+    the per-stage user counts of the funnel_k_stages batch query."""
+    from processor_edf_spark.plans.relational import (
+        FUNNEL_K_WINDOW_USEC,
+        FUNNEL_STAGES,
+    )
+    from processor_edf_spark.plans.registry import TS_US, load
+    from processor_edf_spark.streaming.funnel import stream_funnel_stages
+    from processor_edf_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = {
+        r["stage"]: r["n_users"]
+        for r in QUERIES["funnel_k_stages"](spark, sf_dir).collect()
+    }
+
+    (events,) = load(spark, sf_dir, "events")
+    in_dir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    events.select(
+        "user_id", "event_type", F.expr(TS_US).alias("t")
+    ).write.parquet(in_dir)
+
+    stream = spark.readStream.schema("user_id long, event_type string, t long").parquet(in_dir)
+    out = stream_funnel_stages(stream, FUNNEL_STAGES, FUNNEL_K_WINDOW_USEC)
+    (
+        out.writeStream.format("memory")
+        .queryName("funnel_state_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    depth = {
+        r["user_id"]: r["d"]
+        for r in spark.sql(
+            "select user_id, max(depth) as d from funnel_state_out group by user_id"
+        ).collect()
+    }
+    for stage in range(1, len(FUNNEL_STAGES) + 1):
+        got = sum(1 for d in depth.values() if d >= stage)
+        assert got == batch[stage], (stage, got, batch[stage])
+
+
+def test_stream_funnel_state_carries_across_drops(spark, tmp_path):
+    """State persists across micro-batches: a user's progression
+    completes over two drops, and a late event older than an
+    already-final match is ignored (the documented greedy trade)."""
+    from processor_edf_spark.streaming.funnel import stream_funnel_stages
+
+    in_dir, ckpt, out_dir = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    schema = "user_id long, event_type string, t long"
+    stages = ("view", "click", "signup", "purchase")
+    US = 1_000_000
+
+    def run_drop(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        out = stream_funnel_stages(stream, stages, 3600 * US)
+        (
+            out.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+        return {
+            r["user_id"]: r["d"]
+            for r in spark.read.parquet(out_dir)
+            .groupBy("user_id")
+            .agg(F.max("depth").alias("d"))
+            .collect()
+        }
+
+    d1 = run_drop(
+        [(1, "view", 10 * US), (1, "click", 20 * US)], "funnel_drop1"
+    )
+    assert d1[1] == 2
+    d2 = run_drop(
+        [
+            (1, "signup", 30 * US),
+            (1, "purchase", 40 * US),
+            # late 'view' older than the final t1=10s: ignored
+            (1, "view", 5 * US),
+            (2, "view", 50 * US),
+        ],
+        "funnel_drop2",
+    )
+    assert d2[1] == 4 and d2[2] == 1
