@@ -57,8 +57,7 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 15 r3-era queries staying in-window (driver-green r4)
-    "q10_returned_revenue",
+    # ---- 14 r3-era queries staying in-window (driver-green r4)
     "q11_important_parts",
     "q15_top_supplier",
     "q20_bulk_suppliers",
@@ -89,12 +88,14 @@ _CANONICAL = [
     "funnel_k_stages",
     "split_assignment",
     "normalize_text",
+    "dedup_lsh_components",
     # ---- position 51+: every query below has a driver-green row in
     # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
     # by tests/test_queries_oracle.py on every pytest run.
     # rotated out in r5 (driver-green r4):
     "q2_min_cost_supplier",
     "q7_nation_volume",
+    "q10_returned_revenue",
     "dow_hour_heatmap",
     "q8_market_share",
     "q9_product_profit",
@@ -207,6 +208,7 @@ FAMILY = {
         "dedup_exact", "dedup_ngram_jaccard", "minhash_signatures",
         "minhash_lsh_pairs", "simhash_16", "simhash_near_pairs",
         "levenshtein_block_pairs", "minhash_jaccard_estimate",
+        "dedup_lsh_components",
     )},
     "contamination_ngram_overlap": "text",
     "bm25_top_docs": "text",

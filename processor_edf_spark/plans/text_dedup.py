@@ -598,6 +598,77 @@ def sample_hash_bucket(spark, sf_dir):
     )
 
 
+def _lsh_components_sql() -> str:
+    """Oracle for the linear LSH dedup path: the same minhash bands as
+    minhash_lsh_pairs, bucket-star edges, and the transitive closure as
+    a recursive CTE (DuckDB WITH RECURSIVE label propagation)."""
+    sig = _minhash_sig_sql().strip()
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS VARCHAR) || ':' || "
+        f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) "
+        f"AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH RECURSIVE sig AS ({sig}),
+    bands AS ({bands}),
+    roots AS (SELECT band_key, MIN(doc_id) AS root FROM bands GROUP BY band_key),
+    edges AS (
+        SELECT DISTINCT r.root AS a, b.doc_id AS b
+        FROM bands b JOIN roots r USING (band_key)
+        WHERE b.doc_id <> r.root
+    ),
+    bidir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    ids AS (SELECT DISTINCT doc_id FROM bands),
+    reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM ids
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN bidir e ON e.a = r.id
+    )
+    SELECT id AS doc_id, CAST(MIN(lbl) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """
+
+
+@register("dedup_lsh_components", _lsh_components_sql())
+def dedup_lsh_components(spark, sf_dir):
+    """The LINEAR-scale dedup path as a driver-contract query: minhash
+    band buckets → per-bucket star edges to the minimum doc_id → the
+    transitive closure via ``operators/lsh_dedup.lsh_components``
+    (pointer-jumping connected components) → (doc_id, component) with
+    the component labeled by its minimum member.
+
+    This is candidate-level clustering — the relaxation that makes
+    dedup linear in corpus size (a size-g duplicate group costs g-1
+    edges, never g²/2 pairs; see BASELINE.md's r5 scale sweep:
+    2.8 s at 8× where pair enumeration takes 100-190 s).  Minhash band
+    keys carry ~2¹²⁰ values, so chance collisions never chain unrelated
+    docs.  The oracle expresses the same closure as a DuckDB recursive
+    CTE — the one iterative operator in the repo that IS
+    SQL-expressible, so even the graph path gets a hash-exact driver
+    check."""
+    from processor_edf_spark.operators.lsh_dedup import lsh_components
+
+    sig = minhash_signatures(spark, sf_dir)
+    bucketed = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(b),
+                        F.col(f"mh{2*b}"),
+                        F.col(f"mh{2*b+1}"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    return lsh_components(bucketed, id_col="doc_id", key_col="band_key")
+
+
 SPLIT_BUCKETS = 1000
 SPLIT_TRAIN = 900  # 90% train
 SPLIT_VAL = 950    # 5% val, 5% test
