@@ -57,8 +57,7 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 14 r3-era queries staying in-window (driver-green r4)
-    "q11_important_parts",
+    # ---- 13 r3-era queries staying in-window (driver-green r4)
     "q15_top_supplier",
     "q20_bulk_suppliers",
     "q21_lone_fault_supplier",
@@ -89,6 +88,7 @@ _CANONICAL = [
     "split_assignment",
     "normalize_text",
     "dedup_lsh_components",
+    "chunk_documents",
     # ---- position 51+: every query below has a driver-green row in
     # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
     # by tests/test_queries_oracle.py on every pytest run.
@@ -96,6 +96,7 @@ _CANONICAL = [
     "q2_min_cost_supplier",
     "q7_nation_volume",
     "q10_returned_revenue",
+    "q11_important_parts",
     "dow_hour_heatmap",
     "q8_market_share",
     "q9_product_profit",
@@ -202,7 +203,7 @@ FAMILY = {
         "token_stats", "text_quality", "lang_id_heuristic",
         "doc_fingerprint", "bpe_token_count", "rolling_fingerprint",
         "ngram_lang_profile", "doc_length_histogram", "boilerplate_ngrams",
-        "tfidf_top_terms",
+        "tfidf_top_terms", "chunk_documents",
     )},
     **{n: "dedup_text" for n in (
         "dedup_exact", "dedup_ngram_jaccard", "minhash_signatures",

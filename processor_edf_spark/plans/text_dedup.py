@@ -669,6 +669,77 @@ def dedup_lsh_components(spark, sf_dir):
     return lsh_components(bucketed, id_col="doc_id", key_col="band_key")
 
 
+CHUNK_TOKENS = 64
+CHUNK_STEP = 48  # 16-token overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(t, i * {CHUNK_STEP} + 1,
+                               i * {CHUNK_STEP} + {CHUNK_TOKENS})) AS BIGINT)
+               AS n_chunk_tokens,
+           sha256(array_to_string(
+               list_slice(t, i * {CHUNK_STEP} + 1,
+                          i * {CHUNK_STEP} + {CHUNK_TOKENS}), ' '))
+               AS chunk_sha
+    FROM tok, UNNEST(generate_series(
+        0, GREATEST(CAST(CEIL(len(t) / {CHUNK_STEP}.0) AS INT) - 1, 0)
+    )) AS u(i)
+    WHERE i * {CHUNK_STEP} < len(t)
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """Overlapping-window document chunking — the step between cleaning
+    and sequence packing: long documents become {CHUNK_TOKENS}-token
+    chunks advancing {CHUNK_STEP} tokens (16-token overlap, so context
+    at a boundary appears in both neighbors — the standard pre-training
+    and retrieval-index chunking).  Returns one row per chunk with its
+    token count and the sha-256 of the chunk text (compact, hash-exact
+    oracle compare; the text itself reconstructs from (doc_id, idx)).
+
+    Scale: one explode of a per-row index sequence + pure array slices,
+    no shuffle — the chunk rows stream out of the scan projection; at
+    100 TB this composes with split_assignment and pack_sequences in
+    the same pass."""
+    (documents,) = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    idx = F.filter(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.ceil(n / CHUNK_STEP).cast("int") - 1, F.lit(0)),
+        ),
+        lambda i: i * CHUNK_STEP < n,
+    )
+    return (
+        documents.select(
+            "doc_id", t.alias("t"), F.explode(idx).alias("chunk_idx")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(
+                F.slice(F.col("t"), F.col("chunk_idx") * CHUNK_STEP + 1, CHUNK_TOKENS)
+            ).cast("long").alias("n_chunk_tokens"),
+            F.sha2(
+                F.array_join(
+                    F.slice(
+                        F.col("t"), F.col("chunk_idx") * CHUNK_STEP + 1, CHUNK_TOKENS
+                    ),
+                    " ",
+                ),
+                256,
+            ).alias("chunk_sha"),
+        )
+    )
+
+
 SPLIT_BUCKETS = 1000
 SPLIT_TRAIN = 900  # 90% train
 SPLIT_VAL = 950    # 5% val, 5% test

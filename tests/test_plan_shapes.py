@@ -438,3 +438,10 @@ def test_projection_queries_shuffle_free(spark, name):
     exchanges — at 100 TB they ride the scan."""
     plan = plan_of(spark, name)
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_chunk_documents_shuffle_free(spark):
+    """Chunking is an explode + array slices riding the scan: zero
+    exchanges."""
+    plan = plan_of(spark, "chunk_documents")
+    assert "Exchange" not in plan, plan[:2000]

@@ -44,8 +44,7 @@ EXPECTED_FIRST_50 = [
     "cosine_pairs",
     "cosine_lsh_pairs",
     "dedup_embedding_cosine",
-    # 14 r3-era queries staying in-window (driver-green r4)
-    "q11_important_parts",
+    # 13 r3-era queries staying in-window (driver-green r4)
     "q15_top_supplier",
     "q20_bulk_suppliers",
     "q21_lone_fault_supplier",
@@ -75,6 +74,7 @@ EXPECTED_FIRST_50 = [
     "split_assignment",
     "normalize_text",
     "dedup_lsh_components",
+    "chunk_documents",
 ]
 
 
@@ -96,8 +96,9 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 84 through r3 + 10 r4 additions + r5 additions (funnel_k_stages,
-    # split_assignment, normalize_text, dedup_lsh_components)
-    assert len(QUERIES) == 98
+    # split_assignment, normalize_text, dedup_lsh_components,
+    # chunk_documents)
+    assert len(QUERIES) == 99
 
 
 def test_every_query_has_a_family():
