@@ -415,6 +415,41 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[rows[:, None], cols[None, :]]
 
 
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Bilinear resize, fully vectorized (align_corners=False pixel-center
+    convention, the OpenCV/PIL default): source coordinate of output pixel
+    i is (i + 0.5)·scale − 0.5, edge-clamped.  Works on HxW and HxWxC;
+    returns the input dtype (rounded for integer inputs)."""
+    h, w = img.shape[:2]
+    sy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    sx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(sy - y0, 0.0, 1.0)
+    wx = np.clip(sx - x0, 0.0, 1.0)
+    f = img.astype(np.float64)
+    # gather the four corners with outer row/col indexing, then lerp
+    tl = f[y0[:, None], x0[None, :]]
+    tr = f[y0[:, None], x1[None, :]]
+    bl = f[y1[:, None], x0[None, :]]
+    br = f[y1[:, None], x1[None, :]]
+    if f.ndim == 3:
+        wy = wy[:, None, None]
+        wx = wx[None, :, None]
+    else:
+        wy = wy[:, None]
+        wx = wx[None, :]
+    top = tl + (tr - tl) * wx
+    bot = bl + (br - bl) * wx
+    out = top + (bot - top) * wy
+    if np.issubdtype(img.dtype, np.integer):
+        info = np.iinfo(img.dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
 # ---------------------------------------------------------------------------
 # AVI (RIFF) demux — raw/uncompressed frame streams
 # ---------------------------------------------------------------------------

@@ -69,6 +69,29 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
     ]
 )
 
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("png", T.BinaryType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ]
+)
+
+SPECTROGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_fft_frames", T.IntegerType(), True),
+        T.StructField("band_energy_db", T.ArrayType(T.DoubleType()), True),
+        T.StructField("peak_freq_hz", T.DoubleType(), True),
+        T.StructField("decoded", T.BooleanType(), False),
+    ]
+)
+
 FRAME_SAMPLE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -188,6 +211,134 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "audio").select(
         "media_id", "payload"
     ).mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int = 224,
+    out_h: int = 224,
+    method: str = "bilinear",
+) -> DataFrame:
+    """Resize every decodable image to (out_w, out_h) — the standard
+    vision-model preprocessing step — and re-encode losslessly as PNG.
+    ``method`` is ``bilinear`` (pixel-center convention, the OpenCV/PIL
+    default) or ``nearest``; both are fully vectorized numpy (no per-pixel
+    Python).  Runs as one ``mapInPandas`` pass: decode → resize → encode
+    per Arrow batch, payloads never leave the executor, and the output
+    carries source dimensions so skew (giant source images) is observable
+    downstream.  Payloads no pure-numpy codec can decode (WebP …) emit a
+    metadata-only row with ``decoded=false`` — same contract as
+    extract_image_features."""
+    from processor_edf_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        decode_image,
+        resize_bilinear,
+        resize_nearest,
+    )
+    from processor_edf_spark.operators.png import encode_png
+
+    if method not in ("bilinear", "nearest"):
+        raise ValueError(f"method must be bilinear|nearest, got {method!r}")
+    resize = resize_bilinear if method == "bilinear" else resize_nearest
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "src_width": [], "src_height": [],
+                "width": [], "height": [], "png": [], "decoded": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    img = decode_image(bytes(payload))
+                    small = resize(img, out_w, out_h)
+                    rows["src_width"].append(img.shape[1])
+                    rows["src_height"].append(img.shape[0])
+                    rows["width"].append(out_w)
+                    rows["height"].append(out_h)
+                    rows["png"].append(encode_png(small))
+                    rows["decoded"].append(True)
+                except UnsupportedMediaError:
+                    rows["src_width"].append(None)
+                    rows["src_height"].append(None)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["png"].append(None)
+                    rows["decoded"].append(False)
+                rows["media_id"].append(mid)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "payload"
+    ).mapInPandas(gen, schema=RESIZED_IMAGE_SCHEMA)
+
+
+SPECTRO_N_FFT = 256
+SPECTRO_N_BANDS = 16
+
+
+def extract_audio_spectrogram(
+    media: DataFrame,
+    n_fft: int = SPECTRO_N_FFT,
+    n_bands: int = SPECTRO_N_BANDS,
+) -> DataFrame:
+    """STFT band-energy spectrogram for decodable audio: Hann-windowed
+    ``n_fft``-sample frames at 50% hop, |rfft|² power averaged over time,
+    folded into ``n_bands`` equal-width frequency bands in dB — the
+    fingerprint/quality view of corpus audio (speech vs tone vs silence
+    separates cleanly), plus the dominant frequency for golden tests.
+    All numpy (rfft is C-side); one mapInPandas pass, mixdown-to-mono
+    before the FFT.  Compressed audio (MP3/AAC) → ``decoded=false`` row.
+    """
+    from processor_edf_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        decode_wav_pcm,
+    )
+
+    hop = n_fft // 2
+    window = np.hanning(n_fft)
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "n_fft_frames": [],
+                "band_energy_db": [], "peak_freq_hz": [], "decoded": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, n_ch, samples = decode_wav_pcm(bytes(payload))
+                    mono = samples.mean(axis=1)  # (n_frames, n_ch) → mono mixdown
+                    if len(mono) < n_fft:
+                        mono = np.pad(mono, (0, n_fft - len(mono)))
+                    n_frames = 1 + (len(mono) - n_fft) // hop
+                    idx = (
+                        np.arange(n_fft)[None, :]
+                        + hop * np.arange(n_frames)[:, None]
+                    )
+                    spec = np.abs(np.fft.rfft(mono[idx] * window, axis=1)) ** 2
+                    power = spec.mean(axis=0)  # time-averaged power per bin
+                    # equal-width bands over the n_fft//2+1 rfft bins
+                    bins = np.array_split(power, n_bands)
+                    band_db = [
+                        float(10.0 * np.log10(b.mean() + 1e-12)) for b in bins
+                    ]
+                    peak_bin = int(np.argmax(power))
+                    rows["sample_rate"].append(rate)
+                    rows["n_fft_frames"].append(n_frames)
+                    rows["band_energy_db"].append(band_db)
+                    rows["peak_freq_hz"].append(peak_bin * rate / n_fft)
+                    rows["decoded"].append(True)
+                except UnsupportedMediaError:
+                    rows["sample_rate"].append(None)
+                    rows["n_fft_frames"].append(None)
+                    rows["band_energy_db"].append(None)
+                    rows["peak_freq_hz"].append(None)
+                    rows["decoded"].append(False)
+                rows["media_id"].append(mid)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").select(
+        "media_id", "payload"
+    ).mapInPandas(gen, schema=SPECTROGRAM_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_usec: int = 1_000_000, max_frames: int = 16) -> DataFrame:

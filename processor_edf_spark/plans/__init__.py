@@ -15,6 +15,7 @@ from processor_edf_spark.plans import relational  # noqa: E402,F401
 from processor_edf_spark.plans import text_dedup  # noqa: E402,F401
 from processor_edf_spark.plans import similarity  # noqa: E402,F401
 from processor_edf_spark.plans import tpch_extra  # noqa: E402,F401
+from processor_edf_spark.plans import corpus_extra  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -57,17 +58,13 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 13 r3-era queries staying in-window (driver-green r4)
+    # ---- 9 r3-era queries staying in-window (driver-green r4)
     "q15_top_supplier",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
     "q22_idle_rich_customers",
     "semdedup_label",
     "embedding_norm_stats",
     "levenshtein_block_pairs",
     "boilerplate_ngrams",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
     "ann_ivf_multiprobe",
     "sample_hash_bucket",
     "tfidf_top_terms",
@@ -89,9 +86,22 @@ _CANONICAL = [
     "normalize_text",
     "dedup_lsh_components",
     "chunk_documents",
+    # ---- r5 batch-2 additions, first driver check (mirror-green from
+    # their introducing commit; q20/q21/range_frame_user_avg/
+    # intersect_all_user_days — all driver-green r4, families still
+    # covered — rotated out to make room)
+    "bigram_lm_surprisal",
+    "jaccard_prefix_pairs",
+    "weighted_sample_aes",
+    "zorder_layout",
     # ---- position 51+: every query below has a driver-green row in
     # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
     # by tests/test_queries_oracle.py on every pytest run.
+    # rotated out in r5 batch 2 (driver-green r4):
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
     # rotated out in r5 (driver-green r4):
     "q2_min_cost_supplier",
     "q7_nation_volume",
@@ -233,6 +243,10 @@ FAMILY = {
     "embedding_dim_stats": "similarity",
     "cohort_retention": "events",
     "token_entropy": "text",
+    "bigram_lm_surprisal": "text",
+    "jaccard_prefix_pairs": "dedup_text",
+    "weighted_sample_aes": "sampling",
+    "zorder_layout": "layout",
 }
 
 

@@ -445,3 +445,41 @@ def test_chunk_documents_shuffle_free(spark):
     exchanges."""
     plan = plan_of(spark, "chunk_documents")
     assert "Exchange" not in plan, plan[:2000]
+
+
+def test_bigram_lm_partial_agg_rides_explode(spark):
+    """Bigram counting must partial-aggregate before its shuffle (the
+    shuffle carries (w1,w2) partial counts, not the exploded corpus), and
+    scoring must be equi-joins; the only non-equi join allowed is the
+    1-row vocabulary-size scalar broadcast cross (the q15/tfidf scalar
+    shape)."""
+    plan = plan_of(spark, "bigram_lm_surprisal")
+    assert "partial_count" in plan or "partial" in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan[:2000]
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan[:2000]
+
+
+def test_jaccard_prefix_pairs_equi_join_no_cartesian(spark):
+    """Candidate generation must be the prefix-token equi-join (hash join
+    on tok with the doc_a < doc_b residual), never a cartesian or
+    broadcast-nested-loop pair join."""
+    plan = plan_of(spark, "jaccard_prefix_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_global_topk_is_take_ordered(spark):
+    """The k smallest A-ES keys must come from TakeOrderedAndProject
+    (per-partition heaps + k-row driver merge), never a global sort or a
+    single-partition window over the whole corpus."""
+    plan = plan_of(spark, "weighted_sample_aes")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_zorder_layout_partial_agg(spark):
+    """The z-bucket manifest agg must be map-side partial: the shuffle
+    carries 64 bucket keys of partial min/max, not event rows."""
+    plan = plan_of(spark, "zorder_layout")
+    assert "partial" in plan.lower(), plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]

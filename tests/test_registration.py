@@ -8,9 +8,9 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r5 window: 22 family representatives + 18 r3-era queries (every one
+The r5 window: 22 family representatives + 9 r3-era queries (every one
 driver-green in r2∪r3∪r4, see CORRECTNESS_r0{2,3,4}.json) + the 10
-r4-added queries getting their first driver check.
+r4-added and 9 r5-added queries getting their first driver check.
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
 """
@@ -44,17 +44,13 @@ EXPECTED_FIRST_50 = [
     "cosine_pairs",
     "cosine_lsh_pairs",
     "dedup_embedding_cosine",
-    # 13 r3-era queries staying in-window (driver-green r4)
+    # 9 r3-era queries staying in-window (driver-green r4)
     "q15_top_supplier",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
     "q22_idle_rich_customers",
     "semdedup_label",
     "embedding_norm_stats",
     "levenshtein_block_pairs",
     "boilerplate_ngrams",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
     "ann_ivf_multiprobe",
     "sample_hash_bucket",
     "tfidf_top_terms",
@@ -75,6 +71,11 @@ EXPECTED_FIRST_50 = [
     "normalize_text",
     "dedup_lsh_components",
     "chunk_documents",
+    # r5 batch-2 additions, first driver check
+    "bigram_lm_surprisal",
+    "jaccard_prefix_pairs",
+    "weighted_sample_aes",
+    "zorder_layout",
 ]
 
 
@@ -95,10 +96,10 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 84 through r3 + 10 r4 additions + r5 additions (funnel_k_stages,
-    # split_assignment, normalize_text, dedup_lsh_components,
-    # chunk_documents)
-    assert len(QUERIES) == 99
+    # 84 through r3 + 10 r4 additions + 5 r5 additions + 4 r5 batch-2
+    # additions (bigram_lm_surprisal, jaccard_prefix_pairs,
+    # weighted_sample_aes, zorder_layout)
+    assert len(QUERIES) == 103
 
 
 def test_every_query_has_a_family():
