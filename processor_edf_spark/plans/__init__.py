@@ -58,13 +58,11 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 9 r3-era queries staying in-window (driver-green r4)
-    "q15_top_supplier",
+    # ---- 7 r3-era queries staying in-window (driver-green r4)
     "q22_idle_rich_customers",
     "semdedup_label",
     "embedding_norm_stats",
     "levenshtein_block_pairs",
-    "boilerplate_ngrams",
     "ann_ivf_multiprobe",
     "sample_hash_bucket",
     "tfidf_top_terms",
@@ -94,6 +92,8 @@ _CANONICAL = [
     "jaccard_prefix_pairs",
     "weighted_sample_aes",
     "zorder_layout",
+    "gopher_quality_flags",
+    "dsir_importance",
     # ---- position 51+: every query below has a driver-green row in
     # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
     # by tests/test_queries_oracle.py on every pytest run.
@@ -102,6 +102,8 @@ _CANONICAL = [
     "q21_lone_fault_supplier",
     "range_frame_user_avg",
     "intersect_all_user_days",
+    "q15_top_supplier",
+    "boilerplate_ngrams",
     # rotated out in r5 (driver-green r4):
     "q2_min_cost_supplier",
     "q7_nation_volume",
@@ -247,6 +249,8 @@ FAMILY = {
     "jaccard_prefix_pairs": "dedup_text",
     "weighted_sample_aes": "sampling",
     "zorder_layout": "layout",
+    "gopher_quality_flags": "text",
+    "dsir_importance": "sampling",
 }
 
 

@@ -16,7 +16,13 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from processor_edf_spark.operators.textfns import hash64, hash64_sql, tokens
+from processor_edf_spark.operators.layout import field16_sql, morton_sql
+from processor_edf_spark.operators.textfns import (
+    STOPWORDS,
+    hash64,
+    hash64_sql,
+    tokens,
+)
 from processor_edf_spark.plans.registry import load, register, spread
 from processor_edf_spark.plans.text_dedup import _TOK_SQL
 
@@ -126,7 +132,7 @@ def bigram_lm_surprisal(spark, sf_dir):
 # Prefix-filtered set-similarity join (PPJoin-style candidate generation)
 # ---------------------------------------------------------------------------
 
-PREFIX_JACCARD_T = 0.9
+PREFIX_JACCARD_T = 0.95
 
 
 def _prefix_pairs_sql() -> str:
@@ -158,7 +164,7 @@ def _prefix_pairs_sql() -> str:
 
 @register("jaccard_prefix_pairs", _prefix_pairs_sql())
 def jaccard_prefix_pairs(spark, sf_dir):
-    """Token-set Jaccard join at t=0.9 via PPJoin-style
+    """Token-set Jaccard join at t=0.95 via PPJoin-style
     prefix filtering: order every document's distinct tokens by global
     rarity (document frequency asc, token asc), keep only the first
     |s| - ceil(t·|s|) + 1 tokens as the document's PREFIX, and generate
@@ -189,13 +195,31 @@ def jaccard_prefix_pairs(spark, sf_dir):
         .withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
-    ).select("doc_id", "tok")
+    # The prefix frame feeds BOTH sides of the candidate self-join;
+    # localCheckpoint materializes it once instead of recomputing the
+    # scan → explode → dfreq join → double window on each side (measured
+    # 2× end-to-end at sf0.1).  It is ~(1-t) of the distinct-token stream
+    # (5% at t=0.95) held on executor-local storage — the same
+    # self-join-reuse discipline as operators/pagerank.py.
+    prefix = (
+        ranked.filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
+        )
+        .select("doc_id", "tok", "n")
+        .localCheckpoint(eager=True)
+    )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # PPJoin length filter (lossless): J >= t forces t·|x| <= |y| <= |x|/t,
+    # so cross-size collisions die as a join residual BEFORE the distinct
     cands = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.n") * F.lit(PREFIX_JACCARD_T) <= F.col("a.n"))
+            & (F.col("a.n") * F.lit(PREFIX_JACCARD_T) <= F.col("b.n")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -283,23 +307,11 @@ def weighted_sample_aes(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _Z_BUCKETS_SHIFT = 26  # 32-bit z-space >> 26 → 64 range buckets
-
-
-def _zexpr(x: str, y: str) -> str:
-    """Bit-interleave two 16-bit fields into a 32-bit z-value.  Pure
-    integer <<|>>|&|+ arithmetic valid verbatim in BOTH Spark SQL and
-    DuckDB — the Spark plan and the oracle share this exact string, so
-    the two engines cannot diverge."""
-    terms = [
-        f"(((({x}) >> {i}) & 1) << {2 * i}) + (((({y}) >> {i}) & 1) << {2 * i + 1})"
-        for i in range(16)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
+_zexpr = morton_sql
 
 # sign-safe 16-bit field extraction, same text in both dialects
-_ZX = "(((user_id % 65536) + 65536) % 65536)"
-_ZY = "(((CAST(FLOOR(value * 100) AS BIGINT) % 65536) + 65536) % 65536)"
+_ZX = field16_sql("user_id")
+_ZY = field16_sql("CAST(FLOOR(value * 100) AS BIGINT)")
 
 
 def _zorder_sql() -> str:
@@ -350,5 +362,209 @@ def zorder_layout(spark, sf_dir):
             F.max("x16").alias("max_x"),
             F.min("y16").alias("min_y"),
             F.max("y16").alias("max_y"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality gate
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 25
+GOPHER_MAX_WORDS = 1000
+GOPHER_MEAN_LEN_LO = 3.0
+GOPHER_MEAN_LEN_HI = 10.0
+GOPHER_ALPHA_MIN = 0.7
+GOPHER_MIN_STOPWORDS = 2
+
+_STOP_EN_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+
+def _gopher_sql() -> str:
+    t = _TOK_SQL
+    n = f"len({t})"
+    mean_len = (
+        f"(list_aggregate(list_transform({t}, x -> length(x)), 'sum')"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    alpha = (
+        f"(len(list_filter({t}, x -> regexp_matches(x, '[a-zA-Z]')))"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    stops = f"len(list_distinct(list_filter({t}, x -> x IN ({_STOP_EN_SQL}))))"
+    flags = {
+        "flag_word_count": f"{n} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}",
+        "flag_mean_word_len": f"{mean_len} >= {GOPHER_MEAN_LEN_LO} AND {mean_len} <= {GOPHER_MEAN_LEN_HI}",
+        "flag_alpha_ratio": f"{alpha} >= {GOPHER_ALPHA_MIN}",
+        "flag_stopwords": f"{stops} >= {GOPHER_MIN_STOPWORDS}",
+    }
+    cols = ",\n           ".join(f"({v}) AS {k}" for k, v in flags.items())
+    passes = " AND ".join(f"({v})" for v in flags.values())
+    return f"""
+    SELECT doc_id,
+           {n} AS n_words,
+           ROUND({mean_len}, 4) AS mean_word_len,
+           ROUND({alpha}, 4) AS alpha_ratio,
+           {cols},
+           ({passes}) AS passes
+    FROM documents
+    """
+
+
+@register("gopher_quality_flags", _gopher_sql())
+def gopher_quality_flags(spark, sf_dir):
+    """Gopher/Dolma-style RULE-based quality gate: word-count bounds,
+    mean-word-length band, alphabetic-token ratio, and minimum distinct
+    stopword presence, each surfaced as its own boolean flag plus the
+    conjunctive ``passes`` — the auditable rule filter run before any
+    model-based scoring (each rule's rejection rate is measurable from
+    the flags).  All shuffle-free per-row array expressions riding the
+    scan; the flag comparisons operate on exact integer counts or on the
+    one identical double both engines compute (sum-int/count), so the
+    booleans can't diverge cross-engine."""
+    (documents,) = load(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    n = F.size(tok)
+    sum_len = F.aggregate(
+        F.transform(tok, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = sum_len / n.cast("double")
+    alpha = (
+        F.size(F.filter(tok, lambda x: x.rlike("[a-zA-Z]"))) / n.cast("double")
+    )
+    stops = F.size(
+        F.array_distinct(F.filter(tok, lambda x: x.isin(*STOPWORDS["en"])))
+    )
+    f_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    f_ml = (mean_len >= GOPHER_MEAN_LEN_LO) & (mean_len <= GOPHER_MEAN_LEN_HI)
+    f_al = alpha >= GOPHER_ALPHA_MIN
+    f_st = stops >= GOPHER_MIN_STOPWORDS
+    return documents.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        F.round(alpha, 4).alias("alpha_ratio"),
+        f_wc.alias("flag_word_count"),
+        f_ml.alias("flag_mean_word_len"),
+        f_al.alias("flag_alpha_ratio"),
+        f_st.alias("flag_stopwords"),
+        (f_wc & f_ml & f_al & f_st).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (target-vs-raw bigram LM log-ratio)
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_SOURCES = ("src0", "src1")
+_DSIR_TGT_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+
+def _dsir_sql() -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, {_TOK_SQL} AS t FROM documents
+        WHERE len({_TOK_SQL}) >= 2
+    ), big AS (
+        SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2
+        FROM d, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i
+        )
+    ), c2 AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY w1
+    ), v AS (
+        SELECT COUNT(DISTINCT w1) AS v FROM c2
+    ), tc2 AS (
+        SELECT w1, w2, COUNT(*) AS tc2 FROM big
+        WHERE source IN ({_DSIR_TGT_SQL}) GROUP BY w1, w2
+    ), tc1 AS (
+        SELECT w1, SUM(tc2) AS tc1 FROM tc2 GROUP BY w1
+    ), tv AS (
+        SELECT COUNT(DISTINCT w1) AS tv FROM tc2
+    ), s AS (
+        SELECT big.doc_id,
+               CAST(ROUND((ln((COALESCE(tc2.tc2, 0) + {LM_K})
+                              / (COALESCE(tc1.tc1, 0) + {LM_K} * tv.tv))
+                           - ln((c2.c2 + {LM_K}) / (c1.c1 + {LM_K} * v.v)))
+                          * 1000000, 0) AS BIGINT) AS r_micro
+        FROM big
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        LEFT JOIN tc2 USING (w1, w2)
+        LEFT JOIN tc1 USING (w1)
+        CROSS JOIN v CROSS JOIN tv
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(r_micro) / (COUNT(*) * 1000000.0), 4) AS avg_log_ratio
+    FROM s GROUP BY doc_id
+    """
+
+
+@register("dsir_importance", _dsir_sql())
+def dsir_importance(spark, sf_dir):
+    """DSIR-style data-selection importance weight (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    train a TARGET bigram LM on a declared high-quality slice (sources
+    {src0, src1}) and a RAW LM on the whole corpus, then score every
+    document by its average log importance ratio
+    ln P_target(w2|w1) − ln P_raw(w2|w1) — documents most target-like
+    rank highest and get sampled into the training mix.
+
+    Same one-plan shape as bigram_lm_surprisal, doubled: both models'
+    count tables derive from the SAME exploded-bigram stream (the target
+    side is a filter over it, partial-aggregated before its shuffle);
+    scoring left-joins the target counts (unseen bigrams coalesce to the
+    smoothing floor) and inner-joins the raw counts.  Integer micro-nat
+    sums keep the per-doc average order-independent cross-engine."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = (
+        spread(spark, documents)
+        .select("doc_id", "source", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    big = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", "bg.w1", "bg.w2")
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    v = c2.agg(F.countDistinct("w1").alias("v"))
+    tgt = big.filter(F.col("source").isin(*DSIR_TARGET_SOURCES))
+    tc2 = tgt.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("tc2"))
+    tc1 = tc2.groupBy("w1").agg(F.sum("tc2").alias("tc1"))
+    tv = tc2.agg(F.countDistinct("w1").alias("tv"))
+    p_tgt = (F.coalesce(F.col("tc2"), F.lit(0)) + F.lit(LM_K)) / (
+        F.coalesce(F.col("tc1"), F.lit(0)) + F.lit(LM_K) * F.col("tv")
+    )
+    p_raw = (F.col("c2") + F.lit(LM_K)) / (
+        F.col("c1") + F.lit(LM_K) * F.col("v")
+    )
+    r_micro = F.round((F.log(p_tgt) - F.log(p_raw)) * 1000000, 0).cast("long")
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(tc2, ["w1", "w2"], "left")
+        .join(tc1, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(tv))
+        .select("doc_id", r_micro.alias("r_micro"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("r_micro") / (F.count(F.lit(1)) * 1000000.0), 4
+            ).alias("avg_log_ratio"),
         )
     )

@@ -176,3 +176,47 @@ def write_training_shards(
         .option("maxRecordsPerFile", max_records_per_file)
         .parquet(out_dir)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    out_dir: str,
+    col_x: str,
+    col_y: str,
+    n_files: int | None = None,
+    keep_z: bool = True,
+) -> None:
+    """Z-ordered parquet layout over two integer-expressible columns: the
+    multi-column data-skipping sink (the write-side of the
+    ``zorder_layout`` driver query).
+
+    Rows are keyed by the Morton interleave of the two columns' low 16
+    bits (operators/layout.py), ``repartitionByRange`` on that key (the
+    range partitioner samples the key distribution, so each output file
+    covers a CONTIGUOUS z-range), and sorted within partitions.  Because
+    a contiguous z-range is a bounded rectangle in (x, y) space, every
+    file's parquet footer min/max on BOTH source columns stays narrow —
+    a predicate on EITHER column prunes files, where a single-column sort
+    only ever prunes its own column.
+
+    ``keep_z`` persists the ``_z`` key column so z-range predicates can
+    prune directly against its footer stats too.  One shuffle (the range
+    partition) + a streaming write; nothing collects.
+
+    Caveat at scale: 16 bits/dimension (65k cells per side) is the
+    pruning granularity, not a row limit — values are taken mod 2^16, so
+    columns with a wider active range should be bucketed (e.g. ``ts
+    DIV 3600e6``) before interleaving, or the wrap aliases distant values
+    into the same cell and widens every rectangle.
+    """
+    from processor_edf_spark.operators.layout import field16_sql, morton_sql
+
+    z = morton_sql(field16_sql(col_x), field16_sql(col_y))
+    keyed = df.withColumn("_z", F.expr(z))
+    n = n_files or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    laid = keyed.repartitionByRange(n, "_z").sortWithinPartitions("_z")
+    if not keep_z:
+        laid = laid.drop("_z")
+    laid.write.mode("overwrite").parquet(out_dir)

@@ -483,3 +483,18 @@ def test_zorder_layout_partial_agg(spark):
     plan = plan_of(spark, "zorder_layout")
     assert "partial" in plan.lower(), plan[:2000]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+
+
+def test_gopher_flags_shuffle_free(spark):
+    """The rule gate is pure per-row array expressions: zero exchanges —
+    at 100 TB it rides the scan like split_assignment/normalize_text."""
+    plan = plan_of(spark, "gopher_quality_flags")
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_dsir_importance_no_cartesian_two_scalar_crosses(spark):
+    """DSIR scoring must stay equi-joins (raw inner, target left) with
+    exactly the two 1-row scalar broadcast crosses (V, V_target)."""
+    plan = plan_of(spark, "dsir_importance")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:2000]

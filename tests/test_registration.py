@@ -8,9 +8,9 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r5 window: 22 family representatives + 9 r3-era queries (every one
+The r5 window: 22 family representatives + 7 r3-era queries (every one
 driver-green in r2∪r3∪r4, see CORRECTNESS_r0{2,3,4}.json) + the 10
-r4-added and 9 r5-added queries getting their first driver check.
+r4-added and 11 r5-added queries getting their first driver check.
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
 """
@@ -44,13 +44,11 @@ EXPECTED_FIRST_50 = [
     "cosine_pairs",
     "cosine_lsh_pairs",
     "dedup_embedding_cosine",
-    # 9 r3-era queries staying in-window (driver-green r4)
-    "q15_top_supplier",
+    # 7 r3-era queries staying in-window (driver-green r4)
     "q22_idle_rich_customers",
     "semdedup_label",
     "embedding_norm_stats",
     "levenshtein_block_pairs",
-    "boilerplate_ngrams",
     "ann_ivf_multiprobe",
     "sample_hash_bucket",
     "tfidf_top_terms",
@@ -76,6 +74,8 @@ EXPECTED_FIRST_50 = [
     "jaccard_prefix_pairs",
     "weighted_sample_aes",
     "zorder_layout",
+    "gopher_quality_flags",
+    "dsir_importance",
 ]
 
 
@@ -96,10 +96,11 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 84 through r3 + 10 r4 additions + 5 r5 additions + 4 r5 batch-2
+    # 84 through r3 + 10 r4 additions + 5 r5 additions + 6 r5 batch-2
     # additions (bigram_lm_surprisal, jaccard_prefix_pairs,
-    # weighted_sample_aes, zorder_layout)
-    assert len(QUERIES) == 103
+    # weighted_sample_aes, zorder_layout, gopher_quality_flags,
+    # dsir_importance)
+    assert len(QUERIES) == 105
 
 
 def test_every_query_has_a_family():
