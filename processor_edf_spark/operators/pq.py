@@ -1,0 +1,165 @@
+"""Product quantization (PQ) for embedding compression + ADC search —
+the memory half of the 100 TB ANN story (Jégou et al. 2011, "Product
+Quantization for Nearest Neighbor Search").
+
+IVF (operators/kmeans.py) prunes WHICH vectors a query scans; PQ shrinks
+WHAT each scanned vector costs: a d-dim float64 vector (512 bytes at
+d=64) becomes m uint8 codes (8 bytes at m=8) — 64× smaller, so the
+candidate set of an ANN probe fits executor memory at corpus sizes where
+raw vectors never could.  Search uses asymmetric distance computation
+(ADC): the QUERY stays exact, each subspace's distance to all 2^bits
+codebook entries is a tiny per-query lookup table computed on the
+driver, and scoring a candidate is m table lookups + adds — no float
+vector math per candidate at all.
+
+Distributed shape (same discipline as kmeans.py):
+- training runs one distributed kmeans per subspace over the SLICED
+  vector column — m small jobs, codebooks are m·k·(d/m) = k·d floats on
+  the driver;
+- encoding is one Arrow pass with the codebooks broadcast;
+- ADC search broadcasts the per-query LUTs (q·m·k floats) and scores
+  codes batch-vectorized (numpy fancy-indexing over the code matrix);
+  per-query top-k via the same window the IVF search uses.
+
+Determinism: kmeans_fit is deterministic (lowest-id seeding), argmin
+ties break to the lowest code index, so encode(train(df)) is
+bit-reproducible — pinned by tests/test_pq.py, including a lossless
+fixture where vectors ARE codebook entries and ADC must equal exact L2.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from processor_edf_spark.operators.kmeans import _distances, kmeans_fit
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train m per-subspace codebooks of k centroids each; returns a
+    (m, k, d/m) array.  d must divide evenly by m (raise otherwise —
+    silent padding would corrupt every downstream distance)."""
+    d = len(df.select(vec_col).first()[0])
+    if d % m:
+        raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        sliced = df.select(
+            id_col, F.slice(vec_col, j * sub + 1, sub).alias(vec_col)
+        )
+        books.append(kmeans_fit(sliced, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col))
+    return np.stack(books)  # (m, k, sub)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int> of length m): nearest codebook entry per
+    subspace.  One Arrow pass, codebooks broadcast, no shuffle."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(np.asarray(codebooks, dtype=np.float64))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        B = bc.value
+        m, _, sub = B.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(M), m), dtype=np.int64)
+            for j in range(m):
+                D = _distances(M[:, j * sub : (j + 1) * sub], B[j])
+                codes[:, j] = np.argmin(D, axis=1)  # first min → lowest code
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, f"{id_col} long, codes array<long>"
+    )
+
+
+def pq_search_adc(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ADC top-k over PQ codes: (query_id, neighbor_id, adc_dist, rank),
+    adc_dist = the PQ approximation of squared L2 distance.
+
+    Per query the (m, K) lookup table of subspace distances is computed
+    driver-side (q·m·K floats, tiny) and broadcast; each Arrow batch
+    scores ALL its codes for ALL queries with one fancy-indexing gather
+    per subspace — the per-candidate cost is m adds, no vector math.
+    Top-k is a per-query window over the scored stream (WindowGroupLimit
+    caps the sort; compose with an IVF cell filter upstream to prune the
+    scan itself — this operator scores whatever candidate frame it is
+    given)."""
+    from pyspark.sql import Window
+
+    spark = codes_df.sparkSession
+    B = np.asarray(codebooks, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    qid = np.asarray(query_ids)
+    m, K, sub = B.shape
+    # per-query LUT: dim-by-dim accumulation (the _distances discipline)
+    luts = np.empty((len(Q), m, K), dtype=np.float64)
+    for j in range(m):
+        luts[:, j, :] = _distances(Q[:, j * sub : (j + 1) * sub], B[j])
+    bc = spark.sparkContext.broadcast((luts, qid))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        L, qids = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, m)
+            ids = pdf[id_col].to_numpy()
+            out = []
+            for q in range(len(qids)):
+                # gather L[q, j, C[:, j]] for each subspace, sum — m adds/row
+                dist = np.zeros(len(C), dtype=np.float64)
+                for j in range(m):
+                    dist += L[q, j, C[:, j]]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[q],
+                            "neighbor_id": ids,
+                            "adc_raw": dist,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = codes_df.select(id_col, "codes").mapInPandas(
+        gen, "query_id long, neighbor_id long, adc_raw double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select(
+            "query_id", "neighbor_id", F.round("adc_raw", 6).alias("adc_dist")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
