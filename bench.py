@@ -132,6 +132,28 @@ def bench_ml_operators(spark, sf_dir: str) -> dict[str, float]:
         out["kmeans_fit"] = out["ivf_search"] = -1.0
 
     try:
+        from processor_edf_spark.operators.pq import (
+            ivf_pq_search,
+            pq_encode,
+            pq_train,
+        )
+
+        t0 = time.perf_counter()
+        books = pq_train(emb, m=16, k=16, n_iter=3)
+        out["pq_train"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        pq_encode(emb, books).write.format("noop").mode("overwrite").save()
+        out["pq_encode"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ivf_pq_search(emb, C, books, Q, qids, k=10, nprobe=3).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        out["ivf_pq_search"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: pq FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        out["pq_train"] = out["pq_encode"] = out["ivf_pq_search"] = -1.0
+
+    try:
         pairs = QUERIES["cosine_lsh_pairs"](spark, sf_dir).localCheckpoint(
             eager=True
         )

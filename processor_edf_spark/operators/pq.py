@@ -163,3 +163,90 @@ def pq_search_adc(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_search(
+    df: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 3,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production ANN pipeline: IVF cell pruning → PQ ADC
+    shortlist → EXACT re-rank, returning (query_id, neighbor_id,
+    dist_sq, rank) with true squared-L2 distances.
+
+    1. IVF: assign rows to the broadcast centroids, keep only cells some
+       query probes — the scan prunes to ~nprobe/C of the corpus
+       (operators/kmeans.ivf_search's pruning step, reused).
+    2. PQ ADC: score the surviving candidates from their 8-byte codes
+       against per-query lookup tables — the only pass that touches
+       every candidate, at m adds per row.
+    3. Re-rank: join the ADC shortlist (q·shortlist rows — tiny) back to
+       the RAW vectors and compute exact distances JVM-side
+       (zip_with + aggregate, no Python), final top-k window.
+
+    A deployment would persist (cell, codes) next to the corpus once and
+    skip steps' assignment/encoding per query batch; this function
+    recomputes them so it is self-contained over a raw vector frame."""
+    from pyspark.sql import Window
+
+    from processor_edf_spark.operators.kmeans import assign_clusters
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    qid = np.asarray(query_ids)
+    probe_sets = np.argsort(_distances(Q, C), axis=1)[:, :nprobe]
+    probed_union = sorted({int(c) for row in probe_sets for c in row})
+
+    assigned = assign_clusters(df, C, id_col=id_col, vec_col=vec_col).select(
+        id_col, "cluster"
+    )
+    cand = (
+        df.select(id_col, vec_col)
+        .join(assigned, id_col)
+        .filter(F.col("cluster").isin(probed_union))
+    )
+    codes = pq_encode(cand, codebooks, id_col=id_col, vec_col=vec_col)
+    short = pq_search_adc(
+        codes, codebooks, Q, qid, k=shortlist, id_col=id_col
+    ).select("query_id", "neighbor_id")
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in q]) for i, q in zip(qid, Q)],
+        "query_id long, qvec array<double>",
+    )
+    rerank = (
+        short.join(
+            df.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("nvec", "qvec", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("dist_sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_sq").asc(), F.col("neighbor_id").asc()
+    )
+    return rerank.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -93,3 +93,43 @@ def test_pq_topk_windowgrouplimit(spark):
     out = pq_search_adc(codes, books, Q, np.array([1, 2]), k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_ivf_pq_rerank_end_to_end(spark):
+    """IVF cells + ADC shortlist + exact JVM re-rank: the returned
+    dist_sq must BE the true squared L2 (spot-checked), and recall@10
+    must beat the shortlist-free pin."""
+    from processor_edf_spark.operators.kmeans import kmeans_fit
+    from processor_edf_spark.operators.pq import ivf_pq_search
+
+    emb = _emb(spark)
+    C = kmeans_fit(emb, k=8, n_iter=4)
+    books = pq_train(emb, m=16, k=16, n_iter=4)
+
+    rows = emb.orderBy("vec_id").collect()
+    M = np.array([list(r["embedding"]) for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    q_idx = [0, 41, 137]
+    Q, qids = M[q_idx], ids[q_idx]
+
+    out = ivf_pq_search(
+        emb, C, books, Q, qids, k=10, nprobe=3, shortlist=50
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    vec = {int(i): M[j] for j, i in enumerate(ids)}
+    recalls = []
+    for qi, qid in enumerate(qids):
+        got = by_q[qid]
+        assert len(got) == 10
+        # returned distances are the TRUE squared L2, not the ADC estimate
+        for r in got[:3]:
+            exact = float(((vec[r["neighbor_id"]] - Q[qi]) ** 2).sum())
+            assert abs(r["dist_sq"] - round(exact, 6)) < 1e-9
+        exact_d = ((M - Q[qi]) ** 2).sum(axis=1)
+        exact_top = set(ids[np.argsort(exact_d)][:11]) - {qid}
+        exact_top = set(sorted(exact_top)[:10]) if len(exact_top) > 10 else exact_top
+        got_ids = {r["neighbor_id"] for r in got}
+        recalls.append(len(got_ids & exact_top) / 10)
+    assert np.mean(recalls) >= 0.7, recalls
