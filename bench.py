@@ -154,6 +154,19 @@ def bench_ml_operators(spark, sf_dir: str) -> dict[str, float]:
         out["pq_train"] = out["pq_encode"] = out["ivf_pq_search"] = -1.0
 
     try:
+        from processor_edf_spark.operators.bpe import bpe_train
+
+        (docs,) = load(spark, sf_dir, "documents")
+        t0 = time.perf_counter()
+        merges = bpe_train(docs, n_merges=10)
+        if len(merges) != 10:
+            raise RuntimeError(f"expected 10 merges, got {len(merges)}")
+        out["bpe_train_10"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: bpe FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+        out["bpe_train_10"] = -1.0
+
+    try:
         pairs = QUERIES["cosine_lsh_pairs"](spark, sf_dir).localCheckpoint(
             eager=True
         )

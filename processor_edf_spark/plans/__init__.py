@@ -58,10 +58,9 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 7 r3-era queries staying in-window (driver-green r4)
+    # ---- 6 r3-era queries staying in-window (driver-green r4)
     "q22_idle_rich_customers",
     "semdedup_label",
-    "embedding_norm_stats",
     "levenshtein_block_pairs",
     "ann_ivf_multiprobe",
     "sample_hash_bucket",
@@ -94,6 +93,7 @@ _CANONICAL = [
     "zorder_layout",
     "gopher_quality_flags",
     "dsir_importance",
+    "source_mix_rates",
     # ---- position 51+: every query below has a driver-green row in
     # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
     # by tests/test_queries_oracle.py on every pytest run.
@@ -104,6 +104,7 @@ _CANONICAL = [
     "intersect_all_user_days",
     "q15_top_supplier",
     "boilerplate_ngrams",
+    "embedding_norm_stats",
     # rotated out in r5 (driver-green r4):
     "q2_min_cost_supplier",
     "q7_nation_volume",
@@ -251,6 +252,7 @@ FAMILY = {
     "zorder_layout": "layout",
     "gopher_quality_flags": "text",
     "dsir_importance": "sampling",
+    "source_mix_rates": "sampling",
 }
 
 

@@ -568,3 +568,58 @@ def dsir_importance(spark, sf_dir):
             ).alias("avg_log_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mix planning
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_mix_rates",
+    """
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n_docs FROM documents
+        GROUP BY source, lang
+    ), t AS (
+        SELECT CAST(CEIL(SUM(n_docs) / CAST(COUNT(*) AS DOUBLE)) AS BIGINT)
+            AS target_docs
+        FROM c
+    )
+    SELECT source, lang, n_docs, t.target_docs,
+           LEAST(n_docs, t.target_docs) AS planned_docs,
+           ROUND(LEAST(1.0, t.target_docs / CAST(n_docs AS DOUBLE)), 6)
+               AS sample_rate
+    FROM c CROSS JOIN t
+    """,
+)
+def source_mix_rates(spark, sf_dir):
+    """Training-mix planning: per-(source, lang) stratum counts → the
+    per-stratum sampling rate that equalizes contribution at the uniform
+    target (total/strata), capped by availability — the audit table a
+    mix rebalancer consumes before `stratified_sample_lang` /
+    `weighted_sample_aes` do the actual drawing.  One partial-agg shuffle
+    on ~|sources|·|langs| keys + a 1-row scalar broadcast; rates derive
+    from exact integer counts so both engines round the same double."""
+    (documents,) = load(spark, sf_dir, "documents")
+    c = documents.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    t = c.agg(
+        F.ceil(F.sum("n_docs") / F.count(F.lit(1)).cast("double"))
+        .cast("long")
+        .alias("target_docs")
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "target_docs",
+        F.least(F.col("n_docs"), F.col("target_docs")).alias("planned_docs"),
+        F.round(
+            F.least(
+                F.lit(1.0), F.col("target_docs") / F.col("n_docs").cast("double")
+            ),
+            6,
+        ).alias("sample_rate"),
+    )

@@ -44,10 +44,9 @@ EXPECTED_FIRST_50 = [
     "cosine_pairs",
     "cosine_lsh_pairs",
     "dedup_embedding_cosine",
-    # 7 r3-era queries staying in-window (driver-green r4)
+    # 6 r3-era queries staying in-window (driver-green r4)
     "q22_idle_rich_customers",
     "semdedup_label",
-    "embedding_norm_stats",
     "levenshtein_block_pairs",
     "ann_ivf_multiprobe",
     "sample_hash_bucket",
@@ -76,6 +75,7 @@ EXPECTED_FIRST_50 = [
     "zorder_layout",
     "gopher_quality_flags",
     "dsir_importance",
+    "source_mix_rates",
 ]
 
 
@@ -96,11 +96,11 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 84 through r3 + 10 r4 additions + 5 r5 additions + 6 r5 batch-2
+    # 84 through r3 + 10 r4 additions + 5 r5 additions + 7 r5 batch-2
     # additions (bigram_lm_surprisal, jaccard_prefix_pairs,
     # weighted_sample_aes, zorder_layout, gopher_quality_flags,
-    # dsir_importance)
-    assert len(QUERIES) == 105
+    # dsir_importance, source_mix_rates)
+    assert len(QUERIES) == 106
 
 
 def test_every_query_has_a_family():
