@@ -67,3 +67,63 @@ def approx_percentiles(
         .agg(pct.alias("_pcts"))
         .select(*keys, *named)
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Mergeable Misra-Gries heavy-hitters sketch (Agarwal et al. 2012,
+    "Mergeable Summaries"): per-partition MG summaries of ≤ k counters,
+    merged by a plain sum — the bounded-memory swap for exact top-k
+    frequency when the item domain no longer fits a shuffle (trending
+    n-grams / domains / users at corpus scale).
+
+    Returns ``(items, bound)``:
+    - ``items``: (item, est_count) — every surviving counter, with the
+      one-sided MG guarantee  est ≤ true ≤ est + error_bound;
+    - ``bound``: a 1-row frame (error_bound, n_rows) where error_bound
+      is the SUM of per-partition decrement totals (each ≤ n_p/(k+1), so
+      the global bound is ≤ n/(k+1)).  Any item with true count >
+      error_bound is guaranteed present.
+
+    Shape: one Arrow pass emitting ≤ k+1 rows per partition (the +1 row
+    carries the partition's decrement total), one partial-agg shuffle on
+    ≤ k·partitions summary rows.  No per-row Python: partition counting
+    is pandas value_counts (C-side); the MG truncation runs on the ≤
+    distinct-per-partition counter dict."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        deduct = 0
+        for pdf in batches:
+            for item, c in pdf[col].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                vals = sorted(counts.values(), reverse=True)
+                thr = vals[k]  # the (k+1)-th largest counter
+                deduct += thr
+                counts = {i: c - thr for i, c in counts.items() if c > thr}
+        out = pd.DataFrame(
+            {
+                "item": [str(i) for i in counts] + [None],
+                "est_count": list(counts.values()) + [0],
+                "deduct": [0] * len(counts) + [deduct],
+            }
+        )
+        yield out
+
+    summaries = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        gen, "item string, est_count long, deduct long"
+    )
+    items = (
+        summaries.filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("est_count").alias("est_count"))
+    )
+    bound = summaries.agg(F.sum("deduct").alias("error_bound"))
+    return items, bound

@@ -64,3 +64,33 @@ def test_approx_percentiles_rank_error(spark):
                 rank,
                 target,
             )
+
+
+def test_heavy_hitters_misra_gries_bounds(spark, sf_dir):
+    """MG invariants against the exact token counts: est <= true <=
+    est + error_bound for every surviving counter, every item heavier
+    than the bound is present, and the bound respects n/(k+1)."""
+    from pyspark.sql import functions as F
+
+    from processor_edf_spark.operators.approx import heavy_hitters
+
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    )
+    k = 20
+    items_df, bound_df = heavy_hitters(toks, "tok", k=k)
+    est = {r["item"]: r["est_count"] for r in items_df.collect()}
+    bound = bound_df.collect()[0]["error_bound"]
+    exact = {
+        r["tok"]: r["n"]
+        for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n = sum(exact.values())
+    # per-partition bounds sum to <= n/(k+1)
+    assert 0 < bound <= n // (k + 1) + 1
+    for item, e in est.items():
+        assert e <= exact[item] <= e + bound, (item, e, exact[item], bound)
+    for item, true_n in exact.items():
+        if true_n > bound:
+            assert item in est, (item, true_n, bound)
