@@ -1,0 +1,121 @@
+"""End-to-end batch corpus pipeline — the document-side analog of the
+EDF `run_job` flow (`sources/params.py`): one composition that takes a
+raw document frame through the standard pre-training sequence
+
+    normalize → rule gate → exact dedup → near-dup dedup (MinHash-LSH
+    groups, linear path) → PII scrub → quality columns → split
+    assignment
+
+and returns (clean_docs, report), where ``report`` is the per-stage
+accounting frame every corpus job publishes: rows in, rows dropped,
+rows surviving at each stage — the numbers that make a 100 TB run
+auditable.  Every stage is an operator this repo already verifies
+individually (normalize_text / gopher_quality_flags / dedup_exact /
+dedup_lsh_components have driver-checked oracle queries; redact_pii has
+fixture tests), so the composition adds plumbing, not new semantics.
+
+Scale shape: normalize/gate/scrub/quality ride the scan (no shuffle);
+exact dedup is one sha shuffle; near-dup is the LINEAR
+lsh_components path (bucket-star edges + pointer-jumping components),
+never pair enumeration; split assignment is a hash projection.  The
+only materialization is one localCheckpoint of the gated frame, reused
+by both dedup stages and the survivors join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from processor_edf_spark.operators.lsh_dedup import lsh_dedup_survivors
+from processor_edf_spark.operators.redaction import redact_pii
+from processor_edf_spark.operators.textfns import hash64, normalized_text
+from processor_edf_spark.plans.corpus_extra import gopher_flag_cols
+
+
+def run_corpus_job(
+    spark,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Returns (clean_docs, report).
+
+    ``clean_docs``: (doc_id, text, norm_text, n_words, quality flags …,
+    split) — one row per surviving document, text PII-scrubbed.
+    ``report``: (stage, rows_in, rows_out, dropped) in pipeline order.
+    """
+    from processor_edf_spark.plans.text_dedup import minhash_buckets_frame
+
+    n0 = docs.count()
+
+    # 1. normalize + rule gate (shuffle-free projections).  The gate
+    # runs on the NORMALIZED text so case/whitespace mangling can't
+    # change a document's verdict (the stopword rule is lowercase);
+    # the oracle-checked gopher_quality_flags query pins the same flag
+    # definitions over raw text as the audit view.
+    flags = gopher_flag_cols(normalized_text(F.col(text_col)))
+    gated_all = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        normalized_text(F.col(text_col)).alias("norm_text"),
+        flags["n_words"].alias("n_words"),
+        (
+            flags["flag_word_count"]
+            & flags["flag_mean_word_len"]
+            & flags["flag_alpha_ratio"]
+            & flags["flag_stopwords"]
+        ).alias("passes"),
+    )
+    gated = gated_all.filter(F.col("passes")).drop("passes")
+    gated = gated.localCheckpoint(eager=True)  # reused 4× below
+    n1 = gated.count()
+
+    # 2. exact dedup on the NORMALIZED text (lowest doc_id survives)
+    exact_keep = (
+        gated.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("sha"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = gated.join(exact_keep, "doc_id")
+    n2 = exact.count()
+
+    # 3. near-dup dedup: MinHash band buckets → linear bucket-star
+    # components → min-id survivor per duplicate group
+    bucketed = minhash_buckets_frame(
+        spark, exact.select("doc_id", F.col("norm_text").alias("text"))
+    )
+    survivors = lsh_dedup_survivors(bucketed, id_col="doc_id")
+    near = exact.join(survivors.select("doc_id"), "doc_id")
+    n3 = near.count()
+
+    # 4. PII scrub + split assignment (projections, no shuffle) — the
+    # EXACT split_assignment query construction, so pipeline membership
+    # matches the oracle-checked query doc-for-doc
+    from processor_edf_spark.plans.text_dedup import (
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+    )
+
+    scrubbed = redact_pii(near, text_col="text")
+    bucket = hash64(F.col("doc_id").cast("string"), "split") % SPLIT_BUCKETS
+    clean = scrubbed.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN, "train")
+        .when(bucket < SPLIT_VAL, "val")
+        .otherwise("test"),
+    )
+    n4 = clean.count()
+
+    report = spark.createDataFrame(
+        [
+            ("input", n0, n0, 0),
+            ("rule_gate", n0, n1, n0 - n1),
+            ("exact_dedup", n1, n2, n1 - n2),
+            ("near_dedup_lsh", n2, n3, n2 - n3),
+            ("scrub_and_split", n3, n4, n3 - n4),
+        ],
+        "stage string, rows_in long, rows_out long, dropped long",
+    )
+    return clean, report

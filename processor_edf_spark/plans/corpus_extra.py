@@ -411,6 +411,36 @@ def _gopher_sql() -> str:
     """
 
 
+def gopher_flag_cols(text: Column) -> dict[str, Column]:
+    """The rule gate's Column builders — ONE definition shared by the
+    oracle-checked ``gopher_quality_flags`` query and
+    ``corpus_pipeline.run_corpus_job``, so a document passes the gate
+    identically in both (the streaming/batch shared-definition
+    discipline of normalize_text)."""
+    tok = tokens(text)
+    n = F.size(tok)
+    sum_len = F.aggregate(
+        F.transform(tok, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    mean_len = sum_len / n.cast("double")
+    alpha = F.size(F.filter(tok, lambda x: x.rlike("[a-zA-Z]"))) / n.cast(
+        "double"
+    )
+    stops = F.size(
+        F.array_distinct(F.filter(tok, lambda x: x.isin(*STOPWORDS["en"])))
+    )
+    return {
+        "n_words": n,
+        "mean_word_len": mean_len,
+        "alpha_ratio": alpha,
+        "flag_word_count": (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS),
+        "flag_mean_word_len": (mean_len >= GOPHER_MEAN_LEN_LO)
+        & (mean_len <= GOPHER_MEAN_LEN_HI),
+        "flag_alpha_ratio": alpha >= GOPHER_ALPHA_MIN,
+        "flag_stopwords": stops >= GOPHER_MIN_STOPWORDS,
+    }
+
+
 @register("gopher_quality_flags", _gopher_sql())
 def gopher_quality_flags(spark, sf_dir):
     """Gopher/Dolma-style RULE-based quality gate: word-count bounds,
@@ -423,32 +453,22 @@ def gopher_quality_flags(spark, sf_dir):
     one identical double both engines compute (sum-int/count), so the
     booleans can't diverge cross-engine."""
     (documents,) = load(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    n = F.size(tok)
-    sum_len = F.aggregate(
-        F.transform(tok, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
-    )
-    mean_len = sum_len / n.cast("double")
-    alpha = (
-        F.size(F.filter(tok, lambda x: x.rlike("[a-zA-Z]"))) / n.cast("double")
-    )
-    stops = F.size(
-        F.array_distinct(F.filter(tok, lambda x: x.isin(*STOPWORDS["en"])))
-    )
-    f_wc = (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
-    f_ml = (mean_len >= GOPHER_MEAN_LEN_LO) & (mean_len <= GOPHER_MEAN_LEN_HI)
-    f_al = alpha >= GOPHER_ALPHA_MIN
-    f_st = stops >= GOPHER_MIN_STOPWORDS
+    c = gopher_flag_cols(F.col("text"))
     return documents.select(
         "doc_id",
-        n.alias("n_words"),
-        F.round(mean_len, 4).alias("mean_word_len"),
-        F.round(alpha, 4).alias("alpha_ratio"),
-        f_wc.alias("flag_word_count"),
-        f_ml.alias("flag_mean_word_len"),
-        f_al.alias("flag_alpha_ratio"),
-        f_st.alias("flag_stopwords"),
-        (f_wc & f_ml & f_al & f_st).alias("passes"),
+        c["n_words"].alias("n_words"),
+        F.round(c["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(c["alpha_ratio"], 4).alias("alpha_ratio"),
+        c["flag_word_count"].alias("flag_word_count"),
+        c["flag_mean_word_len"].alias("flag_mean_word_len"),
+        c["flag_alpha_ratio"].alias("flag_alpha_ratio"),
+        c["flag_stopwords"].alias("flag_stopwords"),
+        (
+            c["flag_word_count"]
+            & c["flag_mean_word_len"]
+            & c["flag_alpha_ratio"]
+            & c["flag_stopwords"]
+        ).alias("passes"),
     )
 
 

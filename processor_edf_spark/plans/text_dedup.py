@@ -1515,3 +1515,38 @@ def token_entropy(spark, sf_dir):
         .agg(F.round(F.sum(contrib).cast("double"), 6).alias("entropy"))
         .select("doc_id", "entropy", F.col("n").alias("n_tokens"))
     )
+
+
+def minhash_buckets_frame(
+    spark, docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Frame-parameterized twin of the ``minhash_signatures`` →
+    band-bucket construction used by ``dedup_lsh_components`` (same
+    shingles, same hash family, same 4×2 banding), for callers that have
+    an arbitrary document DataFrame instead of a testdata sf_dir —
+    ``corpus_pipeline.run_corpus_job`` feeds its gated frame through
+    this.  Returns (id_col, band_key)."""
+    sh = spread(spark, docs).select(
+        id_col,
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col(text_col)), SHINGLE_K))
+        ).alias("shingle"),
+    ).select(id_col, (hash64(F.col("shingle")) % MINHASH_P).alias("base"))
+    aggs = [
+        F.min((F.lit(a) * F.col("base") + F.lit(b)) % MINHASH_P).alias(f"mh{k}")
+        for k, (a, b) in enumerate(MINHASH_AB)
+    ]
+    sig = sh.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(b), F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )

@@ -1,0 +1,89 @@
+"""run_corpus_job end-to-end: every stage drops exactly the crafted
+casualties, the report's accounting chains, and surviving text is
+scrubbed + split-assigned identically to the oracle-checked queries."""
+
+from __future__ import annotations
+
+from processor_edf_spark.corpus_pipeline import run_corpus_job
+from tests.conftest import SF_SMALL
+
+BASE = (
+    "the quick brown fox jumps over a lazy dog of seventeen "
+    "curious researchers to annotate corpus documents with careful "
+    "and deliberate structured metadata during long afternoon sessions"
+)  # 26 words, 5 distinct stopwords — passes the gate with room
+
+
+def _docs(spark):
+    rows = [
+        # passes everything
+        (1, BASE + " alpha beta gamma"),
+        # exact dup of 1 after normalization (case + whitespace mangling)
+        (2, "  " + BASE.upper() + "   ALPHA    BETA GAMMA "),
+        # near-dup of 1: one word differs → same minhash component
+        (3, BASE + " alpha beta delta"),
+        # distinct survivor carrying PII
+        (4, "please contact jane of archives at jane.doe@example.com "
+            "to request the quarterly ledger scans and a bound folio "
+            "of marginalia indexed by provenance custodians during "
+            "the winter accession review in reading room seven"),
+        # fails the rule gate: too short
+        (5, "tiny doc"),
+        # distinct survivor
+        (6, "a completely different narrative about the distributed "
+            "query engines of today shuffling partitions across "
+            "executors while catalyst optimizes logical plans into "
+            "physical stages with adaptive execution and broadcast "
+            "joins to everywhere"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_corpus_job_stage_accounting(spark):
+    clean, report = run_corpus_job(spark, _docs(spark))
+    rep = {r["stage"]: r for r in report.collect()}
+    assert rep["input"]["rows_out"] == 6
+    assert rep["rule_gate"]["dropped"] == 1          # doc 5
+    assert rep["exact_dedup"]["dropped"] == 1        # doc 2 (normalized dup)
+    assert rep["near_dedup_lsh"]["dropped"] == 1     # doc 3 (minhash twin)
+    assert rep["scrub_and_split"]["dropped"] == 0
+    # the chain: each stage's rows_in is the previous stage's rows_out
+    order = ["input", "rule_gate", "exact_dedup", "near_dedup_lsh",
+             "scrub_and_split"]
+    for prev, cur in zip(order, order[1:]):
+        assert rep[cur]["rows_in"] == rep[prev]["rows_out"]
+        assert rep[cur]["dropped"] == rep[cur]["rows_in"] - rep[cur]["rows_out"]
+
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert sorted(rows) == [1, 4, 6]
+    # PII scrubbed in-place, typed placeholder
+    assert "<EMAIL>" in rows[4]["text"]
+    assert "jane.doe@example.com" not in rows[4]["text"]
+    # split column matches the oracle-checked split_assignment semantics
+    assert all(r["split"] in ("train", "val", "test") for r in rows.values())
+    assert all(r["n_words"] >= 25 for r in rows.values())
+
+
+def test_corpus_job_deterministic(spark):
+    a, _ = run_corpus_job(spark, _docs(spark))
+    b, _ = run_corpus_job(spark, _docs(spark))
+    ra = sorted((r["doc_id"], r["split"], r["text"]) for r in a.collect())
+    rb = sorted((r["doc_id"], r["split"], r["text"]) for r in b.collect())
+    assert ra == rb
+
+
+def test_corpus_job_on_real_documents(spark):
+    """Smoke over the real testdata: accounting chains, survivors
+    nonempty, and the dup-heavy template corpus actually loses rows to
+    the near-dup stage."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clean, report = run_corpus_job(spark, docs)
+    rep = {r["stage"]: r for r in report.collect()}
+    n_in = rep["input"]["rows_out"]
+    n_out = rep["scrub_and_split"]["rows_out"]
+    assert n_in == 500
+    assert 0 < n_out < n_in
+    assert rep["near_dedup_lsh"]["dropped"] > 0  # template corpus near-dups
+    assert clean.count() == n_out
