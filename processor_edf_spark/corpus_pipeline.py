@@ -119,3 +119,29 @@ def run_corpus_job(
         "stage string, rows_in long, rows_out long, dropped long",
     )
     return clean, report
+
+
+def apply_mix_rates(
+    docs: DataFrame,
+    rates: DataFrame,
+    strata: tuple[str, ...] = ("source", "lang"),
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Execute a mix plan: deterministically thin each stratum to its
+    ``sample_rate`` (the ``source_mix_rates`` query output, or any frame
+    keyed by ``strata`` with a ``sample_rate`` column).
+
+    A document is kept iff hash64(id, salt) % 1e6 < rate·1e6 — the same
+    portable-hash Bernoulli the sample_hash_bucket query pins, so
+    membership is reproducible run-over-run, engine-over-engine, and
+    auditable from the id alone.  The rates side is stratum-cardinality
+    (broadcast); the filter rides the scan."""
+    rate_cols = list(strata) + ["sample_rate"]
+    keyed = docs.join(F.broadcast(rates.select(*rate_cols)), list(strata))
+    u = F.pmod(
+        hash64(F.col(id_col).cast("string"), salt), F.lit(1_000_000)
+    )
+    return keyed.filter(
+        u < (F.col("sample_rate") * 1_000_000)
+    ).drop("sample_rate")

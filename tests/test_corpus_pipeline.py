@@ -87,3 +87,38 @@ def test_corpus_job_on_real_documents(spark):
     assert 0 < n_out < n_in
     assert rep["near_dedup_lsh"]["dropped"] > 0  # template corpus near-dups
     assert clean.count() == n_out
+
+
+def test_apply_mix_rates_deterministic_thinning(spark):
+    from pyspark.sql import functions as F
+
+    from processor_edf_spark.corpus_pipeline import apply_mix_rates
+    from processor_edf_spark.plans import QUERIES
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    rates = QUERIES["source_mix_rates"](spark, SF_SMALL)
+    kept = apply_mix_rates(docs, rates)
+    kept2 = apply_mix_rates(docs, rates)
+    a = sorted(r["doc_id"] for r in kept.collect())
+    assert a == sorted(r["doc_id"] for r in kept2.collect())  # deterministic
+    # per-stratum: never exceeds the stratum population; full-rate strata
+    # keep everything; reduced-rate strata actually thin
+    pop = {
+        (r["source"], r["lang"]): r["n_docs"] for r in rates.collect()
+    }
+    rate = {
+        (r["source"], r["lang"]): r["sample_rate"] for r in rates.collect()
+    }
+    got = {
+        (r["source"], r["lang"]): r["n"]
+        for r in kept.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert any(v < 1.0 for v in rate.values())  # the plan actually thins
+    for key, n in got.items():
+        assert n <= pop[key]
+        if rate[key] == 1.0:
+            assert n == pop[key]
+    thinned = [k for k, v in rate.items() if v < 0.8 and pop[k] >= 10]
+    assert thinned and all(got.get(k, 0) < pop[k] for k in thinned)
