@@ -81,7 +81,11 @@ def run_corpus_job(
     n2 = exact.count()
 
     # 3. near-dup dedup: MinHash band buckets → linear bucket-star
-    # components → min-id survivor per duplicate group
+    # components → min-id survivor per duplicate group.  Survivor
+    # membership comes from the bucket frame, which only contains docs
+    # with ≥1 shingle (≥3 tokens) — guaranteed here because the rule
+    # gate already floors n_words at GOPHER_MIN_WORDS; a caller reusing
+    # this stage WITHOUT the gate must union shingle-less docs back in.
     bucketed = minhash_buckets_frame(
         spark, exact.select("doc_id", F.col("norm_text").alias("text"))
     )

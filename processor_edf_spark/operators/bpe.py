@@ -128,7 +128,6 @@ def bpe_encode(
     bc = spark.sparkContext.broadcast(
         {pair: rank for rank, pair in enumerate(merges)}
     )
-    cols = df.columns
 
     def encode_word(word: str, ranks: dict) -> list[str]:
         symbols = list(word) + [EOW]
@@ -164,3 +163,19 @@ def bpe_encode(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} array<string>"
     return df.mapInPandas(gen, schema)
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as rank-ordered parquet — the
+    artifact a tokenizer deployment ships; readable by any engine."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Inverse of :func:`save_merges` — rank order restored explicitly
+    (parquet row order is not a contract)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["a"], r["b"]) for r in rows]

@@ -96,3 +96,18 @@ def test_bpe_encode_consistent_with_training_segmentation(corpus_df):
 def test_bpe_train_min_count_stops(corpus_df):
     # absurd floor → no merges at all
     assert bpe_train(corpus_df, n_merges=10, min_pair_count=10_000) == []
+
+
+def test_bpe_merges_roundtrip(spark, tmp_path, corpus_df):
+    from processor_edf_spark.operators.bpe import load_merges, save_merges
+
+    merges = bpe_train(corpus_df, n_merges=8)
+    path = str(tmp_path / "merges")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges
+    # encoding with the reloaded merges is identical
+    a = {r["doc_id"]: list(r["bpe_tokens"])
+         for r in bpe_encode(corpus_df, merges).collect()}
+    b = {r["doc_id"]: list(r["bpe_tokens"])
+         for r in bpe_encode(corpus_df, load_merges(spark, path)).collect()}
+    assert a == b

@@ -122,3 +122,17 @@ def test_apply_mix_rates_deterministic_thinning(spark):
             assert n == pop[key]
     thinned = [k for k, v in rate.items() if v < 0.8 and pop[k] >= 10]
     assert thinned and all(got.get(k, 0) < pop[k] for k in thinned)
+
+
+def test_corpus_job_survives_empty_survivor_set(spark):
+    """Every stage dropping everything must yield a clean empty frame
+    and a coherent report, not a crash (the realistic no-good-docs
+    drop directory)."""
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "also tiny")], "doc_id long, text string"
+    )
+    clean, report = run_corpus_job(spark, docs)
+    assert clean.count() == 0
+    rep = {r["stage"]: r for r in report.collect()}
+    assert rep["rule_gate"]["rows_out"] == 0
+    assert rep["scrub_and_split"]["rows_out"] == 0
