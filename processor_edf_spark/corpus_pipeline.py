@@ -149,3 +149,68 @@ def apply_mix_rates(
     return keyed.filter(
         u < (F.col("sample_rate") * 1_000_000)
     ).drop("sample_rate")
+
+
+def prepare_training_shards(
+    spark,
+    clean_docs: DataFrame,
+    out_dir: str,
+    chunk_tokens: int = 64,
+    chunk_step: int = 48,
+    pack_budget: int = 2048,
+    max_records_per_file: int = 100_000,
+) -> DataFrame:
+    """The last mile after :func:`run_corpus_job`: overlapping-window
+    chunk every surviving document, first-fit pack chunks into
+    ``pack_budget``-token sequences, and export size-bounded parquet
+    shards partitioned by split — the artifact a trainer's loader fleet
+    consumes directly.  Returns the packed chunk frame that was written.
+
+    One explode (chunking, rides the scan) + one mapInPandas pass
+    (packing, per-partition FFD) + one partitioned streaming write; the
+    only shuffle is the optional shard-key repartition inside
+    write_training_shards.  Chunk ids are (doc_id, chunk_idx) — stable,
+    so a re-export writes identical shards."""
+    from processor_edf_spark.operators.packing import pack_sequences
+    from processor_edf_spark.operators.textfns import tokens as tok_col
+    from processor_edf_spark.sinks.writers import write_training_shards
+
+    t = tok_col(F.col("text"))
+    n = F.size(t)
+    idx = F.filter(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.ceil(n / chunk_step).cast("int") - 1, F.lit(0)),
+        ),
+        lambda i: i * chunk_step < n,
+    )
+    chunks = (
+        clean_docs.select(
+            "doc_id", "split", t.alias("t"), F.explode(idx).alias("chunk_idx")
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.slice(
+                F.col("t"), F.col("chunk_idx") * chunk_step + 1, chunk_tokens
+            ).alias("chunk_tokens"),
+        )
+        .withColumn("n_tokens", F.size("chunk_tokens").cast("long"))
+        .withColumn(
+            "chunk_id",
+            F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
+        )
+    )
+    packed = pack_sequences(
+        chunks, budget=pack_budget, id_col="chunk_id", len_col="n_tokens"
+    )
+    out = chunks.join(packed.select("chunk_id", "seq_id", "seq_offset"), "chunk_id")
+    write_training_shards(
+        out,
+        out_dir,
+        max_records_per_file=max_records_per_file,
+        shard_key="split",
+        order_cols=("seq_id", "seq_offset"),
+    )
+    return out

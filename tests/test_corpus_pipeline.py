@@ -136,3 +136,44 @@ def test_corpus_job_survives_empty_survivor_set(spark):
     rep = {r["stage"]: r for r in report.collect()}
     assert rep["rule_gate"]["rows_out"] == 0
     assert rep["scrub_and_split"]["rows_out"] == 0
+
+
+def test_prepare_training_shards_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from processor_edf_spark.corpus_pipeline import prepare_training_shards
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    clean, _ = run_corpus_job(spark, docs)
+    out_dir = str(tmp_path / "shards")
+    out = prepare_training_shards(
+        spark, clean, out_dir, pack_budget=256
+    )
+    back = spark.read.parquet(out_dir)
+    assert back.count() == out.count() > 0
+    # every chunk landed in a sequence, and no sequence exceeds budget
+    per_seq = (
+        back.groupBy("seq_id").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    assert per_seq and all(r["tot"] <= 256 for r in per_seq)
+    # split survives into the shards; chunk ids are stable doc-derived
+    assert set(r["split"] for r in back.select("split").distinct().collect()) \
+        <= {"train", "val", "test"}
+    re_out = prepare_training_shards(
+        spark, clean, str(tmp_path / "shards2"), pack_budget=256
+    )
+    assert sorted(r["chunk_id"] for r in out.select("chunk_id").collect()) == \
+        sorted(r["chunk_id"] for r in re_out.select("chunk_id").collect())
+
+
+def test_corpus_job_null_text_dropped_at_gate(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, BASE + " alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    clean, report = run_corpus_job(spark, docs)
+    rep = {r["stage"]: r for r in report.collect()}
+    assert rep["rule_gate"]["dropped"] == 1  # null text fails the gate
+    assert [r["doc_id"] for r in clean.collect()] == [2]
