@@ -58,12 +58,11 @@ _CANONICAL = [
     "cosine_pairs",             # exact all-pairs similarity
     "cosine_lsh_pairs",         # banded hyperplane LSH
     "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 6 r3-era queries staying in-window (driver-green r4)
+    # ---- 5 r3-era queries staying in-window (driver-green r4)
     "q22_idle_rich_customers",
     "semdedup_label",
     "levenshtein_block_pairs",
     "ann_ivf_multiprobe",
-    "sample_hash_bucket",
     "tfidf_top_terms",
     # ---- 10 first-time driver checks (r4 additions; mirror-green)
     "minhash_jaccard_estimate",
@@ -94,6 +93,7 @@ _CANONICAL = [
     "gopher_quality_flags",
     "dsir_importance",
     "source_mix_rates",
+    "shingle_novelty",
     # ---- position 51+: every query below has a driver-green row in
     # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
     # by tests/test_queries_oracle.py on every pytest run.
@@ -105,6 +105,7 @@ _CANONICAL = [
     "q15_top_supplier",
     "boilerplate_ngrams",
     "embedding_norm_stats",
+    "sample_hash_bucket",
     # rotated out in r5 (driver-green r4):
     "q2_min_cost_supplier",
     "q7_nation_volume",
@@ -253,6 +254,7 @@ FAMILY = {
     "gopher_quality_flags": "text",
     "dsir_importance": "sampling",
     "source_mix_rates": "sampling",
+    "shingle_novelty": "dedup_text",
 }
 
 

@@ -643,3 +643,70 @@ def source_mix_rates(spark, sf_dir):
             6,
         ).alias("sample_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document shingle novelty
+# ---------------------------------------------------------------------------
+
+
+def _novelty_sql() -> str:
+    from processor_edf_spark.plans.text_dedup import _SHINGLE_SQL
+
+    return f"""
+    WITH sh AS (
+        SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
+        FROM documents
+    ), first AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+    )
+    SELECT sh.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(SUM(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+    FROM sh JOIN first USING (shingle)
+    GROUP BY sh.doc_id
+    """
+
+
+@register("shingle_novelty", _novelty_sql())
+def shingle_novelty(spark, sf_dir):
+    """Per-document novelty: the fraction of a document's distinct
+    3-word shingles whose FIRST corpus occurrence (minimum doc_id) is
+    this document — the audit view of incremental dedup (a near-zero
+    novelty document is pure recombination of earlier text; streaming
+    ingest order maps onto the id order, so this is exactly the
+    "how much genuinely new text did today's drop add" number).
+
+    Two linear aggregations over the exploded shingle stream (first-doc
+    per shingle; per-doc counts) joined on the shingle key — partial agg
+    rides the explode, the join is a plain shuffle equi-join with the
+    first-doc dim AQE-broadcast when small; counts are exact integers so
+    the one division rounds identically cross-engine."""
+    from processor_edf_spark.plans.text_dedup import SHINGLE_K
+    from processor_edf_spark.operators.textfns import word_shingles
+
+    (documents,) = load(spark, sf_dir, "documents")
+    sh = spread(spark, documents).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
+        ).alias("shingle"),
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)).cast("double"), 4).alias(
+                "novelty"
+            ),
+        )
+    )

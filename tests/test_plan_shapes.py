@@ -498,3 +498,12 @@ def test_dsir_importance_no_cartesian_two_scalar_crosses(spark):
     plan = plan_of(spark, "dsir_importance")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2, plan[:2000]
+
+
+def test_shingle_novelty_partial_agg_equi_join(spark):
+    """Novelty must be two linear aggs joined on the shingle key —
+    partial agg rides the explode, never a cartesian."""
+    plan = plan_of(spark, "shingle_novelty")
+    assert "partial" in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -44,12 +44,11 @@ EXPECTED_FIRST_50 = [
     "cosine_pairs",
     "cosine_lsh_pairs",
     "dedup_embedding_cosine",
-    # 6 r3-era queries staying in-window (driver-green r4)
+    # 5 r3-era queries staying in-window (driver-green r4)
     "q22_idle_rich_customers",
     "semdedup_label",
     "levenshtein_block_pairs",
     "ann_ivf_multiprobe",
-    "sample_hash_bucket",
     "tfidf_top_terms",
     # 10 first-time driver checks (r4 additions)
     "minhash_jaccard_estimate",
@@ -76,6 +75,7 @@ EXPECTED_FIRST_50 = [
     "gopher_quality_flags",
     "dsir_importance",
     "source_mix_rates",
+    "shingle_novelty",
 ]
 
 
@@ -96,11 +96,11 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 84 through r3 + 10 r4 additions + 5 r5 additions + 7 r5 batch-2
+    # 84 through r3 + 10 r4 additions + 5 r5 additions + 8 r5 batch-2
     # additions (bigram_lm_surprisal, jaccard_prefix_pairs,
     # weighted_sample_aes, zorder_layout, gopher_quality_flags,
-    # dsir_importance, source_mix_rates)
-    assert len(QUERIES) == 106
+    # dsir_importance, source_mix_rates, shingle_novelty)
+    assert len(QUERIES) == 107
 
 
 def test_every_query_has_a_family():
