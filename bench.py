@@ -162,9 +162,14 @@ def bench_ml_operators(spark, sf_dir: str) -> dict[str, float]:
         if len(merges) != 10:
             raise RuntimeError(f"expected 10 merges, got {len(merges)}")
         out["bpe_train_10"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        merges200 = bpe_train(docs, n_merges=200, min_pair_count=1)
+        if len(merges200) < 100:  # sf0.1 vocab supports well over 100
+            raise RuntimeError(f"expected >=100 merges, got {len(merges200)}")
+        out["bpe_train_200"] = round(time.perf_counter() - t0, 3)
     except Exception as e:  # noqa: BLE001
         print(f"bench: bpe FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-        out["bpe_train_10"] = -1.0
+        out["bpe_train_10"] = out["bpe_train_200"] = -1.0
 
     try:
         pairs = QUERIES["cosine_lsh_pairs"](spark, sf_dir).localCheckpoint(

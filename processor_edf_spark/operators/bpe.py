@@ -3,21 +3,32 @@ the tokenizer-construction step of a training-data pipeline (Sennrich et
 al. 2016, "Neural Machine Translation of Rare Words with Subword Units").
 
 The key scale property: BPE trains on the WORD-FREQUENCY table, not the
-corpus.  One corpus-sized pass builds (word, count) — a vocabulary-sized
-frame (10-100 M rows at web scale, reshuffled never again) — and every
-merge round then runs over that frame:
+corpus.  One corpus-sized pass builds (word, count) — a frame bounded by
+VOCABULARY size, not corpus size (10-100 M rows even at web scale) —
+and the merge loop then runs over that frame.  Two loop shapes:
 
-- pair counting is JVM-side (transform + posexplode of adjacent symbol
-  pairs, weighted by word count, partial-agg before the shuffle);
-- the winning pair is one TakeOrdered(1) to the driver (count desc,
-  then lexicographic pair — the deterministic tie-break);
-- the merge rewrite is one Arrow pass replacing non-overlapping (a, b)
-  adjacencies left-to-right; the word frame is localCheckpoint()ed per
-  round (the components/pagerank lineage discipline).
+- **driver-local (the default path)**: when the distinct-word count
+  fits ``max_local_words``, the frequency table is collected ONCE and
+  the whole merge loop runs in-process with incremental pair-count
+  maintenance (only words containing the merged pair are touched per
+  round) — 32k production merges cost zero additional Spark jobs.
+  This is the right shape at any real scale: even a 100 TB corpus
+  collapses to a word-frequency table of ~10-100 M rows, and a capped
+  ``word_counts().orderBy(n desc).limit(max_local_words)`` head
+  preserves BPE's behavior because merge decisions are dominated by
+  high-frequency words.
+- **distributed fallback** (``force_distributed=True`` or table too
+  big): per round, pair counting JVM-side (transform + explode of
+  adjacent pairs, weighted by count, partial-agg before the shuffle),
+  TakeOrdered(1) for the winner, one Arrow rewrite pass,
+  localCheckpoint per round.  O(1) driver state, but one Spark job
+  round-trip per merge — correct, and the reason the local path
+  exists.
 
-Driver state per round is exactly one pair — O(1).  Training stops at
-``n_merges`` or when the best pair's count drops below
-``min_pair_count``.
+Both paths produce IDENTICAL merge lists (count desc, then
+lexicographic (a, b) tie-break; overlapping adjacencies counted the
+same way) — pinned by tests.  Training stops at ``n_merges`` or when
+the best pair's count drops below ``min_pair_count``.
 
 `bpe_encode` applies the learned merge list with the rank-priority
 algorithm (lowest-rank pair first, the standard inference order, which
@@ -60,13 +71,73 @@ def _merge_symbols(symbols: list, a: str, b: str) -> list:
     return out
 
 
+def _train_local(
+    words: list[tuple[list[str], int]], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """Driver-local merge loop with incremental pair-count maintenance:
+    per round only the words indexed under the winning pair are
+    re-counted (remove their old adjacencies, apply the merge, add the
+    new ones — symmetric, so overlap handling matches the distributed
+    count exactly).  The index may hold stale word ids; a stale entry's
+    remove/re-add cancels, costing time but never correctness."""
+    from collections import defaultdict
+
+    pair_counts: dict[tuple[str, str], int] = defaultdict(int)
+    index: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] += n
+            index[p].add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        if not pair_counts:
+            break
+        (a, b), cnt = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        for wi in list(index.get((a, b), ())):
+            syms, n = words[wi]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] -= n
+                if pair_counts[p] == 0:
+                    del pair_counts[p]
+            new = _merge_symbols(syms, a, b)
+            words[wi] = (new, n)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] += n
+                index[p].add(wi)
+        index.pop((a, b), None)
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 50,
     min_pair_count: int = 2,
     text_col: str = "text",
+    max_local_words: int = 2_000_000,
+    force_distributed: bool = False,
 ) -> list[tuple[str, str]]:
-    """Learn the merge list.  Returns [(a, b), ...] in merge order."""
+    """Learn the merge list.  Returns [(a, b), ...] in merge order.
+
+    When the distinct-word count is ≤ ``max_local_words`` (and
+    ``force_distributed`` is False), the frequency table is collected
+    once and the merge loop runs driver-local — the vocab-scale path
+    (200+ merges in seconds, no per-merge Spark jobs).  Otherwise the
+    distributed per-round loop runs.  Both produce identical merges."""
+    if not force_distributed:
+        wc_df = word_counts(df, text_col)
+        if wc_df.limit(max_local_words + 1).count() <= max_local_words:
+            rows = wc_df.collect()
+            words = [
+                (list(r["word"]) + [EOW], int(r["n"])) for r in rows
+            ]
+            return _train_local(words, n_merges, min_pair_count)
     wc = word_counts(df, text_col).select(
         F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias(
             "symbols"
@@ -123,37 +194,39 @@ def bpe_encode(
     tokens, EOW markers attached).  Rank-priority inference (always merge
     the lowest-rank applicable pair first) — exactly reproduces what
     training produced on the training corpus.  One Arrow pass; the merge
-    table broadcasts as a plain dict."""
+    table ships ONCE, as a broadcast rank-ordered pair list; the ranks
+    dict and every pair lookup derive from that broadcast value inside
+    the executor, so the task closure carries no merge data (a closure
+    copy would ship the table a second time per task, defeating the
+    broadcast)."""
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(
-        {pair: rank for rank, pair in enumerate(merges)}
-    )
-
-    def encode_word(word: str, ranks: dict) -> list[str]:
-        symbols = list(word) + [EOW]
-        while len(symbols) >= 2:
-            pairs = [
-                (ranks[(symbols[i], symbols[i + 1])], i)
-                for i in range(len(symbols) - 1)
-                if (symbols[i], symbols[i + 1]) in ranks
-            ]
-            if not pairs:
-                break
-            rank, _ = min(pairs)
-            a, b = merges_by_rank[rank]
-            symbols = _merge_symbols(symbols, a, b)
-        return symbols
-
-    merges_by_rank = {rank: pair for rank, pair in enumerate(merges)}
+    bc = spark.sparkContext.broadcast([tuple(p) for p in merges])
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ranks = bc.value
+        by_rank = bc.value
+        ranks = {pair: rank for rank, pair in enumerate(by_rank)}
+
+        def encode_word(word: str) -> list[str]:
+            symbols = list(word) + [EOW]
+            while len(symbols) >= 2:
+                pairs = [
+                    (ranks[(symbols[i], symbols[i + 1])], i)
+                    for i in range(len(symbols) - 1)
+                    if (symbols[i], symbols[i + 1]) in ranks
+                ]
+                if not pairs:
+                    break
+                rank, _ = min(pairs)
+                a, b = by_rank[rank]
+                symbols = _merge_symbols(symbols, a, b)
+            return symbols
+
         for pdf in batches:
             toks = []
             for text in pdf[text_col]:
                 row: list[str] = []
                 for w in str(text).split():
-                    row.extend(encode_word(w, ranks))
+                    row.extend(encode_word(w))
                 toks.append(row)
             pdf = pdf.copy()
             pdf[out_col] = toks

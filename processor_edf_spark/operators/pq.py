@@ -13,9 +13,14 @@ driver, and scoring a candidate is m table lookups + adds — no float
 vector math per candidate at all.
 
 Distributed shape (same discipline as kmeans.py):
-- training runs one distributed kmeans per subspace over the SLICED
-  vector column — m small jobs, codebooks are m·k·(d/m) = k·d floats on
-  the driver;
+- training collects ONE bounded deterministic sample (hash-ordered
+  top-n, ``max(10_000, 256·k)`` vectors by default — n·d floats, a few
+  MB) and trains all m subspace codebooks driver-local in numpy.  PQ
+  codebooks only ever need a bounded sample (Jégou et al. train on
+  ~100k vectors regardless of corpus size), so this is the scale-safe
+  shape: one Spark job total instead of m·n_iter sequential jobs, and
+  the cost is independent of corpus size.  ``kmeans_fit`` stays the
+  distributed full-data path for callers that need it;
 - encoding is one Arrow pass with the codebooks broadcast;
 - ADC search broadcasts the per-query LUTs (q·m·k floats) and scores
   codes batch-vectorized (numpy fancy-indexing over the code matrix);
@@ -36,7 +41,27 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from processor_edf_spark.operators.kmeans import _distances, kmeans_fit
+from processor_edf_spark.operators.kmeans import _distances
+
+
+def _kmeans_np(X: np.ndarray, k: int, n_iter: int) -> np.ndarray:
+    """Driver-local Lloyd's with the exact determinism contract of
+    kmeans_fit: seed = first k rows (caller supplies id-sorted data),
+    argmin first-min tie-break, empty clusters keep their previous
+    centroid, early stop on fixpoint."""
+    C = X[:k].copy()
+    for _ in range(n_iter):
+        D = _distances(X, C)
+        a = np.argmin(D, axis=1)  # first min → lowest centroid id
+        newC = C.copy()
+        for c in range(k):
+            mask = a == c
+            if mask.any():
+                newC[c] = X[mask].mean(axis=0)
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    return C
 
 
 def pq_train(
@@ -46,20 +71,44 @@ def pq_train(
     n_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_size: int | None = None,
 ) -> np.ndarray:
     """Train m per-subspace codebooks of k centroids each; returns a
     (m, k, d/m) array.  d must divide evenly by m (raise otherwise —
-    silent padding would corrupt every downstream distance)."""
-    d = len(df.select(vec_col).first()[0])
+    silent padding would corrupt every downstream distance).
+
+    Scale shape: ONE bounded deterministic sample is collected —
+    ``sample_size`` defaults to ``max(10_000, 256·k)`` vectors, chosen
+    by xxhash64(id) order (TakeOrdered: per-partition top-n then a
+    driver merge, no full sort, no dependence on corpus size) — and all
+    m codebooks train driver-local in numpy over slices of that one
+    (n, d) matrix.  Driver memory is n·d float64 (≈5 MB at n=10k,
+    d=64); the previous shape (m sequential distributed kmeans runs =
+    m·n_iter back-to-back Spark jobs) paid ~160 job overheads to scan
+    data PQ training never needed.  Determinism: the hash order is
+    content-stable, the sample is re-sorted by id before seeding, and
+    _kmeans_np mirrors kmeans_fit's tie-break/empty-cluster contract."""
+    n = sample_size if sample_size is not None else max(10_000, 256 * k)
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("pq_train: empty input")
+    rows.sort(key=lambda r: r[id_col])  # id-order seeding, as kmeans_fit
+    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    d = X.shape[1]
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
+    if len(X) < k:
+        raise ValueError(f"pq_train: k={k} exceeds the {len(X)} sampled rows")
     sub = d // m
-    books = []
-    for j in range(m):
-        sliced = df.select(
-            id_col, F.slice(vec_col, j * sub + 1, sub).alias(vec_col)
-        )
-        books.append(kmeans_fit(sliced, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col))
+    books = [
+        _kmeans_np(np.ascontiguousarray(X[:, j * sub : (j + 1) * sub]), k, n_iter)
+        for j in range(m)
+    ]
     return np.stack(books)  # (m, k, sub)
 
 
@@ -176,6 +225,7 @@ def ivf_pq_search(
     shortlist: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The full production ANN pipeline: IVF cell pruning → PQ ADC
     shortlist → EXACT re-rank, returning (query_id, neighbor_id,
@@ -193,7 +243,13 @@ def ivf_pq_search(
 
     A deployment would persist (cell, codes) next to the corpus once and
     skip steps' assignment/encoding per query batch; this function
-    recomputes them so it is self-contained over a raw vector frame."""
+    recomputes them so it is self-contained over a raw vector frame.
+
+    ``exclude_self`` (default True) drops neighbors whose id equals the
+    query id — correct when query ids ARE corpus doc ids (the self-match
+    is trivially distance 0).  Pass False when query ids live in a
+    separate id space: a legitimate corpus neighbor that merely shares a
+    numeric id with a query must not be silently excluded."""
     from pyspark.sql import Window
 
     from processor_edf_spark.operators.kmeans import assign_clusters
@@ -230,7 +286,11 @@ def ivf_pq_search(
             "neighbor_id",
         )
         .join(F.broadcast(qdf), "query_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            if exclude_self
+            else F.lit(True)
+        )
         .select(
             "query_id",
             "neighbor_id",

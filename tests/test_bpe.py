@@ -93,6 +93,58 @@ def test_bpe_encode_consistent_with_training_segmentation(corpus_df):
     assert out["low low low low low"] == ["low" + EOW] * 5
 
 
+def test_bpe_local_and_distributed_paths_identical(corpus_df):
+    """The driver-local merge loop (default) and the distributed
+    per-round loop must learn the SAME merge list — same counts, same
+    (count desc, lexicographic) tie-break, same overlap handling."""
+    local = bpe_train(corpus_df, n_merges=15)
+    dist = bpe_train(corpus_df, n_merges=15, force_distributed=True)
+    assert local == dist
+    # threshold guard: an impossible cap forces the distributed path,
+    # which still matches
+    capped = bpe_train(corpus_df, n_merges=15, max_local_words=1)
+    assert capped == local
+
+
+def test_bpe_train_documents_table_parity_to_exhaustion(spark):
+    """The real documents table trains to vocabulary exhaustion (~106
+    merges on the synthetic corpus) identically to the reference."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    ).select("text")
+    texts = [r["text"] for r in docs.collect()]
+    got = bpe_train(docs, n_merges=500, min_pair_count=1)
+    assert got == _reference_bpe(texts, n_merges=500, min_count=1)
+    assert len(got) > 100
+
+
+def test_bpe_train_200_merges_vocab_scale(spark):
+    """The vocab-scale pin: 200+ merges in seconds on a 3000-word
+    Zipf-weighted corpus (driver-local loop — zero per-merge Spark
+    jobs), byte-identical to the pure-python reference."""
+    import random
+    import time
+
+    rng = random.Random(42)
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(4, 12)))
+        for _ in range(3000)
+    ]
+    texts = [
+        " ".join(vocab[min(int(rng.paretovariate(1.1)), len(vocab) - 1)]
+                 for _ in range(40))
+        for _ in range(400)
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    t0 = time.perf_counter()
+    got = bpe_train(docs, n_merges=200, min_pair_count=1)
+    elapsed = time.perf_counter() - t0
+    assert len(got) == 200
+    assert got == _reference_bpe(texts, n_merges=200, min_count=1)
+    assert elapsed < 60, f"200-merge training took {elapsed:.1f}s"
+
+
 def test_bpe_train_min_count_stops(corpus_df):
     # absurd floor → no merges at all
     assert bpe_train(corpus_df, n_merges=10, min_pair_count=10_000) == []
