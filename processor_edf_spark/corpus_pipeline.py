@@ -140,9 +140,17 @@ def apply_mix_rates(
     portable-hash Bernoulli the sample_hash_bucket query pins, so
     membership is reproducible run-over-run, engine-over-engine, and
     auditable from the id alone.  The rates side is stratum-cardinality
-    (broadcast); the filter rides the scan."""
+    (broadcast); the filter rides the scan.
+
+    The join is a LEFT join with a coalesce to rate 1.0: a stratum that
+    exists in ``docs`` but not in ``rates`` (e.g. a source/lang that
+    appeared after the rates snapshot was computed) is KEPT in full, not
+    silently dropped — thinning only ever applies where the plan says
+    so."""
     rate_cols = list(strata) + ["sample_rate"]
-    keyed = docs.join(F.broadcast(rates.select(*rate_cols)), list(strata))
+    keyed = docs.join(
+        F.broadcast(rates.select(*rate_cols)), list(strata), "left"
+    ).withColumn("sample_rate", F.coalesce(F.col("sample_rate"), F.lit(1.0)))
     u = F.pmod(
         hash64(F.col(id_col).cast("string"), salt), F.lit(1_000_000)
     )
@@ -197,9 +205,29 @@ def prepare_training_shards(
             ).alias("chunk_tokens"),
         )
         .withColumn("n_tokens", F.size("chunk_tokens").cast("long"))
+        # chunk_id = doc_id·1e6 + chunk_idx is collision-free ONLY for
+        # non-negative doc_ids and <1M chunks/doc (~48M tokens at
+        # step 48); outside that envelope the arithmetic would silently
+        # collide and corrupt the pack_sequences join — raise instead.
         .withColumn(
             "chunk_id",
-            F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
+            F.when(
+                (F.col("chunk_idx") < 1_000_000) & (F.col("doc_id") >= 0),
+                F.col("doc_id") * 1_000_000 + F.col("chunk_idx"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "prepare_training_shards: chunk_id envelope "
+                            "violated (need doc_id >= 0 and chunk_idx < "
+                            "1e6); got doc_id="
+                        ),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" chunk_idx="),
+                        F.col("chunk_idx").cast("string"),
+                    )
+                ).cast("long")
+            ),
         )
     )
     packed = pack_sequences(

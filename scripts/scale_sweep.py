@@ -40,10 +40,26 @@ DEFAULT_QUERIES = [
 
 
 def build_replica(spark, k: int) -> str:
+    """Build (or reuse) the ×k replica dir.  Writes land in a temp dir
+    renamed into place on success, so a crash mid-build can never leave
+    a half-written replica that a later sweep silently benchmarks; an
+    existing dir is additionally validated for the expected tables."""
     out = f"/tmp/scale_x{k}"
+    expected = {"documents", "events", *TESTDATA_TABLES}
     if os.path.isdir(out):
-        return out
-    os.makedirs(out)
+        have = {
+            t for t in expected if os.path.exists(f"{out}/{t}.parquet")
+        }
+        ok = have == expected and all(
+            os.path.exists(f"{out}/{t}.parquet/_SUCCESS")
+            for t in ("documents", "events")
+        )
+        if ok:
+            return out
+        shutil.rmtree(out)  # stale/partial cache — rebuild
+    tmp = f"{out}.building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
     docs = spark.read.parquet(f"{BASE}/documents.parquet")
     events = spark.read.parquet(f"{BASE}/events.parquet")
     parts_d, parts_e = [], []
@@ -78,12 +94,13 @@ def build_replica(spark, k: int) -> str:
     e = parts_e[0]
     for p in parts_e[1:]:
         e = e.unionByName(p)
-    d.write.parquet(f"{out}/documents.parquet")
-    e.write.parquet(f"{out}/events.parquet")
+    d.write.parquet(f"{tmp}/documents.parquet")
+    e.write.parquet(f"{tmp}/events.parquet")
     for t in TESTDATA_TABLES:
-        dst = f"{out}/{t}.parquet"
+        dst = f"{tmp}/{t}.parquet"
         if not os.path.exists(dst):
             os.symlink(f"{BASE}/{t}.parquet", dst)
+    os.rename(tmp, out)  # atomic publish — cache is all-or-nothing
     return out
 
 

@@ -124,6 +124,52 @@ def test_apply_mix_rates_deterministic_thinning(spark):
     assert thinned and all(got.get(k, 0) < pop[k] for k in thinned)
 
 
+def test_apply_mix_rates_missing_stratum_kept_at_full_rate(spark):
+    """A stratum absent from the rates frame (computed from an earlier
+    corpus snapshot) must be kept in full — rate 1.0 — not silently
+    dropped by an inner join."""
+    from processor_edf_spark.corpus_pipeline import apply_mix_rates
+
+    docs = spark.createDataFrame(
+        [(i, "web", "en", "t") for i in range(50)]
+        + [(100 + i, "books", "fr", "t") for i in range(30)],
+        "doc_id long, source string, lang string, text string",
+    )
+    # rates only know the (web, en) stratum; (books, fr) is new
+    rates = spark.createDataFrame(
+        [("web", "en", 0.5)], "source string, lang string, sample_rate double"
+    )
+    kept = apply_mix_rates(docs, rates)
+    by = {
+        (r["source"], r["lang"]): r["n"]
+        for r in kept.groupBy("source", "lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert by[("books", "fr")] == 30  # unknown stratum untouched
+    assert 0 < by.get(("web", "en"), 0) < 50  # known stratum thinned
+
+
+def test_prepare_training_shards_rejects_negative_doc_id(spark, tmp_path):
+    """chunk_id arithmetic is only collision-free for doc_id >= 0 and
+    chunk_idx < 1e6 — violations raise instead of corrupting the pack
+    join."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from processor_edf_spark.corpus_pipeline import prepare_training_shards
+
+    docs = spark.createDataFrame(
+        [(-5, "train", "some words repeated " * 20)],
+        "doc_id long, split string, text string",
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception),
+                       match="chunk_id envelope"):
+        prepare_training_shards(
+            spark, docs, str(tmp_path / "bad"), pack_budget=256
+        )
+
+
 def test_corpus_job_survives_empty_survivor_set(spark):
     """Every stage dropping everything must yield a clean empty frame
     and a coherent report, not a crash (the realistic no-good-docs
