@@ -24,6 +24,7 @@ batch, store side scan-pruned to the hash column.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Iterator
 
 import pandas as pd
@@ -31,6 +32,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SEQ_PID_SHIFT = 40  # seq_id = (partition_id << 40) | local bin counter
+
+
+class DedupStoreLockError(RuntimeError):
+    """A second writer attempted to mutate a dedup store another writer
+    holds — the store is untouched; retry after the holder finishes (or
+    remove a stale lock left by a crashed writer)."""
+
+
+def _lock_path(store_dir: str) -> str:
+    # sibling of the store dir (not inside it) so the parquet reader
+    # never sees it and first-batch creation needs no pre-existing dir
+    return store_dir.rstrip("/") + ".__lock__"
+
+
+@contextmanager
+def _store_lock(spark: SparkSession, store_dir: str):
+    """Exclusive advisory lock via atomic Hadoop-FS createNewFile — the
+    one-notch-up from 'single writer by documented contract': a second
+    concurrent writer now FAILS LOUDLY (DedupStoreLockError) instead of
+    interleaving appends and corrupting read-your-own-append semantics.
+    A crashed holder leaves the lock behind; that reads as 'held' until
+    the lease file is removed — fail-loud beats silent corruption.  The
+    full-ACID upgrade (concurrent writers, snapshot isolation) is a
+    table-format deployment choice (Delta/Iceberg), not an operator
+    change."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(_lock_path(store_dir))
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.createNewFile(path):
+        raise DedupStoreLockError(
+            f"dedup store {store_dir} is locked by another writer "
+            f"({_lock_path(store_dir)} exists); retry later or remove a "
+            "stale lock left by a crashed writer"
+        )
+    try:
+        yield
+    finally:
+        fs.delete(path, False)
 
 
 def pack_sequences(
@@ -109,9 +148,14 @@ def dedup_incremental(
     The batch itself is deduped first (keep lowest ``id_col`` per sha —
     a per-sha window, batch-sized), then anti-joined against the store.
     The store append is the admitted hashes only — one short row per
-    ever-seen document, scan-pruned to the hash column on read.  Not
-    transactional: one writer at a time (the ACID-append table-format
-    upgrade is a deployment choice, not an operator change).
+    ever-seen document, scan-pruned to the hash column on read.
+
+    Writer exclusion: the read-check-append region runs under an
+    advisory lock file (``<store_dir>.__lock__``, atomic createNewFile);
+    a second concurrent writer raises :class:`DedupStoreLockError`
+    before touching anything.  Not full ACID — the table-format upgrade
+    (Delta/Iceberg appends) is a deployment choice, not an operator
+    change.
 
     Crash semantics (pinned by tests/test_packing.py): the store append
     is the commit point.  A crash BEFORE the append leaves the store
@@ -134,18 +178,19 @@ def dedup_incremental(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
-    if _store_exists(spark, store_dir):
-        seen = spark.read.parquet(store_dir).select("content_sha")
-        fresh = batch_unique.join(seen, "content_sha", "left_anti")
-    else:  # first batch: no store yet
-        fresh = batch_unique
-    # materialize before the store append so the admitted set is not
-    # re-derived against a store we are about to mutate
-    admitted = fresh.localCheckpoint(eager=True)
-    admitted.select("content_sha").write.mode("append").parquet(store_dir)
-    if compact_every is not None:
-        if len(spark.read.parquet(store_dir).inputFiles()) >= compact_every:
-            compact_dedup_store(spark, store_dir)
+    with _store_lock(spark, store_dir):
+        if _store_exists(spark, store_dir):
+            seen = spark.read.parquet(store_dir).select("content_sha")
+            fresh = batch_unique.join(seen, "content_sha", "left_anti")
+        else:  # first batch: no store yet
+            fresh = batch_unique
+        # materialize before the store append so the admitted set is not
+        # re-derived against a store we are about to mutate
+        admitted = fresh.localCheckpoint(eager=True)
+        admitted.select("content_sha").write.mode("append").parquet(store_dir)
+        if compact_every is not None:
+            if len(spark.read.parquet(store_dir).inputFiles()) >= compact_every:
+                _compact_locked(spark, store_dir)
     return admitted.drop("content_sha")
 
 
@@ -159,16 +204,24 @@ def _store_exists(spark: SparkSession, store_dir: str) -> bool:
     return bool(fs.exists(path))
 
 
+def _compact_locked(
+    spark: SparkSession, store_dir: str, target_files: int = 4
+) -> int:
+    """Compaction body — caller must already hold the store lock."""
+    seen = spark.read.parquet(store_dir).select("content_sha").distinct()
+    mat = seen.localCheckpoint(eager=True)
+    n = mat.count()
+    mat.coalesce(target_files).write.mode("overwrite").parquet(store_dir)
+    return n
+
+
 def compact_dedup_store(
     spark: SparkSession, store_dir: str, target_files: int = 4
 ) -> int:
     """Rewrite the append-only hash store into ``target_files`` dense
     parquet files; returns the distinct-hash count.  The distinct set is
     materialized (localCheckpoint) BEFORE the overwrite so the rewrite
-    never reads from the directory it is replacing.  Same one-writer
-    contract as the append itself."""
-    seen = spark.read.parquet(store_dir).select("content_sha").distinct()
-    mat = seen.localCheckpoint(eager=True)
-    n = mat.count()
-    mat.coalesce(target_files).write.mode("overwrite").parquet(store_dir)
-    return n
+    never reads from the directory it is replacing.  Runs under the same
+    writer lock as the append (DedupStoreLockError if held)."""
+    with _store_lock(spark, store_dir):
+        return _compact_locked(spark, store_dir, target_files)

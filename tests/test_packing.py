@@ -174,3 +174,33 @@ def test_compact_dedup_store(spark, tmp_path):
     assert got == [12]
     # compact_every=3 fired after the append (store had >=3 files)
     assert len(spark.read.parquet(str(store)).inputFiles()) <= 4
+
+
+def test_dedup_incremental_second_writer_fails_loudly(spark, tmp_path):
+    """Writer exclusion: while one writer holds the store lock, a second
+    writer raises DedupStoreLockError BEFORE mutating anything; after
+    release, writes proceed.  A crashed writer's stale lock also reads
+    as held (fail-loud beats silent corruption)."""
+    import pytest
+
+    from processor_edf_spark.operators.packing import (
+        DedupStoreLockError,
+        _store_lock,
+        compact_dedup_store,
+    )
+
+    store = str(tmp_path / "sha_store")
+    b1 = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    assert dedup_incremental(spark, b1, store).count() == 1
+
+    b2 = spark.createDataFrame([(2, "beta")], "doc_id long, text string")
+    with _store_lock(spark, store):  # writer A holds the lease
+        with pytest.raises(DedupStoreLockError, match="locked by another"):
+            dedup_incremental(spark, b2, store).collect()
+        with pytest.raises(DedupStoreLockError):
+            compact_dedup_store(spark, store)
+        # the blocked writer mutated nothing
+        assert spark.read.parquet(store).count() == 1
+    # lease released: the same batch now commits exactly once
+    assert dedup_incremental(spark, b2, store).count() == 1
+    assert dedup_incremental(spark, b2, store).count() == 0
