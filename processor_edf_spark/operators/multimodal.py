@@ -170,12 +170,13 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """Decode + feature-extract audio: PCM WAV decodes for REAL (RIFF
     chunk walk + one ``np.frombuffer`` — the same vectorized discipline
-    as the EDF sample decoder); compressed audio (MP3/AAC) yields a
+    as the EDF sample decoder); compressed audio decodes for
+    real when the optional soundfile extra is installed, else yields a
     metadata-only row with ``decoded=false``.  rms/peak are the standard
     corpus-audio health stats (silence / clipping detection)."""
     from processor_edf_spark.operators.media_codecs import (
         UnsupportedMediaError,
-        decode_wav_pcm,
+        decode_audio,
     )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -188,7 +189,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload)
                 try:
-                    rate, n_ch, samples = decode_wav_pcm(data)
+                    rate, n_ch, samples = decode_audio(data)
                     n_frames = len(samples)
                     rows["sample_rate"].append(rate)
                     rows["n_channels"].append(n_ch)
@@ -291,7 +292,7 @@ def extract_audio_spectrogram(
     """
     from processor_edf_spark.operators.media_codecs import (
         UnsupportedMediaError,
-        decode_wav_pcm,
+        decode_audio,
     )
 
     hop = n_fft // 2
@@ -305,7 +306,7 @@ def extract_audio_spectrogram(
             }
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    rate, n_ch, samples = decode_wav_pcm(bytes(payload))
+                    rate, n_ch, samples = decode_audio(bytes(payload))
                     mono = samples.mean(axis=1)  # (n_frames, n_ch) → mono mixdown
                     if len(mono) < n_fft:
                         mono = np.pad(mono, (0, n_fft - len(mono)))

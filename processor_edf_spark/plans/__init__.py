@@ -34,95 +34,38 @@ from processor_edf_spark.plans import corpus_extra  # noqa: E402,F401
 # its driver-green r4 row plus the per-commit CORRECTNESS_LOCAL mirror
 # record, so the rotation is coverage-neutral
 # (test_window_covers_every_family enforces family coverage).
+# r6 rotation (per the standing policy: rotate stale driver evidence
+# back through the window, new queries enter immediately, ≥1 query per
+# family stays in-window).  The ledger has been complete since r5
+# (every query driver-green in some round); r6 REFRESHES the stalest
+# evidence: the 34 queries whose last driver-green row is r2∪r3 (the
+# "rotated out in earlier rounds" block) all return to the window,
+# 15 family anchors stay, and the r6 addition (corpus_job_report)
+# takes the remaining slot.  Rotated out to make room: the 35 in-window
+# queries that earned fresh r5 greens (each keeps its CORRECTNESS_r05
+# row + the per-commit CORRECTNESS_LOCAL mirror record).  The 23
+# r4-green queries below the window are the natural r7 rotate-ins.
 _CANONICAL = [
-    # ---- 22 family representatives, all driver-green in r2∪r3∪r4
+    # ---- 15 family anchors (driver-green r5, one per family)
     "q1_pricing_summary",       # tpch agg flagship
     "filter_project_events",    # events projection/filter (P rows)
-    "agg_user_bounds",          # events one-pass agg (A rows)
-    "sessionize_events",        # gap sessionization (W rows; entry() flagship)
-    "timestamp_synthesis",      # W3 sequence+posexplode
-    "epoch_functions",          # F rows scalar functions
-    "band_join_acctbal",        # J1 band join
-    "get_or_create_parts",      # J3 upsert
-    "asof_last_signup",         # as-of join
-    "top3_orders_per_customer", # ROWS window frame + group limit
-    "rollup_event_daily",       # grouping sets
-    "pivot_daily_event_counts", # pivot
-    "set_ops_event_types",      # INTERSECT/UNION set ops
-    "json_props_stats",         # semi-structured JSON functions
-    "token_stats",              # text analysis
-    "multimodal_meta",          # binary/multimodal metadata
-    "dedup_exact",              # exact dedup
-    "minhash_lsh_pairs",        # MinHash LSH (transitively minhash_signatures)
-    "simhash_near_pairs",       # SimHash LSH (transitively simhash_16)
-    "cosine_pairs",             # exact all-pairs similarity
-    "cosine_lsh_pairs",         # banded hyperplane LSH
-    "dedup_embedding_cosine",   # embedding dedup composition
-    # ---- 5 r3-era queries staying in-window (driver-green r4)
-    "q22_idle_rich_customers",
-    "semdedup_label",
-    "levenshtein_block_pairs",
-    "ann_ivf_multiprobe",
-    "tfidf_top_terms",
-    # ---- 10 first-time driver checks (r4 additions; mirror-green)
-    "minhash_jaccard_estimate",
-    "contamination_ngram_overlap",
-    "bm25_top_docs",
-    "knn_graph_bruteforce",
-    "stratified_sample_lang",
-    "funnel_conversion",
-    "knn_graph_lsh",
-    "embedding_dim_stats",
-    "cohort_retention",
-    "token_entropy",
-    # ---- r5 additions, first driver check (mirror-green from their
-    # introducing commit; q2/q7/dow_hour_heatmap rotated out to make room)
-    "funnel_k_stages",
-    "split_assignment",
-    "normalize_text",
-    "dedup_lsh_components",
-    "chunk_documents",
-    # ---- r5 batch-2 additions, first driver check (mirror-green from
-    # their introducing commit; q20/q21/range_frame_user_avg/
-    # intersect_all_user_days — all driver-green r4, families still
-    # covered — rotated out to make room)
-    "bigram_lm_surprisal",
-    "jaccard_prefix_pairs",
-    "weighted_sample_aes",
-    "zorder_layout",
-    "gopher_quality_flags",
-    "dsir_importance",
-    "source_mix_rates",
-    "shingle_novelty",
-    # ---- position 51+: every query below has a driver-green row in
-    # r2∪r3∪r4 (see CORRECTNESS_r0{2,3,4}.json) and stays mirror-checked
-    # by tests/test_queries_oracle.py on every pytest run.
-    # rotated out in r5 batch 2 (driver-green r4):
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "q15_top_supplier",
-    "boilerplate_ngrams",
-    "embedding_norm_stats",
-    "sample_hash_bucket",
-    # rotated out in r5 (driver-green r4):
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "dow_hour_heatmap",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "ntile_value_quartiles",
-    "ngram_lang_profile",
-    "doc_length_histogram",
-    "quantize_embeddings_int8",
-    # rotated out in earlier rounds:
+    "sessionize_events",        # gap sessionization (entry() flagship)
+    "timestamp_synthesis",      # time_fns
+    "band_join_acctbal",        # joins
+    "top3_orders_per_customer", # windows
+    "rollup_event_daily",       # grouping
+    "set_ops_event_types",      # setops
+    "token_stats",              # text
+    "dedup_exact",              # dedup_text
+    "cosine_pairs",             # similarity
+    "ann_ivf_multiprobe",       # ann
+    "multimodal_meta",          # multimodal
+    "split_assignment",         # sampling
+    "zorder_layout",            # layout
+    # ---- r6 addition, first driver check (mirror-green from its
+    # introducing commit)
+    "corpus_job_report",        # corpus (end-to-end pipeline report)
+    # ---- 34 stale rotate-ins: last driver-green r2∪r3, refreshed in r6
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -157,15 +100,72 @@ _CANONICAL = [
     "moving_avg_daily_revenue",
     "minhash_signatures",
     "simhash_16",
+    # ---- position 51+: every query below has a driver-green row in
+    # some round (r5 for the first block, r4 for the rest — see
+    # CORRECTNESS_r0{2,3,4,5}.json) and stays mirror-checked by
+    # tests/test_queries_oracle.py on every pytest run.
+    # rotated out in r6 (driver-green r5):
+    "agg_user_bounds",
+    "epoch_functions",
+    "get_or_create_parts",
+    "asof_last_signup",
+    "pivot_daily_event_counts",
+    "json_props_stats",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "cosine_lsh_pairs",
+    "dedup_embedding_cosine",
+    "q22_idle_rich_customers",
+    "semdedup_label",
+    "levenshtein_block_pairs",
+    "tfidf_top_terms",
+    "minhash_jaccard_estimate",
+    "contamination_ngram_overlap",
+    "bm25_top_docs",
+    "knn_graph_bruteforce",
+    "stratified_sample_lang",
+    "funnel_conversion",
+    "knn_graph_lsh",
+    "embedding_dim_stats",
+    "cohort_retention",
+    "token_entropy",
+    "funnel_k_stages",
+    "normalize_text",
+    "dedup_lsh_components",
+    "chunk_documents",
+    "bigram_lm_surprisal",
+    "jaccard_prefix_pairs",
+    "weighted_sample_aes",
+    "gopher_quality_flags",
+    "dsir_importance",
+    "source_mix_rates",
+    "shingle_novelty",
+    # rotated out in r5 batch 2 (driver-green r4; r7 rotate-ins):
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "q15_top_supplier",
+    "boilerplate_ngrams",
+    "embedding_norm_stats",
+    "sample_hash_bucket",
+    # rotated out in r5 (driver-green r4; r7 rotate-ins):
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "dow_hour_heatmap",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "ntile_value_quartiles",
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    "quantize_embeddings_int8",
 ]
-
-# After the r5 rotation the driver-verification ledger is complete:
-# every registered query has (or gains in r5) a driver-green
-# CORRECTNESS row.  Future rotations only matter when NEW queries are
-# added — put them in the window immediately, rotating out
-# freshest-green in-window queries, keeping ≥1 per family
-# (test_window_covers_every_family enforces it), and update
-# tests/test_registration.py's frozen window in the same commit.
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50
 # driver window contains at least one query from every family, so a
@@ -255,6 +255,7 @@ FAMILY = {
     "dsir_importance": "sampling",
     "source_mix_rates": "sampling",
     "shingle_novelty": "dedup_text",
+    "corpus_job_report": "corpus",
 }
 
 

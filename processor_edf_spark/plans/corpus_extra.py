@@ -380,6 +380,31 @@ GOPHER_MIN_STOPWORDS = 2
 _STOP_EN_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
 
 
+def _gopher_passes_sql() -> str:
+    """The gate conjunction as one SQL predicate (over a relation with a
+    ``text`` column) — shared by _gopher_sql and the corpus_job_report
+    oracle so a document passes identically in both."""
+    t = _TOK_SQL
+    n = f"len({t})"
+    mean_len = (
+        f"(list_aggregate(list_transform({t}, x -> length(x)), 'sum')"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    alpha = (
+        f"(len(list_filter({t}, x -> regexp_matches(x, '[a-zA-Z]')))"
+        f" / CAST({n} AS DOUBLE))"
+    )
+    stops = f"len(list_distinct(list_filter({t}, x -> x IN ({_STOP_EN_SQL}))))"
+    return " AND ".join(
+        (
+            f"({n} BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS})",
+            f"({mean_len} >= {GOPHER_MEAN_LEN_LO} AND {mean_len} <= {GOPHER_MEAN_LEN_HI})",
+            f"({alpha} >= {GOPHER_ALPHA_MIN})",
+            f"({stops} >= {GOPHER_MIN_STOPWORDS})",
+        )
+    )
+
+
 def _gopher_sql() -> str:
     t = _TOK_SQL
     n = f"len({t})"
@@ -710,3 +735,86 @@ def shingle_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# The end-to-end corpus job as a driver-contract query (r6)
+# ---------------------------------------------------------------------------
+
+
+def _corpus_job_report_sql() -> str:
+    """Oracle for run_corpus_job's stage-accounting report: replays the
+    whole pipeline in DuckDB — normalize, gopher gate (over NORMALIZED
+    text, as the pipeline gates), exact dedup by distinct normalized
+    text, the minhash-band transitive closure (the dedup_lsh_components
+    recursive CTE, re-rooted at the exact-survivor CTE), and the
+    no-drop scrub/split stage — then emits the same 5 accounting rows."""
+    from processor_edf_spark.plans.text_dedup import _minhash_sig_sql
+
+    norm = (
+        r"lower(trim(regexp_replace(regexp_replace(text, "
+        r"'[\x00-\x1f]+', ' ', 'g'), '\s+', ' ', 'g')))"
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, CAST({b} AS VARCHAR) || ':' || "
+        f"CAST(mh{2*b} AS VARCHAR) || ':' || CAST(mh{2*b+1} AS VARCHAR) "
+        f"AS band_key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH RECURSIVE
+    norm_docs AS (SELECT doc_id, {norm} AS text FROM documents),
+    gate AS (SELECT doc_id, text FROM norm_docs WHERE {_gopher_passes_sql()}),
+    exact_docs AS (SELECT MIN(doc_id) AS doc_id, text FROM gate GROUP BY text),
+    sig AS ({_minhash_sig_sql("exact_docs")}),
+    bands AS ({bands}),
+    roots AS (SELECT band_key, MIN(doc_id) AS root FROM bands GROUP BY band_key),
+    edges AS (
+        SELECT DISTINCT r.root AS a, b.doc_id AS b
+        FROM bands b JOIN roots r USING (band_key)
+        WHERE b.doc_id <> r.root
+    ),
+    bidir AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    ids AS (SELECT DISTINCT doc_id FROM bands),
+    reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM ids
+        UNION
+        SELECT e.b, r.lbl FROM reach r JOIN bidir e ON e.a = r.id
+    ),
+    comp AS (SELECT id, MIN(lbl) AS component FROM reach GROUP BY id),
+    counts AS (
+        SELECT (SELECT COUNT(*) FROM documents) AS n0,
+               (SELECT COUNT(*) FROM gate) AS n1,
+               (SELECT COUNT(*) FROM exact_docs) AS n2,
+               (SELECT COUNT(DISTINCT component) FROM comp) AS n3
+    )
+    SELECT stage, rows_in, rows_out, rows_in - rows_out AS dropped FROM (
+        SELECT 'input' AS stage, n0 AS rows_in, n0 AS rows_out FROM counts
+        UNION ALL SELECT 'rule_gate', n0, n1 FROM counts
+        UNION ALL SELECT 'exact_dedup', n1, n2 FROM counts
+        UNION ALL SELECT 'near_dedup_lsh', n2, n3 FROM counts
+        UNION ALL SELECT 'scrub_and_split', n3, n3 FROM counts
+    )
+    """
+
+
+@register("corpus_job_report", _corpus_job_report_sql())
+def corpus_job_report(spark, sf_dir):
+    """The flagship composition as a driver-checked query: run the full
+    run_corpus_job pipeline (normalize → gopher gate → exact dedup →
+    linear LSH near-dup → scrub/split) over the documents table and
+    return its per-stage accounting report — (stage, rows_in, rows_out,
+    dropped) × 5 stages.  The oracle replays every stage in DuckDB
+    (including the minhash-band transitive closure as a recursive CTE),
+    so the hash check pins the END-TO-END survivor counts, not just
+    each operator in isolation.
+
+    Scale notes are the pipeline's own: gate/scrub ride the scan, exact
+    dedup is one shuffle on the normalized text, near-dup is the linear
+    bucket-star components path (never pair enumeration), and the
+    report itself is 5 driver-side rows."""
+    from processor_edf_spark.corpus_pipeline import run_corpus_job
+
+    (documents,) = load(spark, sf_dir, "documents")
+    _, report = run_corpus_job(spark, documents.select("doc_id", "text"))
+    return report

@@ -357,7 +357,10 @@ MINHASH_AB = [
 ]
 
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(src: str = "documents") -> str:
+    """Signature SQL over any (doc_id, text) relation — ``src`` lets the
+    corpus_job_report oracle run the identical minhash over its
+    exact-dedup-survivor CTE."""
     base = f"({hash64_sql('shingle')} % {MINHASH_P})"
     mins = ",\n           ".join(
         f"MIN(({a} * base + {b}) % {MINHASH_P}) AS mh{k}"
@@ -367,7 +370,7 @@ def _minhash_sig_sql() -> str:
     WITH sh AS (
         SELECT doc_id, {base} AS base
         FROM (SELECT doc_id, unnest(list_distinct({_SHINGLE_SQL})) AS shingle
-              FROM documents)
+              FROM {src})
     )
     SELECT doc_id,
            {mins}

@@ -6,6 +6,10 @@ on when swapping the exact plan out at scale.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from processor_edf_spark.operators.approx import approx_distinct, approx_percentiles

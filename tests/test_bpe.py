@@ -8,6 +8,8 @@ import collections
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from processor_edf_spark.operators.bpe import EOW, bpe_encode, bpe_train
 
 CORPUS = [

@@ -4,8 +4,12 @@ scrubbed + split-assigned identically to the oracle-checked queries."""
 
 from __future__ import annotations
 
+import pytest
+
 from processor_edf_spark.corpus_pipeline import run_corpus_job
 from tests.conftest import SF_SMALL
+
+pytestmark = pytest.mark.slow
 
 BASE = (
     "the quick brown fox jumps over a lazy dog of seventeen "

@@ -777,3 +777,86 @@ def test_spark_audio_path_decodes_adpcm(spark):
     r = extract_audio_features(media).collect()[0]
     assert r["decoded"] and r["sample_rate"] == rate
     assert abs(r["rms"] - amp / np.sqrt(2)) < 2e-3
+
+
+# ---------------------------------------------------------------------------
+# Optional external codec libraries (the deployment seam)
+# ---------------------------------------------------------------------------
+
+
+def _webp_payload() -> bytes:
+    return b"RIFF" + (20).to_bytes(4, "little") + b"WEBPVP8 " + b"\x00" * 12
+
+
+def test_optional_codec_detection_absent_path():
+    """With no optional codec libs installed (this container), the seam
+    must report them absent and the decoders must raise the
+    one-exception contract NAMING the missing extra — never a crash,
+    never a silent wrong decode."""
+    from processor_edf_spark.operators.media_codecs import (
+        OPTIONAL_CODEC_LIBS,
+        decode_audio,
+        decode_webp,
+        optional_codec_support,
+    )
+
+    support = optional_codec_support()
+    assert set(support) == set(OPTIONAL_CODEC_LIBS)
+    if any(support.values()):
+        pytest.skip("optional codec libs installed; absent path untestable")
+    with pytest.raises(UnsupportedMediaError, match="optional codec"):
+        decode_webp(_webp_payload())
+    with pytest.raises(UnsupportedMediaError, match="soundfile"):
+        decode_audio(b"ID3\x04\x00" + b"\x00" * 64)
+    # magic-byte router sends WebP into the same contract
+    with pytest.raises(UnsupportedMediaError, match="optional codec"):
+        decode_image(_webp_payload())
+
+
+def test_optional_codec_absent_keeps_decoded_false_contract(spark):
+    """A WebP image and an MP3 audio payload flow through the Spark
+    extractors as honest decoded=false rows while real payloads beside
+    them decode — the per-row routing the README documents."""
+    from processor_edf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+        extract_image_features,
+    )
+
+    sine = np.sin(np.linspace(0, 2 * np.pi * 55, 8000))
+    rows = [
+        (1, "image", encode_ppm(np.full((4, 6, 3), 7, np.uint8)), "image/x-portable-pixmap", None),
+        (2, "image", _webp_payload(), "image/webp", None),
+        (3, "audio", encode_wav_pcm16(sine, 8000), "audio/wav", None),
+        (4, "audio", b"ID3\x04\x00" + b"\x00" * 64, "audio/mpeg", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    img = {r["media_id"]: r["decoded"] for r in extract_image_features(media).collect()}
+    aud = {r["media_id"]: r["decoded"] for r in extract_audio_features(media).collect()}
+    assert img == {1: True, 2: False}
+    assert aud == {3: True, 4: False}
+
+
+@pytest.mark.skipif(
+    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
+    reason="Pillow not installed (optional media extra) — present-path "
+    "exercised only on clusters with the media extras baked in",
+)
+def test_optional_codec_present_path_webp_real_decode():
+    """With Pillow installed the SAME payload decodes for real through
+    decode_image — the deployment upgrade is install-only, no code
+    change."""
+    import io
+
+    from PIL import Image
+
+    from processor_edf_spark.operators.media_codecs import decode_webp
+
+    arr = np.zeros((8, 8, 3), np.uint8)
+    arr[:4] = (255, 0, 0)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="WEBP", lossless=True)
+    out = decode_webp(buf.getvalue())
+    assert out.shape == (8, 8, 3)
+    assert (out == arr).all()
+    assert (decode_image(buf.getvalue()) == arr).all()

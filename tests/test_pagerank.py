@@ -4,8 +4,11 @@ dedup survivor selection."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 
 from processor_edf_spark.operators.pagerank import canonical_by_rank, pagerank
+
+pytestmark = pytest.mark.slow
 
 DAMP = 0.85
 

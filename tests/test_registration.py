@@ -8,9 +8,9 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r5 window: 22 family representatives + 7 r3-era queries (every one
-driver-green in r2∪r3∪r4, see CORRECTNESS_r0{2,3,4}.json) + the 10
-r4-added and 11 r5-added queries getting their first driver check.
+The r6 window: 15 family anchors (driver-green r5) + the r6-added
+corpus_job_report (first driver check) + the 34 stalest queries (last
+driver-green r2∪r3) returning for refreshed evidence.
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
 """
@@ -21,61 +21,59 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    # 22 family representatives, driver-green in r2∪r3∪r4
+    # 15 family anchors (driver-green r5)
     "q1_pricing_summary",
     "filter_project_events",
-    "agg_user_bounds",
     "sessionize_events",
     "timestamp_synthesis",
-    "epoch_functions",
     "band_join_acctbal",
-    "get_or_create_parts",
-    "asof_last_signup",
     "top3_orders_per_customer",
     "rollup_event_daily",
-    "pivot_daily_event_counts",
     "set_ops_event_types",
-    "json_props_stats",
     "token_stats",
-    "multimodal_meta",
     "dedup_exact",
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
     "cosine_pairs",
-    "cosine_lsh_pairs",
-    "dedup_embedding_cosine",
-    # 5 r3-era queries staying in-window (driver-green r4)
-    "q22_idle_rich_customers",
-    "semdedup_label",
-    "levenshtein_block_pairs",
     "ann_ivf_multiprobe",
-    "tfidf_top_terms",
-    # 10 first-time driver checks (r4 additions)
-    "minhash_jaccard_estimate",
-    "contamination_ngram_overlap",
-    "bm25_top_docs",
-    "knn_graph_bruteforce",
-    "stratified_sample_lang",
-    "funnel_conversion",
-    "knn_graph_lsh",
-    "embedding_dim_stats",
-    "cohort_retention",
-    "token_entropy",
-    # r5 additions, first driver check
-    "funnel_k_stages",
+    "multimodal_meta",
     "split_assignment",
-    "normalize_text",
-    "dedup_lsh_components",
-    "chunk_documents",
-    # r5 batch-2 additions, first driver check
-    "bigram_lm_surprisal",
-    "jaccard_prefix_pairs",
-    "weighted_sample_aes",
     "zorder_layout",
-    "gopher_quality_flags",
-    "dsir_importance",
-    "source_mix_rates",
-    "shingle_novelty",
+    # r6 addition, first driver check
+    "corpus_job_report",
+    # 34 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
+    "q3_segment_revenue",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "rate_crosscheck_users",
+    "session_window_events",
+    "mode_period_users",
+    "overlap_validation",
+    "edf_date_parse",
+    "semi_join_returned_orders",
+    "range_join_close_events",
+    "tumbling_daily_stats",
+    "value_percentiles_per_type",
+    "cube_event_user_bucket",
+    "except_click_no_purchase",
+    "distinct_users_per_type",
+    "text_quality",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "bpe_token_count",
+    "rolling_fingerprint",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "array_slice_projection",
+    "ann_ivf_label",
+    "calibrate_events",
+    "sliding_hour_counts",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "minhash_signatures",
+    "simhash_16",
 ]
 
 
@@ -96,11 +94,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 84 through r3 + 10 r4 additions + 5 r5 additions + 8 r5 batch-2
-    # additions (bigram_lm_surprisal, jaccard_prefix_pairs,
-    # weighted_sample_aes, zorder_layout, gopher_quality_flags,
-    # dsir_importance, source_mix_rates, shingle_novelty)
-    assert len(QUERIES) == 107
+    # 107 through r5 + corpus_job_report (r6)
+    assert len(QUERIES) == 108
 
 
 def test_every_query_has_a_family():

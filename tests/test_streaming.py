@@ -15,6 +15,8 @@ from __future__ import annotations
 import os
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from processor_edf_spark.schemas import SAMPLES_SCHEMA

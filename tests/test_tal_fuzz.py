@@ -7,6 +7,10 @@ texts, many TALs per record, fractional onsets, zero durations, etc.)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -4,6 +4,10 @@ total deduct) against the exact counts over EVERYTHING streamed."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import collections
 
 from pyspark.sql import functions as F
