@@ -90,6 +90,19 @@ def salted_join(
     ``how`` supports inner/left (fact-preserving shapes); the salt
     column never escapes.  Result equals ``facts.join(dim, keys, how)``
     row-for-row — pinned by tests/test_skew_streaming_registry.py.
+
+    Boundary vs AQE: for a plain shuffle (sort-merge) join, AQE's
+    skew-join splitting already divides an oversized post-shuffle
+    partition among tasks — prefer it; salting there buys nothing but a
+    replicated dim.  Salt when AQE CANNOT act: the skewed key feeds an
+    AGGREGATION (AQE only splits join partitions — a skewed groupBy
+    still funnels one key to one reducer, use salted_agg), the join is
+    bucketed/pre-partitioned so there is no exchange for AQE to re-plan,
+    or it is a stream-stream join (no runtime re-plan).  The
+    hot-key-spread behavior test in test_skew_streaming_registry.py pins
+    the mechanism: unsalted, a hot key's rows land on ONE reducer;
+    salted, on ~n_salts reducers, so the max single-reducer load drops
+    by ~n_salts×.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")

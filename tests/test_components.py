@@ -5,6 +5,8 @@ where pairwise anti-join over-deletes."""
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from processor_edf_spark.operators.components import (

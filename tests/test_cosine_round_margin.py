@@ -9,6 +9,10 @@ fixture exercises it.
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import duckdb
 import numpy as np
 import pandas as pd

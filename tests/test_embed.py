@@ -8,6 +8,9 @@ import numpy as np
 
 from processor_edf_spark.operators.embed import hash_embed
 from tests.conftest import SF_SMALL
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_hash_embed_deterministic_unit_norm(spark):

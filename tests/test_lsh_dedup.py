@@ -4,7 +4,10 @@ reference, and the scale contract vs the pair queries."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.slow
 
 from processor_edf_spark.operators.lsh_dedup import (
     lsh_components,

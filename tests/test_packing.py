@@ -4,10 +4,14 @@ from __future__ import annotations
 
 from collections import defaultdict
 
+import pytest
+
 from processor_edf_spark.operators.packing import (
     dedup_incremental,
     pack_sequences,
 )
+
+pytestmark = pytest.mark.slow
 
 BUDGET = 100
 

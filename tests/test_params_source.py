@@ -4,6 +4,10 @@ and a params-file-driven append-mode pipeline run end-to-end."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 import os
 

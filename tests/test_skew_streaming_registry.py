@@ -165,3 +165,41 @@ def test_salted_join_matches_plain(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "_salt" in plan
+
+
+def test_salted_join_spreads_hot_key_reducer_load(spark):
+    """The mechanism behind salted_join, pinned deterministically (no
+    timing): hash-partitioned by key alone, a 90%-hot key's rows all
+    land on ONE reducer partition; partitioned by (key, salt) with
+    n_salts=8 they spread over many, and the max single-partition load
+    drops accordingly (~n_salts×).  This is the boundary where AQE
+    can't help (skewed groupBy / bucketed layouts / stream-stream) —
+    for a plain sort-merge join AQE's skew split already handles it
+    (test_aqe_splits_skewed_join)."""
+    n_parts, n_salts = 32, 8
+    facts = spark.range(0, 50_000).select(
+        F.when(F.col("id") % 10 == 0, F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .otherwise(F.lit("hot"))
+        .alias("key"),
+        F.col("id").alias("v"),
+    )
+
+    def load_profile(cols):
+        by_part = (
+            facts.withColumn(
+                "_salt", (F.col("v") % n_salts).cast("int")
+            )  # content salt: full fan-out regardless of test parallelism
+            .repartition(n_parts, *cols)
+            .withColumn("pid", F.spark_partition_id())
+            .filter(F.col("key") == "hot")
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return len(by_part), max(r["count"] for r in by_part)
+
+    unsalted_parts, unsalted_max = load_profile([F.col("key")])
+    salted_parts, salted_max = load_profile([F.col("key"), F.col("_salt")])
+    assert unsalted_parts == 1          # the funnel: one reducer owns the key
+    assert salted_parts >= n_salts // 2  # fan-out (salts may co-hash)
+    assert salted_max * 2 <= unsalted_max  # max reducer load actually drops
