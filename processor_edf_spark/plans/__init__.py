@@ -16,6 +16,7 @@ from processor_edf_spark.plans import text_dedup  # noqa: E402,F401
 from processor_edf_spark.plans import similarity  # noqa: E402,F401
 from processor_edf_spark.plans import tpch_extra  # noqa: E402,F401
 from processor_edf_spark.plans import corpus_extra  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_extra  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -38,13 +39,19 @@ from processor_edf_spark.plans import corpus_extra  # noqa: E402,F401
 # back through the window, new queries enter immediately, ≥1 query per
 # family stays in-window).  The ledger has been complete since r5
 # (every query driver-green in some round); r6 REFRESHES the stalest
-# evidence: the 34 queries whose last driver-green row is r2∪r3 (the
-# "rotated out in earlier rounds" block) all return to the window,
-# 15 family anchors stay, and the r6 addition (corpus_job_report)
-# takes the remaining slot.  Rotated out to make room: the 35 in-window
-# queries that earned fresh r5 greens (each keeps its CORRECTNESS_r05
-# row + the per-commit CORRECTNESS_LOCAL mirror record).  The 23
-# r4-green queries below the window are the natural r7 rotate-ins.
+# evidence: 15 family anchors stay, the 8 r6 additions
+# (corpus_job_report + the analytics_extra batch: anomaly_robust_z,
+# time_weighted_avg_daily, ewma_user_values, gap_fill_hourly,
+# event_transitions, grouping_sets_revenue, dup_span_coverage) take
+# priority slots for their FIRST driver check, and 27 of the 34
+# stalest queries (last driver-green r2∪r3) return for refreshed
+# evidence.  Rotated out to make room: the 35 in-window queries that
+# earned fresh r5 greens, plus — displaced by the new additions — the
+# 7 stale-block tail queries (ann_ivf_label, calibrate_events,
+# sliding_hour_counts, anti_join_idle_customers,
+# moving_avg_daily_revenue, minhash_signatures, simhash_16), each
+# family-covered in-window and first in line for r7 alongside the
+# r4-green block.
 _CANONICAL = [
     # ---- 15 family anchors (driver-green r5, one per family)
     "q1_pricing_summary",       # tpch agg flagship
@@ -62,10 +69,17 @@ _CANONICAL = [
     "multimodal_meta",          # multimodal
     "split_assignment",         # sampling
     "zorder_layout",            # layout
-    # ---- r6 addition, first driver check (mirror-green from its
-    # introducing commit)
+    # ---- r6 additions, first driver check (mirror-green from their
+    # introducing commits)
     "corpus_job_report",        # corpus (end-to-end pipeline report)
-    # ---- 34 stale rotate-ins: last driver-green r2∪r3, refreshed in r6
+    "anomaly_robust_z",         # events (median/MAD robust z)
+    "time_weighted_avg_daily",  # events (exact integer tw-avg)
+    "ewma_user_values",         # windows (bounded left-fold EWMA)
+    "gap_fill_hourly",          # time_fns (grid + forward fill)
+    "event_transitions",        # events (Markov transition matrix)
+    "grouping_sets_revenue",    # grouping (explicit GROUPING SETS)
+    "dup_span_coverage",        # dedup_text (substring-dedup stats)
+    # ---- 27 stale rotate-ins: last driver-green r2∪r3, refreshed in r6
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -93,6 +107,12 @@ _CANONICAL = [
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "array_slice_projection",
+    # ---- position 51+: every query below has a driver-green row in
+    # some round (r5 for the first block, r4 for the rest — see
+    # CORRECTNESS_r0{2,3,4,5}.json) and stays mirror-checked by
+    # tests/test_queries_oracle.py on every pytest run.
+    # displaced from the r6 stale block by the analytics_extra
+    # additions (driver-green r2∪r3; first r7 rotate-ins):
     "ann_ivf_label",
     "calibrate_events",
     "sliding_hour_counts",
@@ -100,10 +120,6 @@ _CANONICAL = [
     "moving_avg_daily_revenue",
     "minhash_signatures",
     "simhash_16",
-    # ---- position 51+: every query below has a driver-green row in
-    # some round (r5 for the first block, r4 for the rest — see
-    # CORRECTNESS_r0{2,3,4,5}.json) and stays mirror-checked by
-    # tests/test_queries_oracle.py on every pytest run.
     # rotated out in r6 (driver-green r5):
     "agg_user_bounds",
     "epoch_functions",
@@ -256,6 +272,14 @@ FAMILY = {
     "source_mix_rates": "sampling",
     "shingle_novelty": "dedup_text",
     "corpus_job_report": "corpus",
+    # r6 analytics_extra batch
+    "anomaly_robust_z": "events",
+    "time_weighted_avg_daily": "events",
+    "ewma_user_values": "windows",
+    "gap_fill_hourly": "time_fns",
+    "event_transitions": "events",
+    "grouping_sets_revenue": "grouping",
+    "dup_span_coverage": "dedup_text",
 }
 
 

@@ -1,0 +1,535 @@
+"""Round-6 analytics extensions: robust anomaly detection, time-weighted
+and exponentially-weighted value smoothing, gap-filling interpolation,
+Markov transition matrices, GROUPING SETS, and duplicate-span coverage
+(the per-document statistic behind exact-substring dedup).
+
+These extend the time-series / training-data operator surface (SURVEY.md
+extensions; the reference stops at EDF ETL — cited for scope:
+/root/reference/processor/base_processor/timeseries/base.py has no
+analytics layer).  Same driver contract as every plan module: identical
+column aliases in Spark and oracle SQL, floats rounded identically on
+both engines, exact integer/decimal accumulation wherever a float sum
+would be order-dependent, and single-division/multiplication float
+derivations whose operands are bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from processor_edf_spark.operators.textfns import tokens
+from processor_edf_spark.plans.registry import load, register, spread, ts_usec
+from processor_edf_spark.plans.relational import money_sum, _msum_sql
+from processor_edf_spark.plans.text_dedup import _TOK_SQL
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection (median / MAD z-score)
+# ---------------------------------------------------------------------------
+
+RZ_THRESHOLD = 3.0  # |robust z| at/above this flags the event
+MAD_SCALE = 0.6745  # Φ⁻¹(0.75): scales MAD to σ-equivalents under normality
+
+
+@register(
+    "anomaly_robust_z",
+    f"""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), mad AS (
+        SELECT e.event_type, m.med,
+               quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        FROM events e JOIN med m USING (event_type)
+        GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           {MAD_SCALE} * (e.value - s.med) / s.mad AS rz
+    FROM events e JOIN mad s USING (event_type)
+    WHERE s.mad > 0
+      AND abs({MAD_SCALE} * (e.value - s.med) / s.mad) >= {RZ_THRESHOLD}
+    """,
+)
+def anomaly_robust_z(spark, sf_dir):
+    """Robust per-group outlier detection: flag events whose value is ≥3
+    MAD-scaled deviations from the group median — the median/MAD robust
+    z-score, immune to the outliers it hunts (a plain mean/σ z-score is
+    dragged by the very tail it should flag, and a cross-engine float
+    VARIANCE sum is order-dependent besides).
+
+    Two exact-percentile aggregations (Spark ``percentile`` ≡ DuckDB
+    ``quantile_cont``, bit-equal — the value_percentiles_per_type
+    contract), then one broadcast join back and a per-row derivation
+    whose every operand is the identical double on both engines:
+    ``MAD_SCALE * (value - med) / mad`` is three IEEE ops in fixed
+    order, so the score is bit-identical and emitted RAW — a ROUND(x, 4)
+    here would reintroduce divergence (Spark rounds the decimal
+    expansion half-up, DuckDB rounds the scaled double half-away; they
+    disagree at exact .5 boundaries), and the ≥3 threshold compares the
+    same identical doubles on both engines.
+
+    Scale: the stats frame is |event_type| rows — broadcast; the flag
+    pass is a shuffle-free scan projection.  At 100 TB swap the exact
+    percentiles for ``approx_percentile`` (t-digest, bounded state) —
+    the flag pass is unchanged."""
+    (events,) = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    rz = F.lit(MAD_SCALE) * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        events.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) >= RZ_THRESHOLD)
+        .select("event_id", "event_type", "value", "rz")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted daily average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "time_weighted_avg_daily",
+    """
+    WITH s AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               CAST(ROUND(value * 1000000, 0) AS BIGINT) AS v_micro,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts, event_id) - epoch_us(ts) AS dt
+        FROM events
+    )
+    SELECT user_id, CAST(epoch_us(day) AS BIGINT) AS day_usec,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(dt) AS BIGINT) AS total_usec,
+           CAST(SUM(CAST(v_micro AS HUGEINT) * dt) AS DOUBLE)
+                 / CAST(SUM(dt) AS DOUBLE) / 1000000.0 AS tw_avg
+    FROM s WHERE dt IS NOT NULL
+    GROUP BY user_id, day
+    HAVING SUM(dt) > 0
+    """,
+)
+def time_weighted_avg_daily(spark, sf_dir):
+    """Time-weighted mean of an irregularly-sampled value per user-day —
+    the correct daily average for sensor/price-style series where a plain
+    AVG over-weights bursts: each observation is weighted by how long it
+    was current (until the next event; the day's last observation carries
+    no weight).
+
+    Float discipline: value is fixed to integer micro-units once (the
+    product and round are each one IEEE op on identical doubles), the
+    (v_micro × Δt_µs) products and their sum are EXACT integer arithmetic
+    — decimal(38,0) on Spark, HUGEINT on DuckDB, both overflow-free at
+    ~10^20 per product — and the only float ops are the final two
+    divisions of identical operands, emitted RAW (no cross-engine
+    ROUND-boundary exposure).  One lag window + one aggregation,
+    both partitioned by (user, day): a single shuffle, no hot keys
+    (days bound per-key cardinality)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    s = (
+        events.withColumn("day", F.date_trunc("day", F.col("ts")))
+        .withColumn(
+            "v_micro", F.round(F.col("value") * 1000000, 0).cast("long")
+        )
+        .withColumn("t", ts_usec())
+        .withColumn("dt", F.lead("t").over(w) - F.col("t"))
+        .filter(F.col("dt").isNotNull())
+    )
+    prod = F.col("v_micro").cast("decimal(19,0)") * F.col("dt").cast(
+        "decimal(19,0)"
+    )
+    return (
+        s.groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt").alias("total_usec"),
+            F.sum(prod).alias("sum_prod"),
+        )
+        .filter(F.col("total_usec") > 0)
+        .select(
+            "user_id",
+            ts_usec("day").alias("day_usec"),
+            "n_intervals",
+            "total_usec",
+            (
+                F.col("sum_prod").cast("double")
+                / F.col("total_usec").cast("double")
+                / 1000000.0
+            ).alias("tw_avg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-weighted moving average (bounded recursive fold)
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.1
+EWMA_WINDOW = 20  # the (1-α)^20 ≈ 0.12 tail is the documented truncation
+
+
+@register(
+    "ewma_user_values",
+    f"""
+    SELECT event_id, user_id,
+           list_reduce(l, (acc, x) ->
+                 acc * {1 - EWMA_ALPHA} + x * {EWMA_ALPHA}) AS ewma
+    FROM (
+        SELECT event_id, user_id,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW
+               ) AS l
+        FROM events)
+    """,
+)
+def ewma_user_values(spark, sf_dir):
+    """Per-user EWMA of the value stream (α=0.1), the classic smoothing /
+    drift-detection primitive, truncated to the last {EWMA_WINDOW}
+    observations so the window state is bounded (the dropped tail weight
+    is (1-α)^20 ≈ 0.12 of an infinite-history EWMA's mass — documented
+    truncation, identical on both engines, NOT an approximation gap
+    between them).
+
+    The recursion ewmaᵢ = (1-α)·ewmaᵢ₋₁ + α·xᵢ is evaluated as a LEFT
+    FOLD over the frame's collected values — Spark ``aggregate`` and
+    DuckDB ``list_reduce`` both fold left with the first element as the
+    seed, so both engines execute the exact same IEEE multiply/add
+    sequence and the results are bit-equal, emitted RAW (a final ROUND
+    would diverge at .5 boundaries — measured: 1 row in 10k at sf0.01 —
+    because Spark rounds the decimal expansion half-up while DuckDB
+    rounds the scaled double half-away).  (A closed
+    form Σ α(1-α)^j·xⱼ via pow() would hit libm cross-engine drift and
+    (1-α)^-j overflow; the fold has neither problem.)
+
+    Scale: one window shuffle partitioned by user; frame state is ≤20
+    doubles/row.  The streaming twin is applyInPandasWithState carrying
+    the same 20-value ring per key."""
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.collect_list("value").over(w).alias("l"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            f"aggregate(slice(l, 2, size(l) - 1), element_at(l, 1),"
+            f" (acc, x) -> acc * {1 - EWMA_ALPHA}D + x * {EWMA_ALPHA}D)"
+        ).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill: hourly grid + forward fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_hourly",
+    """
+    WITH ranked AS (
+        SELECT user_id, date_trunc('day', ts) AS day,
+               date_trunc('hour', ts) AS hour, value,
+               row_number() OVER (
+                   PARTITION BY user_id, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ), hourly AS (
+        SELECT user_id, day, hour, value FROM ranked WHERE rn = 1
+    ), spans AS (
+        SELECT user_id, day, min(hour) AS h0, max(hour) AS h1
+        FROM hourly GROUP BY user_id, day
+    ), grid AS (
+        SELECT user_id, day,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM spans
+    )
+    SELECT g.user_id, CAST(epoch_us(g.hour) AS BIGINT) AS hour_usec,
+           last_value(h.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id, g.day ORDER BY g.hour) AS value_filled,
+           h.value IS NOT NULL AS is_observed
+    FROM grid g LEFT JOIN hourly h USING (user_id, day, hour)
+    """,
+)
+def gap_fill_hourly(spark, sf_dir):
+    """Regularize an irregular series onto an hourly grid with forward
+    fill — the resample/interpolate step before any fixed-step model.
+    Per user-day: take the LAST observed value of each active hour
+    (deterministic tie-break on (ts, event_id)), generate the hour grid
+    from first to last active hour, and forward-fill the holes with
+    ``last(value, ignorenulls)``; ``is_observed`` marks real vs filled
+    rows so downstream consumers can weight them.
+
+    The filled value is a raw double passed through untouched (no
+    arithmetic) → bit-identical cross-engine.  The grid generation is
+    ``sequence``+``explode`` riding the span aggregate (integer-hour
+    steps, no float boundaries).  Scale: every window and join is
+    partitioned by (user, day/hour) — one shuffle family, no hot keys;
+    grid density is bounded at 24 rows/user-day so the explode cannot
+    amplify beyond 24× the span count."""
+    (events,) = load(spark, sf_dir, "events")
+    ranked = events.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "value",
+        F.row_number()
+        .over(
+            Window.partitionBy(
+                "user_id", F.date_trunc("hour", F.col("ts"))
+            ).orderBy(F.desc("ts"), F.desc("event_id"))
+        )
+        .alias("rn"),
+    )
+    hourly = ranked.filter(F.col("rn") == 1).drop("rn")
+    spans = hourly.groupBy("user_id", "day").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
+        ).alias("hour"),
+    )
+    wff = Window.partitionBy("user_id", "day").orderBy("hour")
+    return grid.join(hourly, ["user_id", "day", "hour"], "left").select(
+        "user_id",
+        ts_usec("hour").alias("hour_usec"),
+        F.last("value", ignorenulls=True).over(wff).alias("value_filled"),
+        F.col("value").isNotNull().alias("is_observed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transitions",
+    """
+    WITH s AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), c AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS cnt
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    )
+    SELECT from_type, to_type, cnt,
+           CAST(cnt AS DOUBLE)
+               / CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream: count (state → next state) bigrams across users and emit the
+    per-source transition probability — the behavioral-model /
+    next-event-prediction primitive (and the sanity check behind funnel
+    definitions).
+
+    One lag window partitioned by user, one (from,to) aggregation whose
+    output is |types|² rows, then a window total per source row — the
+    probability is one division of identical BIGINT-derived doubles.
+    Scale: the bigram shuffle carries map-side partial counts; the
+    |types|²-row matrix is driver-trivial."""
+    (events,) = load(spark, sf_dir, "events")
+    s = events.select(
+        F.col("event_type"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    total = F.sum("cnt").over(Window.partitionBy("from_type"))
+    return c.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (F.col("cnt").cast("double") / total.cast("double")).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (the explicit flavor between rollup and cube)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           {rev} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """.format(rev=_msum_sql("l_extendedprice * (1 - l_discount)")),
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS — the third multi-level aggregation flavor
+    beside rollup_event_daily and cube_event_user_bucket: exactly the
+    requested (flag, status) / (flag) / () levels, no more (a rollup
+    forced to this shape is coincidence; a cube computes an unwanted
+    (status) level).  ``GROUPING(col)`` flags disambiguate a NULL group
+    key from a super-aggregate row, emitted as int on both engines.
+
+    Catalyst expands grouping sets into a single Expand + one aggregate:
+    one pass over lineitem, map-side partials for every level at once —
+    at 100 TB the shuffle carries |levels|·|groups| partial states, not
+    data rows.  Revenue uses the money_sum exact-decimal contract (plain
+    SUM(double) is summation-order-dependent cross-engine)."""
+    (lineitem,) = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            money_sum(disc_price).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_flag",
+            "g_status",
+            "revenue",
+            "n_items",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span coverage (exact-substring-dedup statistic)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 3  # word-gram width; a covered position sits under ≥1 dup gram
+
+
+@register(
+    "dup_span_coverage",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ), g AS (
+        SELECT doc_id, i AS s,
+               array_to_string(list_slice(t, i, i + {SPAN_K - 1}), ' ')
+                   AS gram
+        FROM d, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {SPAN_K - 1})) AS i)
+        WHERE len(t) >= {SPAN_K}
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), ds AS (
+        SELECT g.doc_id, least({SPAN_K}, coalesce(
+                   lead(g.s) OVER (PARTITION BY g.doc_id ORDER BY g.s) - g.s,
+                   {SPAN_K})) AS contrib
+        FROM g JOIN dup USING (gram)
+    ), cov AS (
+        SELECT doc_id, SUM(contrib) AS covered FROM ds GROUP BY doc_id
+    )
+    SELECT d.doc_id, len(d.t) AS n_tokens,
+           CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(cov.covered, 0) AS DOUBLE) / len(d.t) AS coverage
+    FROM d LEFT JOIN cov USING (doc_id)
+    """,
+)
+def dup_span_coverage(spark, sf_dir):
+    """Per-document duplicate-span coverage: the fraction of a document's
+    token positions lying inside a word {SPAN_K}-gram that also occurs in
+    at least one OTHER document — the per-document statistic behind
+    exact-substring dedup (Lee et al.'s dedup removes these spans; this
+    measures what it would remove, which is the audit/threshold step run
+    first).
+
+    The span union is computed WITHOUT interval materialization: dup-gram
+    start positions are sorted per doc and each contributes
+    ``min(K, next_start - start)`` (last contributes K) — exactly the
+    union length of the overlapping [s, s+K-1] intervals, in one lag
+    window over an integer column.  All-integer arithmetic until the one
+    final division of identical operands.
+
+    Scale: gram explode rides the scan with map-side distinct partials;
+    the dup-gram dim is COUNT-DISTINCT-thresholded and joined back on the
+    gram key (Zipf heads are many-to-one onto the dim — AQE skew-splits);
+    the window is partitioned per doc with integer state.  At 100 TB this
+    is boilerplate_ngrams' shuffle shape plus an O(doc-length) window."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = spread(spark, documents).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    g = (
+        d.filter(F.size("t") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SPAN_K - 1)),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i, SPAN_K)
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("sg"),
+        )
+        .select("doc_id", "sg.s", "sg.gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    wlead = Window.partitionBy("doc_id").orderBy("s")
+    ds = g.join(dup, "gram").select(
+        "doc_id",
+        F.least(
+            F.lit(SPAN_K),
+            F.coalesce(
+                F.lead("s").over(wlead) - F.col("s"), F.lit(SPAN_K)
+            ),
+        ).alias("contrib"),
+    )
+    cov = ds.groupBy("doc_id").agg(F.sum("contrib").alias("covered"))
+    n = d.select("doc_id", F.size("t").alias("n_tokens"))
+    return n.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("covered"), F.lit(0)).alias("covered_tokens"),
+        (
+            F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("coverage"),
+    )

@@ -8,9 +8,11 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r6 window: 15 family anchors (driver-green r5) + the r6-added
-corpus_job_report (first driver check) + the 34 stalest queries (last
-driver-green r2∪r3) returning for refreshed evidence.
+The r6 window: 15 family anchors (driver-green r5) + the 8 r6 additions
+(corpus_job_report and the analytics_extra batch, first driver check)
++ the 27 stalest queries (last driver-green r2∪r3) returning for
+refreshed evidence (the stale block's tail 7 are displaced to 51+ by
+the new additions and lead the r7 rotation).
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
 """
@@ -37,9 +39,16 @@ EXPECTED_FIRST_50 = [
     "multimodal_meta",
     "split_assignment",
     "zorder_layout",
-    # r6 addition, first driver check
+    # r6 additions, first driver check
     "corpus_job_report",
-    # 34 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
+    "anomaly_robust_z",
+    "time_weighted_avg_daily",
+    "ewma_user_values",
+    "gap_fill_hourly",
+    "event_transitions",
+    "grouping_sets_revenue",
+    "dup_span_coverage",
+    # 27 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -67,13 +76,6 @@ EXPECTED_FIRST_50 = [
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "array_slice_projection",
-    "ann_ivf_label",
-    "calibrate_events",
-    "sliding_hour_counts",
-    "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
-    "minhash_signatures",
-    "simhash_16",
 ]
 
 
@@ -94,8 +96,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 107 through r5 + corpus_job_report (r6)
-    assert len(QUERIES) == 108
+    # 107 through r5 + corpus_job_report + the 7 analytics_extra (r6)
+    assert len(QUERIES) == 115
 
 
 def test_every_query_has_a_family():
