@@ -212,8 +212,10 @@ def ewma_user_values(spark, sf_dir):
     (1-α)^-j overflow; the fold has neither problem.)
 
     Scale: one window shuffle partitioned by user; frame state is ≤20
-    doubles/row.  The streaming twin is applyInPandasWithState carrying
-    the same 20-value ring per key."""
+    doubles/row.  The streaming twin is ``streaming/ewma.py`` —
+    applyInPandasWithState carrying the same 20-value ring per key,
+    bit-equal to this query on in-order input (parity pinned in
+    tests/test_streaming_ewma.py)."""
     (events,) = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")

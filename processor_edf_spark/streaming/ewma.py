@@ -1,0 +1,103 @@
+"""Streaming EWMA — the stateful-streaming flavor of the
+``ewma_user_values`` batch query (plans/analytics_extra.py), built on
+``applyInPandasWithState`` like the funnel and the channel registry.
+
+State per user is the ring of the last ``window - 1`` observed values
+(oldest → newest).  Each micro-batch's events are processed in
+(t, event_id) order; every event appends to the ring, the EWMA is the
+SAME left fold the batch query runs — ewmaᵢ = (1-α)·ewmaᵢ₋₁ + α·xᵢ
+seeded with the oldest in-window value — and one output row is emitted
+per event.  Python floats are IEEE-754 doubles with the same
+multiply/add rounding as the JVM fold, so on in-order input the
+streamed ewma is BIT-EQUAL to the batch query's (pinned by the parity
+test in tests/test_streaming_ewma.py).  Across micro-batches the ring
+finalizes greedily: an event arriving in a later batch than one it
+precedes in event time folds in arrival order (the bounded-state trade
+every stateful operator here makes; the periodic batch pass owns
+residual exactness).
+
+Scale: state is ≤ window-1 doubles per user key — sharded by the
+groupBy(user) shuffle, no global state, no growth with stream length.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("ewma", T.DoubleType(), True),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("ring", T.ArrayType(T.DoubleType()), True)]
+)
+
+
+def stream_ewma(
+    events: DataFrame,
+    alpha: float = 0.1,
+    window: int = 20,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    t_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Apply the stateful EWMA to a stream (or batch) of events with
+    columns (user_id, event_id, t µs, value).  Emits one row per input
+    event with the trailing-``window`` EWMA at that event."""
+    one_minus = 1.0 - alpha
+
+    def fold(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        ring = list(state.get[0]) if state.exists else []
+        rows = [p for p in pdfs if len(p)]
+        if not rows:
+            state.update((ring,))
+            return
+        batch = pd.concat(rows, ignore_index=True).sort_values(
+            [t_col, id_col]
+        )
+        ids, ewmas = [], []
+        for eid, x in zip(batch[id_col], batch[value_col]):
+            ring.append(float(x))
+            if len(ring) > window:
+                del ring[0]
+            acc = ring[0]
+            for v in ring[1:]:
+                acc = acc * one_minus + v * alpha
+            ids.append(int(eid))
+            ewmas.append(acc)
+        # keep the window-1 values PRECEDING the next event (ring[-0:]
+        # would be the whole list, so window=1 needs the explicit branch)
+        state.update((ring[-(window - 1):] if window > 1 else [],))
+        yield pd.DataFrame(
+            {"event_id": ids, "user_id": [uid] * len(ids), "ewma": ewmas}
+        )
+
+    keyed = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias(id_col),
+        F.col(t_col).alias(t_col),
+        F.col(value_col).alias(value_col),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
