@@ -507,3 +507,59 @@ def test_shingle_novelty_partial_agg_equi_join(spark):
     assert "partial" in plan.lower(), plan[:2000]
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anomaly_robust_z_broadcast_stats_no_smj(spark):
+    """The median/MAD stats dim (|event_type| rows) must join back to
+    events as a broadcast hash join — a sort-merge join here would
+    shuffle the full fact side twice at 100 TB for a 5-row dim."""
+    plan = plan_of(spark, "anomaly_robust_z")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_time_weighted_avg_single_shuffle(spark):
+    """Lag window and (user, day) aggregation share one partitioning:
+    the whole query costs a single hash exchange."""
+    plan = plan_of(spark, "time_weighted_avg_daily")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+
+
+def test_ewma_single_shuffle(spark):
+    """The bounded-frame fold is one window over one user_id shuffle —
+    state is 20 doubles per frame, no join, no second exchange."""
+    plan = plan_of(spark, "ewma_user_values")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+
+
+def test_gap_fill_no_cartesian_user_keyed_exchanges(spark):
+    """Grid join and forward-fill window stay (user, …)-keyed equi
+    operations — no cartesian/nested-loop anywhere in the fill."""
+    plan = plan_of(spark, "gap_fill_hourly")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark):
+    """GROUPING SETS must plan as ONE Expand + one two-phase aggregate:
+    the scan is read once and the shuffle carries |levels|·|groups|
+    partial states, not three separate scans."""
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert plan.count("Expand") == 1, plan[:2000]
+    assert "partial_" in plan
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+    assert plan.count("Scan parquet") == 1
+
+
+def test_dup_span_coverage_broadcast_dup_dim_no_cartesian(spark):
+    """The thresholded dup-gram dim joins back to the gram stream as a
+    broadcast/equi join; the interval-union window stays per-doc.  Pair
+    enumeration (cartesian) must never appear."""
+    plan = plan_of(spark, "dup_span_coverage")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan
