@@ -1,0 +1,85 @@
+"""SCD2 (slowly-changing-dimension type 2) history maintenance.
+
+``scd2_build`` turns a change log into a versioned history table —
+every (key, value) carries its [valid_from, valid_to) interval, open
+rows close at the SCD2 high date and carry ``is_current`` — the same
+shape the ``scd2_user_value_history`` driver query emits
+(plans/analytics_extra.py).  ``scd2_apply_delta`` is the INCREMENTAL
+maintenance that docstring names: apply a new batch of changes without
+rebuilding the whole table — only the affected keys' rows are
+reopened and rebuilt, everything else passes through untouched.
+
+The incremental shape is the 100 TB point: a daily delta touches a
+small key set, so the rebuild cost is a semi/anti-join split on the
+key column plus a window over ONLY the touched keys' rows — at scale
+with the history table partitioned by key, the anti-join side is a
+partition-local pass-through and the shuffle carries just the touched
+slice.  ``tests/test_scd2.py`` pins apply_delta(build(first), rest)
+EXACTLY equal to build(all) — the invariant that makes incremental
+runs trustworthy — plus that untouched keys' rows survive byte-equal.
+
+Change ordering within a key is (t, value) — deterministic for any
+input; ties at the same instant order by value (documented, matching
+build and delta paths so the parity invariant holds for ties too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# 9999-12-31T00:00:00Z in µs — the conventional SCD2 open-row end date
+SCD2_HIGH_DATE_USEC = 253402300800000000
+
+
+def scd2_build(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """History table from a change log: one lead window, single
+    shuffle (the scd2_user_value_history plan, parameterized)."""
+    w = Window.partitionBy(key_col).orderBy(t_col, value_col)
+    return changes.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col(t_col).alias("valid_from_usec"),
+        F.coalesce(
+            F.lead(t_col).over(w), F.lit(SCD2_HIGH_DATE_USEC)
+        ).alias("valid_to_usec"),
+        F.lead(t_col).over(w).isNull().alias("is_current"),
+    )
+
+
+def scd2_apply_delta(
+    history: DataFrame,
+    delta: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Merge a change-batch into an existing SCD2 history.
+
+    Keys absent from the delta pass through UNTOUCHED (anti-join);
+    affected keys' history rows are decomposed back to change events
+    (their valid_from instants), unioned with the delta's changes, and
+    rebuilt with the same window — so open rows close, new opens
+    appear, and out-of-order deltas (a change earlier than the current
+    open row) still land in the right interval, which a naive
+    "close-the-open-row, append" merge gets wrong."""
+    touched_keys = delta.select(key_col).distinct()
+    untouched = history.join(F.broadcast(touched_keys), key_col, "left_anti")
+    touched_changes = (
+        history.join(F.broadcast(touched_keys), key_col, "left_semi")
+        .select(
+            F.col(key_col),
+            F.col("valid_from_usec").alias(t_col),
+            F.col(value_col),
+        )
+        .unionByName(delta.select(key_col, t_col, value_col))
+    )
+    rebuilt = scd2_build(
+        touched_changes, key_col=key_col, t_col=t_col, value_col=value_col
+    )
+    return untouched.unionByName(rebuilt)

@@ -535,3 +535,377 @@ def dup_span_coverage(spark, sf_dir):
             / F.col("n_tokens")
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 2: rolling median, SCD2 history, triangle counting,
+# substring-dedup rewrite
+# ---------------------------------------------------------------------------
+
+MEDIAN_WINDOW = 21  # odd so full frames need no interpolation
+
+
+@register(
+    "rolling_median_user",
+    f"""
+    SELECT event_id, user_id,
+           CASE WHEN len(l) % 2 = 1
+                THEN list_sort(l)[(len(l) + 1) // 2]
+                ELSE (list_sort(l)[len(l) // 2]
+                      + list_sort(l)[len(l) // 2 + 1]) / 2.0
+           END AS rolling_median
+    FROM (
+        SELECT event_id, user_id,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {MEDIAN_WINDOW - 1} PRECEDING
+                        AND CURRENT ROW) AS l
+        FROM events)
+    """,
+)
+def rolling_median_user(spark, sf_dir):
+    """Per-user rolling median of the trailing {MEDIAN_WINDOW} values —
+    the robust sibling of the EWMA smoother (one wild outlier shifts an
+    EWMA for ~1/α steps but leaves the median untouched).  Partial
+    frames at a series head interpolate the two middles, so every event
+    gets a defined value from its first observation.
+
+    Both engines sort the SAME multiset of doubles and index the same
+    positions, and the even-size interpolation is one add + one divide
+    of identical operands — raw-double emission, no ROUND exposure.
+    Scale: one user-partitioned window shuffle; frame state is ≤21
+    doubles per row (an O(log w) order-statistic tree beats re-sorting
+    per row at large w — at w=21 the sort is cheaper than the
+    bookkeeping)."""
+    (events,) = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(MEDIAN_WINDOW - 1), 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.collect_list("value").over(w).alias("l"),
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "CASE WHEN size(l) % 2 = 1"
+            " THEN element_at(array_sort(l),"
+            "                 CAST((size(l) + 1) div 2 AS INT))"
+            " ELSE (element_at(array_sort(l),"
+            "                  CAST(size(l) div 2 AS INT))"
+            "       + element_at(array_sort(l),"
+            "                    CAST(size(l) div 2 + 1 AS INT))) / 2.0"
+            " END"
+        ).alias("rolling_median"),
+    )
+
+
+@register(
+    "scd2_user_value_history",
+    """
+    SELECT user_id, value,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from_usec,
+           coalesce(lead(CAST(epoch_us(ts) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ), 253402300800000000) AS valid_to_usec,
+           lead(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) IS NULL AS is_current
+    FROM events
+    """,
+)
+def scd2_user_value_history(spark, sf_dir):
+    """Slowly-changing-dimension type 2 from a change stream: each
+    user's event log becomes a versioned history table — every value
+    carries its [valid_from, valid_to) interval, the open row flagged
+    ``is_current`` — the warehouse-maintenance shape behind every
+    dimension with history (CDC merge targets, as-of lookups via
+    ``asof_last_signup``'s join).
+
+    One lead window over the (user, time) ordering: the whole history
+    build is a single shuffle, no self-join (the naive SCD2 build joins
+    the log to itself on "next change").  At 100 TB the incremental
+    flavor closes only the affected users' open rows — an anti-join +
+    union on the daily delta, same operator shapes."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ts_usec()
+    return events.select(
+        "user_id",
+        "value",
+        t.alias("valid_from_usec"),
+        # open rows close at the SCD2 high date (9999-12-31) — the
+        # warehouse convention, and it keeps the column non-null so
+        # both engines ship it as a plain BIGINT
+        F.coalesce(
+            F.lead(t).over(w), F.lit(253402300800000000)
+        ).alias("valid_to_usec"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+TRI_TOPK = 5  # per-vertex nearest-neighbor cap before triangle counting
+
+
+def _triangle_sql() -> str:
+    """Oracle: compose the registered simhash_near_pairs SQL as the pair
+    source (same composition discipline as corpus_job_report), cap each
+    vertex at its {TRI_TOPK} nearest arcs, then count triangles with the
+    same degree-ordered orientation the Spark plan uses."""
+    from processor_edf_spark.plans.registry import ORACLE
+
+    return f"""
+    WITH p AS ({ORACLE["simhash_near_pairs"]}),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v, hamming FROM p
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v, hamming FROM p
+    ), topk AS (
+        SELECT u, v FROM (
+            SELECT u, v, row_number() OVER (
+                PARTITION BY u ORDER BY hamming, v) AS rn
+            FROM sym)
+        WHERE rn <= {TRI_TOPK}
+    ), e AS (
+        SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM topk
+    ), deg AS (
+        SELECT id, COUNT(*) AS d FROM (
+            SELECT a AS id FROM e UNION ALL SELECT b AS id FROM e)
+        GROUP BY id
+    ), o AS (
+        SELECT CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                    THEN e.a ELSE e.b END AS src,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                    THEN e.b ELSE e.a END AS dst,
+               CASE WHEN (da.d < db.d) OR (da.d = db.d AND e.a < e.b)
+                    THEN db.d ELSE da.d END AS dd
+        FROM e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+    ), tri AS (
+        SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+        FROM o o1
+        JOIN o o2 ON o2.src = o1.src
+               AND ((o1.dd < o2.dd) OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+        JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+    )
+    SELECT id AS doc_id, COUNT(*) AS n_triangles FROM (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+    GROUP BY id
+    """
+
+
+@register("triangle_count_nn", _triangle_sql())
+def triangle_count_nn(spark, sf_dir):
+    """Per-document triangle participation counts over the capped
+    near-duplicate graph — triangle density separates tight duplicate
+    clusters (template families, mirror sites) from chance pairwise
+    collisions, the classic graph-structure signal on similarity graphs.
+
+    Graph: simhash hamming≤3 pairs (the registered query, composed),
+    each vertex capped to its {TRI_TOPK} nearest arcs so the edge set —
+    and with it the triangle output — is O(n·k) however dense the dup
+    clusters get (the uncapped clique graph is cubic in group size).
+    Counting uses the DEGREE-ORDERED node-iterator: every edge is
+    oriented from its lower-(degree, id) endpoint, wedges form only at
+    each triangle's lowest corner, and the closing probe is a plain
+    equi-join — each triangle found exactly once, and the wedge fan-out
+    per vertex is bounded by its ORIENTED out-degree, which degree
+    ordering keeps ≤ O(√|E|) even for hub vertices (the reason this
+    shape survives skewed graphs at 100 TB where a<b orientation piles
+    every wedge onto low-id hubs)."""
+    from processor_edf_spark.plans.text_dedup import simhash_near_pairs
+
+    p = simhash_near_pairs(spark, sf_dir)
+    # symmetrize by exploding both directions from ONE pass over the
+    # pair query (a unionAll of two selects would compute the simhash
+    # subtree twice — it dominated the first cut's cost)
+    sym = p.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("u"),
+                    F.col("doc_b").alias("v"),
+                    F.col("hamming"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("u"),
+                    F.col("doc_a").alias("v"),
+                    F.col("hamming"),
+                ),
+            )
+        ).alias("x")
+    ).select("x.u", "x.v", "x.hamming")
+    wtop = Window.partitionBy("u").orderBy("hamming", "v")
+    topk = (
+        sym.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= TRI_TOPK)
+        .select("u", "v")
+    )
+    e = topk.select(
+        F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+    ).distinct()
+    # the capped edge set is O(n·k) rows and feeds THREE consumers
+    # (degree count, wedge sides, closing probe): checkpoint it so the
+    # pair-generation subtree runs once (jaccard_prefix_pairs'
+    # localCheckpoint discipline)
+    e = e.localCheckpoint(eager=False)
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("id").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("id").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        )
+    )
+    o1 = o.select(
+        F.col("src"), F.col("dst").alias("y"), F.col("dd").alias("dy")
+    )
+    o2 = o.select(
+        F.col("src"), F.col("dst").alias("z"), F.col("dd").alias("dz")
+    )
+    wedges = o1.join(o2, "src").filter(
+        (F.col("dy") < F.col("dz"))
+        | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
+    )
+    closing = o.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    tri = wedges.join(closing, ["y", "z"]).select(
+        F.col("src").alias("x"), "y", "z"
+    )
+    return (
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register(
+    "dedup_substring_rewrite",
+    f"""
+    WITH d AS (
+        SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ), g AS (
+        SELECT doc_id, i AS s,
+               array_to_string(list_slice(t, i, i + {SPAN_K - 1}), ' ')
+                   AS gram
+        FROM d, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - {SPAN_K - 1})) AS i)
+        WHERE len(t) >= {SPAN_K}
+    ), dup AS (
+        SELECT gram, MIN(doc_id) AS min_doc FROM g GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ), ds AS (
+        SELECT g.doc_id, g.s FROM g
+        JOIN dup USING (gram) WHERE g.doc_id <> dup.min_doc
+    ), cov AS (
+        SELECT doc_id, list(DISTINCT p) AS cov
+        FROM ds, LATERAL (
+            SELECT unnest(generate_series(s, s + {SPAN_K - 1})) AS p)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id, len(d.t) AS n_tokens,
+           CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+           coalesce(array_to_string(
+               list_transform(
+                   list_filter(generate_series(1, len(d.t)),
+                       p -> NOT list_contains(
+                           coalesce(c.cov, CAST([] AS BIGINT[])), p)),
+                   p -> d.t[p]), ' '), '') AS new_text
+    FROM d LEFT JOIN cov c USING (doc_id)
+    """,
+)
+def dedup_substring_rewrite(spark, sf_dir):
+    """Exact-substring dedup EXECUTED, not just audited
+    (dup_span_coverage is the audit): every token position covered by a
+    cross-document duplicate {SPAN_K}-gram is REMOVED, except in the
+    gram's canonical document (its minimum doc_id), which keeps its
+    text — the Lee et al. one-copy-survives policy at word-gram
+    granularity, emitting the rebuilt text plus removal accounting.
+
+    Plan: the gram stream and dup dim are dup_span_coverage's shapes
+    (explode rides the scan, COUNT-DISTINCT-thresholded dim joined back
+    on the gram key); covered positions explode {SPAN_K} rows per dup
+    start and collapse to one per-doc position set; the rewrite is a
+    per-row array filter — no second corpus scan, no pair enumeration,
+    and the only strings shuffled are the grams, never the documents.
+    The rebuilt text is whitespace-normalized (tokens rejoined with
+    single spaces) on both engines identically."""
+    (documents,) = load(spark, sf_dir, "documents")
+    d = spread(spark, documents).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    g = (
+        d.filter(F.size("t") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SPAN_K - 1)),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.concat_ws(
+                            " ", F.slice(F.col("t"), i, SPAN_K)
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("sg"),
+        )
+        .select("doc_id", "sg.s", "sg.gram")
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("gram", "min_doc")
+    )
+    ds = (
+        g.join(dup, "gram")
+        .filter(F.col("doc_id") != F.col("min_doc"))
+        .select("doc_id", "s")
+    )
+    cov = (
+        ds.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("s"), F.col("s") + (SPAN_K - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    cov_safe = F.coalesce(F.col("cov"), F.array().cast("array<int>"))
+    return d.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.coalesce(F.size("cov"), F.lit(0)).cast("long").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.sequence(F.lit(1), F.size("t")),
+                    lambda p: ~F.array_contains(cov_safe, p),
+                ),
+                lambda p: F.element_at(F.col("t"), p),
+            ),
+        ).alias("new_text"),
+    )

@@ -563,3 +563,38 @@ def test_dup_span_coverage_broadcast_dup_dim_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan
+
+
+def test_rolling_median_single_shuffle(spark):
+    """Trailing-21 median is one window over one user_id shuffle —
+    the sort-per-frame stays inside the window operator."""
+    plan = plan_of(spark, "rolling_median_user")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+
+
+def test_scd2_single_shuffle_no_self_join(spark):
+    """The SCD2 history build is ONE lead window — a self-join on
+    "next change" would shuffle the log twice."""
+    plan = plan_of(spark, "scd2_user_value_history")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+    assert "Join" not in plan
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """Degree-ordered node-iterator: wedge formation and the closing
+    probe are plain equi-joins — never a cartesian."""
+    plan = plan_of(spark, "triangle_count_nn")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_substring_rewrite_no_cartesian_partial_agg(spark):
+    """The rewrite joins the gram stream to the thresholded dup dim on
+    the gram key (partial-agg'd) — no pair enumeration, and only grams
+    shuffle, never document text."""
+    plan = plan_of(spark, "dedup_substring_rewrite")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan

@@ -8,11 +8,11 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r6 window: 15 family anchors (driver-green r5) + the 8 r6 additions
-(corpus_job_report and the analytics_extra batch, first driver check)
-+ the 27 stalest queries (last driver-green r2∪r3) returning for
-refreshed evidence (the stale block's tail 7 are displaced to 51+ by
-the new additions and lead the r7 rotation).
+The r6 window: 15 family anchors (driver-green r5) + the 12 r6
+additions (corpus_job_report and the analytics_extra batches, first
+driver check) + the 23 stalest queries (last driver-green r2∪r3)
+returning for refreshed evidence (the stale block's tail 11 are
+displaced to 51+ by the new additions and lead the r7 rotation).
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
 """
@@ -48,7 +48,11 @@ EXPECTED_FIRST_50 = [
     "event_transitions",
     "grouping_sets_revenue",
     "dup_span_coverage",
-    # 27 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
+    "rolling_median_user",
+    "scd2_user_value_history",
+    "triangle_count_nn",
+    "dedup_substring_rewrite",
+    # 23 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -72,10 +76,6 @@ EXPECTED_FIRST_50 = [
     "lang_id_heuristic",
     "doc_fingerprint",
     "bpe_token_count",
-    "rolling_fingerprint",
-    "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "array_slice_projection",
 ]
 
 
@@ -96,8 +96,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 107 through r5 + corpus_job_report + the 7 analytics_extra (r6)
-    assert len(QUERIES) == 115
+    # 107 through r5 + corpus_job_report + the 11 analytics_extra (r6)
+    assert len(QUERIES) == 119
 
 
 def test_every_query_has_a_family():
