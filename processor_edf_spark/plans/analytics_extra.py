@@ -648,17 +648,40 @@ def scd2_user_value_history(spark, sf_dir):
 
 
 TRI_TOPK = 5  # per-vertex nearest-neighbor cap before triangle counting
+TRI_BUCKET_CAP = 10  # docs considered per LSH bucket for pair generation
+TRI_MAX_HAMMING = 3
 
 
 def _triangle_sql() -> str:
-    """Oracle: compose the registered simhash_near_pairs SQL as the pair
-    source (same composition discipline as corpus_job_report), cap each
-    vertex at its {TRI_TOPK} nearest arcs, then count triangles with the
-    same degree-ordered orientation the Spark plan uses."""
-    from processor_edf_spark.plans.registry import ORACLE
+    """Oracle: the same bucket-capped pair generation the Spark plan
+    runs (simhash byte-band buckets, first {TRI_BUCKET_CAP} doc_ids per
+    bucket, exact hamming ≤ {TRI_MAX_HAMMING} on candidates), the
+    per-vertex {TRI_TOPK} arc cap, then triangles with the identical
+    degree-ordered orientation."""
+    from processor_edf_spark.plans.text_dedup import _simhash_sql
 
+    band_keys = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" (simhash // {1 << (8 * b)}) % 256 AS key FROM sims"
+        for b in range(4)
+    )
     return f"""
-    WITH p AS ({ORACLE["simhash_near_pairs"]}),
+    WITH sims AS ({_simhash_sql(32)}),
+    bands AS ({band_keys}),
+    capped AS (
+        SELECT doc_id, simhash, band, key FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY band, key ORDER BY doc_id) AS brn
+            FROM bands)
+        WHERE brn <= {TRI_BUCKET_CAP}
+    ), p AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+                   AS hamming
+        FROM capped a JOIN capped b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {TRI_MAX_HAMMING}
+    ),
     sym AS (
         SELECT doc_a AS u, doc_b AS v, hamming FROM p
         UNION ALL
@@ -705,8 +728,16 @@ def triangle_count_nn(spark, sf_dir):
     clusters (template families, mirror sites) from chance pairwise
     collisions, the classic graph-structure signal on similarity graphs.
 
-    Graph: simhash hamming≤3 pairs (the registered query, composed),
-    each vertex capped to its {TRI_TOPK} nearest arcs so the edge set —
+    Graph: simhash byte-band LSH candidates with a PER-BUCKET cap —
+    only the first {TRI_BUCKET_CAP} doc_ids of each (band, key) bucket
+    generate pairs, so candidate generation is O(n·cap) however
+    dup-heavy the corpus (the UNCAPPED banded join inherits the
+    semantic quadratic on replica-heavy data: the first cut composed
+    simhash_near_pairs and hit 83 s at the ×4 dup sweep; the cap holds
+    it flat — same trade as lsh_dedup's bucket-star: pairs beyond the
+    cap are not enumerated, and the verified-pair queries remain the
+    exact path).  Exact hamming ≤ {TRI_MAX_HAMMING} filters candidates,
+    each vertex keeps its {TRI_TOPK} nearest arcs, so the edge set —
     and with it the triangle output — is O(n·k) however dense the dup
     clusters get (the uncapped clique graph is cubic in group size).
     Counting uses the DEGREE-ORDERED node-iterator: every edge is
@@ -717,11 +748,49 @@ def triangle_count_nn(spark, sf_dir):
     ordering keeps ≤ O(√|E|) even for hub vertices (the reason this
     shape survives skewed graphs at 100 TB where a<b orientation piles
     every wedge onto low-id hubs)."""
-    from processor_edf_spark.plans.text_dedup import simhash_near_pairs
+    from processor_edf_spark.plans.text_dedup import _simhash_df
 
-    p = simhash_near_pairs(spark, sf_dir)
+    sims = _simhash_df(spark, sf_dir, 32)
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (F.shiftright("simhash", 8 * b) % 256).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "simhash", "bn.band", "bn.key")
+    wcap = Window.partitionBy("band", "key").orderBy("doc_id")
+    capped = (
+        bands.withColumn("brn", F.row_number().over(wcap))
+        .filter(F.col("brn") <= TRI_BUCKET_CAP)
+        .drop("brn")
+    )
+    ca, cb = capped.alias("ca"), capped.alias("cb")
+    ham = F.bit_count(F.col("ca.simhash").bitwiseXOR(F.col("cb.simhash")))
+    p = (
+        ca.join(
+            cb,
+            (F.col("ca.band") == F.col("cb.band"))
+            & (F.col("ca.key") == F.col("cb.key"))
+            & (F.col("ca.doc_id") < F.col("cb.doc_id")),
+        )
+        .select(
+            F.col("ca.doc_id").alias("doc_a"),
+            F.col("cb.doc_id").alias("doc_b"),
+            ham.cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= TRI_MAX_HAMMING)
+        .distinct()
+    )
     # symmetrize by exploding both directions from ONE pass over the
-    # pair query (a unionAll of two selects would compute the simhash
+    # pair stream (a unionAll of two selects would compute the simhash
     # subtree twice — it dominated the first cut's cost)
     sym = p.select(
         F.explode(
