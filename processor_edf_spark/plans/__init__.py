@@ -39,19 +39,16 @@ from processor_edf_spark.plans import analytics_extra  # noqa: E402,F401
 # back through the window, new queries enter immediately, ≥1 query per
 # family stays in-window).  The ledger has been complete since r5
 # (every query driver-green in some round); r6 REFRESHES the stalest
-# evidence: 15 family anchors stay, the 12 r6 additions
-# (corpus_job_report + the analytics_extra batches: anomaly_robust_z,
-# time_weighted_avg_daily, ewma_user_values, gap_fill_hourly,
-# event_transitions, grouping_sets_revenue, dup_span_coverage,
-# rolling_median_user, scd2_user_value_history, triangle_count_nn,
-# dedup_substring_rewrite) take priority slots for their FIRST driver
-# check, and 23 of the 34 stalest queries (last driver-green r2∪r3)
-# return for refreshed evidence.  Rotated out to make room: the 35
-# in-window queries that earned fresh r5 greens, plus — displaced by
-# the new additions — the 11 stale-block tail queries
-# (rolling_fingerprint, dedup_ngram_jaccard, ann_topk_bruteforce,
-# array_slice_projection, ann_ivf_label, calibrate_events,
-# sliding_hour_counts, anti_join_idle_customers,
+# evidence: 15 family anchors stay, the 16 r6 additions
+# (corpus_job_report + the analytics_extra batches 1-3) take priority
+# slots for their FIRST driver check, and 19 of the 34 stalest queries
+# (last driver-green r2∪r3) return for refreshed evidence.  Rotated
+# out to make room: the 35 in-window queries that earned fresh r5
+# greens, plus — displaced by the new additions — the 15 stale-block
+# tail queries (text_quality, lang_id_heuristic, doc_fingerprint,
+# bpe_token_count, rolling_fingerprint, dedup_ngram_jaccard,
+# ann_topk_bruteforce, array_slice_projection, ann_ivf_label,
+# calibrate_events, sliding_hour_counts, anti_join_idle_customers,
 # moving_avg_daily_revenue, minhash_signatures, simhash_16), each
 # family-covered in-window and first in line for r7 alongside the
 # r4-green block.
@@ -87,7 +84,12 @@ _CANONICAL = [
     "scd2_user_value_history",  # events (SCD2/CDC history build)
     "triangle_count_nn",        # graph (degree-ordered node-iterator)
     "dedup_substring_rewrite",  # dedup_text (one-copy-survives rewrite)
-    # ---- 23 stale rotate-ins: last driver-green r2∪r3, refreshed in r6
+    # ---- r6 batch-3 additions, first driver check
+    "dedup_events_debounce",    # events (gap-based burst thinning)
+    "value_percent_rank",       # windows (empirical CDF position)
+    "user_value_trend",         # events (exact integer least squares)
+    "table_profile_events",     # profiling (null/distinct audit)
+    # ---- 19 stale rotate-ins: last driver-green r2∪r3, refreshed in r6
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -107,16 +109,16 @@ _CANONICAL = [
     "cube_event_user_bucket",
     "except_click_no_purchase",
     "distinct_users_per_type",
-    "text_quality",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "bpe_token_count",
     # ---- position 51+: every query below has a driver-green row in
     # some round (r5 for the first block, r4 for the rest — see
     # CORRECTNESS_r0{2,3,4,5}.json) and stays mirror-checked by
     # tests/test_queries_oracle.py on every pytest run.
     # displaced from the r6 stale block by the analytics_extra
     # additions (driver-green r2∪r3; first r7 rotate-ins):
+    "text_quality",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "bpe_token_count",
     "rolling_fingerprint",
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
@@ -293,6 +295,11 @@ FAMILY = {
     "scd2_user_value_history": "events",
     "triangle_count_nn": "graph",
     "dedup_substring_rewrite": "dedup_text",
+    # r6 batch 3
+    "dedup_events_debounce": "events",
+    "value_percent_rank": "windows",
+    "user_value_trend": "events",
+    "table_profile_events": "profiling",
 }
 
 

@@ -978,3 +978,220 @@ def dedup_substring_rewrite(spark, sf_dir):
             ),
         ).alias("new_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 3: debounce, percent rank, exact least-squares trend,
+# table profiling
+# ---------------------------------------------------------------------------
+
+DEBOUNCE_USEC = 5 * 60 * 1_000_000  # 5 minutes
+
+
+@register(
+    "dedup_events_debounce",
+    f"""
+    SELECT event_id, user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS t
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS dt
+        FROM events)
+    WHERE dt IS NULL OR dt > {DEBOUNCE_USEC}
+    """,
+)
+def dedup_events_debounce(spark, sf_dir):
+    """Gap-based event thinning: keep an event only when the SAME
+    (user, type)'s previous event is more than {DEBOUNCE_USEC} µs older
+    — the sensor/telemetry de-bounce that collapses bursts of repeated
+    signals before sessionization or counting.  (This is thinning
+    relative to the previous RAW event — one lag window, stateless;
+    strict debounce relative to the last KEPT event is a running fold,
+    which is the streaming EWMA's applyInPandasWithState shape, not a
+    window.)
+
+    One lag window on (user, type): single shuffle, predicate on an
+    integer delta — no float, no boundary risk.  At 100 TB the window
+    keys are fine-grained (user × type), so no hot partitions."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    t = ts_usec()
+    return (
+        events.withColumn("dt", t - F.lag(t).over(w))
+        .filter(F.col("dt").isNull() | (F.col("dt") > DEBOUNCE_USEC))
+        .select(
+            "event_id", "user_id", "event_type", t.alias("t")
+        )
+    )
+
+
+@register(
+    "value_percent_rank",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (
+               PARTITION BY event_type ORDER BY value) AS pr
+    FROM events
+    """,
+)
+def value_percent_rank(spark, sf_dir):
+    """Empirical CDF position of every value within its event type —
+    percent_rank = (rank-1)/(n-1), the normalization step before
+    cross-type comparison or rank-based feature engineering.  Both
+    engines define it identically from integer rank and count, so the
+    one division is of identical operands (ties share a rank on both
+    sides).  One window shuffle per type partition."""
+    (events,) = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+    )
+
+
+@register(
+    "user_value_trend",
+    """
+    WITH c AS (
+        SELECT user_id,
+               epoch_us(ts) - min(epoch_us(ts)) OVER (
+                   PARTITION BY user_id) AS x,
+               CAST(ROUND(value * 1000000, 0) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * 86400000000.0 / 1000000.0 AS DOUBLE) AS slope_per_day
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+def user_value_trend(spark, sf_dir):
+    """Per-user least-squares trend of value over time (slope in
+    value-units/day) — regression AS aggregation: the drift detector
+    behind engagement/health scoring, computed in one grouped pass
+    instead of per-key model fits.
+
+    Exactness: timestamps are centered per user (window min) so the
+    moment sums fit exact integer types — x ≤ the user's time span in
+    µs, y in micro-units — and every Σx, Σy, Σxy, Σx² is EXACT
+    (HUGEINT / decimal(38,0)); the closed form
+    (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is integer-exact until ONE double
+    division, then two scale multiplies — identical IEEE ops on
+    identical operands, emitted raw.  Without centering, (Σx)² at
+    epoch-µs magnitude (~10³⁹) would overflow both engines' 38-digit
+    types — the centering IS the numeric design.
+
+    One window + one aggregation, both on user_id: a single shuffle."""
+    (events,) = load(spark, sf_dir, "events")
+    t = ts_usec()
+    c = events.select(
+        "user_id",
+        (
+            t - F.min(t).over(Window.partitionBy("user_id"))
+        ).alias("x"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    den = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    return (
+        s.withColumn("num", num)
+        .withColumn("den", den)
+        .filter((F.col("n") >= 2) & (F.col("den") > 0))
+        .select(
+            "user_id",
+            "n",
+            (
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                * 86400000000.0
+                / 1000000.0
+            )
+            .cast("double")
+            .alias("slope_per_day"),
+        )
+    )
+
+
+@register(
+    "table_profile_events",
+    """
+    SELECT 'user_id' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(user_id) AS n_nulls,
+           COUNT(DISTINCT user_id) AS n_distinct FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+           COUNT(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+           COUNT(DISTINCT value) FROM events
+    UNION ALL
+    SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts),
+           COUNT(DISTINCT ts) FROM events
+    UNION ALL
+    SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+           COUNT(DISTINCT props) FROM events
+    """,
+)
+def table_profile_events(spark, sf_dir):
+    """Column-level data profile — row count, null count, exact
+    distinct cardinality per column — the data-quality audit run before
+    trusting a new drop (nulls where none belong, cardinality drift,
+    constant columns).
+
+    One aggregation computes every column's stats in a single scan
+    (COUNT(col) vs COUNT(*) for nulls, COUNT(DISTINCT col) per
+    column), then unpivots to the long (column_name, stats) shape —
+    Catalyst expands the multi-distinct into grouped dedup passes with
+    partial aggregation.  At 100 TB swap exact distincts for
+    approx_count_distinct (operators/approx.py HLL) — same shape, one
+    pass, bounded state."""
+    (events,) = load(spark, sf_dir, "events")
+    agg = events.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nulls_{c}")
+            for c in ("user_id", "event_type", "value", "ts", "props")
+        ],
+        *[
+            F.countDistinct(c).alias(f"dist_{c}")
+            for c in ("user_id", "event_type", "value", "ts", "props")
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            F.col("n_rows").alias("n_rows"),
+            F.col(f"nulls_{c}").alias("n_nulls"),
+            F.col(f"dist_{c}").alias("n_distinct"),
+        )
+        for c in ("user_id", "event_type", "value", "ts", "props")
+    ]
+    return agg.select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.column_name", "r.n_rows", "r.n_nulls", "r.n_distinct")

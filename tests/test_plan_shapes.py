@@ -598,3 +598,34 @@ def test_substring_rewrite_no_cartesian_partial_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_" in plan
+
+
+def test_debounce_single_shuffle(spark):
+    """Gap-based thinning is one lag window on (user, type) — single
+    hash exchange, integer predicate, no join."""
+    plan = plan_of(spark, "dedup_events_debounce")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+    assert "Join" not in plan
+
+
+def test_percent_rank_single_shuffle(spark):
+    plan = plan_of(spark, "value_percent_rank")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+
+
+def test_trend_window_and_agg_share_partitioning(spark):
+    """Centering window and moment aggregation both key on user_id —
+    the regression-as-aggregation costs ONE shuffle."""
+    plan = plan_of(spark, "user_value_trend")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+
+
+def test_table_profile_partial_agg_single_scan(spark):
+    """The 5-column profile reads events ONCE (multi-distinct expand),
+    with partial aggregation before the exchange."""
+    plan = plan_of(spark, "table_profile_events")
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "partial_" in plan

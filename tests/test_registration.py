@@ -8,10 +8,10 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r6 window: 15 family anchors (driver-green r5) + the 12 r6
+The r6 window: 15 family anchors (driver-green r5) + the 16 r6
 additions (corpus_job_report and the analytics_extra batches, first
-driver check) + the 23 stalest queries (last driver-green r2∪r3)
-returning for refreshed evidence (the stale block's tail 11 are
+driver check) + the 19 stalest queries (last driver-green r2∪r3)
+returning for refreshed evidence (the stale block's tail 15 are
 displaced to 51+ by the new additions and lead the r7 rotation).
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
@@ -52,7 +52,11 @@ EXPECTED_FIRST_50 = [
     "scd2_user_value_history",
     "triangle_count_nn",
     "dedup_substring_rewrite",
-    # 23 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
+    "dedup_events_debounce",
+    "value_percent_rank",
+    "user_value_trend",
+    "table_profile_events",
+    # 19 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -72,10 +76,6 @@ EXPECTED_FIRST_50 = [
     "cube_event_user_bucket",
     "except_click_no_purchase",
     "distinct_users_per_type",
-    "text_quality",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "bpe_token_count",
 ]
 
 
@@ -96,8 +96,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 107 through r5 + corpus_job_report + the 11 analytics_extra (r6)
-    assert len(QUERIES) == 119
+    # 107 through r5 + corpus_job_report + the 15 analytics_extra (r6)
+    assert len(QUERIES) == 123
 
 
 def test_every_query_has_a_family():
