@@ -1009,8 +1009,9 @@ def dedup_events_debounce(spark, sf_dir):
     signals before sessionization or counting.  (This is thinning
     relative to the previous RAW event — one lag window, stateless;
     strict debounce relative to the last KEPT event is a running fold,
-    which is the streaming EWMA's applyInPandasWithState shape, not a
-    window.)
+    not a window — ``streaming/debounce.py stream_debounce`` provides
+    exactly that as a stateful streaming operator, semantics difference
+    pinned in tests/test_streaming_debounce.py.)
 
     One lag window on (user, type): single shuffle, predicate on an
     integer delta — no float, no boundary risk.  At 100 TB the window
