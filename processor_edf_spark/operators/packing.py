@@ -153,9 +153,11 @@ def dedup_incremental(
     Writer exclusion: the read-check-append region runs under an
     advisory lock file (``<store_dir>.__lock__``, atomic createNewFile);
     a second concurrent writer raises :class:`DedupStoreLockError`
-    before touching anything.  Not full ACID — the table-format upgrade
-    (Delta/Iceberg appends) is a deployment choice, not an operator
-    change.
+    before touching anything.  For genuinely CONCURRENT writers, the
+    transaction-log upgrade is wired: ``operators/txstore.py
+    dedup_incremental_tx`` runs the same admit semantics under
+    optimistic-concurrency commits (Delta-style atomic version claim,
+    losers re-check and retry) with snapshot-isolated readers.
 
     Crash semantics (pinned by tests/test_packing.py): the store append
     is the commit point.  A crash BEFORE the append leaves the store

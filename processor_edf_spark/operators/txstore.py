@@ -1,0 +1,313 @@
+"""Transaction-log hash store — the multi-writer upgrade of the
+advisory-lock ``dedup_incremental`` (operators/packing.py), closing the
+"table-format upgrade named but not wired" gap: the same optimistic-
+concurrency commit protocol Delta/Iceberg use, reduced to exactly what
+an append-mostly hash store needs, with no library dependency.
+
+Layout::
+
+    store_dir/
+      _txlog/00000000.json   {"add": ["<uuid>.parquet", ...], "base": bool}
+      _txlog/00000001.json   ...
+      <uuid>.parquet         data files (invisible until a log entry
+                             references them)
+
+Protocol:
+
+- **Writers never mutate** — data files are written under fresh UUID
+  names, then made visible by committing log entry N+1.  The commit is
+  an ATOMIC create-if-absent of ``_txlog/{N+1:08d}.json``: exactly one
+  of any set of racing writers wins the version; losers see the
+  conflict, re-read the entries they lost to, re-apply their check
+  against ONLY the newly committed data, and retry at the next version.
+  (Atomic create-if-absent holds on local FS and HDFS; on S3-style
+  object stores it needs conditional PUTs or an external lock service —
+  the same caveat Delta documents.  Named, not hidden.)
+- **Readers take a snapshot**: list the log once, read the union of
+  files from the base-most entry forward.  A concurrent commit never
+  changes what an in-progress reader sees.
+- **Compaction is just a commit** with ``base=true``: one entry whose
+  files replace everything earlier.  Readers scanning backward stop at
+  a base entry, so compaction races cleanly with both readers and
+  writers (a writer that loses to a compaction re-checks against the
+  compacted snapshot like any other conflict).
+- **Crash before commit** leaves only unreferenced data files — the
+  store's visible state is unchanged, and re-running the batch
+  re-admits the same rows.  ``vacuum_store`` deletes unreferenced
+  files; run it only with no writers in flight (documented).
+
+``tests/test_txstore.py`` pins: cross-batch dedup, loser-retry
+correctness under an injected race (no double-admission), snapshot
+isolation across a concurrent commit, compaction equivalence, and
+crash-before-commit invisibility.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TXLOG_SUBDIR = "_txlog"
+MAX_COMMIT_RETRIES = 20
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed this version first."""
+
+
+class TxStoreRetriesExhausted(RuntimeError):
+    """Gave up after MAX_COMMIT_RETRIES losing commit races."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    ), jpath, jvm
+
+
+def _log_dir(store_dir: str) -> str:
+    return f"{store_dir.rstrip('/')}/{TXLOG_SUBDIR}"
+
+
+def _entry_path(store_dir: str, version: int) -> str:
+    return f"{_log_dir(store_dir)}/{version:08d}.json"
+
+
+def list_versions(spark: SparkSession, store_dir: str) -> list[int]:
+    """Committed versions, ascending (empty list: store not created)."""
+    fs, jpath, jvm = _fs(spark, _log_dir(store_dir))
+    if not fs.exists(jpath):
+        return []
+    out = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name.endswith(".json"):
+            try:
+                out.append(int(name[:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_entry(spark: SparkSession, store_dir: str, version: int) -> dict:
+    fs, jpath, jvm = _fs(spark, _entry_path(store_dir, version))
+    stream = fs.open(jpath)
+    try:
+        data = bytes(
+            spark.sparkContext._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream
+            )
+        )
+    finally:
+        stream.close()
+    return json.loads(data.decode("utf-8"))
+
+
+def snapshot_files(
+    spark: SparkSession, store_dir: str, versions: list[int] | None = None
+) -> list[str]:
+    """Data files visible at the given (default: latest) snapshot:
+    scan entries backward, stop after a ``base`` entry."""
+    if versions is None:
+        versions = list_versions(spark, store_dir)
+    picked: list[str] = []
+    for v in reversed(versions):
+        entry = _read_entry(spark, store_dir, v)
+        picked = entry["add"] + picked
+        if entry.get("base"):
+            break
+    return [f"{store_dir.rstrip('/')}/{name}" for name in picked]
+
+
+def read_store(
+    spark: SparkSession, store_dir: str, versions: list[int] | None = None
+) -> DataFrame | None:
+    """Snapshot read: None when the store has no committed version."""
+    files = snapshot_files(spark, store_dir, versions)
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
+def commit_version(
+    spark: SparkSession,
+    store_dir: str,
+    version: int,
+    files: list[str],
+    base: bool = False,
+) -> None:
+    """Atomically publish ``files`` as log entry ``version`` — raises
+    :class:`CommitConflictError` when a racing writer won the slot.
+
+    The payload is fully written to a hidden temp name first, then
+    RENAMED onto the version slot: rename is atomic and fails when the
+    destination exists (HDFS and local FS semantics), so no reader can
+    ever observe a truncated entry and exactly one racing writer wins."""
+    fs, jpath, jvm = _fs(spark, _entry_path(store_dir, version))
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs.mkdirs(hpath(_log_dir(store_dir)))
+    payload = json.dumps({"add": files, "base": base}).encode("utf-8")
+    tmp_name = f"{_log_dir(store_dir)}/.tmp-{uuid.uuid4().hex}"
+    tmp = hpath(tmp_name)
+    out = fs.create(tmp, False)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    scheme = jpath.toUri().getScheme()
+    if scheme in (None, "file"):
+        # POSIX rename(2) silently OVERWRITES an existing destination,
+        # so local-FS publish uses hard-LINK creation instead — link()
+        # fails atomically when the destination exists, which is the
+        # exact one-winner primitive the protocol needs
+        nio = jvm.java.nio.file
+        # java.io.File(...).toPath() — Paths.get is varargs, which py4j
+        # can't call with a single string
+        src = jvm.java.io.File(tmp_name.removeprefix("file:")).toPath()
+        dst = jvm.java.io.File(
+            _entry_path(store_dir, version).removeprefix("file:")
+        ).toPath()
+        try:
+            nio.Files.createLink(dst, src)
+        except Exception as exc:  # noqa: BLE001 — py4j wraps the Java type
+            fs.delete(tmp, False)
+            blob = f"{type(exc).__name__} {exc}".lower()
+            if "alreadyexists" in blob or "file exists" in blob:
+                raise CommitConflictError(
+                    f"version {version} already committed"
+                ) from exc
+            raise
+        fs.delete(tmp, False)
+    else:
+        # HDFS-style filesystems: rename fails when the destination
+        # exists (the FileSystem contract Delta relies on)
+        if fs.exists(jpath) or not fs.rename(tmp, jpath):
+            fs.delete(tmp, False)
+            raise CommitConflictError(
+                f"version {version} already committed"
+            )
+
+
+def _write_data_file(
+    spark: SparkSession, store_dir: str, df: DataFrame
+) -> str:
+    """Write ``df`` under a fresh UUID directory name (parquet dir) —
+    invisible until committed."""
+    name = f"data-{uuid.uuid4().hex}.parquet"
+    df.coalesce(1).write.parquet(f"{store_dir.rstrip('/')}/{name}")
+    return name
+
+
+def dedup_incremental_tx(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    _pre_commit_hook=None,
+) -> DataFrame:
+    """Multi-writer incremental dedup: admit rows whose content sha-256
+    no committed snapshot has seen, publish the admitted hashes as the
+    next log version.  Safe under CONCURRENT writers: a lost commit race
+    re-checks the admitted set against exactly the entries that beat it
+    and retries — a hash admitted by the winner is not admitted again.
+
+    ``_pre_commit_hook`` is a test seam (called between data-file write
+    and commit attempt) used to inject a racing commit deterministically;
+    production callers leave it None."""
+    from pyspark.sql import Window
+
+    keyed = batch.withColumn("content_sha", F.sha2(F.col(text_col), 256))
+    w = Window.partitionBy("content_sha").orderBy(id_col)
+    admitted = (
+        keyed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    versions = list_versions(spark, store_dir)
+    seen = read_store(spark, store_dir, versions)
+    if seen is not None:
+        admitted = admitted.join(
+            seen.select("content_sha"), "content_sha", "left_anti"
+        )
+    admitted = admitted.localCheckpoint(eager=True)
+
+    for _ in range(MAX_COMMIT_RETRIES):
+        if admitted.isEmpty():
+            return admitted.drop("content_sha")
+        name = _write_data_file(
+            spark, store_dir, admitted.select("content_sha")
+        )
+        if _pre_commit_hook is not None:
+            hook, _pre_commit_hook = _pre_commit_hook, None
+            hook()
+        next_version = (versions[-1] + 1) if versions else 0
+        try:
+            commit_version(spark, store_dir, next_version, [name])
+            return admitted.drop("content_sha")
+        except CommitConflictError:
+            # re-check against ONLY the entries that beat us, retry
+            new_versions = list_versions(spark, store_dir)
+            delta = [v for v in new_versions if v not in versions]
+            winner = read_store(spark, store_dir, delta)
+            if winner is not None:
+                admitted = admitted.join(
+                    winner.select("content_sha"), "content_sha", "left_anti"
+                ).localCheckpoint(eager=True)
+            versions = new_versions
+    raise TxStoreRetriesExhausted(
+        f"lost {MAX_COMMIT_RETRIES} commit races on {store_dir}"
+    )
+
+
+def compact_store_tx(spark: SparkSession, store_dir: str) -> int:
+    """Rewrite the visible snapshot as one dense ``base=true`` entry;
+    returns the distinct-hash count.  Loses cleanly to racing appends
+    (retries on top of them)."""
+    for _ in range(MAX_COMMIT_RETRIES):
+        versions = list_versions(spark, store_dir)
+        snap = read_store(spark, store_dir, versions)
+        if snap is None:
+            return 0
+        dense = snap.select("content_sha").distinct().localCheckpoint(
+            eager=True
+        )
+        n = dense.count()
+        name = _write_data_file(spark, store_dir, dense)
+        try:
+            commit_version(
+                spark, store_dir, versions[-1] + 1, [name], base=True
+            )
+            return n
+        except CommitConflictError:
+            continue
+    raise TxStoreRetriesExhausted(
+        f"lost {MAX_COMMIT_RETRIES} compaction races on {store_dir}"
+    )
+
+
+def vacuum_store(spark: SparkSession, store_dir: str) -> int:
+    """Delete data files no snapshot references (crashed writers,
+    pre-compaction files).  Run only with no writers in flight — a
+    writer between data-file write and commit would lose its file
+    (the same quiesce requirement as Delta's VACUUM retention window).
+    Returns the number of deleted files."""
+    fs, jpath, jvm = _fs(spark, store_dir)
+    if not fs.exists(jpath):
+        return 0
+    referenced = {p.rsplit("/", 1)[-1] for p in snapshot_files(spark, store_dir)}
+    deleted = 0
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if name == TXLOG_SUBDIR or name in referenced:
+            continue
+        if name.startswith("data-"):
+            fs.delete(st.getPath(), True)
+            deleted += 1
+    return deleted

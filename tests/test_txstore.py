@@ -1,0 +1,122 @@
+"""Transaction-log dedup store: cross-batch dedup, loser-retry under an
+injected commit race (no double admission), snapshot isolation,
+compaction equivalence, crash-before-commit invisibility, vacuum."""
+
+from __future__ import annotations
+
+import pytest
+
+from processor_edf_spark.operators.txstore import (
+    CommitConflictError,
+    commit_version,
+    compact_store_tx,
+    dedup_incremental_tx,
+    list_versions,
+    read_store,
+    snapshot_files,
+    vacuum_store,
+    _write_data_file,
+)
+
+SCHEMA = "doc_id long, text string"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _admitted_ids(df):
+    return sorted(r["doc_id"] for r in df.collect())
+
+
+def test_cross_batch_dedup(spark, tmp_path):
+    store = str(tmp_path / "store")
+    b1 = _docs(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    out1 = dedup_incremental_tx(spark, b1, store)
+    assert _admitted_ids(out1) == [1, 2]  # in-batch dup dropped
+
+    b2 = _docs(spark, [(4, "beta"), (5, "gamma")])
+    out2 = dedup_incremental_tx(spark, b2, store)
+    assert _admitted_ids(out2) == [5]  # beta already committed
+    assert list_versions(spark, store) == [0, 1]
+
+
+def test_lost_commit_race_readmits_nothing(spark, tmp_path):
+    """Writer A snapshots, then writer B commits an overlapping batch
+    BEFORE A's commit attempt (injected via the test seam).  A must
+    lose version 1, re-check against B's entry, and admit only the
+    non-overlapping rows at version 2."""
+    store = str(tmp_path / "store")
+    dedup_incremental_tx(spark, _docs(spark, [(1, "seed")]), store)
+
+    def racing_commit():
+        dedup_incremental_tx(
+            spark, _docs(spark, [(10, "x"), (11, "y")]), store
+        )
+
+    out = dedup_incremental_tx(
+        spark,
+        _docs(spark, [(20, "x"), (21, "z")]),
+        store,
+        _pre_commit_hook=racing_commit,
+    )
+    # "x" was won by the racing writer; only "z" admitted here
+    assert _admitted_ids(out) == [21]
+    assert list_versions(spark, store) == [0, 1, 2]
+    final = read_store(spark, store)
+    shas = [r["content_sha"] for r in final.collect()]
+    assert len(shas) == len(set(shas)) == 4  # seed, x, y, z — no dups
+
+
+def test_snapshot_isolation_across_concurrent_commit(spark, tmp_path):
+    store = str(tmp_path / "store")
+    dedup_incremental_tx(spark, _docs(spark, [(1, "a"), (2, "b")]), store)
+    versions = list_versions(spark, store)
+    snap = read_store(spark, store, versions)
+    before = snap.count()
+    dedup_incremental_tx(spark, _docs(spark, [(3, "c")]), store)
+    # the pinned-version snapshot still reads the old file set
+    assert read_store(spark, store, versions).count() == before == 2
+    assert read_store(spark, store).count() == 3
+
+
+def test_compaction_preserves_visible_set(spark, tmp_path):
+    store = str(tmp_path / "store")
+    for i, t in enumerate(("a", "b", "c", "d")):
+        dedup_incremental_tx(spark, _docs(spark, [(i, t)]), store)
+    n = compact_store_tx(spark, store)
+    assert n == 4
+    assert read_store(spark, store).count() == 4
+    # post-compaction snapshot is the single base entry's file set
+    assert len(snapshot_files(spark, store)) == 1
+    # dedup still works on top of the base entry
+    out = dedup_incremental_tx(
+        spark, _docs(spark, [(9, "c"), (10, "e")]), store
+    )
+    assert _admitted_ids(out) == [10]
+
+
+def test_uncommitted_data_files_are_invisible_and_vacuumable(
+    spark, tmp_path
+):
+    store = str(tmp_path / "store")
+    dedup_incremental_tx(spark, _docs(spark, [(1, "a")]), store)
+    # simulate a crash: data file written, commit never happened
+    _write_data_file(
+        spark, store, _docs(spark, [(2, "ghost")]).selectExpr(
+            "sha2(text, 256) AS content_sha"
+        )
+    )
+    assert read_store(spark, store).count() == 1  # invisible
+    out = dedup_incremental_tx(spark, _docs(spark, [(3, "ghost")]), store)
+    assert _admitted_ids(out) == [3]  # crashed batch re-admits
+    assert vacuum_store(spark, store) == 1  # the orphan is removed
+    assert read_store(spark, store).count() == 2
+
+
+def test_direct_commit_conflict_raises(spark, tmp_path):
+    store = str(tmp_path / "store")
+    dedup_incremental_tx(spark, _docs(spark, [(1, "a")]), store)
+    (name,) = [p.rsplit("/", 1)[-1] for p in snapshot_files(spark, store)]
+    with pytest.raises(CommitConflictError):
+        commit_version(spark, store, 0, [name])
