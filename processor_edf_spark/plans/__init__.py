@@ -39,13 +39,14 @@ from processor_edf_spark.plans import analytics_extra  # noqa: E402,F401
 # back through the window, new queries enter immediately, ≥1 query per
 # family stays in-window).  The ledger has been complete since r5
 # (every query driver-green in some round); r6 REFRESHES the stalest
-# evidence: 15 family anchors stay, the 16 r6 additions
-# (corpus_job_report + the analytics_extra batches 1-3) take priority
-# slots for their FIRST driver check, and 19 of the 34 stalest queries
+# evidence: 15 family anchors stay, the 18 r6 additions
+# (corpus_job_report + the analytics_extra batches 1-4) take priority
+# slots for their FIRST driver check, and 17 of the 34 stalest queries
 # (last driver-green r2∪r3) return for refreshed evidence.  Rotated
 # out to make room: the 35 in-window queries that earned fresh r5
-# greens, plus — displaced by the new additions — the 15 stale-block
-# tail queries (text_quality, lang_id_heuristic, doc_fingerprint,
+# greens, plus — displaced by the new additions — the 17 stale-block
+# tail queries (except_click_no_purchase, distinct_users_per_type,
+# text_quality, lang_id_heuristic, doc_fingerprint,
 # bpe_token_count, rolling_fingerprint, dedup_ngram_jaccard,
 # ann_topk_bruteforce, array_slice_projection, ann_ivf_label,
 # calibrate_events, sliding_hour_counts, anti_join_idle_customers,
@@ -89,7 +90,10 @@ _CANONICAL = [
     "value_percent_rank",       # windows (empirical CDF position)
     "user_value_trend",         # events (exact integer least squares)
     "table_profile_events",     # profiling (null/distinct audit)
-    # ---- 19 stale rotate-ins: last driver-green r2∪r3, refreshed in r6
+    # ---- r6 batch-4 additions, first driver check
+    "full_outer_daily_activity",  # joins (FULL OUTER completes the set)
+    "user_value_correlation",   # events (exact integer Pearson r)
+    # ---- 17 stale rotate-ins: last driver-green r2∪r3, refreshed in r6
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -107,14 +111,14 @@ _CANONICAL = [
     "tumbling_daily_stats",
     "value_percentiles_per_type",
     "cube_event_user_bucket",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
     # ---- position 51+: every query below has a driver-green row in
     # some round (r5 for the first block, r4 for the rest — see
     # CORRECTNESS_r0{2,3,4,5}.json) and stays mirror-checked by
     # tests/test_queries_oracle.py on every pytest run.
     # displaced from the r6 stale block by the analytics_extra
     # additions (driver-green r2∪r3; first r7 rotate-ins):
+    "except_click_no_purchase",
+    "distinct_users_per_type",
     "text_quality",
     "lang_id_heuristic",
     "doc_fingerprint",
@@ -300,6 +304,9 @@ FAMILY = {
     "value_percent_rank": "windows",
     "user_value_trend": "events",
     "table_profile_events": "profiling",
+    # r6 batch 4
+    "full_outer_daily_activity": "joins",
+    "user_value_correlation": "events",
 }
 
 

@@ -1196,3 +1196,146 @@ def table_profile_events(spark, sf_dir):
     return agg.select(
         F.explode(F.array(*rows)).alias("r")
     ).select("r.column_name", "r.n_rows", "r.n_nulls", "r.n_distinct")
+
+
+# ---------------------------------------------------------------------------
+# Round-6 batch 4: full-outer join coverage + exact Pearson correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_daily_activity",
+    """
+    WITH c AS (
+        SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_clicks
+        FROM events WHERE event_type = 'click' GROUP BY user_id, day
+    ), p AS (
+        SELECT user_id, date_trunc('day', ts) AS day, COUNT(*) AS n_purchases
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id, day
+    )
+    SELECT coalesce(c.user_id, p.user_id) AS user_id,
+           CAST(epoch_us(coalesce(c.day, p.day)) AS BIGINT) AS day_usec,
+           coalesce(c.n_clicks, 0) AS n_clicks,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           c.day IS NOT NULL AND p.day IS NOT NULL AS both_active
+    FROM c FULL OUTER JOIN p
+      ON c.user_id = p.user_id AND c.day = p.day
+    """,
+)
+def full_outer_daily_activity(spark, sf_dir):
+    """Per-(user, day) reconciliation of two activity streams — click
+    days vs purchase days, with zero-filled counts and a both-active
+    flag: the FULL OUTER join shape (every other join flavor —
+    inner/left/semi/anti/asof/range/band — already has a registered
+    query; this completes the set).  Purchase-without-click days are
+    attribution holes; click-without-purchase days feed the funnel —
+    both null sides of the join carry meaning, which is exactly when
+    FULL OUTER is the right tool.
+
+    Two filtered daily aggregates (map-side partial, type predicate
+    rides the scan) full-outer-joined on the (user, day) key.  At
+    100 TB both sides are |users|·|days| at most — the join keys are
+    fine-grained, no hot partitions, and Spark plans a sort-merge full
+    outer which AQE sizes; the cost lives in the two scans' partial
+    aggregation, not the join."""
+    (events,) = load(spark, sf_dir, "events")
+
+    def daily(event_type: str, out: str):
+        return (
+            events.filter(F.col("event_type") == event_type)
+            .groupBy(
+                "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+            )
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    c = daily("click", "n_clicks")
+    p = daily("purchase", "n_purchases")
+    return c.join(p, ["user_id", "day"], "full_outer").select(
+        "user_id",
+        ts_usec("day").alias("day_usec"),
+        F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
+        (
+            F.col("n_clicks").isNotNull() & F.col("n_purchases").isNotNull()
+        ).alias("both_active"),
+    )
+
+
+@register(
+    "user_value_correlation",
+    """
+    WITH c AS (
+        SELECT user_id,
+               epoch_us(ts) - min(epoch_us(ts)) OVER (
+                   PARTITION BY user_id) AS x,
+               CAST(ROUND(value * 1000000, 0) AS BIGINT) AS y
+        FROM events
+    ), s AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               SUM(CAST(x AS HUGEINT)) AS sx,
+               SUM(CAST(y AS HUGEINT)) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
+        FROM c GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) AS r
+    FROM s
+    WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def user_value_correlation(spark, sf_dir):
+    """Per-user Pearson correlation of value against time — the
+    normalized companion of ``user_value_trend`` (slope says how fast,
+    r says how consistently): the drift-vs-noise separator.
+
+    Same exact-moment discipline as the trend query: centered-µs x and
+    micro-unit y keep Σx, Σy, Σxy, Σx², Σy² in exact integer types
+    (HUGEINT / decimal(38,0)); the closed form touches floats only in
+    the last three IEEE ops — two casts' multiply, one sqrt, one
+    divide.  sqrt IS correctly rounded under IEEE-754 (unlike pow/exp,
+    which are why the temperature-mix query family is NOT oracle-safe),
+    so the result is bit-identical cross-engine and emitted raw.
+    A built-in corr() would be a float-sum-order gamble instead.
+
+    One window + one aggregation on user_id: a single shuffle."""
+    (events,) = load(spark, sf_dir, "events")
+    t = ts_usec()
+    c = events.select(
+        "user_id",
+        (t - F.min(t).over(Window.partitionBy("user_id"))).alias("x"),
+        F.round(F.col("value") * 1000000, 0).cast("long").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    s = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
+    return (
+        s.withColumn("num", num)
+        .withColumn("dx", dx)
+        .withColumn("dy", dy)
+        .filter((F.col("n") >= 2) & (F.col("dx") > 0) & (F.col("dy") > 0))
+        .select(
+            "user_id",
+            "n",
+            (
+                F.col("num").cast("double")
+                / F.sqrt(F.col("dx").cast("double") * F.col("dy").cast("double"))
+            ).alias("r"),
+        )
+    )

@@ -629,3 +629,21 @@ def test_table_profile_partial_agg_single_scan(spark):
     plan = plan_of(spark, "table_profile_events")
     assert plan.count("Scan parquet") == 1, plan[:2000]
     assert "partial_" in plan
+
+
+def test_full_outer_partial_aggs_no_cartesian(spark):
+    """Both daily aggregates partial-agg before their exchanges; the
+    reconciliation is a keyed full-outer — never a nested loop."""
+    plan = plan_of(spark, "full_outer_daily_activity")
+    assert "FullOuter" in plan, plan[:2000]
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_correlation_single_shuffle(spark):
+    """Centering window and the five moment sums share the user_id
+    partitioning — one shuffle, like user_value_trend."""
+    plan = plan_of(spark, "user_value_correlation")
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"

@@ -8,10 +8,10 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r6 window: 15 family anchors (driver-green r5) + the 16 r6
+The r6 window: 15 family anchors (driver-green r5) + the 18 r6
 additions (corpus_job_report and the analytics_extra batches, first
-driver check) + the 19 stalest queries (last driver-green r2∪r3)
-returning for refreshed evidence (the stale block's tail 15 are
+driver check) + the 17 stalest queries (last driver-green r2∪r3)
+returning for refreshed evidence (the stale block's tail 17 are
 displaced to 51+ by the new additions and lead the r7 rotation).
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
@@ -56,7 +56,9 @@ EXPECTED_FIRST_50 = [
     "value_percent_rank",
     "user_value_trend",
     "table_profile_events",
-    # 19 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
+    "full_outer_daily_activity",
+    "user_value_correlation",
+    # 17 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
@@ -74,8 +76,6 @@ EXPECTED_FIRST_50 = [
     "tumbling_daily_stats",
     "value_percentiles_per_type",
     "cube_event_user_bucket",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
 ]
 
 
@@ -96,8 +96,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 107 through r5 + corpus_job_report + the 15 analytics_extra (r6)
-    assert len(QUERIES) == 123
+    # 107 through r5 + corpus_job_report + the 17 analytics_extra (r6)
+    assert len(QUERIES) == 125
 
 
 def test_every_query_has_a_family():
