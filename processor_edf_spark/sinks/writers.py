@@ -178,6 +178,37 @@ def write_training_shards(
     )
 
 
+def write_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    max_records_per_file: int = 100_000,
+    shard_key: str | None = None,
+    order_cols: tuple[str, ...] = (),
+    compression: str = "gzip",
+) -> None:
+    """JSONL export sink — the interchange format most LLM training
+    stacks ingest (one JSON object per line, gzip shards): the same
+    size-bound / shard-routing / within-shard-ordering contract as
+    :func:`write_training_shards`, with line-JSON instead of parquet.
+
+    Columns become JSON fields verbatim; nested structs/arrays serialize
+    as nested JSON.  Parquet remains the canonical sink (typed, footer
+    stats, 5-10× smaller) — this is the hand-off format for external
+    consumers that speak only JSONL.  Same scale shape: one optional
+    shuffle + a streaming write, nothing collects."""
+    w = df
+    if shard_key is not None:
+        w = w.repartition(shard_key)
+    if order_cols:
+        w = w.sortWithinPartitions(*order_cols)
+    (
+        w.write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .option("compression", compression)
+        .json(out_dir)
+    )
+
+
 def write_zordered(
     df: DataFrame,
     out_dir: str,

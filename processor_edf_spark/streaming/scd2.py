@@ -1,0 +1,112 @@
+"""Streaming SCD2 — incremental history maintenance as a stream.
+
+The batch side (`operators/scd2.py`) builds/merges the full history
+table; this operator maintains it INCREMENTALLY over a change stream:
+state per key is the OPEN row (valid_from, value), and every arriving
+change CLOSES it — the closed interval is emitted downstream (append
+mode), the new open row replaces it in state.  A consumer materializes
+the history as (emitted closed rows) ∪ (a final batch pass for the
+still-open rows) — the classic lambda split the batch ``scd2_build``
+already covers.
+
+Ordering: each micro-batch folds its changes in (t, tie) order; across
+micro-batches the open row is final, so a change arriving LATER than
+one it precedes in event time closes the open row at its own t (the
+greedy bounded-state trade every stateful operator here makes;
+``scd2_apply_delta`` owns exact out-of-order repair).  A change at
+t ≤ the open row's valid_from is dropped (it cannot close an interval
+that starts after it) — counted nowhere here, quarantine upstream if
+that matters.
+
+Parity (tests/test_streaming_scd2.py): on in-order input the emitted
+closed rows are EXACTLY the batch build's ``is_current = false`` rows.
+Scale: state is one (long, double) per key, sharded by the groupBy
+shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SCD2_STREAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("valid_from_usec", T.LongType(), False),
+        T.StructField("valid_to_usec", T.LongType(), False),
+        T.StructField("is_current", T.BooleanType(), False),
+    ]
+)
+
+SCD2_STREAM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_from", T.LongType(), True),
+        T.StructField("open_value", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_scd2(
+    changes: DataFrame,
+    key_col: str = "user_id",
+    t_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Emit closed SCD2 intervals from a change stream of
+    (user_id, t µs, value); the open row per key lives in state."""
+
+    def fold(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        open_from, open_value = (
+            state.get if state.exists else (None, None)
+        )
+        rows = [p for p in pdfs if len(p)]
+        if not rows:
+            state.update((open_from, open_value))
+            return
+        batch = pd.concat(rows, ignore_index=True).sort_values(
+            [t_col, value_col]
+        )
+        closed: list[tuple] = []
+        for t, v in zip(batch[t_col], batch[value_col]):
+            t, v = int(t), float(v)
+            if open_from is not None:
+                if t <= open_from:
+                    continue  # cannot close an interval starting later
+                closed.append((uid, open_value, open_from, t, False))
+            open_from, open_value = t, v
+        state.update((open_from, open_value))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "value",
+                    "valid_from_usec",
+                    "valid_to_usec",
+                    "is_current",
+                ],
+            )
+
+    keyed = changes.select(
+        F.col(key_col).alias("user_id"),
+        F.col(t_col).alias(t_col),
+        F.col(value_col).alias(value_col),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=SCD2_STREAM_OUTPUT_SCHEMA,
+        stateStructType=SCD2_STREAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
