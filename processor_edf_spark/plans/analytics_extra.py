@@ -1,7 +1,10 @@
-"""Round-6 analytics extensions: robust anomaly detection, time-weighted
-and exponentially-weighted value smoothing, gap-filling interpolation,
-Markov transition matrices, GROUPING SETS, and duplicate-span coverage
-(the per-document statistic behind exact-substring dedup).
+"""Round-6 analytics extensions, four batches: robust anomaly detection,
+time-weighted / exponentially-weighted / rolling-median smoothing,
+gap-filling interpolation, Markov transition matrices, GROUPING SETS,
+duplicate-span coverage AND the executing substring-dedup rewrite,
+SCD2 history, triangle counting over the capped near-dup graph, event
+debounce, percent rank, exact integer least-squares trend and Pearson
+correlation, full-outer reconciliation, and table profiling.
 
 These extend the time-series / training-data operator surface (SURVEY.md
 extensions; the reference stops at EDF ETL — cited for scope:
