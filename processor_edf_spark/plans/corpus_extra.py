@@ -248,6 +248,24 @@ def jaccard_prefix_pairs(spark, sf_dir):
 WSAMPLE_K = 100
 
 
+def aes_sample_key(id_col: str = "doc_id", weight_col: str = "n_chars"):
+    """The Efraimidis–Spirakis key column, ONE definition shared by the
+    batch ``weighted_sample_aes`` query and the streaming reservoir
+    (``streaming/sample.py``): u from the portable md5 hash, key =
+    round(-ln(u)/weight, 9).  Computing the key in Spark expressions on
+    BOTH paths is what makes stream/batch parity exact — a Python
+    re-derivation would race libm-vs-JVM ln and round-half-mode
+    differences."""
+    u = (
+        F.pmod(
+            hash64(F.col(id_col).cast("string"), salt="ws"), F.lit(1000000)
+        )
+        + 0.5
+    ) / 1000000.0
+    weight = F.greatest(F.col(weight_col), F.lit(1))
+    return F.round(-F.log(u) / weight, 9), weight
+
+
 def _weighted_sample_sql() -> str:
     h = hash64_sql("CAST(doc_id AS VARCHAR)", salt="ws")
     key = (
@@ -285,12 +303,7 @@ def weighted_sample_aes(spark, sf_dir):
     discipline), so the selected set can't flip on a 1-ulp ln difference.
     """
     (documents,) = load(spark, sf_dir, "documents")
-    u = (
-        F.pmod(hash64(F.col("doc_id").cast("string"), salt="ws"), F.lit(1000000))
-        + 0.5
-    ) / 1000000.0
-    weight = F.greatest(F.col("n_chars"), F.lit(1))
-    key = F.round(-F.log(u) / weight, 9)
+    key, weight = aes_sample_key("doc_id", "n_chars")
     top = (
         documents.select(
             "doc_id", weight.alias("weight"), key.alias("sample_key")
