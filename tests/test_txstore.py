@@ -120,3 +120,63 @@ def test_direct_commit_conflict_raises(spark, tmp_path):
     (name,) = [p.rsplit("/", 1)[-1] for p in snapshot_files(spark, store)]
     with pytest.raises(CommitConflictError):
         commit_version(spark, store, 0, [name])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("seed", [3, 31])
+def test_randomized_interleavings_admit_exactly_once(spark, tmp_path, seed):
+    """Property: across ANY sequence of writer batches with overlapping
+    content — each optionally racing another writer between snapshot
+    and commit — every distinct text is admitted by EXACTLY ONE
+    writer call, and the final store holds exactly the distinct set."""
+    import random
+
+    rng = random.Random(seed)
+    store = str(tmp_path / "store")
+    texts = [f"text-{i}" for i in range(30)]
+    admitted_by: dict[str, int] = {}
+    call_no = 0
+
+    def sha_of(t):
+        import hashlib
+
+        return hashlib.sha256(t.encode()).hexdigest()
+
+    def run_batch(rows, hook=None):
+        nonlocal call_no
+        call_no += 1
+        me = call_no
+        out = dedup_incremental_tx(
+            spark,
+            _docs(spark, rows),
+            store,
+            _pre_commit_hook=hook,
+        )
+        for r in out.collect():
+            sha = sha_of(r["text"])
+            assert sha not in admitted_by, (
+                f"{r['text']} admitted by call {admitted_by[sha]} AND {me}"
+            )
+            admitted_by[sha] = me
+
+    next_id = 0
+    for _ in range(6):
+        batch = [
+            (  # overlapping random slices of the text pool
+                (next_id := next_id + 1),
+                rng.choice(texts),
+            )
+            for _ in range(rng.randint(2, 8))
+        ]
+        if rng.random() < 0.5:
+            racer = [
+                ((next_id := next_id + 1), rng.choice(texts))
+                for _ in range(rng.randint(1, 4))
+            ]
+            run_batch(batch, hook=lambda r=racer: run_batch(r))
+        else:
+            run_batch(batch)
+
+    rows = [r["content_sha"] for r in read_store(spark, store).collect()]
+    assert len(rows) == len(set(rows))  # no duplicate store rows
+    assert set(rows) == set(admitted_by)  # store == the admitted set
