@@ -44,9 +44,14 @@ def kcore_vertices(
     k-core exists.  Raises ``RuntimeError`` on round exhaustion."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # Self-loops are dropped up front: the near-dup pair producers emit
+    # a<b so never generate them, but this is public API — a (v,v) pair
+    # would survive symmetrize+distinct as a single edge and inflate v's
+    # degree by 1, admitting vertices the k-core definition excludes.
+    no_loops = pairs.filter(F.col(src) != F.col(dst))
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        no_loops.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(no_loops.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )

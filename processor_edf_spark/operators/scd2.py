@@ -68,10 +68,15 @@ def scd2_apply_delta(
     appear, and out-of-order deltas (a change earlier than the current
     open row) still land in the right interval, which a naive
     "close-the-open-row, append" merge gets wrong."""
+    # No explicit broadcast hint on the touched-key set: a daily delta's
+    # key set is small and AQE picks the broadcast plan at runtime from
+    # the measured size, while a backfill delta touching most keys would
+    # turn a forced broadcast into an OOM/threshold hazard — the runtime
+    # decision is strictly safer than the hint at both extremes.
     touched_keys = delta.select(key_col).distinct()
-    untouched = history.join(F.broadcast(touched_keys), key_col, "left_anti")
+    untouched = history.join(touched_keys, key_col, "left_anti")
     touched_changes = (
-        history.join(F.broadcast(touched_keys), key_col, "left_semi")
+        history.join(touched_keys, key_col, "left_semi")
         .select(
             F.col(key_col),
             F.col("valid_from_usec").alias(t_col),

@@ -292,16 +292,48 @@ def compact_store_tx(spark: SparkSession, store_dir: str) -> int:
     )
 
 
-def vacuum_store(spark: SparkSession, store_dir: str) -> int:
-    """Delete data files no snapshot references (crashed writers,
-    pre-compaction files).  Run only with no writers in flight — a
-    writer between data-file write and commit would lose its file
-    (the same quiesce requirement as Delta's VACUUM retention window).
-    Returns the number of deleted files."""
+def vacuum_store(
+    spark: SparkSession, store_dir: str, expire_history: bool = False
+) -> int:
+    """Delete data files referenced by NO log entry (crashed writers).
+
+    Default mode is snapshot-safe: a file referenced by ANY committed
+    entry is kept, so readers holding a pinned-version snapshot (the
+    ``read_store(versions=...)`` API) keep working and old log entries
+    never dangle — only true orphans from crashed writers go.
+
+    ``expire_history=True`` additionally truncates the log to the
+    latest ``base`` entry and forward (deleting earlier entries and the
+    files only they referenced) — the Delta-VACUUM-style mode that
+    reclaims pre-compaction storage at the documented cost of
+    INVALIDATING pinned snapshots older than that base entry.
+
+    Either mode: run only with no writers in flight — a writer between
+    data-file write and commit would lose its file (the same quiesce
+    requirement as Delta's VACUUM retention window).  Returns the
+    number of deleted data files."""
     fs, jpath, jvm = _fs(spark, store_dir)
     if not fs.exists(jpath):
         return 0
-    referenced = {p.rsplit("/", 1)[-1] for p in snapshot_files(spark, store_dir)}
+    hpath = jvm.org.apache.hadoop.fs.Path
+    versions = list_versions(spark, store_dir)
+    if expire_history and versions:
+        # log entries strictly before the newest base entry are
+        # unreachable from the latest snapshot; truncate them
+        keep_from = 0
+        for v in reversed(versions):
+            if _read_entry(spark, store_dir, v).get("base"):
+                keep_from = v
+                break
+        for v in versions:
+            if v < keep_from:
+                fs.delete(hpath(_entry_path(store_dir, v)), False)
+        versions = [v for v in versions if v >= keep_from]
+    referenced = {
+        name
+        for v in versions
+        for name in _read_entry(spark, store_dir, v)["add"]
+    }
     deleted = 0
     for st in fs.listStatus(jpath):
         name = st.getPath().getName()

@@ -14,12 +14,15 @@ micro-batches the open row is final, so a change arriving LATER than
 one it precedes in event time closes the open row at its own t (the
 greedy bounded-state trade every stateful operator here makes;
 ``scd2_apply_delta`` owns exact out-of-order repair).  A change at
-t ≤ the open row's valid_from is dropped (it cannot close an interval
-that starts after it) — counted nowhere here, quarantine upstream if
-that matters.
+t STRICTLY BEFORE the open row's valid_from is dropped (it cannot
+close an interval that starts after it) — counted nowhere here,
+quarantine upstream if that matters.  A change at t EQUAL to the open
+row's valid_from closes it as a zero-length interval, exactly what the
+batch build's lead() window emits for duplicate (key, t) changes.
 
-Parity (tests/test_streaming_scd2.py): on in-order input the emitted
-closed rows are EXACTLY the batch build's ``is_current = false`` rows.
+Parity (tests/test_streaming_scd2.py): on in-order input — including
+timestamp ties — the emitted closed rows are EXACTLY the batch
+build's ``is_current = false`` rows.
 Scale: state is one (long, double) per key, sharded by the groupBy
 shuffle.
 """
@@ -81,8 +84,12 @@ def stream_scd2(
         for t, v in zip(batch[t_col], batch[value_col]):
             t, v = int(t), float(v)
             if open_from is not None:
-                if t <= open_from:
+                if t < open_from:
                     continue  # cannot close an interval starting later
+                # t == open_from emits the ZERO-LENGTH closed row, the
+                # exact shape scd2_build's lead() window produces for
+                # duplicate (key, t) changes — keeping the closed-row
+                # parity claim true on timestamp ties, not just unique t
                 closed.append((uid, open_value, open_from, t, False))
             open_from, open_value = t, v
         state.update((open_from, open_value))

@@ -71,6 +71,19 @@ def test_real_near_dup_graph(spark):
         assert got == _ref_kcore(edges, k), k
 
 
+def test_self_loops_do_not_inflate_degree(spark):
+    """A (v, v) pair is filtered up front: on the path 1-2-3 the 2-core
+    is empty, and self-loops at the endpoints must not fake the missing
+    degree (unfiltered they'd make every vertex look degree-2 and the
+    peeler would wrongly return the whole path as a 2-core)."""
+    path = [(1, 2), (2, 3)]
+    loops = [(1, 1), (3, 3)]
+    assert _ref_kcore(path, 2) == {}
+    assert _spark_kcore(spark, path + loops, 2) == {}
+    # and with loops removed the loop-free answer is unchanged
+    assert _spark_kcore(spark, path + loops, 1) == _ref_kcore(path, 1)
+
+
 def test_invalid_k_raises(spark):
     with pytest.raises(ValueError):
         kcore_vertices(spark.createDataFrame([(1, 2)], SCHEMA), 0)

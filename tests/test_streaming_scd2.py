@@ -49,6 +49,52 @@ def test_stream_scd2_closed_rows_match_batch_build(spark, tmp_path):
     assert len(got) > 0
 
 
+def test_timestamp_tie_emits_zero_length_closed_row(spark, tmp_path):
+    """Duplicate (key, t) changes: the batch build's lead() window emits
+    a zero-length closed interval for the earlier tie — the stream must
+    emit the same row (not silently drop the tied change), both within a
+    micro-batch and across a batch boundary."""
+    rows = [(1, 10, 1.0), (1, 10, 2.0), (1, 20, 3.0)]
+    changes = spark.createDataFrame(rows, SCHEMA)
+    want = {
+        (r["user_id"], r["value"], r["valid_from_usec"], r["valid_to_usec"])
+        for r in scd2_build(changes).filter("NOT is_current").collect()
+    }
+    assert (1, 1.0, 10, 10) in want  # the zero-length tie row
+
+    in_dir, ckpt, out_dir = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+
+    def drop(batch_rows):
+        spark.createDataFrame(batch_rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        (
+            stream_scd2(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    # tie split ACROSS micro-batches: the second batch's t == open_from
+    drop(rows[:1])
+    drop(rows[1:])
+    got = {
+        (r["user_id"], r["value"], r["valid_from_usec"], r["valid_to_usec"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == want
+
+
 def test_open_row_survives_micro_batches(spark, tmp_path):
     in_dir, ckpt, out_dir = (
         str(tmp_path / "in"),

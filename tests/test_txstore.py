@@ -114,6 +114,27 @@ def test_uncommitted_data_files_are_invisible_and_vacuumable(
     assert read_store(spark, store).count() == 2
 
 
+def test_vacuum_keeps_pinned_snapshots_readable(spark, tmp_path):
+    """Default vacuum deletes only files referenced by NO log entry:
+    after compaction, a reader pinned at a pre-compaction version must
+    still resolve its files; ``expire_history=True`` is the explicit
+    opt-in that reclaims them (and is documented to break pins)."""
+    store = str(tmp_path / "store")
+    dedup_incremental_tx(spark, _docs(spark, [(1, "a")]), store)
+    dedup_incremental_tx(spark, _docs(spark, [(2, "b")]), store)
+    compact_store_tx(spark, store)  # base entry at version 2
+
+    assert vacuum_store(spark, store) == 0  # all files entry-referenced
+    # pinned pre-compaction snapshot still reads after default vacuum
+    assert read_store(spark, store, versions=[0]).count() == 1
+    assert read_store(spark, store, versions=[0, 1]).count() == 2
+
+    deleted = vacuum_store(spark, store, expire_history=True)
+    assert deleted == 2  # the two pre-compaction data files
+    assert list_versions(spark, store) == [2]  # log truncated to base
+    assert read_store(spark, store).count() == 2  # latest intact
+
+
 def test_direct_commit_conflict_raises(spark, tmp_path):
     store = str(tmp_path / "store")
     dedup_incremental_tx(spark, _docs(spark, [(1, "a")]), store)
