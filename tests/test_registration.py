@@ -8,13 +8,13 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r6 window: 15 family anchors (driver-green r5) + the 18 r6
-additions (corpus_job_report and the analytics_extra batches, first
-driver check) + the 17 stalest queries (last driver-green r2∪r3)
-returning for refreshed evidence (the stale block's tail 17 are
-displaced to 51+ by the new additions and lead the r7 rotation).
-``test_window_covers_every_family`` keeps any future rotation
-coverage-neutral automatically.
+The r7 window (executed exactly as pre-declared in the r6 rotation
+note): 7 family anchors (driver-green r6) + the 3 r7 additions
+(dedup_component_sizes and the two sketch-bound audits, first driver
+check) + the 17 stale-block tail queries (last driver-green r2∪r3) +
+the full 23-query r4-green block rotated out in r5 — all returning for
+refreshed evidence.  ``test_window_covers_every_family`` keeps any
+future rotation coverage-neutral automatically.
 """
 
 from __future__ import annotations
@@ -23,59 +23,56 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    # 15 family anchors (driver-green r5)
     "q1_pricing_summary",
-    "filter_project_events",
     "sessionize_events",
     "timestamp_synthesis",
-    "band_join_acctbal",
-    "top3_orders_per_customer",
     "rollup_event_daily",
-    "set_ops_event_types",
-    "token_stats",
-    "dedup_exact",
-    "cosine_pairs",
-    "ann_ivf_multiprobe",
     "multimodal_meta",
-    "split_assignment",
     "zorder_layout",
-    # r6 additions, first driver check
     "corpus_job_report",
-    "anomaly_robust_z",
-    "time_weighted_avg_daily",
-    "ewma_user_values",
-    "gap_fill_hourly",
-    "event_transitions",
-    "grouping_sets_revenue",
-    "dup_span_coverage",
-    "rolling_median_user",
-    "scd2_user_value_history",
-    "triangle_count_nn",
-    "dedup_substring_rewrite",
-    "dedup_events_debounce",
-    "value_percent_rank",
-    "user_value_trend",
-    "table_profile_events",
-    "full_outer_daily_activity",
-    "user_value_correlation",
-    # 17 stale rotate-ins (last driver-green r2∪r3, refreshed in r6)
-    "q3_segment_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "rate_crosscheck_users",
-    "session_window_events",
-    "mode_period_users",
-    "overlap_validation",
-    "edf_date_parse",
-    "semi_join_returned_orders",
-    "range_join_close_events",
-    "tumbling_daily_stats",
-    "value_percentiles_per_type",
-    "cube_event_user_bucket",
+    "dedup_component_sizes",
+    "approx_distinct_audit",
+    "approx_percentile_audit",
+    "except_click_no_purchase",
+    "distinct_users_per_type",
+    "text_quality",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "bpe_token_count",
+    "rolling_fingerprint",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "array_slice_projection",
+    "ann_ivf_label",
+    "calibrate_events",
+    "sliding_hour_counts",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "minhash_signatures",
+    "simhash_16",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "q15_top_supplier",
+    "boilerplate_ngrams",
+    "embedding_norm_stats",
+    "sample_hash_bucket",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "dow_hour_heatmap",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "ntile_value_quartiles",
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    "quantize_embeddings_int8",
 ]
 
 
@@ -96,8 +93,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 107 through r5 + corpus_job_report + the 17 analytics_extra (r6)
-    assert len(QUERIES) == 125
+    # 125 through r6 + the 3 r7 audit/graph additions
+    assert len(QUERIES) == 128
 
 
 def test_every_query_has_a_family():
