@@ -69,16 +69,18 @@ def run_corpus_job(
     )
     gated = gated_all.filter(F.col("passes")).drop("passes")
     gated = gated.localCheckpoint(eager=True)  # reused 4× below
-    n1 = gated.count()
 
-    # 2. exact dedup on the NORMALIZED text (lowest doc_id survives)
+    # 2. exact dedup on the NORMALIZED text (lowest doc_id survives).
+    # Checkpointed: the keep-set feeds three consumers (the near-dup
+    # bucket frame, the clean output's join, and the accounting agg) —
+    # without the checkpoint each would re-run the md5 shuffle.
     exact_keep = (
         gated.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("sha"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=True)
     )
     exact = gated.join(exact_keep, "doc_id")
-    n2 = exact.count()
 
     # 3. near-dup dedup: MinHash band buckets → linear bucket-star
     # components → min-id survivor per duplicate group.  Survivor
@@ -91,7 +93,35 @@ def run_corpus_job(
     )
     survivors = lsh_dedup_survivors(bucketed, id_col="doc_id")
     near = exact.join(survivors.select("doc_id"), "doc_id")
-    n3 = near.count()
+
+    # Per-stage accounting in ONE aggregation pass instead of one
+    # count() per stage: membership in each stage is a boolean over the
+    # checkpointed gated frame (survivors ⊆ exact keeps by
+    # construction, so the near flag only counts where the exact flag
+    # holds).  Stage exactness is unchanged — the flags encode the very
+    # joins the stage frames run — but the audit now costs one shuffle
+    # over gated instead of three full stage recomputations.
+    stage_counts = (
+        gated.join(
+            exact_keep.withColumn("_ex", F.lit(1)), "doc_id", "left"
+        )
+        .join(
+            survivors.select("doc_id").withColumn("_nr", F.lit(1)),
+            "doc_id",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n1"),
+            F.count("_ex").alias("n2"),
+            F.count(F.when(F.col("_ex").isNotNull(), F.col("_nr"))).alias(
+                "n3"
+            ),
+        )
+        .collect()[0]
+    )
+    n1, n2, n3 = int(stage_counts["n1"]), int(stage_counts["n2"]), int(
+        stage_counts["n3"]
+    )
 
     # 4. PII scrub + split assignment (projections, no shuffle) — the
     # EXACT split_assignment query construction, so pipeline membership
@@ -110,7 +140,11 @@ def run_corpus_job(
         .when(bucket < SPLIT_VAL, "val")
         .otherwise("test"),
     )
-    n4 = clean.count()
+    # redact_pii is a regexp-replace chain and the split a projection —
+    # both row-preserving by construction, so n4 == n3 exactly (no
+    # fourth action needed; a future stage that FILTERS here must move
+    # back to counting its own output).
+    n4 = n3
 
     report = spark.createDataFrame(
         [

@@ -48,11 +48,16 @@ def connected_components(
     the default 20 rounds covers ~1M-node chain diameters; raise
     ``max_rounds`` for adversarially deeper graphs.
     """
-    # undirected → both directions, as (node, neighbor)
+    # undirected → both directions, as (node, neighbor).  Checkpointed:
+    # the loop joins `edges` every round, and without lineage truncation
+    # each round would RE-RUN the caller's whole upstream plan (for LSH
+    # dedup that is the minhash scan of the corpus — O(rounds × corpus)
+    # instead of one scan plus O(rounds × edges)).
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # current best-known component per node: min over self + neighbors
     comp = (

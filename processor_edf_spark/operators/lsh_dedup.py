@@ -46,14 +46,20 @@ def lsh_components(
     minimum member id); ids sharing no bucket are singletons labeled by
     themselves."""
     roots = bucketed.groupBy(key_col).agg(F.min(id_col).alias("_root"))
-    edges = (
+    # One checkpointed (root, id) membership frame feeds BOTH the edge
+    # list and the id universe: without it, `ids` below would re-run the
+    # caller's whole bucketing lineage (for minhash bands, a second md5
+    # scan of the corpus).  Size is ≤ Σ bucket sizes rows of two longs —
+    # linear in the corpus, the same order as the shuffle that builds it.
+    sets = (
         bucketed.join(roots, key_col)
-        .filter(F.col(id_col) != F.col("_root"))
         .select(F.col("_root").alias("src"), F.col(id_col).alias("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    edges = sets.filter(F.col("src") != F.col("dst"))
     comp = connected_components(edges, src="src", dst="dst")
-    ids = bucketed.select(F.col(id_col)).distinct()
+    ids = sets.select(F.col("dst").alias(id_col)).distinct()
     return (
         ids.join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .select(
