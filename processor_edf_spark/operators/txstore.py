@@ -20,9 +20,14 @@ Protocol:
   of any set of racing writers wins the version; losers see the
   conflict, re-read the entries they lost to, re-apply their check
   against ONLY the newly committed data, and retry at the next version.
-  (Atomic create-if-absent holds on local FS and HDFS; on S3-style
-  object stores it needs conditional PUTs or an external lock service —
-  the same caveat Delta documents.  Named, not hidden.)
+  (Atomic create-if-absent holds on local FS — hard link — and on
+  HDFS-contract filesystems — rename.  S3-style object stores have
+  NEITHER: there the deployment must install a
+  :class:`ConditionalPutPublisher` via :func:`set_commit_publisher`,
+  wiring the store's conditional PUT (``If-None-Match: *``) as the
+  one-winner primitive — the same substrate decision Delta documents.
+  ``commit_version`` refuses object-store schemes without an explicit
+  publisher rather than silently losing exactly-once.)
 - **Readers take a snapshot**: list the log once, read the union of
   files from the base-most entry forward.  A concurrent commit never
   changes what an in-progress reader sees.
@@ -134,6 +139,93 @@ def read_store(
     return spark.read.parquet(*files)
 
 
+def _publish_local_link(spark, tmp_name: str, final_path: str) -> None:
+    """Local-FS publish: POSIX rename(2) silently OVERWRITES an existing
+    destination, so the one-winner primitive is hard-LINK creation —
+    link() fails atomically when the destination exists."""
+    jvm = spark.sparkContext._jvm
+    nio = jvm.java.nio.file
+    # java.io.File(...).toPath() — Paths.get is varargs, which py4j
+    # can't call with a single string
+    src = jvm.java.io.File(tmp_name.removeprefix("file:")).toPath()
+    dst = jvm.java.io.File(final_path.removeprefix("file:")).toPath()
+    try:
+        nio.Files.createLink(dst, src)
+    except Exception as exc:  # noqa: BLE001 — py4j wraps the Java type
+        blob = f"{type(exc).__name__} {exc}".lower()
+        if "alreadyexists" in blob or "file exists" in blob:
+            raise CommitConflictError(
+                f"{final_path} already committed"
+            ) from exc
+        raise
+
+
+def _publish_fs_rename(spark, tmp_name: str, final_path: str) -> None:
+    """HDFS-contract publish: rename fails when the destination exists
+    (the FileSystem guarantee Delta relies on).  NOT valid on S3-style
+    object stores, whose "rename" is copy+delete with no exclusivity."""
+    fs, jpath, jvm = _fs(spark, final_path)
+    tmp = jvm.org.apache.hadoop.fs.Path(tmp_name)
+    if fs.exists(jpath) or not fs.rename(tmp, jpath):
+        raise CommitConflictError(f"{final_path} already committed")
+
+
+class ConditionalPutPublisher:
+    """Object-store publish seam: plain S3 has neither atomic rename
+    nor create-if-absent via the Hadoop FileSystem API, so the
+    one-winner step must be a CONDITIONAL PUT (S3 ``If-None-Match: *``,
+    GCS ``x-goods-if-generation-match: 0``, ABFS ``If-None-Match: *``)
+    or an external coordination service — the same substrate decision
+    Delta documents for S3 multi-writer.
+
+    Wire it with the deployment's object-store client::
+
+        def put_if_absent(payload: bytes, path: str) -> bool:
+            # return True when this call created the object, False when
+            # the key already existed (the conditional PUT failed with
+            # 412); raise on any other error
+            ...
+        set_commit_publisher(ConditionalPutPublisher(put_if_absent))
+
+    The publisher reads the already-written temp entry through the
+    Hadoop FS (so the payload bytes are exactly what a winning local
+    commit would publish) and hands them to the conditional put."""
+
+    def __init__(self, put_if_absent):
+        self._put_if_absent = put_if_absent
+
+    def __call__(self, spark, tmp_name: str, final_path: str) -> None:
+        fs, jpath, jvm = _fs(spark, tmp_name)
+        stream = fs.open(jpath)
+        try:
+            payload = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+        if not self._put_if_absent(payload, final_path):
+            raise CommitConflictError(f"{final_path} already committed")
+
+
+# Module-level publisher override (None → pick by URI scheme: local FS
+# hard-link, otherwise HDFS-contract rename).  Deployments on object
+# stores MUST install a ConditionalPutPublisher — the scheme default
+# would silently lose the one-winner guarantee there, so commit_version
+# refuses s3/gs/abfs schemes without an explicit publisher.
+_PUBLISHER = None
+_OBJECT_STORE_SCHEMES = ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb")
+
+
+def set_commit_publisher(publisher) -> None:
+    """Install a commit publisher: a callable
+    ``(spark, tmp_path, final_path) -> None`` that atomically makes the
+    temp entry visible at ``final_path`` and raises
+    :class:`CommitConflictError` when the destination already exists.
+    Pass ``None`` to restore the scheme-based default."""
+    global _PUBLISHER
+    _PUBLISHER = publisher
+
+
 def commit_version(
     spark: SparkSession,
     store_dir: str,
@@ -144,10 +236,29 @@ def commit_version(
     """Atomically publish ``files`` as log entry ``version`` — raises
     :class:`CommitConflictError` when a racing writer won the slot.
 
-    The payload is fully written to a hidden temp name first, then
-    RENAMED onto the version slot: rename is atomic and fails when the
-    destination exists (HDFS and local FS semantics), so no reader can
-    ever observe a truncated entry and exactly one racing writer wins."""
+    The payload is fully written to a hidden temp name first, then made
+    visible by the configured publisher's one-winner primitive (see
+    :func:`set_commit_publisher`): no reader can ever observe a
+    truncated entry and exactly one racing writer wins.  Substrates:
+    local FS → hard-link creation; HDFS-contract filesystems → rename;
+    S3-style object stores → a :class:`ConditionalPutPublisher` the
+    deployment must install (refused otherwise, because blind
+    copy-rename on an object store would silently drop the exactly-once
+    admission guarantee)."""
+    scheme = store_dir.split("://", 1)[0] if "://" in store_dir else None
+    if (
+        _PUBLISHER is None
+        and scheme in _OBJECT_STORE_SCHEMES
+    ):
+        # refuse BEFORE touching the filesystem: the check must hold
+        # even where the object-store connector jar isn't on the
+        # classpath, and a failed publish should leave nothing behind
+        raise RuntimeError(
+            f"commit_version on {scheme}:// needs an explicit "
+            "ConditionalPutPublisher (set_commit_publisher): object "
+            "stores have no atomic rename/create-if-absent, so the "
+            "scheme default cannot guarantee one commit winner"
+        )
     fs, jpath, jvm = _fs(spark, _entry_path(store_dir, version))
     hpath = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(hpath(_log_dir(store_dir)))
@@ -159,38 +270,21 @@ def commit_version(
         out.write(bytearray(payload))
     finally:
         out.close()
-    scheme = jpath.toUri().getScheme()
-    if scheme in (None, "file"):
-        # POSIX rename(2) silently OVERWRITES an existing destination,
-        # so local-FS publish uses hard-LINK creation instead — link()
-        # fails atomically when the destination exists, which is the
-        # exact one-winner primitive the protocol needs
-        nio = jvm.java.nio.file
-        # java.io.File(...).toPath() — Paths.get is varargs, which py4j
-        # can't call with a single string
-        src = jvm.java.io.File(tmp_name.removeprefix("file:")).toPath()
-        dst = jvm.java.io.File(
-            _entry_path(store_dir, version).removeprefix("file:")
-        ).toPath()
-        try:
-            nio.Files.createLink(dst, src)
-        except Exception as exc:  # noqa: BLE001 — py4j wraps the Java type
-            fs.delete(tmp, False)
-            blob = f"{type(exc).__name__} {exc}".lower()
-            if "alreadyexists" in blob or "file exists" in blob:
-                raise CommitConflictError(
-                    f"version {version} already committed"
-                ) from exc
-            raise
-        fs.delete(tmp, False)
+
+    fs_scheme = jpath.toUri().getScheme()
+    if _PUBLISHER is not None:
+        publish = _PUBLISHER
+    elif fs_scheme in (None, "file"):
+        publish = _publish_local_link
     else:
-        # HDFS-style filesystems: rename fails when the destination
-        # exists (the FileSystem contract Delta relies on)
-        if fs.exists(jpath) or not fs.rename(tmp, jpath):
-            fs.delete(tmp, False)
-            raise CommitConflictError(
-                f"version {version} already committed"
-            )
+        publish = _publish_fs_rename
+    try:
+        publish(spark, tmp_name, _entry_path(store_dir, version))
+    finally:
+        # the local-link and conditional-put paths leave the temp file
+        # behind on both success and conflict; rename consumes it on
+        # success only — delete is a no-op then
+        fs.delete(tmp, False)
 
 
 def _write_data_file(

@@ -8,11 +8,13 @@ import pytest
 
 from processor_edf_spark.operators.txstore import (
     CommitConflictError,
+    ConditionalPutPublisher,
     commit_version,
     compact_store_tx,
     dedup_incremental_tx,
     list_versions,
     read_store,
+    set_commit_publisher,
     snapshot_files,
     vacuum_store,
     _write_data_file,
@@ -141,6 +143,67 @@ def test_direct_commit_conflict_raises(spark, tmp_path):
     (name,) = [p.rsplit("/", 1)[-1] for p in snapshot_files(spark, store)]
     with pytest.raises(CommitConflictError):
         commit_version(spark, store, 0, [name])
+
+
+def _s3_style_put_if_absent(payload: bytes, path: str) -> bool:
+    """Emulate an object store's conditional PUT (If-None-Match: *):
+    create-if-absent with O_EXCL, returning False on 412-equivalent."""
+    import os
+
+    local = path.removeprefix("file:")
+    try:
+        fd = os.open(local, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        return False
+    with os.fdopen(fd, "wb") as f:
+        f.write(payload)
+    return True
+
+
+def test_conditional_put_publisher_detects_race(spark, tmp_path):
+    """The object-store seam: with commits published through a
+    conditional PUT, a writer that loses the version slot to a racing
+    commit sees the conflict (the 412 path), re-checks against the
+    winner's entries, and admits each hash exactly once — the full
+    retry protocol running on the S3-style primitive instead of
+    link/rename."""
+    store = str(tmp_path / "store")
+    set_commit_publisher(ConditionalPutPublisher(_s3_style_put_if_absent))
+    try:
+        out1 = dedup_incremental_tx(spark, _docs(spark, [(1, "a")]), store)
+        assert _admitted_ids(out1) == [1]
+
+        # inject a racing writer that wins version 1 mid-commit
+        def race():
+            dedup_incremental_tx(
+                spark, _docs(spark, [(7, "b"), (8, "c")]), store
+            )
+
+        out2 = dedup_incremental_tx(
+            spark,
+            _docs(spark, [(2, "b"), (3, "d")]),
+            store,
+            _pre_commit_hook=race,
+        )
+        # "b" was admitted by the racing winner; only "d" may land here
+        assert _admitted_ids(out2) == [3]
+        assert read_store(spark, store).count() == 4  # a, b, c, d
+        # a direct conflicting publish raises through the same seam
+        (name,) = [
+            p.rsplit("/", 1)[-1] for p in snapshot_files(spark, store)[:1]
+        ]
+        with pytest.raises(CommitConflictError):
+            commit_version(spark, store, 0, [name])
+    finally:
+        set_commit_publisher(None)
+
+
+def test_object_store_scheme_refused_without_publisher(spark, tmp_path):
+    """An s3a:// store path without an installed ConditionalPutPublisher
+    must be refused loudly — the scheme default cannot guarantee one
+    commit winner on an object store."""
+    with pytest.raises(RuntimeError, match="ConditionalPutPublisher"):
+        commit_version(spark, "s3a://bucket/store", 0, ["data-x.parquet"])
 
 
 @pytest.mark.slow
