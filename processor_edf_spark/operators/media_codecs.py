@@ -534,34 +534,96 @@ def encode_avi_raw(frames: list[bytes], usec_per_frame: int) -> bytes:
 
 OPTIONAL_CODEC_LIBS: dict[str, tuple[str, ...]] = {
     "webp": ("PIL",),            # Pillow
-    "compressed_tiff": ("PIL",),  # LZW/deflate TIFF beyond operators/tiff.py
+    "compressed_tiff": ("PIL",),  # LZW/JPEG-in-TIFF beyond the plugins
+    "compressed_tiff_deflate": (),  # stdlib-plugin-backed (zlib), below
     "mp3": ("soundfile",),       # libsndfile-backed
     "aac": ("soundfile",),
     "h264": ("av",),             # PyAV/ffmpeg for AVI/MP4 video frames
 }
 
+# Codec PLUGIN registry — the second half of the deployment seam.  A
+# format becomes available either because its optional library import-
+# probes present, or because a plugin callable was registered for it
+# (deployments wire their own decoders; the repo registers one stdlib-
+# backed default below, so the PRESENT path of the seam runs — and is
+# tested — even in a no-extras container).
+_CODEC_PLUGINS: dict[str, object] = {}
+
+
+def register_codec_plugin(fmt: str, plugin) -> None:
+    """Install (or with ``None`` remove) a decoder plugin for ``fmt``;
+    registered plugins make ``optional_codec_support`` report the
+    format available regardless of import probing."""
+    if plugin is None:
+        _CODEC_PLUGINS.pop(fmt, None)
+    else:
+        _CODEC_PLUGINS[fmt] = plugin
+
+
+def get_codec_plugin(fmt: str):
+    return _CODEC_PLUGINS.get(fmt)
+
 
 def optional_codec_support() -> dict[str, bool]:
-    """{format: available} for every optional-codec format — runtime
-    import probing (find_spec, no import side effects).  Deployments
-    surface this in job logs so a corpus full of WebP on an image-less
-    cluster is a loud config finding, not a silent decoded=false sea."""
+    """{format: available} for every optional-codec format — a
+    registered plugin, else runtime import probing (find_spec, no
+    import side effects).  Deployments surface this in job logs so a
+    corpus full of WebP on an image-less cluster is a loud config
+    finding, not a silent decoded=false sea."""
     import importlib.util
 
     return {
-        fmt: all(importlib.util.find_spec(m) is not None for m in mods)
+        fmt: fmt in _CODEC_PLUGINS
+        or (
+            bool(mods)
+            and all(importlib.util.find_spec(m) is not None for m in mods)
+        )
         for fmt, mods in OPTIONAL_CODEC_LIBS.items()
     }
 
 
 def _require_optional(fmt: str) -> None:
     if not optional_codec_support().get(fmt, False):
-        libs = ", ".join(OPTIONAL_CODEC_LIBS[fmt])
+        libs = ", ".join(OPTIONAL_CODEC_LIBS[fmt]) or "a registered plugin"
         raise UnsupportedMediaError(
             f"{fmt} payload needs the optional codec library ({libs}): "
             "install it in the cluster image to decode for real; without "
             "it callers keep the documented decoded=false fallback"
         )
+
+
+def _tiff_deflate_strip_plugin(strip: bytes, max_len: int) -> bytes:
+    """Default ``compressed_tiff_deflate`` plugin: decompress one
+    Deflate/AdobeDeflate TIFF strip with stdlib zlib, output bounded at
+    ``max_len`` (the strip's expected raster bytes) so a crafted
+    zip-bomb strip cannot inflate past the decode bound."""
+    import zlib
+
+    try:
+        return zlib.decompressobj().decompress(strip, max_len)
+    except zlib.error as e:
+        raise UnsupportedMediaError(f"bad deflate TIFF strip: {e}") from e
+
+
+# stdlib-backed, so registered unconditionally: deflate-compressed TIFF
+# decodes for REAL in every environment, exercising the plugin half of
+# the seam without any optional wheel.
+register_codec_plugin("compressed_tiff_deflate", _tiff_deflate_strip_plugin)
+
+
+def decode_tiff_via_optional(payload: bytes) -> np.ndarray:
+    """LZW/JPEG-in-TIFF route: decode the whole payload via Pillow when
+    the ``compressed_tiff`` extra is present; otherwise the
+    one-exception contract naming the extra (operators/tiff.py routes
+    here for compression schemes its plugins don't cover)."""
+    _require_optional("compressed_tiff")
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — optional, gated above
+
+    return np.asarray(
+        Image.open(io.BytesIO(payload)).convert("RGB"), dtype=np.uint8
+    )
 
 
 def decode_webp(payload: bytes) -> np.ndarray:

@@ -1,17 +1,23 @@
-"""Pure-numpy TIFF decoder (uncompressed strips) — the scanned-document
-format a document-heavy corpus carries alongside JPEG/PNG/GIF.
+"""Pure-numpy TIFF decoder (uncompressed + Deflate strips) — the
+scanned-document format a document-heavy corpus carries alongside
+JPEG/PNG/GIF.
 
-Scope is the baseline-TIFF profile that covers real uncompressed files:
-both byte orders (II/MM), 8-bit grayscale and RGB(A), strip layout
-(any RowsPerStrip), PlanarConfiguration chunky, first IFD only
-(multi-page TIFFs decode their first page — the frame-demux story
-belongs to GIF/AVI).  LZW/JPEG/deflate-compressed TIFFs, tiled layout,
-16-bit, and palette TIFFs raise ``UnsupportedMediaError`` into the
-callers' documented stub fallback; same one-exception contract and
-MAX_PIXELS bound as the other codecs.
+Scope is the baseline-TIFF profile that covers real files: both byte
+orders (II/MM), 8-bit grayscale and RGB(A), strip layout (any
+RowsPerStrip), PlanarConfiguration chunky, first IFD only (multi-page
+TIFFs decode their first page — the frame-demux story belongs to
+GIF/AVI).  Compression: uncompressed inline; Deflate/AdobeDeflate
+(schemes 8/32946) through the ``compressed_tiff_deflate`` codec plugin
+(stdlib zlib, registered by default, strip inflate bounded) with the
+horizontal-differencing predictor (tag 317) undone by a modular
+cumsum; LZW/JPEG-in-TIFF route whole-payload through the optional
+Pillow extra (``decode_tiff_via_optional``).  Tiled layout, 16-bit,
+and palette TIFFs raise ``UnsupportedMediaError`` into the callers'
+documented stub fallback; same one-exception contract and MAX_PIXELS
+bound as the other codecs.
 
-The fixture encoder writes the matching minimal profile, so the
-round-trip test pins exact equality (uncompressed → lossless).
+The fixture encoders write the matching minimal profiles, so the
+round-trip tests pin exact equality (both paths are lossless).
 """
 
 from __future__ import annotations
@@ -96,8 +102,31 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
             f"image {width}x{height} exceeds the {MAX_PIXELS}-pixel decode bound"
         )
     compression = tag_vals(259, [1])[0]
-    if compression != 1:
-        raise UnsupportedMediaError(f"compressed TIFF (scheme {compression})")
+    predictor = tag_vals(317, [1])[0]
+    if predictor not in (1, 2):
+        raise UnsupportedMediaError(f"TIFF predictor {predictor}")
+    decompress = None
+    if compression in (8, 32946):  # Deflate / AdobeDeflate
+        from processor_edf_spark.operators.media_codecs import (
+            get_codec_plugin,
+        )
+
+        decompress = get_codec_plugin("compressed_tiff_deflate")
+        if decompress is None:
+            raise UnsupportedMediaError(
+                "deflate TIFF needs the compressed_tiff_deflate plugin "
+                "(registered by default; a deployment removed it)"
+            )
+    elif compression != 1:
+        # LZW/JPEG-in-TIFF and friends: whole-payload route through the
+        # optional Pillow extra (one-exception contract when absent).
+        # Runs AFTER the dimension checks above, so the MAX_PIXELS
+        # bound gates the optional path too.
+        from processor_edf_spark.operators.media_codecs import (
+            decode_tiff_via_optional,
+        )
+
+        return decode_tiff_via_optional(payload)
     photometric = tag_vals(262)[0]
     if photometric not in (0, 1, 2):
         raise UnsupportedMediaError(f"TIFF photometric {photometric}")
@@ -125,15 +154,24 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
             raise UnsupportedMediaError("strip past end of payload")
         rows_here = min(rows_per_strip, height - rows_done)
         need = rows_here * row_bytes
-        if cnt < need:
-            raise UnsupportedMediaError("strip shorter than its rows")
-        raster += payload[off : off + need]
+        if decompress is not None:
+            data = decompress(payload[off : off + cnt], need)
+            if len(data) < need:
+                raise UnsupportedMediaError("strip inflates short of its rows")
+        else:
+            if cnt < need:
+                raise UnsupportedMediaError("strip shorter than its rows")
+            data = payload[off : off + need]
+        raster += data[:need]
         rows_done += rows_here
     if rows_done < height:
         raise UnsupportedMediaError("strips cover fewer rows than ImageLength")
 
     img = np.frombuffer(bytes(raster), dtype=np.uint8, count=height * row_bytes)
     img = img.reshape(height, width, spp)
+    if predictor == 2:
+        # horizontal differencing: undo with a per-sample modular cumsum
+        img = (np.cumsum(img, axis=1, dtype=np.uint32) % 256).astype(np.uint8)
     if photometric == 2:
         return np.ascontiguousarray(img[:, :, :3])  # drop alpha/extras
     gray = img[:, :, 0]
@@ -158,11 +196,48 @@ def encode_tiff(img: np.ndarray, rows_per_strip: int = 8) -> bytes:
     return _assemble_tiff(w, h, spp, gray, strips, rows_per_strip)
 
 
-def _assemble_tiff(w, h, spp, gray, strips, rows_per_strip) -> bytes:
+def encode_tiff_deflate(
+    img: np.ndarray, rows_per_strip: int = 8, predictor: int = 2
+) -> bytes:
+    """Deflate-compressed (scheme 8) TIFF writer with optional
+    horizontal-differencing predictor — the fixture encoder for the
+    compressed_tiff_deflate plugin's round-trip tests."""
+    import zlib
+
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else arr.shape[2]
+    a3 = arr.reshape(h, w, spp)
+    if predictor == 2:
+        d = a3.astype(np.int16)
+        d[:, 1:, :] -= a3[:, :-1, :].astype(np.int16)
+        a3 = (d % 256).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"predictor {predictor}")
+    data = np.ascontiguousarray(a3).tobytes()
+    row_bytes = w * spp
+    strips = [
+        zlib.compress(
+            data[r0 * row_bytes : min(r0 + rows_per_strip, h) * row_bytes]
+        )
+        for r0 in range(0, h, rows_per_strip)
+    ]
+    return _assemble_tiff(
+        w, h, spp, gray, strips, rows_per_strip,
+        compression=8, predictor=predictor,
+    )
+
+
+def _assemble_tiff(
+    w, h, spp, gray, strips, rows_per_strip, compression=1, predictor=1
+) -> bytes:
     """Two-pass assembly: size the IFD + external arrays, then emit."""
     n_strips = len(strips)
     counts = [len(s) for s in strips]
     tags = [256, 257, 258, 259, 262, 273, 277, 278, 279]
+    if predictor != 1:
+        tags.append(317)
     n_tags = len(tags)
     ifd_off = 8
     ext_off = ifd_off + 2 + 12 * n_tags + 4
@@ -199,7 +274,7 @@ def _assemble_tiff(w, h, spp, gray, strips, rows_per_strip) -> bytes:
         ifd += entry(258, 3, 1, short_val(8))
     else:
         ifd += entry(258, 3, spp, long_val(bps_off))
-    ifd += entry(259, 3, 1, short_val(1))
+    ifd += entry(259, 3, 1, short_val(compression))
     ifd += entry(262, 3, 1, short_val(1 if gray else 2))
     if n_strips == 1:
         ifd += entry(273, 4, 1, long_val(offs[0]))
@@ -211,6 +286,8 @@ def _assemble_tiff(w, h, spp, gray, strips, rows_per_strip) -> bytes:
         ifd += entry(279, 4, 1, long_val(counts[0]))
     else:
         ifd += entry(279, 4, n_strips, long_val(cnt_arr))
+    if predictor != 1:
+        ifd += entry(317, 3, 1, short_val(predictor))
     ifd += struct.pack("<I", 0)  # no next IFD
 
     ext = bytearray()

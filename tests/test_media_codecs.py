@@ -790,9 +790,11 @@ def _webp_payload() -> bytes:
 
 def test_optional_codec_detection_absent_path():
     """With no optional codec libs installed (this container), the seam
-    must report them absent and the decoders must raise the
-    one-exception contract NAMING the missing extra — never a crash,
-    never a silent wrong decode."""
+    must report the import-probed formats absent and their decoders
+    must raise the one-exception contract NAMING the missing extra —
+    never a crash, never a silent wrong decode.  (Plugin-backed formats
+    like compressed_tiff_deflate stay available; the present-path test
+    below drives one for real.)"""
     from processor_edf_spark.operators.media_codecs import (
         OPTIONAL_CODEC_LIBS,
         decode_audio,
@@ -802,7 +804,8 @@ def test_optional_codec_detection_absent_path():
 
     support = optional_codec_support()
     assert set(support) == set(OPTIONAL_CODEC_LIBS)
-    if any(support.values()):
+    probed = {f for f, mods in OPTIONAL_CODEC_LIBS.items() if mods}
+    if any(support[f] for f in probed):
         pytest.skip("optional codec libs installed; absent path untestable")
     with pytest.raises(UnsupportedMediaError, match="optional codec"):
         decode_webp(_webp_payload())
@@ -837,26 +840,128 @@ def test_optional_codec_absent_keeps_decoded_false_contract(spark):
     assert aud == {3: True, 4: False}
 
 
-@pytest.mark.skipif(
-    __import__("importlib.util", fromlist=["util"]).find_spec("PIL") is None,
-    reason="Pillow not installed (optional media extra) — present-path "
-    "exercised only on clusters with the media extras baked in",
-)
-def test_optional_codec_present_path_webp_real_decode():
-    """With Pillow installed the SAME payload decodes for real through
-    decode_image — the deployment upgrade is install-only, no code
-    change."""
-    import io
+def test_optional_codec_present_path_real_decode():
+    """The PRESENT half of the seam, running for real in every
+    environment: the stdlib-backed compressed_tiff_deflate plugin is
+    registered by default, so a Deflate-compressed TIFF payload decodes
+    decoded=true through the SAME routing that stubs the other
+    compressed formats.  When Pillow is additionally installed, the
+    same assertion extends to WebP — install-only, no code change."""
+    import importlib.util
 
-    from PIL import Image
+    from processor_edf_spark.operators.media_codecs import (
+        optional_codec_support,
+    )
+    from processor_edf_spark.operators.tiff import encode_tiff_deflate
 
-    from processor_edf_spark.operators.media_codecs import decode_webp
+    support = optional_codec_support()
+    assert support["compressed_tiff_deflate"] is True
 
-    arr = np.zeros((8, 8, 3), np.uint8)
-    arr[:4] = (255, 0, 0)
-    buf = io.BytesIO()
-    Image.fromarray(arr).save(buf, format="WEBP", lossless=True)
-    out = decode_webp(buf.getvalue())
-    assert out.shape == (8, 8, 3)
-    assert (out == arr).all()
-    assert (decode_image(buf.getvalue()) == arr).all()
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (13, 9, 3), np.uint8)
+    for predictor in (1, 2):
+        payload = encode_tiff_deflate(arr, rows_per_strip=5,
+                                      predictor=predictor)
+        assert (decode_image(payload) == arr).all(), predictor
+
+    if importlib.util.find_spec("PIL") is not None:
+        import io
+
+        from PIL import Image
+
+        from processor_edf_spark.operators.media_codecs import decode_webp
+
+        warr = np.zeros((8, 8, 3), np.uint8)
+        warr[:4] = (255, 0, 0)
+        buf = io.BytesIO()
+        Image.fromarray(warr).save(buf, format="WEBP", lossless=True)
+        assert (decode_webp(buf.getvalue()) == warr).all()
+        assert (decode_image(buf.getvalue()) == warr).all()
+
+
+def test_deflate_tiff_plugin_spark_extractor_decodes_true(spark):
+    """End-to-end through the Spark extractor: a deflate TIFF payload
+    produces decoded=true with correct dims beside an uncompressed
+    sibling.  Un-registering the plugin flips the SAME payload to the
+    one-exception contract — checked driver-side, because plugin
+    registration is a module-import-time (cluster-image) decision and
+    already-running executor workers keep their imported default, which
+    is exactly the deployment story."""
+    from processor_edf_spark.operators.media_codecs import (
+        register_codec_plugin,
+        _tiff_deflate_strip_plugin,
+    )
+    from processor_edf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+    from processor_edf_spark.operators.tiff import (
+        encode_tiff,
+        encode_tiff_deflate,
+    )
+
+    arr = np.arange(10 * 6 * 3, dtype=np.uint8).reshape(10, 6, 3)
+    rows = [
+        (1, "image", encode_tiff(arr), "image/tiff", None),
+        (2, "image", encode_tiff_deflate(arr), "image/tiff", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["decoded"], r["width"], r["height"])
+        for r in extract_image_features(media).collect()
+    }
+    assert got == {1: (True, 6, 10), 2: (True, 6, 10)}
+
+    from processor_edf_spark.operators.tiff import decode_tiff
+
+    register_codec_plugin("compressed_tiff_deflate", None)
+    try:
+        with pytest.raises(UnsupportedMediaError, match="plugin"):
+            decode_tiff(encode_tiff_deflate(arr))
+        assert (decode_tiff(encode_tiff(arr)) == arr).all()  # path intact
+    finally:
+        register_codec_plugin(
+            "compressed_tiff_deflate", _tiff_deflate_strip_plugin
+        )
+
+
+def test_deflate_tiff_bomb_strip_bounded():
+    """A strip that inflates far past its rows is truncated at the
+    expected raster bytes (the bounded-inflate guard), and a strip that
+    inflates SHORT raises the one-exception contract."""
+    import struct
+    import zlib
+
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_deflate,
+    )
+
+    arr = np.full((4, 4, 3), 9, np.uint8)
+    raster = arr.tobytes()  # 48 bytes
+    payload = bytearray(encode_tiff_deflate(arr, rows_per_strip=4,
+                                            predictor=1))
+    # locate the single strip (it is the tail) and replace it
+    strip = zlib.compress(raster)
+    assert payload.endswith(strip)
+    bomb = zlib.compress(raster + bytes(10_000_000))
+    short = zlib.compress(raster[:10])
+    base = bytes(payload[: len(payload) - len(strip)])
+
+    def patch_counts(blob, n):
+        # tag 279 (StripByteCounts) single-value: rewrite its value field
+        out = bytearray(blob)
+        ifd_off = struct.unpack_from("<I", out, 4)[0]
+        (n_tags,) = struct.unpack_from("<H", out, ifd_off)
+        for i in range(n_tags):
+            b = ifd_off + 2 + 12 * i
+            tag = struct.unpack_from("<H", out, b)[0]
+            if tag == 279:
+                struct.pack_into("<I", out, b + 8, n)
+        return bytes(out)
+
+    bombed = patch_counts(base + bomb, len(bomb))
+    assert (decode_tiff(bombed) == arr).all()  # truncated, not inflated
+    shorted = patch_counts(base + short, len(short))
+    with pytest.raises(UnsupportedMediaError, match="inflates short"):
+        decode_tiff(shorted)
