@@ -129,6 +129,191 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# EDF ETL sweep: x1 = 30 mixed files (16 ch × 256 Hz × 1800 s each,
+# ~14.7 MB / 7.37 M samples per file; every 3rd file EDF+D with a
+# 10 s gap every 450 records → 4 chunks).  x8 = 240 files ≈ 3.5 GB /
+# 1.77 G samples — the multi-GB, hundreds-of-files evidence line for
+# the engine's nominal core (decode → chunk merge → channel metadata,
+# the reference's own test surface at /root/reference/tests/params.py).
+EDF_FILES_X1 = 30
+EDF_SIGNALS, EDF_RATE, EDF_NB_REC = 16, 256, 1800
+
+
+def build_edf_corpus(k: int) -> tuple[str, int]:
+    """Build (or reuse) the ×k EDF corpus; returns (dir, total_samples).
+    Same atomic-publish cache discipline as build_replica."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from tests.edf_fixtures import write_edf_fast
+
+    n_files = EDF_FILES_X1 * k
+    per_file = EDF_SIGNALS * EDF_RATE * EDF_NB_REC
+    out = f"/tmp/edf_scale_x{k}"
+    if os.path.isdir(out) and os.path.exists(f"{out}/_COMPLETE"):
+        return out, n_files * per_file
+    tmp = f"{out}.building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    for i in range(n_files):
+        kw = {}
+        if i % 3 == 2:
+            kw = {"variant": "EDF+D", "gap_every": EDF_NB_REC // 4}
+        write_edf_fast(
+            f"{tmp}/f{i:04d}.edf",
+            n_signals=EDF_SIGNALS,
+            rate=EDF_RATE,
+            nb_rec=EDF_NB_REC,
+            seed=i,
+            start_date=f"{1 + i // 24:02d}.01.11",
+            start_time=f"{i % 24:02d}.00.00",
+            **kw,
+        )
+    open(f"{tmp}/_COMPLETE", "w").close()
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out, n_files * per_file
+
+
+HOT_USER = 42
+HOT_FRACTION = 10  # 1-in-10 events remapped → one user holds ~10%
+
+
+def build_events_replica(spark, k: int, hot: bool) -> str:
+    """Events-only ×k replica (other tables symlink to BASE — the skew
+    sweep's queries read only events, and events replicate in seconds
+    at k=64 where a full-table replica would be minutes of wasted
+    build).  ``hot=True`` additionally remaps ~10% of ALL events
+    (uniformly by event_id hash) to one user, so a single key holds a
+    tenth of the corpus — the pathological distribution the sweep
+    measures."""
+    out = f"/tmp/scale_ev_x{k}" + ("_hot" if hot else "")
+    if os.path.isdir(out) and os.path.exists(
+        f"{out}/events.parquet/_SUCCESS"
+    ):
+        return out
+    tmp = f"{out}.building"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    events = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = [
+        events.select(
+            (F.col("event_id") + i * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + i * 1_000_000).alias("user_id"),
+            "event_type",
+            (F.col("value") + i * 0.001).alias("value"),
+            "props",
+        )
+        for i in range(k)
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    if hot:
+        hot_col = F.when(
+            F.pmod(F.xxhash64(F.col("event_id")), F.lit(HOT_FRACTION)) == 0,
+            F.lit(HOT_USER).cast("long"),
+        ).otherwise(F.col("user_id"))
+        e = e.withColumn("user_id", hot_col)
+    e.write.parquet(f"{tmp}/events.parquet")
+    for t in list(TESTDATA_TABLES) + ["documents", "embeddings"]:
+        dst = f"{tmp}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    return out
+
+
+def skew_rows(spark, k: int) -> dict[str, dict[str, float]]:
+    """Hot-key sweep for the window/analytics family: each query timed
+    on the uniform ×k events replica vs the 10%-hot-user variant (warm
+    second runs), plus the plain-vs-salted aggregation pair on the
+    skewed events — the line where salting is the documented fix (AQE
+    splits skewed JOIN partitions, never a skewed groupBy or window
+    key)."""
+    from processor_edf_spark.operators.skew import salted_agg
+    from processor_edf_spark.plans import QUERIES
+
+    normal = build_events_replica(spark, k, hot=False)
+    skewed = build_events_replica(spark, k, hot=True)
+    out: dict[str, dict[str, float]] = {}
+    for name in ("rolling_median_user", "ewma_user_values",
+                 "value_percent_rank"):
+        fn = QUERIES[name]
+        row = {}
+        for tag, d in (("uniform", normal), ("hot10", skewed)):
+            _noop(fn(spark, d))
+            t0 = time.perf_counter()
+            _noop(fn(spark, d))
+            row[tag] = round(time.perf_counter() - t0, 2)
+        out[name] = row
+
+    events = spark.read.parquet(f"{skewed}/events.parquet")
+    aggs = {
+        "sum_value": ("sum", F.col("value")),
+        "n": ("count", F.lit(1)),
+    }
+    plain = lambda: _noop(  # noqa: E731
+        events.groupBy("user_id").agg(
+            F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    salted = lambda: _noop(  # noqa: E731
+        salted_agg(events, ["user_id"], aggs, n_salts=32)
+    )
+    row = {}
+    for tag, fn in (("uniform", None), ("hot10", plain), ("salted", salted)):
+        if fn is None:
+            ev_n = spark.read.parquet(f"{normal}/events.parquet")
+            fn = lambda: _noop(  # noqa: E731
+                ev_n.groupBy("user_id").agg(
+                    F.sum("value").alias("sum_value"),
+                    F.count(F.lit(1)).alias("n"),
+                )
+            )
+        fn()
+        t0 = time.perf_counter()
+        fn()
+        row[tag] = round(time.perf_counter() - t0, 2)
+    out["agg_user_sum"] = row
+    return out
+
+
+def edf_rows(spark, k: int) -> dict[str, float]:
+    """Time the core EDF ETL at one corpus scale (warm second runs):
+    ``edf_decode`` forces every calibrated sample row through the noop
+    sink (the line that must stay LINEAR in corpus bytes — its
+    samples/sec is the throughput anchor); ``edf_metadata`` runs the
+    decoder-pushed chunk-run scan + cross-file merge + channel
+    metadata (O(chunks) reduce side, flat per file count)."""
+    from processor_edf_spark.pipeline import process_edf_directory
+
+    corpus, total = build_edf_corpus(k)
+    out: dict[str, float] = {}
+
+    def run_decode():
+        samples, _, _ = process_edf_directory(spark, corpus)
+        _noop(samples)
+
+    def run_meta():
+        _, channels, _ = process_edf_directory(spark, corpus)
+        _noop(channels)
+
+    run_decode()
+    t0 = time.perf_counter()
+    run_decode()
+    sec = time.perf_counter() - t0
+    out["edf_decode"] = round(sec, 2)
+    out["edf_msamples_per_sec"] = round(total / sec / 1e6, 1)
+    run_meta()
+    t0 = time.perf_counter()
+    run_meta()
+    out["edf_metadata"] = round(time.perf_counter() - t0, 2)
+    return out
+
+
 def ann_rows(spark, sf_dir: str) -> dict[str, float]:
     """Time the ANN path at one replica scale — the 100 TB evidence rows
     for BASELINE.md: codebook/centroid training is bounded-sample (flat
@@ -190,12 +375,49 @@ def main() -> None:
             names = args.pop(0).split(",")
         elif a == "--ann":
             ann = True
+        elif a == "--edf":
+            ann = "edf"
+        elif a == "--skew":
+            ann = "skew"
         elif a.startswith("x"):
             scales.append(int(a[1:]))
     scales = scales or [1, 4, 8]
 
     spark = get_spark("scale_sweep", cpus=32)
     from processor_edf_spark.plans import QUERIES
+
+    if ann == "skew":
+        k = scales[0] if len(scales) == 1 else 64
+        rows = skew_rows(spark, k)
+        cols = ["uniform", "hot10", "salted"]
+        print(f"\n| query (×{k}) | " + " | ".join(cols) + " |")
+        print("|---|" + "---|" * len(cols))
+        for n, row in rows.items():
+            print(
+                f"| {n} | "
+                + " | ".join(str(row.get(c, "—")) for c in cols)
+                + " |"
+            )
+        spark.stop()
+        return
+
+    if ann == "edf":
+        rows = {}
+        for k in scales:
+            for n, sec in edf_rows(spark, k).items():
+                rows.setdefault(n, {})[k] = sec
+                print(f"x{k} {n}: {sec}", flush=True)
+        names = list(rows)
+        print("\n| metric | " + " | ".join(f"×{k}" for k in scales) + " |")
+        print("|---|" + "---|" * len(scales))
+        for n in names:
+            print(
+                f"| {n} | "
+                + " | ".join(str(rows[n][k]) for k in scales)
+                + " |"
+            )
+        spark.stop()
+        return
 
     dirs = {k: build_replica(spark, k) for k in scales}
     if ann:
