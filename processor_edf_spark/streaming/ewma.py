@@ -38,8 +38,16 @@ EWMA_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+EWMA_LATE_OUTPUT_SCHEMA = T.StructType(
+    EWMA_OUTPUT_SCHEMA.fields
+    + [T.StructField("late", T.BooleanType(), False)]
+)
+
 EWMA_STATE_SCHEMA = T.StructType(
-    [T.StructField("ring", T.ArrayType(T.DoubleType()), True)]
+    [
+        T.StructField("ring", T.ArrayType(T.DoubleType()), True),
+        T.StructField("last_t", T.LongType(), True),
+    ]
 )
 
 
@@ -51,10 +59,19 @@ def stream_ewma(
     id_col: str = "event_id",
     t_col: str = "t",
     value_col: str = "value",
+    emit_late: bool = False,
 ) -> DataFrame:
     """Apply the stateful EWMA to a stream (or batch) of events with
     columns (user_id, event_id, t µs, value).  Emits one row per input
-    event with the trailing-``window`` EWMA at that event."""
+    event with the trailing-``window`` EWMA at that event.
+
+    ``emit_late=True`` switches on the out-of-order policy (the W2
+    quarantine discipline): an event whose t is BEFORE the newest t
+    already folded for its key is NOT folded into the ring — it is
+    emitted with ``late=true`` and a null ewma, so late data is counted
+    downstream instead of silently corrupting the fold order.  In-order
+    rows carry ``late=false``.  Default (False) keeps the documented
+    greedy fold-in-arrival-order trade and the original schema."""
     one_minus = 1.0 - alpha
 
     def fold(
@@ -63,16 +80,26 @@ def stream_ewma(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
-        ring = list(state.get[0]) if state.exists else []
+        ring, last_t = (
+            (list(state.get[0]), state.get[1])
+            if state.exists
+            else ([], None)
+        )
         rows = [p for p in pdfs if len(p)]
         if not rows:
-            state.update((ring,))
+            state.update((ring, last_t))
             return
         batch = pd.concat(rows, ignore_index=True).sort_values(
             [t_col, id_col]
         )
-        ids, ewmas = [], []
-        for eid, x in zip(batch[id_col], batch[value_col]):
+        ids, ewmas, lates = [], [], []
+        for eid, t, x in zip(batch[id_col], batch[t_col], batch[value_col]):
+            if emit_late and last_t is not None and int(t) < last_t:
+                ids.append(int(eid))
+                ewmas.append(None)
+                lates.append(True)
+                continue
+            last_t = int(t)
             ring.append(float(x))
             if len(ring) > window:
                 del ring[0]
@@ -81,12 +108,18 @@ def stream_ewma(
                 acc = acc * one_minus + v * alpha
             ids.append(int(eid))
             ewmas.append(acc)
+            lates.append(False)
         # keep the window-1 values PRECEDING the next event (ring[-0:]
         # would be the whole list, so window=1 needs the explicit branch)
-        state.update((ring[-(window - 1):] if window > 1 else [],))
-        yield pd.DataFrame(
-            {"event_id": ids, "user_id": [uid] * len(ids), "ewma": ewmas}
-        )
+        state.update((ring[-(window - 1):] if window > 1 else [], last_t))
+        out = {
+            "event_id": ids,
+            "user_id": [uid] * len(ids),
+            "ewma": ewmas,
+        }
+        if emit_late:
+            out["late"] = lates
+        yield pd.DataFrame(out)
 
     keyed = events.select(
         F.col(user_col).alias("user_id"),
@@ -96,7 +129,9 @@ def stream_ewma(
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         fold,
-        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputStructType=(
+            EWMA_LATE_OUTPUT_SCHEMA if emit_late else EWMA_OUTPUT_SCHEMA
+        ),
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

@@ -14,11 +14,13 @@ micro-batches the open row is final, so a change arriving LATER than
 one it precedes in event time closes the open row at its own t (the
 greedy bounded-state trade every stateful operator here makes;
 ``scd2_apply_delta`` owns exact out-of-order repair).  A change at
-t STRICTLY BEFORE the open row's valid_from is dropped (it cannot
-close an interval that starts after it) — counted nowhere here,
-quarantine upstream if that matters.  A change at t EQUAL to the open
-row's valid_from closes it as a zero-length interval, exactly what the
-batch build's lead() window emits for duplicate (key, t) changes.
+t STRICTLY BEFORE the open row's valid_from cannot close an interval
+that starts after it: by default it is dropped; with ``emit_late=True``
+it is emitted as a ``late=true`` row so the consumer counts/quarantines
+it and feeds it to ``scd2_apply_delta`` for exact repair.  A change at
+t EQUAL to the open row's valid_from closes it as a zero-length
+interval, exactly what the batch build's lead() window emits for
+duplicate (key, t) changes.
 
 Parity (tests/test_streaming_scd2.py): on in-order input — including
 timestamp ties — the emitted closed rows are EXACTLY the batch
@@ -47,6 +49,11 @@ SCD2_STREAM_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+SCD2_STREAM_LATE_OUTPUT_SCHEMA = T.StructType(
+    SCD2_STREAM_OUTPUT_SCHEMA.fields
+    + [T.StructField("late", T.BooleanType(), False)]
+)
+
 SCD2_STREAM_STATE_SCHEMA = T.StructType(
     [
         T.StructField("open_from", T.LongType(), True),
@@ -60,9 +67,17 @@ def stream_scd2(
     key_col: str = "user_id",
     t_col: str = "t",
     value_col: str = "value",
+    emit_late: bool = False,
 ) -> DataFrame:
     """Emit closed SCD2 intervals from a change stream of
-    (user_id, t µs, value); the open row per key lives in state."""
+    (user_id, t µs, value); the open row per key lives in state.
+
+    ``emit_late=True`` turns the silent drop of out-of-order changes
+    (t strictly before the open row's valid_from) into counted output:
+    the dropped change is emitted as a ``late=true`` row carrying its
+    own (value, t, t) so a downstream consumer can quarantine/count it
+    and hand it to ``scd2_apply_delta`` for exact repair — the W2
+    quarantine discipline.  Closed intervals carry ``late=false``."""
 
     def fold(
         key: Tuple[int],
@@ -85,25 +100,31 @@ def stream_scd2(
             t, v = int(t), float(v)
             if open_from is not None:
                 if t < open_from:
-                    continue  # cannot close an interval starting later
+                    # cannot close an interval starting later
+                    if emit_late:
+                        closed.append((uid, v, t, t, False, True))
+                    continue
                 # t == open_from emits the ZERO-LENGTH closed row, the
                 # exact shape scd2_build's lead() window produces for
                 # duplicate (key, t) changes — keeping the closed-row
                 # parity claim true on timestamp ties, not just unique t
-                closed.append((uid, open_value, open_from, t, False))
+                closed.append(
+                    (uid, open_value, open_from, t, False)
+                    + ((False,) if emit_late else ())
+                )
             open_from, open_value = t, v
         state.update((open_from, open_value))
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=[
-                    "user_id",
-                    "value",
-                    "valid_from_usec",
-                    "valid_to_usec",
-                    "is_current",
-                ],
-            )
+            cols = [
+                "user_id",
+                "value",
+                "valid_from_usec",
+                "valid_to_usec",
+                "is_current",
+            ]
+            if emit_late:
+                cols.append("late")
+            yield pd.DataFrame(closed, columns=cols)
 
     keyed = changes.select(
         F.col(key_col).alias("user_id"),
@@ -112,7 +133,11 @@ def stream_scd2(
     )
     return keyed.groupBy("user_id").applyInPandasWithState(
         fold,
-        outputStructType=SCD2_STREAM_OUTPUT_SCHEMA,
+        outputStructType=(
+            SCD2_STREAM_LATE_OUTPUT_SCHEMA
+            if emit_late
+            else SCD2_STREAM_OUTPUT_SCHEMA
+        ),
         stateStructType=SCD2_STREAM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,

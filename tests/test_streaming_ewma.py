@@ -109,3 +109,45 @@ def test_stream_ewma_state_carries_across_drops(spark, tmp_path):
 
     assert len(got) == len(want)
     assert [e for e, v in want.items() if got[e] != v] == []
+
+
+def test_late_events_quarantined_not_folded(spark, tmp_path):
+    """emit_late=True: an event older than the newest folded t for its
+    key is emitted late=true with a null ewma and does NOT perturb the
+    ring — the next in-order event folds exactly as if the late one
+    never arrived (checked across a micro-batch boundary, alpha=0.5
+    window=3 for exact-arithmetic expectations)."""
+    in_dir, ckpt, out_dir = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+
+    def drop(rows):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        (
+            stream_ewma(stream, alpha=0.5, window=3, emit_late=True)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    drop([(1, 1, 10, 1.0), (1, 2, 30, 3.0)])  # ring [1, 3]
+    drop([(1, 3, 20, 9.9), (1, 4, 40, 5.0)])  # 3 is LATE; 4 folds
+    got = {
+        r["event_id"]: (r["ewma"], r["late"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # fold for event 4 over [1, 3, 5]: ((1·.5+3·.5)=2)·.5 + 5·.5 = 3.5 —
+    # exactly what it would be had event 3 never arrived
+    assert got[3] == (None, True)
+    assert got[4] == (3.5, False)
+    assert got[1] == (1.0, False) and got[2] == (2.0, False)

@@ -128,6 +128,51 @@ def test_open_row_survives_micro_batches(spark, tmp_path):
     assert rows == [(1.0, 10, 30)]
 
 
+def test_late_changes_counted_not_folded(spark, tmp_path):
+    """emit_late=True: an out-of-order change (t before the open row's
+    valid_from) is emitted as a late=true row — counted, not silently
+    dropped and not folded into the history — across a micro-batch
+    boundary (i.e. through checkpointed state)."""
+    in_dir, ckpt, out_dir = (
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+
+    def drop(batch_rows):
+        spark.createDataFrame(batch_rows, SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        stream = spark.readStream.schema(SCHEMA).parquet(in_dir)
+        (
+            stream_scd2(stream, emit_late=True)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(120)
+        )
+
+    drop([(1, 20, 2.0)])  # opens at t=20
+    drop([(1, 10, 1.0), (1, 30, 3.0)])  # 10 is LATE; 30 closes [20,30)
+    rows = {
+        (
+            r["value"],
+            r["valid_from_usec"],
+            r["valid_to_usec"],
+            r["late"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert rows == {
+        (1.0, 10, 10, True),  # the late change, quarantined with its t
+        (2.0, 20, 30, False),  # history unaffected by the late row
+    }
+
+
 def test_jsonl_shard_export_roundtrip(spark, tmp_path):
     from processor_edf_spark.sinks.writers import write_jsonl_shards
 
