@@ -18,6 +18,7 @@ from processor_edf_spark.plans import tpch_extra  # noqa: E402,F401
 from processor_edf_spark.plans import corpus_extra  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_extra  # noqa: E402,F401
 from processor_edf_spark.plans import audits  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_r7  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -67,6 +68,12 @@ from processor_edf_spark.plans import audits  # noqa: E402,F401
 # the 17 r6 stale rotate-ins).  Every rotated-out query keeps its
 # latest driver-green row plus the per-commit CORRECTNESS_LOCAL
 # mirror, so the rotation stays coverage-neutral.
+# r7 batch 2 (interp_linear_hourly, rolling_7d_active_users,
+# session_dwell_stats) enters the window immediately per the standing
+# policy, displacing the three tail queries of the r4-green block
+# (ngram_lang_profile, doc_length_histogram, quantize_embeddings_int8
+# — their families stay covered in-window; they lead the r8
+# rotate-ins).
 _CANONICAL = [
     # ---- 7 anchors kept in-window (families whose members would
     # otherwise all rotate out this round; all driver-green r6)
@@ -81,6 +88,10 @@ _CANONICAL = [
     "dedup_component_sizes",    # graph (closure histogram, CTE oracle)
     "approx_distinct_audit",    # profiling (HLL++ bound audit)
     "approx_percentile_audit",  # profiling (GK rank-bound audit)
+    # ---- r7 batch-2 additions, first driver check
+    "interp_linear_hourly",     # time_fns (linear resample)
+    "rolling_7d_active_users",  # events (trailing-window reach)
+    "session_dwell_stats",      # sessionize (intra-session gaps)
     # ---- 17 stale-block tail rotate-ins (last driver-green r2/r3)
     "except_click_no_purchase",
     "distinct_users_per_type",
@@ -121,12 +132,14 @@ _CANONICAL = [
     "q16_supplier_variety",
     "q19_disjunctive_revenue",
     "ntile_value_quartiles",
-    "ngram_lang_profile",
-    "doc_length_histogram",
-    "quantize_embeddings_int8",
     # ---- position 51+: every query below has a driver-green row in
     # some round and stays mirror-checked by
     # tests/test_queries_oracle.py on every pytest run.
+    # displaced from the window by the r7 batch-2 additions
+    # (driver-green r4; first r8 rotate-ins):
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    "quantize_embeddings_int8",
     # rotated out in r7 (driver-green r6):
     "filter_project_events",
     "band_join_acctbal",
@@ -323,6 +336,10 @@ FAMILY = {
     "dedup_component_sizes": "graph",
     "approx_distinct_audit": "profiling",
     "approx_percentile_audit": "profiling",
+    # r7 batch 2
+    "interp_linear_hourly": "time_fns",
+    "rolling_7d_active_users": "events",
+    "session_dwell_stats": "sessionize",
 }
 
 

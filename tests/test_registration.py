@@ -11,8 +11,10 @@ EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 The r7 window (executed exactly as pre-declared in the r6 rotation
 note): 7 family anchors (driver-green r6) + the 3 r7 additions
 (dedup_component_sizes and the two sketch-bound audits, first driver
-check) + the 17 stale-block tail queries (last driver-green r2∪r3) +
-the full 23-query r4-green block rotated out in r5 — all returning for
+check, batch 2 adding interp/rolling-reach/dwell) + the 17
+stale-block tail queries (last driver-green r2∪r3) + the r4-green
+block rotated out in r5 (20 of its 23 in-window; its last three are
+displaced by batch 2 and lead the r8 rotate-ins) — all returning for
 refreshed evidence.  ``test_window_covers_every_family`` keeps any
 future rotation coverage-neutral automatically.
 """
@@ -33,6 +35,9 @@ EXPECTED_FIRST_50 = [
     "dedup_component_sizes",
     "approx_distinct_audit",
     "approx_percentile_audit",
+    "interp_linear_hourly",
+    "rolling_7d_active_users",
+    "session_dwell_stats",
     "except_click_no_purchase",
     "distinct_users_per_type",
     "text_quality",
@@ -70,9 +75,6 @@ EXPECTED_FIRST_50 = [
     "q16_supplier_variety",
     "q19_disjunctive_revenue",
     "ntile_value_quartiles",
-    "ngram_lang_profile",
-    "doc_length_histogram",
-    "quantize_embeddings_int8",
 ]
 
 
@@ -93,8 +95,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 125 through r6 + the 3 r7 audit/graph additions
-    assert len(QUERIES) == 128
+    # 125 through r6 + the 6 r7 additions (audits/graph + batch 2)
+    assert len(QUERIES) == 131
 
 
 def test_every_query_has_a_family():
