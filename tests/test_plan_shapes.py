@@ -647,3 +647,45 @@ def test_correlation_single_shuffle(spark):
     plan = plan_of(spark, "user_value_correlation")
     n_hash = plan.count("Exchange hashpartitioning")
     assert n_hash == 1, f"expected 1 hash exchange, got {n_hash}:\n{plan[:2000]}"
+
+
+def test_approx_percentile_audit_broadcasts_sketch_frame(spark):
+    """The 5-row per-group sketch frame joins back BROADCAST — the rank
+    check must never shuffle the events side on event_type (a hot
+    5-value key would make that the worst possible shuffle)."""
+    plan = plan_of(spark, "approx_percentile_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_percentile_approx" in plan or "partial" in plan
+
+
+def test_rolling_7d_contribution_explode_then_partial_distinct(spark):
+    """The WAU query must be the linear shape: a generator explode for
+    the 7-day contributions (never a range self-join) feeding two-phase
+    partial distinct; the max-day cap is a broadcast of a 1-row agg."""
+    plan = plan_of(spark, "rolling_7d_active_users")
+    assert "Generate explode" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row cap frame
+    assert "partial_count(distinct" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_dwell_single_shuffle_family(spark):
+    """lag window and groupBy share the user_id key: exactly ONE
+    exchange on user_id (the window's), with the aggregation running
+    partial→final on the window's partitioning, not re-shuffling."""
+    plan = plan_of(spark, "session_dwell_stats")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "partial_count" in plan
+
+
+def test_interp_reuses_gap_fill_grid_shape(spark):
+    """The interpolation flavor keeps the ffill flavor's plan family:
+    grid explode rides the span aggregate and every window runs on the
+    (user, day) partitioning — no extra exchange for the four context
+    windows."""
+    plan = plan_of(spark, "interp_linear_hourly")
+    assert "Generate explode(sequence" in plan
+    # windows over (user_id, day) reuse one partitioning: the plan has
+    # exchanges for (user,hour-trunc) rank, the span agg, and the
+    # (user,day) window family — the 4 context windows add none
+    assert plan.count("Exchange") <= 4, plan[:3000]
