@@ -70,6 +70,41 @@ def write_bucketed(
     w.format("parquet").saveAsTable(table)
 
 
+def write_partitioned_daily(
+    df: DataFrame,
+    out_dir: str,
+    ts_col: str = "ts",
+    partition_col: str = "dt",
+) -> None:
+    """Hive-style date-partitioned sink: one ``dt=YYYY-MM-DD`` directory
+    per day, so every time-ranged read prunes whole partitions at PLAN
+    time (``PartitionFilters`` in the scan — zero I/O for excluded
+    days; pinned by tests/test_plan_shapes.py).  This is the coarse
+    layout lever ABOVE the row-group-stat skipping the canonical sink
+    already gets from its (channel, t) sort, and below z-ordering:
+    date-partition for the dominant time predicate, z-order inside a
+    partition when a second selective column matters.
+
+    Small-files discipline: rows are repartitioned BY the partition
+    column before the write, so each day directory gets its writers'
+    worth of files, not one shard per upstream task × day (the classic
+    million-small-files failure at 100 TB).  Days are fine-grained
+    enough that AQE coalescing keeps the shuffle balanced; for
+    year-scale history with hot recent days, range-partition on the
+    date instead."""
+    from pyspark.sql import functions as F
+
+    keyed = df.withColumn(
+        partition_col, F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    )
+    (
+        keyed.repartition(F.col(partition_col))
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(out_dir)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bit-compatible reference output (optional, S8/S10 byte parity)
 # ---------------------------------------------------------------------------

@@ -689,3 +689,40 @@ def test_interp_reuses_gap_fill_grid_shape(spark):
     # exchanges for (user,hour-trunc) rank, the span agg, and the
     # (user,day) window family — the 4 context windows add none
     assert plan.count("Exchange") <= 4, plan[:3000]
+
+
+def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
+    """A dt= partitioned layout must turn a day predicate into a
+    PartitionFilter — the scan's PartitionCount drops to the matching
+    day and the excluded days cost zero I/O (the coarse layout lever
+    above row-group skipping, below z-order)."""
+    from pyspark.sql import functions as F
+
+    from processor_edf_spark.plans.registry import load
+    from processor_edf_spark.sinks.writers import write_partitioned_daily
+
+    (events,) = load(spark, SF_SMALL, "events")
+    out = str(tmp_path / "events_daily")
+    write_partitioned_daily(events, out)
+
+    back = spark.read.parquet(out)
+    one_day = back.filter(F.col("dt") == "2024-01-05")
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "dt" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    # the filter must NOT appear as a post-scan Filter over all rows
+    assert "PushedFilters: []" in plan or "Filter (dt" not in plan
+    # correctness: pruned read equals the unpartitioned filter
+    want = events.filter(
+        F.date_format("ts", "yyyy-MM-dd") == "2024-01-05"
+    ).count()
+    assert one_day.count() == want and want > 0
+    # small-files discipline: one day directory -> its own files, and
+    # no day directory exploded into per-task shards
+    import glob
+
+    days = glob.glob(f"{out}/dt=*")
+    assert len(days) >= 25
+    worst = max(len(glob.glob(f"{d}/*.parquet")) for d in days)
+    assert worst <= 4, f"small-files regression: {worst} files in one day"
