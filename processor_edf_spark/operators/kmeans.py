@@ -82,7 +82,17 @@ def kmeans_fit(
 ) -> np.ndarray:
     """Lloyd's iterations; returns the (k, d) centroid array.  Each round
     is one assignment pass + one groupBy(cluster) of per-dimension sums —
-    the update aggregate collected to the driver is k·(d+1) values."""
+    the update aggregate collected to the driver is k·(d+1) values.
+
+    Caller contract: ``df`` is referenced TWICE PER ROUND, so a
+    compute-heavy lineage (hash_embed over a corpus, a join chain)
+    must be ``localCheckpoint``ed by the caller first or it re-runs
+    2·n_iter times — a plain parquet scan is fine to re-read and
+    should NOT be checkpointed (executor-storage cost for nothing).
+    The bench harness and the hash_embed→IVF+PQ composition both
+    checkpoint; the same rule the components loop enforces internally
+    is a caller decision here because only the caller knows whether
+    the input is a scan or a computation."""
     seed_rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
     )

@@ -45,15 +45,24 @@ def lsh_components(
     transitively sharing any bucket key get one component label (the
     minimum member id); ids sharing no bucket are singletons labeled by
     themselves."""
-    roots = bucketed.groupBy(key_col).agg(F.min(id_col).alias("_root"))
+    roots = bucketed.filter(F.col(key_col).isNotNull()).groupBy(
+        key_col
+    ).agg(F.min(id_col).alias("_root"))
     # One checkpointed (root, id) membership frame feeds BOTH the edge
     # list and the id universe: without it, `ids` below would re-run the
     # caller's whole bucketing lineage (for minhash bands, a second md5
     # scan of the corpus).  Size is ≤ Σ bucket sizes rows of two longs —
     # linear in the corpus, the same order as the shuffle that builds it.
+    # LEFT join + coalesce-to-self: a row whose bucket key is NULL (a
+    # caller's "unbucketable" marker) matches no root — it must stay in
+    # the id universe as a SINGLETON, not silently drop out of the
+    # labeling (and out of the survivor keep-list downstream).
     sets = (
-        bucketed.join(roots, key_col)
-        .select(F.col("_root").alias("src"), F.col(id_col).alias("dst"))
+        bucketed.join(roots, key_col, "left")
+        .select(
+            F.coalesce(F.col("_root"), F.col(id_col)).alias("src"),
+            F.col(id_col).alias("dst"),
+        )
         .distinct()
         .localCheckpoint(eager=True)
     )

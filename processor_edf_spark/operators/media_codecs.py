@@ -612,10 +612,14 @@ register_codec_plugin("compressed_tiff_deflate", _tiff_deflate_strip_plugin)
 
 
 def decode_tiff_via_optional(payload: bytes) -> np.ndarray:
-    """LZW/JPEG-in-TIFF route: decode the whole payload via Pillow when
-    the ``compressed_tiff`` extra is present; otherwise the
-    one-exception contract naming the extra (operators/tiff.py routes
-    here for compression schemes its plugins don't cover)."""
+    """LZW/JPEG-in-TIFF route: decode the whole payload via a
+    registered ``compressed_tiff`` plugin, else Pillow when the extra
+    is present; otherwise the one-exception contract naming the extra
+    (operators/tiff.py routes here for compression schemes its
+    plugins don't cover)."""
+    plugin = get_codec_plugin("compressed_tiff")
+    if plugin is not None:
+        return plugin(payload)
     _require_optional("compressed_tiff")
     import io
 
@@ -627,8 +631,14 @@ def decode_tiff_via_optional(payload: bytes) -> np.ndarray:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """WebP → HxWx3 uint8 RGB via Pillow when installed; otherwise the
-    one-exception contract (UnsupportedMediaError naming the extra)."""
+    """WebP → HxWx3 uint8 RGB via a registered plugin, else Pillow when
+    installed; otherwise the one-exception contract
+    (UnsupportedMediaError naming the extra).  A registered plugin
+    takes precedence — it is what made ``optional_codec_support``
+    report the format available, so it must be what decodes."""
+    plugin = get_codec_plugin("webp")
+    if plugin is not None:
+        return plugin(payload)
     _require_optional("webp")
     import io
 
@@ -640,8 +650,12 @@ def decode_webp(payload: bytes) -> np.ndarray:
 
 
 def decode_mp3(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """MP3 → (rate, n_channels, float samples) via soundfile when
-    installed; same contract/shape as decode_wav_pcm."""
+    """MP3 → (rate, n_channels, float samples) via a registered plugin,
+    else soundfile when installed; same contract/shape as
+    decode_wav_pcm."""
+    plugin = get_codec_plugin("mp3")
+    if plugin is not None:
+        return plugin(payload)
     _require_optional("mp3")
     import io
 

@@ -245,21 +245,28 @@ def commit_version(
     deployment must install (refused otherwise, because blind
     copy-rename on an object store would silently drop the exactly-once
     admission guarantee)."""
-    scheme = store_dir.split("://", 1)[0] if "://" in store_dir else None
-    if (
-        _PUBLISHER is None
-        and scheme in _OBJECT_STORE_SCHEMES
-    ):
-        # refuse BEFORE touching the filesystem: the check must hold
-        # even where the object-store connector jar isn't on the
-        # classpath, and a failed publish should leave nothing behind
+    def _refuse(scheme: str) -> None:
         raise RuntimeError(
             f"commit_version on {scheme}:// needs an explicit "
             "ConditionalPutPublisher (set_commit_publisher): object "
             "stores have no atomic rename/create-if-absent, so the "
             "scheme default cannot guarantee one commit winner"
         )
+
+    url_scheme = store_dir.split("://", 1)[0] if "://" in store_dir else None
+    if _PUBLISHER is None and url_scheme in _OBJECT_STORE_SCHEMES:
+        # refuse BEFORE touching the filesystem: the check must hold
+        # even where the object-store connector jar isn't on the
+        # classpath, and a failed publish should leave nothing behind
+        _refuse(url_scheme)
     fs, jpath, jvm = _fs(spark, _entry_path(store_dir, version))
+    # a scheme-LESS path resolves against fs.defaultFS — ask the
+    # RESOLVED filesystem what it is, so '/warehouse/store' on an
+    # s3a-defaultFS cluster is refused too (and an hdfs-defaultFS
+    # cluster routes to the rename publisher, never the local link)
+    fs_scheme = fs.getUri().getScheme()
+    if _PUBLISHER is None and fs_scheme in _OBJECT_STORE_SCHEMES:
+        _refuse(fs_scheme)
     hpath = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(hpath(_log_dir(store_dir)))
     payload = json.dumps({"add": files, "base": base}).encode("utf-8")
@@ -271,7 +278,6 @@ def commit_version(
     finally:
         out.close()
 
-    fs_scheme = jpath.toUri().getScheme()
     if _PUBLISHER is not None:
         publish = _PUBLISHER
     elif fs_scheme in (None, "file"):

@@ -131,6 +131,14 @@ def approx_percentile_audit(spark, sf_dir):
     approximate VALUE stays engine-side, the proved bound crosses as a
     driver-hashed boolean.
 
+    Tie/null soundness: the returned estimate's rank is an INTERVAL
+    [count(value < est), count(value <= est)] — under heavy value ties
+    the upper count alone could sit far past the target rank for a
+    perfectly correct sketch, so the check passes iff that interval
+    intersects the tolerance band around q·n.  The rank scale is the
+    NON-NULL count (percentile_approx ignores nulls), while ``n_rows``
+    stays COUNT(*) to match the oracle column.
+
     Shape: one agg for the sketch (O(1/ε) state per group), then the
     rank check joins the 5-row sketch frame back broadcast — a
     broadcast of a per-group aggregate whose cardinality is the group
@@ -143,19 +151,35 @@ def approx_percentile_audit(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
     joined = events.join(F.broadcast(ap), "event_type")
+
+    def rank_cols(i: int, tag: str):
+        est = F.col("_pcts")[i]
+        return [
+            F.sum(F.when(F.col("value") < est, 1).otherwise(0)).alias(
+                f"_lo{tag}"
+            ),
+            F.sum(F.when(F.col("value") <= est, 1).otherwise(0)).alias(
+                f"_hi{tag}"
+            ),
+        ]
+
     ranks = joined.groupBy("event_type").agg(
-        F.sum(
-            F.when(F.col("value") <= F.col("_pcts")[0], 1).otherwise(0)
-        ).alias("_r50"),
-        F.sum(
-            F.when(F.col("value") <= F.col("_pcts")[1], 1).otherwise(0)
-        ).alias("_r90"),
+        *rank_cols(0, "50"),
+        *rank_cols(1, "90"),
+        F.count("value").alias("_nn"),  # non-null rank scale
         F.first("n_rows").alias("n_rows"),
     )
-    tol = 2.0 * F.col("n_rows") / GK_ACCURACY + 2.0
+    tol = 2.0 * F.col("_nn") / GK_ACCURACY + 2.0
+
+    def ok(tag: str, q: float):
+        target = q * F.col("_nn")
+        return (F.col(f"_lo{tag}") <= target + tol) & (
+            F.col(f"_hi{tag}") >= target - tol
+        )
+
     return ranks.select(
         "event_type",
         "n_rows",
-        (F.abs(F.col("_r50") - 0.5 * F.col("n_rows")) <= tol).alias("p50_ok"),
-        (F.abs(F.col("_r90") - 0.9 * F.col("n_rows")) <= tol).alias("p90_ok"),
+        ok("50", 0.5).alias("p50_ok"),
+        ok("90", 0.9).alias("p90_ok"),
     )

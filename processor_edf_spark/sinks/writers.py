@@ -75,6 +75,7 @@ def write_partitioned_daily(
     out_dir: str,
     ts_col: str = "ts",
     partition_col: str = "dt",
+    files_per_day: int = 4,
 ) -> None:
     """Hive-style date-partitioned sink: one ``dt=YYYY-MM-DD`` directory
     per day, so every time-ranged read prunes whole partitions at PLAN
@@ -85,20 +86,24 @@ def write_partitioned_daily(
     date-partition for the dominant time predicate, z-order inside a
     partition when a second selective column matters.
 
-    Small-files discipline: rows are repartitioned BY the partition
-    column before the write, so each day directory gets its writers'
-    worth of files, not one shard per upstream task × day (the classic
-    million-small-files failure at 100 TB).  Days are fine-grained
-    enough that AQE coalescing keeps the shuffle balanced; for
-    year-scale history with hot recent days, range-partition on the
-    date instead."""
+    Small-files discipline with skew headroom: rows are repartitioned
+    by (partition column, bounded salt) before the write, so each day
+    directory gets AT MOST ``files_per_day`` files (never one shard per
+    upstream task × day — the classic million-small-files failure at
+    100 TB) while a hot day still spans ``files_per_day`` writer tasks
+    instead of funneling through one straggler.  A plain
+    repartition(dt) would pin each whole day to a single task, and AQE
+    only coalesces small partitions — it cannot split an oversized
+    repartition-by-key partition outside joins.  Size ``files_per_day``
+    ≈ hot-day bytes / 128 MiB."""
     from pyspark.sql import functions as F
 
     keyed = df.withColumn(
         partition_col, F.date_format(F.col(ts_col), "yyyy-MM-dd")
     )
+    salt = F.pmod(F.xxhash64(F.col(ts_col)), F.lit(files_per_day))
     (
-        keyed.repartition(F.col(partition_col))
+        keyed.repartition(F.col(partition_col), salt)
         .write.mode("overwrite")
         .partitionBy(partition_col)
         .parquet(out_dir)

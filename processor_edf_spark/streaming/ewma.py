@@ -44,6 +44,13 @@ EWMA_LATE_OUTPUT_SCHEMA = T.StructType(
 )
 
 EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("ring", T.ArrayType(T.DoubleType()), True)]
+)
+
+# emit_late tracks the fold frontier too — a SEPARATE state schema so
+# default callers restarting from a pre-existing checkpoint keep the
+# original 1-field state layout (schema change = checkpoint break).
+EWMA_LATE_STATE_SCHEMA = T.StructType(
     [
         T.StructField("ring", T.ArrayType(T.DoubleType()), True),
         T.StructField("last_t", T.LongType(), True),
@@ -80,14 +87,19 @@ def stream_ewma(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
-        ring, last_t = (
-            (list(state.get[0]), state.get[1])
-            if state.exists
-            else ([], None)
-        )
+        if state.exists:
+            got = state.get
+            ring = list(got[0])
+            last_t = got[1] if emit_late else None
+        else:
+            ring, last_t = [], None
+
+        def save():
+            state.update((ring, last_t) if emit_late else (ring,))
+
         rows = [p for p in pdfs if len(p)]
         if not rows:
-            state.update((ring, last_t))
+            save()
             return
         batch = pd.concat(rows, ignore_index=True).sort_values(
             [t_col, id_col]
@@ -111,7 +123,8 @@ def stream_ewma(
             lates.append(False)
         # keep the window-1 values PRECEDING the next event (ring[-0:]
         # would be the whole list, so window=1 needs the explicit branch)
-        state.update((ring[-(window - 1):] if window > 1 else [], last_t))
+        ring = ring[-(window - 1):] if window > 1 else []
+        save()
         out = {
             "event_id": ids,
             "user_id": [uid] * len(ids),
@@ -132,7 +145,9 @@ def stream_ewma(
         outputStructType=(
             EWMA_LATE_OUTPUT_SCHEMA if emit_late else EWMA_OUTPUT_SCHEMA
         ),
-        stateStructType=EWMA_STATE_SCHEMA,
+        stateStructType=(
+            EWMA_LATE_STATE_SCHEMA if emit_late else EWMA_STATE_SCHEMA
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

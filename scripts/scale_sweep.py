@@ -367,18 +367,18 @@ def ann_rows(spark, sf_dir: str) -> dict[str, float]:
 
 
 def main() -> None:
-    scales, names, ann = [], list(DEFAULT_QUERIES), False
+    scales, names, mode = [], list(DEFAULT_QUERIES), "queries"
     args = sys.argv[1:]
     while args:
         a = args.pop(0)
         if a == "--q":
             names = args.pop(0).split(",")
         elif a == "--ann":
-            ann = True
+            mode = "ann"
         elif a == "--edf":
-            ann = "edf"
+            mode = "edf"
         elif a == "--skew":
-            ann = "skew"
+            mode = "skew"
         elif a.startswith("x"):
             scales.append(int(a[1:]))
     scales = scales or [1, 4, 8]
@@ -386,7 +386,7 @@ def main() -> None:
     spark = get_spark("scale_sweep", cpus=32)
     from processor_edf_spark.plans import QUERIES
 
-    if ann == "skew":
+    if mode == "skew":
         k = scales[0] if len(scales) == 1 else 64
         rows = skew_rows(spark, k)
         cols = ["uniform", "hot10", "salted"]
@@ -401,7 +401,7 @@ def main() -> None:
         spark.stop()
         return
 
-    if ann == "edf":
+    if mode == "edf":
         rows = {}
         for k in scales:
             for n, sec in edf_rows(spark, k).items():
@@ -420,7 +420,7 @@ def main() -> None:
         return
 
     dirs = {k: build_replica(spark, k) for k in scales}
-    if ann:
+    if mode == "ann":
         rows = {}
         for k in scales:
             for n, sec in ann_rows(spark, dirs[k]).items():

@@ -75,3 +75,33 @@ def test_lsh_components_edge_count_is_linear(spark):
     comp = lsh_components(df)
     assert comp.filter(F.col("component") == 0).count() == g
     assert lsh_dedup_survivors(df).count() == 6  # 1 hot group + 5 singletons
+
+
+def test_null_bucket_key_rows_stay_singletons(spark):
+    """A caller marking unbucketable docs with a NULL band_key must not
+    lose them: they take no edges (NULL joins nothing) but stay in the
+    id universe as self-labeled singletons, so the survivor keep-list
+    still contains them."""
+    from processor_edf_spark.operators.lsh_dedup import (
+        lsh_components,
+        lsh_dedup_survivors,
+    )
+
+    rows = [
+        (1, "b1"),
+        (2, "b1"),   # dup group {1, 2}
+        (3, None),   # unbucketable — must survive as a singleton
+        (4, "b2"),   # singleton bucket
+    ]
+    bucketed = spark.createDataFrame(
+        rows, "doc_id long, band_key string"
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in lsh_components(bucketed).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 3, 4: 4}
+    keep = sorted(
+        r["doc_id"] for r in lsh_dedup_survivors(bucketed).collect()
+    )
+    assert keep == [1, 3, 4]

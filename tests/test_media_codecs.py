@@ -965,3 +965,25 @@ def test_deflate_tiff_bomb_strip_bounded():
     shorted = patch_counts(base + short, len(short))
     with pytest.raises(UnsupportedMediaError, match="inflates short"):
         decode_tiff(shorted)
+
+
+def test_registered_plugin_takes_precedence_over_import_probe():
+    """The seam's contract: whatever made optional_codec_support report
+    a format available must be what decodes.  A registered webp plugin
+    is invoked by decode_webp/decode_image (never a blind PIL import),
+    and unregistering restores the absent-path contract."""
+    from processor_edf_spark.operators.media_codecs import (
+        optional_codec_support,
+        register_codec_plugin,
+    )
+
+    marker = np.full((2, 3, 3), 9, np.uint8)
+    register_codec_plugin("webp", lambda payload: marker)
+    try:
+        assert optional_codec_support()["webp"] is True
+        from processor_edf_spark.operators.media_codecs import decode_webp
+
+        assert (decode_webp(_webp_payload()) == marker).all()
+        assert (decode_image(_webp_payload()) == marker).all()
+    finally:
+        register_codec_plugin("webp", None)
