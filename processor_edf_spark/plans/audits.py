@@ -99,10 +99,16 @@ def approx_distinct_audit(spark, sf_dir):
         F.abs(F.col("_est") - F.col("exact_distinct"))
         / F.col("exact_distinct")
     )
+    # a group whose key column is entirely NULL has exact_distinct 0 —
+    # both sketch and truth agree there is nothing to estimate, so the
+    # bound trivially holds (and the division above would be null)
+    within = F.when(
+        F.col("exact_distinct") == 0, F.lit(True)
+    ).otherwise(rel_err <= HLL_AUDIT_REL_ERR)
     return agg.select(
         "event_type",
         "exact_distinct",
-        (rel_err <= HLL_AUDIT_REL_ERR).alias("within_bound"),
+        within.alias("within_bound"),
     )
 
 

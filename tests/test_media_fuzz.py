@@ -209,3 +209,36 @@ def test_bitflipped_tiff_never_escapes(pos, bit):
     b = bytearray(_GOOD_TIFF)
     b[pos] ^= 1 << bit
     _check(decode_tiff, bytes(b))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    gray=st.booleans(),
+    rows_per_strip=st.integers(1, 6),
+    predictor=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_deflate_tiff_roundtrip_property(h, w, gray, rows_per_strip,
+                                         predictor, seed):
+    """Property: ANY 8-bit image round-trips the deflate TIFF path
+    losslessly, every strip split, both predictors, gray and RGB."""
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_deflate,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, np.uint8)
+    out = decode_tiff(
+        encode_tiff_deflate(img, rows_per_strip=rows_per_strip,
+                            predictor=predictor)
+    )
+    want = np.repeat(img[:, :, None], 3, axis=2) if gray else img
+    assert (out == want).all()
