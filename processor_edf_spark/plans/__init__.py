@@ -135,6 +135,9 @@ _CANONICAL = [
     # ---- position 51+: every query below has a driver-green row in
     # some round and stays mirror-checked by
     # tests/test_queries_oracle.py on every pytest run.
+    # registered after the r7 window froze (mirror-checked now;
+    # enters the r8 window with the first rotate-ins below):
+    "heavy_hitters_audit",
     # displaced from the window by the r7 batch-2 additions
     # (driver-green r4; first r8 rotate-ins):
     "ngram_lang_profile",
@@ -336,6 +339,7 @@ FAMILY = {
     "dedup_component_sizes": "graph",
     "approx_distinct_audit": "profiling",
     "approx_percentile_audit": "profiling",
+    "heavy_hitters_audit": "profiling",
     # r7 batch 2
     "interp_linear_hourly": "time_fns",
     "rolling_7d_active_users": "events",

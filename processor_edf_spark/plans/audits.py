@@ -117,6 +117,77 @@ def approx_distinct_audit(spark, sf_dir):
 # (value ties and the ceil/floor of the target rank).
 GK_ACCURACY = 1000
 
+MG_K = 50
+
+
+@register(
+    "heavy_hitters_audit",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_est_above_true,
+           CAST(0 AS BIGINT) AS n_outside_band,
+           CAST(0 AS BIGINT) AS n_missing_heavy
+    """,
+)
+def heavy_hitters_audit(spark, sf_dir):
+    """Misra-Gries self-consistency audit, completing the sketch-audit
+    triple (HLL++/GK/MG).  The sketch's ITEM SET and error bound are
+    partition-dependent, so neither can cross the oracle — but the MG
+    guarantees hold for EVERY partitioning, so their violation counts
+    are deterministically zero for a correct implementation:
+
+    - ``n_est_above_true``: merged estimates never exceed true counts
+      (each partition's counter only ever under-counts);
+    - ``n_outside_band``: for surviving items, true ≤ est + bound;
+    - ``n_missing_heavy``: any item with true count > bound is
+      guaranteed present in the sketch.
+
+    One row of three zeros — a broken merge, a wrong decrement total,
+    or a dropped counter flips one of them and the driver row goes
+    red.  Shape: the sketch pass (≤ k+1 rows/partition), one exact
+    groupBy, a broadcast of the ≤k-item sketch and the 1-row bound."""
+    from processor_edf_spark.operators.approx import heavy_hitters
+
+    (events,) = load(spark, sf_dir, "events")
+    items, bound = heavy_hitters(
+        events.select(F.col("user_id").cast("string").alias("user_id")),
+        "user_id",
+        k=MG_K,
+    )
+    exact = events.groupBy(
+        F.col("user_id").cast("string").alias("item")
+    ).agg(F.count(F.lit(1)).alias("true_count"))
+    joined = exact.join(F.broadcast(items), "item", "left").crossJoin(
+        F.broadcast(bound)
+    )
+    present = F.col("est_count").isNotNull()
+    return joined.agg(
+        F.sum(
+            F.when(present & (F.col("est_count") > F.col("true_count")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_est_above_true"),
+        F.sum(
+            F.when(
+                present
+                & (
+                    F.col("true_count")
+                    > F.col("est_count") + F.col("error_bound")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outside_band"),
+        F.sum(
+            F.when(
+                (~present) & (F.col("true_count") > F.col("error_bound")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_missing_heavy"),
+    )
+
 
 @register(
     "approx_percentile_audit",

@@ -95,8 +95,9 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 125 through r6 + the 6 r7 additions (audits/graph + batch 2)
-    assert len(QUERIES) == 131
+    # 125 through r6 + the 7 r7 additions (audits/graph/batch 2 + the
+    # post-freeze MG audit at position 51)
+    assert len(QUERIES) == 132
 
 
 def test_every_query_has_a_family():
