@@ -19,6 +19,7 @@ from processor_edf_spark.plans import corpus_extra  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_extra  # noqa: E402,F401
 from processor_edf_spark.plans import audits  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r7  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_r7b  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -136,8 +137,11 @@ _CANONICAL = [
     # some round and stays mirror-checked by
     # tests/test_queries_oracle.py on every pytest run.
     # registered after the r7 window froze (mirror-checked now;
-    # enters the r8 window with the first rotate-ins below):
+    # they enter the r8 window with the first rotate-ins below):
     "heavy_hitters_audit",
+    "merge_upsert_current",
+    "event_cooccurrence_lift",
+    "inter_arrival_histogram",
     # displaced from the window by the r7 batch-2 additions
     # (driver-green r4; first r8 rotate-ins):
     "ngram_lang_profile",
@@ -340,6 +344,10 @@ FAMILY = {
     "approx_distinct_audit": "profiling",
     "approx_percentile_audit": "profiling",
     "heavy_hitters_audit": "profiling",
+    # r7 batch 3 (post-freeze, r8 entrants)
+    "merge_upsert_current": "joins",
+    "event_cooccurrence_lift": "events",
+    "inter_arrival_histogram": "events",
     # r7 batch 2
     "interp_linear_hourly": "time_fns",
     "rolling_7d_active_users": "events",

@@ -95,9 +95,9 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 125 through r6 + the 7 r7 additions (audits/graph/batch 2 + the
-    # post-freeze MG audit at position 51)
-    assert len(QUERIES) == 132
+    # 125 through r6 + the 10 r7 additions (audits/graph/batch 2 in the
+    # window; the MG audit + batch 3 post-freeze at positions 51-54)
+    assert len(QUERIES) == 135
 
 
 def test_every_query_has_a_family():
