@@ -726,3 +726,26 @@ def test_partitioned_write_prunes_at_plan_time(spark, tmp_path):
     assert len(days) >= 25
     worst = max(len(glob.glob(f"{d}/*.parquet")) for d in days)
     assert worst <= 4, f"small-files regression: {worst} files in one day"
+
+
+def test_merge_upsert_no_join_windows_reuse_partitioning(spark):
+    """The MERGE upsert must stay the union+window plan: each side's
+    latest-row window shuffles its slice once (2 exchanges total), the
+    merge window runs on the unioned partitioning WITHOUT a third
+    exchange, every row_number()==1 executes as WindowGroupLimit (never
+    a full sort + filter), and NO join operator appears — a
+    full-outer-join merge would double the shuffled volume."""
+    plan = plan_of(spark, "merge_upsert_current")
+    assert plan.count("Exchange hashpartitioning(user_id") == 2
+    assert plan.count("WindowGroupLimit") >= 3
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan, op
+
+
+def test_cooccurrence_lift_broadcasts_dimension_sides(spark):
+    """The pair frame joins its type-count and user-count sides as
+    broadcasts; the self-join runs on the distinct (user, type) frame,
+    so no exchange carries raw events into the pair generation."""
+    plan = plan_of(spark, "event_cooccurrence_lift")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_users frame
