@@ -142,6 +142,7 @@ _CANONICAL = [
     "merge_upsert_current",
     "event_cooccurrence_lift",
     "inter_arrival_histogram",
+    "events_job_report",
     # displaced from the window by the r7 batch-2 additions
     # (driver-green r4; first r8 rotate-ins):
     "ngram_lang_profile",
@@ -348,6 +349,7 @@ FAMILY = {
     "merge_upsert_current": "joins",
     "event_cooccurrence_lift": "events",
     "inter_arrival_histogram": "events",
+    "events_job_report": "events",
     # r7 batch 2
     "interp_linear_hourly": "time_fns",
     "rolling_7d_active_users": "events",

@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from processor_edf_spark.plans.registry import load, register, ts_usec
+from processor_edf_spark.plans.analytics_r7 import SESSION_GAP_USEC
 
 
 @register(
@@ -218,3 +219,130 @@ def inter_arrival_histogram(spark, sf_dir):
     return d.groupBy(
         "event_type", bucket.cast("long").alias("log2_bucket")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+EVENTS_JOB_SESSION_GAP_USEC = 4 * 3600 * 1_000_000  # the sessionize gap
+
+
+@register(
+    "events_job_report",
+    f"""
+    WITH base AS (
+        SELECT user_id, event_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS t,
+               date_trunc('day', ts) AS day
+        FROM events
+    ), flagged AS (
+        SELECT user_id,
+               CASE WHEN t - LAG(t) OVER w > {EVENTS_JOB_SESSION_GAP_USEC}
+                    OR LAG(t) OVER w IS NULL THEN 1 ELSE 0 END AS boundary,
+               t - LAG(t) OVER w AS gap
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ), sessions AS (
+        SELECT CAST(SUM(boundary) AS BIGINT) AS n FROM flagged
+    ), dwell AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM flagged
+        WHERE gap IS NOT NULL AND gap <= {SESSION_GAP_USEC}
+    ), daily AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT DISTINCT day, event_type FROM base)
+    ), wau AS (
+        SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS n
+        FROM (
+            SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                          INTERVAL 1 DAY)) AS d
+            FROM (SELECT DISTINCT user_id, day FROM base)
+        ), (SELECT max(day) AS mxd FROM base)
+        WHERE d <= mxd
+    )
+    SELECT 'input' AS stage, CAST(COUNT(*) AS BIGINT) AS rows_out FROM base
+    UNION ALL SELECT 'sessions', n FROM sessions
+    UNION ALL SELECT 'dwell_rows', n FROM dwell
+    UNION ALL SELECT 'daily_rollup', n FROM daily
+    UNION ALL SELECT 'wau_days', n FROM wau
+    """,
+)
+def events_job_report(spark, sf_dir):
+    """End-to-end events-analytics job with per-stage accounting — the
+    events-side sibling of ``corpus_job_report``: one pass derives the
+    keyed base frame (checkpointed, reused by every stage), then the
+    standard metric stages run on it — 4 h-gap sessionization (session
+    count), intra-session dwell rows (30 min bound, the
+    ``session_dwell_stats`` input), the daily (day, type) rollup grid,
+    and the trailing-7-day WAU day count.  The report is the
+    (stage, rows_out) frame a metrics job publishes for auditability;
+    every stage is a shape an individually driver-checked query
+    already verifies, so the composition adds accounting, not new
+    semantics.
+
+    Scale: the base checkpoint is the only materialization; stage
+    counts are one window pass (sessions + dwell share the SAME lag
+    window — one shuffle) plus two distinct aggregations.  Gap
+    constants: sessions close at the 4 h sessionize gap, dwell rows
+    keep the 30 min ``session_dwell_stats`` bound — matching each
+    stage's individually verified query."""
+    (events,) = load(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_usec("ts").alias("t"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).localCheckpoint(eager=True)
+    n_input = base.count()
+
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    lagged = base.select(
+        (F.col("t") - F.lag("t").over(w)).alias("gap")
+    )
+    # sessions + dwell from ONE pass over the same lag window
+    sess_dwell = lagged.agg(
+        F.sum(
+            F.when(
+                F.col("gap").isNull()
+                | (F.col("gap") > EVENTS_JOB_SESSION_GAP_USEC),
+                1,
+            ).otherwise(0)
+        ).alias("n_sessions"),
+        F.sum(
+            F.when(
+                F.col("gap").isNotNull()
+                & (F.col("gap") <= SESSION_GAP_USEC),
+                1,
+            ).otherwise(0)
+        ).alias("n_dwell"),
+    ).collect()[0]
+
+    n_daily = base.select("day", "event_type").distinct().count()
+
+    mx = base.agg(F.max("day").alias("mxd"))
+    n_wau = (
+        base.select("user_id", "day")
+        .distinct()
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("day"),
+                    F.col("day") + F.expr("interval 6 days"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("d")
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("d") <= F.col("mxd"))
+        .select("d")
+        .distinct()
+        .count()
+    )
+
+    return spark.createDataFrame(
+        [
+            ("input", n_input),
+            ("sessions", int(sess_dwell["n_sessions"])),
+            ("dwell_rows", int(sess_dwell["n_dwell"])),
+            ("daily_rollup", n_daily),
+            ("wau_days", n_wau),
+        ],
+        "stage string, rows_out long",
+    )

@@ -95,9 +95,10 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 125 through r6 + the 10 r7 additions (audits/graph/batch 2 in the
-    # window; the MG audit + batch 3 post-freeze at positions 51-54)
-    assert len(QUERIES) == 135
+    # 125 through r6 + the 11 r7 additions (audits/graph/batch 2 in the
+    # window; the MG audit + batch 3 + events_job_report post-freeze at
+    # positions 51-55)
+    assert len(QUERIES) == 136
 
 
 def test_every_query_has_a_family():
