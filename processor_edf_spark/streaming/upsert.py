@@ -1,0 +1,106 @@
+"""Streaming current-state upsert — the stateful twin of
+``merge_upsert_current`` (plans/analytics_r7b.py): state per key is the
+latest (t, id, value) and every micro-batch emits the keys whose
+current row CHANGED (append mode: downstream materializes the current
+table as last-emit-per-key, or feeds a changelog consumer).
+
+Unlike the fold-order twins (EWMA/SCD2/lag), latest-wins is
+COMMUTATIVE: the winner is the lexicographic max of (t, id), so the
+result is EXACTLY the batch ranking window's under ANY arrival order —
+no greedy trade, no late-data caveat.  Out-of-order events simply
+lose (and emit nothing).  tests/test_streaming_upsert.py pins parity
+against the batch window on randomly shuffled micro-batches.
+
+Scale: one (long, long, double) per key, sharded by the groupBy
+shuffle — the streaming half of the SCD1 story whose batch half is the
+single-exchange union+window merge.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+UPSERT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("t", T.LongType(), False),
+        T.StructField("event_id", T.LongType(), False),
+    ]
+)
+
+UPSERT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("t", T.LongType(), True),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+    ]
+)
+
+
+def stream_current_state(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    t_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """Emit (key, value, t, event_id) whenever a key's current row
+    changes — latest-wins on lexicographic (t, id)."""
+
+    def fold(
+        key: Tuple[int],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        cur_t, cur_id, cur_v = state.get if state.exists else (
+            None,
+            None,
+            None,
+        )
+        rows = [p for p in pdfs if len(p)]
+        if not rows:
+            state.update((cur_t, cur_id, cur_v))
+            return
+        batch = pd.concat(rows, ignore_index=True)
+        # the batch's own winner: max (t, id) — one vector pass
+        idx = batch.sort_values([t_col, id_col]).index[-1]
+        t, eid, v = (
+            int(batch[t_col][idx]),
+            int(batch[id_col][idx]),
+            float(batch[value_col][idx]),
+        )
+        if cur_t is None or (t, eid) > (cur_t, cur_id):
+            cur_t, cur_id, cur_v = t, eid, v
+            state.update((cur_t, cur_id, cur_v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "value": [cur_v],
+                    "t": [cur_t],
+                    "event_id": [cur_id],
+                }
+            )
+        else:
+            state.update((cur_t, cur_id, cur_v))
+
+    keyed = events.select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).alias(id_col),
+        F.col(t_col).alias(t_col),
+        F.col(value_col).alias(value_col),
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=UPSERT_OUTPUT_SCHEMA,
+        stateStructType=UPSERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -119,3 +119,41 @@ def _tuple_eq(a, b):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        # float-bearing plans where a reduction-order dependence would
+        # be invisible to the single-config oracle mirror
+        "interp_linear_hourly",
+        "event_cooccurrence_lift",
+        "user_value_correlation",
+        "time_weighted_avg_daily",
+        "events_job_report",
+    ],
+)
+def test_result_invariant_under_shuffle_width(spark, name):
+    """The driver runs one Spark config; the determinism the oracle
+    hash relies on must hold under ANY partitioning.  Re-running with a
+    prime shuffle width must reproduce the 32-partition result
+    EXACTLY — a plan whose floats depend on reduction order fails here
+    before it flakes in a future driver environment."""
+    from processor_edf_spark.plans import QUERIES
+
+    fn = QUERIES[name]
+    sf = "/root/testdata/sf0.001"
+
+    def run():
+        rows = fn(spark, sf).collect()
+        cols = sorted(rows[0].asDict()) if rows else []
+        return sorted(tuple(r[c] for c in cols) for r in rows)
+
+    base = run()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert run() == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert len(base) > 0
