@@ -131,3 +131,43 @@ def test_many_file_decode_stays_single_pass(tmp_path):
     # n_signals*rate*nb_rec*8 ≈ 6.5 MB per column set; holding all 8
     # files would be > 100 MB.  Bound: one file + batch working set.
     assert peak < 12 * file_bytes, f"peak {peak/1e6:.1f} MB"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    n_signals=st.integers(1, 5),
+    rate=st.integers(2, 64),
+    nb_rec=st.integers(1, 20),
+    seed=st.integers(0, 200),
+    gap_every=st.integers(0, 6),
+)
+def test_fast_writer_byte_equal_property(tmp_path_factory, n_signals,
+                                         rate, nb_rec, seed, gap_every):
+    """Property: write_edf_fast is byte-equal to the loop-built writer
+    for ANY (signals, rate, records, seed, gap layout) — the foundation
+    the multi-GB sweep corpora stand on."""
+    tmp = tmp_path_factory.mktemp("prop")
+    sigs = [
+        {
+            "label": f"ch{i:02d}",
+            "rate": rate,
+            "gen": sine(1.0 + 0.37 * i + 0.011 * (seed % 97)),
+        }
+        for i in range(n_signals)
+    ]
+    a, b = str(tmp / "a.edf"), str(tmp / "b.edf")
+    if gap_every:
+        offs = [float(r) + 10.0 * (r // gap_every) for r in range(nb_rec)]
+        write_edf(a, sigs, nb_data_rec=nb_rec, variant="EDF+D",
+                  record_offsets_sec=offs)
+        write_edf_fast(b, n_signals=n_signals, rate=rate, nb_rec=nb_rec,
+                       seed=seed, variant="EDF+D", gap_every=gap_every)
+    else:
+        write_edf(a, sigs, nb_data_rec=nb_rec)
+        write_edf_fast(b, n_signals=n_signals, rate=rate, nb_rec=nb_rec,
+                       seed=seed)
+    assert open(a, "rb").read() == open(b, "rb").read()

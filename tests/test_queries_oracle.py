@@ -131,6 +131,11 @@ def test_entry_smoke(spark):
         "user_value_correlation",
         "time_weighted_avg_daily",
         "events_job_report",
+        "anomaly_robust_z",
+        "bigram_lm_surprisal",
+        "dsir_importance",
+        "ewma_user_values",
+        "bm25_top_docs",
     ],
 )
 def test_result_invariant_under_shuffle_width(spark, name):
