@@ -534,8 +534,9 @@ def encode_avi_raw(frames: list[bytes], usec_per_frame: int) -> bytes:
 
 OPTIONAL_CODEC_LIBS: dict[str, tuple[str, ...]] = {
     "webp": ("PIL",),            # Pillow
-    "compressed_tiff": ("PIL",),  # LZW/JPEG-in-TIFF beyond the plugins
+    "compressed_tiff": ("PIL",),  # JPEG-in-TIFF and friends beyond plugins
     "compressed_tiff_deflate": (),  # stdlib-plugin-backed (zlib), below
+    "compressed_tiff_lzw": (),   # pure-python plugin (TIFF 6.0 §13), below
     "mp3": ("soundfile",),       # libsndfile-backed
     "aac": ("soundfile",),
     "h264": ("av",),             # PyAV/ffmpeg for AVI/MP4 video frames
@@ -609,6 +610,90 @@ def _tiff_deflate_strip_plugin(strip: bytes, max_len: int) -> bytes:
 # decodes for REAL in every environment, exercising the plugin half of
 # the seam without any optional wheel.
 register_codec_plugin("compressed_tiff_deflate", _tiff_deflate_strip_plugin)
+
+
+def _tiff_lzw_strip_plugin(strip: bytes, max_len: int) -> bytes:
+    """Default ``compressed_tiff_lzw`` plugin: decompress one LZW TIFF
+    strip (TIFF 6.0 §13 — MSB-first code packing, 9→12-bit codes with
+    the spec's "early change": the code width bumps when the NEXT code
+    to be added would be 2^w−1, one entry earlier than classic LZW, the
+    off-by-one that libtiff-compatible writers bake in).  Output is
+    bounded at ``max_len`` (the strip's expected raster bytes) so a
+    crafted expanding strip cannot inflate past the decode bound.
+
+    Pure-python per-code loop — fine under the MAX_PIXELS gate;
+    deployments with Pillow/imagecodecs can register a faster plugin
+    through the same seam."""
+    CLEAR, EOI = 256, 257
+    data = strip
+    nbits = len(data) * 8
+    pos = 0
+    width = 9
+    out = bytearray()
+    table: list[bytes] = []
+    next_code = 258
+    prev = b""
+
+    def read_code() -> int:
+        nonlocal pos
+        if pos + width > nbits:
+            return EOI  # unterminated strip: tolerate like libtiff
+        byte0 = pos >> 3
+        chunk = int.from_bytes(data[byte0 : byte0 + 3].ljust(3, b"\0"), "big")
+        val = (chunk >> (24 - (pos & 7) - width)) & ((1 << width) - 1)
+        pos += width
+        return val
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    started = False
+    while True:
+        code = read_code()
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = list(base)
+            next_code = 258
+            width = 9
+            code = read_code()
+            if code == EOI:
+                break
+            if code > 255:
+                raise UnsupportedMediaError(
+                    "LZW strip: non-literal code right after ClearCode"
+                )
+            prev = table[code]
+            out += prev
+            started = True
+            continue
+        if not started:
+            raise UnsupportedMediaError(
+                "LZW strip does not start with ClearCode"
+            )
+        if code < next_code:
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == next_code:
+            entry = prev + prev[:1]  # KwKwK case
+            table.append(entry)
+        else:
+            raise UnsupportedMediaError("LZW code past end of table")
+        out += entry
+        prev = entry
+        next_code += 1
+        # early change: the decoder runs one table entry behind the
+        # encoder, so bumping at 2^w−1 here lines up with the
+        # encoder's early bump (TIFF 6.0 §13 / libtiff LZWDecode)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if len(out) >= max_len:
+            return bytes(out[:max_len])
+    return bytes(out)
+
+
+# pure-python, so registered unconditionally: LZW-compressed TIFF — the
+# scheme most real scanned-document corpora use — decodes for REAL in
+# every environment through the plugin seam, no optional wheel needed.
+register_codec_plugin("compressed_tiff_lzw", _tiff_lzw_strip_plugin)
 
 
 def decode_tiff_via_optional(payload: bytes) -> np.ndarray:

@@ -103,22 +103,33 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         )
     compression = tag_vals(259, [1])[0]
     predictor = tag_vals(317, [1])[0]
-    if predictor not in (1, 2):
-        raise UnsupportedMediaError(f"TIFF predictor {predictor}")
+    # strip-path plugin per compression scheme; anything else — and any
+    # predictor the strip path cannot undo (e.g. floating-point 3) on a
+    # compressed scheme the optional route might handle whole-payload —
+    # goes to decode_tiff_via_optional.  The predictor gate therefore
+    # applies ONLY to payloads this decoder decodes itself: it must not
+    # reject a file the optional Pillow/plugin route could read.
+    _STRIP_PLUGIN = {
+        8: "compressed_tiff_deflate",        # Deflate
+        32946: "compressed_tiff_deflate",    # AdobeDeflate
+        5: "compressed_tiff_lzw",            # LZW (TIFF 6.0 §13)
+    }
     decompress = None
-    if compression in (8, 32946):  # Deflate / AdobeDeflate
+    if compression in _STRIP_PLUGIN and predictor in (1, 2):
         from processor_edf_spark.operators.media_codecs import (
             get_codec_plugin,
         )
 
-        decompress = get_codec_plugin("compressed_tiff_deflate")
+        name = _STRIP_PLUGIN[compression]
+        decompress = get_codec_plugin(name)
         if decompress is None:
             raise UnsupportedMediaError(
-                "deflate TIFF needs the compressed_tiff_deflate plugin "
+                f"compressed TIFF needs the {name} plugin "
                 "(registered by default; a deployment removed it)"
             )
     elif compression != 1:
-        # LZW/JPEG-in-TIFF and friends: whole-payload route through the
+        # JPEG-in-TIFF and friends, or a strip scheme with a predictor
+        # the strip path can't undo: whole-payload route through the
         # optional Pillow extra (one-exception contract when absent).
         # Runs AFTER the dimension checks above, so the MAX_PIXELS
         # bound gates the optional path too.
@@ -127,6 +138,8 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         )
 
         return decode_tiff_via_optional(payload)
+    elif predictor not in (1, 2):
+        raise UnsupportedMediaError(f"TIFF predictor {predictor}")
     photometric = tag_vals(262)[0]
     if photometric not in (0, 1, 2):
         raise UnsupportedMediaError(f"TIFF photometric {photometric}")
@@ -226,6 +239,89 @@ def encode_tiff_deflate(
     return _assemble_tiff(
         w, h, spp, gray, strips, rows_per_strip,
         compression=8, predictor=predictor,
+    )
+
+
+def _lzw_compress(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW compressor (fixture side of the
+    compressed_tiff_lzw plugin's round-trip tests): MSB-first code
+    packing, 9→12-bit codes with early change (width bumps when the
+    next code to be assigned is 2^w−1), table reset via ClearCode
+    before the 12-bit table fills."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << width) | code
+        acc_bits += width
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    prefix = b""
+    for b in data:
+        cand = prefix + bytes([b])
+        if cand in table:
+            prefix = cand
+            continue
+        emit(table[prefix])
+        table[cand] = next_code
+        next_code += 1
+        # the encoder runs one table entry AHEAD of the decoder, so its
+        # early-change bump fires at 2^w where the decoder's fires at
+        # 2^w−1 — the libtiff pairing (maxcode vs maxcode−1)
+        if width < 12:
+            if next_code == (1 << width):
+                width += 1
+        elif next_code == (1 << 12) - 1:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        prefix = bytes([b])
+    if prefix:
+        emit(table[prefix])
+    emit(EOI)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+def encode_tiff_lzw(
+    img: np.ndarray, rows_per_strip: int = 8, predictor: int = 2
+) -> bytes:
+    """LZW-compressed (scheme 5) TIFF writer with optional
+    horizontal-differencing predictor — the fixture encoder for the
+    compressed_tiff_lzw plugin's round-trip tests."""
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else arr.shape[2]
+    a3 = arr.reshape(h, w, spp)
+    if predictor == 2:
+        d = a3.astype(np.int16)
+        d[:, 1:, :] -= a3[:, :-1, :].astype(np.int16)
+        a3 = (d % 256).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"predictor {predictor}")
+    data = np.ascontiguousarray(a3).tobytes()
+    row_bytes = w * spp
+    strips = [
+        _lzw_compress(
+            data[r0 * row_bytes : min(r0 + rows_per_strip, h) * row_bytes]
+        )
+        for r0 in range(0, h, rows_per_strip)
+    ]
+    return _assemble_tiff(
+        w, h, spp, gray, strips, rows_per_strip,
+        compression=5, predictor=predictor,
     )
 
 

@@ -211,9 +211,14 @@ class ConditionalPutPublisher:
 # hard-link, otherwise HDFS-contract rename).  Deployments on object
 # stores MUST install a ConditionalPutPublisher — the scheme default
 # would silently lose the one-winner guarantee there, so commit_version
-# refuses s3/gs/abfs schemes without an explicit publisher.
+# refuses any scheme NOT on the rename-contract allowlist without an
+# explicit publisher.  Allowlist (not a denylist): enumerating object
+# stores is a losing game (s3 vs s3a vs wasb vs wasbs vs oss vs cosn
+# ...), and a scheme we have never heard of is exactly the case that
+# must fail safe.  The listed schemes implement Hadoop's atomic
+# single-file rename contract.
 _PUBLISHER = None
-_OBJECT_STORE_SCHEMES = ("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb")
+_RENAME_CONTRACT_SCHEMES = (None, "file", "hdfs", "viewfs", "webhdfs")
 
 
 def set_commit_publisher(publisher) -> None:
@@ -254,7 +259,7 @@ def commit_version(
         )
 
     url_scheme = store_dir.split("://", 1)[0] if "://" in store_dir else None
-    if _PUBLISHER is None and url_scheme in _OBJECT_STORE_SCHEMES:
+    if _PUBLISHER is None and url_scheme not in _RENAME_CONTRACT_SCHEMES:
         # refuse BEFORE touching the filesystem: the check must hold
         # even where the object-store connector jar isn't on the
         # classpath, and a failed publish should leave nothing behind
@@ -265,7 +270,7 @@ def commit_version(
     # s3a-defaultFS cluster is refused too (and an hdfs-defaultFS
     # cluster routes to the rename publisher, never the local link)
     fs_scheme = fs.getUri().getScheme()
-    if _PUBLISHER is None and fs_scheme in _OBJECT_STORE_SCHEMES:
+    if _PUBLISHER is None and fs_scheme not in _RENAME_CONTRACT_SCHEMES:
         _refuse(fs_scheme)
     hpath = jvm.org.apache.hadoop.fs.Path
     fs.mkdirs(hpath(_log_dir(store_dir)))

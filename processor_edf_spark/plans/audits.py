@@ -148,12 +148,18 @@ def heavy_hitters_audit(spark, sf_dir):
     from processor_edf_spark.operators.approx import heavy_hitters
 
     (events,) = load(spark, sf_dir, "events")
+    # NULL keys are excluded on BOTH the sketch and the exact side: a
+    # NULL item would never match the sketch's non-null counters on the
+    # left join below and would falsely increment n_missing_heavy for a
+    # perfectly correct sketch (heavy-hitter semantics are per-ITEM;
+    # null is the absence of one).
+    keyed = events.where(F.col("user_id").isNotNull())
     items, bound = heavy_hitters(
-        events.select(F.col("user_id").cast("string").alias("user_id")),
+        keyed.select(F.col("user_id").cast("string").alias("user_id")),
         "user_id",
         k=MG_K,
     )
-    exact = events.groupBy(
+    exact = keyed.groupBy(
         F.col("user_id").cast("string").alias("item")
     ).agg(F.count(F.lit(1)).alias("true_count"))
     joined = exact.join(F.broadcast(items), "item", "left").crossJoin(
@@ -227,7 +233,20 @@ def approx_percentile_audit(spark, sf_dir):
         ).alias("_pcts"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
-    joined = events.join(F.broadcast(ap), "event_type")
+    # null-safe join: GROUP BY event_type (both engines) emits a NULL
+    # group, and a plain inner equi-join would silently drop it here —
+    # a latent oracle hash mismatch the moment events carry a null
+    # event_type.  eqNullSafe keeps the broadcast hash join.
+    ev = events.select("event_type", "value").alias("ev")
+    joined = ev.join(
+        F.broadcast(ap).alias("ap"),
+        F.expr("ev.event_type <=> ap.event_type"),
+    ).select(
+        F.col("ap.event_type").alias("event_type"),
+        F.col("ev.value").alias("value"),
+        F.col("ap._pcts").alias("_pcts"),
+        F.col("ap.n_rows").alias("n_rows"),
+    )
 
     def rank_cols(i: int, tag: str):
         est = F.col("_pcts")[i]

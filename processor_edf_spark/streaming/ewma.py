@@ -78,7 +78,12 @@ def stream_ewma(
     emitted with ``late=true`` and a null ewma, so late data is counted
     downstream instead of silently corrupting the fold order.  In-order
     rows carry ``late=false``.  Default (False) keeps the documented
-    greedy fold-in-arrival-order trade and the original schema."""
+    greedy fold-in-arrival-order trade and the original schema.
+
+    Toggling ``emit_late`` changes the state schema (1 vs 2 fields) —
+    restart on a FRESH checkpoint location.  A stale 1-field checkpoint
+    read in emit_late mode degrades cleanly (the key's ordering
+    watermark restarts; the ring survives) rather than crashing."""
     one_minus = 1.0 - alpha
 
     def fold(
@@ -90,7 +95,14 @@ def stream_ewma(
         if state.exists:
             got = state.get
             ring = list(got[0])
-            last_t = got[1] if emit_late else None
+            # defensive: a checkpoint written by the 1-field default
+            # schema has no last_t slot — surface the documented
+            # "fresh checkpoint required when toggling emit_late"
+            # contract as a clean restart of the key's ordering watermark
+            # instead of an opaque executor IndexError
+            last_t = (
+                got[1] if emit_late and len(got) > 1 else None
+            )
         else:
             ring, last_t = [], None
 

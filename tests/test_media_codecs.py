@@ -639,13 +639,18 @@ def test_tiff_rejects_compressed_tiled_and_malformed():
 
     good = bytearray(encode_tiff(np.zeros((8, 8, 3), dtype=np.uint8)))
     n_tags = struct.unpack_from("<H", good, 8)[0]
-    compressed = bytearray(good)
-    for i in range(n_tags):
-        base = 10 + 12 * i
-        if struct.unpack_from("<H", compressed, base)[0] == 259:
-            struct.pack_into("<H", compressed, base + 8, 5)  # LZW
+
+    def with_compression(scheme):
+        p = bytearray(good)
+        for i in range(n_tags):
+            base = 10 + 12 * i
+            if struct.unpack_from("<H", p, base)[0] == 259:
+                struct.pack_into("<H", p, base + 8, scheme)
+        return bytes(p)
+
     for payload in (
-        bytes(compressed),
+        with_compression(7),  # JPEG-in-TIFF: optional route, PIL absent
+        with_compression(5),  # claims LZW but strips are raw garbage
         bytes(good[: len(good) // 2]),
         b"II*\x00" + bytes(20),
         b"XX*\x00" + bytes(good[4:]),
@@ -987,3 +992,152 @@ def test_registered_plugin_takes_precedence_over_import_probe():
         assert (decode_image(_webp_payload()) == marker).all()
     finally:
         register_codec_plugin("webp", None)
+
+
+def test_lzw_tiff_plugin_real_decode_and_stress():
+    """The pure-python compressed_tiff_lzw plugin is registered by
+    default, so an LZW TIFF — the scheme most real scanned-document
+    corpora use — decodes decoded=true in every environment.  The big
+    image forces the 9→10→11→12-bit width ladder AND a mid-strip
+    ClearCode table reset on both sides of the round trip."""
+    from processor_edf_spark.operators.media_codecs import (
+        optional_codec_support,
+    )
+    from processor_edf_spark.operators.tiff import encode_tiff_lzw
+
+    assert optional_codec_support()["compressed_tiff_lzw"] is True
+
+    rng = np.random.default_rng(11)
+    for predictor in (1, 2):
+        arr = rng.integers(0, 256, (13, 9, 3), np.uint8)
+        payload = encode_tiff_lzw(arr, rows_per_strip=5,
+                                  predictor=predictor)
+        assert (decode_image(payload) == arr).all(), predictor
+
+    # incompressible 120x120 RGB in ONE strip: 43200 raster bytes of
+    # random data assign >4000 table entries — through every width bump
+    # and past the 12-bit clear threshold
+    big = rng.integers(0, 256, (120, 120, 3), np.uint8)
+    payload = encode_tiff_lzw(big, rows_per_strip=120, predictor=1)
+    assert (decode_image(payload) == big).all()
+
+
+def test_lzw_bitstream_msb_first_pin():
+    """Pin the wire format, not just self-consistency: one literal byte
+    compresses to exactly Clear(256)·lit(7)·EOI(257) packed MSB-first
+    at 9 bits — bytes computed by hand so an LSB-first or width-skewed
+    implementation (GIF-style) cannot round-trip its way past this."""
+    from processor_edf_spark.operators.tiff import _lzw_compress
+
+    # 100000000 000000111 100000001 + 5 pad zeros
+    # -> 10000000 00000001 11100000 00100000
+    assert _lzw_compress(b"\x07") == bytes([0x80, 0x01, 0xE0, 0x20])
+
+
+def test_lzw_tiff_spark_extractor_decodes_true(spark):
+    """End-to-end through the Spark extractor: an LZW TIFF payload
+    produces decoded=true with correct dims beside uncompressed and
+    deflate siblings; un-registering the plugin flips the SAME payload
+    to the one-exception contract (driver-side, same deployment story
+    as the deflate twin test)."""
+    from processor_edf_spark.operators.media_codecs import (
+        _tiff_lzw_strip_plugin,
+        register_codec_plugin,
+    )
+    from processor_edf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+        encode_tiff_lzw,
+    )
+
+    arr = np.arange(10 * 6 * 3, dtype=np.uint8).reshape(10, 6, 3)
+    rows = [
+        (1, "image", encode_tiff(arr), "image/tiff", None),
+        (2, "image", encode_tiff_lzw(arr), "image/tiff", None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: (r["decoded"], r["width"], r["height"])
+        for r in extract_image_features(media).collect()
+    }
+    assert got == {1: (True, 6, 10), 2: (True, 6, 10)}
+
+    register_codec_plugin("compressed_tiff_lzw", None)
+    try:
+        with pytest.raises(UnsupportedMediaError, match="plugin"):
+            decode_tiff(encode_tiff_lzw(arr))
+        assert (decode_tiff(encode_tiff(arr)) == arr).all()  # path intact
+    finally:
+        register_codec_plugin(
+            "compressed_tiff_lzw", _tiff_lzw_strip_plugin
+        )
+
+
+def test_lzw_tiff_bomb_strip_bounded():
+    """An LZW strip that expands far past its rows is truncated at the
+    expected raster bytes (the bounded-inflate guard shared with the
+    deflate path), and a strip that expands SHORT raises."""
+    from processor_edf_spark.operators.tiff import (
+        _lzw_compress,
+        decode_tiff,
+        encode_tiff_lzw,
+    )
+
+    arr = np.full((4, 4, 3), 9, np.uint8)
+    raster = arr.tobytes()  # 48 bytes
+    payload = bytearray(encode_tiff_lzw(arr, rows_per_strip=4,
+                                        predictor=1))
+    strip = _lzw_compress(raster)
+    assert payload.endswith(strip)
+    base = bytes(payload[: len(payload) - len(strip)])
+    bomb = _lzw_compress(raster + bytes(1_000_000))
+    short = _lzw_compress(raster[:10])
+
+    def patch_counts(blob, n):
+        out = bytearray(blob)
+        ifd_off = struct.unpack_from("<I", out, 4)[0]
+        (n_tags,) = struct.unpack_from("<H", out, ifd_off)
+        for i in range(n_tags):
+            b0 = ifd_off + 2 + 12 * i
+            if struct.unpack_from("<H", out, b0)[0] == 279:
+                struct.pack_into("<I", out, b0 + 8, n)
+        return bytes(out)
+
+    bombed = patch_counts(base, len(bomb)) + bomb
+    assert (decode_tiff(bombed) == arr).all()  # truncated at 48 bytes
+    shorted = patch_counts(base, len(short)) + short
+    with pytest.raises(UnsupportedMediaError, match="short"):
+        decode_tiff(shorted)
+
+
+def test_unsupported_predictor_routes_to_optional_not_strip_gate():
+    """An LZW TIFF claiming floating-point predictor 3 must route to
+    the whole-payload optional path (one-exception contract naming the
+    extra when Pillow is absent, a real decode when present) — NOT be
+    rejected by the strip path's predictor gate, which only governs
+    payloads decoded here."""
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_lzw,
+    )
+
+    payload = bytearray(encode_tiff_lzw(
+        np.zeros((6, 6, 3), np.uint8), predictor=2))
+    ifd_off = struct.unpack_from("<I", payload, 4)[0]
+    (n_tags,) = struct.unpack_from("<H", payload, ifd_off)
+    for i in range(n_tags):
+        b0 = ifd_off + 2 + 12 * i
+        if struct.unpack_from("<H", payload, b0)[0] == 317:
+            struct.pack_into("<H", payload, b0 + 8, 3)
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(UnsupportedMediaError,
+                           match="optional codec library"):
+            decode_tiff(bytes(payload))
+    else:  # with the extra installed the optional route must decode
+        decode_tiff(bytes(payload))

@@ -242,3 +242,49 @@ def test_deflate_tiff_roundtrip_property(h, w, gray, rows_per_strip,
     )
     want = np.repeat(img[:, :, None], 3, axis=2) if gray else img
     assert (out == want).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    gray=st.booleans(),
+    rows_per_strip=st.integers(1, 6),
+    predictor=st.sampled_from([1, 2]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_lzw_tiff_roundtrip_property(h, w, gray, rows_per_strip,
+                                     predictor, seed):
+    """Property: ANY 8-bit image round-trips the LZW TIFF path
+    losslessly, every strip split, both predictors, gray and RGB."""
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_lzw,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, shape, np.uint8)
+    out = decode_tiff(
+        encode_tiff_lzw(img, rows_per_strip=rows_per_strip,
+                        predictor=predictor)
+    )
+    want = np.repeat(img[:, :, None], 3, axis=2) if gray else img
+    assert (out == want).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(data=st.binary(max_size=300))
+def test_lzw_strip_garbage_never_escapes(data):
+    """Property: arbitrary bytes fed to the LZW strip plugin either
+    decode to a bounded result or raise the one-exception contract —
+    never IndexError/OverflowError/hang."""
+    from processor_edf_spark.operators.media_codecs import (
+        _tiff_lzw_strip_plugin,
+    )
+
+    try:
+        out = _tiff_lzw_strip_plugin(data, 4096)
+        assert len(out) <= 4096
+    except UnsupportedMediaError:
+        pass

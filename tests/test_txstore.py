@@ -198,12 +198,22 @@ def test_conditional_put_publisher_detects_race(spark, tmp_path):
         set_commit_publisher(None)
 
 
-def test_object_store_scheme_refused_without_publisher(spark, tmp_path):
-    """An s3a:// store path without an installed ConditionalPutPublisher
-    must be refused loudly — the scheme default cannot guarantee one
-    commit winner on an object store."""
+@pytest.mark.parametrize(
+    "scheme",
+    ["s3a", "s3", "gs", "abfss", "wasb", "wasbs", "oss", "cosn", "swift"],
+)
+def test_object_store_scheme_refused_without_publisher(
+    spark, tmp_path, scheme
+):
+    """Any scheme off the rename-contract allowlist without an installed
+    ConditionalPutPublisher must be refused loudly — the scheme default
+    cannot guarantee one commit winner on an object store.  The check is
+    an allowlist, so TLS variants (wasbs) and stores we never enumerated
+    (oss, cosn, swift) fail safe too."""
     with pytest.raises(RuntimeError, match="ConditionalPutPublisher"):
-        commit_version(spark, "s3a://bucket/store", 0, ["data-x.parquet"])
+        commit_version(
+            spark, f"{scheme}://bucket/store", 0, ["data-x.parquet"]
+        )
 
 
 @pytest.mark.slow
