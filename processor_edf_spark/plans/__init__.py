@@ -20,6 +20,7 @@ from processor_edf_spark.plans import analytics_extra  # noqa: E402,F401
 from processor_edf_spark.plans import audits  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r7  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r7b  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -75,80 +76,40 @@ from processor_edf_spark.plans import analytics_r7b  # noqa: E402,F401
 # (ngram_lang_profile, doc_length_histogram, quantize_embeddings_int8
 # — their families stay covered in-window; they lead the r8
 # rotate-ins).
+# r8 rotation (executed exactly as pre-declared in the r7 notes above):
+# the 5 post-freeze batch-3 entrants (heavy_hitters_audit,
+# merge_upsert_current, event_cooccurrence_lift,
+# inter_arrival_histogram, events_job_report) and the 2 r8 additions
+# (percent_rank_cdf — the two-phase skew-immune rank, same oracle as
+# value_percent_rank; annotations_tal_parse — the TAL publish channel)
+# take priority slots for their first driver check;
+# ngram_lang_profile / doc_length_histogram / quantize_embeddings_int8
+# lead the rotate-ins as pre-declared; 3 anchors
+# (multimodal_meta / zorder_layout / corpus_job_report) keep the
+# multimodal/layout/corpus families in-window; 37 of the 43 r6-green
+# block members (rotated out in r7) return for refreshed evidence —
+# the 6 left at position 51+ (q3/q4/q5, tumbling_daily_stats,
+# value_percentiles_per_type, cube_event_user_bucket) have
+# family-covered seats and fresh r6 greens, and lead the r9
+# rotate-ins.  Rotated out: the 50 r7-window members, every one of
+# which earned a fresh r7 driver green (CORRECTNESS_r07 50/50).
 _CANONICAL = [
-    # ---- 7 anchors kept in-window (families whose members would
-    # otherwise all rotate out this round; all driver-green r6)
-    "q1_pricing_summary",       # tpch agg flagship
-    "sessionize_events",        # sessionize (entry() flagship)
-    "timestamp_synthesis",      # time_fns
-    "rollup_event_daily",       # grouping
-    "multimodal_meta",          # multimodal
-    "zorder_layout",            # layout
-    "corpus_job_report",        # corpus (end-to-end pipeline report)
-    # ---- r7 additions, first driver check
-    "dedup_component_sizes",    # graph (closure histogram, CTE oracle)
-    "approx_distinct_audit",    # profiling (HLL++ bound audit)
-    "approx_percentile_audit",  # profiling (GK rank-bound audit)
-    # ---- r7 batch-2 additions, first driver check
-    "interp_linear_hourly",     # time_fns (linear resample)
-    "rolling_7d_active_users",  # events (trailing-window reach)
-    "session_dwell_stats",      # sessionize (intra-session gaps)
-    # ---- 17 stale-block tail rotate-ins (last driver-green r2/r3)
-    "except_click_no_purchase",
-    "distinct_users_per_type",
-    "text_quality",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "bpe_token_count",
-    "rolling_fingerprint",
-    "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "array_slice_projection",
-    "ann_ivf_label",
-    "calibrate_events",
-    "sliding_hour_counts",
-    "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
-    "minhash_signatures",
-    "simhash_16",
-    # ---- r4-green block rotate-ins (rotated out in r5 batch 2)
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "q15_top_supplier",
-    "boilerplate_ngrams",
-    "embedding_norm_stats",
-    "sample_hash_bucket",
-    # ---- r4-green block rotate-ins (rotated out in r5)
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "dow_hour_heatmap",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "ntile_value_quartiles",
-    # ---- position 51+: every query below has a driver-green row in
-    # some round and stays mirror-checked by
-    # tests/test_queries_oracle.py on every pytest run.
-    # registered after the r7 window froze (mirror-checked now;
-    # they enter the r8 window with the first rotate-ins below):
+    # ---- r8 driver window (50): 7 first-check entrants + 3
+    # pre-declared rotate-ins + 3 family anchors + 37 r6-green
+    # rotate-ins
     "heavy_hitters_audit",
     "merge_upsert_current",
     "event_cooccurrence_lift",
     "inter_arrival_histogram",
     "events_job_report",
-    # displaced from the window by the r7 batch-2 additions
-    # (driver-green r4; first r8 rotate-ins):
+    "percent_rank_cdf",
+    "annotations_tal_parse",
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
-    # rotated out in r7 (driver-green r6):
+    "multimodal_meta",
+    "zorder_layout",
+    "corpus_job_report",
     "filter_project_events",
     "band_join_acctbal",
     "top3_orders_per_customer",
@@ -175,9 +136,6 @@ _CANONICAL = [
     "table_profile_events",
     "full_outer_daily_activity",
     "user_value_correlation",
-    "q3_segment_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "q17_small_quantity_revenue",
@@ -189,10 +147,63 @@ _CANONICAL = [
     "edf_date_parse",
     "semi_join_returned_orders",
     "range_join_close_events",
+    # ---- position 51+: every query below has a driver-green row
+    # (the 50 r7-window members all green in CORRECTNESS_r07, plus
+    # the 6 r6-green block members left out this round) and stays
+    # mirror-checked by tests/test_queries_oracle.py per commit.
+    "q1_pricing_summary",
+    "sessionize_events",
+    "timestamp_synthesis",
+    "rollup_event_daily",
+    "dedup_component_sizes",
+    "approx_distinct_audit",
+    "approx_percentile_audit",
+    "interp_linear_hourly",
+    "rolling_7d_active_users",
+    "session_dwell_stats",
+    "except_click_no_purchase",
+    "distinct_users_per_type",
+    "text_quality",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "bpe_token_count",
+    "rolling_fingerprint",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "array_slice_projection",
+    "ann_ivf_label",
+    "calibrate_events",
+    "sliding_hour_counts",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "minhash_signatures",
+    "simhash_16",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "q15_top_supplier",
+    "boilerplate_ngrams",
+    "embedding_norm_stats",
+    "sample_hash_bucket",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "dow_hour_heatmap",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "ntile_value_quartiles",
+    "q3_segment_revenue",
+    "q4_order_priority",
+    "q5_region_revenue",
     "tumbling_daily_stats",
     "value_percentiles_per_type",
     "cube_event_user_bucket",
-    # rotated out in r6 (driver-green r5):
     "agg_user_bounds",
     "epoch_functions",
     "get_or_create_parts",
@@ -354,6 +365,9 @@ FAMILY = {
     "interp_linear_hourly": "time_fns",
     "rolling_7d_active_users": "events",
     "session_dwell_stats": "sessionize",
+    # r8 additions
+    "percent_rank_cdf": "windows",
+    "annotations_tal_parse": "events",
 }
 
 

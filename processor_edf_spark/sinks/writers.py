@@ -45,6 +45,32 @@ def write_channels_json(channels: DataFrame, out_dir: str) -> None:
     channels.coalesce(1).write.mode("overwrite").json(out_dir)
 
 
+def write_annotations_json(annotations: DataFrame, out_dir: str) -> None:
+    """Annotations sink — publishes the channel the reference collects
+    but never writes (edf_processor/edf.py:117-118 stores raw TAL
+    segments and drops them; SURVEY.md §2.8 names the publish step as
+    the extension point).  Takes the RAW annotations frame from
+    ``process_edf_directory`` and writes one newline-delimited JSON row
+    per (file, record, TAL, text): onset_sec, duration_sec, text —
+    beside the ``channel*.json`` metadata sink.
+
+    Record-start TALs (empty text) are metadata, not annotations: they
+    already surface as ``offset_sec`` on the annotations frame, so the
+    sink writes only real texts (the parser excludes empties).  Sorted
+    within partitions for stable diffable output; annotation volume is
+    O(events-in-recording), not O(samples), so the single-file coalesce
+    matches the channel sink's contract."""
+    from processor_edf_spark.sources.edf import parse_tal_annotations
+
+    (
+        parse_tal_annotations(annotations)
+        .coalesce(1)
+        .sortWithinPartitions("file", "record", "tal_idx", "text")
+        .write.mode("overwrite")
+        .json(out_dir)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

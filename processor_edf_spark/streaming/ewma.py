@@ -67,6 +67,8 @@ def stream_ewma(
     t_col: str = "t",
     value_col: str = "value",
     emit_late: bool = False,
+    ttl_usec: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Apply the stateful EWMA to a stream (or batch) of events with
     columns (user_id, event_id, t µs, value).  Emits one row per input
@@ -83,7 +85,13 @@ def stream_ewma(
     Toggling ``emit_late`` changes the state schema (1 vs 2 fields) —
     restart on a FRESH checkpoint location.  A stale 1-field checkpoint
     read in emit_late mode degrades cleanly (the key's ordering
-    watermark restarts; the ring survives) rather than crashing."""
+    watermark restarts; the ring survives) rather than crashing.
+
+    ``ttl_usec`` bounds the state store under key churn (watermark-tied
+    ``EventTimeTimeout``): a key idle for ``ttl_usec`` of event time is
+    evicted; if it reappears its ring restarts empty — the eviction
+    sibling of the ``emit_late`` late-data discipline.  ``watermark``
+    is the out-of-orderness allowance on ``t_col`` (epoch µs)."""
     one_minus = 1.0 - alpha
 
     def fold(
@@ -92,6 +100,9 @@ def stream_ewma(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
+        if ttl_usec is not None and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             got = state.get
             ring = list(got[0])
@@ -108,6 +119,13 @@ def stream_ewma(
 
         def save():
             state.update((ring, last_t) if emit_late else (ring,))
+            if ttl_usec is not None and last_t is not None:
+                state.setTimeoutTimestamp(
+                    max(
+                        (last_t + ttl_usec) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
 
         rows = [p for p in pdfs if len(p)]
         if not rows:
@@ -152,6 +170,12 @@ def stream_ewma(
         F.col(t_col).alias(t_col),
         F.col(value_col).alias(value_col),
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_usec is not None:
+        keyed = keyed.withColumn(
+            "_wm_ts", F.timestamp_micros(F.col(t_col))
+        ).withWatermark("_wm_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return keyed.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=(
@@ -161,5 +185,5 @@ def stream_ewma(
             EWMA_LATE_STATE_SCHEMA if emit_late else EWMA_STATE_SCHEMA
         ),
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -54,9 +54,21 @@ def stream_gaps(
     id_col: str = "event_id",
     t_col: str = "t",
     emit_late: bool = False,
+    ttl_usec: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Emit (key, event_id, t, gap_usec) per event — gap to the key's
-    previous event in (t, id) order, null for the key's first."""
+    previous event in (t, id) order, null for the key's first.
+
+    ``ttl_usec`` bounds the state store under key churn: a key idle for
+    ``ttl_usec`` of EVENT time (watermark-tied ``EventTimeTimeout``) is
+    evicted, so total state tracks the ACTIVE key set instead of every
+    key ever seen — the one resource that otherwise grows forever on an
+    unbounded key domain.  The trade is the sibling of ``emit_late``'s
+    late-data discipline: an evicted key that reappears restarts its
+    fold (first event after re-arrival gaps null, like a fresh key).
+    ``watermark`` is the out-of-orderness allowance on ``t_col``
+    (interpreted as epoch µs) before eviction may fire."""
 
     def fold(
         key: Tuple[int],
@@ -64,10 +76,26 @@ def stream_gaps(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (k,) = key
+        if ttl_usec is not None and state.hasTimedOut:
+            state.remove()
+            return
         last_t = state.get[0] if state.exists else None
+        def save():
+            state.update((last_t,))
+            if ttl_usec is not None and last_t is not None:
+                # evict once the watermark passes the frontier + TTL;
+                # clamp above the current watermark (a nearly-expired
+                # key's timestamp must still be in the future)
+                state.setTimeoutTimestamp(
+                    max(
+                        (last_t + ttl_usec) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         rows = [p for p in pdfs if len(p)]
         if not rows:
-            state.update((last_t,))
+            save()
             return
         batch = pd.concat(rows, ignore_index=True).sort_values(
             [t_col, id_col]
@@ -86,7 +114,7 @@ def stream_gaps(
             ts.append(t)
             lates.append(False)
             last_t = t
-        state.update((last_t,))
+        save()
         out = {
             "key": [k] * len(ids),
             "event_id": ids,
@@ -102,6 +130,12 @@ def stream_gaps(
         F.col(id_col).alias(id_col),
         F.col(t_col).alias(t_col),
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_usec is not None:
+        keyed = keyed.withColumn(
+            "_wm_ts", F.timestamp_micros(F.col(t_col))
+        ).withWatermark("_wm_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return keyed.groupBy("key").applyInPandasWithState(
         fold,
         outputStructType=(
@@ -109,5 +143,5 @@ def stream_gaps(
         ),
         stateStructType=GAPS_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -39,15 +39,33 @@ REGISTRY_STATE_SCHEMA = T.StructType(
 )
 
 
-def _resolve(
+def _make_resolve(ttl_ms: int | None):
+    """Build the state function, optionally TTL-aware (see
+    :func:`streaming_channel_registry`)."""
+
+    def _resolve(
+        key: Tuple[str, str],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        return _resolve_impl(key, pdfs, state, ttl_ms)
+
+    return _resolve
+
+
+def _resolve_impl(
     key: Tuple[str, str],
     pdfs: Iterable[pd.DataFrame],
     state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """State function: fuzzy-match each incoming (name, rate) against the
     channels already registered under this (name_key, type_key); register
     novel rates (outside the ±2% band of every existing one)."""
     name_key, type_key = key
+    if ttl_ms is not None and state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         ids, rates = state.get
         ids, rates = list(ids), list(rates)
@@ -75,12 +93,24 @@ def _resolve(
             out["is_new"].append(is_new)
 
     state.update((ids, rates))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(out)
 
 
-def streaming_channel_registry(incoming: DataFrame) -> DataFrame:
+def streaming_channel_registry(
+    incoming: DataFrame, ttl_ms: int | None = None
+) -> DataFrame:
     """Apply the stateful registry to a stream (or batch) of signal headers
-    with columns (name, rate, type)."""
+    with columns (name, rate, type).
+
+    ``ttl_ms`` bounds the registry under key churn with a
+    processing-time idle timeout (signal headers carry no event time):
+    a (name, type) group seeing no headers for ``ttl_ms`` is evicted,
+    so state tracks the channels still being written.  The reference's
+    channel domain is finite so the default keeps every key forever;
+    on an unbounded domain the trade mirrors ``stream_gaps``'s: an
+    evicted group that reappears re-registers from channel_id ``#0``."""
     keyed = incoming.select(
         F.lower(F.trim("name")).alias("name_key"),
         F.upper(F.trim("type")).alias("type_key"),
@@ -88,9 +118,13 @@ def streaming_channel_registry(incoming: DataFrame) -> DataFrame:
         "rate",
     )
     return keyed.groupBy("name_key", "type_key").applyInPandasWithState(
-        _resolve,
+        _make_resolve(ttl_ms),
         outputStructType=REGISTRY_OUTPUT_SCHEMA,
         stateStructType=REGISTRY_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if ttl_ms is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

@@ -50,9 +50,20 @@ def stream_current_state(
     id_col: str = "event_id",
     t_col: str = "t",
     value_col: str = "value",
+    ttl_usec: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Emit (key, value, t, event_id) whenever a key's current row
-    changes — latest-wins on lexicographic (t, id)."""
+    changes — latest-wins on lexicographic (t, id).
+
+    ``ttl_usec`` bounds the state store under key churn (watermark-tied
+    ``EventTimeTimeout``): a key whose current row is older than the
+    watermark by more than the TTL is evicted.  The commutativity story
+    narrows accordingly — an event for an evicted key re-registers it
+    even if an already-emitted row had a LARGER (t, id), because the
+    loser's memory is gone; that is the same retire-then-restart trade
+    as ``stream_gaps``, chosen over unbounded state.  ``watermark`` is
+    the out-of-orderness allowance on ``t_col`` (epoch µs)."""
 
     def fold(
         key: Tuple[int],
@@ -60,14 +71,28 @@ def stream_current_state(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
+        if ttl_usec is not None and state.hasTimedOut:
+            state.remove()
+            return
         cur_t, cur_id, cur_v = state.get if state.exists else (
             None,
             None,
             None,
         )
+
+        def save():
+            state.update((cur_t, cur_id, cur_v))
+            if ttl_usec is not None and cur_t is not None:
+                state.setTimeoutTimestamp(
+                    max(
+                        (cur_t + ttl_usec) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         rows = [p for p in pdfs if len(p)]
         if not rows:
-            state.update((cur_t, cur_id, cur_v))
+            save()
             return
         batch = pd.concat(rows, ignore_index=True)
         # the batch's own winner: max (t, id) — one vector pass
@@ -79,7 +104,7 @@ def stream_current_state(
         )
         if cur_t is None or (t, eid) > (cur_t, cur_id):
             cur_t, cur_id, cur_v = t, eid, v
-            state.update((cur_t, cur_id, cur_v))
+            save()
             yield pd.DataFrame(
                 {
                     "user_id": [uid],
@@ -89,7 +114,7 @@ def stream_current_state(
                 }
             )
         else:
-            state.update((cur_t, cur_id, cur_v))
+            save()
 
     keyed = events.select(
         F.col(key_col).alias("user_id"),
@@ -97,10 +122,16 @@ def stream_current_state(
         F.col(t_col).alias(t_col),
         F.col(value_col).alias(value_col),
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_usec is not None:
+        keyed = keyed.withColumn(
+            "_wm_ts", F.timestamp_micros(F.col(t_col))
+        ).withWatermark("_wm_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return keyed.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=UPSERT_OUTPUT_SCHEMA,
         stateStructType=UPSERT_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -240,7 +240,7 @@ def skew_rows(spark, k: int) -> dict[str, dict[str, float]]:
     skewed = build_events_replica(spark, k, hot=True)
     out: dict[str, dict[str, float]] = {}
     for name in ("rolling_median_user", "ewma_user_values",
-                 "value_percent_rank"):
+                 "value_percent_rank", "percent_rank_cdf"):
         fn = QUERIES[name]
         row = {}
         for tag, d in (("uniform", normal), ("hot10", skewed)):
@@ -366,6 +366,68 @@ def ann_rows(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def incremental_rows(
+    spark, n_batches: int = 30, compact_every: int = 10
+) -> dict[str, dict[int, float]]:
+    """Small-file accretion probe for the tx-log dedup store: simulate
+    ``n_batches`` daily document drops into two stores — one append-only,
+    one compacted (``compact_store_tx``) every ``compact_every`` batches
+    — timing each ``dedup_incremental_tx`` call (the per-batch anti-join
+    against the visible snapshot).  Each day's batch is 1/n of the sf0.1
+    documents plus a replay of the PREVIOUS day's slice (so ~half of
+    every batch is rejected by the store, the production shape).
+
+    The append-only store's snapshot is one data file per day — the
+    anti-join scans a growing list of tiny parquet files — while the
+    compacted store's snapshot collapses to one base entry + the days
+    since, pinning per-batch cost flat.  Store sizes here are tiny; the
+    signal is the FILE-COUNT trend, which is what breaks at 100 TB
+    (day 1000 would anti-join against 1000 file sets)."""
+    import uuid as _uuid
+
+    from processor_edf_spark.operators.txstore import (
+        compact_store_tx,
+        dedup_incremental_tx,
+        snapshot_files,
+    )
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs = docs.withColumn("_day", F.pmod(F.col("doc_id"), F.lit(n_batches)))
+    slices = {
+        d: docs.filter(F.col("_day") == d).drop("_day").localCheckpoint()
+        for d in range(n_batches)
+    }
+    out: dict[str, dict[int, float]] = {
+        "append_only_sec": {},
+        "compacted_sec": {},
+        "append_only_files": {},
+        "compacted_files": {},
+    }
+    stores = {
+        "append_only": f"/tmp/incr_store_{_uuid.uuid4().hex[:8]}",
+        "compacted": f"/tmp/incr_store_{_uuid.uuid4().hex[:8]}",
+    }
+    for day in range(n_batches):
+        batch = slices[day]
+        if day > 0:  # replay yesterday: ~half the batch is already seen
+            batch = batch.unionByName(slices[day - 1])
+        for tag, store in stores.items():
+            t0 = time.perf_counter()
+            admitted = dedup_incremental_tx(
+                spark, batch, store, text_col="text", id_col="doc_id"
+            )
+            admitted.count()
+            out[f"{tag}_sec"][day] = round(time.perf_counter() - t0, 2)
+            if tag == "compacted" and (day + 1) % compact_every == 0:
+                compact_store_tx(spark, store)
+            out[f"{tag}_files"][day] = len(snapshot_files(spark, store))
+    for s in stores.values():
+        shutil.rmtree(s, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     scales, names, mode = [], list(DEFAULT_QUERIES), "queries"
     args = sys.argv[1:]
@@ -379,12 +441,31 @@ def main() -> None:
             mode = "edf"
         elif a == "--skew":
             mode = "skew"
+        elif a == "--incremental":
+            mode = "incremental"
         elif a.startswith("x"):
             scales.append(int(a[1:]))
     scales = scales or [1, 4, 8]
 
     spark = get_spark("scale_sweep", cpus=32)
     from processor_edf_spark.plans import QUERIES
+
+    if mode == "incremental":
+        n = scales[0] if len(scales) == 1 else 30
+        rows = incremental_rows(spark, n_batches=n)
+        days = sorted(rows["append_only_sec"])
+        marks = [d for d in days if d in (0, 4, 9, 10, 19, 20, 28, 29)]
+        print("\n| day | append-only s (files) | compacted s (files) |")
+        print("|---|---|---|")
+        for d in marks:
+            print(
+                f"| {d + 1} | {rows['append_only_sec'][d]} "
+                f"({rows['append_only_files'][d]}) "
+                f"| {rows['compacted_sec'][d]} "
+                f"({rows['compacted_files'][d]}) |"
+            )
+        spark.stop()
+        return
 
     if mode == "skew":
         k = scales[0] if len(scales) == 1 else 64

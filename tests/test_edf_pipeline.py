@@ -233,3 +233,58 @@ def test_append_mode_platform_match(spark, tmp_path):
     assert by_name["EEG F3"]["id"] == "platform-1"
     assert not by_name["EEG F3"]["is_new"] if "is_new" in channels.columns else True
     assert by_name["EEG F4"]["id"] != "platform-2"  # out-of-band → new channel
+
+
+def test_annotations_sink_publishes_beside_channels(spark, tmp_path):
+    """End-to-end publish of the annotations channel: the pipeline's raw
+    annotations frame lands as newline-JSON rows beside channel*.json —
+    the step the reference's collector never takes
+    (edf_processor/edf.py:117-118).  Record-start TALs stay metadata
+    (no row); real texts publish with onset/duration."""
+    import json
+    import os
+
+    from processor_edf_spark.pipeline import process_edf_directory as run
+    from processor_edf_spark.sinks.writers import (
+        write_annotations_json,
+        write_channels_json,
+    )
+
+    write_edf(
+        str(tmp_path / "ann.edf"),
+        signals=[{"label": "chanA", "rate": 100, "gen": sine(5.0)}],
+        nb_data_rec=2,
+        variant="EDF+D",
+        record_offsets_sec=[0.0, 1.0],
+        annotations_per_record={
+            0: [(0.25, 0.5, "seizure onset")],
+            1: [(1.5, None, "movement"), (1.75, 0.1, "artifact")],
+        },
+    )
+    _, channels, annotations = run(spark, str(tmp_path))
+    ch_dir = str(tmp_path / "out" / "channels")
+    ann_dir = str(tmp_path / "out" / "annotations")
+    write_channels_json(channels, ch_dir)
+    write_annotations_json(annotations, ann_dir)
+
+    def read_ndjson(d):
+        rows = []
+        for name in sorted(os.listdir(d)):
+            if name.endswith(".json"):
+                with open(os.path.join(d, name)) as fh:
+                    rows += [json.loads(line) for line in fh if line.strip()]
+        return rows
+
+    assert len(read_ndjson(ch_dir)) == 1  # chanA
+    got = sorted(
+        (r["onset_sec"], r.get("duration_sec"), r["text"])
+        for r in read_ndjson(ann_dir)
+    )
+    assert got == [
+        (0.25, 0.5, "seizure onset"),
+        (1.5, None, "movement"),
+        (1.75, 0.1, "artifact"),
+    ]
+    # every row names its source file and record for downstream joins
+    for r in read_ndjson(ann_dir):
+        assert r["file"].endswith("ann.edf") and "record" in r

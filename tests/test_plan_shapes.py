@@ -749,3 +749,24 @@ def test_cooccurrence_lift_broadcasts_dimension_sides(spark):
     plan = plan_of(spark, "event_cooccurrence_lift")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_users frame
+
+
+def test_percent_rank_cdf_never_windows_over_rows(spark):
+    """The skew-mitigation contract: percent_rank_cdf must contain NO
+    window partitioned by event_type alone ordered by value (the
+    rows-level sort that serializes a hot partition).  Its two windows
+    run over the distinct-value frame — within-bucket cumsum keyed by
+    (event_type, bucket) and the tiny bucket-offset frame — and the
+    bucket-offset + totals frames join back broadcast."""
+    plan = plan_of(spark, "percent_rank_cdf")
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(",")[0]
+        cols = spec
+        if "value" in cols and "bucket" not in cols:
+            raise AssertionError(
+                f"rows-level window resurfaced: {spec}\n{plan[:2000]}"
+            )
+        assert head.strip().startswith("event_type"), spec
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]

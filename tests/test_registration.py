@@ -8,14 +8,14 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r7 window (executed exactly as pre-declared in the r6 rotation
-note): 7 family anchors (driver-green r6) + the 3 r7 additions
-(dedup_component_sizes and the two sketch-bound audits, first driver
-check, batch 2 adding interp/rolling-reach/dwell) + the 17
-stale-block tail queries (last driver-green r2∪r3) + the r4-green
-block rotated out in r5 (20 of its 23 in-window; its last three are
-displaced by batch 2 and lead the r8 rotate-ins) — all returning for
-refreshed evidence.  ``test_window_covers_every_family`` keeps any
+The r8 window (executed exactly as pre-declared in the r7 rotation
+notes): the 5 post-freeze batch-3 entrants + the 2 r8 additions
+(percent_rank_cdf, annotations_tal_parse) first for their first
+driver check, the 3 pre-declared rotate-ins (ngram_lang_profile /
+doc_length_histogram / quantize_embeddings_int8), 3 family anchors
+(multimodal / layout / corpus), and 37 of the 43 r6-green block for
+refreshed evidence (the 6 left out have family-covered seats and
+lead the r9 rotate-ins).  ``test_window_covers_every_family`` keeps any
 future rotation coverage-neutral automatically.
 """
 
@@ -25,56 +25,56 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    "q1_pricing_summary",
-    "sessionize_events",
-    "timestamp_synthesis",
-    "rollup_event_daily",
+    "heavy_hitters_audit",
+    "merge_upsert_current",
+    "event_cooccurrence_lift",
+    "inter_arrival_histogram",
+    "events_job_report",
+    "percent_rank_cdf",
+    "annotations_tal_parse",
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    "quantize_embeddings_int8",
     "multimodal_meta",
     "zorder_layout",
     "corpus_job_report",
-    "dedup_component_sizes",
-    "approx_distinct_audit",
-    "approx_percentile_audit",
-    "interp_linear_hourly",
-    "rolling_7d_active_users",
-    "session_dwell_stats",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
-    "text_quality",
-    "lang_id_heuristic",
-    "doc_fingerprint",
-    "bpe_token_count",
-    "rolling_fingerprint",
-    "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "array_slice_projection",
-    "ann_ivf_label",
-    "calibrate_events",
-    "sliding_hour_counts",
-    "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
-    "minhash_signatures",
-    "simhash_16",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "q15_top_supplier",
-    "boilerplate_ngrams",
-    "embedding_norm_stats",
-    "sample_hash_bucket",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "dow_hour_heatmap",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "ntile_value_quartiles",
+    "filter_project_events",
+    "band_join_acctbal",
+    "top3_orders_per_customer",
+    "set_ops_event_types",
+    "token_stats",
+    "dedup_exact",
+    "cosine_pairs",
+    "ann_ivf_multiprobe",
+    "split_assignment",
+    "anomaly_robust_z",
+    "time_weighted_avg_daily",
+    "ewma_user_values",
+    "gap_fill_hourly",
+    "event_transitions",
+    "grouping_sets_revenue",
+    "dup_span_coverage",
+    "rolling_median_user",
+    "scd2_user_value_history",
+    "triangle_count_nn",
+    "dedup_substring_rewrite",
+    "dedup_events_debounce",
+    "value_percent_rank",
+    "user_value_trend",
+    "table_profile_events",
+    "full_outer_daily_activity",
+    "user_value_correlation",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "rate_crosscheck_users",
+    "session_window_events",
+    "mode_period_users",
+    "overlap_validation",
+    "edf_date_parse",
+    "semi_join_returned_orders",
+    "range_join_close_events",
 ]
 
 
@@ -95,10 +95,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 125 through r6 + the 11 r7 additions (audits/graph/batch 2 in the
-    # window; the MG audit + batch 3 + events_job_report post-freeze at
-    # positions 51-55)
-    assert len(QUERIES) == 136
+    # 136 through r7 + the r8 additions
+    assert len(QUERIES) == 138
 
 
 def test_every_query_has_a_family():

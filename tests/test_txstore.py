@@ -274,3 +274,50 @@ def test_randomized_interleavings_admit_exactly_once(spark, tmp_path, seed):
     rows = [r["content_sha"] for r in read_store(spark, store).collect()]
     assert len(rows) == len(set(rows))  # no duplicate store rows
     assert set(rows) == set(admitted_by)  # store == the admitted set
+
+
+@pytest.mark.slow
+def test_incremental_daily_drops_compaction_keeps_snapshot_flat(
+    spark, tmp_path
+):
+    """The small-file accretion story the tx store's compaction exists
+    for, pinned structurally (timings live in the --incremental sweep,
+    BASELINE.md): across N simulated daily drops — each replaying
+    yesterday's slice, so ~half of every batch is store-rejected — the
+    append-only snapshot grows one data file per day while the
+    compacted store's snapshot collapses to base+recent and stays
+    bounded; admit semantics are IDENTICAL on both stores throughout."""
+    from processor_edf_spark.operators.txstore import snapshot_files as sf
+
+    n_days, compact_every = 12, 4
+    stores = {
+        "plain": str(tmp_path / "plain"),
+        "compacted": str(tmp_path / "compacted"),
+    }
+    days = [
+        [(d * 100 + i, f"doc-{d}-{i}") for i in range(5)]
+        for d in range(n_days)
+    ]
+    plain_files, compacted_files = [], []
+    for d in range(n_days):
+        rows = days[d] + (days[d - 1] if d > 0 else [])
+        got = {}
+        for tag, store in stores.items():
+            got[tag] = _admitted_ids(
+                dedup_incremental_tx(spark, _docs(spark, rows), store)
+            )
+            if tag == "compacted" and (d + 1) % compact_every == 0:
+                compact_store_tx(spark, store)
+        # identical admit decision on both layouts, only new docs enter
+        assert got["plain"] == got["compacted"] == sorted(
+            i for i, _ in days[d]
+        )
+        plain_files.append(len(sf(spark, stores["plain"])))
+        compacted_files.append(len(sf(spark, stores["compacted"])))
+    # append-only: one data file per day, forever
+    assert plain_files == list(range(1, n_days + 1))
+    # compacted: never more than base + compact_every-1 days of tail
+    assert max(compacted_files) <= compact_every + 1
+    assert compacted_files[-1] <= compact_every
+    # the full ever-seen set survives compaction
+    assert read_store(spark, stores["compacted"]).count() == n_days * 5
