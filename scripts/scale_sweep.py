@@ -179,15 +179,16 @@ HOT_USER = 42
 HOT_FRACTION = 10  # 1-in-10 events remapped → one user holds ~10%
 
 
-def build_events_replica(spark, k: int, hot: bool) -> str:
+def build_events_replica(spark, k: int, hot: str | None) -> str:
     """Events-only ×k replica (other tables symlink to BASE — the skew
     sweep's queries read only events, and events replicate in seconds
     at k=64 where a full-table replica would be minutes of wasted
-    build).  ``hot=True`` additionally remaps ~10% of ALL events
-    (uniformly by event_id hash) to one user, so a single key holds a
-    tenth of the corpus — the pathological distribution the sweep
-    measures."""
-    out = f"/tmp/scale_ev_x{k}" + ("_hot" if hot else "")
+    build).  ``hot='user'`` additionally remaps ~10% of ALL events
+    (uniformly by event_id hash) to one user — the pathological key
+    for the per-user window family; ``hot='type'`` remaps half of all
+    events to one event_type — the pathological partition for the
+    type-partitioned rank family."""
+    out = f"/tmp/scale_ev_x{k}" + (f"_hot{hot}" if hot else "")
     if os.path.isdir(out) and os.path.exists(
         f"{out}/events.parquet/_SUCCESS"
     ):
@@ -210,12 +211,22 @@ def build_events_replica(spark, k: int, hot: bool) -> str:
     e = parts[0]
     for p in parts[1:]:
         e = e.unionByName(p)
-    if hot:
+    if hot == "user":
         hot_col = F.when(
             F.pmod(F.xxhash64(F.col("event_id")), F.lit(HOT_FRACTION)) == 0,
             F.lit(HOT_USER).cast("long"),
         ).otherwise(F.col("user_id"))
         e = e.withColumn("user_id", hot_col)
+    elif hot == "type":
+        # remap half of ALL events to one event_type: the hot partition
+        # for the type-partitioned window family (uniform is ~1/5 per
+        # type, hot is ~60% in one) — the distribution percent_rank's
+        # rows window serializes into a single straggler task
+        hot_col = F.when(
+            F.pmod(F.xxhash64(F.col("event_id")), F.lit(2)) == 0,
+            F.lit("click"),
+        ).otherwise(F.col("event_type"))
+        e = e.withColumn("event_type", hot_col)
     e.write.parquet(f"{tmp}/events.parquet")
     for t in list(TESTDATA_TABLES) + ["documents", "embeddings"]:
         dst = f"{tmp}/{t}.parquet"
@@ -236,14 +247,20 @@ def skew_rows(spark, k: int) -> dict[str, dict[str, float]]:
     from processor_edf_spark.operators.skew import salted_agg
     from processor_edf_spark.plans import QUERIES
 
-    normal = build_events_replica(spark, k, hot=False)
-    skewed = build_events_replica(spark, k, hot=True)
+    normal = build_events_replica(spark, k, hot=None)
+    skewed = build_events_replica(spark, k, hot="user")
+    hottype = build_events_replica(spark, k, hot="type")
     out: dict[str, dict[str, float]] = {}
     for name in ("rolling_median_user", "ewma_user_values",
                  "value_percent_rank", "percent_rank_cdf"):
         fn = QUERIES[name]
         row = {}
-        for tag, d in (("uniform", normal), ("hot10", skewed)):
+        variants = [("uniform", normal), ("hot10", skewed)]
+        if name.endswith(("percent_rank", "percent_rank_cdf")):
+            # the rank pair partitions by event_type, so the hot-TYPE
+            # replica is its pathological input (hot user is a no-op)
+            variants.append(("hottype", hottype))
+        for tag, d in variants:
             _noop(fn(spark, d))
             t0 = time.perf_counter()
             _noop(fn(spark, d))
@@ -470,7 +487,7 @@ def main() -> None:
     if mode == "skew":
         k = scales[0] if len(scales) == 1 else 64
         rows = skew_rows(spark, k)
-        cols = ["uniform", "hot10", "salted"]
+        cols = ["uniform", "hot10", "hottype", "salted"]
         print(f"\n| query (×{k}) | " + " | ".join(cols) + " |")
         print("|---|" + "---|" * len(cols))
         for n, row in rows.items():
