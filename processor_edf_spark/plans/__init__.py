@@ -82,7 +82,10 @@ from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 # inter_arrival_histogram, events_job_report) and the 2 r8 additions
 # (percent_rank_cdf — the two-phase skew-immune rank, same oracle as
 # value_percent_rank; annotations_tal_parse — the TAL publish channel)
-# take priority slots for their first driver check;
+# take priority slots for their first driver check (joined late in
+# the round by cume_dist_cdf / ntile_cdf — the rest of the two-phase
+# rank family, displacing q14/q17 whose tpch family keeps q6/q18
+# in-window);
 # ngram_lang_profile / doc_length_histogram / quantize_embeddings_int8
 # lead the rotate-ins as pre-declared; 3 anchors
 # (multimodal_meta / zorder_layout / corpus_job_report) keep the
@@ -104,6 +107,8 @@ _CANONICAL = [
     "events_job_report",
     "percent_rank_cdf",
     "annotations_tal_parse",
+    "cume_dist_cdf",
+    "ntile_cdf",
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
@@ -137,8 +142,6 @@ _CANONICAL = [
     "full_outer_daily_activity",
     "user_value_correlation",
     "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
     "q18_large_orders",
     "rate_crosscheck_users",
     "session_window_events",
@@ -149,8 +152,11 @@ _CANONICAL = [
     "range_join_close_events",
     # ---- position 51+: every query below has a driver-green row
     # (the 50 r7-window members all green in CORRECTNESS_r07, plus
-    # the 6 r6-green block members left out this round) and stays
+    # the 8 r6-green block members left out this round — q14/q17
+    # displaced when cume_dist_cdf/ntile_cdf entered late) and stays
     # mirror-checked by tests/test_queries_oracle.py per commit.
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
     "q1_pricing_summary",
     "sessionize_events",
     "timestamp_synthesis",
@@ -368,6 +374,8 @@ FAMILY = {
     # r8 additions
     "percent_rank_cdf": "windows",
     "annotations_tal_parse": "events",
+    "cume_dist_cdf": "windows",
+    "ntile_cdf": "windows",
 }
 
 

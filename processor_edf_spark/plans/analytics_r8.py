@@ -22,6 +22,54 @@ from processor_edf_spark.plans.registry import load, register
 PR_BUCKETS = 1024
 
 
+def _type_value_cdf(ev):
+    """Shared machinery of the two-phase rank family: from an
+    (event_id, event_type, value) frame, build the per-distinct-value
+    CDF — one map-side-combined count shuffle keyed by (type, bucket,
+    value), a window over the broadcast-tiny bucket-totals frame for
+    bucket offsets, and a cumsum window WITHIN each (type, bucket) —
+    no window ever runs over event rows.  Returns the distinct-value
+    frame with columns (event_type, value, cnt, rank_below, cum_incl,
+    n): rank_below = rows with a strictly smaller value in the type,
+    cum_incl = rows with value ≤ this one, n = type row count."""
+    rng = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    b = ev.join(F.broadcast(rng), "event_type").withColumn(
+        "bucket",
+        F.when(F.col("hi") <= F.col("lo"), F.lit(1)).otherwise(
+            F.width_bucket("value", "lo", "hi", F.lit(PR_BUCKETS))
+        ),
+    )
+    counts = b.groupBy("event_type", "bucket", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    btot = counts.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("bn")
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    boff = btot.withColumn(
+        "off", F.sum("bn").over(wb) - F.col("bn")
+    ).select("event_type", "bucket", "off")
+    ntot = btot.groupBy("event_type").agg(F.sum("bn").alias("n"))
+    wv = Window.partitionBy("event_type", "bucket").orderBy("value")
+    cdf = counts.withColumn("cum", F.sum("cnt").over(wv))
+    return (
+        cdf.join(F.broadcast(boff), ["event_type", "bucket"])
+        .join(F.broadcast(ntot), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "cnt",
+            (F.col("off") + F.col("cum") - F.col("cnt")).alias(
+                "rank_below"
+            ),
+            (F.col("off") + F.col("cum")).alias("cum_incl"),
+            "n",
+        )
+    )
+
+
 @register(
     "percent_rank_cdf",
     """
@@ -57,43 +105,15 @@ def percent_rank_cdf(spark, sf_dir):
     spreads instead of serializing (sweep rows in BASELINE.md)."""
     (events,) = load(spark, sf_dir, "events")
     ev = events.select("event_id", "event_type", "value")
-    rng = ev.groupBy("event_type").agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
-    )
-    b = ev.join(F.broadcast(rng), "event_type").withColumn(
-        "bucket",
-        F.when(F.col("hi") <= F.col("lo"), F.lit(1)).otherwise(
-            F.width_bucket("value", "lo", "hi", F.lit(PR_BUCKETS))
-        ),
-    )
-    counts = b.groupBy("event_type", "bucket", "value").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    btot = counts.groupBy("event_type", "bucket").agg(
-        F.sum("cnt").alias("bn")
-    )
-    wb = Window.partitionBy("event_type").orderBy("bucket")
-    boff = btot.withColumn(
-        "off", F.sum("bn").over(wb) - F.col("bn")
-    ).select("event_type", "bucket", "off")
-    ntot = btot.groupBy("event_type").agg(F.sum("bn").alias("n"))
-    wv = Window.partitionBy("event_type", "bucket").orderBy("value")
-    cdf = counts.withColumn("cum", F.sum("cnt").over(wv))
-    ranked = (
-        cdf.join(F.broadcast(boff), ["event_type", "bucket"])
-        .join(F.broadcast(ntot), "event_type")
-        .select(
-            "event_type",
-            "value",
-            F.when(F.col("n") == 1, F.lit(0.0))
-            .otherwise(
-                (F.col("off") + F.col("cum") - F.col("cnt")).cast(
-                    "double"
-                )
-                / (F.col("n") - F.lit(1)).cast("double")
-            )
-            .alias("pr"),
+    ranked = _type_value_cdf(ev).select(
+        "event_type",
+        "value",
+        F.when(F.col("n") == 1, F.lit(0.0))
+        .otherwise(
+            F.col("rank_below").cast("double")
+            / (F.col("n") - F.lit(1)).cast("double")
         )
+        .alias("pr"),
     )
     return ev.join(ranked, ["event_type", "value"]).select(
         "event_id", "event_type", "value", "pr"
@@ -149,3 +169,98 @@ def annotations_tal_parse(spark, sf_dir):
         raw.cast("binary").alias("raw"),
     )
     return parse_tal_annotations(ann)
+
+
+@register(
+    "cume_dist_cdf",
+    """
+    SELECT event_id, event_type, value,
+           cume_dist() OVER (
+               PARTITION BY event_type ORDER BY value) AS cd
+    FROM events
+    """,
+)
+def cume_dist_cdf(spark, sf_dir):
+    """Exact cume_dist from the same two-phase CDF machinery as
+    ``percent_rank_cdf`` — cume_dist(v) = rows-with-value≤v / n, one
+    double division of exact integers (the identical IEEE expression
+    both engines evaluate).  Completes the rank family's no-rows-window
+    story: ties share a cum_incl on both engines by construction, and
+    every shuffle keys on (type, value)/(type, bucket), never a
+    serialized per-type sort."""
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.select("event_id", "event_type", "value")
+    ranked = _type_value_cdf(ev).select(
+        "event_type",
+        "value",
+        (
+            F.col("cum_incl").cast("double") / F.col("n").cast("double")
+        ).alias("cd"),
+    )
+    return ev.join(ranked, ["event_type", "value"]).select(
+        "event_id", "event_type", "value", "cd"
+    )
+
+
+NTILE_K = 4
+
+
+@register(
+    "ntile_cdf",
+    """
+    SELECT event_type, q, COUNT(*) AS n,
+           MIN(value) AS min_value, MAX(value) AS max_value
+    FROM (
+        SELECT event_type, value,
+               NTILE(4) OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS q
+        FROM events
+    )
+    GROUP BY event_type, q
+    """,
+)
+def ntile_cdf(spark, sf_dir):
+    """Exact NTILE(4) without the per-type rows window — the same
+    oracle SQL as ``ntile_value_quartiles``, so the driver pins the
+    two plans equivalent.  The global (value, event_id) row_number a
+    tile assignment needs decomposes as rank_below(value) — from the
+    two-phase CDF — plus a row_number WITHIN the (type, value) tie
+    group ordered by event_id: windows over tie groups are
+    per-distinct-value partitions, so a hot event_type spreads across
+    its values instead of serializing into one sort task.
+
+    Tile arithmetic is SQL-standard NTILE on exact integers: with
+    n = q·k + r, the first r tiles take q+1 rows — both branches are
+    integer div/mod, no floats to drift.  (Rows with rn beyond the
+    padded region only exist when q ≥ 1, so the otherwise-branch's
+    division is never by zero on rows it evaluates for.)"""
+    (events,) = load(spark, sf_dir, "events")
+    ev = events.select("event_id", "event_type", "value")
+    ranked = _type_value_cdf(ev).select(
+        "event_type", "value", "rank_below", "n"
+    )
+    wtie = Window.partitionBy("event_type", "value").orderBy("event_id")
+    rows = (
+        ev.join(ranked, ["event_type", "value"])
+        .withColumn(
+            "rn", F.col("rank_below") + F.row_number().over(wtie)
+        )
+    )
+    q = (F.col("n") / NTILE_K).cast("long")  # floor: n, k positive
+    r = F.col("n") % NTILE_K
+    padded = r * (q + 1)  # rows living in the (q+1)-sized tiles
+    tile = F.when(
+        F.col("rn") <= padded,
+        ((F.col("rn") - 1) / (q + 1)).cast("long") + 1,
+    ).otherwise(
+        r + ((F.col("rn") - padded - 1) / q).cast("long") + 1
+    )
+    return (
+        rows.withColumn("q", tile.cast("int"))
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )

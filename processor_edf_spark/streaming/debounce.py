@@ -55,10 +55,20 @@ def stream_debounce(
     type_col: str = "event_type",
     id_col: str = "event_id",
     t_col: str = "t",
+    ttl_usec: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Strict debounce over a stream of (user_id, event_type, event_id,
     t µs): emit an event iff it is the key's first, or more than
-    ``gap_usec`` after the last emitted event of that key."""
+    ``gap_usec`` after the last emitted event of that key.
+
+    ``ttl_usec`` bounds state under key churn (watermark-tied
+    ``EventTimeTimeout``, same discipline as ``stream_gaps``): an idle
+    key evicts, and on reappearance its first event is kept like a
+    fresh key's.  A TTL ≥ ``gap_usec`` never changes output — an
+    anchor older than the gap would have admitted the next event
+    anyway — making debounce the one operator whose eviction trade is
+    FREE when ttl_usec ≥ gap_usec."""
 
     def keep(
         key: Tuple[int, str],
@@ -66,10 +76,24 @@ def stream_debounce(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         uid, etype = key
+        if ttl_usec is not None and state.hasTimedOut:
+            state.remove()
+            return
         last = state.get[0] if state.exists else None
+
+        def save():
+            state.update((last,))
+            if ttl_usec is not None and last is not None:
+                state.setTimeoutTimestamp(
+                    max(
+                        (last + ttl_usec) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         rows = [p for p in pdfs if len(p)]
         if not rows:
-            state.update((last,))
+            save()
             return
         batch = pd.concat(rows, ignore_index=True).sort_values(
             [t_col, id_col]
@@ -81,7 +105,7 @@ def stream_debounce(
                 ids.append(int(eid))
                 ts.append(t)
                 last = t
-        state.update((last,))
+        save()
         if ids:
             yield pd.DataFrame(
                 {
@@ -98,10 +122,16 @@ def stream_debounce(
         F.col(id_col).alias("event_id"),
         F.col(t_col).alias("t"),
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_usec is not None:
+        keyed = keyed.withColumn(
+            "_wm_ts", F.timestamp_micros(F.col("t"))
+        ).withWatermark("_wm_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return keyed.groupBy("user_id", "event_type").applyInPandasWithState(
         keep,
         outputStructType=DEBOUNCE_OUTPUT_SCHEMA,
         stateStructType=DEBOUNCE_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

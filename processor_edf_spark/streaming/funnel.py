@@ -51,10 +51,20 @@ def stream_funnel_stages(
     user_col: str = "user_id",
     type_col: str = "event_type",
     t_col: str = "t",
+    ttl_usec: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Apply the stateful funnel to a stream (or batch) of events with
     columns (user_id, event_type, t µs).  The stage-type filter rides
-    the scan before the shuffle, as in the batch plan."""
+    the scan before the shuffle, as in the batch plan.
+
+    ``ttl_usec`` bounds state under user churn (watermark-tied
+    ``EventTimeTimeout``): a user idle past the TTL evicts and a later
+    event restarts their funnel at stage 0.  A TTL ≥ ``horizon_usec``
+    past t_first only ever evicts funnels that could no longer advance
+    (every later match must land within the horizon of stage 0), so
+    the trade costs nothing for completed-or-expired funnels; only a
+    user parked mid-funnel with the horizon still open restarts."""
 
     def track(
         key: Tuple[int],
@@ -62,6 +72,9 @@ def stream_funnel_stages(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
+        if ttl_usec is not None and state.hasTimedOut:
+            state.remove()
+            return
         times = list(state.get[0]) if state.exists else [-1] * len(stages)
         rows = [p for p in pdfs if len(p)]
         if rows:
@@ -81,6 +94,15 @@ def stream_funnel_stages(
                         times[i] = t
                     break  # an event matches at most one stage
         state.update((times,))
+        if ttl_usec is not None:
+            newest = max((v for v in times if v != -1), default=None)
+            if newest is not None:
+                state.setTimeoutTimestamp(
+                    max(
+                        (newest + ttl_usec) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
         depth = 0
         for v in times:
             if v == -1:
@@ -98,10 +120,16 @@ def stream_funnel_stages(
     filtered = events.filter(F.col(type_col).isin(*stages)).select(
         F.col(user_col).alias("user_id"), type_col, t_col
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_usec is not None:
+        filtered = filtered.withColumn(
+            "_wm_ts", F.timestamp_micros(F.col(t_col))
+        ).withWatermark("_wm_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return filtered.groupBy("user_id").applyInPandasWithState(
         track,
         outputStructType=FUNNEL_OUTPUT_SCHEMA,
         stateStructType=FUNNEL_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

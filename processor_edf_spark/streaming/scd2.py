@@ -68,6 +68,8 @@ def stream_scd2(
     t_col: str = "t",
     value_col: str = "value",
     emit_late: bool = False,
+    ttl_usec: int | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Emit closed SCD2 intervals from a change stream of
     (user_id, t µs, value); the open row per key lives in state.
@@ -77,7 +79,16 @@ def stream_scd2(
     the dropped change is emitted as a ``late=true`` row carrying its
     own (value, t, t) so a downstream consumer can quarantine/count it
     and hand it to ``scd2_apply_delta`` for exact repair — the W2
-    quarantine discipline.  Closed intervals carry ``late=false``."""
+    quarantine discipline.  Closed intervals carry ``late=false``.
+
+    ``ttl_usec`` bounds state under key churn (watermark-tied
+    ``EventTimeTimeout``): an idle key's eviction FINALIZES it — the
+    open row is emitted once as ``is_current=true`` (with
+    valid_to = valid_from, the open-ended marker) before the state is
+    dropped, so the interval is published rather than lost.  A change
+    arriving after eviction opens a NEW history (no closed row bridges
+    the gap — the retire-then-restart trade; ``scd2_apply_delta`` owns
+    exact repair as with late rows)."""
 
     def fold(
         key: Tuple[int],
@@ -85,12 +96,41 @@ def stream_scd2(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
+        if ttl_usec is not None and state.hasTimedOut:
+            open_from, open_value = (
+                state.get if state.exists else (None, None)
+            )
+            state.remove()
+            if open_from is not None:
+                row = (uid, open_value, open_from, open_from, True)
+                if emit_late:
+                    row = row + (False,)
+                cols = [
+                    "user_id",
+                    "value",
+                    "valid_from_usec",
+                    "valid_to_usec",
+                    "is_current",
+                ] + (["late"] if emit_late else [])
+                yield pd.DataFrame([row], columns=cols)
+            return
         open_from, open_value = (
             state.get if state.exists else (None, None)
         )
+
+        def save():
+            state.update((open_from, open_value))
+            if ttl_usec is not None and open_from is not None:
+                state.setTimeoutTimestamp(
+                    max(
+                        (open_from + ttl_usec) // 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+
         rows = [p for p in pdfs if len(p)]
         if not rows:
-            state.update((open_from, open_value))
+            save()
             return
         batch = pd.concat(rows, ignore_index=True).sort_values(
             [t_col, value_col]
@@ -113,7 +153,7 @@ def stream_scd2(
                     + ((False,) if emit_late else ())
                 )
             open_from, open_value = t, v
-        state.update((open_from, open_value))
+        save()
         if closed:
             cols = [
                 "user_id",
@@ -131,6 +171,12 @@ def stream_scd2(
         F.col(t_col).alias(t_col),
         F.col(value_col).alias(value_col),
     )
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_usec is not None:
+        keyed = keyed.withColumn(
+            "_wm_ts", F.timestamp_micros(F.col(t_col))
+        ).withWatermark("_wm_ts", watermark)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return keyed.groupBy("user_id").applyInPandasWithState(
         fold,
         outputStructType=(
@@ -140,5 +186,5 @@ def stream_scd2(
         ),
         stateStructType=SCD2_STREAM_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

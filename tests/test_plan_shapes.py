@@ -751,22 +751,31 @@ def test_cooccurrence_lift_broadcasts_dimension_sides(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row n_users frame
 
 
-def test_percent_rank_cdf_never_windows_over_rows(spark):
-    """The skew-mitigation contract: percent_rank_cdf must contain NO
-    window partitioned by event_type alone ordered by value (the
-    rows-level sort that serializes a hot partition).  Its two windows
-    run over the distinct-value frame — within-bucket cumsum keyed by
-    (event_type, bucket) and the tiny bucket-offset frame — and the
-    bucket-offset + totals frames join back broadcast."""
-    plan = plan_of(spark, "percent_rank_cdf")
+@pytest.mark.parametrize(
+    "name", ["percent_rank_cdf", "cume_dist_cdf", "ntile_cdf"]
+)
+def test_cdf_rank_family_never_windows_over_rows(spark, name):
+    """The skew-mitigation contract for the whole two-phase rank
+    family: no plan may contain a window partitioned by event_type
+    alone ordered by value (the rows-level sort that serializes a hot
+    partition).  Allowed windows run over the distinct-value frame —
+    within-bucket cumsum keyed by (event_type, bucket), the tiny
+    bucket-offset frame, and (ntile only) the per-(type, value)
+    tie-group row_number; the offset/totals frames join back
+    broadcast."""
+    plan = plan_of(spark, name)
     import re
 
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
         head = spec.split(",")[0]
-        cols = spec
-        if "value" in cols and "bucket" not in cols:
-            raise AssertionError(
-                f"rows-level window resurfaced: {spec}\n{plan[:2000]}"
+        if "value" in spec and "bucket" not in spec:
+            # the only value-ordered window allowed is ntile's
+            # tie-group row_number, partitioned by (type, VALUE) —
+            # i.e. value appears as a PARTITION key before the
+            # order-by, never as the sole ordering of a type window
+            assert spec.split(",")[1].strip().startswith("value"), (
+                f"rows-level window resurfaced in {name}: {spec}\n"
+                f"{plan[:2000]}"
             )
         assert head.strip().startswith("event_type"), spec
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]

@@ -41,7 +41,8 @@ def _state_rows(query) -> int:
     return ops[0]["numRowsTotal"]
 
 
-def _drive(spark, tmp_path, build, rows_schema=SCHEMA):
+def _drive(spark, tmp_path, build, rows_schema=SCHEMA,
+           output_mode="append"):
     """availableNow micro-harness: each drop() appends a parquet file,
     replays the stream through `build` on a shared checkpoint, and
     returns the state-store row count after the run."""
@@ -61,7 +62,7 @@ def _drive(spark, tmp_path, build, rows_schema=SCHEMA):
             .writeStream.foreachBatch(
                 lambda df, _bid: df.write.mode("append").parquet(out_dir)
             )
-            .outputMode("append")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -232,3 +233,112 @@ def test_registry_processing_time_ttl_evicts_idle_groups(
     # group's registry state was evicted in between
     assert [r["is_new"] for r in eeg] == [True, True]
     assert {r["channel_id"] for r in eeg} == {"eeg f3/EEG#0"}
+
+
+def test_stream_debounce_plateaus_and_ttl_is_free(spark, tmp_path):
+    """Debounce with ttl_usec ≥ gap_usec: state plateaus under key
+    churn AND the output is IDENTICAL to the no-TTL operator — an
+    anchor older than the gap would have admitted the next event
+    anyway, so eviction costs nothing (the one free-eviction
+    operator)."""
+    from processor_edf_spark.streaming.debounce import stream_debounce
+
+    gap = 1_000_000  # 1 s
+    drop = _drive(
+        spark,
+        tmp_path,
+        lambda s: stream_debounce(s, gap_usec=gap, ttl_usec=TTL),
+        rows_schema="user_id long, event_type string, event_id long, t long",
+    )
+
+    def gen(g):
+        t0 = BASE + g * GEN
+        rows = []
+        for i in range(10):
+            k = g * 1000 + i
+            # burst of 3 within the gap: only the first is kept
+            # (ids end in j, so kept rows are exactly the *0 ids)
+            rows += [
+                (k, "click", k * 10 + j, t0 + j * 1000 + i)
+                for j in range(3)
+            ]
+        return rows
+
+    counts = []
+    for g in range(4):
+        n, out_dir = drop(gen(g))
+        counts.append(n)
+    assert counts[0] == 10 and max(counts) <= 20, counts
+    out = spark.read.parquet(out_dir)
+    # strict debounce kept exactly the burst heads — 10 per generation
+    assert out.count() == 40
+    assert out.where("event_id % 10 != 0").count() == 0
+
+
+def test_stream_funnel_ttl_evicts_and_restarts(spark, tmp_path):
+    """Funnel with TTL: users idle past the TTL retire (state
+    plateaus); a returning user restarts at stage 0 — depth resets
+    instead of resuming the retired funnel."""
+    from processor_edf_spark.streaming.funnel import stream_funnel_stages
+
+    stages = ("click", "cart", "purchase")
+    drop = _drive(
+        spark,
+        tmp_path,
+        lambda s: stream_funnel_stages(
+            s, stages, horizon_usec=GEN, t_col="t", ttl_usec=TTL
+        ),
+        rows_schema="user_id long, event_type string, t long",
+        output_mode="update",
+    )
+    # user 7 reaches depth 2 in generation 0...
+    n, _ = drop([(7, "click", BASE), (7, "cart", BASE + 1000)])
+    assert n == 1
+    n, _ = drop([(8, "click", BASE + GEN)])       # watermark advances
+    n, _ = drop([(9, "click", BASE + 2 * GEN)])   # timeout pass evicts 7
+    assert n <= 2
+    # ...and restarts at stage 0 on return: a 'cart' event alone
+    # matches nothing (stage 0 unmatched), so depth is 0, not 3
+    n, out_dir = drop([(7, "cart", BASE + 3 * GEN)])
+    rows = [
+        r
+        for r in spark.read.parquet(out_dir).collect()
+        if r["user_id"] == 7
+    ]
+    depths = sorted(r["depth"] for r in rows)
+    # one gen-0 emit at depth 2 (click+cart in one batch), then the
+    # post-eviction restart emit at depth 0
+    assert depths == [0, 2]
+
+
+def test_stream_scd2_eviction_finalizes_open_row(spark, tmp_path):
+    """SCD2 with TTL: eviction EMITS the open row once as
+    is_current=true (valid_to = valid_from, the open-ended marker)
+    before dropping state — the interval is published, not lost — and
+    a later change opens a fresh history with no bridging closed
+    row."""
+    from processor_edf_spark.streaming.scd2 import stream_scd2
+
+    drop = _drive(
+        spark,
+        tmp_path,
+        lambda s: stream_scd2(s, ttl_usec=TTL),
+        rows_schema="user_id long, t long, value double",
+    )
+    drop([(5, BASE, 1.0), (5, BASE + 1000, 2.0)])  # closes [BASE,+1000)
+    drop([(99, BASE + GEN, 0.0)])
+    n, _ = drop([(98, BASE + 2 * GEN, 0.0)])  # timeout pass evicts 5
+    n, out_dir = drop([(5, BASE + 3 * GEN, 9.0)])  # key 5 returns
+    rows = sorted(
+        (
+            (r["valid_from_usec"], r["valid_to_usec"], r["is_current"])
+            for r in spark.read.parquet(out_dir).collect()
+            if r["user_id"] == 5
+        )
+    )
+    # closed row from gen 0, then the eviction-finalized current row —
+    # and NO closed row bridging t=+1000 to the post-eviction change
+    assert rows == [
+        (BASE, BASE + 1000, False),
+        (BASE + 1000, BASE + 1000, True),
+    ]
