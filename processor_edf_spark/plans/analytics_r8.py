@@ -264,3 +264,192 @@ def ntile_cdf(spark, sf_dir):
             F.max("value").alias("max_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-point PageRank over the event-type transition graph (graph family)
+# ---------------------------------------------------------------------------
+
+PR_FP_SCALE = 1_000_000_000_000  # 1e12 fixed-point rank units
+PR_FP_ITERS = 10
+
+
+def _pagerank_fp_oracle() -> str:
+    """Build the oracle SQL: the 10 iterations unrolled as chained CTEs
+    (recursive-member aggregation is not portable SQL), every step the
+    SAME integer recurrence the Spark side runs — per-edge floor-div
+    contribution, exact integer sums, so iteration order and engine
+    cannot drift a single unit."""
+    head = f"""
+    WITH s AS (
+        SELECT event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), e AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM s WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ), outt AS (
+        SELECT from_type, SUM(cnt) AS tot FROM e GROUP BY from_type
+    ), nodes AS (
+        SELECT DISTINCT t FROM (
+            SELECT from_type AS t FROM e
+            UNION SELECT to_type AS t FROM e
+        )
+    ), consts AS (
+        SELECT CAST({PR_FP_SCALE} / COUNT(*) AS BIGINT) AS r0,
+               CAST({PR_FP_SCALE} * 15 / 100 / COUNT(*) AS BIGINT) AS base
+        FROM nodes
+    ), pr0 AS (
+        SELECT t AS node, (SELECT r0 FROM consts) AS rank FROM nodes
+    )"""
+    steps = []
+    for i in range(1, PR_FP_ITERS + 1):
+        steps.append(f""", pr{i} AS (
+        SELECT nd.t AS node,
+               (SELECT base FROM consts)
+                   + 85 * COALESCE(c.s, 0) // 100 AS rank
+        FROM nodes nd LEFT JOIN (
+            SELECT e.to_type AS node,
+                   SUM(p.rank * e.cnt // o.tot) AS s
+            FROM pr{i - 1} p
+            JOIN e ON e.from_type = p.node
+            JOIN outt o ON o.from_type = p.node
+            GROUP BY e.to_type
+        ) c ON c.node = nd.t
+    )""")
+    tail = f"""
+    SELECT node, CAST(rank AS BIGINT) AS rank_fp
+    FROM pr{PR_FP_ITERS}
+    """
+    return head + "".join(steps) + tail
+
+
+@register("pagerank_type_graph", _pagerank_fp_oracle())
+def pagerank_type_graph(spark, sf_dir):
+    """PageRank over the event-type transition graph as a driver-hashed
+    graph-family row — importance of each event type in the behavioral
+    Markov graph the ``event_transitions`` matrix defines.
+
+    Cross-engine float drift is the reason iterative PageRank normally
+    cannot face a value oracle (summation order changes the double).
+    This plan removes floats entirely: ranks live in 1e12 fixed-point
+    BIGINT units and each iteration is
+    ``base + 85 * Σ_edges(rank·cnt // out_total) // 100`` — per-edge
+    FLOOR division before the sum, so the result is a pure integer
+    recurrence both engines reproduce bit-for-bit (10 unrolled
+    iterations in the oracle; same loop here).  Dangling mass is
+    dropped by construction — deterministic, documented; the
+    float-precision production operator remains ``operators/pagerank``
+    (pytest-verified against numpy).
+
+    Scale: the heavy stage is the distributed bigram aggregation over
+    events (map-side-combined, |types|² output — same shape as
+    ``event_transitions``); the iteration then runs driver-side over
+    the bounded type-vocabulary graph, the same dimension-scale
+    collect discipline as the channel registry and MG sketch (bounded
+    by schema, never by data volume)."""
+    (events,) = load(spark, sf_dir, "events")
+    s = events.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    edges = {
+        (r["from_type"], r["to_type"]): r["cnt"]
+        for r in s.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    out_tot: dict[str, int] = {}
+    for (u, _v), c in edges.items():
+        out_tot[u] = out_tot.get(u, 0) + c
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    r0 = PR_FP_SCALE // n
+    base = PR_FP_SCALE * 15 // 100 // n
+    rank = {v: r0 for v in nodes}
+    for _ in range(PR_FP_ITERS):
+        contrib = {v: 0 for v in nodes}
+        for (u, v), c in edges.items():
+            contrib[v] += rank[u] * c // out_tot[u]
+        rank = {v: base + 85 * contrib[v] // 100 for v in nodes}
+    return spark.createDataFrame(
+        [(v, rank[v]) for v in nodes], "node string, rank_fp long"
+    )
+
+
+@register(
+    "image_decode_stats",
+    """
+    SELECT d.doc_id,
+           CAST(4 + d.doc_id % 5 AS INTEGER) AS width,
+           CAST(3 + d.doc_id % 4 AS INTEGER) AS height,
+           CAST(SUM(CASE WHEN x.g < 4 + d.doc_id % 5
+                          AND y.g < 3 + d.doc_id % 4
+                         THEN (d.doc_id + x.g + y.g) % 256 END)
+                AS BIGINT) AS sum_r
+    FROM documents d, range(0, 8) x(g), range(0, 6) y(g)
+    GROUP BY d.doc_id
+    """,
+)
+def image_decode_stats(spark, sf_dir):
+    """The real image codec path as a driver-hashed multimodal row —
+    the media sibling of ``annotations_tal_parse``: per document, a
+    deterministic gradient image (dims and R channel pure integer
+    functions of doc_id) is ENCODED to real PPM bytes and DECODED back
+    through the production ``decode_image`` dispatch inside an
+    Arrow-batched ``mapInPandas``, emitting decoded dims and the exact
+    integer R-channel sum.  The oracle computes the same stats in
+    closed form, so any codec regression — a stride bug, channel swap,
+    header misparse — breaks dims or sum and the row goes red.
+
+    Scale: embarrassingly parallel per-row kernel, no shuffle; media
+    payload bytes never leave the executor (only O(1) stats per doc
+    cross the wire) — the decode-heavy / emit-light shape a 100 TB
+    multimodal corpus requires."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.media_codecs import (
+            decode_image,
+            encode_ppm,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                r = ((d + x + y) % 256).astype(np.uint8)
+                img = np.stack(
+                    [r, np.zeros_like(r), np.full_like(r, 7)], axis=2
+                )
+                dec = decode_image(encode_ppm(img))  # the REAL path
+                rows.append(
+                    (
+                        d,
+                        dec.shape[1],
+                        dec.shape[0],
+                        int(dec[:, :, 0].astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_r"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, width int, height int, sum_r long"
+    )
