@@ -87,9 +87,12 @@ from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 # rank family, displacing q14/q17; pagerank_type_graph — fixed-point
 # integer PageRank over the type-transition graph, the graph family's
 # second value-oracle row, displacing q6; image_decode_stats — the
-# real PPM encode→decode path under the value oracle, displacing
-# semi_join_returned_orders; tpch keeps q18, joins keep
-# band/merge/full-outer/range in-window);
+# real PPM encode→decode path under the value oracle, and
+# audio_decode_stats / video_frame_stats — the WAV and AVI codec
+# paths completing the multimodal triple — displacing
+# semi_join_returned_orders / range_join_close_events /
+# band_join_acctbal; tpch keeps q18, joins keep merge_upsert +
+# full_outer in-window);
 # ngram_lang_profile / doc_length_histogram / quantize_embeddings_int8
 # lead the rotate-ins as pre-declared; 3 anchors
 # (multimodal_meta / zorder_layout / corpus_job_report) keep the
@@ -115,6 +118,8 @@ _CANONICAL = [
     "ntile_cdf",
     "pagerank_type_graph",
     "image_decode_stats",
+    "audio_decode_stats",
+    "video_frame_stats",
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
@@ -122,7 +127,6 @@ _CANONICAL = [
     "zorder_layout",
     "corpus_job_report",
     "filter_project_events",
-    "band_join_acctbal",
     "top3_orders_per_customer",
     "set_ops_event_types",
     "token_stats",
@@ -153,12 +157,13 @@ _CANONICAL = [
     "mode_period_users",
     "overlap_validation",
     "edf_date_parse",
-    "range_join_close_events",
     # ---- position 51+: every query below has a driver-green row
     # (the 50 r7-window members all green in CORRECTNESS_r07, plus
     # the 8 r6-green block members left out this round — q14/q17
     # displaced when cume_dist_cdf/ntile_cdf entered late) and stays
     # mirror-checked by tests/test_queries_oracle.py per commit.
+    "band_join_acctbal",
+    "range_join_close_events",
     "semi_join_returned_orders",
     "q6_forecast_revenue",
     "q14_promo_revenue",
@@ -384,6 +389,8 @@ FAMILY = {
     "ntile_cdf": "windows",
     "pagerank_type_graph": "graph",
     "image_decode_stats": "multimodal",
+    "audio_decode_stats": "multimodal",
+    "video_frame_stats": "multimodal",
 }
 
 

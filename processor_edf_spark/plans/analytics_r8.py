@@ -453,3 +453,139 @@ def image_decode_stats(spark, sf_dir):
     return docs.select("doc_id").mapInPandas(
         gen, schema="doc_id long, width int, height int, sum_r long"
     )
+
+
+@register(
+    "audio_decode_stats",
+    """
+    SELECT d.doc_id,
+           CAST(50 + d.doc_id % 50 AS BIGINT) AS n_frames,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(SUM(CASE WHEN i.g < 50 + d.doc_id % 50
+                         THEN (d.doc_id * 31 + i.g * 7) % 65536 - 32768
+                    END) AS BIGINT) AS sum_pcm
+    FROM documents d, range(0, 100) i(g)
+    GROUP BY d.doc_id
+    """,
+)
+def audio_decode_stats(spark, sf_dir):
+    """The real WAV codec path as a driver-hashed row — the audio twin
+    of ``image_decode_stats``: per document a deterministic int16 PCM
+    signal is encoded to a real RIFF/WAVE payload and decoded back
+    through the production ``decode_wav_pcm``, emitting frame count,
+    rate, and the EXACT integer sample sum.  Exactness chain: the
+    encoder stores round(f·32767) and the decoder returns raw/32768.0
+    (a power-of-two divide, lossless in float64), so
+    round(decoded·32768) recovers every int16 bit-for-bit and the sum
+    faces a closed-form oracle.  Scale: same decode-heavy/emit-light
+    no-shuffle shape as the image row."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.media_codecs import (
+            decode_wav_pcm,
+            encode_wav_pcm16,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 50 + d % 50
+                s = ((d * 31 + np.arange(n) * 7) % 65536 - 32768).astype(
+                    np.int64
+                )
+                payload = encode_wav_pcm16(s / 32767.0, 8000)
+                rate, _nch, dec = decode_wav_pcm(payload)  # REAL path
+                got = np.round(dec[:, 0] * 32768.0).astype(np.int64)
+                rows.append((d, len(got), rate, int(got.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "sample_rate", "sum_pcm"],
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen,
+        schema="doc_id long, n_frames long, sample_rate int, sum_pcm long",
+    )
+
+
+@register(
+    "video_frame_stats",
+    """
+    SELECT d.doc_id,
+           CAST(3 + d.doc_id % 5 AS BIGINT) AS n_frames,
+           CAST(40000 AS BIGINT) AS usec_per_frame,
+           CAST(SUM(CASE WHEN i.g < 3 + d.doc_id % 5
+                         THEN 2 + (d.doc_id + i.g) % 3 END)
+                AS BIGINT) AS sum_len,
+           CAST(SUM(CASE WHEN i.g < 3 + d.doc_id % 5
+                         THEN (d.doc_id + i.g) % 256 END)
+                AS BIGINT) AS sum_first
+    FROM documents d, range(0, 8) i(g)
+    GROUP BY d.doc_id
+    """,
+)
+def video_frame_stats(spark, sf_dir):
+    """The real video container path as a driver-hashed row —
+    completing the image/audio/video codec triple under the value
+    oracle: per document a deterministic frame list is muxed into a
+    real RIFF/AVI payload and demuxed back through the production
+    ``demux_avi_frames`` (chunk walk, idx1, odd-size padding), emitting
+    frame count, frame interval, and exact integer sums of frame
+    lengths and first bytes against a closed-form oracle.  Frames of
+    length 2+(d+i)%3 exercise the odd/even chunk-padding branch both
+    ways.  Scale: same decode-heavy/emit-light no-shuffle shape as its
+    siblings."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+
+    def gen(batches):
+        from processor_edf_spark.operators.media_codecs import (
+            demux_avi_frames,
+            encode_avi_raw,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                frames = [
+                    bytes([(d + i) % 256] * (2 + (d + i) % 3))
+                    for i in range(3 + d % 5)
+                ]
+                upf, got = demux_avi_frames(
+                    encode_avi_raw(frames, usec_per_frame=40_000)
+                )
+                rows.append(
+                    (
+                        d,
+                        len(got),
+                        upf,
+                        sum(len(f) for f in got),
+                        sum(f[0] for f in got),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_frames",
+                    "usec_per_frame",
+                    "sum_len",
+                    "sum_first",
+                ],
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, usec_per_frame long, "
+            "sum_len long, sum_first long"
+        ),
+    )
