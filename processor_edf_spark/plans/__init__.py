@@ -120,6 +120,7 @@ _CANONICAL = [
     "image_decode_stats",
     "audio_decode_stats",
     "video_frame_stats",
+    "edf_header_parse",
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
@@ -154,7 +155,6 @@ _CANONICAL = [
     "q18_large_orders",
     "rate_crosscheck_users",
     "session_window_events",
-    "mode_period_users",
     "overlap_validation",
     "edf_date_parse",
     # ---- position 51+: every query below has a driver-green row
@@ -162,6 +162,8 @@ _CANONICAL = [
     # the 8 r6-green block members left out this round — q14/q17
     # displaced when cume_dist_cdf/ntile_cdf entered late) and stays
     # mirror-checked by tests/test_queries_oracle.py per commit.
+    "mode_period_users",
+    "tumbling_daily_stats",
     "band_join_acctbal",
     "range_join_close_events",
     "semi_join_returned_orders",
@@ -218,7 +220,6 @@ _CANONICAL = [
     "q3_segment_revenue",
     "q4_order_priority",
     "q5_region_revenue",
-    "tumbling_daily_stats",
     "value_percentiles_per_type",
     "cube_event_user_bucket",
     "agg_user_bounds",
@@ -391,6 +392,7 @@ FAMILY = {
     "image_decode_stats": "multimodal",
     "audio_decode_stats": "multimodal",
     "video_frame_stats": "multimodal",
+    "edf_header_parse": "events",
 }
 
 

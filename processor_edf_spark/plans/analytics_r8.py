@@ -589,3 +589,120 @@ def video_frame_stats(spark, sf_dir):
             "sum_len long, sum_first long"
         ),
     )
+
+
+@register(
+    "edf_header_parse",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events)
+    SELECT user_id,
+           CAST(10 + user_id % 90 AS BIGINT) AS nb_data_rec,
+           CAST(1 AS DOUBLE) AS duration,
+           CAST(2 AS BIGINT) AS nb_signal,
+           'EEG F' || CAST(user_id % 9 AS VARCHAR) AS label0,
+           'EMG c' || CAST(user_id % 7 AS VARCHAR) AS label1,
+           CAST(100 + user_id % 100 AS BIGINT) AS nr0,
+           CAST(200 AS BIGINT) AS nr1,
+           CAST((10 + user_id % 90) * (300 + user_id % 100) AS BIGINT)
+               AS total_samples
+    FROM u
+    """,
+)
+def edf_header_parse(spark, sf_dir):
+    """The EDF global+signal header parser (S2/S3) as a driver-hashed
+    row — previously pytest-only because real .edf bytes have no DuckDB
+    form.  Per distinct user a spec-layout header block (256-byte
+    global + 2×256-byte signal arrays, space-padded fixed-width ASCII
+    per EDF spec / reference edf.py:34-55) is synthesized from
+    deterministic field values, then parsed back by the PRODUCTION
+    ``parse_edf_header`` inside mapInPandas; the oracle reproduces the
+    field values arithmetically.  Any layout drift — an off-by-one
+    offset, a wrong field width, transposed signal arrays (the classic
+    EDF bug: per-signal fields are COLUMN-major, all labels then all
+    transducers) — changes a parsed value and reds the row.
+    ``total_samples`` is the A3 header arithmetic
+    (nb_data_rec · Σ nr_samples) computed from PARSED values.
+    Scale: shuffle cost is one distinct over user_id; parse is per-row
+    CPU, no data movement."""
+    import pandas as pd
+
+    (events,) = load(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+
+    def gen(batches):
+        from processor_edf_spark.sources.edf import parse_edf_header
+
+        def field(v, w):
+            return str(v).ljust(w)[:w].encode()
+
+        for pdf in batches:
+            rows = []
+            for uid in pdf["user_id"]:
+                u = int(uid)
+                nrec, nr0 = 10 + u % 90, 100 + u % 100
+                labels = [f"EEG F{u % 9}", f"EMG c{u % 7}"]
+                g = b"".join(
+                    [
+                        field(0, 8),
+                        field(f"P{u}", 80),
+                        field(f"R{u}", 80),
+                        field("02.01.11", 8),
+                        field("12.30.00", 8),
+                        field(256 + 256 * 2, 8),
+                        field("", 44),
+                        field(nrec, 8),
+                        field(1, 8),
+                        field(2, 4),
+                    ]
+                )
+                # per-signal arrays are COLUMN-major (all labels, then
+                # all transducers, ...) — the layout under test
+                sig = (
+                    b"".join(field(lb, 16) for lb in labels)
+                    + b"".join(field("", 80) for _ in labels)      # transducer
+                    + b"".join(field("uV", 8) for _ in labels)     # phy_dim
+                    + b"".join(field(-100, 8) for _ in labels)     # phy_min
+                    + b"".join(field(100, 8) for _ in labels)      # phy_max
+                    + b"".join(field(-2048, 8) for _ in labels)    # dig_min
+                    + b"".join(field(2047, 8) for _ in labels)     # dig_max
+                    + b"".join(field("", 80) for _ in labels)      # prefilter
+                    + b"".join(field(n, 8) for n in (nr0, 200))    # nr_samples
+                    + b"".join(field("", 32) for _ in labels)      # reserved
+                )
+                h = parse_edf_header(g + sig)  # the REAL parser
+                rows.append(
+                    (
+                        u,
+                        h["nb_data_rec"],
+                        h["duration"],
+                        h["nb_signal"],
+                        h["labels"][0],
+                        h["labels"][1],
+                        h["nr_samples"][0],
+                        h["nr_samples"][1],
+                        h["nb_data_rec"] * sum(h["nr_samples"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "user_id",
+                    "nb_data_rec",
+                    "duration",
+                    "nb_signal",
+                    "label0",
+                    "label1",
+                    "nr0",
+                    "nr1",
+                    "total_samples",
+                ],
+            )
+
+    return users.mapInPandas(
+        gen,
+        schema=(
+            "user_id long, nb_data_rec long, duration double, "
+            "nb_signal long, label0 string, label1 string, "
+            "nr0 long, nr1 long, total_samples long"
+        ),
+    )

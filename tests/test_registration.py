@@ -38,6 +38,7 @@ EXPECTED_FIRST_50 = [
     "image_decode_stats",
     "audio_decode_stats",
     "video_frame_stats",
+    "edf_header_parse",
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
@@ -72,7 +73,6 @@ EXPECTED_FIRST_50 = [
     "q18_large_orders",
     "rate_crosscheck_users",
     "session_window_events",
-    "mode_period_users",
     "overlap_validation",
     "edf_date_parse",
 ]
@@ -96,7 +96,7 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 136 through r7 + the r8 additions
-    assert len(QUERIES) == 144
+    assert len(QUERIES) == 145
 
 
 def test_every_query_has_a_family():
