@@ -91,21 +91,24 @@ from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 # audio_decode_stats / video_frame_stats — the WAV and AVI codec
 # paths completing the multimodal triple — displacing
 # semi_join_returned_orders / range_join_close_events /
-# band_join_acctbal; tpch keeps q18, joins keep merge_upsert +
-# full_outer in-window);
+# band_join_acctbal; edf_header_parse — the S2/S3 header parser
+# driver-gated, displacing mode_period_users; tpch keeps q18, joins
+# keep merge_upsert + full_outer in-window);
 # ngram_lang_profile / doc_length_histogram / quantize_embeddings_int8
 # lead the rotate-ins as pre-declared; 3 anchors
 # (multimodal_meta / zorder_layout / corpus_job_report) keep the
 # multimodal/layout/corpus families in-window; 37 of the 43 r6-green
 # block members (rotated out in r7) return for refreshed evidence —
-# the 6 left at position 51+ (q3/q4/q5, tumbling_daily_stats,
-# value_percentiles_per_type, cube_event_user_bucket) have
-# family-covered seats and fresh r6 greens, and lead the r9
-# rotate-ins.  Rotated out: the 50 r7-window members, every one of
-# which earned a fresh r7 driver green (CORRECTNESS_r07 50/50).
+# the 13 left at position 51+ after all displacements (q3/q4/q5/q6/
+# q14/q17, tumbling_daily_stats, value_percentiles_per_type,
+# cube_event_user_bucket, band_join_acctbal, range_join_close_events,
+# semi_join_returned_orders, mode_period_users) have family-covered
+# seats and fresh r6 greens, and lead the r9 rotate-ins.  Rotated
+# out: the 50 r7-window members, every one of which earned a fresh
+# r7 driver green (CORRECTNESS_r07 50/50).
 _CANONICAL = [
-    # ---- r8 driver window (50): 7 first-check entrants + 3
-    # pre-declared rotate-ins + 3 family anchors + 37 r6-green
+    # ---- r8 driver window (50): 14 first-check entrants + 3
+    # pre-declared rotate-ins + 3 family anchors + 30 r6-green
     # rotate-ins
     "heavy_hitters_audit",
     "merge_upsert_current",

@@ -383,6 +383,58 @@ def ann_rows(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def streaming_rows(spark, k: int) -> dict[str, float]:
+    """Streaming-family throughput evidence: replay the ×k events
+    replica through the two workhorse stateful operators
+    (``stream_gaps`` — one 8-byte frontier per user — and
+    ``stream_current_state`` — one (long, long, double) per user) as
+    an availableNow file-source stream into a count-only foreachBatch
+    sink, reporting wall seconds and Mrows/s.  This measures the whole
+    streaming path: file-source listing, the groupBy state shuffle,
+    Arrow transfer into the pandas fold, state-store commit —
+    the per-row cost a continuous deployment pays."""
+    import shutil as _sh
+    import tempfile
+
+    from processor_edf_spark.streaming.lag import stream_gaps
+    from processor_edf_spark.streaming.upsert import stream_current_state
+
+    d = build_events_replica(spark, k, hot=None)
+    events = spark.read.parquet(f"{d}/events.parquet")
+    keyed = events.selectExpr(
+        "user_id",
+        "event_id",
+        "unix_micros(cast(ts as timestamp)) as t",
+        "value",
+    )
+    n_rows = keyed.count()
+    src = tempfile.mkdtemp(prefix="stream_sweep_")
+    keyed.write.parquet(f"{src}/in")
+    out: dict[str, float] = {"n_rows": n_rows}
+    for name, build in (
+        ("stream_gaps", lambda s: stream_gaps(s)),
+        ("stream_current_state", lambda s: stream_current_state(s)),
+    ):
+        stream = spark.readStream.schema(
+            "user_id long, event_id long, t long, value double"
+        ).parquet(f"{src}/in")
+        t0 = time.perf_counter()
+        (
+            build(stream)
+            .writeStream.foreachBatch(lambda df, _b: df.count())
+            .outputMode("append")
+            .option("checkpointLocation", f"{src}/ckpt_{name}")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(1800)
+        )
+        sec = time.perf_counter() - t0
+        out[f"{name}_sec"] = round(sec, 2)
+        out[f"{name}_mrows_s"] = round(n_rows / sec / 1e6, 3)
+    _sh.rmtree(src, ignore_errors=True)
+    return out
+
+
 def incremental_rows(
     spark, n_batches: int = 30, compact_every: int = 10
 ) -> dict[str, dict[int, float]]:
@@ -460,12 +512,36 @@ def main() -> None:
             mode = "skew"
         elif a == "--incremental":
             mode = "incremental"
+        elif a == "--streaming":
+            mode = "streaming"
         elif a.startswith("x"):
             scales.append(int(a[1:]))
     scales = scales or [1, 4, 8]
 
     spark = get_spark("scale_sweep", cpus=32)
     from processor_edf_spark.plans import QUERIES
+
+    if mode == "streaming":
+        rows = {}
+        for k in scales:
+            rows[k] = streaming_rows(spark, k)
+            print(f"x{k}: {rows[k]}", flush=True)
+        metrics = [m for m in rows[scales[0]] if m != "n_rows"]
+        print("\n| metric | " + " | ".join(f"×{k}" for k in scales) + " |")
+        print("|---|" + "---|" * len(scales))
+        print(
+            "| rows | "
+            + " | ".join(str(rows[k]["n_rows"]) for k in scales)
+            + " |"
+        )
+        for m in metrics:
+            print(
+                f"| {m} | "
+                + " | ".join(str(rows[k][m]) for k in scales)
+                + " |"
+            )
+        spark.stop()
+        return
 
     if mode == "incremental":
         n = scales[0] if len(scales) == 1 else 30
