@@ -342,3 +342,31 @@ def test_stream_scd2_eviction_finalizes_open_row(spark, tmp_path):
         (BASE, BASE + 1000, False),
         (BASE + 1000, BASE + 1000, True),
     ]
+
+
+def test_state_store_reader_shows_surviving_keys(spark, tmp_path):
+    """Store-level eviction pin, stronger than the progress metric:
+    ``read_state`` on the TTL'd gaps checkpoint lists exactly the keys
+    whose frontier survived — evicted generations are absent from the
+    store itself, and each surviving row carries its last_t state."""
+    from processor_edf_spark.streaming.inspect import (
+        read_state,
+        state_key_count,
+    )
+
+    drop = _drive(
+        spark, tmp_path, lambda s: stream_gaps(s, ttl_usec=TTL)
+    )
+    drop(_generation(0, n_keys=3))
+    drop(_generation(1, n_keys=3))
+    drop(_generation(2, n_keys=3))
+    ckpt = str(tmp_path / "ckpt")
+    state = {
+        r["key"]: r["last_t"] for r in read_state(spark, ckpt).collect()
+    }
+    # generation-2 keys only (2000..2002), with the frontier = each
+    # key's second event time
+    assert set(state) == {2000, 2001, 2002}, state
+    t0 = BASE + 2 * GEN
+    assert state == {2000 + i: t0 + 1000 + i for i in range(3)}
+    assert state_key_count(spark, ckpt) == 3
