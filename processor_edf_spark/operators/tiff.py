@@ -288,6 +288,14 @@ def _lzw_compress(data: bytes) -> bytes:
         prefix = bytes([b])
     if prefix:
         emit(table[prefix])
+    # width fixup for EOI: the decoder adds a table entry for the final
+    # data code (the encoder does not), so when that entry lands the
+    # table exactly on the early-change boundary (next_code == 2^w−1)
+    # the decoder reads the NEXT code one bit wider — emit EOI at that
+    # width or a boundary-length stream misreads its own terminator
+    # (the classic libtiff LZWPostEncode off-by-one)
+    if next_code == (1 << width) - 1 and width < 12:
+        width += 1
     emit(EOI)
     if acc_bits:
         out.append((acc << (8 - acc_bits)) & 0xFF)

@@ -97,7 +97,7 @@ from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 # ngram_lang_profile / doc_length_histogram / quantize_embeddings_int8
 # lead the rotate-ins as pre-declared; 3 anchors
 # (multimodal_meta / zorder_layout / corpus_job_report) keep the
-# multimodal/layout/corpus families in-window; 37 of the 43 r6-green
+# multimodal/layout/corpus families in-window; 30 of the 43 r6-green
 # block members (rotated out in r7) return for refreshed evidence —
 # the 13 left at position 51+ after all displacements (q3/q4/q5/q6/
 # q14/q17, tumbling_daily_stats, value_percentiles_per_type,

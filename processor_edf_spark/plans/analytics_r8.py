@@ -22,6 +22,20 @@ from processor_edf_spark.plans.registry import load, register
 PR_BUCKETS = 1024
 
 
+def _rank_rows(events):
+    """Common input frame of the two-phase rank family: non-null
+    (event_type, value) rows ONLY, enforced identically in the oracle
+    SQL.  Null rows in a rank window are cross-engine-undefined anyway
+    (Spark orders NULLS FIRST, DuckDB NULLS LAST — ranks of every
+    non-null row shift), and an equi-join back on (type, value) would
+    silently drop them here while the window versions emitted them —
+    the latent-parity class the r8 audit fixes called out.  Filtering
+    BOTH sides makes the contract explicit instead of latent."""
+    return events.select("event_id", "event_type", "value").where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+
+
 def _type_value_cdf(ev):
     """Shared machinery of the two-phase rank family: from an
     (event_id, event_type, value) frame, build the per-distinct-value
@@ -77,12 +91,14 @@ def _type_value_cdf(ev):
            percent_rank() OVER (
                PARTITION BY event_type ORDER BY value) AS pr
     FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
     """,
 )
 def percent_rank_cdf(spark, sf_dir):
     """Exact percent_rank without a per-partition rows window — the
-    skew-mitigation twin of ``value_percent_rank`` (same oracle SQL, so
-    the driver pins value-for-value equivalence).
+    skew-mitigation twin of ``value_percent_rank`` (same oracle SQL
+    restricted to non-null rows — see ``_rank_rows`` — so the driver
+    pins value-for-value equivalence on the whole non-null domain).
 
     Phases: (1) count rows per distinct (type, bucket, value) — one
     map-side-combined shuffle, immune to a hot value or type; (2) the
@@ -104,7 +120,7 @@ def percent_rank_cdf(spark, sf_dir):
     bucket) — cardinality ≥ NB per type — so a 10%-hot partition
     spreads instead of serializing (sweep rows in BASELINE.md)."""
     (events,) = load(spark, sf_dir, "events")
-    ev = events.select("event_id", "event_type", "value")
+    ev = _rank_rows(events)
     ranked = _type_value_cdf(ev).select(
         "event_type",
         "value",
@@ -178,6 +194,7 @@ def annotations_tal_parse(spark, sf_dir):
            cume_dist() OVER (
                PARTITION BY event_type ORDER BY value) AS cd
     FROM events
+    WHERE value IS NOT NULL AND event_type IS NOT NULL
     """,
 )
 def cume_dist_cdf(spark, sf_dir):
@@ -189,7 +206,7 @@ def cume_dist_cdf(spark, sf_dir):
     every shuffle keys on (type, value)/(type, bucket), never a
     serialized per-type sort."""
     (events,) = load(spark, sf_dir, "events")
-    ev = events.select("event_id", "event_type", "value")
+    ev = _rank_rows(events)
     ranked = _type_value_cdf(ev).select(
         "event_type",
         "value",
@@ -215,6 +232,7 @@ NTILE_K = 4
                NTILE(4) OVER (PARTITION BY event_type
                               ORDER BY value, event_id) AS q
         FROM events
+        WHERE value IS NOT NULL AND event_type IS NOT NULL
     )
     GROUP BY event_type, q
     """,
@@ -235,7 +253,7 @@ def ntile_cdf(spark, sf_dir):
     padded region only exist when q ≥ 1, so the otherwise-branch's
     division is never by zero on rows it evaluates for.)"""
     (events,) = load(spark, sf_dir, "events")
-    ev = events.select("event_id", "event_type", "value")
+    ev = _rank_rows(events)
     ranked = _type_value_cdf(ev).select(
         "event_type", "value", "rank_below", "n"
     )
@@ -299,8 +317,13 @@ def _pagerank_fp_oracle() -> str:
             UNION SELECT to_type AS t FROM e
         )
     ), consts AS (
-        SELECT CAST({PR_FP_SCALE} / COUNT(*) AS BIGINT) AS r0,
-               CAST({PR_FP_SCALE} * 15 / 100 / COUNT(*) AS BIGINT) AS base
+        -- // (floor division): DuckDB's / on integers divides in
+        -- float and CAST rounds-to-nearest, which differs from the
+        -- Python side's floor for any node count that does not divide
+        -- the scale exactly (n=6: 166666666667 vs ...666)
+        SELECT CAST({PR_FP_SCALE} // COUNT(*) AS BIGINT) AS r0,
+               CAST({PR_FP_SCALE} * 15 // 100 // COUNT(*) AS BIGINT)
+                   AS base
         FROM nodes
     ), pr0 AS (
         SELECT t AS node, (SELECT r0 FROM consts) AS rank FROM nodes

@@ -77,8 +77,11 @@ def stream_funnel_stages(
             return
         times = list(state.get[0]) if state.exists else [-1] * len(stages)
         rows = [p for p in pdfs if len(p)]
+        seen_t = None  # newest event time in batch, matched or not
         if rows:
             batch = pd.concat(rows, ignore_index=True).sort_values(t_col)
+            if len(batch):
+                seen_t = int(batch[t_col].iloc[-1])
             for typ, t in zip(batch[type_col], batch[t_col]):
                 t = int(t)
                 for i, stage in enumerate(stages):
@@ -95,7 +98,16 @@ def stream_funnel_stages(
                     break  # an event matches at most one stage
         state.update((times,))
         if ttl_usec is not None:
-            newest = max((v for v in times if v != -1), default=None)
+            # anchor on the newest event SEEN, not only matched: a key
+            # whose events never hit stage 0 still holds a state row,
+            # and a row with no registered timeout would be immortal
+            # under EventTimeTimeout — the exact leak the TTL exists
+            # to prevent
+            newest = max(
+                (v for v in times if v != -1), default=None
+            )
+            if seen_t is not None:
+                newest = seen_t if newest is None else max(newest, seen_t)
             if newest is not None:
                 state.setTimeoutTimestamp(
                     max(

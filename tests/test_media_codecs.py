@@ -1141,3 +1141,30 @@ def test_unsupported_predictor_routes_to_optional_not_strip_gate():
             decode_tiff(bytes(payload))
     else:  # with the extra installed the optional route must decode
         decode_tiff(bytes(payload))
+
+
+def test_lzw_eoi_at_width_boundary():
+    """A stream whose FINAL data code lands the decoder's table exactly
+    on the early-change boundary (next_code == 2^w−1) must still
+    terminate cleanly when max_len exceeds the decoded size — the
+    decoder bumps its width after that code's table add while a naive
+    encoder would write EOI one bit narrower (the libtiff
+    LZWPostEncode off-by-one).  254 distinct bytes = 254 data codes =
+    253 adds → next_code 511 right before EOI."""
+    from processor_edf_spark.operators.media_codecs import (
+        _tiff_lzw_strip_plugin,
+    )
+    from processor_edf_spark.operators.tiff import _lzw_compress
+
+    data = bytes(range(254))
+    blob = _lzw_compress(data)
+    assert _tiff_lzw_strip_plugin(blob, 10_000) == data
+    # the discriminating case: a byte-padded strip (conservative
+    # writers pad; slicing gives the decoder bits beyond EOI) — a
+    # narrow EOI misreads as code 514 here and raised pre-fix
+    assert _tiff_lzw_strip_plugin(blob + b"\x00", 10_000) == data
+    # and one add short / one past the boundary round-trip too
+    for n in (253, 255):
+        d = (bytes(range(256)) * 2)[:n]
+        b2 = _lzw_compress(d)
+        assert _tiff_lzw_strip_plugin(b2 + b"\x00", 10_000) == d

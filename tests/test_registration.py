@@ -10,12 +10,14 @@ EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
 The r8 window (executed exactly as pre-declared in the r7 rotation
 notes): the 5 post-freeze batch-3 entrants + the 2 r8 additions
-(percent_rank_cdf, annotations_tal_parse) first for their first
-driver check, the 3 pre-declared rotate-ins (ngram_lang_profile /
-doc_length_histogram / quantize_embeddings_int8), 3 family anchors
-(multimodal / layout / corpus), and 37 of the 43 r6-green block for
-refreshed evidence (the 6 left out have family-covered seats and
-lead the r9 rotate-ins).  ``test_window_covers_every_family`` keeps any
+(percent_rank_cdf, annotations_tal_parse, then the late-round
+cume_dist_cdf / ntile_cdf / pagerank_type_graph /
+image_decode_stats / audio_decode_stats / video_frame_stats /
+edf_header_parse) first for their first driver check, the 3
+pre-declared rotate-ins (ngram_lang_profile / doc_length_histogram /
+quantize_embeddings_int8), 3 family anchors (multimodal / layout /
+corpus), and 30 of the 43 r6-green block for refreshed evidence (the
+13 left out have family-covered seats and lead the r9 rotate-ins).  ``test_window_covers_every_family`` keeps any
 future rotation coverage-neutral automatically.
 """
 

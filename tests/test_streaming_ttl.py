@@ -222,17 +222,6 @@ def test_registry_processing_time_ttl_evicts_idle_groups(
     # the second sighting would be is_new=False against run 1's state)
     assert [r["is_new"] for r in eeg] == [True, True]
     assert {r["channel_id"] for r in eeg} == {"eeg f3/EEG#0"}
-    import pyspark.sql.functions as F
-
-    eeg = (
-        spark.read.parquet(out_dir)
-        .where(F.col("name_key") == "eeg f3")
-        .collect()
-    )
-    # both sightings registered as NEW #0 — the second proves the
-    # group's registry state was evicted in between
-    assert [r["is_new"] for r in eeg] == [True, True]
-    assert {r["channel_id"] for r in eeg} == {"eeg f3/EEG#0"}
 
 
 def test_stream_debounce_plateaus_and_ttl_is_free(spark, tmp_path):
