@@ -40,15 +40,29 @@ _DAY_BITS = 17
 
 def streaming_events_job_report_frames(
     events: DataFrame,
+    ttl_usec: int | None = None,
+    watermark: str = "0 seconds",
 ) -> dict[str, DataFrame]:
     """The three streaming frames over an events stream with columns
     (user_id, event_id, event_type, t µs).  Each is an append-mode
     stream; replay them (availableNow or continuous) to sinks, then
-    fold the sinks with :func:`summarize_events_job_report`."""
+    fold the sinks with :func:`summarize_events_job_report`.
+
+    ``ttl_usec`` passes through to the two stateful frames (gaps and
+    the user-day upsert) — a continuous deployment bounds the report's
+    state to the active user/day sets.  Note the semantics trade the
+    TTL docstrings describe: an evicted user's next event restarts its
+    session (one extra session counted vs the batch report) and an
+    evicted (user, day) re-emits — exact parity holds for the
+    no-eviction replay, bounded state for the long-running one."""
     day_idx = F.datediff(
         F.to_date(F.timestamp_micros(F.col("t"))), F.lit("1970-01-01")
     )
-    gaps = stream_gaps(events.select("user_id", "event_id", "t"))
+    gaps = stream_gaps(
+        events.select("user_id", "event_id", "t"),
+        ttl_usec=ttl_usec,
+        watermark=watermark,
+    )
     daily = (
         events.withColumn("day_idx", day_idx)
         .select("day_idx", "event_type")
@@ -65,6 +79,8 @@ def streaming_events_job_report_frames(
             F.lit(0.0).alias("value"),
         ),
         key_col="user_day",
+        ttl_usec=ttl_usec,
+        watermark=watermark,
     )
     return {"gaps": gaps, "daily": daily, "userday": userday}
 
