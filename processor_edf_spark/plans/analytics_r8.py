@@ -264,14 +264,19 @@ def ntile_cdf(spark, sf_dir):
             "rn", F.col("rank_below") + F.row_number().over(wtie)
         )
     )
-    q = (F.col("n") / NTILE_K).cast("long")  # floor: n, k positive
-    r = F.col("n") % NTILE_K
-    padded = r * (q + 1)  # rows living in the (q+1)-sized tiles
+    # all-integer tile arithmetic: `div` is Spark SQL's integer
+    # division, so no double rounds between the exact longs (a
+    # `/`-then-cast can land one ULP under an exact quotient and
+    # truncate a tile low on large groups)
+    rows = rows.withColumn(
+        "_q", F.expr(f"n div {NTILE_K}")
+    ).withColumn("_r", F.col("n") % NTILE_K)
+    padded = F.col("_r") * (F.col("_q") + 1)
     tile = F.when(
         F.col("rn") <= padded,
-        ((F.col("rn") - 1) / (q + 1)).cast("long") + 1,
+        F.expr("(rn - 1) div (_q + 1)") + 1,
     ).otherwise(
-        r + ((F.col("rn") - padded - 1) / q).cast("long") + 1
+        F.col("_r") + F.expr("(rn - (_r * (_q + 1)) - 1) div _q") + 1
     )
     return (
         rows.withColumn("q", tile.cast("int"))
@@ -395,6 +400,11 @@ def pagerank_type_graph(spark, sf_dir):
         out_tot[u] = out_tot.get(u, 0) + c
     nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
     n = len(nodes)
+    if n == 0:
+        # a corpus where no user has two consecutive events has no
+        # transition edges; the oracle's empty-join CTE chain returns
+        # zero rows, so match it instead of dividing by zero below
+        return spark.createDataFrame([], "node string, rank_fp long")
     r0 = PR_FP_SCALE // n
     base = PR_FP_SCALE * 15 // 100 // n
     rank = {v: r0 for v in nodes}

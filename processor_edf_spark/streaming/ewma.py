@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from processor_edf_spark.streaming._guards import check_emit_late_ttl
+
 EWMA_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),
@@ -83,15 +85,26 @@ def stream_ewma(
     greedy fold-in-arrival-order trade and the original schema.
 
     Toggling ``emit_late`` changes the state schema (1 vs 2 fields) —
-    restart on a FRESH checkpoint location.  A stale 1-field checkpoint
-    read in emit_late mode degrades cleanly (the key's ordering
-    watermark restarts; the ring survives) rather than crashing.
+    restart on a FRESH checkpoint location.  Spark's state-schema
+    compatibility check rejects the 1→2-field change at query start, so
+    a stale 1-field checkpoint fails fast there rather than reaching
+    the fold; the defensive ``len(got) > 1`` read below is
+    belt-and-suspenders for state stores that skip schema validation.
 
     ``ttl_usec`` bounds the state store under key churn (watermark-tied
     ``EventTimeTimeout``): a key idle for ``ttl_usec`` of event time is
     evicted; if it reappears its ring restarts empty — the eviction
     sibling of the ``emit_late`` late-data discipline.  ``watermark``
-    is the out-of-orderness allowance on ``t_col`` (epoch µs)."""
+    is the out-of-orderness allowance on ``t_col`` (epoch µs).
+
+    CAUTION — ``emit_late=True`` + ``ttl_usec``: the watermark that
+    ``ttl_usec`` attaches makes Spark pre-filter rows at-or-below it
+    BEFORE the fold, so with the default 0-second allowance the
+    cross-batch late rows the quarantine contract promises to emit as
+    ``late=true`` are silently dropped upstream.  Size ``watermark``
+    to the expected lateness when combining the two (a warning fires
+    on the default — see ``streaming/_guards.py``)."""
+    check_emit_late_ttl(emit_late, ttl_usec, watermark)
     one_minus = 1.0 - alpha
 
     def fold(

@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from processor_edf_spark.streaming._guards import check_emit_late_ttl
+
 GAPS_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("key", T.LongType(), False),
@@ -68,7 +70,14 @@ def stream_gaps(
     late-data discipline: an evicted key that reappears restarts its
     fold (first event after re-arrival gaps null, like a fresh key).
     ``watermark`` is the out-of-orderness allowance on ``t_col``
-    (interpreted as epoch µs) before eviction may fire."""
+    (interpreted as epoch µs) before eviction may fire.
+
+    CAUTION — ``emit_late=True`` + ``ttl_usec``: the attached watermark
+    makes Spark pre-filter rows at-or-below it BEFORE the fold, so with
+    the default 0-second allowance cross-batch late rows are dropped
+    upstream instead of emitted ``late=true``; size ``watermark`` to
+    the expected lateness (warning fires on the default)."""
+    check_emit_late_ttl(emit_late, ttl_usec, watermark)
 
     def fold(
         key: Tuple[int],

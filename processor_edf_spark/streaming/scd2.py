@@ -39,6 +39,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from processor_edf_spark.streaming._guards import check_emit_late_ttl
+
 SCD2_STREAM_OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
@@ -88,7 +90,14 @@ def stream_scd2(
     dropped, so the interval is published rather than lost.  A change
     arriving after eviction opens a NEW history (no closed row bridges
     the gap — the retire-then-restart trade; ``scd2_apply_delta`` owns
-    exact repair as with late rows)."""
+    exact repair as with late rows).
+
+    CAUTION — ``emit_late=True`` + ``ttl_usec``: the attached watermark
+    makes Spark pre-filter rows at-or-below it BEFORE the fold, so with
+    the default 0-second allowance cross-batch late changes are dropped
+    upstream instead of emitted ``late=true``; size ``watermark`` to
+    the expected lateness (warning fires on the default)."""
+    check_emit_late_ttl(emit_late, ttl_usec, watermark)
 
     def fold(
         key: Tuple[int],
