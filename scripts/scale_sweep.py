@@ -252,7 +252,8 @@ def skew_rows(spark, k: int) -> dict[str, dict[str, float]]:
     hottype = build_events_replica(spark, k, hot="type")
     out: dict[str, dict[str, float]] = {}
     for name in ("rolling_median_user", "ewma_user_values",
-                 "value_percent_rank", "percent_rank_cdf"):
+                 "ewma_user_twophase", "value_percent_rank",
+                 "percent_rank_cdf"):
         fn = QUERIES[name]
         row = {}
         variants = [("uniform", normal), ("hot10", skewed)]
