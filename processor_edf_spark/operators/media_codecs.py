@@ -533,7 +533,8 @@ def encode_avi_raw(frames: list[bytes], usec_per_frame: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 OPTIONAL_CODEC_LIBS: dict[str, tuple[str, ...]] = {
-    "webp": ("PIL",),            # Pillow
+    "webp": ("PIL",),            # Pillow — the LOSSY (VP8) profile
+    "webp_lossless": (),         # pure-python VP8L plugin (webp.py), below
     "compressed_tiff": ("PIL",),  # JPEG-in-TIFF and friends beyond plugins
     "compressed_tiff_deflate": (),  # stdlib-plugin-backed (zlib), below
     "compressed_tiff_lzw": (),   # pure-python plugin (TIFF 6.0 §13), below
@@ -715,15 +716,37 @@ def decode_tiff_via_optional(payload: bytes) -> np.ndarray:
     )
 
 
+def _has_vp8l_chunk(payload: bytes) -> bool:
+    """True when the RIFF payload carries a VP8L (lossless) chunk —
+    the profile the pure-python plugin covers."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return False
+    off = 12
+    while off + 8 <= len(payload):
+        tag = payload[off : off + 4]
+        if tag == b"VP8L":
+            return True
+        (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
+        off += 8 + size + (size & 1)
+    return False
+
+
 def decode_webp(payload: bytes) -> np.ndarray:
-    """WebP → HxWx3 uint8 RGB via a registered plugin, else Pillow when
+    """WebP → HxWx3 uint8 RGB via a registered plugin, else the
+    pure-python VP8L plugin for LOSSLESS payloads, else Pillow when
     installed; otherwise the one-exception contract
-    (UnsupportedMediaError naming the extra).  A registered plugin
-    takes precedence — it is what made ``optional_codec_support``
-    report the format available, so it must be what decodes."""
+    (UnsupportedMediaError naming the extra).  A registered ``webp``
+    plugin takes precedence — it is what made
+    ``optional_codec_support`` report the format available, so it must
+    be what decodes.  Lossy (``VP8 ``) payloads still need the
+    optional extra: the split keeps lossless REAL everywhere without
+    overclaiming the lossy profile."""
     plugin = get_codec_plugin("webp")
     if plugin is not None:
         return plugin(payload)
+    lossless = get_codec_plugin("webp_lossless")
+    if lossless is not None and _has_vp8l_chunk(payload):
+        return lossless(payload)
     _require_optional("webp")
     import io
 
@@ -773,3 +796,13 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
     if _is_mp3(payload):
         return decode_mp3(payload)
     raise UnsupportedMediaError("not a RIFF/WAVE or MP3 payload")
+
+
+# pure-python, so registered unconditionally: the VP8L (WebP lossless)
+# decoder — bottom-of-module import because webp.py imports this
+# module's error type (the same pattern would deadlock at top level).
+from processor_edf_spark.operators.webp import (  # noqa: E402
+    decode_webp_lossless as _webp_lossless_plugin,
+)
+
+register_codec_plugin("webp_lossless", _webp_lossless_plugin)

@@ -21,6 +21,7 @@ from processor_edf_spark.plans import audits  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r7  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r7b  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_r10  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -124,8 +125,16 @@ from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 # CORRECTNESS_r08 and CORRECTNESS_r09 (the identical window ran
 # twice).
 _CANONICAL = [
-    # ---- r10 driver window (50): 13 pre-declared rotate-ins + 37
-    # stalest (r7-green) refreshes
+    # ---- r10 driver window (50): r10 additions first (priority slots
+    # for their first driver check), then the 13 pre-declared
+    # rotate-ins + the stalest (r7-green) refreshes.  ewma_user_twophase
+    # displaced rolling_fingerprint (text family stays covered 5-fold
+    # in-window; it keeps its r7 green at position 51+).
+    # webp_decode_stats (the VP8L codec row) displaced doc_fingerprint
+    # (text family stays covered 4-fold in-window; it keeps its r7
+    # green at position 51+).
+    "ewma_user_twophase",
+    "webp_decode_stats",
     "mode_period_users",
     "tumbling_daily_stats",
     "band_join_acctbal",
@@ -156,9 +165,7 @@ _CANONICAL = [
     "distinct_users_per_type",
     "text_quality",
     "lang_id_heuristic",
-    "doc_fingerprint",
     "bpe_token_count",
-    "rolling_fingerprint",
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "array_slice_projection",
@@ -178,8 +185,11 @@ _CANONICAL = [
     "ntile_value_quartiles",
     # ---- position 51+: every query below has a driver-green row
     # (the 50 r8-window members green in r8 AND r9, the 13 tpch
-    # members of the r7 block green in r7) and stays mirror-checked
-    # by tests/test_queries_oracle.py per commit.
+    # members of the r7 block green in r7, rolling_fingerprint green
+    # in r7 — displaced by ewma_user_twophase) and stays
+    # mirror-checked by tests/test_queries_oracle.py per commit.
+    "rolling_fingerprint",
+    "doc_fingerprint",
     "heavy_hitters_audit",
     "merge_upsert_current",
     "event_cooccurrence_lift",
@@ -401,6 +411,9 @@ FAMILY = {
     "interp_linear_hourly": "time_fns",
     "rolling_7d_active_users": "events",
     "session_dwell_stats": "sessionize",
+    # r10 additions
+    "ewma_user_twophase": "windows",
+    "webp_decode_stats": "multimodal",
     # r8 additions
     "percent_rank_cdf": "windows",
     "annotations_tal_parse": "events",

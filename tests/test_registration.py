@@ -27,6 +27,8 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
+    "ewma_user_twophase",
+    "webp_decode_stats",
     "mode_period_users",
     "tumbling_daily_stats",
     "band_join_acctbal",
@@ -57,9 +59,7 @@ EXPECTED_FIRST_50 = [
     "distinct_users_per_type",
     "text_quality",
     "lang_id_heuristic",
-    "doc_fingerprint",
     "bpe_token_count",
-    "rolling_fingerprint",
     "dedup_ngram_jaccard",
     "ann_topk_bruteforce",
     "array_slice_projection",
@@ -98,8 +98,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 136 through r7 + the r8 additions
-    assert len(QUERIES) == 145
+    # 145 through r8 + the r10 additions
+    assert len(QUERIES) == 147
 
 
 def test_every_query_has_a_family():
