@@ -255,3 +255,54 @@ def interval_join_streams(
         lw[left_ts].alias(left_ts),
         rw[right_ts].alias(right_ts),
     )
+
+
+def session_stats_native(
+    events: DataFrame,
+    gap_usec: int,
+    key_col: str = "user_id",
+    t_col: str = "t",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-key session aggregates via Spark's NATIVE ``session_window``
+    — the JVM-resident flavor of the ``stream_gaps`` consumer chain
+    (gaps → threshold → session counts/dwell), with no Python state at
+    all: state lives in the JVM state store, merges run inside
+    whole-stage codegen, and rows never cross an Arrow boundary.
+
+    Emits one row per CLOSED session: (key, start_usec, end_usec,
+    dwell_usec, n_events).  Session semantics are session_window's:
+    two events share a session iff their gap is AT MOST ``gap_usec``
+    (inclusive — measured empirically and pinned by the parity test's
+    exact-boundary events: a gap of exactly ``gap_usec`` merges, one
+    microsecond more splits).  In append mode a session emits once the
+    watermark passes its end + allowance; an availableNow replay over
+    finite data therefore holds back trailing sessions until a later
+    event (or a sentinel) advances the watermark — the same
+    close-on-evidence trade the stateful twins make, with the batch
+    pass owning residual exactness.
+
+    Scale: this is the throughput flavor (BASELINE.md ``--streaming``
+    ×16: 2.4 Mrows/s vs the Python-fold twin's 0.35 — the Arrow hop
+    priced); the Python twins remain the flexibility flavor (per-event
+    emission, quarantine policies, inspectable state)."""
+    with_ts = events.withColumn("_ts", F.timestamp_micros(F.col(t_col)))
+    return (
+        with_ts.withWatermark("_ts", watermark)
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.session_window("_ts", f"{gap_usec} microseconds"),
+        )
+        .agg(
+            F.min(t_col).alias("start_usec"),
+            F.max(t_col).alias("end_usec"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "key",
+            "start_usec",
+            "end_usec",
+            (F.col("end_usec") - F.col("start_usec")).alias("dwell_usec"),
+            "n_events",
+        )
+    )

@@ -398,6 +398,7 @@ def streaming_rows(spark, k: int) -> dict[str, float]:
     import tempfile
 
     from processor_edf_spark.streaming.lag import stream_gaps
+    from processor_edf_spark.streaming.sessions import session_stats_native
     from processor_edf_spark.streaming.upsert import stream_current_state
 
     d = build_events_replica(spark, k, hot=None)
@@ -415,6 +416,12 @@ def streaming_rows(spark, k: int) -> dict[str, float]:
     for name, build in (
         ("stream_gaps", lambda s: stream_gaps(s)),
         ("stream_current_state", lambda s: stream_current_state(s)),
+        # the JVM-native flavor: same per-key sessionization consumer
+        # the stream_gaps chain feeds, zero Python state — the
+        # throughput contract expects it well ahead of the Arrow-fold
+        # twins (parity: tests/test_streaming_sessions_native.py)
+        ("session_stats_native", lambda s: session_stats_native(
+            s, 3_600_000_000, watermark="1 hour")),
     ):
         stream = spark.readStream.schema(
             "user_id long, event_id long, t long, value double"

@@ -321,3 +321,96 @@ def test_incremental_daily_drops_compaction_keeps_snapshot_flat(
     assert compacted_files[-1] <= compact_every
     # the full ever-seen set survives compaction
     assert read_store(spark, stores["compacted"]).count() == n_days * 5
+
+
+def test_append_loses_to_compaction_race(spark, tmp_path):
+    """A daily-drop append and a compaction land on the same version
+    slot; compaction wins.  The loser's re-check runs against the
+    base=true entry (which IS the full visible snapshot), so its
+    genuinely-new rows stay admitted and commit at the next slot —
+    nothing lost, nothing double-admitted."""
+    store = str(tmp_path / "store")
+    dedup_incremental_tx(
+        spark, _docs(spark, [(1, "alpha"), (2, "beta")]), store
+    )  # v0
+
+    out = dedup_incremental_tx(
+        spark,
+        _docs(spark, [(3, "gamma"), (4, "alpha")]),
+        store,
+        _pre_commit_hook=lambda: compact_store_tx(spark, store),
+    )
+    # compaction stole v1 (base=true); the append re-checked against it
+    # and committed at v2
+    assert _admitted_ids(out) == [3]
+    versions = list_versions(spark, store)
+    assert versions == [0, 1, 2]
+    import json as _json
+
+    entry1 = _json.loads(
+        open(f"{store}/_txlog/00000001.json").read()
+    )
+    assert entry1["base"] is True
+    snap = read_store(spark, store, versions)
+    assert snap.count() == 3  # alpha, beta, gamma — exactly once each
+
+    # the visible set admits correctly afterwards
+    out3 = dedup_incremental_tx(
+        spark, _docs(spark, [(5, "gamma"), (6, "delta")]), store
+    )
+    assert _admitted_ids(out3) == [6]
+
+
+def test_compaction_loses_to_append_race(spark, tmp_path, monkeypatch):
+    """The mirror race: an append steals the slot the compaction was
+    about to commit its base entry into.  Compaction retries on top of
+    the winner, so the final base snapshot CONTAINS the raced-in
+    hashes and later drops are deduped against them."""
+    import hashlib
+
+    import processor_edf_spark.operators.txstore as tx
+
+    store = str(tmp_path / "store")
+    dedup_incremental_tx(
+        spark, _docs(spark, [(1, "alpha"), (2, "beta")]), store
+    )  # v0
+
+    real_commit = tx.commit_version
+    delta_sha = hashlib.sha256(b"delta").hexdigest()
+    fired = {"done": False}
+
+    def racing(spark_, store_dir, version, files, base=False):
+        if base and not fired["done"]:
+            fired["done"] = True
+            # the racing daily drop wins the contested slot first
+            name = tx._write_data_file(
+                spark_,
+                store_dir,
+                spark_.createDataFrame(
+                    [(delta_sha,)], "content_sha string"
+                ),
+            )
+            real_commit(spark_, store_dir, version, [name])
+        return real_commit(spark_, store_dir, version, files, base)
+
+    monkeypatch.setattr(tx, "commit_version", racing)
+    n = compact_store_tx(spark, store)
+    # compaction lost v1 to the append, retried, committed base at v2
+    # ON TOP of the raced-in hash
+    assert n == 3
+    versions = list_versions(spark, store)
+    assert versions == [0, 1, 2]
+    import json as _json
+
+    assert _json.loads(open(f"{store}/_txlog/00000002.json").read())[
+        "base"
+    ] is True
+    snap = read_store(spark, store, versions)
+    assert snap.count() == 3
+    assert {r["content_sha"] for r in snap.collect()} >= {delta_sha}
+
+    # the raced-in hash dedupes later drops like any committed hash
+    out = dedup_incremental_tx(
+        spark, _docs(spark, [(7, "delta"), (8, "epsilon")]), store
+    )
+    assert _admitted_ids(out) == [8]
