@@ -799,10 +799,15 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
 
 
 # pure-python, so registered unconditionally: the VP8L (WebP lossless)
-# decoder — bottom-of-module import because webp.py imports this
-# module's error type (the same pattern would deadlock at top level).
-from processor_edf_spark.operators.webp import (  # noqa: E402
-    decode_webp_lossless as _webp_lossless_plugin,
-)
+# decoder.  The import happens lazily INSIDE the plugin — webp.py
+# imports this module's error type and jpeg.py's MAX_PIXELS, so any
+# module-load-time import here is circular from one entry order or
+# another (jpeg -> media_codecs -> webp -> jpeg broke the bench run
+# that registered this seam).
+def _webp_lossless_plugin(payload):
+    from processor_edf_spark.operators.webp import decode_webp_lossless
+
+    return decode_webp_lossless(payload)
+
 
 register_codec_plugin("webp_lossless", _webp_lossless_plugin)
