@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from processor_edf_spark.plans.analytics_extra import EWMA_ALPHA, EWMA_WINDOW
-from processor_edf_spark.plans.registry import load, register
+from processor_edf_spark.plans.registry import load, register, spread
 
 # One-day chunks: the testdata's event streams span ~30 days at every
 # SF, so a hot user spreads over ~30 (user, chunk) tasks.  Chunk size
@@ -179,11 +179,17 @@ def webp_decode_stats(spark, sf_dir):
     inverse bug, channel swap — breaks dims or sum and the row goes
     red.
 
-    Scale: the same decode-heavy / emit-light no-shuffle shape as the
-    other codec rows — payload bytes never leave the executor."""
+    Scale: the same decode-heavy / emit-light shape as the other codec
+    rows — payload bytes never leave the executor.  Unlike the numpy
+    codec rows, the per-doc kernel here is pure-python bit twiddling
+    (~ms per payload), so the scan is ``spread()`` across the session's
+    shuffle width: a small single-file scan would otherwise serialize
+    5 000 encode+decode kernels into one task (measured 6.9 s at sf0.1;
+    0.6 s spread)."""
     import pandas as pd
 
     (docs,) = load(spark, sf_dir, "documents")
+    docs = spread(spark, docs.select("doc_id"))
 
     def gen(batches):
         import numpy as np
