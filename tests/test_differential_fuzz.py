@@ -43,7 +43,7 @@ import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-N_SEEDS = 240
+N_SEEDS = 320
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -345,7 +345,7 @@ def _source(rng):
     (from_sql, cols, tname_for_pools, unique_cols)."""
     if rng.random() < 0.35:
         lt, lc, rt, rc = rng.choice(FK_JOINS)
-        jt = rng.choice(["JOIN", "LEFT JOIN"])
+        jt = rng.choice(["JOIN", "LEFT JOIN", "FULL JOIN"])
         from_sql = f"{lt} {jt} {rt} ON {lt}.{lc} = {rt}.{rc}"
         cols = TABLES[lt] + TABLES[rt]
         if jt == "LEFT JOIN":
@@ -366,6 +366,19 @@ def gen_select(rng, pools):
         sql, fallback = gen_expr(typ, rng, cols, pools, tname)
         items.append({"alias": f"c{i}", "sql": sql, "fallback": fallback,
                       "typ": typ})
+    if rng.random() < 0.15:
+        # uncorrelated scalar subquery over an unrelated table —
+        # constant-folded by both engines, same ANSI semantics
+        ot = rng.choice(list(TABLES))
+        oc = _col(rng.choice(["i", "s"]), rng, TABLES[ot])
+        sub = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {ot})"
+            if oc is None or rng.random() < 0.5
+            else f"(SELECT MIN({oc}) FROM {ot})"
+        )
+        items.append({"alias": f"c{len(items)}", "sql": sub,
+                      "fallback": None,
+                      "typ": "i" if "COUNT" in sub else "s"})
     q = {
         "kind": "select",
         "from": from_sql,
@@ -378,6 +391,38 @@ def gen_select(rng, pools):
         and all(it["typ"] != "f" for it in items),
     }
     return q
+
+
+def gen_limit(rng, pools):
+    """ORDER BY a unique-key prefix + LIMIT: the result SET is
+    deterministic (total order), so the multiset compare still
+    applies."""
+    t = rng.choice(list(TABLES))
+    cols, uniq = TABLES[t], UNIQUE[t]
+    coltypes = dict(cols)
+    items = [
+        {"alias": f"c{j}", "sql": u, "fallback": None,
+         "typ": coltypes.get(u, "i")}
+        for j, u in enumerate(uniq)
+    ]
+    extra_typ = rng.choice(["i", "f", "s"])
+    ec = _col(extra_typ, rng, cols)
+    if ec is not None and ec not in uniq:
+        items.append({"alias": f"c{len(items)}", "sql": ec,
+                      "fallback": None, "typ": extra_typ})
+    direction = rng.choice(["ASC", "DESC"])
+    return {
+        "kind": "select",
+        "from": t,
+        "items": items,
+        "where": gen_pred(rng, cols, pools, t)
+        if rng.random() < 0.5 else None,
+        "group": None,
+        "having": None,
+        "distinct": False,
+        "order_by": ", ".join(f"{u} {direction}" for u in uniq),
+        "limit": rng.randint(1, 40),
+    }
 
 
 def gen_agg(rng, pools):
@@ -568,7 +613,7 @@ def gen_nested(rng, pools):
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
-    shape = rng.randrange(10)
+    shape = rng.randrange(12)
     if shape < 3:
         return gen_select(rng, pools)
     if shape < 6:
@@ -577,7 +622,12 @@ def gen_query(seed: int, pools) -> dict:
         return gen_window(rng, pools)
     if shape == 8:
         return gen_setop(rng, pools)
-    return gen_nested(rng, pools)
+    if shape == 9:
+        return gen_nested(rng, pools)
+    if shape == 10:
+        return gen_limit(rng, pools)
+    # mixed: a select whose source rolled FULL JOIN more often
+    return gen_select(rng, pools)
 
 
 # ---------------------------------------------------------------------------
@@ -599,6 +649,10 @@ def render(q: dict) -> str:
         sql += " GROUP BY " + ", ".join(q["group"])
     if q.get("having"):
         sql += f" HAVING {q['having']}"
+    if q.get("order_by"):
+        sql += f" ORDER BY {q['order_by']}"
+    if q.get("limit"):
+        sql += f" LIMIT {q['limit']}"
     return sql
 
 
@@ -690,6 +744,10 @@ def _shrink_candidates(q: dict):
     if q.get("distinct"):
         c = dict(q)
         c["distinct"] = False
+        yield c
+    if q.get("limit") and q["limit"] > 1:
+        c = dict(q)
+        c["limit"] = 1
         yield c
     for i, it in enumerate(q["items"]):
         if it.get("fallback") and it["sql"] != it["fallback"]:
