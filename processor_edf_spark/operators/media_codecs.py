@@ -540,6 +540,7 @@ OPTIONAL_CODEC_LIBS: dict[str, tuple[str, ...]] = {
     "compressed_tiff_lzw": (),   # pure-python plugin (TIFF 6.0 §13), below
     "mp3": ("soundfile",),       # libsndfile-backed
     "aac": ("soundfile",),
+    "flac": (),                  # pure-python plugin (flac.py), below
     "h264": ("av",),             # PyAV/ffmpeg for AVI/MP4 video frames
 }
 
@@ -773,6 +774,19 @@ def decode_mp3(payload: bytes) -> tuple[int, int, np.ndarray]:
     return int(rate), int(data.shape[1]), data.astype(np.float64)
 
 
+def decode_flac_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """FLAC → (rate, n_channels, float samples) via a registered
+    ``flac`` plugin — the pure-python decoder in operators/flac.py is
+    registered unconditionally below, so this path is REAL everywhere;
+    deployments may override the registration with a faster native
+    decoder.  Same contract/shape as decode_wav_pcm."""
+    plugin = get_codec_plugin("flac")
+    if plugin is not None:
+        return plugin(payload)
+    _require_optional("flac")
+    raise AssertionError("unreachable: flac plugin registered at import")
+
+
 def _is_webp(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
 
@@ -788,14 +802,17 @@ def _is_mp3(payload: bytes) -> bool:
 @_only_media_errors
 def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
     """Route an audio payload by magic byte: RIFF/WAVE → the pure-numpy
-    PCM/G.711/ADPCM decoders; MP3 → the optional soundfile path (real
-    decode when installed, UnsupportedMediaError naming the extra when
-    not); anything else → UnsupportedMediaError."""
+    PCM/G.711/ADPCM decoders; fLaC → the pure-python FLAC decoder
+    (real everywhere, plugin-overridable); MP3 → the optional soundfile
+    path (real decode when installed, UnsupportedMediaError naming the
+    extra when not); anything else → UnsupportedMediaError."""
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return decode_wav_pcm(payload)
+    if payload[:4] == b"fLaC":
+        return decode_flac_audio(payload)
     if _is_mp3(payload):
         return decode_mp3(payload)
-    raise UnsupportedMediaError("not a RIFF/WAVE or MP3 payload")
+    raise UnsupportedMediaError("not a RIFF/WAVE, FLAC or MP3 payload")
 
 
 # pure-python, so registered unconditionally: the VP8L (WebP lossless)
@@ -811,3 +828,15 @@ def _webp_lossless_plugin(payload):
 
 
 register_codec_plugin("webp_lossless", _webp_lossless_plugin)
+
+
+# pure-python, so registered unconditionally: the FLAC decoder (the
+# audio twin of the VP8L registration — same lazy-import discipline,
+# flac.py imports this module's error type).
+def _flac_plugin(payload):
+    from processor_edf_spark.operators.flac import decode_flac
+
+    return decode_flac(payload)
+
+
+register_codec_plugin("flac", _flac_plugin)
