@@ -133,8 +133,13 @@ _CANONICAL = [
     # webp_decode_stats (the VP8L codec row) displaced doc_fingerprint
     # (text family stays covered 4-fold in-window; it keeps its r7
     # green at position 51+).
+    # flac_decode_stats (the FLAC codec row) displaced
+    # ntile_value_quartiles (windows family stays covered 3-fold
+    # in-window via ewma_user_twophase / moving_avg_daily_revenue /
+    # range_frame_user_avg; it keeps its r8+r9 greens at position 51+).
     "ewma_user_twophase",
     "webp_decode_stats",
+    "flac_decode_stats",
     "mode_period_users",
     "tumbling_daily_stats",
     "band_join_acctbal",
@@ -182,12 +187,12 @@ _CANONICAL = [
     "embedding_norm_stats",
     "sample_hash_bucket",
     "dow_hour_heatmap",
-    "ntile_value_quartiles",
     # ---- position 51+: every query below has a driver-green row
     # (the 50 r8-window members green in r8 AND r9, the 13 tpch
     # members of the r7 block green in r7, rolling_fingerprint green
     # in r7 — displaced by ewma_user_twophase) and stays
     # mirror-checked by tests/test_queries_oracle.py per commit.
+    "ntile_value_quartiles",
     "rolling_fingerprint",
     "doc_fingerprint",
     "heavy_hitters_audit",
@@ -414,6 +419,7 @@ FAMILY = {
     # r10 additions
     "ewma_user_twophase": "windows",
     "webp_decode_stats": "multimodal",
+    "flac_decode_stats": "multimodal",
     # r8 additions
     "percent_rank_cdf": "windows",
     "annotations_tal_parse": "events",

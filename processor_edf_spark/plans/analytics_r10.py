@@ -1,7 +1,7 @@
 """Round-10 analytics plans.
 
 The two-phase, skew-immune flavor of the per-user EWMA, and the VP8L
-(WebP lossless) codec driver row.
+(WebP lossless) and FLAC codec driver rows.
 ``ewma_user_values`` (plans/analytics_extra.py) is exact but shuffles
 whole users into single window tasks — a 10% hot user degrades it
 1.8–2.05× in the ×64 skew sweep (BASELINE.md ``--skew``).  The
@@ -230,4 +230,78 @@ def webp_decode_stats(spark, sf_dir):
 
     return docs.select("doc_id").mapInPandas(
         gen, schema="doc_id long, width int, height int, sum_rgb long"
+    )
+
+
+@register(
+    "flac_decode_stats",
+    """
+    SELECT d.doc_id,
+           CAST(50 + d.doc_id % 50 AS INTEGER) AS n_samples,
+           CAST(2 AS INTEGER) AS n_channels,
+           CAST(SUM(CASE WHEN i.g < 50 + d.doc_id % 50 THEN
+                 ((d.doc_id * 7 + i.g * 13) % 4001) - 2000
+               + ((d.doc_id * 3 + i.g * 11) % 4001) - 2000 END) AS BIGINT)
+             AS sum_pcm
+    FROM documents d, range(0, 100) i(g)
+    GROUP BY d.doc_id
+    """,
+)
+def flac_decode_stats(spark, sf_dir):
+    """The pure-python FLAC codec path as a driver-hashed row — the
+    audio twin of ``webp_decode_stats``: per document a deterministic
+    stereo int16 waveform (both channels pure integer functions of
+    doc_id) is ENCODED to a real FLAC stream (`operators/flac.py`,
+    alternating mid/side vs independent stereo by doc parity and
+    LPC vs fixed-order subframes by doc_id % 3, partitioned Rice
+    residuals, multi-frame at blocksize 32) and DECODED back through
+    the production ``decode_audio`` magic-byte router, emitting the
+    decoded sample/channel counts and the exact integer PCM sum.
+    Lossless end to end, so the closed-form oracle matches
+    bit-for-bit; any FLAC regression — a Rice slip, predictor bug,
+    decorrelation swap, CRC/MD5 miscompute — breaks counts or sum and
+    the row goes red.
+
+    Scale: decode-heavy / emit-light like the sibling codec rows —
+    payload bytes never leave the executor.  The per-doc kernel is
+    pure-python bit twiddling (~ms per payload), so the scan is
+    ``spread()`` across the session's shuffle width (the
+    webp_decode_stats precedent: a small single-file scan would
+    otherwise serialize the encode+decode kernels into one task)."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = spread(spark, docs.select("doc_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.flac import encode_flac
+        from processor_edf_spark.operators.media_codecs import decode_audio
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 50 + d % 50
+                i = np.arange(n)
+                left = (d * 7 + i * 13) % 4001 - 2000
+                right = (d * 3 + i * 11) % 4001 - 2000
+                payload = encode_flac(
+                    np.stack([left, right], axis=1),
+                    16000,
+                    blocksize=32,
+                    stereo="mid_side" if d % 2 else "independent",
+                    subframe="lpc" if d % 3 == 0 else "fixed2",
+                    partition_order=1,
+                )
+                rate, ch, dec = decode_audio(payload)  # the REAL router
+                pcm = np.round(dec * 32768.0).astype(np.int64)
+                rows.append((d, pcm.shape[0], ch, int(pcm.sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "n_channels", "sum_pcm"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, n_samples int, n_channels int, sum_pcm long"
     )

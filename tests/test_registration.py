@@ -29,6 +29,7 @@ from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 EXPECTED_FIRST_50 = [
     "ewma_user_twophase",
     "webp_decode_stats",
+    "flac_decode_stats",
     "mode_period_users",
     "tumbling_daily_stats",
     "band_join_acctbal",
@@ -76,7 +77,6 @@ EXPECTED_FIRST_50 = [
     "embedding_norm_stats",
     "sample_hash_bucket",
     "dow_hour_heatmap",
-    "ntile_value_quartiles",
 ]
 
 
@@ -99,7 +99,7 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10 additions
-    assert len(QUERIES) == 147
+    assert len(QUERIES) == 148
 
 
 def test_every_query_has_a_family():
