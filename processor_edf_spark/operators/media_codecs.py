@@ -542,6 +542,7 @@ OPTIONAL_CODEC_LIBS: dict[str, tuple[str, ...]] = {
     "aac": ("soundfile",),
     "flac": (),                  # pure-python plugin (flac.py), below
     "h264": ("av",),             # PyAV/ffmpeg for AVI/MP4 video frames
+    "h264_ipcm": (),             # pure-python plugin (h264.py), below
 }
 
 # Codec PLUGIN registry — the second half of the deployment seam.  A
@@ -787,6 +788,30 @@ def decode_flac_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
     raise AssertionError("unreachable: flac plugin registered at import")
 
 
+def is_annexb_h264(payload: bytes) -> bool:
+    """Annex-B byte-stream sniff: a 3- or 4-byte start code at offset 0
+    (spec B.1.1 — leading_zero_8bits runs are tolerated by the decoder,
+    but a stream that doesn't OPEN with a start code isn't Annex-B)."""
+    return payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01"
+
+
+@_only_media_errors
+def decode_h264_video(payload: bytes) -> tuple[int, int, list]:
+    """Annex-B H.264 → (width, height, [(Y, U, V)]) via the registered
+    ``h264_ipcm`` plugin — the pure-python I_PCM-subset decoder in
+    operators/h264.py is registered unconditionally below, so all-I_PCM
+    streams decode for REAL everywhere.  Entropy-coded (CAVLC/CABAC)
+    macroblocks are where the seam splits: the plugin itself raises
+    UnsupportedMediaError naming the optional codec library (av), the
+    same contract as the MP3 path — install PyAV in the cluster image
+    (and register it as the ``h264`` plugin) to decode those for real."""
+    plugin = get_codec_plugin("h264_ipcm")
+    if plugin is not None:
+        return plugin(payload)
+    _require_optional("h264_ipcm")
+    raise AssertionError("unreachable: h264_ipcm plugin registered at import")
+
+
 def _is_webp(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WEBP"
 
@@ -828,6 +853,19 @@ def _webp_lossless_plugin(payload):
 
 
 register_codec_plugin("webp_lossless", _webp_lossless_plugin)
+
+
+# pure-python, so registered unconditionally: the H.264 I_PCM-subset
+# decoder.  Lazy import inside the plugin for the same circularity
+# reason as the webp/flac registrations (h264.py imports this module's
+# error type at load).
+def _h264_ipcm_plugin(payload):
+    from processor_edf_spark.operators.h264 import decode_h264_ipcm
+
+    return decode_h264_ipcm(payload)
+
+
+register_codec_plugin("h264_ipcm", _h264_ipcm_plugin)
 
 
 # pure-python, so registered unconditionally: the FLAC decoder (the

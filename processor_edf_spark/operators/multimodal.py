@@ -350,8 +350,12 @@ def sample_frames(media: DataFrame, every_usec: int = 1_000_000, max_frames: int
     (a corpus's most common "video") also demux for real
     (operators/gif.py): frames are composited, sampled on the
     cumulative per-frame delays, and emitted as lossless PNG bytes.
-    Other containers (MP4/MKV need a real demuxer lib) take the
-    deterministic stub (byte slices at synthetic timestamps)."""
+    Annex-B H.264 elementary streams decode for real through the
+    I_PCM-subset decoder (operators/h264.py): Annex-B carries no
+    timing (that lives in the container), so frames are sampled by
+    index stride and emitted as lossless grayscale PNGs of the luma
+    plane.  Other containers (MP4/MKV need a real demuxer lib) take
+    the deterministic stub (byte slices at synthetic timestamps)."""
     from processor_edf_spark.operators.media_codecs import (
         UnsupportedMediaError,
         demux_avi_frames,
@@ -359,7 +363,21 @@ def sample_frames(media: DataFrame, every_usec: int = 1_000_000, max_frames: int
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from processor_edf_spark.operators.gif import demux_gif_frames
+        from processor_edf_spark.operators.media_codecs import (
+            decode_h264_video,
+            is_annexb_h264,
+        )
         from processor_edf_spark.operators.png import encode_png
+
+        def pick_h264(data: bytes):
+            _w, _h, frames = decode_h264_video(data)
+            # Annex-B has no container timing: sample every frame up to
+            # the cap (stride 1) and synthesize timestamps on the
+            # requested spacing, mirroring the stub's t_usec shape.
+            return [
+                (i, i * every_usec, encode_png(y))
+                for i, (y, _u, _v) in enumerate(frames[:max_frames])
+            ]
 
         def pick_gif(data: bytes):
             delays, frames = demux_gif_frames(data)
@@ -380,6 +398,8 @@ def sample_frames(media: DataFrame, every_usec: int = 1_000_000, max_frames: int
                 try:
                     if data[:6] in (b"GIF87a", b"GIF89a"):
                         picked = pick_gif(data)
+                    elif is_annexb_h264(data):
+                        picked = pick_h264(data)
                     else:
                         upf, frames = demux_avi_frames(data)
                         stride = max(1, -(-every_usec // max(upf, 1)))  # ceil

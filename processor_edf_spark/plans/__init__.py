@@ -137,9 +137,13 @@ _CANONICAL = [
     # ntile_value_quartiles (windows family stays covered 3-fold
     # in-window via ewma_user_twophase / moving_avg_daily_revenue /
     # range_frame_user_avg; it keeps its r8+r9 greens at position 51+).
+    # h264_decode_stats (the H.264 I_PCM codec row) displaced
+    # dow_hour_heatmap (events family stays covered 6-fold in-window;
+    # it keeps its r7 green at position 51+).
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
+    "h264_decode_stats",
     "mode_period_users",
     "tumbling_daily_stats",
     "band_join_acctbal",
@@ -420,6 +424,7 @@ FAMILY = {
     "ewma_user_twophase": "windows",
     "webp_decode_stats": "multimodal",
     "flac_decode_stats": "multimodal",
+    "h264_decode_stats": "multimodal",
     # r8 additions
     "percent_rank_cdf": "windows",
     "annotations_tal_parse": "events",

@@ -305,3 +305,103 @@ def flac_decode_stats(spark, sf_dir):
     return docs.select("doc_id").mapInPandas(
         gen, schema="doc_id long, n_samples int, n_channels int, sum_pcm long"
     )
+
+
+@register(
+    "h264_decode_stats",
+    """
+    SELECT d.doc_id,
+           CAST(2 * (8 + d.doc_id % 13) AS INTEGER) AS width,
+           CAST(2 * (6 + d.doc_id % 9) AS INTEGER) AS height,
+           CAST(1 + d.doc_id % 3 AS INTEGER) AS n_frames,
+           CAST(SUM(
+             CASE WHEN f.f < 1 + d.doc_id % 3
+                   AND yy.y < 2 * (6 + d.doc_id % 9)
+                   AND xx.x < 2 * (8 + d.doc_id % 13)
+                  THEN (d.doc_id * 7 + 3 * xx.x + 5 * yy.y + 11 * f.f) % 256
+                  ELSE 0 END
+           + CASE WHEN f.f < 1 + d.doc_id % 3
+                   AND yy.y < 6 + d.doc_id % 9
+                   AND xx.x < 8 + d.doc_id % 13
+                  THEN (d.doc_id * 5 + 2 * xx.x + 7 * yy.y + 3 * f.f) % 256
+                     + (d.doc_id * 3 + 11 * xx.x + 2 * yy.y + 13 * f.f) % 256
+                  ELSE 0 END) AS BIGINT) AS sum_yuv
+    FROM documents d, range(0, 3) f(f), range(0, 28) yy(y), range(0, 40) xx(x)
+    GROUP BY d.doc_id
+    """,
+)
+def h264_decode_stats(spark, sf_dir):
+    """The pure-python H.264 I_PCM codec path as a driver-hashed row —
+    the video twin of ``webp_decode_stats``/``flac_decode_stats``: per
+    document a deterministic 4:2:0 YUV clip (every plane a pure integer
+    function of doc_id, pixel coords and frame index) is ENCODED to a
+    real Annex-B H.264 stream (`operators/h264.py` — baseline SPS with
+    real frame cropping for the non-multiple-of-16 geometries,
+    1 + doc_id % 4 I_PCM slices per IDR picture, emulation-prevention
+    escaping) and DECODED back through the production
+    ``decode_h264_video`` plugin router, emitting the decoder's
+    cropped geometry, frame count and the exact integer sample sum.
+    I_PCM is lossless by construction, so the closed-form oracle
+    matches bit-for-bit; any regression — an Exp-Golomb slip, a crop
+    off-by-one, an escaping bug, slice reassembly out of order —
+    breaks geometry, counts or sum and the row goes red.
+
+    Scale: decode-heavy / emit-light like the sibling codec rows —
+    payload bytes never leave the executor.  The per-doc kernel is
+    pure-python bit twiddling (~ms per payload), so the scan is
+    ``spread()`` across the session's shuffle width (the
+    webp_decode_stats precedent: a small single-file scan would
+    otherwise serialize the encode+decode kernels into one task)."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = spread(spark, docs.select("doc_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.h264 import encode_h264_ipcm
+        from processor_edf_spark.operators.media_codecs import (
+            decode_h264_video,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 2 * (8 + d % 13), 2 * (6 + d % 9)
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                xc = np.arange(w // 2)[None, :]
+                yc = np.arange(h // 2)[:, None]
+                frames = []
+                for f in range(1 + d % 3):
+                    frames.append((
+                        ((d * 7 + 3 * x + 5 * y + 11 * f) % 256)
+                        .astype(np.uint8),
+                        ((d * 5 + 2 * xc + 7 * yc + 3 * f) % 256)
+                        .astype(np.uint8),
+                        ((d * 3 + 11 * xc + 2 * yc + 13 * f) % 256)
+                        .astype(np.uint8),
+                    ))
+                payload = encode_h264_ipcm(
+                    frames, w, h, slices_per_frame=1 + d % 4
+                )
+                dw, dh, dec = decode_h264_video(payload)  # the REAL router
+                total = sum(
+                    int(plane.astype(np.int64).sum())
+                    for fr in dec
+                    for plane in fr
+                )
+                rows.append((d, dw, dh, len(dec), total))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_frames", "sum_yuv"],
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width int, height int, n_frames int, sum_yuv long"
+        ),
+    )

@@ -135,3 +135,52 @@ def stream_current_state(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def stream_current_state_native(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    t_col: str = "t",
+    value_col: str = "value",
+) -> DataFrame:
+    """JVM-native current-state upsert — the ``session_stats_native``
+    of the SCD1 story: a streaming ``groupBy(key).max(struct(t, id,
+    value))`` in UPDATE mode, no Python state at all.  The struct max
+    is lexicographic, so the winner is exactly the Python twin's
+    max-(t, id) rule (value only breaks exact (t, id) ties, which a
+    unique id column never produces).  Latest-wins is commutative, so
+    the result is arrival-order-independent — the same contract as
+    ``stream_current_state``, now computed entirely inside the JVM
+    state store with codegen'd merges and no Arrow hop.
+
+    Emission differs from the Python twin by design: update mode
+    re-emits a key's row whenever the key receives input (changed or
+    not), while the Python fold emits only on CHANGE.  Downstream both
+    materialize the same current table as last-emit-per-key — the
+    parity test pins that materialization equal under random arrival
+    order.
+
+    Scale/trade: this is the throughput flavor.  State is one struct
+    per key in the JVM store; but a streaming aggregation without a
+    windowed key has NO eviction path (watermarks do not TTL plain
+    aggs) — for key-churn-bounded state use the Python twin's
+    ``ttl_usec``.  Run with ``outputMode("update")``."""
+    return (
+        events.groupBy(F.col(key_col).alias("user_id"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(t_col).alias("t"),
+                    F.col(id_col).alias("event_id"),
+                    F.col(value_col).alias("value"),
+                )
+            ).alias("cur")
+        )
+        .select(
+            "user_id",
+            F.col("cur.value").alias("value"),
+            F.col("cur.t").alias("t"),
+            F.col("cur.event_id").alias("event_id"),
+        )
+    )

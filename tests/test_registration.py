@@ -30,6 +30,7 @@ EXPECTED_FIRST_50 = [
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
+    "h264_decode_stats",
     "mode_period_users",
     "tumbling_daily_stats",
     "band_join_acctbal",
@@ -76,7 +77,6 @@ EXPECTED_FIRST_50 = [
     "boilerplate_ngrams",
     "embedding_norm_stats",
     "sample_hash_bucket",
-    "dow_hour_heatmap",
 ]
 
 
@@ -99,7 +99,7 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10 additions
-    assert len(QUERIES) == 148
+    assert len(QUERIES) == 149
 
 
 def test_every_query_has_a_family():
