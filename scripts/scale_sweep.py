@@ -399,7 +399,10 @@ def streaming_rows(spark, k: int) -> dict[str, float]:
 
     from processor_edf_spark.streaming.lag import stream_gaps
     from processor_edf_spark.streaming.sessions import session_stats_native
-    from processor_edf_spark.streaming.upsert import stream_current_state
+    from processor_edf_spark.streaming.upsert import (
+        stream_current_state,
+        stream_current_state_native,
+    )
 
     d = build_events_replica(spark, k, hot=None)
     events = spark.read.parquet(f"{d}/events.parquet")
@@ -413,15 +416,18 @@ def streaming_rows(spark, k: int) -> dict[str, float]:
     src = tempfile.mkdtemp(prefix="stream_sweep_")
     keyed.write.parquet(f"{src}/in")
     out: dict[str, float] = {"n_rows": n_rows}
-    for name, build in (
-        ("stream_gaps", lambda s: stream_gaps(s)),
-        ("stream_current_state", lambda s: stream_current_state(s)),
-        # the JVM-native flavor: same per-key sessionization consumer
-        # the stream_gaps chain feeds, zero Python state — the
-        # throughput contract expects it well ahead of the Arrow-fold
-        # twins (parity: tests/test_streaming_sessions_native.py)
+    for name, build, out_mode in (
+        ("stream_gaps", lambda s: stream_gaps(s), "append"),
+        ("stream_current_state", lambda s: stream_current_state(s),
+         "append"),
+        # the JVM-native flavors: zero Python state — the throughput
+        # contract expects them ahead of the Arrow-fold twins
+        # (parity: tests/test_streaming_sessions_native.py and
+        # tests/test_streaming_upsert_native.py)
         ("session_stats_native", lambda s: session_stats_native(
-            s, 3_600_000_000, watermark="1 hour")),
+            s, 3_600_000_000, watermark="1 hour"), "append"),
+        ("stream_current_state_native",
+         lambda s: stream_current_state_native(s), "update"),
     ):
         stream = spark.readStream.schema(
             "user_id long, event_id long, t long, value double"
@@ -430,7 +436,7 @@ def streaming_rows(spark, k: int) -> dict[str, float]:
         (
             build(stream)
             .writeStream.foreachBatch(lambda df, _b: df.count())
-            .outputMode("append")
+            .outputMode(out_mode)
             .option("checkpointLocation", f"{src}/ckpt_{name}")
             .trigger(availableNow=True)
             .start()
