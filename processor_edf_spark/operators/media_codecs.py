@@ -538,6 +538,7 @@ OPTIONAL_CODEC_LIBS: dict[str, tuple[str, ...]] = {
     "compressed_tiff": ("PIL",),  # JPEG-in-TIFF and friends beyond plugins
     "compressed_tiff_deflate": (),  # stdlib-plugin-backed (zlib), below
     "compressed_tiff_lzw": (),   # pure-python plugin (TIFF 6.0 §13), below
+    "compressed_tiff_jpeg": (),  # pure-python plugin (jpeg.py), below
     "mp3": ("soundfile",),       # libsndfile-backed
     "aac": ("soundfile",),
     "flac": (),                  # pure-python plugin (flac.py), below
@@ -866,6 +867,20 @@ def _h264_ipcm_plugin(payload):
 
 
 register_codec_plugin("h264_ipcm", _h264_ipcm_plugin)
+
+
+# pure-python, so registered unconditionally: JPEG-in-TIFF strips
+# decode through the repo's own baseline+progressive JPEG decoder.
+# Unlike the deflate/lzw strip plugins (bytes → bytes), this one
+# returns decoded HxWx3 pixels — a JPEG strip IS an image, not a
+# raster byte stream.  Lazy import for the usual circularity reason.
+def _tiff_jpeg_strip_plugin(strip):
+    from processor_edf_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(strip)
+
+
+register_codec_plugin("compressed_tiff_jpeg", _tiff_jpeg_strip_plugin)
 
 
 # pure-python, so registered unconditionally: the FLAC decoder (the

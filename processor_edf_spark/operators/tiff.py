@@ -10,7 +10,11 @@ GIF/AVI).  Compression: uncompressed inline; Deflate/AdobeDeflate
 (schemes 8/32946) through the ``compressed_tiff_deflate`` codec plugin
 (stdlib zlib, registered by default, strip inflate bounded) with the
 horizontal-differencing predictor (tag 317) undone by a modular
-cumsum; LZW/JPEG-in-TIFF route whole-payload through the optional
+cumsum; LZW (scheme 5) through the pure-python
+``compressed_tiff_lzw`` plugin; new-style JPEG-in-TIFF (scheme 7,
+incl. shared JPEGTables abbreviated strips) through the
+``compressed_tiff_jpeg`` plugin backed by the pure-python JPEG
+decoder; anything else routes whole-payload through the optional
 Pillow extra (``decode_tiff_via_optional``).  Tiled layout, 16-bit,
 and palette TIFFs raise ``UnsupportedMediaError`` into the callers'
 documented stub fallback; same one-exception contract and MAX_PIXELS
@@ -29,7 +33,7 @@ import numpy as np
 from processor_edf_spark.operators.jpeg import MAX_PIXELS
 from processor_edf_spark.operators.media_codecs import UnsupportedMediaError
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}  # 7 = UNDEFINED (bytes)
 
 
 def decode_tiff(payload: bytes) -> np.ndarray:
@@ -54,7 +58,7 @@ def _read_tag_values(payload, endian, vtype, count, value_field):
         if off + total > len(payload):
             raise UnsupportedMediaError("TIFF tag data past end of payload")
         raw = payload[off : off + total]
-    if vtype in (1, 2):
+    if vtype in (1, 2, 7):
         return list(raw)
     fmt = {3: "H", 4: "I", 5: "Q"}[vtype]
     if vtype == 5:  # RATIONAL: return numerators only (unused here)
@@ -115,6 +119,16 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         5: "compressed_tiff_lzw",            # LZW (TIFF 6.0 §13)
     }
     decompress = None
+    if compression == 7:
+        # New-style JPEG-in-TIFF (TIFF-EP / TechNote 2): each strip is
+        # a JPEG datastream, optionally abbreviated against a shared
+        # JPEGTables (tag 347) tables-only stream.  Strips route
+        # through the compressed_tiff_jpeg plugin — the pure-python
+        # baseline+progressive decoder in operators/jpeg.py is
+        # registered by default, so this path is REAL everywhere.
+        return _decode_jpeg_strips(
+            payload, tag_vals, width, height, 347 in tags
+        )
     if compression in _STRIP_PLUGIN and predictor in (1, 2):
         from processor_edf_spark.operators.media_codecs import (
             get_codec_plugin,
@@ -191,6 +205,67 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
     if photometric == 0:  # WhiteIsZero: invert
         gray = 255 - gray
     return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _decode_jpeg_strips(payload, tag_vals, width, height, has_tables):
+    """Compression-7 strip path: decode each JPEG strip to pixels and
+    stack.  Unlike the byte-stream strip plugins (Deflate/LZW), the
+    JPEG plugin returns decoded HxWx3 pixels — photometric conversion
+    (YCbCr, grayscale) lives inside the JPEG stream itself, so the
+    TIFF-level photometric/bits/predictor tags are not consulted."""
+    from processor_edf_spark.operators.media_codecs import get_codec_plugin
+
+    decode_strip = get_codec_plugin("compressed_tiff_jpeg")
+    if decode_strip is None:
+        raise UnsupportedMediaError(
+            "JPEG-in-TIFF needs the compressed_tiff_jpeg plugin "
+            "(registered by default; a deployment removed it)"
+        )
+    tables_body = b""
+    if has_tables:
+        tables = bytes(tag_vals(347))
+        if (
+            len(tables) < 4
+            or tables[:2] != b"\xff\xd8"
+            or tables[-2:] != b"\xff\xd9"
+        ):
+            raise UnsupportedMediaError(
+                "JPEGTables is not an abbreviated JPEG stream"
+            )
+        tables_body = tables[2:-2]
+    offsets = tag_vals(273)
+    counts = tag_vals(279)
+    if len(offsets) != len(counts):
+        raise UnsupportedMediaError("strip offset/count mismatch")
+    rows_per_strip = tag_vals(278, [height])[0]
+    if rows_per_strip < 1:
+        raise UnsupportedMediaError("degenerate RowsPerStrip")
+    parts = []
+    rows_done = 0
+    for off, cnt in zip(offsets, counts):
+        if rows_done >= height:
+            break
+        if off + cnt > len(payload):
+            raise UnsupportedMediaError("strip past end of payload")
+        strip = payload[off : off + cnt]
+        if tables_body:
+            if strip[:2] != b"\xff\xd8":
+                raise UnsupportedMediaError("JPEG strip missing SOI")
+            # abbreviated stream: splice the shared tables right after
+            # the strip's SOI (TIFF-EP's defined merge)
+            strip = strip[:2] + tables_body + strip[2:]
+        arr = decode_strip(strip)
+        rows_here = min(rows_per_strip, height - rows_done)
+        if arr.shape[1] != width or arr.shape[0] < rows_here:
+            raise UnsupportedMediaError(
+                f"JPEG strip geometry {arr.shape[1]}x{arr.shape[0]} "
+                f"mismatches ImageWidth {width} / its {rows_here} rows"
+            )
+        parts.append(arr[:rows_here])
+        rows_done += rows_here
+    if rows_done < height:
+        raise UnsupportedMediaError("strips cover fewer rows than ImageLength")
+    return np.ascontiguousarray(np.vstack(parts))
 
 
 def encode_tiff(img: np.ndarray, rows_per_strip: int = 8) -> bytes:
@@ -334,7 +409,8 @@ def encode_tiff_lzw(
 
 
 def _assemble_tiff(
-    w, h, spp, gray, strips, rows_per_strip, compression=1, predictor=1
+    w, h, spp, gray, strips, rows_per_strip, compression=1, predictor=1,
+    jpeg_tables=None,
 ) -> bytes:
     """Two-pass assembly: size the IFD + external arrays, then emit."""
     n_strips = len(strips)
@@ -342,11 +418,13 @@ def _assemble_tiff(
     tags = [256, 257, 258, 259, 262, 273, 277, 278, 279]
     if predictor != 1:
         tags.append(317)
+    if jpeg_tables is not None:
+        tags.append(347)
     n_tags = len(tags)
     ifd_off = 8
     ext_off = ifd_off + 2 + 12 * n_tags + 4
     ext_len = 0
-    bps_off = off_arr = cnt_arr = None
+    bps_off = off_arr = cnt_arr = tbl_off = None
     if spp != 1:
         bps_off = ext_off + ext_len
         ext_len += 2 * spp
@@ -355,6 +433,9 @@ def _assemble_tiff(
         ext_len += 4 * n_strips
         cnt_arr = ext_off + ext_len
         ext_len += 4 * n_strips
+    if jpeg_tables is not None:
+        tbl_off = ext_off + ext_len
+        ext_len += len(jpeg_tables)
     data_start = ext_off + ext_len
     offs = []
     pos = data_start
@@ -392,6 +473,8 @@ def _assemble_tiff(
         ifd += entry(279, 4, n_strips, long_val(cnt_arr))
     if predictor != 1:
         ifd += entry(317, 3, 1, short_val(predictor))
+    if jpeg_tables is not None:
+        ifd += entry(347, 7, len(jpeg_tables), long_val(tbl_off))
     ifd += struct.pack("<I", 0)  # no next IFD
 
     ext = bytearray()
@@ -400,8 +483,84 @@ def _assemble_tiff(
     if n_strips > 1:
         ext += struct.pack("<" + "I" * n_strips, *offs)
         ext += struct.pack("<" + "I" * n_strips, *counts)
+    if jpeg_tables is not None:
+        ext += jpeg_tables
 
     out = b"II" + struct.pack("<HI", 42, ifd_off) + ifd + bytes(ext)
     for s in strips:
         out += s
     return out
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """Split a standalone baseline JPEG into (table segments, the
+    abbreviated remainder): DQT/DHT move to the shared JPEGTables
+    stream, everything else (SOF, SOS + entropy data through EOI)
+    stays per-strip — the TIFF-EP abbreviated-datastream layout the
+    fixture encoder emits with ``use_jpeg_tables``."""
+    if stream[:2] != b"\xff\xd8":
+        raise UnsupportedMediaError("not a JPEG stream")
+    tables = bytearray()
+    rest = bytearray()
+    i = 2
+    while i + 4 <= len(stream):
+        if stream[i] != 0xFF:
+            raise UnsupportedMediaError("bad JPEG segment marker")
+        marker = stream[i + 1]
+        if marker == 0xDA:  # SOS: entropy-coded through EOI, verbatim
+            rest += stream[i:]
+            return bytes(tables), bytes(rest)
+        (ln,) = struct.unpack(">H", stream[i + 2 : i + 4])
+        seg = stream[i : i + 2 + ln]
+        if marker in (0xDB, 0xC4):  # DQT / DHT
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + ln
+    raise UnsupportedMediaError("JPEG stream has no SOS")
+
+
+def encode_tiff_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    rows_per_strip: int = 16,
+    use_jpeg_tables: bool = False,
+    subsampling: str = "444",
+) -> bytes:
+    """New-style JPEG-in-TIFF (compression 7) writer — the fixture
+    encoder for the compressed_tiff_jpeg plugin's parity tests: each
+    strip of ``img`` encoded as a baseline JPEG (operators/jpeg.py);
+    with ``use_jpeg_tables`` the shared DQT/DHT segments move to a
+    JPEGTables (tag 347) abbreviated tables-only stream and every
+    strip becomes an abbreviated datastream (the TIFF-EP layout real
+    writers emit).  Strip heights should be multiples of the JPEG MCU
+    (8 for 444, 16 for 420) so strip stacking is exact vs decoding
+    each strip standalone."""
+    from processor_edf_spark.operators.jpeg import encode_jpeg_baseline
+
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    strips = [
+        encode_jpeg_baseline(
+            arr[r0 : min(r0 + rows_per_strip, h)], quality, subsampling
+        )
+        for r0 in range(0, h, rows_per_strip)
+    ]
+    jpeg_tables = None
+    if use_jpeg_tables:
+        seg0, _ = _split_jpeg_tables(strips[0])
+        jpeg_tables = b"\xff\xd8" + seg0 + b"\xff\xd9"
+        strips = [
+            b"\xff\xd8" + _split_jpeg_tables(s)[1] for s in strips
+        ]
+    return _assemble_tiff(
+        w,
+        h,
+        1 if gray else 3,
+        gray,
+        strips,
+        rows_per_strip,
+        compression=7,
+        jpeg_tables=jpeg_tables,
+    )

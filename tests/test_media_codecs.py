@@ -1168,3 +1168,147 @@ def test_lzw_eoi_at_width_boundary():
         d = (bytes(range(256)) * 2)[:n]
         b2 = _lzw_compress(d)
         assert _tiff_lzw_strip_plugin(b2 + b"\x00", 10_000) == d
+
+
+def test_jpeg_tiff_strip_parity_and_tables():
+    """New-style JPEG-in-TIFF (compression 7): the TIFF path must equal
+    decoding each strip standalone and stacking — exact pixel parity,
+    no lossy tolerance, because both sides run the SAME JPEG decoder.
+    The JPEGTables (tag 347) abbreviated layout must decode to the same
+    pixels AND be materially smaller (the tables dedup is its point)."""
+    from processor_edf_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    x = np.arange(40)[None, :, None]
+    y = np.arange(48)[:, None, None]
+    img = ((x * 3 + y * 2 + np.arange(3)[None, None, :] * 40) % 256).astype(
+        np.uint8
+    )
+    for sub in ("444", "420"):
+        want = np.vstack(
+            [
+                decode_jpeg(encode_jpeg_baseline(img[r : r + 16], 90, sub))
+                for r in range(0, 48, 16)
+            ]
+        )
+        plain = encode_tiff_jpeg(
+            img, quality=90, rows_per_strip=16, subsampling=sub
+        )
+        abbrev = encode_tiff_jpeg(
+            img,
+            quality=90,
+            rows_per_strip=16,
+            use_jpeg_tables=True,
+            subsampling=sub,
+        )
+        assert np.array_equal(decode_tiff(plain), want)
+        assert np.array_equal(decode_tiff(abbrev), want)
+        assert len(abbrev) < len(plain) - 500  # shared tables dedup
+
+    # grayscale + uneven last strip (40 rows over 16-row strips)
+    g = ((np.arange(40)[None, :] * 5 + np.arange(40)[:, None]) % 256).astype(
+        np.uint8
+    )
+    want = np.vstack(
+        [
+            decode_jpeg(encode_jpeg_baseline(g[r : r + 16], 85, "444"))
+            for r in range(0, 40, 16)
+        ]
+    )
+    payload = encode_tiff_jpeg(
+        g, quality=85, rows_per_strip=16, use_jpeg_tables=True
+    )
+    assert np.array_equal(decode_tiff(payload), want)
+
+
+def test_jpeg_tiff_spark_extractor_decodes_true(spark):
+    """End-to-end through the Spark extractor: a JPEG-in-TIFF payload
+    produces decoded=true with correct dims; un-registering the plugin
+    flips the SAME payload to the one-exception contract (the same
+    deployment story as the deflate/lzw twins)."""
+    from processor_edf_spark.operators.media_codecs import (
+        _tiff_jpeg_strip_plugin,
+        optional_codec_support,
+        register_codec_plugin,
+    )
+    from processor_edf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    assert optional_codec_support()["compressed_tiff_jpeg"] is True
+    x = np.arange(24)[None, :, None]
+    y = np.arange(32)[:, None, None]
+    img = ((x * 7 + y * 3 + np.arange(3)[None, None, :] * 20) % 256).astype(
+        np.uint8
+    )
+    payload = encode_tiff_jpeg(img, rows_per_strip=16, use_jpeg_tables=True)
+    media = spark.createDataFrame(
+        [(1, "image", payload, "image/tiff", None)], MEDIA_SCHEMA
+    )
+    got = {
+        r["media_id"]: (r["decoded"], r["width"], r["height"])
+        for r in extract_image_features(media).collect()
+    }
+    assert got == {1: (True, 24, 32)}
+
+    register_codec_plugin("compressed_tiff_jpeg", None)
+    try:
+        with pytest.raises(UnsupportedMediaError, match="plugin"):
+            decode_tiff(payload)
+    finally:
+        register_codec_plugin(
+            "compressed_tiff_jpeg", _tiff_jpeg_strip_plugin
+        )
+
+
+def test_jpeg_tiff_malformed_guards():
+    """Structural guards: a JPEGTables blob that isn't an abbreviated
+    JPEG stream, an abbreviated strip missing its SOI, and a strip
+    whose decoded geometry contradicts ImageWidth all raise the
+    one-exception contract; truncation never escapes it."""
+    from processor_edf_spark.operators.jpeg import encode_jpeg_baseline
+    from processor_edf_spark.operators.tiff import (
+        _assemble_tiff,
+        decode_tiff,
+        encode_tiff_jpeg,
+    )
+
+    strip = encode_jpeg_baseline(np.zeros((16, 8, 3), np.uint8))
+    bad_tables = _assemble_tiff(
+        8, 16, 3, False, [strip], 16, compression=7,
+        jpeg_tables=b"\x00" * 12,
+    )
+    with pytest.raises(UnsupportedMediaError, match="abbreviated"):
+        decode_tiff(bad_tables)
+
+    no_soi = _assemble_tiff(
+        8, 16, 3, False, [strip[2:]], 16, compression=7,
+        jpeg_tables=b"\xff\xd8" + b"\xff\xdb\x00\x04\x00\x00" + b"\xff\xd9",
+    )
+    with pytest.raises(UnsupportedMediaError, match="SOI"):
+        decode_tiff(no_soi)
+
+    lies_about_width = _assemble_tiff(
+        12, 16, 3, False, [strip], 16, compression=7
+    )
+    with pytest.raises(UnsupportedMediaError, match="geometry"):
+        decode_tiff(lies_about_width)
+
+    img = np.zeros((32, 16, 3), np.uint8)
+    payload = encode_tiff_jpeg(img, rows_per_strip=16, use_jpeg_tables=True)
+    for cut in range(0, len(payload), 37):
+        try:
+            decode_tiff(payload[:cut])
+        except UnsupportedMediaError:
+            pass
