@@ -30,7 +30,13 @@ Determinism discipline baked into the grammar:
 - `%` applies only to non-negative bare columns (negative-operand
   remainder is the one arithmetic op worth no cross-engine bet);
 - integer arithmetic is bounded (multiply by single-digit literals only)
-  so DuckDB's checked int64 and Spark's wrapping semantics never diverge.
+  so DuckDB's checked int64 and Spark's wrapping semantics never diverge;
+- ROLLUP never combines with WHERE: this grammar MEASURED a real
+  engine divergence (seeds 107/111/254 before the fence) — over an
+  empty input relation DuckDB emits the grand-total grouping set's
+  COUNT=0 row (the ANSI/PostgreSQL reading), Spark's Expand+groupBy
+  plan emits nothing — so ROLLUP runs only on provably non-empty
+  input, where the engines agree.
 """
 
 from __future__ import annotations
@@ -43,7 +49,7 @@ import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-N_SEEDS = 320
+N_SEEDS = 400
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -285,7 +291,7 @@ def gen_expr(typ, rng, cols, pools, tname, depth=2):
 
 
 def gen_pred(rng, cols, pools, tname, depth=2):
-    k = rng.randrange(10)
+    k = rng.randrange(12)
     if k < 4 or depth <= 0:
         typ = rng.choice(["i", "i", "f", "s"])
         a, _ = gen_expr(typ, rng, cols, pools, tname, 1)
@@ -328,6 +334,33 @@ def gen_pred(rng, cols, pools, tname, depth=2):
     if k == 7:
         c, _ = gen_expr(rng.choice(["i", "s"]), rng, cols, pools, tname, 1)
         return f"({c} IS NOT NULL)"
+    if k in (10, 11):
+        # correlated subquery predicates — the semi/anti-join shapes
+        # Catalyst rewrites (EXISTS → LeftSemi, NOT EXISTS → LeftAnti,
+        # IN → semi with null-aware handling).  Correlation follows a
+        # real FK edge from tname in either direction; column names are
+        # globally unique in this schema, so the unqualified outer
+        # reference is unambiguous even when the subquery's table also
+        # appears in the outer FROM (inner scope shadows it).
+        joins = [j for j in FK_JOINS if tname in (j[0], j[2])]
+        if not joins:
+            return "(1 = 1)"
+        lt, lc, rt, rc = rng.choice(joins)
+        local, ot, oc = (lc, rt, rc) if lt == tname else (rc, lt, lc)
+        inner_pred = ""
+        if rng.random() < 0.5:
+            ic, ityp = rng.choice(TABLES[ot])
+            lit = _lit(ityp, rng, pools, ot, TABLES[ot])
+            op = rng.choice(["<", "<=", "=", "<>", ">", ">="])
+            inner_pred = f" AND {ot}.{ic} {op} {lit}"
+        neg = "NOT " if rng.random() < 0.4 else ""
+        if k == 10:
+            return (
+                f"({neg}EXISTS (SELECT 1 FROM {ot} "
+                f"WHERE {ot}.{oc} = {local}{inner_pred}))"
+            )
+        where = f" WHERE 1 = 1{inner_pred}" if inner_pred else ""
+        return f"({local} {neg}IN (SELECT {oc} FROM {ot}{where}))"
     a = gen_pred(rng, cols, pools, tname, depth - 1)
     b = gen_pred(rng, cols, pools, tname, depth - 1)
     if k == 8:
@@ -486,13 +519,26 @@ def gen_agg(rng, pools):
             e, _ = gen_expr("f", rng, cols, pools, tname, 1)
             items.append({"alias": alias, "sql": f"AVG({e})",
                           "fallback": None, "typ": "f"})
+    # ROLLUP occasionally: super-aggregate rows with NULL key markers.
+    # MEASURED cross-engine hazard (seeds 107/111/254 of this grammar
+    # found it): over an EMPTY input relation, DuckDB emits the
+    # grand-total grouping set's row (COUNT=0 — the ANSI/PostgreSQL
+    # reading: the () set is a global aggregate), while Spark's
+    # Expand+groupBy plan emits nothing.  The grammar therefore only
+    # rolls ROLLUP with no WHERE clause — the base tables are non-empty,
+    # so the divergent empty-input case cannot arise; on non-empty
+    # input the engines agree.
+    rollup = rng.random() < 0.2
+    group = [f"ROLLUP ({', '.join(keys)})"] if rollup else keys
     return {
         "kind": "select",
         "from": from_sql,
         "items": items,
-        "where": gen_pred(rng, cols, pools, tname)
-        if rng.random() < 0.6 else None,
-        "group": keys,
+        "where": None if rollup else (
+            gen_pred(rng, cols, pools, tname)
+            if rng.random() < 0.6 else None
+        ),
+        "group": group,
         "having": f"COUNT(*) > {rng.randint(0, 3)}"
         if rng.random() < 0.4 else None,
         "distinct": False,
@@ -754,6 +800,14 @@ def _shrink_candidates(q: dict):
             c = dict(q)
             c["items"] = list(q["items"])
             c["items"][i] = dict(it, sql=it["fallback"])
+            if q.get("group"):
+                # keep GROUP BY keys in sync with the collapsed item —
+                # works for plain key lists and the composite
+                # "ROLLUP (...)" string alike
+                c["group"] = [
+                    g.replace(it["sql"], it["fallback"])
+                    for g in q["group"]
+                ]
             yield c
     if len(q["items"]) > 1 and not q.get("group"):
         for i in range(len(q["items"])):
