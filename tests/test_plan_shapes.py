@@ -779,3 +779,20 @@ def test_cdf_rank_family_never_windows_over_rows(spark, name):
             )
         assert head.strip().startswith("event_type"), spec
     assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["webp_decode_stats", "flac_decode_stats", "h264_decode_stats"],
+)
+def test_codec_rows_spread_across_shuffle_width(spark, name):
+    """The pure-python codec kernels (~ms per payload) must never
+    serialize into one task on a small single-file scan — the measured
+    hazard that first cost webp_decode_stats 6.9 s before spread().
+    Pin: the mapInPandas input carries at least the session's shuffle
+    width of partitions, and the plan shows the widening Exchange."""
+    df = QUERIES[name](spark, SF_SMALL)
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert df.rdd.getNumPartitions() >= width
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange RoundRobinPartitioning" in plan, plan[:1500]
