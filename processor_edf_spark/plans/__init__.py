@@ -124,6 +124,13 @@ from processor_edf_spark.plans import analytics_r10  # noqa: E402,F401
 # out: the 50 r8-window members, every one green in BOTH
 # CORRECTNESS_r08 and CORRECTNESS_r09 (the identical window ran
 # twice).
+# r11 rotation, PRE-DECLARED: the 50 r8-window members (green in both
+# r8 and r9, out since the r10 rotation — the stalest driver evidence
+# after this window runs) lead the rotate-ins; then the four queries
+# r10 additions displaced (rolling_fingerprint, doc_fingerprint,
+# ntile_value_quartiles, dow_hour_heatmap) and the 13 tpch r7-greens
+# held at 51+.  New r11 queries take priority slots as usual;
+# test_window_covers_every_family stays the coverage gate.
 _CANONICAL = [
     # ---- r10 driver window (50): r10 additions first (priority slots
     # for their first driver check), then the 13 pre-declared
