@@ -552,7 +552,7 @@ def gen_window(rng, pools):
     order = _col(rng.choice(["i", "f", "s"]), rng, cols) or uniq[0]
     tie = ", ".join(uniq)
     total = f"{order}, {tie}"
-    k = rng.randrange(5)
+    k = rng.randrange(7)
     if k == 0:
         wf = f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {total})"
         typ = "i"
@@ -577,12 +577,27 @@ def gen_window(rng, pools):
             f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW)"
         )
         wf = f"CAST({inner} AS BIGINT)" if typ == "i" else inner
-    else:
+    elif k == 4:
         c = _col("i", rng, cols) or uniq[0]
         wf = (
             f"CAST(COUNT({c}) OVER (PARTITION BY {part}) AS BIGINT)"
         )
         typ = "i"
+    elif k == 5:
+        # NTILE over a TOTAL order — tile boundaries are then
+        # deterministic, and both engines use the ANSI bucket formula
+        wf = f"NTILE({rng.randint(2, 8)}) OVER (PARTITION BY {part} ORDER BY {total})"
+        typ = "i"
+    else:
+        c = _col(rng.choice(["i", "s"]), rng, cols) or uniq[0]
+        fn = rng.choice(["FIRST_VALUE", "LAST_VALUE"])
+        # LAST_VALUE needs the full-partition frame to be well-defined
+        # (the default frame ends at CURRENT ROW)
+        wf = (
+            f"{fn}({c}) OVER (PARTITION BY {part} ORDER BY {total} "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        )
+        typ = dict(cols).get(c, "i")
     coltypes = dict(cols)
     items = [
         {"alias": f"c{j}", "sql": u, "fallback": None,
