@@ -35,7 +35,9 @@ Decoder coverage:
   control (only disable_deblocking_filter_idc == 1 is decodable
   without a filter implementation — anything else names the extra).
 - Macroblock layer: I_PCM (mb_type 25 in I slices) — alignment bits,
-  256 luma + 2x64 chroma raw samples per macroblock (4:2:0, 8-bit).
+  256 luma + 2x64 chroma raw samples per macroblock (4:2:0, 8-bit),
+  or luma-only for 4:0:0 monochrome streams (chroma_format_idc 0,
+  crop units of 1 sample — the surveillance/medical profile).
 
 The encoder writes the same subset honestly: baseline-profile SPS
 (with real frame cropping for non-multiple-of-16 dimensions), CAVLC
@@ -252,6 +254,7 @@ class _SPS:
         "mb_width", "mb_height", "log2_max_frame_num",
         "poc_type", "log2_max_poc_lsb", "delta_pic_order_always_zero",
         "crop_left", "crop_right", "crop_top", "crop_bottom",
+        "monochrome",
     )
 
 
@@ -261,12 +264,17 @@ def _parse_sps(r: _BitReader) -> _SPS:
     r.read(8)  # constraint flags + reserved
     r.read(8)  # level_idc
     r.ue()  # seq_parameter_set_id
+    sps.monochrome = False
     if profile_idc in _HIGH_PROFILES:
         chroma_format_idc = r.ue()
-        if chroma_format_idc != 1:
+        if chroma_format_idc == 0:
+            # 4:0:0 monochrome (spec §6.2): I_PCM macroblocks carry
+            # luma samples only — surveillance/medical streams
+            sps.monochrome = True
+        elif chroma_format_idc != 1:
             raise UnsupportedMediaError(
-                "h264: only 4:2:0 chroma is decodable without the "
-                "optional codec library (av)"
+                "h264: only 4:2:0 / 4:0:0 chroma is decodable without "
+                "the optional codec library (av)"
             )
         if r.ue() or r.ue():  # bit_depth_luma/chroma_minus8
             raise UnsupportedMediaError(
@@ -302,11 +310,14 @@ def _parse_sps(r: _BitReader) -> _SPS:
         )
     r.read(1)  # direct_8x8_inference_flag
     sps.crop_left = sps.crop_right = sps.crop_top = sps.crop_bottom = 0
-    if r.read(1):  # frame_cropping_flag — offsets in 2-px chroma units
-        sps.crop_left = r.ue() * 2
-        sps.crop_right = r.ue() * 2
-        sps.crop_top = r.ue() * 2
-        sps.crop_bottom = r.ue() * 2
+    if r.read(1):  # frame_cropping_flag — offsets in crop units:
+        # 2 samples for 4:2:0 (SubWidthC/SubHeightC), 1 for monochrome
+        # (spec §7.4.2.1.1 CropUnitX/Y)
+        unit = 1 if sps.monochrome else 2
+        sps.crop_left = r.ue() * unit
+        sps.crop_right = r.ue() * unit
+        sps.crop_top = r.ue() * unit
+        sps.crop_bottom = r.ue() * unit
     # vui_parameters_present_flag and the VUI itself are irrelevant to
     # sample reconstruction — tolerated, not parsed.
     return sps
@@ -427,8 +438,12 @@ def decode_h264_ipcm(payload: bytes):
                 flush()
                 cur = (
                     np.empty((sps.mb_height * 16, sps.mb_width * 16), np.uint8),
-                    np.empty((sps.mb_height * 8, sps.mb_width * 8), np.uint8),
-                    np.empty((sps.mb_height * 8, sps.mb_width * 8), np.uint8),
+                    None if sps.monochrome else np.empty(
+                        (sps.mb_height * 8, sps.mb_width * 8), np.uint8
+                    ),
+                    None if sps.monochrome else np.empty(
+                        (sps.mb_height * 8, sps.mb_width * 8), np.uint8
+                    ),
                     0,
                 )
             if cur is None or first_mb != cur[3]:
@@ -457,10 +472,15 @@ def decode_h264_ipcm(payload: bytes):
                 y_pl[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16] = (
                     luma.reshape(16, 16)
                 )
-                cb = np.frombuffer(r.bytes_at(64), np.uint8)
-                cr = np.frombuffer(r.bytes_at(64), np.uint8)
-                u_pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cb.reshape(8, 8)
-                v_pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = cr.reshape(8, 8)
+                if u_pl is not None:  # 4:2:0; monochrome carries no chroma
+                    cb = np.frombuffer(r.bytes_at(64), np.uint8)
+                    cr = np.frombuffer(r.bytes_at(64), np.uint8)
+                    u_pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                        cb.reshape(8, 8)
+                    )
+                    v_pl[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = (
+                        cr.reshape(8, 8)
+                    )
                 mb += 1
             cur = (y_pl, u_pl, v_pl, mb)
         # SEI (6), AUD (9), filler (12), end-of-seq/stream, unknown:
@@ -474,9 +494,13 @@ def decode_h264_ipcm(payload: bytes):
         raise UnsupportedMediaError("h264: cropping removes every sample")
     out = []
     for y_pl, u_pl, v_pl in frames:
+        cy = y_pl[sps.crop_top : sps.crop_top + h,
+                  sps.crop_left : sps.crop_left + w]
+        if u_pl is None:  # monochrome: luma only
+            out.append((cy, None, None))
+            continue
         out.append((
-            y_pl[sps.crop_top : sps.crop_top + h,
-                 sps.crop_left : sps.crop_left + w],
+            cy,
             u_pl[sps.crop_top // 2 : (sps.crop_top + h) // 2,
                  sps.crop_left // 2 : (sps.crop_left + w) // 2],
             v_pl[sps.crop_top // 2 : (sps.crop_top + h) // 2,
@@ -494,26 +518,42 @@ def _nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:
 
 
 def encode_h264_ipcm(frames, width: int, height: int,
-                     slices_per_frame: int = 1) -> bytes:
+                     slices_per_frame: int = 1,
+                     monochrome: bool = False) -> bytes:
     """Annex-B all-I_PCM encoder (tests + fixtures): baseline SPS with
     real frame cropping, CAVLC PPS, one IDR picture per frame split
     into ``slices_per_frame`` slices.  ``frames`` is a list of
     (Y, U, V) uint8 arrays at the CROPPED (display) size — width and
     height must be even (4:2:0 crop units are 2 samples); padding up
     to the 16-px macroblock grid is zero-filled and cropped back out
-    by any compliant decoder."""
-    if width % 2 or height % 2:
+    by any compliant decoder.  With ``monochrome`` the stream is
+    4:0:0 (high-profile SPS, chroma_format_idc 0): each frame is a
+    bare HxW luma array, crop units are 1 sample so odd dimensions
+    are legal, and I_PCM macroblocks carry 256 luma bytes only."""
+    if not monochrome and (width % 2 or height % 2):
         raise UnsupportedMediaError("h264 encoder: dimensions must be even")
     mb_w = -(-width // 16)
     mb_h = -(-height // 16)
     crop_right = mb_w * 16 - width
     crop_bottom = mb_h * 16 - height
+    crop_unit = 1 if monochrome else 2
 
     w = _BitWriter()
-    w.write(66, 8)  # profile_idc: baseline
-    w.write(0xC0, 8)  # constraint_set0+1, reserved zeros
-    w.write(30, 8)  # level_idc
-    w.ue(0)  # seq_parameter_set_id
+    if monochrome:
+        w.write(100, 8)  # profile_idc: high (carries chroma_format_idc)
+        w.write(0x00, 8)
+        w.write(30, 8)  # level_idc
+        w.ue(0)  # seq_parameter_set_id
+        w.ue(0)  # chroma_format_idc: 4:0:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.write(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        w.write(0, 1)  # seq_scaling_matrix_present_flag
+    else:
+        w.write(66, 8)  # profile_idc: baseline
+        w.write(0xC0, 8)  # constraint_set0+1, reserved zeros
+        w.write(30, 8)  # level_idc
+        w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(2)  # pic_order_cnt_type: 2 (decode-order output)
     w.ue(0)  # max_num_ref_frames
@@ -525,9 +565,9 @@ def encode_h264_ipcm(frames, width: int, height: int,
     if crop_right or crop_bottom:
         w.write(1, 1)
         w.ue(0)
-        w.ue(crop_right // 2)
+        w.ue(crop_right // crop_unit)
         w.ue(0)
-        w.ue(crop_bottom // 2)
+        w.ue(crop_bottom // crop_unit)
     else:
         w.write(0, 1)
     w.write(0, 1)  # vui_parameters_present_flag
@@ -554,18 +594,28 @@ def encode_h264_ipcm(frames, width: int, height: int,
     out += _nal(3, 8, w.getvalue())
 
     n_mbs = mb_w * mb_h
-    for f_idx, (y, u, v) in enumerate(frames):
+    for f_idx, frame in enumerate(frames):
+        if monochrome:
+            y, u, v = frame, None, None
+        else:
+            y, u, v = frame
         y = np.asarray(y, np.uint8)
-        u = np.asarray(u, np.uint8)
-        v = np.asarray(v, np.uint8)
-        if y.shape != (height, width) or u.shape != (height // 2, width // 2):
+        if y.shape != (height, width):
             raise UnsupportedMediaError("h264 encoder: plane shape mismatch")
         y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
-        u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
-        v_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
         y_pad[:height, :width] = y
-        u_pad[: height // 2, : width // 2] = u
-        v_pad[: height // 2, : width // 2] = v
+        u_pad = v_pad = None
+        if not monochrome:
+            u = np.asarray(u, np.uint8)
+            v = np.asarray(v, np.uint8)
+            if u.shape != (height // 2, width // 2):
+                raise UnsupportedMediaError(
+                    "h264 encoder: plane shape mismatch"
+                )
+            u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+            v_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+            u_pad[: height // 2, : width // 2] = u
+            v_pad[: height // 2, : width // 2] = v
 
         bounds = [
             (n_mbs * s) // slices_per_frame
@@ -592,12 +642,15 @@ def encode_h264_ipcm(frames, width: int, height: int,
                     y_pad[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16]
                     .tobytes()
                 )
-                w.write_bytes(
-                    u_pad[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes()
-                )
-                w.write_bytes(
-                    v_pad[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8].tobytes()
-                )
+                if not monochrome:
+                    w.write_bytes(
+                        u_pad[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                        .tobytes()
+                    )
+                    w.write_bytes(
+                        v_pad[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                        .tobytes()
+                    )
             w.trailing_bits()
             out += _nal(3, 5, w.getvalue())
     return bytes(out)

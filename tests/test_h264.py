@@ -622,3 +622,53 @@ def test_signed_exp_golomb_roundtrip(values):
     w.trailing_bits()
     r = _BitReader(w.getvalue())
     assert [r.se() for _ in values] == values
+
+
+# ---------------------------------------------------------------------------
+# 4:0:0 monochrome
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "w,h,slices,nf",
+    [(16, 16, 1, 1), (37, 23, 2, 3), (5, 9, 1, 2), (48, 32, 3, 1)],
+)
+def test_roundtrip_monochrome(w, h, slices, nf):
+    # odd dimensions are LEGAL in 4:0:0 (crop unit is 1 sample)
+    rng = np.random.default_rng(w * 31 + h)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(nf)]
+    payload = encode_h264_ipcm(
+        frames, w, h, slices_per_frame=slices, monochrome=True
+    )
+    dw, dh, dec = decode_h264_ipcm(payload)
+    assert (dw, dh) == (w, h)
+    assert len(dec) == nf
+    for y, (dy, du, dv) in zip(frames, dec):
+        assert du is None and dv is None
+        assert np.array_equal(y, dy)
+
+
+def test_monochrome_through_router_and_sampler(spark):
+    from processor_edf_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+    from processor_edf_spark.operators.png import decode_png
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, (17, 21), dtype=np.uint8)
+              for _ in range(2)]
+    payload = encode_h264_ipcm(frames, 21, 17, monochrome=True)
+    w, h, dec = decode_h264_video(payload)
+    assert (w, h) == (21, 17) and dec[0][1] is None
+
+    media = spark.createDataFrame(
+        [(1, "video", payload, "video/h264", None)], MEDIA_SCHEMA
+    )
+    out = sorted(
+        sample_frames(media, every_usec=250_000, max_frames=4).collect(),
+        key=lambda r: r["frame_idx"],
+    )
+    assert len(out) == 2
+    luma = decode_png(bytes(out[1]["frame"]))
+    assert np.array_equal(luma[:, :, 0], frames[1])
