@@ -414,23 +414,107 @@ def test_png_palette_and_subbyte_depths():
         np.testing.assert_array_equal(decode_png(build(depth)), palette[idx])
 
 
-def test_png_rejects_interlace_16bit_and_malformed():
+def test_png_rejects_bad_interlace_16bit_and_malformed():
     from processor_edf_spark.operators.png import decode_png, encode_png
 
     good = bytearray(encode_png(np.zeros((8, 8, 3), dtype=np.uint8)))
     # IHDR body starts at 8 (sig) + 8 (len+type); interlace byte is its 13th
-    interlaced = bytearray(good)
-    interlaced[8 + 8 + 12] = 1
+    bad_interlace = bytearray(good)
+    bad_interlace[8 + 8 + 12] = 2  # only methods 0/1 exist
+    lying_interlace = bytearray(good)
+    # claims Adam7 but carries a non-interlaced scanline layout: the
+    # pass layout needs MORE bytes (per-pass filter bytes), so the
+    # bounded inflate comes up short — rejected, never misdecoded
+    lying_interlace[8 + 8 + 12] = 1
     deep = bytearray(good)
     deep[8 + 8 + 8] = 16
     for payload in (
-        bytes(interlaced),
+        bytes(bad_interlace),
+        bytes(lying_interlace),
         bytes(deep),
         bytes(good[: len(good) // 2]),   # truncated chunk declaration
         b"\x89PNG\r\n\x1a\n" + bytes(50),  # garbage chunks
     ):
         with pytest.raises(UnsupportedMediaError):
             decode_png(payload)
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 decode parity: the interlaced encoding of an image decodes
+    byte-identically to its non-interlaced decode — every geometry
+    here exercises a different subset of the seven passes (1x1 hits
+    only pass 1, 2x3 leaves passes 2-5 empty, 20x11 hits all seven)."""
+    from processor_edf_spark.operators.png import ADAM7, decode_png, encode_png
+
+    # the pass table must reproduce the spec's canonical 8x8 pattern
+    pat = np.zeros((8, 8), int)
+    for i, (x0, y0, xs, ys) in enumerate(ADAM7, 1):
+        pat[y0::ys, x0::xs] = i
+    canon = np.array([
+        [1, 6, 4, 6, 2, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [3, 6, 4, 6, 3, 6, 4, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+        [5, 6, 5, 6, 5, 6, 5, 6],
+        [7, 7, 7, 7, 7, 7, 7, 7],
+    ])
+    assert np.array_equal(pat, canon)
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (2, 3), (7, 9), (8, 8), (20, 11), (5, 1), (1, 5)]:
+        for ch in (1, 3, 4):
+            img = rng.integers(
+                0, 256, (h, w) if ch == 1 else (h, w, ch), dtype=np.uint8
+            )
+            assert np.array_equal(
+                decode_png(encode_png(img)),
+                decode_png(encode_png(img, interlace=True)),
+            ), (h, w, ch)
+
+
+def test_png_adam7_subbyte_gray():
+    """Sub-byte interlaced decode: hand-assembled 2-bit gray Adam7
+    (each pass's rows packed at 2 bits/sample, filter None) must equal
+    the scaled gray expansion — the per-pass packing boundary is where
+    a naive full-width unpack would corrupt samples."""
+    import struct
+    import zlib
+
+    from processor_edf_spark.operators.png import (
+        ADAM7,
+        PNG_SIG,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    h, w, depth = 9, 7, 2
+    gray_idx = rng.integers(0, 4, (h, w), dtype=np.uint8)
+    lines = bytearray()
+    for x0, y0, xs, ys in ADAM7:
+        sub = gray_idx[y0::ys, x0::xs]
+        if not sub.shape[0] or not sub.shape[1]:
+            continue
+        for r in range(sub.shape[0]):
+            bits = np.unpackbits(sub[r][:, None], axis=1)[:, 6:8].reshape(-1)
+            lines.append(0)  # filter None
+            lines += np.packbits(bits).tobytes()
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b))
+        )
+
+    payload = (
+        PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+    want = np.repeat((gray_idx * 85).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_png(payload), want)
 
 
 def test_spark_image_path_decodes_real_png(spark):
