@@ -8,8 +8,9 @@ lossless decode for 8-bit images of every color type
 (gray, RGB, palette, gray+alpha, RGBA) plus 1/2/4-bit palette and
 grayscale, in both scanline orders — sequential and Adam7 interlaced
 (seven filtered sub-images, spec §8.2, empty passes skipped).  16-bit
-channels raise ``UnsupportedMediaError`` into the callers' documented
-stub fallback.
+channels decode to their high byte (the spec's sample-depth scaling
+for an 8-bit consumer — the one deliberately lossy path, inherent to
+the uint8 RGB decode contract).
 
 Decode shape: chunk walk → one ``zlib.decompress`` → scanline
 unfiltering → palette/alpha normalization to HxWx3 RGB.  Unfiltering is
@@ -99,20 +100,26 @@ def _unfilter(raw, height, stride, bpp):
 def _samples(pixels, height, width, depth, ch):
     """Packed unfiltered scanlines → (height, width, n) uint8 samples;
     for sub-byte depths n is 1 and the values are RAW indices/levels
-    (palette lookup / gray scaling happens after pass assembly)."""
+    (palette lookup / gray scaling happens after pass assembly); 16-bit
+    samples reduce to their high byte (the spec's sample-depth scaling
+    for an 8-bit consumer, and what image libraries do)."""
     if depth < 8:
         unpacked = np.unpackbits(pixels, axis=1)
         parts = unpacked[:, : width * depth].reshape(height, width, depth)
         weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
         idx = (parts * weights).sum(axis=2).astype(np.uint8)
         return idx[:, :, None]
+    if depth == 16:  # big-endian sample pairs → high byte
+        return pixels[:, : width * ch * 2].reshape(height, width, ch, 2)[
+            :, :, :, 0
+        ]
     return pixels[:, : width * ch].reshape(height, width, ch)
 
 
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → HxWx3 uint8 RGB (gray replicated, palette resolved, alpha
-    dropped), sequential or Adam7 interlaced.  Raises UnsupportedMediaError for 16-bit /
-    malformed payloads."""
+    dropped), sequential or Adam7 interlaced, 16-bit reduced to the
+    high byte.  Raises UnsupportedMediaError for malformed payloads."""
     try:
         return _decode_png(payload)
     except UnsupportedMediaError:
@@ -160,9 +167,9 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"interlace method {interlace}")
     if color not in _CHANNELS:
         raise UnsupportedMediaError(f"color type {color}")
-    if depth == 16:
-        raise UnsupportedMediaError("16-bit channels")
-    if depth not in (1, 2, 4, 8) or (depth < 8 and color not in (0, 3)):
+    if depth == 16 and color == 3:
+        raise UnsupportedMediaError("16-bit palette indices are not a PNG")
+    if depth not in (1, 2, 4, 8, 16) or (depth < 8 and color not in (0, 3)):
         raise UnsupportedMediaError(f"bit depth {depth} for color type {color}")
     if width < 1 or height < 1:
         raise UnsupportedMediaError(f"degenerate dimensions ({width}x{height})")

@@ -427,6 +427,8 @@ def test_png_rejects_bad_interlace_16bit_and_malformed():
     # bounded inflate comes up short — rejected, never misdecoded
     lying_interlace[8 + 8 + 12] = 1
     deep = bytearray(good)
+    # claims 16-bit over an 8-bit layout: scanlines need 2x the bytes,
+    # the bounded inflate comes up short — rejected, never misdecoded
     deep[8 + 8 + 8] = 16
     for payload in (
         bytes(bad_interlace),
@@ -1396,3 +1398,73 @@ def test_jpeg_tiff_malformed_guards():
             decode_tiff(payload[:cut])
         except UnsupportedMediaError:
             pass
+
+
+def test_png_16bit_high_byte_decode():
+    """16-bit channels decode to their high byte (the spec's
+    sample-depth scaling for an 8-bit consumer): sequential RGB,
+    Adam7 gray, and RGBA under the Up filter (bpp is 8 bytes at
+    16-bit RGBA — the filter distance the depth doubles)."""
+    import struct
+    import zlib
+
+    from processor_edf_spark.operators.png import (
+        ADAM7,
+        PNG_SIG,
+        decode_png,
+    )
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b))
+        )
+
+    def png(w, h, depth, color, interlace, lines):
+        return (
+            PNG_SIG
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace),
+            )
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(17)
+    h, w = 6, 5
+    img16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    lines = bytearray()
+    for r in img16.astype(">u2"):
+        lines.append(0)
+        lines += r.tobytes()
+    got = decode_png(png(w, h, 16, 2, 0, lines))
+    assert np.array_equal(got, (img16 >> 8).astype(np.uint8))
+
+    h, w = 9, 7
+    g16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    lines = bytearray()
+    for x0, y0, xs, ys in ADAM7:
+        sub = g16[y0::ys, x0::xs].astype(">u2")
+        if not sub.shape[0] or not sub.shape[1]:
+            continue
+        for r in sub:
+            lines.append(0)
+            lines += r.tobytes()
+    got = decode_png(png(w, h, 16, 0, 1, lines))
+    want = np.repeat(((g16 >> 8).astype(np.uint8))[:, :, None], 3, axis=2)
+    assert np.array_equal(got, want)
+
+    h, w = 4, 3
+    rgba16 = rng.integers(0, 65536, (h, w, 4), dtype=np.uint16)
+    rows = [r.tobytes() for r in rgba16.astype(">u2")]
+    lines = bytearray()
+    prev = bytes(len(rows[0]))
+    for r in rows:
+        lines.append(2)  # Up filter
+        cur = np.frombuffer(r, np.uint8).astype(int)
+        pv = np.frombuffer(prev, np.uint8)
+        lines += ((cur - pv) & 0xFF).astype(np.uint8).tobytes()
+        prev = r
+    got = decode_png(png(w, h, 16, 6, 0, lines))
+    assert np.array_equal(got, (rgba16[:, :, :3] >> 8).astype(np.uint8))
