@@ -4,9 +4,11 @@ JPEG/PNG/GIF.
 
 Scope is the baseline-TIFF profile that covers real files: both byte
 orders (II/MM), 8-bit grayscale and RGB(A), strip layout (any
-RowsPerStrip), PlanarConfiguration chunky, first IFD only (multi-page
-TIFFs decode their first page — the frame-demux story belongs to
-GIF/AVI).  Compression: uncompressed inline; Deflate/AdobeDeflate
+RowsPerStrip) AND tiled layout (TIFF 6.0 §15 — row-major padded tile
+grid, clipped on paste, predictor undone per tile, every compression
+scheme below per tile), PlanarConfiguration chunky, first IFD only
+(multi-page TIFFs decode their first page — the frame-demux story
+belongs to GIF/AVI).  Compression: uncompressed inline; Deflate/AdobeDeflate
 (schemes 8/32946) through the ``compressed_tiff_deflate`` codec plugin
 (stdlib zlib, registered by default, strip inflate bounded) with the
 horizontal-differencing predictor (tag 317) undone by a modular
@@ -15,7 +17,7 @@ cumsum; LZW (scheme 5) through the pure-python
 incl. shared JPEGTables abbreviated strips) through the
 ``compressed_tiff_jpeg`` plugin backed by the pure-python JPEG
 decoder; anything else routes whole-payload through the optional
-Pillow extra (``decode_tiff_via_optional``).  Tiled layout, 16-bit,
+Pillow extra (``decode_tiff_via_optional``).  16-bit
 and palette TIFFs raise ``UnsupportedMediaError`` into the callers'
 documented stub fallback; same one-exception contract and MAX_PIXELS
 bound as the other codecs.
@@ -126,9 +128,7 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         # through the compressed_tiff_jpeg plugin — the pure-python
         # baseline+progressive decoder in operators/jpeg.py is
         # registered by default, so this path is REAL everywhere.
-        return _decode_jpeg_strips(
-            payload, tag_vals, width, height, 347 in tags
-        )
+        return _decode_jpeg_strips(payload, tags, tag_vals, width, height)
     if compression in _STRIP_PLUGIN and predictor in (1, 2):
         from processor_edf_spark.operators.media_codecs import (
             get_codec_plugin,
@@ -163,42 +163,94 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError(f"non-8-bit TIFF samples {bits}")
     if tag_vals(284, [1])[0] != 1:
         raise UnsupportedMediaError("planar TIFF layout")
-    if 322 in tags or 323 in tags:
-        raise UnsupportedMediaError("tiled TIFF layout")
     if photometric == 2 and spp < 3:
         raise UnsupportedMediaError("RGB TIFF with fewer than 3 samples")
 
-    offsets = tag_vals(273)
-    counts = tag_vals(279)
-    rows_per_strip = tag_vals(278, [height])[0]
-    if len(offsets) != len(counts):
-        raise UnsupportedMediaError("strip offset/count mismatch")
-    row_bytes = width * spp
-    raster = bytearray()
-    rows_done = 0
-    for off, cnt in zip(offsets, counts):
-        if off + cnt > len(payload):
-            raise UnsupportedMediaError("strip past end of payload")
-        rows_here = min(rows_per_strip, height - rows_done)
-        need = rows_here * row_bytes
-        if decompress is not None:
-            data = decompress(payload[off : off + cnt], need)
-            if len(data) < need:
-                raise UnsupportedMediaError("strip inflates short of its rows")
-        else:
-            if cnt < need:
-                raise UnsupportedMediaError("strip shorter than its rows")
-            data = payload[off : off + need]
-        raster += data[:need]
-        rows_done += rows_here
-    if rows_done < height:
-        raise UnsupportedMediaError("strips cover fewer rows than ImageLength")
-
-    img = np.frombuffer(bytes(raster), dtype=np.uint8, count=height * row_bytes)
-    img = img.reshape(height, width, spp)
-    if predictor == 2:
-        # horizontal differencing: undo with a per-sample modular cumsum
-        img = (np.cumsum(img, axis=1, dtype=np.uint32) % 256).astype(np.uint8)
+    if 322 in tags or 323 in tags:
+        # tiled layout (TIFF 6.0 §15): row-major grid of TileWidth x
+        # TileLength tiles, EVERY tile full-size (edge tiles padded —
+        # the padding is decoded and clipped).  The predictor restarts
+        # per tile row within a tile, so it's undone per tile.
+        tw = tag_vals(322)[0]
+        tl = tag_vals(323)[0]
+        if tw < 1 or tl < 1 or tw % 16 or tl % 16:  # spec: multiples of 16
+            raise UnsupportedMediaError(f"bad TIFF tile geometry {tw}x{tl}")
+        offsets = tag_vals(324)
+        counts = tag_vals(325)
+        if len(offsets) != len(counts):
+            raise UnsupportedMediaError("tile offset/count mismatch")
+        across = -(-width // tw)
+        down = -(-height // tl)
+        if len(offsets) < across * down:
+            raise UnsupportedMediaError("fewer tiles than the grid needs")
+        tile_bytes = tw * tl * spp
+        img = np.zeros((height, width, spp), dtype=np.uint8)
+        for i in range(across * down):
+            ty, tx = divmod(i, across)
+            off, cnt = offsets[i], counts[i]
+            if off + cnt > len(payload):
+                raise UnsupportedMediaError("tile past end of payload")
+            if decompress is not None:
+                data = decompress(payload[off : off + cnt], tile_bytes)
+                if len(data) < tile_bytes:
+                    raise UnsupportedMediaError(
+                        "tile inflates short of its raster"
+                    )
+            else:
+                if cnt < tile_bytes:
+                    raise UnsupportedMediaError("tile shorter than its raster")
+                data = payload[off : off + tile_bytes]
+            tile = np.frombuffer(
+                bytes(data), dtype=np.uint8, count=tile_bytes
+            ).reshape(tl, tw, spp)
+            if predictor == 2:
+                tile = (
+                    np.cumsum(tile, axis=1, dtype=np.uint32) % 256
+                ).astype(np.uint8)
+            y0, x0 = ty * tl, tx * tw
+            img[y0 : y0 + min(tl, height - y0),
+                x0 : x0 + min(tw, width - x0)] = (
+                tile[: height - y0, : width - x0]
+            )
+    else:
+        offsets = tag_vals(273)
+        counts = tag_vals(279)
+        rows_per_strip = tag_vals(278, [height])[0]
+        if len(offsets) != len(counts):
+            raise UnsupportedMediaError("strip offset/count mismatch")
+        row_bytes = width * spp
+        raster = bytearray()
+        rows_done = 0
+        for off, cnt in zip(offsets, counts):
+            if off + cnt > len(payload):
+                raise UnsupportedMediaError("strip past end of payload")
+            rows_here = min(rows_per_strip, height - rows_done)
+            need = rows_here * row_bytes
+            if decompress is not None:
+                data = decompress(payload[off : off + cnt], need)
+                if len(data) < need:
+                    raise UnsupportedMediaError(
+                        "strip inflates short of its rows"
+                    )
+            else:
+                if cnt < need:
+                    raise UnsupportedMediaError("strip shorter than its rows")
+                data = payload[off : off + need]
+            raster += data[:need]
+            rows_done += rows_here
+        if rows_done < height:
+            raise UnsupportedMediaError(
+                "strips cover fewer rows than ImageLength"
+            )
+        img = np.frombuffer(
+            bytes(raster), dtype=np.uint8, count=height * row_bytes
+        )
+        img = img.reshape(height, width, spp)
+        if predictor == 2:
+            # horizontal differencing: undo with a per-sample modular cumsum
+            img = (np.cumsum(img, axis=1, dtype=np.uint32) % 256).astype(
+                np.uint8
+            )
     if photometric == 2:
         return np.ascontiguousarray(img[:, :, :3])  # drop alpha/extras
     gray = img[:, :, 0]
@@ -207,22 +259,23 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
-def _decode_jpeg_strips(payload, tag_vals, width, height, has_tables):
-    """Compression-7 strip path: decode each JPEG strip to pixels and
-    stack.  Unlike the byte-stream strip plugins (Deflate/LZW), the
-    JPEG plugin returns decoded HxWx3 pixels — photometric conversion
-    (YCbCr, grayscale) lives inside the JPEG stream itself, so the
-    TIFF-level photometric/bits/predictor tags are not consulted."""
+def _decode_jpeg_strips(payload, tags, tag_vals, width, height):
+    """Compression-7 path: decode each JPEG strip (or tile) to pixels
+    and assemble.  Unlike the byte-stream strip plugins (Deflate/LZW),
+    the JPEG plugin returns decoded HxWx3 pixels — photometric
+    conversion (YCbCr, grayscale) lives inside the JPEG stream itself,
+    so the TIFF-level photometric/bits/predictor tags are not
+    consulted."""
     from processor_edf_spark.operators.media_codecs import get_codec_plugin
 
-    decode_strip = get_codec_plugin("compressed_tiff_jpeg")
-    if decode_strip is None:
+    decode_one = get_codec_plugin("compressed_tiff_jpeg")
+    if decode_one is None:
         raise UnsupportedMediaError(
             "JPEG-in-TIFF needs the compressed_tiff_jpeg plugin "
             "(registered by default; a deployment removed it)"
         )
     tables_body = b""
-    if has_tables:
+    if 347 in tags:
         tables = bytes(tag_vals(347))
         if (
             len(tables) < 4
@@ -233,6 +286,47 @@ def _decode_jpeg_strips(payload, tag_vals, width, height, has_tables):
                 "JPEGTables is not an abbreviated JPEG stream"
             )
         tables_body = tables[2:-2]
+
+    def decode(chunk):
+        if tables_body:
+            if chunk[:2] != b"\xff\xd8":
+                raise UnsupportedMediaError("JPEG strip missing SOI")
+            # abbreviated stream: splice the shared tables right after
+            # the SOI (TIFF-EP's defined merge)
+            chunk = chunk[:2] + tables_body + chunk[2:]
+        return decode_one(chunk)
+
+    if 322 in tags or 323 in tags:  # tiled: every tile a full JPEG
+        tw = tag_vals(322)[0]
+        tl = tag_vals(323)[0]
+        if tw < 1 or tl < 1 or tw % 16 or tl % 16:
+            raise UnsupportedMediaError(f"bad TIFF tile geometry {tw}x{tl}")
+        offsets = tag_vals(324)
+        counts = tag_vals(325)
+        if len(offsets) != len(counts):
+            raise UnsupportedMediaError("tile offset/count mismatch")
+        across = -(-width // tw)
+        down = -(-height // tl)
+        if len(offsets) < across * down:
+            raise UnsupportedMediaError("fewer tiles than the grid needs")
+        img = np.zeros((height, width, 3), dtype=np.uint8)
+        for i in range(across * down):
+            ty, tx = divmod(i, across)
+            off, cnt = offsets[i], counts[i]
+            if off + cnt > len(payload):
+                raise UnsupportedMediaError("tile past end of payload")
+            arr = decode(payload[off : off + cnt])
+            if arr.shape[0] < tl or arr.shape[1] < tw:
+                raise UnsupportedMediaError(
+                    f"JPEG tile geometry {arr.shape[1]}x{arr.shape[0]} "
+                    f"smaller than the {tw}x{tl} tile"
+                )
+            y0, x0 = ty * tl, tx * tw
+            img[y0 : y0 + min(tl, height - y0),
+                x0 : x0 + min(tw, width - x0)] = (
+                arr[: height - y0, : width - x0]
+            )
+        return img
     offsets = tag_vals(273)
     counts = tag_vals(279)
     if len(offsets) != len(counts):
@@ -247,14 +341,7 @@ def _decode_jpeg_strips(payload, tag_vals, width, height, has_tables):
             break
         if off + cnt > len(payload):
             raise UnsupportedMediaError("strip past end of payload")
-        strip = payload[off : off + cnt]
-        if tables_body:
-            if strip[:2] != b"\xff\xd8":
-                raise UnsupportedMediaError("JPEG strip missing SOI")
-            # abbreviated stream: splice the shared tables right after
-            # the strip's SOI (TIFF-EP's defined merge)
-            strip = strip[:2] + tables_body + strip[2:]
-        arr = decode_strip(strip)
+        arr = decode(payload[off : off + cnt])
         rows_here = min(rows_per_strip, height - rows_done)
         if arr.shape[1] != width or arr.shape[0] < rows_here:
             raise UnsupportedMediaError(
@@ -564,3 +651,135 @@ def encode_tiff_jpeg(
         compression=7,
         jpeg_tables=jpeg_tables,
     )
+
+
+def encode_tiff_tiled(
+    img: np.ndarray,
+    tile_w: int = 16,
+    tile_h: int = 16,
+    compression: int = 1,
+    predictor: int = 1,
+    quality: int = 90,
+) -> bytes:
+    """Tiled-layout TIFF writer (TIFF 6.0 §15; fixtures): gray (HxW) or
+    RGB (HxWx3), row-major tile grid, edge tiles zero-padded to the
+    full tile size as the spec requires.  Compression per tile: 1
+    (none), 8 (Deflate), 5 (LZW) — with the optional horizontal
+    predictor undone per tile on decode — or 7 (each tile a standalone
+    baseline JPEG at ``quality``)."""
+    if tile_w % 16 or tile_h % 16:
+        raise UnsupportedMediaError("TIFF tiles must be multiples of 16")
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else arr.shape[2]
+    a3 = arr.reshape(h, w, spp)
+    across = -(-w // tile_w)
+    down = -(-h // tile_h)
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            t = np.zeros((tile_h, tile_w, spp), np.uint8)
+            sub = a3[
+                ty * tile_h : (ty + 1) * tile_h,
+                tx * tile_w : (tx + 1) * tile_w,
+            ]
+            t[: sub.shape[0], : sub.shape[1]] = sub
+            if compression == 7:
+                from processor_edf_spark.operators.jpeg import (
+                    encode_jpeg_baseline,
+                )
+
+                tiles.append(
+                    encode_jpeg_baseline(
+                        t[:, :, 0] if gray else t, quality
+                    )
+                )
+                continue
+            if predictor == 2:
+                d = t.astype(np.int16)
+                d[:, 1:, :] -= t[:, :-1, :].astype(np.int16)
+                t = (d % 256).astype(np.uint8)
+            raw = np.ascontiguousarray(t).tobytes()
+            if compression == 8:
+                import zlib
+
+                tiles.append(zlib.compress(raw))
+            elif compression == 5:
+                tiles.append(_lzw_compress(raw))
+            elif compression == 1:
+                tiles.append(raw)
+            else:
+                raise UnsupportedMediaError(
+                    f"unsupported fixture compression {compression}"
+                )
+
+    use_predictor = predictor == 2 and compression in (5, 8)
+    n_tiles = len(tiles)
+    tags = [256, 257, 258, 259, 262, 277]
+    if use_predictor:
+        tags.append(317)
+    tags += [322, 323, 324, 325]
+    n_tags = len(tags)
+    ifd_off = 8
+    ext_off = ifd_off + 2 + 12 * n_tags + 4
+    ext = bytearray()
+    bps_off = None
+    if spp != 1:
+        bps_off = ext_off + len(ext)
+        ext += struct.pack("<" + "H" * spp, *([8] * spp))
+    off_arr = cnt_arr = None
+    if n_tiles > 1:
+        off_arr = ext_off + len(ext)
+        ext += bytes(4 * n_tiles)  # patched below
+        cnt_arr = ext_off + len(ext)
+        ext += bytes(4 * n_tiles)
+    data_start = ext_off + len(ext)
+    offs, pos = [], data_start
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    counts = [len(t) for t in tiles]
+    if n_tiles > 1:
+        ext[off_arr - ext_off : off_arr - ext_off + 4 * n_tiles] = (
+            struct.pack("<" + "I" * n_tiles, *offs)
+        )
+        ext[cnt_arr - ext_off : cnt_arr - ext_off + 4 * n_tiles] = (
+            struct.pack("<" + "I" * n_tiles, *counts)
+        )
+
+    def entry(tag, vtype, count, value):
+        return struct.pack("<HHI", tag, vtype, count) + value
+
+    def short_val(v):
+        return struct.pack("<HH", v, 0)
+
+    def long_val(v):
+        return struct.pack("<I", v)
+
+    ifd = struct.pack("<H", n_tags)
+    ifd += entry(256, 4, 1, long_val(w))
+    ifd += entry(257, 4, 1, long_val(h))
+    if spp == 1:
+        ifd += entry(258, 3, 1, short_val(8))
+    else:
+        ifd += entry(258, 3, spp, long_val(bps_off))
+    ifd += entry(259, 3, 1, short_val(compression))
+    ifd += entry(262, 3, 1, short_val(1 if gray else 2))
+    ifd += entry(277, 3, 1, short_val(spp))
+    if use_predictor:
+        ifd += entry(317, 3, 1, short_val(2))
+    ifd += entry(322, 4, 1, long_val(tile_w))
+    ifd += entry(323, 4, 1, long_val(tile_h))
+    if n_tiles == 1:
+        ifd += entry(324, 4, 1, long_val(offs[0]))
+        ifd += entry(325, 4, 1, long_val(counts[0]))
+    else:
+        ifd += entry(324, 4, n_tiles, long_val(off_arr))
+        ifd += entry(325, 4, n_tiles, long_val(cnt_arr))
+    ifd += struct.pack("<I", 0)  # no next IFD
+
+    out = b"II" + struct.pack("<HI", 42, ifd_off) + ifd + bytes(ext)
+    for t in tiles:
+        out += t
+    return out

@@ -720,7 +720,7 @@ def test_tiff_lossless_roundtrip_and_photometrics():
     np.testing.assert_array_equal(decode_tiff(bytes(p))[:, :, 0], 255 - gray)
 
 
-def test_tiff_rejects_compressed_tiled_and_malformed():
+def test_tiff_rejects_lying_compression_and_malformed():
     from processor_edf_spark.operators.tiff import decode_tiff, encode_tiff
 
     good = bytearray(encode_tiff(np.zeros((8, 8, 3), dtype=np.uint8)))
@@ -735,7 +735,7 @@ def test_tiff_rejects_compressed_tiled_and_malformed():
         return bytes(p)
 
     for payload in (
-        with_compression(7),  # JPEG-in-TIFF: optional route, PIL absent
+        with_compression(7),  # claims JPEG-in-TIFF but strips aren't JPEG
         with_compression(5),  # claims LZW but strips are raw garbage
         bytes(good[: len(good) // 2]),
         b"II*\x00" + bytes(20),
@@ -1468,3 +1468,85 @@ def test_png_16bit_high_byte_decode():
         prev = r
     got = decode_png(png(w, h, 16, 6, 0, lines))
     assert np.array_equal(got, (rgba16[:, :, :3] >> 8).astype(np.uint8))
+
+
+def test_tiff_tiled_layout_all_compressions():
+    """Tiled layout (TIFF 6.0 §15): lossless schemes round-trip exactly
+    through padded edge tiles and the per-tile predictor; JPEG tiles
+    pin exact parity against per-tile JPEG decode (same decoder both
+    sides, no lossy tolerance)."""
+    from processor_edf_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_tiled,
+    )
+
+    rng = np.random.default_rng(23)
+    for comp in (1, 8, 5):
+        for pred in (1, 2) if comp in (5, 8) else (1,):
+            for shape in ((40, 56, 3), (17, 19, 3), (33, 20)):
+                img = rng.integers(0, 256, shape, dtype=np.uint8)
+                payload = encode_tiff_tiled(
+                    img, 16, 16, compression=comp, predictor=pred
+                )
+                got = decode_tiff(payload)
+                want = (
+                    img if img.ndim == 3
+                    else np.repeat(img[:, :, None], 3, axis=2)
+                )
+                assert np.array_equal(got, want), (comp, pred, shape)
+
+    img = (
+        (np.arange(40)[:, None, None] * 3
+         + np.arange(56)[None, :, None] * 2
+         + np.arange(3) * 30) % 256
+    ).astype(np.uint8)
+    got = decode_tiff(encode_tiff_tiled(img, 16, 16, compression=7,
+                                        quality=92))
+    want = np.zeros_like(img)
+    for ty in range(3):
+        for tx in range(4):
+            t = np.zeros((16, 16, 3), np.uint8)
+            sub = img[ty * 16 : (ty + 1) * 16, tx * 16 : (tx + 1) * 16]
+            t[: sub.shape[0], : sub.shape[1]] = sub
+            dec = decode_jpeg(encode_jpeg_baseline(t, 92))
+            want[
+                ty * 16 : min((ty + 1) * 16, 40),
+                tx * 16 : min((tx + 1) * 16, 56),
+            ] = dec[: 40 - ty * 16, : 56 - tx * 16]
+    assert np.array_equal(got, want)
+
+
+def test_tiff_tiled_guards():
+    from processor_edf_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff_tiled,
+    )
+
+    img = np.zeros((20, 20, 3), np.uint8)
+    good = bytearray(encode_tiff_tiled(img, 16, 16))
+    n_tags = struct.unpack_from("<H", good, 8)[0]
+
+    def patch_tag(payload, tag, value):
+        p = bytearray(payload)
+        for i in range(n_tags):
+            base = 10 + 12 * i
+            if struct.unpack_from("<H", p, base)[0] == tag:
+                struct.pack_into("<I", p, base + 8, value)
+        return bytes(p)
+
+    # tile size not a multiple of 16
+    with pytest.raises(UnsupportedMediaError, match="tile geometry"):
+        decode_tiff(patch_tag(good, 322, 12))
+    # ImageLength grown past what the tile grid covers
+    with pytest.raises(UnsupportedMediaError, match="fewer tiles"):
+        decode_tiff(patch_tag(good, 257, 100))
+    # truncation never escapes the one-exception contract
+    for cut in range(0, len(good), 41):
+        try:
+            decode_tiff(bytes(good[:cut]))
+        except UnsupportedMediaError:
+            pass
