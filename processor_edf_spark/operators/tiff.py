@@ -17,8 +17,11 @@ cumsum; LZW (scheme 5) through the pure-python
 incl. shared JPEGTables abbreviated strips) through the
 ``compressed_tiff_jpeg`` plugin backed by the pure-python JPEG
 decoder; anything else routes whole-payload through the optional
-Pillow extra (``decode_tiff_via_optional``).  16-bit
-and palette TIFFs raise ``UnsupportedMediaError`` into the callers'
+Pillow extra (``decode_tiff_via_optional``).  Palette TIFFs resolve
+through ColorMap (tag 320, 16-bit entries reduced to their high
+byte); 16-bit samples decode to their high byte after the predictor
+(the uint8 RGB contract's one inherent precision loss, like PNG's).
+Anything else raises ``UnsupportedMediaError`` into the callers'
 documented stub fallback; same one-exception contract and MAX_PIXELS
 bound as the other codecs.
 
@@ -155,16 +158,64 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
     elif predictor not in (1, 2):
         raise UnsupportedMediaError(f"TIFF predictor {predictor}")
     photometric = tag_vals(262)[0]
-    if photometric not in (0, 1, 2):
+    if photometric not in (0, 1, 2, 3):
         raise UnsupportedMediaError(f"TIFF photometric {photometric}")
     spp = tag_vals(277, [1])[0]
     bits = tag_vals(258, [8] * spp)
-    if any(b != 8 for b in bits):
-        raise UnsupportedMediaError(f"non-8-bit TIFF samples {bits}")
+    if all(b == 8 for b in bits):
+        bps = 1
+    elif all(b == 16 for b in bits) and photometric != 3:
+        # 16-bit samples reduce to their high byte (the uint8 RGB
+        # decode contract's one inherent precision loss, like PNG's) —
+        # AFTER the predictor, which differences 16-bit values
+        bps = 2
+    else:
+        raise UnsupportedMediaError(f"unsupported TIFF sample bits {bits}")
     if tag_vals(284, [1])[0] != 1:
         raise UnsupportedMediaError("planar TIFF layout")
     if photometric == 2 and spp < 3:
         raise UnsupportedMediaError("RGB TIFF with fewer than 3 samples")
+    if photometric == 3 and spp != 1:
+        raise UnsupportedMediaError("palette TIFF with multiple samples")
+
+    def finish(plane16):
+        """(h, w, spp) array at sample width → HxWx3 uint8 RGB."""
+        if bps == 2:
+            img8 = (plane16 >> 8).astype(np.uint8)
+        else:
+            img8 = plane16.astype(np.uint8)
+        if photometric == 3:  # palette: ColorMap is 3 x 2^bits 16-bit
+            cmap_vals = tag_vals(320)
+            if len(cmap_vals) != 3 * 256:
+                raise UnsupportedMediaError(
+                    f"ColorMap size {len(cmap_vals)} for 8-bit indices"
+                )
+            cmap = (
+                np.asarray(cmap_vals, dtype=np.uint16)
+                .reshape(3, 256)
+                .T
+                >> 8
+            ).astype(np.uint8)
+            return cmap[img8[:, :, 0]]
+        if photometric == 2:
+            return np.ascontiguousarray(img8[:, :, :3])  # drop alpha/extras
+        gray = img8[:, :, 0]
+        if photometric == 0:  # WhiteIsZero: invert
+            gray = 255 - gray
+        return np.repeat(gray[:, :, None], 3, axis=2)
+
+    sample_mod = 65536 if bps == 2 else 256
+
+    def as_samples(buf, rows, cols):
+        """raw bytes → (rows, cols, spp) array at the sample width,
+        honouring the file byte order for 16-bit samples."""
+        if bps == 1:
+            return np.frombuffer(
+                buf, dtype=np.uint8, count=rows * cols * spp
+            ).reshape(rows, cols, spp)
+        return np.frombuffer(
+            buf, dtype=endian + "u2", count=rows * cols * spp
+        ).reshape(rows, cols, spp)
 
     if 322 in tags or 323 in tags:
         # tiled layout (TIFF 6.0 §15): row-major grid of TileWidth x
@@ -183,8 +234,10 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         down = -(-height // tl)
         if len(offsets) < across * down:
             raise UnsupportedMediaError("fewer tiles than the grid needs")
-        tile_bytes = tw * tl * spp
-        img = np.zeros((height, width, spp), dtype=np.uint8)
+        tile_bytes = tw * tl * spp * bps
+        img = np.zeros(
+            (height, width, spp), dtype=np.uint16 if bps == 2 else np.uint8
+        )
         for i in range(across * down):
             ty, tx = divmod(i, across)
             off, cnt = offsets[i], counts[i]
@@ -200,13 +253,11 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
                 if cnt < tile_bytes:
                     raise UnsupportedMediaError("tile shorter than its raster")
                 data = payload[off : off + tile_bytes]
-            tile = np.frombuffer(
-                bytes(data), dtype=np.uint8, count=tile_bytes
-            ).reshape(tl, tw, spp)
+            tile = as_samples(bytes(data), tl, tw)
             if predictor == 2:
                 tile = (
-                    np.cumsum(tile, axis=1, dtype=np.uint32) % 256
-                ).astype(np.uint8)
+                    np.cumsum(tile, axis=1, dtype=np.uint64) % sample_mod
+                ).astype(img.dtype)
             y0, x0 = ty * tl, tx * tw
             img[y0 : y0 + min(tl, height - y0),
                 x0 : x0 + min(tw, width - x0)] = (
@@ -218,7 +269,7 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         rows_per_strip = tag_vals(278, [height])[0]
         if len(offsets) != len(counts):
             raise UnsupportedMediaError("strip offset/count mismatch")
-        row_bytes = width * spp
+        row_bytes = width * spp * bps
         raster = bytearray()
         rows_done = 0
         for off, cnt in zip(offsets, counts):
@@ -242,21 +293,13 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
             raise UnsupportedMediaError(
                 "strips cover fewer rows than ImageLength"
             )
-        img = np.frombuffer(
-            bytes(raster), dtype=np.uint8, count=height * row_bytes
-        )
-        img = img.reshape(height, width, spp)
+        img = as_samples(bytes(raster), height, width)
         if predictor == 2:
             # horizontal differencing: undo with a per-sample modular cumsum
-            img = (np.cumsum(img, axis=1, dtype=np.uint32) % 256).astype(
-                np.uint8
-            )
-    if photometric == 2:
-        return np.ascontiguousarray(img[:, :, :3])  # drop alpha/extras
-    gray = img[:, :, 0]
-    if photometric == 0:  # WhiteIsZero: invert
-        gray = 255 - gray
-    return np.repeat(gray[:, :, None], 3, axis=2)
+            img = (
+                np.cumsum(img, axis=1, dtype=np.uint64) % sample_mod
+            ).astype(np.uint16 if bps == 2 else np.uint8)
+    return finish(img)
 
 
 def _decode_jpeg_strips(payload, tags, tag_vals, width, height):

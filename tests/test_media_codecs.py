@@ -1550,3 +1550,121 @@ def test_tiff_tiled_guards():
             decode_tiff(bytes(good[:cut]))
         except UnsupportedMediaError:
             pass
+
+
+def _hand_tiff(endian, w, h, bits, photometric, spp, data, extra_tags=()):
+    """Minimal single-strip TIFF in either byte order — the hand
+    builder for forms the fixture encoders don't write (16-bit
+    samples, palette ColorMap, big-endian variants thereof)."""
+    e = endian
+    ext = bytearray()
+    ifd_off = 8
+    all_tags = sorted(
+        [256, 257, 258, 259, 262, 273, 277, 278, 279]
+        + [t for t, _, _ in extra_tags]
+    )
+    n = len(all_tags)
+    ext_off = ifd_off + 2 + 12 * n + 4
+    bps_off = None
+    if spp > 1:
+        bps_off = ext_off + len(ext)
+        ext += struct.pack(e + "H" * spp, *([bits] * spp))
+    extras = {}
+    for t, vtype, vals in extra_tags:
+        fmt = {3: "H", 4: "I"}[vtype]
+        if struct.calcsize(fmt) * len(vals) > 4:
+            extras[t] = (vtype, len(vals), ext_off + len(ext), None)
+            ext += struct.pack(e + fmt * len(vals), *vals)
+        else:
+            extras[t] = (vtype, len(vals), None, vals)
+    data_off = ext_off + len(ext)
+
+    def entry(tag, vtype, count, value):
+        return struct.pack(e + "HHI", tag, vtype, count) + value
+
+    def sv(v):
+        return struct.pack(e + "HH", v, 0)
+
+    def lv(v):
+        return struct.pack(e + "I", v)
+
+    ifd = struct.pack(e + "H", n)
+    for t in all_tags:
+        if t == 256:
+            ifd += entry(256, 4, 1, lv(w))
+        elif t == 257:
+            ifd += entry(257, 4, 1, lv(h))
+        elif t == 258:
+            ifd += (
+                entry(258, 3, 1, sv(bits))
+                if spp == 1
+                else entry(258, 3, spp, lv(bps_off))
+            )
+        elif t == 259:
+            ifd += entry(259, 3, 1, sv(1))
+        elif t == 262:
+            ifd += entry(262, 3, 1, sv(photometric))
+        elif t == 273:
+            ifd += entry(273, 4, 1, lv(data_off))
+        elif t == 277:
+            ifd += entry(277, 3, 1, sv(spp))
+        elif t == 278:
+            ifd += entry(278, 4, 1, lv(h))
+        elif t == 279:
+            ifd += entry(279, 4, 1, lv(len(data)))
+        else:
+            vtype, count, off, inline = extras[t]
+            if off is not None:
+                ifd += entry(t, vtype, count, lv(off))
+            else:
+                fmt = {3: "H", 4: "I"}[vtype]
+                packed = struct.pack(e + fmt * count, *inline)
+                ifd += entry(t, vtype, count, packed.ljust(4, b"\0"))
+    ifd += struct.pack(e + "I", 0)
+    head = (b"II" if e == "<" else b"MM") + struct.pack(e + "HI", 42, 8)
+    return head + ifd + bytes(ext) + data
+
+
+def test_tiff_16bit_high_byte_both_byte_orders():
+    """16-bit samples reduce to their high byte, honouring the FILE
+    byte order — a little-endian read of big-endian samples would
+    return the LOW byte, so the II/MM pair pins endian handling."""
+    from processor_edf_spark.operators.tiff import decode_tiff
+
+    rng = np.random.default_rng(31)
+    for e, np_e in (("<", "<u2"), (">", ">u2")):
+        g16 = rng.integers(0, 65536, (9, 7), dtype=np.uint16)
+        got = decode_tiff(
+            _hand_tiff(e, 7, 9, 16, 1, 1, g16.astype(np_e).tobytes())
+        )
+        want = np.repeat(((g16 >> 8).astype(np.uint8))[:, :, None], 3, axis=2)
+        assert np.array_equal(got, want), e
+        rgb16 = rng.integers(0, 65536, (5, 4, 3), dtype=np.uint16)
+        got = decode_tiff(
+            _hand_tiff(e, 4, 5, 16, 2, 3, rgb16.astype(np_e).tobytes())
+        )
+        assert np.array_equal(got, (rgb16 >> 8).astype(np.uint8)), e
+
+
+def test_tiff_palette_colormap():
+    """Photometric 3: 8-bit indices resolve through the 3 x 256 16-bit
+    ColorMap (tag 320), entries reduced to their high byte."""
+    from processor_edf_spark.operators.tiff import decode_tiff
+
+    rng = np.random.default_rng(33)
+    idx = rng.integers(0, 256, (6, 8), dtype=np.uint8)
+    cmap16 = rng.integers(0, 65536, (3, 256), dtype=np.uint16)
+    payload = _hand_tiff(
+        "<", 8, 6, 8, 3, 1, idx.tobytes(),
+        extra_tags=[(320, 3, [int(v) for v in cmap16.reshape(-1)])],
+    )
+    got = decode_tiff(payload)
+    assert np.array_equal(got, (cmap16.T >> 8).astype(np.uint8)[idx])
+
+    # a short ColorMap is rejected, not misindexed
+    bad = _hand_tiff(
+        "<", 8, 6, 8, 3, 1, idx.tobytes(),
+        extra_tags=[(320, 3, [0] * 100)],
+    )
+    with pytest.raises(UnsupportedMediaError, match="ColorMap"):
+        decode_tiff(bad)
