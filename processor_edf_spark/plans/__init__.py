@@ -147,10 +147,14 @@ _CANONICAL = [
     # h264_decode_stats (the H.264 I_PCM codec row) displaced
     # dow_hour_heatmap (events family stays covered 6-fold in-window;
     # it keeps its r7 green at position 51+).
+    # tiff_decode_stats (the tiled-TIFF codec row) displaced
+    # boilerplate_ngrams (text family stays covered 3-fold in-window;
+    # it keeps its r7 green at position 51+).
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
     "h264_decode_stats",
+    "tiff_decode_stats",
     "mode_period_users",
     "tumbling_daily_stats",
     "band_join_acctbal",
@@ -194,9 +198,10 @@ _CANONICAL = [
     "simhash_16",
     "range_frame_user_avg",
     "intersect_all_user_days",
-    "boilerplate_ngrams",
     "embedding_norm_stats",
     "sample_hash_bucket",
+    # ---- past the 50-slot window: displaced members first
+    "boilerplate_ngrams",
     "dow_hour_heatmap",
     # ---- position 51+: every query below has a driver-green row
     # (the 50 r8-window members green in r8 AND r9, the 13 tpch
@@ -432,6 +437,7 @@ FAMILY = {
     "webp_decode_stats": "multimodal",
     "flac_decode_stats": "multimodal",
     "h264_decode_stats": "multimodal",
+    "tiff_decode_stats": "multimodal",
     # r8 additions
     "percent_rank_cdf": "windows",
     "annotations_tal_parse": "events",

@@ -405,3 +405,84 @@ def h264_decode_stats(spark, sf_dir):
             "doc_id long, width int, height int, n_frames int, sum_yuv long"
         ),
     )
+
+
+@register(
+    "tiff_decode_stats",
+    """
+    SELECT d.doc_id,
+           CAST(17 + d.doc_id % 16 AS INTEGER) AS width,
+           CAST(16 + d.doc_id % 13 AS INTEGER) AS height,
+           CAST(SUM(
+             CASE WHEN xx.x < 17 + d.doc_id % 16
+                   AND yy.y < 16 + d.doc_id % 13
+                  THEN (d.doc_id * 7 + 3 * xx.x + 5 * yy.y) % 256
+                     + (d.doc_id * 7 + 3 * xx.x + 5 * yy.y + 11) % 256
+                     + (d.doc_id * 7 + 3 * xx.x + 5 * yy.y + 22) % 256
+                  END) AS BIGINT) AS sum_rgb
+    FROM documents d, range(0, 33) xx(x), range(0, 29) yy(y)
+    GROUP BY d.doc_id
+    """,
+)
+def tiff_decode_stats(spark, sf_dir):
+    """The TIFF codec paths as a driver-hashed row — the scanned-doc
+    twin of the other codec rows: per document a deterministic RGB
+    image (every channel a pure integer function of doc_id and pixel
+    coords) at a TILE-EXERCISING geometry (17-32 x 16-28 over a 16x16
+    tile grid, so every payload has clipped edge tiles) is ENCODED as
+    a tiled TIFF (`operators/tiff.py` §15 writer) with the compression
+    scheme cycling by doc — uncompressed / Deflate / LZW, the two
+    compressed schemes alternating the horizontal predictor — and
+    DECODED back through the production ``decode_image`` magic-byte
+    router, emitting the decoded geometry and exact integer RGB sum.
+    All three schemes are lossless, so the closed-form oracle matches
+    bit-for-bit; any regression — a tile-paste clip slip, a predictor
+    restart bug, an LZW code-width miscount, an endian mix-up — breaks
+    geometry or sum and the row goes red.
+
+    Scale: decode-heavy / emit-light like the sibling codec rows;
+    ``spread()`` for the same small-scan reason (the LZW inverse is
+    pure-python per tile)."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    docs = spread(spark, docs.select("doc_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.media_codecs import decode_image
+        from processor_edf_spark.operators.tiff import encode_tiff_tiled
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 17 + d % 16, 16 + d % 13
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                img = ((d * 7 + 3 * x + 5 * y + 11 * c) % 256).astype(
+                    np.uint8
+                )
+                comp = (1, 8, 5)[d % 3]
+                pred = 2 if (d % 2 and comp != 1) else 1
+                payload = encode_tiff_tiled(
+                    img, 16, 16, compression=comp, predictor=pred
+                )
+                dec = decode_image(payload)  # the REAL router + TIFF path
+                rows.append(
+                    (
+                        d,
+                        dec.shape[1],
+                        dec.shape[0],
+                        int(dec.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "sum_rgb"]
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        gen, schema="doc_id long, width int, height int, sum_rgb long"
+    )

@@ -783,7 +783,12 @@ def test_cdf_rank_family_never_windows_over_rows(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["webp_decode_stats", "flac_decode_stats", "h264_decode_stats"],
+    [
+        "webp_decode_stats",
+        "flac_decode_stats",
+        "h264_decode_stats",
+        "tiff_decode_stats",
+    ],
 )
 def test_codec_rows_spread_across_shuffle_width(spark, name):
     """The pure-python codec kernels (~ms per payload) must never

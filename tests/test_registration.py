@@ -31,6 +31,7 @@ EXPECTED_FIRST_50 = [
     "webp_decode_stats",
     "flac_decode_stats",
     "h264_decode_stats",
+    "tiff_decode_stats",
     "mode_period_users",
     "tumbling_daily_stats",
     "band_join_acctbal",
@@ -74,7 +75,6 @@ EXPECTED_FIRST_50 = [
     "simhash_16",
     "range_frame_user_avg",
     "intersect_all_user_days",
-    "boilerplate_ngrams",
     "embedding_norm_stats",
     "sample_hash_bucket",
 ]
@@ -99,7 +99,7 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10 additions
-    assert len(QUERIES) == 149
+    assert len(QUERIES) == 150
 
 
 def test_every_query_has_a_family():
