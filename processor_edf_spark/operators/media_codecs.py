@@ -239,13 +239,25 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise UnsupportedMediaError("missing fmt/data chunk")
     audio_format, n_channels, sample_rate, _, block_align, bits = fmt
-    if audio_format not in (1, 6, 7, 0x11):
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real code in
+        # the SubFormat GUID (first 2 bytes; the 14-byte tail must be
+        # the fixed KSDATAFORMAT media-subtype suffix)
+        if len(fmt_body) < 40:
+            raise UnsupportedMediaError("extensible wav fmt chunk too short")
+        if (
+            fmt_body[26:40]
+            != b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+        ):
+            raise UnsupportedMediaError("non-standard wav SubFormat GUID")
+        (audio_format,) = struct.unpack_from("<H", fmt_body, 24)
+    if audio_format not in (1, 3, 6, 7, 0x11):
         raise UnsupportedMediaError(f"unsupported wav format {audio_format}")
     if n_channels < 1 or sample_rate < 1:
         raise UnsupportedMediaError(
@@ -261,6 +273,28 @@ def decode_wav_pcm(payload: bytes) -> tuple[int, int, np.ndarray]:
         raw = table[np.frombuffer(data, dtype=np.uint8)]
         raw = raw[: (len(raw) // n_channels) * n_channels].reshape(-1, n_channels)
         return sample_rate, n_channels, raw.astype(np.float64) / 32768.0
+    if audio_format == 3:  # IEEE float PCM (32/64-bit)
+        if bits not in (32, 64):
+            raise UnsupportedMediaError(f"{bits}-bit float wav")
+        raw = np.frombuffer(data, dtype="<f4" if bits == 32 else "<f8")
+        raw = raw[: (len(raw) // n_channels) * n_channels]
+        return (
+            sample_rate,
+            n_channels,
+            raw.reshape(-1, n_channels).astype(np.float64),
+        )
+    if bits == 24:  # packed 3-byte little-endian, sign-extended
+        b = np.frombuffer(
+            data[: len(data) - len(data) % 3], dtype=np.uint8
+        ).reshape(-1, 3).astype(np.int32)
+        vals = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        vals -= (vals & 0x800000) << 1  # sign extend bit 23
+        vals = vals[: (len(vals) // n_channels) * n_channels]
+        return (
+            sample_rate,
+            n_channels,
+            vals.reshape(-1, n_channels).astype(np.float64) / float(1 << 23),
+        )
     if bits not in _WAV_DTYPES:
         raise UnsupportedMediaError(f"unsupported PCM layout ({bits}-bit)")
     raw = np.frombuffer(data, dtype=_WAV_DTYPES[bits])

@@ -1668,3 +1668,68 @@ def test_tiff_palette_colormap():
     )
     with pytest.raises(UnsupportedMediaError, match="ColorMap"):
         decode_tiff(bad)
+
+
+def _hand_wav(fmt_body, data):
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data))
+        + b"WAVE"
+    )
+    hdr += b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    hdr += b"data" + struct.pack("<I", len(data))
+    return hdr + data
+
+
+def test_wav_24bit_float_and_extensible():
+    """The pro-audio WAV layouts: 24-bit packed PCM (3-byte
+    little-endian, sign-extended at bit 23), IEEE float (formats 3 /
+    32- and 64-bit), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) whose real
+    code lives in the SubFormat GUID — a non-standard GUID suffix is
+    rejected, never misread."""
+    from processor_edf_spark.operators.media_codecs import decode_wav_pcm
+
+    rng = np.random.default_rng(19)
+    n = 40
+    vals = rng.integers(-(1 << 23), 1 << 23, n * 2, dtype=np.int32)
+    b = np.zeros((n * 2, 3), np.uint8)
+    b[:, 0] = vals & 0xFF
+    b[:, 1] = (vals >> 8) & 0xFF
+    b[:, 2] = (vals >> 16) & 0xFF
+    want = vals.reshape(-1, 2).astype(np.float64) / (1 << 23)
+
+    fmt24 = struct.pack("<HHIIHH", 1, 2, 16000, 16000 * 6, 6, 24)
+    rate, ch, dec = decode_wav_pcm(_hand_wav(fmt24, b.tobytes()))
+    assert (rate, ch) == (16000, 2)
+    assert np.array_equal(dec, want)
+
+    f4 = rng.uniform(-1, 1, 50).astype("<f4")
+    fmt3 = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+    _, _, dec = decode_wav_pcm(_hand_wav(fmt3, f4.tobytes()))
+    assert np.array_equal(dec[:, 0], f4.astype(np.float64))
+
+    f8 = rng.uniform(-1, 1, 60).astype("<f8")
+    fmt3b = struct.pack("<HHIIHH", 3, 2, 8000, 8000 * 16, 16, 64)
+    _, _, dec = decode_wav_pcm(_hand_wav(fmt3b, f8.tobytes()))
+    assert np.array_equal(dec, f8.reshape(-1, 2))
+
+    guid = (
+        struct.pack("<H", 1)
+        + b"\x00\x00"
+        + b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    ext = (
+        struct.pack("<HHIIHH", 0xFFFE, 2, 16000, 16000 * 6, 6, 24)
+        + struct.pack("<HHI", 22, 24, 0x3)
+        + guid
+    )
+    _, _, dec = decode_wav_pcm(_hand_wav(ext, b.tobytes()))
+    assert np.array_equal(dec, want)
+
+    bad = bytearray(ext)
+    bad[30] ^= 0xFF
+    with pytest.raises(UnsupportedMediaError, match="GUID"):
+        decode_wav_pcm(_hand_wav(bytes(bad), b.tobytes()))
+    short = ext[:30]
+    with pytest.raises(UnsupportedMediaError, match="extensible"):
+        decode_wav_pcm(_hand_wav(short, b.tobytes()))
