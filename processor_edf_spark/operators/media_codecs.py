@@ -5,7 +5,7 @@ fixed headers + ``np.frombuffer``):
 - PCM WAV (RIFF/WAVE, fmt 1, 8/16/32-bit) — chunk walk + one frombuffer;
 - BMP (BITMAPINFOHEADER, 24/32-bit uncompressed) — bottom-up padded rows
   reshaped with numpy, no per-pixel Python;
-- binary PPM (P6, maxval ≤ 255) — ASCII header + raw RGB;
+- binary PPM/PGM (P6/P5, maxval ≤ 255) — ASCII header + raw samples;
 - AVI demux (RIFF LIST walk) — real container parse for frame sampling;
   per-frame decode then depends on the stream codec.
 
@@ -346,7 +346,7 @@ def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# BMP (uncompressed 24/32-bit) and binary PPM (P6)
+# BMP (24/32-bit, 1/4/8-bit palette, RLE8/RLE4) and binary PPM/PGM
 # ---------------------------------------------------------------------------
 
 
@@ -357,7 +357,7 @@ def decode_image(payload: bytes) -> np.ndarray:
     UnsupportedMediaError."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
-    if payload[:2] == b"P6":
+    if payload[:2] in (b"P6", b"P5"):
         return _decode_ppm(payload)
     if payload[:2] == b"\xff\xd8":
         from processor_edf_spark.operators.jpeg import decode_jpeg
@@ -387,12 +387,62 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if hdr_size < 40 or compression != 0 or bpp not in (24, 32):
-        raise UnsupportedMediaError(f"BMP variant (bpp={bpp}, comp={compression})")
+    (clr_used,) = struct.unpack_from("<I", payload, 46)
+    if hdr_size < 40:
+        raise UnsupportedMediaError(f"BMP header size {hdr_size}")
     if width < 1 or height == 0:  # height<0 = top-down, but width is unsigned-by-spec
         raise UnsupportedMediaError(f"degenerate BMP dimensions ({width}x{height})")
+    if width * abs(height) > 1 << 26:
+        raise UnsupportedMediaError("BMP exceeds the pixel decode bound")
     bottom_up = height > 0
     height = abs(height)
+
+    def palette(n_bits):
+        n = clr_used or (1 << n_bits)
+        off = 14 + hdr_size
+        if off + 4 * n > len(payload):
+            raise UnsupportedMediaError("truncated BMP color table")
+        tbl = np.frombuffer(
+            payload, dtype=np.uint8, count=4 * n, offset=off
+        ).reshape(n, 4)
+        return np.ascontiguousarray(tbl[:, 2::-1])  # BGRX → RGB
+
+    if compression in (1, 2):  # RLE8 / RLE4
+        if (compression == 1 and bpp != 8) or (
+            compression == 2 and bpp != 4
+        ):
+            raise UnsupportedMediaError(
+                f"BMP RLE compression {compression} with bpp={bpp}"
+            )
+        idx = _decode_bmp_rle(
+            payload[data_offset:], width, height, nibble=(compression == 2)
+        )
+        img = palette(bpp)[idx]
+        return np.ascontiguousarray(img[::-1] if bottom_up else img)
+    if compression != 0:
+        raise UnsupportedMediaError(f"BMP variant (bpp={bpp}, comp={compression})")
+    if bpp in (1, 4, 8):
+        stride = ((width * bpp + 7) // 8 + 3) & ~3
+        need = data_offset + stride * height
+        if len(payload) < need:
+            raise UnsupportedMediaError("truncated BMP pixel data")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=data_offset
+        ).reshape(height, stride)
+        if bpp == 8:
+            idx = rows[:, :width]
+        else:  # unpack 1- or 4-bit indices, MSB first
+            unpacked = np.unpackbits(rows, axis=1)
+            parts = unpacked[:, : width * bpp].reshape(height, width, bpp)
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = (parts * weights).sum(axis=2).astype(np.uint8)
+        pal = palette(bpp)
+        if int(idx.max()) >= len(pal):
+            raise UnsupportedMediaError("BMP palette index out of range")
+        img = pal[idx]
+        return np.ascontiguousarray(img[::-1] if bottom_up else img)
+    if bpp not in (24, 32):
+        raise UnsupportedMediaError(f"BMP variant (bpp={bpp}, comp={compression})")
     bytes_pp = bpp // 8
     stride = (width * bytes_pp + 3) & ~3  # rows pad to 4 bytes
     need = data_offset + stride * height
@@ -407,9 +457,70 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return np.ascontiguousarray(img[:, :, 2::-1])
 
 
+def _decode_bmp_rle(data: bytes, width: int, height: int, nibble: bool) -> np.ndarray:
+    """RLE8/RLE4 (BMP spec §compression) → (height, width) palette
+    indices in STORED (bottom-up) row order.  Escapes: 0,0 end-of-line,
+    0,1 end-of-bitmap, 0,2 delta(dx,dy) — skipped pixels stay index 0 —
+    0,n>=3 absolute run (word-aligned); runs repeat one byte (RLE8) or
+    two alternating nibbles (RLE4)."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt:  # encoded run
+            if y >= height:
+                raise UnsupportedMediaError("BMP RLE overruns the bitmap")
+            run = min(cnt, width - x)
+            if nibble:
+                pair = np.array([val >> 4, val & 0xF], dtype=np.uint8)
+                out[y, x : x + run] = np.tile(pair, (cnt + 1) // 2)[:run]
+            else:
+                out[y, x : x + run] = val
+            x += run
+            continue
+        if val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise UnsupportedMediaError("truncated BMP RLE delta")
+            x = min(x + data[i], width)
+            y += data[i + 1]
+            i += 2
+        else:  # absolute mode: val literal pixels, padded to a word
+            if y >= height:
+                raise UnsupportedMediaError("BMP RLE overruns the bitmap")
+            if nibble:
+                nbytes = (val + 1) // 2
+                if i + nbytes > n:
+                    raise UnsupportedMediaError("truncated BMP RLE literals")
+                raw = np.frombuffer(data, np.uint8, count=nbytes, offset=i)
+                nibs = np.stack([raw >> 4, raw & 0xF], axis=1).reshape(-1)
+                run = min(val, width - x)
+                out[y, x : x + run] = nibs[:run]
+                i += (nbytes + 1) & ~1
+            else:
+                if i + val > n:
+                    raise UnsupportedMediaError("truncated BMP RLE literals")
+                run = min(val, width - x)
+                out[y, x : x + run] = np.frombuffer(
+                    data, np.uint8, count=val, offset=i
+                )[:run]
+                i += (val + 1) & ~1
+            x += min(val, width - x)
+    return out
+
+
 def _decode_ppm(payload: bytes) -> np.ndarray:
-    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
-    # (comment lines starting with '#' allowed inside the header)
+    # header: P6|P5 <ws> width <ws> height <ws> maxval <single ws> raster
+    # (comment lines starting with '#' allowed inside the header);
+    # P5 is the binary graymap sibling — one sample per pixel,
+    # replicated to RGB like every gray decode here
+    ch = 3 if payload[:2] == b"P6" else 1
     fields, pos = [], 2
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
@@ -428,14 +539,13 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
         raise UnsupportedMediaError("16-bit PPM")
     if width < 1 or height < 1:
         raise UnsupportedMediaError(f"degenerate PPM dimensions ({width}x{height})")
-    need = width * height * 3
+    need = width * height * ch
     if len(payload) - pos < need:
         raise UnsupportedMediaError("truncated PPM raster")
-    return (
-        np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
-        .reshape(height, width, 3)
-        .copy()
-    )
+    arr = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    if ch == 1:
+        return np.repeat(arr.reshape(height, width, 1), 3, axis=2)
+    return arr.reshape(height, width, 3).copy()
 
 
 def encode_ppm(img: np.ndarray) -> bytes:

@@ -1733,3 +1733,124 @@ def test_wav_24bit_float_and_extensible():
     short = ext[:30]
     with pytest.raises(UnsupportedMediaError, match="extensible"):
         decode_wav_pcm(_hand_wav(short, b.tobytes()))
+
+
+def _hand_bmp(width, height, bpp, comp, pal, pixel_data, top_down=False):
+    hdr_size = 40
+    pal_bytes = b"".join(
+        struct.pack("<BBBB", b, g, r, 0) for r, g, b in pal
+    )
+    data_offset = 14 + hdr_size + len(pal_bytes)
+    h = height if not top_down else -height
+    info = struct.pack(
+        "<IiiHHIIiiII", hdr_size, width, h, 1, bpp, comp,
+        len(pixel_data), 0, 0, len(pal), 0,
+    )
+    head = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(pixel_data), 0, 0, data_offset
+    )
+    return head + info + pal_bytes + pixel_data
+
+
+def test_bmp_palette_and_rle_layouts():
+    """BMP beyond 24/32-bit: 1/4/8-bit palette rows (stride-padded,
+    MSB-first sub-byte indices), RLE8 runs and RLE4 absolute mode
+    (word-aligned literals, alternating-nibble runs), and the
+    RLE-vs-bpp pairing guard."""
+    from processor_edf_spark.operators.media_codecs import decode_image
+
+    rng = np.random.default_rng(41)
+    w, h = 7, 5
+    pal = [tuple(int(v) for v in rng.integers(0, 256, 3))
+           for _ in range(256)]
+    idx = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    want = np.array(pal, np.uint8)[idx]
+
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, :w] = idx[::-1]  # stored bottom-up
+    assert np.array_equal(
+        decode_image(_hand_bmp(w, h, 8, 0, pal, rows.tobytes())), want
+    )
+
+    pal16 = [tuple(int(v) for v in rng.integers(0, 256, 3))
+             for _ in range(16)]
+    idx4 = rng.integers(0, 16, (h, w), dtype=np.uint8)
+    packed = []
+    for r in idx4[::-1]:
+        bits = np.zeros(((w + 1) // 2) * 2, np.uint8)
+        bits[:w] = r
+        by = (bits[0::2] << 4) | bits[1::2]
+        row = np.zeros(((len(by) + 3) & ~3,), np.uint8)
+        row[: len(by)] = by
+        packed.append(row.tobytes())
+    assert np.array_equal(
+        decode_image(_hand_bmp(w, h, 4, 0, pal16, b"".join(packed))),
+        np.array(pal16, np.uint8)[idx4],
+    )
+
+    pal2 = [(0, 0, 0), (255, 255, 255)]
+    idx1 = rng.integers(0, 2, (h, w), dtype=np.uint8)
+    packed = []
+    for r in idx1[::-1]:
+        by = np.packbits(r)
+        row = np.zeros(((len(by) + 3) & ~3,), np.uint8)
+        row[: len(by)] = by
+        packed.append(row.tobytes())
+    assert np.array_equal(
+        decode_image(_hand_bmp(w, h, 1, 0, pal2, b"".join(packed))),
+        np.array(pal2, np.uint8)[idx1],
+    )
+
+    rle = bytearray()
+    for r in idx[::-1]:
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and r[x + run] == r[x] and run < 255:
+                run += 1
+            rle += bytes([run, r[x]])
+            x += run
+        rle += b"\x00\x00"  # end of line
+    rle += b"\x00\x01"  # end of bitmap
+    assert np.array_equal(
+        decode_image(_hand_bmp(w, h, 8, 1, pal, bytes(rle))), want
+    )
+
+    rle4 = bytearray()
+    for r in idx4[::-1]:
+        rle4 += bytes([0, w])  # absolute run of the whole row
+        nibs = list(r) + ([0] if w % 2 else [])
+        for a, b in zip(nibs[0::2], nibs[1::2]):
+            rle4 += bytes([(a << 4) | b])
+        if ((w + 1) // 2) % 2:
+            rle4 += b"\x00"  # word alignment
+        rle4 += b"\x00\x00"
+    rle4 += b"\x00\x01"
+    assert np.array_equal(
+        decode_image(_hand_bmp(w, h, 4, 2, pal16, bytes(rle4))),
+        np.array(pal16, np.uint8)[idx4],
+    )
+
+    with pytest.raises(UnsupportedMediaError, match="RLE"):
+        decode_image(_hand_bmp(w, h, 24, 1, [], b"\x00\x01"))
+    # truncation under the one-exception contract
+    good = _hand_bmp(w, h, 8, 1, pal, bytes(rle))
+    for cut in range(0, len(good), 53):
+        try:
+            decode_image(good[:cut])
+        except UnsupportedMediaError:
+            pass
+
+
+def test_pgm_p5_graymap():
+    from processor_edf_spark.operators.media_codecs import decode_image
+
+    rng = np.random.default_rng(43)
+    g = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    payload = b"P5\n# comment\n9 6\n255\n" + g.tobytes()
+    assert np.array_equal(
+        decode_image(payload), np.repeat(g[:, :, None], 3, axis=2)
+    )
+    with pytest.raises(UnsupportedMediaError, match="truncated"):
+        decode_image(b"P5\n9 6\n255\n" + g.tobytes()[:-1])
