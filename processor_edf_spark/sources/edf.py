@@ -154,15 +154,17 @@ def _signal_offsets(nr_samples: list[int]) -> list[int]:
     return offs
 
 
-def _tal_record_offsets(content: bytes, h: dict) -> np.ndarray | None:
+def _tal_offsets_from_matrix(rec: np.ndarray, h: dict) -> np.ndarray | None:
     """EDF+D per-record start offsets (seconds) from the first TAL of each
     record's annotation signal (reference edf.py:65-70: the bytes before the
-    first ``\\x14\\x14`` parse as a float offset)."""
+    first ``\\x14\\x14`` parse as a float offset).  Operates on a record
+    matrix so both the whole-file and the byte-range decode paths share it
+    — each data record carries its own TAL, so a record-aligned range is
+    timestamp-self-contained."""
     try:
         ann_idx = h["labels"].index(ANNOTATION_LABEL)
     except ValueError:
         return None
-    rec = _record_matrix(content, h)  # int16 view; reinterpret ann cols as bytes
     offs = _signal_offsets(h["nr_samples"])
     a0, n_a = offs[ann_idx], h["nr_samples"][ann_idx]
     out = np.empty(rec.shape[0], dtype=np.float64)
@@ -174,6 +176,10 @@ def _tal_record_offsets(content: bytes, h: dict) -> np.ndarray | None:
         except ValueError:
             out[r] = np.nan
     return out
+
+
+def _tal_record_offsets(content: bytes, h: dict) -> np.ndarray | None:
+    return _tal_offsets_from_matrix(_record_matrix(content, h), h)
 
 
 def _calibration(h: dict, i: int) -> tuple[float, float]:
@@ -193,9 +199,16 @@ def _signal_timestamps(
     start_usec: int,
     nb_rec: int,
     rec_offsets_usec: np.ndarray | None,
+    rec0: int = 0,
 ) -> np.ndarray:
     """Timestamps for signal i as an (nb_rec, n_i) int64 matrix — W3
-    (contiguous, ideal spacing) or W4 (EDF+D per-record TAL offsets)."""
+    (contiguous, ideal spacing) or W4 (EDF+D per-record TAL offsets).
+
+    ``rec0`` is the global index of the first record in this block, so a
+    record-aligned byte range produces bit-identical timestamps to the
+    whole-file decode: the contiguous formula uses the GLOBAL sample index
+    ``(rec0·n_i … (rec0+nb_rec)·n_i)``, and the EDF+D path needs no offset
+    at all (each record's TAL already carries its absolute offset)."""
     n_i = h["nr_samples"][i]
     if rec_offsets_usec is not None:
         within = np.round(np.arange(n_i) * (h["duration"] * USEC / n_i)).astype(
@@ -203,7 +216,9 @@ def _signal_timestamps(
         )
         return (start_usec + rec_offsets_usec[:nb_rec])[:, None] + within[None, :]
     rate = n_i / h["duration"]
-    idx = np.arange(nb_rec * n_i, dtype=np.int64).reshape(nb_rec, n_i)
+    idx = np.arange(
+        rec0 * n_i, (rec0 + nb_rec) * n_i, dtype=np.int64
+    ).reshape(nb_rec, n_i)
     return start_usec + np.round(idx * (USEC / rate)).astype(np.int64)
 
 
@@ -223,15 +238,30 @@ def decode_edf_bytes(
       (reference W4, edf.py:105-109, endpoint exclusive)
     """
     h = parse_edf_header(content)
-    start_usec = edf_start_usec(h["start_date"], h["start_time"])
     rec = _record_matrix(content, h)
+    file_name = path.rsplit("/", 1)[-1]
+    yield from _decode_block(h, rec, 0, file_name, wanted_signals)
+
+
+def _decode_block(
+    h: dict,
+    rec: np.ndarray,
+    rec0: int,
+    file_name: str,
+    wanted_signals: set[str] | None = None,
+) -> Iterator[pd.DataFrame]:
+    """Decode one record-aligned block (``rec`` = int16 matrix of records
+    ``rec0 … rec0+len(rec)``) into long-format sample batches.  Shared by
+    the whole-file path (rec0=0, all records) and the byte-range path —
+    the parity pin in tests/test_edf_ranges.py asserts bit-identical
+    output between the two."""
+    start_usec = edf_start_usec(h["start_date"], h["start_time"])
     nb_rec = rec.shape[0]
     offs = _signal_offsets(h["nr_samples"])
-    file_name = path.rsplit("/", 1)[-1]
 
     rec_offsets_usec = None
     if h["is_discontiguous"]:
-        tal = _tal_record_offsets(content, h)
+        tal = _tal_offsets_from_matrix(rec, h)
         if tal is not None:
             rec_offsets_usec = np.round(tal * USEC).astype(np.int64)
 
@@ -245,7 +275,9 @@ def decode_edf_bytes(
             continue
         gain, bias = _calibration(h, i)
         digital = rec[:, offs[i] : offs[i] + n_i]  # (nb_rec, n_i) int16 view
-        t_all = _signal_timestamps(h, i, start_usec, nb_rec, rec_offsets_usec)
+        t_all = _signal_timestamps(
+            h, i, start_usec, nb_rec, rec_offsets_usec, rec0
+        )
         values = gain * digital.astype(np.float64) + bias
 
         rows_per_batch = max(1, _BATCH_ROWS // n_i)

@@ -1,0 +1,236 @@
+"""Record-aligned byte-range EDF source: split-level parallelism INSIDE
+one file.
+
+The ``binaryFile`` path (edf.py:scan_edf_files/decode_samples) gives one
+task per file and materializes the whole file in one row — fine for
+corpora of many small files, but a multi-GB EDF+C recording serializes
+into a single task and ``binaryFile`` caps content at ~2 GB.  The
+reference has the same whole-file limit
+(processor/edf_processor/edf.py:25-26,56-76).
+
+EDF makes intra-file splitting trivial: after the fixed-width header
+(256 + 256·nb_signal bytes) the data area is ``nb_data_rec`` records of
+EXACTLY ``2·Σ nr_samples`` bytes each, so byte ranges can be planned
+record-aligned from the header alone:
+
+1. **List** — ``binaryFile`` scan projected to (path, length) only: the
+   format's column pruning means no file content is read.
+2. **Plan** — a mapInPandas over the listing opens each file via
+   pyarrow.fs (works for file://, hdfs://, s3:// — any Arrow-supported
+   filesystem), reads ONLY the header bytes, and emits record-aligned
+   range rows ``(path, rec0, n_rec, start_byte, n_bytes, header_json)``
+   sized to ``target_bytes``.  The parsed header rides along as JSON so
+   the decode task performs exactly one range read.
+3. **Decode** — the range rows are round-robin repartitioned one per
+   task (they are metadata — the shuffle moves O(ranges) tiny rows,
+   never samples) and each task range-reads its bytes and decodes via
+   the SAME ``_decode_block`` kernel as the whole-file path.  Timestamps are
+   bit-identical by construction: the contiguous formula uses the global
+   sample index ``rec0·n_i + j``, and EDF+D records each carry their own
+   absolute TAL offset, so any record-aligned block is self-contained.
+
+At 100 TB this turns "one 50 GB file = one straggler task" into ~400
+independent 128 MB tasks with zero coordination, and executor memory is
+bounded by ``target_bytes`` rather than file size.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterable, Iterator
+from urllib.parse import unquote, urlparse
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from processor_edf_spark.schemas import SAMPLES_SCHEMA
+from processor_edf_spark.sources.edf import (
+    _decode_block,
+    parse_edf_header,
+)
+
+# Default split target: parquet-like 128 MB per task.
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+RANGES_SCHEMA = (
+    "path string, rec0 long, n_rec long, start_byte long, n_bytes long, "
+    "rec_bytes long, header_json string"
+)
+
+# Header fields the decode kernel needs (the 80-char free-text fields are
+# dropped from the ride-along JSON to keep range rows small).
+_HEADER_KEYS = (
+    "start_date",
+    "start_time",
+    "nb_data_rec",
+    "duration",
+    "nb_signal",
+    "labels",
+    "phy_min",
+    "phy_max",
+    "dig_min",
+    "dig_max",
+    "nr_samples",
+    "header_bytes",
+    "is_discontiguous",
+)
+
+
+def _read_at(path: str, offset: int, n_bytes: int) -> bytes:
+    """Read ``n_bytes`` at ``offset`` from a file URI without touching the
+    rest of the file.  file:// short-circuits to a plain seek+read; every
+    other scheme goes through pyarrow.fs (hdfs://, s3://, gs:// … —
+    whatever Arrow filesystems the deployment provides)."""
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        local = unquote(parsed.path) if parsed.scheme else path
+        with open(local, "rb") as f:
+            f.seek(offset)
+            return f.read(n_bytes)
+    from pyarrow import fs as pafs
+
+    filesystem, rel = pafs.FileSystem.from_uri(path)
+    with filesystem.open_input_file(rel) as f:
+        return f.read_at(n_bytes, offset)
+
+
+def _slim_header(h: dict) -> dict:
+    return {k: h[k] for k in _HEADER_KEYS}
+
+
+def plan_edf_ranges(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+) -> DataFrame:
+    """Distributed range planner: (path, length) listing → record-aligned
+    byte-range rows, one header read per file.
+
+    The listing projects binaryFile to path/length ONLY — the format
+    prunes the content column, so no file data moves in phase 1."""
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.[eE][dD][fF]")
+        .load(path)
+        .select("path", "length")
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, length in zip(pdf["path"], pdf["length"]):
+                rows.extend(_plan_one(str(p), int(length), target_bytes))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path",
+                    "rec0",
+                    "n_rec",
+                    "start_byte",
+                    "n_bytes",
+                    "rec_bytes",
+                    "header_json",
+                ],
+            )
+
+    return listing.mapInPandas(gen, schema=RANGES_SCHEMA)
+
+
+def _plan_one(path: str, length: int, target_bytes: int) -> list[tuple]:
+    """Record-aligned ranges for one file from its header alone."""
+    head = _read_at(path, 0, 256)
+    ns = int(head[252:256])
+    h = parse_edf_header(_read_at(path, 0, 256 + 256 * ns))
+    return [
+        (path, *r) for r in ranges_from_header(h, length, target_bytes)
+    ]
+
+
+def ranges_from_header(
+    h: dict, length: int, target_bytes: int
+) -> list[tuple]:
+    """Pure range arithmetic: parsed header + file length →
+    ``(rec0, n_rec, start_byte, n_bytes, rec_bytes, header_json)``
+    tuples.  Record-aligned, gap-free, non-overlapping — pinned by
+    tests/test_edf_ranges.py and value-checked end-to-end by the
+    ``edf_range_decode`` driver row."""
+    rec_bytes = 2 * int(sum(h["nr_samples"]))
+    if rec_bytes <= 0:
+        return []
+    avail = (length - h["header_bytes"]) // rec_bytes
+    n_rec = min(h["nb_data_rec"], avail)  # tolerate truncated files
+    if n_rec <= 0:
+        return []
+    recs_per_range = max(1, target_bytes // rec_bytes)
+    hj = json.dumps(_slim_header(h))
+    out = []
+    for rec0 in range(0, n_rec, recs_per_range):
+        n = min(recs_per_range, n_rec - rec0)
+        out.append(
+            (
+                rec0,
+                n,
+                h["header_bytes"] + rec0 * rec_bytes,
+                n * rec_bytes,
+                rec_bytes,
+                hj,
+            )
+        )
+    return out
+
+
+def decode_samples_from_ranges(
+    ranges: DataFrame,
+    wanted_signals: set[str] | None = None,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """Range rows → long-format samples via the shared ``_decode_block``
+    kernel (bit-identical to edf.decode_samples; parity-pinned in
+    tests/test_edf_ranges.py).
+
+    The repartition spreads range rows across tasks — the header-scan
+    stage has one partition per FILE, so without it every range of a
+    file would decode serially in that file's task.  It shuffles only
+    O(ranges) metadata rows (~1 KB each), never sample data.
+
+    The partition count is EXPLICIT (one per range by default, counted
+    with a cheap metadata action): a hash/AQE-sized shuffle sees a few
+    KB of range rows and coalesces them into ONE partition — correct
+    for the bytes it can observe, catastrophic for the decode fan-out
+    behind them (each row expands ~10⁴× into sample batches).  An
+    explicit ``repartition(n)`` is exempt from AQE coalescing, and
+    round-robin placement gives exactly one range per task."""
+    if num_tasks is None:
+        num_tasks = max(1, ranges.count())
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                h = json.loads(row.header_json)
+                raw = _read_at(str(row.path), int(row.start_byte), int(row.n_bytes))
+                rec_len = int(row.rec_bytes) // 2
+                nb = len(raw) // int(row.rec_bytes)
+                rec = np.frombuffer(raw, dtype="<i2", count=nb * rec_len).reshape(
+                    nb, rec_len
+                )
+                file_name = str(row.path).rsplit("/", 1)[-1]
+                yield from _decode_block(
+                    h, rec, int(row.rec0), file_name, wanted_signals
+                )
+
+    return ranges.repartition(num_tasks).mapInPandas(
+        gen, schema=SAMPLES_SCHEMA
+    )
+
+
+def decode_samples_ranged(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = DEFAULT_TARGET_BYTES,
+    wanted_signals: set[str] | None = None,
+) -> DataFrame:
+    """One-call ranged decode: plan + decode (S4 at any file size)."""
+    return decode_samples_from_ranges(
+        plan_edf_ranges(spark, path, target_bytes), wanted_signals
+    )

@@ -332,6 +332,49 @@ def edf_rows(spark, k: int) -> dict[str, float]:
     return out
 
 
+def edf_split_rows(spark, k: int) -> dict[str, float]:
+    """Intra-file parallelism evidence: ONE large EDF file (×k ≈ k·15 MB)
+    decoded (a) whole-file via binaryFile — one task per file, the
+    pre-r11 ceiling — vs (b) record-aligned 32 MB byte ranges
+    (sources/edf_ranges.py) — ~k/2 independent tasks over the SAME
+    bytes.  Warm second runs; the ranged path must win past one range
+    and hold samples/sec flat as the file grows."""
+    import os
+
+    from processor_edf_spark.sources.edf import decode_samples, scan_edf_files
+    from processor_edf_spark.sources.edf_ranges import (
+        decode_samples_ranged,
+        plan_edf_ranges,
+    )
+    from tests.edf_fixtures import write_edf_fast
+
+    d = f"/tmp/edf_bigfile_x{k}"
+    if not os.path.exists(f"{d}/big.edf"):
+        os.makedirs(d, exist_ok=True)
+        write_edf_fast(f"{d}/big.edf", n_signals=16, rate=256, nb_rec=1800 * k)
+    total = 16 * 256 * 1800 * k
+    target = 32 * 1024 * 1024
+    out: dict[str, float] = {
+        "file_mb": round(os.path.getsize(f"{d}/big.edf") / 1e6, 1),
+        "n_ranges": plan_edf_ranges(spark, d, target_bytes=target).count(),
+    }
+
+    def whole():
+        _noop(decode_samples(scan_edf_files(spark, d)))
+
+    def ranged():
+        _noop(decode_samples_ranged(spark, d, target_bytes=target))
+
+    for tag, fn in (("whole_file", whole), ("ranged", ranged)):
+        fn()
+        t0 = time.perf_counter()
+        fn()
+        sec = time.perf_counter() - t0
+        out[f"{tag}_sec"] = round(sec, 2)
+        out[f"{tag}_msamples_per_sec"] = round(total / sec / 1e6, 1)
+    return out
+
+
 def ann_rows(spark, sf_dir: str) -> dict[str, float]:
     """Time the ANN path at one replica scale — the 100 TB evidence rows
     for BASELINE.md: codebook/centroid training is bounded-sample (flat
@@ -522,6 +565,8 @@ def main() -> None:
             mode = "ann"
         elif a == "--edf":
             mode = "edf"
+        elif a == "--edf-split":
+            mode = "edf_split"
         elif a == "--skew":
             mode = "skew"
         elif a == "--incremental":
@@ -584,6 +629,23 @@ def main() -> None:
             print(
                 f"| {n} | "
                 + " | ".join(str(row.get(c, "—")) for c in cols)
+                + " |"
+            )
+        spark.stop()
+        return
+
+    if mode == "edf_split":
+        rows = {}
+        for k in scales:
+            for n, sec in edf_split_rows(spark, k).items():
+                rows.setdefault(n, {})[k] = sec
+                print(f"x{k} {n}: {sec}", flush=True)
+        print("\n| metric | " + " | ".join(f"×{k}" for k in scales) + " |")
+        print("|---|" + "---|" * len(scales))
+        for n in rows:
+            print(
+                f"| {n} | "
+                + " | ".join(str(rows[n][k]) for k in scales)
                 + " |"
             )
         spark.stop()
