@@ -22,6 +22,7 @@ from processor_edf_spark.plans import analytics_r7  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r7b  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r10  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_r11  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -140,6 +141,11 @@ _CANONICAL = [
     # registration, displacing tail members whose family stays
     # covered (noted inline when it happens).  Rotated out: the 50
     # r10-window members, every one green in CORRECTNESS_r10 (50/50).
+    # edf_range_decode (the r11 byte-range decode row) takes a priority
+    # slot per the rotation rule, displacing edf_date_parse from
+    # position 50 (time_fns family stays covered in-window via
+    # epoch_functions; edf_date_parse keeps its r8+r9 greens at 51+).
+    "edf_range_decode",
     "heavy_hitters_audit",
     "merge_upsert_current",
     "event_cooccurrence_lift",
@@ -441,6 +447,7 @@ FAMILY = {
     "audio_decode_stats": "multimodal",
     "video_frame_stats": "multimodal",
     "edf_header_parse": "events",
+    "edf_range_decode": "events",
 }
 
 

@@ -180,6 +180,25 @@ def ranges_from_header(
     return out
 
 
+def decode_range_bytes(
+    header_json: str,
+    raw: bytes,
+    rec_bytes: int,
+    rec0: int,
+    file_name: str,
+    wanted_signals: set[str] | None = None,
+) -> Iterator[pd.DataFrame]:
+    """Decode one range's raw bytes (the per-row kernel of
+    ``decode_samples_from_ranges``; also driven directly by the
+    ``edf_range_decode`` driver row so the oracle value-checks exactly
+    this code path)."""
+    h = json.loads(header_json)
+    rec_len = rec_bytes // 2
+    nb = len(raw) // rec_bytes
+    rec = np.frombuffer(raw, dtype="<i2", count=nb * rec_len).reshape(nb, rec_len)
+    yield from _decode_block(h, rec, rec0, file_name, wanted_signals)
+
+
 def decode_samples_from_ranges(
     ranges: DataFrame,
     wanted_signals: set[str] | None = None,
@@ -207,16 +226,14 @@ def decode_samples_from_ranges(
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
-                h = json.loads(row.header_json)
                 raw = _read_at(str(row.path), int(row.start_byte), int(row.n_bytes))
-                rec_len = int(row.rec_bytes) // 2
-                nb = len(raw) // int(row.rec_bytes)
-                rec = np.frombuffer(raw, dtype="<i2", count=nb * rec_len).reshape(
-                    nb, rec_len
-                )
-                file_name = str(row.path).rsplit("/", 1)[-1]
-                yield from _decode_block(
-                    h, rec, int(row.rec0), file_name, wanted_signals
+                yield from decode_range_bytes(
+                    str(row.header_json),
+                    raw,
+                    int(row.rec_bytes),
+                    int(row.rec0),
+                    str(row.path).rsplit("/", 1)[-1],
+                    wanted_signals,
                 )
 
     return ranges.repartition(num_tasks).mapInPandas(

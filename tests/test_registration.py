@@ -25,6 +25,7 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
+    "edf_range_decode",
     "heavy_hitters_audit",
     "merge_upsert_current",
     "event_cooccurrence_lift",
@@ -74,7 +75,6 @@ EXPECTED_FIRST_50 = [
     "rate_crosscheck_users",
     "session_window_events",
     "overlap_validation",
-    "edf_date_parse",
 ]
 
 
@@ -96,8 +96,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 145 through r8 + the r10 additions
-    assert len(QUERIES) == 150
+    # 145 through r8 + the r10 additions + the r11 additions
+    assert len(QUERIES) == 151
 
 
 def test_every_query_has_a_family():
