@@ -1,9 +1,11 @@
 """Seeded randomized differential testing: Spark vs DuckDB on the same SQL.
 
-The hand-built oracle registry (145 queries) is saturated green, so the
+The hand-built oracle registry (151 queries) is saturated green, so the
 correctness frontier is queries nobody hand-picked.  This suite drives a
 seeded generator over the testdata tables, composing
-filter / project / equi-join / aggregate / window / set-op shapes from a
+filter / project / equi-join / aggregate / window / set-op shapes —
+and, from seed 400 (r11), forced outer-join aggregates, RANGE frames,
+and aggregate→outer-join compositions — from a
 cross-engine-safe expression grammar (the same dialect discipline the
 registry's oracles follow: epoch-µs BIGINT for timestamps,
 ``CAST(SUM(int) AS BIGINT)`` against DuckDB's HUGEINT, no pow/exp, no
@@ -36,7 +38,15 @@ Determinism discipline baked into the grammar:
   empty input relation DuckDB emits the grand-total grouping set's
   COUNT=0 row (the ANSI/PostgreSQL reading), Spark's Expand+groupBy
   plan emits nothing — so ROLLUP runs only on provably non-empty
-  input, where the engines agree.
+  input, where the engines agree;
+- RANGE frame order keys are widened to BIGINT: MEASURED divergence
+  #2 (seed 573 of the r11 grammar) — Spark casts the frame offset to
+  the ORDER BY column's type and throws CAST_OVERFLOW for an
+  86400000000 offset over an INT key, DuckDB widens and evaluates.
+
+The streaming half of this discipline lives in
+tests/test_streaming_differential.py (seeded replay through the
+stateful twins vs the equivalent batch window queries).
 """
 
 from __future__ import annotations
@@ -49,7 +59,15 @@ import duckdb
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
-N_SEEDS = 400
+# Seeds 0-399 render the ORIGINAL r10 grammar byte-for-byte (their
+# queries must never drift — they are the regression corpus, and three
+# of them found the ROLLUP divergence).  Seeds 400+ use the r11-extended
+# grammar: FORCED outer-join + aggregate compositions (null-extended
+# group keys, COUNT(col) vs COUNT(*) over unmatched rows), RANGE window
+# frames (value-distance framing — peers included, so deterministic
+# under ties), and aggregate→outer-join compositions (FULL JOIN of two
+# GROUP BY subqueries on their group keys).
+N_SEEDS = 616
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -672,8 +690,237 @@ def gen_nested(rng, pools):
     }
 
 
+def gen_outer_agg(rng, pools):
+    """Aggregate OVER an outer join (r11): group by a key that the join
+    null-extends, so the NULL group, COUNT(col)-vs-COUNT(*) over
+    unmatched rows, and SUM-ignores-NULL all get exercised — the ANSI
+    corners a LEFT/FULL join feeding a groupBy actually hits."""
+    lt, lc, rt, rc = rng.choice(FK_JOINS)
+    jt = rng.choice(["LEFT JOIN", "FULL JOIN", "FULL JOIN"])
+    from_sql = f"{lt} {jt} {rt} ON {lt}.{lc} = {rt}.{rc}"
+    cols = TABLES[lt] + TABLES[rt]
+    # the right side is null-extended under LEFT JOIN (both under FULL)
+    key_side = rt if rng.random() < 0.7 else lt
+    gk = _col(rng.choice(["i", "s"]), rng, TABLES[key_side])
+    if gk is None:
+        gk = _col("i", rng, TABLES[key_side])
+    items = [{"alias": "c0", "sql": gk, "fallback": None,
+              "typ": dict(cols)[gk]}]
+    n_aggs = rng.randint(1, 3)
+    for j in range(n_aggs):
+        alias = f"c{1 + j}"
+        k = rng.randrange(5)
+        if k == 0:
+            items.append({"alias": alias, "sql": "COUNT(*)",
+                          "fallback": None, "typ": "i"})
+        elif k == 1:
+            # count a column from the OTHER side: null-extended rows
+            # must not count
+            other = lt if key_side == rt else rt
+            c = _col(rng.choice(["i", "s"]), rng, TABLES[other]) or _col(
+                "i", rng, TABLES[other]
+            )
+            items.append({"alias": alias, "sql": f"COUNT({c})",
+                          "fallback": None, "typ": "i"})
+        elif k == 2:
+            c = _col("i", rng, cols)
+            items.append({"alias": alias,
+                          "sql": f"CAST(SUM({c}) AS BIGINT)",
+                          "fallback": None, "typ": "i"})
+        elif k == 3:
+            c = _col(rng.choice(["i", "s"]), rng, cols) or _col(
+                "i", rng, cols
+            )
+            items.append({"alias": alias,
+                          "sql": f"COUNT(DISTINCT {c})",
+                          "fallback": None, "typ": "i"})
+        else:
+            typ = rng.choice(["i", "f"])
+            c = _col(typ, rng, cols) or _col("i", rng, cols)
+            fn = rng.choice(["MIN", "MAX"])
+            items.append({"alias": alias, "sql": f"{fn}({c})",
+                          "fallback": None, "typ": dict(cols)[c]})
+    return {
+        "kind": "select",
+        "from": from_sql,
+        "items": items,
+        "where": gen_pred(rng, cols, pools, lt)
+        if rng.random() < 0.4 else None,
+        "group": [gk],
+        "having": f"COUNT(*) > {rng.randint(0, 2)}"
+        if rng.random() < 0.3 else None,
+        "distinct": False,
+    }
+
+
+def gen_range_window(rng, pools):
+    """RANGE window frames (r11): value-distance framing over a numeric
+    ORDER BY.  Deterministic without a total order — RANGE frames
+    include ALL peers of the boundary values — but the order key is
+    filtered non-NULL (NULL-peer framing is the one corner the engines
+    read differently enough to keep out of a differential oracle)."""
+    t = rng.choice([n for n in TABLES if n != "fz_region"])
+    cols, uniq = TABLES[t], UNIQUE[t]
+    part = _col(rng.choice(["i", "s"]), rng, cols) or uniq[0]
+    # MEASURED cross-engine hazard (seed 573 of this grammar found it):
+    # Spark casts the frame offset to the ORDER BY column's type — an
+    # 86400000000 offset over an INT order key throws CAST_OVERFLOW
+    # (ArithmeticException), while DuckDB widens and evaluates.  The
+    # grammar therefore widens the order key to BIGINT explicitly,
+    # where the engines agree for any int64 offset.
+    order_col = _col("i", rng, cols) or uniq[0]
+    order = f"CAST({order_col} AS BIGINT)"
+    n = rng.choice([1, 2, 5, 10, 1_000, 1_000_000, 86_400_000_000])
+    m = rng.choice([1, 2, 5, 10, 1_000, 1_000_000, 86_400_000_000])
+    frame = rng.choice(
+        [
+            f"RANGE BETWEEN {n} PRECEDING AND CURRENT ROW",
+            f"RANGE BETWEEN CURRENT ROW AND {m} FOLLOWING",
+            f"RANGE BETWEEN {n} PRECEDING AND {m} FOLLOWING",
+            "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+        ]
+    )
+    direction = rng.choice(["ASC", "DESC"])
+    k = rng.randrange(5)
+    if k == 0:
+        c = _col("i", rng, cols) or uniq[0]
+        wf = (
+            f"CAST(SUM({c}) OVER (PARTITION BY {part} "
+            f"ORDER BY {order} {direction} {frame}) AS BIGINT)"
+        )
+        typ = "i"
+    elif k == 1:
+        wf = (
+            f"CAST(COUNT(*) OVER (PARTITION BY {part} "
+            f"ORDER BY {order} {direction} {frame}) AS BIGINT)"
+        )
+        typ = "i"
+    elif k == 2:
+        c = _col("i", rng, cols) or uniq[0]
+        fn = rng.choice(["MIN", "MAX"])
+        wf = (
+            f"{fn}({c}) OVER (PARTITION BY {part} "
+            f"ORDER BY {order} {direction} {frame})"
+        )
+        typ = "i"
+    elif k == 3:
+        c = _col("f", rng, cols)
+        if c is None:
+            c, typ = uniq[0], "i"
+            wf = (
+                f"CAST(SUM({c}) OVER (PARTITION BY {part} "
+                f"ORDER BY {order} {direction} {frame}) AS BIGINT)"
+            )
+        else:
+            typ = "f"
+            wf = (
+                f"SUM({c}) OVER (PARTITION BY {part} "
+                f"ORDER BY {order} {direction} {frame})"
+            )
+    else:
+        c = _col("f", rng, cols) or uniq[0]
+        typ = "f"
+        wf = (
+            f"AVG({c}) OVER (PARTITION BY {part} "
+            f"ORDER BY {order} {direction} {frame})"
+        )
+    coltypes = dict(cols)
+    items = [
+        {"alias": f"c{j}", "sql": u, "fallback": None,
+         "typ": coltypes.get(u, "i")}
+        for j, u in enumerate(uniq)
+    ]
+    items.append({"alias": f"c{len(items)}", "sql": wf,
+                  "fallback": None, "typ": typ})
+    where = f"({order} IS NOT NULL)"
+    if rng.random() < 0.5:
+        where += f" AND {gen_pred(rng, cols, pools, t)}"
+    return {
+        "kind": "select",
+        "from": t,
+        "items": items,
+        "where": where,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_agg_join(rng, pools):
+    """Aggregate→outer-join composition (r11): FULL/LEFT JOIN of two
+    independent GROUP BY subqueries on their group keys — unmatched
+    groups null-extend the other side's aggregate outputs."""
+
+    def side(alias):
+        t = rng.choice(list(TABLES))
+        c = _col("i", rng, TABLES[t])
+        key = f"({c} % {rng.randint(2, 9)})"
+        agg = rng.choice(
+            [
+                "COUNT(*)",
+                f"CAST(SUM({c}) AS BIGINT)",
+                f"MIN({c})",
+                f"MAX({c})",
+            ]
+        )
+        where = (
+            f" WHERE {gen_pred(rng, TABLES[t], pools, t, 1)}"
+            if rng.random() < 0.5
+            else ""
+        )
+        return (
+            f"(SELECT {key} AS k, {agg} AS v FROM {t}{where} "
+            f"GROUP BY {key}) {alias}"
+        )
+
+    jt = rng.choice(["FULL JOIN", "FULL JOIN", "LEFT JOIN", "JOIN"])
+    from_sql = f"{side('fa')} {jt} {side('fb')} ON fa.k = fb.k"
+    items = [
+        {"alias": "c0", "sql": "fa.k", "fallback": None, "typ": "i"},
+        {"alias": "c1", "sql": "fb.k", "fallback": None, "typ": "i"},
+        {"alias": "c2", "sql": "fa.v", "fallback": None, "typ": "i"},
+        {"alias": "c3", "sql": "fb.v", "fallback": None, "typ": "i"},
+    ]
+    if rng.random() < 0.5:
+        items.append(
+            {
+                "alias": "c4",
+                "sql": "COALESCE(fa.v, 0) + COALESCE(fb.v, 0)",
+                "fallback": None,
+                "typ": "i",
+            }
+        )
+    return {
+        "kind": "select",
+        "from": from_sql,
+        "items": items,
+        "where": "(COALESCE(fa.k, fb.k) IS NOT NULL)"
+        if rng.random() < 0.3 else None,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_query_v2(rng, pools) -> dict:
+    """The r11-extended shape mix (seeds 400+): weighted toward the
+    three new compositions, with the strongest v1 shapes retained."""
+    shape = rng.randrange(10)
+    if shape < 3:
+        return gen_outer_agg(rng, pools)
+    if shape < 6:
+        return gen_range_window(rng, pools)
+    if shape < 8:
+        return gen_agg_join(rng, pools)
+    if shape == 8:
+        return gen_agg(rng, pools)
+    return gen_window(rng, pools)
+
+
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 400:
+        return gen_query_v2(rng, pools)
     shape = rng.randrange(12)
     if shape < 3:
         return gen_select(rng, pools)

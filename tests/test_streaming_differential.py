@@ -1,0 +1,167 @@
+"""Seeded streaming differential (r11): replay randomized event streams
+through the stateful twins and compare against the equivalent BATCH
+query — the streaming analog of tests/test_differential_fuzz.py.
+
+The per-operator parity pins (test_streaming_lag.py,
+test_streaming_upsert.py) check hand-picked inputs; this suite hunts
+unhand-picked interactions by randomizing the things the pins hold
+fixed: key cardinality, tie density on the event-time axis, micro-batch
+count and cut points, and (for the upsert twin) arrival ORDER — its
+latest-wins fold is commutative, so the final state must equal the
+batch winner under ANY shuffle of the input across batches.
+
+Two differential contracts:
+
+- ``stream_gaps`` on per-key in-order arrival ≡ the batch
+  ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
+  both row-wise AND through a downstream gap-histogram aggregation
+  (the composed stream→agg pipeline a deployment actually runs).
+- ``stream_current_state`` final emission per key ≡ the batch
+  latest-wins row (max by (t, id)) — on SHUFFLED arrival split across
+  1-5 micro-batches.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from processor_edf_spark.streaming.lag import stream_gaps
+from processor_edf_spark.streaming.upsert import stream_current_state
+
+SCHEMA = "user_id long, event_id long, t long, value double"
+N_GAP_SEEDS = 10
+N_UPSERT_SEEDS = 10
+
+
+def _gen_events(rng: random.Random) -> pd.DataFrame:
+    n_users = rng.randint(3, 10)
+    n = rng.randint(60, 240)
+    # small t ranges force heavy (t) ties so the (t, id) tiebreak and
+    # latest-wins comparisons actually decide rows
+    t_cards = rng.choice([25, 200, 5_000])
+    rows = [
+        (
+            rng.randrange(n_users),
+            eid,
+            rng.randint(0, t_cards) * 1_000_000,
+            round(rng.uniform(-100.0, 100.0), 3),
+        )
+        for eid in range(n)
+    ]
+    return pd.DataFrame(rows, columns=["user_id", "event_id", "t", "value"])
+
+
+def _write_drops(spark, pdf: pd.DataFrame, src: str, k: int) -> None:
+    """k sequential single-file drops; the file source replays them in
+    write order (maxFilesPerTrigger=1 → one micro-batch per drop)."""
+    for i, chunk in enumerate(np.array_split(pdf, k)):
+        spark.createDataFrame(chunk).coalesce(1).write.parquet(
+            f"{src}/d{i:02d}.parquet"
+        )
+
+
+def _replay(spark, transform, src: str, ckpt: str, name: str):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    return spark.sql(f"select * from {name}").collect()
+
+
+@pytest.mark.parametrize("seed", range(N_GAP_SEEDS))
+def test_stream_gaps_differential(spark, tmp_path, seed):
+    rng = random.Random(1000 + seed)
+    pdf = _gen_events(rng).sort_values(["t", "event_id"])
+    k = rng.randint(1, 5)
+    _write_drops(spark, pdf, str(tmp_path / "in"), k)
+
+    batch = spark.createDataFrame(pdf)
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    want_rows = batch.select(
+        "user_id",
+        "event_id",
+        (F.col("t") - F.lag("t").over(w)).alias("gap"),
+    ).collect()
+    want = {(r["user_id"], r["event_id"], r["gap"]) for r in want_rows}
+
+    got_rows = _replay(
+        spark,
+        stream_gaps,
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        f"fz_gaps_{seed}",
+    )
+    got = {(r["key"], r["event_id"], r["gap_usec"]) for r in got_rows}
+    assert got == want and len(got) == len(pdf)
+
+    # composed downstream aggregation: 10-second gap histogram
+    want_hist: dict[int, int] = {}
+    for _, _, gap in want:
+        if gap is not None:
+            b = int(gap) // 10_000_000
+            want_hist[b] = want_hist.get(b, 0) + 1
+    got_hist: dict[int, int] = {}
+    for _, _, gap in got:
+        if gap is not None:
+            b = int(gap) // 10_000_000
+            got_hist[b] = got_hist.get(b, 0) + 1
+    assert got_hist == want_hist
+
+
+@pytest.mark.parametrize("seed", range(N_UPSERT_SEEDS))
+def test_stream_current_state_differential(spark, tmp_path, seed):
+    rng = random.Random(2000 + seed)
+    pdf = _gen_events(rng)
+    # SHUFFLED arrival: latest-wins must converge regardless of order
+    pdf = pdf.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    k = rng.randint(1, 5)
+    _write_drops(spark, pdf, str(tmp_path / "in"), k)
+
+    batch = spark.createDataFrame(pdf)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("t"), F.desc("event_id")
+    )
+    want = {
+        (r["user_id"], r["t"], r["event_id"], r["value"])
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "t", "event_id", "value")
+        .collect()
+    }
+
+    got_rows = _replay(
+        spark,
+        stream_current_state,
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        f"fz_upsert_{seed}",
+    )
+    # final emission per key = the row with max (t, id) among emitted
+    final: dict[int, tuple] = {}
+    for r in got_rows:
+        cur = final.get(r["user_id"])
+        if cur is None or (r["t"], r["event_id"]) > (cur[1], cur[2]):
+            final[r["user_id"]] = (
+                r["user_id"], r["t"], r["event_id"], r["value"],
+            )
+    assert set(final.values()) == want and len(want) > 0
