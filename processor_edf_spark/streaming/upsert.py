@@ -165,7 +165,9 @@ def stream_current_state_native(
     per key in the JVM store; but a streaming aggregation without a
     windowed key has NO eviction path (watermarks do not TTL plain
     aggs) — for key-churn-bounded state use the Python twin's
-    ``ttl_usec``.  Run with ``outputMode("update")``."""
+    ``ttl_usec``, or the JVM-native windowed flavor below
+    (``stream_current_state_native_windowed``), whose window close IS
+    the eviction path.  Run with ``outputMode("update")``."""
     return (
         events.groupBy(F.col(key_col).alias("user_id"))
         .agg(
@@ -182,5 +184,62 @@ def stream_current_state_native(
             F.col("cur.value").alias("value"),
             F.col("cur.t").alias("t"),
             F.col("cur.event_id").alias("event_id"),
+        )
+    )
+
+
+def stream_current_state_native_windowed(
+    events: DataFrame,
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    t_col: str = "t",
+    value_col: str = "value",
+    window_usec: int = 4_000_000,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """JVM-native current-state with BOUNDED state (r11 — the native
+    answer to the plain native agg's no-eviction trade above).
+
+    Plain streaming aggregations have no eviction path: watermarks do
+    not TTL un-windowed aggs, so ``stream_current_state_native`` grows
+    state with every key ever seen.  Windowing the SAME max-struct
+    aggregate restores eviction: state is one struct per (tumbling
+    window, key), and once the watermark passes a window's end the
+    window is emitted (append mode) and its state rows LEAVE the store
+    — bounded-state evidence pinned at the store level by
+    tests/test_streaming_native_bounded.py via lastProgress
+    numRowsTotal and streaming/inspect.read_state.
+
+    Downstream materializes the current table as last-emit-per-key,
+    exactly like the update-mode native twin.  The trade is the same
+    retire-then-restart contract as the Python twin's ``ttl_usec``
+    (``window_usec`` plays the TTL role): a key idle past
+    ``window_usec + watermark`` forgets its frontier, so a
+    later-arriving OLDER (t, id) row wins its own window and the
+    materialized row regresses — latest-wins is only guaranteed within
+    a window.  Size ``window_usec`` to the out-of-orderness horizon,
+    as with the TTL."""
+    return (
+        events.withColumn("_wm_ts", F.timestamp_micros(F.col(t_col)))
+        .withWatermark("_wm_ts", watermark)
+        .groupBy(
+            F.window("_wm_ts", f"{window_usec} microseconds").alias("win"),
+            F.col(key_col).alias("user_id"),
+        )
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(t_col).alias("t"),
+                    F.col(id_col).alias("event_id"),
+                    F.col(value_col).alias("value"),
+                )
+            ).alias("cur")
+        )
+        .select(
+            "user_id",
+            F.col("cur.value").alias("value"),
+            F.col("cur.t").alias("t"),
+            F.col("cur.event_id").alias("event_id"),
+            F.unix_micros("win.end").alias("win_end_usec"),
         )
     )
