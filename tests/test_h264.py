@@ -377,11 +377,16 @@ def test_deblocking_control_absent_names_extra():
     )
 
 
-def test_entropy_coded_macroblock_names_extra():
-    _expect_extra(
-        _hand_sps() + _hand_pps() + _hand_slice(_one_mb(), mb_type=3),
-        "entropy-coded.*av",
-    )
+def test_entropy_coded_macroblock_enters_cavlc_path():
+    """r11: mb_type 3 (I_16x16) no longer names the optional extra —
+    entropy-coded intra macroblocks decode for real (the CAVLC suite,
+    tests/test_h264_cavlc.py).  A hand-built slice whose payload is
+    raw PCM bytes where CAVLC syntax should be is now MALFORMED input,
+    and must surface as the typed error, never a raw crash."""
+    with pytest.raises(UnsupportedMediaError):
+        decode_h264_ipcm(
+            _hand_sps() + _hand_pps() + _hand_slice(_one_mb(), mb_type=3)
+        )
 
 
 def test_adaptive_ref_marking_names_extra():
