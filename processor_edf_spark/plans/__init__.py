@@ -146,6 +146,12 @@ _CANONICAL = [
     # position 50 (time_fns family stays covered in-window via
     # epoch_functions; edf_date_parse keeps its r8+r9 greens at 51+).
     "edf_range_decode",
+    # h264_cavlc_decode_stats (the entropy-coded H.264 codec row) takes
+    # the second r11 priority slot, displacing overlap_validation from
+    # position 50 (sessionize family stays covered in-window via
+    # session_window_events; overlap_validation keeps its r8+r9 greens
+    # at 51+).
+    "h264_cavlc_decode_stats",
     "heavy_hitters_audit",
     "merge_upsert_current",
     "event_cooccurrence_lift",
@@ -448,6 +454,7 @@ FAMILY = {
     "video_frame_stats": "multimodal",
     "edf_header_parse": "events",
     "edf_range_decode": "events",
+    "h264_cavlc_decode_stats": "multimodal",
 }
 
 

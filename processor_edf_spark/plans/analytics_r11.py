@@ -165,3 +165,146 @@ def edf_range_decode(spark, sf_dir):
             "sum_value long, t_min_usec long, t_max_usec long"
         ),
     )
+
+
+@register(
+    "h264_cavlc_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               32 + (doc_id % 2) * 16 AS w,
+               32 AS h,
+               CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS nf
+        FROM documents
+    ),
+    ysum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 3 + c.j * 5 + d.doc_id + f.j * 17) % 160
+                        + 40) AS BIGINT) AS y_sum
+        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 2) f(j)
+        WHERE c.j < d.w AND f.j < d.nf
+        GROUP BY d.doc_id
+    ),
+    csum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 7 + c.j * 11 + d.doc_id + f.j * 5) % 100
+                        + 78) AS BIGINT) AS u_sum,
+               CAST(SUM((r.j * 5 + c.j * 3 + 2 * d.doc_id + f.j * 9) % 120
+                        + 60) AS BIGINT) AS v_sum
+        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 2) f(j)
+        WHERE c.j < d.w // 2 AND f.j < d.nf
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           ysum.y_sum, csum.u_sum, csum.v_sum
+    FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
+    """,
+)
+def h264_cavlc_decode_stats(spark, sf_dir):
+    """The entropy-coded H.264 intra path (CAVLC + 4x4/16x16
+    prediction, operators/h264.py r11) as a driver-hashed row — the
+    fifth codec row, and the first LOSSY one under the value oracle.
+    Per document a deterministic YUV420 source (every plane a pure
+    integer function of doc_id) is encoded to a real Annex-B CAVLC
+    bitstream at a doc-dependent QP (20/28/36 — all three dequant
+    shift regimes), decoded back through the production
+    ``decode_h264_ipcm``, and the decode is required BIT-EXACT against
+    the encoder's reconstruction loop with the recon-vs-source error
+    inside the quantisation bound.  Only then does the row emit the
+    closed-form SOURCE plane sums the oracle reproduces — any CAVLC
+    table slip, prediction bug, transform/dequant drift, or geometry
+    error flips the row to the -1 sentinel (or changes dims) and reds
+    it.  Frame geometry alternates 32x32/48x32 so the deterministic
+    macroblock-kind mix covers I_NxN, I_16x16 AND I_PCM; every 7th
+    document encodes two frames (IDR boundary + frame-kind shift).
+    Scale: decode-heavy/emit-light, payload never leaves the executor;
+    pure-python kernel (~20 ms/doc) spread() across the session width
+    like the sibling codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id"))
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.h264 import (
+            decode_h264_ipcm,
+            encode_h264_cavlc_recon,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                W, H = 32 + (d % 2) * 16, 32
+                nf = 2 if d % 7 == 0 else 1
+                qp = 20 + (d % 3) * 8
+                frames = []
+                for f in range(nf):
+                    r = np.arange(H)[:, None]
+                    c = np.arange(W)[None, :]
+                    y = (((r * 3 + c * 5 + d + f * 17) % 160) + 40).astype(
+                        np.uint8
+                    )
+                    r2 = np.arange(H // 2)[:, None]
+                    c2 = np.arange(W // 2)[None, :]
+                    u = (((r2 * 7 + c2 * 11 + d + f * 5) % 100) + 78).astype(
+                        np.uint8
+                    )
+                    v = (
+                        ((r2 * 5 + c2 * 3 + 2 * d + f * 9) % 120) + 60
+                    ).astype(np.uint8)
+                    frames.append((y, u, v))
+                stream, recons = encode_h264_cavlc_recon(
+                    frames, W, H, qp=qp
+                )
+                dw, dh, decoded = decode_h264_ipcm(stream)
+                bit_exact = (
+                    (dw, dh) == (W, H)
+                    and len(decoded) == nf
+                    and all(
+                        np.array_equal(a, b)
+                        for rec, dec in zip(recons, decoded)
+                        for a, b in zip(rec, dec)
+                    )
+                )
+                err_ok = all(
+                    int(
+                        np.abs(
+                            rec[0].astype(np.int64)
+                            - frm[0].astype(np.int64)
+                        ).max()
+                    )
+                    <= 64
+                    for rec, frm in zip(recons, frames)
+                )
+                if bit_exact and err_ok:
+                    sums = [
+                        int(sum(np.sum(frm[k], dtype=np.int64)
+                                for frm in frames))
+                        for k in range(3)
+                    ]
+                else:
+                    sums = [-1, -1, -1]
+                rows.append((d, len(decoded), dw, dh, *sums))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height",
+                    "y_sum", "u_sum", "v_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, width long, height long, "
+            "y_sum long, u_sum long, v_sum long"
+        ),
+    )

@@ -26,6 +26,7 @@ from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
     "edf_range_decode",
+    "h264_cavlc_decode_stats",
     "heavy_hitters_audit",
     "merge_upsert_current",
     "event_cooccurrence_lift",
@@ -74,7 +75,6 @@ EXPECTED_FIRST_50 = [
     "q18_large_orders",
     "rate_crosscheck_users",
     "session_window_events",
-    "overlap_validation",
 ]
 
 
@@ -97,7 +97,7 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10 additions + the r11 additions
-    assert len(QUERIES) == 151
+    assert len(QUERIES) == 152
 
 
 def test_every_query_has_a_family():
