@@ -87,6 +87,16 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     unconditional repartition would shuffle the whole corpus for nothing.
     """
     n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # The RDD probe is deliberate (r11 adjudication of the "avoid the
+    # RDD API" review note): it returns the scan's ACTUAL partition
+    # count after the file splitter's packing/splitting.  The proposed
+    # ``len(df.inputFiles())`` proxy is wrong in both directions — many
+    # tiny files pack into ONE partition (the exact hazard spread()
+    # exists for: file count >= n would skip a needed repartition), and
+    # one large splittable file yields MANY partitions (file count 1
+    # would inject a pointless full shuffle).  The probe forces plan
+    # analysis once per spread() call on a metadata-only scan — cheap,
+    # and correct at every file-size mix.
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df
