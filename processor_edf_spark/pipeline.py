@@ -45,6 +45,7 @@ def process_edf_directory(
     input_dir: str,
     existing_channels: DataFrame | None = None,
     quarantine: bool = False,
+    samples_target_bytes: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Run the full EDF pipeline over a directory (any number of files —
     the reference's one-file limit, main.py:15-16, does not apply).
@@ -58,12 +59,48 @@ def process_edf_directory(
     design of SURVEY.md §2.10 (the reference swallows errors and emits
     partial output; we isolate them).  Use ``file_status(binary)`` to
     report the quarantined set.
+
+    ``samples_target_bytes`` switches the SAMPLE decode (the 99.9%-of-
+    bytes path) to the record-aligned byte-range source
+    (sources/edf_ranges.py): one decode task per ~target_bytes of any
+    file, removing both the one-task-per-file ceiling and binaryFile's
+    ~2 GB content cap — use it when individual recordings are large
+    (bit-identical to the whole-file path; tests/test_edf_ranges.py).
+    The metadata scans (headers/annotations/chunk runs) stay on the
+    whole-file path — they are O(header+annotation) work per file.
     """
     binary = scan_edf_files(spark, input_dir)
     if quarantine:
         good = file_status(binary).filter(F.col("ok")).select("path")
         binary = binary.join(F.broadcast(good), "path")
-    samples = decode_samples(binary)
+    if samples_target_bytes is not None:
+        from processor_edf_spark.sources.edf_ranges import (
+            decode_samples_ranged,
+        )
+
+        if quarantine:
+            # plan from the quarantine-filtered listing: corrupt
+            # headers must be excluded BEFORE the planner parses them
+            from processor_edf_spark.sources.edf_ranges import (
+                decode_samples_from_ranges,
+                plan_edf_ranges,
+            )
+
+            listing = binary.select("path", "length")
+            samples = decode_samples_from_ranges(
+                plan_edf_ranges(
+                    spark,
+                    input_dir,
+                    target_bytes=samples_target_bytes,
+                    listing=listing,
+                )
+            )
+        else:
+            samples = decode_samples_ranged(
+                spark, input_dir, target_bytes=samples_target_bytes
+            )
+    else:
+        samples = decode_samples(binary)
     annotations = decode_annotations(binary)
     headers = parse_signal_headers(binary)
     chunk_runs = decode_chunk_runs(binary)

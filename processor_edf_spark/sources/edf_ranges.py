@@ -103,18 +103,23 @@ def plan_edf_ranges(
     spark: SparkSession,
     path: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
+    listing: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed range planner: (path, length) listing → record-aligned
     byte-range rows, one header read per file.
 
     The listing projects binaryFile to path/length ONLY — the format
-    prunes the content column, so no file data moves in phase 1."""
-    listing = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.[eE][dD][fF]")
-        .load(path)
-        .select("path", "length")
-    )
+    prunes the content column, so no file data moves in phase 1.
+    Pass ``listing`` (a (path, length) DataFrame) to plan from a
+    pre-filtered file set — e.g. the pipeline's quarantine filter,
+    which must exclude corrupt headers BEFORE the planner parses them."""
+    if listing is None:
+        listing = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.[eE][dD][fF]")
+            .load(path)
+            .select("path", "length")
+        )
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

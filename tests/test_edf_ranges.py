@@ -146,3 +146,33 @@ def test_ranged_decode_truncated_file(spark, tmp_path):
     ranged = decode_samples_ranged(spark, str(d), target_bytes=2 * 1024)
     assert ranged.count() == 49 * 100  # only complete records decode
     _assert_bit_identical(whole, ranged)
+
+
+def test_pipeline_ranged_samples_parity(spark, edfc_dir):
+    from processor_edf_spark.pipeline import process_edf_directory
+
+    whole, ch_a, _ = process_edf_directory(spark, edfc_dir)
+    ranged, ch_b, _ = process_edf_directory(
+        spark, edfc_dir, samples_target_bytes=32 * 1024
+    )
+    _assert_bit_identical(whole, ranged)
+    # metadata path unchanged by the sample-source switch
+    assert ch_a.count() == ch_b.count()
+
+
+def test_pipeline_ranged_quarantine_skips_corrupt(spark, tmp_path):
+    from processor_edf_spark.pipeline import process_edf_directory
+
+    d = tmp_path / "q"
+    d.mkdir()
+    write_edf(
+        str(d / "good.edf"),
+        signals=[{"label": "s0", "unit": "uV", "rate": 100, "gen": sine(2.0)}],
+        nb_data_rec=30,
+    )
+    (d / "bad.edf").write_bytes(b"not an edf at all" * 40)
+    samples, channels, _ = process_edf_directory(
+        spark, str(d), quarantine=True, samples_target_bytes=2 * 1024
+    )
+    assert samples.count() == 30 * 100  # the good file, fully decoded
+    assert samples.select("file").distinct().collect()[0][0] == "good.edf"
