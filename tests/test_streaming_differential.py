@@ -165,3 +165,47 @@ def test_stream_current_state_differential(spark, tmp_path, seed):
                 r["user_id"], r["t"], r["event_id"], r["value"],
             )
     assert set(final.values()) == want and len(want) > 0
+
+
+N_EWMA_SEEDS = 6
+
+
+@pytest.mark.parametrize("seed", range(N_EWMA_SEEDS))
+def test_stream_ewma_differential(spark, tmp_path, seed):
+    """Seeded fold-order differential: the trailing-window EWMA twin on
+    in-order arrival must equal the batch fold (same IEEE operation
+    order → exact float equality), across randomized alpha, window,
+    key cardinality, tie density and micro-batch cuts."""
+    from processor_edf_spark.streaming.ewma import stream_ewma
+
+    rng = random.Random(3000 + seed)
+    alpha = rng.choice([0.1, 0.5])
+    window = rng.choice([3, 20])
+    pdf = _gen_events(rng).sort_values(["t", "event_id"])
+    k = rng.randint(1, 4)
+    _write_drops(spark, pdf, str(tmp_path / "in"), k)
+
+    # batch expectation: per user in (t, id) order, fold the trailing
+    # `window` values exactly as the registered batch oracle does
+    want = {}
+    for uid, grp in pdf.sort_values(["t", "event_id"]).groupby("user_id"):
+        vals = list(grp["value"])
+        ids = list(grp["event_id"])
+        for i, eid in enumerate(ids):
+            tail = vals[max(0, i - window + 1) : i + 1]
+            acc = tail[0]
+            for x in tail[1:]:
+                acc = acc * (1 - alpha) + x * alpha
+            want[(uid, eid)] = acc
+
+    got_rows = _replay(
+        spark,
+        lambda s: stream_ewma(s, alpha=alpha, window=window),
+        str(tmp_path / "in"),
+        str(tmp_path / "ckpt"),
+        f"fz_ewma_{seed}",
+    )
+    got = {(r["user_id"], r["event_id"]): r["ewma"] for r in got_rows}
+    assert set(got) == set(want)
+    for key_, v in want.items():
+        assert got[key_] == v, (key_, got[key_], v)
