@@ -943,10 +943,11 @@ def is_annexb_h264(payload: bytes) -> bool:
 @_only_media_errors
 def decode_h264_video(payload: bytes) -> tuple[int, int, list]:
     """Annex-B H.264 → (width, height, [(Y, U, V)]) via the registered
-    ``h264_ipcm`` plugin — the pure-python I_PCM-subset decoder in
-    operators/h264.py is registered unconditionally below, so all-I_PCM
-    streams decode for REAL everywhere.  Entropy-coded (CAVLC/CABAC)
-    macroblocks are where the seam splits: the plugin itself raises
+    ``h264_ipcm`` plugin — the pure-python intra decoder in
+    operators/h264.py is registered unconditionally below, so I_PCM
+    AND (r11) CAVLC-coded intra streams decode for REAL everywhere.
+    The seam now splits at CABAC, inter prediction (P/B slices),
+    fields, 8x8 transforms, and in-loop deblocking: the plugin raises
     UnsupportedMediaError naming the optional codec library (av), the
     same contract as the MP3 path — install PyAV in the cluster image
     (and register it as the ``h264`` plugin) to decode those for real."""

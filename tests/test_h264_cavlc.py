@@ -194,3 +194,21 @@ def test_qp_guard():
     frames = _frames(rng, 32, 32, n=1)
     with pytest.raises(UnsupportedMediaError):
         encode_h264_cavlc(frames, 32, 32, qp=50)
+
+
+def test_cavlc_stream_routes_through_media_seam():
+    """The media router's h264 path (magic-byte sniff → registered
+    pure-python plugin) now serves CAVLC streams too."""
+    from processor_edf_spark.operators.media_codecs import (
+        decode_h264_video,
+        is_annexb_h264,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = _frames(rng, 32, 32, n=1)
+    stream, recons = encode_h264_cavlc_recon(frames, 32, 32, qp=26)
+    assert is_annexb_h264(stream)
+    w, h, decoded = decode_h264_video(stream)
+    assert (w, h) == (32, 32)
+    for a, b in zip(recons[0], decoded[0]):
+        assert np.array_equal(a, b)
