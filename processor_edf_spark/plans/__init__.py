@@ -132,6 +132,15 @@ from processor_edf_spark.plans import analytics_r11  # noqa: E402,F401
 # ntile_value_quartiles, dow_hour_heatmap) and the 13 tpch r7-greens
 # held at 51+.  New r11 queries take priority slots as usual;
 # test_window_covers_every_family stays the coverage gate.
+# r12 rotation, PRE-DECLARED: the 50 r10-window members (green in
+# CORRECTNESS_r10, out since the r11 rotation — the stalest driver
+# evidence after this window runs) lead the rotate-ins; then the two
+# queries the r11 additions displaced (edf_date_parse,
+# overlap_validation — both keep r8+r9 greens) and the four
+# r10-displaced queries still at 51+ (rolling_fingerprint,
+# doc_fingerprint, ntile_value_quartiles, dow_hour_heatmap).  New r12
+# queries take priority slots as usual;
+# test_window_covers_every_family stays the coverage gate.
 _CANONICAL = [
     # ---- r11 driver window (50): the pre-declared rotation from the
     # r10 note above, executed verbatim — the 50 r8-window members
