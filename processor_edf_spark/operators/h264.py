@@ -1710,10 +1710,6 @@ def encode_h264_ipcm(frames, width: int, height: int,
 # ---------------------------------------------------------------------------
 
 
-def _fquant_pos(i: int, j: int) -> int:
-    return _pos_class(i, j)
-
-
 def _ftransform4x4(x: np.ndarray) -> np.ndarray:
     """Forward core transform (spec §8.5 inverse's exact adjoint)."""
     e = np.empty((4, 4), np.int64)
@@ -1746,7 +1742,7 @@ def _quant_block(w4: np.ndarray, qp: int, skip_dc: bool) -> list[int]:
     out = []
     for s in range(first, 16):
         i, j = _ZIGZAG[s]
-        out.append(_quant_coeff(int(w4[i, j]), qp, _fquant_pos(i, j)))
+        out.append(_quant_coeff(int(w4[i, j]), qp, _pos_class(i, j)))
     return out
 
 
@@ -1969,13 +1965,9 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad):
                 for c in lcoeffs[blk]
             ):
                 cbp_luma |= 1 << q
-        # zero-quadrant blocks reconstruct predictor-only — redo recon
-        # for blocks whose coeffs the stream will not carry
-        for blk in range(16):
-            if not (cbp_luma & (1 << (blk // 4))) and any(
-                c != 0 for c in lcoeffs[blk]
-            ):
-                raise AssertionError("cbp covers every nonzero quadrant")
+        # (a quadrant bit is unset iff EVERY block in it quantized to
+        # all-zero, so the per-block recon above already matches the
+        # decoder's zero-residual path for uncoded quadrants)
         cbp = cbp_luma | (cbp_chroma << 4)
         # ---- emit
         w.ue(0)  # mb_type I_NxN

@@ -88,6 +88,13 @@ def _read_at(path: str, offset: int, n_bytes: int) -> bytes:
         with open(local, "rb") as f:
             f.seek(offset)
             return f.read(n_bytes)
+    return _read_at_arrow(path, offset, n_bytes)
+
+
+def _read_at_arrow(path: str, offset: int, n_bytes: int) -> bytes:
+    """The pyarrow.fs range read — split out so the local tests can
+    drive this exact code path through a file:// URI even though
+    ``_read_at`` short-circuits that scheme in production."""
     from pyarrow import fs as pafs
 
     filesystem, rel = pafs.FileSystem.from_uri(path)
