@@ -67,7 +67,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # frames (value-distance framing — peers included, so deterministic
 # under ties), and aggregate→outer-join compositions (FULL JOIN of two
 # GROUP BY subqueries on their group keys).
-N_SEEDS = 616
+N_SEEDS = 716
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so

@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Two differential contracts:
+Four differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -19,6 +19,10 @@ Two differential contracts:
 - ``stream_current_state`` final emission per key ≡ the batch
   latest-wins row (max by (t, id)) — on SHUFFLED arrival split across
   1-5 micro-batches.
+- ``stream_ewma`` on in-order arrival ≡ the batch trailing-window fold
+  with EXACT float equality (same IEEE operation order).
+- ``stream_scd2`` closed intervals ≡ the batch ``scd2_build`` history
+  (unique change times; tie semantics have their own hand pin).
 """
 
 from __future__ import annotations
@@ -209,3 +213,65 @@ def test_stream_ewma_differential(spark, tmp_path, seed):
     assert set(got) == set(want)
     for key_, v in want.items():
         assert got[key_] == v, (key_, got[key_], v)
+
+
+N_SCD2_SEEDS = 6
+
+
+@pytest.mark.parametrize("seed", range(N_SCD2_SEEDS))
+def test_stream_scd2_differential(spark, tmp_path, seed):
+    """Seeded SCD2 differential: the closed intervals emitted by the
+    streaming fold on in-order arrival must equal the batch
+    ``scd2_build`` history, across randomized key cardinality, change
+    counts and micro-batch cuts.  Change times are unique per key —
+    the tie semantics have their own hand pin
+    (test_streaming_scd2.py); here ties would make BOTH engines'
+    orderings legitimately ambiguous."""
+    from processor_edf_spark.operators.scd2 import scd2_build
+    from processor_edf_spark.streaming.scd2 import stream_scd2
+
+    rng = random.Random(4000 + seed)
+    n_users = rng.randint(3, 8)
+    rows = []
+    for uid in range(n_users):
+        t = rng.randint(0, 50) * 1_000_000
+        for _ in range(rng.randint(2, 40)):
+            rows.append((uid, t, round(rng.uniform(-50.0, 50.0), 3)))
+            t += rng.randint(1, 20) * 1_000_000  # strictly increasing
+    pdf = pd.DataFrame(rows, columns=["user_id", "t", "value"]).sort_values(
+        ["t", "user_id"]
+    )
+    k = rng.randint(1, 4)
+    src = str(tmp_path / "in")
+    for i, chunk in enumerate(np.array_split(pdf, k)):
+        spark.createDataFrame(
+            chunk, "user_id long, t long, value double"
+        ).coalesce(1).write.parquet(f"{src}/d{i:02d}.parquet")
+
+    want = {
+        (r["user_id"], r["value"], r["valid_from_usec"], r["valid_to_usec"])
+        for r in scd2_build(spark.createDataFrame(pdf))
+        .filter("NOT is_current")
+        .collect()
+    }
+
+    stream = (
+        spark.readStream.schema("user_id long, t long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/*")
+    )
+    (
+        stream_scd2(stream)
+        .writeStream.format("memory")
+        .queryName(f"fz_scd2_{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = {
+        (r["user_id"], r["value"], r["valid_from_usec"], r["valid_to_usec"])
+        for r in spark.sql(f"select * from fz_scd2_{seed}").collect()
+    }
+    assert got == want and len(want) > 0
