@@ -869,9 +869,17 @@ def _hadamard2x2(c: np.ndarray) -> np.ndarray:
 
 def _scale_chroma_dc(f: np.ndarray, qpc: int) -> np.ndarray:
     """Post-Hadamard chroma DC scaling (spec §8.5.11 normalisation in
-    the same flat-matrix convention as :func:`_scale_luma_dc`)."""
+    the same flat-matrix convention as :func:`_scale_luma_dc`).
+
+    §8.5.11 TRUNCATES (``(f·LevelScale << qPc/6) >> 5`` in spec
+    convention — no rounding term), unlike the luma-DC §8.5.10 path,
+    so this shift must not add one: for qPc >= 6 the pre-shift value is
+    even and a rounding term is a no-op, but for qPc < 6 with odd f·V
+    it decoded one unit high vs a conformant decoder on third-party
+    streams (invisible to round trips only because the fixture
+    encoder's reconstruction shares this helper)."""
     ls = _DEQUANT_V[qpc % 6][0]
-    return (((f * ls) << (qpc // 6)) + 1) >> 1
+    return ((f * ls) << (qpc // 6)) >> 1
 
 
 def _clip_u8(x: np.ndarray) -> np.ndarray:

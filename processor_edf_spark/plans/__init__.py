@@ -141,25 +141,106 @@ from processor_edf_spark.plans import analytics_r11  # noqa: E402,F401
 # doc_fingerprint, ntile_value_quartiles, dow_hour_heatmap).  New r12
 # queries take priority slots as usual;
 # test_window_covers_every_family stays the coverage gate.
+# r13 rotation, PRE-DECLARED: the 19 queries at position 51+ with the
+# stalest driver evidence lead the rotate-ins — the six held/displaced
+# members (edf_date_parse, overlap_validation: r8+r9 greens;
+# rolling_fingerprint, doc_fingerprint, dow_hour_heatmap: r7 greens;
+# ntile_value_quartiles: r8+r9 greens) and the 13 tpch r7-greens —
+# then the stalest of the r11-window members rotated out here.  New
+# r13 queries take priority slots as usual;
+# test_window_covers_every_family stays the coverage gate.
 _CANONICAL = [
-    # ---- r11 driver window (50): the pre-declared rotation from the
-    # r10 note above, executed verbatim — the 50 r8-window members
-    # (driver-green in BOTH r8 and r9, out since the r10 rotation;
-    # the stalest driver evidence after r10 ran) lead in their r8
-    # artifact order.  New r11 queries take priority slots on
-    # registration, displacing tail members whose family stays
-    # covered (noted inline when it happens).  Rotated out: the 50
-    # r10-window members, every one green in CORRECTNESS_r10 (50/50).
-    # edf_range_decode (the r11 byte-range decode row) takes a priority
-    # slot per the rotation rule, displacing edf_date_parse from
-    # position 50 (time_fns family stays covered in-window via
-    # epoch_functions; edf_date_parse keeps its r8+r9 greens at 51+).
+    # ---- r12 driver window (50): the pre-declared rotation from the
+    # r11 note above, executed verbatim — the 50 r10-window members
+    # (driver-green in CORRECTNESS_r10, out since the r11 rotation;
+    # the stalest driver evidence after r11 ran) lead in their r10
+    # artifact order.  Three of them (multimodal_meta, zorder_layout,
+    # corpus_job_report) were also r11-window anchors — they are the
+    # SOLE members of their families and so can never rotate out while
+    # test_window_covers_every_family holds.  New r12 queries take
+    # priority slots on registration, displacing tail members whose
+    # family stays covered (noted inline when it happens).  Rotated
+    # out: the 47 non-anchor r11-window members, every one green in
+    # CORRECTNESS_r11 (50/50).
+    "ewma_user_twophase",
+    "webp_decode_stats",
+    "flac_decode_stats",
+    "h264_decode_stats",
+    "tiff_decode_stats",
+    "mode_period_users",
+    "tumbling_daily_stats",
+    "band_join_acctbal",
+    "range_join_close_events",
+    "semi_join_returned_orders",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q3_segment_revenue",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "value_percentiles_per_type",
+    "cube_event_user_bucket",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "timestamp_synthesis",
+    "rollup_event_daily",
+    "multimodal_meta",
+    "zorder_layout",
+    "corpus_job_report",
+    "dedup_component_sizes",
+    "approx_distinct_audit",
+    "approx_percentile_audit",
+    "interp_linear_hourly",
+    "rolling_7d_active_users",
+    "session_dwell_stats",
+    "except_click_no_purchase",
+    "distinct_users_per_type",
+    "text_quality",
+    "lang_id_heuristic",
+    "bpe_token_count",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "array_slice_projection",
+    "ann_ivf_label",
+    "calibrate_events",
+    "sliding_hour_counts",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "minhash_signatures",
+    "simhash_16",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "embedding_norm_stats",
+    "sample_hash_bucket",
+    # ---- past the 50-slot window, per the r11 pre-declaration: the
+    # two queries the r11 additions displaced (edf_date_parse,
+    # overlap_validation — r8+r9 greens) and the four r10-displaced
+    # queries (rolling_fingerprint/doc_fingerprint/dow_hour_heatmap r7
+    # greens, ntile_value_quartiles r8+r9 greens).
+    "edf_date_parse",
+    "overlap_validation",
+    "rolling_fingerprint",
+    "doc_fingerprint",
+    "ntile_value_quartiles",
+    "dow_hour_heatmap",
+    # ---- 13 tpch r7-greens (family-covered in-window via the seven
+    # tpch members of the r12 window; q1 stays the flagship).
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    # ---- the 47 non-anchor r11-window members (fresh r11 greens,
+    # rotated out by this rotation) in their r11 artifact order.
     "edf_range_decode",
-    # h264_cavlc_decode_stats (the entropy-coded H.264 codec row) takes
-    # the second r11 priority slot, displacing overlap_validation from
-    # position 50 (sessionize family stays covered in-window via
-    # session_window_events; overlap_validation keeps its r8+r9 greens
-    # at 51+).
     "h264_cavlc_decode_stats",
     "heavy_hitters_audit",
     "merge_upsert_current",
@@ -178,9 +259,6 @@ _CANONICAL = [
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
-    "multimodal_meta",
-    "zorder_layout",
-    "corpus_job_report",
     "filter_project_events",
     "top3_orders_per_customer",
     "set_ops_event_types",
@@ -209,81 +287,9 @@ _CANONICAL = [
     "q18_large_orders",
     "rate_crosscheck_users",
     "session_window_events",
-    "overlap_validation",
-    "edf_date_parse",
-    # ---- past the 50-slot window: the four r10-displaced queries
-    # first (rolling_fingerprint/doc_fingerprint r7 greens,
-    # ntile_value_quartiles r8+r9 greens, dow_hour_heatmap r7 green),
-    # then the 13 tpch r7-greens, per the pre-declaration.
-    "rolling_fingerprint",
-    "doc_fingerprint",
-    "ntile_value_quartiles",
-    "dow_hour_heatmap",
-    # ---- 13 tpch r7-greens (family-covered in-window via the six
-    # tpch members of the r10 block below; q1 stays the flagship).
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    # ---- remainder: the r10 window members (fresh r10 greens) and
-    # every other query, all with a driver-green row on record and
-    # mirror-checked by tests/test_queries_oracle.py per commit.
-    "ewma_user_twophase",
-    "webp_decode_stats",
-    "flac_decode_stats",
-    "h264_decode_stats",
-    "tiff_decode_stats",
-    "mode_period_users",
-    "tumbling_daily_stats",
-    "band_join_acctbal",
-    "range_join_close_events",
-    "semi_join_returned_orders",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q3_segment_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "value_percentiles_per_type",
-    "cube_event_user_bucket",
-    "q1_pricing_summary",
-    "sessionize_events",
-    "timestamp_synthesis",
-    "rollup_event_daily",
-    "dedup_component_sizes",
-    "approx_distinct_audit",
-    "approx_percentile_audit",
-    "interp_linear_hourly",
-    "rolling_7d_active_users",
-    "session_dwell_stats",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
-    "text_quality",
-    "lang_id_heuristic",
-    "bpe_token_count",
-    "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
-    "array_slice_projection",
-    "ann_ivf_label",
-    "calibrate_events",
-    "sliding_hour_counts",
-    "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
-    "minhash_signatures",
-    "simhash_16",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "embedding_norm_stats",
-    "sample_hash_bucket",
+    # ---- remainder: every other query, all with a driver-green row
+    # on record and mirror-checked by tests/test_queries_oracle.py per
+    # commit.
     "boilerplate_ngrams",
     "agg_user_bounds",
     "epoch_functions",

@@ -5,7 +5,7 @@
 the driver's value oracle: per distinct user a complete single-signal
 EDF file is synthesized from deterministic field values, the PRODUCTION
 ``parse_edf_header`` → ``ranges_from_header`` → ``decode_range_bytes``
-chain splits it into 2-record ranges and decodes every range, and the
+chain splits it into 4-record ranges and decodes every range, and the
 oracle reproduces sample count, value sum, timestamp bounds, and range
 count arithmetically.  Any drift in the range math (overlapping or
 skipped records shift ``sum_value``/``n_samples``), the global-index
@@ -215,9 +215,13 @@ def h264_cavlc_decode_stats(spark, sf_dir):
     closed-form SOURCE plane sums the oracle reproduces — any CAVLC
     table slip, prediction bug, transform/dequant drift, or geometry
     error flips the row to the -1 sentinel (or changes dims) and reds
-    it.  Frame geometry alternates 32x32/48x32 so the deterministic
-    macroblock-kind mix covers I_NxN, I_16x16 AND I_PCM; every 7th
-    document encodes two frames (IDR boundary + frame-kind shift).
+    it.  Frame geometry is fixed 32x32 (4 macroblocks; the oracle's
+    plane sums assume w=32): the deterministic macroblock-kind mix
+    ``(mb*5 + f_idx) % 7`` covers I_NxN and I_16x16 in every frame
+    and reaches I_PCM (kind 6) only on the SECOND frame of the
+    two-frame docs — every 7th document encodes two frames (IDR
+    boundary + frame-kind shift), so I_PCM coverage rides that subset;
+    single-frame docs exercise the CAVLC-coded kinds only.
     Scale: decode-heavy/emit-light, payload never leaves the executor;
     pure-python kernel (~20 ms/doc) spread() across the session width
     like the sibling codec rows."""

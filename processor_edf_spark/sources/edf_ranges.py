@@ -111,6 +111,7 @@ def plan_edf_ranges(
     path: str,
     target_bytes: int = DEFAULT_TARGET_BYTES,
     listing: DataFrame | None = None,
+    header_reads_acc=None,
 ) -> DataFrame:
     """Distributed range planner: (path, length) listing → record-aligned
     byte-range rows, one header read per file.
@@ -119,7 +120,14 @@ def plan_edf_ranges(
     prunes the content column, so no file data moves in phase 1.
     Pass ``listing`` (a (path, length) DataFrame) to plan from a
     pre-filtered file set — e.g. the pipeline's quarantine filter,
-    which must exclude corrupt headers BEFORE the planner parses them."""
+    which must exclude corrupt headers BEFORE the planner parses them.
+
+    ``header_reads_acc`` (an optional Spark accumulator) counts one per
+    file the planner actually opens — the single-execution pin in
+    tests/test_edf_ranges.py asserts plan+decode performs EXACTLY one
+    header read per file (the r11 shape re-executed the uncached planner
+    lineage for the decode pass: 2× small-read storms on an object store
+    at a million-file listing)."""
     if listing is None:
         listing = (
             spark.read.format("binaryFile")
@@ -132,6 +140,8 @@ def plan_edf_ranges(
         for pdf in batches:
             rows = []
             for p, length in zip(pdf["path"], pdf["length"]):
+                if header_reads_acc is not None:
+                    header_reads_acc.add(1)
                 rows.extend(_plan_one(str(p), int(length), target_bytes))
             yield pd.DataFrame(
                 rows,
@@ -231,8 +241,20 @@ def decode_samples_from_ranges(
     for the bytes it can observe, catastrophic for the decode fan-out
     behind them (each row expands ~10⁴× into sample batches).  An
     explicit ``repartition(n)`` is exempt from AQE coalescing, and
-    round-robin placement gives exactly one range per task."""
+    round-robin placement gives exactly one range per task.
+
+    The planner lineage executes EXACTLY ONCE: when the default
+    ``num_tasks`` needs a count, the range rows are persisted first so
+    the sizing action materializes them and the decode job reads the
+    cached metadata instead of re-running the per-file header reads
+    (the range rows are O(ranges) ~1 KB each, so the cache is bounded
+    by the listing size, never by data volume).  Callers that already
+    know the task count pass ``num_tasks`` and skip both the action and
+    the cache."""
     if num_tasks is None:
+        from pyspark import StorageLevel
+
+        ranges = ranges.persist(StorageLevel.MEMORY_AND_DISK)
         num_tasks = max(1, ranges.count())
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -112,6 +112,23 @@ def test_ranged_decode_spreads_across_tasks(spark, edfc_dir):
     assert n_tasks >= min(8, n_ranges)
 
 
+def test_planner_executes_once_per_file(spark, edfc_dir):
+    """The r12 single-execution pin: plan + default-task-count decode
+    performs EXACTLY one header read per file.  The r11 shape ran the
+    uncached planner lineage twice (once for the sizing count, again
+    for the decode job) — 2x small-read storms on an object store at a
+    million-file listing; decode_samples_from_ranges now persists the
+    O(ranges) metadata rows around the count so the decode job reads
+    the cache instead of re-opening every header."""
+    acc = spark.sparkContext.accumulator(0)
+    ranges = plan_edf_ranges(
+        spark, edfc_dir, target_bytes=32 * 1024, header_reads_acc=acc
+    )
+    decoded = decode_samples_from_ranges(ranges)
+    assert decoded.count() > 0
+    assert acc.value == 2  # two files in the fixture dir, one read each
+
+
 def test_ranged_decode_single_range_per_file(spark, edfc_dir):
     # big target → one range per file → still exact
     ranges = plan_edf_ranges(spark, edfc_dir)

@@ -8,13 +8,14 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r11 window (the rotation pre-declared in the r10 note in
-plans/__init__.py, executed verbatim): the 50 r8-window members —
-driver-green in BOTH r8 and r9 (the identical window ran twice), out
-since the r10 rotation, and therefore the stalest driver evidence —
-lead in their r8 artifact order.  The four r10-displaced queries and
-the 13 tpch r7-greens sit at 51+.  New r11 queries take priority
-slots on registration.
+The r12 window (the rotation pre-declared in the r11 note in
+plans/__init__.py, executed verbatim): the 50 r10-window members —
+driver-green in CORRECTNESS_r10, out since the r11 rotation, and
+therefore the stalest driver evidence — lead in their r10 artifact
+order.  The six held/displaced queries (edf_date_parse,
+overlap_validation, the four r10-displaced) and the 13 tpch r7-greens
+sit at 51+, then the 47 rotated-out r11-window members (fresh r11
+greens).  New r12 queries take priority slots on registration.
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
 """
@@ -25,56 +26,56 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    "edf_range_decode",
-    "h264_cavlc_decode_stats",
-    "heavy_hitters_audit",
-    "merge_upsert_current",
-    "event_cooccurrence_lift",
-    "inter_arrival_histogram",
-    "events_job_report",
-    "percent_rank_cdf",
-    "annotations_tal_parse",
-    "cume_dist_cdf",
-    "ntile_cdf",
-    "pagerank_type_graph",
-    "image_decode_stats",
-    "audio_decode_stats",
-    "video_frame_stats",
-    "edf_header_parse",
-    "ngram_lang_profile",
-    "doc_length_histogram",
-    "quantize_embeddings_int8",
+    "ewma_user_twophase",
+    "webp_decode_stats",
+    "flac_decode_stats",
+    "h264_decode_stats",
+    "tiff_decode_stats",
+    "mode_period_users",
+    "tumbling_daily_stats",
+    "band_join_acctbal",
+    "range_join_close_events",
+    "semi_join_returned_orders",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q3_segment_revenue",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "value_percentiles_per_type",
+    "cube_event_user_bucket",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "timestamp_synthesis",
+    "rollup_event_daily",
     "multimodal_meta",
     "zorder_layout",
     "corpus_job_report",
-    "filter_project_events",
-    "top3_orders_per_customer",
-    "set_ops_event_types",
-    "token_stats",
-    "dedup_exact",
-    "cosine_pairs",
-    "ann_ivf_multiprobe",
-    "split_assignment",
-    "anomaly_robust_z",
-    "time_weighted_avg_daily",
-    "ewma_user_values",
-    "gap_fill_hourly",
-    "event_transitions",
-    "grouping_sets_revenue",
-    "dup_span_coverage",
-    "rolling_median_user",
-    "scd2_user_value_history",
-    "triangle_count_nn",
-    "dedup_substring_rewrite",
-    "dedup_events_debounce",
-    "value_percent_rank",
-    "user_value_trend",
-    "table_profile_events",
-    "full_outer_daily_activity",
-    "user_value_correlation",
-    "q18_large_orders",
-    "rate_crosscheck_users",
-    "session_window_events",
+    "dedup_component_sizes",
+    "approx_distinct_audit",
+    "approx_percentile_audit",
+    "interp_linear_hourly",
+    "rolling_7d_active_users",
+    "session_dwell_stats",
+    "except_click_no_purchase",
+    "distinct_users_per_type",
+    "text_quality",
+    "lang_id_heuristic",
+    "bpe_token_count",
+    "dedup_ngram_jaccard",
+    "ann_topk_bruteforce",
+    "array_slice_projection",
+    "ann_ivf_label",
+    "calibrate_events",
+    "sliding_hour_counts",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "minhash_signatures",
+    "simhash_16",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "embedding_norm_stats",
+    "sample_hash_bucket",
 ]
 
 
