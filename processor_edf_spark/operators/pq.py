@@ -257,7 +257,10 @@ def ivf_pq_search(
     C = np.asarray(centroids, dtype=np.float64)
     Q = np.asarray(queries, dtype=np.float64)
     qid = np.asarray(query_ids)
-    probe_sets = np.argsort(_distances(Q, C), axis=1)[:, :nprobe]
+    # stable sort: equidistant centroids probe in lowest-id order, the
+    # same tie-break as cell assignment (argmin first-min) — keeps the
+    # probe set deterministic and oracle-reproducible under ties
+    probe_sets = np.argsort(_distances(Q, C), axis=1, kind="stable")[:, :nprobe]
     probed_union = sorted({int(c) for row in probe_sets for c in row})
 
     assigned = assign_clusters(df, C, id_col=id_col, vec_col=vec_col).select(

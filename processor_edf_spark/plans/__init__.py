@@ -23,6 +23,7 @@ from processor_edf_spark.plans import analytics_r7b  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r10  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r11  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_r12  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -162,6 +163,19 @@ _CANONICAL = [
     # family stays covered (noted inline when it happens).  Rotated
     # out: the 47 non-anchor r11-window members, every one green in
     # CORRECTNESS_r11 (50/50).
+    # pq_adc_exact (the r12 PQ/ADC kernel row — the one unfinished r10
+    # verdict item) takes the first r12 priority slot, displacing
+    # embedding_norm_stats from position 50 (similarity family stays
+    # covered in-window via array_slice_projection; embedding_norm_stats
+    # keeps its r10 green at 51+).
+    "pq_adc_exact",
+    # ivf_pq_search_exact (the full IVF→PQ/ADC→re-rank pipeline row)
+    # takes the second r12 priority slot, displacing
+    # intersect_all_user_days from position 50 (setops family stays
+    # covered in-window via except_click_no_purchase +
+    # distinct_users_per_type; intersect_all_user_days keeps its r10
+    # green at 51+).
+    "ivf_pq_search_exact",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -209,14 +223,16 @@ _CANONICAL = [
     "minhash_signatures",
     "simhash_16",
     "range_frame_user_avg",
-    "intersect_all_user_days",
-    "embedding_norm_stats",
     "sample_hash_bucket",
-    # ---- past the 50-slot window, per the r11 pre-declaration: the
+    # ---- past the 50-slot window: the two members the r12 additions
+    # displaced (both keep their r10 greens; families covered in-window
+    # per the notes above), then per the r11 pre-declaration: the
     # two queries the r11 additions displaced (edf_date_parse,
     # overlap_validation — r8+r9 greens) and the four r10-displaced
     # queries (rolling_fingerprint/doc_fingerprint/dow_hour_heatmap r7
     # greens, ntile_value_quartiles r8+r9 greens).
+    "intersect_all_user_days",
+    "embedding_norm_stats",
     "edf_date_parse",
     "overlap_validation",
     "rolling_fingerprint",
@@ -470,6 +486,9 @@ FAMILY = {
     "edf_header_parse": "events",
     "edf_range_decode": "events",
     "h264_cavlc_decode_stats": "multimodal",
+    # r12 additions
+    "pq_adc_exact": "ann",
+    "ivf_pq_search_exact": "ann",
 }
 
 

@@ -1,0 +1,237 @@
+"""Round-12 analytics plans: the PQ/ADC kernel under the driver gate.
+
+``pq_adc_exact`` closes the one unfinished r10/r11 verdict item — the
+product-quantization kernel (operators/pq.py) was the only major ANN
+component with pytest-only evidence.  The row drives the PRODUCTION
+``pq_encode`` → ``pq_search_adc`` chain over codebook-built vectors:
+every fixture vector IS a codebook entry per subspace, so the ADC
+approximation collapses to the EXACT squared L2 distance (Jégou et al.
+2011 §III: ADC error is the quantization error of the DATABASE vector,
+zero when the vector sits on its centroid) — and the DuckDB oracle
+recomputes true squared L2 from the same closed forms.  Any encode slip
+(wrong nearest code, subspace order, tie-break) or ADC slip (LUT
+indexing, accumulation) shifts a distance or a rank and reds the row.
+
+``ivf_pq_search_exact`` drives the FULL production ANN pipeline
+(``ivf_pq_search``: IVF cell pruning → PQ/ADC shortlist → exact JVM
+re-rank) end-to-end under the same exactness regime.  The oracle
+reproduces the IVF routing itself — cell assignment (argmin, ties to
+the lowest centroid id) and per-query probe sets (2 nearest centroids;
+the fixture's query/centroid formulas are chosen so probe distances are
+strictly distinct, see the tie audit in the row docstring) — then ranks
+true distances inside the probed cells only.  A pruning bug (wrong
+cell, wrong probe set, dropped candidate) changes the returned
+neighbor set, not just a distance, so it cannot cancel out.
+
+Fixture closed forms (all small integers — exact in float64 on both
+engines):
+
+- subspaces m=4 of width 2 (d=8), K=4 codes per subspace;
+- codebook entry  B[j][c] = (4c + j, 3c + 2j)  — distinct per subspace,
+  so nearest-code assignment is unique (distance 0 vs > 0);
+- vector codes    c_j(i) = (i // (j+1)) mod 4  — 48-period mix across
+  vec_ids, every subspace cycles through all 4 codes;
+- queries         Q[q][t] = (q + t) mod 7, q in 0..2  (an id space
+  disjoint from the fixture construction: ``exclude_self=False``);
+- centroids       G[g] = the codebook vector with codes (g+j) mod 4.
+
+No EDF analog: the reference has no ANN surface (nothing to cite); this
+is the builder's-brief similarity-search axis (SURVEY.md §2 extension
+table), sibling to ann_ivf_label / ann_ivf_multiprobe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from processor_edf_spark.plans.registry import load, register
+
+_M, _SUB, _K = 4, 2, 4  # subspaces, dims per subspace, codes
+_N_Q, _TOPK = 3, 5
+_NPROBE, _SHORTLIST = 2, 50
+
+# Shared CTE: one row per (subspace j, within-subspace dim s) and the
+# vector/query/centroid component closed forms over them.
+_DIMS_CTES = """
+    dims AS (
+        SELECT tj.j, ts.s
+        FROM range(0, 4) tj(j) CROSS JOIN range(0, 2) ts(s)
+    ),
+    vc AS (
+        SELECT e.vec_id AS i, d.j, d.s,
+               CAST(CASE d.s
+                    WHEN 0 THEN 4 * ((e.vec_id // (d.j + 1)) % 4) + d.j
+                    ELSE 3 * ((e.vec_id // (d.j + 1)) % 4) + 2 * d.j
+               END AS DOUBLE) AS x
+        FROM embeddings e CROSS JOIN dims d
+    ),
+    qc AS (
+        SELECT tq.q, d.j, d.s,
+               CAST((tq.q + (2 * d.j + d.s)) % 7 AS DOUBLE) AS y
+        FROM range(0, 3) tq(q) CROSS JOIN dims d
+    )
+"""
+
+# True squared L2 between every (query, vector) pair from the closed
+# forms — EQUAL to the ADC distance because the vectors are codebook
+# entries (quantization error zero).
+_TRUE_DIST_CTE = """
+    dist AS (
+        SELECT qc.q AS query_id, vc.i AS neighbor_id,
+               ROUND(SUM((vc.x - qc.y) * (vc.x - qc.y)), 6) AS d2
+        FROM vc JOIN qc ON vc.j = qc.j AND vc.s = qc.s
+        GROUP BY qc.q, vc.i
+    )
+"""
+
+
+def _codebooks() -> np.ndarray:
+    B = np.empty((_M, _K, _SUB), dtype=np.float64)
+    for j in range(_M):
+        for c in range(_K):
+            B[j, c] = (4 * c + j, 3 * c + 2 * j)
+    return B
+
+
+def _centroids() -> np.ndarray:
+    B = _codebooks()
+    return np.stack(
+        [
+            np.concatenate([B[j, (g + j) % _K] for j in range(_M)])
+            for g in range(_K)
+        ]
+    )
+
+
+def _queries() -> tuple[np.ndarray, np.ndarray]:
+    Q = np.array(
+        [[(q + t) % 7 for t in range(_M * _SUB)] for q in range(_N_Q)],
+        dtype=np.float64,
+    )
+    return Q, np.arange(_N_Q)
+
+
+def _fixture_vectors(emb):
+    """(vec_id, embedding): the codebook-built vectors, all JVM column
+    arithmetic (no Python until the PQ kernels' own Arrow passes)."""
+    comps = []
+    for j in range(_M):
+        code = f"((vec_id div {j + 1}) % 4)"
+        comps.append(F.expr(f"CAST(4 * {code} + {j} AS DOUBLE)"))
+        comps.append(F.expr(f"CAST(3 * {code} + {2 * j} AS DOUBLE)"))
+    return emb.select("vec_id", F.array(*comps).alias("embedding"))
+
+
+@register(
+    "pq_adc_exact",
+    f"""
+    WITH {_DIMS_CTES}, {_TRUE_DIST_CTE}
+    SELECT query_id, neighbor_id, d2 AS adc_dist, rnk AS rank
+    FROM (
+        SELECT query_id, neighbor_id, d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY d2 ASC, neighbor_id ASC) AS rnk
+        FROM dist
+    ) WHERE rnk <= {_TOPK}
+    """,
+)
+def pq_adc_exact(spark, sf_dir):
+    """PQ encode + ADC top-k under the value oracle (operators/pq.py
+    ``pq_encode``/``pq_search_adc``).  Vectors are codebook entries, so
+    ADC == exact squared L2 and the oracle's true-distance ranking must
+    match bit-for-bit: a wrong code flips a distance by an integer
+    amount, a LUT indexing slip shifts whole columns, a tie-break slip
+    reorders equal-distance neighbors — all hash-visible.  Scale shape:
+    encode is one Arrow pass with broadcast codebooks (no shuffle); ADC
+    scores each partition against broadcast per-query LUTs; the only
+    shuffle is the per-query top-k window over (queries × candidates)
+    scored rows, which WindowGroupLimit caps."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    from processor_edf_spark.operators.pq import pq_encode, pq_search_adc
+
+    B = _codebooks()
+    Q, qids = _queries()
+    codes = pq_encode(_fixture_vectors(emb), B)
+    return pq_search_adc(codes, B, Q, qids, k=_TOPK)
+
+
+@register(
+    "ivf_pq_search_exact",
+    f"""
+    WITH {_DIMS_CTES}, {_TRUE_DIST_CTE},
+    gc AS (
+        SELECT tg.g, d.j, d.s,
+               CAST(CASE d.s
+                    WHEN 0 THEN 4 * ((tg.g + d.j) % 4) + d.j
+                    ELSE 3 * ((tg.g + d.j) % 4) + 2 * d.j
+               END AS DOUBLE) AS z
+        FROM range(0, 4) tg(g) CROSS JOIN dims d
+    ),
+    cell AS (
+        SELECT i, g AS cell FROM (
+            SELECT vc.i, gc.g,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vc.i
+                       ORDER BY SUM((vc.x - gc.z) * (vc.x - gc.z)) ASC,
+                                gc.g ASC) AS rnk
+            FROM vc JOIN gc ON vc.j = gc.j AND vc.s = gc.s
+            GROUP BY vc.i, gc.g
+        ) WHERE rnk = 1
+    ),
+    probed AS (
+        SELECT q AS query_id, g FROM (
+            SELECT qc.q, gc.g,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qc.q
+                       ORDER BY SUM((qc.y - gc.z) * (qc.y - gc.z)) ASC,
+                                gc.g ASC) AS rnk
+            FROM qc JOIN gc ON qc.j = gc.j AND qc.s = gc.s
+            GROUP BY qc.q, gc.g
+        ) WHERE rnk <= {_NPROBE}
+    )
+    SELECT query_id, neighbor_id, d2 AS dist_sq, rnk AS rank
+    FROM (
+        SELECT d.query_id, d.neighbor_id, d.d2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.d2 ASC, d.neighbor_id ASC) AS rnk
+        FROM dist d
+        JOIN cell c ON c.i = d.neighbor_id
+        JOIN probed p ON p.query_id = d.query_id AND p.g = c.cell
+    ) WHERE rnk <= {_TOPK}
+    """,
+)
+def ivf_pq_search_exact(spark, sf_dir):
+    """The full production ANN pipeline (operators/pq.py
+    ``ivf_pq_search``: IVF pruning → ADC shortlist → exact re-rank)
+    end-to-end under the value oracle.  The oracle reproduces the IVF
+    ROUTING, not just distances: cell = argmin centroid (ties to lowest
+    id — argmin first-min on the Spark side, (dist, g) row_number on
+    the oracle side), probe set = the 2 nearest centroids per query
+    (strictly distinct distances by fixture construction: the (q+t)%7
+    query formula was tie-audited against all 4 centroids), candidates
+    = probed cells only, final rank = true squared L2 with neighbor_id
+    tie-break.  ADC is exact on this fixture, so the 50-deep shortlist
+    is the true distance order and re-ranking cannot reshuffle it —
+    the row pins PRUNING correctness, the adc row pins SCORING.
+    Scale shape: centroid assign + encode are broadcast Arrow passes;
+    the candidate filter prunes the scan to ~nprobe/C of the corpus;
+    the re-rank join touches q·shortlist rows (tiny) against the raw
+    vectors with exact JVM arithmetic (zip_with + aggregate)."""
+    (emb,) = load(spark, sf_dir, "embeddings")
+    from processor_edf_spark.operators.pq import ivf_pq_search
+
+    Q, qids = _queries()
+    return ivf_pq_search(
+        _fixture_vectors(emb),
+        _centroids(),
+        _codebooks(),
+        Q,
+        qids,
+        k=_TOPK,
+        nprobe=_NPROBE,
+        shortlist=_SHORTLIST,
+        exclude_self=False,
+    )

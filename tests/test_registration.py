@@ -26,6 +26,11 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
+    # r12 priority slots: the two PQ/ADC kernel rows (first driver
+    # check), displacing embedding_norm_stats / intersect_all_user_days
+    # per the notes in plans/__init__.py.
+    "pq_adc_exact",
+    "ivf_pq_search_exact",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -73,8 +78,6 @@ EXPECTED_FIRST_50 = [
     "minhash_signatures",
     "simhash_16",
     "range_frame_user_avg",
-    "intersect_all_user_days",
-    "embedding_norm_stats",
     "sample_hash_bucket",
 ]
 
@@ -97,8 +100,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 145 through r8 + the r10 additions + the r11 additions
-    assert len(QUERIES) == 152
+    # 145 through r8 + the r10/r11 additions + the 2 r12 PQ rows
+    assert len(QUERIES) == 154
 
 
 def test_every_query_has_a_family():
