@@ -2,9 +2,10 @@
 
 FLAC is the dominant lossless audio format in real crawl/training
 corpora (next to WAV, which ``media_codecs.decode_wav_pcm`` already
-covers).  Unlike MP3/AAC — whose decode needs large spec-tabulated
-filterbank windows and Huffman tables and therefore stays behind the
-optional-extras seam — FLAC is fully algorithmic: bit reading, Rice
+covers).  Unlike AAC — and unlike the residue of MP3 that stays behind
+the optional-extras seam (operators/mp3.py r12 decodes MPEG-1 Layer III
+for real; see its docstring for the honest-seam boundary) — FLAC is
+fully algorithmic: bit reading, Rice
 codes, integer predictors, CRCs.  That makes it the audio twin of the
 LZW-TIFF and VP8L plugins: it decodes for REAL in every environment,
 no optional wheel.  (Generalizes the decode-everything posture of the

@@ -905,13 +905,23 @@ def decode_webp(payload: bytes) -> np.ndarray:
 
 
 def decode_mp3(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """MP3 → (rate, n_channels, float samples) via a registered plugin,
-    else soundfile when installed; same contract/shape as
-    decode_wav_pcm."""
+    """MP3 → (rate, n_channels, float samples); same contract/shape as
+    decode_wav_pcm.  Routing order: a registered plugin wins; else the
+    pure-python MPEG-1 Layer III decoder (operators/mp3.py — REAL in
+    every environment, r12) handles the stream, falling through to
+    soundfile (when installed) only for the decoder's documented
+    honest-seam residue (untranscribed Huffman selects, MPEG-2/2.5,
+    Layers I/II, free format — see the mp3.py module docstring)."""
     plugin = get_codec_plugin("mp3")
     if plugin is not None:
         return plugin(payload)
-    _require_optional("mp3")
+    from processor_edf_spark.operators import mp3 as _mp3  # noqa: PLC0415
+
+    try:
+        return _mp3.decode_mp3_py(payload)
+    except UnsupportedMediaError:
+        if not optional_codec_support().get("mp3"):
+            raise
     import io
 
     import soundfile  # noqa: PLC0415 — optional, gated above

@@ -1,0 +1,889 @@
+"""Pure-python MPEG-1 Audio Layer III (MP3) decoder + fixture encoder.
+
+MP3 is the dominant LOSSY audio format in real crawl corpora; until r12
+it sat entirely behind the optional-extras seam (soundfile), so in a
+no-extras container every real MP3 routed to ``decoded=false``.  This
+module decodes the Layer III bitstream for REAL — framing, side info,
+the bit reservoir, scalefactors, Huffman-coded spectra, requantization,
+stereo modes, alias reduction, IMDCT, and the polyphase synthesis
+filterbank — in the same pure-numpy discipline as operators/jpeg.py and
+operators/flac.py.  (Generalizes the decode-everything posture of the
+reference's sample reader, /root/reference/processor/edf_processor/
+edf.py:56-76, to the multimodal corpus like the sibling codecs.)
+
+Spec-exactness, stated precisely (ISO/IEC 11172-3):
+
+- **Exact**: frame sync/header fields and the MPEG-1 bitrate/rate
+  tables; mono/stereo side info layout (17/32 bytes) with every field;
+  the bit reservoir (``main_data_begin`` back-references across frame
+  payloads); scalefactor coding (slen pairs, scfsi granule sharing,
+  long/short/mixed band layouts); Huffman region structure
+  (region0/region1 boundaries, the window-switching 36/576 implicit
+  split, count1 quadruples, rzero); requantization (the |ix|^(4/3)
+  power law, global_gain, scalefac_scale, preflag/pretab,
+  subblock_gain); MS stereo and long-block intensity stereo; alias
+  reduction (the 8 cs/ca butterflies per subband boundary); IMDCT with
+  all four block-type windows and 18-sample overlap-add; frequency
+  inversion.
+- **Transcribed subset**: the spec's Huffman code tables are FIXED
+  published constants (Table B.7 — unlike JPEG, whose tables travel in
+  the payload).  The tables transcribed here with full confidence are
+  select 1 (the 2x2 table) plus the two count1 quadruple tables' B
+  form (4-bit complement codes) and the all-zero select 0; linbits
+  widths for selects 16-31 are carried so region parsing stays exact.
+  A stream selecting an untranscribed table raises
+  ``UnsupportedMediaError`` naming the optional codec library — the
+  same honest-seam contract as CABAC in operators/h264.py.  The
+  fixture encoder emits only the transcribed subset, so every decoder
+  stage above runs end-to-end on real conformant frames.
+- **Derived prototype**: the synthesis filterbank follows the spec's
+  STRUCTURE exactly (V FIFO, the 64x32 cosine matrix
+  ``N[i][k] = cos((16+i)(2k+1)pi/64)``, U/W vector assembly, 16-block
+  windowed sum) but the 512-tap window is a documented near-PR
+  pseudo-QMF prototype built from closed forms (windowed sinc), NOT
+  the spec's Table B.3 (512 published constants, not reproducible
+  here).  Spectral-domain decode is therefore conformant; PCM from
+  third-party streams is audio-grade but not bit-conformant — the
+  ``mp3`` plugin/soundfile seam in media_codecs.py remains the
+  bit-conformance path.  Round trips are bit-exact regardless: the
+  fixture encoder's reconstruction shares this synthesis.
+- **Out of scope** (UnsupportedMediaError, seam-gated): MPEG-2/2.5
+  low-sample-rate extensions, Layers I/II, free-format bitrate,
+  short-block intensity stereo.
+
+Same safety contracts as the sibling codecs: one exception type,
+bounded allocation (MAX_TOTAL_SAMPLES), malformed input never escapes
+as a raw IndexError/OverflowError (fuzz-pinned in
+tests/test_media_fuzz.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from processor_edf_spark.operators.flac import MSBBitReader, MSBBitWriter
+from processor_edf_spark.operators.media_codecs import UnsupportedMediaError
+
+#: inflation guard — a frame walk must not allocate unbounded PCM.
+MAX_TOTAL_SAMPLES = 1 << 26
+
+# MPEG-1 Layer III bitrate table (kbps; index 0 = free format, 15 = bad)
+_BITRATES = (
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_RATES = (44100, 48000, 32000)  # sampling_frequency 0/1/2; 3 = reserved
+
+# scalefac_compress -> (slen1, slen2)  (spec table B.6 layout)
+_SLEN = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (3, 0), (1, 1), (1, 2), (1, 3),
+    (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
+)
+
+# preflag table (long scalefactor bands 0..21)
+_PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+# scalefactor band boundaries (line indices), long (23 entries = 22
+# bands) and short (14 entries = 13 bands), per sampling rate
+_SFB_LONG = {
+    44100: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
+            134, 162, 196, 238, 288, 342, 418, 576),
+    48000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106,
+            128, 156, 190, 230, 276, 330, 384, 576),
+    32000: (0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126,
+            156, 194, 240, 296, 364, 448, 550, 576),
+}
+_SFB_SHORT = {
+    44100: (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    48000: (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    32000: (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
+}
+
+# linbits per Huffman select (0 where the table has no ESC pair);
+# selects 4 and 14 do not exist in the spec.
+_LINBITS = {
+    16: 1, 17: 2, 18: 3, 19: 4, 20: 6, 21: 8, 22: 10, 23: 13,
+    24: 4, 25: 5, 26: 6, 27: 7, 28: 8, 29: 9, 30: 11, 31: 13,
+}
+
+# ---------------------------------------------------------------------------
+# Huffman tables — the transcribed-with-confidence subset (module
+# docstring).  Each big-values table maps (bit-length, code) -> (x, y).
+# ---------------------------------------------------------------------------
+
+# select 1: 2x2, max value 1 (spec table B.7 "table 1")
+_TABLE_1 = {
+    (1, 0b1): (0, 0),
+    (3, 0b001): (0, 1),
+    (2, 0b01): (1, 0),
+    (3, 0b000): (1, 1),
+}
+_BIG_TABLES: dict[int, dict[tuple[int, int], tuple[int, int]]] = {1: _TABLE_1}
+_BIG_MAXLEN = {1: 3}
+# encoder twin: (x, y) -> (length, code)
+_TABLE_1_ENC = {v: k for k, v in _TABLE_1.items()}
+
+
+def _read_big_pair(r: MSBBitReader, select: int) -> tuple[int, int]:
+    """One big-values (x, y) pair via the transcribed table subset."""
+    if select == 0:
+        return 0, 0  # select 0: no bits, all-zero region
+    table = _BIG_TABLES.get(select)
+    if table is None:
+        extra = " (has linbits)" if select in _LINBITS else ""
+        raise UnsupportedMediaError(
+            f"mp3: Huffman table {select}{extra} not transcribed — "
+            "install the optional codec library (soundfile) for "
+            "third-party streams"
+        )
+    maxlen = _BIG_MAXLEN[select]
+    code, length = 0, 0
+    while length < maxlen:
+        code = (code << 1) | r.read(1)
+        length += 1
+        hit = table.get((length, code))
+        if hit is not None:
+            return hit
+    raise UnsupportedMediaError("mp3: invalid Huffman code")
+
+
+def _read_count1_quad(r: MSBBitReader, select: int) -> tuple[int, ...]:
+    """One count1 quadruple (v, w, x, y).  Table B (select 1) is the
+    fixed-length 4-bit complement code; table A (select 0) is not
+    transcribed (honest seam, module docstring)."""
+    if select == 1:
+        bits = r.read(4)
+        i = 15 - bits
+        return ((i >> 3) & 1, (i >> 2) & 1, (i >> 1) & 1, i & 1)
+    raise UnsupportedMediaError(
+        "mp3: count1 Huffman table A not transcribed — install the "
+        "optional codec library (soundfile) for third-party streams"
+    )
+
+
+def _read_sign(r: MSBBitReader) -> int:
+    return -1 if r.read(1) else 1
+
+
+# ---------------------------------------------------------------------------
+# header / side info
+# ---------------------------------------------------------------------------
+
+
+class _Granule:
+    __slots__ = (
+        "part2_3_length", "big_values", "global_gain", "scalefac_compress",
+        "window_switching", "block_type", "mixed_block", "table_select",
+        "subblock_gain", "region0_count", "region1_count", "preflag",
+        "scalefac_scale", "count1table_select",
+    )
+
+
+def _skip_id3(payload: bytes) -> int:
+    """Offset past a leading ID3v2 container (syncsafe size)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    size = (
+        (payload[6] & 0x7F) << 21
+        | (payload[7] & 0x7F) << 14
+        | (payload[8] & 0x7F) << 7
+        | (payload[9] & 0x7F)
+    )
+    return 10 + size
+
+
+def _parse_header(b4: bytes) -> dict:
+    """4-byte frame header -> fields; raises on anything but MPEG-1
+    Layer III at a fixed bitrate."""
+    h = int.from_bytes(b4, "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        raise UnsupportedMediaError("mp3: lost frame sync")
+    version = (h >> 19) & 3
+    layer = (h >> 17) & 3
+    if version != 3:
+        raise UnsupportedMediaError(
+            "mp3: only MPEG-1 is decodable without the optional codec "
+            "library (soundfile)"
+        )
+    if layer != 1:  # '01' = Layer III
+        raise UnsupportedMediaError(
+            "mp3: only Layer III is decodable without the optional "
+            "codec library (soundfile)"
+        )
+    bitrate_idx = (h >> 12) & 0xF
+    rate_idx = (h >> 10) & 3
+    if bitrate_idx == 0:
+        raise UnsupportedMediaError("mp3: free-format bitrate unsupported")
+    if bitrate_idx == 15 or rate_idx == 3:
+        raise UnsupportedMediaError("mp3: invalid header")
+    mode = (h >> 6) & 3
+    return {
+        "crc": not ((h >> 16) & 1),
+        "bitrate": _BITRATES[bitrate_idx] * 1000,
+        "rate": _RATES[rate_idx],
+        "padding": (h >> 9) & 1,
+        "mode": mode,  # 0 stereo, 1 joint, 2 dual, 3 mono
+        "mode_ext": (h >> 4) & 3,
+        "n_channels": 1 if mode == 3 else 2,
+    }
+
+
+def _frame_bytes(hdr: dict) -> int:
+    return 144 * hdr["bitrate"] // hdr["rate"] + hdr["padding"]
+
+
+def _parse_side_info(data: bytes, nch: int):
+    """Side info block -> (main_data_begin, scfsi, granules[2][nch])."""
+    r = MSBBitReader(data)
+    main_data_begin = r.read(9)
+    r.read(5 if nch == 1 else 3)  # private_bits
+    scfsi = [[r.read(1) for _ in range(4)] for _ in range(nch)]
+    granules: list[list[_Granule]] = []
+    for _gr in range(2):
+        chs = []
+        for _ch in range(nch):
+            g = _Granule()
+            g.part2_3_length = r.read(12)
+            g.big_values = r.read(9)
+            g.global_gain = r.read(8)
+            g.scalefac_compress = r.read(4)
+            g.window_switching = r.read(1)
+            if g.window_switching:
+                g.block_type = r.read(2)
+                g.mixed_block = r.read(1)
+                g.table_select = [r.read(5), r.read(5), 0]
+                g.subblock_gain = [r.read(3) for _ in range(3)]
+                if g.block_type == 0:
+                    raise UnsupportedMediaError(
+                        "mp3: window_switching with block_type 0"
+                    )
+                # regions are implicit for switched blocks (the 36/576
+                # split in _read_spectrum); the counts are not coded
+                g.region0_count = 0
+                g.region1_count = 0
+            else:
+                g.block_type = 0
+                g.mixed_block = 0
+                g.table_select = [r.read(5), r.read(5), r.read(5)]
+                g.subblock_gain = [0, 0, 0]
+                g.region0_count = r.read(4)
+                g.region1_count = r.read(3)
+            g.preflag = r.read(1)
+            g.scalefac_scale = r.read(1)
+            g.count1table_select = r.read(1)
+            if g.big_values > 288:
+                raise UnsupportedMediaError("mp3: big_values > 288")
+            chs.append(g)
+        granules.append(chs)
+    return main_data_begin, scfsi, granules
+
+
+# ---------------------------------------------------------------------------
+# scalefactors + Huffman spectra (the "part2" and "part3" of a granule)
+# ---------------------------------------------------------------------------
+
+
+def _read_scalefactors(
+    r: MSBBitReader, g: _Granule, gr: int, ch_scfsi, prev
+):
+    """-> (long[22], short[13][3]); applies scfsi copying on granule 1."""
+    slen1, slen2 = _SLEN[g.scalefac_compress]
+    long_sf = [0] * 22
+    short_sf = [[0, 0, 0] for _ in range(13)]
+    if g.window_switching and g.block_type == 2:
+        if g.mixed_block:
+            for b in range(8):
+                long_sf[b] = r.read(slen1)
+            for b in range(3, 6):
+                for w in range(3):
+                    short_sf[b][w] = r.read(slen1)
+        else:
+            for b in range(6):
+                for w in range(3):
+                    short_sf[b][w] = r.read(slen1)
+        for b in range(6, 12):
+            for w in range(3):
+                short_sf[b][w] = r.read(slen2)
+        return long_sf, short_sf
+    # long blocks: scfsi groups (0-5, 6-10, 11-15, 16-20)
+    groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+    for gi, (lo, hi, sl) in enumerate(groups):
+        if gr == 1 and ch_scfsi[gi]:
+            prev_long = prev[0]
+            for b in range(lo, hi):
+                long_sf[b] = prev_long[b]
+        else:
+            for b in range(lo, hi):
+                long_sf[b] = r.read(sl)
+    return long_sf, short_sf
+
+
+def _read_spectrum(r: MSBBitReader, g: _Granule, rate: int, part_end: int):
+    """Huffman part3 -> (ix[576] ints, count1_end line index)."""
+    ix = np.zeros(576, dtype=np.int64)
+    if g.window_switching:
+        r0_end, r1_end = 36, 576
+    else:
+        bounds = _SFB_LONG[rate]
+        r0_end = bounds[min(g.region0_count + 1, 22)]
+        r1_end = bounds[min(g.region0_count + 1 + g.region1_count + 1, 22)]
+    pos = 0
+    limit = 2 * g.big_values
+    while pos < limit:
+        if pos < r0_end:
+            sel = g.table_select[0]
+        elif pos < r1_end:
+            sel = g.table_select[1]
+        else:
+            sel = g.table_select[2]
+        x, y = _read_big_pair(r, sel)
+        linbits = _LINBITS.get(sel, 0)
+        for off, v in ((0, x), (1, y)):
+            if v == 15 and linbits:
+                v += r.read(linbits)
+            if v:
+                ix[pos + off] = v * _read_sign(r)
+        pos += 2
+    # count1 region: quadruples until the part boundary or line 576.
+    # A final quadruple that straddles the boundary is DISCARDED (the
+    # standard lenient handling: encoders may let the last quad spill
+    # into padding; its lines are zero).
+    while r.pos < part_end and pos <= 572:
+        mark = r.pos
+        quad = _read_count1_quad(r, g.count1table_select)
+        vals = []
+        for v in quad:
+            vals.append(v * _read_sign(r) if v else 0)
+        if r.pos > part_end:
+            r.pos = mark
+            break
+        for off, v in enumerate(vals):
+            if v:
+                ix[pos + off] = v
+        pos += 4
+    return ix, pos
+
+
+def _requantize(
+    ix: np.ndarray, g: _Granule, rate: int, long_sf, short_sf
+) -> np.ndarray:
+    """ix -> xr (float64 spectral lines), spec §2.4.3.4.7.1."""
+    xr = np.sign(ix) * np.abs(ix).astype(np.float64) ** (4.0 / 3.0)
+    sf_mult = 1.0 if g.scalefac_scale else 0.5
+    if g.window_switching and g.block_type == 2 and not g.mixed_block:
+        bounds = _SFB_SHORT[rate]
+        for b in range(13):
+            w_band = bounds[b + 1] - bounds[b]
+            base = 3 * bounds[b]
+            for w in range(3):
+                gain = (
+                    (g.global_gain - 210 - 8 * g.subblock_gain[w]) / 4.0
+                    - sf_mult * short_sf[b][w]
+                )
+                lo = base + w * w_band
+                xr[lo : lo + w_band] *= 2.0 ** gain
+        return xr
+    mixed = g.window_switching and g.block_type == 2 and g.mixed_block
+    bounds = _SFB_LONG[rate]
+    for b in range(22):
+        lo, hi = bounds[b], bounds[b + 1]
+        if mixed and lo >= 36:
+            break  # lines >= 36 of a mixed block scale as SHORT below
+        if mixed:
+            hi = min(hi, 36)
+        gain = (g.global_gain - 210) / 4.0 - sf_mult * (
+            long_sf[b] + (g.preflag * _PRETAB[b])
+        )
+        xr[lo:hi] *= 2.0 ** gain
+    if mixed:
+        sbounds = _SFB_SHORT[rate]
+        for b in range(3, 13):
+            w_band = sbounds[b + 1] - sbounds[b]
+            base = 3 * sbounds[b]
+            for w in range(3):
+                gain = (
+                    (g.global_gain - 210 - 8 * g.subblock_gain[w]) / 4.0
+                    - sf_mult * short_sf[b][w]
+                )
+                lo = base + w * w_band
+                xr[lo : lo + w_band] *= 2.0 ** gain
+    return xr
+
+
+def _reorder_short(xr: np.ndarray, g: _Granule, rate: int) -> np.ndarray:
+    """Short-block reorder: per scalefactor band, window-major bitstream
+    order -> frequency-major interleave (dst[3i+w] = src[w*width+i]),
+    so each 18-line subband carries its three windows interleaved."""
+    if not (g.window_switching and g.block_type == 2):
+        return xr
+    out = xr.copy()
+    bounds = _SFB_SHORT[rate]
+    first_band = 3 if g.mixed_block else 0
+    for b in range(first_band, 13):
+        width = bounds[b + 1] - bounds[b]
+        base = 3 * bounds[b]
+        src = xr[base : base + 3 * width]
+        for w in range(3):
+            out[base + w : base + 3 * width + w : 3][: width] = src[
+                w * width : (w + 1) * width
+            ]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stereo
+# ---------------------------------------------------------------------------
+
+_IS_RATIO = np.tan(np.arange(7) * np.pi / 12.0)
+
+
+def _apply_stereo(xr, hdr, granules_sf, gr, rate):
+    """MS and long-block intensity stereo in place (spec §2.4.3.4.9)."""
+    if hdr["mode"] != 1:  # joint stereo only
+        return xr
+    ms = hdr["mode_ext"] & 2
+    intensity = hdr["mode_ext"] & 1
+    left, right = xr
+    if intensity:
+        g_r = granules_sf["granule"][1]
+        long_sf_r = granules_sf["long_sf"][1]
+        if g_r.window_switching and g_r.block_type == 2:
+            raise UnsupportedMediaError(
+                "mp3: short-block intensity stereo unsupported — install "
+                "the optional codec library (soundfile)"
+            )
+        bounds = _SFB_LONG[rate]
+        # intensity bands: above the right channel's zero boundary
+        nz = np.nonzero(right)[0]
+        zero_start = (int(nz[-1]) + 1) if len(nz) else 0
+        for b in range(22):
+            lo, hi = bounds[b], bounds[b + 1]
+            if lo < zero_start:
+                continue
+            is_pos = long_sf_r[b]
+            if is_pos >= 7:
+                continue  # illegal position: keep L/R (spec behavior)
+            ratio = _IS_RATIO[is_pos]
+            l_ = left[lo:hi].copy()
+            left[lo:hi] = l_ * (ratio / (1.0 + ratio))
+            right[lo:hi] = l_ * (1.0 / (1.0 + ratio))
+    if ms:
+        m = left.copy()
+        s = right.copy()
+        inv_sqrt2 = 1.0 / np.sqrt(2.0)
+        left[:] = (m + s) * inv_sqrt2
+        right[:] = (m - s) * inv_sqrt2
+    return xr
+
+
+# ---------------------------------------------------------------------------
+# alias reduction, IMDCT, frequency inversion
+# ---------------------------------------------------------------------------
+
+_C_ALIAS = np.array(
+    [-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037]
+)
+_CS = 1.0 / np.sqrt(1.0 + _C_ALIAS * _C_ALIAS)
+_CA = _C_ALIAS / np.sqrt(1.0 + _C_ALIAS * _C_ALIAS)
+
+
+def _alias_reduce(xr: np.ndarray, n_long_sb: int) -> None:
+    """8 butterflies across each long-block subband boundary."""
+    for sb in range(1, n_long_sb):
+        for i in range(8):
+            a = xr[18 * sb - 1 - i]
+            b = xr[18 * sb + i]
+            xr[18 * sb - 1 - i] = a * _CS[i] - b * _CA[i]
+            xr[18 * sb + i] = b * _CS[i] + a * _CA[i]
+
+
+def _imdct_matrix(n: int) -> np.ndarray:
+    i = np.arange(n)[:, None]
+    k = np.arange(n // 2)[None, :]
+    return np.cos(np.pi / (2 * n) * (2 * i + 1 + n / 2) * (2 * k + 1))
+
+
+_IMDCT36 = _imdct_matrix(36)
+_IMDCT12 = _imdct_matrix(12)
+
+
+def _block_windows() -> dict[int, np.ndarray]:
+    n = np.arange(36)
+    w0 = np.sin(np.pi / 36 * (n + 0.5))
+    w1 = w0.copy()
+    w1[18:24] = 1.0
+    w1[24:30] = np.sin(np.pi / 12 * (n[24:30] - 18 + 0.5))
+    w1[30:] = 0.0
+    w3 = w0.copy()
+    w3[:6] = 0.0
+    w3[6:12] = np.sin(np.pi / 12 * (n[6:12] - 6 + 0.5))
+    w3[12:18] = 1.0
+    w2 = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+    return {0: w0, 1: w1, 2: w2, 3: w3}
+
+
+_WIN = _block_windows()
+
+
+def _imdct_subband(lines18: np.ndarray, block_type: int) -> np.ndarray:
+    """18 spectral lines -> 36 windowed time samples (pre overlap)."""
+    if block_type == 2:
+        z = np.zeros(36)
+        for w in range(3):
+            y = (_IMDCT12 @ lines18[w::3]) * _WIN[2]
+            z[6 * (w + 1) : 6 * (w + 1) + 12] += y
+        return z
+    return (_IMDCT36 @ lines18) * _WIN[block_type]
+
+
+def _hybrid_synthesis(xr: np.ndarray, g: _Granule, overlap: np.ndarray):
+    """576 lines -> (18, 32) subband samples via IMDCT + overlap-add;
+    ``overlap`` is the per-channel (32, 18) carry state (mutated)."""
+    ss = np.empty((18, 32))
+    for sb in range(32):
+        bt = g.block_type
+        if g.window_switching and g.block_type == 2 and g.mixed_block and sb < 2:
+            bt = 0
+        z = _imdct_subband(xr[18 * sb : 18 * (sb + 1)], bt)
+        ss[:, sb] = z[:18] + overlap[sb]
+        overlap[sb] = z[18:]
+    # frequency inversion: odd subbands negate odd time samples
+    ss[1::2, 1::2] *= -1.0
+    return ss
+
+
+# ---------------------------------------------------------------------------
+# polyphase synthesis filterbank
+# ---------------------------------------------------------------------------
+
+
+def _synth_prototype() -> np.ndarray:
+    """512-tap near-PR pseudo-QMF prototype from closed forms: a
+    windowed sinc at the 32-band cutoff (pi/64), Kaiser beta=9, peak-
+    normalized to the spec window's documented peak so output levels
+    land in the familiar range.  DOCUMENTED DEVIATION: this is not the
+    spec's Table B.3 (see module docstring) — structure and indexing
+    below ARE the spec's."""
+    n = np.arange(512)
+    x = (n - 255.5) / 64.0
+    h = np.sinc(x / 2.0) * np.kaiser(512, 9.0)
+    return h / h.max() * 1.144989013671875  # spec window peak (75038/65536)
+
+
+_D_WINDOW = _synth_prototype()
+_N_MATRIX = np.cos(
+    np.pi / 64.0 * (16 + np.arange(64))[:, None] * (2 * np.arange(32) + 1)[None, :]
+)
+
+
+class _SynthState:
+    __slots__ = ("v",)
+
+    def __init__(self):
+        self.v = np.zeros(1024)
+
+
+def _synth_32(s32: np.ndarray, st: _SynthState) -> np.ndarray:
+    """One filterbank step: 32 subband samples -> 32 PCM samples."""
+    st.v = np.roll(st.v, 64)
+    st.v[:64] = _N_MATRIX @ s32
+    v = st.v
+    u = np.empty(512)
+    for b in range(8):
+        u[64 * b : 64 * b + 32] = v[128 * b : 128 * b + 32]
+        u[64 * b + 32 : 64 * b + 64] = v[128 * b + 96 : 128 * b + 128]
+    w = u * _D_WINDOW
+    return w.reshape(16, 32).sum(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def _iter_frames(payload: bytes):
+    """Yield (hdr, side_bytes, main_bytes) per frame; validates sizes."""
+    pos = _skip_id3(payload)
+    end = len(payload)
+    if end >= 128 and payload[-128:-125] == b"TAG":
+        end -= 128  # ID3v1 tail
+    first = True
+    while pos + 4 <= end:
+        try:
+            hdr = _parse_header(payload[pos : pos + 4])
+        except UnsupportedMediaError:
+            if first:
+                raise
+            break  # trailing garbage after valid frames: stop cleanly
+        first = False
+        fb = _frame_bytes(hdr)
+        if pos + fb > end:
+            break  # trailing truncated frame: decode what is complete
+        off = pos + 4 + (2 if hdr["crc"] else 0)
+        side_len = 17 if hdr["n_channels"] == 1 else 32
+        if off + side_len > pos + fb:
+            raise UnsupportedMediaError("mp3: frame too small for side info")
+        yield hdr, payload[off : off + side_len], payload[off + side_len : pos + fb]
+        pos += fb
+    if first:
+        raise UnsupportedMediaError("mp3: no complete frame")
+
+
+def decode_mp3_frames(payload: bytes):
+    """Full decode, yielding per frame:
+    ``(hdr, spectra, pcm)`` where spectra is (2, nch, 576) float64
+    requantized-and-stereo-processed lines and pcm is (1152, nch).
+    The granular form the tests and the driver row consume;
+    :func:`decode_mp3_py` flattens it to the decode_wav contract."""
+    reservoir = b""
+    out = []
+    rate = None
+    nch = None
+    overlap = None
+    synth = None
+    total = 0
+    for hdr, side, main in _iter_frames(payload):
+        if rate is None:
+            rate, nch = hdr["rate"], hdr["n_channels"]
+            overlap = [np.zeros((32, 18)) for _ in range(nch)]
+            synth = [_SynthState() for _ in range(nch)]
+        elif hdr["rate"] != rate or hdr["n_channels"] != nch:
+            raise UnsupportedMediaError("mp3: mid-stream format change")
+        main_data_begin, scfsi, granules = _parse_side_info(side, nch)
+        if main_data_begin > len(reservoir):
+            # spec-legal at stream start / after a cut: skip this frame
+            reservoir = (reservoir + main)[-511:]
+            continue
+        data = (reservoir[len(reservoir) - main_data_begin :] if main_data_begin else b"") + main
+        reservoir = (reservoir + main)[-511:]
+        r = MSBBitReader(data)
+        total += 1152 * nch
+        if total > MAX_TOTAL_SAMPLES:
+            raise UnsupportedMediaError("mp3: stream exceeds sample budget")
+        frame_spectra = np.zeros((2, nch, 576))
+        pcm = np.empty((1152, nch))
+        prev_sf = [None] * nch
+        for gr in range(2):
+            xr_ch = []
+            sf_ch = []
+            g_ch = []
+            for ch in range(nch):
+                g = granules[gr][ch]
+                part_start = r.pos
+                part_end = part_start + g.part2_3_length
+                long_sf, short_sf = _read_scalefactors(
+                    r, g, gr, scfsi[ch], prev_sf[ch]
+                )
+                prev_sf[ch] = (long_sf, short_sf)
+                ix, _ = _read_spectrum(r, g, rate, part_end)
+                if r.pos > part_end:
+                    raise UnsupportedMediaError("mp3: part2_3 overrun")
+                r.pos = part_end  # skip padding inside the part
+                xr = _requantize(ix, g, rate, long_sf, short_sf)
+                xr = _reorder_short(xr, g, rate)
+                xr_ch.append(xr)
+                sf_ch.append(long_sf)
+                g_ch.append(g)
+            if nch == 2:
+                _apply_stereo(
+                    xr_ch,
+                    hdr,
+                    {"granule": granules[gr], "long_sf": sf_ch},
+                    gr,
+                    rate,
+                )
+            for ch in range(nch):
+                g = g_ch[ch]
+                xr = xr_ch[ch]
+                frame_spectra[gr, ch] = xr
+                if not (g.window_switching and g.block_type == 2 and not g.mixed_block):
+                    n_long = 2 if (g.window_switching and g.block_type == 2) else 32
+                    _alias_reduce(xr, n_long)
+                ss = _hybrid_synthesis(xr, g, overlap[ch])
+                for t in range(18):
+                    pcm[576 * gr + 32 * t : 576 * gr + 32 * (t + 1), ch] = _synth_32(
+                        ss[t], synth[ch]
+                    )
+        out.append((hdr, frame_spectra, pcm))
+    if not out:
+        raise UnsupportedMediaError("mp3: no decodable frame")
+    return out
+
+
+def decode_mp3_py(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """MP3 -> (rate, n_channels, float64 samples (n, nch)) — the
+    decode_wav_pcm contract; the pure-python ``mp3`` path."""
+    frames = decode_mp3_frames(payload)
+    rate = frames[0][0]["rate"]
+    nch = frames[0][0]["n_channels"]
+    pcm = np.concatenate([f[2] for f in frames], axis=0)
+    return rate, nch, pcm
+
+
+# ---------------------------------------------------------------------------
+# fixture encoder (spectral-domain): real conformant Layer III frames
+# over the transcribed Huffman subset
+# ---------------------------------------------------------------------------
+
+
+def _encode_granule_bits(ix: np.ndarray, g_params: dict) -> tuple[bytes, _Granule]:
+    """Spectral lines (|ix| <= 1, bitstream order) -> (part2_3 payload
+    bits, side fields).  Optional ``g_params``: ``block_type`` (2 =
+    short, windowed side-info layout), ``subblock_gain`` (3 ints),
+    ``count1_quads``, ``big_values_lines``, ``global_gain``."""
+    w = MSBBitWriter()
+    nz = np.nonzero(ix)[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    big_limit = g_params.get("big_values_lines")
+    if big_limit is None:
+        big_limit = min((last + 1) // 2 * 2, 576)
+    n_quads = g_params.get("count1_quads", 0)
+    if np.abs(ix).max(initial=0) > 1:
+        raise ValueError("fixture encoder: |ix| must be <= 1 (table 1 subset)")
+    # part2: long-block scalefactors (bands 0..20 over the slen pair);
+    # groups named in ``skip_groups`` are scfsi-shared from granule 0
+    # and write no bits.  Only long-block sf emission is supported.
+    compress = g_params.get("scalefac_compress", 0)
+    long_sf = g_params.get("long_sf", [0] * 22)
+    skip_groups = g_params.get("skip_groups", ())
+    slen1, slen2 = _SLEN[compress]
+    if g_params.get("block_type", 0) == 0:
+        groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+        for gi, (lo, hi, sl) in enumerate(groups):
+            if gi in skip_groups:
+                continue
+            for b in range(lo, hi):
+                if long_sf[b] >> sl:
+                    raise ValueError("fixture encoder: scalefactor exceeds slen")
+                w.write(long_sf[b], sl)
+    for pos in range(0, big_limit, 2):
+        x, y = int(abs(ix[pos])), int(abs(ix[pos + 1]))
+        length, code = _TABLE_1_ENC[(x, y)]
+        w.write(code, length)
+        if x:
+            w.write(1 if ix[pos] < 0 else 0, 1)
+        if y:
+            w.write(1 if ix[pos + 1] < 0 else 0, 1)
+    for q in range(n_quads):
+        base = big_limit + 4 * q
+        quad = [int(abs(ix[base + j])) for j in range(4)]
+        i = quad[0] * 8 + quad[1] * 4 + quad[2] * 2 + quad[3]
+        w.write(15 - i, 4)
+        for j in range(4):
+            if quad[j]:
+                w.write(1 if ix[base + j] < 0 else 0, 1)
+    nbits = len(w.buf) * 8 + w.nacc
+    g = _Granule()
+    g.part2_3_length = nbits
+    g.big_values = big_limit // 2
+    g.global_gain = g_params.get("global_gain", 210)
+    g.scalefac_compress = compress
+    g.block_type = g_params.get("block_type", 0)
+    g.window_switching = 1 if g.block_type else 0
+    g.mixed_block = 0
+    g.table_select = [1, 1, 1]  # table 1 in all three regions
+    g.subblock_gain = list(g_params.get("subblock_gain", (0, 0, 0)))
+    # region0 ends at sfb[region0_count+1]: pick the spec-common (7, 3)
+    g.region0_count = 7
+    g.region1_count = 3
+    g.preflag = g_params.get("preflag", 0)
+    g.scalefac_scale = g_params.get("scalefac_scale", 0)
+    g.count1table_select = 1
+    w.align()
+    return bytes(w.buf), g
+
+
+def encode_mp3_frames(
+    frames_ix: list,
+    rate: int = 44100,
+    n_channels: int = 1,
+    bitrate_kbps: int = 128,
+    mode_ext: int = 0,
+) -> bytes:
+    """Spectral fixture -> a real MPEG-1 Layer III stream.
+
+    ``frames_ix``: per frame, per granule (2), per channel: a dict
+    ``{"ix": int array (576, |values| <= 1), "count1_quads": int,
+    "global_gain": int}``.  Emits header + side info + main data with
+    ``main_data_begin = 0`` (no reservoir use; the decoder's reservoir
+    path is exercised by a hand-built stream in tests), padding to the
+    exact spec frame size with zero ancillary bits."""
+    rate_idx = _RATES.index(rate)
+    bitrate_idx = _BITRATES.index(bitrate_kbps)
+    mode = 3 if n_channels == 1 else (1 if mode_ext else 0)
+    out = bytearray()
+    for frame in frames_ix:
+        # frame-level scfsi (per channel, 4 group flags): granule 1
+        # skips the flagged groups' scalefactor bits
+        scfsi = frame[0][0].get("scfsi", [[0] * 4 for _ in range(n_channels)])
+        payloads = []
+        sides = []
+        for gr in range(2):
+            for ch in range(n_channels):
+                params = dict(frame[gr][ch])
+                if gr == 1:
+                    params["skip_groups"] = tuple(
+                        gi for gi in range(4) if scfsi[ch][gi]
+                    )
+                bits, g = _encode_granule_bits(
+                    np.asarray(frame[gr][ch]["ix"]), params
+                )
+                payloads.append((bits, g.part2_3_length))
+                sides.append(g)
+        w = MSBBitWriter()
+        w.write(0, 9)  # main_data_begin
+        w.write(0, 5 if n_channels == 1 else 3)
+        for ch in range(n_channels):
+            for gi in range(4):
+                w.write(scfsi[ch][gi], 1)
+        for g in sides:
+            w.write(g.part2_3_length, 12)
+            w.write(g.big_values, 9)
+            w.write(g.global_gain, 8)
+            w.write(g.scalefac_compress, 4)
+            w.write(g.window_switching, 1)
+            if g.window_switching:
+                w.write(g.block_type, 2)
+                w.write(g.mixed_block, 1)
+                for t in g.table_select[:2]:
+                    w.write(t, 5)
+                for sbg in g.subblock_gain:
+                    w.write(sbg, 3)
+            else:
+                for t in g.table_select:
+                    w.write(t, 5)
+                w.write(g.region0_count, 4)
+                w.write(g.region1_count, 3)
+            w.write(g.preflag, 1)
+            w.write(g.scalefac_scale, 1)
+            w.write(g.count1table_select, 1)
+        w.align()
+        side_bytes = bytes(w.buf)
+        assert len(side_bytes) == (17 if n_channels == 1 else 32)
+        # main data: concatenated part2_3 payloads, bit-packed
+        mw = MSBBitWriter()
+        for bits, nbits in payloads:
+            r = MSBBitReader(bits)
+            for _ in range(nbits):
+                mw.write(r.read(1), 1)
+        mw.align()
+        main = bytes(mw.buf)
+        hdr_word = (
+            (0x7FF << 21)
+            | (3 << 19)       # MPEG-1
+            | (1 << 17)       # Layer III
+            | (1 << 16)       # no CRC
+            | (bitrate_idx << 12)
+            | (rate_idx << 10)
+            | (0 << 9)        # padding
+            | (mode << 6)
+            | (mode_ext << 4)
+            | 0
+        )
+        frame_len = 144 * bitrate_kbps * 1000 // rate
+        body = main
+        budget = frame_len - 4 - len(side_bytes)
+        if len(body) > budget:
+            raise ValueError("fixture encoder: main data exceeds frame size")
+        body = body + b"\x00" * (budget - len(body))
+        out += hdr_word.to_bytes(4, "big") + side_bytes + body
+    return bytes(out)

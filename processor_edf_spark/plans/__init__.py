@@ -176,6 +176,13 @@ _CANONICAL = [
     # distinct_users_per_type; intersect_all_user_days keeps its r10
     # green at 51+).
     "ivf_pq_search_exact",
+    # mp3_decode_stats (the r12 codec-ratchet row: the pure-python
+    # MPEG-1 Layer III decoder) takes the third r12 priority slot,
+    # displacing range_frame_user_avg from position 50 (windows family
+    # stays covered in-window via ewma_user_twophase +
+    # moving_avg_daily_revenue; range_frame_user_avg keeps its r10
+    # green at 51+).
+    "mp3_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -222,15 +229,15 @@ _CANONICAL = [
     "moving_avg_daily_revenue",
     "minhash_signatures",
     "simhash_16",
-    "range_frame_user_avg",
     "sample_hash_bucket",
-    # ---- past the 50-slot window: the two members the r12 additions
+    # ---- past the 50-slot window: the three members the r12 additions
     # displaced (both keep their r10 greens; families covered in-window
     # per the notes above), then per the r11 pre-declaration: the
     # two queries the r11 additions displaced (edf_date_parse,
     # overlap_validation — r8+r9 greens) and the four r10-displaced
     # queries (rolling_fingerprint/doc_fingerprint/dow_hour_heatmap r7
     # greens, ntile_value_quartiles r8+r9 greens).
+    "range_frame_user_avg",
     "intersect_all_user_days",
     "embedding_norm_stats",
     "edf_date_parse",
@@ -489,6 +496,7 @@ FAMILY = {
     # r12 additions
     "pq_adc_exact": "ann",
     "ivf_pq_search_exact": "ann",
+    "mp3_decode_stats": "multimodal",
 }
 
 

@@ -38,6 +38,17 @@ engines):
 No EDF analog: the reference has no ANN surface (nothing to cite); this
 is the builder's-brief similarity-search axis (SURVEY.md §2 extension
 table), sibling to ann_ivf_label / ann_ivf_multiprobe.
+
+``mp3_decode_stats`` is the r12 codec-ratchet row: the pure-python
+MPEG-1 Layer III decoder (operators/mp3.py) under the value oracle —
+the seventh codec under the driver gate and the first LOSSY AUDIO one.
+Same discipline as ``h264_cavlc_decode_stats``: per document a
+deterministic spectral fixture is encoded into a REAL Layer III
+bitstream (headers, side info, Huffman-coded big-values + count1
+regions, sign bits), decoded back through the production
+``decode_mp3_frames``, and the row emits the closed-form construction
+sums ONLY if every decoded spectral line is bit-exact and the PCM has
+the contracted shape — else the -1 sentinel reds the row.
 """
 
 from __future__ import annotations
@@ -234,4 +245,156 @@ def ivf_pq_search_exact(spark, sf_dir):
         nprobe=_NPROBE,
         shortlist=_SHORTLIST,
         exclude_self=False,
+    )
+
+
+# mp3_decode_stats fixture constants (module docstring): 40 spectral
+# lines per (frame, granule, channel) — 16 big-value pairs + 2 count1
+# quadruples — with line values ((d + 3k + 5g + 7c + 11f) % 3) - 1.
+_MP3_LINES = 40
+
+
+@register(
+    "mp3_decode_stats",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 1),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS nf,
+               1 + (doc_id // 4) % 2 AS nch,
+               CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS sr
+        FROM d
+    ),
+    lines AS (
+        SELECT p.doc_id,
+               ((p.doc_id + 3 * tk.k + 5 * tg.g + 7 * tc.c + 11 * tf.f)
+                % 3) - 1 AS v
+        FROM p
+        JOIN range(0, 2) tf(f) ON tf.f < p.nf
+        CROSS JOIN range(0, 2) tg(g)
+        JOIN range(0, 2) tc(c) ON tc.c < p.nch
+        CROSS JOIN range(0, 40) tk(k)
+    )
+    SELECT p.doc_id,
+           CAST(p.nf AS BIGINT) AS n_frames,
+           CAST(p.nch AS BIGINT) AS n_channels,
+           CAST(p.sr AS BIGINT) AS sample_rate,
+           CAST(1152 * p.nf AS BIGINT) AS n_samples,
+           CAST(SUM(l.v) AS BIGINT) AS sum_ix,
+           CAST(SUM(CASE WHEN l.v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonzero
+    FROM p JOIN lines l USING (doc_id)
+    GROUP BY p.doc_id, p.nf, p.nch, p.sr
+    """,
+)
+def mp3_decode_stats(spark, sf_dir):
+    """The MPEG-1 Layer III path (operators/mp3.py, r12) as a
+    driver-hashed row — per document a deterministic spectral fixture
+    (every line an integer function of doc_id) is encoded to a REAL
+    Layer III bitstream (the production fixture encoder over the
+    transcribed Huffman subset: table-1 big values, count1 table B,
+    sign bits, exact part2_3 accounting), decoded back through the
+    production ``decode_mp3_frames``, and required BIT-EXACT in the
+    spectral domain with the contracted PCM shape (1152 samples x nch
+    per frame, all finite) before the closed-form construction sums
+    are emitted — any Huffman slip, side-info misparse, requantization
+    or region-boundary drift flips the row to the -1 sentinel (or
+    changes dims) and reds it.  The doc mix sweeps mono/stereo, all
+    three MPEG-1 sample rates, and 1- vs 2-frame streams.  Scale:
+    decode-heavy/emit-light, payload never leaves the executor;
+    pure-python kernel spread() across the session width like the
+    sibling codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(
+        spark, docs.select("doc_id").filter("doc_id % 4 = 1")
+    )
+
+    def gen(batches):
+        from processor_edf_spark.operators.mp3 import (
+            decode_mp3_frames,
+            encode_mp3_frames,
+        )
+
+        rates = (44100, 48000, 32000)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 2 if d % 5 == 0 else 1
+                nch = 1 + (d // 4) % 2
+                rate = rates[d % 3]
+
+                def ix_for(f, g, c):
+                    ix = np.zeros(576, dtype=np.int64)
+                    for k in range(_MP3_LINES):
+                        ix[k] = ((d + 3 * k + 5 * g + 7 * c + 11 * f) % 3) - 1
+                    return ix
+
+                frames = [
+                    [
+                        [
+                            {
+                                "ix": ix_for(f, g, c),
+                                "big_values_lines": 32,
+                                "count1_quads": 2,
+                                "global_gain": 210,
+                            }
+                            for c in range(nch)
+                        ]
+                        for g in range(2)
+                    ]
+                    for f in range(nf)
+                ]
+                payload = encode_mp3_frames(
+                    frames, rate=rate, n_channels=nch, bitrate_kbps=128
+                )
+                decoded = decode_mp3_frames(payload)
+                ok = len(decoded) == nf
+                total_pcm = 0
+                if ok:
+                    for f, (hdr, spectra, pcm) in enumerate(decoded):
+                        total_pcm += pcm.shape[0]
+                        ok = ok and hdr["rate"] == rate
+                        ok = ok and pcm.shape == (1152, nch)
+                        ok = ok and bool(np.isfinite(pcm).all())
+                        for g in range(2):
+                            for c in range(nch):
+                                ok = ok and np.array_equal(
+                                    spectra[g, c],
+                                    ix_for(f, g, c).astype(np.float64),
+                                )
+                if ok:
+                    sum_ix = 0
+                    n_nonzero = 0
+                    for f in range(nf):
+                        for g in range(2):
+                            for c in range(nch):
+                                v = ix_for(f, g, c)
+                                sum_ix += int(v.sum())
+                                n_nonzero += int(np.count_nonzero(v))
+                    rows.append(
+                        (d, nf, nch, rate, total_pcm, sum_ix, n_nonzero)
+                    )
+                else:
+                    rows.append((d, nf, nch, rate, -1, -1, -1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_channels", "sample_rate",
+                    "n_samples", "sum_ix", "n_nonzero",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, n_channels long, "
+            "sample_rate long, n_samples long, sum_ix long, "
+            "n_nonzero long"
+        ),
     )

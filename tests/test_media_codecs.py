@@ -900,7 +900,14 @@ def test_optional_codec_detection_absent_path():
         pytest.skip("optional codec libs installed; absent path untestable")
     with pytest.raises(UnsupportedMediaError, match="optional codec"):
         decode_webp(_webp_payload())
+    # r12: MPEG-1 Layer III decodes for REAL (operators/mp3.py), so the
+    # seam-naming contract now applies to the decoder's honest residue —
+    # an MPEG-2 (LSF) stream names the missing extra
     with pytest.raises(UnsupportedMediaError, match="soundfile"):
+        decode_audio(b"\xff\xf3\x90\x00" + b"\x00" * 64)
+    # and a sniffed-as-MP3 payload with no actual frame is a malformed-
+    # stream error from the real decoder, not a seam miss
+    with pytest.raises(UnsupportedMediaError, match="mp3"):
         decode_audio(b"ID3\x04\x00" + b"\x00" * 64)
     # magic-byte router sends WebP into the same contract
     with pytest.raises(UnsupportedMediaError, match="optional codec"):

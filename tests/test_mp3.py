@@ -1,0 +1,394 @@
+"""Pure-python MPEG-1 Layer III decoder (operators/mp3.py).
+
+Strategy mirrors the sibling codecs (test_flac.py / test_h264_cavlc.py):
+round-trip property tests through the fixture encoder (real conformant
+frames over the transcribed Huffman subset), hand-built streams for the
+paths the encoder doesn't emit (bit reservoir, scfsi sharing), Huffman
+table structure property checks, and the one-exception fuzz contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from processor_edf_spark.operators.media_codecs import (
+    UnsupportedMediaError,
+    decode_audio,
+)
+from processor_edf_spark.operators.mp3 import (
+    _BIG_TABLES,
+    _Granule,
+    _reorder_short,
+    _SFB_LONG,
+    _SFB_SHORT,
+    _SLEN,
+    decode_mp3_frames,
+    decode_mp3_py,
+    encode_mp3_frames,
+)
+
+
+def _gran(seed: int, n_lines: int = 40, **kw) -> dict:
+    ix = np.zeros(576, dtype=np.int64)
+    for k in range(n_lines):
+        ix[k] = ((seed + 3 * k) % 3) - 1
+    d = {"ix": ix, "big_values_lines": 32, "count1_quads": (n_lines - 32) // 4,
+         "global_gain": 210}
+    d.update(kw)
+    return d
+
+
+def _stream(frames, **kw) -> bytes:
+    return encode_mp3_frames(frames, **kw)
+
+
+# ---------------------------------------------------------------------------
+# round trips: spectral lines recovered exactly
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("rate", [44100, 48000, 32000])
+@pytest.mark.parametrize("bitrate", [96, 128, 192])
+def test_mono_long_block_round_trip(rate, bitrate):
+    frames = [[[_gran(f * 2 + g)] for g in range(2)] for f in range(3)]
+    out = decode_mp3_frames(_stream(frames, rate=rate, n_channels=1,
+                                    bitrate_kbps=bitrate))
+    assert len(out) == 3
+    for f, (hdr, spectra, pcm) in enumerate(out):
+        assert hdr["rate"] == rate and hdr["n_channels"] == 1
+        assert pcm.shape == (1152, 1) and np.isfinite(pcm).all()
+        for g in range(2):
+            assert np.array_equal(spectra[g, 0],
+                                  frames[f][g][0]["ix"].astype(float))
+
+
+def test_stereo_lr_round_trip():
+    frames = [[[_gran(1 + g), _gran(5 + g)] for g in range(2)]]
+    out = decode_mp3_frames(_stream(frames, rate=48000, n_channels=2,
+                                    bitrate_kbps=160))
+    (hdr, spectra, pcm) = out[0]
+    assert pcm.shape == (1152, 2)
+    for g in range(2):
+        for c in range(2):
+            assert np.array_equal(spectra[g, c],
+                                  frames[0][g][c]["ix"].astype(float))
+
+
+def test_ms_stereo_round_trip():
+    m, s = _gran(3), _gran(6)
+    frames = [[[m, s], [_gran(8), _gran(9)]]]
+    out = decode_mp3_frames(_stream(frames, rate=44100, n_channels=2,
+                                    bitrate_kbps=192, mode_ext=2))
+    spectra = out[0][1]
+    inv = 1.0 / np.sqrt(2.0)
+    assert np.array_equal(spectra[0, 0], (m["ix"] + s["ix"]) * inv)
+    assert np.array_equal(spectra[0, 1], (m["ix"] - s["ix"]) * inv)
+
+
+def test_global_gain_is_exact_powers_of_two():
+    # gain steps of 4 are exact factor-2 scalings of the +-1 lines
+    frames = [[[_gran(5, global_gain=214)], [_gran(5, global_gain=206)]]]
+    out = decode_mp3_frames(_stream(frames, rate=32000, n_channels=1,
+                                    bitrate_kbps=96))
+    assert np.array_equal(out[0][1][0, 0], frames[0][0][0]["ix"] * 2.0)
+    assert np.array_equal(out[0][1][1, 0], frames[0][1][0]["ix"] * 0.5)
+
+
+def test_short_blocks_round_trip_with_subblock_gain():
+    frames = [[[_gran(4, block_type=2)],
+               [_gran(7, block_type=2, subblock_gain=(0, 1, 2))]]]
+    out = decode_mp3_frames(_stream(frames, rate=48000, n_channels=1,
+                                    bitrate_kbps=160))
+    g = _Granule()
+    g.window_switching, g.block_type, g.mixed_block = 1, 2, 0
+    exp0 = _reorder_short(frames[0][0][0]["ix"].astype(float), g, 48000)
+    assert np.array_equal(out[0][1][0, 0], exp0)
+    # subblock_gain scales window w by 2^(-2*sbg) BEFORE reorder
+    bounds = _SFB_SHORT[48000]
+    exp1 = frames[0][1][0]["ix"].astype(float)
+    for b in range(13):
+        width = bounds[b + 1] - bounds[b]
+        base = 3 * bounds[b]
+        for w, sbg in enumerate((0, 1, 2)):
+            exp1[base + w * width: base + (w + 1) * width] *= 2.0 ** (-2 * sbg)
+    assert np.array_equal(out[0][1][1, 0], _reorder_short(exp1, g, 48000))
+
+
+def test_short_reorder_hand_case():
+    """Pin the reorder convention on the first 48k band (width 4):
+    bitstream [w0:a b c d | w1:e f g h | w2:i j k l] ->
+    frequency-major interleave [a e i b f j c g k d h l]."""
+    g = _Granule()
+    g.window_switching, g.block_type, g.mixed_block = 1, 2, 0
+    xr = np.zeros(576)
+    xr[:12] = np.arange(1, 13)
+    out = _reorder_short(xr, g, 48000)
+    assert list(out[:12]) == [1, 5, 9, 2, 6, 10, 3, 7, 11, 4, 8, 12]
+
+
+def test_scalefactors_and_preflag_round_trip():
+    # scalefac_scale=1 -> multiplier 2^(-sf) exact powers of two
+    sf = [0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 2, 0, 1, 2, 3, 0, 1, 2, 3, 0, 1, 0]
+    frames = [[[_gran(2, scalefac_compress=10, long_sf=sf,
+                      scalefac_scale=1)],
+               [_gran(3)]]]
+    out = decode_mp3_frames(_stream(frames, rate=44100, n_channels=1,
+                                    bitrate_kbps=128))
+    bounds = _SFB_LONG[44100]
+    exp = frames[0][0][0]["ix"].astype(float)
+    for b in range(22):
+        exp[bounds[b]: bounds[b + 1]] *= 2.0 ** (-sf[b])
+    assert np.array_equal(out[0][1][0, 0], exp)
+
+
+def test_scfsi_shares_granule0_scalefactors():
+    """scfsi group flags: granule 1 omits those groups' bits and the
+    decoder must reuse granule 0's values."""
+    sf = [1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 2, 1, 2, 3, 1, 2, 3, 1, 2, 3, 1, 0]
+    scfsi = [[1, 0, 1, 0]]  # groups 0-5 and 11-15 shared
+    g0 = _gran(2, scalefac_compress=10, long_sf=sf, scalefac_scale=1,
+               scfsi=scfsi)
+    # granule 1 transmits only groups 1 and 3; shared groups must DECODE
+    # to granule 0's values even though g1's param list differs there
+    sf1 = [9, 9, 9, 9, 9, 9, 2, 2, 2, 2, 2, 9, 9, 9, 9, 9, 1, 1, 1, 1, 1, 0]
+    g1 = _gran(4, scalefac_compress=10, long_sf=sf1, scalefac_scale=1)
+    out = decode_mp3_frames(_stream([[[g0], [g1]]], rate=44100,
+                                    n_channels=1, bitrate_kbps=128))
+    bounds = _SFB_LONG[44100]
+    eff = [sf[b] if (b < 6 or 11 <= b < 16) else sf1[b] for b in range(21)]
+    eff.append(0)
+    exp = g1["ix"].astype(float)
+    for b in range(22):
+        exp[bounds[b]: bounds[b + 1]] *= 2.0 ** (-eff[b])
+    assert np.array_equal(out[0][1][1, 0], exp)
+
+
+# ---------------------------------------------------------------------------
+# bit reservoir: hand-moved main data across frames
+# ---------------------------------------------------------------------------
+
+
+def test_bit_reservoir_back_reference():
+    frames = [[[_gran(1)], [_gran(2)]], [[_gran(3)], [_gran(4)]]]
+    base = bytearray(_stream(frames, rate=44100, n_channels=1,
+                             bitrate_kbps=128))
+    flen = 144 * 128000 // 44100
+    assert len(base) == 2 * flen
+    ref = decode_mp3_frames(bytes(base))
+    # move the first N bytes of frame 2's main data into frame 1's
+    # zero-padding tail and set frame 2's main_data_begin = N
+    n = 23
+    f2_main_start = flen + 4 + 17
+    moved = bytes(base[f2_main_start: f2_main_start + n])
+    assert base[flen - n:flen] == b"\x00" * n  # padding must be free
+    base[flen - n:flen] = moved
+    rest = bytes(base[f2_main_start + n: 2 * flen])
+    base[f2_main_start: f2_main_start + len(rest)] = rest
+    base[f2_main_start + len(rest): 2 * flen] = b"\x00" * n
+    # main_data_begin is the first 9 bits after frame 2's header
+    side0 = base[flen + 4]
+    side1 = base[flen + 5]
+    assert side0 == 0 and side1 & 0x80 == 0  # was zero
+    base[flen + 4] = n >> 1
+    base[flen + 5] = ((n & 1) << 7) | side1
+    got = decode_mp3_frames(bytes(base))
+    assert len(got) == 2
+    for (h_a, s_a, p_a), (h_b, s_b, p_b) in zip(ref, got):
+        assert np.array_equal(s_a, s_b)
+        assert np.array_equal(p_a, p_b)
+
+
+def test_reservoir_reference_before_stream_start_skips_frame():
+    frames = [[[_gran(1)], [_gran(2)]]]
+    base = bytearray(_stream(frames, rate=44100, n_channels=1,
+                             bitrate_kbps=128))
+    base[4] = 1  # main_data_begin = 2 on the FIRST frame: nothing behind
+    with pytest.raises(UnsupportedMediaError):
+        decode_mp3_frames(bytes(base))
+
+
+# ---------------------------------------------------------------------------
+# container framing
+# ---------------------------------------------------------------------------
+
+
+def test_id3v2_and_id3v1_wrappers_are_skipped():
+    frames = [[[_gran(1)], [_gran(2)]]]
+    core = _stream(frames, rate=44100, n_channels=1, bitrate_kbps=128)
+    tag_body = b"\x00" * 70
+    id3v2 = b"ID3\x04\x00\x00" + bytes(
+        [(len(tag_body) >> 21) & 0x7F, (len(tag_body) >> 14) & 0x7F,
+         (len(tag_body) >> 7) & 0x7F, len(tag_body) & 0x7F]
+    ) + tag_body
+    id3v1 = b"TAG" + b"\x00" * 125
+    rate, nch, pcm = decode_mp3_py(id3v2 + core + id3v1)
+    assert (rate, nch, pcm.shape) == (44100, 1, (1152, 1))
+
+
+def test_truncated_final_frame_decodes_complete_frames_only():
+    frames = [[[_gran(1)], [_gran(2)]], [[_gran(3)], [_gran(4)]]]
+    payload = _stream(frames, rate=44100, n_channels=1, bitrate_kbps=128)
+    out = decode_mp3_frames(payload[: len(payload) - 40])
+    assert len(out) == 1
+
+
+def test_trailing_garbage_after_frames_is_tolerated():
+    frames = [[[_gran(1)], [_gran(2)]]]
+    payload = _stream(frames, rate=44100, n_channels=1, bitrate_kbps=128)
+    out = decode_mp3_frames(payload + b"not a frame header at all")
+    assert len(out) == 1
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda b: b[:1] + b"\x00" + b[2:], "sync"),          # kill sync
+        (lambda b: b[:1] + bytes([b[1] & ~0x18]) + b[2:], "MPEG-1"),
+        (lambda b: b[:1] + bytes([(b[1] & ~0x06) | 0x06]) + b[2:], "Layer"),
+        (lambda b: b[:2] + bytes([b[2] & 0x0F]) + b[3:], "free-format"),
+    ],
+)
+def test_unsupported_header_variants_raise(mutate, msg):
+    payload = _stream([[[_gran(1)], [_gran(2)]]], rate=44100,
+                      n_channels=1, bitrate_kbps=128)
+    with pytest.raises(UnsupportedMediaError, match=msg):
+        decode_mp3_frames(mutate(payload))
+
+
+def test_untranscribed_huffman_table_names_the_seam():
+    payload = bytearray(_stream([[[_gran(1)], [_gran(2)]]], rate=44100,
+                                n_channels=1, bitrate_kbps=128))
+    # side info granule 0: table_select starts after
+    # 9+5+4 + 12+9+8+4+1 = 52 bits; set select 0 to table 16 (10000)
+    bitpos = (4 + 0) * 8 + 52
+    for i, bit in enumerate((1, 0, 0, 0, 0)):
+        byte, off = divmod(bitpos + i, 8)
+        if bit:
+            payload[byte] |= 0x80 >> off
+        else:
+            payload[byte] &= ~(0x80 >> off)
+    with pytest.raises(UnsupportedMediaError, match="not transcribed"):
+        decode_mp3_frames(bytes(payload))
+
+
+def test_decode_audio_routes_mp3_through_pure_path():
+    payload = _stream([[[_gran(1)], [_gran(2)]]], rate=44100,
+                      n_channels=1, bitrate_kbps=128)
+    rate, nch, pcm = decode_audio(payload)
+    assert (rate, nch) == (44100, 1)
+    assert pcm.shape == (1152, 1)
+
+
+# ---------------------------------------------------------------------------
+# Huffman table structure properties
+# ---------------------------------------------------------------------------
+
+
+def test_big_tables_prefix_free_and_kraft_complete():
+    for sel, table in _BIG_TABLES.items():
+        codes = list(table.keys())
+        # prefix-free: no code is a prefix of another
+        for la, ca in codes:
+            for lb, cb in codes:
+                if (la, ca) != (lb, cb) and la <= lb:
+                    assert (cb >> (lb - la)) != ca, (sel, ca, cb)
+        # complete: Kraft sum exactly 1 (spec big-value tables are
+        # complete prefix codes)
+        assert sum(2 ** -l for l, _ in codes) == 1.0
+        # every (x, y) pair within the table's value range exactly once
+        assert sorted(table.values()) == sorted(
+            (x, y) for x in range(2) for y in range(2)
+        )
+
+
+def test_count1_table_b_is_the_4bit_complement_code():
+    from processor_edf_spark.operators.flac import MSBBitReader
+    from processor_edf_spark.operators.mp3 import _read_count1_quad
+
+    seen = set()
+    for bits in range(16):
+        r = MSBBitReader(bytes([bits << 4]))
+        quad = _read_count1_quad(r, 1)
+        i = 15 - bits
+        assert quad == ((i >> 3) & 1, (i >> 2) & 1, (i >> 1) & 1, i & 1)
+        seen.add(quad)
+    assert len(seen) == 16
+
+
+def test_slen_table_covers_all_compress_values():
+    assert len(_SLEN) == 16
+    assert _SLEN[0] == (0, 0) and _SLEN[15] == (4, 3)
+
+
+def test_sfb_tables_are_monotone_and_bounded():
+    for rate, bounds in _SFB_LONG.items():
+        assert len(bounds) == 23 and bounds[0] == 0 and bounds[-1] == 576
+        assert all(a < b for a, b in zip(bounds, bounds[1:]))
+    for rate, bounds in _SFB_SHORT.items():
+        assert len(bounds) == 14 and bounds[0] == 0 and bounds[-1] == 192
+        assert all(a < b for a, b in zip(bounds, bounds[1:]))
+
+
+# ---------------------------------------------------------------------------
+# PCM sanity (the derived-prototype synthesis)
+# ---------------------------------------------------------------------------
+
+
+def test_pcm_is_deterministic_and_bounded():
+    frames = [[[_gran(9)], [_gran(11)]]]
+    payload = _stream(frames, rate=44100, n_channels=1, bitrate_kbps=128)
+    _, _, a = decode_mp3_py(payload)
+    _, _, b = decode_mp3_py(payload)
+    assert np.array_equal(a, b)
+    assert np.isfinite(a).all() and np.abs(a).max() < 100.0
+    assert np.abs(a).max() > 0.0  # nonzero spectra produce nonzero audio
+
+
+def test_silence_decodes_to_silence():
+    z = {"ix": np.zeros(576, dtype=np.int64), "big_values_lines": 0,
+         "count1_quads": 0, "global_gain": 210}
+    payload = _stream([[[z], [z]]], rate=44100, n_channels=1,
+                      bitrate_kbps=128)
+    _, _, pcm = decode_mp3_py(payload)
+    assert np.abs(pcm).max() == 0.0
+
+
+# ---------------------------------------------------------------------------
+# one-exception fuzz contract
+# ---------------------------------------------------------------------------
+
+_GOOD = encode_mp3_frames([[[_gran(1)], [_gran(2)]]], rate=44100,
+                          n_channels=1, bitrate_kbps=128)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_random_bytes_never_escape(data):
+    for prefix in (b"", b"\xff\xfb", b"ID3"):
+        try:
+            decode_mp3_py(prefix + data)
+        except UnsupportedMediaError:
+            pass
+
+
+@given(st.integers(min_value=0, max_value=10_000), st.integers(0, 7))
+@settings(max_examples=200, deadline=None)
+def test_bitflip_never_escapes(pos, bit):
+    payload = bytearray(_GOOD)
+    payload[pos % len(payload)] ^= 1 << bit
+    try:
+        decode_mp3_py(bytes(payload))
+    except UnsupportedMediaError:
+        pass
+
+
+@given(st.integers(min_value=1, max_value=len(_GOOD)))
+@settings(max_examples=100, deadline=None)
+def test_truncation_never_escapes(cut):
+    try:
+        decode_mp3_py(_GOOD[:-cut])
+    except UnsupportedMediaError:
+        pass
