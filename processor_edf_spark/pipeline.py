@@ -60,50 +60,89 @@ def process_edf_directory(
     partial output; we isolate them).  Use ``file_status(binary)`` to
     report the quarantined set.
 
-    ``samples_target_bytes`` switches the SAMPLE decode (the 99.9%-of-
-    bytes path) to the record-aligned byte-range source
-    (sources/edf_ranges.py): one decode task per ~target_bytes of any
-    file, removing both the one-task-per-file ceiling and binaryFile's
-    ~2 GB content cap — use it when individual recordings are large
-    (bit-identical to the whole-file path; tests/test_edf_ranges.py).
-    The metadata scans (headers/annotations/chunk runs) stay on the
-    whole-file path — they are O(header+annotation) work per file.
+    ``samples_target_bytes`` switches the WHOLE pipeline to the
+    record-aligned byte-range source (sources/edf_ranges.py) — samples,
+    annotations, chunk runs, signal headers, AND the quarantine probe:
+    one decode task per ~target_bytes of any file, removing both the
+    one-task-per-file ceiling and binaryFile's ~2 GB content cap at
+    EVERY stage (until r12 the metadata stages still materialized
+    whole-file content, so large recordings failed there even with the
+    ranged sample path on).  Headers and the quarantine probe read only
+    the 256+256·ns header bytes; annotations and chunk runs ride the
+    same record-aligned ranges as the sample decode (global record
+    indices via rec0; range-boundary runs coalesce in the existing
+    O(chunks) merge).  Output is bit-identical to the whole-file path
+    (tests/test_edf_ranges.py).
     """
+    if samples_target_bytes is not None:
+        return _process_edf_directory_ranged(
+            spark,
+            input_dir,
+            existing_channels,
+            quarantine,
+            samples_target_bytes,
+        )
     binary = scan_edf_files(spark, input_dir)
     if quarantine:
         good = file_status(binary).filter(F.col("ok")).select("path")
         binary = binary.join(F.broadcast(good), "path")
-    if samples_target_bytes is not None:
-        from processor_edf_spark.sources.edf_ranges import (
-            decode_samples_ranged,
-        )
-
-        if quarantine:
-            # plan from the quarantine-filtered listing: corrupt
-            # headers must be excluded BEFORE the planner parses them
-            from processor_edf_spark.sources.edf_ranges import (
-                decode_samples_from_ranges,
-                plan_edf_ranges,
-            )
-
-            listing = binary.select("path", "length")
-            samples = decode_samples_from_ranges(
-                plan_edf_ranges(
-                    spark,
-                    input_dir,
-                    target_bytes=samples_target_bytes,
-                    listing=listing,
-                )
-            )
-        else:
-            samples = decode_samples_ranged(
-                spark, input_dir, target_bytes=samples_target_bytes
-            )
-    else:
-        samples = decode_samples(binary)
+    samples = decode_samples(binary)
     annotations = decode_annotations(binary)
     headers = parse_signal_headers(binary)
     chunk_runs = decode_chunk_runs(binary)
+    channels = build_channel_metadata(chunk_runs, headers, existing_channels)
+    return samples, channels, annotations
+
+
+def _process_edf_directory_ranged(
+    spark: SparkSession,
+    input_dir: str,
+    existing_channels: DataFrame | None,
+    quarantine: bool,
+    target_bytes: int,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The byte-range flavor of the pipeline: every stage works from the
+    (path, length) listing + range reads; whole-file content is never
+    materialized, so executor memory is bounded by ``target_bytes`` at
+    any file size.  The range plan is built ONCE (and persisted by the
+    decode's task-count sizing) and shared by the samples, annotations,
+    and chunk-run scans — one header read per file for all three."""
+    from processor_edf_spark.sources.edf_ranges import (
+        decode_annotations_ranged,
+        decode_chunk_runs_ranged,
+        decode_samples_from_ranges,
+        file_status_ranged,
+        plan_edf_ranges,
+        scan_signal_headers_ranged,
+    )
+
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.[eE][dD][fF]")
+        .load(input_dir)
+        .select("path", "length")
+    )
+    if quarantine:
+        # header-only probe; corrupt headers excluded BEFORE the planner
+        good = (
+            file_status_ranged(spark, input_dir, listing=listing)
+            .filter(F.col("ok"))
+            .select("path")
+        )
+        listing = listing.join(F.broadcast(good), "path")
+    from pyspark import StorageLevel
+
+    ranges = plan_edf_ranges(
+        spark, input_dir, target_bytes=target_bytes, listing=listing
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # one metadata action materializes the plan (single header read per
+    # file); the explicit repartition spreads EVERY range scan one-per-
+    # task — same AQE-coalesce rationale as decode_samples_from_ranges
+    n_ranges = max(1, ranges.count())
+    samples = decode_samples_from_ranges(ranges, num_tasks=n_ranges)
+    annotations = decode_annotations_ranged(ranges.repartition(n_ranges))
+    headers = scan_signal_headers_ranged(spark, input_dir, listing=listing)
+    chunk_runs = decode_chunk_runs_ranged(ranges.repartition(n_ranges))
     channels = build_channel_metadata(chunk_runs, headers, existing_channels)
     return samples, channels, annotations
 

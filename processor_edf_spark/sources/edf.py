@@ -315,14 +315,28 @@ def chunk_run_rows(path: str, content: bytes) -> pd.DataFrame:
     never moves sample rows at all.
     """
     h = parse_edf_header(content)
+    return chunk_run_rows_from_matrix(
+        path.rsplit("/", 1)[-1], h, _record_matrix(content, h), 0
+    )
+
+
+def chunk_run_rows_from_matrix(
+    file_name: str, h: dict, rec: np.ndarray, rec0: int
+) -> pd.DataFrame:
+    """Run detection over one record-aligned block (records
+    ``rec0 … rec0+len(rec)``) — shared by the whole-file path (rec0=0,
+    all records) and the byte-range path.  ``index`` is the run start's
+    GLOBAL position in the channel's sample array (``rec0·n_i + local``),
+    so per-range runs merge downstream exactly like per-file runs do
+    (merge_chunk_runs coalesces range-adjacent runs; the boundary gap of
+    two contiguous ranges is one sampling period, under the 2/rate
+    threshold)."""
     start_usec = edf_start_usec(h["start_date"], h["start_time"])
-    rec = _record_matrix(content, h)
     nb_rec = rec.shape[0]
-    file_name = path.rsplit("/", 1)[-1]
 
     rec_offsets_usec = None
     if h["is_discontiguous"]:
-        tal = _tal_record_offsets(content, h)
+        tal = _tal_offsets_from_matrix(rec, h)
         if tal is not None:
             rec_offsets_usec = np.round(tal * USEC).astype(np.int64)
 
@@ -332,7 +346,9 @@ def chunk_run_rows(path: str, content: bytes) -> pd.DataFrame:
         if label == ANNOTATION_LABEL or n_i <= 0 or nb_rec == 0:
             continue
         rate = n_i / h["duration"]
-        flat = _signal_timestamps(h, i, start_usec, nb_rec, rec_offsets_usec).ravel()
+        flat = _signal_timestamps(
+            h, i, start_usec, nb_rec, rec_offsets_usec, rec0
+        ).ravel()
         gap = 2.0 * USEC / rate  # reference base.py:330
         bidx = np.where(np.diff(flat) > gap)[0] + 1
         starts = np.concatenate([[0], bidx])
@@ -340,7 +356,7 @@ def chunk_run_rows(path: str, content: bytes) -> pd.DataFrame:
         for s, e in zip(starts, ends):
             cols["file"].append(file_name)
             cols["channel"].append(label)
-            cols["index"].append(int(s))
+            cols["index"].append(int(rec0 * n_i + s))
             cols["start"].append(int(flat[s]))
             cols["end"].append(int(flat[e - 1]))
             cols["n_samples"].append(int(e - s))
@@ -383,13 +399,23 @@ def signal_header_rows(path: str, content: bytes) -> pd.DataFrame:
 def annotation_rows(path: str, content: bytes) -> pd.DataFrame:
     """Raw TAL segments per record (reference S5, edf.py:65-70)."""
     h = parse_edf_header(content)
-    file_name = path.rsplit("/", 1)[-1]
+    return annotation_rows_from_matrix(
+        path.rsplit("/", 1)[-1], h, _record_matrix(content, h), 0
+    )
+
+
+def annotation_rows_from_matrix(
+    file_name: str, h: dict, rec: np.ndarray, rec0: int
+) -> pd.DataFrame:
+    """TAL segments for one record-aligned block; ``record`` carries the
+    GLOBAL record index (``rec0 + local``), so per-range annotation rows
+    are identical to the whole-file rows (range parity pinned in
+    tests/test_edf_ranges.py)."""
     cols = {"file": [], "record": [], "offset_sec": [], "raw": []}
     try:
         ann_idx = h["labels"].index(ANNOTATION_LABEL)
     except ValueError:
         return pd.DataFrame(cols)
-    rec = _record_matrix(content, h)
     offs = _signal_offsets(h["nr_samples"])
     a0, n_a = offs[ann_idx], h["nr_samples"][ann_idx]
     for r in range(rec.shape[0]):
@@ -400,7 +426,7 @@ def annotation_rows(path: str, content: bytes) -> pd.DataFrame:
         except ValueError:
             offset = None
         cols["file"].append(file_name)
-        cols["record"].append(r)
+        cols["record"].append(rec0 + r)
         cols["offset_sec"].append(offset)
         cols["raw"].append(segment)
     return pd.DataFrame(cols)
@@ -427,6 +453,29 @@ FILE_STATUS_SCHEMA = (
 )
 
 
+def status_probe(path: str, header_content: bytes, n_bytes: int) -> tuple:
+    """One file's structural probe: header validation + data-area
+    consistency from the header and the FILE LENGTH alone — so the
+    whole-file path (header_content = full content) and the byte-range
+    path (header_content = the 256+256·ns header bytes) produce
+    identical status rows."""
+    name = path.rsplit("/", 1)[-1]
+    try:
+        h = parse_edf_header(header_content)
+        if h["nb_signal"] <= 0:
+            raise ValueError("no signals")
+        if h["duration"] <= 0:
+            raise ValueError(f"non-positive record duration {h['duration']}")
+        edf_start_usec(h["start_date"], h["start_time"])  # validates dates
+        rec_len = int(sum(h["nr_samples"]))
+        if rec_len <= 0:
+            raise ValueError("empty data records")
+        avail = (n_bytes - h["header_bytes"]) // (2 * rec_len)
+        return (path, name, True, None, h["nb_signal"], min(h["nb_data_rec"], avail), n_bytes)
+    except Exception as e:  # noqa: BLE001 — any parse failure quarantines
+        return (path, name, False, f"{type(e).__name__}: {e}", None, None, n_bytes)
+
+
 def file_status(binary_df: DataFrame) -> DataFrame:
     """Per-file decode status (SURVEY.md §2.10): validate header structure
     and data-area consistency WITHOUT decoding samples.
@@ -439,27 +488,10 @@ def file_status(binary_df: DataFrame) -> DataFrame:
     must never kill the run.
     """
 
-    def probe(path: str, content: bytes) -> tuple:
-        name = path.rsplit("/", 1)[-1]
-        try:
-            h = parse_edf_header(content)
-            if h["nb_signal"] <= 0:
-                raise ValueError("no signals")
-            if h["duration"] <= 0:
-                raise ValueError(f"non-positive record duration {h['duration']}")
-            edf_start_usec(h["start_date"], h["start_time"])  # validates dates
-            rec_len = int(sum(h["nr_samples"]))
-            if rec_len <= 0:
-                raise ValueError("empty data records")
-            avail = (len(content) - h["header_bytes"]) // (2 * rec_len)
-            return (path, name, True, None, h["nb_signal"], min(h["nb_data_rec"], avail), len(content))
-        except Exception as e:  # noqa: BLE001 — any parse failure quarantines
-            return (path, name, False, f"{type(e).__name__}: {e}", None, None, len(content))
-
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                probe(path, bytes(content))
+                status_probe(path, bytes(content), len(content))
                 for path, content in zip(pdf["path"], pdf["content"])
             ]
             yield pd.DataFrame(

@@ -44,10 +44,20 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from processor_edf_spark.schemas import SAMPLES_SCHEMA
+from processor_edf_spark.schemas import (
+    ANNOTATIONS_SCHEMA,
+    SAMPLES_SCHEMA,
+    SIGNAL_HEADERS_SCHEMA,
+)
 from processor_edf_spark.sources.edf import (
+    CHUNK_RUNS_SCHEMA,
+    FILE_STATUS_SCHEMA,
     _decode_block,
+    annotation_rows_from_matrix,
+    chunk_run_rows_from_matrix,
     parse_edf_header,
+    signal_header_rows,
+    status_probe,
 )
 
 # Default split target: parquet-like 128 MB per task.
@@ -284,4 +294,129 @@ def decode_samples_ranged(
     """One-call ranged decode: plan + decode (S4 at any file size)."""
     return decode_samples_from_ranges(
         plan_edf_ranges(spark, path, target_bytes), wanted_signals
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ranged METADATA twins (r12): headers / status / annotations / chunk
+# runs without ever materializing whole-file content.  Until r12 the
+# pipeline's metadata stages still routed through the whole-file
+# binaryFile scan, so a >2 GB recording kept failing there even with the
+# ranged SAMPLE path on, and executor memory stayed file-size-bound in
+# those stages.  Headers and the quarantine probe read ONLY the
+# 256+256·ns header bytes; annotations and chunk runs ride the same
+# record-aligned ranges as the sample decode (memory bounded by
+# target_bytes; global record indices / sample positions carried via
+# rec0, the downstream merge is the same O(chunks) window the per-file
+# path already used).
+# ---------------------------------------------------------------------------
+
+
+def _header_bytes(path: str) -> bytes:
+    head = _read_at(path, 0, 256)
+    ns = int(head[252:256])
+    return _read_at(path, 0, 256 + 256 * ns)
+
+
+def scan_signal_headers_ranged(
+    spark: SparkSession, path: str, listing: DataFrame | None = None
+) -> DataFrame:
+    """S2/S3 over header-byte range reads only — same rows as
+    edf.parse_signal_headers, O(header) bytes per file at any file
+    size."""
+    if listing is None:
+        listing = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.[eE][dD][fF]")
+            .load(path)
+            .select("path", "length")
+        )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                yield signal_header_rows(str(p), _header_bytes(str(p)))
+
+    return listing.mapInPandas(gen, schema=SIGNAL_HEADERS_SCHEMA)
+
+
+def file_status_ranged(
+    spark: SparkSession, path: str, listing: DataFrame | None = None
+) -> DataFrame:
+    """The quarantine probe over header-byte range reads only — status
+    rows identical to edf.file_status (the probe validates the data
+    area from the header + the LISTING length, never the content)."""
+    if listing is None:
+        listing = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.[eE][dD][fF]")
+            .load(path)
+            .select("path", "length")
+        )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p, length in zip(pdf["path"], pdf["length"]):
+                p = str(p)
+                try:
+                    hdr = _header_bytes(p)
+                except Exception as e:  # noqa: BLE001 — unreadable file
+                    name = p.rsplit("/", 1)[-1]
+                    rows.append(
+                        (p, name, False, f"{type(e).__name__}: {e}",
+                         None, None, int(length))
+                    )
+                    continue
+                rows.append(status_probe(p, hdr, int(length)))
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "file", "ok", "error", "nb_signal",
+                         "nb_data_rec", "n_bytes"],
+            )
+
+    return listing.mapInPandas(gen, schema=FILE_STATUS_SCHEMA)
+
+
+def _ranged_matrix_rows(ranges: DataFrame, row_builder, schema) -> DataFrame:
+    """Shared shape of the ranged annotation / chunk-run scans: per range
+    row, range-read the bytes, rebuild the record matrix, and emit
+    ``row_builder(file_name, header, matrix, rec0)`` rows."""
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                h = json.loads(str(row.header_json))
+                raw = _read_at(str(row.path), int(row.start_byte), int(row.n_bytes))
+                rec_len = int(row.rec_bytes) // 2
+                nb = len(raw) // int(row.rec_bytes)
+                rec = np.frombuffer(
+                    raw, dtype="<i2", count=nb * rec_len
+                ).reshape(nb, rec_len)
+                yield row_builder(
+                    str(row.path).rsplit("/", 1)[-1], h, rec, int(row.rec0)
+                )
+
+    return ranges.mapInPandas(gen, schema=schema)
+
+
+def decode_annotations_ranged(ranges: DataFrame) -> DataFrame:
+    """S5 over record-aligned ranges: TAL rows identical to
+    edf.decode_annotations (global record index via rec0), memory
+    bounded by target_bytes."""
+    return _ranged_matrix_rows(
+        ranges, annotation_rows_from_matrix, ANNOTATIONS_SCHEMA
+    )
+
+
+def decode_chunk_runs_ranged(ranges: DataFrame) -> DataFrame:
+    """W1-at-the-source over record-aligned ranges: per-range contiguous
+    runs with GLOBAL sample positions.  A run spanning a range boundary
+    emits as two adjacent rows here; the pipeline's merge_chunk_runs
+    window coalesces them exactly as it already coalesces per-FILE runs
+    (their boundary gap is one sampling period, under the 2/rate
+    threshold), so channel metadata is identical to the whole-file
+    path — pinned in tests/test_edf_ranges.py."""
+    return _ranged_matrix_rows(
+        ranges, chunk_run_rows_from_matrix, CHUNK_RUNS_SCHEMA
     )

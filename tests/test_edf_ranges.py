@@ -209,3 +209,204 @@ def test_arrow_range_read_matches_local(tmp_path):
     uri = p.as_uri()  # file:///...
     for off, n in ((0, 16), (100, 57), (1000, 24), (1020, 10)):
         assert _read_at_arrow(uri, off, n) == _read_at(str(p), off, n)
+
+
+# ---------------------------------------------------------------------------
+# r12: ranged METADATA twins — the pipeline's >2 GB cap removal must
+# hold at EVERY stage, not just samples
+# ---------------------------------------------------------------------------
+
+
+def _sorted_pdf(df, keys):
+    return (
+        df.toPandas().sort_values(keys).reset_index(drop=True)
+    )
+
+
+def test_ranged_annotations_parity(spark, edfc_dir, edfd_dir):
+    from processor_edf_spark.sources.edf import (
+        decode_annotations,
+        scan_edf_files,
+    )
+    from processor_edf_spark.sources.edf_ranges import (
+        decode_annotations_ranged,
+    )
+
+    for d, tb in ((edfc_dir, 32 * 1024), (edfd_dir, 16 * 1024)):
+        whole = _sorted_pdf(
+            decode_annotations(scan_edf_files(spark, d)), ["file", "record"]
+        )
+        ranged = _sorted_pdf(
+            decode_annotations_ranged(plan_edf_ranges(spark, d, target_bytes=tb)),
+            ["file", "record"],
+        )
+        assert list(whole["file"]) == list(ranged["file"])
+        assert list(whole["record"]) == list(ranged["record"])
+        assert list(whole["raw"]) == list(ranged["raw"])
+        wa = whole["offset_sec"].to_numpy()
+        ra = ranged["offset_sec"].to_numpy()
+        assert ((wa == ra) | (np.isnan(wa) & np.isnan(ra))).all()
+
+
+def test_ranged_headers_parity(spark, edfc_dir):
+    from processor_edf_spark.sources.edf import (
+        parse_signal_headers,
+        scan_edf_files,
+    )
+    from processor_edf_spark.sources.edf_ranges import (
+        scan_signal_headers_ranged,
+    )
+
+    keys = ["file", "signal_idx"]
+    whole = _sorted_pdf(
+        parse_signal_headers(scan_edf_files(spark, edfc_dir)), keys
+    )
+    ranged = _sorted_pdf(scan_signal_headers_ranged(spark, edfc_dir), keys)
+    pd.testing.assert_frame_equal(whole, ranged)
+
+
+def test_ranged_file_status_parity(spark, tmp_path):
+    from processor_edf_spark.sources.edf import file_status, scan_edf_files
+    from processor_edf_spark.sources.edf_ranges import file_status_ranged
+
+    d = tmp_path / "status"
+    d.mkdir()
+    write_edf(
+        str(d / "good.edf"),
+        signals=[{"label": "s0", "unit": "uV", "rate": 64, "gen": sine(1.0)}],
+        nb_data_rec=20,
+    )
+    (d / "bad.edf").write_bytes(b"garbage bytes, not a header" * 30)
+    keys = ["file"]
+    whole = _sorted_pdf(file_status(scan_edf_files(spark, str(d))), keys)
+    ranged = _sorted_pdf(file_status_ranged(spark, str(d)), keys)
+    assert list(whole["ok"]) == list(ranged["ok"])
+    assert list(whole["nb_signal"].fillna(-1)) == list(
+        ranged["nb_signal"].fillna(-1)
+    )
+    assert list(whole["nb_data_rec"].fillna(-1)) == list(
+        ranged["nb_data_rec"].fillna(-1)
+    )
+    assert list(whole["n_bytes"]) == list(ranged["n_bytes"])
+
+
+def test_ranged_chunk_runs_merge_to_whole_file_runs(spark, edfd_dir):
+    """Per-range runs + the pipeline's merge window == whole-file runs:
+    range boundaries add NO spurious chunk boundaries (contiguous
+    ranges coalesce), and real EDF+D gaps survive."""
+    from processor_edf_spark.operators.sessionize import merge_chunk_runs
+    from processor_edf_spark.sources.edf import (
+        decode_chunk_runs,
+        scan_edf_files,
+    )
+    from processor_edf_spark.sources.edf_ranges import (
+        decode_chunk_runs_ranged,
+    )
+
+    whole = decode_chunk_runs(scan_edf_files(spark, edfd_dir))
+    ranged = decode_chunk_runs_ranged(
+        plan_edf_ranges(spark, edfd_dir, target_bytes=16 * 1024)
+    )
+    key = F.concat_ws("\x1f", "file", "channel")
+    merged = merge_chunk_runs(
+        ranged.withColumn("k", key), id_col="k", rate_col="rate"
+    )
+    base = merge_chunk_runs(
+        whole.withColumn("k", key), id_col="k", rate_col="rate"
+    )
+    a = _sorted_pdf(base, ["k", "start"])
+    b = _sorted_pdf(merged, ["k", "start"])
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_pipeline_ranged_full_metadata_parity(spark, edfc_dir, edfd_dir):
+    """channels + annotations from the all-ranged pipeline are identical
+    to the whole-file pipeline (the r12 ADVICE fix: >2 GB recordings no
+    longer hit binaryFile content at ANY stage)."""
+    from processor_edf_spark.pipeline import channel_dicts, process_edf_directory
+
+    for d in (edfc_dir, edfd_dir):
+        s_a, ch_a, an_a = process_edf_directory(spark, d)
+        s_b, ch_b, an_b = process_edf_directory(
+            spark, d, samples_target_bytes=16 * 1024
+        )
+        da = sorted(channel_dicts(ch_a), key=lambda c: (c["name"],))
+        db = sorted(channel_dicts(ch_b), key=lambda c: (c["name"],))
+        for x in da + db:
+            x.pop("id", None)  # ids are registry-assigned, run-local
+        assert da == db
+        assert an_a.count() == an_b.count()
+        _assert_bit_identical(s_a, s_b)
+
+
+def test_pipeline_ranged_quarantine_uses_header_probe(spark, tmp_path):
+    from processor_edf_spark.pipeline import process_edf_directory
+
+    d = tmp_path / "q2"
+    d.mkdir()
+    # EDF+D so the good file carries a TAL annotation channel
+    write_edf_fast(
+        str(d / "good.edf"), n_signals=1, rate=100, nb_rec=30,
+        variant="EDF+D", gap_every=11, gap_sec=2.0,
+    )
+    (d / "bad.edf").write_bytes(b"\x00" * 600)
+    samples, channels, annotations = process_edf_directory(
+        spark, str(d), quarantine=True, samples_target_bytes=2 * 1024
+    )
+    assert samples.count() == 30 * 100
+    # the ranged annotation scan sees only the quarantine survivors
+    assert annotations.select("file").distinct().count() == 1
+
+
+# ---------------------------------------------------------------------------
+# r12: property-based planner fuzz — for ANY header geometry and
+# truncation point, ranged decode == whole-file decode bit-for-bit
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    n_signals=st.integers(min_value=1, max_value=5),
+    rate=st.sampled_from([16, 57, 100, 128]),
+    nb_rec=st.integers(min_value=1, max_value=40),
+    variant=st.sampled_from(["EDF+C", "EDF+D"]),
+    target=st.sampled_from([256, 1024, 4096, 1 << 20]),
+    chop=st.integers(min_value=0, max_value=300),
+)
+def test_planner_fuzz_ranged_equals_whole(
+    spark, tmp_path_factory, n_signals, rate, nb_rec, variant, target, chop
+):
+    """Random header geometry (signal counts, record sizes, EDF+C/+D),
+    random split target, random truncation: the record-aligned plan must
+    decode bit-identically to the whole-file path (today's parity tests
+    use fixed fixtures; this pins the planner ARITHMETIC itself —
+    ranges_from_header record math, rec0 timestamp propagation, TAL
+    self-containment, truncation tolerance)."""
+    d = tmp_path_factory.mktemp("fuzz")
+    path = str(d / "f.edf")
+    write_edf_fast(
+        path,
+        n_signals=n_signals,
+        rate=rate,
+        nb_rec=nb_rec,
+        variant=variant,
+        gap_every=7 if variant == "EDF+D" else 0,
+        gap_sec=3.5,
+    )
+    if chop:
+        raw = open(path, "rb").read()
+        keep = max(256 + 256 * (n_signals + 1), len(raw) - chop)
+        open(path, "wb").write(raw[:keep])
+    whole = decode_samples(scan_edf_files(spark, str(d)))
+    ranged = decode_samples_ranged(spark, str(d), target_bytes=target)
+    _assert_bit_identical(whole, ranged)
