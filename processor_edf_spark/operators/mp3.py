@@ -47,8 +47,14 @@ Spec-exactness, stated precisely (ISO/IEC 11172-3):
   ``mp3`` plugin/soundfile seam in media_codecs.py remains the
   bit-conformance path.  Round trips are bit-exact regardless: the
   fixture encoder's reconstruction shares this synthesis.
+- **Layer I** (r12) decodes for real too — fixed 4-bit allocations,
+  6-bit scalefactors (the 2·2^(-i/3) table), the offset-binary
+  requantization formula, joint-stereo bound sharing — through the same
+  polyphase synthesis; no spec tables beyond the closed-form
+  scalefactors, so the only deviation is the shared derived prototype.
 - **Out of scope** (UnsupportedMediaError, seam-gated): MPEG-2/2.5
-  low-sample-rate extensions, Layers I/II, free-format bitrate,
+  low-sample-rate extensions, Layer II (its quantization-class
+  allocation tables are untranscribed spec data), free-format bitrate,
   short-block intensity stereo.
 
 Same safety contracts as the sibling codecs: one exception type,
@@ -67,9 +73,12 @@ from processor_edf_spark.operators.media_codecs import UnsupportedMediaError
 #: inflation guard — a frame walk must not allocate unbounded PCM.
 MAX_TOTAL_SAMPLES = 1 << 26
 
-# MPEG-1 Layer III bitrate table (kbps; index 0 = free format, 15 = bad)
+# MPEG-1 bitrate tables (kbps; index 0 = free format, 15 = bad)
 _BITRATES = (
     0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_BITRATES_L1 = (
+    0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448,
 )
 _RATES = (44100, 48000, 32000)  # sampling_frequency 0/1/2; 3 = reserved
 
@@ -193,7 +202,7 @@ def _skip_id3(payload: bytes) -> int:
 
 def _parse_header(b4: bytes) -> dict:
     """4-byte frame header -> fields; raises on anything but MPEG-1
-    Layer III at a fixed bitrate."""
+    Layer III or Layer I at a fixed bitrate."""
     h = int.from_bytes(b4, "big")
     if (h >> 21) & 0x7FF != 0x7FF:
         raise UnsupportedMediaError("mp3: lost frame sync")
@@ -204,11 +213,13 @@ def _parse_header(b4: bytes) -> dict:
             "mp3: only MPEG-1 is decodable without the optional codec "
             "library (soundfile)"
         )
-    if layer != 1:  # '01' = Layer III
+    if layer == 2:  # '10' = Layer II
         raise UnsupportedMediaError(
-            "mp3: only Layer III is decodable without the optional "
+            "mp3: Layer II is not decodable without the optional "
             "codec library (soundfile)"
         )
+    if layer == 0:  # reserved
+        raise UnsupportedMediaError("mp3: reserved layer code")
     bitrate_idx = (h >> 12) & 0xF
     rate_idx = (h >> 10) & 3
     if bitrate_idx == 0:
@@ -216,9 +227,12 @@ def _parse_header(b4: bytes) -> dict:
     if bitrate_idx == 15 or rate_idx == 3:
         raise UnsupportedMediaError("mp3: invalid header")
     mode = (h >> 6) & 3
+    layer_n = {1: 3, 3: 1}[layer]  # header bits -> Layer number
+    brs = _BITRATES_L1 if layer_n == 1 else _BITRATES
     return {
         "crc": not ((h >> 16) & 1),
-        "bitrate": _BITRATES[bitrate_idx] * 1000,
+        "layer": layer_n,
+        "bitrate": brs[bitrate_idx] * 1000,
         "rate": _RATES[rate_idx],
         "padding": (h >> 9) & 1,
         "mode": mode,  # 0 stereo, 1 joint, 2 dual, 3 mono
@@ -228,6 +242,9 @@ def _parse_header(b4: bytes) -> dict:
 
 
 def _frame_bytes(hdr: dict) -> int:
+    if hdr["layer"] == 1:
+        # Layer I slots are 4 bytes: (12·bitrate/rate + padding)·4
+        return (12 * hdr["bitrate"] // hdr["rate"] + hdr["padding"]) * 4
     return 144 * hdr["bitrate"] // hdr["rate"] + hdr["padding"]
 
 
@@ -596,6 +613,140 @@ def _synth_32(s32: np.ndarray, st: _SynthState) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Layer I (r12): fixed 4-bit allocation, 6-bit scalefactors, 12 samples
+# per subband per frame — no Huffman, no reservoir, no IMDCT; shares the
+# polyphase synthesis with Layer III
+# ---------------------------------------------------------------------------
+
+# scalefactor table (§2.4.3.2): sf[i] = 2 · 2^(-i/3), index 63 invalid
+_SF_TABLE_L1 = 2.0 * 2.0 ** (-np.arange(63) / 3.0)
+
+
+def _l1_requant(x: int, nb: int) -> float:
+    """§2.4.3.2 requantization: the coded word is the offset-binary
+    fraction s''' = x/2^(nb-1) - 1 (algebraically identical to the
+    spec's invert-MSB-then-two's-complement reading), then
+    s'' = (2^nb/(2^nb - 1)) · (s''' + 2^(1-nb))."""
+    frac = x / float(1 << (nb - 1)) - 1.0
+    return ((1 << nb) / ((1 << nb) - 1.0)) * (frac + 2.0 ** (1 - nb))
+
+
+def _decode_frame_l1(hdr: dict, data: bytes, synth: list) -> tuple:
+    """One Layer I frame body -> (subbands (12, nch, 32), pcm (384, nch))."""
+    r = MSBBitReader(data)
+    nch = hdr["n_channels"]
+    bound = 32 if hdr["mode"] != 1 else (hdr["mode_ext"] + 1) * 4
+    alloc = [[0] * 32 for _ in range(nch)]
+    for sb in range(bound):
+        for ch in range(nch):
+            a = r.read(4)
+            if a == 15:
+                raise UnsupportedMediaError("mp3: invalid Layer I allocation")
+            alloc[ch][sb] = a
+    for sb in range(bound, 32):
+        a = r.read(4)
+        if a == 15:
+            raise UnsupportedMediaError("mp3: invalid Layer I allocation")
+        for ch in range(nch):
+            alloc[ch][sb] = a
+    scf = [[0.0] * 32 for _ in range(nch)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                idx = r.read(6)
+                if idx >= 63:
+                    raise UnsupportedMediaError(
+                        "mp3: invalid Layer I scalefactor index"
+                    )
+                scf[ch][sb] = float(_SF_TABLE_L1[idx])
+    S = np.zeros((12, nch, 32))
+    for s in range(12):
+        for sb in range(32):
+            if sb < bound:
+                for ch in range(nch):
+                    a = alloc[ch][sb]
+                    if a:
+                        S[s, ch, sb] = (
+                            _l1_requant(r.read(a + 1), a + 1) * scf[ch][sb]
+                        )
+            else:
+                a = alloc[0][sb]
+                if a:
+                    q = _l1_requant(r.read(a + 1), a + 1)
+                    for ch in range(nch):
+                        S[s, ch, sb] = q * scf[ch][sb]  # intensity: shared
+    pcm = np.empty((384, nch))
+    for s in range(12):
+        for ch in range(nch):
+            pcm[32 * s : 32 * (s + 1), ch] = _synth_32(S[s, ch], synth[ch])
+    return S, pcm
+
+
+def encode_mp3_layer1(
+    frames: list,
+    rate: int = 44100,
+    n_channels: int = 1,
+    bitrate_kbps: int = 192,
+    mode_ext: int = 0,
+    joint: bool = False,
+) -> bytes:
+    """Layer I fixture encoder.  ``frames``: per frame a dict
+    ``{"alloc": (nch, 32) ints 0-14, "scf_idx": (nch, 32) ints 0-62,
+    "codes": (12, nch, 32) ints < 2^(alloc+1)}``.  With ``joint`` the
+    header carries mode=1/mode_ext and subbands >= bound share one
+    allocation and one sample code per group (channel scalefactors stay
+    separate), exactly the layout the decoder reads."""
+    rate_idx = _RATES.index(rate)
+    bitrate_idx = _BITRATES_L1.index(bitrate_kbps)
+    mode = 3 if n_channels == 1 else (1 if joint else 0)
+    bound = 32 if mode != 1 else (mode_ext + 1) * 4
+    out = bytearray()
+    for frame in frames:
+        alloc, scf_idx, codes = frame["alloc"], frame["scf_idx"], frame["codes"]
+        w = MSBBitWriter()
+        for sb in range(bound):
+            for ch in range(n_channels):
+                w.write(alloc[ch][sb], 4)
+        for sb in range(bound, 32):
+            w.write(alloc[0][sb], 4)
+        for sb in range(32):
+            for ch in range(n_channels):
+                if alloc[ch][sb]:
+                    w.write(scf_idx[ch][sb], 6)
+        for s in range(12):
+            for sb in range(32):
+                if sb < bound:
+                    for ch in range(n_channels):
+                        a = alloc[ch][sb]
+                        if a:
+                            w.write(codes[s][ch][sb], a + 1)
+                else:
+                    a = alloc[0][sb]
+                    if a:
+                        w.write(codes[s][0][sb], a + 1)
+        w.align()
+        body = bytes(w.buf)
+        hdr_word = (
+            (0x7FF << 21)
+            | (3 << 19)       # MPEG-1
+            | (3 << 17)       # Layer I
+            | (1 << 16)       # no CRC
+            | (bitrate_idx << 12)
+            | (rate_idx << 10)
+            | (0 << 9)
+            | (mode << 6)
+            | (mode_ext << 4)
+            | 0
+        )
+        frame_len = (12 * bitrate_kbps * 1000 // rate) * 4
+        budget = frame_len - 4
+        if len(body) > budget:
+            raise ValueError("layer1 fixture: body exceeds frame size")
+        out += hdr_word.to_bytes(4, "big") + body + b"\x00" * (budget - len(body))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -619,6 +770,11 @@ def _iter_frames(payload: bytes):
         if pos + fb > end:
             break  # trailing truncated frame: decode what is complete
         off = pos + 4 + (2 if hdr["crc"] else 0)
+        if hdr["layer"] == 1:
+            # Layer I has no side info / reservoir: the body is the frame
+            yield hdr, b"", payload[off : pos + fb]
+            pos += fb
+            continue
         side_len = 17 if hdr["n_channels"] == 1 else 32
         if off + side_len > pos + fb:
             raise UnsupportedMediaError("mp3: frame too small for side info")
@@ -630,24 +786,38 @@ def _iter_frames(payload: bytes):
 
 def decode_mp3_frames(payload: bytes):
     """Full decode, yielding per frame:
-    ``(hdr, spectra, pcm)`` where spectra is (2, nch, 576) float64
-    requantized-and-stereo-processed lines and pcm is (1152, nch).
-    The granular form the tests and the driver row consume;
-    :func:`decode_mp3_py` flattens it to the decode_wav contract."""
+    ``(hdr, spectra, pcm)`` — for Layer III spectra is (2, nch, 576)
+    float64 requantized-and-stereo-processed lines and pcm is
+    (1152, nch); for Layer I spectra is the (12, nch, 32) subband
+    matrix and pcm is (384, nch).  The granular form the tests and the
+    driver row consume; :func:`decode_mp3_py` flattens it to the
+    decode_wav contract."""
     reservoir = b""
     out = []
     rate = None
     nch = None
+    layer = None
     overlap = None
     synth = None
     total = 0
     for hdr, side, main in _iter_frames(payload):
         if rate is None:
-            rate, nch = hdr["rate"], hdr["n_channels"]
+            rate, nch, layer = hdr["rate"], hdr["n_channels"], hdr["layer"]
             overlap = [np.zeros((32, 18)) for _ in range(nch)]
             synth = [_SynthState() for _ in range(nch)]
-        elif hdr["rate"] != rate or hdr["n_channels"] != nch:
+        elif (
+            hdr["rate"] != rate
+            or hdr["n_channels"] != nch
+            or hdr["layer"] != layer
+        ):
             raise UnsupportedMediaError("mp3: mid-stream format change")
+        if layer == 1:
+            total += 384 * nch
+            if total > MAX_TOTAL_SAMPLES:
+                raise UnsupportedMediaError("mp3: stream exceeds sample budget")
+            subbands, pcm = _decode_frame_l1(hdr, main, synth)
+            out.append((hdr, subbands, pcm))
+            continue
         main_data_begin, scfsi, granules = _parse_side_info(side, nch)
         if main_data_begin > len(reservoir):
             # spec-legal at stream start / after a cut: skip this frame

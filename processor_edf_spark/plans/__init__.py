@@ -183,6 +183,13 @@ _CANONICAL = [
     # moving_avg_daily_revenue; range_frame_user_avg keeps its r10
     # green at 51+).
     "mp3_decode_stats",
+    # hash_embed_stats (the feature-hashing embedder under the value
+    # oracle — the last pytest-only similarity kernel driver-gated)
+    # takes the fourth r12 priority slot, displacing simhash_16 from
+    # position 50 (dedup_text family stays covered in-window via
+    # dedup_ngram_jaccard + minhash_signatures; simhash_16 keeps its
+    # r10 green at 51+).
+    "hash_embed_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -228,15 +235,15 @@ _CANONICAL = [
     "anti_join_idle_customers",
     "moving_avg_daily_revenue",
     "minhash_signatures",
-    "simhash_16",
     "sample_hash_bucket",
-    # ---- past the 50-slot window: the three members the r12 additions
+    # ---- past the 50-slot window: the four members the r12 additions
     # displaced (both keep their r10 greens; families covered in-window
     # per the notes above), then per the r11 pre-declaration: the
     # two queries the r11 additions displaced (edf_date_parse,
     # overlap_validation — r8+r9 greens) and the four r10-displaced
     # queries (rolling_fingerprint/doc_fingerprint/dow_hour_heatmap r7
     # greens, ntile_value_quartiles r8+r9 greens).
+    "simhash_16",
     "range_frame_user_avg",
     "intersect_all_user_days",
     "embedding_norm_stats",
@@ -497,6 +504,7 @@ FAMILY = {
     "pq_adc_exact": "ann",
     "ivf_pq_search_exact": "ann",
     "mp3_decode_stats": "multimodal",
+    "hash_embed_stats": "similarity",
 }
 
 

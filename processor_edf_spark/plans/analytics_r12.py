@@ -398,3 +398,74 @@ def mp3_decode_stats(spark, sf_dir):
             "n_nonzero long"
         ),
     )
+
+
+@register(
+    "hash_embed_stats",
+    """
+    WITH d AS (
+        SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+    ),
+    g AS (
+        SELECT d.doc_id, md5(substr(d.t, tp.p + 1, 3)) AS hx
+        FROM d JOIN range(0, 700) tp(p) ON tp.p < length(d.t) - 2
+    ),
+    hb AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 16, 1)) - 1))
+                   % 64 AS dim,
+               CASE WHEN strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
+                         >= 8
+                    THEN 1 ELSE -1 END AS sgn
+        FROM g
+    ),
+    acc AS (
+        SELECT doc_id, dim, CAST(SUM(sgn) AS DOUBLE) AS v
+        FROM hb GROUP BY doc_id, dim
+    ),
+    dense AS (
+        SELECT d.doc_id, td.dim, COALESCE(acc.v, 0.0) AS v
+        FROM d CROSS JOIN range(0, 64) td(dim)
+        LEFT JOIN acc ON acc.doc_id = d.doc_id AND acc.dim = td.dim
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(SUM(v * v)) AS n FROM dense GROUP BY doc_id
+    )
+    SELECT dense.doc_id AS vec_id, CAST(dense.dim AS BIGINT) AS dim,
+           ROUND(CASE WHEN nrm.n > 0 THEN dense.v / nrm.n
+                      ELSE 0.0 END, 6) AS val
+    FROM dense JOIN nrm USING (doc_id)
+    """,
+)
+def hash_embed_stats(spark, sf_dir):
+    """The feature-hashing embedder (operators/embed.py ``hash_embed``,
+    Weinberger et al. 2009) under the value oracle — the last
+    pytest-only similarity kernel driver-gated.  The oracle recomputes
+    the ENTIRE embedding from first principles in SQL: character
+    3-grams of the padded lowercased text, md5 per gram (identical
+    bytes on both engines), bucket = low 6 bits of the top-8-byte hash
+    (the last md5 byte mod 64), sign = bit 63 (first hex digit >= 8),
+    signed accumulation, L2 normalization — so a drift in ANY stage of
+    the embedder (padding, gram window, hash slice, bucket/sign
+    arithmetic, normalization) flips hashed values.  Long format
+    (vec_id, dim, val) so every float is a scalar rounded identically
+    on both sides.  Scale shape: one Arrow pass, no shuffle (the
+    embedding itself); the posexplode projection is partition-local."""
+    from pyspark.sql import functions as SF
+
+    from processor_edf_spark.operators.embed import hash_embed
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    vecs = hash_embed(
+        spread(spark, docs.select("doc_id", "text")), dim=64, ngram=3
+    )
+    return vecs.select(
+        "vec_id", SF.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "vec_id",
+        SF.col("dim").cast("long").alias("dim"),
+        SF.round("v", 6).alias("val"),
+    )

@@ -375,6 +375,145 @@ def edf_split_rows(spark, k: int) -> dict[str, float]:
     return out
 
 
+def edf_split_mixed_rows(spark, k: int) -> dict[str, float]:
+    """Mixed-corpus planner balance (r12): MANY small files + a FEW
+    large ones in ONE listing — the skewed-size mix a real archive has.
+    Pins (a) the ranged path stays ahead of whole-file when the corpus
+    is dominated by one big recording, and (b) planner task balance:
+    round-robin places exactly one range per task, so the max task
+    payload is one range (~target_bytes) regardless of file-size skew —
+    no straggler task carries a whole large file."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from processor_edf_spark.sources.edf import decode_samples, scan_edf_files
+    from processor_edf_spark.sources.edf_ranges import (
+        decode_samples_from_ranges,
+        decode_samples_ranged,
+        plan_edf_ranges,
+    )
+    from tests.edf_fixtures import write_edf_fast
+
+    n_small = 40
+    d = f"/tmp/edf_mixed_x{k}"
+    if not os.path.exists(f"{d}/big00.edf"):
+        os.makedirs(d, exist_ok=True)
+        for i in range(n_small):
+            write_edf_fast(
+                f"{d}/small{i:02d}.edf", n_signals=4, rate=128, nb_rec=60,
+                seed=i,
+            )
+        for i in range(2):
+            write_edf_fast(
+                f"{d}/big{i:02d}.edf", n_signals=16, rate=256,
+                nb_rec=450 * k, seed=100 + i,
+            )
+    target = 8 * 1024 * 1024
+    ranges = plan_edf_ranges(spark, d, target_bytes=target)
+    n_ranges = ranges.count()
+    total_mb = sum(
+        os.path.getsize(f"{d}/{f}") for f in os.listdir(d)
+    ) / 1e6
+    out: dict[str, float] = {
+        "n_files": n_small + 2,
+        "corpus_mb": round(total_mb, 1),
+        "n_ranges": n_ranges,
+    }
+
+    def whole():
+        _noop(decode_samples(scan_edf_files(spark, d)))
+
+    def ranged():
+        _noop(decode_samples_ranged(spark, d, target_bytes=target))
+
+    for tag, fn in (("whole_file", whole), ("ranged", ranged)):
+        fn()
+        t0 = time.perf_counter()
+        fn()
+        out[f"{tag}_sec"] = round(time.perf_counter() - t0, 2)
+    # task balance: after the decode's explicit round-robin repartition
+    # every task holds EXACTLY ONE range, so the heaviest task's input
+    # is one range (<= target_bytes) no matter how skewed the file
+    # sizes are — a whole-file scheduler would hand one task the whole
+    # large recording
+    per_task = (
+        ranges.repartition(n_ranges)
+        .withColumn("pid", SF.spark_partition_id())
+        .groupBy("pid")
+        .agg(SF.count("*").alias("n"), SF.sum("n_bytes").alias("b"))
+    ).collect()
+    out["n_tasks"] = len(per_task)
+    out["max_ranges_per_task"] = max(r["n"] for r in per_task)
+    out["max_task_mb"] = round(max(r["b"] for r in per_task) / 1e6, 1)
+    out["target_mb"] = round(target / 1e6, 1)
+    out["largest_file_mb"] = round(
+        max(
+            os.path.getsize(f"{d}/{f}") for f in os.listdir(d)
+        ) / 1e6,
+        1,
+    )
+    return out
+
+
+def ann_index_rows(spark, n_drops: int = 12, compact_at: int = 8) -> dict:
+    """Persisted ANN index accretion (r12, operators/ann_index.py):
+    build once on the first slice of sf0.1 embeddings, then append the
+    remaining slices as daily drops (each replaying the previous drop,
+    so ~half of every batch is rejected by the idempotence anti-join —
+    the production shape).  Pins per-drop append cost FLAT (encode is
+    one Arrow pass over the DROP, the anti-join scans codes, never raw
+    vectors), snapshot file count collapsing at the compaction point,
+    and the staleness audit staying under the refit threshold for
+    in-distribution drops."""
+    import uuid as _uuid
+
+    from processor_edf_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_compact,
+        ann_index_staleness,
+    )
+    from processor_edf_spark.operators.txstore import snapshot_files
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    emb = emb.withColumn("_day", F.pmod(F.col("vec_id"), F.lit(n_drops)))
+    slices = {
+        d: emb.filter(F.col("_day") == d).drop("_day").localCheckpoint()
+        for d in range(n_drops)
+    }
+    index_dir = f"/tmp/ann_index_{_uuid.uuid4().hex[:8]}"
+    t0 = time.perf_counter()
+    info = ann_index_build(
+        spark, slices[0], index_dir, n_cells=16, m=8, k=16
+    )
+    out: dict = {
+        "build_sec": round(time.perf_counter() - t0, 2),
+        "n_built": info["n_vectors"],
+        "train_qe": round(info["train_qe"], 4),
+        "append_sec": {},
+        "appended": {},
+        "snapshot_files": {},
+    }
+    for day in range(1, n_drops):
+        batch = slices[day].unionByName(slices[day - 1])  # half replayed
+        t0 = time.perf_counter()
+        res = ann_index_append(spark, batch, index_dir)
+        out["append_sec"][day] = round(time.perf_counter() - t0, 2)
+        out["appended"][day] = res["n_appended"]
+        if day == compact_at:
+            ann_index_compact(spark, index_dir)
+        out["snapshot_files"][day] = len(snapshot_files(spark, index_dir))
+    audit = ann_index_staleness(spark, index_dir)
+    out["final_drift_ratio"] = round(audit["drift_ratio"], 3)
+    out["needs_refit"] = audit["needs_refit"]
+    out["n_indexed"] = audit["n_vectors"]
+    shutil.rmtree(index_dir, ignore_errors=True)
+    return out
+
+
 def ann_rows(spark, sf_dir: str) -> dict[str, float]:
     """Time the ANN path at one replica scale — the 100 TB evidence rows
     for BASELINE.md: codebook/centroid training is bounded-sample (flat
@@ -571,6 +710,10 @@ def main() -> None:
             mode = "skew"
         elif a == "--incremental":
             mode = "incremental"
+        elif a == "--edf-split-mixed":
+            mode = "edf_split_mixed"
+        elif a == "--ann-index":
+            mode = "ann_index"
         elif a == "--streaming":
             mode = "streaming"
         elif a.startswith("x"):
@@ -599,6 +742,44 @@ def main() -> None:
                 + " | ".join(str(rows[k][m]) for k in scales)
                 + " |"
             )
+        spark.stop()
+        return
+
+    if mode == "edf_split_mixed":
+        rows = {}
+        for k in scales:
+            for n, v in edf_split_mixed_rows(spark, k).items():
+                rows.setdefault(n, {})[k] = v
+                print(f"x{k} {n}: {v}", flush=True)
+        print("\n| metric | " + " | ".join(f"×{k}" for k in scales) + " |")
+        print("|---|" + "---|" * len(scales))
+        for n in rows:
+            print(
+                f"| {n} | "
+                + " | ".join(str(rows[n][k]) for k in scales)
+                + " |"
+            )
+        spark.stop()
+        return
+
+    if mode == "ann_index":
+        n = scales[0] if len(scales) == 1 else 12
+        rows = ann_index_rows(spark, n_drops=n)
+        print(
+            f"\nbuild: {rows['build_sec']} s, {rows['n_built']} vectors, "
+            f"train_qe={rows['train_qe']}"
+        )
+        print("| drop | append s | admitted | snapshot files |")
+        print("|---|---|---|---|")
+        for d in sorted(rows["append_sec"]):
+            print(
+                f"| {d} | {rows['append_sec'][d]} | {rows['appended'][d]} "
+                f"| {rows['snapshot_files'][d]} |"
+            )
+        print(
+            f"final: {rows['n_indexed']} indexed, drift "
+            f"{rows['final_drift_ratio']}, needs_refit={rows['needs_refit']}"
+        )
         spark.stop()
         return
 

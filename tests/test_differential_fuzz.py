@@ -67,7 +67,14 @@ SF_DIR = "/root/testdata/sf0.001"
 # frames (value-distance framing — peers included, so deterministic
 # under ties), and aggregate→outer-join compositions (FULL JOIN of two
 # GROUP BY subqueries on their group keys).
-N_SEEDS = 716
+# Seeds 716+ use the r12-extended grammar: window functions over JOIN
+# results (total order via the child side's unique key), INTERSECT ALL /
+# EXCEPT ALL under deliberately duplicated projections (multiset
+# semantics), and pivot-shaped conditional aggregates (CASE-filtered
+# SUM/COUNT/MAX per pooled value — NULL vs 0 discipline).  Seeds 0-715
+# keep rendering their earlier grammars byte-for-byte (the regression
+# corpus that found the ROLLUP and RANGE-frame divergences).
+N_SEEDS = 860
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -902,6 +909,182 @@ def gen_agg_join(rng, pools):
     }
 
 
+def gen_window_join(rng, pools):
+    """r12 structural axis #1: window functions over JOIN results — the
+    composition the registry exercises only in hand-built plans.  Inner
+    FK equi-joins keep the child side's unique key unique in the
+    result, so a total ORDER BY (order col + child key) stays total and
+    every window function is deterministic."""
+    lt, lc, rt, rc = rng.choice(FK_JOINS)
+    from_sql = f"{lt} JOIN {rt} ON {lt}.{lc} = {rt}.{rc}"
+    cols = TABLES[lt] + TABLES[rt]
+    uniq = UNIQUE[lt]
+    part = _col(rng.choice(["i", "s"]), rng, TABLES[rt]) or rc
+    order = _col(rng.choice(["i", "f", "s"]), rng, cols) or uniq[0]
+    total = f"{order}, " + ", ".join(uniq)
+    k = rng.randrange(5)
+    if k == 0:
+        wf = f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {total})"
+        typ = "i"
+    elif k == 1:
+        fn = rng.choice(["RANK", "DENSE_RANK"])
+        wf = f"{fn}() OVER (PARTITION BY {part} ORDER BY {order})"
+        typ = "i"
+    elif k == 2:
+        c = _col("f", rng, cols) or uniq[0]
+        fn = rng.choice(["LAG", "LEAD"])
+        wf = f"{fn}({c}, 1) OVER (PARTITION BY {part} ORDER BY {total})"
+        typ = "f" if dict(cols).get(c) == "f" else "i"
+    elif k == 3:
+        c = _col("i", rng, TABLES[lt]) or uniq[0]
+        n = rng.randint(1, 4)
+        wf = (
+            f"CAST(SUM({c}) OVER (PARTITION BY {part} ORDER BY {total} "
+            f"ROWS BETWEEN {n} PRECEDING AND CURRENT ROW) AS BIGINT)"
+        )
+        typ = "i"
+    else:
+        wf = f"CAST(COUNT(*) OVER (PARTITION BY {part}) AS BIGINT)"
+        typ = "i"
+    coltypes = dict(cols)
+    items = [
+        {"alias": f"c{j}", "sql": u, "fallback": None,
+         "typ": coltypes.get(u, "i")}
+        for j, u in enumerate(uniq)
+    ]
+    items.append({"alias": f"c{len(items)}", "sql": part, "fallback": None,
+                  "typ": coltypes.get(part, "i")})
+    items.append({"alias": f"c{len(items)}", "sql": wf, "fallback": None,
+                  "typ": typ})
+    return {
+        "kind": "select",
+        "from": from_sql,
+        "items": items,
+        "where": gen_pred(rng, TABLES[lt], pools, lt, 1)
+        if rng.random() < 0.5 else None,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_setop_all(rng, pools):
+    """r12 structural axis #2: INTERSECT ALL / EXCEPT ALL under
+    DUPLICATES — multiset semantics (each duplicate matched at most
+    once) is exactly where a naive hash-dedup implementation diverges
+    from ANSI.  Both sides project deliberately NON-unique columns of
+    the same table so duplicate multiplicity is high, with different
+    predicates so the multisets differ."""
+    t = rng.choice(["fz_lineitem", "fz_events", "fz_orders", "fz_documents"])
+    cols = TABLES[t]
+    picks = []
+    for typ in ("s", "i"):
+        c = _col(typ, rng, cols)
+        if c is not None:
+            picks.append((c, typ))
+    picks = picks[: rng.randint(1, len(picks))]
+    proj = []
+    for c, typ in picks:
+        if typ == "i" and rng.random() < 0.6:
+            proj.append((f"({c} % {rng.randint(2, 7)})", "i"))
+        else:
+            proj.append((c, typ))
+    op = rng.choice(["INTERSECT ALL", "EXCEPT ALL"])
+
+    def side():
+        where = (
+            f" WHERE {gen_pred(rng, cols, pools, t, 1)}"
+            if rng.random() < 0.7
+            else ""
+        )
+        return {
+            "kind": "select",
+            "from": t + where,  # predicate folded into the from string
+            "items": [
+                {"alias": f"c{j}", "sql": sql, "fallback": None, "typ": typ}
+                for j, (sql, typ) in enumerate(proj)
+            ],
+            "where": None,
+            "group": None,
+            "having": None,
+            "distinct": False,
+        }
+
+    return {"kind": "setop", "op": op, "left": side(), "right": side()}
+
+
+def gen_pivot_agg(rng, pools):
+    """r12 structural axis #3: pivot-shaped conditional aggregates —
+    one row per group key, K filtered aggregates over a pooled string
+    column's values (the long->wide pivot every BI layer compiles to).
+    SUM over an all-NULL branch must be NULL on both engines; COUNT
+    must be 0."""
+    t = rng.choice(["fz_events", "fz_lineitem", "fz_orders", "fz_documents"])
+    cols = TABLES[t]
+    s_cols = [c for c, typ in cols if typ == "s" and pools.get((t, c))]
+    if not s_cols:
+        return gen_agg(rng, pools)
+    pc = rng.choice(s_cols)
+    vals = pools[(t, pc)][: rng.randint(2, 4)]
+    key_col = _col("i", rng, cols) or UNIQUE[t][0]
+    key = f"({key_col} % {rng.randint(2, 9)})"
+    items = [{"alias": "c0", "sql": key, "fallback": None, "typ": "i"}]
+    for j, v in enumerate(vals):
+        kind = rng.randrange(3)
+        if kind == 0:
+            sql = (
+                f"CAST(COUNT(CASE WHEN {pc} = '{v}' THEN 1 END) AS BIGINT)"
+            )
+            typ = "i"
+        elif kind == 1:
+            ic = _col("i", rng, cols) or key_col
+            sql = (
+                f"CAST(SUM(CASE WHEN {pc} = '{v}' THEN {ic} END) AS BIGINT)"
+            )
+            typ = "i"
+        else:
+            fc = _col("f", rng, cols)
+            if fc is None:
+                sql = (
+                    f"CAST(MAX(CASE WHEN {pc} = '{v}' THEN {key_col} END)"
+                    " AS BIGINT)"
+                )
+                typ = "i"
+            else:
+                sql = f"SUM(CASE WHEN {pc} = '{v}' THEN {fc} END)"
+                typ = "f"
+        items.append(
+            {"alias": f"c{j + 1}", "sql": sql, "fallback": None, "typ": typ}
+        )
+    items.append(
+        {"alias": f"c{len(items)}", "sql": "COUNT(*)", "fallback": None,
+         "typ": "i"}
+    )
+    return {
+        "kind": "select",
+        "from": t,
+        "items": items,
+        "where": gen_pred(rng, cols, pools, t, 1)
+        if rng.random() < 0.4 else None,
+        "group": [key],
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_query_v3(rng, pools) -> dict:
+    """The r12-extended shape mix (seeds 716+): the three new
+    structural axes, with the strongest v2 shape retained."""
+    shape = rng.randrange(10)
+    if shape < 3:
+        return gen_window_join(rng, pools)
+    if shape < 6:
+        return gen_setop_all(rng, pools)
+    if shape < 9:
+        return gen_pivot_agg(rng, pools)
+    return gen_outer_agg(rng, pools)
+
+
 def gen_query_v2(rng, pools) -> dict:
     """The r11-extended shape mix (seeds 400+): weighted toward the
     three new compositions, with the strongest v1 shapes retained."""
@@ -919,6 +1102,8 @@ def gen_query_v2(rng, pools) -> dict:
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 716:
+        return gen_query_v3(rng, pools)
     if seed >= 400:
         return gen_query_v2(rng, pools)
     shape = rng.randrange(12)

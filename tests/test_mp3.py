@@ -392,3 +392,209 @@ def test_truncation_never_escapes(cut):
         decode_mp3_py(_GOOD[:-cut])
     except UnsupportedMediaError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# Layer I (r12)
+# ---------------------------------------------------------------------------
+
+
+def _l1_frame(seed: int, nch: int = 1):
+    """Sparse random Layer I frame: ~40% of subbands allocated 1-5 bits
+    -1 (a real encoder's adaptive shape — dense 14-bit allocation does
+    not FIT a frame: 32 subbands x 12 x 15-bit samples is ~6x the
+    448 kbps slot budget)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    alloc = [[0] * 32 for _ in range(nch)]
+    scf = [[0] * 32 for _ in range(nch)]
+    codes = [[[0] * 32 for _ in range(nch)] for _ in range(12)]
+    for sb in range(32):
+        a = rng.randint(1, 5) if rng.random() < 0.4 else 0
+        for ch in range(nch):
+            alloc[ch][sb] = a
+            if a:
+                scf[ch][sb] = rng.randint(0, 62)
+        if a:
+            for s in range(12):
+                for ch in range(nch):
+                    codes[s][ch][sb] = rng.randrange(1 << (a + 1))
+    return {"alloc": alloc, "scf_idx": scf, "codes": codes}
+
+
+def _l1_expected_subbands(frame, nch, bound=32):
+    from processor_edf_spark.operators.mp3 import _SF_TABLE_L1
+
+    S = np.zeros((12, nch, 32))
+    for s in range(12):
+        for sb in range(32):
+            for ch in range(nch):
+                src_ch = ch if sb < bound else 0
+                a = frame["alloc"][src_ch][sb]
+                if not a:
+                    continue
+                nb = a + 1
+                x = frame["codes"][s][src_ch][sb]
+                frac = x / float(1 << (nb - 1)) - 1.0
+                q = ((1 << nb) / ((1 << nb) - 1.0)) * (frac + 2.0 ** (1 - nb))
+                S[s, ch, sb] = q * _SF_TABLE_L1[frame["scf_idx"][ch][sb]]
+    return S
+
+
+@pytest.mark.parametrize("nch", [1, 2])
+def test_layer1_round_trip(nch):
+    from processor_edf_spark.operators.mp3 import encode_mp3_layer1
+
+    frames = [_l1_frame(7 + f, nch) for f in range(2)]
+    payload = encode_mp3_layer1(
+        frames, rate=44100, n_channels=nch, bitrate_kbps=448 if nch == 2 else 192
+    )
+    out = decode_mp3_frames(payload)
+    assert len(out) == 2
+    for f, (hdr, S, pcm) in enumerate(out):
+        assert hdr["layer"] == 1 and hdr["rate"] == 44100
+        assert pcm.shape == (384, nch) and np.isfinite(pcm).all()
+        exp = _l1_expected_subbands(frames[f], nch)
+        assert np.allclose(S, exp, rtol=0, atol=0)  # exact float ops
+
+
+def test_layer1_joint_stereo_shares_samples_above_bound():
+    from processor_edf_spark.operators.mp3 import encode_mp3_layer1
+
+    frame = _l1_frame(3, nch=2)
+    mode_ext = 1  # bound = 8
+    payload = encode_mp3_layer1(
+        [frame], rate=32000, n_channels=2, bitrate_kbps=448,
+        mode_ext=mode_ext, joint=True,
+    )
+    (hdr, S, pcm) = decode_mp3_frames(payload)[0]
+    assert hdr["mode"] == 1 and hdr["mode_ext"] == mode_ext
+    exp = _l1_expected_subbands(frame, 2, bound=(mode_ext + 1) * 4)
+    assert np.allclose(S, exp, rtol=0, atol=0)
+    # above the bound both channels decode the channel-0 CODE but keep
+    # their own scalefactors
+    bound = (mode_ext + 1) * 4
+    sb = next(
+        s for s in range(bound, 32)
+        if frame["alloc"][0][s]
+        and frame["scf_idx"][0][s] != frame["scf_idx"][1][s]
+    )
+    from processor_edf_spark.operators.mp3 import _SF_TABLE_L1
+
+    r = (
+        S[0, 0, sb] / _SF_TABLE_L1[frame["scf_idx"][0][sb]],
+        S[0, 1, sb] / _SF_TABLE_L1[frame["scf_idx"][1][sb]],
+    )
+    assert np.isclose(r[0], r[1])
+
+
+def test_layer1_invalid_allocation_and_scalefactor_raise():
+    from processor_edf_spark.operators.mp3 import encode_mp3_layer1
+
+    frame = _l1_frame(5, nch=1)
+    payload = bytearray(
+        encode_mp3_layer1([frame], rate=44100, n_channels=1,
+                          bitrate_kbps=192)
+    )
+    payload[4] = 0xFF  # first two 4-bit allocations -> 15 (forbidden)
+    with pytest.raises(UnsupportedMediaError, match="allocation"):
+        decode_mp3_frames(bytes(payload))
+
+
+def test_layer2_names_the_seam():
+    hdr = bytes([0xFF, 0xFD, 0x90, 0x00])  # MPEG-1 Layer II
+    with pytest.raises(UnsupportedMediaError, match="Layer II"):
+        decode_mp3_py(hdr + b"\x00" * 400)
+
+
+def test_layer1_scalefactor_table_closed_form():
+    from processor_edf_spark.operators.mp3 import _SF_TABLE_L1
+
+    assert len(_SF_TABLE_L1) == 63
+    assert _SF_TABLE_L1[0] == 2.0
+    assert np.isclose(_SF_TABLE_L1[3], 1.0)  # 2 * 2^-1
+    assert (np.diff(_SF_TABLE_L1) < 0).all()
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_layer1_random_bodies_never_escape(data):
+    hdr = bytes([0xFF, 0xFF, 0x90, 0x00])  # Layer I header shape
+    try:
+        decode_mp3_py(hdr[:2] + bytes([0xF9, 0x00]) + data)
+    except UnsupportedMediaError:
+        pass
+
+
+# ---------------------------------------------------------------------------
+# property round trip: random spectral fixtures across the whole
+# parameter surface must decode spectrally bit-exact
+# ---------------------------------------------------------------------------
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    rate=st.sampled_from([44100, 48000, 32000]),
+    nch=st.integers(min_value=1, max_value=2),
+    gain_step=st.integers(min_value=-3, max_value=3),
+    short=st.booleans(),
+    n_lines=st.sampled_from([8, 32, 40, 72]),
+)
+@settings(max_examples=40, deadline=None)
+def test_random_spectra_round_trip(seed, rate, nch, gain_step, short, n_lines):
+    import random as _random
+
+    rng = _random.Random(seed)
+    frames = []
+    for _f in range(rng.randint(1, 2)):
+        grans = []
+        for _g in range(2):
+            chans = []
+            for _c in range(nch):
+                ix = np.zeros(576, dtype=np.int64)
+                for k in range(n_lines):
+                    ix[k] = rng.randint(-1, 1)
+                big = min(n_lines, 32)
+                big += big % 2
+                quads = max(0, (n_lines - big) // 4)
+                d = {
+                    "ix": ix,
+                    "big_values_lines": big,
+                    "count1_quads": quads,
+                    "global_gain": 210 + 4 * gain_step,
+                }
+                if short:
+                    d["block_type"] = 2
+                    d["subblock_gain"] = (
+                        rng.randint(0, 2), rng.randint(0, 2), rng.randint(0, 2)
+                    )
+                chans.append(d)
+            grans.append(chans)
+        frames.append(grans)
+    payload = encode_mp3_frames(
+        frames, rate=rate, n_channels=nch, bitrate_kbps=160
+    )
+    out = decode_mp3_frames(payload)
+    assert len(out) == len(frames)
+    scale = 2.0 ** gain_step
+    for f, (hdr, spectra, pcm) in enumerate(out):
+        assert pcm.shape == (1152, nch) and np.isfinite(pcm).all()
+        for g in range(2):
+            for c in range(nch):
+                src = frames[f][g][c]
+                exp = src["ix"].astype(float) * scale
+                if short:
+                    gg = _Granule()
+                    gg.window_switching, gg.block_type, gg.mixed_block = 1, 2, 0
+                    sb = src["subblock_gain"]
+                    bounds = _SFB_SHORT[rate]
+                    for b in range(13):
+                        width = bounds[b + 1] - bounds[b]
+                        base = 3 * bounds[b]
+                        for w in range(3):
+                            exp[base + w * width: base + (w + 1) * width] *= (
+                                2.0 ** (-2 * sb[w])
+                            )
+                    exp = _reorder_short(exp, gg, rate)
+                assert np.array_equal(spectra[g, c], exp)
