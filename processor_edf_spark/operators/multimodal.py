@@ -288,7 +288,9 @@ def extract_audio_spectrogram(
     fingerprint/quality view of corpus audio (speech vs tone vs silence
     separates cleanly), plus the dominant frequency for golden tests.
     All numpy (rfft is C-side); one mapInPandas pass, mixdown-to-mono
-    before the FFT.  Compressed audio (MP3/AAC) → ``decoded=false`` row.
+    before the FFT.  WAV-family, FLAC, and (r12) MPEG-1 Layer III/I MP3
+    decode for REAL here; the honest residue (AAC, Layer II, MPEG-2.5
+    MP3, untranscribed Huffman selects) → ``decoded=false`` row.
     """
     from processor_edf_spark.operators.media_codecs import (
         UnsupportedMediaError,

@@ -801,3 +801,43 @@ def test_codec_rows_spread_across_shuffle_width(spark, name):
     assert df.rdd.getNumPartitions() >= width
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange RoundRobinPartitioning" in plan, plan[:1500]
+
+
+def test_pq_adc_no_join_no_cartesian(spark):
+    """pq_adc_exact: encode + ADC are broadcast Arrow passes — the plan
+    must contain NO join at all (the LUTs travel as broadcast
+    variables, not join relations); the only exchange is the per-query
+    top-k window's."""
+    plan = plan_of(spark, "pq_adc_exact")
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan  # top-k sort is rank-limited
+
+
+def test_ivf_pq_rerank_broadcasts_queries(spark):
+    """ivf_pq_search_exact: the exact re-rank joins the tiny query frame
+    as a broadcast — never a shuffled join against q rows."""
+    plan = plan_of(spark, "ivf_pq_search_exact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_hash_embed_stats_no_shuffle_after_embed(spark):
+    """hash_embed_stats: embed -> posexplode -> project is
+    partition-local; the plan must contain no aggregation and no join
+    (the only exchange allowed is spread()'s input repartition)."""
+    plan = plan_of(spark, "hash_embed_stats")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "Generate explode" in plan or "Generate posexplode" in plan, (
+        plan[:1500]
+    )
+
+
+def test_mp3_row_is_scan_side_only(spark):
+    """mp3_decode_stats: encode/decode runs inside the scan-side Arrow
+    pass; no join, no aggregation — stats are per-doc rows."""
+    plan = plan_of(spark, "mp3_decode_stats")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan

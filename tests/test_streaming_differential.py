@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Four differential contracts:
+Five differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -23,6 +23,10 @@ Four differential contracts:
   with EXACT float equality (same IEEE operation order).
 - ``stream_scd2`` closed intervals ≡ the batch ``scd2_build`` history
   (unique change times; tie semantics have their own hand pin).
+- ``stream_debounce`` (r12) kept set ≡ an independent sequential greedy
+  fold — strict debounce is NOT a window function (each keep depends on
+  prior keeps), so the reference is a five-line python fold; randomized
+  over gap, tie density, type cardinality, and micro-batch cuts.
 """
 
 from __future__ import annotations
@@ -275,3 +279,78 @@ def test_stream_scd2_differential(spark, tmp_path, seed):
         for r in spark.sql(f"select * from fz_scd2_{seed}").collect()
     }
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# r12: strict-debounce differential — the stateful greedy fold vs an
+# independent sequential reference (strict debounce is NOT a window
+# function: each keep decision depends on prior keeps, so the reference
+# is a five-line python fold over (t, id)-ordered events per key)
+# ---------------------------------------------------------------------------
+
+N_DEBOUNCE_SEEDS = 8
+DEBOUNCE_SCHEMA = "user_id long, event_type string, event_id long, t long"
+
+
+def _gen_typed_events(rng: random.Random) -> pd.DataFrame:
+    n_users = rng.randint(2, 6)
+    types = ["click", "view", "buy"][: rng.randint(1, 3)]
+    n = rng.randint(60, 200)
+    t_cards = rng.choice([20, 120, 2_000])  # heavy tie pressure at 20
+    rows = [
+        (
+            rng.randrange(n_users),
+            rng.choice(types),
+            eid,
+            rng.randint(0, t_cards) * 1_000_000,
+        )
+        for eid in range(n)
+    ]
+    return pd.DataFrame(
+        rows, columns=["user_id", "event_type", "event_id", "t"]
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_DEBOUNCE_SEEDS))
+def test_stream_debounce_differential(spark, tmp_path, seed):
+    from processor_edf_spark.streaming.debounce import stream_debounce
+
+    rng = random.Random(5000 + seed)
+    pdf = _gen_typed_events(rng).sort_values(["t", "event_id"])
+    gap = rng.choice([1, 3, 10]) * 1_000_000
+    k = rng.randint(1, 5)
+    for i, chunk in enumerate(np.array_split(pdf, k)):
+        spark.createDataFrame(
+            chunk, DEBOUNCE_SCHEMA
+        ).coalesce(1).write.parquet(f"{tmp_path}/in/d{i:02d}.parquet")
+
+    # independent reference: greedy fold per (user, type) in (t, id) order
+    want = set()
+    last: dict[tuple, int] = {}
+    for r in pdf.itertuples(index=False):
+        key = (r.user_id, r.event_type)
+        if key not in last or r.t - last[key] > gap:
+            want.add((r.user_id, r.event_type, r.event_id, r.t))
+            last[key] = r.t
+
+    stream = (
+        spark.readStream.schema(DEBOUNCE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    name = f"fz_debounce_{seed}"
+    (
+        stream_debounce(stream, gap_usec=gap)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = {
+        (r["user_id"], r["event_type"], r["event_id"], r["t"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    assert got == want
