@@ -600,7 +600,10 @@ class _SynthState:
 
 
 def _synth_32(s32: np.ndarray, st: _SynthState) -> np.ndarray:
-    """One filterbank step: 32 subband samples -> 32 PCM samples."""
+    """One filterbank step: 32 subband samples -> 32 PCM samples (the
+    per-step REFERENCE implementation; decode uses the vectorized
+    :func:`_synth_block`, parity-pinned against this in
+    tests/test_mp3.py)."""
     st.v = np.roll(st.v, 64)
     st.v[:64] = _N_MATRIX @ s32
     v = st.v
@@ -610,6 +613,36 @@ def _synth_32(s32: np.ndarray, st: _SynthState) -> np.ndarray:
         u[64 * b + 32 : 64 * b + 64] = v[128 * b + 96 : 128 * b + 128]
     w = u * _D_WINDOW
     return w.reshape(16, 32).sum(axis=0)
+
+
+# the window split the vectorized path consumes: D1[b] windows the
+# even (V[128b..128b+31]) half-block, D2[b] the odd (V[128b+96..]) one
+_D1 = np.stack([_D_WINDOW[64 * b : 64 * b + 32] for b in range(8)])
+_D2 = np.stack([_D_WINDOW[64 * b + 32 : 64 * b + 64] for b in range(8)])
+
+
+def _synth_block(S: np.ndarray, st: _SynthState) -> np.ndarray:
+    """Vectorized synthesis for T consecutive steps: (T, 32) subband
+    samples -> (T·32,) PCM.  Identical math to T calls of
+    :func:`_synth_32` — the V FIFO is just a sliding window over the
+    per-step matrixing outputs, so the whole block computes as ONE
+    (T,32)x(32,64) GEMM plus 16 strided windowed accumulations instead
+    of T python steps (the final 16-term sum accumulates sequentially
+    where the reference sums pairwise, so agreement is to float
+    round-off ~1e-15, parity-pinned)."""
+    T = S.shape[0]
+    B = S @ _N_MATRIX.T  # (T, 64): block t is the step-t matrixing
+    # A[k] = block at step t = k - 16; rows 0..15 are the FIFO history
+    # (v[64m:64m+64] is the block from m steps ago -> row 15 - m)
+    hist = st.v.reshape(16, 64)[::-1]
+    A = np.vstack([hist, B])  # (16 + T, 64)
+    out = np.zeros((T, 32))
+    for b in range(8):
+        out += A[16 - 2 * b : 16 - 2 * b + T, :32] * _D1[b]
+        out += A[15 - 2 * b : 15 - 2 * b + T, 32:] * _D2[b]
+    # new FIFO: the last 16 blocks, newest first
+    st.v = A[T : T + 16][::-1].reshape(-1).copy()
+    return out.reshape(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -676,9 +709,8 @@ def _decode_frame_l1(hdr: dict, data: bytes, synth: list) -> tuple:
                     for ch in range(nch):
                         S[s, ch, sb] = q * scf[ch][sb]  # intensity: shared
     pcm = np.empty((384, nch))
-    for s in range(12):
-        for ch in range(nch):
-            pcm[32 * s : 32 * (s + 1), ch] = _synth_32(S[s, ch], synth[ch])
+    for ch in range(nch):
+        pcm[:, ch] = _synth_block(S[:, ch, :], synth[ch])
     return S, pcm
 
 
@@ -800,7 +832,17 @@ def decode_mp3_frames(payload: bytes):
     overlap = None
     synth = None
     total = 0
+    first_frame = True
     for hdr, side, main in _iter_frames(payload):
+        if first_frame:
+            first_frame = False
+            # real encoders prepend a Xing/Info metadata frame — a
+            # structurally valid Layer III frame whose main data is a
+            # seek table, not audio (LAME writes one on every encode).
+            # It sits directly after the side info, i.e. at main[:4].
+            # Decoders skip it.
+            if hdr["layer"] == 3 and main[:4] in (b"Xing", b"Info"):
+                continue
         if rate is None:
             rate, nch, layer = hdr["rate"], hdr["n_channels"], hdr["layer"]
             overlap = [np.zeros((32, 18)) for _ in range(nch)]
@@ -869,10 +911,9 @@ def decode_mp3_frames(payload: bytes):
                     n_long = 2 if (g.window_switching and g.block_type == 2) else 32
                     _alias_reduce(xr, n_long)
                 ss = _hybrid_synthesis(xr, g, overlap[ch])
-                for t in range(18):
-                    pcm[576 * gr + 32 * t : 576 * gr + 32 * (t + 1), ch] = _synth_32(
-                        ss[t], synth[ch]
-                    )
+                pcm[576 * gr : 576 * (gr + 1), ch] = _synth_block(
+                    ss, synth[ch]
+                )
         out.append((hdr, frame_spectra, pcm))
     if not out:
         raise UnsupportedMediaError("mp3: no decodable frame")

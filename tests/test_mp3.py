@@ -598,3 +598,51 @@ def test_random_spectra_round_trip(seed, rate, nch, gain_step, short, n_lines):
                             )
                     exp = _reorder_short(exp, gg, rate)
                 assert np.array_equal(spectra[g, c], exp)
+
+
+# ---------------------------------------------------------------------------
+# vectorized synthesis parity + Xing skip (r12)
+# ---------------------------------------------------------------------------
+
+
+@given(st.integers(min_value=0, max_value=5000), st.sampled_from([12, 18, 36]))
+@settings(max_examples=25, deadline=None)
+def test_synth_block_matches_per_step_reference(seed, T):
+    from processor_edf_spark.operators.mp3 import (
+        _synth_32,
+        _synth_block,
+        _SynthState,
+    )
+
+    rng = np.random.default_rng(seed)
+    S = rng.standard_normal((T, 32))
+    st_a, st_b = _SynthState(), _SynthState()
+    # warm both FIFOs with identical history
+    warm = rng.standard_normal((16, 32))
+    for row in warm:
+        _synth_32(row, st_a)
+    _synth_block(warm, st_b)
+    assert np.allclose(st_a.v, st_b.v, rtol=0, atol=1e-12)
+    ref = np.concatenate([_synth_32(S[t], st_a) for t in range(T)])
+    got = _synth_block(S, st_b)
+    # same math, different summation tree: round-off-level agreement
+    assert np.allclose(got, ref, rtol=1e-12, atol=1e-12)
+    assert np.allclose(st_a.v, st_b.v, rtol=0, atol=1e-12)
+
+
+def test_xing_info_metadata_frame_is_skipped():
+    frames = [[[_gran(1)], [_gran(2)]], [[_gran(3)], [_gran(4)]]]
+    base = bytearray(_stream(frames, rate=44100, n_channels=1,
+                             bitrate_kbps=128))
+    flen = 144 * 128000 // 44100
+    # turn frame 1 into a LAME-style Info frame: zero side info, the
+    # magic directly after it
+    base[4 : 4 + 17] = b"\x00" * 17
+    base[4 + 17 : 4 + 21] = b"Info"
+    out = decode_mp3_frames(bytes(base))
+    assert len(out) == 1  # only the real audio frame decodes
+    assert np.array_equal(out[0][1][0, 0],
+                          frames[1][0][0]["ix"].astype(float))
+    # and a normal first frame is NOT skipped (magic absent)
+    assert len(decode_mp3_frames(_stream(frames, rate=44100, n_channels=1,
+                                         bitrate_kbps=128))) == 2
