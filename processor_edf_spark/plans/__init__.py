@@ -190,6 +190,12 @@ _CANONICAL = [
     # dedup_ngram_jaccard + minhash_signatures; simhash_16 keeps its
     # r10 green at 51+).
     "hash_embed_stats",
+    # mp3_layer1_decode_stats (the Layer I path under the value oracle
+    # with integer-exact stats) takes the fifth r12 priority slot,
+    # displacing minhash_signatures from position 50 (dedup_text family
+    # stays covered in-window via dedup_ngram_jaccard;
+    # minhash_signatures keeps its r10 green at 51+).
+    "mp3_layer1_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -234,15 +240,15 @@ _CANONICAL = [
     "sliding_hour_counts",
     "anti_join_idle_customers",
     "moving_avg_daily_revenue",
-    "minhash_signatures",
     "sample_hash_bucket",
-    # ---- past the 50-slot window: the four members the r12 additions
+    # ---- past the 50-slot window: the five members the r12 additions
     # displaced (both keep their r10 greens; families covered in-window
     # per the notes above), then per the r11 pre-declaration: the
     # two queries the r11 additions displaced (edf_date_parse,
     # overlap_validation — r8+r9 greens) and the four r10-displaced
     # queries (rolling_fingerprint/doc_fingerprint/dow_hour_heatmap r7
     # greens, ntile_value_quartiles r8+r9 greens).
+    "minhash_signatures",
     "simhash_16",
     "range_frame_user_avg",
     "intersect_all_user_days",
@@ -505,6 +511,7 @@ FAMILY = {
     "ivf_pq_search_exact": "ann",
     "mp3_decode_stats": "multimodal",
     "hash_embed_stats": "similarity",
+    "mp3_layer1_decode_stats": "multimodal",
 }
 
 

@@ -469,3 +469,179 @@ def hash_embed_stats(spark, sf_dir):
         SF.col("dim").cast("long").alias("dim"),
         SF.round("v", 6).alias("val"),
     )
+
+
+@register(
+    "mp3_layer1_decode_stats",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS nf,
+               1 + (doc_id // 4) % 2 AS nch,
+               CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    ELSE 32000 END AS sr
+        FROM d
+    ),
+    sb AS (  -- allocated subbands and their widths
+        SELECT p.doc_id, tsb.sb, 2 + tsb.sb % 3 AS a
+        FROM p CROSS JOIN range(0, 32) tsb(sb)
+        WHERE (p.doc_id + tsb.sb) % 3 = 0
+    ),
+    codes AS (
+        SELECT p.doc_id,
+               (p.doc_id + ts.s * 7 + tc.c * 11 + sb.sb * 13 + tf.f * 17)
+                   % (1 << (sb.a + 1)) AS code
+        FROM p
+        JOIN sb ON sb.doc_id = p.doc_id
+        JOIN range(0, 2) tf(f) ON tf.f < p.nf
+        CROSS JOIN range(0, 12) ts(s)
+        JOIN range(0, 2) tc(c) ON tc.c < p.nch
+    ),
+    scf AS (
+        SELECT p.doc_id,
+               SUM((p.doc_id + 5 * sb.sb + 29 * tc.c) % 63) AS sum_scf
+        FROM p
+        JOIN sb ON sb.doc_id = p.doc_id
+        JOIN range(0, 2) tc(c) ON tc.c < p.nch
+        GROUP BY p.doc_id
+    )
+    SELECT p.doc_id,
+           CAST(p.nf AS BIGINT) AS n_frames,
+           CAST(p.nch AS BIGINT) AS n_channels,
+           CAST(p.sr AS BIGINT) AS sample_rate,
+           CAST(384 * p.nf AS BIGINT) AS n_samples,
+           CAST((SELECT COUNT(*) FROM sb WHERE sb.doc_id = p.doc_id)
+                AS BIGINT) AS n_alloc,
+           CAST((SELECT SUM(code) FROM codes c WHERE c.doc_id = p.doc_id)
+                AS BIGINT) AS sum_codes,
+           CAST(scf.sum_scf AS BIGINT) AS sum_scf
+    FROM p JOIN scf USING (doc_id)
+    """,
+)
+def mp3_layer1_decode_stats(spark, sf_dir):
+    """The MPEG-1 Layer I path (operators/mp3.py r12) as a driver-hashed
+    row — the eighth codec row.  Per document a deterministic
+    allocation/scalefactor/code fixture is encoded into a REAL Layer I
+    bitstream, decoded through the production ``decode_mp3_frames``,
+    and every decoded subband value is required BIT-EXACT against the
+    requantization closed form (computed with the decoder's own
+    numpy ops, so equality is exact) with the contracted PCM shape —
+    only then are the INTEGER construction stats emitted for the
+    oracle (float subband values never cross the engine boundary, so
+    no libm-pow parity bet).  Sweeps mono/stereo, all three rates,
+    1- and 2-frame streams, allocations 2-4 bits-1 over every third
+    subband.  Scale: same spread() per-doc CPU shape as the sibling
+    codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(
+        spark, docs.select("doc_id").filter("doc_id % 4 = 3")
+    )
+
+    def gen(batches):
+        from processor_edf_spark.operators.mp3 import (
+            _l1_requant,
+            _SF_TABLE_L1,
+            decode_mp3_frames,
+            encode_mp3_layer1,
+        )
+
+        rates = (44100, 48000, 32000)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 2 if d % 3 == 0 else 1
+                nch = 1 + (d // 4) % 2
+                rate = rates[d % 3]
+
+                def build(f):
+                    alloc = [[0] * 32 for _ in range(nch)]
+                    scf = [[0] * 32 for _ in range(nch)]
+                    codes = [
+                        [[0] * 32 for _ in range(nch)] for _ in range(12)
+                    ]
+                    for sb in range(32):
+                        if (d + sb) % 3:
+                            continue
+                        a = 2 + sb % 3
+                        for ch in range(nch):
+                            alloc[ch][sb] = a
+                            scf[ch][sb] = (d + 5 * sb + 29 * ch) % 63
+                        for s in range(12):
+                            for ch in range(nch):
+                                codes[s][ch][sb] = (
+                                    d + s * 7 + ch * 11 + sb * 13 + f * 17
+                                ) % (1 << (a + 1))
+                    return {"alloc": alloc, "scf_idx": scf, "codes": codes}
+
+                frames = [build(f) for f in range(nf)]
+                payload = encode_mp3_layer1(
+                    frames, rate=rate, n_channels=nch, bitrate_kbps=256
+                )
+                decoded = decode_mp3_frames(payload)
+                ok = len(decoded) == nf
+                total_pcm = 0
+                if ok:
+                    for f, (hdr, S, pcm) in enumerate(decoded):
+                        total_pcm += pcm.shape[0]
+                        ok = ok and hdr["layer"] == 1 and hdr["rate"] == rate
+                        ok = ok and pcm.shape == (384, nch)
+                        ok = ok and bool(np.isfinite(pcm).all())
+                        fr = frames[f]
+                        for s in range(12):
+                            for ch in range(nch):
+                                for sb in range(32):
+                                    a = fr["alloc"][ch][sb]
+                                    exp = (
+                                        _l1_requant(
+                                            fr["codes"][s][ch][sb], a + 1
+                                        )
+                                        * _SF_TABLE_L1[fr["scf_idx"][ch][sb]]
+                                        if a
+                                        else 0.0
+                                    )
+                                    ok = ok and S[s, ch, sb] == exp
+                if ok:
+                    n_alloc = sum(
+                        1 for sb in range(32) if (d + sb) % 3 == 0
+                    )
+                    sum_codes = 0
+                    sum_scf = 0
+                    for f in range(nf):
+                        fr = frames[f]
+                        for s in range(12):
+                            for ch in range(nch):
+                                for sb in range(32):
+                                    if fr["alloc"][ch][sb]:
+                                        sum_codes += fr["codes"][s][ch][sb]
+                    for ch in range(nch):
+                        for sb in range(32):
+                            if frames[0]["alloc"][ch][sb]:
+                                sum_scf += frames[0]["scf_idx"][ch][sb]
+                    rows.append(
+                        (d, nf, nch, rate, total_pcm, n_alloc,
+                         sum_codes, sum_scf)
+                    )
+                else:
+                    rows.append((d, nf, nch, rate, -1, -1, -1, -1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_channels", "sample_rate",
+                    "n_samples", "n_alloc", "sum_codes", "sum_scf",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, n_channels long, "
+            "sample_rate long, n_samples long, n_alloc long, "
+            "sum_codes long, sum_scf long"
+        ),
+    )

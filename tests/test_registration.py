@@ -26,15 +26,16 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    # r12 priority slots: the two PQ/ADC kernel rows, the MP3 codec
-    # row, and the hash-embedder row (first driver check), displacing
-    # embedding_norm_stats / intersect_all_user_days /
-    # range_frame_user_avg / simhash_16 per the notes in
-    # plans/__init__.py.
+    # r12 priority slots: the two PQ/ADC kernel rows, the two MP3
+    # codec rows (Layer III + Layer I), and the hash-embedder row
+    # (first driver check), displacing embedding_norm_stats /
+    # intersect_all_user_days / range_frame_user_avg / simhash_16 /
+    # minhash_signatures per the notes in plans/__init__.py.
     "pq_adc_exact",
     "ivf_pq_search_exact",
     "mp3_decode_stats",
     "hash_embed_stats",
+    "mp3_layer1_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -79,7 +80,6 @@ EXPECTED_FIRST_50 = [
     "sliding_hour_counts",
     "anti_join_idle_customers",
     "moving_avg_daily_revenue",
-    "minhash_signatures",
     "sample_hash_bucket",
 ]
 
@@ -102,8 +102,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 145 through r8 + the r10/r11 additions + the 4 r12 rows
-    assert len(QUERIES) == 156
+    # 145 through r8 + the r10/r11 additions + the 5 r12 rows
+    assert len(QUERIES) == 157
 
 
 def test_every_query_has_a_family():
