@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Five differential contracts:
+Six differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -27,6 +27,11 @@ Five differential contracts:
   fold — strict debounce is NOT a window function (each keep depends on
   prior keeps), so the reference is a five-line python fold; randomized
   over gap, tie density, type cardinality, and micro-batch cuts.
+- ``stream_heavy_hitters`` (r12) vs exact Counter truth: the MG
+  guarantee (est ≤ true ≤ est + shard deduct; evicted ⇒ true ≤ deduct)
+  on every item, AND the exactness regime (a shard whose distinct-item
+  count never exceeds k reports exact counts, zero deduct) — randomized
+  vocabulary, zipf skew, k, and cuts.
 """
 
 from __future__ import annotations
@@ -354,3 +359,105 @@ def test_stream_debounce_differential(spark, tmp_path, seed):
         for r in spark.sql(f"select * from {name}").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r12: sharded Misra-Gries differential — randomized streams vs exact
+# counts (the hand-pinned bounds test in test_trending_stream.py uses
+# two fixed word lists; this randomizes vocabulary size, skew, k, and
+# micro-batch cuts, and additionally pins the EXACTNESS regime: a shard
+# whose distinct-item count never exceeds k must report exact counts
+# with zero deduct)
+# ---------------------------------------------------------------------------
+
+N_TRENDING_SEEDS = 6
+
+
+@pytest.mark.parametrize("seed", range(N_TRENDING_SEEDS))
+def test_stream_heavy_hitters_differential(spark, tmp_path, seed):
+    import collections
+
+    from processor_edf_spark.operators.textfns import hash64
+    from processor_edf_spark.streaming.trending import stream_heavy_hitters
+
+    rng = random.Random(7000 + seed)
+    vocab_n = rng.choice([6, 20, 80])
+    k = rng.choice([4, 8, 16])
+    shards = 4
+    n = rng.randint(150, 500)
+    vocab = [f"w{i}" for i in range(vocab_n)]
+    weights = [1.0 / (i + 1) for i in range(vocab_n)]  # zipf-ish skew
+    items = rng.choices(vocab, weights=weights, k=n)
+    cuts = rng.randint(1, 5)
+    pdf = pd.DataFrame({"item": items})
+    for i, chunk in enumerate(np.array_split(pdf, cuts)):
+        spark.createDataFrame(chunk, "item string").coalesce(1).write.parquet(
+            f"{tmp_path}/in/d{i:02d}.parquet"
+        )
+
+    # production routing for the expected shard of every vocab item
+    route = {
+        r["item"]: r["shard"]
+        for r in spark.createDataFrame(
+            pd.DataFrame({"item": vocab}), "item string"
+        )
+        .select(
+            "item",
+            F.pmod(hash64(F.col("item"), salt="hh"), F.lit(shards))
+            .cast("int")
+            .alias("shard"),
+        )
+        .collect()
+    }
+
+    emitted: list = []
+
+    def sink(batch_df, batch_id):
+        for r in batch_df.collect():
+            emitted.append((batch_id, r))
+
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{tmp_path}/in/*")
+    )
+    (
+        stream_heavy_hitters(stream, "item", k=k, shards=shards)
+        .writeStream.foreachBatch(sink)
+        .queryName(f"fz_mg_{seed}")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+
+    # final state per shard = the rows of its LAST emission
+    last_bid: dict[int, int] = {}
+    for bid, r in emitted:
+        last_bid[r["shard"]] = max(last_bid.get(r["shard"], -1), bid)
+    summary: dict[int, dict[str, int]] = {}
+    deduct: dict[int, int] = {}
+    for bid, r in emitted:
+        if bid != last_bid[r["shard"]]:
+            continue
+        if r["item"] is None:
+            deduct[r["shard"]] = r["deduct"]
+        else:
+            summary.setdefault(r["shard"], {})[r["item"]] = r["est_count"]
+
+    true = collections.Counter(items)
+    shard_distinct = collections.Counter(route[i] for i in set(items))
+    for item, cnt in true.items():
+        sh = route[item]
+        est = summary.get(sh, {}).get(item)
+        d = deduct.get(sh, 0)
+        if est is not None:
+            # the MG guarantee: est <= true <= est + shard deduct
+            assert est <= cnt <= est + d, (item, est, cnt, d)
+        else:
+            # evicted items were dominated by the deduct total
+            assert cnt <= d, (item, cnt, d)
+        if shard_distinct[sh] <= k:
+            # exactness regime: never spilled -> exact, no deduct
+            assert d == 0 and est == cnt, (item, est, cnt, d)
