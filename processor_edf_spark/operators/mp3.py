@@ -990,7 +990,7 @@ def _encode_granule_bits(ix: np.ndarray, g_params: dict) -> tuple[bytes, _Granul
     g.scalefac_compress = compress
     g.block_type = g_params.get("block_type", 0)
     g.window_switching = 1 if g.block_type else 0
-    g.mixed_block = 0
+    g.mixed_block = g_params.get("mixed_block", 0)
     g.table_select = [1, 1, 1]  # table 1 in all three regions
     g.subblock_gain = list(g_params.get("subblock_gain", (0, 0, 0)))
     # region0 ends at sfb[region0_count+1]: pick the spec-common (7, 3)

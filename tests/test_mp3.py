@@ -646,3 +646,28 @@ def test_xing_info_metadata_frame_is_skipped():
     # and a normal first frame is NOT skipped (magic absent)
     assert len(decode_mp3_frames(_stream(frames, rate=44100, n_channels=1,
                                          bitrate_kbps=128))) == 2
+
+
+def test_mixed_block_round_trip():
+    """Mixed blocks (block_type 2 + mixed flag): the first two subbands
+    stay LONG (no reorder below line 36, long-window IMDCT) while the
+    rest are short — decoded spectra must equal reorder-from-band-3 of
+    the coded lines."""
+    frames = [[[_gran(5, n_lines=72, big_values_lines=72, count1_quads=0,
+                      block_type=2, mixed_block=1)],
+               [_gran(6)]]]
+    out = decode_mp3_frames(_stream(frames, rate=44100, n_channels=1,
+                                    bitrate_kbps=160))
+    g = _Granule()
+    g.window_switching, g.block_type, g.mixed_block = 1, 2, 1
+    exp = _reorder_short(frames[0][0][0]["ix"].astype(float), g, 44100)
+    assert np.array_equal(out[0][1][0, 0], exp)
+    # the long region (lines < 36) must be byte-identical to the input
+    assert np.array_equal(
+        out[0][1][0, 0][:36], frames[0][0][0]["ix"][:36].astype(float)
+    )
+    # and the short region above IS reordered (differs from raw order
+    # whenever the coded lines vary within a band)
+    assert not np.array_equal(
+        out[0][1][0, 0][36:72], frames[0][0][0]["ix"][36:72].astype(float)
+    )
