@@ -71,10 +71,13 @@ SF_DIR = "/root/testdata/sf0.001"
 # results (total order via the child side's unique key), INTERSECT ALL /
 # EXCEPT ALL under deliberately duplicated projections (multiset
 # semantics), and pivot-shaped conditional aggregates (CASE-filtered
-# SUM/COUNT/MAX per pooled value — NULL vs 0 discipline).  Seeds 0-715
-# keep rendering their earlier grammars byte-for-byte (the regression
-# corpus that found the ROLLUP and RANGE-frame divergences).
-N_SEEDS = 860
+# SUM/COUNT/MAX per pooled value — NULL vs 0 discipline).  Seeds 860+
+# add membership subqueries: [NOT] IN with NULLIF-injected NULLs (the
+# three-valued-logic trap Spark compiles to a null-aware anti join) and
+# correlated [NOT] EXISTS.  Seeds 0-715 keep rendering their earlier
+# grammars byte-for-byte (the regression corpus that found the ROLLUP
+# and RANGE-frame divergences).
+N_SEEDS = 920
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -1072,6 +1075,88 @@ def gen_pivot_agg(rng, pools):
     }
 
 
+# FK pairs for membership subqueries: (outer table, outer col,
+# inner table, inner col)
+_MEMBER_PAIRS = [
+    ("fz_customer", "c_custkey", "fz_orders", "o_custkey"),
+    ("fz_orders", "o_orderkey", "fz_lineitem", "l_orderkey"),
+    ("fz_nation", "n_nationkey", "fz_customer", "c_nationkey"),
+    ("fz_customer", "c_custkey", "fz_events", "user_id"),
+    ("fz_part", "p_partkey", "fz_lineitem", "l_partkey"),
+]
+
+
+def gen_membership(rng, pools):
+    """r12 structural axis #4 (seeds 860+): membership subqueries —
+    [NOT] IN (scalar subquery column, sometimes NULL-injected via
+    NULLIF so three-valued logic actually bites: NOT IN over a set
+    containing NULL is never TRUE) and correlated [NOT] EXISTS.  Spark
+    compiles these to (null-aware) anti/semi joins — the classic
+    divergence hazard this axis hunts."""
+    ot, oc, it_, ic = rng.choice(_MEMBER_PAIRS)
+    neg = rng.random() < 0.5
+    kind = rng.randrange(3)
+    inner_pred = (
+        gen_pred(rng, TABLES[it_], pools, it_, 1)
+        if rng.random() < 0.6
+        else None
+    )
+    if kind < 2:  # [NOT] IN
+        expr = ic
+        pool = pools.get((it_, ic)) or []
+        if pool and rng.random() < 0.6:
+            # inject NULLs deterministically: rows equal to a real key
+            # become NULL in the membership set
+            expr = f"NULLIF({ic}, {rng.choice(pool)})"
+        where = f" WHERE {inner_pred}" if inner_pred else ""
+        member = (
+            f"{oc} {'NOT ' if neg else ''}IN "
+            f"(SELECT {expr} FROM {it_}{where})"
+        )
+    else:  # correlated [NOT] EXISTS
+        conj = f" AND {inner_pred}" if inner_pred else ""
+        member = (
+            f"{'NOT ' if neg else ''}EXISTS (SELECT 1 FROM {it_} "
+            f"WHERE {ic} = {ot}.{oc}{conj})"
+        )
+    cols = TABLES[ot]
+    coltypes = dict(cols)
+    uniq = UNIQUE[ot]
+    items = [
+        {"alias": f"c{j}", "sql": u, "fallback": None,
+         "typ": coltypes.get(u, "i")}
+        for j, u in enumerate(uniq)
+    ]
+    extra = _col(rng.choice(["i", "s"]), rng, cols) or uniq[0]
+    items.append({"alias": f"c{len(items)}", "sql": extra,
+                  "fallback": None, "typ": coltypes.get(extra, "i")})
+    where = member
+    if rng.random() < 0.4:
+        where = f"({member}) AND ({gen_pred(rng, cols, pools, ot, 1)})"
+    return {
+        "kind": "select",
+        "from": ot,
+        "items": items,
+        "where": where,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_query_v4(rng, pools) -> dict:
+    """Seeds 860+: membership subqueries lead, with the strongest v3
+    shapes retained."""
+    shape = rng.randrange(10)
+    if shape < 6:
+        return gen_membership(rng, pools)
+    if shape < 8:
+        return gen_window_join(rng, pools)
+    if shape == 8:
+        return gen_pivot_agg(rng, pools)
+    return gen_setop_all(rng, pools)
+
+
 def gen_query_v3(rng, pools) -> dict:
     """The r12-extended shape mix (seeds 716+): the three new
     structural axes, with the strongest v2 shape retained."""
@@ -1102,6 +1187,8 @@ def gen_query_v2(rng, pools) -> dict:
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 860:
+        return gen_query_v4(rng, pools)
     if seed >= 716:
         return gen_query_v3(rng, pools)
     if seed >= 400:
