@@ -233,7 +233,18 @@ def ann_index_build(
     payload = model_row.unionByName(codes).localCheckpoint(eager=True)
     n_vectors = payload.count() - 1
     name = _write_data_file(spark, index_dir, payload)
-    commit_version(spark, index_dir, 0, [name], base=True)
+    try:
+        commit_version(spark, index_dir, 0, [name], base=True)
+    except CommitConflictError as e:
+        # a build must NEVER retry like an append would: the loser
+        # trained a DIFFERENT model, and interleaving two models'
+        # codes corrupts every downstream distance.  Fail loudly; the
+        # caller appends to the winner's index or builds elsewhere.
+        raise ValueError(
+            f"ann_index_build: {index_dir} already has a committed "
+            "version (lost the build race) — append to it or build "
+            "into a fresh directory"
+        ) from e
     return {"version": 0, "n_vectors": int(n_vectors), "train_qe": train_qe}
 
 

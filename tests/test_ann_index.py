@@ -221,3 +221,42 @@ def test_build_is_deterministic(spark, tmp_path):
                 for r in ann_index_codes(spark, d2).collect())
     assert c1 == c2
     assert i1["train_qe"] == i2["train_qe"]
+
+
+def test_second_build_into_same_dir_fails_cleanly(spark, tmp_path):
+    """A lost BUILD race must not retry (two different models must
+    never interleave): the loser gets a clear error and the winner's
+    index is untouched."""
+    index_dir, _ = _build(spark, tmp_path, range(48))
+    before = load_model(spark, index_dir)
+    with pytest.raises(ValueError, match="already has a committed"):
+        ann_index_build(
+            spark, _vecs(spark, range(64)), index_dir,
+            n_cells=4, m=4, k=8, sample_size=64,
+        )
+    after = load_model(spark, index_dir)
+    assert np.array_equal(before[0], after[0])
+    assert ann_index_codes(spark, index_dir).count() == 48
+
+
+def test_append_loses_to_compaction_race(spark, tmp_path):
+    """A compaction that wins the version slot mid-append: the append
+    re-checks against the compacted base and lands on top of it."""
+    index_dir, _ = _build(spark, tmp_path, range(48))
+    ann_index_append(spark, _vecs(spark, range(48, 56)), index_dir)
+
+    def racing_compaction():
+        ann_index_compact(spark, index_dir)
+
+    out = ann_index_append(
+        spark,
+        _vecs(spark, range(56, 60)),
+        index_dir,
+        _pre_commit_hook=racing_compaction,
+    )
+    assert out["n_appended"] == 4
+    codes = ann_index_codes(spark, index_dir)
+    ids = [r["vec_id"] for r in codes.collect()]
+    assert len(ids) == len(set(ids)) == 60
+    # the model row survived the compaction and the retried append
+    load_model(spark, index_dir)
