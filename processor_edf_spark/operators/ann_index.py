@@ -52,8 +52,15 @@ Lifecycle:
 
 Scale shape: training is corpus-size independent; append cost is one
 Arrow encode pass over the DROP (not the corpus) + one tiny commit;
-search scans codes (m bytes/vector), pruned by cell.  The only driver
-state is the model (C·d + m·K·d/m floats).  No EDF analog: the
+every entry's files are HIVE-PARTITIONED BY CELL, so a search's
+probed-cell filter prunes whole files at planning time (the model row
+lands in the null partition) — a query touches ~nprobe/C of the stored
+bytes, not the snapshot.  The only driver state is the model
+(C·d + m·K·d/m floats).  Honest scale note: the append path's
+idempotence anti-join shuffles the snapshot's (vec_id) column per drop
+— flat at sweep scale (BASELINE.md r12); at tens of billions of
+vectors a deployment co-buckets the store by id hash so that join
+co-partitions, the same refinement the dedup store documents.  No EDF analog: the
 reference has no ANN surface; this extends the builder's-brief
 similarity axis (sibling: operators/pq.py, operators/kmeans.py).
 """
@@ -232,7 +239,7 @@ def ann_index_build(
     )
     payload = model_row.unionByName(codes).localCheckpoint(eager=True)
     n_vectors = payload.count() - 1
-    name = _write_data_file(spark, index_dir, payload)
+    name = _write_data_file(spark, index_dir, payload, partition_by=["cell"])
     try:
         commit_version(spark, index_dir, 0, [name], base=True)
     except CommitConflictError as e:
@@ -280,7 +287,8 @@ def ann_index_append(
         n = encoded.count()
         if n == 0:
             return {"version": versions[-1], "n_appended": 0}
-        name = _write_data_file(spark, index_dir, encoded)
+        name = _write_data_file(spark, index_dir, encoded,
+                                partition_by=["cell"])
         if _pre_commit_hook is not None:
             hook, _pre_commit_hook = _pre_commit_hook, None
             hook()
@@ -425,7 +433,8 @@ def ann_index_compact(spark: SparkSession, index_dir: str) -> int:
             return 0
         dense = snap.localCheckpoint(eager=True)
         n = dense.filter(F.col("rec_type") == "code").count()
-        name = _write_data_file(spark, index_dir, dense)
+        name = _write_data_file(spark, index_dir, dense,
+                                partition_by=["cell"])
         try:
             commit_version(
                 spark, index_dir, versions[-1] + 1, [name], base=True

@@ -132,11 +132,22 @@ def snapshot_files(
 def read_store(
     spark: SparkSession, store_dir: str, versions: list[int] | None = None
 ) -> DataFrame | None:
-    """Snapshot read: None when the store has no committed version."""
+    """Snapshot read: None when the store has no committed version.
+
+    Each entry directory is read as its OWN relation and the snapshot
+    is their unionByName: entries may be hive-partitioned
+    (``_write_data_file(partition_by=…)``), and Spark refuses one
+    multi-root read over partitioned directories
+    (CONFLICTING_DIRECTORY_STRUCTURES) — per-root reads also keep each
+    entry's partition pruning intact.  Plan size grows with the entry
+    count; compaction collapses it back to one relation."""
     files = snapshot_files(spark, store_dir, versions)
     if not files:
         return None
-    return spark.read.parquet(*files)
+    out = spark.read.parquet(files[0])
+    for f in files[1:]:
+        out = out.unionByName(spark.read.parquet(f))
+    return out
 
 
 def _publish_local_link(spark, tmp_name: str, final_path: str) -> None:
@@ -299,12 +310,19 @@ def commit_version(
 
 
 def _write_data_file(
-    spark: SparkSession, store_dir: str, df: DataFrame
+    spark: SparkSession, store_dir: str, df: DataFrame,
+    partition_by: list[str] | None = None,
 ) -> str:
     """Write ``df`` under a fresh UUID directory name (parquet dir) —
-    invisible until committed."""
+    invisible until committed.  ``partition_by`` hive-partitions the
+    entry's files by the named columns (one file per value), so
+    snapshot readers that filter on them prune whole files — the store
+    contract is unchanged (an entry is still one committed directory)."""
     name = f"data-{uuid.uuid4().hex}.parquet"
-    df.coalesce(1).write.parquet(f"{store_dir.rstrip('/')}/{name}")
+    w = df.coalesce(1).write
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(f"{store_dir.rstrip('/')}/{name}")
     return name
 
 

@@ -260,3 +260,19 @@ def test_append_loses_to_compaction_race(spark, tmp_path):
     assert len(ids) == len(set(ids)) == 60
     # the model row survived the compaction and the retried append
     load_model(spark, index_dir)
+
+
+def test_cell_filter_prunes_partitioned_files(spark, tmp_path):
+    """Index entries are hive-partitioned by cell, so the probed-cell
+    filter must reach the scan as a PARTITION filter (whole-file
+    pruning at planning time) — the 100 TB search-cost story."""
+    index_dir, _ = _build(spark, tmp_path, range(64))
+    filtered = ann_index_codes(spark, index_dir).filter(
+        F.col("cell").isin([0, 1])
+    )
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters")[1][:200], plan[:2000]
+    # and the pruned scan still returns exactly the probed cells
+    cells = {r["cell"] for r in filtered.select("cell").distinct().collect()}
+    assert cells <= {0, 1}
