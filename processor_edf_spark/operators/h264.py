@@ -1,8 +1,9 @@
-"""Pure-python H.264/AVC intra decoder (I_PCM + CAVLC) + fixture encoders.
+"""Pure-python H.264/AVC decoder (I_PCM + CAVLC intra + P-slice inter)
++ fixture encoders.
 
 H.264 is the dominant video codec in real crawl/training corpora, and
 was the one video format the codec seam still routed entirely to the
-optional PyAV extra.  Coverage grew in two steps:
+optional PyAV extra.  Coverage grew in three steps:
 
 - **I_PCM subset** (r10): Annex-B framing, NAL emulation-prevention
   unescaping, Exp-Golomb entropy coding, SPS/PPS/slice-header syntax,
@@ -17,6 +18,17 @@ optional PyAV extra.  Coverage grew in two steps:
   luma-DC Hadamard and chroma-DC 2x2 paths, per-MB QP deltas, and
   same-slice neighbor availability for nC and mode prediction.
 
+- **P-slice inter prediction** (r12): most real video is
+  inter-coded, so this is the step that moves typical crawl streams
+  from `decoded=false` to real samples — quarter-sample luma motion
+  compensation (6-tap half-pel filter + quarter averaging, spec
+  §8.4.2.2.1), eighth-sample bilinear chroma (§8.4.2.2.2), the median
+  motion-vector predictor with the 16x8/8x16 directional cases
+  (§8.4.1.3), P_Skip with its zero-motion conditions (§8.4.1.1),
+  mb_skip_run, P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0) with all four
+  sub-partition types, intra-in-P macroblocks, the inter CBP mapping
+  (Table 9-4), and single-reference sliding-window picture marking.
+
 Validation for the CAVLC layer (tests/test_h264_cavlc.py): every VLC
 table is property-checked prefix-free with the spec's exact Kraft
 deficit; the serialized bits are pinned against the published worked
@@ -25,11 +37,16 @@ encoder's own reconstruction loop (which calls the decoder's
 dequant/IDCT helpers, so the two sides cannot drift) across QPs,
 sizes, and mixed I_PCM/I_NxN/I_16x16 pictures, with reconstruction
 error scaling with the quantisation step as a correct lossy intra
-codec must.  The honest one-exception contract still names the
-optional extra for CABAC, inter prediction (P/B slices), fields,
-8x8 transforms, scaling matrices, >8-bit depth, entropy-coded 4:0:0,
-and in-loop deblocking (a filter-less decode of a filtered stream
-would be quietly wrong).
+codec must.  The inter layer (tests/test_h264_inter.py) adds
+independent scalar-transcription checks of both interpolators,
+handcrafted MV-predictor/P_Skip rule pins, and the same bit-exact
+round-trip discipline over every P macroblock kind and all 16
+quarter-pel fractions.  The honest one-exception contract still
+names the optional extra for CABAC, B/SP/SI slices, multiple or
+reordered reference pictures, adaptive (MMCO) reference marking,
+weighted prediction, fields, 8x8 transforms, scaling matrices,
+>8-bit depth, entropy-coded 4:0:0, and in-loop deblocking (a
+filter-less decode of a filtered stream would be quietly wrong).
 
 Decoder coverage:
 
@@ -343,6 +360,7 @@ class _PPS:
     __slots__ = (
         "bottom_field_poc_present", "deblocking_control_present",
         "pic_init_qp", "chroma_qp_index_offset", "transform_8x8",
+        "num_ref_l0_default",
     )
 
 
@@ -360,7 +378,7 @@ def _parse_pps(r: _BitReader) -> _PPS:
         raise UnsupportedMediaError(
             "h264: slice groups (FMO) need the optional codec library (av)"
         )
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    pps.num_ref_l0_default = r.ue() + 1  # num_ref_idx_l0_default_active
     r.ue()  # num_ref_idx_l1_default_active_minus1
     r.read(1)  # weighted_pred_flag
     r.read(2)  # weighted_bipred_idc
@@ -1159,6 +1177,14 @@ _CBP_INTRA = [
 ]
 _CBP_INTRA_INV = {cbp: i for i, cbp in enumerate(_CBP_INTRA)}
 
+# Table 9-4, inter column (r12: P slices): codeNum -> cbp
+_CBP_INTER = [
+    0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+    14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+    17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41,
+]
+_CBP_INTER_INV = {cbp: i for i, cbp in enumerate(_CBP_INTER)}
+
 
 class _PicCtx:
     """Per-picture CAVLC decode state: planes, per-4x4 TotalCoeff and
@@ -1167,7 +1193,7 @@ class _PicCtx:
 
     __slots__ = (
         "y", "u", "v", "nc_y", "nc_c", "mode4", "mb_slice",
-        "mb_w", "mb_h", "filled", "qp",
+        "mb_w", "mb_h", "filled", "qp", "mv", "ref",
     )
 
     def __init__(self, sps: _SPS):
@@ -1185,6 +1211,11 @@ class _PicCtx:
         ]
         self.mode4 = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int32)
         self.mb_slice = np.full(self.mb_h * self.mb_w, -1, np.int32)
+        # r12 inter state, 4x4-block granularity: L0 motion vectors
+        # (quarter-pel, [...,0]=x, [...,1]=y) and reference indices —
+        # -2 = not yet decoded, -1 = intra, 0 = the single L0 ref
+        self.mv = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
+        self.ref = np.full((self.mb_h * 4, self.mb_w * 4), -2, np.int8)
         self.filled = 0
         self.qp = 0
 
@@ -1262,6 +1293,7 @@ def _decode_intra_mb(
     crow, ccol = my * 2, mx * 2    # chroma 4x4-block coords
     y0, x0 = my * 16, mx * 16
     cy0, cx0 = my * 8, mx * 8
+    ctx.ref[br : br + 4, bc : bc + 4] = -1  # intra: no L0 motion
 
     if mb_type == 0:  # I_NxN
         if pps.transform_8x8 and r.read(1):
@@ -1403,6 +1435,322 @@ def _decode_intra_mb(
             )
 
 
+# ---------------------------------------------------------------------------
+# Inter prediction (r12: P slices) — spec §8.4.  Quarter-sample luma
+# motion compensation with the 6-tap (1,-5,20,20,-5,1) half-pel filter
+# and quarter averaging (§8.4.2.2.1), eighth-sample bilinear chroma
+# (§8.4.2.2.2), the median motion-vector predictor with the 16x8/8x16
+# directional special cases (§8.4.1.3), and the P_Skip motion rule
+# (§8.4.1.1).  Boundary-clamped sample fetch implements unrestricted
+# motion vectors over picture edges.  Both the decoder and the fixture
+# encoder call these SAME helpers, so they cannot drift apart.
+# ---------------------------------------------------------------------------
+
+
+def _interp_luma(plane, y0, x0, bh, bw, mvy, mvx):
+    """(bh, bw) luma prediction block at full-pel base (y0, x0) with a
+    quarter-pel motion vector (spec §8.4.2.2.1, Table 8-12)."""
+    iy, ix = y0 + (mvy >> 2), x0 + (mvx >> 2)
+    fy, fx = mvy & 3, mvx & 3
+    hh, ww = plane.shape
+    rows = np.clip(np.arange(iy - 2, iy + bh + 3), 0, hh - 1)
+    cols = np.clip(np.arange(ix - 2, ix + bw + 3), 0, ww - 1)
+    wnd = plane[np.ix_(rows, cols)].astype(np.int32)  # (bh+5, bw+5)
+    g = wnd[2 : 2 + bh, 2 : 2 + bw]
+    if fx == 0 and fy == 0:
+        return g.astype(np.uint8)
+    # unrounded 6-tap intermediates: horizontal at every row,
+    # vertical at every column (the j position filters these again)
+    bfull = (
+        wnd[:, 0:bw] - 5 * wnd[:, 1 : bw + 1] + 20 * wnd[:, 2 : bw + 2]
+        + 20 * wnd[:, 3 : bw + 3] - 5 * wnd[:, 4 : bw + 4]
+        + wnd[:, 5 : bw + 5]
+    )  # (bh+5, bw)
+    hfull = (
+        wnd[0:bh] - 5 * wnd[1 : bh + 1] + 20 * wnd[2 : bh + 2]
+        + 20 * wnd[3 : bh + 3] - 5 * wnd[4 : bh + 4] + wnd[5 : bh + 5]
+    )  # (bh, bw+5)
+    b = np.clip((bfull[2 : 2 + bh] + 16) >> 5, 0, 255)
+    h = np.clip((hfull[:, 2 : 2 + bw] + 16) >> 5, 0, 255)
+    if fy == 0:  # a, b, c
+        out = b if fx == 2 else (
+            (g + b + 1) >> 1 if fx == 1
+            else (wnd[2 : 2 + bh, 3 : 3 + bw] + b + 1) >> 1
+        )
+    elif fx == 0:  # d, h, n
+        out = h if fy == 2 else (
+            (g + h + 1) >> 1 if fy == 1
+            else (wnd[3 : 3 + bh, 2 : 2 + bw] + h + 1) >> 1
+        )
+    else:
+        j1 = (
+            bfull[0:bh] - 5 * bfull[1 : bh + 1] + 20 * bfull[2 : bh + 2]
+            + 20 * bfull[3 : bh + 3] - 5 * bfull[4 : bh + 4]
+            + bfull[5 : bh + 5]
+        )
+        j = np.clip((j1 + 512) >> 10, 0, 255)
+        if fx == 2 and fy == 2:
+            out = j
+        else:
+            m = np.clip((hfull[:, 3 : 3 + bw] + 16) >> 5, 0, 255)
+            s = np.clip((bfull[3 : 3 + bh] + 16) >> 5, 0, 255)
+            if fy == 1:
+                out = (b + (h if fx == 1 else j if fx == 2 else m) + 1) >> 1
+            elif fy == 2:  # i / k (fx 1 / 3)
+                out = (j + (h if fx == 1 else m) + 1) >> 1
+            else:  # fy == 3: p, q, r
+                out = (s + (h if fx == 1 else j if fx == 2 else m) + 1) >> 1
+    return out.astype(np.uint8)
+
+
+def _interp_chroma(plane, y0, x0, bh, bw, mvy, mvx):
+    """(bh, bw) chroma prediction block; the luma quarter-pel vector is
+    an eighth-pel chroma vector at half resolution (spec §8.4.2.2.2)."""
+    iy, ix = y0 + (mvy >> 3), x0 + (mvx >> 3)
+    fy, fx = mvy & 7, mvx & 7
+    hh, ww = plane.shape
+    rows = np.clip(np.arange(iy, iy + bh + 1), 0, hh - 1)
+    cols = np.clip(np.arange(ix, ix + bw + 1), 0, ww - 1)
+    wnd = plane[np.ix_(rows, cols)].astype(np.int32)
+    out = (
+        (8 - fx) * (8 - fy) * wnd[:bh, :bw]
+        + fx * (8 - fy) * wnd[:bh, 1 : bw + 1]
+        + (8 - fx) * fy * wnd[1 : bh + 1, :bw]
+        + fx * fy * wnd[1 : bh + 1, 1 : bw + 1]
+        + 32
+    ) >> 6
+    return out.astype(np.uint8)
+
+
+def _mv_nbr(ctx: _PicCtx, r: int, c: int, mb_idx: int):
+    """Neighboring 4x4 block for MV prediction -> (addr_available,
+    refIdx, mvx, mvy).  Intra neighbors are address-available but
+    carry refIdx -1 / zero MV (spec §8.4.1.3.2)."""
+    if r < 0 or c < 0 or r >= ctx.ref.shape[0] or c >= ctx.ref.shape[1]:
+        return False, -1, 0, 0
+    rv = int(ctx.ref[r, c])
+    if rv <= -2:  # not yet decoded (raster order / same MB)
+        return False, -1, 0, 0
+    other_mb = (r // 4) * ctx.mb_w + (c // 4)
+    if not ctx._same_slice(mb_idx, other_mb):
+        return False, -1, 0, 0
+    if rv < 0:  # intra-coded
+        return True, -1, 0, 0
+    return True, rv, int(ctx.mv[r, c, 0]), int(ctx.mv[r, c, 1])
+
+
+def _mvp(ctx: _PicCtx, mb_idx: int, r: int, c: int, w4: int, h4: int,
+         special: str | None = None):
+    """Median motion-vector predictor for the partition whose top-left
+    4x4 block is (r, c), spanning h4 x w4 blocks (spec §8.4.1.3).
+    ``special`` names the directional 16x8/8x16 cases: 'T16x8' /
+    'B16x8' use B / A when that neighbor references the current
+    picture; 'L8x16' / 'R8x16' use A / C."""
+    av_a, ref_a, ax, ay = _mv_nbr(ctx, r, c - 1, mb_idx)
+    av_b, ref_b, bx, by = _mv_nbr(ctx, r - 1, c, mb_idx)
+    av_c, ref_c, cx, cy = _mv_nbr(ctx, r - 1, c + w4, mb_idx)
+    if not av_c:  # C unavailable -> D (top-left), §8.4.1.3.2
+        av_c, ref_c, cx, cy = _mv_nbr(ctx, r - 1, c - 1, mb_idx)
+    if special == "T16x8" and ref_b == 0:
+        return bx, by
+    if special == "B16x8" and ref_a == 0:
+        return ax, ay
+    if special == "L8x16" and ref_a == 0:
+        return ax, ay
+    if special == "R8x16" and ref_c == 0:
+        return cx, cy
+    if not av_b and not av_c and av_a:
+        return ax, ay
+    matches = [m for m in ((ref_a, ax, ay), (ref_b, bx, by),
+                           (ref_c, cx, cy)) if m[0] == 0]
+    if len(matches) == 1:
+        return matches[0][1], matches[0][2]
+    xs, ys = (ax, bx, cx), (ay, by, cy)
+    return (
+        sum(xs) - min(xs) - max(xs),
+        sum(ys) - min(ys) - max(ys),
+    )
+
+
+def _skip_mv(ctx: _PicCtx, mb_idx: int):
+    """P_Skip motion vector (spec §8.4.1.1): zero when either MB
+    neighbor is unavailable or is a zero-motion ref-0 block, else the
+    16x16 median predictor."""
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    r, c = my * 4, mx * 4
+    av_a, ref_a, ax, ay = _mv_nbr(ctx, r, c - 1, mb_idx)
+    av_b, ref_b, bx, by = _mv_nbr(ctx, r - 1, c, mb_idx)
+    if not av_a or not av_b:
+        return 0, 0
+    if ref_a == 0 and ax == 0 and ay == 0:
+        return 0, 0
+    if ref_b == 0 and bx == 0 and by == 0:
+        return 0, 0
+    return _mvp(ctx, mb_idx, r, c, 4, 4)
+
+
+# P macroblock partition geometry, mb_type -> [(r_off, c_off, h4, w4,
+# special)] in 4x4-block units (spec table 7-13)
+_P_PARTS = {
+    0: [(0, 0, 4, 4, None)],
+    1: [(0, 0, 2, 4, "T16x8"), (2, 0, 2, 4, "B16x8")],
+    2: [(0, 0, 4, 2, "L8x16"), (0, 2, 4, 2, "R8x16")],
+}
+# sub_mb_type for P_8x8 -> [(r_off, c_off, h4, w4)] within the 8x8
+_P_SUB_PARTS = {
+    0: [(0, 0, 2, 2)],
+    1: [(0, 0, 1, 2), (1, 0, 1, 2)],
+    2: [(0, 0, 2, 1), (0, 1, 2, 1)],
+    3: [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)],
+}
+
+
+def _mc_partition(ctx: _PicCtx, refp, mb_idx: int, r_off: int,
+                  c_off: int, h4: int, w4: int, mvx: int,
+                  mvy: int) -> None:
+    """Motion-compensate one partition into the picture planes and
+    record its MV field."""
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    r, c = my * 4 + r_off, mx * 4 + c_off
+    ctx.mv[r : r + h4, c : c + w4, 0] = mvx
+    ctx.mv[r : r + h4, c : c + w4, 1] = mvy
+    ctx.ref[r : r + h4, c : c + w4] = 0
+    py, px = r * 4, c * 4
+    ctx.y[py : py + h4 * 4, px : px + w4 * 4] = _interp_luma(
+        refp[0], py, px, h4 * 4, w4 * 4, mvy, mvx
+    )
+    if ctx.u is not None:
+        cy, cx = py // 2, px // 2
+        ctx.u[cy : cy + h4 * 2, cx : cx + w4 * 2] = _interp_chroma(
+            refp[1], cy, cx, h4 * 2, w4 * 2, mvy, mvx
+        )
+        ctx.v[cy : cy + h4 * 2, cx : cx + w4 * 2] = _interp_chroma(
+            refp[2], cy, cx, h4 * 2, w4 * 2, mvy, mvx
+        )
+
+
+def _decode_pskip(ctx: _PicCtx, mb_idx: int, refp) -> None:
+    """P_Skip: motion-compensated copy, zero residual (spec §8.4.1.1);
+    4:2:0 only (callers guard monochrome)."""
+    mvx, mvy = _skip_mv(ctx, mb_idx)
+    _mc_partition(ctx, refp, mb_idx, 0, 0, 4, 4, mvx, mvy)
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    ctx.nc_y[br : br + 4, bc : bc + 4] = 0
+    ctx.nc_c[0][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    ctx.nc_c[1][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    ctx.mode4[br : br + 4, bc : bc + 4] = 2
+
+
+def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
+                     mb_idx: int, mb_type: int, refp) -> None:
+    """One CAVLC P macroblock: P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0)
+    — parse MVDs, derive MVs (median predictor), motion-compensate,
+    then the inter residual (CBP inter mapping, no intra modes)."""
+    if ctx.u is None:
+        raise UnsupportedMediaError(
+            "h264: entropy-coded 4:0:0 macroblocks need the optional "
+            "codec library (av) — monochrome decodes I_PCM only"
+        )
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    crow, ccol = my * 2, mx * 2
+
+    if mb_type in (0, 1, 2):
+        parts = _P_PARTS[mb_type]
+        mvds = [(r.se(), r.se()) for _ in parts]  # x then y (§7.4.5.1)
+        for (r_off, c_off, h4, w4, special), (dx, dy) in zip(parts, mvds):
+            px_, py_ = _mvp(
+                ctx, mb_idx, br + r_off, bc + c_off, w4, h4, special
+            )
+            _mc_partition(
+                ctx, refp, mb_idx, r_off, c_off, h4, w4,
+                px_ + dx, py_ + dy,
+            )
+    else:  # 3 / 4: P_8x8 / P_8x8ref0
+        subs = [r.ue() for _ in range(4)]
+        if any(s > 3 for s in subs):
+            raise UnsupportedMediaError("h264: invalid sub_mb_type")
+        # all sub_mb_types parse before any mvd (spec §7.3.5.2); with
+        # one L0 reference there are no ref_idx fields
+        for i8 in range(4):
+            base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+            for r_off, c_off, h4, w4 in _P_SUB_PARTS[subs[i8]]:
+                dx, dy = r.se(), r.se()
+                px_, py_ = _mvp(
+                    ctx, mb_idx, br + base_r + r_off,
+                    bc + base_c + c_off, w4, h4,
+                )
+                _mc_partition(
+                    ctx, refp, mb_idx, base_r + r_off, base_c + c_off,
+                    h4, w4, px_ + dx, py_ + dy,
+                )
+
+    # ---- inter residual (spec §7.3.5.3 with the Table 9-4 inter
+    # CBP mapping; luma has no DC/AC split outside I_16x16)
+    cbp_code = r.ue()
+    if cbp_code >= 48:
+        raise UnsupportedMediaError("h264: invalid coded_block_pattern")
+    cbp = _CBP_INTER[cbp_code]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp:
+        ctx.qp = (ctx.qp + r.se() + 52) % 52
+    qpc = _chroma_qp(ctx.qp, pps.chroma_qp_index_offset)
+    for blk in range(16):
+        dy, dx = _BLK4_ORDER[blk]
+        rb, cb_ = br + dy, bc + dx
+        py, px = rb * 4, cb_ * 4
+        if cbp_luma & (1 << (blk // 4)):
+            nc = ctx.luma_nc(rb, cb_, mb_idx)
+            coeffs = _decode_residual(r, nc, 16)
+            ctx.nc_y[rb, cb_] = 16 - coeffs.count(0)
+            res = _itransform4x4(_dequant4x4(coeffs, ctx.qp, False))
+            pred = ctx.y[py : py + 4, px : px + 4].astype(np.int64)
+            ctx.y[py : py + 4, px : px + 4] = _clip_u8(pred + res)
+        else:
+            ctx.nc_y[rb, cb_] = 0
+    dc_lists = [[0] * 4, [0] * 4]
+    if cbp_chroma:
+        for comp in range(2):
+            dc_lists[comp] = _decode_residual(r, -1, 4)
+    ac_lists = [[None] * 4, [None] * 4]
+    if cbp_chroma & 2:
+        for comp in range(2):
+            for blk in range(4):
+                cdy, cdx = divmod(blk, 2)
+                nc = ctx.chroma_nc(comp, crow + cdy, ccol + cdx, mb_idx)
+                ac_lists[comp][blk] = _decode_residual(r, nc, 15)
+                ctx.nc_c[comp][crow + cdy, ccol + cdx] = 15 - ac_lists[
+                    comp
+                ][blk].count(0)
+    else:
+        for comp in range(2):
+            ctx.nc_c[comp][crow : crow + 2, ccol : ccol + 2] = 0
+    if cbp_chroma:
+        cy0, cx0 = my * 8, mx * 8
+        for comp, plane in ((0, ctx.u), (1, ctx.v)):
+            cmat = np.array(
+                [[dc_lists[comp][0], dc_lists[comp][1]],
+                 [dc_lists[comp][2], dc_lists[comp][3]]],
+                np.int64,
+            )
+            dcc = _scale_chroma_dc(_hadamard2x2(cmat), qpc)
+            for blk in range(4):
+                cdy, cdx = divmod(blk, 2)
+                ac = ac_lists[comp][blk]
+                d = (
+                    _dequant4x4(ac, qpc, True)
+                    if ac is not None
+                    else np.zeros((4, 4), np.int64)
+                )
+                d[0, 0] = dcc[cdy, cdx]
+                res = _itransform4x4(d)
+                py, px = cy0 + cdy * 4, cx0 + cdx * 4
+                pred = plane[py : py + 4, px : px + 4].astype(np.int64)
+                plane[py : py + 4, px : px + 4] = _clip_u8(pred + res)
+    ctx.mode4[br : br + 4, bc : bc + 4] = 2
+
+
 def decode_h264_ipcm(payload: bytes):
     """Annex-B H.264 → (width, height, [(Y, U, V)]) for all-I_PCM
     streams; raises UnsupportedMediaError naming the optional extra on
@@ -1413,9 +1761,11 @@ def decode_h264_ipcm(payload: bytes):
     cur: _PicCtx | None = None  # the picture being assembled
     n_mbs = 0
     slice_serial = 0
+    last_ref: tuple | None = None  # padded planes of the newest ref pic
+    cur_ref_idc = 0
 
     def flush():
-        nonlocal cur
+        nonlocal cur, last_ref
         if cur is not None:
             if cur.filled != n_mbs:
                 raise UnsupportedMediaError(
@@ -1424,6 +1774,8 @@ def decode_h264_ipcm(payload: bytes):
             if len(frames) >= MAX_FRAMES:
                 raise UnsupportedMediaError("h264: frame-count guard")
             frames.append((cur.y, cur.u, cur.v))
+            if cur_ref_idc:  # sliding-window marking, 1 short-term ref
+                last_ref = (cur.y, cur.u, cur.v)
             cur = None
 
     for nal in _split_annexb(payload):
@@ -1444,10 +1796,16 @@ def decode_h264_ipcm(payload: bytes):
             r = _BitReader(_unescape_rbsp(nal[1:]))
             first_mb = r.ue()
             slice_type = r.ue()
-            if slice_type % 5 != 2:  # 2/7 = I (spec table 7-6)
+            st = slice_type % 5
+            if st not in (0, 2):  # 0/5 = P, 2/7 = I (spec table 7-6)
                 raise UnsupportedMediaError(
-                    "h264: P/B/SP/SI slices need the optional codec "
+                    "h264: B/SP/SI slices need the optional codec "
                     "library (av)"
+                )
+            is_p = st == 0
+            if is_p and nal_type == 5:
+                raise UnsupportedMediaError(
+                    "h264: IDR pictures cannot contain P slices"
                 )
             r.ue()  # pic_parameter_set_id
             r.read(sps.log2_max_frame_num)  # frame_num
@@ -1461,6 +1819,20 @@ def decode_h264_ipcm(payload: bytes):
                 r.se()
                 if pps.bottom_field_poc_present:
                     r.se()
+            if is_p:
+                num_ref = pps.num_ref_l0_default
+                if r.read(1):  # num_ref_idx_active_override_flag
+                    num_ref = r.ue() + 1
+                if num_ref != 1:
+                    raise UnsupportedMediaError(
+                        "h264: multiple L0 reference pictures need the "
+                        "optional codec library (av)"
+                    )
+                if r.read(1):  # ref_pic_list_modification_flag_l0
+                    raise UnsupportedMediaError(
+                        "h264: reference-list modification needs the "
+                        "optional codec library (av)"
+                    )
             if nal_type == 5:
                 r.read(2)  # no_output_of_prior_pics + long_term_reference
             elif (hdr >> 5) & 0x3:  # nal_ref_idc > 0
@@ -1485,9 +1857,14 @@ def decode_h264_ipcm(payload: bytes):
             if first_mb == 0:
                 flush()
                 cur = _PicCtx(sps)
+                cur_ref_idc = (hdr >> 5) & 0x3
             if cur is None or first_mb != cur.filled:
                 raise UnsupportedMediaError(
                     "h264: slices out of macroblock order"
+                )
+            if is_p and last_ref is None:
+                raise UnsupportedMediaError(
+                    "h264: P slice with no decoded reference picture"
                 )
             slice_serial += 1
             cur.qp = pps.pic_init_qp + slice_qp_delta
@@ -1499,6 +1876,25 @@ def decode_h264_ipcm(payload: bytes):
             # ends a slice that covers only part of the picture.
             stop = _rbsp_stop_bit(r.data)
             while r.pos < stop:
+                if is_p:
+                    run = r.ue()  # mb_skip_run (spec §7.3.4)
+                    if mb + run > n_mbs:
+                        raise UnsupportedMediaError(
+                            "h264: mb_skip_run past the picture end"
+                        )
+                    if run and cur.u is None:
+                        raise UnsupportedMediaError(
+                            "h264: entropy-coded 4:0:0 macroblocks need "
+                            "the optional codec library (av) — "
+                            "monochrome decodes I_PCM only"
+                        )
+                    for _ in range(run):
+                        cur.mb_slice[mb] = slice_serial
+                        _decode_pskip(cur, mb, last_ref)
+                        mb += 1
+                    cur.filled = mb
+                    if r.pos >= stop:
+                        break
                 if mb >= n_mbs:
                     raise UnsupportedMediaError(
                         "h264: more macroblocks than the picture holds"
@@ -1506,9 +1902,18 @@ def decode_h264_ipcm(payload: bytes):
                 cur.mb_slice[mb] = slice_serial
                 my, mx = divmod(mb, sps.mb_width)
                 mb_type = r.ue()
+                if is_p:
+                    if mb_type <= 4:  # P_L0_16x16/16x8/8x16/P_8x8(ref0)
+                        _decode_inter_mb(
+                            r, cur, pps, mb, mb_type, last_ref
+                        )
+                        mb += 1
+                        cur.filled = mb
+                        continue
+                    mb_type -= 5  # intra-in-P (spec table 7-13)
                 if mb_type > _IPCM_MB_TYPE:
                     raise UnsupportedMediaError(
-                        "h264: invalid I-slice macroblock type"
+                        "h264: invalid macroblock type"
                     )
                 if mb_type == _IPCM_MB_TYPE:
                     r.align()  # pcm_alignment_zero_bit
@@ -1530,6 +1935,7 @@ def decode_h264_ipcm(payload: bytes):
                     cur.nc_y[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = 16
                     cur.mode4[my * 4 : my * 4 + 4,
                               mx * 4 : mx * 4 + 4] = 2
+                    cur.ref[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = -1
                 else:
                     _decode_intra_mb(r, cur, pps, mb, mb_type)
                 mb += 1
@@ -1865,16 +2271,20 @@ def encode_h264_cavlc_recon(
     return bytes(out), recons
 
 
-def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad):
+def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
+                   mb_type_offset=0):
+    """One intra macroblock; ``mb_type_offset`` = 5 when emitting into
+    a P slice (spec table 7-13 intra-in-P numbering)."""
     my, mx = divmod(mb, ctx.mb_w)
     br, bc = my * 4, mx * 4
     crow, ccol = my * 2, mx * 2
     y0, x0 = my * 16, mx * 16
     cy0, cx0 = my * 8, mx * 8
+    ctx.ref[br : br + 4, bc : bc + 4] = -1
     kind = (mb * 5 + f_idx) % 7  # deterministic MB-type mix
 
     if kind == 6:  # occasional I_PCM (exercises the nN=16 nC neighbors)
-        w.ue(_IPCM_MB_TYPE)
+        w.ue(_IPCM_MB_TYPE + mb_type_offset)
         w.align_zero()
         w.write_bytes(y_pad[y0 : y0 + 16, x0 : x0 + 16].tobytes())
         w.write_bytes(u_pad[cy0 : cy0 + 8, cx0 : cx0 + 8].tobytes())
@@ -1978,7 +2388,7 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad):
         # decoder's zero-residual path for uncoded quadrants)
         cbp = cbp_luma | (cbp_chroma << 4)
         # ---- emit
-        w.ue(0)  # mb_type I_NxN
+        w.ue(mb_type_offset)  # mb_type I_NxN
         for blk in range(16):
             dy, dx = _BLK4_ORDER[blk]
             rb, cb_ = br + dy, bc + dx
@@ -2053,7 +2463,7 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad):
             )
             ctx.nc_y[rb, cb_] = 0  # provisional
         # ---- emit
-        w.ue(mb_type)
+        w.ue(mb_type + mb_type_offset)
         w.ue(chroma_mode)
         w.se(0)  # mb_qp_delta (always present for I_16x16)
         tc_dc = _encode_residual(w, ctx.luma_nc(br, bc, mb), dcq)
@@ -2102,3 +2512,417 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad):
                 cpreds[comp][cdy * 4 : cdy * 4 + 4, cdx * 4 : cdx * 4 + 4]
                 + res
             )
+
+
+# ---------------------------------------------------------------------------
+# Inter (P slice) encoder (r12) — fixtures + the driver row's
+# round-trip oracle.  Every prediction comes from the DECODER's own
+# interpolation and MV-predictor helpers and every reconstruction from
+# its dequant/IDCT helpers, so decode(encode(x)) equals the encoder's
+# reconstruction bit-for-bit by construction; the tests pin exactly
+# that, plus quantisation-bounded recon error and full quarter-pel
+# fractional-position coverage.
+# ---------------------------------------------------------------------------
+
+
+def _enc_mv(mb: int, f_idx: int, p: int) -> tuple[int, int]:
+    """Deterministic quarter-pel test vector for partition p — the
+    moduli are coprime to 4 so all 16 (fx, fy) fractions occur."""
+    mvx = ((mb * 5 + f_idx * 7 + p * 3) % 25) - 12
+    mvy = ((mb * 7 + f_idx * 11 + p * 5) % 21) - 10
+    return mvx, mvy
+
+
+def _mc_pred_mb(ctx, refp, mb, parts):
+    """Motion-compensate the whole MB into fresh pred planes, filling
+    ctx.mv / ctx.ref per partition in decode order; parts entries are
+    (r_off, c_off, h4, w4, special, mvx, mvy)."""
+    my, mx = divmod(mb, ctx.mb_w)
+    pred_y = np.empty((16, 16), np.uint8)
+    pred_u = np.empty((8, 8), np.uint8)
+    pred_v = np.empty((8, 8), np.uint8)
+    for r_off, c_off, h4, w4, _special, mvx, mvy in parts:
+        r, c = my * 4 + r_off, mx * 4 + c_off
+        ctx.mv[r : r + h4, c : c + w4, 0] = mvx
+        ctx.mv[r : r + h4, c : c + w4, 1] = mvy
+        ctx.ref[r : r + h4, c : c + w4] = 0
+        py, px = r * 4, c * 4
+        ly, lx = r_off * 4, c_off * 4
+        pred_y[ly : ly + h4 * 4, lx : lx + w4 * 4] = _interp_luma(
+            refp[0], py, px, h4 * 4, w4 * 4, mvy, mvx
+        )
+        cy, cx = py // 2, px // 2
+        pred_u[ly // 2 : ly // 2 + h4 * 2,
+               lx // 2 : lx // 2 + w4 * 2] = _interp_chroma(
+            refp[1], cy, cx, h4 * 2, w4 * 2, mvy, mvx
+        )
+        pred_v[ly // 2 : ly // 2 + h4 * 2,
+               lx // 2 : lx // 2 + w4 * 2] = _interp_chroma(
+            refp[2], cy, cx, h4 * 2, w4 * 2, mvy, mvx
+        )
+    return pred_y, pred_u, pred_v
+
+
+def _quant_inter_mb(ctx, mb, qp, qpc, pred_y, pred_u, pred_v,
+                    y_pad, u_pad, v_pad):
+    """Transform + quantise the inter residual -> (cbp, luma levels,
+    chroma DC levels, chroma AC levels)."""
+    my, mx = divmod(mb, ctx.mb_w)
+    y0, x0 = my * 16, mx * 16
+    cy0, cx0 = my * 8, mx * 8
+    resid_y = (
+        y_pad[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred_y
+    )
+    lcoeffs = []
+    for blk in range(16):
+        dy, dx = _BLK4_ORDER[blk]
+        w4m = _ftransform4x4(
+            resid_y[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4]
+        )
+        lcoeffs.append(_quant_block(w4m, qp, skip_dc=False))
+    cbp_luma = 0
+    for q in range(4):
+        if any(c != 0 for blk in range(q * 4, q * 4 + 4)
+               for c in lcoeffs[blk]):
+            cbp_luma |= 1 << q
+    cdcq, cacq = [], []
+    any_cdc = any_cac = False
+    for src, pred in ((u_pad, pred_u), (v_pad, pred_v)):
+        resid = (
+            src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - pred
+        )
+        wmats, dcs = [], np.zeros((2, 2), np.int64)
+        for blk in range(4):
+            cdy, cdx = divmod(blk, 2)
+            w4m = _ftransform4x4(
+                resid[cdy * 4 : cdy * 4 + 4, cdx * 4 : cdx * 4 + 4]
+            )
+            dcs[cdy, cdx] = w4m[0, 0]
+            wmats.append(w4m)
+        hdc = _hadamard2x2(dcs)
+        dq = [
+            _quant_coeff(int(hdc[i, j]), qpc, 0, dc=True)
+            for i, j in ((0, 0), (0, 1), (1, 0), (1, 1))
+        ]
+        aq = [_quant_block(w4m, qpc, skip_dc=True) for w4m in wmats]
+        any_cdc |= any(c != 0 for c in dq)
+        any_cac |= any(c != 0 for blkq in aq for c in blkq)
+        cdcq.append(dq)
+        cacq.append(aq)
+    cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+    return cbp_luma | (cbp_chroma << 4), lcoeffs, cdcq, cacq
+
+
+def _recon_inter_mb(ctx, mb, qp, qpc, cbp, lcoeffs, cdcq, cacq,
+                    pred_y, pred_u, pred_v):
+    """Reconstruct exactly as the decoder will (its dequant/IDCT)."""
+    my, mx = divmod(mb, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    crow, ccol = my * 2, mx * 2
+    y0, x0 = my * 16, mx * 16
+    cy0, cx0 = my * 8, mx * 8
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    for blk in range(16):
+        dy, dx = _BLK4_ORDER[blk]
+        pred = pred_y[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4]
+        if cbp_luma & (1 << (blk // 4)):
+            res = _itransform4x4(_dequant4x4(lcoeffs[blk], qp, False))
+            out = _clip_u8(pred.astype(np.int64) + res)
+        else:
+            out = pred
+        ctx.y[y0 + dy * 4 : y0 + dy * 4 + 4,
+              x0 + dx * 4 : x0 + dx * 4 + 4] = out
+    for comp, (plane, predc) in enumerate(
+        ((ctx.u, pred_u), (ctx.v, pred_v))
+    ):
+        if cbp_chroma:
+            cmat = np.array(
+                [[cdcq[comp][0], cdcq[comp][1]],
+                 [cdcq[comp][2], cdcq[comp][3]]],
+                np.int64,
+            )
+            dcc = _scale_chroma_dc(_hadamard2x2(cmat), qpc)
+        for blk in range(4):
+            cdy, cdx = divmod(blk, 2)
+            pred = predc[cdy * 4 : cdy * 4 + 4, cdx * 4 : cdx * 4 + 4]
+            if cbp_chroma:
+                d = (
+                    _dequant4x4(cacq[comp][blk], qpc, True)
+                    if cbp_chroma == 2
+                    else np.zeros((4, 4), np.int64)
+                )
+                d[0, 0] = dcc[cdy, cdx]
+                res = _itransform4x4(d)
+                out = _clip_u8(pred.astype(np.int64) + res)
+            else:
+                out = pred
+            plane[cy0 + cdy * 4 : cy0 + cdy * 4 + 4,
+                  cx0 + cdx * 4 : cx0 + cdx * 4 + 4] = out
+    ctx.mode4[br : br + 4, bc : bc + 4] = 2
+    if not (cbp_chroma & 2):
+        for comp in range(2):
+            ctx.nc_c[comp][crow : crow + 2, ccol : ccol + 2] = 0
+    if not (cbp & 15):
+        ctx.nc_y[br : br + 4, bc : bc + 4] = 0
+
+
+def _emit_inter_residual(w, ctx, mb, qp_unused, cbp, lcoeffs, cdcq,
+                         cacq):
+    """CAVLC-emit the inter residual with nC bookkeeping."""
+    my, mx = divmod(mb, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    crow, ccol = my * 2, mx * 2
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    w.ue(_CBP_INTER_INV[cbp])
+    if cbp:
+        w.se(0)  # mb_qp_delta
+    for blk in range(16):
+        dy, dx = _BLK4_ORDER[blk]
+        rb, cb_ = br + dy, bc + dx
+        if cbp_luma & (1 << (blk // 4)):
+            nc = ctx.luma_nc(rb, cb_, mb)
+            ctx.nc_y[rb, cb_] = _encode_residual(w, nc, lcoeffs[blk])
+        else:
+            ctx.nc_y[rb, cb_] = 0
+    if cbp_chroma:
+        for comp in range(2):
+            _encode_residual(w, -1, cdcq[comp])
+    if cbp_chroma & 2:
+        for comp in range(2):
+            for blk in range(4):
+                cdy, cdx = divmod(blk, 2)
+                rr, cc = crow + cdy, ccol + cdx
+                nc = ctx.chroma_nc(comp, rr, cc, mb)
+                ctx.nc_c[comp][rr, cc] = _encode_residual(
+                    w, nc, cacq[comp][blk]
+                )
+
+
+def encode_h264_inter_recon(frames, width: int, height: int,
+                            qp: int = 28):
+    """Annex-B encoder with REAL inter coding: frame 0 is an IDR intra
+    picture (the r11 CAVLC mix), every later frame a P picture over a
+    deterministic macroblock mix — P_Skip where the quantised residual
+    vanishes, P_L0_16x16 / 16x8 / 8x16 / P_8x8 (all four sub-types)
+    with quarter-pel test vectors covering all 16 fractional
+    positions, and intra-in-P macroblocks.  -> (annexb_bytes,
+    [(Y, U, V) reconstructed planes, cropped], stats dict with MB-kind
+    counts and the set of luma fractions used)."""
+    if width % 2 or height % 2:
+        raise UnsupportedMediaError("h264 encoder: dimensions must be even")
+    if not 8 <= qp <= 44:
+        raise UnsupportedMediaError("h264 encoder: qp out of supported range")
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    crop_right = mb_w * 16 - width
+    crop_bottom = mb_h * 16 - height
+
+    w = _BitWriter()
+    w.write(66, 8)  # profile_idc: baseline
+    w.write(0xC0, 8)
+    w.write(30, 8)
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type
+    w.ue(1)  # max_num_ref_frames: the single L0 reference
+    w.write(0, 1)
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.write(1, 1)  # frame_mbs_only_flag
+    w.write(1, 1)
+    if crop_right or crop_bottom:
+        w.write(1, 1)
+        w.ue(0)
+        w.ue(crop_right // 2)
+        w.ue(0)
+        w.ue(crop_bottom // 2)
+    else:
+        w.write(0, 1)
+    w.write(0, 1)
+    w.trailing_bits()
+    out = bytearray(_nal(3, 7, w.getvalue()))
+
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.write(0, 1)  # CAVLC
+    w.write(0, 1)
+    w.ue(0)
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1 = 0
+    w.ue(0)
+    w.write(0, 1)
+    w.write(0, 2)
+    w.se(qp - 26)
+    w.se(0)
+    w.se(0)  # chroma_qp_index_offset = 0
+    w.write(1, 1)  # deblocking_filter_control_present_flag
+    w.write(0, 1)
+    w.write(0, 1)
+    w.trailing_bits()
+    out += _nal(3, 8, w.getvalue())
+
+    sps = _SPS()
+    sps.mb_width, sps.mb_height = mb_w, mb_h
+    sps.monochrome = False
+    qpc = _chroma_qp(qp, 0)
+    n_mbs = mb_w * mb_h
+    recons = []
+    stats = {
+        "P_Skip": 0, "P_16x16": 0, "P_16x8": 0, "P_8x16": 0,
+        "P_8x8": 0, "intra_in_p": 0, "fracs": set(),
+    }
+    refp = None  # padded recon planes of the previous picture
+    for f_idx, (y, u, v) in enumerate(frames):
+        y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+        y_pad[:height, :width] = np.asarray(y, np.uint8)
+        u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        v_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        u_pad[: height // 2, : width // 2] = np.asarray(u, np.uint8)
+        v_pad[: height // 2, : width // 2] = np.asarray(v, np.uint8)
+
+        ctx = _PicCtx(sps)
+        ctx.mb_slice[:] = 1
+        ctx.qp = qp
+        w = _BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        if f_idx == 0:
+            w.ue(7)  # slice_type: I
+            w.ue(0)  # pic_parameter_set_id
+            w.write(0, 4)  # frame_num
+            w.ue(0)  # idr_pic_id
+            w.write(0, 2)
+            w.se(0)  # slice_qp_delta
+            w.ue(1)  # disable_deblocking_filter_idc
+            for mb in range(n_mbs):
+                _encode_one_mb(
+                    w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad
+                )
+            w.trailing_bits()
+            out += _nal(3, 5, w.getvalue())
+        else:
+            w.ue(5)  # slice_type: P (all slices in picture)
+            w.ue(0)  # pic_parameter_set_id
+            w.write(f_idx % 16, 4)  # frame_num
+            w.write(0, 1)  # num_ref_idx_active_override_flag
+            w.write(0, 1)  # ref_pic_list_modification_flag_l0
+            w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
+            w.se(0)  # slice_qp_delta
+            w.ue(1)  # disable_deblocking_filter_idc
+            pending = 0
+            for mb in range(n_mbs):
+                my, mx = divmod(mb, mb_w)
+                br, bc = my * 4, mx * 4
+                kind = (mb * 5 + f_idx * 3) % 8
+                if kind == 7:  # intra-in-P
+                    w.ue(pending)
+                    pending = 0
+                    _encode_one_mb(
+                        w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad,
+                        v_pad, mb_type_offset=5,
+                    )
+                    stats["intra_in_p"] += 1
+                    continue
+                if kind == 0:
+                    # skip attempt: the skip MV, residual must vanish
+                    skx, sky = _skip_mv(ctx, mb)
+                    parts = [(0, 0, 4, 4, None, skx, sky)]
+                    preds = _mc_pred_mb(ctx, refp, mb, parts)
+                    cbp, lq, cdq, caq = _quant_inter_mb(
+                        ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+                    )
+                    if cbp == 0:
+                        pending += 1
+                        stats["P_Skip"] += 1
+                        _recon_inter_mb(
+                            ctx, mb, qp, qpc, 0, lq, cdq, caq, *preds
+                        )
+                        continue
+                    # fall through: emit as P_L0_16x16 with that MV
+                    w.ue(pending)
+                    pending = 0
+                    w.ue(0)  # mb_type P_L0_16x16
+                    mpx, mpy = _mvp(ctx, mb, br, bc, 4, 4)
+                    w.se(skx - mpx)
+                    w.se(sky - mpy)
+                    stats["P_16x16"] += 1
+                    stats["fracs"].add((skx & 3, sky & 3))
+                    _emit_inter_residual(
+                        w, ctx, mb, qp, cbp, lq, cdq, caq
+                    )
+                    _recon_inter_mb(
+                        ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds
+                    )
+                    continue
+                w.ue(pending)
+                pending = 0
+                if kind in (1, 2, 3):  # P_L0_16x16
+                    mvx, mvy = _enc_mv(mb, f_idx, 0)
+                    geom = [(0, 0, 4, 4, None)]
+                    mvs = [(mvx, mvy)]
+                    mb_type = 0
+                    stats["P_16x16"] += 1
+                elif kind == 4:  # P_L0_L0_16x8
+                    geom = _P_PARTS[1]
+                    mvs = [_enc_mv(mb, f_idx, p) for p in range(2)]
+                    mb_type = 1
+                    stats["P_16x8"] += 1
+                elif kind == 5:  # P_L0_L0_8x16
+                    geom = _P_PARTS[2]
+                    mvs = [_enc_mv(mb, f_idx, p) for p in range(2)]
+                    mb_type = 2
+                    stats["P_8x16"] += 1
+                else:  # kind == 6: P_8x8
+                    subs = [(mb + i8 + f_idx) % 4 for i8 in range(4)]
+                    geom = []
+                    for i8 in range(4):
+                        base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+                        for r_off, c_off, h4, w4 in _P_SUB_PARTS[subs[i8]]:
+                            geom.append(
+                                (base_r + r_off, base_c + c_off,
+                                 h4, w4, None)
+                            )
+                    mvs = [_enc_mv(mb, f_idx, p) for p in range(len(geom))]
+                    mb_type = 3
+                    stats["P_8x8"] += 1
+                w.ue(mb_type)
+                if mb_type == 3:
+                    for s in subs:
+                        w.ue(s)
+                # MV derivation + mvd emission in partition decode
+                # order (predictors see earlier partitions' MVs)
+                parts = []
+                for (r_off, c_off, h4, w4, special), (mvx, mvy) in zip(
+                    geom, mvs
+                ):
+                    mpx, mpy = _mvp(
+                        ctx, mb, br + r_off, bc + c_off, w4, h4, special
+                    )
+                    w.se(mvx - mpx)
+                    w.se(mvy - mpy)
+                    stats["fracs"].add((mvx & 3, mvy & 3))
+                    r, c = br + r_off, bc + c_off
+                    ctx.mv[r : r + h4, c : c + w4, 0] = mvx
+                    ctx.mv[r : r + h4, c : c + w4, 1] = mvy
+                    ctx.ref[r : r + h4, c : c + w4] = 0
+                    parts.append((r_off, c_off, h4, w4, special, mvx, mvy))
+                preds = _mc_pred_mb(ctx, refp, mb, parts)
+                cbp, lq, cdq, caq = _quant_inter_mb(
+                    ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+                )
+                _emit_inter_residual(w, ctx, mb, qp, cbp, lq, cdq, caq)
+                _recon_inter_mb(
+                    ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds
+                )
+            if pending:
+                w.ue(pending)
+            w.trailing_bits()
+            out += _nal(2, 1, w.getvalue())
+        refp = (ctx.y, ctx.u, ctx.v)
+        recons.append(
+            (
+                ctx.y[:height, :width].copy(),
+                ctx.u[: height // 2, : width // 2].copy(),
+                ctx.v[: height // 2, : width // 2].copy(),
+            )
+        )
+    return bytes(out), recons, stats

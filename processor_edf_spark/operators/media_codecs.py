@@ -953,14 +953,16 @@ def is_annexb_h264(payload: bytes) -> bool:
 @_only_media_errors
 def decode_h264_video(payload: bytes) -> tuple[int, int, list]:
     """Annex-B H.264 → (width, height, [(Y, U, V)]) via the registered
-    ``h264_ipcm`` plugin — the pure-python intra decoder in
-    operators/h264.py is registered unconditionally below, so I_PCM
-    AND (r11) CAVLC-coded intra streams decode for REAL everywhere.
-    The seam now splits at CABAC, inter prediction (P/B slices),
-    fields, 8x8 transforms, and in-loop deblocking: the plugin raises
-    UnsupportedMediaError naming the optional codec library (av), the
-    same contract as the MP3 path — install PyAV in the cluster image
-    (and register it as the ``h264`` plugin) to decode those for real."""
+    ``h264_ipcm`` plugin — the pure-python decoder in operators/h264.py
+    is registered unconditionally below, so I_PCM, (r11) CAVLC-coded
+    intra AND (r12) P-slice inter streams (quarter-pel MC, P_Skip, all
+    P partition types, single L0 reference) decode for REAL everywhere.
+    The seam now splits at CABAC, B slices, multi-reference/weighted
+    prediction, fields, 8x8 transforms, and in-loop deblocking: the
+    plugin raises UnsupportedMediaError naming the optional codec
+    library (av), the same contract as the MP3 path — install PyAV in
+    the cluster image (and register it as the ``h264`` plugin) to
+    decode those for real."""
     plugin = get_codec_plugin("h264_ipcm")
     if plugin is not None:
         return plugin(payload)

@@ -228,6 +228,9 @@ def _hand_slice(
         w.write(0, 4)  # pic_order_cnt_lsb
     elif poc_type == 1:
         w.se(0)  # delta_pic_order_cnt[0] (always_zero_flag is 0)
+    if slice_type % 5 == 0:  # P (r12): ref count + list-mod fields
+        w.write(0, 1)  # num_ref_idx_active_override_flag
+        w.write(0, 1)  # ref_pic_list_modification_flag_l0
     if idr:
         w.write(0, 2)  # no_output_of_prior_pics + long_term_reference
     elif nal_ref_idc:
@@ -354,10 +357,28 @@ def test_slice_groups_name_extra():
     )
 
 
-def test_p_slice_names_extra():
+def test_b_slice_names_extra():
+    # r12: P slices decode for real; B/SP/SI still name the extra
+    _expect_extra(
+        _hand_sps() + _hand_pps() + _hand_slice([], slice_type=1),
+        "B/SP/SI.*av",
+    )
+
+
+def test_p_slice_without_reference_fails_cleanly():
+    # r12: a P slice is decodable syntax now, but with no reference
+    # picture it must fail loudly, not produce garbage
+    _expect_extra(
+        _hand_sps() + _hand_pps()
+        + _hand_slice([], slice_type=0, idr=False),
+        "no decoded reference",
+    )
+
+
+def test_idr_p_slice_rejected():
     _expect_extra(
         _hand_sps() + _hand_pps() + _hand_slice([], slice_type=0),
-        "P/B/SP/SI.*av",
+        "IDR pictures cannot contain P slices",
     )
 
 
