@@ -196,6 +196,13 @@ _CANONICAL = [
     # stays covered in-window via dedup_ngram_jaccard;
     # minhash_signatures keeps its r10 green at 51+).
     "mp3_layer1_decode_stats",
+    # h264_inter_decode_stats (the P-slice inter path — quarter-pel MC,
+    # MV prediction, every P partition type — under the value oracle)
+    # takes the sixth r12 priority slot, displacing
+    # moving_avg_daily_revenue from position 50 (windows family stays
+    # covered in-window via ewma_user_twophase;
+    # moving_avg_daily_revenue keeps its r10 green at 51+).
+    "h264_inter_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -239,8 +246,12 @@ _CANONICAL = [
     "calibrate_events",
     "sliding_hour_counts",
     "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
     "sample_hash_bucket",
+    # moving_avg_daily_revenue is the member h264_inter_decode_stats
+    # displaces to 51+ (windows family stays covered in-window via
+    # ewma_user_twophase; sample_hash_bucket is the sampling family's
+    # only in-window member so it keeps its seat)
+    "moving_avg_daily_revenue",
     # ---- past the 50-slot window: the five members the r12 additions
     # displaced (both keep their r10 greens; families covered in-window
     # per the notes above), then per the r11 pre-declaration: the
@@ -512,6 +523,7 @@ FAMILY = {
     "mp3_decode_stats": "multimodal",
     "hash_embed_stats": "similarity",
     "mp3_layer1_decode_stats": "multimodal",
+    "h264_inter_decode_stats": "multimodal",
 }
 
 

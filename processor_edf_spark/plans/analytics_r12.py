@@ -645,3 +645,155 @@ def mp3_layer1_decode_stats(spark, sf_dir):
             "sum_codes long, sum_scf long"
         ),
     )
+
+
+@register(
+    "h264_inter_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               48 AS w,
+               32 AS h,
+               CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS nf
+        FROM documents
+        WHERE doc_id % 8 = 1
+    ),
+    ysum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 3 + c.j * 5 + d.doc_id + f.j * 17) % 160
+                        + 40) AS BIGINT) AS y_sum
+        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 3) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    ),
+    csum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 7 + c.j * 11 + d.doc_id + f.j * 5) % 100
+                        + 78) AS BIGINT) AS u_sum,
+               CAST(SUM((r.j * 5 + c.j * 3 + 2 * d.doc_id + f.j * 9) % 120
+                        + 60) AS BIGINT) AS v_sum
+        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 3) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           ysum.y_sum, csum.u_sum, csum.v_sum
+    FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
+    """,
+)
+def h264_inter_decode_stats(spark, sf_dir):
+    """The H.264 P-slice INTER path (quarter-pel motion compensation,
+    median MV prediction, mb_skip_run, every P partition type,
+    intra-in-P — operators/h264.py r12) as a driver-hashed row: the
+    first inter-coded video under the value oracle.  Per document a
+    deterministic YUV420 GOP (every plane a pure integer function of
+    doc_id; IDR + 1-2 P frames) is encoded to a real Annex-B stream at
+    a doc-dependent QP (20/28/36), decoded back through the production
+    ``decode_h264_ipcm``, and the decode is required BIT-EXACT against
+    the encoder's reconstruction loop (which calls the decoder's own
+    MC/dequant/IDCT helpers) with recon-vs-source error inside the
+    quantisation bound (<= 64; measured 61 at QP 36).  Only then does
+    the row emit the closed-form SOURCE plane sums the oracle
+    reproduces — any interpolation slip (6-tap window, quarter
+    rounding), MV-predictor slip (median rule, directional 16x8/8x16
+    cases, skip conditions), CBP-table or partition-geometry error
+    flips the row to the -1 sentinel (or changes dims) and reds it.
+    Frame geometry is fixed 48x32 (6 macroblocks) so the deterministic
+    P-MB kind mix ``(mb*5 + f_idx*3) % 8`` reaches P_L0_16x16, 16x8,
+    8x16, P_8x8 and intra-in-P within every document (P_Skip needs a
+    vanishing quantised residual, which the mod-pattern sources never
+    produce — skip coverage is pinned in tests/test_h264_inter.py on a
+    static scene instead).
+    Scale: decode-heavy/emit-light (~58 ms/doc pure-python kernel),
+    payload never leaves the executor; spread() across the session
+    width like the sibling codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(
+        spark, docs.select("doc_id").filter("doc_id % 8 = 1")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.h264 import (
+            decode_h264_ipcm,
+            encode_h264_inter_recon,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                W, H = 48, 32
+                nf = 3 if d % 3 == 0 else 2
+                qp = 20 + (d % 3) * 8
+                frames = []
+                for f in range(nf):
+                    r = np.arange(H)[:, None]
+                    c = np.arange(W)[None, :]
+                    y = (((r * 3 + c * 5 + d + f * 17) % 160) + 40).astype(
+                        np.uint8
+                    )
+                    r2 = np.arange(H // 2)[:, None]
+                    c2 = np.arange(W // 2)[None, :]
+                    u = (((r2 * 7 + c2 * 11 + d + f * 5) % 100) + 78).astype(
+                        np.uint8
+                    )
+                    v = (
+                        ((r2 * 5 + c2 * 3 + 2 * d + f * 9) % 120) + 60
+                    ).astype(np.uint8)
+                    frames.append((y, u, v))
+                stream, recons, _stats = encode_h264_inter_recon(
+                    frames, W, H, qp=qp
+                )
+                dw, dh, decoded = decode_h264_ipcm(stream)
+                bit_exact = (
+                    (dw, dh) == (W, H)
+                    and len(decoded) == nf
+                    and all(
+                        np.array_equal(a, b)
+                        for rec, dec in zip(recons, decoded)
+                        for a, b in zip(rec, dec)
+                    )
+                )
+                err_ok = all(
+                    int(
+                        np.abs(
+                            rec[0].astype(np.int64)
+                            - frm[0].astype(np.int64)
+                        ).max()
+                    )
+                    <= 64
+                    for rec, frm in zip(recons, frames)
+                )
+                if bit_exact and err_ok:
+                    sums = [
+                        int(sum(np.sum(frm[k], dtype=np.int64)
+                                for frm in frames))
+                        for k in range(3)
+                    ]
+                else:
+                    sums = [-1, -1, -1]
+                rows.append((d, len(decoded), dw, dh, *sums))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height",
+                    "y_sum", "u_sum", "v_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, width long, height long, "
+            "y_sum long, u_sum long, v_sum long"
+        ),
+    )

@@ -36,6 +36,7 @@ EXPECTED_FIRST_50 = [
     "mp3_decode_stats",
     "hash_embed_stats",
     "mp3_layer1_decode_stats",
+    "h264_inter_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -79,7 +80,6 @@ EXPECTED_FIRST_50 = [
     "calibrate_events",
     "sliding_hour_counts",
     "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
     "sample_hash_bucket",
 ]
 
@@ -102,8 +102,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 145 through r8 + the r10/r11 additions + the 5 r12 rows
-    assert len(QUERIES) == 157
+    # 145 through r8 + the r10/r11 additions + the 6 r12 rows
+    assert len(QUERIES) == 158
 
 
 def test_every_query_has_a_family():
