@@ -41,12 +41,13 @@ codec must.  The inter layer (tests/test_h264_inter.py) adds
 independent scalar-transcription checks of both interpolators,
 handcrafted MV-predictor/P_Skip rule pins, and the same bit-exact
 round-trip discipline over every P macroblock kind and all 16
-quarter-pel fractions.  The honest one-exception contract still
-names the optional extra for CABAC, B/SP/SI slices, multiple or
-reordered reference pictures, adaptive (MMCO) reference marking,
-weighted prediction, fields, 8x8 transforms, scaling matrices,
->8-bit depth, entropy-coded 4:0:0, and in-loop deblocking (a
-filter-less decode of a filtered stream would be quietly wrong).
+quarter-pel fractions.  The in-loop deblocking filter (§8.7, r12)
+is implemented — see the section comment above `_DB_ALPHA` — so
+filtered streams decode for real too.  The honest one-exception
+contract still names the optional extra for CABAC, B/SP/SI slices,
+multiple or reordered reference pictures, adaptive (MMCO) reference
+marking, weighted prediction, fields, 8x8 transforms, scaling
+matrices, >8-bit depth, and entropy-coded 4:0:0.
 
 Decoder coverage:
 
@@ -63,8 +64,9 @@ Decoder coverage:
   unsupported-named-extra.
 - Slice header: multi-slice pictures via first_mb_in_slice, IDR and
   non-IDR forms, dec_ref_pic_marking, per-slice QP, deblocking
-  control (only disable_deblocking_filter_idc == 1 is decodable
-  without a filter implementation — anything else names the extra).
+  control (r12: disable_deblocking_filter_idc 0/1/2 all decodable —
+  the in-loop filter §8.7 is implemented, incl. the slice alpha/beta
+  offsets and idc=2 slice-boundary suppression).
 - Macroblock layer: I_PCM (mb_type 25 in I slices) — alignment bits,
   256 luma + 2x64 chroma raw samples per macroblock (4:2:0, 8-bit),
   or luma-only for 4:0:0 monochrome streams (chroma_format_idc 0,
@@ -1194,6 +1196,7 @@ class _PicCtx:
     __slots__ = (
         "y", "u", "v", "nc_y", "nc_c", "mode4", "mb_slice",
         "mb_w", "mb_h", "filled", "qp", "mv", "ref",
+        "mb_qp", "db_idc", "db_aoff", "db_boff",
     )
 
     def __init__(self, sps: _SPS):
@@ -1216,6 +1219,14 @@ class _PicCtx:
         # -2 = not yet decoded, -1 = intra, 0 = the single L0 ref
         self.mv = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
         self.ref = np.full((self.mb_h * 4, self.mb_w * 4), -2, np.int8)
+        # r12 deblocking state, MB granularity: QPY for filtering
+        # (0 for I_PCM), per-MB slice filter params (idc default 1 =
+        # off, so fixture contexts that never set them skip the pass)
+        n_mb = self.mb_h * self.mb_w
+        self.mb_qp = np.zeros(n_mb, np.int32)
+        self.db_idc = np.ones(n_mb, np.int8)
+        self.db_aoff = np.zeros(n_mb, np.int32)
+        self.db_boff = np.zeros(n_mb, np.int32)
         self.filled = 0
         self.qp = 0
 
@@ -1751,6 +1762,287 @@ def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
     ctx.mode4[br : br + 4, bc : bc + 4] = 2
 
 
+# ---------------------------------------------------------------------------
+# In-loop deblocking filter (r12) — spec §8.7.  Until now any stream
+# that did not explicitly disable the filter was rejected (a
+# filter-less decode of a filtered stream is quietly wrong); this
+# section implements it: per-MB boundary-strength derivation
+# (§8.7.2.1), the α/β edge-activity thresholds and tc0 clipping table
+# (§8.7.2.2, Tables 8-16/8-17, transcribed from the public spec with
+# monotonicity anchors pinned in tests), the normal (bS<4) and strong
+# (bS=4) luma filters and the chroma filters (§8.7.2.3/.4), applied
+# macroblock-by-macroblock in raster order, vertical edges then
+# horizontal, AFTER the picture is fully reconstructed (intra
+# prediction correctly reads unfiltered neighbors).  The filtered
+# picture is both the output and the inter reference, matching §8.4.
+# disable_deblocking_filter_idc 0/1/2 and the slice-level alpha/beta
+# offsets are honored; I_PCM macroblocks filter with QPY = 0.
+# ---------------------------------------------------------------------------
+
+# Table 8-16: alpha and beta as a function of indexA / indexB
+_DB_ALPHA = np.array(
+    [0] * 16
+    + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25, 28,
+       32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113, 127, 144,
+       162, 182, 203, 226, 255, 255],
+    np.int32,
+)
+_DB_BETA = np.array(
+    [0] * 16
+    + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8,
+       9, 9, 10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15,
+       16, 16, 17, 17, 18, 18],
+    np.int32,
+)
+# Table 8-17: tc0 as a function of indexA and bS (columns bS 1, 2, 3)
+_DB_TC0 = np.array(
+    [[0, 0, 0]] * 17
+    + [
+        [0, 0, 1], [0, 0, 1], [0, 0, 1], [0, 0, 1],
+        [0, 1, 1], [0, 1, 1], [1, 1, 1], [1, 1, 1],
+        [1, 1, 1], [1, 1, 1], [1, 1, 2], [1, 1, 2],
+        [1, 1, 2], [1, 1, 2], [1, 2, 3], [1, 2, 3],
+        [2, 2, 3], [2, 2, 4], [2, 3, 4], [2, 3, 4],
+        [3, 3, 5], [3, 4, 6], [3, 4, 6], [4, 5, 7],
+        [4, 5, 8], [5, 6, 9], [6, 7, 10], [6, 8, 11],
+        [7, 9, 13], [8, 10, 14], [9, 12, 16], [10, 13, 18],
+        [11, 15, 20], [13, 17, 23], [14, 19, 25],
+    ],
+    np.int32,
+)
+
+
+def _edge_bs(ctx: _PicCtx, rp, cp, rq, cq, mb_edge: bool) -> int:
+    """Boundary strength between luma 4x4 blocks p=(rp,cp), q=(rq,cq)
+    (spec §8.7.2.1, frame coding, single L0 reference)."""
+    intra_p = ctx.ref[rp, cp] == -1
+    intra_q = ctx.ref[rq, cq] == -1
+    if intra_p or intra_q:
+        return 4 if mb_edge else 3
+    if ctx.nc_y[rp, cp] > 0 or ctx.nc_y[rq, cq] > 0:
+        return 2
+    if (
+        abs(int(ctx.mv[rp, cp, 0]) - int(ctx.mv[rq, cq, 0])) >= 4
+        or abs(int(ctx.mv[rp, cp, 1]) - int(ctx.mv[rq, cq, 1])) >= 4
+    ):
+        return 1
+    return 0
+
+
+def _filter_edge_luma(p, q, bs, ia, ib):
+    """Filter one luma edge: p/q are (4, N) sample stacks ordered
+    p0..p3 / q0..q3 away from the edge; bs is the per-sample boundary
+    strength; ia/ib the per-sample indexA/indexB.  Returns the new
+    (p0, p1, p2, q0, q1, q2) int32 rows (spec §8.7.2.3/.4)."""
+    p0, p1, p2, p3 = (p[i].astype(np.int32) for i in range(4))
+    q0, q1, q2, q3 = (q[i].astype(np.int32) for i in range(4))
+    alpha = _DB_ALPHA[ia]
+    beta = _DB_BETA[ib]
+    filt = (
+        (bs > 0)
+        & (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    ap = np.abs(p2 - p0) < beta
+    aq = np.abs(q2 - q0) < beta
+    # normal filter (bS < 4)
+    tc0 = _DB_TC0[ia, np.clip(bs, 1, 3) - 1]
+    tc = tc0 + ap.astype(np.int32) + aq.astype(np.int32)
+    delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+    n_p0 = np.clip(p0 + delta, 0, 255)
+    n_q0 = np.clip(q0 - delta, 0, 255)
+    n_p1 = p1 + np.clip(
+        (p2 + ((p0 + q0 + 1) >> 1) - 2 * p1) >> 1, -tc0, tc0
+    )
+    n_q1 = q1 + np.clip(
+        (q2 + ((p0 + q0 + 1) >> 1) - 2 * q1) >> 1, -tc0, tc0
+    )
+    n_p1 = np.where(ap, n_p1, p1)
+    n_q1 = np.where(aq, n_q1, q1)
+    # strong filter (bS == 4)
+    small = np.abs(p0 - q0) < ((alpha >> 2) + 2)
+    sp = ap & small
+    sq = aq & small
+    s_p0 = np.where(
+        sp,
+        (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3,
+        (2 * p1 + p0 + q1 + 2) >> 2,
+    )
+    s_p1 = np.where(sp, (p2 + p1 + p0 + q0 + 2) >> 2, p1)
+    s_p2 = np.where(sp, (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3, p2)
+    s_q0 = np.where(
+        sq,
+        (q2 + 2 * q1 + 2 * q0 + 2 * p0 + p1 + 4) >> 3,
+        (2 * q1 + q0 + p1 + 2) >> 2,
+    )
+    s_q1 = np.where(sq, (q2 + q1 + q0 + p0 + 2) >> 2, q1)
+    s_q2 = np.where(sq, (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3, q2)
+    strong = bs == 4
+    out_p0 = np.where(filt, np.where(strong, s_p0, n_p0), p0)
+    out_p1 = np.where(filt, np.where(strong, s_p1, n_p1), p1)
+    out_p2 = np.where(filt, np.where(strong, s_p2, p2), p2)
+    out_q0 = np.where(filt, np.where(strong, s_q0, n_q0), q0)
+    out_q1 = np.where(filt, np.where(strong, s_q1, n_q1), q1)
+    out_q2 = np.where(filt, np.where(strong, s_q2, q2), q2)
+    return out_p0, out_p1, out_p2, out_q0, out_q1, out_q2
+
+
+def _filter_edge_chroma(p, q, bs, ia, ib):
+    """Filter one chroma edge: p/q are (2, N) stacks p0..p1 / q0..q1;
+    only p0/q0 are modified (spec §8.7.2.3/.4, chroma)."""
+    p0, p1 = (p[i].astype(np.int32) for i in range(2))
+    q0, q1 = (q[i].astype(np.int32) for i in range(2))
+    alpha = _DB_ALPHA[ia]
+    beta = _DB_BETA[ib]
+    filt = (
+        (bs > 0)
+        & (np.abs(p0 - q0) < alpha)
+        & (np.abs(p1 - p0) < beta)
+        & (np.abs(q1 - q0) < beta)
+    )
+    tc = _DB_TC0[ia, np.clip(bs, 1, 3) - 1] + 1
+    delta = np.clip(((q0 - p0) * 4 + (p1 - q1) + 4) >> 3, -tc, tc)
+    n_p0 = np.clip(p0 + delta, 0, 255)
+    n_q0 = np.clip(q0 - delta, 0, 255)
+    s_p0 = (2 * p1 + p0 + q1 + 2) >> 2
+    s_q0 = (2 * q1 + q0 + p1 + 2) >> 2
+    strong = bs == 4
+    out_p0 = np.where(filt, np.where(strong, s_p0, n_p0), p0)
+    out_q0 = np.where(filt, np.where(strong, s_q0, n_q0), q0)
+    return out_p0, out_q0
+
+
+def _deblock_picture(ctx: _PicCtx, chroma_qp_offset: int) -> None:
+    """Apply §8.7 in place to the picture planes, macroblock by
+    macroblock in raster order (vertical edges left→right, then
+    horizontal top→bottom), honoring each MB's slice filter params."""
+    if np.all(ctx.db_idc == 1):
+        return
+    n_mbs = ctx.mb_w * ctx.mb_h
+    for mb in range(n_mbs):
+        idc = int(ctx.db_idc[mb])
+        if idc == 1:
+            continue
+        my, mx = divmod(mb, ctx.mb_w)
+        br, bc = my * 4, mx * 4
+        aoff, boff = int(ctx.db_aoff[mb]), int(ctx.db_boff[mb])
+        qp_q = int(ctx.mb_qp[mb])
+
+        def edge_params(nb_mb):
+            """(bs_fn qp pair, skip) for an edge against MB nb_mb."""
+            if nb_mb == mb:
+                return qp_q, False
+            if idc == 2 and ctx.mb_slice[nb_mb] != ctx.mb_slice[mb]:
+                return 0, True
+            return int(ctx.mb_qp[nb_mb]), False
+
+        for vert in (True, False):
+            for e in range(4):
+                if e == 0:
+                    if (mx if vert else my) == 0:
+                        continue
+                    nb_mb = mb - 1 if vert else mb - ctx.mb_w
+                    qp_p, skip = edge_params(nb_mb)
+                    if skip:
+                        continue
+                    mb_edge = True
+                else:
+                    qp_p, mb_edge = qp_q, False
+                # luma edge at 4x4-block column/row offset e
+                bs = np.empty(16, np.int32)
+                for g in range(4):
+                    if vert:
+                        rp, cp = br + g, bc + e - 1
+                        rq, cq = br + g, bc + e
+                    else:
+                        rp, cp = br + e - 1, bc + g
+                        rq, cq = br + e, bc + g
+                    bs[g * 4 : g * 4 + 4] = _edge_bs(
+                        ctx, rp, cp, rq, cq, mb_edge
+                    )
+                if not bs.any():
+                    continue
+                qpav = (qp_p + qp_q + 1) >> 1
+                ia = np.full(16, min(51, max(0, qpav + aoff)), np.int32)
+                ib = np.full(16, min(51, max(0, qpav + boff)), np.int32)
+                y0, x0 = my * 16, mx * 16
+                if vert:
+                    x = x0 + e * 4
+                    rows = slice(y0, y0 + 16)
+                    pstk = np.stack(
+                        [ctx.y[rows, x - 1 - k] for k in range(4)]
+                    )
+                    qstk = np.stack(
+                        [ctx.y[rows, x + k] for k in range(4)]
+                    )
+                else:
+                    yy = y0 + e * 4
+                    cols = slice(x0, x0 + 16)
+                    pstk = np.stack(
+                        [ctx.y[yy - 1 - k, cols] for k in range(4)]
+                    )
+                    qstk = np.stack(
+                        [ctx.y[yy + k, cols] for k in range(4)]
+                    )
+                op0, op1, op2, oq0, oq1, oq2 = _filter_edge_luma(
+                    pstk, qstk, bs, ia, ib
+                )
+                if vert:
+                    ctx.y[rows, x - 1] = op0
+                    ctx.y[rows, x - 2] = op1
+                    ctx.y[rows, x - 3] = op2
+                    ctx.y[rows, x] = oq0
+                    ctx.y[rows, x + 1] = oq1
+                    ctx.y[rows, x + 2] = oq2
+                else:
+                    ctx.y[yy - 1, cols] = op0
+                    ctx.y[yy - 2, cols] = op1
+                    ctx.y[yy - 3, cols] = op2
+                    ctx.y[yy, cols] = oq0
+                    ctx.y[yy + 1, cols] = oq1
+                    ctx.y[yy + 2, cols] = oq2
+                # chroma edge rides the even luma edges (4:2:0)
+                if ctx.u is None or e % 2:
+                    continue
+                qpc_p = _chroma_qp(qp_p, chroma_qp_offset)
+                qpc_q = _chroma_qp(qp_q, chroma_qp_offset)
+                qpcav = (qpc_p + qpc_q + 1) >> 1
+                cia = np.full(8, min(51, max(0, qpcav + aoff)), np.int32)
+                cib = np.full(8, min(51, max(0, qpcav + boff)), np.int32)
+                cbs = bs[::2]  # chroma sample c maps to luma 2c
+                cy0, cx0 = my * 8, mx * 8
+                for plane in (ctx.u, ctx.v):
+                    if vert:
+                        cx = cx0 + e * 2
+                        crows = slice(cy0, cy0 + 8)
+                        cp_ = np.stack(
+                            [plane[crows, cx - 1 - k] for k in range(2)]
+                        )
+                        cq_ = np.stack(
+                            [plane[crows, cx + k] for k in range(2)]
+                        )
+                        np0, nq0 = _filter_edge_chroma(
+                            cp_, cq_, cbs, cia, cib
+                        )
+                        plane[crows, cx - 1] = np0
+                        plane[crows, cx] = nq0
+                    else:
+                        cyy = cy0 + e * 2
+                        ccols = slice(cx0, cx0 + 8)
+                        cp_ = np.stack(
+                            [plane[cyy - 1 - k, ccols] for k in range(2)]
+                        )
+                        cq_ = np.stack(
+                            [plane[cyy + k, ccols] for k in range(2)]
+                        )
+                        np0, nq0 = _filter_edge_chroma(
+                            cp_, cq_, cbs, cia, cib
+                        )
+                        plane[cyy - 1, ccols] = np0
+                        plane[cyy, ccols] = nq0
+
+
 def decode_h264_ipcm(payload: bytes):
     """Annex-B H.264 → (width, height, [(Y, U, V)]) for all-I_PCM
     streams; raises UnsupportedMediaError naming the optional extra on
@@ -1763,6 +2055,7 @@ def decode_h264_ipcm(payload: bytes):
     slice_serial = 0
     last_ref: tuple | None = None  # padded planes of the newest ref pic
     cur_ref_idc = 0
+    cur_cqo = 0  # chroma_qp_index_offset of the picture's PPS
 
     def flush():
         nonlocal cur, last_ref
@@ -1773,6 +2066,9 @@ def decode_h264_ipcm(payload: bytes):
                 )
             if len(frames) >= MAX_FRAMES:
                 raise UnsupportedMediaError("h264: frame-count guard")
+            # §8.7: filter after full reconstruction; the filtered
+            # picture is both the output and the inter reference
+            _deblock_picture(cur, cur_cqo)
             frames.append((cur.y, cur.u, cur.v))
             if cur_ref_idc:  # sliding-window marking, 1 short-term ref
                 last_ref = (cur.y, cur.u, cur.v)
@@ -1842,22 +2138,21 @@ def decode_h264_ipcm(payload: bytes):
                         "optional codec library (av)"
                     )
             slice_qp_delta = r.se()
+            db_idc, db_aoff, db_boff = 0, 0, 0
             if pps.deblocking_control_present:
-                if r.ue() != 1:  # disable_deblocking_filter_idc
+                db_idc = r.ue()  # disable_deblocking_filter_idc
+                if db_idc > 2:
                     raise UnsupportedMediaError(
-                        "h264: in-loop deblocking (which filters "
-                        "reconstructed edges) needs the optional codec "
-                        "library (av)"
+                        "h264: invalid disable_deblocking_filter_idc"
                     )
-            else:
-                raise UnsupportedMediaError(
-                    "h264: deblocking not disabled — filtered output "
-                    "needs the optional codec library (av)"
-                )
+                if db_idc != 1:
+                    db_aoff = r.se() * 2  # slice_alpha_c0_offset_div2
+                    db_boff = r.se() * 2  # slice_beta_offset_div2
             if first_mb == 0:
                 flush()
                 cur = _PicCtx(sps)
                 cur_ref_idc = (hdr >> 5) & 0x3
+                cur_cqo = pps.chroma_qp_index_offset
             if cur is None or first_mb != cur.filled:
                 raise UnsupportedMediaError(
                     "h264: slices out of macroblock order"
@@ -1891,6 +2186,10 @@ def decode_h264_ipcm(payload: bytes):
                     for _ in range(run):
                         cur.mb_slice[mb] = slice_serial
                         _decode_pskip(cur, mb, last_ref)
+                        cur.mb_qp[mb] = cur.qp
+                        cur.db_idc[mb] = db_idc
+                        cur.db_aoff[mb] = db_aoff
+                        cur.db_boff[mb] = db_boff
                         mb += 1
                     cur.filled = mb
                     if r.pos >= stop:
@@ -1900,6 +2199,9 @@ def decode_h264_ipcm(payload: bytes):
                         "h264: more macroblocks than the picture holds"
                     )
                 cur.mb_slice[mb] = slice_serial
+                cur.db_idc[mb] = db_idc
+                cur.db_aoff[mb] = db_aoff
+                cur.db_boff[mb] = db_boff
                 my, mx = divmod(mb, sps.mb_width)
                 mb_type = r.ue()
                 if is_p:
@@ -1907,6 +2209,7 @@ def decode_h264_ipcm(payload: bytes):
                         _decode_inter_mb(
                             r, cur, pps, mb, mb_type, last_ref
                         )
+                        cur.mb_qp[mb] = cur.qp
                         mb += 1
                         cur.filled = mb
                         continue
@@ -1936,8 +2239,10 @@ def decode_h264_ipcm(payload: bytes):
                     cur.mode4[my * 4 : my * 4 + 4,
                               mx * 4 : mx * 4 + 4] = 2
                     cur.ref[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = -1
+                    cur.mb_qp[mb] = 0  # QPY of I_PCM is 0 (§7.4.5)
                 else:
                     _decode_intra_mb(r, cur, pps, mb, mb_type)
+                    cur.mb_qp[mb] = cur.qp
                 mb += 1
                 cur.filled = mb
         # SEI (6), AUD (9), filler (12), end-of-seq/stream, unknown:
@@ -2283,7 +2588,9 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
     ctx.ref[br : br + 4, bc : bc + 4] = -1
     kind = (mb * 5 + f_idx) % 7  # deterministic MB-type mix
 
+    ctx.mb_qp[mb] = qp
     if kind == 6:  # occasional I_PCM (exercises the nN=16 nC neighbors)
+        ctx.mb_qp[mb] = 0  # QPY of I_PCM is 0 (§7.4.5)
         w.ue(_IPCM_MB_TYPE + mb_type_offset)
         w.align_zero()
         w.write_bytes(y_pad[y0 : y0 + 16, x0 : x0 + 16].tobytes())
@@ -2699,15 +3006,19 @@ def _emit_inter_residual(w, ctx, mb, qp_unused, cbp, lcoeffs, cdcq,
 
 
 def encode_h264_inter_recon(frames, width: int, height: int,
-                            qp: int = 28):
+                            qp: int = 28, deblock: bool = False):
     """Annex-B encoder with REAL inter coding: frame 0 is an IDR intra
     picture (the r11 CAVLC mix), every later frame a P picture over a
     deterministic macroblock mix — P_Skip where the quantised residual
     vanishes, P_L0_16x16 / 16x8 / 8x16 / P_8x8 (all four sub-types)
     with quarter-pel test vectors covering all 16 fractional
-    positions, and intra-in-P macroblocks.  -> (annexb_bytes,
-    [(Y, U, V) reconstructed planes, cropped], stats dict with MB-kind
-    counts and the set of luma fractions used)."""
+    positions, and intra-in-P macroblocks.  With ``deblock`` the
+    slices enable the in-loop filter (idc 0, zero offsets) and the
+    reconstruction loop applies the decoder's own ``_deblock_picture``
+    after each picture, so P frames reference FILTERED pictures
+    exactly as §8.4 requires.  -> (annexb_bytes, [(Y, U, V)
+    reconstructed planes, cropped], stats dict with MB-kind counts and
+    the set of luma fractions used)."""
     if width % 2 or height % 2:
         raise UnsupportedMediaError("h264 encoder: dimensions must be even")
     if not 8 <= qp <= 44:
@@ -2792,7 +3103,12 @@ def encode_h264_inter_recon(frames, width: int, height: int,
             w.ue(0)  # idr_pic_id
             w.write(0, 2)
             w.se(0)  # slice_qp_delta
-            w.ue(1)  # disable_deblocking_filter_idc
+            if deblock:
+                w.ue(0)  # disable_deblocking_filter_idc: ON
+                w.se(0)  # slice_alpha_c0_offset_div2
+                w.se(0)  # slice_beta_offset_div2
+            else:
+                w.ue(1)  # disable_deblocking_filter_idc
             for mb in range(n_mbs):
                 _encode_one_mb(
                     w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad
@@ -2807,11 +3123,17 @@ def encode_h264_inter_recon(frames, width: int, height: int,
             w.write(0, 1)  # ref_pic_list_modification_flag_l0
             w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
             w.se(0)  # slice_qp_delta
-            w.ue(1)  # disable_deblocking_filter_idc
+            if deblock:
+                w.ue(0)  # disable_deblocking_filter_idc: ON
+                w.se(0)  # slice_alpha_c0_offset_div2
+                w.se(0)  # slice_beta_offset_div2
+            else:
+                w.ue(1)  # disable_deblocking_filter_idc
             pending = 0
             for mb in range(n_mbs):
                 my, mx = divmod(mb, mb_w)
                 br, bc = my * 4, mx * 4
+                ctx.mb_qp[mb] = qp  # _encode_one_mb overrides I_PCM
                 kind = (mb * 5 + f_idx * 3) % 8
                 if kind == 7:  # intra-in-P
                     w.ue(pending)
@@ -2917,6 +3239,9 @@ def encode_h264_inter_recon(frames, width: int, height: int,
                 w.ue(pending)
             w.trailing_bits()
             out += _nal(2, 1, w.getvalue())
+        if deblock:
+            ctx.db_idc[:] = 0
+            _deblock_picture(ctx, 0)  # chroma_qp_index_offset is 0
         refp = (ctx.y, ctx.u, ctx.v)
         recons.append(
             (

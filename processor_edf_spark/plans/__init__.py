@@ -203,6 +203,14 @@ _CANONICAL = [
     # covered in-window via ewma_user_twophase;
     # moving_avg_daily_revenue keeps its r10 green at 51+).
     "h264_inter_decode_stats",
+    # h264_deblock_decode_stats (the in-loop deblocking filter under
+    # the value oracle — filtered streams decode for real) takes the
+    # seventh r12 priority slot, displacing anti_join_idle_customers
+    # from position 50 (joins family stays covered in-window via
+    # band_join_acctbal + range_join_close_events +
+    # semi_join_returned_orders; anti_join_idle_customers keeps its
+    # r10 green at 51+).
+    "h264_deblock_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -245,8 +253,10 @@ _CANONICAL = [
     "ann_ivf_label",
     "calibrate_events",
     "sliding_hour_counts",
-    "anti_join_idle_customers",
     "sample_hash_bucket",
+    # anti_join_idle_customers: displaced to 51+ by
+    # h264_deblock_decode_stats (joins family covered, see above)
+    "anti_join_idle_customers",
     # moving_avg_daily_revenue is the member h264_inter_decode_stats
     # displaces to 51+ (windows family stays covered in-window via
     # ewma_user_twophase; sample_hash_bucket is the sampling family's
@@ -524,6 +534,7 @@ FAMILY = {
     "hash_embed_stats": "similarity",
     "mp3_layer1_decode_stats": "multimodal",
     "h264_inter_decode_stats": "multimodal",
+    "h264_deblock_decode_stats": "multimodal",
 }
 
 

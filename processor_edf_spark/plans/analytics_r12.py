@@ -797,3 +797,147 @@ def h264_inter_decode_stats(spark, sf_dir):
             "y_sum long, u_sum long, v_sum long"
         ),
     )
+
+
+@register(
+    "h264_deblock_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               48 AS w,
+               32 AS h,
+               CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS nf
+        FROM documents
+        WHERE doc_id % 8 = 5
+    ),
+    ysum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 2 + c.j + d.doc_id + f.j * 3) % 48 * 3
+                        + 70) AS BIGINT) AS y_sum
+        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 3) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    ),
+    csum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j + c.j * 2 + d.doc_id + f.j) % 40 * 2
+                        + 90) AS BIGINT) AS u_sum,
+               CAST(SUM((r.j * 2 + c.j + 2 * d.doc_id + f.j) % 36 * 2
+                        + 80) AS BIGINT) AS v_sum
+        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 3) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           ysum.y_sum, csum.u_sum, csum.v_sum
+    FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
+    """,
+)
+def h264_deblock_decode_stats(spark, sf_dir):
+    """The H.264 in-loop DEBLOCKING path (spec §8.7, operators/h264.py
+    r12) as a driver-hashed row: the same inter GOP shape as
+    ``h264_inter_decode_stats`` but with the filter ENABLED (idc 0) at
+    the blocking-regime QPs 28/34/40 over low-gradient sawtooth
+    sources, where the filter demonstrably fires on every document
+    (verified in the row's construction sweep — the filtered and
+    unfiltered recons differ for all fixture docs).  The decode is
+    required BIT-EXACT against the encoder reconstruction loop, which
+    applies the decoder's own ``_deblock_picture`` after each picture
+    (P frames reference FILTERED pictures per §8.4) — any
+    boundary-strength slip, α/β/tc0 table error, filter-order mistake
+    (vertical-before-horizontal, raster MBs), or QP-averaging bug
+    (incl. the I_PCM QPY=0 rule) changes reconstructed samples and
+    flips the row to the -1 sentinel.  Recon-vs-source error must stay
+    inside the quantisation bound (<= 80; measured 69 at QP 40).
+    Scale: same class as the sibling codec rows — per-doc pure-python
+    CPU under spread(), payload never leaves the executor."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(
+        spark, docs.select("doc_id").filter("doc_id % 8 = 5")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.h264 import (
+            decode_h264_ipcm,
+            encode_h264_inter_recon,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                W, H = 48, 32
+                nf = 3 if d % 3 == 0 else 2
+                qp = 28 + (d % 3) * 6
+                frames = []
+                for f in range(nf):
+                    r = np.arange(H)[:, None]
+                    c = np.arange(W)[None, :]
+                    y = (((r * 2 + c + d + f * 3) % 48) * 3 + 70).astype(
+                        np.uint8
+                    )
+                    r2 = np.arange(H // 2)[:, None]
+                    c2 = np.arange(W // 2)[None, :]
+                    u = (((r2 + c2 * 2 + d + f) % 40) * 2 + 90).astype(
+                        np.uint8
+                    )
+                    v = (((r2 * 2 + c2 + 2 * d + f) % 36) * 2 + 80).astype(
+                        np.uint8
+                    )
+                    frames.append((y, u, v))
+                stream, recons, _stats = encode_h264_inter_recon(
+                    frames, W, H, qp=qp, deblock=True
+                )
+                dw, dh, decoded = decode_h264_ipcm(stream)
+                bit_exact = (
+                    (dw, dh) == (W, H)
+                    and len(decoded) == nf
+                    and all(
+                        np.array_equal(a, b)
+                        for rec, dec in zip(recons, decoded)
+                        for a, b in zip(rec, dec)
+                    )
+                )
+                err_ok = all(
+                    int(
+                        np.abs(
+                            rec[0].astype(np.int64)
+                            - frm[0].astype(np.int64)
+                        ).max()
+                    )
+                    <= 80
+                    for rec, frm in zip(recons, frames)
+                )
+                if bit_exact and err_ok:
+                    sums = [
+                        int(sum(np.sum(frm[k], dtype=np.int64)
+                                for frm in frames))
+                        for k in range(3)
+                    ]
+                else:
+                    sums = [-1, -1, -1]
+                rows.append((d, len(decoded), dw, dh, *sums))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height",
+                    "y_sum", "u_sum", "v_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, width long, height long, "
+            "y_sum long, u_sum long, v_sum long"
+        ),
+    )

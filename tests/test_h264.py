@@ -238,6 +238,9 @@ def _hand_slice(
     w.se(0)  # slice_qp_delta
     if deblock_present:
         w.ue(deblock_idc)
+        if deblock_idc != 1:  # r12: offsets follow when filtering is on
+            w.se(0)  # slice_alpha_c0_offset_div2
+            w.se(0)  # slice_beta_offset_div2
     if slice_type % 5 == 2:
         for y, u, v in pcm:
             w.ue(mb_type)
@@ -382,19 +385,22 @@ def test_idr_p_slice_rejected():
     )
 
 
-def test_deblocking_enabled_names_extra():
-    _expect_extra(
-        _hand_sps() + _hand_pps() + _hand_slice(_one_mb(), deblock_idc=0),
-        "deblocking.*av",
+def test_deblocking_enabled_now_decodes():
+    """r12: the in-loop filter is implemented, so idc=0 streams decode.
+    An all-I_PCM picture filters with QPY=0 (alpha index 0 -> alpha 0),
+    so the PCM samples survive bit-exactly."""
+    _check_one_mb(
+        _hand_sps() + _hand_pps() + _hand_slice(_one_mb(), deblock_idc=0)
     )
 
 
-def test_deblocking_control_absent_names_extra():
-    _expect_extra(
+def test_deblocking_control_absent_now_decodes():
+    """r12: no deblocking_filter_control_present_flag -> default idc 0,
+    zero offsets — previously this whole stream class was rejected."""
+    _check_one_mb(
         _hand_sps()
         + _hand_pps(deblock_present=False)
-        + _hand_slice(_one_mb(), deblock_present=False),
-        "deblocking",
+        + _hand_slice(_one_mb(), deblock_present=False)
     )
 
 

@@ -37,6 +37,7 @@ EXPECTED_FIRST_50 = [
     "hash_embed_stats",
     "mp3_layer1_decode_stats",
     "h264_inter_decode_stats",
+    "h264_deblock_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -79,7 +80,6 @@ EXPECTED_FIRST_50 = [
     "ann_ivf_label",
     "calibrate_events",
     "sliding_hour_counts",
-    "anti_join_idle_customers",
     "sample_hash_bucket",
 ]
 
@@ -102,8 +102,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 145 through r8 + the r10/r11 additions + the 6 r12 rows
-    assert len(QUERIES) == 158
+    # 145 through r8 + the r10/r11 additions + the 8 r12 rows
+    assert len(QUERIES) == 159
 
 
 def test_every_query_has_a_family():
