@@ -27,7 +27,10 @@ optional PyAV extra.  Coverage grew in three steps:
   (§8.4.1.3), P_Skip with its zero-motion conditions (§8.4.1.1),
   mb_skip_run, P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0) with all four
   sub-partition types, intra-in-P macroblocks, the inter CBP mapping
-  (Table 9-4), and single-reference sliding-window picture marking.
+  (Table 9-4), MULTIPLE reference frames (sliding-window DPB per
+  §8.2.5.3, te(v)-coded per-partition ref_idx, ref-aware MV
+  prediction and boundary strengths), and the in-loop deblocking
+  filter (§8.7 — see the section comment above `_DB_ALPHA`).
 
 Validation for the CAVLC layer (tests/test_h264_cavlc.py): every VLC
 table is property-checked prefix-free with the spec's exact Kraft
@@ -45,9 +48,9 @@ quarter-pel fractions.  The in-loop deblocking filter (§8.7, r12)
 is implemented — see the section comment above `_DB_ALPHA` — so
 filtered streams decode for real too.  The honest one-exception
 contract still names the optional extra for CABAC, B/SP/SI slices,
-multiple or reordered reference pictures, adaptive (MMCO) reference
-marking, weighted prediction, fields, 8x8 transforms, scaling
-matrices, >8-bit depth, and entropy-coded 4:0:0.
+reference-list reordering, adaptive (MMCO) reference marking,
+weighted prediction, fields, 8x8 transforms, scaling matrices,
+>8-bit depth, and entropy-coded 4:0:0.
 
 Decoder coverage:
 
@@ -289,7 +292,7 @@ class _SPS:
         "mb_width", "mb_height", "log2_max_frame_num",
         "poc_type", "log2_max_poc_lsb", "delta_pic_order_always_zero",
         "crop_left", "crop_right", "crop_top", "crop_bottom",
-        "monochrome",
+        "monochrome", "max_num_ref_frames",
     )
 
 
@@ -332,7 +335,7 @@ def _parse_sps(r: _BitReader) -> _SPS:
         r.se()  # offset_for_top_to_bottom_field
         for _ in range(r.ue()):
             r.se()  # offset_for_ref_frame[i]
-    r.ue()  # max_num_ref_frames
+    sps.max_num_ref_frames = r.ue()
     r.read(1)  # gaps_in_frame_num_value_allowed_flag
     sps.mb_width = r.ue() + 1
     sps.mb_height = r.ue() + 1
@@ -1551,29 +1554,30 @@ def _mv_nbr(ctx: _PicCtx, r: int, c: int, mb_idx: int):
 
 
 def _mvp(ctx: _PicCtx, mb_idx: int, r: int, c: int, w4: int, h4: int,
-         special: str | None = None):
+         special: str | None = None, cur_ref: int = 0):
     """Median motion-vector predictor for the partition whose top-left
-    4x4 block is (r, c), spanning h4 x w4 blocks (spec §8.4.1.3).
-    ``special`` names the directional 16x8/8x16 cases: 'T16x8' /
-    'B16x8' use B / A when that neighbor references the current
-    picture; 'L8x16' / 'R8x16' use A / C."""
+    4x4 block is (r, c), spanning h4 x w4 blocks, predicting against
+    reference index ``cur_ref`` (spec §8.4.1.3).  ``special`` names
+    the directional 16x8/8x16 cases: 'T16x8' / 'B16x8' use B / A when
+    that neighbor references the same picture; 'L8x16' / 'R8x16' use
+    A / C."""
     av_a, ref_a, ax, ay = _mv_nbr(ctx, r, c - 1, mb_idx)
     av_b, ref_b, bx, by = _mv_nbr(ctx, r - 1, c, mb_idx)
     av_c, ref_c, cx, cy = _mv_nbr(ctx, r - 1, c + w4, mb_idx)
     if not av_c:  # C unavailable -> D (top-left), §8.4.1.3.2
         av_c, ref_c, cx, cy = _mv_nbr(ctx, r - 1, c - 1, mb_idx)
-    if special == "T16x8" and ref_b == 0:
+    if special == "T16x8" and ref_b == cur_ref:
         return bx, by
-    if special == "B16x8" and ref_a == 0:
+    if special == "B16x8" and ref_a == cur_ref:
         return ax, ay
-    if special == "L8x16" and ref_a == 0:
+    if special == "L8x16" and ref_a == cur_ref:
         return ax, ay
-    if special == "R8x16" and ref_c == 0:
+    if special == "R8x16" and ref_c == cur_ref:
         return cx, cy
     if not av_b and not av_c and av_a:
         return ax, ay
     matches = [m for m in ((ref_a, ax, ay), (ref_b, bx, by),
-                           (ref_c, cx, cy)) if m[0] == 0]
+                           (ref_c, cx, cy)) if m[0] == cur_ref]
     if len(matches) == 1:
         return matches[0][1], matches[0][2]
     xs, ys = (ax, bx, cx), (ay, by, cy)
@@ -1618,14 +1622,15 @@ _P_SUB_PARTS = {
 
 def _mc_partition(ctx: _PicCtx, refp, mb_idx: int, r_off: int,
                   c_off: int, h4: int, w4: int, mvx: int,
-                  mvy: int) -> None:
-    """Motion-compensate one partition into the picture planes and
-    record its MV field."""
+                  mvy: int, ref_idx: int = 0) -> None:
+    """Motion-compensate one partition (from ``refp`` = the planes of
+    reference ``ref_idx``) into the picture planes and record its MV
+    field."""
     my, mx = divmod(mb_idx, ctx.mb_w)
     r, c = my * 4 + r_off, mx * 4 + c_off
     ctx.mv[r : r + h4, c : c + w4, 0] = mvx
     ctx.mv[r : r + h4, c : c + w4, 1] = mvy
-    ctx.ref[r : r + h4, c : c + w4] = 0
+    ctx.ref[r : r + h4, c : c + w4] = ref_idx
     py, px = r * 4, c * 4
     ctx.y[py : py + h4 * 4, px : px + w4 * 4] = _interp_luma(
         refp[0], py, px, h4 * 4, w4 * 4, mvy, mvx
@@ -1640,9 +1645,17 @@ def _mc_partition(ctx: _PicCtx, refp, mb_idx: int, r_off: int,
         )
 
 
+def _read_te(r: _BitReader, max_val: int) -> int:
+    """te(v) truncated Exp-Golomb (spec §9.1.1): a single flipped bit
+    when the range is [0, 1], plain ue(v) otherwise."""
+    if max_val == 1:
+        return 1 - r.read(1)
+    return r.ue()
+
+
 def _decode_pskip(ctx: _PicCtx, mb_idx: int, refp) -> None:
-    """P_Skip: motion-compensated copy, zero residual (spec §8.4.1.1);
-    4:2:0 only (callers guard monochrome)."""
+    """P_Skip: motion-compensated copy from reference 0, zero residual
+    (spec §8.4.1.1); 4:2:0 only (callers guard monochrome)."""
     mvx, mvy = _skip_mv(ctx, mb_idx)
     _mc_partition(ctx, refp, mb_idx, 0, 0, 4, 4, mvx, mvy)
     my, mx = divmod(mb_idx, ctx.mb_w)
@@ -1654,10 +1667,12 @@ def _decode_pskip(ctx: _PicCtx, mb_idx: int, refp) -> None:
 
 
 def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
-                     mb_idx: int, mb_type: int, refp) -> None:
+                     mb_idx: int, mb_type: int, dpb,
+                     num_ref: int) -> None:
     """One CAVLC P macroblock: P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0)
-    — parse MVDs, derive MVs (median predictor), motion-compensate,
-    then the inter residual (CBP inter mapping, no intra modes)."""
+    — parse ref_idx (te(v), when num_ref > 1) and MVDs, derive MVs
+    (ref-aware median predictor), motion-compensate from the chosen
+    DPB picture, then the inter residual (CBP inter mapping)."""
     if ctx.u is None:
         raise UnsupportedMediaError(
             "h264: entropy-coded 4:0:0 macroblocks need the optional "
@@ -1667,34 +1682,52 @@ def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
     br, bc = my * 4, mx * 4
     crow, ccol = my * 2, mx * 2
 
+    def read_ref() -> int:
+        if num_ref <= 1:
+            return 0
+        ri = _read_te(r, num_ref - 1)
+        if ri >= num_ref:
+            raise UnsupportedMediaError("h264: ref_idx out of range")
+        return ri
+
     if mb_type in (0, 1, 2):
         parts = _P_PARTS[mb_type]
+        refs = [read_ref() for _ in parts]  # all ref_idx first (§7.3.5.1)
         mvds = [(r.se(), r.se()) for _ in parts]  # x then y (§7.4.5.1)
-        for (r_off, c_off, h4, w4, special), (dx, dy) in zip(parts, mvds):
+        for (r_off, c_off, h4, w4, special), ri, (dx, dy) in zip(
+            parts, refs, mvds
+        ):
             px_, py_ = _mvp(
-                ctx, mb_idx, br + r_off, bc + c_off, w4, h4, special
+                ctx, mb_idx, br + r_off, bc + c_off, w4, h4, special,
+                cur_ref=ri,
             )
             _mc_partition(
-                ctx, refp, mb_idx, r_off, c_off, h4, w4,
-                px_ + dx, py_ + dy,
+                ctx, dpb[ri], mb_idx, r_off, c_off, h4, w4,
+                px_ + dx, py_ + dy, ref_idx=ri,
             )
     else:  # 3 / 4: P_8x8 / P_8x8ref0
         subs = [r.ue() for _ in range(4)]
         if any(s > 3 for s in subs):
             raise UnsupportedMediaError("h264: invalid sub_mb_type")
-        # all sub_mb_types parse before any mvd (spec §7.3.5.2); with
-        # one L0 reference there are no ref_idx fields
+        # syntax order (§7.3.5.2): all sub_mb_types, then one ref_idx
+        # per 8x8 (absent for P_8x8ref0), then the mvds
+        if mb_type == 3:
+            refs8 = [read_ref() for _ in range(4)]
+        else:
+            refs8 = [0, 0, 0, 0]
         for i8 in range(4):
             base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+            ri = refs8[i8]
             for r_off, c_off, h4, w4 in _P_SUB_PARTS[subs[i8]]:
                 dx, dy = r.se(), r.se()
                 px_, py_ = _mvp(
                     ctx, mb_idx, br + base_r + r_off,
-                    bc + base_c + c_off, w4, h4,
+                    bc + base_c + c_off, w4, h4, cur_ref=ri,
                 )
                 _mc_partition(
-                    ctx, refp, mb_idx, base_r + r_off, base_c + c_off,
-                    h4, w4, px_ + dx, py_ + dy,
+                    ctx, dpb[ri], mb_idx, base_r + r_off,
+                    base_c + c_off, h4, w4, px_ + dx, py_ + dy,
+                    ref_idx=ri,
                 )
 
     # ---- inter residual (spec §7.3.5.3 with the Table 9-4 inter
@@ -1821,6 +1854,8 @@ def _edge_bs(ctx: _PicCtx, rp, cp, rq, cq, mb_edge: bool) -> int:
         return 4 if mb_edge else 3
     if ctx.nc_y[rp, cp] > 0 or ctx.nc_y[rq, cq] > 0:
         return 2
+    if ctx.ref[rp, cp] != ctx.ref[rq, cq]:  # different ref pictures
+        return 1
     if (
         abs(int(ctx.mv[rp, cp, 0]) - int(ctx.mv[rq, cq, 0])) >= 4
         or abs(int(ctx.mv[rp, cp, 1]) - int(ctx.mv[rq, cq, 1])) >= 4
@@ -2053,12 +2088,12 @@ def decode_h264_ipcm(payload: bytes):
     cur: _PicCtx | None = None  # the picture being assembled
     n_mbs = 0
     slice_serial = 0
-    last_ref: tuple | None = None  # padded planes of the newest ref pic
+    dpb: list[tuple] = []  # short-term refs, most recent first (§8.2.4)
     cur_ref_idc = 0
     cur_cqo = 0  # chroma_qp_index_offset of the picture's PPS
 
     def flush():
-        nonlocal cur, last_ref
+        nonlocal cur
         if cur is not None:
             if cur.filled != n_mbs:
                 raise UnsupportedMediaError(
@@ -2070,8 +2105,9 @@ def decode_h264_ipcm(payload: bytes):
             # picture is both the output and the inter reference
             _deblock_picture(cur, cur_cqo)
             frames.append((cur.y, cur.u, cur.v))
-            if cur_ref_idc:  # sliding-window marking, 1 short-term ref
-                last_ref = (cur.y, cur.u, cur.v)
+            if cur_ref_idc:  # sliding-window marking (§8.2.5.3)
+                dpb.insert(0, (cur.y, cur.u, cur.v))
+                del dpb[max(1, sps.max_num_ref_frames):]
             cur = None
 
     for nal in _split_annexb(payload):
@@ -2115,14 +2151,14 @@ def decode_h264_ipcm(payload: bytes):
                 r.se()
                 if pps.bottom_field_poc_present:
                     r.se()
+            num_ref = 1
             if is_p:
                 num_ref = pps.num_ref_l0_default
                 if r.read(1):  # num_ref_idx_active_override_flag
                     num_ref = r.ue() + 1
-                if num_ref != 1:
+                if num_ref > 16:
                     raise UnsupportedMediaError(
-                        "h264: multiple L0 reference pictures need the "
-                        "optional codec library (av)"
+                        "h264: num_ref_idx_l0_active out of range"
                     )
                 if r.read(1):  # ref_pic_list_modification_flag_l0
                     raise UnsupportedMediaError(
@@ -2150,6 +2186,8 @@ def decode_h264_ipcm(payload: bytes):
                     db_boff = r.se() * 2  # slice_beta_offset_div2
             if first_mb == 0:
                 flush()
+                if nal_type == 5:  # IDR: all refs marked unused (§8.2.5.1)
+                    dpb.clear()
                 cur = _PicCtx(sps)
                 cur_ref_idc = (hdr >> 5) & 0x3
                 cur_cqo = pps.chroma_qp_index_offset
@@ -2157,9 +2195,12 @@ def decode_h264_ipcm(payload: bytes):
                 raise UnsupportedMediaError(
                     "h264: slices out of macroblock order"
                 )
-            if is_p and last_ref is None:
+            if is_p and num_ref > len(dpb):
                 raise UnsupportedMediaError(
                     "h264: P slice with no decoded reference picture"
+                    if not dpb
+                    else "h264: fewer decoded reference pictures than "
+                         "num_ref_idx_l0_active"
                 )
             slice_serial += 1
             cur.qp = pps.pic_init_qp + slice_qp_delta
@@ -2185,7 +2226,7 @@ def decode_h264_ipcm(payload: bytes):
                         )
                     for _ in range(run):
                         cur.mb_slice[mb] = slice_serial
-                        _decode_pskip(cur, mb, last_ref)
+                        _decode_pskip(cur, mb, dpb[0])
                         cur.mb_qp[mb] = cur.qp
                         cur.db_idc[mb] = db_idc
                         cur.db_aoff[mb] = db_aoff
@@ -2207,7 +2248,7 @@ def decode_h264_ipcm(payload: bytes):
                 if is_p:
                     if mb_type <= 4:  # P_L0_16x16/16x8/8x16/P_8x8(ref0)
                         _decode_inter_mb(
-                            r, cur, pps, mb, mb_type, last_ref
+                            r, cur, pps, mb, mb_type, dpb, num_ref
                         )
                         cur.mb_qp[mb] = cur.qp
                         mb += 1
@@ -2840,19 +2881,21 @@ def _enc_mv(mb: int, f_idx: int, p: int) -> tuple[int, int]:
     return mvx, mvy
 
 
-def _mc_pred_mb(ctx, refp, mb, parts):
+def _mc_pred_mb(ctx, dpb, mb, parts):
     """Motion-compensate the whole MB into fresh pred planes, filling
     ctx.mv / ctx.ref per partition in decode order; parts entries are
-    (r_off, c_off, h4, w4, special, mvx, mvy)."""
+    (r_off, c_off, h4, w4, special, mvx, mvy, ref_idx) and each
+    partition reads its own DPB picture."""
     my, mx = divmod(mb, ctx.mb_w)
     pred_y = np.empty((16, 16), np.uint8)
     pred_u = np.empty((8, 8), np.uint8)
     pred_v = np.empty((8, 8), np.uint8)
-    for r_off, c_off, h4, w4, _special, mvx, mvy in parts:
+    for r_off, c_off, h4, w4, _special, mvx, mvy, ri in parts:
+        refp = dpb[ri]
         r, c = my * 4 + r_off, mx * 4 + c_off
         ctx.mv[r : r + h4, c : c + w4, 0] = mvx
         ctx.mv[r : r + h4, c : c + w4, 1] = mvy
-        ctx.ref[r : r + h4, c : c + w4] = 0
+        ctx.ref[r : r + h4, c : c + w4] = ri
         py, px = r * 4, c * 4
         ly, lx = r_off * 4, c_off * 4
         pred_y[ly : ly + h4 * 4, lx : lx + w4 * 4] = _interp_luma(
@@ -3006,7 +3049,8 @@ def _emit_inter_residual(w, ctx, mb, qp_unused, cbp, lcoeffs, cdcq,
 
 
 def encode_h264_inter_recon(frames, width: int, height: int,
-                            qp: int = 28, deblock: bool = False):
+                            qp: int = 28, deblock: bool = False,
+                            num_refs: int = 1):
     """Annex-B encoder with REAL inter coding: frame 0 is an IDR intra
     picture (the r11 CAVLC mix), every later frame a P picture over a
     deterministic macroblock mix — P_Skip where the quantised residual
@@ -3018,7 +3062,11 @@ def encode_h264_inter_recon(frames, width: int, height: int,
     after each picture, so P frames reference FILTERED pictures
     exactly as §8.4 requires.  -> (annexb_bytes, [(Y, U, V)
     reconstructed planes, cropped], stats dict with MB-kind counts and
-    the set of luma fractions used)."""
+    the set of luma fractions used).  With ``num_refs`` > 1 the DPB
+    holds that many sliding-window references and P slices override
+    num_ref_idx_l0_active, choosing a deterministic per-partition
+    ref_idx (te(v)-coded) once enough references exist — the multi-ref
+    prediction/deblock/MV-predictor paths all exercise for real."""
     if width % 2 or height % 2:
         raise UnsupportedMediaError("h264 encoder: dimensions must be even")
     if not 8 <= qp <= 44:
@@ -3035,7 +3083,7 @@ def encode_h264_inter_recon(frames, width: int, height: int,
     w.ue(0)  # seq_parameter_set_id
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(2)  # pic_order_cnt_type
-    w.ue(1)  # max_num_ref_frames: the single L0 reference
+    w.ue(max(1, num_refs))  # max_num_ref_frames (sliding window)
     w.write(0, 1)
     w.ue(mb_w - 1)
     w.ue(mb_h - 1)
@@ -3080,9 +3128,9 @@ def encode_h264_inter_recon(frames, width: int, height: int,
     recons = []
     stats = {
         "P_Skip": 0, "P_16x16": 0, "P_16x8": 0, "P_8x16": 0,
-        "P_8x8": 0, "intra_in_p": 0, "fracs": set(),
+        "P_8x8": 0, "intra_in_p": 0, "multiref": 0, "fracs": set(),
     }
-    refp = None  # padded recon planes of the previous picture
+    dpb: list[tuple] = []  # padded recon planes, most recent first
     for f_idx, (y, u, v) in enumerate(frames):
         y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
         y_pad[:height, :width] = np.asarray(y, np.uint8)
@@ -3119,7 +3167,12 @@ def encode_h264_inter_recon(frames, width: int, height: int,
             w.ue(5)  # slice_type: P (all slices in picture)
             w.ue(0)  # pic_parameter_set_id
             w.write(f_idx % 16, 4)  # frame_num
-            w.write(0, 1)  # num_ref_idx_active_override_flag
+            active = min(num_refs, len(dpb))
+            if active > 1:
+                w.write(1, 1)  # num_ref_idx_active_override_flag
+                w.ue(active - 1)
+            else:
+                w.write(0, 1)
             w.write(0, 1)  # ref_pic_list_modification_flag_l0
             w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
             w.se(0)  # slice_qp_delta
@@ -3147,8 +3200,8 @@ def encode_h264_inter_recon(frames, width: int, height: int,
                 if kind == 0:
                     # skip attempt: the skip MV, residual must vanish
                     skx, sky = _skip_mv(ctx, mb)
-                    parts = [(0, 0, 4, 4, None, skx, sky)]
-                    preds = _mc_pred_mb(ctx, refp, mb, parts)
+                    parts = [(0, 0, 4, 4, None, skx, sky, 0)]
+                    preds = _mc_pred_mb(ctx, dpb, mb, parts)
                     cbp, lq, cdq, caq = _quant_inter_mb(
                         ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
                     )
@@ -3163,6 +3216,11 @@ def encode_h264_inter_recon(frames, width: int, height: int,
                     w.ue(pending)
                     pending = 0
                     w.ue(0)  # mb_type P_L0_16x16
+                    if active > 1:  # ref_idx 0, te(v)-coded
+                        if active == 2:
+                            w.write(1, 1)
+                        else:
+                            w.ue(0)
                     mpx, mpy = _mvp(ctx, mb, br, bc, 4, 4)
                     w.se(skx - mpx)
                     w.se(sky - mpy)
@@ -3206,28 +3264,61 @@ def encode_h264_inter_recon(frames, width: int, height: int,
                     mvs = [_enc_mv(mb, f_idx, p) for p in range(len(geom))]
                     mb_type = 3
                     stats["P_8x8"] += 1
+                # deterministic per-partition (or per-8x8) ref choice
+                if mb_type == 3:
+                    refs8 = [
+                        (mb * 3 + f_idx + i8) % active for i8 in range(4)
+                    ]
+                    # sub-partition p of 8x8 i8 inherits refs8[i8]
+                    prefs, gi = [], 0
+                    for i8 in range(4):
+                        n_sub = len(_P_SUB_PARTS[subs[i8]])
+                        prefs += [refs8[i8]] * n_sub
+                        gi += n_sub
+                else:
+                    prefs = [
+                        (mb * 3 + f_idx + p * 5) % active
+                        for p in range(len(geom))
+                    ]
                 w.ue(mb_type)
                 if mb_type == 3:
                     for s in subs:
                         w.ue(s)
+                    if active > 1:
+                        for ri in refs8:
+                            if active == 2:
+                                w.write(1 - ri, 1)  # te(v), range [0,1]
+                            else:
+                                w.ue(ri)
+                elif active > 1:
+                    for ri in prefs:
+                        if active == 2:
+                            w.write(1 - ri, 1)
+                        else:
+                            w.ue(ri)
                 # MV derivation + mvd emission in partition decode
                 # order (predictors see earlier partitions' MVs)
                 parts = []
-                for (r_off, c_off, h4, w4, special), (mvx, mvy) in zip(
-                    geom, mvs
+                for (r_off, c_off, h4, w4, special), (mvx, mvy), ri in zip(
+                    geom, mvs, prefs
                 ):
                     mpx, mpy = _mvp(
-                        ctx, mb, br + r_off, bc + c_off, w4, h4, special
+                        ctx, mb, br + r_off, bc + c_off, w4, h4, special,
+                        cur_ref=ri,
                     )
                     w.se(mvx - mpx)
                     w.se(mvy - mpy)
                     stats["fracs"].add((mvx & 3, mvy & 3))
+                    if ri:
+                        stats["multiref"] += 1
                     r, c = br + r_off, bc + c_off
                     ctx.mv[r : r + h4, c : c + w4, 0] = mvx
                     ctx.mv[r : r + h4, c : c + w4, 1] = mvy
-                    ctx.ref[r : r + h4, c : c + w4] = 0
-                    parts.append((r_off, c_off, h4, w4, special, mvx, mvy))
-                preds = _mc_pred_mb(ctx, refp, mb, parts)
+                    ctx.ref[r : r + h4, c : c + w4] = ri
+                    parts.append(
+                        (r_off, c_off, h4, w4, special, mvx, mvy, ri)
+                    )
+                preds = _mc_pred_mb(ctx, dpb, mb, parts)
                 cbp, lq, cdq, caq = _quant_inter_mb(
                     ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
                 )
@@ -3242,7 +3333,10 @@ def encode_h264_inter_recon(frames, width: int, height: int,
         if deblock:
             ctx.db_idc[:] = 0
             _deblock_picture(ctx, 0)  # chroma_qp_index_offset is 0
-        refp = (ctx.y, ctx.u, ctx.v)
+        if f_idx == 0:
+            dpb.clear()  # IDR: all refs marked unused (§8.2.5.1)
+        dpb.insert(0, (ctx.y, ctx.u, ctx.v))
+        del dpb[max(1, num_refs):]
         recons.append(
             (
                 ctx.y[:height, :width].copy(),

@@ -956,10 +956,11 @@ def decode_h264_video(payload: bytes) -> tuple[int, int, list]:
     ``h264_ipcm`` plugin — the pure-python decoder in operators/h264.py
     is registered unconditionally below, so I_PCM, (r11) CAVLC-coded
     intra AND (r12) P-slice inter streams (quarter-pel MC, P_Skip, all
-    P partition types, single L0 reference) decode for REAL everywhere
-    — including DEBLOCKED streams (the §8.7 in-loop filter is
-    implemented, r12).  The seam now splits at CABAC, B slices,
-    multi-reference/weighted prediction, fields, 8x8 transforms: the
+    P partition types, a multi-picture sliding-window DPB with
+    te(v)-coded ref_idx) decode for REAL everywhere — including
+    DEBLOCKED streams (the §8.7 in-loop filter is implemented, r12).
+    The seam now splits at CABAC, B slices, reference-list
+    reordering/MMCO, weighted prediction, fields, 8x8 transforms: the
     plugin raises UnsupportedMediaError naming the optional codec
     library (av), the same contract as the MP3 path — install PyAV in
     the cluster image (and register it as the ``h264`` plugin) to

@@ -412,3 +412,76 @@ def test_corruption_fuzz_never_escapes():
         except UnsupportedMediaError:
             pass
         data[pos] = old
+
+
+# ---------------------------------------------------------------------------
+# multiple reference frames (r12)
+# ---------------------------------------------------------------------------
+
+
+def test_read_te_single_bit_range():
+    from processor_edf_spark.operators.h264 import _BitReader, _read_te
+
+    # te(v) with range [0,1] is one flipped bit (spec §9.1.1)
+    r = _BitReader(bytes([0b10000000]))
+    assert _read_te(r, 1) == 0
+    r = _BitReader(bytes([0b00000000]))
+    assert _read_te(r, 1) == 1
+
+
+def test_edge_bs_different_refs():
+    from processor_edf_spark.operators.h264 import _edge_bs
+
+    ctx = _ctx()
+    ctx.ref[:] = 0
+    ctx.nc_y[:] = 0
+    ctx.ref[0, 1] = 1  # same MV, different reference picture
+    assert _edge_bs(ctx, 0, 0, 0, 1, mb_edge=False) == 1
+    ctx.ref[0, 1] = 0
+    assert _edge_bs(ctx, 0, 0, 0, 1, mb_edge=False) == 0
+
+
+@pytest.mark.parametrize("nrefs,deblock", [(2, False), (3, False),
+                                           (2, True), (3, True)])
+def test_multiref_round_trip_bit_exact(nrefs, deblock):
+    frames = _moving_frames(48, 48, 6, seed=nrefs * 10 + deblock)
+    stream, recons, stats = encode_h264_inter_recon(
+        frames, 48, 48, qp=30, deblock=deblock, num_refs=nrefs
+    )
+    assert stats["multiref"] > 0  # non-zero ref_idx partitions exercised
+    dw, dh, dec = decode_h264_ipcm(stream)
+    assert (dw, dh) == (48, 48) and len(dec) == 6
+    for rec, d in zip(recons, dec):
+        for a, b in zip(rec, d):
+            assert np.array_equal(a, b)
+
+
+def test_num_ref_exceeding_dpb_fails_cleanly():
+    frames = _moving_frames(32, 32, 3, seed=4)
+    stream, _, _ = encode_h264_inter_recon(
+        frames, 32, 32, qp=30, num_refs=2
+    )
+    # drop the FIRST P picture's NAL: the remaining P slice claims
+    # num_ref_idx_l0_active = 2 against a 1-deep DPB
+    starts = []
+    i = 0
+    while True:
+        i = stream.find(b"\x00\x00\x00\x01", i)
+        if i < 0:
+            break
+        starts.append(i)
+        i += 4
+    nals = [
+        stream[s:e] for s, e in zip(starts, starts[1:] + [len(stream)])
+    ]
+    p_seen = 0
+    kept = []
+    for n in nals:
+        if n[4] & 0x1F == 1:
+            p_seen += 1
+            if p_seen == 1:
+                continue
+        kept.append(n)
+    with pytest.raises(UnsupportedMediaError,
+                       match="fewer decoded reference"):
+        decode_h264_ipcm(b"".join(kept))
