@@ -42,7 +42,14 @@ Determinism discipline baked into the grammar:
 - RANGE frame order keys are widened to BIGINT: MEASURED divergence
   #2 (seed 573 of the r11 grammar) — Spark casts the frame offset to
   the ORDER BY column's type and throws CAST_OVERFLOW for an
-  86400000000 offset over an INT key, DuckDB widens and evaluates.
+  86400000000 offset over an INT key, DuckDB widens and evaluates;
+- CORR is fenced out of the statistical-aggregate axis: MEASURED
+  divergence #3 (seed 990 of the v5 grammar draft) — over a group
+  where either argument has zero variance (n=1 or an in-group
+  constant), Spark under ANSI mode throws DIVIDE_BY_ZERO
+  (ArithmeticException) while DuckDB returns NULL; VAR_SAMP/VAR_POP/
+  STDDEV_SAMP/STDDEV_POP/COVAR_SAMP/COVAR_POP agree on the same edge
+  (NULL at n=1, 0.0 for constants — probed directly), so those stay.
 
 The streaming half of this discipline lives in
 tests/test_streaming_differential.py (seeded replay through the
@@ -74,10 +81,17 @@ SF_DIR = "/root/testdata/sf0.001"
 # SUM/COUNT/MAX per pooled value — NULL vs 0 discipline).  Seeds 860+
 # add membership subqueries: [NOT] IN with NULLIF-injected NULLs (the
 # three-valued-logic trap Spark compiles to a null-aware anti join) and
-# correlated [NOT] EXISTS.  Seeds 0-715 keep rendering their earlier
-# grammars byte-for-byte (the regression corpus that found the ROLLUP
-# and RANGE-frame divergences).
-N_SEEDS = 920
+# correlated [NOT] EXISTS.  Seeds 920+ use the r12 grammar v5:
+# correlated SCALAR subqueries in the select list (COUNT must be 0 over
+# empty correlation, MAX/MIN NULL — Spark's rewrite to an outer-join
+# aggregate is the classic "COUNT bug" site) and uncorrelated scalar
+# subqueries in WHERE comparisons, DISTINCT aggregates (incl. several
+# in one query — Spark plans an Expand), and statistical aggregates
+# (VAR/STDDEV SAMP+POP, COVAR — float-tolerance compared; CORR
+# fenced, measured divergence #3).
+# Seeds 0-859 keep rendering their earlier grammars byte-for-byte (the
+# regression corpus that found the ROLLUP and RANGE-frame divergences).
+N_SEEDS = 1000
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -1144,6 +1158,177 @@ def gen_membership(rng, pools):
     }
 
 
+def gen_scalar_sub(rng, pools):
+    """r12 grammar v5 lead axis (seeds 920+): scalar subqueries.
+    Correlated aggregates in the SELECT list — COUNT(*) over an empty
+    correlation must be 0 (the classic "COUNT bug" in outer-join
+    rewrites), MIN/MAX must be NULL — and uncorrelated scalar
+    subqueries as WHERE comparison bounds."""
+    ot, oc, it_, ic = rng.choice(_MEMBER_PAIRS)
+    cols = TABLES[ot]
+    coltypes = dict(cols)
+    uniq = UNIQUE[ot]
+    items = [
+        {"alias": f"c{j}", "sql": u, "fallback": None,
+         "typ": coltypes.get(u, "i")}
+        for j, u in enumerate(uniq)
+    ]
+    inner_pred = (
+        gen_pred(rng, TABLES[it_], pools, it_, 1)
+        if rng.random() < 0.5
+        else None
+    )
+    conj = f" AND {inner_pred}" if inner_pred else ""
+    k = rng.randrange(4)
+    if k == 0:
+        sub = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {it_} "
+            f"WHERE {ic} = {ot}.{oc}{conj})"
+        )
+        typ = "i"
+    elif k == 1:
+        fn = rng.choice(["MIN", "MAX"])
+        agg_col = _col("i", rng, TABLES[it_]) or ic
+        sub = (
+            f"(SELECT {fn}({agg_col}) FROM {it_} "
+            f"WHERE {ic} = {ot}.{oc}{conj})"
+        )
+        typ = "i"
+    elif k == 2:
+        agg_col = _col("i", rng, TABLES[it_]) or ic
+        sub = (
+            f"(SELECT CAST(SUM({agg_col}) AS BIGINT) FROM {it_} "
+            f"WHERE {ic} = {ot}.{oc}{conj})"
+        )
+        typ = "i"
+    else:
+        sub = (
+            f"(SELECT CAST(COUNT(DISTINCT {ic}) AS BIGINT) FROM {it_} "
+            f"WHERE {ic} = {ot}.{oc}{conj})"
+        )
+        typ = "i"
+    items.append({"alias": f"c{len(items)}", "sql": sub,
+                  "fallback": None, "typ": typ})
+    where = None
+    if rng.random() < 0.5:
+        # uncorrelated scalar bound: col <= (SELECT MAX(col)*k ...)
+        bc = _col("i", rng, cols) or uniq[0]
+        fn = rng.choice(["MIN", "MAX"])
+        cmp_op = rng.choice(["<=", ">=", "<", ">"])
+        where = (
+            f"{bc} {cmp_op} (SELECT {fn}({ic}) FROM {it_}) "
+            f"+ {rng.randint(0, 9)}"
+        )
+        if rng.random() < 0.5:
+            where = f"({where}) AND ({gen_pred(rng, cols, pools, ot, 1)})"
+    elif rng.random() < 0.5:
+        where = gen_pred(rng, cols, pools, ot, 1)
+    return {
+        "kind": "select",
+        "from": ot,
+        "items": items,
+        "where": where,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_distinct_agg(rng, pools):
+    """r12 grammar v5 axis #2: DISTINCT aggregates, several per query
+    (Spark plans an Expand for multi-distinct) plus plain siblings."""
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    key_col = _col("i", rng, cols) or UNIQUE[t][0]
+    grouped = rng.random() < 0.6
+    key = f"({key_col} % {rng.randint(2, 7)})"
+    items = []
+    if grouped:
+        items.append({"alias": "c0", "sql": key, "fallback": None,
+                      "typ": "i"})
+    n_aggs = rng.randint(2, 4)
+    for j in range(n_aggs):
+        k = rng.randrange(4)
+        c = _col(rng.choice(["i", "s"]), rng, cols) or key_col
+        if k == 0:
+            sql = f"CAST(COUNT(DISTINCT {c}) AS BIGINT)"
+        elif k == 1:
+            ci = _col("i", rng, cols) or key_col
+            sql = f"CAST(SUM(DISTINCT {ci}) AS BIGINT)"
+        elif k == 2:
+            ci = _col("i", rng, cols) or key_col
+            sql = f"CAST(SUM({ci}) AS BIGINT)"
+        else:
+            sql = "CAST(COUNT(*) AS BIGINT)"
+        items.append({"alias": f"c{len(items)}", "sql": sql,
+                      "fallback": None, "typ": "i"})
+    return {
+        "kind": "select",
+        "from": t,
+        "items": items,
+        "where": gen_pred(rng, cols, pools, t, 1)
+        if rng.random() < 0.5 else None,
+        "group": [key] if grouped else None,
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_stat_agg(rng, pools):
+    """r12 grammar v5 axis #3: statistical aggregates — VAR/STDDEV
+    (SAMP and POP), COVAR over float/int columns, grouped small
+    so single-row groups exercise the n=1 NULL rules; compared with
+    the suite's relative float tolerance."""
+    t = rng.choice(["fz_lineitem", "fz_orders", "fz_events"])
+    cols = TABLES[t]
+    key_col = _col("i", rng, cols) or UNIQUE[t][0]
+    key = f"({key_col} % {rng.randint(2, 9)})"
+    fc = _col("f", rng, cols) or key_col
+    ic = _col("i", rng, cols) or key_col
+    items = [{"alias": "c0", "sql": key, "fallback": None, "typ": "i"}]
+    n_aggs = rng.randint(1, 3)
+    for j in range(n_aggs):
+        k = rng.randrange(6)
+        if k == 0:
+            sql = f"VAR_SAMP({fc})"
+        elif k == 1:
+            sql = f"VAR_POP({fc})"
+        elif k == 2:
+            sql = f"STDDEV_SAMP({fc})"
+        elif k == 3:
+            sql = f"STDDEV_POP({fc})"
+        elif k == 4:
+            # CORR fenced out: measured divergence #3 (module docstring)
+            sql = f"COVAR_SAMP({fc}, {ic})"
+        else:
+            sql = f"COVAR_POP({fc}, {ic})"
+        items.append({"alias": f"c{j + 1}", "sql": sql,
+                      "fallback": None, "typ": "f"})
+    items.append({"alias": f"c{len(items)}", "sql": "CAST(COUNT(*) AS BIGINT)",
+                  "fallback": None, "typ": "i"})
+    return {
+        "kind": "select",
+        "from": t,
+        "items": items,
+        "where": gen_pred(rng, cols, pools, t, 1)
+        if rng.random() < 0.4 else None,
+        "group": [key],
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_query_v5(rng, pools) -> dict:
+    """Seeds 920+: scalar subqueries lead, with DISTINCT and
+    statistical aggregates behind."""
+    shape = rng.randrange(10)
+    if shape < 5:
+        return gen_scalar_sub(rng, pools)
+    if shape < 8:
+        return gen_distinct_agg(rng, pools)
+    return gen_stat_agg(rng, pools)
+
+
 def gen_query_v4(rng, pools) -> dict:
     """Seeds 860+: membership subqueries lead, with the strongest v3
     shapes retained."""
@@ -1187,6 +1372,8 @@ def gen_query_v2(rng, pools) -> dict:
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 920:
+        return gen_query_v5(rng, pools)
     if seed >= 860:
         return gen_query_v4(rng, pools)
     if seed >= 716:
