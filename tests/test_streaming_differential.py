@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Six differential contracts:
+Seven differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -32,6 +32,11 @@ Six differential contracts:
   on every item, AND the exactness regime (a shard whose distinct-item
   count never exceeds k reports exact counts, zero deduct) — randomized
   vocabulary, zipf skew, k, and cuts.
+- ``stream_funnel_stages`` (r12) final per-user (depth, t_first,
+  t_last) ≡ an independent sequential fold of the documented matching
+  rule — a funnel match depends on PRIOR matches, so the reference is
+  a python fold, not a window query; randomized stage tuples (incl.
+  repeated stage types), horizons, tie density, and micro-batch cuts.
 """
 
 from __future__ import annotations
@@ -461,3 +466,122 @@ def test_stream_heavy_hitters_differential(spark, tmp_path, seed):
         if shard_distinct[sh] <= k:
             # exactness regime: never spilled -> exact, no deduct
             assert d == 0 and est == cnt, (item, est, cnt, d)
+
+
+# ---------------------------------------------------------------------------
+# seventh contract (r12): the stateful funnel vs an independent fold
+# ---------------------------------------------------------------------------
+
+N_FUNNEL_SEEDS = 8
+_TYPE_POOL = ["view", "click", "cart", "purchase", "refund"]
+
+
+def _funnel_fold(rows, stages, horizon):
+    """Independent sequential reference of the funnel matching rule
+    (stage i = earliest event of its type strictly after stage i-1,
+    within horizon of stage 0) — a python fold, NOT a window query,
+    because each match depends on prior matches."""
+    per_user: dict[int, list[int]] = {}
+    for uid, typ, t in rows:
+        times = per_user.setdefault(uid, [-1] * len(stages))
+        for i, stage in enumerate(stages):
+            if times[i] != -1 or typ != stage:
+                continue
+            if i == 0:
+                times[i] = t
+            elif (
+                times[i - 1] != -1
+                and t > times[i - 1]
+                and t <= times[0] + horizon
+            ):
+                times[i] = t
+            break
+    out = {}
+    for uid, times in per_user.items():
+        depth = 0
+        for v in times:
+            if v == -1:
+                break
+            depth += 1
+        out[uid] = (
+            depth,
+            times[0] if times[0] != -1 else None,
+            times[depth - 1] if depth else None,
+        )
+    return out
+
+
+@pytest.mark.parametrize("seed", range(N_FUNNEL_SEEDS))
+def test_stream_funnel_differential(spark, tmp_path, seed):
+    """Randomized funnel shapes (stage count 2-4, sometimes with a
+    REPEATED stage type), horizons spanning never-expires to
+    tie-adjacent, heavy t ties, in-order arrival split across 1-5
+    micro-batches: the stream's final per-user (depth, t_first,
+    t_last) must equal the independent fold's."""
+    from processor_edf_spark.streaming.funnel import stream_funnel_stages
+
+    rng = random.Random(7000 + seed)
+    n_stages = rng.randint(2, 4)
+    if rng.random() < 0.3:  # repeated stage type (click -> click)
+        stages = tuple(rng.choices(_TYPE_POOL, k=n_stages))
+    else:
+        stages = tuple(rng.sample(_TYPE_POOL, n_stages))
+    horizon = rng.choice([3_000_000, 40_000_000, 10**15])
+
+    n_users = rng.randint(3, 8)
+    n = rng.randint(80, 200)
+    t_cards = rng.choice([20, 150, 4_000])
+    pdf = pd.DataFrame(
+        [
+            (
+                rng.randrange(n_users),
+                eid,
+                rng.choice(_TYPE_POOL),
+                rng.randint(0, t_cards) * 1_000_000,
+            )
+            for eid in range(n)
+        ],
+        columns=["user_id", "event_id", "event_type", "t"],
+    ).sort_values(["t", "event_id"])
+
+    k = rng.randint(1, 5)
+    _write_drops(spark, pdf, str(tmp_path / "in"), k)
+
+    want = _funnel_fold(
+        list(zip(pdf["user_id"], pdf["event_type"], pdf["t"])),
+        stages,
+        horizon,
+    )
+    # drop users whose events never touch a stage type (the stream's
+    # pre-shuffle filter removes them before any state exists)
+    stage_set = set(stages)
+    touched = {
+        int(u)
+        for u, typ in zip(pdf["user_id"], pdf["event_type"])
+        if typ in stage_set
+    }
+    want = {u: v for u, v in want.items() if u in touched}
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, "
+                                "event_type string, t long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in") + "/*")
+    )
+    (
+        stream_funnel_stages(stream, stages, horizon)
+        .writeStream.format("memory")
+        .queryName(f"fz_funnel_{seed}")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    rows = spark.sql(f"select * from fz_funnel_{seed}").collect()
+    got = {}
+    for r in rows:  # depth is monotone: keep each user's deepest row
+        cur = got.get(r["user_id"])
+        if cur is None or r["depth"] > cur[0]:
+            got[r["user_id"]] = (r["depth"], r["t_first"], r["t_last"])
+    assert got == want
