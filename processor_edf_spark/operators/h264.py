@@ -292,7 +292,7 @@ class _SPS:
         "mb_width", "mb_height", "log2_max_frame_num",
         "poc_type", "log2_max_poc_lsb", "delta_pic_order_always_zero",
         "crop_left", "crop_right", "crop_top", "crop_bottom",
-        "monochrome", "max_num_ref_frames",
+        "monochrome", "max_num_ref_frames", "direct_8x8",
     )
 
 
@@ -346,7 +346,7 @@ def _parse_sps(r: _BitReader) -> _SPS:
             "h264: interlaced (field) coding needs the optional codec "
             "library (av)"
         )
-    r.read(1)  # direct_8x8_inference_flag
+    sps.direct_8x8 = bool(r.read(1))  # direct_8x8_inference_flag
     sps.crop_left = sps.crop_right = sps.crop_top = sps.crop_bottom = 0
     if r.read(1):  # frame_cropping_flag — offsets in crop units:
         # 2 samples for 4:2:0 (SubWidthC/SubHeightC), 1 for monochrome
@@ -365,7 +365,8 @@ class _PPS:
     __slots__ = (
         "bottom_field_poc_present", "deblocking_control_present",
         "pic_init_qp", "chroma_qp_index_offset", "transform_8x8",
-        "num_ref_l0_default",
+        "num_ref_l0_default", "num_ref_l1_default",
+        "weighted_pred", "weighted_bipred_idc",
     )
 
 
@@ -384,9 +385,14 @@ def _parse_pps(r: _BitReader) -> _PPS:
             "h264: slice groups (FMO) need the optional codec library (av)"
         )
     pps.num_ref_l0_default = r.ue() + 1  # num_ref_idx_l0_default_active
-    r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.read(1)  # weighted_pred_flag
-    r.read(2)  # weighted_bipred_idc
+    pps.num_ref_l1_default = r.ue() + 1
+    # stored, enforced at slice level: explicit weights add a
+    # pred_weight_table to the slice header (P with weighted_pred,
+    # B with weighted_bipred_idc == 1) and implicit bi weights
+    # (idc == 2) change the §8.4.2.3 prediction math — both
+    # seam-gated rather than silently misdecoded
+    pps.weighted_pred = bool(r.read(1))
+    pps.weighted_bipred_idc = r.read(2)
     pps.pic_init_qp = 26 + r.se()
     r.se()  # pic_init_qs_minus26
     pps.chroma_qp_index_offset = r.se()
@@ -1199,6 +1205,7 @@ class _PicCtx:
     __slots__ = (
         "y", "u", "v", "nc_y", "nc_c", "mode4", "mb_slice",
         "mb_w", "mb_h", "filled", "qp", "mv", "ref",
+        "mv1", "ref1", "refpic", "poc", "serial",
         "mb_qp", "db_idc", "db_aoff", "db_boff",
     )
 
@@ -1222,6 +1229,20 @@ class _PicCtx:
         # -2 = not yet decoded, -1 = intra, 0 = the single L0 ref
         self.mv = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
         self.ref = np.full((self.mb_h * 4, self.mb_w * 4), -2, np.int8)
+        # r12 B-slice state: list-1 motion field (ref1 -2 = list-1
+        # data never written — a block is "decoded" iff ref[...] > -2;
+        # P/intra paths leave ref1 untouched and any negative value
+        # reads as "no list-1 prediction") plus per-list reference
+        # PICTURE identity (decode-order serial, -1 = none) — the
+        # deblock bS rule and direct modes compare pictures, not
+        # list indices (spec §8.7.2.1, §8.4.1.2).
+        self.mv1 = np.zeros((self.mb_h * 4, self.mb_w * 4, 2), np.int32)
+        self.ref1 = np.full((self.mb_h * 4, self.mb_w * 4), -2, np.int8)
+        self.refpic = np.full(
+            (self.mb_h * 4, self.mb_w * 4, 2), -1, np.int32
+        )
+        self.poc = 0  # PicOrderCnt (§8.2.1) — B list construction
+        self.serial = 0  # decode-order picture identity
         # r12 deblocking state, MB granularity: QPY for filtering
         # (0 for I_PCM), per-MB slice filter params (idc default 1 =
         # off, so fixture contexts that never set them skip the pass)
@@ -1307,7 +1328,8 @@ def _decode_intra_mb(
     crow, ccol = my * 2, mx * 2    # chroma 4x4-block coords
     y0, x0 = my * 16, mx * 16
     cy0, cx0 = my * 8, mx * 8
-    ctx.ref[br : br + 4, bc : bc + 4] = -1  # intra: no L0 motion
+    ctx.ref[br : br + 4, bc : bc + 4] = -1  # intra: no motion, either list
+    ctx.ref1[br : br + 4, bc : bc + 4] = -1
 
     if mb_type == 0:  # I_NxN
         if pps.transform_8x8 and r.read(1):
@@ -1536,36 +1558,69 @@ def _interp_chroma(plane, y0, x0, bh, bw, mvy, mvx):
     return out.astype(np.uint8)
 
 
-def _mv_nbr(ctx: _PicCtx, r: int, c: int, mb_idx: int):
-    """Neighboring 4x4 block for MV prediction -> (addr_available,
-    refIdx, mvx, mvy).  Intra neighbors are address-available but
-    carry refIdx -1 / zero MV (spec §8.4.1.3.2)."""
+class _RefPic:
+    """One decoded reference picture in the DPB: padded planes plus
+    the metadata B slices need — PicOrderCnt (default list
+    construction, temporal direct scaling, §8.2.4.2.3 / §8.4.1.2.3),
+    a decode-order serial (picture IDENTITY for the deblock bS rule
+    and the temporal-direct col→list0 remap) and the final per-4x4
+    motion fields of BOTH lists (colocated data for direct modes)."""
+
+    __slots__ = (
+        "y", "u", "v", "poc", "serial", "frame_num",
+        "ref0", "ref1", "mv0", "mv1", "refpic",
+    )
+
+    def __init__(self, ctx: _PicCtx, frame_num: int = 0):
+        self.y, self.u, self.v = ctx.y, ctx.u, ctx.v
+        self.poc = ctx.poc
+        self.serial = ctx.serial
+        self.frame_num = frame_num
+        self.ref0, self.ref1 = ctx.ref, ctx.ref1
+        self.mv0, self.mv1 = ctx.mv, ctx.mv1
+        self.refpic = ctx.refpic
+
+    def __getitem__(self, i: int):  # planes, tuple-compatible
+        return (self.y, self.u, self.v)[i]
+
+
+def _mv_nbr(ctx: _PicCtx, r: int, c: int, mb_idx: int, lx: int = 0):
+    """Neighboring 4x4 block for MV prediction in list ``lx`` ->
+    (addr_available, refIdx, mvx, mvy).  Intra neighbors — and, in B
+    slices, inter neighbors that do not predict from list ``lx`` —
+    are address-available but carry refIdx -1 / zero MV
+    (spec §8.4.1.3.2)."""
     if r < 0 or c < 0 or r >= ctx.ref.shape[0] or c >= ctx.ref.shape[1]:
         return False, -1, 0, 0
-    rv = int(ctx.ref[r, c])
-    if rv <= -2:  # not yet decoded (raster order / same MB)
+    refs, mvs = (ctx.ref, ctx.mv) if lx == 0 else (ctx.ref1, ctx.mv1)
+    rv = int(refs[r, c])
+    # per-list "not yet decoded" marker: B macroblocks fill each
+    # list's field in its own derivation pass, so a block whose
+    # list-lx entry is still -2 has not reached this list's pass yet
+    # and is unavailable as a neighbor (decode-order availability)
+    if rv <= -2:
         return False, -1, 0, 0
     other_mb = (r // 4) * ctx.mb_w + (c // 4)
     if not ctx._same_slice(mb_idx, other_mb):
         return False, -1, 0, 0
-    if rv < 0:  # intra-coded
+    if rv < 0:  # intra-coded, or not predicted from this list
         return True, -1, 0, 0
-    return True, rv, int(ctx.mv[r, c, 0]), int(ctx.mv[r, c, 1])
+    return True, rv, int(mvs[r, c, 0]), int(mvs[r, c, 1])
 
 
 def _mvp(ctx: _PicCtx, mb_idx: int, r: int, c: int, w4: int, h4: int,
-         special: str | None = None, cur_ref: int = 0):
+         special: str | None = None, cur_ref: int = 0, lx: int = 0):
     """Median motion-vector predictor for the partition whose top-left
     4x4 block is (r, c), spanning h4 x w4 blocks, predicting against
-    reference index ``cur_ref`` (spec §8.4.1.3).  ``special`` names
-    the directional 16x8/8x16 cases: 'T16x8' / 'B16x8' use B / A when
-    that neighbor references the same picture; 'L8x16' / 'R8x16' use
-    A / C."""
-    av_a, ref_a, ax, ay = _mv_nbr(ctx, r, c - 1, mb_idx)
-    av_b, ref_b, bx, by = _mv_nbr(ctx, r - 1, c, mb_idx)
-    av_c, ref_c, cx, cy = _mv_nbr(ctx, r - 1, c + w4, mb_idx)
+    reference index ``cur_ref`` of list ``lx`` (spec §8.4.1.3).
+    ``special`` names the directional 16x8/8x16 cases: 'T16x8' /
+    'B16x8' use B / A when that neighbor references the same picture;
+    'L8x16' / 'R8x16' use A / C."""
+    av_a, ref_a, ax, ay = _mv_nbr(ctx, r, c - 1, mb_idx, lx)
+    av_b, ref_b, bx, by = _mv_nbr(ctx, r - 1, c, mb_idx, lx)
+    av_c, ref_c, cx, cy = _mv_nbr(ctx, r - 1, c + w4, mb_idx, lx)
     if not av_c:  # C unavailable -> D (top-left), §8.4.1.3.2
-        av_c, ref_c, cx, cy = _mv_nbr(ctx, r - 1, c - 1, mb_idx)
+        av_c, ref_c, cx, cy = _mv_nbr(ctx, r - 1, c - 1, mb_idx, lx)
     if special == "T16x8" and ref_b == cur_ref:
         return bx, by
     if special == "B16x8" and ref_a == cur_ref:
@@ -1631,6 +1686,7 @@ def _mc_partition(ctx: _PicCtx, refp, mb_idx: int, r_off: int,
     ctx.mv[r : r + h4, c : c + w4, 0] = mvx
     ctx.mv[r : r + h4, c : c + w4, 1] = mvy
     ctx.ref[r : r + h4, c : c + w4] = ref_idx
+    ctx.refpic[r : r + h4, c : c + w4, 0] = refp.serial
     py, px = r * 4, c * 4
     ctx.y[py : py + h4 * 4, px : px + w4 * 4] = _interp_luma(
         refp[0], py, px, h4 * 4, w4 * 4, mvy, mvx
@@ -1730,8 +1786,17 @@ def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
                     ref_idx=ri,
                 )
 
-    # ---- inter residual (spec §7.3.5.3 with the Table 9-4 inter
-    # CBP mapping; luma has no DC/AC split outside I_16x16)
+    _inter_residual(r, ctx, pps, mb_idx)
+
+
+def _inter_residual(r: _BitReader, ctx: _PicCtx, pps: _PPS,
+                    mb_idx: int) -> None:
+    """Inter-MB residual, shared by P and B macroblocks (spec
+    §7.3.5.3 with the Table 9-4 inter CBP mapping; luma has no
+    DC/AC split outside I_16x16)."""
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    crow, ccol = my * 2, mx * 2
     cbp_code = r.ue()
     if cbp_code >= 48:
         raise UnsupportedMediaError("h264: invalid coded_block_pattern")
@@ -1796,6 +1861,435 @@ def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
 
 
 # ---------------------------------------------------------------------------
+# B slices (r12, second ratchet) — spec §7.3.5 / §8.4.1.2 / §8.4.2.3.
+# Everything below reuses the P-slice machinery (median MV predictor,
+# quarter-pel interpolation, the shared inter residual) and adds the
+# two-list layer: Table 7-14/7-18 partition geometry, te(v) ref_idx
+# per list, default bi-prediction (the +1 rounded average of the two
+# MC blocks — weighted_bipred_idc != 0 stays seam-gated), and BOTH
+# direct modes: spatial (§8.4.1.2.2, MB-level MinPositive reference
+# selection + per-block colZeroFlag against RefPicList1[0]) and
+# temporal (§8.4.1.2.3, POC-distance scaling of the colocated MV with
+# the col→list0 identity remap).  direct_8x8_inference_flag picks the
+# corner-sampled 8x8 granularity.  Default reference lists follow
+# §8.2.4.2.3 (L0 past-desc + future-asc, L1 mirrored, the first-two
+# swap when the lists coincide); POC itself is derived per §8.2.1
+# (types 0 and 2; type 1 B streams are seam-gated).
+# ---------------------------------------------------------------------------
+
+# Table 7-14: B mb_type 1..21 -> (partition geometry, per-partition
+# prediction mask: 1 = L0, 2 = L1, 3 = BI).  0 is B_Direct_16x16,
+# 22 is B_8x8, 23+ is intra-in-B.
+_B_GEOM16 = [(0, 0, 4, 4, None)]
+_B_MBTYPES = {
+    1: (_B_GEOM16, (1,)), 2: (_B_GEOM16, (2,)), 3: (_B_GEOM16, (3,)),
+    4: (_P_PARTS[1], (1, 1)), 5: (_P_PARTS[2], (1, 1)),
+    6: (_P_PARTS[1], (2, 2)), 7: (_P_PARTS[2], (2, 2)),
+    8: (_P_PARTS[1], (1, 2)), 9: (_P_PARTS[2], (1, 2)),
+    10: (_P_PARTS[1], (2, 1)), 11: (_P_PARTS[2], (2, 1)),
+    12: (_P_PARTS[1], (1, 3)), 13: (_P_PARTS[2], (1, 3)),
+    14: (_P_PARTS[1], (2, 3)), 15: (_P_PARTS[2], (2, 3)),
+    16: (_P_PARTS[1], (3, 1)), 17: (_P_PARTS[2], (3, 1)),
+    18: (_P_PARTS[1], (3, 2)), 19: (_P_PARTS[2], (3, 2)),
+    20: (_P_PARTS[1], (3, 3)), 21: (_P_PARTS[2], (3, 3)),
+}
+# Table 7-18: B sub_mb_type 1..12 -> (sub-partition geometry within
+# the 8x8, prediction mask); 0 is B_Direct_8x8.
+_B_SUBTYPES = {
+    1: (_P_SUB_PARTS[0], 1), 2: (_P_SUB_PARTS[0], 2),
+    3: (_P_SUB_PARTS[0], 3),
+    4: (_P_SUB_PARTS[1], 1), 5: (_P_SUB_PARTS[2], 1),
+    6: (_P_SUB_PARTS[1], 2), 7: (_P_SUB_PARTS[2], 2),
+    8: (_P_SUB_PARTS[1], 3), 9: (_P_SUB_PARTS[2], 3),
+    10: (_P_SUB_PARTS[3], 1), 11: (_P_SUB_PARTS[3], 2),
+    12: (_P_SUB_PARTS[3], 3),
+}
+
+
+def _min_positive(a: int, b: int) -> int:
+    """MinPositive (spec eq. 8-186): min when both non-negative,
+    else whichever is larger (i.e. the non-negative one, or -1)."""
+    if a >= 0 and b >= 0:
+        return min(a, b)
+    return max(a, b)
+
+
+def _div_trunc(a: int, b: int) -> int:
+    """Integer division truncating toward zero (the spec's '/')."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _clip3(lo: int, hi: int, x: int) -> int:
+    return lo if x < lo else (hi if x > hi else x)
+
+
+def _b_default_lists(dpb: list, cur_poc: int):
+    """Default B reference lists (spec §8.2.4.2.3, short-term frames):
+    L0 = POC-below-current descending then POC-above ascending; L1
+    mirrored; when the two lists would be identical and hold more
+    than one entry, L1's first two entries are swapped."""
+    past = sorted(
+        (p for p in dpb if p.poc <= cur_poc), key=lambda p: -p.poc
+    )
+    fut = sorted(
+        (p for p in dpb if p.poc > cur_poc), key=lambda p: p.poc
+    )
+    l0 = past + fut
+    l1 = fut + past
+    if len(l1) > 1 and l0 == l1:
+        l1 = [l1[1], l1[0]] + l1[2:]
+    return l0, l1
+
+
+def _col_block(col: _RefPic, r: int, c: int):
+    """Colocated 4x4 of RefPicList1[0] -> (mvCol, refIdxCol, referenced
+    picture serial), preferring the colocated block's list-0 data;
+    intra colocated blocks return refIdxCol -1 (spec §8.4.1.2.2)."""
+    if int(col.ref0[r, c]) >= 0:
+        return (
+            (int(col.mv0[r, c, 0]), int(col.mv0[r, c, 1])),
+            int(col.ref0[r, c]),
+            int(col.refpic[r, c, 0]),
+        )
+    if int(col.ref1[r, c]) >= 0:
+        return (
+            (int(col.mv1[r, c, 0]), int(col.mv1[r, c, 1])),
+            int(col.ref1[r, c]),
+            int(col.refpic[r, c, 1]),
+        )
+    return (0, 0), -1, -1
+
+
+# direct-prediction block grid per 8x8 quadrant: with
+# direct_8x8_inference_flag the quadrant is one 8x8 block sampling
+# the colocated MB's OUTER CORNER 4x4; without it, four 4x4 blocks
+# sampling their own colocated positions.
+_DIRECT_CORNER = {0: (0, 0), 1: (0, 3), 2: (3, 0), 3: (3, 3)}
+
+
+def _direct_grid(inference: bool, quads):
+    out = []
+    for i8 in quads:
+        qr, qc = 2 * (i8 // 2), 2 * (i8 % 2)
+        if inference:
+            cr, cc = _DIRECT_CORNER[i8]
+            out.append((qr, qc, 2, 2, cr, cc))
+        else:
+            for dr in range(2):
+                for dc in range(2):
+                    out.append(
+                        (qr + dr, qc + dc, 1, 1, qr + dr, qc + dc)
+                    )
+    return out
+
+
+def _derive_direct(ctx: _PicCtx, mb_idx: int, l0, l1, spatial: bool,
+                   inference: bool, quads=(0, 1, 2, 3)):
+    """Direct motion for the given 8x8 quadrants of a B macroblock ->
+    [(r_off, c_off, h4, w4, ref0, mv0, ref1, mv1)] with refX = -1
+    when list X is unused.  Reads only MB-external neighbor state and
+    the colocated picture, so B_Direct_8x8 quadrants may be derived
+    before the macroblock's explicit partitions are filled in."""
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    col = l1[0]
+    out = []
+    if spatial:  # §8.4.1.2.2
+        refs = []
+        for lxx in (0, 1):
+            a = _mv_nbr(ctx, br, bc - 1, mb_idx, lxx)[1]
+            b = _mv_nbr(ctx, br - 1, bc, mb_idx, lxx)[1]
+            c_nbr = _mv_nbr(ctx, br - 1, bc + 4, mb_idx, lxx)
+            if not c_nbr[0]:
+                c_nbr = _mv_nbr(ctx, br - 1, bc - 1, mb_idx, lxx)
+            refs.append(_min_positive(_min_positive(a, b), c_nbr[1]))
+        ref0, ref1 = refs
+        zero_all = ref0 < 0 and ref1 < 0  # directZeroPredictionFlag
+        if zero_all:
+            ref0 = ref1 = 0
+        mvp0 = (
+            _mvp(ctx, mb_idx, br, bc, 4, 4, None, ref0, 0)
+            if ref0 >= 0 else (0, 0)
+        )
+        mvp1 = (
+            _mvp(ctx, mb_idx, br, bc, 4, 4, None, ref1, 1)
+            if ref1 >= 0 else (0, 0)
+        )
+        for ro, co, h4, w4, cr, cc in _direct_grid(inference, quads):
+            mvcol, col_ri, _ = _col_block(col, br + cr, bc + cc)
+            colzero = (
+                col_ri == 0
+                and abs(mvcol[0]) <= 1
+                and abs(mvcol[1]) <= 1
+            )
+            mv0 = (
+                (0, 0)
+                if zero_all or (ref0 == 0 and colzero)
+                else mvp0
+            )
+            mv1 = (
+                (0, 0)
+                if zero_all or (ref1 == 0 and colzero)
+                else mvp1
+            )
+            out.append((ro, co, h4, w4, ref0, mv0, ref1, mv1))
+        return out
+    # temporal (§8.4.1.2.3): scale the colocated MV by POC distances
+    serial_to_l0 = {}
+    for i, p in enumerate(l0):
+        serial_to_l0.setdefault(p.serial, i)
+    for ro, co, h4, w4, cr, cc in _direct_grid(inference, quads):
+        mvcol, col_ri, col_serial = _col_block(col, br + cr, bc + cc)
+        if col_ri < 0:  # colocated intra: refIdxL0 = 0, mvCol = 0
+            ref0, mvcol = 0, (0, 0)
+        else:
+            ref0 = serial_to_l0.get(col_serial)
+            if ref0 is None:
+                raise UnsupportedMediaError(
+                    "h264: temporal-direct colocated reference is not "
+                    "in the current list 0"
+                )
+        pic0 = l0[ref0]
+        td = _clip3(-128, 127, col.poc - pic0.poc)
+        if td == 0:  # long-term refs are seam-gated, so td==0 only
+            mv0, mv1 = mvcol, (0, 0)
+        else:
+            tb = _clip3(-128, 127, ctx.poc - pic0.poc)
+            tx = _div_trunc(16384 + abs(_div_trunc(td, 2)), td)
+            dsf = _clip3(-1024, 1023, (tb * tx + 32) >> 6)
+            mv0 = (
+                (dsf * mvcol[0] + 128) >> 8,
+                (dsf * mvcol[1] + 128) >> 8,
+            )
+            mv1 = (mv0[0] - mvcol[0], mv0[1] - mvcol[1])
+        out.append((ro, co, h4, w4, ref0, mv0, 0, mv1))
+    return out
+
+
+def _b_store_fields(ctx: _PicCtx, mb_idx: int, ro, co, h4, w4,
+                    lx: int, ref: int, mv, lst) -> None:
+    """Record one partition's list-``lx`` motion field (ref -1 =
+    decoded but not predicted from this list)."""
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    r, c = my * 4 + ro, mx * 4 + co
+    refs, mvs = (ctx.ref, ctx.mv) if lx == 0 else (ctx.ref1, ctx.mv1)
+    refs[r : r + h4, c : c + w4] = ref if ref >= 0 else -1
+    mvs[r : r + h4, c : c + w4, 0] = mv[0] if ref >= 0 else 0
+    mvs[r : r + h4, c : c + w4, 1] = mv[1] if ref >= 0 else 0
+    ctx.refpic[r : r + h4, c : c + w4, lx] = (
+        lst[ref].serial if ref >= 0 else -1
+    )
+
+
+def _pred_block(refp: _RefPic, py, px, h, w, mv):
+    """Single-list interpolated prediction (luma + both chroma)."""
+    y = _interp_luma(refp.y, py, px, h, w, mv[1], mv[0])
+    u = _interp_chroma(
+        refp.u, py // 2, px // 2, h // 2, w // 2, mv[1], mv[0]
+    )
+    v = _interp_chroma(
+        refp.v, py // 2, px // 2, h // 2, w // 2, mv[1], mv[0]
+    )
+    return y, u, v
+
+
+def _b_pred_part(l0, l1, py, px, h, w, ref0, mv0, ref1, mv1):
+    """(Y, U, V) prediction for one B partition at picture offset
+    (py, px): single-list MC, or the default weighted bi average
+    (predL0 + predL1 + 1) >> 1 on the per-list interpolated samples
+    (spec §8.4.2.3.2)."""
+    if ref0 >= 0 and ref1 >= 0:
+        y0b, u0b, v0b = _pred_block(l0[ref0], py, px, h, w, mv0)
+        y1b, u1b, v1b = _pred_block(l1[ref1], py, px, h, w, mv1)
+        return (
+            ((y0b.astype(np.int32) + y1b + 1) >> 1).astype(np.uint8),
+            ((u0b.astype(np.int32) + u1b + 1) >> 1).astype(np.uint8),
+            ((v0b.astype(np.int32) + v1b + 1) >> 1).astype(np.uint8),
+        )
+    if ref0 >= 0:
+        return _pred_block(l0[ref0], py, px, h, w, mv0)
+    return _pred_block(l1[ref1], py, px, h, w, mv1)
+
+
+def _mc_part_b(ctx: _PicCtx, l0, l1, mb_idx: int, ro, co, h4, w4,
+               ref0: int, mv0, ref1: int, mv1) -> None:
+    """Motion-compensate one B partition into the picture planes,
+    storing both lists' motion fields."""
+    _b_store_fields(ctx, mb_idx, ro, co, h4, w4, 0, ref0, mv0, l0)
+    _b_store_fields(ctx, mb_idx, ro, co, h4, w4, 1, ref1, mv1, l1)
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    py, px = (my * 4 + ro) * 4, (mx * 4 + co) * 4
+    h, w = h4 * 4, w4 * 4
+    yb, ub, vb = _b_pred_part(
+        l0, l1, py, px, h, w, ref0, mv0, ref1, mv1
+    )
+    ctx.y[py : py + h, px : px + w] = yb
+    cy, cx = py // 2, px // 2
+    ctx.u[cy : cy + h // 2, cx : cx + w // 2] = ub
+    ctx.v[cy : cy + h // 2, cx : cx + w // 2] = vb
+
+
+def _decode_bskip(ctx: _PicCtx, mb_idx: int, l0, l1, spatial: bool,
+                  inference: bool) -> None:
+    """B_Skip: direct prediction, zero residual (spec §7.3.4)."""
+    for e in _derive_direct(ctx, mb_idx, l0, l1, spatial, inference):
+        _mc_part_b(ctx, l0, l1, mb_idx, *e)
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    ctx.nc_y[br : br + 4, bc : bc + 4] = 0
+    ctx.nc_c[0][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    ctx.nc_c[1][my * 2 : my * 2 + 2, mx * 2 : mx * 2 + 2] = 0
+    ctx.mode4[br : br + 4, bc : bc + 4] = 2
+
+
+def _decode_b_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS, mb_idx: int,
+                 mb_type: int, l0, l1, spatial: bool,
+                 inference: bool) -> None:
+    """One CAVLC B macroblock, mb_type 0..22 (Table 7-14): parse
+    ref_idx per list (te(v)), all list-0 MVDs then all list-1 MVDs
+    (§7.3.5.1/.2), derive each list's median predictor in partition
+    order, motion-compensate (bi partitions average), then the shared
+    inter residual."""
+    if ctx.u is None:
+        raise UnsupportedMediaError(
+            "h264: entropy-coded 4:0:0 macroblocks need the optional "
+            "codec library (av) — monochrome decodes I_PCM only"
+        )
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    n0, n1 = len(l0), len(l1)
+
+    def read_ref(n: int) -> int:
+        ri = _read_te(r, n - 1) if n > 1 else 0
+        if ri >= n:
+            raise UnsupportedMediaError("h264: ref_idx out of range")
+        return ri
+
+    if mb_type == 0:  # B_Direct_16x16
+        for e in _derive_direct(ctx, mb_idx, l0, l1, spatial,
+                                inference):
+            _mc_part_b(ctx, l0, l1, mb_idx, *e)
+    elif mb_type <= 21:
+        geom, masks = _B_MBTYPES[mb_type]
+        refs = ({}, {})
+        for lx, n in ((0, n0), (1, n1)):
+            for p, m in enumerate(masks):
+                if m & (1 << lx):
+                    refs[lx][p] = read_ref(n)
+        mvds = ({}, {})
+        for lx in (0, 1):
+            for p, m in enumerate(masks):
+                if m & (1 << lx):
+                    mvds[lx][p] = (r.se(), r.se())
+        derived = ({}, {})
+        for lx, lst in ((0, l0), (1, l1)):
+            for p, ((ro, co, h4, w4, special), m) in enumerate(
+                zip(geom, masks)
+            ):
+                if m & (1 << lx):
+                    ri = refs[lx][p]
+                    mpx, mpy = _mvp(
+                        ctx, mb_idx, br + ro, bc + co, w4, h4,
+                        special, ri, lx,
+                    )
+                    dx, dy = mvds[lx][p]
+                    mv = (mpx + dx, mpy + dy)
+                    derived[lx][p] = (ri, mv)
+                    _b_store_fields(
+                        ctx, mb_idx, ro, co, h4, w4, lx, ri, mv, lst
+                    )
+                else:
+                    _b_store_fields(
+                        ctx, mb_idx, ro, co, h4, w4, lx, -1, (0, 0),
+                        lst,
+                    )
+        for p, (ro, co, h4, w4, _sp) in enumerate(geom):
+            r0, m0 = derived[0].get(p, (-1, (0, 0)))
+            r1, m1 = derived[1].get(p, (-1, (0, 0)))
+            _mc_part_b(ctx, l0, l1, mb_idx, ro, co, h4, w4,
+                       r0, m0, r1, m1)
+    else:  # 22: B_8x8
+        subs = [r.ue() for _ in range(4)]
+        if any(s > 12 for s in subs):
+            raise UnsupportedMediaError("h264: invalid B sub_mb_type")
+        direct_quads = [i8 for i8 in range(4) if subs[i8] == 0]
+        direct_entries = (
+            _derive_direct(ctx, mb_idx, l0, l1, spatial, inference,
+                           quads=direct_quads)
+            if direct_quads else []
+        )
+        refs8 = ({}, {})
+        for lx, n in ((0, n0), (1, n1)):
+            for i8 in range(4):
+                if subs[i8] and _B_SUBTYPES[subs[i8]][1] & (1 << lx):
+                    refs8[lx][i8] = read_ref(n)
+        mvds = ({}, {})
+        for lx in (0, 1):
+            for i8 in range(4):
+                if subs[i8]:
+                    parts, m = _B_SUBTYPES[subs[i8]]
+                    if m & (1 << lx):
+                        for s_i in range(len(parts)):
+                            mvds[lx][i8, s_i] = (r.se(), r.se())
+        derived = ({}, {})
+        d_by_quad = {}
+        for e in direct_entries:
+            d_by_quad.setdefault(
+                (e[0] // 2) * 2 + (e[1] // 2), []
+            ).append(e)
+        for lx, lst in ((0, l0), (1, l1)):
+            for i8 in range(4):
+                base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+                if subs[i8] == 0:
+                    for ro, co, h4, w4, d0, dm0, d1, dm1 in (
+                        d_by_quad[i8]
+                    ):
+                        ref, mv = (d0, dm0) if lx == 0 else (d1, dm1)
+                        _b_store_fields(
+                            ctx, mb_idx, ro, co, h4, w4, lx, ref,
+                            mv, lst,
+                        )
+                    continue
+                parts, m = _B_SUBTYPES[subs[i8]]
+                for s_i, (ro, co, h4, w4) in enumerate(parts):
+                    rr, cc = base_r + ro, base_c + co
+                    if m & (1 << lx):
+                        ri = refs8[lx][i8]
+                        mpx, mpy = _mvp(
+                            ctx, mb_idx, br + rr, bc + cc, w4, h4,
+                            None, ri, lx,
+                        )
+                        dx, dy = mvds[lx][i8, s_i]
+                        mv = (mpx + dx, mpy + dy)
+                        derived[lx][i8, s_i] = (ri, mv)
+                        _b_store_fields(
+                            ctx, mb_idx, rr, cc, h4, w4, lx, ri, mv,
+                            lst,
+                        )
+                    else:
+                        _b_store_fields(
+                            ctx, mb_idx, rr, cc, h4, w4, lx, -1,
+                            (0, 0), lst,
+                        )
+        for e in direct_entries:
+            _mc_part_b(ctx, l0, l1, mb_idx, *e)
+        for i8 in range(4):
+            if subs[i8] == 0:
+                continue
+            base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+            parts, _m = _B_SUBTYPES[subs[i8]]
+            for s_i, (ro, co, h4, w4) in enumerate(parts):
+                r0, m0 = derived[0].get((i8, s_i), (-1, (0, 0)))
+                r1, m1 = derived[1].get((i8, s_i), (-1, (0, 0)))
+                _mc_part_b(
+                    ctx, l0, l1, mb_idx, base_r + ro, base_c + co,
+                    h4, w4, r0, m0, r1, m1,
+                )
+    _inter_residual(r, ctx, pps, mb_idx)
+
+
+# ---------------------------------------------------------------------------
 # In-loop deblocking filter (r12) — spec §8.7.  Until now any stream
 # that did not explicitly disable the filter was rejected (a
 # filter-less decode of a filtered stream is quietly wrong); this
@@ -1845,23 +2339,58 @@ _DB_TC0 = np.array(
 )
 
 
+def _block_preds(ctx: _PicCtx, r, c):
+    """[(ref picture serial, (mvx, mvy))] for each list the inter
+    block at (r, c) predicts from (deblock bS inputs, §8.7.2.1)."""
+    preds = []
+    for refs, mvs, li in (
+        (ctx.ref, ctx.mv, 0), (ctx.ref1, ctx.mv1, 1)
+    ):
+        if int(refs[r, c]) >= 0:
+            preds.append(
+                (
+                    int(ctx.refpic[r, c, li]),
+                    (int(mvs[r, c, 0]), int(mvs[r, c, 1])),
+                )
+            )
+    return preds
+
+
+def _mv_far(a, b) -> bool:
+    return abs(a[0] - b[0]) >= 4 or abs(a[1] - b[1]) >= 4
+
+
 def _edge_bs(ctx: _PicCtx, rp, cp, rq, cq, mb_edge: bool) -> int:
     """Boundary strength between luma 4x4 blocks p=(rp,cp), q=(rq,cq)
-    (spec §8.7.2.1, frame coding, single L0 reference)."""
-    intra_p = ctx.ref[rp, cp] == -1
-    intra_q = ctx.ref[rq, cq] == -1
+    (spec §8.7.2.1, frame coding).  Reference pictures are compared
+    by IDENTITY (decode-order serial) regardless of which list or
+    index reaches them, per the spec note under §8.7.2.1."""
+    intra_p = ctx.ref[rp, cp] == -1 and ctx.ref1[rp, cp] < 0
+    intra_q = ctx.ref[rq, cq] == -1 and ctx.ref1[rq, cq] < 0
     if intra_p or intra_q:
         return 4 if mb_edge else 3
     if ctx.nc_y[rp, cp] > 0 or ctx.nc_y[rq, cq] > 0:
         return 2
-    if ctx.ref[rp, cp] != ctx.ref[rq, cq]:  # different ref pictures
+    p_preds = _block_preds(ctx, rp, cp)
+    q_preds = _block_preds(ctx, rq, cq)
+    if len(p_preds) != len(q_preds):  # different number of MVs
         return 1
-    if (
-        abs(int(ctx.mv[rp, cp, 0]) - int(ctx.mv[rq, cq, 0])) >= 4
-        or abs(int(ctx.mv[rp, cp, 1]) - int(ctx.mv[rq, cq, 1])) >= 4
-    ):
-        return 1
-    return 0
+    if sorted(p[0] for p in p_preds) != sorted(q[0] for q in q_preds):
+        return 1  # different reference pictures
+    if len(p_preds) == 1:
+        return 1 if _mv_far(p_preds[0][1], q_preds[0][1]) else 0
+    (pa_pic, pa), (pb_pic, pb) = p_preds
+    (qa_pic, qa), (qb_pic, qb) = q_preds
+    if pa_pic != pb_pic:
+        # two distinct pictures: pair MVs by picture
+        if qa_pic != pa_pic:
+            qa, qb = qb, qa
+        return 1 if (_mv_far(pa, qa) or _mv_far(pb, qb)) else 0
+    # both predictions from the SAME picture: bS 0 if EITHER pairing
+    # keeps every component difference < 4 (spec §8.7.2.1 last clause)
+    straight = not (_mv_far(pa, qa) or _mv_far(pb, qb))
+    crossed = not (_mv_far(pa, qb) or _mv_far(pb, qa))
+    return 0 if (straight or crossed) else 1
 
 
 def _filter_edge_luma(p, q, bs, ia, ib):
@@ -2088,9 +2617,16 @@ def decode_h264_ipcm(payload: bytes):
     cur: _PicCtx | None = None  # the picture being assembled
     n_mbs = 0
     slice_serial = 0
-    dpb: list[tuple] = []  # short-term refs, most recent first (§8.2.4)
+    dpb: list[_RefPic] = []  # short-term refs, most recent first (§8.2.4)
     cur_ref_idc = 0
     cur_cqo = 0  # chroma_qp_index_offset of the picture's PPS
+    cur_fn = 0  # frame_num of the picture being assembled
+    pic_serial = 0  # decode-order picture identity
+    # POC derivation state (§8.2.1): type 0 tracks the last REFERENCE
+    # picture's msb/lsb; type 2 tracks the previous picture's
+    # frame_num and FrameNumOffset
+    poc_msb = poc_lsb_prev = 0
+    prev_fn = prev_fn_off = 0
 
     def flush():
         nonlocal cur
@@ -2106,7 +2642,7 @@ def decode_h264_ipcm(payload: bytes):
             _deblock_picture(cur, cur_cqo)
             frames.append((cur.y, cur.u, cur.v))
             if cur_ref_idc:  # sliding-window marking (§8.2.5.3)
-                dpb.insert(0, (cur.y, cur.u, cur.v))
+                dpb.insert(0, _RefPic(cur, frame_num=cur_fn))
                 del dpb[max(1, sps.max_num_ref_frames):]
             cur = None
 
@@ -2129,38 +2665,66 @@ def decode_h264_ipcm(payload: bytes):
             first_mb = r.ue()
             slice_type = r.ue()
             st = slice_type % 5
-            if st not in (0, 2):  # 0/5 = P, 2/7 = I (spec table 7-6)
+            if st not in (0, 1, 2):  # 0/5=P, 1/6=B, 2/7=I (table 7-6)
                 raise UnsupportedMediaError(
-                    "h264: B/SP/SI slices need the optional codec "
+                    "h264: SP/SI slices need the optional codec "
                     "library (av)"
                 )
             is_p = st == 0
-            if is_p and nal_type == 5:
+            is_b = st == 1
+            if (is_p or is_b) and nal_type == 5:
                 raise UnsupportedMediaError(
-                    "h264: IDR pictures cannot contain P slices"
+                    "h264: IDR pictures cannot contain P/B slices"
                 )
             r.ue()  # pic_parameter_set_id
-            r.read(sps.log2_max_frame_num)  # frame_num
+            fn = r.read(sps.log2_max_frame_num)  # frame_num
             if nal_type == 5:
                 r.ue()  # idr_pic_id
+            poc_lsb = 0
             if sps.poc_type == 0:
-                r.read(sps.log2_max_poc_lsb)
+                poc_lsb = r.read(sps.log2_max_poc_lsb)
                 if pps.bottom_field_poc_present:
                     r.se()
             elif sps.poc_type == 1 and not sps.delta_pic_order_always_zero:
                 r.se()
                 if pps.bottom_field_poc_present:
                     r.se()
+            if is_b:
+                if sps.poc_type == 1:
+                    raise UnsupportedMediaError(
+                        "h264: B slices with pic_order_cnt_type 1 "
+                        "need the optional codec library (av)"
+                    )
+                if pps.weighted_bipred_idc:
+                    raise UnsupportedMediaError(
+                        "h264: weighted bi-prediction needs the "
+                        "optional codec library (av)"
+                    )
+                spatial_direct = bool(r.read(1))
+            if is_p and pps.weighted_pred:
+                raise UnsupportedMediaError(
+                    "h264: weighted prediction needs the optional "
+                    "codec library (av)"
+                )
             num_ref = 1
-            if is_p:
+            num_ref1 = 1
+            if is_p or is_b:
                 num_ref = pps.num_ref_l0_default
+                num_ref1 = pps.num_ref_l1_default
                 if r.read(1):  # num_ref_idx_active_override_flag
                     num_ref = r.ue() + 1
-                if num_ref > 16:
+                    if is_b:
+                        num_ref1 = r.ue() + 1
+                if num_ref > 16 or num_ref1 > 16:
                     raise UnsupportedMediaError(
-                        "h264: num_ref_idx_l0_active out of range"
+                        "h264: num_ref_idx_lX_active out of range"
                     )
                 if r.read(1):  # ref_pic_list_modification_flag_l0
+                    raise UnsupportedMediaError(
+                        "h264: reference-list modification needs the "
+                        "optional codec library (av)"
+                    )
+                if is_b and r.read(1):  # ..._flag_l1
                     raise UnsupportedMediaError(
                         "h264: reference-list modification needs the "
                         "optional codec library (av)"
@@ -2188,9 +2752,44 @@ def decode_h264_ipcm(payload: bytes):
                 flush()
                 if nal_type == 5:  # IDR: all refs marked unused (§8.2.5.1)
                     dpb.clear()
+                    poc_msb = poc_lsb_prev = 0
+                    prev_fn = prev_fn_off = 0
                 cur = _PicCtx(sps)
                 cur_ref_idc = (hdr >> 5) & 0x3
                 cur_cqo = pps.chroma_qp_index_offset
+                cur_fn = fn
+                pic_serial += 1
+                cur.serial = pic_serial
+                # PicOrderCnt (§8.2.1.1 / §8.2.1.3)
+                if sps.poc_type == 0:
+                    max_lsb = 1 << sps.log2_max_poc_lsb
+                    if (
+                        poc_lsb < poc_lsb_prev
+                        and poc_lsb_prev - poc_lsb >= max_lsb // 2
+                    ):
+                        msb = poc_msb + max_lsb
+                    elif (
+                        poc_lsb > poc_lsb_prev
+                        and poc_lsb - poc_lsb_prev > max_lsb // 2
+                    ):
+                        msb = poc_msb - max_lsb
+                    else:
+                        msb = poc_msb
+                    cur.poc = msb + poc_lsb
+                    if cur_ref_idc:  # prev state follows ref pics only
+                        poc_msb, poc_lsb_prev = msb, poc_lsb
+                elif sps.poc_type == 2:
+                    max_fn = 1 << sps.log2_max_frame_num
+                    fn_off = (
+                        0 if nal_type == 5
+                        else prev_fn_off + (max_fn if prev_fn > fn else 0)
+                    )
+                    cur.poc = 2 * (fn_off + fn) - (
+                        0 if cur_ref_idc else 1
+                    )
+                    prev_fn, prev_fn_off = fn, fn_off
+                else:  # type 1: B slices are rejected above; P/I
+                    cur.poc = 0  # decode without output reordering
             if cur is None or first_mb != cur.filled:
                 raise UnsupportedMediaError(
                     "h264: slices out of macroblock order"
@@ -2202,6 +2801,25 @@ def decode_h264_ipcm(payload: bytes):
                     else "h264: fewer decoded reference pictures than "
                          "num_ref_idx_l0_active"
                 )
+            bl0 = bl1 = None
+            if is_b:
+                if cur.u is None:
+                    raise UnsupportedMediaError(
+                        "h264: entropy-coded 4:0:0 macroblocks need "
+                        "the optional codec library (av) — monochrome "
+                        "decodes I_PCM only"
+                    )
+                if not dpb:
+                    raise UnsupportedMediaError(
+                        "h264: B slice with no decoded reference picture"
+                    )
+                if num_ref > len(dpb) or num_ref1 > len(dpb):
+                    raise UnsupportedMediaError(
+                        "h264: fewer decoded reference pictures than "
+                        "num_ref_idx_lX_active"
+                    )
+                l0_full, l1_full = _b_default_lists(dpb, cur.poc)
+                bl0, bl1 = l0_full[:num_ref], l1_full[:num_ref1]
             slice_serial += 1
             cur.qp = pps.pic_init_qp + slice_qp_delta
             if not 0 <= cur.qp <= 51:
@@ -2212,7 +2830,7 @@ def decode_h264_ipcm(payload: bytes):
             # ends a slice that covers only part of the picture.
             stop = _rbsp_stop_bit(r.data)
             while r.pos < stop:
-                if is_p:
+                if is_p or is_b:
                     run = r.ue()  # mb_skip_run (spec §7.3.4)
                     if mb + run > n_mbs:
                         raise UnsupportedMediaError(
@@ -2226,7 +2844,13 @@ def decode_h264_ipcm(payload: bytes):
                         )
                     for _ in range(run):
                         cur.mb_slice[mb] = slice_serial
-                        _decode_pskip(cur, mb, dpb[0])
+                        if is_b:
+                            _decode_bskip(
+                                cur, mb, bl0, bl1, spatial_direct,
+                                sps.direct_8x8,
+                            )
+                        else:
+                            _decode_pskip(cur, mb, dpb[0])
                         cur.mb_qp[mb] = cur.qp
                         cur.db_idc[mb] = db_idc
                         cur.db_aoff[mb] = db_aoff
@@ -2255,6 +2879,17 @@ def decode_h264_ipcm(payload: bytes):
                         cur.filled = mb
                         continue
                     mb_type -= 5  # intra-in-P (spec table 7-13)
+                elif is_b:
+                    if mb_type <= 22:  # Table 7-14 inter B types
+                        _decode_b_mb(
+                            r, cur, pps, mb, mb_type, bl0, bl1,
+                            spatial_direct, sps.direct_8x8,
+                        )
+                        cur.mb_qp[mb] = cur.qp
+                        mb += 1
+                        cur.filled = mb
+                        continue
+                    mb_type -= 23  # intra-in-B (spec table 7-14)
                 if mb_type > _IPCM_MB_TYPE:
                     raise UnsupportedMediaError(
                         "h264: invalid macroblock type"
@@ -2280,6 +2915,8 @@ def decode_h264_ipcm(payload: bytes):
                     cur.mode4[my * 4 : my * 4 + 4,
                               mx * 4 : mx * 4 + 4] = 2
                     cur.ref[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = -1
+                    cur.ref1[my * 4 : my * 4 + 4,
+                             mx * 4 : mx * 4 + 4] = -1
                     cur.mb_qp[mb] = 0  # QPY of I_PCM is 0 (§7.4.5)
                 else:
                     _decode_intra_mb(r, cur, pps, mb, mb_type)
@@ -2627,6 +3264,7 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
     y0, x0 = my * 16, mx * 16
     cy0, cx0 = my * 8, mx * 8
     ctx.ref[br : br + 4, bc : bc + 4] = -1
+    ctx.ref1[br : br + 4, bc : bc + 4] = -1
     kind = (mb * 5 + f_idx) % 7  # deterministic MB-type mix
 
     ctx.mb_qp[mb] = qp
@@ -2896,6 +3534,7 @@ def _mc_pred_mb(ctx, dpb, mb, parts):
         ctx.mv[r : r + h4, c : c + w4, 0] = mvx
         ctx.mv[r : r + h4, c : c + w4, 1] = mvy
         ctx.ref[r : r + h4, c : c + w4] = ri
+        ctx.refpic[r : r + h4, c : c + w4, 0] = refp.serial
         py, px = r * 4, c * 4
         ly, lx = r_off * 4, c_off * 4
         pred_y[ly : ly + h4 * 4, lx : lx + w4 * 4] = _interp_luma(
@@ -3130,7 +3769,7 @@ def encode_h264_inter_recon(frames, width: int, height: int,
         "P_Skip": 0, "P_16x16": 0, "P_16x8": 0, "P_8x16": 0,
         "P_8x8": 0, "intra_in_p": 0, "multiref": 0, "fracs": set(),
     }
-    dpb: list[tuple] = []  # padded recon planes, most recent first
+    dpb: list[_RefPic] = []  # padded recon pictures, most recent first
     for f_idx, (y, u, v) in enumerate(frames):
         y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
         y_pad[:height, :width] = np.asarray(y, np.uint8)
@@ -3142,6 +3781,8 @@ def encode_h264_inter_recon(frames, width: int, height: int,
         ctx = _PicCtx(sps)
         ctx.mb_slice[:] = 1
         ctx.qp = qp
+        ctx.serial = f_idx + 1  # decode-order identity for refpic
+        ctx.poc = 2 * f_idx
         w = _BitWriter()
         w.ue(0)  # first_mb_in_slice
         if f_idx == 0:
@@ -3335,7 +3976,7 @@ def encode_h264_inter_recon(frames, width: int, height: int,
             _deblock_picture(ctx, 0)  # chroma_qp_index_offset is 0
         if f_idx == 0:
             dpb.clear()  # IDR: all refs marked unused (§8.2.5.1)
-        dpb.insert(0, (ctx.y, ctx.u, ctx.v))
+        dpb.insert(0, _RefPic(ctx))
         del dpb[max(1, num_refs):]
         recons.append(
             (
@@ -3345,3 +3986,530 @@ def encode_h264_inter_recon(frames, width: int, height: int,
             )
         )
     return bytes(out), recons, stats
+
+
+def _write_te(w: _BitWriter, val: int, max_val: int) -> None:
+    """te(v) (spec §9.1.1): nothing when the range is [0, 0], one
+    flipped bit for [0, 1], plain ue(v) otherwise — the exact mirror
+    of the decoder's ref_idx read (absent when one ref is active)."""
+    if max_val <= 0:
+        return
+    if max_val == 1:
+        w.write(1 - val, 1)
+    else:
+        w.ue(val)
+
+
+def _b_pred_mb(ctx, l0, l1, mb, entries):
+    """Prediction planes for a whole B macroblock from derived
+    partition entries (r_off, c_off, h4, w4, ref0, mv0, ref1, mv1)."""
+    my, mx = divmod(mb, ctx.mb_w)
+    pred_y = np.empty((16, 16), np.uint8)
+    pred_u = np.empty((8, 8), np.uint8)
+    pred_v = np.empty((8, 8), np.uint8)
+    for ro, co, h4, w4, r0, m0, r1, m1 in entries:
+        py, px = (my * 4 + ro) * 4, (mx * 4 + co) * 4
+        h, w = h4 * 4, w4 * 4
+        yb, ub, vb = _b_pred_part(
+            l0, l1, py, px, h, w, r0, m0, r1, m1
+        )
+        ly, lc = ro * 4, co * 4
+        pred_y[ly : ly + h, lc : lc + w] = yb
+        pred_u[ly // 2 : ly // 2 + h // 2,
+               lc // 2 : lc // 2 + w // 2] = ub
+        pred_v[ly // 2 : ly // 2 + h // 2,
+               lc // 2 : lc // 2 + w // 2] = vb
+    return pred_y, pred_u, pred_v
+
+
+def _b_gop(nf: int):
+    """Coded-order GOP plan [(display_idx, 'I'|'P'|'B')]: IDR, then
+    P/B pairs (the B between its past and future reference); a
+    trailing odd frame becomes a past-only B (which exercises the
+    §8.2.4.2.3 first-two-entries L1 swap)."""
+    coded = [(0, "I")]
+    d = 1
+    while d < nf:
+        if d + 1 < nf:
+            coded.append((d + 1, "P"))
+            coded.append((d, "B"))
+            d += 2
+        else:
+            coded.append((d, "B"))
+            d += 1
+    return coded
+
+
+# explicit B kinds used by the encoder mix: kind -> Table 7-14 mb_type
+_B_KIND_TYPES = {2: 1, 3: 2, 4: 3, 5: 8, 6: 11, 7: 16, 8: 15, 9: 20}
+
+
+def encode_h264_bipred_recon(frames, width: int, height: int,
+                             qp: int = 28, deblock: bool = False,
+                             spatial_direct: bool = True,
+                             inference: bool = True,
+                             zero_motion: bool = False):
+    """Annex-B encoder with REAL B-slice coding on top of the r12
+    inter layer: coded order I0, P2, B1, P4, B3, … (display-order
+    frames in, decode-order reconstruction out — B pictures are
+    non-reference, POC type 0 carries the display order).  Every B
+    macroblock kind is exercised deterministically: B_Skip and
+    B_Direct_16x16 (spatial or temporal per ``spatial_direct``),
+    L0/L1/Bi 16x16, mixed-list 16x8/8x16 pairs, B_8x8 with all 13
+    sub-types (including B_Direct_8x8), and intra-in-B.  ``inference``
+    sets direct_8x8_inference_flag.  -> (annexb_bytes, [(Y, U, V)]
+    reconstructions in DECODE order, stats).  The reconstruction loop
+    calls the decoder's own derivation/MC/dequant helpers, so a
+    conforming decode must be bit-exact.  ``zero_motion`` emulates a
+    real encoder's motion search on static content (all explicit MVs
+    zero), which lets residuals vanish and P_Skip/B_Skip runs form.
+    In temporal-direct mode, macroblocks whose colocated reference
+    cannot be mapped into the current list 0 (possible on trailing
+    past-only B pictures after the sliding window evicted it) fall
+    back to explicit bi-prediction, as a conforming encoder must."""
+    if width % 2 or height % 2:
+        raise UnsupportedMediaError("h264 encoder: dimensions must be even")
+    if not 8 <= qp <= 44:
+        raise UnsupportedMediaError("h264 encoder: qp out of supported range")
+    if len(frames) * 2 >= 256:
+        raise UnsupportedMediaError("h264 encoder: GOP exceeds POC lsb")
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    crop_right = mb_w * 16 - width
+    crop_bottom = mb_h * 16 - height
+
+    w = _BitWriter()
+    w.write(66, 8)  # profile_idc: baseline
+    w.write(0xC0, 8)
+    w.write(30, 8)
+    w.ue(0)  # seq_parameter_set_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type 0
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4 -> 8 bits
+    w.ue(2)  # max_num_ref_frames (sliding window of 2)
+    w.write(0, 1)
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.write(1, 1)  # frame_mbs_only_flag
+    w.write(1 if inference else 0, 1)  # direct_8x8_inference_flag
+    if crop_right or crop_bottom:
+        w.write(1, 1)
+        w.ue(0)
+        w.ue(crop_right // 2)
+        w.ue(0)
+        w.ue(crop_bottom // 2)
+    else:
+        w.write(0, 1)
+    w.write(0, 1)
+    w.trailing_bits()
+    out = bytearray(_nal(3, 7, w.getvalue()))
+
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.write(0, 1)  # CAVLC
+    w.write(0, 1)
+    w.ue(0)
+    w.ue(0)  # num_ref_idx_l0_default_active_minus1 = 0
+    w.ue(0)  # num_ref_idx_l1_default_active_minus1 = 0
+    w.write(0, 1)  # weighted_pred_flag
+    w.write(0, 2)  # weighted_bipred_idc (default average)
+    w.se(qp - 26)
+    w.se(0)
+    w.se(0)  # chroma_qp_index_offset = 0
+    w.write(1, 1)  # deblocking_filter_control_present_flag
+    w.write(0, 1)
+    w.write(0, 1)
+    w.trailing_bits()
+    out += _nal(3, 8, w.getvalue())
+
+    sps = _SPS()
+    sps.mb_width, sps.mb_height = mb_w, mb_h
+    sps.monochrome = False
+    qpc = _chroma_qp(qp, 0)
+    n_mbs = mb_w * mb_h
+    recons = []
+    stats = {
+        "B_Skip": 0, "B_Direct": 0, "B_16x16": 0, "B_16x8": 0,
+        "B_8x16": 0, "B_8x8": 0, "intra_in_b": 0, "bi_parts": 0,
+        "direct_sub": 0, "sub_kinds": set(), "l1_swapped": 0,
+        "order": [],
+    }
+    dpb: list[_RefPic] = []
+    n_refs_seen = 0
+    for coded_idx, (disp, kind) in enumerate(_b_gop(len(frames))):
+        y, u, v = frames[disp]
+        y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+        y_pad[:height, :width] = np.asarray(y, np.uint8)
+        u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        v_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        u_pad[: height // 2, : width // 2] = np.asarray(u, np.uint8)
+        v_pad[: height // 2, : width // 2] = np.asarray(v, np.uint8)
+
+        ctx = _PicCtx(sps)
+        ctx.mb_slice[:] = 1
+        ctx.qp = qp
+        ctx.serial = coded_idx + 1
+        ctx.poc = 2 * disp
+        fn = n_refs_seen % 16
+        is_ref = kind in ("I", "P")
+        stats["order"].append((disp, kind))
+        w = _BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        if kind == "I":
+            w.ue(7)  # slice_type: I (all slices)
+            w.ue(0)  # pic_parameter_set_id
+            w.write(fn, 4)  # frame_num
+            w.ue(0)  # idr_pic_id
+            w.write(ctx.poc & 0xFF, 8)  # pic_order_cnt_lsb
+            w.write(0, 2)  # no_output_of_prior / long_term
+            w.se(0)  # slice_qp_delta
+            if deblock:
+                w.ue(0)
+                w.se(0)
+                w.se(0)
+            else:
+                w.ue(1)
+            for mb in range(n_mbs):
+                _encode_one_mb(
+                    w, ctx, mb, coded_idx, qp, qpc, y_pad, u_pad, v_pad
+                )
+            w.trailing_bits()
+            out += _nal(3, 5, w.getvalue())
+        elif kind == "P":
+            w.ue(5)  # slice_type: P
+            w.ue(0)
+            w.write(fn, 4)
+            w.write(ctx.poc & 0xFF, 8)
+            w.write(0, 1)  # num_ref_idx_active_override_flag
+            w.write(0, 1)  # ref_pic_list_modification_flag_l0
+            w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
+            w.se(0)
+            if deblock:
+                w.ue(0)
+                w.se(0)
+                w.se(0)
+            else:
+                w.ue(1)
+            pending = 0
+            for mb in range(n_mbs):
+                my, mx = divmod(mb, mb_w)
+                br, bc = my * 4, mx * 4
+                ctx.mb_qp[mb] = qp
+                if (mb + coded_idx) % 5 == 4:  # intra-in-P sprinkle
+                    w.ue(pending)
+                    pending = 0
+                    _encode_one_mb(
+                        w, ctx, mb, coded_idx, qp, qpc, y_pad, u_pad,
+                        v_pad, mb_type_offset=5,
+                    )
+                    continue
+                if (mb + coded_idx) % 3 == 0:
+                    # skip attempt (static content -> P_Skip, leaving
+                    # zero-motion colocated blocks for B colZeroFlag)
+                    mvx, mvy = _skip_mv(ctx, mb)
+                elif zero_motion:
+                    mvx, mvy = 0, 0
+                else:
+                    mvx, mvy = _enc_mv(mb, coded_idx, 0)
+                parts = [(0, 0, 4, 4, None, mvx, mvy, 0)]
+                preds = _mc_pred_mb(ctx, dpb, mb, parts)
+                cbp, lq, cdq, caq = _quant_inter_mb(
+                    ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+                )
+                if (mb + coded_idx) % 3 == 0 and cbp == 0:
+                    pending += 1
+                    _recon_inter_mb(
+                        ctx, mb, qp, qpc, 0, lq, cdq, caq, *preds
+                    )
+                    continue
+                w.ue(pending)
+                pending = 0
+                w.ue(0)  # P_L0_16x16
+                mpx, mpy = _mvp(ctx, mb, br, bc, 4, 4)
+                w.se(mvx - mpx)
+                w.se(mvy - mpy)
+                _emit_inter_residual(w, ctx, mb, qp, cbp, lq, cdq, caq)
+                _recon_inter_mb(
+                    ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds
+                )
+            if pending:
+                w.ue(pending)
+            w.trailing_bits()
+            out += _nal(2, 1, w.getvalue())
+        else:  # B picture
+            l0_full, l1_full = _b_default_lists(dpb, ctx.poc)
+            if (
+                len(l1_full) > 1
+                and l1_full[0].serial != l0_full[0].serial
+                and l1_full[0].poc < ctx.poc
+            ):
+                stats["l1_swapped"] += 1
+            a0 = min(2, len(l0_full))
+            a1 = min(2, len(l1_full))
+            l0e, l1e = l0_full[:a0], l1_full[:a1]
+            w.ue(6)  # slice_type: B
+            w.ue(0)
+            w.write(fn, 4)
+            w.write(ctx.poc & 0xFF, 8)
+            w.write(1 if spatial_direct else 0, 1)
+            if (a0, a1) != (1, 1):
+                w.write(1, 1)  # num_ref_idx_active_override_flag
+                w.ue(a0 - 1)
+                w.ue(a1 - 1)
+            else:
+                w.write(0, 1)
+            w.write(0, 1)  # ref_pic_list_modification_flag_l0
+            w.write(0, 1)  # ref_pic_list_modification_flag_l1
+            # nal_ref_idc 0: no dec_ref_pic_marking
+            w.se(0)  # slice_qp_delta
+            if deblock:
+                w.ue(0)
+                w.se(0)
+                w.se(0)
+            else:
+                w.ue(1)
+            pending = 0
+            pending = _encode_b_frame(
+                w, ctx, mb_w, n_mbs, coded_idx, qp, qpc,
+                y_pad, u_pad, v_pad, l0e, l1e, a0, a1,
+                spatial_direct, inference, stats, zero_motion,
+            )
+            if pending:
+                w.ue(pending)
+            w.trailing_bits()
+            out += _nal(0, 1, w.getvalue())
+        if deblock:
+            ctx.db_idc[:] = 0
+            _deblock_picture(ctx, 0)
+        if kind == "I":
+            dpb.clear()
+        if is_ref:
+            dpb.insert(0, _RefPic(ctx, frame_num=fn))
+            del dpb[2:]
+            n_refs_seen += 1
+        recons.append(
+            (
+                ctx.y[:height, :width].copy(),
+                ctx.u[: height // 2, : width // 2].copy(),
+                ctx.v[: height // 2, : width // 2].copy(),
+            )
+        )
+    return bytes(out), recons, stats
+
+
+def _encode_b_frame(w, ctx, mb_w, n_mbs, f_idx, qp, qpc,
+                    y_pad, u_pad, v_pad, l0e, l1e, a0, a1,
+                    spatial, inference, stats,
+                    zero_motion=False) -> int:
+    """Emit every macroblock of one B slice; returns the pending
+    mb_skip_run the caller must flush."""
+
+    def enc_mv(mb, f_idx, p):
+        return (0, 0) if zero_motion else _enc_mv(mb, f_idx, p)
+
+    pending = 0
+    for mb in range(n_mbs):
+        my, mx = divmod(mb, mb_w)
+        br, bc = my * 4, mx * 4
+        ctx.mb_qp[mb] = qp
+        kind = (mb * 7 + f_idx * 5) % 12
+        if kind == 11:  # intra-in-B
+            w.ue(pending)
+            pending = 0
+            _encode_one_mb(
+                w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
+                mb_type_offset=23,
+            )
+            stats["intra_in_b"] += 1
+            continue
+        if kind in (0, 1):  # B_Skip attempt / B_Direct_16x16
+            try:
+                entries = _derive_direct(
+                    ctx, mb, l0e, l1e, spatial, inference
+                )
+            except UnsupportedMediaError:
+                # temporal map unavailable -> explicit bi fallback
+                kind = 4
+        if kind in (0, 1):
+            for ro, co, h4, w4, r0, m0, r1, m1 in entries:
+                _b_store_fields(ctx, mb, ro, co, h4, w4, 0, r0, m0, l0e)
+                _b_store_fields(ctx, mb, ro, co, h4, w4, 1, r1, m1, l1e)
+            preds = _b_pred_mb(ctx, l0e, l1e, mb, entries)
+            cbp, lq, cdq, caq = _quant_inter_mb(
+                ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+            )
+            if kind == 0 and cbp == 0:
+                pending += 1
+                stats["B_Skip"] += 1
+                _recon_inter_mb(ctx, mb, qp, qpc, 0, lq, cdq, caq,
+                                *preds)
+                continue
+            w.ue(pending)
+            pending = 0
+            w.ue(0)  # B_Direct_16x16
+            stats["B_Direct"] += 1
+            _emit_inter_residual(w, ctx, mb, qp, cbp, lq, cdq, caq)
+            _recon_inter_mb(ctx, mb, qp, qpc, cbp, lq, cdq, caq,
+                            *preds)
+            continue
+        w.ue(pending)
+        pending = 0
+        if kind == 10:  # B_8x8
+            subs = [(mb + 3 * i8 + f_idx) % 13 for i8 in range(4)]
+            stats["B_8x8"] += 1
+            stats["sub_kinds"].update(subs)
+            direct_quads = [i8 for i8 in range(4) if subs[i8] == 0]
+            direct_entries = []
+            if direct_quads:
+                try:
+                    direct_entries = _derive_direct(
+                        ctx, mb, l0e, l1e, spatial, inference,
+                        quads=direct_quads,
+                    )
+                    stats["direct_sub"] += len(direct_quads)
+                except UnsupportedMediaError:
+                    # temporal map unavailable -> B_Bi_8x8 fallback
+                    subs = [3 if s == 0 else s for s in subs]
+                    direct_quads = []
+            refs8 = ({}, {})
+            mvs8 = ({}, {})
+            for lx, active in ((0, a0), (1, a1)):
+                for i8 in range(4):
+                    if subs[i8] and _B_SUBTYPES[subs[i8]][1] & (1 << lx):
+                        refs8[lx][i8] = (mb + i8 + lx) % active
+            d_by_quad = {}
+            for e in direct_entries:
+                d_by_quad.setdefault(
+                    (e[0] // 2) * 2 + (e[1] // 2), []
+                ).append(e)
+            derived = ({}, {})
+            for lx, lst in ((0, l0e), (1, l1e)):
+                for i8 in range(4):
+                    base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+                    if subs[i8] == 0:
+                        for ro, co, h4, w4, d0, dm0, d1, dm1 in (
+                            d_by_quad[i8]
+                        ):
+                            ref, mv = (
+                                (d0, dm0) if lx == 0 else (d1, dm1)
+                            )
+                            _b_store_fields(
+                                ctx, mb, ro, co, h4, w4, lx, ref,
+                                mv, lst,
+                            )
+                        continue
+                    parts, m = _B_SUBTYPES[subs[i8]]
+                    for s_i, (ro, co, h4, w4) in enumerate(parts):
+                        rr, cc = base_r + ro, base_c + co
+                        if m & (1 << lx):
+                            ri = refs8[lx][i8]
+                            mv = enc_mv(
+                                mb, f_idx, i8 * 4 + s_i + 8 * lx + 1
+                            )
+                            mpx, mpy = _mvp(
+                                ctx, mb, br + rr, bc + cc, w4, h4,
+                                None, ri, lx,
+                            )
+                            mvs8[lx][i8, s_i] = (
+                                mv[0] - mpx, mv[1] - mpy
+                            )
+                            derived[lx][i8, s_i] = (ri, mv)
+                            _b_store_fields(
+                                ctx, mb, rr, cc, h4, w4, lx, ri,
+                                mv, lst,
+                            )
+                        else:
+                            _b_store_fields(
+                                ctx, mb, rr, cc, h4, w4, lx, -1,
+                                (0, 0), lst,
+                            )
+            # syntax: mb_type, sub types, refs l0, refs l1, mvds l0/l1
+            w.ue(22)
+            for s in subs:
+                w.ue(s)
+            for lx, active in ((0, a0), (1, a1)):
+                for i8 in range(4):
+                    if i8 in refs8[lx]:
+                        _write_te(w, refs8[lx][i8], active - 1)
+            for lx in (0, 1):
+                for i8 in range(4):
+                    if subs[i8]:
+                        parts, m = _B_SUBTYPES[subs[i8]]
+                        if m & (1 << lx):
+                            for s_i in range(len(parts)):
+                                dx, dy = mvs8[lx][i8, s_i]
+                                w.se(dx)
+                                w.se(dy)
+            entries = list(direct_entries)
+            for i8 in range(4):
+                if subs[i8] == 0:
+                    continue
+                base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+                parts, _m = _B_SUBTYPES[subs[i8]]
+                for s_i, (ro, co, h4, w4) in enumerate(parts):
+                    r0, m0 = derived[0].get((i8, s_i), (-1, (0, 0)))
+                    r1, m1 = derived[1].get((i8, s_i), (-1, (0, 0)))
+                    if r0 >= 0 and r1 >= 0:
+                        stats["bi_parts"] += 1
+                    entries.append(
+                        (base_r + ro, base_c + co, h4, w4,
+                         r0, m0, r1, m1)
+                    )
+        else:  # explicit 16x16 / 16x8 / 8x16
+            if kind in (2, 3, 4):
+                stats["B_16x16"] += 1
+            mb_type = _B_KIND_TYPES[kind]
+            geom, masks = _B_MBTYPES[mb_type]
+            if geom is _P_PARTS[1]:
+                stats["B_16x8"] += 1
+            elif geom is _P_PARTS[2]:
+                stats["B_8x16"] += 1
+            refs = ({}, {})
+            derived = ({}, {})
+            mvds = ({}, {})
+            for lx, (lst, active) in ((0, (l0e, a0)), (1, (l1e, a1))):
+                for p, ((ro, co, h4, w4, special), m) in enumerate(
+                    zip(geom, masks)
+                ):
+                    if m & (1 << lx):
+                        ri = (mb + p + lx) % active
+                        mv = enc_mv(mb, f_idx, p + 8 * lx + 1)
+                        mpx, mpy = _mvp(
+                            ctx, mb, br + ro, bc + co, w4, h4,
+                            special, ri, lx,
+                        )
+                        refs[lx][p] = ri
+                        mvds[lx][p] = (mv[0] - mpx, mv[1] - mpy)
+                        derived[lx][p] = (ri, mv)
+                        _b_store_fields(
+                            ctx, mb, ro, co, h4, w4, lx, ri, mv, lst
+                        )
+                    else:
+                        _b_store_fields(
+                            ctx, mb, ro, co, h4, w4, lx, -1, (0, 0),
+                            lst,
+                        )
+            w.ue(mb_type)
+            for lx, active in ((0, a0), (1, a1)):
+                for p in sorted(refs[lx]):
+                    _write_te(w, refs[lx][p], active - 1)
+            for lx in (0, 1):
+                for p in sorted(mvds[lx]):
+                    dx, dy = mvds[lx][p]
+                    w.se(dx)
+                    w.se(dy)
+            entries = []
+            for p, (ro, co, h4, w4, _sp) in enumerate(geom):
+                r0, m0 = derived[0].get(p, (-1, (0, 0)))
+                r1, m1 = derived[1].get(p, (-1, (0, 0)))
+                if r0 >= 0 and r1 >= 0:
+                    stats["bi_parts"] += 1
+                entries.append((ro, co, h4, w4, r0, m0, r1, m1))
+        preds = _b_pred_mb(ctx, l0e, l1e, mb, entries)
+        cbp, lq, cdq, caq = _quant_inter_mb(
+            ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+        )
+        _emit_inter_residual(w, ctx, mb, qp, cbp, lq, cdq, caq)
+        _recon_inter_mb(ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds)
+    return pending

@@ -211,6 +211,14 @@ _CANONICAL = [
     # semi_join_returned_orders; anti_join_idle_customers keeps its
     # r10 green at 51+).
     "h264_deblock_decode_stats",
+    # h264_bipred_decode_stats (the B-slice layer: bi-prediction,
+    # two-list MV prediction, POC-ordered default lists, spatial AND
+    # temporal direct modes — under the value oracle) takes the eighth
+    # r12 priority slot, displacing sliding_hour_counts from position
+    # 50 (events family stays covered in-window via mode_period_users,
+    # tumbling_daily_stats, calibrate_events and more;
+    # sliding_hour_counts keeps its r10 green at 51+).
+    "h264_bipred_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -252,7 +260,6 @@ _CANONICAL = [
     "array_slice_projection",
     "ann_ivf_label",
     "calibrate_events",
-    "sliding_hour_counts",
     "sample_hash_bucket",
     # anti_join_idle_customers: displaced to 51+ by
     # h264_deblock_decode_stats (joins family covered, see above)
@@ -271,6 +278,9 @@ _CANONICAL = [
     # greens, ntile_value_quartiles r8+r9 greens).
     "minhash_signatures",
     "simhash_16",
+    # sliding_hour_counts: displaced to 51+ by h264_bipred_decode_stats
+    # (events family covered, see above)
+    "sliding_hour_counts",
     "range_frame_user_avg",
     "intersect_all_user_days",
     "embedding_norm_stats",
@@ -535,6 +545,7 @@ FAMILY = {
     "mp3_layer1_decode_stats": "multimodal",
     "h264_inter_decode_stats": "multimodal",
     "h264_deblock_decode_stats": "multimodal",
+    "h264_bipred_decode_stats": "multimodal",
 }
 
 

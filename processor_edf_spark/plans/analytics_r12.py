@@ -941,3 +941,171 @@ def h264_deblock_decode_stats(spark, sf_dir):
             "y_sum long, u_sum long, v_sum long"
         ),
     )
+
+
+@register(
+    "h264_bipred_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               48 AS w,
+               32 AS h,
+               CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 4 END AS nf
+        FROM documents
+        WHERE doc_id % 8 = 3
+    ),
+    ysum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 3 + c.j * 5 + d.doc_id + f.j * 17) % 160
+                        + 40) AS BIGINT) AS y_sum
+        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 5) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    ),
+    csum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 7 + c.j * 11 + d.doc_id + f.j * 5) % 100
+                        + 78) AS BIGINT) AS u_sum,
+               CAST(SUM((r.j * 5 + c.j * 3 + 2 * d.doc_id + f.j * 9) % 120
+                        + 60) AS BIGINT) AS v_sum
+        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 5) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.nf // 2 AS BIGINT) AS n_b_frames,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           ysum.y_sum, csum.u_sum, csum.v_sum
+    FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
+    """,
+)
+def h264_bipred_decode_stats(spark, sf_dir):
+    """The H.264 B-SLICE layer (spec §7.3.5/§8.4.1.2/§8.4.2.3,
+    operators/h264.py r12 second ratchet) as a driver-hashed row: the
+    first bi-predicted video under the value oracle.  Per document a
+    deterministic YUV420 sequence (every plane a pure integer function
+    of doc_id and the DISPLAY frame index; 4 or 5 frames by parity) is
+    encoded as the coded-order GOP I0,P2,B1[,P4,B3 | ,B3] at a
+    doc-dependent QP (20/28/36) with doc-mixed direct mode (spatial
+    for doc_id % 3 != 0, temporal otherwise — POC-distance scaling
+    under the value oracle), decoded back through the production
+    ``decode_h264_ipcm``, and required BIT-EXACT against the encoder's
+    reconstruction loop with recon-vs-source error inside the
+    quantisation bound (<= 64).  The 12-kind macroblock mix reaches
+    B_Skip/B_Direct_16x16, every explicit L0/L1/Bi 16x16/16x8/8x16
+    family, B_8x8 sub-types and intra-in-B within the fixture set; the
+    row additionally requires at least one bi-predicted partition and
+    one direct/skip macroblock per document and cross-checks the
+    decoded B-picture count (= nf // 2, reproduced in the oracle from
+    the GOP arithmetic).  Any slip in Table 7-14/7-18 geometry, per-
+    list median prediction, the (p0 + p1 + 1) >> 1 default bi average,
+    default-list construction (incl. the §8.2.4.2.3 L1 first-two
+    swap, hit by every odd-parity doc's trailing past-only B), POC
+    derivation, or direct-mode derivation flips the -1 sentinel (or a
+    count) and reds the row.  4-frame docs end in a past-only B whose
+    RefPicList1[0] is the IDR picture (colocated-intra temporal path);
+    5-frame docs exercise the classic between-references B twice.
+    Scale: decode-heavy/emit-light per-doc pure-python kernel under
+    spread(), payload never leaves the executor, same class as the
+    sibling codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(
+        spark, docs.select("doc_id").filter("doc_id % 8 = 3")
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        from processor_edf_spark.operators.h264 import (
+            decode_h264_ipcm,
+            encode_h264_bipred_recon,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                W, H = 48, 32
+                nf = 5 if d % 2 == 0 else 4
+                qp = 20 + (d % 3) * 8
+                frames = []
+                for f in range(nf):
+                    r = np.arange(H)[:, None]
+                    c = np.arange(W)[None, :]
+                    y = (((r * 3 + c * 5 + d + f * 17) % 160) + 40).astype(
+                        np.uint8
+                    )
+                    r2 = np.arange(H // 2)[:, None]
+                    c2 = np.arange(W // 2)[None, :]
+                    u = (((r2 * 7 + c2 * 11 + d + f * 5) % 100) + 78).astype(
+                        np.uint8
+                    )
+                    v = (
+                        ((r2 * 5 + c2 * 3 + 2 * d + f * 9) % 120) + 60
+                    ).astype(np.uint8)
+                    frames.append((y, u, v))
+                stream, recons, stats = encode_h264_bipred_recon(
+                    frames, W, H, qp=qp,
+                    spatial_direct=(d % 3 != 0),
+                )
+                dw, dh, decoded = decode_h264_ipcm(stream)
+                bit_exact = (
+                    (dw, dh) == (W, H)
+                    and len(decoded) == nf
+                    and all(
+                        np.array_equal(a, b)
+                        for rec, dec in zip(recons, decoded)
+                        for a, b in zip(rec, dec)
+                    )
+                )
+                err_ok = all(
+                    int(
+                        np.abs(
+                            rec[0].astype(np.int64)
+                            - frames[disp][0].astype(np.int64)
+                        ).max()
+                    )
+                    <= 64
+                    for rec, (disp, _k) in zip(recons, stats["order"])
+                )
+                n_b = sum(1 for _dsp, k in stats["order"] if k == "B")
+                coverage = (
+                    n_b == nf // 2
+                    and stats["bi_parts"] > 0
+                    and stats["B_Direct"] + stats["B_Skip"] > 0
+                )
+                if bit_exact and err_ok and coverage:
+                    sums = [
+                        int(sum(np.sum(frm[k], dtype=np.int64)
+                                for frm in frames))
+                        for k in range(3)
+                    ]
+                    nb_out = n_b
+                else:
+                    sums = [-1, -1, -1]
+                    nb_out = -1
+                rows.append(
+                    (d, len(decoded), nb_out, dw, dh, *sums)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_b_frames", "width",
+                    "height", "y_sum", "u_sum", "v_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, n_b_frames long, "
+            "width long, height long, "
+            "y_sum long, u_sum long, v_sum long"
+        ),
+    )

@@ -435,9 +435,13 @@ def test_edge_bs_different_refs():
     ctx = _ctx()
     ctx.ref[:] = 0
     ctx.nc_y[:] = 0
-    ctx.ref[0, 1] = 1  # same MV, different reference picture
+    # r12: bS compares reference-picture IDENTITY (decode serial),
+    # not the list index — two indices can name the same picture
+    ctx.refpic[:, :, 0] = 7
+    ctx.refpic[0, 1, 0] = 9  # same MV, different reference picture
     assert _edge_bs(ctx, 0, 0, 0, 1, mb_edge=False) == 1
-    ctx.ref[0, 1] = 0
+    ctx.refpic[0, 1, 0] = 7
+    ctx.ref[0, 1] = 1  # different index, SAME picture -> bS 0
     assert _edge_bs(ctx, 0, 0, 0, 1, mb_edge=False) == 0
 
 

@@ -27,10 +27,12 @@ from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
     # r12 priority slots: the two PQ/ADC kernel rows, the two MP3
-    # codec rows (Layer III + Layer I), and the hash-embedder row
-    # (first driver check), displacing embedding_norm_stats /
-    # intersect_all_user_days / range_frame_user_avg / simhash_16 /
-    # minhash_signatures per the notes in plans/__init__.py.
+    # codec rows (Layer III + Layer I), the hash-embedder row, and the
+    # four H.264 rows (inter / deblock / bipred after the r11 cavlc),
+    # displacing embedding_norm_stats / intersect_all_user_days /
+    # range_frame_user_avg / simhash_16 / minhash_signatures /
+    # moving_avg_daily_revenue / anti_join_idle_customers /
+    # sliding_hour_counts per the notes in plans/__init__.py.
     "pq_adc_exact",
     "ivf_pq_search_exact",
     "mp3_decode_stats",
@@ -38,6 +40,7 @@ EXPECTED_FIRST_50 = [
     "mp3_layer1_decode_stats",
     "h264_inter_decode_stats",
     "h264_deblock_decode_stats",
+    "h264_bipred_decode_stats",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -79,7 +82,6 @@ EXPECTED_FIRST_50 = [
     "array_slice_projection",
     "ann_ivf_label",
     "calibrate_events",
-    "sliding_hour_counts",
     "sample_hash_bucket",
 ]
 
@@ -102,8 +104,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 145 through r8 + the r10/r11 additions + the 8 r12 rows
-    assert len(QUERIES) == 159
+    # 145 through r8 + the r10/r11 additions + the 9 r12 rows
+    assert len(QUERIES) == 160
 
 
 def test_every_query_has_a_family():
