@@ -50,6 +50,18 @@ Determinism discipline baked into the grammar:
   (ArithmeticException) while DuckDB returns NULL; VAR_SAMP/VAR_POP/
   STDDEV_SAMP/STDDEV_POP/COVAR_SAMP/COVAR_POP agree on the same edge
   (NULL at n=1, 0.0 for constants — probed directly), so those stay.
+- LATERAL subqueries with LIMIT correlate on a BARE outer column:
+  MEASURED divergence #4 (seeds 1113/1131/… of the v6 grammar draft)
+  — when the correlated EQUALITY inside a LIMITed lateral compares
+  against an outer-column EXPRESSION (even `outer.col + 0`), Spark's
+  decorrelation returns an EMPTY lateral for every outer row (inner
+  lateral drops all rows, LEFT lateral NULL-pads them) while DuckDB
+  returns the correct top-k — silent wrong results, not an error.
+  Bare-column equality, inequality correlations (bare or expression),
+  and aggregate laterals all agree, so those stay; the equality+LIMIT
+  shape keeps the expression OUT of the outer side
+  (test_measured_divergence_4_lateral_limit_expr pins the behavior so
+  a future Spark fix surfaces as a failing pin, not silence).
 
 The streaming half of this discipline lives in
 tests/test_streaming_differential.py (seeded replay through the
@@ -91,7 +103,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # fenced, measured divergence #3).
 # Seeds 0-859 keep rendering their earlier grammars byte-for-byte (the
 # regression corpus that found the ROLLUP and RANGE-frame divergences).
-N_SEEDS = 1000
+N_SEEDS = 1150
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -1318,6 +1330,154 @@ def gen_stat_agg(rng, pools):
     }
 
 
+def gen_lateral(rng, pools):
+    """r12 grammar v6 lead axis (seeds 1000+): correlated LATERAL
+    subqueries in FROM — Spark decorrelates these through
+    DecorrelateInnerQuery; top-k-per-row laterals (ORDER BY a full
+    unique key + LIMIT, so the row SET is deterministic) and lateral
+    aggregates (COUNT/MIN/MAX/SUM over an inequality correlation,
+    where the empty-correlation group must still yield one row: COUNT
+    0, MIN/MAX/SUM NULL).  INNER laterals drop outer rows whose
+    lateral is empty; LEFT JOIN LATERAL ... ON TRUE must keep them
+    NULL-padded."""
+    ot, oc, it_, ic = rng.choice(_MEMBER_PAIRS)
+    coltypes = dict(TABLES[ot])
+    uniq = UNIQUE[ot]
+    iuniq = UNIQUE[it_]
+    items = [f"{ot}.{u} AS c{j}" for j, u in enumerate(uniq)]
+    corr_op = rng.choice(["=", "=", "<", ">", "<="])
+    off = rng.randint(0, 5)
+    agg_mode = rng.random() < 0.5
+    if corr_op == "=" and not agg_mode:
+        # measured divergence #4 (module docstring): equality + LIMIT
+        # laterals must correlate on the bare outer column
+        corr = f"{it_}.{ic} = {ot}.{oc}"
+    else:
+        corr = f"{it_}.{ic} {corr_op} {ot}.{oc} + {off}"
+    if agg_mode:
+        agg_col = _col("i", rng, TABLES[it_]) or ic
+        fn = rng.choice(["MIN", "MAX"])
+        lat = (
+            f"(SELECT CAST(COUNT(*) AS BIGINT) AS ln, "
+            f"{fn}({agg_col}) AS lv FROM {it_} WHERE {corr})"
+        )
+        lat_cols = ["ln", "lv"]
+    else:
+        direction = rng.choice(["ASC", "DESC"])
+        order = ", ".join(f"{u} {direction}" for u in iuniq)
+        proj = ", ".join(
+            f"{u} AS lc{j}" for j, u in enumerate(iuniq[:2])
+        )
+        lat = (
+            f"(SELECT {proj} FROM {it_} WHERE {corr} "
+            f"ORDER BY {order} LIMIT {rng.randint(1, 3)})"
+        )
+        lat_cols = [f"lc{j}" for j in range(len(iuniq[:2]))]
+    items += [f"lz.{c} AS c{len(uniq) + j}" for j, c in enumerate(lat_cols)]
+    left = rng.random() < 0.5
+    join = (
+        f"{ot} LEFT JOIN LATERAL {lat} lz ON TRUE"
+        if left
+        else f"{ot}, LATERAL {lat} lz"
+    )
+    where = (
+        gen_pred(rng, TABLES[ot], pools, ot, 1)
+        if rng.random() < 0.5 else None
+    )
+    sql = f"SELECT {', '.join(items)} FROM {join}"
+    no_where = sql
+    if where:
+        sql += f" WHERE {where}"
+    shrinks = []
+    if where:
+        shrinks.append({"kind": "raw", "sql": no_where, "shrinks": []})
+    _ = coltypes
+    return {"kind": "raw", "sql": sql, "shrinks": shrinks}
+
+
+def gen_cte_reuse(rng, pools):
+    """r12 grammar v6 axis #2: one CTE materialized once, consumed
+    TWICE through different paths (directly and via a second CTE) —
+    exercises Spark's CTE dedup/reuse planning against DuckDB's."""
+    lt, lc, rt, rc = rng.choice(FK_JOINS)
+    agg_col = _col("i", rng, TABLES[lt]) or lc
+    pred = (
+        f" WHERE {gen_pred(rng, TABLES[lt], pools, lt, 1)}"
+        if rng.random() < 0.5 else ""
+    )
+    uniq = UNIQUE[rt]
+    coltypes = dict(TABLES[rt])
+    keys = ", ".join(f"{rt}.{u} AS c{j}" for j, u in enumerate(uniq))
+    off = rng.randint(0, 1)
+    sql = (
+        f"WITH fz_a AS (SELECT {lc} AS g, CAST(COUNT(*) AS BIGINT) "
+        f"AS n, CAST(SUM({agg_col}) AS BIGINT) AS s FROM {lt}{pred} "
+        f"GROUP BY {lc}), "
+        f"fz_b AS (SELECT {keys}, {rt}.{rc} AS g2, fz_a.n AS n1 "
+        f"FROM {rt} LEFT JOIN fz_a ON {rt}.{rc} = fz_a.g) "
+        f"SELECT fz_b.*, a2.s AS s2 FROM fz_b "
+        f"LEFT JOIN fz_a a2 ON fz_b.g2 = a2.g + {off}"
+    )
+    _ = coltypes
+    return {"kind": "raw", "sql": sql, "shrinks": []}
+
+
+def gen_null_order_page(rng, pools):
+    """r12 grammar v6 axis #3: explicit NULLS FIRST/LAST ordering over
+    a NULLIF/CASE-made nullable sort key plus LIMIT/OFFSET pagination
+    (Spark and DuckDB have OPPOSITE default null ordering, so the
+    explicit clause is load-bearing; the unique-key tiebreak keeps the
+    page deterministic)."""
+    t = rng.choice(list(TABLES))
+    cols, uniq = TABLES[t], UNIQUE[t]
+    coltypes = dict(cols)
+    items = [
+        {"alias": f"c{j}", "sql": u, "fallback": None,
+         "typ": coltypes.get(u, "i")}
+        for j, u in enumerate(uniq)
+    ]
+    typ = rng.choice(["i", "s"])
+    sc = _col(typ, rng, cols) or uniq[0]
+    if rng.random() < 0.5:
+        lit = _lit(coltypes.get(sc, "i"), rng, pools, t, cols)
+        sort_expr = f"NULLIF({sc}, {lit})"
+    else:
+        sort_expr = (
+            f"CASE WHEN {gen_pred(rng, cols, pools, t, 1)} "
+            f"THEN {sc} END"
+        )
+    items.append({"alias": f"cs", "sql": sort_expr, "fallback": sc,
+                  "typ": typ})
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    tiebreak = ", ".join(f"{u} {rng.choice(['ASC', 'DESC'])}"
+                         for u in uniq)
+    return {
+        "kind": "select",
+        "from": t,
+        "items": items,
+        "where": gen_pred(rng, cols, pools, t, 1)
+        if rng.random() < 0.4 else None,
+        "group": None,
+        "having": None,
+        "distinct": False,
+        "order_by": f"cs {direction} {nulls}, {tiebreak}",
+        "limit": rng.randint(1, 30),
+        "offset": rng.randint(0, 25),
+    }
+
+
+def gen_query_v6(rng, pools) -> dict:
+    """Seeds 1000+: LATERAL joins lead, with CTE reuse and
+    null-ordered pagination behind."""
+    shape = rng.randrange(10)
+    if shape < 5:
+        return gen_lateral(rng, pools)
+    if shape < 8:
+        return gen_cte_reuse(rng, pools)
+    return gen_null_order_page(rng, pools)
+
+
 def gen_query_v5(rng, pools) -> dict:
     """Seeds 920+: scalar subqueries lead, with DISTINCT and
     statistical aggregates behind."""
@@ -1372,6 +1532,8 @@ def gen_query_v2(rng, pools) -> dict:
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 1000:
+        return gen_query_v6(rng, pools)
     if seed >= 920:
         return gen_query_v5(rng, pools)
     if seed >= 860:
@@ -1403,6 +1565,8 @@ def gen_query(seed: int, pools) -> dict:
 
 
 def render(q: dict) -> str:
+    if q["kind"] == "raw":
+        return q["sql"]
     if q["kind"] == "setop":
         return f"({render(q['left'])}) {q['op']} ({render(q['right'])})"
     items = ", ".join(f"{it['sql']} AS {it['alias']}" for it in q["items"])
@@ -1420,6 +1584,8 @@ def render(q: dict) -> str:
         sql += f" ORDER BY {q['order_by']}"
     if q.get("limit"):
         sql += f" LIMIT {q['limit']}"
+    if q.get("offset"):
+        sql += f" OFFSET {q['offset']}"
     return sql
 
 
@@ -1485,6 +1651,13 @@ def run_both(spark, con, sql: str) -> str | None:
 
 def _shrink_candidates(q: dict):
     """Yield structurally smaller variants of q (shallow copies)."""
+    if q["kind"] == "raw":
+        yield from q.get("shrinks", [])
+        return
+    if q.get("offset"):
+        c = dict(q)
+        c["offset"] = 0
+        yield c
     if q["kind"] == "setop":
         yield q["left"]
         yield q["right"]
@@ -1565,3 +1738,30 @@ def test_differential(engines, seed):
             f"seed {seed} diverges.\nminimal SQL: {render(mq)}\n"
             f"mismatch: {mm}\noriginal SQL: {sql}"
         )
+
+
+def test_measured_divergence_4_lateral_limit_expr(engines):
+    """Pin measured divergence #4: an equality-correlated LATERAL with
+    LIMIT whose correlation compares against an outer-column EXPRESSION
+    (here `+ 0`, semantically identical to the bare column) silently
+    returns an empty lateral in Spark while DuckDB returns the true
+    top-1.  If a Spark upgrade fixes the decorrelation, this pin fails
+    and the grammar fence in gen_lateral should be lifted."""
+    spark, con, _pools = engines
+    bare = (
+        "SELECT fz_customer.c_custkey AS c0, lz.lc0 AS c1 "
+        "FROM fz_customer LEFT JOIN LATERAL (SELECT o_orderkey AS lc0 "
+        "FROM fz_orders WHERE fz_orders.o_custkey = "
+        "fz_customer.c_custkey ORDER BY o_orderkey ASC LIMIT 1) lz "
+        "ON TRUE WHERE fz_customer.c_custkey < 3"
+    )
+    expr = bare.replace(
+        "= fz_customer.c_custkey ORDER", "= fz_customer.c_custkey + 0 ORDER"
+    )
+    # the two engines agree on the bare-column form...
+    assert run_both(spark, con, bare) is None
+    # ...and the expression form diverges: Spark NULL-pads every row
+    s_rows = [tuple(r) for r in spark.sql(expr).collect()]
+    d_rows = con.execute(expr).fetchall()
+    assert all(r[1] is None for r in s_rows), s_rows
+    assert any(r[1] is not None for r in d_rows), d_rows
