@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Seven differential contracts:
+Eight differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -37,6 +37,11 @@ Seven differential contracts:
   rule — a funnel match depends on PRIOR matches, so the reference is
   a python fold, not a window query; randomized stage tuples (incl.
   repeated stage types), horizons, tie density, and micro-batch cuts.
+- ``stream_weighted_sample`` (r12) merged shard reservoirs ≡ the batch
+  A-ES top-k EXACTLY (same ids, bitwise-equal keys) under randomized
+  weight distributions (uniform / heavy-tie / all-constant), k, shard
+  counts, SHUFFLED arrival and micro-batch cuts — min-k of a union is
+  the min-k of per-shard min-k's, so nothing may shift the sample.
 """
 
 from __future__ import annotations
@@ -585,3 +590,85 @@ def test_stream_funnel_differential(spark, tmp_path, seed):
         if cur is None or r["depth"] > cur[0]:
             got[r["user_id"]] = (r["depth"], r["t_first"], r["t_last"])
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# eighth contract (r12): the sharded A-ES reservoir vs the batch top-k
+# ---------------------------------------------------------------------------
+
+N_RESERVOIR_SEEDS = 8
+
+
+@pytest.mark.parametrize("seed", range(N_RESERVOIR_SEEDS))
+def test_stream_reservoir_differential(spark, tmp_path, seed):
+    """Randomized weighted-reservoir runs: document counts, weight
+    distributions (incl. heavy weight ties and all-equal weights),
+    k, shard counts, SHUFFLED arrival order and 1-5 micro-batch cuts
+    — the merged shard reservoirs must equal the batch A-ES top-k
+    EXACTLY (same ids, bitwise-equal keys): min-k of a union is the
+    min-k of per-shard min-k's, so neither sharding nor batch cuts
+    nor arrival order may shift the sample.  The per-operator pin
+    (tests/test_streaming_sample.py) checks one fixed corpus at the
+    default geometry; this randomizes everything it holds fixed."""
+    from processor_edf_spark.plans.corpus_extra import aes_sample_key
+    from processor_edf_spark.streaming.sample import (
+        merge_shard_reservoirs,
+        stream_weighted_sample,
+    )
+
+    rng = random.Random(8000 + seed)
+    n = rng.randint(40, 300)
+    wmode = rng.choice(["uniform", "ties", "constant"])
+    if wmode == "uniform":
+        weights = [rng.randint(1, 10_000) for _ in range(n)]
+    elif wmode == "ties":
+        weights = [rng.choice([1, 5, 1000]) for _ in range(n)]
+    else:
+        weights = [7] * n
+    ids = rng.sample(range(1, 1_000_000), n)
+    pdf = pd.DataFrame({"doc_id": ids, "n_chars": weights})
+    k = rng.choice([3, 10, 50])
+    n_shards = rng.choice([1, 3, 8])
+
+    # batch truth: the same Spark-side key expression, global top-k
+    key, weight = aes_sample_key("doc_id", "n_chars")
+    want = [
+        (r["doc_id"], r["sample_key"])
+        for r in spark.createDataFrame(pdf)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            weight.cast("long").alias("weight"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    ]
+
+    shuffled = pdf.sample(frac=1.0, random_state=seed)
+    cuts = rng.randint(1, 5)
+    _write_drops(spark, shuffled, str(tmp_path / "in"), cuts)
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in") + "/*")
+    )
+    (
+        stream_weighted_sample(stream, k=k, n_shards=n_shards)
+        .writeStream.format("memory")
+        .queryName(f"fz_reservoir_{seed}")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = [
+        (r["doc_id"], r["sample_key"])
+        for r in merge_shard_reservoirs(
+            spark.sql(f"select * from fz_reservoir_{seed}"), k=k
+        )
+        .orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
+        .collect()
+    ]
+    assert got == want  # identical ids AND bitwise-identical keys
