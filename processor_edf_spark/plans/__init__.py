@@ -219,6 +219,14 @@ _CANONICAL = [
     # tumbling_daily_stats, calibrate_events and more;
     # sliding_hour_counts keeps its r10 green at 51+).
     "h264_bipred_decode_stats",
+    # ann_index_lifecycle_exact (the persisted incremental ANN index
+    # driven through build/append/re-drop/search/compact/staleness
+    # under the value oracle) takes the ninth r12 priority slot,
+    # displacing ann_topk_bruteforce from position 50 (ann family
+    # stays covered in-window via pq_adc_exact, ivf_pq_search_exact
+    # and ann_ivf_label; ann_topk_bruteforce keeps its r10 green at
+    # 51+).
+    "ann_index_lifecycle_exact",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -256,7 +264,6 @@ _CANONICAL = [
     "lang_id_heuristic",
     "bpe_token_count",
     "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
     "array_slice_projection",
     "ann_ivf_label",
     "calibrate_events",
@@ -281,6 +288,9 @@ _CANONICAL = [
     # sliding_hour_counts: displaced to 51+ by h264_bipred_decode_stats
     # (events family covered, see above)
     "sliding_hour_counts",
+    # ann_topk_bruteforce: displaced to 51+ by ann_index_lifecycle_exact
+    # (ann family covered, see above)
+    "ann_topk_bruteforce",
     "range_frame_user_avg",
     "intersect_all_user_days",
     "embedding_norm_stats",
@@ -546,6 +556,7 @@ FAMILY = {
     "h264_inter_decode_stats": "multimodal",
     "h264_deblock_decode_stats": "multimodal",
     "h264_bipred_decode_stats": "multimodal",
+    "ann_index_lifecycle_exact": "ann",
 }
 
 

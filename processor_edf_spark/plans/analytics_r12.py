@@ -1109,3 +1109,128 @@ def h264_bipred_decode_stats(spark, sf_dir):
             "y_sum long, u_sum long, v_sum long"
         ),
     )
+
+
+_VEC_BOUND = 512  # lifecycle-row fixture bound: keep the index small
+
+_DIMS_CTES_BOUNDED = _DIMS_CTES.replace(
+    "FROM embeddings e",
+    f"FROM (SELECT * FROM embeddings WHERE vec_id < {_VEC_BOUND}) e",
+)
+
+
+@register(
+    "ann_index_lifecycle_exact",
+    f"""
+    WITH {_DIMS_CTES_BOUNDED}, {_TRUE_DIST_CTE},
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings WHERE vec_id < {_VEC_BOUND}
+    )
+    SELECT r.query_id, r.rank, r.neighbor_id, r.dist_sq,
+           tot.n AS n_vectors
+    FROM (
+        SELECT d.query_id, d.neighbor_id, d.d2 AS dist_sq,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY d.query_id
+                   ORDER BY d.d2 ASC, d.neighbor_id ASC
+               ) AS BIGINT) AS rank
+        FROM dist d
+    ) r CROSS JOIN tot
+    WHERE r.rank <= {_TOPK}
+    """,
+)
+def ann_index_lifecycle_exact(spark, sf_dir):
+    """The PERSISTED incremental ANN index (operators/ann_index.py,
+    r12) driven through its full production lifecycle under the value
+    oracle: build (train + encode + base commit) on the even half of
+    the bounded fixture vectors, append the odd half with the FROZEN
+    model, re-drop the same batch (idempotence: 0 admitted), search
+    with exact re-rank, compact the log, run the staleness audit,
+    search again — post-compact results must be identical.  Probing
+    ALL cells with a full-depth shortlist makes the searched set the
+    whole index regardless of what k-means trained, so the exact
+    re-ranked top-k equals the oracle's closed-form true-distance
+    ranking (same codebook-built vectors as ``pq_adc_exact``) — while
+    the lifecycle invariants (version numbering 0→1→compact 2,
+    admitted counts summing to the fixture size, idempotent re-drop,
+    compaction preserving every code row, bit-identical pre/post-
+    compact search) are enforced Spark-side and collapse the row to
+    the -1 sentinel on any violation.  Scale shape: training sample is
+    bounded, append encodes only the drop, search prunes by the hive
+    cell partition, and the emitted payload is queries x k rows; the
+    row bounds the fixture at vec_id < {_VEC_BOUND} so the lifecycle
+    cost stays flat across scale factors."""
+    import shutil
+    import tempfile
+
+    from processor_edf_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_compact,
+        ann_index_search,
+        ann_index_staleness,
+    )
+
+    (emb,) = load(spark, sf_dir, "embeddings")
+    # one scan of the base table; every lifecycle stage (train sample,
+    # encode passes, re-rank joins, counts) reuses the tiny bounded
+    # fixture instead of re-reading parquet per action
+    vecs = (
+        _fixture_vectors(emb.filter(f"vec_id < {_VEC_BOUND}"))
+        .repartition(1)  # 512 rows: single-task lifecycle jobs
+        .localCheckpoint(eager=True)
+    )
+    build_df = vecs.filter("vec_id % 2 = 0")
+    drop_df = vecs.filter("vec_id % 2 = 1")
+    Q, qids = _queries()
+    idx = tempfile.mkdtemp(prefix="annidx_")
+    try:
+        built = ann_index_build(
+            spark, build_df, idx, n_cells=_K, m=_M, k=_K, n_iter=10
+        )
+        a1 = ann_index_append(spark, drop_df, idx)
+        a2 = ann_index_append(spark, drop_df, idx)  # idempotent re-drop
+
+        def search():
+            return sorted(
+                (
+                    int(r["query_id"]),
+                    int(r["rank"]),
+                    int(r["neighbor_id"]),
+                    float(r["dist_sq"]),
+                )
+                for r in ann_index_search(
+                    spark, idx, Q, qids, k=_TOPK, nprobe=_K,
+                    shortlist=2 * _VEC_BOUND, rerank_df=vecs,
+                ).collect()
+            )
+
+        res = search()
+        n_compact = ann_index_compact(spark, idx)
+        stale = ann_index_staleness(spark, idx)
+        res_after = search()
+        n_total = vecs.count()
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+    ok = (
+        built["version"] == 0
+        and a1["version"] == 1
+        and a1["n_appended"] > 0
+        and a2["n_appended"] == 0
+        and built["n_vectors"] + a1["n_appended"] == n_total
+        and n_compact == n_total
+        and stale["n_vectors"] == n_total
+        and res_after == res
+        and len(res) == _N_Q * _TOPK
+    )
+    rows = [
+        (q, rk, nb if ok else -1, d if ok else -1.0,
+         n_total if ok else -1)
+        for q, rk, nb, d in res
+    ]
+    return spark.createDataFrame(
+        rows,
+        "query_id long, rank long, neighbor_id long, "
+        "dist_sq double, n_vectors long",
+    )

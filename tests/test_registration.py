@@ -41,6 +41,7 @@ EXPECTED_FIRST_50 = [
     "h264_inter_decode_stats",
     "h264_deblock_decode_stats",
     "h264_bipred_decode_stats",
+    "ann_index_lifecycle_exact",
     "ewma_user_twophase",
     "webp_decode_stats",
     "flac_decode_stats",
@@ -78,7 +79,6 @@ EXPECTED_FIRST_50 = [
     "lang_id_heuristic",
     "bpe_token_count",
     "dedup_ngram_jaccard",
-    "ann_topk_bruteforce",
     "array_slice_projection",
     "ann_ivf_label",
     "calibrate_events",
@@ -104,8 +104,8 @@ def test_every_query_has_an_oracle():
 
 
 def test_oracle_windowed_set_is_complete():
-    # 145 through r8 + the r10/r11 additions + the 9 r12 rows
-    assert len(QUERIES) == 160
+    # 145 through r8 + the r10/r11 additions + the 10 r12 rows
+    assert len(QUERIES) == 161
 
 
 def test_every_query_has_a_family():
