@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Eight differential contracts:
+Nine differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -42,6 +42,12 @@ Eight differential contracts:
   weight distributions (uniform / heavy-tie / all-constant), k, shard
   counts, SHUFFLED arrival and micro-batch cuts — min-k of a union is
   the min-k of per-shard min-k's, so nothing may shift the sample.
+- ``interval_join_streams`` (r12) stream-stream interval join ≡ the
+  batch join with the identical condition, as multisets, in two
+  regimes: in-order arrival under a tight watermark (state eviction
+  fires but nothing can be late), and shuffled arrival under a
+  span-wide delay (order cannot matter) — randomized keys, tie
+  density, `within` horizon, and per-side micro-batch cuts.
 """
 
 from __future__ import annotations
@@ -672,3 +678,109 @@ def test_stream_reservoir_differential(spark, tmp_path, seed):
         .collect()
     ]
     assert got == want  # identical ids AND bitwise-identical keys
+
+
+# ---------------------------------------------------------------------------
+# ninth contract (r12): the stream-stream interval join vs the batch join
+# ---------------------------------------------------------------------------
+
+N_IJOIN_SEEDS = 8
+
+
+@pytest.mark.parametrize("seed", range(N_IJOIN_SEEDS))
+def test_stream_interval_join_differential(spark, tmp_path, seed):
+    """Randomized stream-stream interval joins vs the BATCH join with
+    the identical condition: key cardinality, event-time tie density,
+    the `within` horizon, micro-batch cuts, and the arrival regime all
+    randomize.  Two regimes, both of which must be exact:
+
+    - in-order arrival per side with a tight watermark delay — state
+      eviction actually fires, but a row on either side can never be
+      late (its ts >= its side's running max >= the global watermark),
+      and a buffered partner is evicted only once the time bound rules
+      out every future match;
+    - shuffled arrival with a delay wider than the whole time span —
+      nothing is ever late or evicted, so arrival order cannot matter.
+
+    Matches are multisets (a user with several clicks and several
+    purchases yields the full cross product inside the bound)."""
+    from datetime import datetime, timedelta
+
+    from processor_edf_spark.streaming.sessions import interval_join_streams
+
+    rng = random.Random(9000 + seed)
+    n_users = rng.randint(3, 8)
+    t_card = rng.choice([30, 300, 1200])  # minutes of spread
+    within_min = rng.choice([15, 60, 360])
+    inorder = rng.random() < 0.5
+    delay = "30 minutes" if inorder else "96 hours"
+    base = datetime(2026, 3, 1, 0, 0)
+
+    def gen_side(n):
+        return pd.DataFrame(
+            {
+                "user_id": [rng.randrange(n_users) for _ in range(n)],
+                "m": [rng.randint(0, t_card) for _ in range(n)],
+            }
+        )
+
+    lpdf = gen_side(rng.randint(30, 120))
+    rpdf = gen_side(rng.randint(30, 120))
+    lpdf["lts"] = [base + timedelta(minutes=int(m)) for m in lpdf["m"]]
+    rpdf["rts"] = [base + timedelta(minutes=int(m)) for m in rpdf["m"]]
+    lpdf, rpdf = lpdf[["user_id", "lts"]], rpdf[["user_id", "rts"]]
+    if inorder:
+        lpdf = lpdf.sort_values("lts")
+        rpdf = rpdf.sort_values("rts")
+    else:
+        lpdf = lpdf.sample(frac=1.0, random_state=seed)
+        rpdf = rpdf.sample(frac=1.0, random_state=seed + 1)
+
+    # batch truth: identical condition on batch frames
+    lb = spark.createDataFrame(lpdf)
+    rb = spark.createDataFrame(rpdf)
+    cond = (
+        (lb["user_id"] == rb["user_id"])
+        & (rb["rts"] >= lb["lts"])
+        & (rb["rts"] <= lb["lts"] + F.expr(f"INTERVAL {within_min} minutes"))
+    )
+    want = sorted(
+        (r["user_id"], r["lts"], r["rts"])
+        for r in lb.join(rb, cond)
+        .select(lb["user_id"].alias("user_id"), "lts", "rts")
+        .collect()
+    )
+
+    for side, pdf, k in (
+        ("l", lpdf, rng.randint(1, 4)),
+        ("r", rpdf, rng.randint(1, 4)),
+    ):
+        _write_drops(spark, pdf, str(tmp_path / side), k)
+    clicks = (
+        spark.readStream.schema("user_id long, lts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "l") + "/*")
+    )
+    buys = (
+        spark.readStream.schema("user_id long, rts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "r") + "/*")
+    )
+    out = interval_join_streams(
+        clicks, buys, "user_id",
+        within=f"{within_min} minutes", delay=delay,
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName(f"fz_ijoin_{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = sorted(
+        (r["user_id"], r["lts"], r["rts"])
+        for r in spark.sql(f"select * from fz_ijoin_{seed}").collect()
+    )
+    assert got == want
