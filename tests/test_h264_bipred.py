@@ -387,3 +387,34 @@ def test_truncation_fuzz_never_escapes():
             decode_h264_ipcm(stream[:cut])
         except UnsupportedMediaError:
             pass
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_randomized_geometry_content_round_trip(seed):
+    """Property-style sweep: random even geometry (incl. non-MB-aligned
+    crops), GOP length, QP, deblock flag, direct mode and NOISE frames
+    (worst case for CAVLC level coding) — decode must stay bit-exact
+    against the encoder recon in every draw."""
+    import random as _random
+
+    rng = _random.Random(4000 + seed)
+    W = 2 * rng.randint(8, 48)
+    H = 2 * rng.randint(8, 40)
+    nf = rng.randint(2, 6)
+    qp = rng.randint(18, 42)
+    rng_np = np.random.default_rng(seed)
+    frames = [
+        (
+            rng_np.integers(0, 256, (H, W)).astype(np.uint8),
+            rng_np.integers(0, 256, (H // 2, W // 2)).astype(np.uint8),
+            rng_np.integers(0, 256, (H // 2, W // 2)).astype(np.uint8),
+        )
+        for _ in range(nf)
+    ]
+    _assert_bit_exact(
+        frames, W, H, qp=qp,
+        deblock=rng.random() < 0.5,
+        spatial_direct=rng.random() < 0.5,
+        inference=rng.random() < 0.5,
+        zero_motion=rng.random() < 0.3,
+    )
