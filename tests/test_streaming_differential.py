@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Nine differential contracts:
+Ten differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -48,6 +48,11 @@ Nine differential contracts:
   fires but nothing can be late), and shuffled arrival under a
   span-wide delay (order cannot matter) — randomized keys, tie
   density, `within` horizon, and per-side micro-batch cuts.
+- ``tumbling_counts_stream`` (r12) native watermarked tumbling agg on
+  in-order arrival ≡ the independent reference: exactly the windows
+  with end ≤ max_event_time − delay (the eviction boundary probed and
+  pinned INCLUSIVE), each with its full aggregate — randomized window
+  size, delay incl. exact-boundary final events, keys, ties, cuts.
 """
 
 from __future__ import annotations
@@ -784,3 +789,94 @@ def test_stream_interval_join_differential(spark, tmp_path, seed):
         for r in spark.sql(f"select * from fz_ijoin_{seed}").collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# tenth contract (r12): the native watermarked tumbling agg vs a fold
+# ---------------------------------------------------------------------------
+
+N_TUMBLE_SEEDS = 8
+
+
+@pytest.mark.parametrize("seed", range(N_TUMBLE_SEEDS))
+def test_stream_tumbling_watermark_differential(spark, tmp_path, seed):
+    """Randomized watermarked tumbling-window aggregations (the native
+    JVM path, ``tumbling_counts_stream``) vs an independent
+    reference: on IN-ORDER arrival no row can ever be late (its event
+    time is >= every earlier watermark), so the emitted set must be
+    exactly the windows whose end <= max_event_time - delay (the
+    eviction boundary measured and pinned INCLUSIVE: a window whose
+    end equals the final watermark emits; one microsecond less of
+    watermark holds it back), each carrying its FULL aggregate.
+    Randomizes window size, delay (including an exact-boundary final
+    event in half the seeds), key cardinality, event-time tie density
+    and micro-batch cuts."""
+    from datetime import datetime, timedelta
+
+    from processor_edf_spark.streaming.sessions import tumbling_counts_stream
+
+    rng = random.Random(10_000 + seed)
+    win_min = rng.choice([10, 60, 120])
+    delay_min = rng.choice([15, 60, 61])
+    n_users = rng.randint(2, 6)
+    t_card = rng.choice([90, 600, 2400])
+    n = rng.randint(50, 160)
+    base = datetime(2026, 4, 1, 0, 0)
+    minutes = sorted(rng.randint(0, t_card) for _ in range(n))
+    if rng.random() < 0.5:
+        # exact-boundary final event: watermark lands on a window end
+        last = ((max(minutes) // win_min) + 2) * win_min + delay_min
+        minutes.append(last)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [rng.randrange(n_users) for _ in minutes],
+            "ts": [base + timedelta(minutes=m) for m in minutes],
+            "value": [round(rng.uniform(-10, 10), 3) for _ in minutes],
+        }
+    )
+
+    # independent reference: full aggregates per (window, key), emitted
+    # iff window_end <= max_ts - delay
+    w_final = pdf["ts"].max() - timedelta(minutes=delay_min)
+    want = {}
+    for _, r in pdf.iterrows():
+        mins = int((r["ts"] - base).total_seconds() // 60)
+        wstart = base + timedelta(minutes=(mins // win_min) * win_min)
+        key = (wstart, int(r["user_id"]))
+        cur = want.get(key, (0, 0.0))
+        want[key] = (cur[0] + 1, cur[1] + float(r["value"]))
+    want = {
+        k: v
+        for k, v in want.items()
+        if k[0] + timedelta(minutes=win_min) <= w_final
+    }
+
+    k = rng.randint(1, 5)
+    _write_drops(spark, pdf, str(tmp_path / "in"), k)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in") + "/*")
+    )
+    out = tumbling_counts_stream(
+        stream, ts_col="ts", key_col="user_id",
+        window=f"{win_min} minutes", delay=f"{delay_min} minutes",
+    )
+    (
+        out.writeStream.format("memory")
+        .queryName(f"fz_tumble_{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    rows = spark.sql(f"select * from fz_tumble_{seed}").collect()
+    got = {
+        (r["window_start"], r["user_id"]): (r["n_events"], r["sum_value"])
+        for r in rows
+    }
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0], key
+        assert abs(got[key][1] - want[key][1]) < 1e-6, key
