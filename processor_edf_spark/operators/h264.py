@@ -4048,7 +4048,8 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
                              qp: int = 28, deblock: bool = False,
                              spatial_direct: bool = True,
                              inference: bool = True,
-                             zero_motion: bool = False):
+                             zero_motion: bool = False,
+                             slices_per_pic: int = 1):
     """Annex-B encoder with REAL B-slice coding on top of the r12
     inter layer: coded order I0, P2, B1, P4, B3, … (display-order
     frames in, decode-order reconstruction out — B pictures are
@@ -4066,7 +4067,12 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
     In temporal-direct mode, macroblocks whose colocated reference
     cannot be mapped into the current list 0 (possible on trailing
     past-only B pictures after the sliding window evicted it) fall
-    back to explicit bi-prediction, as a conforming encoder must."""
+    back to explicit bi-prediction, as a conforming encoder must.
+    ``slices_per_pic`` splits every picture into that many contiguous
+    same-type slices: cross-slice neighbors become UNAVAILABLE for
+    intra prediction, nC derivation, MV prediction and direct-mode
+    reference selection (§6.4.11), skip runs flush at slice ends, and
+    the in-loop filter still crosses slice boundaries (idc 0)."""
     if width % 2 or height % 2:
         raise UnsupportedMediaError("h264 encoder: dimensions must be even")
     if not 8 <= qp <= 44:
@@ -4147,97 +4153,13 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
         v_pad[: height // 2, : width // 2] = np.asarray(v, np.uint8)
 
         ctx = _PicCtx(sps)
-        ctx.mb_slice[:] = 1
         ctx.qp = qp
         ctx.serial = coded_idx + 1
         ctx.poc = 2 * disp
         fn = n_refs_seen % 16
         is_ref = kind in ("I", "P")
         stats["order"].append((disp, kind))
-        w = _BitWriter()
-        w.ue(0)  # first_mb_in_slice
-        if kind == "I":
-            w.ue(7)  # slice_type: I (all slices)
-            w.ue(0)  # pic_parameter_set_id
-            w.write(fn, 4)  # frame_num
-            w.ue(0)  # idr_pic_id
-            w.write(ctx.poc & 0xFF, 8)  # pic_order_cnt_lsb
-            w.write(0, 2)  # no_output_of_prior / long_term
-            w.se(0)  # slice_qp_delta
-            if deblock:
-                w.ue(0)
-                w.se(0)
-                w.se(0)
-            else:
-                w.ue(1)
-            for mb in range(n_mbs):
-                _encode_one_mb(
-                    w, ctx, mb, coded_idx, qp, qpc, y_pad, u_pad, v_pad
-                )
-            w.trailing_bits()
-            out += _nal(3, 5, w.getvalue())
-        elif kind == "P":
-            w.ue(5)  # slice_type: P
-            w.ue(0)
-            w.write(fn, 4)
-            w.write(ctx.poc & 0xFF, 8)
-            w.write(0, 1)  # num_ref_idx_active_override_flag
-            w.write(0, 1)  # ref_pic_list_modification_flag_l0
-            w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
-            w.se(0)
-            if deblock:
-                w.ue(0)
-                w.se(0)
-                w.se(0)
-            else:
-                w.ue(1)
-            pending = 0
-            for mb in range(n_mbs):
-                my, mx = divmod(mb, mb_w)
-                br, bc = my * 4, mx * 4
-                ctx.mb_qp[mb] = qp
-                if (mb + coded_idx) % 5 == 4:  # intra-in-P sprinkle
-                    w.ue(pending)
-                    pending = 0
-                    _encode_one_mb(
-                        w, ctx, mb, coded_idx, qp, qpc, y_pad, u_pad,
-                        v_pad, mb_type_offset=5,
-                    )
-                    continue
-                if (mb + coded_idx) % 3 == 0:
-                    # skip attempt (static content -> P_Skip, leaving
-                    # zero-motion colocated blocks for B colZeroFlag)
-                    mvx, mvy = _skip_mv(ctx, mb)
-                elif zero_motion:
-                    mvx, mvy = 0, 0
-                else:
-                    mvx, mvy = _enc_mv(mb, coded_idx, 0)
-                parts = [(0, 0, 4, 4, None, mvx, mvy, 0)]
-                preds = _mc_pred_mb(ctx, dpb, mb, parts)
-                cbp, lq, cdq, caq = _quant_inter_mb(
-                    ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
-                )
-                if (mb + coded_idx) % 3 == 0 and cbp == 0:
-                    pending += 1
-                    _recon_inter_mb(
-                        ctx, mb, qp, qpc, 0, lq, cdq, caq, *preds
-                    )
-                    continue
-                w.ue(pending)
-                pending = 0
-                w.ue(0)  # P_L0_16x16
-                mpx, mpy = _mvp(ctx, mb, br, bc, 4, 4)
-                w.se(mvx - mpx)
-                w.se(mvy - mpy)
-                _emit_inter_residual(w, ctx, mb, qp, cbp, lq, cdq, caq)
-                _recon_inter_mb(
-                    ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds
-                )
-            if pending:
-                w.ue(pending)
-            w.trailing_bits()
-            out += _nal(2, 1, w.getvalue())
-        else:  # B picture
+        if kind == "B":
             l0_full, l1_full = _b_default_lists(dpb, ctx.poc)
             if (
                 len(l1_full) > 1
@@ -4248,20 +4170,44 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
             a0 = min(2, len(l0_full))
             a1 = min(2, len(l1_full))
             l0e, l1e = l0_full[:a0], l1_full[:a1]
-            w.ue(6)  # slice_type: B
-            w.ue(0)
-            w.write(fn, 4)
-            w.write(ctx.poc & 0xFF, 8)
-            w.write(1 if spatial_direct else 0, 1)
-            if (a0, a1) != (1, 1):
-                w.write(1, 1)  # num_ref_idx_active_override_flag
-                w.ue(a0 - 1)
-                w.ue(a1 - 1)
+        n_slices = max(1, min(slices_per_pic, n_mbs))
+        bounds = [
+            (n_mbs * s // n_slices, n_mbs * (s + 1) // n_slices)
+            for s in range(n_slices)
+        ]
+        for si, (mb_lo, mb_hi) in enumerate(bounds):
+            w = _BitWriter()
+            w.ue(mb_lo)  # first_mb_in_slice
+            if kind == "I":
+                w.ue(7)  # slice_type: I (all slices)
+                w.ue(0)  # pic_parameter_set_id
+                w.write(fn, 4)  # frame_num
+                w.ue(0)  # idr_pic_id
+                w.write(ctx.poc & 0xFF, 8)  # pic_order_cnt_lsb
+                w.write(0, 2)  # no_output_of_prior / long_term
+            elif kind == "P":
+                w.ue(5)  # slice_type: P
+                w.ue(0)
+                w.write(fn, 4)
+                w.write(ctx.poc & 0xFF, 8)
+                w.write(0, 1)  # num_ref_idx_active_override_flag
+                w.write(0, 1)  # ref_pic_list_modification_flag_l0
+                w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
             else:
-                w.write(0, 1)
-            w.write(0, 1)  # ref_pic_list_modification_flag_l0
-            w.write(0, 1)  # ref_pic_list_modification_flag_l1
-            # nal_ref_idc 0: no dec_ref_pic_marking
+                w.ue(6)  # slice_type: B
+                w.ue(0)
+                w.write(fn, 4)
+                w.write(ctx.poc & 0xFF, 8)
+                w.write(1 if spatial_direct else 0, 1)
+                if (a0, a1) != (1, 1):
+                    w.write(1, 1)  # num_ref_idx_active_override_flag
+                    w.ue(a0 - 1)
+                    w.ue(a1 - 1)
+                else:
+                    w.write(0, 1)
+                w.write(0, 1)  # ref_pic_list_modification_flag_l0
+                w.write(0, 1)  # ref_pic_list_modification_flag_l1
+                # nal_ref_idc 0: no dec_ref_pic_marking
             w.se(0)  # slice_qp_delta
             if deblock:
                 w.ue(0)
@@ -4269,16 +4215,76 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
                 w.se(0)
             else:
                 w.ue(1)
-            pending = 0
-            pending = _encode_b_frame(
-                w, ctx, mb_w, n_mbs, coded_idx, qp, qpc,
-                y_pad, u_pad, v_pad, l0e, l1e, a0, a1,
-                spatial_direct, inference, stats, zero_motion,
-            )
-            if pending:
-                w.ue(pending)
-            w.trailing_bits()
-            out += _nal(0, 1, w.getvalue())
+            if kind == "I":
+                for mb in range(mb_lo, mb_hi):
+                    ctx.mb_slice[mb] = si + 1
+                    _encode_one_mb(
+                        w, ctx, mb, coded_idx, qp, qpc, y_pad, u_pad,
+                        v_pad,
+                    )
+                w.trailing_bits()
+                out += _nal(3, 5, w.getvalue())
+            elif kind == "P":
+                pending = 0
+                for mb in range(mb_lo, mb_hi):
+                    ctx.mb_slice[mb] = si + 1
+                    my, mx = divmod(mb, mb_w)
+                    br, bc = my * 4, mx * 4
+                    ctx.mb_qp[mb] = qp
+                    if (mb + coded_idx) % 5 == 4:  # intra-in-P sprinkle
+                        w.ue(pending)
+                        pending = 0
+                        _encode_one_mb(
+                            w, ctx, mb, coded_idx, qp, qpc, y_pad,
+                            u_pad, v_pad, mb_type_offset=5,
+                        )
+                        continue
+                    if (mb + coded_idx) % 3 == 0:
+                        # skip attempt (static content -> P_Skip,
+                        # leaving zero-motion colocated blocks for the
+                        # B colZeroFlag)
+                        mvx, mvy = _skip_mv(ctx, mb)
+                    elif zero_motion:
+                        mvx, mvy = 0, 0
+                    else:
+                        mvx, mvy = _enc_mv(mb, coded_idx, 0)
+                    parts = [(0, 0, 4, 4, None, mvx, mvy, 0)]
+                    preds = _mc_pred_mb(ctx, dpb, mb, parts)
+                    cbp, lq, cdq, caq = _quant_inter_mb(
+                        ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+                    )
+                    if (mb + coded_idx) % 3 == 0 and cbp == 0:
+                        pending += 1
+                        _recon_inter_mb(
+                            ctx, mb, qp, qpc, 0, lq, cdq, caq, *preds
+                        )
+                        continue
+                    w.ue(pending)
+                    pending = 0
+                    w.ue(0)  # P_L0_16x16
+                    mpx, mpy = _mvp(ctx, mb, br, bc, 4, 4)
+                    w.se(mvx - mpx)
+                    w.se(mvy - mpy)
+                    _emit_inter_residual(
+                        w, ctx, mb, qp, cbp, lq, cdq, caq
+                    )
+                    _recon_inter_mb(
+                        ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds
+                    )
+                if pending:
+                    w.ue(pending)
+                w.trailing_bits()
+                out += _nal(2, 1, w.getvalue())
+            else:  # B picture
+                pending = _encode_b_frame(
+                    w, ctx, mb_w, mb_lo, mb_hi, si + 1, coded_idx,
+                    qp, qpc, y_pad, u_pad, v_pad, l0e, l1e, a0, a1,
+                    spatial_direct, inference, stats, zero_motion,
+                )
+                if pending:
+                    w.ue(pending)
+                w.trailing_bits()
+                out += _nal(0, 1, w.getvalue())
         if deblock:
             ctx.db_idc[:] = 0
             _deblock_picture(ctx, 0)
@@ -4298,18 +4304,19 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
     return bytes(out), recons, stats
 
 
-def _encode_b_frame(w, ctx, mb_w, n_mbs, f_idx, qp, qpc,
-                    y_pad, u_pad, v_pad, l0e, l1e, a0, a1,
+def _encode_b_frame(w, ctx, mb_w, mb_lo, mb_hi, slice_id, f_idx, qp,
+                    qpc, y_pad, u_pad, v_pad, l0e, l1e, a0, a1,
                     spatial, inference, stats,
                     zero_motion=False) -> int:
-    """Emit every macroblock of one B slice; returns the pending
-    mb_skip_run the caller must flush."""
+    """Emit the macroblocks [mb_lo, mb_hi) of one B slice; returns the
+    pending mb_skip_run the caller must flush."""
 
     def enc_mv(mb, f_idx, p):
         return (0, 0) if zero_motion else _enc_mv(mb, f_idx, p)
 
     pending = 0
-    for mb in range(n_mbs):
+    for mb in range(mb_lo, mb_hi):
+        ctx.mb_slice[mb] = slice_id
         my, mx = divmod(mb, mb_w)
         br, bc = my * 4, mx * 4
         ctx.mb_qp[mb] = qp

@@ -418,3 +418,36 @@ def test_randomized_geometry_content_round_trip(seed):
         inference=rng.random() < 0.5,
         zero_motion=rng.random() < 0.3,
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-slice pictures (cross-slice prediction barriers, §6.4.11)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_slices", [2, 3])
+@pytest.mark.parametrize("deblock", [False, True])
+def test_multi_slice_round_trip(n_slices, deblock):
+    frames = _frames(5, seed=n_slices)
+    _assert_bit_exact(
+        frames, 64, 48, qp=28, slices_per_pic=n_slices, deblock=deblock
+    )
+    _assert_bit_exact(
+        frames, 64, 48, qp=28, slices_per_pic=n_slices,
+        deblock=deblock, spatial_direct=False,
+    )
+
+
+def test_slice_barriers_change_prediction():
+    """The cross-slice unavailability must actually engage: the same
+    frames encoded as 1 vs 2 slices per picture reconstruct
+    DIFFERENTLY (boundary macroblocks lose their top neighbors for
+    intra/MV/direct prediction), while each stream round-trips
+    bit-exactly against its own reconstruction."""
+    frames = _frames(5, seed=2)
+    _, r1, _ = _assert_bit_exact(frames, 64, 48, qp=28, slices_per_pic=1)
+    _, r2, _ = _assert_bit_exact(frames, 64, 48, qp=28, slices_per_pic=2)
+    diffs = sum(
+        int((a != b).sum()) for x, y in zip(r1, r2) for a, b in zip(x, y)
+    )
+    assert diffs > 0
