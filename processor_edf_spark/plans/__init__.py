@@ -142,14 +142,18 @@ from processor_edf_spark.plans import analytics_r12  # noqa: E402,F401
 # doc_fingerprint, ntile_value_quartiles, dow_hour_heatmap).  New r12
 # queries take priority slots as usual;
 # test_window_covers_every_family stays the coverage gate.
-# r13 rotation, PRE-DECLARED: the 19 queries at position 51+ with the
+# r13 rotation, PRE-DECLARED: the 28 queries at position 51+ with the
 # stalest driver evidence lead the rotate-ins — the six held/displaced
 # members (edf_date_parse, overlap_validation: r8+r9 greens;
 # rolling_fingerprint, doc_fingerprint, dow_hour_heatmap: r7 greens;
-# ntile_value_quartiles: r8+r9 greens) and the 13 tpch r7-greens —
-# then the stalest of the r11-window members rotated out here.  New
-# r13 queries take priority slots as usual;
-# test_window_covers_every_family stays the coverage gate.
+# ntile_value_quartiles: r8+r9 greens), the 13 tpch r7-greens, and the
+# nine members the r12 priority slots displaced (r10 greens:
+# minhash_signatures, simhash_16, sliding_hour_counts,
+# range_frame_user_avg, intersect_all_user_days, embedding_norm_stats,
+# ann_topk_bruteforce, anti_join_idle_customers,
+# moving_avg_daily_revenue) — then the stalest of the r11-window
+# members rotated out here.  New r13 queries take priority slots as
+# usual; test_window_covers_every_family stays the coverage gate.
 _CANONICAL = [
     # ---- r12 driver window (50): the pre-declared rotation from the
     # r11 note above, executed verbatim — the 50 r10-window members
