@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Ten differential contracts:
+Eleven differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -53,6 +53,11 @@ Ten differential contracts:
   with end ≤ max_event_time − delay (the eviction boundary probed and
   pinned INCLUSIVE), each with its full aggregate — randomized window
   size, delay incl. exact-boundary final events, keys, ties, cuts.
+- ``session_stats_native`` (r12) native session_window on in-order
+  arrival ≡ an independent inclusive-gap merge fold, emitted iff
+  CLOSED (last_event + gap ≤ max_event_time) — randomized gaps, keys,
+  tie grids that land events exactly gap apart (the merge boundary),
+  and micro-batch cuts.
 """
 
 from __future__ import annotations
@@ -880,3 +885,84 @@ def test_stream_tumbling_watermark_differential(spark, tmp_path, seed):
     for key in want:
         assert got[key][0] == want[key][0], key
         assert abs(got[key][1] - want[key][1]) < 1e-6, key
+
+
+# ---------------------------------------------------------------------------
+# eleventh contract (r12): native session_window vs the batch sessionizer
+# ---------------------------------------------------------------------------
+
+N_SESSION_SEEDS = 8
+
+
+@pytest.mark.parametrize("seed", range(N_SESSION_SEEDS))
+def test_stream_session_window_differential(spark, tmp_path, seed):
+    """Randomized native session_window runs vs an independent batch
+    sessionization fold: on IN-ORDER arrival (watermark 0 — any
+    disorder would be late by definition) the emitted sessions must be
+    exactly the CLOSED ones — last_event + gap <= max_event_time, the
+    session_window emission rule — with (start, end, dwell, n) built
+    by the documented inclusive-gap merge (a gap of exactly gap_usec
+    merges, one microsecond more splits).  Randomizes gap size, key
+    cardinality, tie density (incl. grids that land events exactly
+    gap_usec apart, the boundary the fold must call MERGE) and
+    micro-batch cuts."""
+    from processor_edf_spark.streaming.sessions import session_stats_native
+
+    rng = random.Random(11_000 + seed)
+    gap = rng.choice([2, 7, 25]) * 1_000_000
+    n_users = rng.randint(2, 6)
+    n = rng.randint(60, 200)
+    # minute-ish grids with steps that hit the exact-gap boundary
+    step = rng.choice([1_000_000, gap, gap // 2])
+    rows = [
+        (
+            rng.randrange(n_users),
+            rng.randint(0, 400) * step,
+        )
+        for _ in range(n)
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "t"]).sort_values(
+        ["t", "user_id"]
+    )
+
+    # independent fold: inclusive-gap merge per key, then keep closed
+    t_max = int(pdf["t"].max())
+    want = set()
+    for uid in sorted(set(pdf["user_id"])):
+        ts = sorted(int(t) for t in pdf[pdf["user_id"] == uid]["t"])
+        start, prev, count = ts[0], ts[0], 1
+        sessions = []
+        for t in ts[1:]:
+            if t - prev <= gap:
+                prev, count = t, count + 1
+            else:
+                sessions.append((start, prev, count))
+                start, prev, count = t, t, 1
+        sessions.append((start, prev, count))
+        for s, e, c in sessions:
+            if e + gap <= t_max:  # closed by the final watermark
+                want.add((uid, s, e, e - s, c))
+
+    k = rng.randint(1, 5)
+    _write_drops(spark, pdf, str(tmp_path / "in"), k)
+    stream = (
+        spark.readStream.schema("user_id long, t long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "in") + "/*")
+    )
+    out = session_stats_native(stream, gap_usec=gap)
+    (
+        out.writeStream.format("memory")
+        .queryName(f"fz_sess_{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = {
+        (r["key"], r["start_usec"], r["end_usec"], r["dwell_usec"],
+         r["n_events"])
+        for r in spark.sql(f"select * from fz_sess_{seed}").collect()
+    }
+    assert got == want
