@@ -103,7 +103,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # fenced, measured divergence #3).
 # Seeds 0-859 keep rendering their earlier grammars byte-for-byte (the
 # regression corpus that found the ROLLUP and RANGE-frame divergences).
-N_SEEDS = 1150
+N_SEEDS = 1250
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
