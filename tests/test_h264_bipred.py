@@ -451,3 +451,23 @@ def test_slice_barriers_change_prediction():
         int((a != b).sum()) for x, y in zip(r1, r2) for a, b in zip(x, y)
     )
     assert diffs > 0
+
+
+def test_bipred_stream_routes_through_media_seam():
+    """The media router's h264 path (magic-byte sniff → registered
+    pure-python plugin) serves B-slice streams too — the route a
+    corpus job's video frame-sampling actually takes."""
+    from processor_edf_spark.operators.media_codecs import (
+        decode_h264_video,
+        is_annexb_h264,
+    )
+
+    frames = _frames(5, seed=13)
+    stream, recons, _ = encode_h264_bipred_recon(frames, 64, 48, qp=28)
+    assert is_annexb_h264(stream)
+    w, h, decoded = decode_h264_video(stream)
+    assert (w, h) == (64, 48)
+    assert len(decoded) == 5
+    for rec, dec in zip(recons, decoded):
+        for a, b in zip(rec, dec):
+            assert np.array_equal(a, b)
