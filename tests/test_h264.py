@@ -360,11 +360,16 @@ def test_slice_groups_name_extra():
     )
 
 
-def test_b_slice_names_extra():
-    # r12: P slices decode for real; B/SP/SI still name the extra
+def test_sp_slice_names_extra():
+    # r12 third session: P AND B slices decode for real; SP/SI still
+    # name the extra.  A B slice inside an IDR NAL is a stream error.
+    _expect_extra(
+        _hand_sps() + _hand_pps() + _hand_slice([], slice_type=3),
+        "SP/SI.*av",
+    )
     _expect_extra(
         _hand_sps() + _hand_pps() + _hand_slice([], slice_type=1),
-        "B/SP/SI.*av",
+        "IDR pictures cannot contain P/B slices",
     )
 
 
@@ -381,7 +386,7 @@ def test_p_slice_without_reference_fails_cleanly():
 def test_idr_p_slice_rejected():
     _expect_extra(
         _hand_sps() + _hand_pps() + _hand_slice([], slice_type=0),
-        "IDR pictures cannot contain P slices",
+        "IDR pictures cannot contain P/B slices",
     )
 
 
