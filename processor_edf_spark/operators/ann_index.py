@@ -217,9 +217,12 @@ def ann_index_build(
     rows.sort(key=lambda r: r[id_col])
     X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     centroids = _kmeans_np(X, n_cells, n_iter)
+    # the ONE collected sample really does serve both trainings: the
+    # PQ codebooks train on the same id-sorted matrix, no second
+    # TakeOrdered sampling job over the corpus
     codebooks = pq_train(
         df, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-        sample_size=sample_size,
+        sample_size=sample_size, sample_matrix=X,
     )
     # train-time quantization-error baseline over the training sample
     mm, _, sub = codebooks.shape
@@ -339,17 +342,18 @@ def ann_index_search(
     raw (id, vector) frame) the ADC shortlist is exact-re-ranked
     JVM-side and the result carries true ``dist_sq``; without it the
     result carries ``adc_dist`` straight from the codes."""
-    from pyspark.sql import Window
-
-    from processor_edf_spark.operators.pq import pq_search_adc
+    from processor_edf_spark.operators.pq import (
+        exact_rerank,
+        pq_search_adc,
+        probe_cells,
+    )
 
     centroids, codebooks, _ = load_model(spark, index_dir)
     Q = np.asarray(queries, dtype=np.float64)
     qid = np.asarray(query_ids)
-    probe_sets = np.argsort(_distances(Q, centroids), axis=1, kind="stable")[
-        :, :nprobe
-    ]
-    probed_union = sorted({int(c) for row in probe_sets for c in row})
+    # probe derivation and re-rank are the SHARED pq.py helpers — this
+    # path and ivf_pq_search cannot drift apart (tie-breaks, rounding)
+    _probe_sets, probed_union = probe_cells(Q, centroids, nprobe)
     cand = ann_index_codes(spark, index_dir).filter(
         F.col("cell").isin(probed_union)
     )
@@ -357,38 +361,9 @@ def ann_index_search(
     short = pq_search_adc(cand, codebooks, Q, qid, k=depth, id_col="vec_id")
     if rerank_df is None:
         return short
-    qdf = spark.createDataFrame(
-        [(int(i), [float(x) for x in q]) for i, q in zip(qid, Q)],
-        "query_id long, qvec array<double>",
-    )
-    rerank = (
-        short.select("query_id", "neighbor_id")
-        .join(
-            rerank_df.select(
-                F.col(id_col).alias("neighbor_id"),
-                F.col(vec_col).alias("nvec"),
-            ),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qdf), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("nvec", "qvec", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("dist_sq"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist_sq").asc(), F.col("neighbor_id").asc()
-    )
-    return rerank.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return exact_rerank(
+        short, rerank_df, Q, qid, k, id_col=id_col, vec_col=vec_col,
+        exclude_self=False,
     )
 
 

@@ -200,6 +200,14 @@ def _skip_id3(payload: bytes) -> int:
     return 10 + size
 
 
+class _UnsupportedVariant(UnsupportedMediaError):
+    """A VALID MPEG audio frame header for a variant this decoder does
+    not implement (MPEG-2/2.5, Layer II, free format).  Distinct from
+    garbage so a mid-stream variant change raises instead of being
+    swallowed as trailing junk — silently truncating the stream would
+    report a partial decode as a full one."""
+
+
 def _parse_header(b4: bytes) -> dict:
     """4-byte frame header -> fields; raises on anything but MPEG-1
     Layer III or Layer I at a fixed bitrate."""
@@ -209,12 +217,12 @@ def _parse_header(b4: bytes) -> dict:
     version = (h >> 19) & 3
     layer = (h >> 17) & 3
     if version != 3:
-        raise UnsupportedMediaError(
+        raise _UnsupportedVariant(
             "mp3: only MPEG-1 is decodable without the optional codec "
             "library (soundfile)"
         )
     if layer == 2:  # '10' = Layer II
-        raise UnsupportedMediaError(
+        raise _UnsupportedVariant(
             "mp3: Layer II is not decodable without the optional "
             "codec library (soundfile)"
         )
@@ -223,7 +231,7 @@ def _parse_header(b4: bytes) -> dict:
     bitrate_idx = (h >> 12) & 0xF
     rate_idx = (h >> 10) & 3
     if bitrate_idx == 0:
-        raise UnsupportedMediaError("mp3: free-format bitrate unsupported")
+        raise _UnsupportedVariant("mp3: free-format bitrate unsupported")
     if bitrate_idx == 15 or rate_idx == 3:
         raise UnsupportedMediaError("mp3: invalid header")
     mode = (h >> 6) & 3
@@ -454,41 +462,61 @@ _IS_RATIO = np.tan(np.arange(7) * np.pi / 12.0)
 
 
 def _apply_stereo(xr, hdr, granules_sf, gr, rate):
-    """MS and long-block intensity stereo in place (spec §2.4.3.4.9)."""
+    """MS and long-block intensity stereo in place (spec §2.4.3.4.9).
+
+    The intensity region starts at the first scalefactor band lying
+    entirely in the right channel's UNTRANSMITTED tail (the spec's
+    "zero_part": everything past the big_values + count1 Huffman
+    region) — NOT at the last nonzero sample, which would wrongly
+    intensity-process coded zeros inside the transmitted region.
+    With mode_ext = 3 (MS and intensity both on), MS applies only
+    BELOW the intensity region, and intensity-region bands whose
+    position is illegal (>= 7) fall back to MS; with MS off they keep
+    their L/R samples (spec §2.4.3.4.9.3)."""
     if hdr["mode"] != 1:  # joint stereo only
         return xr
     ms = hdr["mode_ext"] & 2
     intensity = hdr["mode_ext"] & 1
     left, right = xr
-    if intensity:
-        g_r = granules_sf["granule"][1]
-        long_sf_r = granules_sf["long_sf"][1]
-        if g_r.window_switching and g_r.block_type == 2:
-            raise UnsupportedMediaError(
-                "mp3: short-block intensity stereo unsupported — install "
-                "the optional codec library (soundfile)"
-            )
-        bounds = _SFB_LONG[rate]
-        # intensity bands: above the right channel's zero boundary
-        nz = np.nonzero(right)[0]
-        zero_start = (int(nz[-1]) + 1) if len(nz) else 0
-        for b in range(22):
-            lo, hi = bounds[b], bounds[b + 1]
-            if lo < zero_start:
-                continue
-            is_pos = long_sf_r[b]
-            if is_pos >= 7:
-                continue  # illegal position: keep L/R (spec behavior)
-            ratio = _IS_RATIO[is_pos]
-            l_ = left[lo:hi].copy()
-            left[lo:hi] = l_ * (ratio / (1.0 + ratio))
-            right[lo:hi] = l_ * (1.0 / (1.0 + ratio))
-    if ms:
-        m = left.copy()
-        s = right.copy()
-        inv_sqrt2 = 1.0 / np.sqrt(2.0)
-        left[:] = (m + s) * inv_sqrt2
-        right[:] = (m - s) * inv_sqrt2
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+
+    def ms_region(lo, hi):
+        m = left[lo:hi].copy()
+        s = right[lo:hi].copy()
+        left[lo:hi] = (m + s) * inv_sqrt2
+        right[lo:hi] = (m - s) * inv_sqrt2
+
+    if not intensity:
+        if ms:
+            ms_region(0, 576)
+        return xr
+    g_r = granules_sf["granule"][1]
+    long_sf_r = granules_sf["long_sf"][1]
+    if g_r.window_switching and g_r.block_type == 2:
+        raise UnsupportedMediaError(
+            "mp3: short-block intensity stereo unsupported — install "
+            "the optional codec library (soundfile)"
+        )
+    bounds = _SFB_LONG[rate]
+    zero_start = int(granules_sf["count1_end"][1])
+    intensity_from = next(
+        (bounds[b] for b in range(22) if bounds[b] >= zero_start), 576
+    )
+    for b in range(22):
+        lo, hi = bounds[b], bounds[b + 1]
+        if lo < intensity_from:
+            continue
+        is_pos = long_sf_r[b]
+        if is_pos >= 7:  # illegal position: MS when on, else keep L/R
+            if ms:
+                ms_region(lo, hi)
+            continue
+        ratio = _IS_RATIO[is_pos]
+        l_ = left[lo:hi].copy()
+        left[lo:hi] = l_ * (ratio / (1.0 + ratio))
+        right[lo:hi] = l_ * (1.0 / (1.0 + ratio))
+    if ms:  # MS covers only the spectrum below the intensity region
+        ms_region(0, intensity_from)
     return xr
 
 
@@ -793,6 +821,11 @@ def _iter_frames(payload: bytes):
     while pos + 4 <= end:
         try:
             hdr = _parse_header(payload[pos : pos + 4])
+        except _UnsupportedVariant:
+            # a VALID header for an unimplemented variant at the exact
+            # next-frame offset is a stream property, not junk: raise
+            # mid-stream rather than silently truncate the decode
+            raise
         except UnsupportedMediaError:
             if first:
                 raise
@@ -878,6 +911,7 @@ def decode_mp3_frames(payload: bytes):
             xr_ch = []
             sf_ch = []
             g_ch = []
+            c1_ch = []
             for ch in range(nch):
                 g = granules[gr][ch]
                 part_start = r.pos
@@ -886,7 +920,7 @@ def decode_mp3_frames(payload: bytes):
                     r, g, gr, scfsi[ch], prev_sf[ch]
                 )
                 prev_sf[ch] = (long_sf, short_sf)
-                ix, _ = _read_spectrum(r, g, rate, part_end)
+                ix, count1_end = _read_spectrum(r, g, rate, part_end)
                 if r.pos > part_end:
                     raise UnsupportedMediaError("mp3: part2_3 overrun")
                 r.pos = part_end  # skip padding inside the part
@@ -895,11 +929,16 @@ def decode_mp3_frames(payload: bytes):
                 xr_ch.append(xr)
                 sf_ch.append(long_sf)
                 g_ch.append(g)
+                c1_ch.append(count1_end)
             if nch == 2:
                 _apply_stereo(
                     xr_ch,
                     hdr,
-                    {"granule": granules[gr], "long_sf": sf_ch},
+                    {
+                        "granule": granules[gr],
+                        "long_sf": sf_ch,
+                        "count1_end": c1_ch,
+                    },
                     gr,
                     rate,
                 )

@@ -72,6 +72,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int | None = None,
+    sample_matrix: np.ndarray | None = None,
 ) -> np.ndarray:
     """Train m per-subspace codebooks of k centroids each; returns a
     (m, k, d/m) array.  d must divide evenly by m (raise otherwise —
@@ -88,17 +89,24 @@ def pq_train(
     data PQ training never needed.  Determinism: the hash order is
     content-stable, the sample is re-sorted by id before seeding, and
     _kmeans_np mirrors kmeans_fit's tie-break/empty-cluster contract."""
-    n = sample_size if sample_size is not None else max(10_000, 256 * k)
-    rows = (
-        df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(n)
-        .collect()
-    )
-    if not rows:
-        raise ValueError("pq_train: empty input")
-    rows.sort(key=lambda r: r[id_col])  # id-order seeding, as kmeans_fit
-    X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    if sample_matrix is not None:
+        # caller already holds the id-sorted bounded sample (e.g.
+        # ann_index_build shares ONE sample between both trainings)
+        X = np.asarray(sample_matrix, dtype=np.float64)
+        if not len(X):
+            raise ValueError("pq_train: empty input")
+    else:
+        n = sample_size if sample_size is not None else max(10_000, 256 * k)
+        rows = (
+            df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(n)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("pq_train: empty input")
+        rows.sort(key=lambda r: r[id_col])  # id-order seeding, as kmeans_fit
+        X = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
     d = X.shape[1]
     if d % m:
         raise ValueError(f"pq_train: dim {d} not divisible by m={m}")
@@ -214,6 +222,84 @@ def pq_search_adc(
     )
 
 
+def probe_cells(queries: np.ndarray, centroids: np.ndarray, nprobe: int):
+    """Per-query probe sets and their union.  Stable argsort:
+    equidistant centroids probe in lowest-id order — the same
+    tie-break as cell assignment (argmin first-min), keeping probe
+    sets deterministic and oracle-reproducible under ties.  Shared by
+    ``ivf_pq_search`` and the persisted-index search
+    (operators/ann_index.py) so the two paths cannot drift."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    probe_sets = np.argsort(_distances(Q, C), axis=1, kind="stable")[
+        :, :nprobe
+    ]
+    return probe_sets, sorted({int(c) for row in probe_sets for c in row})
+
+
+def exact_rerank(
+    short: DataFrame,
+    vectors: DataFrame,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """ADC shortlist → exact top-k: join the (query_id, neighbor_id)
+    shortlist back to the raw vectors, compute TRUE squared L2
+    JVM-side (zip_with + aggregate, rounded to 6 like the oracle
+    closed forms), and take the per-query top-k with the neighbor-id
+    tie-break.  Shared by ``ivf_pq_search`` and
+    ``ann_index_search`` — one definition of the re-rank semantics."""
+    from pyspark.sql import Window
+
+    spark = vectors.sparkSession
+    Q = np.asarray(queries, dtype=np.float64)
+    qid = np.asarray(query_ids)
+    qdf = spark.createDataFrame(
+        [(int(i), [float(x) for x in q]) for i, q in zip(qid, Q)],
+        "query_id long, qvec array<double>",
+    )
+    rerank = (
+        short.select("query_id", "neighbor_id")
+        .join(
+            vectors.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("nvec"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qdf), "query_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            if exclude_self
+            else F.lit(True)
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        "nvec", "qvec", lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("dist_sq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_sq").asc(), F.col("neighbor_id").asc()
+    )
+    return rerank.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_pq_search(
     df: DataFrame,
     centroids: np.ndarray,
@@ -250,18 +336,12 @@ def ivf_pq_search(
     is trivially distance 0).  Pass False when query ids live in a
     separate id space: a legitimate corpus neighbor that merely shares a
     numeric id with a query must not be silently excluded."""
-    from pyspark.sql import Window
-
     from processor_edf_spark.operators.kmeans import assign_clusters
 
     C = np.asarray(centroids, dtype=np.float64)
     Q = np.asarray(queries, dtype=np.float64)
     qid = np.asarray(query_ids)
-    # stable sort: equidistant centroids probe in lowest-id order, the
-    # same tie-break as cell assignment (argmin first-min) — keeps the
-    # probe set deterministic and oracle-reproducible under ties
-    probe_sets = np.argsort(_distances(Q, C), axis=1, kind="stable")[:, :nprobe]
-    probed_union = sorted({int(c) for row in probe_sets for c in row})
+    _probe_sets, probed_union = probe_cells(Q, C, nprobe)
 
     assigned = assign_clusters(df, C, id_col=id_col, vec_col=vec_col).select(
         id_col, "cluster"
@@ -275,41 +355,7 @@ def ivf_pq_search(
     short = pq_search_adc(
         codes, codebooks, Q, qid, k=shortlist, id_col=id_col
     ).select("query_id", "neighbor_id")
-
-    spark = df.sparkSession
-    qdf = spark.createDataFrame(
-        [(int(i), [float(x) for x in q]) for i, q in zip(qid, Q)],
-        "query_id long, qvec array<double>",
-    )
-    rerank = (
-        short.join(
-            df.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
-            ),
-            "neighbor_id",
-        )
-        .join(F.broadcast(qdf), "query_id")
-        .filter(
-            (F.col("neighbor_id") != F.col("query_id"))
-            if exclude_self
-            else F.lit(True)
-        )
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with("nvec", "qvec", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("dist_sq"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist_sq").asc(), F.col("neighbor_id").asc()
-    )
-    return rerank.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    return exact_rerank(
+        short, df, Q, qid, k, id_col=id_col, vec_col=vec_col,
+        exclude_self=exclude_self,
     )

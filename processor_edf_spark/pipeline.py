@@ -94,6 +94,25 @@ def process_edf_directory(
     return samples, channels, annotations
 
 
+class _SingleSlot:
+    """Holds the most recent persisted range plan so each new ranged
+    run releases its predecessor's cache — a long session running
+    repeated jobs keeps at most ONE plan's partitions cached."""
+
+    def __init__(self):
+        self._df = None
+
+    def pop(self):
+        df, self._df = self._df, None
+        return df
+
+    def append(self, df):
+        self._df = df
+
+
+_LAST_RANGE_PLAN = _SingleSlot()
+
+
 def _process_edf_directory_ranged(
     spark: SparkSession,
     input_dir: str,
@@ -113,15 +132,12 @@ def _process_edf_directory_ranged(
         decode_samples_from_ranges,
         file_status_ranged,
         plan_edf_ranges,
-        scan_signal_headers_ranged,
+        signal_headers_from_plan,
     )
 
-    listing = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.[eE][dD][fF]")
-        .load(input_dir)
-        .select("path", "length")
-    )
+    from processor_edf_spark.sources.edf_ranges import edf_listing
+
+    listing = edf_listing(spark, input_dir)
     if quarantine:
         # header-only probe; corrupt headers excluded BEFORE the planner
         good = (
@@ -132,16 +148,28 @@ def _process_edf_directory_ranged(
         listing = listing.join(F.broadcast(good), "path")
     from pyspark import StorageLevel
 
+    # release the PREVIOUS invocation's persisted plan (long sessions
+    # running repeated jobs must not accumulate cached range partitions)
+    prev = _LAST_RANGE_PLAN.pop()
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # session of the old plan may be gone
+            pass
     ranges = plan_edf_ranges(
         spark, input_dir, target_bytes=target_bytes, listing=listing
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _LAST_RANGE_PLAN.append(ranges)
     # one metadata action materializes the plan (single header read per
     # file); the explicit repartition spreads EVERY range scan one-per-
     # task — same AQE-coalesce rationale as decode_samples_from_ranges
     n_ranges = max(1, ranges.count())
     samples = decode_samples_from_ranges(ranges, num_tasks=n_ranges)
     annotations = decode_annotations_ranged(ranges.repartition(n_ranges))
-    headers = scan_signal_headers_ranged(spark, input_dir, listing=listing)
+    # signal headers come from the PLAN's ride-along JSON — no second
+    # per-file header read (at a million-file listing the old
+    # scan_signal_headers_ranged doubled the small-read storm)
+    headers = signal_headers_from_plan(ranges)
     chunk_runs = decode_chunk_runs_ranged(ranges.repartition(n_ranges))
     channels = build_channel_metadata(chunk_runs, headers, existing_channels)
     return samples, channels, annotations

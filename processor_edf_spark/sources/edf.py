@@ -366,7 +366,13 @@ def chunk_run_rows_from_matrix(
 
 def signal_header_rows(path: str, content: bytes) -> pd.DataFrame:
     """One metadata row per signal (reference S2+S3)."""
-    h = parse_edf_header(content)
+    return signal_header_rows_from_dict(path, parse_edf_header(content))
+
+
+def signal_header_rows_from_dict(path: str, h: dict) -> pd.DataFrame:
+    """S2+S3 rows from an already-parsed header dict — lets the ranged
+    pipeline derive signal headers from the range plan's ride-along
+    JSON instead of re-reading header bytes per file."""
     start_usec = edf_start_usec(h["start_date"], h["start_time"])
     file_name = path.rsplit("/", 1)[-1]
     n = h["nb_signal"]

@@ -68,8 +68,28 @@ RANGES_SCHEMA = (
     "rec_bytes long, header_json string"
 )
 
-# Header fields the decode kernel needs (the 80-char free-text fields are
-# dropped from the ride-along JSON to keep range rows small).
+
+def edf_listing(spark: SparkSession, path: str) -> DataFrame:
+    """The one (path, length) EDF listing every ranged stage shares —
+    a single definition so the glob/format rule can never diverge
+    between the planner, the header scan, the probe, and the ranged
+    pipeline's pre-filtered listing."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.[eE][dD][fF]")
+        .load(path)
+        .select("path", "length")
+    )
+
+
+# Header fields the decode kernel AND the plan-derived signal-header
+# scan need.  The free-text per-signal fields (transducer, phy_dim,
+# prefiltering) ride along since the r12 third session: they cost
+# ~170 chars per signal per range row, but carrying them lets the
+# pipeline derive every signal-header row from the PLAN instead of
+# issuing a second per-file header read — at a million-file listing
+# that trades a few GB of shuffled plan metadata for a million fewer
+# small object-store GETs.
 _HEADER_KEYS = (
     "start_date",
     "start_time",
@@ -77,10 +97,13 @@ _HEADER_KEYS = (
     "duration",
     "nb_signal",
     "labels",
+    "transducer",
+    "phy_dim",
     "phy_min",
     "phy_max",
     "dig_min",
     "dig_max",
+    "prefiltering",
     "nr_samples",
     "header_bytes",
     "is_discontiguous",
@@ -139,12 +162,7 @@ def plan_edf_ranges(
     lineage for the decode pass: 2× small-read storms on an object store
     at a million-file listing)."""
     if listing is None:
-        listing = (
-            spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.[eE][dD][fF]")
-            .load(path)
-            .select("path", "length")
-        )
+        listing = edf_listing(spark, path)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -325,12 +343,7 @@ def scan_signal_headers_ranged(
     edf.parse_signal_headers, O(header) bytes per file at any file
     size."""
     if listing is None:
-        listing = (
-            spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.[eE][dD][fF]")
-            .load(path)
-            .select("path", "length")
-        )
+        listing = edf_listing(spark, path)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -340,6 +353,27 @@ def scan_signal_headers_ranged(
     return listing.mapInPandas(gen, schema=SIGNAL_HEADERS_SCHEMA)
 
 
+def signal_headers_from_plan(ranges: DataFrame) -> DataFrame:
+    """S2/S3 rows derived from the range plan's ride-along header JSON
+    — ZERO file I/O: the planner already read and parsed every header,
+    so the signal-header scan is a projection of the plan (one row per
+    file via dropDuplicates on path).  Parity with
+    ``scan_signal_headers_ranged`` is pinned in
+    tests/test_edf_ranges.py."""
+    from processor_edf_spark.sources.edf import signal_header_rows_from_dict
+
+    one_per_file = ranges.select("path", "header_json").dropDuplicates(
+        ["path"]
+    )
+
+    def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, hj in zip(pdf["path"], pdf["header_json"]):
+                yield signal_header_rows_from_dict(str(p), json.loads(hj))
+
+    return one_per_file.mapInPandas(gen, schema=SIGNAL_HEADERS_SCHEMA)
+
+
 def file_status_ranged(
     spark: SparkSession, path: str, listing: DataFrame | None = None
 ) -> DataFrame:
@@ -347,12 +381,7 @@ def file_status_ranged(
     rows identical to edf.file_status (the probe validates the data
     area from the header + the LISTING length, never the content)."""
     if listing is None:
-        listing = (
-            spark.read.format("binaryFile")
-            .option("pathGlobFilter", "*.[eE][dD][fF]")
-            .load(path)
-            .select("path", "length")
-        )
+        listing = edf_listing(spark, path)
 
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

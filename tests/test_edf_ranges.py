@@ -410,3 +410,24 @@ def test_planner_fuzz_ranged_equals_whole(
     whole = decode_samples(scan_edf_files(spark, str(d)))
     ranged = decode_samples_ranged(spark, str(d), target_bytes=target)
     _assert_bit_identical(whole, ranged)
+
+
+def test_signal_headers_from_plan_parity(spark):
+    """Headers derived from the plan's ride-along JSON must equal the
+    header-read scan row-for-row (incl. the free-text fields that now
+    ride in the JSON) — the ranged pipeline issues ONE header read per
+    file for everything."""
+    from processor_edf_spark.sources.edf_ranges import (
+        plan_edf_ranges,
+        scan_signal_headers_ranged,
+        signal_headers_from_plan,
+    )
+
+    src = "/root/reference/sample_data"
+    ranges = plan_edf_ranges(spark, src, target_bytes=64 * 1024)
+    via_plan = signal_headers_from_plan(ranges)
+    via_read = scan_signal_headers_ranged(spark, src)
+    cols = via_read.columns
+    a = sorted(map(tuple, via_plan.select(cols).collect()))
+    b = sorted(map(tuple, via_read.select(cols).collect()))
+    assert a == b and len(a) > 0

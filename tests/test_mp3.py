@@ -671,3 +671,80 @@ def test_mixed_block_round_trip():
     assert not np.array_equal(
         out[0][1][0, 0][36:72], frames[0][0][0]["ix"][36:72].astype(float)
     )
+
+
+# ---------------------------------------------------------------------------
+# long-block intensity stereo (r12 third session: bound + MS interaction)
+# ---------------------------------------------------------------------------
+
+
+def _intensity_fixture():
+    """Left coded through line 110; right coded through 74 with CODED
+    ZEROS in its last band [62, 74) — the strict spec bound (end of
+    the transmitted region) starts intensity at 74, while a
+    last-nonzero-sample bound would wrongly start it at 62."""
+    bounds = _SFB_LONG[44100]
+    assert (bounds[11], bounds[12], bounds[14]) == (62, 74, 110)
+    right_ix = np.zeros(576, dtype=np.int64)
+    for k in range(62):
+        right_ix[k] = ((5 + 3 * k) % 3) - 1
+    left_ix = np.zeros(576, dtype=np.int64)
+    for k in range(110):
+        left_ix[k] = ((1 + 3 * k) % 3) - 1
+    sf_r = [0] * 22
+    sf_r[12] = 2  # legal intensity position (ratio tan(2π/12))
+    sf_r[13] = 7  # ILLEGAL position
+    left = {"ix": left_ix, "big_values_lines": 110, "count1_quads": 0,
+            "global_gain": 210}
+    right = {"ix": right_ix, "big_values_lines": 74, "count1_quads": 0,
+             "global_gain": 210, "long_sf": sf_r,
+             "scalefac_compress": 15}
+    return left, right
+
+
+@pytest.mark.parametrize("mode_ext", [1, 3])
+def test_intensity_stereo_bound_and_ms_interaction(mode_ext):
+    left, right = _intensity_fixture()
+    frames = [[[left, right], [left, right]]]
+    out = decode_mp3_frames(_stream(frames, rate=44100, n_channels=2,
+                                    bitrate_kbps=192,
+                                    mode_ext=mode_ext))
+    spectra = out[0][1]
+    l_in = left["ix"].astype(float)
+    r_in = right["ix"].astype(float)
+    exp_l, exp_r = l_in.copy(), r_in.copy()
+    inv = 1.0 / np.sqrt(2.0)
+    if mode_ext == 3:  # MS strictly below the intensity region [0, 74)
+        exp_l[:74] = (l_in[:74] + r_in[:74]) * inv
+        exp_r[:74] = (l_in[:74] - r_in[:74]) * inv
+    # band 12 [74, 90): legal position 2 -> ratio tan(2*pi/12)
+    ratio = np.tan(2 * np.pi / 12.0)
+    exp_l[74:90] = l_in[74:90] * (ratio / (1.0 + ratio))
+    exp_r[74:90] = l_in[74:90] * (1.0 / (1.0 + ratio))
+    # band 13 [90, 110): ILLEGAL position: MS when on, else keep L/R
+    if mode_ext == 3:
+        exp_l[90:110] = (l_in[90:110] + 0.0) * inv
+        exp_r[90:110] = (l_in[90:110] - 0.0) * inv
+    for g in range(2):
+        assert np.allclose(spectra[g, 0], exp_l, atol=1e-12)
+        assert np.allclose(spectra[g, 1], exp_r, atol=1e-12)
+        # the coded-zero band [62, 74) inside the right channel's
+        # transmitted region is NOT intensity-processed: with
+        # intensity-only mode the channels keep their samples
+        if mode_ext == 1:
+            assert np.array_equal(spectra[g, 0][62:74], l_in[62:74])
+            assert np.array_equal(spectra[g, 1][62:74], np.zeros(12))
+
+
+def test_mid_stream_unsupported_variant_raises():
+    """A VALID MPEG-2 header at the exact next-frame offset must raise,
+    not silently truncate the stream (the trailing-garbage leniency is
+    for junk, not for parseable unsupported variants)."""
+    frames = [[[_gran(1)] for _g in range(2)]]
+    good = _stream(frames, rate=44100, n_channels=1, bitrate_kbps=128)
+    mpeg2 = b"\xff\xf3\x90\x00" + b"\x00" * 40
+    with pytest.raises(UnsupportedMediaError, match="MPEG-1"):
+        decode_mp3_frames(good + mpeg2)
+    # plain junk after valid frames still decodes leniently
+    out = decode_mp3_frames(good + b"\x12junkjunk\x00\x00")
+    assert len(out) == 1
