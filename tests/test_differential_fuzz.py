@@ -100,10 +100,16 @@ SF_DIR = "/root/testdata/sf0.001"
 # subqueries in WHERE comparisons, DISTINCT aggregates (incl. several
 # in one query — Spark plans an Expand), and statistical aggregates
 # (VAR/STDDEV SAMP+POP, COVAR — float-tolerance compared; CORR
-# fenced, measured divergence #3).
+# fenced, measured divergence #3).  Seeds 1000+ use the r12 grammar
+# v6: correlated LATERAL subqueries in FROM, CTE-consumed-twice reuse
+# shapes, and NULLS FIRST/LAST + LIMIT/OFFSET pagination (which found
+# measured divergence #4, fenced in gen_lateral).  Seeds 1250+ use
+# v7: explicit GROUPING SETS with GROUPING() markers on non-empty
+# bases, FULL-JOIN/COALESCE-key aggregation with null-side counters,
+# and projection-position [NOT] EXISTS inside CASE.
 # Seeds 0-859 keep rendering their earlier grammars byte-for-byte (the
 # regression corpus that found the ROLLUP and RANGE-frame divergences).
-N_SEEDS = 1250
+N_SEEDS = 1350
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -1467,6 +1473,126 @@ def gen_null_order_page(rng, pools):
     }
 
 
+def gen_grouping_sets(rng, pools):
+    """r12 grammar v7 lead axis (seeds 1250+): explicit GROUPING SETS
+    (incl. the grand-total set and the GROUPING() marker function) on
+    WHOLE tables — the ROLLUP fence's empty-input hazard (measured
+    divergence #1) cannot arise because the base tables are non-empty
+    and no WHERE is applied."""
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    k1 = _col("i", rng, cols) or UNIQUE[t][0]
+    k2 = _col("s", rng, cols)
+    if k2 is None:
+        k2 = UNIQUE[t][0]
+    agg_col = _col("i", rng, cols) or UNIQUE[t][0]
+    sets = [f"({k1})", "()"]
+    has_k2 = False
+    if rng.random() < 0.7:
+        sets.insert(1, f"({k2})")
+        has_k2 = True
+    if rng.random() < 0.5:
+        sets.insert(0, f"({k1}, {k2})")
+        has_k2 = True
+    items = [
+        f"{k1} AS g1",
+        # k2 may only be projected when some grouping set contains it
+        # (Spark enforces this at analysis; DuckDB NULL-fills — a
+        # strictness difference, loud not silent, so the grammar emits
+        # only the portable form)
+        *([f"{k2} AS g2"] if has_k2 else []),
+        f"CAST(GROUPING({k1}) AS BIGINT) AS gf1",
+        f"CAST(COUNT(*) AS BIGINT) AS n",
+        f"CAST(SUM({agg_col}) AS BIGINT) AS s",
+    ]
+    sql = (
+        f"SELECT {', '.join(items)} FROM {t} "
+        f"GROUP BY GROUPING SETS ({', '.join(sets)})"
+    )
+    return {"kind": "raw", "sql": sql, "shrinks": []}
+
+
+def gen_full_join_agg(rng, pools):
+    """r12 grammar v7 axis #2: FULL JOIN of two filtered derived
+    tables on modular keys, grouped by COALESCE of the two key sides
+    with null-side counters — the three-valued-logic classic."""
+    (lt, lc), (rt, rc) = rng.sample(
+        [
+            ("fz_customer", "c_nationkey"),
+            ("fz_orders", "o_custkey"),
+            ("fz_lineitem", "l_suppkey"),
+            ("fz_events", "user_id"),
+            ("fz_nation", "n_regionkey"),
+        ],
+        2,
+    )
+    lmod = rng.randint(2, 40)
+    rmod = rng.randint(2, 40)
+    lpred = (
+        f" WHERE {gen_pred(rng, TABLES[lt], pools, lt, 1)}"
+        if rng.random() < 0.5 else ""
+    )
+    rpred = (
+        f" WHERE {gen_pred(rng, TABLES[rt], pools, rt, 1)}"
+        if rng.random() < 0.5 else ""
+    )
+    sql = (
+        f"SELECT COALESCE(a.k, b.k) AS k, "
+        f"CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS only_b, "
+        f"CAST(SUM(CASE WHEN b.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS only_a "
+        f"FROM (SELECT {lc} % {lmod} AS k FROM {lt}{lpred}) a "
+        f"FULL JOIN (SELECT {rc} % {rmod} AS k FROM {rt}{rpred}) b "
+        f"ON a.k = b.k GROUP BY COALESCE(a.k, b.k)"
+    )
+    return {"kind": "raw", "sql": sql, "shrinks": []}
+
+
+def gen_exists_case(rng, pools):
+    """r12 grammar v7 axis #3: correlated [NOT] EXISTS inside a CASE
+    in the SELECT list (projection-position semi-join decorrelation,
+    vs the WHERE-position membership shapes of v4)."""
+    ot, oc, it_, ic = rng.choice(_MEMBER_PAIRS)
+    uniq = UNIQUE[ot]
+    keys = ", ".join(f"{ot}.{u} AS c{j}" for j, u in enumerate(uniq))
+    neg = "NOT " if rng.random() < 0.5 else ""
+    inner_pred = (
+        f" AND {gen_pred(rng, TABLES[it_], pools, it_, 1)}"
+        if rng.random() < 0.5 else ""
+    )
+    other = _col("f", rng, TABLES[ot])
+    second = (
+        f"WHEN {other} < 0 THEN 'neg' " if other is not None else ""
+    )
+    sql = (
+        f"SELECT {keys}, CASE WHEN {neg}EXISTS (SELECT 1 FROM {it_} "
+        f"WHERE {ic} = {ot}.{oc}{inner_pred}) THEN 'hit' "
+        f"{second}ELSE 'miss' END AS tag FROM {ot}"
+    )
+    where = (
+        gen_pred(rng, TABLES[ot], pools, ot, 1)
+        if rng.random() < 0.4 else None
+    )
+    shrinks = []
+    if where:
+        shrinks.append({"kind": "raw", "sql": sql, "shrinks": []})
+        sql += f" WHERE {where}"
+    return {"kind": "raw", "sql": sql, "shrinks": shrinks}
+
+
+def gen_query_v7(rng, pools) -> dict:
+    """Seeds 1250+: GROUPING SETS lead, FULL-JOIN/COALESCE aggregation
+    and projection-position EXISTS behind."""
+    shape = rng.randrange(10)
+    if shape < 4:
+        return gen_grouping_sets(rng, pools)
+    if shape < 7:
+        return gen_full_join_agg(rng, pools)
+    return gen_exists_case(rng, pools)
+
+
 def gen_query_v6(rng, pools) -> dict:
     """Seeds 1000+: LATERAL joins lead, with CTE reuse and
     null-ordered pagination behind."""
@@ -1532,6 +1658,8 @@ def gen_query_v2(rng, pools) -> dict:
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 1250:
+        return gen_query_v7(rng, pools)
     if seed >= 1000:
         return gen_query_v6(rng, pools)
     if seed >= 920:
