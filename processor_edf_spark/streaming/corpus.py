@@ -30,14 +30,23 @@ def stream_corpus_ingest(
     dedup_delay: str = "10 minutes",
     min_tokens: int = 3,
     normalize: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """readStream(parquet drops) → watermarked content dedup (on the
     NORMALIZED text by default — whitespace/case mutations of the same
     document dedup, the production-realistic key) → token gate → PII
     audit + scrub.  Returns the streaming DataFrame; run with
     ``trigger(availableNow=True)`` for batch-incremental catch-up or a
-    processing-time trigger for continuous ingest."""
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    processing-time trigger for continuous ingest.
+    ``max_files_per_trigger`` bounds each micro-batch's file count —
+    the deployment knob for catch-up batch sizing (and what lets the
+    differential suite replay drops one micro-batch each)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(input_dir)
     deduped = dedup_stream_exact(
         stream, text_col="text", ts_col="ts", delay=dedup_delay,
         normalize=normalize,

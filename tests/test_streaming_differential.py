@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Eleven differential contracts:
+Twelve differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -58,6 +58,12 @@ Eleven differential contracts:
   CLOSED (last_event + gap ≤ max_event_time) — randomized gaps, keys,
   tie grids that land events exactly gap apart (the merge boundary),
   and micro-batch cuts.
+- ``stream_corpus_ingest`` (r12) the full ingest COMPOSITION
+  (watermarked normalized dedup → token gate → PII audit/scrub):
+  exactly one survivor per normalized key from the key's FIRST batch,
+  and the stateless stages equal the batch operators recomputed on
+  every survivor — randomized mutation shapes, PII density, gated-doc
+  density, and per-drop micro-batches.
 """
 
 from __future__ import annotations
@@ -966,3 +972,145 @@ def test_stream_session_window_differential(spark, tmp_path, seed):
         for r in spark.sql(f"select * from fz_sess_{seed}").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# twelfth contract (r12): the corpus-ingest composition vs batch recompute
+# ---------------------------------------------------------------------------
+
+N_CORPUS_SEEDS = 6
+
+
+@pytest.mark.parametrize("seed", range(N_CORPUS_SEEDS))
+def test_stream_corpus_ingest_differential(spark, tmp_path, seed):
+    """Randomized corpus drops through the full ingest composition
+    (watermarked normalized-content dedup → token gate → PII audit +
+    scrub).  Invariants that hold regardless of which duplicate inside
+    one micro-batch wins the dedup tie:
+
+    - exactly ONE survivor per normalized content key, and the
+      surviving key set is exactly the keys whose docs pass the gate
+      (every mutation of a base text shares its token count);
+    - the survivor arrived in the key's FIRST batch (a later-batch
+      duplicate can never replace an in-state key within the horizon);
+    - the stateless stages equal the BATCH operators recomputed on the
+      survivor rows exactly (same pii counts, same scrubbed text).
+    Randomizes the base-text pool, whitespace/case mutation shapes,
+    PII density, short-doc (gated) density, and micro-batch cuts."""
+    from datetime import datetime, timedelta
+
+    from processor_edf_spark.operators.redaction import (
+        pii_stats,
+        redact_pii,
+    )
+    from processor_edf_spark.streaming.corpus import stream_corpus_ingest
+
+    rng = random.Random(12_000 + seed)
+    n_base = rng.randint(5, 12)
+    bases = [
+        " ".join(
+            rng.choice(["alpha", "beta", "gamma", "delta", "omega",
+                        "sigma", "data", "corpus"])
+            for _ in range(rng.randint(3, 8))
+        )
+        + (f" mail{b}@example.com" if rng.random() < 0.4 else "")
+        for b in range(n_base)
+    ]
+    rows = []
+    t0 = datetime(2026, 5, 1, 9, 0)
+    doc_id = 0
+    n_docs = rng.randint(40, 120)
+    for i in range(n_docs):
+        if rng.random() < 0.15:
+            text = rng.choice(["tiny", "two words", "x"])  # gated
+        else:
+            base = rng.choice(bases)
+            mut = rng.random()
+            if mut < 0.33:
+                text = "  " + base.replace(" ", "   ") + " "
+            elif mut < 0.66:
+                text = base.upper()
+            else:
+                text = base
+        rows.append((doc_id, text, "en", t0 + timedelta(seconds=i)))
+        doc_id += 1
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "ts"])
+
+    k = rng.randint(1, 4)
+    # flat single-FILE drops with increasing mtimes: the corpus source
+    # reads the directory itself (no glob), and the file source orders
+    # micro-batches by modification time
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch_of = {}
+    now = time.time()
+    for bi, chunk in enumerate(np.array_split(pdf, k)):
+        for d in chunk["doc_id"]:
+            batch_of[int(d)] = bi
+        fp = str(in_dir / f"d{bi:02d}.parquet")
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False)
+        ti = tbl.schema.get_field_index("ts")
+        tbl = tbl.set_column(
+            ti, "ts", tbl["ts"].cast(pa.timestamp("us"))
+        )
+        pq.write_table(tbl, fp)
+        os.utime(fp, (now + bi, now + bi))
+
+    out_df = stream_corpus_ingest(
+        spark, str(in_dir), dedup_delay="2 hours",
+        max_files_per_trigger=1,
+    )
+    (
+        out_df.writeStream.format("memory")
+        .queryName(f"fz_corpus_{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = spark.sql(f"select * from fz_corpus_{seed}").collect()
+
+    def norm(t):
+        return " ".join(t.split()).lower()
+
+    # expected surviving keys: normalized keys whose docs pass the gate
+    gate = lambda t: len(t.split()) >= 3  # noqa: E731
+    key_first_batch = {}
+    for _, r in pdf.iterrows():
+        kk = norm(r["text"])
+        b = batch_of[int(r["doc_id"])]
+        key_first_batch[kk] = min(key_first_batch.get(kk, b), b)
+    want_keys = {
+        norm(t) for t in pdf["text"] if gate(norm(t))
+    }
+    got_by_key = {}
+    for r in got:
+        kk = norm(r["text"])
+        assert kk not in got_by_key, f"duplicate survivor for {kk!r}"
+        got_by_key[kk] = r
+    assert set(got_by_key) == want_keys
+    for kk, r in got_by_key.items():
+        # first-batch rule
+        assert batch_of[r["doc_id"]] == key_first_batch[kk], kk
+        # stateless stages == batch recompute on the survivor row
+        one = spark.createDataFrame(
+            [(r["doc_id"], r["text"])], "doc_id long, text string"
+        ).withColumn(
+            "n_tokens", F.size(F.split(F.trim("text"), r"\s+"))
+        )
+        b = redact_pii(
+            pii_stats(one, text_col="text"),
+            text_col="text", out_col="clean_text",
+        ).collect()[0]
+        assert r["n_tokens"] == b["n_tokens"]
+        assert r["clean_text"] == b["clean_text"]
+        for c in b.asDict():
+            if c.startswith("n_pii") or c.startswith("pii"):
+                assert r[c] == b[c], (kk, c)
