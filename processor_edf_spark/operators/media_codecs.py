@@ -682,6 +682,7 @@ OPTIONAL_CODEC_LIBS: dict[str, tuple[str, ...]] = {
     "compressed_tiff": ("PIL",),  # JPEG-in-TIFF and friends beyond plugins
     "compressed_tiff_deflate": (),  # stdlib-plugin-backed (zlib), below
     "compressed_tiff_lzw": (),   # pure-python plugin (TIFF 6.0 §13), below
+    "compressed_tiff_packbits": (),  # pure-python plugin (TIFF 6.0 §9), below
     "compressed_tiff_jpeg": (),  # pure-python plugin (jpeg.py), below
     "mp3": ("soundfile",),       # libsndfile-backed
     "aac": ("soundfile",),
@@ -842,6 +843,46 @@ def _tiff_lzw_strip_plugin(strip: bytes, max_len: int) -> bytes:
 # scheme most real scanned-document corpora use — decodes for REAL in
 # every environment through the plugin seam, no optional wheel needed.
 register_codec_plugin("compressed_tiff_lzw", _tiff_lzw_strip_plugin)
+
+
+def _tiff_packbits_strip_plugin(strip: bytes, max_len: int) -> bytes:
+    """Default ``compressed_tiff_packbits`` plugin: decompress one
+    PackBits TIFF strip (TIFF 6.0 §9 / compression 32773 — the Apple
+    run-length scheme scanned-document writers commonly emit).
+    Control byte n as signed: 0..127 → copy the next n+1 literal
+    bytes; −127..−1 → repeat the next byte 1−n times; −128 → no-op.
+    Output bounded at ``max_len`` (the strip's expected raster bytes)
+    so a crafted expanding strip cannot inflate past the decode
+    bound; a control byte with no operand bytes left is malformed."""
+    out = bytearray()
+    i = 0
+    n_in = len(strip)
+    while i < n_in and len(out) < max_len:
+        n = strip[i]
+        i += 1
+        if n == 128:  # -128: no operation
+            continue
+        if n < 128:  # literal run of n+1 bytes
+            j = i + n + 1
+            if j > n_in:
+                raise UnsupportedMediaError(
+                    "PackBits strip: literal run past end of strip"
+                )
+            out += strip[i:j]
+            i = j
+        else:  # replicate next byte 257-n times (1-n as signed)
+            if i >= n_in:
+                raise UnsupportedMediaError(
+                    "PackBits strip: replicate run missing its byte"
+                )
+            out += strip[i : i + 1] * (257 - n)
+            i += 1
+    return bytes(out[:max_len])
+
+
+# pure-python, so registered unconditionally — the third default strip
+# plugin next to the Deflate/LZW twins.
+register_codec_plugin("compressed_tiff_packbits", _tiff_packbits_strip_plugin)
 
 
 def decode_tiff_via_optional(payload: bytes) -> np.ndarray:

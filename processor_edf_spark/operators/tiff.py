@@ -122,6 +122,7 @@ def _decode_tiff(payload: bytes) -> np.ndarray:
         8: "compressed_tiff_deflate",        # Deflate
         32946: "compressed_tiff_deflate",    # AdobeDeflate
         5: "compressed_tiff_lzw",            # LZW (TIFF 6.0 §13)
+        32773: "compressed_tiff_packbits",   # PackBits RLE (TIFF 6.0 §9)
     }
     decompress = None
     if compression == 7:
@@ -535,6 +536,80 @@ def encode_tiff_lzw(
     return _assemble_tiff(
         w, h, spp, gray, strips, rows_per_strip,
         compression=5, predictor=predictor,
+    )
+
+
+def _packbits_compress(row: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits packer for ONE row (the spec packs each
+    row separately; the strip is the concatenation).  Greedy
+    literal/replicate split per the spec's recommendation: runs of ≥2
+    become replicate codes, everything else accumulates into ≤128-byte
+    literal groups — the fixture side of the
+    compressed_tiff_packbits plugin's round-trip tests."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    lit_start = None
+
+    def flush_literal(end: int) -> None:
+        nonlocal lit_start
+        j = lit_start
+        while j < end:
+            k = min(end, j + 128)
+            out.append(k - j - 1)
+            out.extend(row[j:k])
+            j = k
+        lit_start = None
+
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 2:
+            if lit_start is not None:
+                flush_literal(i)
+            out.append(257 - run)  # 1-run as signed byte
+            out.append(row[i])
+            i += run
+        else:
+            if lit_start is None:
+                lit_start = i
+            i += 1
+    if lit_start is not None:
+        flush_literal(n)
+    return bytes(out)
+
+
+def encode_tiff_packbits(
+    img: np.ndarray, rows_per_strip: int = 8, predictor: int = 1
+) -> bytes:
+    """PackBits-compressed (scheme 32773) TIFF writer — the fixture
+    encoder for the compressed_tiff_packbits plugin's round-trip
+    tests.  Rows pack separately per TIFF 6.0 §9; a strip is its rows'
+    packed bytes concatenated."""
+    arr = np.asarray(img, dtype=np.uint8)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    spp = 1 if gray else arr.shape[2]
+    a3 = arr.reshape(h, w, spp)
+    if predictor == 2:
+        d = a3.astype(np.int16)
+        d[:, 1:, :] -= a3[:, :-1, :].astype(np.int16)
+        a3 = (d % 256).astype(np.uint8)
+    elif predictor != 1:
+        raise ValueError(f"predictor {predictor}")
+    data = np.ascontiguousarray(a3).tobytes()
+    row_bytes = w * spp
+    strips = [
+        b"".join(
+            _packbits_compress(data[r * row_bytes : (r + 1) * row_bytes])
+            for r in range(r0, min(r0 + rows_per_strip, h))
+        )
+        for r0 in range(0, h, rows_per_strip)
+    ]
+    return _assemble_tiff(
+        w, h, spp, gray, strips, rows_per_strip,
+        compression=32773, predictor=predictor,
     )
 
 

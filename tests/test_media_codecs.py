@@ -1861,3 +1861,74 @@ def test_pgm_p5_graymap():
     )
     with pytest.raises(UnsupportedMediaError, match="truncated"):
         decode_image(b"P5\n9 6\n255\n" + g.tobytes()[:-1])
+
+
+def test_packbits_tiff_plugin_roundtrip_and_long_runs():
+    """The pure-python compressed_tiff_packbits plugin (TIFF 6.0 §9,
+    compression 32773 — common in scanned-document corpora) is
+    registered by default.  Round trips cover both predictors,
+    multi-strip layouts, and >128-byte runs that must split across
+    replicate codes."""
+    from processor_edf_spark.operators.media_codecs import (
+        decode_image,
+        optional_codec_support,
+    )
+    from processor_edf_spark.operators.tiff import encode_tiff_packbits
+
+    assert optional_codec_support()["compressed_tiff_packbits"] is True
+
+    rng = np.random.default_rng(23)
+    for predictor in (1, 2):
+        arr = rng.integers(0, 256, (13, 9, 3), np.uint8)
+        payload = encode_tiff_packbits(
+            arr, rows_per_strip=5, predictor=predictor
+        )
+        assert (decode_image(payload) == arr).all(), predictor
+
+    # a 200-pixel-wide constant row = a 600-byte run per row: the
+    # packer must split it into 128-byte replicate groups
+    flat = np.full((7, 200, 3), 0x5A, np.uint8)
+    payload = encode_tiff_packbits(flat, rows_per_strip=3)
+    assert (decode_image(payload) == flat).all()
+
+    # grayscale single-strip
+    g = rng.integers(0, 256, (6, 11), np.uint8)
+    assert (
+        decode_image(encode_tiff_packbits(g, rows_per_strip=6))
+        == np.repeat(g[:, :, None], 3, axis=2)
+    ).all()
+
+
+def test_packbits_wire_format_spec_example_pin():
+    """Pin the wire format against the TIFF 6.0 §9 worked example —
+    both directions — so a sign-flipped or off-by-one control-byte
+    scheme cannot round-trip its way past this."""
+    from processor_edf_spark.operators.media_codecs import (
+        _tiff_packbits_strip_plugin,
+    )
+    from processor_edf_spark.operators.tiff import _packbits_compress
+
+    unpacked = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10)
+    packed = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    assert _packbits_compress(unpacked) == packed
+    assert _tiff_packbits_strip_plugin(packed, 1 << 10) == unpacked
+    # -128 control byte is a no-op per the spec
+    assert _tiff_packbits_strip_plugin(b"\x80\x00A", 16) == b"A"
+
+
+def test_packbits_malformed_and_bomb_bounded():
+    """A literal run past the strip end and a replicate code with no
+    operand raise the one exception type; output is bounded at the
+    expected raster bytes so an expanding strip cannot inflate."""
+    from processor_edf_spark.operators.media_codecs import (
+        UnsupportedMediaError,
+        _tiff_packbits_strip_plugin,
+    )
+
+    with pytest.raises(UnsupportedMediaError, match="literal"):
+        _tiff_packbits_strip_plugin(b"\x05AB", 64)
+    with pytest.raises(UnsupportedMediaError, match="replicate"):
+        _tiff_packbits_strip_plugin(b"\xfe", 64)
+    # 4 replicate codes of 128 bytes each, bound at 100 — stops early
+    bomb = b"\x81\xff" * 4
+    assert _tiff_packbits_strip_plugin(bomb, 100) == b"\xff" * 100
