@@ -2608,9 +2608,14 @@ def _deblock_picture(ctx: _PicCtx, chroma_qp_offset: int) -> None:
 
 
 def decode_h264_ipcm(payload: bytes):
-    """Annex-B H.264 → (width, height, [(Y, U, V)]) for all-I_PCM
-    streams; raises UnsupportedMediaError naming the optional extra on
-    any entropy-coded macroblock or filter-dependent stream."""
+    """Annex-B H.264 → (width, height, [(Y, U, V)]) for the implemented
+    subset — I_PCM, CAVLC intra, P-slice inter, deblocked, and B-slice
+    bi-predicted streams (see the module docstring); raises
+    UnsupportedMediaError naming the optional extra past the seam
+    (CABAC, ref-list modification/MMCO, weighted prediction, fields,
+    8x8 transforms, POC type 1 B streams).  Frames are returned in
+    DISPLAY order (POC-sorted within each IDR GOP) — the plugin
+    contract shared with a PyAV replacement."""
     sps: _SPS | None = None
     pps: _PPS | None = None
     frames: list[tuple] = []
@@ -2627,6 +2632,15 @@ def decode_h264_ipcm(payload: bytes):
     # frame_num and FrameNumOffset
     poc_msb = poc_lsb_prev = 0
     prev_fn = prev_fn_off = 0
+    # output-order state: frames sort by (GOP, PicOrderCnt) at return —
+    # DISPLAY order, the same contract as the PyAV upgrade path behind
+    # the decode_h264_video plugin seam (ADVICE r12: decode-order output
+    # diverged from a plugin replacement on any B stream).  POC is only
+    # comparable within one IDR period, so each IDR bumps the GOP key;
+    # poc_type 1 streams (no B slices here) carry poc 0 and the stable
+    # sort keeps their decode order, which for P/I-only IS display order.
+    gop_seq = 0
+    cur_gop = 0
 
     def flush():
         nonlocal cur
@@ -2640,7 +2654,7 @@ def decode_h264_ipcm(payload: bytes):
             # §8.7: filter after full reconstruction; the filtered
             # picture is both the output and the inter reference
             _deblock_picture(cur, cur_cqo)
-            frames.append((cur.y, cur.u, cur.v))
+            frames.append((cur_gop, cur.poc, cur.y, cur.u, cur.v))
             if cur_ref_idc:  # sliding-window marking (§8.2.5.3)
                 dpb.insert(0, _RefPic(cur, frame_num=cur_fn))
                 del dpb[max(1, sps.max_num_ref_frames):]
@@ -2754,6 +2768,8 @@ def decode_h264_ipcm(payload: bytes):
                     dpb.clear()
                     poc_msb = poc_lsb_prev = 0
                     prev_fn = prev_fn_off = 0
+                    gop_seq += 1
+                cur_gop = gop_seq
                 cur = _PicCtx(sps)
                 cur_ref_idc = (hdr >> 5) & 0x3
                 cur_cqo = pps.chroma_qp_index_offset
@@ -2932,8 +2948,10 @@ def decode_h264_ipcm(payload: bytes):
     h = sps.mb_height * 16 - sps.crop_top - sps.crop_bottom
     if w <= 0 or h <= 0:
         raise UnsupportedMediaError("h264: cropping removes every sample")
+    # display order: (GOP, POC), stable — see the gop_seq note above
+    frames.sort(key=lambda f: (f[0], f[1]))
     out = []
-    for y_pl, u_pl, v_pl in frames:
+    for _gop, _poc, y_pl, u_pl, v_pl in frames:
         cy = y_pl[sps.crop_top : sps.crop_top + h,
                   sps.crop_left : sps.crop_left + w]
         if u_pl is None:  # monochrome: luma only
@@ -4059,7 +4077,8 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
     L0/L1/Bi 16x16, mixed-list 16x8/8x16 pairs, B_8x8 with all 13
     sub-types (including B_Direct_8x8), and intra-in-B.  ``inference``
     sets direct_8x8_inference_flag.  -> (annexb_bytes, [(Y, U, V)]
-    reconstructions in DECODE order, stats).  The reconstruction loop
+    reconstructions in DISPLAY order — matching the decoder's
+    POC-sorted output, stats).  The reconstruction loop
     calls the decoder's own derivation/MC/dequant helpers, so a
     conforming decode must be bit-exact.  ``zero_motion`` emulates a
     real encoder's motion search on static content (all explicit MVs
@@ -4296,12 +4315,16 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
             n_refs_seen += 1
         recons.append(
             (
+                disp,
                 ctx.y[:height, :width].copy(),
                 ctx.u[: height // 2, : width // 2].copy(),
                 ctx.v[: height // 2, : width // 2].copy(),
             )
         )
-    return bytes(out), recons, stats
+    # DISPLAY order (sort by display index) — the decoder sorts its
+    # output by POC, so zip(recons, decode(...)) aligns frame-for-frame
+    recons.sort(key=lambda t: t[0])
+    return bytes(out), [t[1:] for t in recons], stats
 
 
 def _encode_b_frame(w, ctx, mb_w, mb_lo, mb_hi, slice_id, f_idx, qp,

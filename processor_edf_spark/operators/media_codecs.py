@@ -996,12 +996,16 @@ def decode_h264_video(payload: bytes) -> tuple[int, int, list]:
     """Annex-B H.264 → (width, height, [(Y, U, V)]) via the registered
     ``h264_ipcm`` plugin — the pure-python decoder in operators/h264.py
     is registered unconditionally below, so I_PCM, (r11) CAVLC-coded
-    intra AND (r12) P-slice inter streams (quarter-pel MC, P_Skip, all
+    intra, (r12) P-slice inter streams (quarter-pel MC, P_Skip, all
     P partition types, a multi-picture sliding-window DPB with
-    te(v)-coded ref_idx) decode for REAL everywhere — including
-    DEBLOCKED streams (the §8.7 in-loop filter is implemented, r12).
-    The seam now splits at CABAC, B slices, reference-list
-    reordering/MMCO, weighted prediction, fields, 8x8 transforms: the
+    te(v)-coded ref_idx), DEBLOCKED streams (the §8.7 in-loop filter),
+    AND (r12) B-slice bi-prediction with spatial/temporal direct modes
+    decode for REAL everywhere.  Frames return in DISPLAY order
+    (POC-sorted within each IDR GOP, r13) — the same contract a PyAV
+    replacement plugin honors, so order-sensitive consumers see
+    identical output through either implementation.  The seam now
+    splits at CABAC, reference-list reordering/MMCO, weighted
+    prediction, fields, 8x8 transforms, POC type 1 B streams: the
     plugin raises UnsupportedMediaError naming the optional codec
     library (av), the same contract as the MP3 path — install PyAV in
     the cluster image (and register it as the ``h264`` plugin) to

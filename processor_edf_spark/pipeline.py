@@ -94,23 +94,42 @@ def process_edf_directory(
     return samples, channels, annotations
 
 
-class _SingleSlot:
-    """Holds the most recent persisted range plan so each new ranged
-    run releases its predecessor's cache — a long session running
-    repeated jobs keeps at most ONE plan's partitions cached."""
+class _PlanRegistry:
+    """Most recent persisted range plan, keyed by (SparkSession,
+    thread) under a lock: each new ranged run releases its OWN
+    predecessor's cache, so a long session running repeated jobs keeps
+    at most one plan's partitions cached per job thread — and two
+    concurrent ranged runs (driver threads, or two sessions in one
+    process) can no longer unpersist each other's live plan and force
+    the planner lineage (and its per-file header reads) to re-execute
+    (ADVICE r12).  Entries are O(job threads) small DataFrame handles;
+    the plan rows themselves are O(ranges) ~1 KB metadata."""
 
     def __init__(self):
-        self._df = None
+        import threading
 
-    def pop(self):
-        df, self._df = self._df, None
-        return df
+        self._lock = threading.Lock()
+        self._plans: dict[tuple, object] = {}
 
-    def append(self, df):
-        self._df = df
+    def swap(self, key, df):
+        """Install ``df`` as the key's live plan; return the previous
+        one (for the caller to unpersist)."""
+        with self._lock:
+            prev = self._plans.get(key)
+            if df is None:
+                self._plans.pop(key, None)
+            else:
+                self._plans[key] = df
+        return prev
 
 
-_LAST_RANGE_PLAN = _SingleSlot()
+_RANGE_PLANS = _PlanRegistry()
+
+
+def _plan_key(spark: SparkSession) -> tuple:
+    import threading
+
+    return (id(spark), threading.get_ident())
 
 
 def _process_edf_directory_ranged(
@@ -148,18 +167,19 @@ def _process_edf_directory_ranged(
         listing = listing.join(F.broadcast(good), "path")
     from pyspark import StorageLevel
 
-    # release the PREVIOUS invocation's persisted plan (long sessions
-    # running repeated jobs must not accumulate cached range partitions)
-    prev = _LAST_RANGE_PLAN.pop()
+    ranges = plan_edf_ranges(
+        spark, input_dir, target_bytes=target_bytes, listing=listing
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # release the PREVIOUS invocation's persisted plan for THIS
+    # (session, thread) — long sessions running repeated jobs must not
+    # accumulate cached range partitions, while concurrent runs on
+    # other threads/sessions keep their live plans untouched
+    prev = _RANGE_PLANS.swap(_plan_key(spark), ranges)
     if prev is not None:
         try:
             prev.unpersist()
         except Exception:  # session of the old plan may be gone
             pass
-    ranges = plan_edf_ranges(
-        spark, input_dir, target_bytes=target_bytes, listing=listing
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _LAST_RANGE_PLAN.append(ranges)
     # one metadata action materializes the plan (single header read per
     # file); the explicit repartition spreads EVERY range scan one-per-
     # task — same AQE-coalesce rationale as decode_samples_from_ranges

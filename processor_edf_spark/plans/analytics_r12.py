@@ -1064,15 +1064,17 @@ def h264_bipred_decode_stats(spark, sf_dir):
                         for a, b in zip(rec, dec)
                     )
                 )
+                # recons (and the decode) are in DISPLAY order (r13),
+                # so they pair positionally with the input frames
                 err_ok = all(
                     int(
                         np.abs(
                             rec[0].astype(np.int64)
-                            - frames[disp][0].astype(np.int64)
+                            - frm[0].astype(np.int64)
                         ).max()
                     )
                     <= 64
-                    for rec, (disp, _k) in zip(recons, stats["order"])
+                    for rec, frm in zip(recons, frames)
                 )
                 n_b = sum(1 for _dsp, k in stats["order"] if k == "B")
                 coverage = (

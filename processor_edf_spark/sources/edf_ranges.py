@@ -188,13 +188,27 @@ def plan_edf_ranges(
 
 
 def _plan_one(path: str, length: int, target_bytes: int) -> list[tuple]:
-    """Record-aligned ranges for one file from its header alone."""
+    """Record-aligned ranges for one file from its header alone.
+
+    A file with a parseable header but no decodable records
+    (nb_data_rec = 0, or truncated below one record) still emits ONE
+    zero-range metadata row (n_rec = 0, n_bytes = 0): the plan's
+    ride-along header JSON is the ranged pipeline's ONLY source of
+    signal-header/channel rows, so dropping such files here silently
+    dropped their channels while the whole-file path kept them
+    (ranged-vs-whole divergence, ADVICE r12).  Decoders skip
+    zero-record rows; the metadata projections keep them."""
     head = _read_at(path, 0, 256)
     ns = int(head[252:256])
     h = parse_edf_header(_read_at(path, 0, 256 + 256 * ns))
-    return [
-        (path, *r) for r in ranges_from_header(h, length, target_bytes)
-    ]
+    ranges = ranges_from_header(h, length, target_bytes)
+    if not ranges:
+        rec_bytes = 2 * int(sum(h["nr_samples"]))
+        return [
+            (path, 0, 0, h["header_bytes"], 0, rec_bytes,
+             json.dumps(_slim_header(h)))
+        ]
+    return [(path, *r) for r in ranges]
 
 
 def ranges_from_header(
@@ -288,6 +302,8 @@ def decode_samples_from_ranges(
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
+                if int(row.n_rec) <= 0:  # zero-range metadata row
+                    continue
                 raw = _read_at(str(row.path), int(row.start_byte), int(row.n_bytes))
                 yield from decode_range_bytes(
                     str(row.header_json),
@@ -415,6 +431,8 @@ def _ranged_matrix_rows(ranges: DataFrame, row_builder, schema) -> DataFrame:
     def gen(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for row in pdf.itertuples(index=False):
+                if int(row.n_rec) <= 0:  # zero-range metadata row
+                    continue
                 h = json.loads(str(row.header_json))
                 raw = _read_at(str(row.path), int(row.start_byte), int(row.n_bytes))
                 rec_len = int(row.rec_bytes) // 2

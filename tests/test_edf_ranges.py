@@ -431,3 +431,55 @@ def test_signal_headers_from_plan_parity(spark):
     a = sorted(map(tuple, via_plan.select(cols).collect()))
     b = sorted(map(tuple, via_read.select(cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_zero_record_files_keep_headers_and_channels(spark, tmp_path):
+    """Files with a parseable header but NO decodable records — declared
+    nb_data_rec = 0, or truncated below one record — must not vanish
+    from the ranged pipeline's metadata stages (ADVICE r12: the plan
+    returned no rows for them, so signal_headers_from_plan lost their
+    signal-header/channel rows while the whole-file path kept them).
+    The planner now emits a zero-range metadata row; decoders skip it,
+    projections keep it — ranged output equals whole-file output on a
+    mixed directory."""
+    from processor_edf_spark.pipeline import process_edf_directory
+    from processor_edf_spark.sources.edf import parse_signal_headers
+    from processor_edf_spark.sources.edf_ranges import (
+        scan_signal_headers_ranged,
+        signal_headers_from_plan,
+    )
+
+    d = tmp_path / "zr"
+    d.mkdir()
+    write_edf_fast(str(d / "normal.edf"), n_signals=2, rate=64, nb_rec=20)
+    # truncated below one record: header only
+    write_edf_fast(str(d / "trunc.edf"), n_signals=3, rate=32, nb_rec=5)
+    raw = (d / "trunc.edf").read_bytes()
+    hdr_bytes = 256 + 256 * 4  # 3 signals + EDF Annotations channel
+    (d / "trunc.edf").write_bytes(raw[:hdr_bytes])
+    # declared zero records: patch nb_data_rec (bytes 236:244) to 0
+    write_edf_fast(str(d / "zero.edf"), n_signals=2, rate=16, nb_rec=3)
+    raw = bytearray((d / "zero.edf").read_bytes())
+    raw[236:244] = b"0".ljust(8)
+    (d / "zero.edf").write_bytes(bytes(raw))
+
+    # header parity: plan-derived == header-read scan == whole-file
+    ranges = plan_edf_ranges(spark, str(d), target_bytes=4096)
+    cols = ["file", "signal_idx", "label", "rate"]
+    via_plan = sorted(map(tuple, signal_headers_from_plan(ranges).select(cols).collect()))
+    via_read = sorted(map(tuple, scan_signal_headers_ranged(spark, str(d)).select(cols).collect()))
+    whole_hdr = sorted(map(tuple, parse_signal_headers(
+        scan_edf_files(spark, str(d))).select(cols).collect()))
+    assert via_plan == via_read == whole_hdr
+    assert {t[0] for t in via_plan} == {"normal.edf", "trunc.edf", "zero.edf"}
+
+    # full-pipeline parity: channels AND samples identical across paths
+    s_w, c_w, _ = process_edf_directory(spark, str(d))
+    s_r, c_r, _ = process_edf_directory(
+        spark, str(d), samples_target_bytes=4096
+    )
+    ccols = sorted(set(c_w.columns) & set(c_r.columns))
+    assert sorted(map(tuple, c_w.select(ccols).collect())) == sorted(
+        map(tuple, c_r.select(ccols).collect())
+    )
+    _assert_bit_identical(s_w, s_r)

@@ -87,11 +87,11 @@ def test_round_trip_bit_exact(spatial, inference):
 def test_round_trip_qp_sweep(qp):
     frames = _frames(5, seed=qp)
     _, recons, _ = _assert_bit_exact(frames, 64, 48, qp=qp)
-    # recon error stays inside the quantisation bound
-    order = [0, 2, 1, 4, 3]  # decode order -> display index
-    for rec, disp in zip(recons, order):
+    # recon error stays inside the quantisation bound; recons (and the
+    # decode they were checked bit-exact against) are in DISPLAY order
+    for rec, frame in zip(recons, frames):
         err = np.abs(
-            rec[0].astype(np.int64) - frames[disp][0].astype(np.int64)
+            rec[0].astype(np.int64) - frame[0].astype(np.int64)
         ).max()
         assert err <= 64
 
@@ -470,4 +470,37 @@ def test_bipred_stream_routes_through_media_seam():
     assert len(decoded) == 5
     for rec, dec in zip(recons, decoded):
         for a, b in zip(rec, dec):
+            assert np.array_equal(a, b)
+
+
+def test_decoder_output_is_display_order():
+    """The plugin contract (ADVICE r12): frames come back POC-sorted
+    within each IDR GOP — display order, as a PyAV replacement plugin
+    would return them — NOT bitstream (decode) order.  The coded order
+    here is I0 P2 B1 P4 B3; a decode-order return would put frame 2
+    before frame 1."""
+    from processor_edf_spark.operators.h264 import (
+        decode_h264_ipcm,
+        encode_h264_bipred_recon,
+    )
+
+    frames = _frames(5, seed=3)
+    stream, recons, stats = encode_h264_bipred_recon(
+        frames, 64, 48, qp=24
+    )
+    assert [d for d, _k in stats["order"]] == [0, 2, 1, 4, 3]
+    _, _, dec = decode_h264_ipcm(stream)
+    assert len(dec) == 5
+    # display order == input order: recon error per-position bounded,
+    # and strictly SMALLER against the matching display frame than
+    # against the decode-order frame at the two swapped positions
+    for pos in (1, 2):
+        d = dec[pos][0].astype(np.int64)
+        err_display = np.abs(d - frames[pos][0].astype(np.int64)).mean()
+        other = [0, 2, 1, 4, 3][pos]
+        err_decode = np.abs(d - frames[other][0].astype(np.int64)).mean()
+        assert err_display < err_decode
+    # and bit-exact against the (display-ordered) encoder recon
+    for rec, d in zip(recons, dec):
+        for a, b in zip(rec, d):
             assert np.array_equal(a, b)
