@@ -142,6 +142,15 @@ from processor_edf_spark.plans import analytics_r12  # noqa: E402,F401
 # doc_fingerprint, ntile_value_quartiles, dow_hour_heatmap).  New r12
 # queries take priority slots as usual;
 # test_window_covers_every_family stays the coverage gate.
+# r14 rotation, PRE-DECLARED: the 27 r11-green members left at 51+
+# after the r13 rotation seated 20 of the 47 (they hold the stalest
+# driver evidence once r13 runs) lead the rotate-ins, in their
+# canonical tail order; then the stalest of the 41 r12-window members
+# rotated out at r13 (fresh r12 greens), in their canonical tail
+# order, fill the window.  New r14 queries take priority slots as
+# usual; test_window_covers_every_family stays the coverage gate, and
+# the sole-family anchors (zorder_layout, corpus_job_report) keep
+# their seats by construction.
 # r13 rotation, PRE-DECLARED: the 28 queries at position 51+ with the
 # stalest driver evidence lead the rotate-ins — the six held/displaced
 # members (edf_date_parse, overlap_validation: r8+r9 greens;
@@ -155,81 +164,79 @@ from processor_edf_spark.plans import analytics_r12  # noqa: E402,F401
 # members rotated out here.  New r13 queries take priority slots as
 # usual; test_window_covers_every_family stays the coverage gate.
 _CANONICAL = [
-    # ---- r12 driver window (50): the pre-declared rotation from the
-    # r11 note above, executed verbatim — the 50 r10-window members
-    # (driver-green in CORRECTNESS_r10, out since the r11 rotation;
-    # the stalest driver evidence after r11 ran) lead in their r10
-    # artifact order.  Three of them (multimodal_meta, zorder_layout,
-    # corpus_job_report) were also r11-window anchors — they are the
-    # SOLE members of their families and so can never rotate out while
-    # test_window_covers_every_family holds.  New r12 queries take
+    # ---- r13 driver window (50): the pre-declared rotation from the
+    # r12 note above, executed verbatim — the 28 stalest at 51+ lead
+    # (six held/displaced members, the 13 tpch r7-greens, the nine
+    # r12-displaced r10-greens), then the two sole-family anchors
+    # (zorder_layout / corpus_job_report — they can never rotate out
+    # while test_window_covers_every_family holds), then
+    # grouping_sets_revenue + split_assignment (r11 greens seating the
+    # grouping/sampling families the rotate-ins do not cover), then
+    # the 18 stalest r11-window members rotated out at r12 (r11
+    # greens, in their canonical tail order).  New r13 queries take
     # priority slots on registration, displacing tail members whose
     # family stays covered (noted inline when it happens).  Rotated
-    # out: the 47 non-anchor r11-window members, every one green in
-    # CORRECTNESS_r11 (50/50).
-    # pq_adc_exact (the r12 PQ/ADC kernel row — the one unfinished r10
-    # verdict item) takes the first r12 priority slot, displacing
-    # embedding_norm_stats from position 50 (similarity family stays
-    # covered in-window via array_slice_projection; embedding_norm_stats
-    # keeps its r10 green at 51+).
+    # out: the 41 non-anchor r12-window members not re-seated above,
+    # every one green in CORRECTNESS_r12 (50/50).
+    "edf_date_parse",
+    "overlap_validation",
+    "rolling_fingerprint",
+    "doc_fingerprint",
+    "dow_hour_heatmap",
+    "ntile_value_quartiles",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "minhash_signatures",
+    "simhash_16",
+    "sliding_hour_counts",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "embedding_norm_stats",
+    "ann_topk_bruteforce",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "zorder_layout",
+    "corpus_job_report",
+    "grouping_sets_revenue",
+    "split_assignment",
+    "edf_range_decode",
+    "h264_cavlc_decode_stats",
+    "heavy_hitters_audit",
+    "merge_upsert_current",
+    "event_cooccurrence_lift",
+    "inter_arrival_histogram",
+    "events_job_report",
+    "percent_rank_cdf",
+    "annotations_tal_parse",
+    "cume_dist_cdf",
+    "ntile_cdf",
+    "pagerank_type_graph",
+    "image_decode_stats",
+    "audio_decode_stats",
+    "video_frame_stats",
+    "edf_header_parse",
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    # ---- 51+: family-covered seats with driver greens on record ----
     "pq_adc_exact",
-    # ivf_pq_search_exact (the full IVF→PQ/ADC→re-rank pipeline row)
-    # takes the second r12 priority slot, displacing
-    # intersect_all_user_days from position 50 (setops family stays
-    # covered in-window via except_click_no_purchase +
-    # distinct_users_per_type; intersect_all_user_days keeps its r10
-    # green at 51+).
     "ivf_pq_search_exact",
-    # mp3_decode_stats (the r12 codec-ratchet row: the pure-python
-    # MPEG-1 Layer III decoder) takes the third r12 priority slot,
-    # displacing range_frame_user_avg from position 50 (windows family
-    # stays covered in-window via ewma_user_twophase +
-    # moving_avg_daily_revenue; range_frame_user_avg keeps its r10
-    # green at 51+).
     "mp3_decode_stats",
-    # hash_embed_stats (the feature-hashing embedder under the value
-    # oracle — the last pytest-only similarity kernel driver-gated)
-    # takes the fourth r12 priority slot, displacing simhash_16 from
-    # position 50 (dedup_text family stays covered in-window via
-    # dedup_ngram_jaccard + minhash_signatures; simhash_16 keeps its
-    # r10 green at 51+).
     "hash_embed_stats",
-    # mp3_layer1_decode_stats (the Layer I path under the value oracle
-    # with integer-exact stats) takes the fifth r12 priority slot,
-    # displacing minhash_signatures from position 50 (dedup_text family
-    # stays covered in-window via dedup_ngram_jaccard;
-    # minhash_signatures keeps its r10 green at 51+).
     "mp3_layer1_decode_stats",
-    # h264_inter_decode_stats (the P-slice inter path — quarter-pel MC,
-    # MV prediction, every P partition type — under the value oracle)
-    # takes the sixth r12 priority slot, displacing
-    # moving_avg_daily_revenue from position 50 (windows family stays
-    # covered in-window via ewma_user_twophase;
-    # moving_avg_daily_revenue keeps its r10 green at 51+).
     "h264_inter_decode_stats",
-    # h264_deblock_decode_stats (the in-loop deblocking filter under
-    # the value oracle — filtered streams decode for real) takes the
-    # seventh r12 priority slot, displacing anti_join_idle_customers
-    # from position 50 (joins family stays covered in-window via
-    # band_join_acctbal + range_join_close_events +
-    # semi_join_returned_orders; anti_join_idle_customers keeps its
-    # r10 green at 51+).
     "h264_deblock_decode_stats",
-    # h264_bipred_decode_stats (the B-slice layer: bi-prediction,
-    # two-list MV prediction, POC-ordered default lists, spatial AND
-    # temporal direct modes — under the value oracle) takes the eighth
-    # r12 priority slot, displacing sliding_hour_counts from position
-    # 50 (events family stays covered in-window via mode_period_users,
-    # tumbling_daily_stats, calibrate_events and more;
-    # sliding_hour_counts keeps its r10 green at 51+).
     "h264_bipred_decode_stats",
-    # ann_index_lifecycle_exact (the persisted incremental ANN index
-    # driven through build/append/re-drop/search/compact/staleness
-    # under the value oracle) takes the ninth r12 priority slot,
-    # displacing ann_topk_bruteforce from position 50 (ann family
-    # stays covered in-window via pq_adc_exact, ivf_pq_search_exact
-    # and ann_ivf_label; ann_topk_bruteforce keeps its r10 green at
-    # 51+).
     "ann_index_lifecycle_exact",
     "ewma_user_twophase",
     "webp_decode_stats",
@@ -254,8 +261,6 @@ _CANONICAL = [
     "timestamp_synthesis",
     "rollup_event_daily",
     "multimodal_meta",
-    "zorder_layout",
-    "corpus_job_report",
     "dedup_component_sizes",
     "approx_distinct_audit",
     "approx_percentile_audit",
@@ -272,73 +277,6 @@ _CANONICAL = [
     "ann_ivf_label",
     "calibrate_events",
     "sample_hash_bucket",
-    # anti_join_idle_customers: displaced to 51+ by
-    # h264_deblock_decode_stats (joins family covered, see above)
-    "anti_join_idle_customers",
-    # moving_avg_daily_revenue is the member h264_inter_decode_stats
-    # displaces to 51+ (windows family stays covered in-window via
-    # ewma_user_twophase; sample_hash_bucket is the sampling family's
-    # only in-window member so it keeps its seat)
-    "moving_avg_daily_revenue",
-    # ---- past the 50-slot window: the five members the r12 additions
-    # displaced (both keep their r10 greens; families covered in-window
-    # per the notes above), then per the r11 pre-declaration: the
-    # two queries the r11 additions displaced (edf_date_parse,
-    # overlap_validation — r8+r9 greens) and the four r10-displaced
-    # queries (rolling_fingerprint/doc_fingerprint/dow_hour_heatmap r7
-    # greens, ntile_value_quartiles r8+r9 greens).
-    "minhash_signatures",
-    "simhash_16",
-    # sliding_hour_counts: displaced to 51+ by h264_bipred_decode_stats
-    # (events family covered, see above)
-    "sliding_hour_counts",
-    # ann_topk_bruteforce: displaced to 51+ by ann_index_lifecycle_exact
-    # (ann family covered, see above)
-    "ann_topk_bruteforce",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "embedding_norm_stats",
-    "edf_date_parse",
-    "overlap_validation",
-    "rolling_fingerprint",
-    "doc_fingerprint",
-    "ntile_value_quartiles",
-    "dow_hour_heatmap",
-    # ---- 13 tpch r7-greens (family-covered in-window via the seven
-    # tpch members of the r12 window; q1 stays the flagship).
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    # ---- the 47 non-anchor r11-window members (fresh r11 greens,
-    # rotated out by this rotation) in their r11 artifact order.
-    "edf_range_decode",
-    "h264_cavlc_decode_stats",
-    "heavy_hitters_audit",
-    "merge_upsert_current",
-    "event_cooccurrence_lift",
-    "inter_arrival_histogram",
-    "events_job_report",
-    "percent_rank_cdf",
-    "annotations_tal_parse",
-    "cume_dist_cdf",
-    "ntile_cdf",
-    "pagerank_type_graph",
-    "image_decode_stats",
-    "audio_decode_stats",
-    "video_frame_stats",
-    "edf_header_parse",
-    "ngram_lang_profile",
-    "doc_length_histogram",
     "quantize_embeddings_int8",
     "filter_project_events",
     "top3_orders_per_customer",
@@ -347,13 +285,11 @@ _CANONICAL = [
     "dedup_exact",
     "cosine_pairs",
     "ann_ivf_multiprobe",
-    "split_assignment",
     "anomaly_robust_z",
     "time_weighted_avg_daily",
     "ewma_user_values",
     "gap_fill_hourly",
     "event_transitions",
-    "grouping_sets_revenue",
     "dup_span_coverage",
     "rolling_median_user",
     "scd2_user_value_history",
@@ -368,9 +304,6 @@ _CANONICAL = [
     "q18_large_orders",
     "rate_crosscheck_users",
     "session_window_events",
-    # ---- remainder: every other query, all with a driver-green row
-    # on record and mirror-checked by tests/test_queries_oracle.py per
-    # commit.
     "boilerplate_ngrams",
     "agg_user_bounds",
     "epoch_functions",

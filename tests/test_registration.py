@@ -8,14 +8,14 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r12 window (the rotation pre-declared in the r11 note in
-plans/__init__.py, executed verbatim): the 50 r10-window members —
-driver-green in CORRECTNESS_r10, out since the r11 rotation, and
-therefore the stalest driver evidence — lead in their r10 artifact
-order.  The six held/displaced queries (edf_date_parse,
-overlap_validation, the four r10-displaced) and the 13 tpch r7-greens
-sit at 51+, then the 47 rotated-out r11-window members (fresh r11
-greens).  New r12 queries take priority slots on registration.
+The r13 window (the rotation pre-declared in the r12 note in
+plans/__init__.py, executed verbatim): the 28 stalest at 51+ lead —
+the six held/displaced members, the 13 tpch r7-greens, the nine
+r12-displaced r10-greens — then the two sole-family anchors
+(zorder_layout / corpus_job_report), grouping_sets_revenue +
+split_assignment for grouping/sampling family coverage, and the 18
+stalest r11-window members rotated out at r12.  New r13 queries take
+priority slots on registration.
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
 """
@@ -26,63 +26,62 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    # r12 priority slots: the two PQ/ADC kernel rows, the two MP3
-    # codec rows (Layer III + Layer I), the hash-embedder row, and the
-    # four H.264 rows (inter / deblock / bipred after the r11 cavlc),
-    # displacing embedding_norm_stats / intersect_all_user_days /
-    # range_frame_user_avg / simhash_16 / minhash_signatures /
-    # moving_avg_daily_revenue / anti_join_idle_customers /
-    # sliding_hour_counts per the notes in plans/__init__.py.
-    "pq_adc_exact",
-    "ivf_pq_search_exact",
-    "mp3_decode_stats",
-    "hash_embed_stats",
-    "mp3_layer1_decode_stats",
-    "h264_inter_decode_stats",
-    "h264_deblock_decode_stats",
-    "h264_bipred_decode_stats",
-    "ann_index_lifecycle_exact",
-    "ewma_user_twophase",
-    "webp_decode_stats",
-    "flac_decode_stats",
-    "h264_decode_stats",
-    "tiff_decode_stats",
-    "mode_period_users",
-    "tumbling_daily_stats",
-    "band_join_acctbal",
-    "range_join_close_events",
-    "semi_join_returned_orders",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q3_segment_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "value_percentiles_per_type",
-    "cube_event_user_bucket",
-    "q1_pricing_summary",
-    "sessionize_events",
-    "timestamp_synthesis",
-    "rollup_event_daily",
-    "multimodal_meta",
+    # r13 window (rotation pre-declared in the r12 note in
+    # plans/__init__.py, executed verbatim): the 28 stalest at
+    # 51+ (six held/displaced, 13 tpch r7-greens, nine
+    # r12-displaced r10-greens), the two sole-family anchors,
+    # grouping_sets_revenue + split_assignment for family
+    # coverage, then the 18 stalest rotated-out r11 members.
+    "edf_date_parse",
+    "overlap_validation",
+    "rolling_fingerprint",
+    "doc_fingerprint",
+    "dow_hour_heatmap",
+    "ntile_value_quartiles",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "minhash_signatures",
+    "simhash_16",
+    "sliding_hour_counts",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "embedding_norm_stats",
+    "ann_topk_bruteforce",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
     "zorder_layout",
     "corpus_job_report",
-    "dedup_component_sizes",
-    "approx_distinct_audit",
-    "approx_percentile_audit",
-    "interp_linear_hourly",
-    "rolling_7d_active_users",
-    "session_dwell_stats",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
-    "text_quality",
-    "lang_id_heuristic",
-    "bpe_token_count",
-    "dedup_ngram_jaccard",
-    "array_slice_projection",
-    "ann_ivf_label",
-    "calibrate_events",
-    "sample_hash_bucket",
+    "grouping_sets_revenue",
+    "split_assignment",
+    "edf_range_decode",
+    "h264_cavlc_decode_stats",
+    "heavy_hitters_audit",
+    "merge_upsert_current",
+    "event_cooccurrence_lift",
+    "inter_arrival_histogram",
+    "events_job_report",
+    "percent_rank_cdf",
+    "annotations_tal_parse",
+    "cume_dist_cdf",
+    "ntile_cdf",
+    "pagerank_type_graph",
+    "image_decode_stats",
+    "audio_decode_stats",
+    "video_frame_stats",
+    "edf_header_parse",
+    "ngram_lang_profile",
+    "doc_length_histogram",
 ]
 
 
