@@ -52,10 +52,29 @@ Spec-exactness, stated precisely (ISO/IEC 11172-3):
   requantization formula, joint-stereo bound sharing — through the same
   polyphase synthesis; no spec tables beyond the closed-form
   scalefactors, so the only deviation is the shared derived prototype.
-- **Out of scope** (UnsupportedMediaError, seam-gated): MPEG-2/2.5
-  low-sample-rate extensions, Layer II (its quantization-class
-  allocation tables are untranscribed spec data), free-format bitrate,
-  short-block intensity stereo.
+- **MPEG-2/2.5 (LSF)** (r13) decodes for real: the low-sample-rate
+  bitrate/rate tables, one-granule frames (72·bitrate/rate), the
+  8-bit main_data_begin / 9-byte-mono side layout, the 9-bit
+  scalefac_compress slen/partition derivation with its derived
+  preflag (the §2.4.3.2 non-intensity branch, transcribed as
+  published), and the LSF scalefactor-band edge tables.  Edge-table
+  confidence: 22050/24000/16000/8000 are the published ISO 13818-3
+  tables; the 2.5 rates 11025/12000 share the 22050/24000 layouts
+  (the universal convention for the unofficial 2.5 extension).
+- **Layer II** (r13) decodes for real: the ISO 11172-3 Table B.2a-d
+  quantization-class allocations and the single LSF table (row
+  structure and class lists transcribed as published), the per-chkbps
+  Table B.1 selection rule, 2-bit scfsi with all four sharing
+  patterns, grouped 3/5/9-level codes, and Table B.4 requantization
+  reproduced EXACTLY by its closed forms (C = 2^k/n, D = 2^(1-k),
+  grouped D = 1/2) — through the shared polyphase synthesis.
+- **Out of scope** (UnsupportedMediaError, seam-gated): free-format
+  bitrate, short-block intensity stereo, and LSF intensity stereo
+  (its sqrt-2 ratio law and intensity sf rows are untranscribed).
+  Trailing bytes that happen to match a sync pattern mid-stream are
+  junk-checked (a format-changing header counts as a real frame only
+  if the implied next offset also syncs), so sync-looking tails end
+  iteration cleanly instead of aborting the decode.
 
 Same safety contracts as the sibling codecs: one exception type,
 bounded allocation (MAX_TOTAL_SAMPLES), malformed input never escapes
@@ -80,7 +99,19 @@ _BITRATES = (
 _BITRATES_L1 = (
     0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448,
 )
+_BITRATES_L2 = (
+    0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384,
+)
+# MPEG-2/2.5 (LSF) bitrate tables (ISO 13818-3 / the 2.5 convention)
+_BITRATES_LSF_L1 = (
+    0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256,
+)
+_BITRATES_LSF_L23 = (
+    0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160,
+)
 _RATES = (44100, 48000, 32000)  # sampling_frequency 0/1/2; 3 = reserved
+_RATES_V2 = (22050, 24000, 16000)
+_RATES_V25 = (11025, 12000, 8000)
 
 # scalefac_compress -> (slen1, slen2)  (spec table B.6 layout)
 _SLEN = (
@@ -106,6 +137,32 @@ _SFB_SHORT = {
     48000: (0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
     32000: (0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192),
 }
+
+# LSF (MPEG-2 §Table B.2 / the 2.5 convention) scalefactor band edges.
+# Transcription confidence per the module docstring: the 22050/24000/
+# 16000/8000 rows are the published spec tables; 11025 and 12000 share
+# the 22050/24000 layouts (the arrangement every open decoder uses for
+# the 2.5 extension, which predates no published table of its own).
+_SFB_LONG.update({
+    22050: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576),
+    24000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576),
+    16000: (0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576),
+    8000: (0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232,
+           280, 336, 400, 476, 566, 568, 570, 572, 574, 576),
+})
+_SFB_LONG[11025] = _SFB_LONG[22050]
+_SFB_LONG[12000] = _SFB_LONG[24000]
+_SFB_SHORT.update({
+    22050: (0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192),
+    24000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192),
+    16000: (0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192),
+    8000: (0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192),
+})
+_SFB_SHORT[11025] = _SFB_SHORT[22050]
+_SFB_SHORT[12000] = _SFB_SHORT[24000]
 
 # linbits per Huffman select (0 where the table has no ESC pair);
 # selects 4 and 14 do not exist in the spec.
@@ -209,25 +266,20 @@ class _UnsupportedVariant(UnsupportedMediaError):
 
 
 def _parse_header(b4: bytes) -> dict:
-    """4-byte frame header -> fields; raises on anything but MPEG-1
-    Layer III or Layer I at a fixed bitrate."""
+    """4-byte frame header -> fields; MPEG-1, MPEG-2 (LSF) and
+    MPEG-2.5, Layers I/II/III, at a fixed bitrate (free format stays
+    the seam)."""
     h = int.from_bytes(b4, "big")
     if (h >> 21) & 0x7FF != 0x7FF:
         raise UnsupportedMediaError("mp3: lost frame sync")
-    version = (h >> 19) & 3
+    version_code = (h >> 19) & 3
     layer = (h >> 17) & 3
-    if version != 3:
-        raise _UnsupportedVariant(
-            "mp3: only MPEG-1 is decodable without the optional codec "
-            "library (soundfile)"
-        )
-    if layer == 2:  # '10' = Layer II
-        raise _UnsupportedVariant(
-            "mp3: Layer II is not decodable without the optional "
-            "codec library (soundfile)"
-        )
+    if version_code == 1:
+        raise UnsupportedMediaError("mp3: reserved version code")
     if layer == 0:  # reserved
         raise UnsupportedMediaError("mp3: reserved layer code")
+    version = {3: 1, 2: 2, 0: 25}[version_code]  # 25 = MPEG-2.5
+    lsf = version != 1
     bitrate_idx = (h >> 12) & 0xF
     rate_idx = (h >> 10) & 3
     if bitrate_idx == 0:
@@ -235,13 +287,20 @@ def _parse_header(b4: bytes) -> dict:
     if bitrate_idx == 15 or rate_idx == 3:
         raise UnsupportedMediaError("mp3: invalid header")
     mode = (h >> 6) & 3
-    layer_n = {1: 3, 3: 1}[layer]  # header bits -> Layer number
-    brs = _BITRATES_L1 if layer_n == 1 else _BITRATES
+    layer_n = {1: 3, 2: 2, 3: 1}[layer]  # header bits -> Layer number
+    if lsf:
+        brs = _BITRATES_LSF_L1 if layer_n == 1 else _BITRATES_LSF_L23
+        rates = _RATES_V2 if version == 2 else _RATES_V25
+    else:
+        brs = {1: _BITRATES_L1, 2: _BITRATES_L2, 3: _BITRATES}[layer_n]
+        rates = _RATES
     return {
         "crc": not ((h >> 16) & 1),
+        "version": version,
+        "lsf": lsf,
         "layer": layer_n,
         "bitrate": brs[bitrate_idx] * 1000,
-        "rate": _RATES[rate_idx],
+        "rate": rates[rate_idx],
         "padding": (h >> 9) & 1,
         "mode": mode,  # 0 stereo, 1 joint, 2 dual, 3 mono
         "mode_ext": (h >> 4) & 3,
@@ -253,6 +312,9 @@ def _frame_bytes(hdr: dict) -> int:
     if hdr["layer"] == 1:
         # Layer I slots are 4 bytes: (12·bitrate/rate + padding)·4
         return (12 * hdr["bitrate"] // hdr["rate"] + hdr["padding"]) * 4
+    if hdr["layer"] == 3 and hdr["lsf"]:
+        # LSF Layer III frames carry ONE granule (576 samples)
+        return 72 * hdr["bitrate"] // hdr["rate"] + hdr["padding"]
     return 144 * hdr["bitrate"] // hdr["rate"] + hdr["padding"]
 
 
@@ -300,6 +362,120 @@ def _parse_side_info(data: bytes, nch: int):
             chs.append(g)
         granules.append(chs)
     return main_data_begin, scfsi, granules
+
+
+def _parse_side_info_lsf(data: bytes, nch: int):
+    """LSF (MPEG-2/2.5) side info: ONE granule, 8-bit main_data_begin,
+    no scfsi, 9-bit scalefac_compress, NO preflag bit (derived from
+    scalefac_compress in :func:`_lsf_sf_layout`) — 9 bytes mono / 17
+    stereo (ISO 13818-3 §2.4.1.7)."""
+    r = MSBBitReader(data)
+    main_data_begin = r.read(8)
+    r.read(1 if nch == 1 else 2)  # private_bits
+    chs = []
+    for _ch in range(nch):
+        g = _Granule()
+        g.part2_3_length = r.read(12)
+        g.big_values = r.read(9)
+        g.global_gain = r.read(8)
+        g.scalefac_compress = r.read(9)
+        g.window_switching = r.read(1)
+        if g.window_switching:
+            g.block_type = r.read(2)
+            g.mixed_block = r.read(1)
+            g.table_select = [r.read(5), r.read(5), 0]
+            g.subblock_gain = [r.read(3) for _ in range(3)]
+            if g.block_type == 0:
+                raise UnsupportedMediaError(
+                    "mp3: window_switching with block_type 0"
+                )
+            g.region0_count = 0
+            g.region1_count = 0
+        else:
+            g.block_type = 0
+            g.mixed_block = 0
+            g.table_select = [r.read(5), r.read(5), r.read(5)]
+            g.subblock_gain = [0, 0, 0]
+            g.region0_count = r.read(4)
+            g.region1_count = r.read(3)
+        g.preflag = 0  # derived later from scalefac_compress
+        g.scalefac_scale = r.read(1)
+        g.count1table_select = r.read(1)
+        if g.big_values > 288:
+            raise UnsupportedMediaError("mp3: big_values > 288")
+        chs.append(g)
+    return main_data_begin, [chs]  # one granule
+
+
+# LSF scalefactor partition sizes (ISO 13818-3 §2.4.3.2): rows by the
+# scalefac_compress range (0 = <400, 1 = 400-499, 2 = >=500), columns
+# by block form (0 = long, 1 = short, 2 = mixed); each is the number
+# of scalefactors in the four slen partitions.  (The intensity-channel
+# rows are not carried: LSF intensity stereo is seam-gated below.)
+_LSF_NSFB = (
+    ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+)
+
+
+def _lsf_sf_layout(g: _Granule) -> tuple:
+    """LSF slen derivation: scalefac_compress -> (slen[4], nsfb[4],
+    preflag).  The non-intensity branch of §2.4.3.2."""
+    sfc = g.scalefac_compress
+    preflag = 0
+    if sfc < 400:
+        slen = ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc & 15) >> 2, sfc & 3)
+        row = 0
+    elif sfc < 500:
+        sfc -= 400
+        slen = ((sfc >> 2) // 5, (sfc >> 2) % 5, sfc & 3, 0)
+        row = 1
+    else:
+        sfc -= 500
+        slen = (sfc // 3, sfc % 3, 0, 0)
+        row = 2
+        preflag = 1
+    if g.window_switching and g.block_type == 2:
+        form = 2 if g.mixed_block else 1
+    else:
+        form = 0
+    return slen, _LSF_NSFB[row][form], preflag
+
+
+def _read_scalefactors_lsf(r: MSBBitReader, g: _Granule):
+    """LSF part2 -> (long[22], short[13][3]); sets g.preflag (derived,
+    not transmitted).  Values fill the long / short(window-inner) /
+    mixed layouts sequentially across the four partitions; the last
+    band of each form is untransmitted and stays 0 (spec: sfb 21 long
+    / sfb 12 short carry no scalefactor)."""
+    slen, nsfb, preflag = _lsf_sf_layout(g)
+    g.preflag = preflag
+    vals = []
+    for part in range(4):
+        for _ in range(nsfb[part]):
+            vals.append(r.read(slen[part]) if slen[part] else 0)
+    long_sf = [0] * 22
+    short_sf = [[0, 0, 0] for _ in range(13)]
+    if g.window_switching and g.block_type == 2:
+        if g.mixed_block:
+            n_long = 6
+            for b in range(n_long):
+                long_sf[b] = vals[b]
+            rest = vals[n_long:]
+            first_short = 3
+        else:
+            rest = vals
+            first_short = 0
+        for i, v in enumerate(rest):
+            b = first_short + i // 3
+            if b < 13:
+                short_sf[b][i % 3] = v
+    else:
+        for b, v in enumerate(vals):
+            if b < 22:
+                long_sf[b] = v
+    return long_sf, short_sf
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +666,15 @@ def _apply_stereo(xr, hdr, granules_sf, gr, rate):
         if ms:
             ms_region(0, 576)
         return xr
+    if hdr["lsf"]:
+        # LSF intensity positions are coded in the right channel's
+        # scalefactors with a DIFFERENT ratio law (powers of sqrt(2))
+        # and their own sf layout rows — seam-gated like short-block
+        # intensity below
+        raise UnsupportedMediaError(
+            "mp3: MPEG-2/2.5 intensity stereo unsupported — install "
+            "the optional codec library (soundfile)"
+        )
     g_r = granules_sf["granule"][1]
     long_sf_r = granules_sf["long_sf"][1]
     if g_r.window_switching and g_r.block_type == 2:
@@ -749,15 +934,25 @@ def encode_mp3_layer1(
     bitrate_kbps: int = 192,
     mode_ext: int = 0,
     joint: bool = False,
+    version: int = 1,
 ) -> bytes:
-    """Layer I fixture encoder.  ``frames``: per frame a dict
+    """Layer I fixture encoder (MPEG-1 and, with ``version`` 2/25,
+    LSF — the Layer I frame layout is version-independent; only the
+    header tables change).  ``frames``: per frame a dict
     ``{"alloc": (nch, 32) ints 0-14, "scf_idx": (nch, 32) ints 0-62,
     "codes": (12, nch, 32) ints < 2^(alloc+1)}``.  With ``joint`` the
     header carries mode=1/mode_ext and subbands >= bound share one
     allocation and one sample code per group (channel scalefactors stay
     separate), exactly the layout the decoder reads."""
-    rate_idx = _RATES.index(rate)
-    bitrate_idx = _BITRATES_L1.index(bitrate_kbps)
+    if version == 1:
+        rate_idx = _RATES.index(rate)
+        bitrate_idx = _BITRATES_L1.index(bitrate_kbps)
+        ver_code = 3
+    else:
+        rates = _RATES_V2 if version == 2 else _RATES_V25
+        rate_idx = rates.index(rate)
+        bitrate_idx = _BITRATES_LSF_L1.index(bitrate_kbps)
+        ver_code = 2 if version == 2 else 0
     mode = 3 if n_channels == 1 else (1 if joint else 0)
     bound = 32 if mode != 1 else (mode_ext + 1) * 4
     out = bytearray()
@@ -788,7 +983,7 @@ def encode_mp3_layer1(
         body = bytes(w.buf)
         hdr_word = (
             (0x7FF << 21)
-            | (3 << 19)       # MPEG-1
+            | (ver_code << 19)
             | (3 << 17)       # Layer I
             | (1 << 16)       # no CRC
             | (bitrate_idx << 12)
@@ -807,40 +1002,322 @@ def encode_mp3_layer1(
 
 
 # ---------------------------------------------------------------------------
+# Layer II (r13): per-subband quantization-class allocation (ISO
+# 11172-3 Tables B.2a-d; ISO 13818-3's single LSF table), 2-bit scfsi,
+# grouped 3/5/9-level codes, 12 granules x 3 samples — shares the
+# polyphase synthesis with Layers I/III.  Requantization uses the
+# closed forms behind Table B.4: for n = 2^k - 1 levels the code is an
+# offset-binary fraction with C = 2^k/n, D = 2^(1-k); the grouped
+# classes (3/5/9 levels, k = 2/3/4 bits) use D = 1/2.  Every (C, D)
+# pair in the published table is reproduced exactly by these forms.
+# ---------------------------------------------------------------------------
+
+# allowed quantization levels per subband row (Tables B.2a-d rows);
+# transcription confidence per the module docstring
+_L2_A_LOW = (3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+             16383, 32767, 65535)                      # B.2a/b sb 0-2
+_L2_A_MID = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+             8191, 65535)                              # B.2a/b sb 3-10
+_L2_A_HI = (3, 5, 7, 9, 15, 31, 65535)                 # B.2a/b nbal-3 rows
+_L2_A_TOP = (3, 5, 65535)                              # B.2a/b nbal-2 rows
+_L2_CD_LO = (3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+             8191, 16383, 32767)                       # B.2c/d sb 0-1
+_L2_CD_HI = (3, 5, 9, 15, 31, 63, 127)                 # B.2c/d sb 2+
+_L2_LSF4 = (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+            8191, 16383)                               # LSF sb 0-3
+_L2_LSF3 = (3, 5, 7, 9, 15, 31, 63)                    # LSF sb 4-10
+_L2_LSF2 = (3, 5, 7)                                   # LSF sb 11-29
+
+_L2_TABLES = {
+    "a": [(4, _L2_A_LOW)] * 3 + [(4, _L2_A_MID)] * 8
+         + [(3, _L2_A_HI)] * 12 + [(2, _L2_A_TOP)] * 4,       # 27 sb
+    "b": [(4, _L2_A_LOW)] * 3 + [(4, _L2_A_MID)] * 8
+         + [(3, _L2_A_HI)] * 12 + [(2, _L2_A_TOP)] * 7,       # 30 sb
+    "c": [(4, _L2_CD_LO)] * 2 + [(3, _L2_CD_HI)] * 6,         # 8 sb
+    "d": [(4, _L2_CD_LO)] * 2 + [(3, _L2_CD_HI)] * 10,        # 12 sb
+    "lsf": [(4, _L2_LSF4)] * 4 + [(3, _L2_LSF3)] * 7
+           + [(2, _L2_LSF2)] * 19,                            # 30 sb
+}
+
+_L2_GROUPED_BITS = {3: 5, 5: 7, 9: 10}  # one code per 3-sample granule
+
+
+def _l2_table_key(hdr: dict) -> str:
+    """Allocation-table selection (ISO 11172-3 Table B.1 for MPEG-1;
+    the single LSF table for MPEG-2/2.5).  In per-channel kbps terms
+    the published combination table reduces to: <=48 -> c (d at
+    32 kHz), 56-80 -> a, >=96 -> b (a at 48 kHz, which never uses b)."""
+    if hdr["lsf"]:
+        return "lsf"
+    per_ch = hdr["bitrate"] // 1000 // hdr["n_channels"]
+    if per_ch <= 48:
+        return "d" if hdr["rate"] == 32000 else "c"
+    if per_ch <= 80:
+        return "a"
+    return "a" if hdr["rate"] == 48000 else "b"
+
+
+def _l2_requant(code: int, n: int) -> float:
+    """Closed-form Table B.4 requantization for an n-level class."""
+    nb = n.bit_length()
+    frac = code / float(1 << (nb - 1)) - 1.0
+    d = 0.5 if n in (3, 5, 9) else 2.0 ** (1 - nb)
+    return ((1 << nb) / float(n)) * (frac + d)
+
+
+def _decode_frame_l2(hdr: dict, data: bytes, synth: list) -> tuple:
+    """One Layer II frame body -> (subbands (36, nch, 32),
+    pcm (1152, nch))."""
+    r = MSBBitReader(data)
+    nch = hdr["n_channels"]
+    rows = _L2_TABLES[_l2_table_key(hdr)]
+    sblimit = len(rows)
+    bound = sblimit
+    if hdr["mode"] == 1:  # joint stereo: shared codes above the bound
+        bound = min((hdr["mode_ext"] + 1) * 4, sblimit)
+    alloc = [[0] * sblimit for _ in range(nch)]
+    for sb in range(bound):
+        for ch in range(nch):
+            alloc[ch][sb] = r.read(rows[sb][0])
+    for sb in range(bound, sblimit):
+        a = r.read(rows[sb][0])
+        for ch in range(nch):
+            alloc[ch][sb] = a
+    scfsi = [[0] * sblimit for _ in range(nch)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[ch][sb]:
+                scfsi[ch][sb] = r.read(2)
+    # three scalefactors per subband (one per 4-granule part), shared
+    # per the scfsi pattern (spec §2.4.2.7: 0 -> three, 1 -> first two
+    # equal, 2 -> all equal, 3 -> last two equal)
+    scf = np.zeros((nch, sblimit, 3))
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[ch][sb]:
+                continue
+            si = scfsi[ch][sb]
+            n_read = {0: 3, 1: 2, 2: 1, 3: 2}[si]
+            idx = []
+            for _ in range(n_read):
+                v = r.read(6)
+                if v >= 63:
+                    raise UnsupportedMediaError(
+                        "mp3: invalid Layer II scalefactor index"
+                    )
+                idx.append(float(_SF_TABLE_L1[v]))
+            if si == 0:
+                parts = idx
+            elif si == 1:
+                parts = [idx[0], idx[0], idx[1]]
+            elif si == 2:
+                parts = [idx[0], idx[0], idx[0]]
+            else:
+                parts = [idx[0], idx[1], idx[1]]
+            scf[ch, sb] = parts
+    S = np.zeros((36, nch, 32))
+    for gr in range(12):
+        part = gr >> 2
+        for sb in range(sblimit):
+            chans = range(nch) if sb < bound else (0,)
+            for ch in chans:
+                a = alloc[ch][sb]
+                if not a:
+                    continue
+                n = rows[sb][1][a - 1]
+                if n in _L2_GROUPED_BITS:
+                    c = r.read(_L2_GROUPED_BITS[n])
+                    samples = (c % n, (c // n) % n, (c // (n * n)) % n)
+                else:
+                    w = n.bit_length()
+                    samples = (r.read(w), r.read(w), r.read(w))
+                vals = [_l2_requant(c, n) for c in samples]
+                targets = (ch,) if sb < bound else range(nch)
+                for tch in targets:
+                    for s in range(3):
+                        S[3 * gr + s, tch, sb] = (
+                            vals[s] * scf[tch, sb, part]
+                        )
+    pcm = np.empty((1152, nch))
+    for ch in range(nch):
+        pcm[:, ch] = _synth_block(S[:, ch, :], synth[ch])
+    return S, pcm
+
+
+def encode_mp3_layer2(
+    frames: list,
+    rate: int = 44100,
+    bitrate_kbps: int = 192,
+    n_channels: int = 1,
+    mode_ext: int = 0,
+    joint: bool = False,
+    version: int = 1,
+) -> bytes:
+    """Layer II fixture encoder (MPEG-1 and, with ``version`` 2/25,
+    LSF).  ``frames``: per frame a dict ``{"alloc": (nch, sblimit)
+    ints, "scfsi": (nch, sblimit) ints 0-3, "scf_idx": (nch, sblimit,
+    3) ints 0-62, "codes": (12, nch, sblimit, 3) ints}`` — grouped
+    classes consume codes[...,0..2] as the three ungrouped sample
+    values and pack them into one base-n code, exactly the layout the
+    decoder reads."""
+    if version == 1:
+        rate_idx = _RATES.index(rate)
+        bitrate_idx = _BITRATES_L2.index(bitrate_kbps)
+        ver_code = 3
+    else:
+        rates = _RATES_V2 if version == 2 else _RATES_V25
+        rate_idx = rates.index(rate)
+        bitrate_idx = _BITRATES_LSF_L23.index(bitrate_kbps)
+        ver_code = 2 if version == 2 else 0
+    mode = 3 if n_channels == 1 else (1 if joint else 0)
+    hdr_probe = {
+        "lsf": version != 1,
+        "bitrate": bitrate_kbps * 1000,
+        "rate": rate,
+        "n_channels": n_channels,
+        "mode": mode,
+        "mode_ext": mode_ext,
+    }
+    rows = _L2_TABLES[_l2_table_key(hdr_probe)]
+    sblimit = len(rows)
+    bound = sblimit if mode != 1 else min((mode_ext + 1) * 4, sblimit)
+    out = bytearray()
+    for frame in frames:
+        alloc, scfsi = frame["alloc"], frame["scfsi"]
+        scf_idx, codes = frame["scf_idx"], frame["codes"]
+        w = MSBBitWriter()
+        for sb in range(bound):
+            for ch in range(n_channels):
+                w.write(alloc[ch][sb], rows[sb][0])
+        for sb in range(bound, sblimit):
+            w.write(alloc[0][sb], rows[sb][0])
+        for sb in range(sblimit):
+            for ch in range(n_channels):
+                if alloc[ch][sb]:
+                    w.write(scfsi[ch][sb], 2)
+        for sb in range(sblimit):
+            for ch in range(n_channels):
+                if not alloc[ch][sb]:
+                    continue
+                si = scfsi[ch][sb]
+                emit = {0: (0, 1, 2), 1: (0, 2), 2: (0,), 3: (0, 1)}[si]
+                for p in emit:
+                    w.write(scf_idx[ch][sb][p], 6)
+        for gr in range(12):
+            for sb in range(sblimit):
+                chans = range(n_channels) if sb < bound else (0,)
+                for ch in chans:
+                    a = alloc[ch][sb]
+                    if not a:
+                        continue
+                    n = rows[sb][1][a - 1]
+                    c3 = [int(codes[gr][ch][sb][s]) for s in range(3)]
+                    # valid codes are 0..n-1 (the all-ones ungrouped
+                    # pattern maps outside [-1, 1] and is forbidden)
+                    if any(c >= n for c in c3):
+                        raise ValueError("layer2 fixture: code out of range")
+                    if n in _L2_GROUPED_BITS:
+                        c = c3[0] + n * c3[1] + n * n * c3[2]
+                        w.write(c, _L2_GROUPED_BITS[n])
+                    else:
+                        for c in c3:
+                            w.write(c, n.bit_length())
+        w.align()
+        body = bytes(w.buf)
+        hdr_word = (
+            (0x7FF << 21)
+            | (ver_code << 19)
+            | (2 << 17)       # Layer II
+            | (1 << 16)       # no CRC
+            | (bitrate_idx << 12)
+            | (rate_idx << 10)
+            | (0 << 9)
+            | (mode << 6)
+            | (mode_ext << 4)
+            | 0
+        )
+        frame_len = 144 * bitrate_kbps * 1000 // rate
+        budget = frame_len - 4
+        if len(body) > budget:
+            raise ValueError("layer2 fixture: body exceeds frame size")
+        out += hdr_word.to_bytes(4, "big") + body + b"\x00" * (budget - len(body))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
 
+def _format_key(hdr: dict) -> tuple:
+    return (hdr["version"], hdr["layer"], hdr["rate"], hdr["n_channels"])
+
+
 def _iter_frames(payload: bytes):
-    """Yield (hdr, side_bytes, main_bytes) per frame; validates sizes."""
+    """Yield (hdr, side_bytes, main_bytes) per frame; validates sizes.
+
+    Trailing-junk discipline (ADVICE r12): a syncword-matching byte
+    pattern at the exact next-frame offset whose format DIFFERS from
+    the established stream (version/layer/rate/channels) is only
+    treated as a real frame if it passes a plausibility check — the
+    implied next offset holds another valid sync (or ends the stream
+    exactly).  Otherwise it is trailing junk and iteration stops
+    cleanly, instead of aborting the whole decode on files with
+    sync-looking tail bytes.  A free-format header (the one remaining
+    unimplemented variant) raises on the FIRST frame — a stream
+    property — and is junk-checked the same way mid-stream."""
     pos = _skip_id3(payload)
     end = len(payload)
     if end >= 128 and payload[-128:-125] == b"TAG":
         end -= 128  # ID3v1 tail
     first = True
+    prev_key = None
+
+    def plausible(fb: int) -> bool:
+        nxt = pos + fb
+        if nxt == end:
+            return True
+        if nxt + 4 > end:
+            return False
+        try:
+            _parse_header(payload[nxt : nxt + 4])
+        except _UnsupportedVariant:
+            return True  # a consistent variant run, not random junk
+        except UnsupportedMediaError:
+            return False
+        return True
+
     while pos + 4 <= end:
         try:
             hdr = _parse_header(payload[pos : pos + 4])
         except _UnsupportedVariant:
-            # a VALID header for an unimplemented variant at the exact
-            # next-frame offset is a stream property, not junk: raise
-            # mid-stream rather than silently truncate the decode
-            raise
+            if first:
+                raise  # free format from frame one: a stream property
+            break  # mid-stream: frame length unknowable — junk tail
         except UnsupportedMediaError:
             if first:
                 raise
             break  # trailing garbage after valid frames: stop cleanly
-        first = False
         fb = _frame_bytes(hdr)
+        if prev_key is not None and _format_key(hdr) != prev_key:
+            # mid-stream format change: real only if the next offset
+            # also syncs; otherwise it was junk that happened to sync
+            if not plausible(fb):
+                break
+        first = False
+        prev_key = _format_key(hdr)
         if pos + fb > end:
             break  # trailing truncated frame: decode what is complete
         off = pos + 4 + (2 if hdr["crc"] else 0)
-        if hdr["layer"] == 1:
-            # Layer I has no side info / reservoir: the body is the frame
+        if hdr["layer"] in (1, 2):
+            # Layers I/II have no side info / reservoir: body = frame
             yield hdr, b"", payload[off : pos + fb]
             pos += fb
             continue
-        side_len = 17 if hdr["n_channels"] == 1 else 32
+        if hdr["lsf"]:
+            side_len = 9 if hdr["n_channels"] == 1 else 17
+        else:
+            side_len = 17 if hdr["n_channels"] == 1 else 32
         if off + side_len > pos + fb:
             raise UnsupportedMediaError("mp3: frame too small for side info")
         yield hdr, payload[off : off + side_len], payload[off + side_len : pos + fb]
@@ -893,7 +1370,18 @@ def decode_mp3_frames(payload: bytes):
             subbands, pcm = _decode_frame_l1(hdr, main, synth)
             out.append((hdr, subbands, pcm))
             continue
-        main_data_begin, scfsi, granules = _parse_side_info(side, nch)
+        if layer == 2:
+            total += 1152 * nch
+            if total > MAX_TOTAL_SAMPLES:
+                raise UnsupportedMediaError("mp3: stream exceeds sample budget")
+            subbands, pcm = _decode_frame_l2(hdr, main, synth)
+            out.append((hdr, subbands, pcm))
+            continue
+        if hdr["lsf"]:
+            main_data_begin, granules = _parse_side_info_lsf(side, nch)
+            scfsi = [[0] * 4 for _ in range(nch)]  # no scfsi in LSF
+        else:
+            main_data_begin, scfsi, granules = _parse_side_info(side, nch)
         if main_data_begin > len(reservoir):
             # spec-legal at stream start / after a cut: skip this frame
             reservoir = (reservoir + main)[-511:]
@@ -901,13 +1389,14 @@ def decode_mp3_frames(payload: bytes):
         data = (reservoir[len(reservoir) - main_data_begin :] if main_data_begin else b"") + main
         reservoir = (reservoir + main)[-511:]
         r = MSBBitReader(data)
-        total += 1152 * nch
+        ngr = len(granules)  # 2 for MPEG-1, 1 for LSF
+        total += 576 * ngr * nch
         if total > MAX_TOTAL_SAMPLES:
             raise UnsupportedMediaError("mp3: stream exceeds sample budget")
         frame_spectra = np.zeros((2, nch, 576))
-        pcm = np.empty((1152, nch))
+        pcm = np.empty((576 * ngr, nch))
         prev_sf = [None] * nch
-        for gr in range(2):
+        for gr in range(ngr):
             xr_ch = []
             sf_ch = []
             g_ch = []
@@ -916,9 +1405,12 @@ def decode_mp3_frames(payload: bytes):
                 g = granules[gr][ch]
                 part_start = r.pos
                 part_end = part_start + g.part2_3_length
-                long_sf, short_sf = _read_scalefactors(
-                    r, g, gr, scfsi[ch], prev_sf[ch]
-                )
+                if hdr["lsf"]:
+                    long_sf, short_sf = _read_scalefactors_lsf(r, g)
+                else:
+                    long_sf, short_sf = _read_scalefactors(
+                        r, g, gr, scfsi[ch], prev_sf[ch]
+                    )
                 prev_sf[ch] = (long_sf, short_sf)
                 ix, count1_end = _read_spectrum(r, g, rate, part_end)
                 if r.pos > part_end:
@@ -995,16 +1487,41 @@ def _encode_granule_bits(ix: np.ndarray, g_params: dict) -> tuple[bytes, _Granul
     compress = g_params.get("scalefac_compress", 0)
     long_sf = g_params.get("long_sf", [0] * 22)
     skip_groups = g_params.get("skip_groups", ())
-    slen1, slen2 = _SLEN[compress]
-    if g_params.get("block_type", 0) == 0:
-        groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
-        for gi, (lo, hi, sl) in enumerate(groups):
-            if gi in skip_groups:
-                continue
-            for b in range(lo, hi):
-                if long_sf[b] >> sl:
-                    raise ValueError("fixture encoder: scalefactor exceeds slen")
-                w.write(long_sf[b], sl)
+    lsf = g_params.get("lsf", False)
+    if lsf:
+        if g_params.get("block_type", 0) != 0:
+            raise ValueError("LSF fixture: long blocks only")
+        probe = _Granule()
+        probe.scalefac_compress = compress
+        probe.window_switching = 0
+        probe.block_type = 0
+        probe.mixed_block = 0
+        slen, nsfb, _pre = _lsf_sf_layout(probe)
+        b = 0
+        for part in range(4):
+            for _ in range(nsfb[part]):
+                if slen[part] and (long_sf[b] >> slen[part]):
+                    raise ValueError(
+                        "fixture encoder: scalefactor exceeds slen"
+                    )
+                if slen[part]:
+                    w.write(long_sf[b], slen[part])
+                elif long_sf[b]:
+                    raise ValueError(
+                        "fixture encoder: nonzero sf in zero-width part"
+                    )
+                b += 1
+    else:
+        slen1, slen2 = _SLEN[compress]
+        if g_params.get("block_type", 0) == 0:
+            groups = ((0, 6, slen1), (6, 11, slen1), (11, 16, slen2), (16, 21, slen2))
+            for gi, (lo, hi, sl) in enumerate(groups):
+                if gi in skip_groups:
+                    continue
+                for b in range(lo, hi):
+                    if long_sf[b] >> sl:
+                        raise ValueError("fixture encoder: scalefactor exceeds slen")
+                    w.write(long_sf[b], sl)
     for pos in range(0, big_limit, 2):
         x, y = int(abs(ix[pos])), int(abs(ix[pos + 1]))
         length, code = _TABLE_1_ENC[(x, y)]
@@ -1048,28 +1565,42 @@ def encode_mp3_frames(
     n_channels: int = 1,
     bitrate_kbps: int = 128,
     mode_ext: int = 0,
+    version: int = 1,
 ) -> bytes:
-    """Spectral fixture -> a real MPEG-1 Layer III stream.
+    """Spectral fixture -> a real MPEG Layer III stream.
 
-    ``frames_ix``: per frame, per granule (2), per channel: a dict
-    ``{"ix": int array (576, |values| <= 1), "count1_quads": int,
-    "global_gain": int}``.  Emits header + side info + main data with
-    ``main_data_begin = 0`` (no reservoir use; the decoder's reservoir
-    path is exercised by a hand-built stream in tests), padding to the
-    exact spec frame size with zero ancillary bits."""
-    rate_idx = _RATES.index(rate)
-    bitrate_idx = _BITRATES.index(bitrate_kbps)
+    ``frames_ix``: per frame, per granule (2 for MPEG-1; 1 for LSF),
+    per channel: a dict ``{"ix": int array (576, |values| <= 1),
+    "count1_quads": int, "global_gain": int}``.  Emits header + side
+    info + main data with ``main_data_begin = 0`` (no reservoir use;
+    the decoder's reservoir path is exercised by a hand-built stream
+    in tests), padding to the exact spec frame size with zero
+    ancillary bits.  ``version`` 2/25 emits the LSF layout: one
+    granule, 8-bit main_data_begin, no scfsi, 9-bit
+    scalefac_compress, no preflag bit (long blocks only)."""
+    lsf = version != 1
+    if version == 1:
+        rate_idx = _RATES.index(rate)
+        bitrate_idx = _BITRATES.index(bitrate_kbps)
+        ver_code = 3
+    else:
+        rates = _RATES_V2 if version == 2 else _RATES_V25
+        rate_idx = rates.index(rate)
+        bitrate_idx = _BITRATES_LSF_L23.index(bitrate_kbps)
+        ver_code = 2 if version == 2 else 0
+    n_gr = 1 if lsf else 2
     mode = 3 if n_channels == 1 else (1 if mode_ext else 0)
     out = bytearray()
     for frame in frames_ix:
         # frame-level scfsi (per channel, 4 group flags): granule 1
-        # skips the flagged groups' scalefactor bits
+        # skips the flagged groups' scalefactor bits (MPEG-1 only)
         scfsi = frame[0][0].get("scfsi", [[0] * 4 for _ in range(n_channels)])
         payloads = []
         sides = []
-        for gr in range(2):
+        for gr in range(n_gr):
             for ch in range(n_channels):
                 params = dict(frame[gr][ch])
+                params["lsf"] = lsf
                 if gr == 1:
                     params["skip_groups"] = tuple(
                         gi for gi in range(4) if scfsi[ch][gi]
@@ -1080,16 +1611,19 @@ def encode_mp3_frames(
                 payloads.append((bits, g.part2_3_length))
                 sides.append(g)
         w = MSBBitWriter()
-        w.write(0, 9)  # main_data_begin
-        w.write(0, 5 if n_channels == 1 else 3)
-        for ch in range(n_channels):
-            for gi in range(4):
-                w.write(scfsi[ch][gi], 1)
+        w.write(0, 8 if lsf else 9)  # main_data_begin
+        if lsf:
+            w.write(0, 1 if n_channels == 1 else 2)
+        else:
+            w.write(0, 5 if n_channels == 1 else 3)
+            for ch in range(n_channels):
+                for gi in range(4):
+                    w.write(scfsi[ch][gi], 1)
         for g in sides:
             w.write(g.part2_3_length, 12)
             w.write(g.big_values, 9)
             w.write(g.global_gain, 8)
-            w.write(g.scalefac_compress, 4)
+            w.write(g.scalefac_compress, 9 if lsf else 4)
             w.write(g.window_switching, 1)
             if g.window_switching:
                 w.write(g.block_type, 2)
@@ -1103,12 +1637,16 @@ def encode_mp3_frames(
                     w.write(t, 5)
                 w.write(g.region0_count, 4)
                 w.write(g.region1_count, 3)
-            w.write(g.preflag, 1)
+            if not lsf:
+                w.write(g.preflag, 1)
             w.write(g.scalefac_scale, 1)
             w.write(g.count1table_select, 1)
         w.align()
         side_bytes = bytes(w.buf)
-        assert len(side_bytes) == (17 if n_channels == 1 else 32)
+        if lsf:
+            assert len(side_bytes) == (9 if n_channels == 1 else 17)
+        else:
+            assert len(side_bytes) == (17 if n_channels == 1 else 32)
         # main data: concatenated part2_3 payloads, bit-packed
         mw = MSBBitWriter()
         for bits, nbits in payloads:
@@ -1119,7 +1657,7 @@ def encode_mp3_frames(
         main = bytes(mw.buf)
         hdr_word = (
             (0x7FF << 21)
-            | (3 << 19)       # MPEG-1
+            | (ver_code << 19)
             | (1 << 17)       # Layer III
             | (1 << 16)       # no CRC
             | (bitrate_idx << 12)
@@ -1129,7 +1667,7 @@ def encode_mp3_frames(
             | (mode_ext << 4)
             | 0
         )
-        frame_len = 144 * bitrate_kbps * 1000 // rate
+        frame_len = (72 if lsf else 144) * bitrate_kbps * 1000 // rate
         body = main
         budget = frame_len - 4 - len(side_bytes)
         if len(body) > budget:

@@ -24,6 +24,7 @@ from processor_edf_spark.plans import analytics_r8  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r10  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r11  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r12  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_r13  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -164,6 +165,14 @@ from processor_edf_spark.plans import analytics_r12  # noqa: E402,F401
 # members rotated out here.  New r13 queries take priority slots as
 # usual; test_window_covers_every_family stays the coverage gate.
 _CANONICAL = [
+    # mp3_lsf_decode_stats / mp3_layer2_decode_stats (the r13 codec
+    # ratchet: MPEG-2/2.5 LSF Layer III and Layer II for real) take
+    # the first two r13 priority slots, displacing ngram_lang_profile
+    # and doc_length_histogram from positions 49-50 (text family stays
+    # covered in-window via rolling_fingerprint + doc_fingerprint;
+    # both keep their r11 greens at 51+).
+    "mp3_lsf_decode_stats",
+    "mp3_layer2_decode_stats",
     # ---- r13 driver window (50): the pre-declared rotation from the
     # r12 note above, executed verbatim — the 28 stalest at 51+ lead
     # (six held/displaced members, the 13 tpch r7-greens, the nine
@@ -484,6 +493,9 @@ FAMILY = {
     "edf_header_parse": "events",
     "edf_range_decode": "events",
     "h264_cavlc_decode_stats": "multimodal",
+    # r13 additions
+    "mp3_lsf_decode_stats": "multimodal",
+    "mp3_layer2_decode_stats": "multimodal",
     # r12 additions
     "pq_adc_exact": "ann",
     "ivf_pq_search_exact": "ann",

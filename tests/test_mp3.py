@@ -246,8 +246,8 @@ def test_trailing_garbage_after_frames_is_tolerated():
     "mutate, msg",
     [
         (lambda b: b[:1] + b"\x00" + b[2:], "sync"),          # kill sync
-        (lambda b: b[:1] + bytes([b[1] & ~0x18]) + b[2:], "MPEG-1"),
-        (lambda b: b[:1] + bytes([(b[1] & ~0x06) | 0x06]) + b[2:], "Layer"),
+        (lambda b: b[:1] + bytes([(b[1] & ~0x18) | 0x08]) + b[2:],
+         "reserved version"),
         (lambda b: b[:2] + bytes([b[2] & 0x0F]) + b[3:], "free-format"),
     ],
 )
@@ -502,10 +502,15 @@ def test_layer1_invalid_allocation_and_scalefactor_raise():
         decode_mp3_frames(bytes(payload))
 
 
-def test_layer2_names_the_seam():
-    hdr = bytes([0xFF, 0xFD, 0x90, 0x00])  # MPEG-1 Layer II
-    with pytest.raises(UnsupportedMediaError, match="Layer II"):
-        decode_mp3_py(hdr + b"\x00" * 400)
+def test_layer2_zero_allocation_decodes_silence():
+    """Layer II decodes for real (r13): an all-zero-allocation frame is
+    valid silence, not a seam raise.  0xFFFD = MPEG-1 Layer II,
+    160 kbps stereo at 44.1 kHz -> 522-byte frames."""
+    hdr = bytes([0xFF, 0xFD, 0x90, 0x00])
+    rate, nch, pcm = decode_mp3_py(hdr + b"\x00" * 518)
+    assert (rate, nch) == (44100, 2)
+    assert pcm.shape == (1152, 2)
+    assert np.abs(pcm).max() == 0.0
 
 
 def test_layer1_scalefactor_table_closed_form():
@@ -736,15 +741,362 @@ def test_intensity_stereo_bound_and_ms_interaction(mode_ext):
             assert np.array_equal(spectra[g, 1][62:74], np.zeros(12))
 
 
-def test_mid_stream_unsupported_variant_raises():
-    """A VALID MPEG-2 header at the exact next-frame offset must raise,
-    not silently truncate the stream (the trailing-garbage leniency is
-    for junk, not for parseable unsupported variants)."""
+def test_mid_stream_format_change_vs_junk_tail():
+    """A PLAUSIBLE format change mid-stream (a full decodable run of a
+    different format whose next offset syncs too) raises; a
+    sync-looking junk tail — truncated, or with garbage at its implied
+    next offset — ends iteration cleanly (ADVICE r12 plausibility
+    check)."""
+    from processor_edf_spark.operators.mp3 import encode_mp3_frames
+
     frames = [[[_gran(1)] for _g in range(2)]]
     good = _stream(frames, rate=44100, n_channels=1, bitrate_kbps=128)
-    mpeg2 = b"\xff\xf3\x90\x00" + b"\x00" * 40
-    with pytest.raises(UnsupportedMediaError, match="MPEG-1"):
-        decode_mp3_frames(good + mpeg2)
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:4] = (1, -1, 1, 0)
+    lsf = encode_mp3_frames(
+        [[[{"ix": ix, "count1_quads": 0, "global_gain": 210}]],
+         [[{"ix": ix, "count1_quads": 0, "global_gain": 210}]]],
+        rate=22050, bitrate_kbps=64, version=2,
+    )
+    with pytest.raises(UnsupportedMediaError, match="format change"):
+        decode_mp3_frames(good + lsf)
+    # sync-looking but TRUNCATED MPEG-2 header at the tail: junk
+    out = decode_mp3_frames(good + b"\xff\xf3\x90\x00" + b"\x00" * 40)
+    assert len(out) == 1
+    # sync-looking header whose implied next offset is garbage: junk
+    fb = 72 * 64000 // 22050  # the implied LSF frame length
+    tail = b"\xff\xf3\x90\x00" + b"\x12" * (fb - 4) + b"nosync.."
+    out = decode_mp3_frames(good + tail)
+    assert len(out) == 1
     # plain junk after valid frames still decodes leniently
     out = decode_mp3_frames(good + b"\x12junkjunk\x00\x00")
     assert len(out) == 1
+
+
+# ---------------------------------------------------------------------------
+# r13: MPEG-2/2.5 (LSF) Layer III, Layer II, LSF Layer I
+# ---------------------------------------------------------------------------
+
+
+def _lsf_requant_expected(ix, global_gain=210, long_sf=None,
+                          sf_scale=0, preflag=0, rate=22050):
+    """Closed-form requantization oracle for long-block LSF granules
+    (identical math to the MPEG-1 one — only band edges differ)."""
+    from processor_edf_spark.operators.mp3 import _PRETAB, _SFB_LONG
+
+    long_sf = long_sf or [0] * 22
+    xr = np.sign(ix) * np.abs(ix).astype(np.float64) ** (4.0 / 3.0)
+    bounds = _SFB_LONG[rate]
+    mult = 1.0 if sf_scale else 0.5
+    for b in range(22):
+        gain = (global_gain - 210) / 4.0 - mult * (
+            long_sf[b] + preflag * _PRETAB[b]
+        )
+        xr[bounds[b] : bounds[b + 1]] *= 2.0 ** gain
+    return xr
+
+
+@pytest.mark.parametrize("rate,version", [
+    (22050, 2), (24000, 2), (16000, 2), (12000, 25), (8000, 25),
+])
+def test_lsf_layer3_round_trip_rates(rate, version):
+    """One-granule LSF frames decode with spectra EXACT against the
+    closed-form requantization across every LSF sampling rate."""
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:36] = [((7 + 3 * k) % 3) - 1 for k in range(36)]
+    fr = [[{"ix": ix, "big_values_lines": 24, "count1_quads": 3,
+            "global_gain": 214}]]
+    stream = encode_mp3_frames([fr, fr], rate=rate, bitrate_kbps=64,
+                               version=version)
+    out = decode_mp3_frames(stream)
+    assert len(out) == 2
+    for hdr, spectra, pcm in out:
+        assert hdr["version"] == version and hdr["rate"] == rate
+        assert hdr["lsf"] is True
+        assert pcm.shape == (576, 1)  # ONE granule per LSF frame
+        exp = _lsf_requant_expected(ix, global_gain=214, rate=rate)
+        assert np.allclose(spectra[0, 0], exp, rtol=1e-12)
+        assert np.array_equal(spectra[1, 0], np.zeros(576))
+
+
+def test_lsf_slen_partition_derivation_pins():
+    """Hand-computed §2.4.3.2 slen/nsfb/preflag vectors."""
+    from processor_edf_spark.operators.mp3 import _Granule, _lsf_sf_layout
+
+    def layout(sfc, block_type=0, mixed=0):
+        g = _Granule()
+        g.scalefac_compress = sfc
+        g.window_switching = 1 if block_type else 0
+        g.block_type = block_type
+        g.mixed_block = mixed
+        return _lsf_sf_layout(g)
+
+    assert layout(0) == ((0, 0, 0, 0), (6, 5, 5, 5), 0)
+    # 270: (270>>4)=16 -> (3, 1); (270&15)>>2 = 3; 270&3 = 2
+    assert layout(270) == ((3, 1, 3, 2), (6, 5, 5, 5), 0)
+    # 497: -400 = 97: (97>>2)=24 -> (4, 4); 97&3 = 1
+    assert layout(497) == ((4, 4, 1, 0), (6, 5, 7, 3), 0)
+    # 500: row 2, preflag DERIVED
+    assert layout(500) == ((0, 0, 0, 0), (11, 10, 0, 0), 1)
+    assert layout(506) == ((2, 0, 0, 0), (11, 10, 0, 0), 1)
+    # short and mixed forms pick their nsfb rows
+    assert layout(0, block_type=2)[1] == (9, 9, 9, 9)
+    assert layout(0, block_type=2, mixed=1)[1] == (6, 9, 9, 9)
+    assert layout(450, block_type=2)[1] == (9, 9, 12, 6)
+    assert layout(510, block_type=2, mixed=1)[1] == (15, 18, 0, 0)
+
+
+def test_lsf_layer3_scalefactors_and_derived_preflag():
+    """LSF scalefactors scale their bands exactly; scalefac_compress
+    >= 500 must apply the DERIVED preflag (no preflag bit exists in
+    the LSF side info)."""
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:116] = 1  # through band 11 at 22050 (edges 96..116)
+    sf = [0] * 22
+    sf[0], sf[2], sf[11] = 1, 2, 1
+    fr = [[{"ix": ix, "big_values_lines": 116, "count1_quads": 0,
+            "global_gain": 210, "scalefac_compress": 270,
+            "long_sf": sf}]]
+    hdr, spectra, _ = decode_mp3_frames(
+        encode_mp3_frames([fr], rate=22050, bitrate_kbps=64, version=2)
+    )[0]
+    exp = _lsf_requant_expected(ix, long_sf=sf)
+    assert np.allclose(spectra[0, 0], exp, rtol=1e-12)
+
+    # preflag row: bands 11+ get PRETAB even with all-zero sf bits
+    fr2 = [[{"ix": ix, "big_values_lines": 116, "count1_quads": 0,
+             "global_gain": 210, "scalefac_compress": 500}]]
+    hdr2, spectra2, _ = decode_mp3_frames(
+        encode_mp3_frames([fr2], rate=22050, bitrate_kbps=64, version=2)
+    )[0]
+    exp2 = _lsf_requant_expected(ix, preflag=1)
+    assert np.allclose(spectra2[0, 0], exp2, rtol=1e-12)
+    # band 11 (lines 96..116, PRETAB=1) scales by 2^-0.5 under preflag
+    assert np.allclose(exp2[96:116],
+                       _lsf_requant_expected(ix)[96:116] * 2 ** -0.5)
+
+
+def test_lsf_layer3_ms_stereo_and_sample_count():
+    """LSF MS stereo (mode_ext 2) decodes; intensity (mode_ext 1/3) is
+    seam-gated with the one exception type."""
+    ix_m = np.zeros(576, dtype=np.int64)
+    ix_s = np.zeros(576, dtype=np.int64)
+    ix_m[:8] = 1
+    ix_s[:8] = (1, -1, 1, -1, 0, 0, 1, -1)
+    fr = [[{"ix": ix_m, "big_values_lines": 8, "count1_quads": 0,
+            "global_gain": 210},
+           {"ix": ix_s, "big_values_lines": 8, "count1_quads": 0,
+            "global_gain": 210}]]
+    stream = encode_mp3_frames([fr], rate=16000, bitrate_kbps=64,
+                               n_channels=2, mode_ext=2, version=2)
+    hdr, spectra, pcm = decode_mp3_frames(stream)[0]
+    assert pcm.shape == (576, 2)
+    m = _lsf_requant_expected(ix_m, rate=16000)
+    s = _lsf_requant_expected(ix_s, rate=16000)
+    inv = 1.0 / np.sqrt(2.0)
+    assert np.allclose(spectra[0, 0], (m + s) * inv, rtol=1e-12)
+    assert np.allclose(spectra[0, 1], (m - s) * inv, rtol=1e-12)
+
+    bad = encode_mp3_frames([fr], rate=16000, bitrate_kbps=64,
+                            n_channels=2, mode_ext=1, version=2)
+    with pytest.raises(UnsupportedMediaError, match="intensity"):
+        decode_mp3_frames(bad)
+
+
+def test_layer2_requant_closed_forms_match_published_table():
+    """The closed forms reproduce ISO 11172-3 Table B.4's (C, D) pairs
+    and give symmetric level grids."""
+    from processor_edf_spark.operators.mp3 import _l2_requant
+
+    # 3 levels: -2/3, 0, 2/3
+    assert np.allclose([_l2_requant(c, 3) for c in range(3)],
+                       [-2 / 3, 0.0, 2 / 3])
+    # 5 levels: +-0.8 step 0.4
+    assert np.allclose([_l2_requant(c, 5) for c in range(5)],
+                       [-0.8, -0.4, 0.0, 0.4, 0.8])
+    # 7 levels: +-6/7 step 2/7
+    assert np.allclose([_l2_requant(c, 7) for c in range(7)],
+                       (2 * np.arange(7) - 6) / 7.0)
+    # 9 levels: +-8/9 step 2/9
+    assert np.allclose([_l2_requant(c, 9) for c in range(9)],
+                       (2 * np.arange(9) - 8) / 9.0)
+    # every class: symmetric, max < 1, zero at the midpoint
+    for n in (3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+              4095, 8191, 16383, 32767, 65535):
+        grid = np.array([_l2_requant(c, n) for c in range(n)])
+        assert abs(grid[n // 2]) < 1e-12
+        assert np.allclose(grid, -grid[::-1])
+        assert grid.max() < 1.0
+
+
+def test_layer2_table_selection_rule():
+    from processor_edf_spark.operators.mp3 import _l2_table_key
+
+    def key(kbps, rate, nch, lsf=False):
+        return _l2_table_key({"lsf": lsf, "bitrate": kbps * 1000,
+                              "rate": rate, "n_channels": nch})
+
+    assert key(48, 44100, 1) == "c"
+    assert key(48, 32000, 1) == "d"
+    assert key(96, 44100, 2) == "c"    # 48/ch
+    assert key(112, 44100, 2) == "a"   # 56/ch
+    assert key(64, 44100, 1) == "a"
+    assert key(160, 48000, 2) == "a"
+    assert key(96, 44100, 1) == "b"
+    assert key(224, 44100, 2) == "b"   # 112/ch
+    assert key(320, 48000, 2) == "a"   # 48 kHz never uses b
+    assert key(64, 16000, 1, lsf=True) == "lsf"
+
+
+def test_layer2_round_trip_all_tables_exact():
+    """Subband samples decode EXACTLY to scf * requant(code) on every
+    allocation table, covering grouped (3/5/9) and ungrouped classes
+    and all four scfsi sharing patterns."""
+    from processor_edf_spark.operators.mp3 import (
+        _L2_TABLES,
+        _SF_TABLE_L1,
+        _l2_requant,
+        _l2_table_key,
+        encode_mp3_layer2,
+    )
+
+    cases = [
+        (44100, 128, 2, 1),   # a, stereo
+        (44100, 96, 1, 1),    # b, mono
+        (44100, 48, 1, 1),    # c, mono
+        (32000, 48, 1, 1),    # d, mono
+        (16000, 64, 1, 2),    # lsf
+        (11025, 32, 1, 25),   # lsf @ 2.5 rate
+    ]
+    rng = np.random.default_rng(5)
+    for rate, kbps, nch, version in cases:
+        hdr_probe = {"lsf": version != 1, "bitrate": kbps * 1000,
+                     "rate": rate, "n_channels": nch}
+        rows = _L2_TABLES[_l2_table_key(hdr_probe)]
+        sbl = len(rows)
+        alloc = [[0] * sbl for _ in range(nch)]
+        scfsi = [[int(rng.integers(0, 4)) for _ in range(sbl)]
+                 for _ in range(nch)]
+        scf_idx = [[[int(rng.integers(0, 63)) for _ in range(3)]
+                    for _ in range(sbl)] for _ in range(nch)]
+        for ch in range(nch):
+            for sb in range(sbl):
+                # sparse, small-class allocation so the frame fits the
+                # bitrate budget (a real encoder allocates within it)
+                if rng.random() < 0.15:
+                    alloc[ch][sb] = int(
+                        rng.integers(1, min(len(rows[sb][1]), 3) + 1)
+                    )
+        codes = [[[[0, 0, 0] for _ in range(sbl)] for _ in range(nch)]
+                 for _ in range(12)]
+        for gr in range(12):
+            for ch in range(nch):
+                for sb in range(sbl):
+                    a = alloc[ch][sb]
+                    if a:
+                        n = rows[sb][1][a - 1]
+                        codes[gr][ch][sb] = [
+                            int(rng.integers(0, n)) for _ in range(3)
+                        ]
+        frames = [{"alloc": alloc, "scfsi": scfsi, "scf_idx": scf_idx,
+                   "codes": codes}]
+        stream = encode_mp3_layer2(frames, rate=rate, bitrate_kbps=kbps,
+                                   n_channels=nch, version=version)
+        hdr, S, pcm = decode_mp3_frames(stream)[0]
+        assert pcm.shape == (1152, nch)
+        for gr in range(12):
+            part = gr >> 2
+            for ch in range(nch):
+                for sb in range(sbl):
+                    a = alloc[ch][sb]
+                    if not a:
+                        assert (S[3 * gr : 3 * gr + 3, ch, sb] == 0).all()
+                        continue
+                    n = rows[sb][1][a - 1]
+                    si = scfsi[ch][sb]
+                    pidx = {0: (0, 1, 2), 1: (0, 0, 2),
+                            2: (0, 0, 0), 3: (0, 1, 1)}[si][part]
+                    sf = float(_SF_TABLE_L1[scf_idx[ch][sb][pidx]])
+                    for s in range(3):
+                        exp = _l2_requant(codes[gr][ch][sb][s], n) * sf
+                        assert abs(S[3 * gr + s, ch, sb] - exp) < 1e-12, (
+                            rate, kbps, ch, sb, gr, s)
+
+
+def test_layer2_joint_stereo_shared_codes_own_scalefactors():
+    """Above the joint-stereo bound the sample CODES are shared but
+    each channel applies its OWN scalefactor."""
+    from processor_edf_spark.operators.mp3 import (
+        _SF_TABLE_L1,
+        _l2_requant,
+        encode_mp3_layer2,
+    )
+
+    sbl = 27  # 128 kbps joint at 44100 -> table a (64/ch)
+    alloc = [[0] * sbl, [0] * sbl]
+    alloc[0][10] = alloc[1][10] = 1  # above bound 8 (mode_ext 1): shared
+    scf_idx = [[[2, 2, 2]] * sbl, [[5, 5, 5]] * sbl]
+    codes = [[[[1, 2, 0]] * sbl] * 2 for _ in range(12)]
+    frames = [{"alloc": alloc, "scfsi": [[2] * sbl, [2] * sbl],
+               "scf_idx": scf_idx, "codes": codes}]
+    stream = encode_mp3_layer2(frames, rate=44100, bitrate_kbps=128,
+                               n_channels=2, joint=True, mode_ext=1)
+    hdr, S, _ = decode_mp3_frames(stream)[0]
+    assert hdr["mode"] == 1
+    for s, c in enumerate((1, 2, 0)):
+        q = _l2_requant(c, 3)
+        assert abs(S[s, 0, 10] - q * float(_SF_TABLE_L1[2])) < 1e-12
+        assert abs(S[s, 1, 10] - q * float(_SF_TABLE_L1[5])) < 1e-12
+
+
+def test_lsf_layer1_round_trip():
+    """Layer I at LSF rates: same frame layout, LSF header tables."""
+    from processor_edf_spark.operators.mp3 import (
+        _SF_TABLE_L1,
+        _l1_requant,
+        encode_mp3_layer1,
+    )
+
+    alloc = [[0] * 32]
+    alloc[0][0], alloc[0][3] = 2, 5
+    scf_idx = [[4] * 32]
+    codes = [[[s % 7] + [0, 0, int(3 + (s % 9))] + [0] * 28]
+             for s in range(12)]
+    stream = encode_mp3_layer1(
+        [{"alloc": alloc, "scf_idx": scf_idx, "codes": codes}],
+        rate=8000, bitrate_kbps=64, version=25,
+    )
+    hdr, S, pcm = decode_mp3_frames(stream)[0]
+    assert hdr["version"] == 25 and hdr["rate"] == 8000
+    assert pcm.shape == (384, 1)
+    sf = float(_SF_TABLE_L1[4])
+    for s in range(12):
+        assert abs(S[s, 0, 0] - _l1_requant(s % 7, 3) * sf) < 1e-12
+        assert abs(S[s, 0, 3] - _l1_requant(3 + (s % 9), 6) * sf) < 1e-12
+
+
+def test_lsf_and_layer2_through_decode_audio():
+    """The decode_wav contract end-to-end for the new variants."""
+    from processor_edf_spark.operators.media_codecs import decode_audio
+    from processor_edf_spark.operators.mp3 import encode_mp3_layer2
+
+    ix = np.zeros(576, dtype=np.int64)
+    ix[:12] = 1
+    fr = [[{"ix": ix, "big_values_lines": 12, "count1_quads": 0,
+            "global_gain": 210}]]
+    rate, nch, pcm = decode_audio(
+        encode_mp3_frames([fr] * 3, rate=24000, bitrate_kbps=48,
+                          version=2)
+    )
+    assert (rate, nch, pcm.shape) == (24000, 1, (3 * 576, 1))
+
+    sbl = 8
+    alloc = [[1] + [0] * (sbl - 1)]
+    frames = [{"alloc": alloc, "scfsi": [[2] * sbl],
+               "scf_idx": [[[0, 0, 0]] * sbl],
+               "codes": [[[[2, 0, 1]] * sbl]] * 12}]
+    rate, nch, pcm = decode_audio(
+        encode_mp3_layer2(frames, rate=44100, bitrate_kbps=48,
+                          n_channels=1)
+    )
+    assert (rate, nch, pcm.shape) == (44100, 1, (1152, 1))

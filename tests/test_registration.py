@@ -31,7 +31,12 @@ EXPECTED_FIRST_50 = [
     # 51+ (six held/displaced, 13 tpch r7-greens, nine
     # r12-displaced r10-greens), the two sole-family anchors,
     # grouping_sets_revenue + split_assignment for family
-    # coverage, then the 18 stalest rotated-out r11 members.
+    # coverage, then the 18 stalest rotated-out r11 members.  r13
+    # priority slots: the two new codec rows, displacing
+    # ngram_lang_profile / doc_length_histogram (text family covered
+    # via rolling_fingerprint + doc_fingerprint).
+    "mp3_lsf_decode_stats",
+    "mp3_layer2_decode_stats",
     "edf_date_parse",
     "overlap_validation",
     "rolling_fingerprint",
@@ -80,8 +85,6 @@ EXPECTED_FIRST_50 = [
     "audio_decode_stats",
     "video_frame_stats",
     "edf_header_parse",
-    "ngram_lang_profile",
-    "doc_length_histogram",
 ]
 
 
@@ -104,7 +107,8 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10/r11 additions + the 10 r12 rows
-    assert len(QUERIES) == 161
+    # + the 2 r13 codec rows
+    assert len(QUERIES) == 163
 
 
 def test_every_query_has_a_family():
