@@ -1207,6 +1207,7 @@ class _PicCtx:
         "mb_w", "mb_h", "filled", "qp", "mv", "ref",
         "mv1", "ref1", "refpic", "poc", "serial",
         "mb_qp", "db_idc", "db_aoff", "db_boff",
+        "wp_mode", "wp_l0", "wp_l1", "wp_logwd",
     )
 
     def __init__(self, sps: _SPS):
@@ -1253,6 +1254,14 @@ class _PicCtx:
         self.db_boff = np.zeros(n_mb, np.int32)
         self.filled = 0
         self.qp = 0
+        # r13 weighted prediction, per-slice (§8.4.2.3): 0 = default,
+        # 1 = explicit (wp_lX[ref] = (wY,oY,wCb,oCb,wCr,oCr), wp_logwd
+        # = (luma_log2_weight_denom, chroma_log2_weight_denom)),
+        # 2 = implicit (POC-derived bi weights, single-list default)
+        self.wp_mode = 0
+        self.wp_l0 = None
+        self.wp_l1 = None
+        self.wp_logwd = (0, 0)
 
     def _same_slice(self, mb_idx: int, other_mb: int) -> bool:
         return (
@@ -1688,17 +1697,21 @@ def _mc_partition(ctx: _PicCtx, refp, mb_idx: int, r_off: int,
     ctx.ref[r : r + h4, c : c + w4] = ref_idx
     ctx.refpic[r : r + h4, c : c + w4, 0] = refp.serial
     py, px = r * 4, c * 4
-    ctx.y[py : py + h4 * 4, px : px + w4 * 4] = _interp_luma(
-        refp[0], py, px, h4 * 4, w4 * 4, mvy, mvx
-    )
+    yb = _interp_luma(refp[0], py, px, h4 * 4, w4 * 4, mvy, mvx)
+    if ctx.wp_mode == 1:  # explicit P weighting (§8.4.2.3.3)
+        wl = ctx.wp_l0[ref_idx]
+        yb = _wp_single(yb, wl[0], wl[1], ctx.wp_logwd[0])
+    ctx.y[py : py + h4 * 4, px : px + w4 * 4] = yb
     if ctx.u is not None:
         cy, cx = py // 2, px // 2
-        ctx.u[cy : cy + h4 * 2, cx : cx + w4 * 2] = _interp_chroma(
-            refp[1], cy, cx, h4 * 2, w4 * 2, mvy, mvx
-        )
-        ctx.v[cy : cy + h4 * 2, cx : cx + w4 * 2] = _interp_chroma(
-            refp[2], cy, cx, h4 * 2, w4 * 2, mvy, mvx
-        )
+        ub = _interp_chroma(refp[1], cy, cx, h4 * 2, w4 * 2, mvy, mvx)
+        vb = _interp_chroma(refp[2], cy, cx, h4 * 2, w4 * 2, mvy, mvx)
+        if ctx.wp_mode == 1:
+            cwd = ctx.wp_logwd[1]
+            ub = _wp_single(ub, wl[2], wl[3], cwd)
+            vb = _wp_single(vb, wl[4], wl[5], cwd)
+        ctx.u[cy : cy + h4 * 2, cx : cx + w4 * 2] = ub
+        ctx.v[cy : cy + h4 * 2, cx : cx + w4 * 2] = vb
 
 
 def _read_te(r: _BitReader, max_val: int) -> int:
@@ -2082,6 +2095,48 @@ def _b_store_fields(ctx: _PicCtx, mb_idx: int, ro, co, h4, w4,
     )
 
 
+def _wp_single(arr: np.ndarray, w: int, o: int, logwd: int) -> np.ndarray:
+    """Explicit single-list weighted sample prediction (§8.4.2.3.3
+    eq. 8-269/270): Clip1(((x·w + 2^(logWD−1)) >> logWD) + o), the
+    no-rounding form when logWD = 0.  ``>>`` on negative int32 is the
+    arithmetic (floor) shift the spec specifies."""
+    x = arr.astype(np.int32)
+    if logwd >= 1:
+        v = ((x * w + (1 << (logwd - 1))) >> logwd) + o
+    else:
+        v = x * w + o
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _wp_bi(a0, a1, w0: int, w1: int, o0: int, o1: int,
+           logwd: int) -> np.ndarray:
+    """Weighted bi-prediction (§8.4.2.3.3 eq. 8-271):
+    Clip1(((x0·w0 + x1·w1 + 2^logWD) >> (logWD+1)) + ((o0+o1+1)>>1))."""
+    v = (
+        (a0.astype(np.int64) * w0 + a1.astype(np.int64) * w1
+         + (1 << logwd)) >> (logwd + 1)
+    ) + ((o0 + o1 + 1) >> 1)
+    return np.clip(v, 0, 255).astype(np.uint8)
+
+
+def _implicit_weights(poc_cur: int, poc0: int, poc1: int) -> tuple:
+    """Implicit bi-prediction weights (§8.4.2.3.1): POC-distance
+    scaling with the same tx/DistScaleFactor arithmetic as temporal
+    direct; default (32, 32) when the references coincide or the
+    scaled weight leaves [-64, 128].  (Long-term references cannot
+    occur here — adaptive marking is seam-gated.)"""
+    td = _clip3(-128, 127, poc1 - poc0)
+    if td == 0:
+        return 32, 32
+    tb = _clip3(-128, 127, poc_cur - poc0)
+    tx = _div_trunc(16384 + abs(_div_trunc(td, 2)), td)
+    dsf = _clip3(-1024, 1023, (tb * tx + 32) >> 6)
+    w1 = dsf >> 2
+    if not -64 <= w1 <= 128:
+        return 32, 32
+    return 64 - w1, w1
+
+
 def _pred_block(refp: _RefPic, py, px, h, w, mv):
     """Single-list interpolated prediction (luma + both chroma)."""
     y = _interp_luma(refp.y, py, px, h, w, mv[1], mv[0])
@@ -2094,22 +2149,52 @@ def _pred_block(refp: _RefPic, py, px, h, w, mv):
     return y, u, v
 
 
-def _b_pred_part(l0, l1, py, px, h, w, ref0, mv0, ref1, mv1):
+def _b_pred_part(ctx, l0, l1, py, px, h, w, ref0, mv0, ref1, mv1):
     """(Y, U, V) prediction for one B partition at picture offset
-    (py, px): single-list MC, or the default weighted bi average
-    (predL0 + predL1 + 1) >> 1 on the per-list interpolated samples
-    (spec §8.4.2.3.2)."""
+    (py, px): single-list MC, or bi prediction on the per-list
+    interpolated samples — the default average (predL0+predL1+1)>>1
+    (§8.4.2.3.2), explicit weights (ctx.wp_mode 1), or POC-implicit
+    weights (ctx.wp_mode 2; single-list stays default in implicit
+    mode, §8.4.2.3.1)."""
+    lwd, cwd = ctx.wp_logwd
     if ref0 >= 0 and ref1 >= 0:
         y0b, u0b, v0b = _pred_block(l0[ref0], py, px, h, w, mv0)
         y1b, u1b, v1b = _pred_block(l1[ref1], py, px, h, w, mv1)
+        if ctx.wp_mode == 1:
+            w0 = ctx.wp_l0[ref0]
+            w1 = ctx.wp_l1[ref1]
+            return (
+                _wp_bi(y0b, y1b, w0[0], w1[0], w0[1], w1[1], lwd),
+                _wp_bi(u0b, u1b, w0[2], w1[2], w0[3], w1[3], cwd),
+                _wp_bi(v0b, v1b, w0[4], w1[4], w0[5], w1[5], cwd),
+            )
+        if ctx.wp_mode == 2:
+            iw0, iw1 = _implicit_weights(
+                ctx.poc, l0[ref0].poc, l1[ref1].poc
+            )
+            return (
+                _wp_bi(y0b, y1b, iw0, iw1, 0, 0, 5),
+                _wp_bi(u0b, u1b, iw0, iw1, 0, 0, 5),
+                _wp_bi(v0b, v1b, iw0, iw1, 0, 0, 5),
+            )
         return (
             ((y0b.astype(np.int32) + y1b + 1) >> 1).astype(np.uint8),
             ((u0b.astype(np.int32) + u1b + 1) >> 1).astype(np.uint8),
             ((v0b.astype(np.int32) + v1b + 1) >> 1).astype(np.uint8),
         )
     if ref0 >= 0:
-        return _pred_block(l0[ref0], py, px, h, w, mv0)
-    return _pred_block(l1[ref1], py, px, h, w, mv1)
+        yb, ub, vb = _pred_block(l0[ref0], py, px, h, w, mv0)
+        wl = ctx.wp_l0[ref0] if ctx.wp_mode == 1 else None
+    else:
+        yb, ub, vb = _pred_block(l1[ref1], py, px, h, w, mv1)
+        wl = ctx.wp_l1[ref1] if ctx.wp_mode == 1 else None
+    if wl is not None:
+        return (
+            _wp_single(yb, wl[0], wl[1], lwd),
+            _wp_single(ub, wl[2], wl[3], cwd),
+            _wp_single(vb, wl[4], wl[5], cwd),
+        )
+    return yb, ub, vb
 
 
 def _mc_part_b(ctx: _PicCtx, l0, l1, mb_idx: int, ro, co, h4, w4,
@@ -2122,7 +2207,7 @@ def _mc_part_b(ctx: _PicCtx, l0, l1, mb_idx: int, ro, co, h4, w4,
     py, px = (my * 4 + ro) * 4, (mx * 4 + co) * 4
     h, w = h4 * 4, w4 * 4
     yb, ub, vb = _b_pred_part(
-        l0, l1, py, px, h, w, ref0, mv0, ref1, mv1
+        ctx, l0, l1, py, px, h, w, ref0, mv0, ref1, mv1
     )
     ctx.y[py : py + h, px : px + w] = yb
     cy, cx = py // 2, px // 2
@@ -2609,10 +2694,10 @@ def _deblock_picture(ctx: _PicCtx, chroma_qp_offset: int) -> None:
 
 def decode_h264_ipcm(payload: bytes):
     """Annex-B H.264 → (width, height, [(Y, U, V)]) for the implemented
-    subset — I_PCM, CAVLC intra, P-slice inter, deblocked, and B-slice
-    bi-predicted streams (see the module docstring); raises
-    UnsupportedMediaError naming the optional extra past the seam
-    (CABAC, ref-list modification/MMCO, weighted prediction, fields,
+    subset — I_PCM, CAVLC intra, P-slice inter, deblocked, B-slice
+    bi-predicted, and weighted-prediction streams (see the module
+    docstring); raises UnsupportedMediaError naming the optional
+    extra past the seam (CABAC, ref-list modification/MMCO, fields,
     8x8 transforms, POC type 1 B streams).  Frames are returned in
     DISPLAY order (POC-sorted within each IDR GOP) — the plugin
     contract shared with a PyAV replacement."""
@@ -2709,17 +2794,7 @@ def decode_h264_ipcm(payload: bytes):
                         "h264: B slices with pic_order_cnt_type 1 "
                         "need the optional codec library (av)"
                     )
-                if pps.weighted_bipred_idc:
-                    raise UnsupportedMediaError(
-                        "h264: weighted bi-prediction needs the "
-                        "optional codec library (av)"
-                    )
                 spatial_direct = bool(r.read(1))
-            if is_p and pps.weighted_pred:
-                raise UnsupportedMediaError(
-                    "h264: weighted prediction needs the optional "
-                    "codec library (av)"
-                )
             num_ref = 1
             num_ref1 = 1
             if is_p or is_b:
@@ -2743,6 +2818,48 @@ def decode_h264_ipcm(payload: bytes):
                         "h264: reference-list modification needs the "
                         "optional codec library (av)"
                     )
+            # pred_weight_table (§7.3.3.2): explicit weights for P
+            # slices under weighted_pred_flag and for B slices under
+            # weighted_bipred_idc == 1; idc == 2 is implicit (no table)
+            wp_mode = 0
+            wp_l0 = wp_l1 = None
+            wp_logwd = (0, 0)
+            if (is_p and pps.weighted_pred) or (
+                is_b and pps.weighted_bipred_idc == 1
+            ):
+                wp_mode = 1
+                luma_wd = r.ue()
+                chroma_wd = r.ue() if not sps.monochrome else 0
+                if luma_wd > 7 or chroma_wd > 7:
+                    raise UnsupportedMediaError(
+                        "h264: log2_weight_denom out of range"
+                    )
+                wp_logwd = (luma_wd, chroma_wd)
+
+                def read_wp_list(n: int) -> list:
+                    lst = []
+                    for _i in range(n):
+                        wy, oy = 1 << luma_wd, 0
+                        wcb, ocb = 1 << chroma_wd, 0
+                        wcr, ocr = 1 << chroma_wd, 0
+                        if r.read(1):  # luma_weight_lX_flag
+                            wy, oy = r.se(), r.se()
+                        if not sps.monochrome and r.read(1):
+                            wcb, ocb = r.se(), r.se()
+                            wcr, ocr = r.se(), r.se()
+                        for v in (wy, wcb, wcr):
+                            if not -128 <= v <= 127:
+                                raise UnsupportedMediaError(
+                                    "h264: weight out of range"
+                                )
+                        lst.append((wy, oy, wcb, ocb, wcr, ocr))
+                    return lst
+
+                wp_l0 = read_wp_list(num_ref)
+                if is_b:
+                    wp_l1 = read_wp_list(num_ref1)
+            elif is_b and pps.weighted_bipred_idc == 2:
+                wp_mode = 2
             if nal_type == 5:
                 r.read(2)  # no_output_of_prior_pics + long_term_reference
             elif (hdr >> 5) & 0x3:  # nal_ref_idc > 0
@@ -2840,6 +2957,11 @@ def decode_h264_ipcm(payload: bytes):
             cur.qp = pps.pic_init_qp + slice_qp_delta
             if not 0 <= cur.qp <= 51:
                 raise UnsupportedMediaError("h264: slice QP out of range")
+            # per-slice weighted-prediction state (§8.4.2.3)
+            cur.wp_mode = wp_mode
+            cur.wp_l0 = wp_l0
+            cur.wp_l1 = wp_l1
+            cur.wp_logwd = wp_logwd
             mb = first_mb
             # more_rbsp_data (spec §7.2): data remains strictly before
             # the final 1 bit (the rbsp_stop_one_bit) — this is what
@@ -3555,18 +3677,21 @@ def _mc_pred_mb(ctx, dpb, mb, parts):
         ctx.refpic[r : r + h4, c : c + w4, 0] = refp.serial
         py, px = r * 4, c * 4
         ly, lx = r_off * 4, c_off * 4
-        pred_y[ly : ly + h4 * 4, lx : lx + w4 * 4] = _interp_luma(
-            refp[0], py, px, h4 * 4, w4 * 4, mvy, mvx
-        )
+        yb = _interp_luma(refp[0], py, px, h4 * 4, w4 * 4, mvy, mvx)
         cy, cx = py // 2, px // 2
+        ub = _interp_chroma(refp[1], cy, cx, h4 * 2, w4 * 2, mvy, mvx)
+        vb = _interp_chroma(refp[2], cy, cx, h4 * 2, w4 * 2, mvy, mvx)
+        if ctx.wp_mode == 1:  # encoder-recon twin of _mc_partition
+            wl = ctx.wp_l0[ri]
+            lwd, cwd = ctx.wp_logwd
+            yb = _wp_single(yb, wl[0], wl[1], lwd)
+            ub = _wp_single(ub, wl[2], wl[3], cwd)
+            vb = _wp_single(vb, wl[4], wl[5], cwd)
+        pred_y[ly : ly + h4 * 4, lx : lx + w4 * 4] = yb
         pred_u[ly // 2 : ly // 2 + h4 * 2,
-               lx // 2 : lx // 2 + w4 * 2] = _interp_chroma(
-            refp[1], cy, cx, h4 * 2, w4 * 2, mvy, mvx
-        )
+               lx // 2 : lx // 2 + w4 * 2] = ub
         pred_v[ly // 2 : ly // 2 + h4 * 2,
-               lx // 2 : lx // 2 + w4 * 2] = _interp_chroma(
-            refp[2], cy, cx, h4 * 2, w4 * 2, mvy, mvx
-        )
+               lx // 2 : lx // 2 + w4 * 2] = vb
     return pred_y, pred_u, pred_v
 
 
@@ -4029,7 +4154,7 @@ def _b_pred_mb(ctx, l0, l1, mb, entries):
         py, px = (my * 4 + ro) * 4, (mx * 4 + co) * 4
         h, w = h4 * 4, w4 * 4
         yb, ub, vb = _b_pred_part(
-            l0, l1, py, px, h, w, r0, m0, r1, m1
+            ctx, l0, l1, py, px, h, w, r0, m0, r1, m1
         )
         ly, lc = ro * 4, co * 4
         pred_y[ly : ly + h, lc : lc + w] = yb
@@ -4062,12 +4187,48 @@ def _b_gop(nf: int):
 _B_KIND_TYPES = {2: 1, 3: 2, 4: 3, 5: 8, 6: 11, 7: 16, 8: 15, 9: 20}
 
 
+def _enc_wp_list(n: int, lwd: int, cwd: int, lx: int) -> list:
+    """Deterministic explicit weights for the fixture encoder: per
+    ref index, luma/chroma weights around the identity (1 << denom)
+    with small distinct offsets, different per list so a list mix-up
+    cannot round-trip."""
+    out = []
+    for i in range(n):
+        wy = (1 << lwd) + 7 - 3 * i + 2 * lx
+        oy = 2 - i - lx
+        wcb = (1 << cwd) - 2 + i + lx
+        ocb = -1 + i
+        wcr = (1 << cwd) + 3 - i - 2 * lx
+        ocr = 1 + lx
+        out.append((wy, oy, wcb, ocb, wcr, ocr))
+    return out
+
+
+def _write_wp_table(w: _BitWriter, lwd: int, cwd: int,
+                    lists: list) -> None:
+    """pred_weight_table (§7.3.3.2) for the fixture encoders; every
+    entry written explicitly (both flags set)."""
+    w.ue(lwd)
+    w.ue(cwd)
+    for lst in lists:
+        for (wy, oy, wcb, ocb, wcr, ocr) in lst:
+            w.write(1, 1)
+            w.se(wy)
+            w.se(oy)
+            w.write(1, 1)
+            w.se(wcb)
+            w.se(ocb)
+            w.se(wcr)
+            w.se(ocr)
+
+
 def encode_h264_bipred_recon(frames, width: int, height: int,
                              qp: int = 28, deblock: bool = False,
                              spatial_direct: bool = True,
                              inference: bool = True,
                              zero_motion: bool = False,
-                             slices_per_pic: int = 1):
+                             slices_per_pic: int = 1,
+                             weighted: str | None = None):
     """Annex-B encoder with REAL B-slice coding on top of the r12
     inter layer: coded order I0, P2, B1, P4, B3, … (display-order
     frames in, decode-order reconstruction out — B pictures are
@@ -4137,8 +4298,10 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
     w.ue(0)
     w.ue(0)  # num_ref_idx_l0_default_active_minus1 = 0
     w.ue(0)  # num_ref_idx_l1_default_active_minus1 = 0
-    w.write(0, 1)  # weighted_pred_flag
-    w.write(0, 2)  # weighted_bipred_idc (default average)
+    # r13 weighted prediction: explicit -> weighted P (flag) AND
+    # explicit B (idc 1); implicit -> idc 2 (POC weights, no table)
+    w.write(1 if weighted == "explicit" else 0, 1)  # weighted_pred_flag
+    w.write({None: 0, "explicit": 1, "implicit": 2}[weighted], 2)
     w.se(qp - 26)
     w.se(0)
     w.se(0)  # chroma_qp_index_offset = 0
@@ -4175,6 +4338,13 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
         ctx.qp = qp
         ctx.serial = coded_idx + 1
         ctx.poc = 2 * disp
+        if weighted == "explicit" and kind in ("P", "B"):
+            ctx.wp_mode = 1
+            ctx.wp_logwd = (5, 4)
+            ctx.wp_l0 = _enc_wp_list(2, 5, 4, 0)
+            ctx.wp_l1 = _enc_wp_list(2, 5, 4, 1)
+        elif weighted == "implicit" and kind == "B":
+            ctx.wp_mode = 2
         fn = n_refs_seen % 16
         is_ref = kind in ("I", "P")
         stats["order"].append((disp, kind))
@@ -4211,6 +4381,8 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
                 w.write(ctx.poc & 0xFF, 8)
                 w.write(0, 1)  # num_ref_idx_active_override_flag
                 w.write(0, 1)  # ref_pic_list_modification_flag_l0
+                if weighted == "explicit":
+                    _write_wp_table(w, 5, 4, [_enc_wp_list(1, 5, 4, 0)])
                 w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
             else:
                 w.ue(6)  # slice_type: B
@@ -4226,6 +4398,12 @@ def encode_h264_bipred_recon(frames, width: int, height: int,
                     w.write(0, 1)
                 w.write(0, 1)  # ref_pic_list_modification_flag_l0
                 w.write(0, 1)  # ref_pic_list_modification_flag_l1
+                if weighted == "explicit":
+                    _write_wp_table(
+                        w, 5, 4,
+                        [_enc_wp_list(a0, 5, 4, 0),
+                         _enc_wp_list(a1, 5, 4, 1)],
+                    )
                 # nal_ref_idc 0: no dec_ref_pic_marking
             w.se(0)  # slice_qp_delta
             if deblock:

@@ -1053,6 +1053,9 @@ def h264_bipred_decode_stats(spark, sf_dir):
                 stream, recons, stats = encode_h264_bipred_recon(
                     frames, W, H, qp=qp,
                     spatial_direct=(d % 3 != 0),
+                    # r13: sweep weighted prediction through the row —
+                    # default / explicit (P+B tables) / POC-implicit
+                    weighted=(None, "explicit", "implicit")[(d // 8) % 3],
                 )
                 dw, dh, decoded = decode_h264_ipcm(stream)
                 bit_exact = (

@@ -316,14 +316,20 @@ def _weighted_pps(weighted_pred, bipred_idc):
 
 
 @pytest.mark.parametrize(
-    "wp,idc,slice_ue,match",
+    "wp,idc,slice_ue",
     [
-        (1, 0, 5, "weighted prediction"),
-        (0, 1, 6, "weighted bi-prediction"),
-        (0, 2, 6, "weighted bi-prediction"),
+        (1, 0, 5),  # weighted P
+        (0, 1, 6),  # explicit weighted B
+        (0, 2, 6),  # implicit weighted B
     ],
 )
-def test_weighted_prediction_seam_gated(wp, idc, slice_ue, match):
+def test_weighted_slice_headers_parse_and_fail_cleanly(wp, idc, slice_ue):
+    """Weighted prediction decodes for REAL since r13
+    (tests/test_h264_wp.py pins the formulas and full round trips);
+    these minimal WP-flagged slices — headers with no reference
+    pictures and truncated tables — must get PAST the old seam raise
+    and fail with the ONE exception type for a downstream reason, not
+    a raw parse error."""
     frames = _frames(3, seed=4)
     stream, _, _ = encode_h264_bipred_recon(frames, 64, 48, qp=28)
     nals = [n for n in _split_annexb(stream) if n]
@@ -340,8 +346,9 @@ def test_weighted_prediction_seam_gated(wp, idc, slice_ue, match):
         + _weighted_pps(wp, idc)
         + _nal(0 if slice_ue == 6 else 2, 1, w.getvalue())
     )
-    with pytest.raises(UnsupportedMediaError, match=match):
+    with pytest.raises(UnsupportedMediaError) as ei:
         decode_h264_ipcm(payload)
+    assert "weighted" not in str(ei.value)  # the seam raise is gone
 
 
 def test_idr_cannot_contain_b_slices():
