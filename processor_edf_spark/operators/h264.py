@@ -366,7 +366,7 @@ class _PPS:
         "bottom_field_poc_present", "deblocking_control_present",
         "pic_init_qp", "chroma_qp_index_offset", "transform_8x8",
         "num_ref_l0_default", "num_ref_l1_default",
-        "weighted_pred", "weighted_bipred_idc",
+        "weighted_pred", "weighted_bipred_idc", "cabac",
     )
 
 
@@ -374,11 +374,10 @@ def _parse_pps(r: _BitReader) -> _PPS:
     pps = _PPS()
     r.ue()  # pic_parameter_set_id
     r.ue()  # seq_parameter_set_id
-    if r.read(1):  # entropy_coding_mode_flag
-        raise UnsupportedMediaError(
-            "h264: CABAC entropy coding needs the optional codec "
-            "library (av)"
-        )
+    # entropy_coding_mode_flag: CABAC I slices decode for real (r13,
+    # see the CABAC section comment); CABAC P/B stay seam-gated at the
+    # slice level
+    pps.cabac = bool(r.read(1))
     pps.bottom_field_poc_present = r.read(1)
     if r.ue():  # num_slice_groups_minus1
         raise UnsupportedMediaError(
@@ -1208,6 +1207,7 @@ class _PicCtx:
         "mv1", "ref1", "refpic", "poc", "serial",
         "mb_qp", "db_idc", "db_aoff", "db_boff",
         "wp_mode", "wp_l0", "wp_l1", "wp_logwd",
+        "mb_kind", "mb_cpm", "mb_cbp", "cbf_dc",
     )
 
     def __init__(self, sps: _SPS):
@@ -1254,6 +1254,15 @@ class _PicCtx:
         self.db_boff = np.zeros(n_mb, np.int32)
         self.filled = 0
         self.qp = 0
+        # r13 CABAC neighbor state, MB granularity: decoded kind
+        # (-1 undecoded, 0 I_NxN, 1 I_16x16, 2 I_PCM), chroma pred
+        # mode, coded_block_pattern, and the DC coded_block_flags
+        # (luma16 DC, Cb DC, Cr DC; -1 = none) — the §9.3.3.1 context
+        # increments read these
+        self.mb_kind = np.full(n_mb, -1, np.int8)
+        self.mb_cpm = np.zeros(n_mb, np.int8)
+        self.mb_cbp = np.zeros(n_mb, np.int16)
+        self.cbf_dc = np.full((n_mb, 3), -1, np.int8)
         # r13 weighted prediction, per-slice (§8.4.2.3): 0 = default,
         # 1 = explicit (wp_lX[ref] = (wY,oY,wCb,oCb,wCr,oCr), wp_logwd
         # = (luma_log2_weight_denom, chroma_log2_weight_denom)),
@@ -2694,11 +2703,12 @@ def _deblock_picture(ctx: _PicCtx, chroma_qp_offset: int) -> None:
 
 def decode_h264_ipcm(payload: bytes):
     """Annex-B H.264 → (width, height, [(Y, U, V)]) for the implemented
-    subset — I_PCM, CAVLC intra, P-slice inter, deblocked, B-slice
-    bi-predicted, and weighted-prediction streams (see the module
-    docstring); raises UnsupportedMediaError naming the optional
-    extra past the seam (CABAC, ref-list modification/MMCO, fields,
-    8x8 transforms, POC type 1 B streams).  Frames are returned in
+    subset — I_PCM, CAVLC intra, CABAC intra, P-slice inter,
+    deblocked, B-slice bi-predicted, and weighted-prediction streams
+    (see the module docstring); raises UnsupportedMediaError naming
+    the optional extra past the seam (CABAC P/B slices, ref-list
+    modification/MMCO, fields, 8x8 transforms, POC type 1 B
+    streams).  Frames are returned in
     DISPLAY order (POC-sorted within each IDR GOP) — the plugin
     contract shared with a PyAV replacement."""
     sps: _SPS | None = None
@@ -2771,6 +2781,11 @@ def decode_h264_ipcm(payload: bytes):
                 )
             is_p = st == 0
             is_b = st == 1
+            if (is_p or is_b) and pps is not None and pps.cabac:
+                raise UnsupportedMediaError(
+                    "h264: CABAC P/B slices need the optional codec "
+                    "library (av) — CABAC decodes I slices"
+                )
             if (is_p or is_b) and nal_type == 5:
                 raise UnsupportedMediaError(
                     "h264: IDR pictures cannot contain P/B slices"
@@ -2962,6 +2977,17 @@ def decode_h264_ipcm(payload: bytes):
             cur.wp_l0 = wp_l0
             cur.wp_l1 = wp_l1
             cur.wp_logwd = wp_logwd
+            if pps.cabac:
+                if is_p or is_b:
+                    raise UnsupportedMediaError(
+                        "h264: CABAC P/B slices need the optional "
+                        "codec library (av) — CABAC decodes I slices"
+                    )
+                _decode_cabac_slice_data(
+                    r, cur, pps, first_mb, n_mbs, slice_serial,
+                    (db_idc, db_aoff, db_boff),
+                )
+                continue  # next NAL
             mb = first_mb
             # more_rbsp_data (spec §7.2): data remains strictly before
             # the final 1 bit (the rbsp_stop_one_bit) — this is what
@@ -4721,3 +4747,1102 @@ def _encode_b_frame(w, ctx, mb_w, mb_lo, mb_hi, slice_id, f_idx, qp,
         _emit_inter_residual(w, ctx, mb, qp, cbp, lq, cdq, caq)
         _recon_inter_mb(ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds)
     return pending
+
+
+# ---------------------------------------------------------------------------
+# CABAC entropy layer (r13, spec §9.3) — I slices.
+#
+# What is EXACT here: the arithmetic decoding/encoding engine structure
+# (9-bit codIRange/codIOffset, DecodeDecision/Bypass/Terminate with the
+# spec's renormalization, the encoder's PutBit/outstanding-bits carry
+# resolution and EncodeFlush), the binarizations (Table 9-36 I mb_type
+# tree, TU/FL/U, the UEG0 level suffix), the residual syntax
+# (coded_block_flag → significance map → reverse-order levels, §7.3.5.3.3),
+# and the context-selection structure (neighbor-based ctxIdxInc for
+# mb_type/CBP/chroma mode/QP delta, block-category context sets with
+# positional significance contexts and the numEq1/numGt1 level-context
+# ladder, §9.3.3.1).
+#
+# DOCUMENTED DEVIATIONS (the MP3 synthesis-window honesty pattern):
+# the 64x4 rangeTabLPS and transIdxLPS state machine are DERIVED from
+# the published closed forms behind the spec tables (Marpe, Schwarz &
+# Wiegand, IEEE TCSVT 2003: p_sigma = 0.5*alpha^sigma with
+# alpha = (0.01875/0.5)^(1/63), LPS subdivision by quantized-range
+# midpoints, LPS transition round(log(alpha*p + (1-alpha))/log(alpha)))
+# — NOT the normative rounded Tables 9-44/9-45 — and every context
+# initializes to the equiprobable state (sigma 0, valMPS 0) instead of
+# the spec's ~1600 published (m, n) init constants (Tables 9-12..9-33),
+# which are not reproducible here.  Encoder and decoder share both, so
+# round trips are BIT-EXACT and the streams are structurally real
+# CABAC; bitstreams from third-party encoders would desync at the first
+# differing probability state, so they remain effectively behind the
+# optional-extra seam (a desynced decode trips the syntax validators —
+# out-of-range binarizations, mb overrun, terminate mismatch — and
+# raises the one exception type).  The tables live in module constants
+# (`_CABAC_LPS`, `_CABAC_TRANS_LPS`) that a conformance-minded
+# deployment can swap for the normative values without touching the
+# engine.  transIdxLPS spot-checks against the published table where
+# recall is certain: sigma 1 -> 0, sigma 2 -> 1, sigma 62 -> 38 — the
+# derivation reproduces all three (pinned in tests/test_h264_cabac.py).
+#
+# Scope: I slices (I_NxN + I_16x16, full residual path).  CABAC P/B
+# slices and I_PCM-inside-CABAC (the EncodeFlush/rewind corner) raise
+# the one exception type naming the optional extra.
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+_CABAC_ALPHA = (0.01875 / 0.5) ** (1.0 / 63.0)
+
+
+def _build_cabac_tables():
+    lps = np.empty((63, 4), np.int32)
+    trans = np.empty(63, np.int32)
+    la = _math.log(_CABAC_ALPHA)
+    for s in range(63):
+        p = 0.5 * _CABAC_ALPHA ** s
+        for rho in range(4):
+            lps[s, rho] = min(240, max(2, round((64 * rho + 288) * p)))
+        p_new = min(0.5, _CABAC_ALPHA * p + (1.0 - _CABAC_ALPHA))
+        trans[s] = min(62, max(0, round(_math.log(p_new / 0.5) / la)))
+    return lps, trans
+
+
+_CABAC_LPS, _CABAC_TRANS_LPS = _build_cabac_tables()
+
+# context allocation (structure-exact, our numbering)
+_CC_MBTYPE = 0    # 3: bin0, ctxIdxInc 0..2 by neighbor mb kinds
+_CC_I16_CBPL = 3  # 1: I_16x16 suffix cbp-luma bin
+_CC_I16_CBPC = 4  # 2: suffix chroma bins
+_CC_I16_MODE = 6  # 2: suffix pred-mode FL bins
+_CC_PREV4 = 8     # 1: prev_intra4x4_pred_mode_flag
+_CC_REM4 = 9      # 1: rem_intra4x4_pred_mode (3 FL bins)
+_CC_CPM = 10      # 4: chroma mode bin0 inc 0..2, bins 1-2 at +3
+_CC_QPD = 14      # 4: qp-delta bin0 inc 0..1, bin1 at +2, bins 2+ at +3
+_CC_CBP_L = 18    # 4: CBP luma bins, inc 0..3
+_CC_CBP_C = 26    # 8: CBP chroma bin0 inc 0..3, bin1 inc 4..7
+_CC_CBF = 34      # 5 cats x 4 (inc 0..3)
+_CC_SIG = 54      # 5 cats x 15 positions
+_CC_LAST = 129    # 5 cats x 15
+_CC_LVL = 204     # 5 cats x 10 (bin0 inc 0..4, bins1+ inc 5..9)
+_N_CABAC_CTX = 254
+
+# residual block categories
+_CAT_L16DC, _CAT_L16AC, _CAT_L4, _CAT_CDC, _CAT_CAC = range(5)
+
+
+def _cabac_init_ctxs() -> np.ndarray:
+    """(N, 2) int32: [pStateIdx, valMPS] — equiprobable init (see the
+    section comment: the normative per-slice-QP init constants are the
+    documented deviation)."""
+    return np.zeros((_N_CABAC_CTX, 2), np.int32)
+
+
+class _CabacDec:
+    """§9.3.3.2 arithmetic decoding engine over a _BitReader.  Reads
+    past the RBSP end return zero bits (the arithmetic decoder's
+    lookahead may legitimately extend into the trailing alignment;
+    conventional zero padding, bounded so malformed streams still
+    raise)."""
+
+    __slots__ = ("r", "range", "offset", "ctx", "_over")
+
+    def __init__(self, r: _BitReader, ctx: np.ndarray):
+        self.r = r
+        self.ctx = ctx
+        self._over = 0
+        self.range = 510
+        self.offset = 0
+        for _ in range(9):
+            self.offset = (self.offset << 1) | self._bit()
+
+    def _bit(self) -> int:
+        if self.r.pos < len(self.r.data) * 8:
+            return self.r.read(1)
+        self._over += 1
+        if self._over > 64:
+            raise UnsupportedMediaError("h264: CABAC bitstream overrun")
+        return 0
+
+    def _renorm(self) -> None:
+        while self.range < 256:
+            self.range <<= 1
+            self.offset = (self.offset << 1) | self._bit()
+
+    def decision(self, idx: int) -> int:
+        s, mps = self.ctx[idx]
+        rlps = int(_CABAC_LPS[s, (self.range >> 6) & 3])
+        self.range -= rlps
+        if self.offset >= self.range:
+            bit = 1 - mps
+            self.offset -= self.range
+            self.range = rlps
+            if s == 0:
+                self.ctx[idx, 1] = 1 - mps
+            self.ctx[idx, 0] = _CABAC_TRANS_LPS[s]
+        else:
+            bit = mps
+            self.ctx[idx, 0] = min(s + 1, 62)
+        self._renorm()
+        return int(bit)
+
+    def bypass(self) -> int:
+        self.offset = (self.offset << 1) | self._bit()
+        if self.offset >= self.range:
+            self.offset -= self.range
+            return 1
+        return 0
+
+    def terminate(self) -> int:
+        self.range -= 2
+        if self.offset >= self.range:
+            return 1
+        self._renorm()
+        return 0
+
+
+class _CabacEnc:
+    """§9.3.4 arithmetic encoding engine; bits collect in ``bits``."""
+
+    __slots__ = ("low", "range", "bits", "n_out", "first", "ctx")
+
+    def __init__(self, ctx: np.ndarray):
+        self.low = 0
+        self.range = 510
+        self.bits: list[int] = []
+        self.n_out = 0
+        self.first = True
+        self.ctx = ctx
+
+    def _put(self, b: int) -> None:
+        if self.first:
+            self.first = False
+        else:
+            self.bits.append(b)
+        if self.n_out:
+            self.bits.extend([1 - b] * self.n_out)
+            self.n_out = 0
+
+    def _renorm(self) -> None:
+        while self.range < 256:
+            if self.low >= 512:
+                self._put(1)
+                self.low -= 512
+            elif self.low < 256:
+                self._put(0)
+            else:
+                self.n_out += 1
+                self.low -= 256
+            self.low <<= 1
+            self.range <<= 1
+
+    def decision(self, idx: int, b: int) -> None:
+        s, mps = self.ctx[idx]
+        rlps = int(_CABAC_LPS[s, (self.range >> 6) & 3])
+        self.range -= rlps
+        if b != mps:
+            self.low += self.range
+            self.range = rlps
+            if s == 0:
+                self.ctx[idx, 1] = 1 - mps
+            self.ctx[idx, 0] = _CABAC_TRANS_LPS[s]
+        else:
+            self.ctx[idx, 0] = min(s + 1, 62)
+        self._renorm()
+
+    def bypass(self, b: int) -> None:
+        self.low <<= 1
+        if b:
+            self.low += self.range
+        if self.low >= 1024:
+            self._put(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._put(0)
+        else:
+            self.n_out += 1
+            self.low -= 512
+
+    def terminate(self, b: int) -> None:
+        self.range -= 2
+        if b:
+            self.low += self.range
+            self.range = 2
+            self._renorm()
+            self._put((self.low >> 9) & 1)
+            # WriteBits(((low >> 7) & 3) | 1, 2): the rbsp stop bit
+            # rides inside the flush
+            self.bits.append((self.low >> 8) & 1)
+            self.bits.append(1)
+        else:
+            self._renorm()
+
+
+# ---- neighbor-derived context increments ---------------------------------
+
+
+def _mb_nbrs(ctx: _PicCtx, mb: int):
+    """(left, top) MB addresses, -1 when outside / different slice."""
+    my, mx = divmod(mb, ctx.mb_w)
+    left = mb - 1 if mx > 0 else -1
+    top = mb - ctx.mb_w
+    if left >= 0 and not ctx._same_slice(mb, left):
+        left = -1
+    if top >= 0 and not ctx._same_slice(mb, top):
+        top = -1
+    return left, top
+
+
+def _cbf_ctx(ctx: _PicCtx, cat: int, mb: int, rb: int, cb_: int,
+             comp: int) -> int:
+    """coded_block_flag ctxIdxInc = condA + 2*condB (§9.3.3.1.1.9);
+    unavailable neighbors read 1 (all MBs here are intra)."""
+
+    def blk_cbf(arr, r_, c_, sz) -> int:
+        if not ctx._blk_avail(arr, r_, c_, mb, sz):
+            return 1
+        return 1 if arr[r_, c_] > 0 else 0
+
+    if cat in (_CAT_L16AC, _CAT_L4):
+        a = blk_cbf(ctx.nc_y, rb, cb_ - 1, 4)
+        b = blk_cbf(ctx.nc_y, rb - 1, cb_, 4)
+    elif cat == _CAT_CAC:
+        a = blk_cbf(ctx.nc_c[comp], rb, cb_ - 1, 2)
+        b = blk_cbf(ctx.nc_c[comp], rb - 1, cb_, 2)
+    else:  # DC categories: whole-MB neighbors
+        slot = 0 if cat == _CAT_L16DC else 1 + comp
+        left, top = _mb_nbrs(ctx, mb)
+
+        def mb_cbf(n: int) -> int:
+            if n < 0 or ctx.mb_kind[n] < 0:
+                return 1  # unavailable, intra current MB
+            v = ctx.cbf_dc[n, slot]
+            return int(v) if v >= 0 else 0
+
+        a, b = mb_cbf(left), mb_cbf(top)
+    return a + 2 * b
+
+
+def _decode_res_cabac(cd: _CabacDec, ctx: _PicCtx, cat: int, mb: int,
+                      rb: int, cb_: int, comp: int, n: int) -> list:
+    """residual_block_cabac (§7.3.5.3.3) -> zigzag coefficient list of
+    length ``n`` (same shape _decode_residual returns for CAVLC)."""
+    coeffs = [0] * n
+    cbf = cd.decision(_CC_CBF + cat * 4 + _cbf_ctx(ctx, cat, mb, rb, cb_, comp))
+    if not cbf:
+        return coeffs
+    sig = []
+    i = 0
+    while i < n - 1:
+        if cd.decision(_CC_SIG + cat * 15 + min(i, 14)):
+            sig.append(i)
+            if cd.decision(_CC_LAST + cat * 15 + min(i, 14)):
+                break
+        i += 1
+    else:
+        sig.append(n - 1)
+    num_eq1 = num_gt1 = 0
+    for pos in reversed(sig):
+        inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+        if cd.decision(_CC_LVL + cat * 10 + inc0):
+            inc = 5 + min(4, num_gt1)
+            prefix = 1
+            while prefix < 14 and cd.decision(_CC_LVL + cat * 10 + inc):
+                prefix += 1
+            level = 1 + prefix
+            if prefix == 14:  # UEG0 bypass suffix: 15 + EG0(value)
+                v = 0
+                k = 0
+                while cd.bypass():
+                    v += 1 << k
+                    k += 1
+                    if k > 20:
+                        raise UnsupportedMediaError(
+                            "h264: CABAC level suffix overrun"
+                        )
+                for i in range(k - 1, -1, -1):
+                    v += cd.bypass() << i
+                level = 15 + v
+            num_gt1 += 1
+        else:
+            level = 1
+            num_eq1 += 1
+        if cd.bypass():
+            level = -level
+        coeffs[pos] = level
+    return coeffs
+
+
+def _cbp_luma_ctx(ctx: _PicCtx, mb: int, b: int, bits_so_far: int) -> int:
+    """CBP luma bin ctxIdxInc (§9.3.3.1.1.4): condN = 0 when the
+    neighbor 8x8 quadrant's cbp bit is 1 or unavailable-with-bit-set
+    semantics — bit set (or neighbor missing) -> 0, else 1."""
+    left_mb, top_mb = _mb_nbrs(ctx, mb)
+
+    def quad_bit(n_mb_: int, q: int) -> int:
+        if n_mb_ < 0 or ctx.mb_kind[n_mb_] < 0:
+            return 1  # unavailable reads as coded (condTerm 0)
+        if ctx.mb_kind[n_mb_] == 2:  # I_PCM: all coefficients present
+            return 1
+        return (int(ctx.mb_cbp[n_mb_]) >> q) & 1
+
+    if b & 1:  # left neighbor quadrant is in this MB
+        a_bit = (bits_so_far >> (b - 1)) & 1
+    else:
+        a_bit = quad_bit(left_mb, b + 1)
+    if b & 2:  # top neighbor quadrant is in this MB
+        b_bit = (bits_so_far >> (b - 2)) & 1
+    else:
+        b_bit = quad_bit(top_mb, b + 2)
+    return (0 if a_bit else 1) + 2 * (0 if b_bit else 1)
+
+
+def _cbp_chroma_ctx(ctx: _PicCtx, mb: int, bin_idx: int) -> int:
+    left_mb, top_mb = _mb_nbrs(ctx, mb)
+
+    def cc(n_mb_: int) -> int:
+        if n_mb_ < 0 or ctx.mb_kind[n_mb_] < 0:
+            return 0
+        if ctx.mb_kind[n_mb_] == 2:
+            return 2
+        return int(ctx.mb_cbp[n_mb_]) >> 4
+
+    a, b = cc(left_mb), cc(top_mb)
+    if bin_idx == 0:
+        return (1 if a else 0) + 2 * (1 if b else 0)
+    return 4 + (1 if a == 2 else 0) + 2 * (1 if b == 2 else 0)
+
+
+def _mbtype_ctx(ctx: _PicCtx, mb: int) -> int:
+    left_mb, top_mb = _mb_nbrs(ctx, mb)
+
+    def cond(n: int) -> int:
+        return 1 if (n >= 0 and ctx.mb_kind[n] > 0) else 0
+
+    return cond(left_mb) + cond(top_mb)
+
+
+def _cpm_ctx(ctx: _PicCtx, mb: int) -> int:
+    left_mb, top_mb = _mb_nbrs(ctx, mb)
+
+    def cond(n: int) -> int:
+        return 1 if (n >= 0 and ctx.mb_kind[n] >= 0
+                     and ctx.mb_cpm[n] != 0) else 0
+
+    return cond(left_mb) + cond(top_mb)
+
+
+def _dec_qp_delta(cd: _CabacDec, prev_nonzero: bool) -> int:
+    """mb_qp_delta: unary binarization of the se(v)-style mapping,
+    ctxIdxInc 0/1 for bin 0 (previous MB's delta nonzero), 2 for
+    bin 1, 3 for bins 2+ (§9.3.3.1.1.5)."""
+    if not cd.decision(_CC_QPD + (1 if prev_nonzero else 0)):
+        return 0
+    k = 1
+    if cd.decision(_CC_QPD + 2):
+        k = 2
+        while cd.decision(_CC_QPD + 3):
+            k += 1
+            if k > 52:
+                raise UnsupportedMediaError("h264: mb_qp_delta overrun")
+    # inverse of the se(v) mapping: odd k -> positive
+    return (k + 1) // 2 if k & 1 else -(k // 2)
+
+
+def _enc_qp_delta(ce: _CabacEnc, delta: int, prev_nonzero: bool) -> None:
+    k = 2 * delta - 1 if delta > 0 else -2 * delta
+    ce.decision(_CC_QPD + (1 if prev_nonzero else 0), 1 if k else 0)
+    if not k:
+        return
+    ce.decision(_CC_QPD + 2, 1 if k >= 2 else 0)
+    for _ in range(k - 2):
+        ce.decision(_CC_QPD + 3, 1)
+    if k >= 2:
+        ce.decision(_CC_QPD + 3, 0)
+
+
+def _decode_intra_mb_cabac(cd: _CabacDec, ctx: _PicCtx, pps: _PPS,
+                           mb_idx: int, prev_qpd_nonzero: bool) -> bool:
+    """One CABAC intra macroblock (I slice): parse via the arithmetic
+    engine, reconstruct via the SAME prediction/dequant/IDCT helpers
+    as the CAVLC path.  Returns whether mb_qp_delta was nonzero."""
+    if ctx.u is None:
+        raise UnsupportedMediaError(
+            "h264: entropy-coded 4:0:0 macroblocks need the optional "
+            "codec library (av) — monochrome decodes I_PCM only"
+        )
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    crow, ccol = my * 2, mx * 2
+    y0, x0 = my * 16, mx * 16
+    cy0, cx0 = my * 8, mx * 8
+    ctx.ref[br : br + 4, bc : bc + 4] = -1
+    ctx.ref1[br : br + 4, bc : bc + 4] = -1
+    qpd_nonzero = False
+
+    # ---- mb_type (Table 9-36 I tree)
+    if not cd.decision(_CC_MBTYPE + _mbtype_ctx(ctx, mb_idx)):
+        i16 = False
+        ctx.mb_kind[mb_idx] = 0
+    else:
+        if cd.terminate():
+            raise UnsupportedMediaError(
+                "h264: I_PCM inside CABAC slices needs the optional "
+                "codec library (av)"
+            )
+        i16 = True
+        ctx.mb_kind[mb_idx] = 1
+        cbp_luma = 15 if cd.decision(_CC_I16_CBPL) else 0
+        if not cd.decision(_CC_I16_CBPC):
+            cbp_chroma = 0
+        else:
+            cbp_chroma = 2 if cd.decision(_CC_I16_CBPC + 1) else 1
+        pred16_mode = (cd.decision(_CC_I16_MODE) << 1) | cd.decision(
+            _CC_I16_MODE + 1
+        )
+
+    if not i16:
+        if pps.transform_8x8:
+            raise UnsupportedMediaError(
+                "h264: 8x8 transform needs the optional codec library (av)"
+            )
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            pred = ctx.pred_mode4(br + dy, bc + dx, mb_idx)
+            if cd.decision(_CC_PREV4):
+                mode = pred
+            else:
+                rem = (
+                    (cd.decision(_CC_REM4))
+                    | (cd.decision(_CC_REM4) << 1)
+                    | (cd.decision(_CC_REM4) << 2)
+                )
+                mode = rem if rem < pred else rem + 1
+            ctx.mode4[br + dy, bc + dx] = mode
+
+    # ---- intra_chroma_pred_mode (TU cMax 3)
+    chroma_mode = 0
+    if cd.decision(_CC_CPM + _cpm_ctx(ctx, mb_idx)):
+        chroma_mode = 1
+        if cd.decision(_CC_CPM + 3):
+            chroma_mode = 2
+            if cd.decision(_CC_CPM + 3):
+                chroma_mode = 3
+    ctx.mb_cpm[mb_idx] = chroma_mode
+
+    # ---- CBP (I_NxN) / qp delta
+    if not i16:
+        cbp_luma = 0
+        for b in range(4):
+            if cd.decision(
+                _CC_CBP_L + _cbp_luma_ctx(ctx, mb_idx, b, cbp_luma)
+            ):
+                cbp_luma |= 1 << b
+        cbp_chroma = 0
+        if cd.decision(_CC_CBP_C + _cbp_chroma_ctx(ctx, mb_idx, 0)):
+            cbp_chroma = (
+                2 if cd.decision(_CC_CBP_C + _cbp_chroma_ctx(ctx, mb_idx, 1))
+                else 1
+            )
+        if cbp_luma or cbp_chroma:
+            delta = _dec_qp_delta(cd, prev_qpd_nonzero)
+            qpd_nonzero = delta != 0
+            ctx.qp = (ctx.qp + delta + 52) % 52
+    else:
+        delta = _dec_qp_delta(cd, prev_qpd_nonzero)
+        qpd_nonzero = delta != 0
+        ctx.qp = (ctx.qp + delta + 52) % 52
+    ctx.mb_cbp[mb_idx] = cbp_luma | (cbp_chroma << 4)
+    qpc = _chroma_qp(ctx.qp, pps.chroma_qp_index_offset)
+
+    # ---- luma residual + reconstruction
+    if i16:
+        a_l = ctx._blk_avail(ctx.nc_y, br, bc - 1, mb_idx, 4)
+        a_t = ctx._blk_avail(ctx.nc_y, br - 1, bc, mb_idx, 4)
+        pred16 = _pred_block16(ctx.y, y0, x0, pred16_mode, a_l, a_t, 16)
+        dc_coeffs = _decode_res_cabac(
+            cd, ctx, _CAT_L16DC, mb_idx, br, bc, 0, 16
+        )
+        ctx.cbf_dc[mb_idx, 0] = 1 if any(dc_coeffs) else 0
+        dmat = np.zeros((4, 4), np.int64)
+        for s, c in enumerate(dc_coeffs):
+            i, j = _ZIGZAG[s]
+            dmat[i, j] = c
+        dc = _scale_luma_dc(_hadamard4x4(dmat), ctx.qp)
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            rb, cb_ = br + dy, bc + dx
+            if cbp_luma:
+                ac = _decode_res_cabac(
+                    cd, ctx, _CAT_L16AC, mb_idx, rb, cb_, 0, 15
+                )
+                tc = 15 - ac.count(0)
+                d = _dequant4x4(ac, ctx.qp, True)
+            else:
+                tc, d = 0, np.zeros((4, 4), np.int64)
+            d[0, 0] = dc[dy, dx]
+            res = _itransform4x4(d)
+            py, px = rb * 4, cb_ * 4
+            ctx.y[py : py + 4, px : px + 4] = _clip_u8(
+                pred16[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4] + res
+            )
+            ctx.nc_y[rb, cb_] = tc
+        ctx.mode4[br : br + 4, bc : bc + 4] = 2
+    else:
+        ctx.cbf_dc[mb_idx, 0] = -1
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            rb, cb_ = br + dy, bc + dx
+            if cbp_luma & (1 << (blk // 4)):
+                coeffs = _decode_res_cabac(
+                    cd, ctx, _CAT_L4, mb_idx, rb, cb_, 0, 16
+                )
+                tc = 16 - coeffs.count(0)
+                res = _itransform4x4(_dequant4x4(coeffs, ctx.qp, False))
+            else:
+                tc, res = 0, 0
+            py, px = rb * 4, cb_ * 4
+            pred_px = _pred4x4(
+                ctx.y, py, px, int(ctx.mode4[rb, cb_]),
+                ctx._blk_avail(ctx.nc_y, rb, cb_ - 1, mb_idx, 4),
+                ctx._blk_avail(ctx.nc_y, rb - 1, cb_, mb_idx, 4),
+                ctx._blk_avail(ctx.nc_y, rb - 1, cb_ - 1, mb_idx, 4),
+                ctx._blk_avail(ctx.nc_y, rb - 1, cb_ + 1, mb_idx, 4),
+            )
+            ctx.y[py : py + 4, px : px + 4] = _clip_u8(pred_px + res)
+            ctx.nc_y[rb, cb_] = tc
+
+    # ---- chroma residual + reconstruction (shared shape)
+    dc_lists = [[0] * 4, [0] * 4]
+    if cbp_chroma:
+        for comp in range(2):
+            dc_lists[comp] = _decode_res_cabac(
+                cd, ctx, _CAT_CDC, mb_idx, crow, ccol, comp, 4
+            )
+            ctx.cbf_dc[mb_idx, 1 + comp] = (
+                1 if any(dc_lists[comp]) else 0
+            )
+    else:
+        ctx.cbf_dc[mb_idx, 1] = ctx.cbf_dc[mb_idx, 2] = 0
+    ac_lists = [[None] * 4, [None] * 4]
+    if cbp_chroma & 2:
+        for comp in range(2):
+            for blk in range(4):
+                cdy, cdx = divmod(blk, 2)
+                ac = _decode_res_cabac(
+                    cd, ctx, _CAT_CAC, mb_idx,
+                    crow + cdy, ccol + cdx, comp, 15,
+                )
+                ac_lists[comp][blk] = ac
+                ctx.nc_c[comp][crow + cdy, ccol + cdx] = 15 - ac.count(0)
+    if not (cbp_chroma & 2):
+        for comp in range(2):
+            ctx.nc_c[comp][crow : crow + 2, ccol : ccol + 2] = 0
+
+    a_l = ctx._blk_avail(ctx.nc_c[0], crow, ccol - 1, mb_idx, 2)
+    a_t = ctx._blk_avail(ctx.nc_c[0], crow - 1, ccol, mb_idx, 2)
+    for comp, plane in ((0, ctx.u), (1, ctx.v)):
+        if chroma_mode == 0:
+            predc = _pred_chroma_dc(plane, cy0, cx0, a_l, a_t)
+        elif chroma_mode == 3:
+            predc = _pred_block16(plane, cy0, cx0, 3, a_l, a_t, 8)
+        else:
+            predc = _pred_block16(
+                plane, cy0, cx0, 1 if chroma_mode == 1 else 0,
+                a_l, a_t, 8,
+            )
+        cmat = np.array(
+            [[dc_lists[comp][0], dc_lists[comp][1]],
+             [dc_lists[comp][2], dc_lists[comp][3]]],
+            np.int64,
+        )
+        dcc = _scale_chroma_dc(_hadamard2x2(cmat), qpc)
+        for blk in range(4):
+            cdy, cdx = divmod(blk, 2)
+            ac = ac_lists[comp][blk]
+            d = (
+                _dequant4x4(ac, qpc, True)
+                if ac is not None
+                else np.zeros((4, 4), np.int64)
+            )
+            d[0, 0] = dcc[cdy, cdx]
+            res = _itransform4x4(d)
+            py, px = cy0 + cdy * 4, cx0 + cdx * 4
+            plane[py : py + 4, px : px + 4] = _clip_u8(
+                predc[cdy * 4 : cdy * 4 + 4, cdx * 4 : cdx * 4 + 4] + res
+            )
+    return qpd_nonzero
+
+
+def _decode_cabac_slice_data(r: _BitReader, ctx: _PicCtx, pps: _PPS,
+                             first_mb: int, n_mbs: int,
+                             slice_serial: int, db) -> int:
+    """CABAC slice_data (§7.3.4 with entropy_coding_mode_flag): align,
+    init the engine, decode MBs until end_of_slice_flag.  Returns the
+    next undecoded MB index."""
+    db_idc, db_aoff, db_boff = db
+    # cabac_alignment_one_bit(s): all 1 up to the byte boundary
+    while r.pos & 7:
+        if not r.read(1):
+            raise UnsupportedMediaError(
+                "h264: cabac_alignment_one_bit is zero"
+            )
+    cd = _CabacDec(r, _cabac_init_ctxs())
+    mb = first_mb
+    prev_qpd = False
+    while True:
+        if mb >= n_mbs:
+            raise UnsupportedMediaError(
+                "h264: more macroblocks than the picture holds"
+            )
+        ctx.mb_slice[mb] = slice_serial
+        ctx.db_idc[mb] = db_idc
+        ctx.db_aoff[mb] = db_aoff
+        ctx.db_boff[mb] = db_boff
+        prev_qpd = _decode_intra_mb_cabac(cd, ctx, pps, mb, prev_qpd)
+        ctx.mb_qp[mb] = ctx.qp
+        mb += 1
+        ctx.filled = mb
+        if cd.terminate():  # end_of_slice_flag
+            return mb
+
+
+def _enc_res_cabac(ce: _CabacEnc, ctx: _PicCtx, cat: int, mb: int,
+                   rb: int, cb_: int, comp: int, coeffs: list) -> None:
+    """Encoder twin of :func:`_decode_res_cabac` — identical context
+    trajectory by construction (same neighbor-state reads, same order)."""
+    n = len(coeffs)
+    cbf = 1 if any(coeffs) else 0
+    ce.decision(
+        _CC_CBF + cat * 4 + _cbf_ctx(ctx, cat, mb, rb, cb_, comp), cbf
+    )
+    if not cbf:
+        return
+    last_pos = max(i for i, c in enumerate(coeffs) if c)
+    for i in range(n - 1):
+        sig = 1 if coeffs[i] else 0
+        ce.decision(_CC_SIG + cat * 15 + min(i, 14), sig)
+        if sig:
+            is_last = 1 if i == last_pos else 0
+            ce.decision(_CC_LAST + cat * 15 + min(i, 14), is_last)
+            if is_last:
+                break
+    num_eq1 = num_gt1 = 0
+    for pos in range(last_pos, -1, -1):
+        c = coeffs[pos]
+        if not c:
+            continue
+        mag = abs(c)
+        inc0 = 0 if num_gt1 else min(4, 1 + num_eq1)
+        if mag == 1:
+            ce.decision(_CC_LVL + cat * 10 + inc0, 0)
+            num_eq1 += 1
+        else:
+            ce.decision(_CC_LVL + cat * 10 + inc0, 1)
+            inc = 5 + min(4, num_gt1)
+            # TU cMax 14 over absLevelMinus1: bin0 above counts as the
+            # first 1; 13 more 1s saturate the prefix (no terminator)
+            prefix = min(mag - 1, 14)
+            for _ in range(prefix - 1):
+                ce.decision(_CC_LVL + cat * 10 + inc, 1)
+            if prefix < 14:
+                ce.decision(_CC_LVL + cat * 10 + inc, 0)
+            else:
+                v = mag - 15  # UEG0 suffix
+                k = 0
+                while v >= (1 << k):
+                    v -= 1 << k
+                    ce.bypass(1)
+                    k += 1
+                ce.bypass(0)
+                for i in range(k - 1, -1, -1):
+                    ce.bypass((v >> i) & 1)
+            num_gt1 += 1
+        ce.bypass(1 if c < 0 else 0)
+
+
+def _encode_one_mb_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
+                         f_idx: int, qp: int, qpc: int,
+                         y_pad, u_pad, v_pad,
+                         prev_qpd_nonzero: bool) -> bool:
+    """One CABAC intra macroblock: the SAME deterministic decision mix
+    and reconstruction as :func:`_encode_one_mb` (I_PCM replaced by
+    I_16x16 — I_PCM-inside-CABAC is seam-gated), emitted through the
+    arithmetic engine.  Returns whether mb_qp_delta was nonzero."""
+    my, mx = divmod(mb, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    crow, ccol = my * 2, mx * 2
+    y0, x0 = my * 16, mx * 16
+    cy0, cx0 = my * 8, mx * 8
+    ctx.ref[br : br + 4, bc : bc + 4] = -1
+    ctx.ref1[br : br + 4, bc : bc + 4] = -1
+    ctx.mb_qp[mb] = qp
+    kind = (mb * 5 + f_idx) % 7
+
+    a_l_mb = ctx._blk_avail(ctx.nc_y, br, bc - 1, mb, 4)
+    a_t_mb = ctx._blk_avail(ctx.nc_y, br - 1, bc, mb, 4)
+
+    # ---- chroma decisions (identical mix to the CAVLC encoder)
+    ca_l = ctx._blk_avail(ctx.nc_c[0], crow, ccol - 1, mb, 2)
+    ca_t = ctx._blk_avail(ctx.nc_c[0], crow - 1, ccol, mb, 2)
+    cmodes = [0] + ([1] if ca_l else []) + ([2] if ca_t else []) + (
+        [3] if ca_l and ca_t else []
+    )
+    chroma_mode = cmodes[(mb * 3 + f_idx) % len(cmodes)]
+    cpreds, cdcq, cacq = [], [], []
+    any_cdc = any_cac = False
+    for plane_src, plane_rec in ((u_pad, ctx.u), (v_pad, ctx.v)):
+        if chroma_mode == 0:
+            predc = _pred_chroma_dc(plane_rec, cy0, cx0, ca_l, ca_t)
+        elif chroma_mode == 3:
+            predc = _pred_block16(plane_rec, cy0, cx0, 3, ca_l, ca_t, 8)
+        else:
+            predc = _pred_block16(
+                plane_rec, cy0, cx0, 1 if chroma_mode == 1 else 0,
+                ca_l, ca_t, 8,
+            )
+        resid = (
+            plane_src[cy0 : cy0 + 8, cx0 : cx0 + 8].astype(np.int64) - predc
+        )
+        wmats = []
+        dcs = np.zeros((2, 2), np.int64)
+        for blk in range(4):
+            cdy, cdx = divmod(blk, 2)
+            w4 = _ftransform4x4(
+                resid[cdy * 4 : cdy * 4 + 4, cdx * 4 : cdx * 4 + 4]
+            )
+            dcs[cdy, cdx] = w4[0, 0]
+            wmats.append(w4)
+        hdc = _hadamard2x2(dcs)
+        dq = [
+            _quant_coeff(int(hdc[i, j]), qpc, 0, dc=True)
+            for i, j in ((0, 0), (0, 1), (1, 0), (1, 1))
+        ]
+        aq = [_quant_block(w4, qpc, skip_dc=True) for w4 in wmats]
+        any_cdc |= any(c != 0 for c in dq)
+        any_cac |= any(c != 0 for blkq in aq for c in blkq)
+        cpreds.append(predc)
+        cdcq.append(dq)
+        cacq.append(aq)
+    cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
+
+    i16 = kind >= 4
+    modes, lcoeffs = [], []
+    if not i16:
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            rb, cb_ = br + dy, bc + dx
+            a_l = ctx._blk_avail(ctx.nc_y, rb, cb_ - 1, mb, 4)
+            a_t = ctx._blk_avail(ctx.nc_y, rb - 1, cb_, mb, 4)
+            a_tl = ctx._blk_avail(ctx.nc_y, rb - 1, cb_ - 1, mb, 4)
+            a_tr = ctx._blk_avail(ctx.nc_y, rb - 1, cb_ + 1, mb, 4)
+            cands = [2]
+            if a_t:
+                cands += [0, 3, 7]
+            if a_l:
+                cands += [1, 8]
+            if a_l and a_t and a_tl:
+                cands += [4, 5, 6]
+            mode = cands[(mb * 7 + blk * 3 + f_idx) % len(cands)]
+            ctx.mode4[rb, cb_] = mode
+            py, px = rb * 4, cb_ * 4
+            pred = _pred4x4(ctx.y, py, px, mode, a_l, a_t, a_tl, a_tr)
+            resid = (
+                y_pad[py : py + 4, px : px + 4].astype(np.int64) - pred
+            )
+            coeffs = _quant_block(_ftransform4x4(resid), qp, skip_dc=False)
+            res = _itransform4x4(_dequant4x4(coeffs, qp, False))
+            ctx.y[py : py + 4, px : px + 4] = _clip_u8(pred + res)
+            ctx.nc_y[rb, cb_] = 0  # provisional: marks decoded
+            modes.append(mode)
+            lcoeffs.append(coeffs)
+        cbp_luma = 0
+        for q in range(4):
+            if any(
+                c != 0 for blk in range(q * 4, q * 4 + 4)
+                for c in lcoeffs[blk]
+            ):
+                cbp_luma |= 1 << q
+        dcq = None
+        acq = None
+        pred16_mode = 0
+    else:
+        cands = [2]
+        if a_t_mb:
+            cands.append(0)
+        if a_l_mb:
+            cands.append(1)
+        if a_l_mb and a_t_mb:
+            cands.append(3)
+        pred16_mode = cands[(mb + f_idx) % len(cands)]
+        pred16 = _pred_block16(ctx.y, y0, x0, pred16_mode, a_l_mb, a_t_mb, 16)
+        resid = y_pad[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - pred16
+        wmats, dcs = [], np.zeros((4, 4), np.int64)
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            w4 = _ftransform4x4(
+                resid[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4]
+            )
+            dcs[dy, dx] = w4[0, 0]
+            wmats.append(w4)
+        hdc = _hadamard4x4(dcs)
+        dcq = [
+            _quant_coeff(int(hdc[i, j]), qp, 0, dc=True) for i, j in _ZIGZAG
+        ]
+        acq = [_quant_block(w4, qp, skip_dc=True) for w4 in wmats]
+        cbp_luma = 15 if any(c != 0 for blkq in acq for c in blkq) else 0
+        dmat = np.zeros((4, 4), np.int64)
+        for s, c in enumerate(dcq):
+            i, j = _ZIGZAG[s]
+            dmat[i, j] = c
+        dc = _scale_luma_dc(_hadamard4x4(dmat), qp)
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            rb, cb_ = br + dy, bc + dx
+            d = (
+                _dequant4x4(acq[blk], qp, True)
+                if cbp_luma
+                else np.zeros((4, 4), np.int64)
+            )
+            d[0, 0] = dc[dy, dx]
+            res = _itransform4x4(d)
+            py, px = rb * 4, cb_ * 4
+            ctx.y[py : py + 4, px : px + 4] = _clip_u8(
+                pred16[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4] + res
+            )
+            ctx.nc_y[rb, cb_] = 0  # provisional
+        # non-I_NxN intra counts as DC for neighbor mode prediction
+        ctx.mode4[br : br + 4, bc : bc + 4] = 2
+
+    # ---- chroma recon (identical to the CAVLC encoder)
+    for comp, plane in ((0, ctx.u), (1, ctx.v)):
+        cmat = np.array(
+            [[cdcq[comp][0], cdcq[comp][1]],
+             [cdcq[comp][2], cdcq[comp][3]]],
+            np.int64,
+        )
+        dcc = _scale_chroma_dc(_hadamard2x2(cmat), qpc)
+        for blk in range(4):
+            cdy, cdx = divmod(blk, 2)
+            d = (
+                _dequant4x4(cacq[comp][blk], qpc, True)
+                if cbp_chroma & 2
+                else np.zeros((4, 4), np.int64)
+            )
+            d[0, 0] = dcc[cdy, cdx]
+            res = _itransform4x4(d)
+            py, px = cy0 + cdy * 4, cx0 + cdx * 4
+            plane[py : py + 4, px : px + 4] = _clip_u8(
+                cpreds[comp][cdy * 4 : cdy * 4 + 4,
+                             cdx * 4 : cdx * 4 + 4] + res
+            )
+
+    # ---- CABAC emission (bitstream order == the decoder's reads)
+    ce.decision(_CC_MBTYPE + _mbtype_ctx(ctx, mb), 1 if i16 else 0)
+    ctx.mb_kind[mb] = 1 if i16 else 0
+    if i16:
+        ce.terminate(0)  # not I_PCM
+        ce.decision(_CC_I16_CBPL, 1 if cbp_luma else 0)
+        ce.decision(_CC_I16_CBPC, 1 if cbp_chroma else 0)
+        if cbp_chroma:
+            ce.decision(_CC_I16_CBPC + 1, 1 if cbp_chroma == 2 else 0)
+        ce.decision(_CC_I16_MODE, (pred16_mode >> 1) & 1)
+        ce.decision(_CC_I16_MODE + 1, pred16_mode & 1)
+    else:
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            rb, cb_ = br + dy, bc + dx
+            pred_mode = ctx.pred_mode4(rb, cb_, mb)
+            mode = modes[blk]
+            if mode == pred_mode:
+                ce.decision(_CC_PREV4, 1)
+            else:
+                ce.decision(_CC_PREV4, 0)
+                rem = mode if mode < pred_mode else mode - 1
+                ce.decision(_CC_REM4, rem & 1)
+                ce.decision(_CC_REM4, (rem >> 1) & 1)
+                ce.decision(_CC_REM4, (rem >> 2) & 1)
+    # chroma pred mode (TU cMax 3)
+    ce.decision(_CC_CPM + _cpm_ctx(ctx, mb), 1 if chroma_mode else 0)
+    if chroma_mode:
+        ce.decision(_CC_CPM + 3, 1 if chroma_mode >= 2 else 0)
+        if chroma_mode >= 2:
+            ce.decision(_CC_CPM + 3, 1 if chroma_mode == 3 else 0)
+    ctx.mb_cpm[mb] = chroma_mode
+    if not i16:
+        bits = 0
+        for b in range(4):
+            bit = (cbp_luma >> b) & 1
+            ce.decision(_CC_CBP_L + _cbp_luma_ctx(ctx, mb, b, bits), bit)
+            bits |= bit << b
+        ce.decision(
+            _CC_CBP_C + _cbp_chroma_ctx(ctx, mb, 0),
+            1 if cbp_chroma else 0,
+        )
+        if cbp_chroma:
+            ce.decision(
+                _CC_CBP_C + _cbp_chroma_ctx(ctx, mb, 1),
+                1 if cbp_chroma == 2 else 0,
+            )
+    ctx.mb_cbp[mb] = cbp_luma | (cbp_chroma << 4)
+    qpd_nonzero = False
+    if i16 or cbp_luma or cbp_chroma:
+        _enc_qp_delta(ce, 0, prev_qpd_nonzero)
+
+    # ---- residuals (same category/order as the decoder)
+    if i16:
+        _enc_res_cabac(ce, ctx, _CAT_L16DC, mb, br, bc, 0, dcq)
+        ctx.cbf_dc[mb, 0] = 1 if any(dcq) else 0
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            rb, cb_ = br + dy, bc + dx
+            if cbp_luma:
+                _enc_res_cabac(ce, ctx, _CAT_L16AC, mb, rb, cb_, 0,
+                               acq[blk])
+                ctx.nc_y[rb, cb_] = 15 - acq[blk].count(0)
+            else:
+                ctx.nc_y[rb, cb_] = 0
+    else:
+        ctx.cbf_dc[mb, 0] = -1
+        for blk in range(16):
+            dy, dx = _BLK4_ORDER[blk]
+            rb, cb_ = br + dy, bc + dx
+            if cbp_luma & (1 << (blk // 4)):
+                _enc_res_cabac(ce, ctx, _CAT_L4, mb, rb, cb_, 0,
+                               lcoeffs[blk])
+                ctx.nc_y[rb, cb_] = 16 - lcoeffs[blk].count(0)
+            else:
+                ctx.nc_y[rb, cb_] = 0
+    if cbp_chroma:
+        for comp in range(2):
+            _enc_res_cabac(ce, ctx, _CAT_CDC, mb, crow, ccol, comp,
+                           cdcq[comp])
+            ctx.cbf_dc[mb, 1 + comp] = 1 if any(cdcq[comp]) else 0
+    else:
+        ctx.cbf_dc[mb, 1] = ctx.cbf_dc[mb, 2] = 0
+    if cbp_chroma & 2:
+        for comp in range(2):
+            for blk in range(4):
+                cdy, cdx = divmod(blk, 2)
+                _enc_res_cabac(
+                    ce, ctx, _CAT_CAC, mb, crow + cdy, ccol + cdx,
+                    comp, cacq[comp][blk],
+                )
+                ctx.nc_c[comp][crow + cdy, ccol + cdx] = 15 - cacq[
+                    comp
+                ][blk].count(0)
+    else:
+        for comp in range(2):
+            ctx.nc_c[comp][crow : crow + 2, ccol : ccol + 2] = 0
+    return qpd_nonzero
+
+
+def encode_h264_cabac_recon(frames, width: int, height: int,
+                            qp: int = 28):
+    """CABAC twin of :func:`encode_h264_cavlc_recon`: IDR I pictures
+    (I_NxN + I_16x16 mix), entropy_coding_mode_flag = 1, one slice per
+    picture.  -> (annexb_bytes, [(Y, U, V) recon planes, cropped]).
+    The reconstruction loop shares the decoder's dequant/IDCT/predict
+    helpers, so a conforming decode must be bit-exact."""
+    if width % 2 or height % 2:
+        raise UnsupportedMediaError("h264 encoder: dimensions must be even")
+    if not 8 <= qp <= 44:
+        raise UnsupportedMediaError("h264 encoder: qp out of supported range")
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    crop_right = mb_w * 16 - width
+    crop_bottom = mb_h * 16 - height
+
+    w = _BitWriter()
+    w.write(66, 8)
+    w.write(0xC0, 8)
+    w.write(30, 8)
+    w.ue(0)
+    w.ue(0)
+    w.ue(2)  # pic_order_cnt_type 2
+    w.ue(0)
+    w.write(0, 1)
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.write(1, 1)
+    w.write(1, 1)
+    if crop_right or crop_bottom:
+        w.write(1, 1)
+        w.ue(0)
+        w.ue(crop_right // 2)
+        w.ue(0)
+        w.ue(crop_bottom // 2)
+    else:
+        w.write(0, 1)
+    w.write(0, 1)
+    w.trailing_bits()
+    out = bytearray(_nal(3, 7, w.getvalue()))
+
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.write(1, 1)  # entropy_coding_mode_flag: CABAC
+    w.write(0, 1)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.write(0, 1)
+    w.write(0, 2)
+    w.se(qp - 26)
+    w.se(0)
+    w.se(0)
+    w.write(1, 1)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.trailing_bits()
+    out += _nal(3, 8, w.getvalue())
+
+    sps = _SPS()
+    sps.mb_width, sps.mb_height = mb_w, mb_h
+    sps.monochrome = False
+    qpc = _chroma_qp(qp, 0)
+    recons = []
+    n_mbs = mb_w * mb_h
+    for f_idx, (y, u, v) in enumerate(frames):
+        y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+        y_pad[:height, :width] = np.asarray(y, np.uint8)
+        u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        v_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        u_pad[: height // 2, : width // 2] = np.asarray(u, np.uint8)
+        v_pad[: height // 2, : width // 2] = np.asarray(v, np.uint8)
+
+        ctx = _PicCtx(sps)
+        ctx.mb_slice[:] = 1
+        ctx.qp = qp
+        w = _BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        w.ue(7)  # slice_type: I
+        w.ue(0)
+        w.write(0, 4)  # frame_num
+        w.ue(f_idx % 16)  # idr_pic_id
+        w.write(0, 2)
+        w.se(0)  # slice_qp_delta
+        w.ue(1)  # disable_deblocking_filter_idc
+        # cabac_alignment_one_bit(s)
+        while w.nacc:
+            w.write(1, 1)
+        ce = _CabacEnc(_cabac_init_ctxs())
+        prev_qpd = False
+        for mb in range(n_mbs):
+            prev_qpd = _encode_one_mb_cabac(
+                ce, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
+                prev_qpd,
+            )
+            ce.terminate(1 if mb == n_mbs - 1 else 0)  # end_of_slice
+        for b in ce.bits:
+            w.write(b, 1)
+        w.align_zero()  # rbsp stop bit rides in the CABAC flush
+        out += _nal(3, 5, w.getvalue())
+        recons.append(
+            (
+                ctx.y[:height, :width].copy(),
+                ctx.u[: height // 2, : width // 2].copy(),
+                ctx.v[: height // 2, : width // 2].copy(),
+            )
+        )
+    return bytes(out), recons

@@ -173,6 +173,13 @@ _CANONICAL = [
     # both keep their r11 greens at 51+).
     "mp3_lsf_decode_stats",
     "mp3_layer2_decode_stats",
+    # h264_cabac_decode_stats (the r13 CABAC-intra entropy layer under
+    # the value oracle) takes the third r13 priority slot, displacing
+    # doc_length_histogram's replacement at position 50 —
+    # edf_header_parse steps to 51+ (events family stays covered
+    # in-window via annotations_tal_parse + edf_range_decode and more;
+    # edf_header_parse keeps its r11 green).
+    "h264_cabac_decode_stats",
     # ---- r13 driver window (50): the pre-declared rotation from the
     # r12 note above, executed verbatim — the 28 stalest at 51+ lead
     # (six held/displaced members, the 13 tpch r7-greens, the nine
@@ -494,6 +501,7 @@ FAMILY = {
     "edf_range_decode": "events",
     "h264_cavlc_decode_stats": "multimodal",
     # r13 additions
+    "h264_cabac_decode_stats": "multimodal",
     "mp3_lsf_decode_stats": "multimodal",
     "mp3_layer2_decode_stats": "multimodal",
     # r12 additions

@@ -331,3 +331,140 @@ def mp3_layer2_decode_stats(spark, sf_dir):
             "n_samples long, n_allocated long, sum_codes long"
         ),
     )
+
+
+@register(
+    "h264_cabac_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               48 AS w,
+               32 AS h,
+               1 + doc_id % 3 AS nf
+        FROM documents
+        WHERE doc_id % 8 = 5
+    ),
+    ysum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 3 + c.j * 5 + d.doc_id + f.j * 17) % 160
+                        + 40) AS BIGINT) AS y_sum
+        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 3) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    ),
+    csum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 7 + c.j * 11 + d.doc_id + f.j * 5) % 100
+                        + 78) AS BIGINT) AS u_sum,
+               CAST(SUM((r.j * 5 + c.j * 3 + 2 * d.doc_id + f.j * 9) % 120
+                        + 60) AS BIGINT) AS v_sum
+        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 3) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           ysum.y_sum, csum.u_sum, csum.v_sum
+    FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
+    """,
+)
+def h264_cabac_decode_stats(spark, sf_dir):
+    """The H.264 CABAC entropy layer (spec §9.3, operators/h264.py
+    r13) as a driver-hashed row: per document a deterministic YUV420
+    sequence (every plane a pure integer function of doc_id and frame
+    index) is encoded as CABAC-coded IDR I pictures (I_NxN + I_16x16
+    mix, full residual path through the arithmetic engine) at a
+    doc-dependent QP (20/28/36), decoded back through the production
+    ``decode_h264_ipcm``, and required BIT-EXACT against the encoder's
+    reconstruction loop — which reuses the decoder's dequant/IDCT/
+    prediction helpers, so any engine/renorm/binarization/context
+    drift desyncs the arithmetic decode and reds the row via the -1
+    sentinel.  The emitted sums are closed forms over the INPUT
+    construction, recomputed independently by the oracle.  Scale:
+    decode-heavy/emit-light per-doc pure-python kernel under spread(),
+    same class as the sibling codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 8 = 5"))
+
+    def gen(batches):
+        from processor_edf_spark.operators.h264 import (
+            decode_h264_ipcm,
+            encode_h264_cabac_recon,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                W, H = 48, 32
+                nf = 1 + d % 3
+                qp = 20 + (d % 3) * 8
+                frames = []
+                for f in range(nf):
+                    r = np.arange(H)[:, None]
+                    c = np.arange(W)[None, :]
+                    y = (((r * 3 + c * 5 + d + f * 17) % 160) + 40).astype(
+                        np.uint8
+                    )
+                    r2 = np.arange(H // 2)[:, None]
+                    c2 = np.arange(W // 2)[None, :]
+                    u = (((r2 * 7 + c2 * 11 + d + f * 5) % 100) + 78).astype(
+                        np.uint8
+                    )
+                    v = (
+                        ((r2 * 5 + c2 * 3 + 2 * d + f * 9) % 120) + 60
+                    ).astype(np.uint8)
+                    frames.append((y, u, v))
+                stream, recons = encode_h264_cabac_recon(
+                    frames, W, H, qp=qp
+                )
+                dw, dh, decoded = decode_h264_ipcm(stream)
+                bit_exact = (
+                    (dw, dh) == (W, H)
+                    and len(decoded) == nf
+                    and all(
+                        np.array_equal(a, b)
+                        for rec, dec in zip(recons, decoded)
+                        for a, b in zip(rec, dec)
+                    )
+                )
+                err_ok = all(
+                    int(
+                        np.abs(
+                            rec[0].astype(np.int64)
+                            - frm[0].astype(np.int64)
+                        ).max()
+                    )
+                    <= 64
+                    for rec, frm in zip(recons, frames)
+                )
+                if bit_exact and err_ok:
+                    sums = [
+                        int(sum(np.sum(frm[k], dtype=np.int64)
+                                for frm in frames))
+                        for k in range(3)
+                    ]
+                    rows.append((d, nf, W, H, *sums))
+                else:
+                    rows.append((d, nf, W, H, -1, -1, -1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "width", "height",
+                    "y_sum", "u_sum", "v_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, width long, height long, "
+            "y_sum long, u_sum long, v_sum long"
+        ),
+    )

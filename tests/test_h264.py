@@ -339,11 +339,20 @@ def _expect_extra(payload, match):
         decode_h264_ipcm(payload)
 
 
-def test_cabac_names_extra():
-    _expect_extra(
-        _hand_sps() + _hand_pps(cabac=True) + _hand_slice(_one_mb()),
-        "CABAC.*av",
+def test_cabac_pps_accepted_ipcm_inside_cabac_gated():
+    """CABAC decodes for real since r13, so a CABAC PPS no longer
+    raises at parse.  A slice whose bits are NOT valid CABAC data (this
+    hand slice carries CAVLC-layout I_PCM bytes) must fail with the one
+    exception type — here the I_PCM-inside-CABAC seam or a structural
+    CABAC error, never a raw parse error."""
+    from processor_edf_spark.operators.media_codecs import (
+        UnsupportedMediaError,
     )
+
+    with pytest.raises(UnsupportedMediaError):
+        decode_h264_ipcm(
+            _hand_sps() + _hand_pps(cabac=True) + _hand_slice(_one_mb())
+        )
 
 
 def test_slice_groups_name_extra():

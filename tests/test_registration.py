@@ -37,6 +37,7 @@ EXPECTED_FIRST_50 = [
     # via rolling_fingerprint + doc_fingerprint).
     "mp3_lsf_decode_stats",
     "mp3_layer2_decode_stats",
+    "h264_cabac_decode_stats",
     "edf_date_parse",
     "overlap_validation",
     "rolling_fingerprint",
@@ -84,7 +85,6 @@ EXPECTED_FIRST_50 = [
     "image_decode_stats",
     "audio_decode_stats",
     "video_frame_stats",
-    "edf_header_parse",
 ]
 
 
@@ -107,8 +107,8 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10/r11 additions + the 10 r12 rows
-    # + the 2 r13 codec rows
-    assert len(QUERIES) == 163
+    # + the 3 r13 codec rows
+    assert len(QUERIES) == 164
 
 
 def test_every_query_has_a_family():
