@@ -109,7 +109,14 @@ SF_DIR = "/root/testdata/sf0.001"
 # and projection-position [NOT] EXISTS inside CASE.
 # Seeds 0-859 keep rendering their earlier grammars byte-for-byte (the
 # regression corpus that found the ROLLUP and RANGE-frame divergences).
-N_SEEDS = 1350
+# Seeds 1350+ use the r13 grammar v8: QUALIFY-style window filters
+# (windowed subquery, outer filter on the window column — top-k per
+# partition, dedup-keep-first), multi-level CTE chains consumed by
+# set-ops (both branches reading the same CTEs), and correlated
+# aggregate subqueries in HAVING (Spark's outer-join-aggregate
+# rewrite, the classic COUNT-bug site — probed portable on both
+# engines before the band was added).
+N_SEEDS = 1550
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -1582,6 +1589,157 @@ def gen_exists_case(rng, pools):
     return {"kind": "raw", "sql": sql, "shrinks": shrinks}
 
 
+def gen_window_filter(rng, pools):
+    """r13 grammar v8 lead axis (seeds 1350+): QUALIFY-style shapes —
+    a windowed subquery whose OUTER query filters on the window
+    column (top-k per partition, dedup-keep-first, running-total
+    thresholds).  Deterministic: every ranking window orders by a
+    total key (unique id as the final tiebreaker)."""
+    t = rng.choice([n for n in TABLES if n not in ("fz_region",)])
+    cols, uniq = TABLES[t], UNIQUE[t]
+    coltypes = dict(cols)
+    part = _col(rng.choice(["i", "s"]), rng, cols) or uniq[0]
+    order = _col(rng.choice(["i", "f", "s"]), rng, cols) or uniq[0]
+    total = f"{order}, " + ", ".join(uniq)
+    k = rng.randrange(4)
+    if k == 0:
+        wf = f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {total})"
+        pred = f"wq <= {rng.randint(1, 4)}"
+    elif k == 1:
+        wf = f"ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY {total})"
+        pred = "wq = 1"  # dedup-keep-first
+    elif k == 2:
+        # RANK filters can keep tied rows — still deterministic as a
+        # multiset because rank ties are value-defined
+        wf = f"RANK() OVER (PARTITION BY {part} ORDER BY {order})"
+        pred = f"wq <= {rng.randint(1, 3)}"
+    else:
+        c = _col("i", rng, cols) or uniq[0]
+        wf = f"CAST(COUNT({c}) OVER (PARTITION BY {part}) AS BIGINT)"
+        pred = f"wq >= {rng.randint(1, 3)}"
+    inner_items = [
+        {"alias": f"c{j}", "sql": u, "fallback": None,
+         "typ": coltypes.get(u, "i")}
+        for j, u in enumerate(uniq)
+    ]
+    inner_items.append(
+        {"alias": "wq", "sql": wf, "fallback": None, "typ": "i"}
+    )
+    inner = {
+        "kind": "select",
+        "from": t,
+        "items": inner_items,
+        "where": gen_pred(rng, cols, pools, t)
+        if rng.random() < 0.4 else None,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+    out_items = [
+        {"alias": it["alias"], "sql": it["alias"], "fallback": None,
+         "typ": it["typ"]}
+        for it in inner_items
+    ]
+    return {
+        "kind": "select",
+        "from": None,
+        "inner": inner,
+        "items": out_items,
+        "where": pred,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+
+
+def gen_cte_chain_setop(rng, pools):
+    """v8 second axis: multi-level CTE chains consumed by a set-op —
+    c1 aggregates a base table, c2 filters/projects c1, and the final
+    query set-ops c2 against a differently-filtered read of c1 (both
+    branches reference the SAME CTEs, exercising reuse + set-op
+    planning together)."""
+    t = rng.choice(list(TABLES))
+    cols, uniq = TABLES[t], UNIQUE[t]
+    k = _col(rng.choice(["i", "s"]), rng, cols) or uniq[0]
+    x = _col("i", rng, cols) or uniq[0]
+    thr1 = rng.randint(1, 4)
+    thr2 = rng.randint(1, 3)
+    op = rng.choice(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+         "INTERSECT ALL", "EXCEPT ALL"]
+    )
+    cte = (
+        f"WITH fz_c1 AS (SELECT {k} AS g, CAST(SUM({x}) AS BIGINT) AS s, "
+        f"CAST(COUNT(*) AS BIGINT) AS n FROM {t} GROUP BY {k}), "
+        f"fz_c2 AS (SELECT g, s FROM fz_c1 WHERE n >= {thr1})"
+    )
+    left = "SELECT g, s FROM fz_c2"
+    right = f"SELECT g, s FROM fz_c1 WHERE n >= {thr2}"
+    sql = f"{cte} {left} {op} {right}"
+    return {
+        "kind": "raw",
+        "sql": sql,
+        "shrinks": [
+            {"kind": "raw", "sql": f"{cte} {left}", "shrinks": []},
+            {"kind": "raw", "sql": f"{cte} {right}", "shrinks": []},
+            {
+                "kind": "raw",
+                "sql": (
+                    f"SELECT {k} AS g, CAST(COUNT(*) AS BIGINT) AS n "
+                    f"FROM {t} GROUP BY {k}"
+                ),
+                "shrinks": [],
+            },
+        ],
+    }
+
+
+def gen_having_corr(rng, pools):
+    """v8 third axis: correlated AGGREGATE subqueries in HAVING — the
+    group's aggregate compared against a per-group correlated COUNT
+    over an FK-joined table (probed portable on both engines; Spark
+    rewrites to an outer-join aggregate, the classic COUNT-bug
+    site)."""
+    lt, lc, rt, rc = rng.choice(FK_JOINS)
+    if rng.random() < 0.5:
+        t, key, ot, ok = lt, lc, rt, rc
+    else:
+        t, key, ot, ok = rt, rc, lt, lc
+    cmp_op = rng.choice([">", ">=", "<", "<=", "="])
+    inner_where = ""
+    icols = TABLES[ot]
+    if rng.random() < 0.5:
+        p = gen_pred(rng, icols, pools, ot, depth=1)
+        inner_where = f" AND ({p})"
+    sql = (
+        f"SELECT {key} AS g, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {t} GROUP BY {key} "
+        f"HAVING COUNT(*) {cmp_op} "
+        f"(SELECT COUNT(*) FROM {ot} WHERE {ot}.{ok} = {t}.{key}"
+        f"{inner_where})"
+    )
+    plain = (
+        f"SELECT {key} AS g, CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM {t} GROUP BY {key}"
+    )
+    return {
+        "kind": "raw",
+        "sql": sql,
+        "shrinks": [{"kind": "raw", "sql": plain, "shrinks": []}],
+    }
+
+
+def gen_query_v8(rng, pools) -> dict:
+    """Seeds 1350+ (r13): QUALIFY-style window filters lead, with
+    CTE-chain set-ops and correlated HAVING aggregates behind."""
+    shape = rng.randrange(10)
+    if shape < 4:
+        return gen_window_filter(rng, pools)
+    if shape < 7:
+        return gen_cte_chain_setop(rng, pools)
+    return gen_having_corr(rng, pools)
+
+
 def gen_query_v7(rng, pools) -> dict:
     """Seeds 1250+: GROUPING SETS lead, FULL-JOIN/COALESCE aggregation
     and projection-position EXISTS behind."""
@@ -1658,6 +1816,8 @@ def gen_query_v2(rng, pools) -> dict:
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 1350:
+        return gen_query_v8(rng, pools)
     if seed >= 1250:
         return gen_query_v7(rng, pools)
     if seed >= 1000:

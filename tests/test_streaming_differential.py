@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Twelve differential contracts:
+Thirteen differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -1114,3 +1114,109 @@ def test_stream_corpus_ingest_differential(spark, tmp_path, seed):
         for c in b.asDict():
             if c.startswith("n_pii") or c.startswith("pii"):
                 assert r[c] == b[c], (kk, c)
+
+
+# ---------------------------------------------------------------------------
+# contract 13 (r13): persisted ANN index under CONCURRENT appends —
+# seeded random overlapping drops through two racing writers (the
+# injected pre-commit race forces the loser's re-check on every batch)
+# must leave the index IDENTICAL to a serial single-writer application
+# of the same drops: same code rows, same versions count shape, same
+# search results, same staleness audit.  The pytest-level race pins
+# (test_ann_index.py) check one hand-picked interleave; this randomizes
+# batch contents, overlap density, and batch count.
+# ---------------------------------------------------------------------------
+
+N_ANN_SEEDS = 4
+
+
+@pytest.mark.parametrize("seed", range(N_ANN_SEEDS))
+def test_ann_concurrent_append_differential(spark, tmp_path, seed):
+    import numpy as np
+
+    from processor_edf_spark.operators.ann_index import (
+        ann_index_append,
+        ann_index_build,
+        ann_index_codes,
+        ann_index_search,
+        ann_index_staleness,
+    )
+
+    rng = random.Random(7100 + seed)
+    SCHEMA = "vec_id long, embedding array<double>"
+
+    def cluster_vec(i, d=8):
+        g = i % 4
+        return [100.0 * g + ((i // 4 + t) % 3) for t in range(d)]
+
+    def vecs(ids):
+        return spark.createDataFrame(
+            [(int(i), cluster_vec(int(i))) for i in ids], SCHEMA
+        )
+
+    base_ids = list(range(48))
+    n_rounds = rng.randint(2, 4)
+    pool = list(range(100, 100 + rng.randint(10, 24)))
+    batches_a, batches_b = [], []
+    for _ in range(n_rounds):
+        # overlapping drops: the two writers share some vec_ids within
+        # and across rounds (exactly-once admission must hold anyway)
+        batches_a.append(sorted(rng.sample(pool, rng.randint(1, 5))))
+        batches_b.append(sorted(rng.sample(pool, rng.randint(1, 5))))
+
+    # --- concurrent run: every A-append races B's same-round append
+    # via the injected pre-commit hook (B commits first, A re-checks)
+    conc_dir = str(tmp_path / "conc")
+    ann_index_build(
+        spark, vecs(base_ids), conc_dir,
+        n_cells=4, m=4, k=8, sample_size=64,
+    )
+    for a_ids, b_ids in zip(batches_a, batches_b):
+        ann_index_append(
+            spark, vecs(a_ids), conc_dir,
+            _pre_commit_hook=lambda b=b_ids: ann_index_append(
+                spark, vecs(b), conc_dir
+            ),
+        )
+
+    # --- serial oracle: same drops, single writer, in the effective
+    # commit order of the concurrent run (B then A per round)
+    ser_dir = str(tmp_path / "ser")
+    ann_index_build(
+        spark, vecs(base_ids), ser_dir,
+        n_cells=4, m=4, k=8, sample_size=64,
+    )
+    for a_ids, b_ids in zip(batches_a, batches_b):
+        ann_index_append(spark, vecs(b_ids), ser_dir)
+        ann_index_append(spark, vecs(a_ids), ser_dir)
+
+    cols = sorted(ann_index_codes(spark, conc_dir).columns)
+    conc_rows = sorted(
+        map(tuple, ann_index_codes(spark, conc_dir).select(cols).collect())
+    )
+    ser_rows = sorted(
+        map(tuple, ann_index_codes(spark, ser_dir).select(cols).collect())
+    )
+    assert conc_rows == ser_rows
+    want_ids = set(base_ids) | {
+        i for b in batches_a + batches_b for i in b
+    }
+    got_ids = {r[cols.index("vec_id")] for r in conc_rows}
+    assert got_ids == want_ids
+    assert len(conc_rows) == len(want_ids)  # exactly-once admission
+
+    # search parity: identical neighbors through both indexes
+    Q = np.array([cluster_vec(3), cluster_vec(101)], dtype=np.float64)
+    qids = np.array([0, 1])
+    scols = None
+    res = []
+    for d in (conc_dir, ser_dir):
+        df = ann_index_search(spark, d, Q, qids, k=5, nprobe=2)
+        scols = scols or sorted(df.columns)
+        res.append(sorted(map(tuple, df.select(scols).collect())))
+    assert res[0] == res[1]
+
+    # staleness audit parity (pure SQL over persisted rows)
+    sa = ann_index_staleness(spark, conc_dir)
+    sb = ann_index_staleness(spark, ser_dir)
+    assert sa == sb
