@@ -15,10 +15,11 @@ pure-numpy codecs in operators/{jpeg,png,gif,tiff}.py
 (PNG's deflate is stdlib zlib and GIF's LZW is ~60 lines of Python, so
 both decodes are complete and lossless; GIF also demuxes animations
 for frame sampling, mirroring the AVI path), routed from
-``decode_image`` by magic byte.  The remaining compressed codecs
-(MP3/H.264, WebP) genuinely need external libraries; the
-optional-codec seam at the bottom of this module decodes them for REAL
-when the corresponding library (Pillow / soundfile / PyAV) is
+``decode_image`` by magic byte.  MP3, H.264, and WebP (both
+profiles) now decode for real through the pure-python codecs behind
+the plugin seam; each codec's documented honest residue routes to the
+optional-codec seam at the bottom of this module, which decodes for
+REAL when the corresponding library (Pillow / soundfile / PyAV) is
 installed in the cluster image, and otherwise raises
 ``UnsupportedMediaError`` naming the missing extra, so the callers in
 operators/multimodal.py fall back to the documented deterministic
@@ -679,6 +680,7 @@ def encode_avi_raw(frames: list[bytes], usec_per_frame: int) -> bytes:
 OPTIONAL_CODEC_LIBS: dict[str, tuple[str, ...]] = {
     "webp": ("PIL",),            # Pillow — the LOSSY (VP8) profile
     "webp_lossless": (),         # pure-python VP8L plugin (webp.py), below
+    "webp_lossy": (),            # pure-python VP8 keyframe plugin (vp8.py)
     "compressed_tiff": ("PIL",),  # JPEG-in-TIFF and friends beyond plugins
     "compressed_tiff_deflate": (),  # stdlib-plugin-backed (zlib), below
     "compressed_tiff_lzw": (),   # pure-python plugin (TIFF 6.0 §13), below
@@ -904,19 +906,23 @@ def decode_tiff_via_optional(payload: bytes) -> np.ndarray:
     )
 
 
-def _has_vp8l_chunk(payload: bytes) -> bool:
-    """True when the RIFF payload carries a VP8L (lossless) chunk —
-    the profile the pure-python plugin covers."""
+def _webp_chunk_kind(payload: bytes) -> str | None:
+    """"VP8L" (lossless), "VP8 " (lossy) or None for a RIFF payload —
+    the router between the two pure-python plugins."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        return False
+        return None
     off = 12
     while off + 8 <= len(payload):
         tag = payload[off : off + 4]
-        if tag == b"VP8L":
-            return True
+        if tag in (b"VP8L", b"VP8 "):
+            return tag.decode("ascii")
         (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
         off += 8 + size + (size & 1)
-    return False
+    return None
+
+
+def _has_vp8l_chunk(payload: bytes) -> bool:
+    return _webp_chunk_kind(payload) == "VP8L"
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
@@ -932,9 +938,17 @@ def decode_webp(payload: bytes) -> np.ndarray:
     plugin = get_codec_plugin("webp")
     if plugin is not None:
         return plugin(payload)
+    kind = _webp_chunk_kind(payload)
     lossless = get_codec_plugin("webp_lossless")
-    if lossless is not None and _has_vp8l_chunk(payload):
+    if lossless is not None and kind == "VP8L":
         return lossless(payload)
+    # lossy (VP8) keyframes: the pure-python plugin (operators/vp8.py,
+    # r13 — keyframe intra subset, documented derived-table
+    # deviations); its honest residue raises through to the
+    # optional-extra contract below
+    lossy = get_codec_plugin("webp_lossy")
+    if lossy is not None and kind == "VP8 ":
+        return lossy(payload)
     _require_optional("webp")
     import io
 
@@ -1058,6 +1072,17 @@ def _webp_lossless_plugin(payload):
 
 
 register_codec_plugin("webp_lossless", _webp_lossless_plugin)
+
+
+# pure-python, so registered unconditionally: the VP8 (lossy WebP)
+# keyframe intra decoder.  Lazy import for the same circularity reason.
+def _webp_lossy_plugin(payload):
+    from processor_edf_spark.operators.webp import decode_webp_lossy
+
+    return decode_webp_lossy(payload)
+
+
+register_codec_plugin("webp_lossy", _webp_lossy_plugin)
 
 
 # pure-python, so registered unconditionally: the H.264 I_PCM-subset

@@ -6,11 +6,14 @@ fully self-contained spec — RFC 9649 §3 (the "WebP Lossless Bitstream
 Specification") — decodable with nothing but bit reading, canonical
 prefix codes and integer pixel transforms, so it gets the same
 pure-python treatment as the LZW TIFF plugin: decodes for REAL in every
-environment, no optional wheel.  The LOSSY profile (``VP8 `` chunk) is
-a full VP8 intra keyframe codec (boolean arithmetic coder, DCT,
-loop filter) — that stays behind the optional-extras seam
-(``media_codecs.decode_webp``), honestly ``decoded=false`` without the
-extra.
+environment, no optional wheel.  The LOSSY profile (``VP8 `` chunk)
+decodes for real too since r13 — the keyframe intra subset in
+operators/vp8.py (boolean arithmetic coder, whole-MB prediction,
+Y2 WHT + DCT residual tokens; derived-table deviations documented
+there), routed via :func:`decode_webp_lossy`; its honest residue
+(B_PRED, interframes, loop-filtered frames, third-party probability
+tables) still raises through ``media_codecs.decode_webp``'s
+optional-extra contract.
 
 Decoder coverage (everything the lossless spec allows):
 
@@ -804,3 +807,25 @@ def encode_webp_lossless(
     if len(chunk) & 1:
         body += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+def decode_webp_lossy(payload: bytes) -> np.ndarray:
+    """RIFF/WEBP payload -> HxWx3 uint8 RGB via the pure-python VP8
+    keyframe path (operators/vp8.py, r13 — the keyframe intra subset
+    with its documented derived-table deviations)."""
+    frame = None
+    for tag, body in _riff_chunks(payload):
+        if tag == b"VP8 ":
+            frame = body
+            break
+    if frame is None:
+        raise UnsupportedMediaError("WebP: no VP8 chunk")
+    from processor_edf_spark.operators.vp8 import decode_vp8_keyframe
+
+    try:
+        _w, _h, rgb = decode_vp8_keyframe(frame)
+    except UnsupportedMediaError:
+        raise
+    except (struct.error, ValueError, IndexError, KeyError) as e:
+        raise UnsupportedMediaError(f"malformed VP8: {e}") from e
+    return rgb

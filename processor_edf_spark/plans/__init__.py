@@ -180,6 +180,13 @@ _CANONICAL = [
     # in-window via annotations_tal_parse + edf_range_decode and more;
     # edf_header_parse keeps its r11 green).
     "h264_cabac_decode_stats",
+    # vp8_decode_stats (the r13 lossy-WebP keyframe decoder under the
+    # value oracle) takes the fourth r13 priority slot, displacing
+    # video_frame_stats's neighbor at position 50 — edf_header_parse's
+    # replacement video_frame_stats steps to 51+ (multimodal family
+    # stays covered in-window via the twelve codec rows;
+    # video_frame_stats keeps its r11 green).
+    "vp8_decode_stats",
     # ---- r13 driver window (50): the pre-declared rotation from the
     # r12 note above, executed verbatim — the 28 stalest at 51+ lead
     # (six held/displaced members, the 13 tpch r7-greens, the nine
@@ -501,6 +508,7 @@ FAMILY = {
     "edf_range_decode": "events",
     "h264_cavlc_decode_stats": "multimodal",
     # r13 additions
+    "vp8_decode_stats": "multimodal",
     "h264_cabac_decode_stats": "multimodal",
     "mp3_lsf_decode_stats": "multimodal",
     "mp3_layer2_decode_stats": "multimodal",

@@ -468,3 +468,119 @@ def h264_cabac_decode_stats(spark, sf_dir):
             "y_sum long, u_sum long, v_sum long"
         ),
     )
+
+
+@register(
+    "vp8_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               48 AS w,
+               32 AS h,
+               10 + (doc_id % 4) * 30 AS qi
+        FROM documents
+        WHERE doc_id % 8 = 6
+    ),
+    ysum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 3 + c.j * 5 + d.doc_id) % 160 + 40)
+                    AS BIGINT) AS y_sum
+        FROM d, range(0, 32) r(j), range(0, 48) c(j)
+        GROUP BY d.doc_id
+    ),
+    csum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 7 + c.j * 11 + d.doc_id) % 100 + 78)
+                    AS BIGINT) AS u_sum,
+               CAST(SUM((r.j * 5 + c.j * 3 + 2 * d.doc_id) % 120 + 60)
+                    AS BIGINT) AS v_sum
+        FROM d, range(0, 16) r(j), range(0, 24) c(j)
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.w AS BIGINT) AS width,
+           CAST(d.h AS BIGINT) AS height,
+           CAST(d.qi AS BIGINT) AS qindex,
+           ysum.y_sum, csum.u_sum, csum.v_sum
+    FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
+    """,
+)
+def vp8_decode_stats(spark, sf_dir):
+    """The VP8 (lossy WebP) keyframe intra decoder (operators/vp8.py,
+    r13) as a driver-hashed row: per document a deterministic YUV420
+    source (every plane a pure integer function of doc_id) is encoded
+    into a REAL VP8 keyframe (boolean arithmetic coder, whole-MB
+    DC/V/H/TM prediction, Y2 WHT + 4x4 DCT residual tokens) at a
+    doc-dependent qindex (10/40/70/100), decoded back through the
+    production ``decode_vp8_planes``, and required BIT-EXACT in the
+    plane domain against the encoder's reconstruction loop — which
+    runs the decoder's exact dequant/inverse-transform/prediction
+    path, so any bool-coder/token/transform/prediction drift desyncs
+    and reds the row via the -1 sentinel.  The emitted sums are
+    closed forms over the INPUT construction, recomputed independently
+    by the oracle.  Scale: decode-heavy/emit-light per-doc pure-python
+    kernel under spread(), same class as the sibling codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 8 = 6"))
+
+    def gen(batches):
+        from processor_edf_spark.operators.vp8 import (
+            decode_vp8_planes,
+            encode_vp8_keyframe,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                W, H = 48, 32
+                qi = 10 + (d % 4) * 30
+                r = np.arange(H)[:, None]
+                c = np.arange(W)[None, :]
+                y = (((r * 3 + c * 5 + d) % 160) + 40).astype(np.uint8)
+                r2 = np.arange(H // 2)[:, None]
+                c2 = np.arange(W // 2)[None, :]
+                u = (((r2 * 7 + c2 * 11 + d) % 100) + 78).astype(np.uint8)
+                v = (((r2 * 5 + c2 * 3 + 2 * d) % 120) + 60).astype(
+                    np.uint8
+                )
+                frame, (rY, rU, rV) = encode_vp8_keyframe(y, u, v, qi=qi)
+                dw, dh, dY, dU, dV = decode_vp8_planes(frame)
+                ok = (
+                    (dw, dh) == (W, H)
+                    and np.array_equal(dY, rY)
+                    and np.array_equal(dU, rU)
+                    and np.array_equal(dV, rV)
+                )
+                # recon error must scale sanely with the quantizer
+                ok = ok and int(
+                    np.abs(rY[:H, :W].astype(np.int64) - y).max()
+                ) <= (32 if qi <= 40 else 96)
+                if ok:
+                    rows.append((
+                        d, W, H, qi,
+                        int(np.sum(y, dtype=np.int64)),
+                        int(np.sum(u, dtype=np.int64)),
+                        int(np.sum(v, dtype=np.int64)),
+                    ))
+                else:
+                    rows.append((d, W, H, qi, -1, -1, -1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "qindex",
+                    "y_sum", "u_sum", "v_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, width long, height long, qindex long, "
+            "y_sum long, u_sum long, v_sum long"
+        ),
+    )

@@ -898,20 +898,32 @@ def test_optional_codec_detection_absent_path():
     probed = {f for f, mods in OPTIONAL_CODEC_LIBS.items() if mods}
     if any(support[f] for f in probed):
         pytest.skip("optional codec libs installed; absent path untestable")
-    with pytest.raises(UnsupportedMediaError, match="optional codec"):
+    # r13: lossy VP8 keyframes decode for REAL (operators/vp8.py), so
+    # a malformed VP8 chunk raises the decoder's own one-exception
+    # message, while a WebP with NO decodable chunk (VP8X-only) still
+    # names the optional extra
+    with pytest.raises(UnsupportedMediaError, match="vp8"):
         decode_webp(_webp_payload())
-    # r12: MPEG-1 Layer III decodes for REAL (operators/mp3.py), so the
-    # seam-naming contract now applies to the decoder's honest residue —
-    # an MPEG-2 (LSF) stream names the missing extra
-    with pytest.raises(UnsupportedMediaError, match="soundfile"):
-        decode_audio(b"\xff\xf3\x90\x00" + b"\x00" * 64)
+    vp8x_only = (
+        b"RIFF" + (22).to_bytes(4, "little") + b"WEBPVP8X"
+        + (10).to_bytes(4, "little") + b"\x00" * 10
+    )
+    with pytest.raises(UnsupportedMediaError, match="optional codec"):
+        decode_webp(vp8x_only)
+    # r13: MPEG-2/2.5 and Layer II decode for REAL too, so the
+    # seam-naming contract now applies to the last honest residue —
+    # a free-format stream (bitrate index 0) names the missing extra
+    with pytest.raises(UnsupportedMediaError, match="free-format"):
+        decode_audio(b"\xff\xfb\x00\x00" + b"\x00" * 64)
     # and a sniffed-as-MP3 payload with no actual frame is a malformed-
     # stream error from the real decoder, not a seam miss
     with pytest.raises(UnsupportedMediaError, match="mp3"):
         decode_audio(b"ID3\x04\x00" + b"\x00" * 64)
-    # magic-byte router sends WebP into the same contract
-    with pytest.raises(UnsupportedMediaError, match="optional codec"):
+    # magic-byte router sends WebP into the same contracts
+    with pytest.raises(UnsupportedMediaError, match="vp8"):
         decode_image(_webp_payload())
+    with pytest.raises(UnsupportedMediaError, match="optional codec"):
+        decode_image(vp8x_only)
 
 
 def test_optional_codec_absent_keeps_decoded_false_contract(spark):

@@ -38,6 +38,7 @@ EXPECTED_FIRST_50 = [
     "mp3_lsf_decode_stats",
     "mp3_layer2_decode_stats",
     "h264_cabac_decode_stats",
+    "vp8_decode_stats",
     "edf_date_parse",
     "overlap_validation",
     "rolling_fingerprint",
@@ -84,7 +85,6 @@ EXPECTED_FIRST_50 = [
     "pagerank_type_graph",
     "image_decode_stats",
     "audio_decode_stats",
-    "video_frame_stats",
 ]
 
 
@@ -107,8 +107,8 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10/r11 additions + the 10 r12 rows
-    # + the 3 r13 codec rows
-    assert len(QUERIES) == 164
+    # + the 4 r13 codec rows
+    assert len(QUERIES) == 165
 
 
 def test_every_query_has_a_family():
