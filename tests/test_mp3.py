@@ -961,19 +961,23 @@ def test_layer2_round_trip_all_tables_exact():
     )
 
     cases = [
-        (44100, 128, 2, 1),   # a, stereo
-        (44100, 96, 1, 1),    # b, mono
-        (44100, 48, 1, 1),    # c, mono
-        (32000, 48, 1, 1),    # d, mono
-        (16000, 64, 1, 2),    # lsf
-        (11025, 32, 1, 25),   # lsf @ 2.5 rate
+        (44100, 128, 2, 1, None),   # a, stereo
+        (44100, 96, 1, 1, None),    # b, mono
+        (44100, 48, 1, 1, None),    # c, mono
+        (32000, 48, 1, 1, None),    # d, mono
+        (16000, 64, 1, 2, None),    # lsf
+        (11025, 32, 1, 25, None),   # lsf @ 2.5 rate
+        (44100, 160, 2, 1, 1),      # a, JOINT (bound 8): shared codes
+        (24000, 96, 2, 2, 2),       # lsf, JOINT (bound 12)
     ]
     rng = np.random.default_rng(5)
-    for rate, kbps, nch, version in cases:
+    for rate, kbps, nch, version, mext in cases:
+        joint = mext is not None
         hdr_probe = {"lsf": version != 1, "bitrate": kbps * 1000,
                      "rate": rate, "n_channels": nch}
         rows = _L2_TABLES[_l2_table_key(hdr_probe)]
         sbl = len(rows)
+        bound = sbl if not joint else min((mext + 1) * 4, sbl)
         alloc = [[0] * sbl for _ in range(nch)]
         scfsi = [[int(rng.integers(0, 4)) for _ in range(sbl)]
                  for _ in range(nch)]
@@ -987,6 +991,9 @@ def test_layer2_round_trip_all_tables_exact():
                     alloc[ch][sb] = int(
                         rng.integers(1, min(len(rows[sb][1]), 3) + 1)
                     )
+        for sb in range(bound, sbl):  # shared allocation above the bound
+            for ch in range(1, nch):
+                alloc[ch][sb] = alloc[0][sb]
         codes = [[[[0, 0, 0] for _ in range(sbl)] for _ in range(nch)]
                  for _ in range(12)]
         for gr in range(12):
@@ -1000,8 +1007,10 @@ def test_layer2_round_trip_all_tables_exact():
                         ]
         frames = [{"alloc": alloc, "scfsi": scfsi, "scf_idx": scf_idx,
                    "codes": codes}]
-        stream = encode_mp3_layer2(frames, rate=rate, bitrate_kbps=kbps,
-                                   n_channels=nch, version=version)
+        stream = encode_mp3_layer2(
+            frames, rate=rate, bitrate_kbps=kbps, n_channels=nch,
+            version=version, joint=joint, mode_ext=mext or 0,
+        )
         hdr, S, pcm = decode_mp3_frames(stream)[0]
         assert pcm.shape == (1152, nch)
         for gr in range(12):
@@ -1017,8 +1026,11 @@ def test_layer2_round_trip_all_tables_exact():
                     pidx = {0: (0, 1, 2), 1: (0, 0, 2),
                             2: (0, 0, 0), 3: (0, 1, 1)}[si][part]
                     sf = float(_SF_TABLE_L1[scf_idx[ch][sb][pidx]])
+                    # above the joint bound the CODES are channel 0's
+                    # (shared), the scalefactor stays per-channel
+                    src_ch = ch if sb < bound else 0
                     for s in range(3):
-                        exp = _l2_requant(codes[gr][ch][sb][s], n) * sf
+                        exp = _l2_requant(codes[gr][src_ch][sb][s], n) * sf
                         assert abs(S[3 * gr + s, ch, sb] - exp) < 1e-12, (
                             rate, kbps, ch, sb, gr, s)
 
