@@ -2701,7 +2701,7 @@ def _deblock_picture(ctx: _PicCtx, chroma_qp_offset: int) -> None:
                         plane[cyy, ccols] = nq0
 
 
-def decode_h264_ipcm(payload: bytes):
+def decode_h264(payload: bytes):
     """Annex-B H.264 → (width, height, [(Y, U, V)]) for the implemented
     subset — I_PCM, CAVLC intra, CABAC intra, P-slice inter,
     deblocked, B-slice bi-predicted, and weighted-prediction streams
@@ -2862,10 +2862,13 @@ def decode_h264_ipcm(payload: bytes):
                         if not sps.monochrome and r.read(1):
                             wcb, ocb = r.se(), r.se()
                             wcr, ocr = r.se(), r.se()
-                        for v in (wy, wcb, wcr):
+                        # spec §7.4.3.2 bounds weights AND offsets to
+                        # [-128, 127] (ADVICE r13: offsets previously
+                        # clipped silently in _wp_single/_wp_bi)
+                        for v in (wy, wcb, wcr, oy, ocb, ocr):
                             if not -128 <= v <= 127:
                                 raise UnsupportedMediaError(
-                                    "h264: weight out of range"
+                                    "h264: weight/offset out of range"
                                 )
                         lst.append((wy, oy, wcb, ocb, wcr, ocr))
                     return lst
@@ -3113,6 +3116,12 @@ def decode_h264_ipcm(payload: bytes):
                  sps.crop_left // 2 : (sps.crop_left + w) // 2],
         ))
     return w, h, out
+
+
+# Historical name (the function long outgrew its I_PCM-only first
+# round): kept as an alias so the plugin registry and external callers
+# that bound the old name keep working (VERDICT r13 hygiene item).
+decode_h264_ipcm = decode_h264
 
 
 def _nal(nal_ref_idc: int, nal_type: int, rbsp: bytes) -> bytes:

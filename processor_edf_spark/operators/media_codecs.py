@@ -927,14 +927,17 @@ def _has_vp8l_chunk(payload: bytes) -> bool:
 
 def decode_webp(payload: bytes) -> np.ndarray:
     """WebP → HxWx3 uint8 RGB via a registered plugin, else the
-    pure-python VP8L plugin for LOSSLESS payloads, else Pillow when
-    installed; otherwise the one-exception contract
+    pure-python VP8L plugin for LOSSLESS payloads, the pure-python VP8
+    plugin (operators/vp8.py) for lossy keyframes it can decode, else
+    Pillow when installed; otherwise the one-exception contract
     (UnsupportedMediaError naming the extra).  A registered ``webp``
     plugin takes precedence — it is what made
     ``optional_codec_support`` report the format available, so it must
-    be what decodes.  Lossy (``VP8 ``) payloads still need the
-    optional extra: the split keeps lossless REAL everywhere without
-    overclaiming the lossy profile."""
+    be what decodes.  Lossy (``VP8 ``) payloads outside the
+    pure-python subset fall through to Pillow when installed (the
+    plugin's honest UnsupportedMediaError seams route there, same
+    discipline as decode_mp3), so a Pillow deployment keeps decoding
+    everything it did before the plugin existed."""
     plugin = get_codec_plugin("webp")
     if plugin is not None:
         return plugin(payload)
@@ -942,13 +945,18 @@ def decode_webp(payload: bytes) -> np.ndarray:
     lossless = get_codec_plugin("webp_lossless")
     if lossless is not None and kind == "VP8L":
         return lossless(payload)
-    # lossy (VP8) keyframes: the pure-python plugin (operators/vp8.py,
-    # r13 — keyframe intra subset, documented derived-table
-    # deviations); its honest residue raises through to the
-    # optional-extra contract below
+    # lossy (VP8) keyframes: the pure-python plugin (operators/vp8.py)
+    # decodes what it honestly can; its documented seams raise
+    # UnsupportedMediaError, which falls through to Pillow when that
+    # optional extra is installed (mirroring decode_mp3's routing) so
+    # the plugin never regresses a Pillow deployment's coverage
     lossy = get_codec_plugin("webp_lossy")
     if lossy is not None and kind == "VP8 ":
-        return lossy(payload)
+        try:
+            return lossy(payload)
+        except UnsupportedMediaError:
+            if not optional_codec_support().get("webp"):
+                raise
     _require_optional("webp")
     import io
 

@@ -582,6 +582,16 @@ def decode_vp8_planes(payload: bytes):
             else:
                 uvmodes[my, mx] = _H if not hd.read(_KF_UVMODE_PROBS[2]) else _TM
 
+    # first partition must end near its declared size: a desynced bool
+    # decoder (e.g. a third-party stream read with this module's
+    # derived probabilities) that happens to parse all mode fields
+    # without tripping a syntax gate would leave a large unread tail —
+    # fail structurally instead of returning garbage (ADVICE r13)
+    if len(hd.data) - hd.pos > 8:
+        raise UnsupportedMediaError(
+            "vp8: first partition not consumed (probable desync)"
+        )
+
     td = _BoolDec(payload[10 + first_part_size :])
     q = _quantizers(qi)
     Y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
@@ -664,6 +674,15 @@ def decode_vp8_planes(payload: bytes):
             Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
                 predY + resY, 0, 255
             ).astype(np.uint8)
+
+    # token partition consumed within a small slack — the complement of
+    # the _fill overrun guard: a desync that UNDER-consumes (flat-prob
+    # garbage decode completing all macroblocks early) is rejected here
+    # rather than returned as a successful decode (ADVICE r13)
+    if len(td.data) - td.pos > 8:
+        raise UnsupportedMediaError(
+            "vp8: token partition not consumed (probable desync)"
+        )
 
     return width, height, Y, U, V
 

@@ -103,7 +103,11 @@ class _PlanRegistry:
     process) can no longer unpersist each other's live plan and force
     the planner lineage (and its per-file header reads) to re-execute
     (ADVICE r12).  Entries are O(job threads) small DataFrame handles;
-    the plan rows themselves are O(ranges) ~1 KB metadata."""
+    the plan rows themselves are O(ranges) ~1 KB metadata.  Every
+    swap() also sweeps entries whose owning thread has died (ADVICE
+    r13: ad-hoc ThreadPoolExecutors running one ranged job per fresh
+    thread must not accumulate one persisted plan per dead thread),
+    restoring the old single-slot bound for the serial-driver case."""
 
     def __init__(self):
         import threading
@@ -112,15 +116,21 @@ class _PlanRegistry:
         self._plans: dict[tuple, object] = {}
 
     def swap(self, key, df):
-        """Install ``df`` as the key's live plan; return the previous
-        one (for the caller to unpersist)."""
+        """Install ``df`` as the key's live plan; return the list of
+        displaced plans (the key's previous plan plus any entries owned
+        by dead threads) for the caller to unpersist."""
+        import threading
+
+        live = {t.ident for t in threading.enumerate()}
         with self._lock:
-            prev = self._plans.get(key)
-            if df is None:
-                self._plans.pop(key, None)
-            else:
+            displaced = [self._plans.pop(key, None)]
+            displaced.extend(
+                self._plans.pop(k)
+                for k in [k for k in self._plans if k[1] not in live]
+            )
+            if df is not None:
                 self._plans[key] = df
-        return prev
+        return [d for d in displaced if d is not None]
 
 
 _RANGE_PLANS = _PlanRegistry()
@@ -171,11 +181,11 @@ def _process_edf_directory_ranged(
         spark, input_dir, target_bytes=target_bytes, listing=listing
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # release the PREVIOUS invocation's persisted plan for THIS
-    # (session, thread) — long sessions running repeated jobs must not
-    # accumulate cached range partitions, while concurrent runs on
-    # other threads/sessions keep their live plans untouched
-    prev = _RANGE_PLANS.swap(_plan_key(spark), ranges)
-    if prev is not None:
+    # (session, thread) plus any plans stranded by dead job threads —
+    # long sessions running repeated jobs must not accumulate cached
+    # range partitions, while concurrent runs on other live
+    # threads/sessions keep their plans untouched
+    for prev in _RANGE_PLANS.swap(_plan_key(spark), ranges):
         try:
             prev.unpersist()
         except Exception:  # session of the old plan may be gone

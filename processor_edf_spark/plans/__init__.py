@@ -164,94 +164,105 @@ from processor_edf_spark.plans import analytics_r13  # noqa: E402,F401
 # moving_avg_daily_revenue) — then the stalest of the r11-window
 # members rotated out here.  New r13 queries take priority slots as
 # usual; test_window_covers_every_family stays the coverage gate.
+# r14 rotation, EXECUTED with a documented deviation from the r13
+# pre-declaration above: recomputing latest-green per member from the
+# CORRECTNESS_r01..r13 artifacts this round surfaced a staler block the
+# pre-declaration missed — 35 tail members whose LATEST driver green is
+# r5 (the r5 window, never re-seated since) plus boilerplate_ngrams
+# (r7).  The rotation's purpose is stalest-evidence-first, so those 36
+# lead the window (canonical tail order); the two sole-family anchors
+# (zorder_layout / corpus_job_report) keep their seats by construction;
+# the remaining 12 seats take the stalest r11-green tail members in
+# canonical tail order, with two family-coverage swaps (cosine_pairs /
+# ann_ivf_multiprobe -> table_profile_events / triangle_count_nn, the
+# only tail members carrying the profiling and graph families —
+# similarity stays covered via knn_graph_* / dedup_embedding_cosine /
+# semdedup_label in-window).  The r11-greens the pre-declaration slotted
+# that do not fit, and ALL the r12-greens it slotted, hold fresher
+# evidence than the r5 block and stay at 51+ (staleness-ordered: r11
+# remainder, then r12, then the rotated-out r13-window members).  New
+# r14 queries take priority slots as usual;
+# test_window_covers_every_family stays the coverage gate.
+# r15 rotation, PRE-DECLARED: the 19 r11-green members left at 51+
+# after this rotation lead the rotate-ins, in their canonical tail
+# order; then the stalest of the 48 r12-green tail members (rotated
+# out of the window at r13), in their canonical tail order, fill the
+# window.  Anchors and the family gate as above.
 _CANONICAL = [
-    # mp3_lsf_decode_stats / mp3_layer2_decode_stats (the r13 codec
-    # ratchet: MPEG-2/2.5 LSF Layer III and Layer II for real) take
-    # the first two r13 priority slots, displacing ngram_lang_profile
-    # and doc_length_histogram from positions 49-50 (text family stays
-    # covered in-window via rolling_fingerprint + doc_fingerprint;
-    # both keep their r11 greens at 51+).
-    "mp3_lsf_decode_stats",
-    "mp3_layer2_decode_stats",
-    # h264_cabac_decode_stats (the r13 CABAC-intra entropy layer under
-    # the value oracle) takes the third r13 priority slot, displacing
-    # doc_length_histogram's replacement at position 50 —
-    # edf_header_parse steps to 51+ (events family stays covered
-    # in-window via annotations_tal_parse + edf_range_decode and more;
-    # edf_header_parse keeps its r11 green).
-    "h264_cabac_decode_stats",
-    # vp8_decode_stats (the r13 lossy-WebP keyframe decoder under the
-    # value oracle) takes the fourth r13 priority slot, displacing
-    # video_frame_stats's neighbor at position 50 — edf_header_parse's
-    # replacement video_frame_stats steps to 51+ (multimodal family
-    # stays covered in-window via the twelve codec rows;
-    # video_frame_stats keeps its r11 green).
-    "vp8_decode_stats",
-    # ---- r13 driver window (50): the pre-declared rotation from the
-    # r12 note above, executed verbatim — the 28 stalest at 51+ lead
-    # (six held/displaced members, the 13 tpch r7-greens, the nine
-    # r12-displaced r10-greens), then the two sole-family anchors
-    # (zorder_layout / corpus_job_report — they can never rotate out
-    # while test_window_covers_every_family holds), then
-    # grouping_sets_revenue + split_assignment (r11 greens seating the
-    # grouping/sampling families the rotate-ins do not cover), then
-    # the 18 stalest r11-window members rotated out at r12 (r11
-    # greens, in their canonical tail order).  New r13 queries take
-    # priority slots on registration, displacing tail members whose
-    # family stays covered (noted inline when it happens).  Rotated
-    # out: the 41 non-anchor r12-window members not re-seated above,
-    # every one green in CORRECTNESS_r12 (50/50).
-    "edf_date_parse",
-    "overlap_validation",
-    "rolling_fingerprint",
-    "doc_fingerprint",
-    "dow_hour_heatmap",
-    "ntile_value_quartiles",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    "minhash_signatures",
-    "simhash_16",
-    "sliding_hour_counts",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "embedding_norm_stats",
-    "ann_topk_bruteforce",
-    "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
+    # ---- r14 driver window (50): the 36 stalest (r5 block + the r7
+    # straggler), the two sole-family anchors, then 12 r11-greens
+    # (family-coverage swaps noted above).
+    "agg_user_bounds",
+    "epoch_functions",
+    "get_or_create_parts",
+    "asof_last_signup",
+    "pivot_daily_event_counts",
+    "json_props_stats",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "cosine_lsh_pairs",
+    "dedup_embedding_cosine",
+    "q22_idle_rich_customers",
+    "semdedup_label",
+    "levenshtein_block_pairs",
+    "tfidf_top_terms",
+    "minhash_jaccard_estimate",
+    "contamination_ngram_overlap",
+    "bm25_top_docs",
+    "knn_graph_bruteforce",
+    "stratified_sample_lang",
+    "funnel_conversion",
+    "knn_graph_lsh",
+    "embedding_dim_stats",
+    "cohort_retention",
+    "token_entropy",
+    "funnel_k_stages",
+    "normalize_text",
+    "dedup_lsh_components",
+    "chunk_documents",
+    "bigram_lm_surprisal",
+    "jaccard_prefix_pairs",
+    "weighted_sample_aes",
+    "gopher_quality_flags",
+    "dsir_importance",
+    "source_mix_rates",
+    "shingle_novelty",
+    "boilerplate_ngrams",
     "zorder_layout",
     "corpus_job_report",
-    "grouping_sets_revenue",
-    "split_assignment",
-    "edf_range_decode",
-    "h264_cavlc_decode_stats",
-    "heavy_hitters_audit",
-    "merge_upsert_current",
-    "event_cooccurrence_lift",
-    "inter_arrival_histogram",
-    "events_job_report",
-    "percent_rank_cdf",
-    "annotations_tal_parse",
-    "cume_dist_cdf",
-    "ntile_cdf",
-    "pagerank_type_graph",
-    "image_decode_stats",
-    "audio_decode_stats",
     "video_frame_stats",
     "edf_header_parse",
     "ngram_lang_profile",
     "doc_length_histogram",
-    # ---- 51+: family-covered seats with driver greens on record ----
+    "quantize_embeddings_int8",
+    "filter_project_events",
+    "top3_orders_per_customer",
+    "set_ops_event_types",
+    "token_stats",
+    "dedup_exact",
+    "table_profile_events",
+    "triangle_count_nn",
+    # ---- 51+: family-covered seats with driver greens on record
+    # (staleness-ordered: r11 remainder, r12 block, r13 window) ----
+    "cosine_pairs",
+    "ann_ivf_multiprobe",
+    "anomaly_robust_z",
+    "time_weighted_avg_daily",
+    "ewma_user_values",
+    "gap_fill_hourly",
+    "event_transitions",
+    "dup_span_coverage",
+    "rolling_median_user",
+    "scd2_user_value_history",
+    "dedup_substring_rewrite",
+    "dedup_events_debounce",
+    "value_percent_rank",
+    "user_value_trend",
+    "full_outer_daily_activity",
+    "user_value_correlation",
+    "q18_large_orders",
+    "rate_crosscheck_users",
+    "session_window_events",
     "pq_adc_exact",
     "ivf_pq_search_exact",
     "mp3_decode_stats",
@@ -300,69 +311,54 @@ _CANONICAL = [
     "ann_ivf_label",
     "calibrate_events",
     "sample_hash_bucket",
-    "quantize_embeddings_int8",
-    "filter_project_events",
-    "top3_orders_per_customer",
-    "set_ops_event_types",
-    "token_stats",
-    "dedup_exact",
-    "cosine_pairs",
-    "ann_ivf_multiprobe",
-    "anomaly_robust_z",
-    "time_weighted_avg_daily",
-    "ewma_user_values",
-    "gap_fill_hourly",
-    "event_transitions",
-    "dup_span_coverage",
-    "rolling_median_user",
-    "scd2_user_value_history",
-    "triangle_count_nn",
-    "dedup_substring_rewrite",
-    "dedup_events_debounce",
-    "value_percent_rank",
-    "user_value_trend",
-    "table_profile_events",
-    "full_outer_daily_activity",
-    "user_value_correlation",
-    "q18_large_orders",
-    "rate_crosscheck_users",
-    "session_window_events",
-    "boilerplate_ngrams",
-    "agg_user_bounds",
-    "epoch_functions",
-    "get_or_create_parts",
-    "asof_last_signup",
-    "pivot_daily_event_counts",
-    "json_props_stats",
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "cosine_lsh_pairs",
-    "dedup_embedding_cosine",
-    "q22_idle_rich_customers",
-    "semdedup_label",
-    "levenshtein_block_pairs",
-    "tfidf_top_terms",
-    "minhash_jaccard_estimate",
-    "contamination_ngram_overlap",
-    "bm25_top_docs",
-    "knn_graph_bruteforce",
-    "stratified_sample_lang",
-    "funnel_conversion",
-    "knn_graph_lsh",
-    "embedding_dim_stats",
-    "cohort_retention",
-    "token_entropy",
-    "funnel_k_stages",
-    "normalize_text",
-    "dedup_lsh_components",
-    "chunk_documents",
-    "bigram_lm_surprisal",
-    "jaccard_prefix_pairs",
-    "weighted_sample_aes",
-    "gopher_quality_flags",
-    "dsir_importance",
-    "source_mix_rates",
-    "shingle_novelty",
+    "mp3_lsf_decode_stats",
+    "mp3_layer2_decode_stats",
+    "h264_cabac_decode_stats",
+    "vp8_decode_stats",
+    "edf_date_parse",
+    "overlap_validation",
+    "rolling_fingerprint",
+    "doc_fingerprint",
+    "dow_hour_heatmap",
+    "ntile_value_quartiles",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "minhash_signatures",
+    "simhash_16",
+    "sliding_hour_counts",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "embedding_norm_stats",
+    "ann_topk_bruteforce",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "grouping_sets_revenue",
+    "split_assignment",
+    "edf_range_decode",
+    "h264_cavlc_decode_stats",
+    "heavy_hitters_audit",
+    "merge_upsert_current",
+    "event_cooccurrence_lift",
+    "inter_arrival_histogram",
+    "events_job_report",
+    "percent_rank_cdf",
+    "annotations_tal_parse",
+    "cume_dist_cdf",
+    "ntile_cdf",
+    "pagerank_type_graph",
+    "image_decode_stats",
+    "audio_decode_stats",
 ]
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50

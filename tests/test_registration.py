@@ -8,14 +8,14 @@ rotate an unverified query in (or a required one out).  This test freezes
 the window explicitly; changing it must be a deliberate, reviewed edit of
 EXPECTED_FIRST_50 with a rotation note in plans/__init__.py.
 
-The r13 window (the rotation pre-declared in the r12 note in
-plans/__init__.py, executed verbatim): the 28 stalest at 51+ lead —
-the six held/displaced members, the 13 tpch r7-greens, the nine
-r12-displaced r10-greens — then the two sole-family anchors
-(zorder_layout / corpus_job_report), grouping_sets_revenue +
-split_assignment for grouping/sampling family coverage, and the 18
-stalest r11-window members rotated out at r12.  New r13 queries take
-priority slots on registration.
+The r14 window (stalest-first, with the documented deviation from the
+r13 pre-declaration — see the r14 rotation note in plans/__init__.py):
+the 35 r5-green tail members the pre-declaration missed plus
+boilerplate_ngrams (r7) lead, then the two sole-family anchors
+(zorder_layout / corpus_job_report), then 12 r11-greens with two
+family-coverage swaps (table_profile_events / triangle_count_nn for
+profiling / graph).  New r14 queries take priority slots on
+registration.
 ``test_window_covers_every_family`` keeps any future rotation
 coverage-neutral automatically.
 """
@@ -26,65 +26,64 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    # r13 window (rotation pre-declared in the r12 note in
-    # plans/__init__.py, executed verbatim): the 28 stalest at
-    # 51+ (six held/displaced, 13 tpch r7-greens, nine
-    # r12-displaced r10-greens), the two sole-family anchors,
-    # grouping_sets_revenue + split_assignment for family
-    # coverage, then the 18 stalest rotated-out r11 members.  r13
-    # priority slots: the two new codec rows, displacing
-    # ngram_lang_profile / doc_length_histogram (text family covered
-    # via rolling_fingerprint + doc_fingerprint).
-    "mp3_lsf_decode_stats",
-    "mp3_layer2_decode_stats",
-    "h264_cabac_decode_stats",
-    "vp8_decode_stats",
-    "edf_date_parse",
-    "overlap_validation",
-    "rolling_fingerprint",
-    "doc_fingerprint",
-    "dow_hour_heatmap",
-    "ntile_value_quartiles",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    "minhash_signatures",
-    "simhash_16",
-    "sliding_hour_counts",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "embedding_norm_stats",
-    "ann_topk_bruteforce",
-    "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
+    # r14 window: executed stalest-first with the documented deviation
+    # from the r13 pre-declaration (see the r14 rotation note in
+    # plans/__init__.py) — the 35 r5-green tail members the
+    # pre-declaration missed plus boilerplate_ngrams (r7) lead, then
+    # the two sole-family anchors, then 12 r11-greens with two
+    # family-coverage swaps (table_profile_events / triangle_count_nn
+    # for profiling / graph).  New r14 queries take priority slots on
+    # registration.
+    "agg_user_bounds",
+    "epoch_functions",
+    "get_or_create_parts",
+    "asof_last_signup",
+    "pivot_daily_event_counts",
+    "json_props_stats",
+    "minhash_lsh_pairs",
+    "simhash_near_pairs",
+    "cosine_lsh_pairs",
+    "dedup_embedding_cosine",
+    "q22_idle_rich_customers",
+    "semdedup_label",
+    "levenshtein_block_pairs",
+    "tfidf_top_terms",
+    "minhash_jaccard_estimate",
+    "contamination_ngram_overlap",
+    "bm25_top_docs",
+    "knn_graph_bruteforce",
+    "stratified_sample_lang",
+    "funnel_conversion",
+    "knn_graph_lsh",
+    "embedding_dim_stats",
+    "cohort_retention",
+    "token_entropy",
+    "funnel_k_stages",
+    "normalize_text",
+    "dedup_lsh_components",
+    "chunk_documents",
+    "bigram_lm_surprisal",
+    "jaccard_prefix_pairs",
+    "weighted_sample_aes",
+    "gopher_quality_flags",
+    "dsir_importance",
+    "source_mix_rates",
+    "shingle_novelty",
+    "boilerplate_ngrams",
     "zorder_layout",
     "corpus_job_report",
-    "grouping_sets_revenue",
-    "split_assignment",
-    "edf_range_decode",
-    "h264_cavlc_decode_stats",
-    "heavy_hitters_audit",
-    "merge_upsert_current",
-    "event_cooccurrence_lift",
-    "inter_arrival_histogram",
-    "events_job_report",
-    "percent_rank_cdf",
-    "annotations_tal_parse",
-    "cume_dist_cdf",
-    "ntile_cdf",
-    "pagerank_type_graph",
-    "image_decode_stats",
-    "audio_decode_stats",
+    "video_frame_stats",
+    "edf_header_parse",
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    "quantize_embeddings_int8",
+    "filter_project_events",
+    "top3_orders_per_customer",
+    "set_ops_event_types",
+    "token_stats",
+    "dedup_exact",
+    "table_profile_events",
+    "triangle_count_nn",
 ]
 
 
