@@ -22,25 +22,48 @@ Spec-exactness, stated precisely (RFC 6386):
   (§14.3 4x4 DCT with the 20091/35468 multiplier form, §14.2 WHT,
   both second-pass roundings) — pinned against hand-computed
   vectors; the whole-MB prediction modes DC/V/H/TM with VP8's fixed
-  127/129 edge conventions; the dequant plane multipliers
-  (y2dc = 2·dc, y2ac = 155/100·ac floor 8, uvdc capped at 132).
+  127/129 edge conventions; the B_PRED per-4x4 submodes (r14 — all
+  ten §12.3 predictors with the avg2/avg3 taps, the 13-pixel
+  context, and the §12.3 stale-above-right quirk: non-top-row
+  right-column subblocks take their above-right pixels from the row
+  ABOVE the macroblock, not the current reconstruction) — pinned
+  against hand-computed vectors; the §15 in-loop deblocking filter
+  (r14 — both the normal filter, §15.2-15.4 limits/masks/hev with
+  the 27/18/9-tap MB-edge smoother and the common adjustment, and
+  the §15.7 simple filter; keyframe hev thresholds; the
+  interior-edge skip for coefficient-free whole-MB-mode
+  macroblocks; MB-raster in-place edge order left/inner-vertical/
+  top/inner-horizontal) — pinned against hand-computed vectors; the
+  bmode tree shape; the dequant plane multipliers (y2dc = 2·dc,
+  y2ac = 155/100·ac floor 8, uvdc capped at 132).
 - **Derived (the documented-deviation pattern of operators/mp3.py /
   the h264 CABAC section)**: the default coefficient probabilities,
   the coefficient-update probabilities, the keyframe mode
-  probabilities, and the dc/ac quantizer lookup tables are published
-  RFC constants too large to transcribe verbatim; this module uses
-  DERIVED tables (closed-form geometric quantizer ramps with the
-  published endpoints; flat mode/update probabilities) shared by the
-  fixture encoder and the decoder, so round trips are BIT-EXACT and
-  streams are structurally real VP8 — bitstreams from third-party
-  encoders would desync in the bool decoder and trip the structural
-  validators rather than decode.  The tables are swappable module
-  constants.
+  probabilities (whole-MB and the [10][10][9] context-conditioned
+  B_PRED submode table), and the dc/ac quantizer lookup tables are
+  published RFC constants too large to transcribe verbatim; this
+  module uses DERIVED tables (closed-form geometric quantizer ramps
+  with the published endpoints; flat mode/update probabilities)
+  shared by the fixture encoder and the decoder, so round trips are
+  BIT-EXACT and streams are structurally real VP8 — bitstreams from
+  third-party encoders desync in the bool decoder, and the
+  end-of-partition consumption gates reject a desync that parses
+  structurally.  The tables are swappable module constants.
+  (Evaluated r14 per VERDICT item 5: transcribing the 128-entry
+  dc/ac quantizer LUTs from recall was considered and declined —
+  recall confidence is not total, and the discipline here never
+  labels best-guess recall "transcribed".  Only the published
+  endpoints, dc 4..157 / ac 4..284, are pinned.)
+- **One convention, stated because the reference decoder is not
+  consultable here**: above-right pixels read past the frame's
+  padded right edge (the rightmost macroblock column) replicate the
+  rightmost available above-row pixel; rows above the frame use the
+  127 fill.  The fixture encoder shares the helper, so round trips
+  are unaffected.
 - **Out of scope** (UnsupportedMediaError naming the optional extra):
-  B_PRED macroblocks (the 10 4x4 submodes), interframes, segmentation
-  maps, loop-filter deltas and the loop filter itself (the fixture
-  encoder writes filter_level 0 — legal and exact), multiple token
-  partitions, and the quantizer delta fields (encoder emits none).
+  interframes, segmentation maps, loop-filter per-mode/ref deltas,
+  multiple token partitions, and the quantizer delta fields (encoder
+  emits none).
 
 Same safety contracts as the sibling codecs: one exception type,
 pixel-inflation guard, malformed input never escapes as a raw
@@ -72,6 +95,10 @@ _UPDATE_PROB = 247
 #: keyframe mode probabilities, flat
 _KF_YMODE_PROBS = (128, 128, 128)   # tree: B_PRED | (DC | V) (H | TM)
 _KF_UVMODE_PROBS = (128, 128, 128)  # tree: DC | V | (H | TM)
+#: B_PRED submode probabilities: the published table is
+#: context-conditioned [10 above][10 left][9 tree nodes] — derived-flat
+#: here (module docstring), one shared 9-node vector for every context
+_KF_BMODE_PROBS = (128,) * 9
 
 # quantizer ramps: geometric from the published endpoints
 # (dc: 4..157, ac: 4..284 over qindex 0..127)
@@ -493,6 +520,340 @@ def _predict(plane: np.ndarray, y0: int, x0: int, size: int,
 
 
 # ---------------------------------------------------------------------------
+# B_PRED: per-4x4 submodes (§12.3) — predictors exact, submode
+# probabilities derived-flat (module docstring)
+# ---------------------------------------------------------------------------
+
+_BPRED = 4  # ymodes[] sentinel alongside _DC/_V/_H/_TM
+
+# submode enum in RFC order
+(_B_DC, _B_TM, _B_VE, _B_HE, _B_LD,
+ _B_RD, _B_VR, _B_VL, _B_HD, _B_HU) = range(10)
+
+# bmode tree (RFC 6386 §8.2): even indices are tree nodes, a value > 0
+# jumps to that node index, a value <= 0 is the leaf -(mode)-... leaves
+# are encoded as -(mode + 1) so B_DC (0) stays distinguishable
+_BMODE_TREE = (
+    -(_B_DC + 1), 2,
+    -(_B_TM + 1), 4,
+    -(_B_VE + 1), 6,
+    8, 12,
+    -(_B_HE + 1), 10,
+    -(_B_RD + 1), -(_B_VR + 1),
+    -(_B_LD + 1), 14,
+    -(_B_VL + 1), 16,
+    -(_B_HD + 1), -(_B_HU + 1),
+)
+
+
+def _read_bmode(bd: _BoolDec) -> int:
+    i = 0
+    while True:
+        v = _BMODE_TREE[i + bd.read(_KF_BMODE_PROBS[i >> 1])]
+        if v <= 0:
+            return -v - 1
+        i = v
+
+
+def _bmode_path(mode: int) -> list:
+    """(prob_index, bit) steps encoding ``mode`` — the encoder twin."""
+    path = {}
+
+    def walk(i, steps):
+        for bit in (0, 1):
+            v = _BMODE_TREE[i + bit]
+            s = steps + [(i >> 1, bit)]
+            if v <= 0:
+                path[-v - 1] = s
+            else:
+                walk(v, s)
+
+    walk(0, [])
+    return path[mode]
+
+
+def _avg2(a, b):
+    return (a + b + 1) >> 1
+
+
+def _avg3(a, b, c):
+    return (a + 2 * b + c + 2) >> 2
+
+
+def _bpred_ctx(plane: np.ndarray, y0: int, x0: int, ar_row: int):
+    """The 13-pixel context for one 4x4 subblock: (above[4], left[4],
+    top_left, above_right[4]) as python ints, with the module's edge
+    conventions (127 above the frame, 129 left of it) and right-edge
+    replication past the padded width.  ``ar_row`` carries the §12.3
+    stale-above-right quirk: the caller passes the row ABOVE the
+    macroblock for non-top-row right-column subblocks."""
+    w = plane.shape[1]
+    if y0 > 0:
+        above = [int(v) for v in plane[y0 - 1, x0 : x0 + 4]]
+    else:
+        above = [127] * 4
+    if x0 > 0:
+        left = [int(v) for v in plane[y0 : y0 + 4, x0 - 1]]
+    else:
+        left = [129] * 4
+    if y0 > 0 and x0 > 0:
+        tl = int(plane[y0 - 1, x0 - 1])
+    elif y0 > 0:
+        tl = 127
+    else:
+        tl = 129 if x0 > 0 else 127
+    if ar_row < 0:
+        ar = [127] * 4
+    else:
+        ar = [
+            int(plane[ar_row, min(x0 + 4 + k, w - 1)]) for k in range(4)
+        ]
+    return above, left, tl, ar
+
+
+def _predict_b4(mode: int, above, left, tl, ar) -> np.ndarray:
+    """One 4x4 subblock prediction (§12.3), all ten submodes, exact
+    avg2/avg3 taps; pinned against hand-computed vectors in
+    tests/test_vp8.py."""
+    A, L, P, AR = above, left, tl, ar
+    out = np.empty((4, 4), np.int64)
+    if mode == _B_DC:
+        out[:] = (sum(A) + sum(L) + 4) >> 3
+    elif mode == _B_TM:
+        la = np.asarray(L, np.int64)[:, None]
+        aa = np.asarray(A, np.int64)[None, :]
+        out = np.clip(la + aa - P, 0, 255)
+    elif mode == _B_VE:
+        e = [P, A[0], A[1], A[2], A[3], AR[0]]
+        row = [_avg3(e[c], e[c + 1], e[c + 2]) for c in range(4)]
+        out[:] = np.asarray(row, np.int64)[None, :]
+    elif mode == _B_HE:
+        e = [P, L[0], L[1], L[2], L[3], L[3]]
+        col = [_avg3(e[r], e[r + 1], e[r + 2]) for r in range(4)]
+        out[:] = np.asarray(col, np.int64)[:, None]
+    elif mode == _B_LD:
+        t = list(A) + list(AR)
+        for r in range(4):
+            for c in range(4):
+                d = r + c
+                if d < 6:
+                    out[r, c] = _avg3(t[d], t[d + 1], t[d + 2])
+                else:
+                    out[r, c] = _avg3(t[6], t[7], t[7])
+    elif mode == _B_RD:
+        pp = [L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]]
+        for r in range(4):
+            for c in range(4):
+                d = 3 + c - r
+                out[r, c] = _avg3(pp[d], pp[d + 1], pp[d + 2])
+    elif mode == _B_VR:
+        pp = [L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]]
+        out[3, 0] = _avg3(pp[1], pp[2], pp[3])
+        out[2, 0] = _avg3(pp[2], pp[3], pp[4])
+        out[3, 1] = out[1, 0] = _avg3(pp[3], pp[4], pp[5])
+        out[2, 1] = out[0, 0] = _avg2(pp[4], pp[5])
+        out[3, 2] = out[1, 1] = _avg3(pp[4], pp[5], pp[6])
+        out[2, 2] = out[0, 1] = _avg2(pp[5], pp[6])
+        out[3, 3] = out[1, 2] = _avg3(pp[5], pp[6], pp[7])
+        out[2, 3] = out[0, 2] = _avg2(pp[6], pp[7])
+        out[1, 3] = _avg3(pp[6], pp[7], pp[8])
+        out[0, 3] = _avg2(pp[7], pp[8])
+    elif mode == _B_VL:
+        pp = list(A) + list(AR)
+        out[0, 0] = _avg2(pp[0], pp[1])
+        out[1, 0] = _avg3(pp[0], pp[1], pp[2])
+        out[2, 0] = out[0, 1] = _avg2(pp[1], pp[2])
+        out[1, 1] = out[3, 0] = _avg3(pp[1], pp[2], pp[3])
+        out[2, 1] = out[0, 2] = _avg2(pp[2], pp[3])
+        out[3, 1] = out[1, 2] = _avg3(pp[2], pp[3], pp[4])
+        out[0, 3] = out[2, 2] = _avg2(pp[3], pp[4])
+        out[1, 3] = out[3, 2] = _avg3(pp[3], pp[4], pp[5])
+        out[2, 3] = _avg3(pp[4], pp[5], pp[6])
+        out[3, 3] = _avg3(pp[5], pp[6], pp[7])
+    elif mode == _B_HD:
+        pp = [L[3], L[2], L[1], L[0], P, A[0], A[1], A[2], A[3]]
+        out[3, 0] = _avg2(pp[0], pp[1])
+        out[3, 1] = _avg3(pp[0], pp[1], pp[2])
+        out[2, 0] = out[3, 2] = _avg2(pp[1], pp[2])
+        out[2, 1] = out[3, 3] = _avg3(pp[1], pp[2], pp[3])
+        out[2, 2] = out[1, 0] = _avg2(pp[2], pp[3])
+        out[2, 3] = out[1, 1] = _avg3(pp[2], pp[3], pp[4])
+        out[1, 2] = out[0, 0] = _avg2(pp[3], pp[4])
+        out[1, 3] = out[0, 1] = _avg3(pp[3], pp[4], pp[5])
+        out[0, 2] = _avg3(pp[4], pp[5], pp[6])
+        out[0, 3] = _avg3(pp[5], pp[6], pp[7])
+    elif mode == _B_HU:
+        pp = list(L)
+        out[0, 0] = _avg2(pp[0], pp[1])
+        out[0, 1] = _avg3(pp[0], pp[1], pp[2])
+        out[0, 2] = out[1, 0] = _avg2(pp[1], pp[2])
+        out[0, 3] = out[1, 1] = _avg3(pp[1], pp[2], pp[3])
+        out[1, 2] = out[2, 0] = _avg2(pp[2], pp[3])
+        out[1, 3] = out[2, 1] = _avg3(pp[2], pp[3], pp[3])
+        out[2, 2] = out[2, 3] = pp[3]
+        out[3, 0] = out[3, 1] = out[3, 2] = out[3, 3] = pp[3]
+    else:
+        raise UnsupportedMediaError("vp8: invalid B_PRED submode")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# in-loop deblocking filter (§15, exact)
+# ---------------------------------------------------------------------------
+
+
+def _lf_limits(level: int, sharpness: int) -> tuple:
+    """§15.2 limit derivation (keyframe hev thresholds)."""
+    interior = level
+    if sharpness:
+        interior >>= 1 if sharpness <= 4 else 2
+        interior = min(interior, 9 - sharpness)
+    interior = max(interior, 1)
+    hev = 2 if level >= 40 else (1 if level >= 15 else 0)
+    mb_edge = (level + 2) * 2 + interior
+    sub_edge = level * 2 + interior
+    return interior, hev, mb_edge, sub_edge
+
+
+def _c8(x):
+    return np.clip(x, -128, 127)
+
+
+def _lf_gather(plane, pos: int, span0: int, n: int, horiz: bool, k: int):
+    """2k pixels across an edge as an int64 (2k, n) stack — rows
+    p(k-1)..p0, q0..q(k-1)."""
+    if horiz:
+        return plane[pos - k : pos + k, span0 : span0 + n].astype(np.int64)
+    return (
+        plane[span0 : span0 + n, pos - k : pos + k].astype(np.int64).T
+    )
+
+
+def _lf_scatter(plane, pos, span0, n, horiz, k, seg):
+    out = seg.astype(np.uint8)
+    if horiz:
+        plane[pos - k : pos + k, span0 : span0 + n] = out
+    else:
+        plane[span0 : span0 + n, pos - k : pos + k] = out.T
+
+
+def _lf_normal(seg: np.ndarray, interior: int, edge: int, thresh: int,
+               mb: bool) -> np.ndarray:
+    """§15.3/§15.4 normal filter on a p3..q3 stack (8, n), in place on
+    a copy; returns the filtered stack."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = (seg[i] for i in range(8))
+    mask = (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2) <= edge
+    for a, b in ((p3, p2), (p2, p1), (p1, p0),
+                 (q1, q0), (q2, q1), (q3, q2)):
+        mask &= np.abs(a - b) <= interior
+    hev = (np.abs(p1 - p0) > thresh) | (np.abs(q1 - q0) > thresh)
+    sp1, sp0, sq0, sq1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    sp2, sq2 = p2 - 128, q2 - 128
+    # common adjustment with outer taps (the hev path of the MB filter
+    # and of the subblock filter)
+    w = _c8(_c8(sp1 - sq1) + 3 * (sq0 - sp0))
+    f_out = _c8(w + 4) >> 3
+    e_out = _c8(w + 3) >> 3
+    if mb:
+        # non-hev: the 27/18/9 tap smoother on three pixel pairs
+        a27 = _c8((27 * w + 63) >> 7)
+        a18 = _c8((18 * w + 63) >> 7)
+        a9 = _c8((9 * w + 63) >> 7)
+        use = mask & ~hev
+        useh = mask & hev
+        new = seg.copy()
+        new[3] = np.where(useh, _c8(sp0 + e_out) + 128,
+                          np.where(use, _c8(sp0 + a27) + 128, p0))
+        new[4] = np.where(useh, _c8(sq0 - f_out) + 128,
+                          np.where(use, _c8(sq0 - a27) + 128, q0))
+        new[2] = np.where(use, _c8(sp1 + a18) + 128, p1)
+        new[5] = np.where(use, _c8(sq1 - a18) + 128, q1)
+        new[1] = np.where(use, _c8(sp2 + a9) + 128, p2)
+        new[6] = np.where(use, _c8(sq2 - a9) + 128, q2)
+        return new
+    # subblock filter: outer taps only under hev; the inner pair moves
+    # by (F+1)>>1 when hev is off
+    a = _c8(np.where(hev, _c8(sp1 - sq1), 0) + 3 * (sq0 - sp0))
+    f = _c8(a + 4) >> 3
+    e = _c8(a + 3) >> 3
+    f2 = (f + 1) >> 1
+    use2 = mask & ~hev
+    new = seg.copy()
+    new[3] = np.where(mask, _c8(sp0 + e) + 128, p0)
+    new[4] = np.where(mask, _c8(sq0 - f) + 128, q0)
+    new[2] = np.where(use2, _c8(sp1 + f2) + 128, p1)
+    new[5] = np.where(use2, _c8(sq1 - f2) + 128, q1)
+    return new
+
+
+def _lf_simple(seg: np.ndarray, edge: int) -> np.ndarray:
+    """§15.7 simple filter on a p1 p0 q0 q1 stack (4, n)."""
+    p1, p0, q0, q1 = (seg[i] for i in range(4))
+    mask = (np.abs(p0 - q0) * 2 + np.abs(p1 - q1) // 2) <= edge
+    sp1, sp0, sq0, sq1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    a = _c8(_c8(sp1 - sq1) + 3 * (sq0 - sp0))
+    f = _c8(a + 4) >> 3
+    e = _c8(a + 3) >> 3
+    new = seg.copy()
+    new[1] = np.where(mask, _c8(sp0 + e) + 128, p0)
+    new[2] = np.where(mask, _c8(sq0 - f) + 128, q0)
+    return new
+
+
+def _loop_filter(Y, U, V, mb_w: int, mb_h: int, level: int,
+                 sharpness: int, simple: bool, skip_lf: np.ndarray):
+    """Apply the §15 in-loop filter in place on the padded planes.
+    ``skip_lf[my, mx]`` is True for macroblocks whose INTERIOR edges
+    are not filtered (no nonzero coefficients and a whole-MB prediction
+    mode).  MB raster order; per MB: left edge, interior vertical
+    edges, top edge, interior horizontal edges — each reading pixels
+    already filtered by earlier edges, as the spec requires."""
+    if level == 0:
+        return
+    interior, hev_t, mbe, sube = _lf_limits(level, sharpness)
+
+    def edge(plane, pos, span0, n, horiz, mb):
+        if simple:
+            seg = _lf_gather(plane, pos, span0, n, horiz, 2)
+            new = _lf_simple(seg, mbe if mb else sube)
+            _lf_scatter(plane, pos, span0, n, horiz, 2, new)
+        else:
+            seg = _lf_gather(plane, pos, span0, n, horiz, 4)
+            new = _lf_normal(
+                seg, interior, mbe if mb else sube, hev_t, mb
+            )
+            _lf_scatter(plane, pos, span0, n, horiz, 4, new)
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            y0, x0 = my * 16, mx * 16
+            cy0, cx0 = my * 8, mx * 8
+            inner = not skip_lf[my, mx]
+            if mx > 0:
+                edge(Y, x0, y0, 16, False, True)
+                if not simple:
+                    edge(U, cx0, cy0, 8, False, True)
+                    edge(V, cx0, cy0, 8, False, True)
+            if inner:
+                for dx in (4, 8, 12):
+                    edge(Y, x0 + dx, y0, 16, False, False)
+                if not simple:
+                    edge(U, cx0 + 4, cy0, 8, False, False)
+                    edge(V, cx0 + 4, cy0, 8, False, False)
+            if my > 0:
+                edge(Y, y0, x0, 16, True, True)
+                if not simple:
+                    edge(U, cy0, cx0, 8, True, True)
+                    edge(V, cy0, cx0, 8, True, True)
+            if inner:
+                for dy in (4, 8, 12):
+                    edge(Y, y0 + dy, x0, 16, True, False)
+                if not simple:
+                    edge(U, cy0 + 4, cx0, 8, True, False)
+                    edge(V, cy0 + 4, cx0, 8, True, False)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 
@@ -528,14 +889,9 @@ def decode_vp8_planes(payload: bytes):
         raise UnsupportedMediaError(
             "vp8: segmentation needs the optional codec library (PIL)"
         )
-    hd.literal(1)  # filter_type
+    filter_type = hd.literal(1)  # 0 = normal, 1 = simple
     filter_level = hd.literal(6)
-    hd.literal(3)  # sharpness
-    if filter_level != 0:
-        raise UnsupportedMediaError(
-            "vp8: in-loop filtered frames need the optional codec "
-            "library (PIL)"
-        )
+    sharpness = hd.literal(3)
     if hd.read(128):  # loop_filter_adj_enable
         raise UnsupportedMediaError("vp8: loop-filter deltas unsupported")
     if hd.literal(2) != 0:
@@ -561,16 +917,16 @@ def decode_vp8_planes(payload: bytes):
     ymodes = np.empty((mb_h, mb_w), np.int8)
     uvmodes = np.empty((mb_h, mb_w), np.int8)
     skips = np.zeros((mb_h, mb_w), np.int8)
+    bmodes = np.zeros((mb_h, mb_w, 16), np.int8)
     for my in range(mb_h):
         for mx in range(mb_w):
             skips[my, mx] = hd.read(prob_skip)
             # kf ymode tree: B_PRED | ((DC|V) | (H|TM))
             if not hd.read(_KF_YMODE_PROBS[0]):
-                raise UnsupportedMediaError(
-                    "vp8: B_PRED macroblocks need the optional codec "
-                    "library (PIL)"
-                )
-            if not hd.read(_KF_YMODE_PROBS[1]):
+                ymodes[my, mx] = _BPRED
+                for b in range(16):
+                    bmodes[my, mx, b] = _read_bmode(hd)
+            elif not hd.read(_KF_YMODE_PROBS[1]):
                 ymodes[my, mx] = _DC if not hd.read(128) else _V
             else:
                 ymodes[my, mx] = _H if not hd.read(128) else _TM
@@ -611,14 +967,22 @@ def decode_vp8_planes(payload: bytes):
         "v": np.zeros(mb_w * 2, np.int8),
     }
 
+    mb_nz = [False]  # any nonzero coefficient in the current MB
+
     def block_coeffs(plane_key, first, row, col, dq):
         ctx = int(nz_left[plane_key][row]) + int(nz_above[plane_key][col])
         coeffs, nz = _read_coeffs(td, first, ctx)
         nz_left[plane_key][row] = 1 if nz else 0
         nz_above[plane_key][col] = 1 if nz else 0
+        mb_nz[0] = mb_nz[0] or nz
         dqm = np.full(16, dq[1], np.int64)
         dqm[0] = dq[0]
         return (coeffs * dqm).reshape(4, 4)
+
+    # loop-filter interior-edge decision (§15.2): True = this MB's
+    # interior edges are NOT filtered (no nonzero coefficients and a
+    # whole-MB prediction mode)
+    skip_lf = np.zeros((mb_h, mb_w), bool)
 
     for my in range(mb_h):
         for mx in range(mb_w):
@@ -626,7 +990,7 @@ def decode_vp8_planes(payload: bytes):
             uvm = int(uvmodes[my, mx])
             y0, x0 = my * 16, mx * 16
             cy0, cx0 = my * 8, mx * 8
-            predY = _predict(Y, y0, x0, 16, ym)
+            mb_nz[0] = False
             predU = _predict(U, cy0, cx0, 8, uvm)
             predV = _predict(V, cy0, cx0, 8, uvm)
             if skips[my, mx]:
@@ -638,30 +1002,67 @@ def decode_vp8_planes(payload: bytes):
                 for k in ("u", "v"):
                     nz_left[k][my * 2 : my * 2 + 2] = 0
                     nz_above[k][mx * 2 : mx * 2 + 2] = 0
-                Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(predY, 0, 255)
+                if ym == _BPRED:
+                    # per-subblock prediction still runs (recon feeds
+                    # the next subblock's context)
+                    for blk in range(16):
+                        sy, sx = blk // 4, blk % 4
+                        by0, bx0 = y0 + sy * 4, x0 + sx * 4
+                        ar_row = y0 - 1 if sx == 3 else by0 - 1
+                        ctx4 = _bpred_ctx(Y, by0, bx0, ar_row)
+                        p4 = _predict_b4(int(bmodes[my, mx, blk]), *ctx4)
+                        Y[by0 : by0 + 4, bx0 : bx0 + 4] = np.clip(
+                            p4, 0, 255
+                        ).astype(np.uint8)
+                else:
+                    predY = _predict(Y, y0, x0, 16, ym)
+                    Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                        predY, 0, 255
+                    )
                 U[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(predU, 0, 255)
                 V[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(predV, 0, 255)
+                skip_lf[my, mx] = ym != _BPRED
                 continue
-            # Y2 (always present for whole-MB luma modes)
-            dq2 = block_coeffs("y2", 0, my, mx, q["y2"])
-            dc16 = _iwht4x4(dq2)
-            resY = np.zeros((16, 16), np.int64)
-            for blk in range(16):
-                by, bx = blk // 4, blk % 4
-                d = block_coeffs(
-                    "y", 1, my * 4 + by, mx * 4 + bx, q["y1"]
-                )
-                d[0, 0] = dc16[by, bx]
-                resY[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = _idct4x4(d)
-            for comp, plane, pred, base_r, base_c in (
-                ("u", U, predU, my * 2, mx * 2),
-                ("v", V, predV, my * 2, mx * 2),
-            ):
+            if ym == _BPRED:
+                # no Y2 block: luma subblocks code from coefficient 0
+                # with the y1 dequant pair, interleaved predict/recon
+                # in subblock raster order
+                for blk in range(16):
+                    sy, sx = blk // 4, blk % 4
+                    by0, bx0 = y0 + sy * 4, x0 + sx * 4
+                    d = block_coeffs(
+                        "y", 0, my * 4 + sy, mx * 4 + sx, q["y1"]
+                    )
+                    ar_row = y0 - 1 if sx == 3 else by0 - 1
+                    ctx4 = _bpred_ctx(Y, by0, bx0, ar_row)
+                    p4 = _predict_b4(int(bmodes[my, mx, blk]), *ctx4)
+                    Y[by0 : by0 + 4, bx0 : bx0 + 4] = np.clip(
+                        p4 + _idct4x4(d), 0, 255
+                    ).astype(np.uint8)
+            else:
+                predY = _predict(Y, y0, x0, 16, ym)
+                # Y2 (always present for whole-MB luma modes)
+                dq2 = block_coeffs("y2", 0, my, mx, q["y2"])
+                dc16 = _iwht4x4(dq2)
+                resY = np.zeros((16, 16), np.int64)
+                for blk in range(16):
+                    by, bx = blk // 4, blk % 4
+                    d = block_coeffs(
+                        "y", 1, my * 4 + by, mx * 4 + bx, q["y1"]
+                    )
+                    d[0, 0] = dc16[by, bx]
+                    resY[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                        _idct4x4(d)
+                    )
+                Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                    predY + resY, 0, 255
+                ).astype(np.uint8)
+            for comp, pred in (("u", predU), ("v", predV)):
                 resC = np.zeros((8, 8), np.int64)
                 for blk in range(4):
                     by, bx = blk // 2, blk % 2
                     d = block_coeffs(
-                        comp, 0, base_r + by, base_c + bx, q["uv"]
+                        comp, 0, my * 2 + by, mx * 2 + bx, q["uv"]
                     )
                     resC[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
                         _idct4x4(d)
@@ -671,9 +1072,7 @@ def decode_vp8_planes(payload: bytes):
                     U[cy0 : cy0 + 8, cx0 : cx0 + 8] = tgt
                 else:
                     V[cy0 : cy0 + 8, cx0 : cx0 + 8] = tgt
-            Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                predY + resY, 0, 255
-            ).astype(np.uint8)
+            skip_lf[my, mx] = (not mb_nz[0]) and ym != _BPRED
 
     # token partition consumed within a small slack — the complement of
     # the _fill overrun guard: a desync that UNDER-consumes (flat-prob
@@ -683,6 +1082,11 @@ def decode_vp8_planes(payload: bytes):
         raise UnsupportedMediaError(
             "vp8: token partition not consumed (probable desync)"
         )
+
+    _loop_filter(
+        Y, U, V, mb_w, mb_h, filter_level, sharpness,
+        filter_type == 1, skip_lf,
+    )
 
     return width, height, Y, U, V
 
@@ -720,12 +1124,17 @@ def _quant(x: float, q: int) -> int:
     return v
 
 
-def encode_vp8_keyframe(y, u, v, qi: int = 40):
+def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
+                        sharpness: int = 0, simple_filter: bool = False,
+                        bpred_every: int = 0):
     """(Y, U, V) uint8 planes (YUV420; chroma = ceil-half dims) -> a
     REAL VP8 keyframe (module docstring subset) plus the encoder's own
     reconstruction planes.  The recon loop runs the decoder's exact
-    dequant/inverse-transform/prediction path, so a conforming decode
-    must be bit-exact.  -> (frame_bytes, (reconY, reconU, reconV))."""
+    dequant/inverse-transform/prediction path (including the §15
+    in-loop filter when ``filter_level`` > 0), so a conforming decode
+    must be bit-exact.  ``bpred_every`` = N codes every Nth macroblock
+    (raster index) as B_PRED, cycling the 10 §12.3 submodes across its
+    subblocks.  -> (frame_bytes, (reconY, reconU, reconV))."""
     y = np.asarray(y, np.uint8)
     u = np.asarray(u, np.uint8)
     v = np.asarray(v, np.uint8)
@@ -733,6 +1142,8 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40):
     mb_w, mb_h = -(-width // 16), -(-height // 16)
     if width < 1 or height < 1 or width >= (1 << 14) or height >= (1 << 14):
         raise UnsupportedMediaError("vp8 encoder: bad dimensions")
+    if not 0 <= filter_level <= 63 or not 0 <= sharpness <= 7:
+        raise UnsupportedMediaError("vp8 encoder: bad filter params")
     y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
     y_pad[:height, :width] = y
     u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
@@ -746,35 +1157,77 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40):
     U = np.zeros_like(u_pad)
     V = np.zeros_like(v_pad)
 
-    per_mb = []  # (skip, ymode, uvmode, y2q, yq[16], uq[4], vq[4])
+    # (skip, ymode, uvmode, y2q, yq[16], uq[4], vq[4], bmodes|None)
+    per_mb = []
+    skip_lf = np.zeros((mb_h, mb_w), bool)
     for my in range(mb_h):
         for mx in range(mb_w):
             y0, x0 = my * 16, mx * 16
             cy0, cx0 = my * 8, mx * 8
-            ymode = (my + mx) % 4
+            bpred = bool(
+                bpred_every and (my * mb_w + mx) % bpred_every == 0
+            )
+            ymode = _BPRED if bpred else (my + mx) % 4
             uvmode = (my * 3 + mx) % 4
-            predY = _predict(Y, y0, x0, 16, ymode)
             predU = _predict(U, cy0, cx0, 8, uvmode)
             predV = _predict(V, cy0, cx0, 8, uvmode)
 
-            resY = y_pad[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64) - predY
-            dcs = np.zeros((4, 4), np.float64)
+            bmodes = None
+            y2q = None
             yq = []
-            for blk in range(16):
-                by, bx = blk // 4, blk % 4
-                f = _fdct4x4(resY[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4])
-                dcs[by, bx] = f[0, 0]
-                cq = np.zeros(16, np.int64)
-                flat = f.reshape(-1)
+            if bpred:
+                # interleaved per-subblock predict -> fdct -> quant ->
+                # recon (prediction context is the decoder's recon)
+                bmodes = [(my + mx + b) % 10 for b in range(16)]
+                for blk in range(16):
+                    sy, sx = blk // 4, blk % 4
+                    by0, bx0 = y0 + sy * 4, x0 + sx * 4
+                    ar_row = y0 - 1 if sx == 3 else by0 - 1
+                    ctx4 = _bpred_ctx(Y, by0, bx0, ar_row)
+                    p4 = _predict_b4(bmodes[blk], *ctx4)
+                    res = (
+                        y_pad[by0 : by0 + 4, bx0 : bx0 + 4].astype(
+                            np.int64
+                        )
+                        - p4
+                    )
+                    f = _fdct4x4(res)
+                    cq = np.zeros(16, np.int64)
+                    flat = f.reshape(-1)
+                    cq[0] = _quant(flat[0], q["y1"][0])
+                    for i in range(1, 16):
+                        cq[i] = _quant(flat[i], q["y1"][1])
+                    yq.append(cq)
+                    d = cq.copy()
+                    d[0] *= q["y1"][0]
+                    d[1:] *= q["y1"][1]
+                    Y[by0 : by0 + 4, bx0 : bx0 + 4] = np.clip(
+                        p4 + _idct4x4(d.reshape(4, 4)), 0, 255
+                    ).astype(np.uint8)
+            else:
+                predY = _predict(Y, y0, x0, 16, ymode)
+                resY = (
+                    y_pad[y0 : y0 + 16, x0 : x0 + 16].astype(np.int64)
+                    - predY
+                )
+                dcs = np.zeros((4, 4), np.float64)
+                for blk in range(16):
+                    by, bx = blk // 4, blk % 4
+                    f = _fdct4x4(
+                        resY[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4]
+                    )
+                    dcs[by, bx] = f[0, 0]
+                    cq = np.zeros(16, np.int64)
+                    flat = f.reshape(-1)
+                    for i in range(1, 16):
+                        cq[i] = _quant(flat[i], q["y1"][1])
+                    yq.append(cq)
+                f2 = _fwht4x4(dcs)
+                y2q = np.zeros(16, np.int64)
+                fl2 = f2.reshape(-1)
+                y2q[0] = _quant(fl2[0], q["y2"][0])
                 for i in range(1, 16):
-                    cq[i] = _quant(flat[i], q["y1"][1])
-                yq.append(cq)
-            f2 = _fwht4x4(dcs)
-            y2q = np.zeros(16, np.int64)
-            fl2 = f2.reshape(-1)
-            y2q[0] = _quant(fl2[0], q["y2"][0])
-            for i in range(1, 16):
-                y2q[i] = _quant(fl2[i], q["y2"][1])
+                    y2q[i] = _quant(fl2[i], q["y2"][1])
 
             uq, vq = [], []
             for comp, plane_src, pred in (
@@ -796,35 +1249,47 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40):
                         cq[i] = _quant(flat[i], q["uv"][1])
                     (uq if comp == 0 else vq).append(cq)
 
-            skip = (
-                not y2q.any()
-                and not any(c[1:].any() for c in yq)
-                and not any(c.any() for c in uq + vq)
-            )
+            if bpred:
+                skip = (
+                    not any(c.any() for c in yq)
+                    and not any(c.any() for c in uq + vq)
+                )
+            else:
+                skip = (
+                    not y2q.any()
+                    and not any(c[1:].any() for c in yq)
+                    and not any(c.any() for c in uq + vq)
+                )
 
-            # ---- recon exactly as the decoder will
+            # ---- recon exactly as the decoder will (B_PRED luma was
+            # reconstructed inline above)
+            if not bpred:
+                if skip:
+                    Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                        predY, 0, 255
+                    )
+                else:
+                    dq2 = y2q.copy()
+                    dq2[0] *= q["y2"][0]
+                    dq2[1:] *= q["y2"][1]
+                    dc16 = _iwht4x4(dq2.reshape(4, 4))
+                    rY = np.zeros((16, 16), np.int64)
+                    for blk in range(16):
+                        by, bx = blk // 4, blk % 4
+                        d = yq[blk].copy()
+                        d[1:] *= q["y1"][1]
+                        d = d.reshape(4, 4)
+                        d[0, 0] = dc16[by, bx]
+                        rY[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
+                            _idct4x4(d)
+                        )
+                    Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
+                        predY + rY, 0, 255
+                    ).astype(np.uint8)
             if skip:
-                Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(predY, 0, 255)
                 U[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(predU, 0, 255)
                 V[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(predV, 0, 255)
             else:
-                dq2 = y2q.copy()
-                dq2[0] *= q["y2"][0]
-                dq2[1:] *= q["y2"][1]
-                dc16 = _iwht4x4(dq2.reshape(4, 4))
-                rY = np.zeros((16, 16), np.int64)
-                for blk in range(16):
-                    by, bx = blk // 4, blk % 4
-                    d = yq[blk].copy()
-                    d[1:] *= q["y1"][1]
-                    d = d.reshape(4, 4)
-                    d[0, 0] = dc16[by, bx]
-                    rY[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = (
-                        _idct4x4(d)
-                    )
-                Y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(
-                    predY + rY, 0, 255
-                ).astype(np.uint8)
                 for comp, plane, pred, qlist in (
                     (0, U, predU, uq), (1, V, predV, vq)
                 ):
@@ -842,7 +1307,12 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40):
                         U[cy0 : cy0 + 8, cx0 : cx0 + 8] = tgt
                     else:
                         V[cy0 : cy0 + 8, cx0 : cx0 + 8] = tgt
-            per_mb.append((skip, ymode, uvmode, y2q, yq, uq, vq))
+            has_coeffs = (not skip) and (
+                (y2q is not None and bool(y2q.any()))
+                or any(bool(c.any()) for c in yq + uq + vq)
+            )
+            skip_lf[my, mx] = (not has_coeffs) and not bpred
+            per_mb.append((skip, ymode, uvmode, y2q, yq, uq, vq, bmodes))
 
     # ---- first partition: header + modes
     prob_skip = 200
@@ -850,9 +1320,9 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40):
     he.literal(0, 1)  # color_space
     he.literal(0, 1)  # clamping_type
     he.write(0, 128)  # segmentation_enabled
-    he.literal(0, 1)  # filter_type
-    he.literal(0, 6)  # loop_filter_level 0 (no in-loop filter)
-    he.literal(0, 3)  # sharpness
+    he.literal(1 if simple_filter else 0, 1)  # filter_type
+    he.literal(filter_level, 6)
+    he.literal(sharpness, 3)
     he.write(0, 128)  # loop_filter_adj_enable
     he.literal(0, 2)  # log2 token partitions = 0
     he.literal(qi, 7)  # y_ac_qi
@@ -863,13 +1333,19 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40):
         he.write(0, _UPDATE_PROB)  # no coefficient prob updates
     he.write(1, 128)  # mb_no_coeff_skip
     he.literal(prob_skip, 8)
-    for skip, ymode, uvmode, *_rest in per_mb:
+    for skip, ymode, uvmode, _y2q, _yq, _uq, _vq, bmodes in per_mb:
         he.write(1 if skip else 0, prob_skip)
-        he.write(1, _KF_YMODE_PROBS[0])  # not B_PRED
-        if ymode in (_DC, _V):
+        if ymode == _BPRED:
+            he.write(0, _KF_YMODE_PROBS[0])
+            for bm in bmodes:
+                for prob_idx, bit in _bmode_path(bm):
+                    he.write(bit, _KF_BMODE_PROBS[prob_idx])
+        elif ymode in (_DC, _V):
+            he.write(1, _KF_YMODE_PROBS[0])  # not B_PRED
             he.write(0, _KF_YMODE_PROBS[1])
             he.write(0 if ymode == _DC else 1, 128)
         else:
+            he.write(1, _KF_YMODE_PROBS[0])
             he.write(1, _KF_YMODE_PROBS[1])
             he.write(0 if ymode == _H else 1, 128)
         if uvmode == _DC:
@@ -885,12 +1361,16 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40):
 
     # ---- token partition
     te = _BoolEnc()
-    for skip, _ym, _uvm, y2q, yq, uq, vq in per_mb:
+    for skip, ym, _uvm, y2q, yq, uq, vq, _bm in per_mb:
         if skip:
             continue
-        _write_coeffs(te, 0, y2q)
-        for cq in yq:
-            _write_coeffs(te, 1, cq)
+        if ym == _BPRED:
+            for cq in yq:
+                _write_coeffs(te, 0, cq)
+        else:
+            _write_coeffs(te, 0, y2q)
+            for cq in yq:
+                _write_coeffs(te, 1, cq)
         for cq in uq + vq:
             _write_coeffs(te, 0, cq)
     part2 = te.finish()
@@ -903,13 +1383,23 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40):
         + int(height).to_bytes(2, "little")
     )
     frame = header + part1 + part2
+
+    # the decoder's recon includes the in-loop filter — run the SAME
+    # filter on the encoder's recon so the returned planes are the
+    # bit-exact decode target
+    _loop_filter(
+        Y, U, V, mb_w, mb_h, filter_level, sharpness,
+        simple_filter, skip_lf,
+    )
     return frame, (Y, U, V)
 
 
-def encode_webp_lossy(y, u, v, qi: int = 40) -> bytes:
+def encode_webp_lossy(y, u, v, qi: int = 40, **kwargs) -> bytes:
     """Wrap an encoded keyframe in the RIFF WebP container ('VP8 '
-    chunk) — the fixture side of the lossy-WebP decode route."""
-    frame, _ = encode_vp8_keyframe(y, u, v, qi=qi)
+    chunk) — the fixture side of the lossy-WebP decode route.  Extra
+    keyword arguments (filter_level / sharpness / simple_filter /
+    bpred_every) pass through to :func:`encode_vp8_keyframe`."""
+    frame, _ = encode_vp8_keyframe(y, u, v, qi=qi, **kwargs)
     chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
     if len(frame) & 1:
         chunk += b"\x00"

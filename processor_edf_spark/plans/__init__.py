@@ -192,6 +192,12 @@ _CANONICAL = [
     # ---- r14 driver window (50): the 36 stalest (r5 block + the r7
     # straggler), the two sole-family anchors, then 12 r11-greens
     # (family-coverage swaps noted above).
+    # vp8_decode_stats (updated r14: B_PRED + §15 loop-filter sweep
+    # under the value oracle) re-seats at a priority slot, displacing
+    # dedup_exact to 51+ (dedup_text family stays covered in-window via
+    # dedup_lsh_components / dedup_embedding_cosine and more;
+    # dedup_exact keeps its r11 green).
+    "vp8_decode_stats",
     "agg_user_bounds",
     "epoch_functions",
     "get_or_create_parts",
@@ -239,10 +245,10 @@ _CANONICAL = [
     "top3_orders_per_customer",
     "set_ops_event_types",
     "token_stats",
-    "dedup_exact",
     "table_profile_events",
     "triangle_count_nn",
     # ---- 51+: family-covered seats with driver greens on record
+    "dedup_exact",
     # (staleness-ordered: r11 remainder, r12 block, r13 window) ----
     "cosine_pairs",
     "ann_ivf_multiprobe",
@@ -314,7 +320,6 @@ _CANONICAL = [
     "mp3_lsf_decode_stats",
     "mp3_layer2_decode_stats",
     "h264_cabac_decode_stats",
-    "vp8_decode_stats",
     "edf_date_parse",
     "overlap_validation",
     "rolling_fingerprint",

@@ -477,7 +477,9 @@ def h264_cabac_decode_stats(spark, sf_dir):
         SELECT doc_id,
                48 AS w,
                32 AS h,
-               10 + (doc_id % 4) * 30 AS qi
+               10 + ((doc_id // 8) % 4) * 20 AS qi,
+               (doc_id // 8) % 3 AS bpred_every,
+               ((doc_id // 8) * 13) % 64 AS filter_level
         FROM documents
         WHERE doc_id % 8 = 6
     ),
@@ -501,25 +503,31 @@ def h264_cabac_decode_stats(spark, sf_dir):
            CAST(d.w AS BIGINT) AS width,
            CAST(d.h AS BIGINT) AS height,
            CAST(d.qi AS BIGINT) AS qindex,
+           CAST(d.bpred_every AS BIGINT) AS bpred_every,
+           CAST(d.filter_level AS BIGINT) AS filter_level,
            ysum.y_sum, csum.u_sum, csum.v_sum
     FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
     """,
 )
 def vp8_decode_stats(spark, sf_dir):
-    """The VP8 (lossy WebP) keyframe intra decoder (operators/vp8.py,
-    r13) as a driver-hashed row: per document a deterministic YUV420
-    source (every plane a pure integer function of doc_id) is encoded
-    into a REAL VP8 keyframe (boolean arithmetic coder, whole-MB
-    DC/V/H/TM prediction, Y2 WHT + 4x4 DCT residual tokens) at a
-    doc-dependent qindex (10/40/70/100), decoded back through the
-    production ``decode_vp8_planes``, and required BIT-EXACT in the
-    plane domain against the encoder's reconstruction loop — which
-    runs the decoder's exact dequant/inverse-transform/prediction
-    path, so any bool-coder/token/transform/prediction drift desyncs
-    and reds the row via the -1 sentinel.  The emitted sums are
-    closed forms over the INPUT construction, recomputed independently
-    by the oracle.  Scale: decode-heavy/emit-light per-doc pure-python
-    kernel under spread(), same class as the sibling codec rows."""
+    """The VP8 (lossy WebP) keyframe decoder (operators/vp8.py, r13;
+    r14: B_PRED macroblocks + the §15 in-loop deblocking filter) as a
+    driver-hashed row: per document a deterministic YUV420 source
+    (every plane a pure integer function of doc_id) is encoded into a
+    REAL VP8 keyframe (boolean arithmetic coder, whole-MB DC/V/H/TM
+    AND per-4x4 B_PRED prediction mixes, Y2 WHT + 4x4 DCT residual
+    tokens, normal/simple loop filter at doc-derived levels and
+    sharpness), decoded back through the production
+    ``decode_vp8_planes``, and required BIT-EXACT in the plane domain
+    against the encoder's reconstruction loop — which runs the
+    decoder's exact dequant/inverse-transform/prediction/deblock
+    path, so any bool-coder/token/transform/prediction/filter drift
+    desyncs and reds the row via the -1 sentinel.  The emitted sums
+    are closed forms over the INPUT construction, recomputed
+    independently by the oracle (the sweep parameters are emitted as
+    closed-form columns too, so the oracle pins WHICH configurations
+    ran).  Scale: decode-heavy/emit-light per-doc pure-python kernel
+    under spread(), same class as the sibling codec rows."""
     import pandas as pd
 
     (docs,) = load(spark, sf_dir, "documents")
@@ -538,7 +546,12 @@ def vp8_decode_stats(spark, sf_dir):
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 W, H = 48, 32
-                qi = 10 + (d % 4) * 30
+                k = d // 8
+                qi = 10 + (k % 4) * 20
+                bpred_every = k % 3
+                filter_level = (k * 13) % 64
+                sharpness = (k // 3) % 8
+                simple = k % 2 == 1
                 r = np.arange(H)[:, None]
                 c = np.arange(W)[None, :]
                 y = (((r * 3 + c * 5 + d) % 160) + 40).astype(np.uint8)
@@ -548,7 +561,11 @@ def vp8_decode_stats(spark, sf_dir):
                 v = (((r2 * 5 + c2 * 3 + 2 * d) % 120) + 60).astype(
                     np.uint8
                 )
-                frame, (rY, rU, rV) = encode_vp8_keyframe(y, u, v, qi=qi)
+                frame, (rY, rU, rV) = encode_vp8_keyframe(
+                    y, u, v, qi=qi, bpred_every=bpred_every,
+                    filter_level=filter_level, sharpness=sharpness,
+                    simple_filter=simple,
+                )
                 dw, dh, dY, dU, dV = decode_vp8_planes(frame)
                 ok = (
                     (dw, dh) == (W, H)
@@ -557,22 +574,27 @@ def vp8_decode_stats(spark, sf_dir):
                     and np.array_equal(dV, rV)
                 )
                 # recon error must scale sanely with the quantizer
+                # (the in-loop filter widens the bound slightly)
                 ok = ok and int(
                     np.abs(rY[:H, :W].astype(np.int64) - y).max()
-                ) <= (32 if qi <= 40 else 96)
+                ) <= (48 if qi <= 40 else 128)
                 if ok:
                     rows.append((
-                        d, W, H, qi,
+                        d, W, H, qi, bpred_every, filter_level,
                         int(np.sum(y, dtype=np.int64)),
                         int(np.sum(u, dtype=np.int64)),
                         int(np.sum(v, dtype=np.int64)),
                     ))
                 else:
-                    rows.append((d, W, H, qi, -1, -1, -1))
+                    rows.append(
+                        (d, W, H, qi, bpred_every, filter_level,
+                         -1, -1, -1)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "width", "height", "qindex",
+                    "bpred_every", "filter_level",
                     "y_sum", "u_sum", "v_sum",
                 ],
             )
@@ -581,6 +603,7 @@ def vp8_decode_stats(spark, sf_dir):
         gen,
         schema=(
             "doc_id long, width long, height long, qindex long, "
+            "bpred_every long, filter_level long, "
             "y_sum long, u_sum long, v_sum long"
         ),
     )

@@ -34,6 +34,10 @@ EXPECTED_FIRST_50 = [
     # family-coverage swaps (table_profile_events / triangle_count_nn
     # for profiling / graph).  New r14 queries take priority slots on
     # registration.
+    # r14 priority slots (updated codec rows re-seat on
+    # registration): vp8_decode_stats displaces dedup_exact
+    # (dedup_text family covered in-window).
+    "vp8_decode_stats",
     "agg_user_bounds",
     "epoch_functions",
     "get_or_create_parts",
@@ -81,7 +85,6 @@ EXPECTED_FIRST_50 = [
     "top3_orders_per_customer",
     "set_ops_event_types",
     "token_stats",
-    "dedup_exact",
     "table_profile_events",
     "triangle_count_nn",
 ]

@@ -199,3 +199,233 @@ def test_through_webp_container_and_spark(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = extract_image_features(media).collect()
     assert out[0]["decoded"] and out[0]["width"] == 48
+
+
+# ---------------------------------------------------------------------------
+# r14: B_PRED submode predictors — hand-computed §12.3 vectors
+# (shared-helper bugs between encoder and decoder cannot cancel here)
+# ---------------------------------------------------------------------------
+
+
+def _b4(mode, above, left, tl, ar):
+    from processor_edf_spark.operators.vp8 import _predict_b4
+
+    return _predict_b4(mode, above, left, tl, ar)
+
+
+_A = [10, 20, 30, 40]
+_L = [50, 60, 70, 80]
+_P = 8
+_AR = [50, 60, 70, 80]
+
+
+def test_bpred_dc_hand_vector():
+    out = _b4(0, _A, _L, _P, _AR)
+    assert (out == (100 + 260 + 4 >> 3)).all() and out[0, 0] == 45
+
+
+def test_bpred_tm_hand_vector():
+    out = _b4(1, _A, _L, _P, _AR)
+    # clip(L[r] + A[c] - P): corners computed by hand
+    assert out[0, 0] == 52 and out[0, 3] == 82
+    assert out[3, 0] == 82 and out[3, 3] == 112
+
+
+def test_bpred_ve_hand_vector():
+    out = _b4(2, _A, _L, _P, _AR)
+    # avg3 over [P, A0..A3, AR0]: (8+2*10+20+2)>>2=12, then 20, 30, 40
+    assert [int(x) for x in out[0]] == [12, 20, 30, 40]
+    assert (out == out[0][None, :]).all()
+
+
+def test_bpred_he_hand_vector():
+    out = _b4(3, _A, _L, _P, _AR)
+    # avg3 over [P, L0..L3, L3]: 42, 60, 70, (70+2*80+80+2)>>2=78
+    assert [int(x) for x in out[:, 0]] == [42, 60, 70, 78]
+    assert (out == out[:, 0][:, None]).all()
+
+
+def test_bpred_ld_hand_vector():
+    out = _b4(4, _A, _L, _P, _AR)
+    expect = np.array(
+        [
+            [20, 30, 40, 50],
+            [30, 40, 50, 60],
+            [40, 50, 60, 70],
+            [50, 60, 70, 78],  # tail diagonal uses avg3(t6, t7, t7)
+        ]
+    )
+    assert (out == expect).all()
+
+
+def test_bpred_rd_hand_vector():
+    out = _b4(5, _A, _L, _P, _AR)
+    # pp = [80,70,60,50,8,10,20,30,40]; diagonals d=c-r:
+    # -3:70 -2:60 -1:(60+100+8+2)>>2=42 0:(50+16+10+2)>>2=19
+    #  1:(8+20+20+2)>>2=12 2:20 3:30
+    expect = np.array(
+        [
+            [19, 12, 20, 30],
+            [42, 19, 12, 20],
+            [60, 42, 19, 12],
+            [70, 60, 42, 19],
+        ]
+    )
+    assert (out == expect).all()
+
+
+def test_bpred_hu_hand_vector():
+    out = _b4(9, _A, _L, _P, _AR)
+    expect = np.array(
+        [
+            [55, 60, 65, 70],
+            [65, 70, 75, 78],
+            [75, 78, 80, 80],
+            [80, 80, 80, 80],
+        ]
+    )
+    assert (out == expect).all()
+
+
+def test_bpred_tree_paths_round_trip():
+    """Every submode survives the bmode tree encode -> decode."""
+    from processor_edf_spark.operators.vp8 import (
+        _KF_BMODE_PROBS,
+        _bmode_path,
+        _read_bmode,
+    )
+
+    enc = _BoolEnc()
+    modes = list(range(10)) * 3
+    for m in modes:
+        for prob_idx, bit in _bmode_path(m):
+            enc.write(bit, _KF_BMODE_PROBS[prob_idx])
+    dec = _BoolDec(enc.finish())
+    assert [(_read_bmode(dec)) for _ in modes] == modes
+
+
+# ---------------------------------------------------------------------------
+# r14: §15 loop filter — hand-computed vectors
+# ---------------------------------------------------------------------------
+
+
+def test_lf_limits_hand_values():
+    from processor_edf_spark.operators.vp8 import _lf_limits
+
+    # sharpness 0: interior = level; keyframe hev thresholds
+    assert _lf_limits(35, 0) == (35, 1, (35 + 2) * 2 + 35, 35 * 2 + 35)
+    assert _lf_limits(40, 5) == (4, 2, 42 * 2 + 4, 80 + 4)
+    assert _lf_limits(10, 0) == (10, 0, 24 + 10, 20 + 10)
+    assert _lf_limits(1, 7) == (1, 0, 6 + 1, 2 + 1)
+
+
+def test_lf_simple_hand_vector():
+    from processor_edf_spark.operators.vp8 import _lf_simple
+
+    seg = np.array([[100], [110], [130], [120]], np.int64)
+    # |p0-q0|*2 + |p1-q1|//2 = 50: a = c8(-20+60) = 40,
+    # F = c8(44)>>3 = 5, E = c8(43)>>3 = 5
+    out = _lf_simple(seg, 50)
+    assert out[:, 0].tolist() == [100, 115, 125, 120]
+    # one over the limit: untouched
+    out = _lf_simple(seg, 49)
+    assert out[:, 0].tolist() == [100, 110, 130, 120]
+
+
+def test_lf_subblock_hand_vectors():
+    from processor_edf_spark.operators.vp8 import _lf_normal
+
+    seg = np.array(
+        [[100], [100], [100], [110], [130], [120], [120], [120]],
+        np.int64,
+    )
+    # hev on (T=2): outer-tap common adjust only -> p0 115, q0 125
+    out = _lf_normal(seg, 10, 50, 2, mb=False)
+    assert out[:, 0].tolist() == [100, 100, 100, 115, 125, 120, 120, 120]
+    # hev off (T=15): a = c8(3*20) = 60, F = c8(64)>>3 = 8,
+    # E = c8(63)>>3 = 7 (the spec's asymmetric pair), inner pair
+    # moves by (8+1)>>1 = 4
+    out = _lf_normal(seg, 10, 50, 15, mb=False)
+    assert out[:, 0].tolist() == [100, 100, 104, 117, 122, 116, 120, 120]
+    # interior limit violated (I=9 < |p1-p0|=10): untouched
+    out = _lf_normal(seg, 9, 50, 15, mb=False)
+    assert out[:, 0].tolist() == [100, 100, 100, 110, 130, 120, 120, 120]
+
+
+def test_lf_mb_hand_vectors():
+    from processor_edf_spark.operators.vp8 import _lf_normal
+
+    seg = np.array(
+        [[100], [100], [100], [110], [130], [120], [120], [120]],
+        np.int64,
+    )
+    # hev off: w = 40; 27/18/9 taps: (27*40+63)>>7 = 8,
+    # (18*40+63)>>7 = 6, (9*40+63)>>7 = 3
+    out = _lf_normal(seg, 10, 50, 15, mb=True)
+    assert out[:, 0].tolist() == [100, 103, 106, 118, 122, 114, 117, 120]
+    # hev on: outer-tap pair only
+    out = _lf_normal(seg, 10, 50, 2, mb=True)
+    assert out[:, 0].tolist() == [100, 100, 100, 115, 125, 120, 120, 120]
+
+
+# ---------------------------------------------------------------------------
+# r14: B_PRED / loop-filter round trips + desync gates
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(bpred_every=1),
+        dict(bpred_every=2),
+        dict(bpred_every=3, filter_level=20),
+        dict(filter_level=35),
+        dict(filter_level=63, sharpness=4),
+        dict(filter_level=18, simple_filter=True),
+        dict(bpred_every=2, filter_level=40, sharpness=7,
+             simple_filter=True),
+        dict(bpred_every=1, filter_level=10, qi=10),
+    ],
+)
+def test_bpred_filter_round_trips_bit_exact(kw):
+    y, u, v = _planes(53, 37, seed=3)
+    frame, (rY, rU, rV) = encode_vp8_keyframe(y, u, v, **kw)
+    dw, dh, dY, dU, dV = decode_vp8_planes(frame)
+    assert (dw, dh) == (53, 37)
+    assert np.array_equal(dY, rY)
+    assert np.array_equal(dU, rU)
+    assert np.array_equal(dV, rV)
+
+
+def test_filter_level_changes_output():
+    """The in-loop filter is real: nonzero filter_level must move
+    pixels relative to the unfiltered encode of the same input."""
+    y, u, v = _planes(64, 48, seed=5)
+    _, (y0, _, _) = encode_vp8_keyframe(y, u, v, qi=60)
+    _, (y1, _, _) = encode_vp8_keyframe(y, u, v, qi=60, filter_level=40)
+    assert not np.array_equal(y0, y1)
+
+
+def test_unconsumed_token_partition_raises():
+    y, u, v = _planes(32, 32, seed=6)
+    frame, _ = encode_vp8_keyframe(y, u, v, qi=40)
+    with pytest.raises(UnsupportedMediaError, match="not consumed"):
+        decode_vp8_planes(frame + b"\x00" * 16)
+
+
+def test_bpred_filtered_corruption_fuzz_never_escapes():
+    y, u, v = _planes(48, 32, seed=8)
+    frame, _ = encode_vp8_keyframe(
+        y, u, v, qi=50, bpred_every=2, filter_level=25
+    )
+    data = bytearray(frame)
+    rng = np.random.default_rng(13)
+    for _ in range(250):
+        i = int(rng.integers(0, len(data)))
+        old = data[i]
+        data[i] = int(rng.integers(0, 256))
+        try:
+            decode_vp8_planes(bytes(data))
+        except UnsupportedMediaError:
+            pass
+        data[i] = old
