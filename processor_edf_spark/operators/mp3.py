@@ -21,7 +21,11 @@ Spec-exactness, stated precisely (ISO/IEC 11172-3):
   (region0/region1 boundaries, the window-switching 36/576 implicit
   split, count1 quadruples, rzero); requantization (the |ix|^(4/3)
   power law, global_gain, scalefac_scale, preflag/pretab,
-  subblock_gain); MS stereo and long-block intensity stereo; alias
+  subblock_gain); MS stereo and long-block intensity stereo; SHORT-
+  block intensity stereo (r14, §2.4.3.4.9.3 — per-window zero-part
+  detection on the reordered right spectrum, per-window positions
+  from the right channel's short scalefactors, the same tan ratio
+  law, illegal positions falling back to MS per line); alias
   reduction (the 8 cs/ca butterflies per subband boundary); IMDCT with
   all four block-type windows and 18-sample overlap-add; frequency
   inversion.
@@ -69,8 +73,11 @@ Spec-exactness, stated precisely (ISO/IEC 11172-3):
   reproduced EXACTLY by its closed forms (C = 2^k/n, D = 2^(1-k),
   grouped D = 1/2) — through the shared polyphase synthesis.
 - **Out of scope** (UnsupportedMediaError, seam-gated): free-format
-  bitrate, short-block intensity stereo, and LSF intensity stereo
-  (its sqrt-2 ratio law and intensity sf rows are untranscribed).
+  bitrate, MIXED-block intensity stereo (the long/short interplay of
+  §2.4.3.4.9.3's mixed case), and LSF intensity stereo (its sqrt-2
+  ratio law is closed-form but the intensity scalefactor layout rows
+  are untranscribed — recall confidence is not total, so the seam
+  stays per the derived-tables honesty pattern).
   Trailing bytes that happen to match a sync pattern mid-stream are
   junk-checked (a format-changing header counts as a real frame only
   if the implied next offset also syncs), so sync-looking tails end
@@ -678,10 +685,64 @@ def _apply_stereo(xr, hdr, granules_sf, gr, rate):
     g_r = granules_sf["granule"][1]
     long_sf_r = granules_sf["long_sf"][1]
     if g_r.window_switching and g_r.block_type == 2:
-        raise UnsupportedMediaError(
-            "mp3: short-block intensity stereo unsupported — install "
-            "the optional codec library (soundfile)"
-        )
+        if g_r.mixed_block:
+            # the mixed long/short intensity interplay is the one
+            # remaining MPEG-1 stereo corner (module docstring)
+            raise UnsupportedMediaError(
+                "mp3: mixed-block intensity stereo unsupported — "
+                "install the optional codec library (soundfile)"
+            )
+        # pure short blocks (r14, §2.4.3.4.9.3): intensity is detected
+        # and applied PER WINDOW — for each of the three windows the
+        # region starts at the band above the right channel's last
+        # nonzero band in that window (scanned on the reordered
+        # spectrum; the transmitted-region boundary is not
+        # window-aligned, so the long path's count1 shortcut does not
+        # apply here).  Positions come from the right channel's SHORT
+        # scalefactors; band 12 carries no scalefactor and uses
+        # position 0, mirroring the long path's band-21 convention.
+        sbounds = _SFB_SHORT[rate]
+        short_sf_r = granules_sf["short_sf"][1]
+        handled = np.zeros(576, bool)
+        for w in range(3):
+            sfbcnt = -1
+            for b in range(12, -1, -1):
+                width = sbounds[b + 1] - sbounds[b]
+                idx = np.arange(
+                    3 * sbounds[b] + w,
+                    3 * sbounds[b] + 3 * width + w,
+                    3,
+                )[:width]
+                if np.any(right[idx] != 0):
+                    sfbcnt = b
+                    break
+            for b in range(sfbcnt + 1, 13):
+                width = sbounds[b + 1] - sbounds[b]
+                idx = np.arange(
+                    3 * sbounds[b] + w,
+                    3 * sbounds[b] + 3 * width + w,
+                    3,
+                )[:width]
+                handled[idx] = True
+                pos = short_sf_r[b][w] if b < 12 else 0
+                if pos >= 7:  # illegal: MS when on, else keep L/R
+                    if ms:
+                        m = left[idx].copy()
+                        s = right[idx].copy()
+                        left[idx] = (m + s) * inv_sqrt2
+                        right[idx] = (m - s) * inv_sqrt2
+                    continue
+                ratio = _IS_RATIO[pos]
+                l_ = left[idx].copy()
+                left[idx] = l_ * (ratio / (1.0 + ratio))
+                right[idx] = l_ * (1.0 / (1.0 + ratio))
+        if ms:  # MS covers every line outside the intensity regions
+            rest = ~handled
+            m = left[rest].copy()
+            s = right[rest].copy()
+            left[rest] = (m + s) * inv_sqrt2
+            right[rest] = (m - s) * inv_sqrt2
+        return xr
     bounds = _SFB_LONG[rate]
     zero_start = int(granules_sf["count1_end"][1])
     intensity_from = next(
@@ -1399,6 +1460,7 @@ def decode_mp3_frames(payload: bytes):
         for gr in range(ngr):
             xr_ch = []
             sf_ch = []
+            ssf_ch = []
             g_ch = []
             c1_ch = []
             for ch in range(nch):
@@ -1420,6 +1482,7 @@ def decode_mp3_frames(payload: bytes):
                 xr = _reorder_short(xr, g, rate)
                 xr_ch.append(xr)
                 sf_ch.append(long_sf)
+                ssf_ch.append(short_sf)
                 g_ch.append(g)
                 c1_ch.append(count1_end)
             if nch == 2:
@@ -1429,6 +1492,7 @@ def decode_mp3_frames(payload: bytes):
                     {
                         "granule": granules[gr],
                         "long_sf": sf_ch,
+                        "short_sf": ssf_ch,
                         "count1_end": c1_ch,
                     },
                     gr,
@@ -1522,6 +1586,23 @@ def _encode_granule_bits(ix: np.ndarray, g_params: dict) -> tuple[bytes, _Granul
                     if long_sf[b] >> sl:
                         raise ValueError("fixture encoder: scalefactor exceeds slen")
                     w.write(long_sf[b], sl)
+        elif "short_sf" in g_params:
+            # pure-short scalefactor emission (r14, for the intensity
+            # fixtures): bands 0..5 at slen1, 6..11 at slen2, window
+            # inner — mirrors _read_scalefactors exactly
+            if g_params.get("mixed_block", 0):
+                raise ValueError(
+                    "fixture encoder: mixed-block sf emission unsupported"
+                )
+            short_sf = g_params["short_sf"]
+            for b in range(12):
+                sl = slen1 if b < 6 else slen2
+                for wi in range(3):
+                    if short_sf[b][wi] >> sl:
+                        raise ValueError(
+                            "fixture encoder: scalefactor exceeds slen"
+                        )
+                    w.write(short_sf[b][wi], sl)
     for pos in range(0, big_limit, 2):
         x, y = int(abs(ix[pos])), int(abs(ix[pos + 1]))
         length, code = _TABLE_1_ENC[(x, y)]

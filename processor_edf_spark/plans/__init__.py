@@ -25,6 +25,7 @@ from processor_edf_spark.plans import analytics_r10  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r11  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r12  # noqa: E402,F401
 from processor_edf_spark.plans import analytics_r13  # noqa: E402,F401
+from processor_edf_spark.plans import analytics_r14  # noqa: E402,F401
 
 # Canonical registration order.  The driver oracle-checks the FIRST 50
 # queries in ``queries()`` order, so the first 50 slots are chosen to cover
@@ -197,6 +198,12 @@ _CANONICAL = [
     # dedup_exact to 51+ (dedup_text family stays covered in-window via
     # dedup_lsh_components / dedup_embedding_cosine and more;
     # dedup_exact keeps its r11 green).
+    # mp3_short_intensity_decode_stats (r14: MPEG-1 short-block
+    # intensity stereo for real) takes an r14 priority slot, displacing
+    # token_stats to 51+ (text family stays covered in-window via
+    # normalize_text / chunk_documents and more; token_stats keeps its
+    # r11 green).
+    "mp3_short_intensity_decode_stats",
     "vp8_decode_stats",
     "agg_user_bounds",
     "epoch_functions",
@@ -244,10 +251,10 @@ _CANONICAL = [
     "filter_project_events",
     "top3_orders_per_customer",
     "set_ops_event_types",
-    "token_stats",
     "table_profile_events",
     "triangle_count_nn",
     # ---- 51+: family-covered seats with driver greens on record
+    "token_stats",
     "dedup_exact",
     # (staleness-ordered: r11 remainder, r12 block, r13 window) ----
     "cosine_pairs",
@@ -513,6 +520,7 @@ FAMILY = {
     "h264_cabac_decode_stats": "multimodal",
     "mp3_lsf_decode_stats": "multimodal",
     "mp3_layer2_decode_stats": "multimodal",
+    "mp3_short_intensity_decode_stats": "multimodal",
     # r12 additions
     "pq_adc_exact": "ann",
     "ivf_pq_search_exact": "ann",

@@ -1,0 +1,236 @@
+"""r14 driver rows: the codec/pipeline ratchets under the value oracle.
+
+``mp3_short_intensity_decode_stats`` gates the r14 MPEG-1 short-block
+intensity-stereo path (operators/mp3.py §2.4.3.4.9.3): pure-short
+joint-stereo granules whose right-channel windows end at DIFFERENT
+bands, positions carried in the right channel's short scalefactors
+(including an illegal position exercising the per-line MS fallback),
+decoded through the production ``decode_mp3_frames`` and required
+exact in the spectral domain against the per-window intensity law
+computed inline before the integer construction sums are emitted.
+
+All rows follow the ``mp3_decode_stats`` discipline
+(plans/analytics_r12.py): deterministic per-doc fixtures, a REAL
+bitstream through the production fixture encoder, decode through the
+production decoder, -1 sentinel on any drift.  Reference scope:
+Pennsieve/processor-EDF has no audio/image surface (builder's-brief
+multimodal axis; SURVEY.md §2 extension table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from processor_edf_spark.plans.registry import load, register
+
+# 44100 Hz short scalefactor-band bounds (ISO 11172-3), embedded in the
+# oracle SQL below as the right-channel transmitted ranges
+_SB44 = (0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192)
+
+
+@register(
+    "mp3_short_intensity_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               1 + 2 * ((doc_id // 8) % 2) AS mode_ext
+        FROM documents
+        WHERE doc_id % 8 = 3
+    ),
+    lines AS (
+        SELECT d.doc_id,
+               ((1 + tk.k + d.doc_id) % 3) - 1 AS vl,
+               CASE WHEN tk.k < 8
+                         OR (tk.k >= 12 AND tk.k < 20)
+                         OR (tk.k >= 24 AND tk.k < 32)
+                         OR (tk.k >= 36 AND tk.k < 44)
+                         OR (tk.k >= 48 AND tk.k < 54)
+                         OR (tk.k >= 66 AND tk.k < 74)
+                    THEN ((5 + tk.k + d.doc_id) % 3) - 1
+                    ELSE 0 END AS vr
+        FROM d CROSS JOIN range(0, 318) tk(k)
+    )
+    SELECT d.doc_id,
+           CAST(d.mode_ext AS BIGINT) AS mode_ext,
+           CAST(1152 AS BIGINT) AS n_samples,
+           CAST(SUM(l.vl) AS BIGINT) AS sum_ix_left,
+           CAST(SUM(CASE WHEN l.vl <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nz_left,
+           CAST(SUM(l.vr) AS BIGINT) AS sum_ix_right,
+           CAST(SUM(CASE WHEN l.vr <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS nz_right
+    FROM d JOIN lines l USING (doc_id)
+    GROUP BY d.doc_id, d.mode_ext
+    """,
+)
+def mp3_short_intensity_decode_stats(spark, sf_dir):
+    """MPEG-1 short-block intensity stereo (operators/mp3.py, r14) as
+    a driver-hashed row: per document a pure-short joint-stereo
+    fixture — left coded through band 10, right-channel windows ending
+    at bands 5/3/none so the intensity region starts PER WINDOW, short
+    scalefactors carrying the positions ((b + w + doc) % 7 with an
+    illegal 7 at band 8 / window 0) — is encoded to a REAL Layer III
+    stream, decoded through the production ``decode_mp3_frames``, and
+    required exact in the spectral domain against the §2.4.3.4.9.3
+    per-window law (tan ratio split, illegal-position MS fallback,
+    MS on the non-intensity remainder when mode_ext = 3) computed
+    inline.  The emitted sums are closed forms over the INPUT
+    construction, recomputed independently by the oracle.  Scale:
+    per-doc pure-python kernel under spread(), same class as the
+    sibling codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 8 = 3"))
+
+    def gen(batches):
+        from processor_edf_spark.operators.mp3 import (
+            _Granule,
+            _reorder_short,
+            decode_mp3_frames,
+            encode_mp3_frames,
+        )
+
+        sb = _SB44
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mode_ext = 1 + 2 * ((d // 8) % 2)
+                left_ix = np.zeros(576, dtype=np.int64)
+                right_ix = np.zeros(576, dtype=np.int64)
+                for b in range(11):
+                    width = sb[b + 1] - sb[b]
+                    base = 3 * sb[b]
+                    for w in range(3):
+                        for i in range(width):
+                            k = base + w * width + i
+                            left_ix[k] = ((1 + k + d) % 3) - 1
+                            if (w == 0 and b <= 5) or (w == 1 and b <= 3):
+                                right_ix[k] = ((5 + k + d) % 3) - 1
+                sf_r = [[0, 0, 0] for _ in range(13)]
+                for b in range(13):
+                    for w in range(3):
+                        in_region = (
+                            (w == 0 and b >= 6)
+                            or (w == 1 and b >= 4)
+                            or w == 2
+                        )
+                        if in_region and b < 12:
+                            sf_r[b][w] = (b + w + d) % 7
+                sf_r[8][0] = 7  # illegal position -> MS fallback
+                # left codes its full nonzero extent (through band
+                # 10 = line 317, padded to 318); right codes through
+                # band 5's w0 chunk with coded zeros behind it
+                left = {
+                    "ix": left_ix, "big_values_lines": 3 * sb[11],
+                    "count1_quads": 0, "global_gain": 210,
+                    "block_type": 2,
+                }
+                right = {
+                    "ix": right_ix, "big_values_lines": 3 * sb[6],
+                    "count1_quads": 0, "global_gain": 210,
+                    "block_type": 2, "short_sf": sf_r,
+                    "scalefac_compress": 13,
+                }
+                payload = encode_mp3_frames(
+                    [[[left, right], [left, right]]],
+                    rate=44100, n_channels=2, bitrate_kbps=256,
+                    mode_ext=mode_ext,
+                )
+                decoded = decode_mp3_frames(payload)
+                # expected spectra: the published per-window law
+                g = _Granule()
+                g.window_switching, g.block_type, g.mixed_block = 1, 2, 0
+                l_in = _reorder_short(left_ix.astype(float), g, 44100)
+                r_in = _reorder_short(right_ix.astype(float), g, 44100)
+                exp_l, exp_r = l_in.copy(), r_in.copy()
+                inv = 1.0 / np.sqrt(2.0)
+                handled = np.zeros(576, bool)
+                # per-window region start per the published detection
+                # rule: the band above the right channel's last
+                # nonzero band in that window (the %3 line pattern can
+                # zero a whole boundary chunk, legitimately widening
+                # the region below the construction bands 6/4/0)
+                firsts = []
+                for w in range(3):
+                    fb = 0
+                    for b in range(12, -1, -1):
+                        width = sb[b + 1] - sb[b]
+                        idx = np.arange(
+                            3 * sb[b] + w,
+                            3 * sb[b] + 3 * width + w, 3,
+                        )[:width]
+                        if np.any(r_in[idx] != 0):
+                            fb = b + 1
+                            break
+                    firsts.append(fb)
+                for w, first_band in enumerate(firsts):
+                    for b in range(first_band, 13):
+                        width = sb[b + 1] - sb[b]
+                        idx = np.arange(
+                            3 * sb[b] + w,
+                            3 * sb[b] + 3 * width + w, 3,
+                        )[:width]
+                        handled[idx] = True
+                        pos = sf_r[b][w] if b < 12 else 0
+                        if pos >= 7:
+                            if mode_ext == 3:
+                                m, s = l_in[idx], r_in[idx]
+                                exp_l[idx] = (m + s) * inv
+                                exp_r[idx] = (m - s) * inv
+                            continue
+                        ratio = np.tan(pos * np.pi / 12.0)
+                        exp_l[idx] = l_in[idx] * (ratio / (1.0 + ratio))
+                        exp_r[idx] = l_in[idx] * (1.0 / (1.0 + ratio))
+                if mode_ext == 3:
+                    rest = ~handled
+                    m, s = exp_l[rest].copy(), exp_r[rest].copy()
+                    exp_l[rest] = (m + s) * inv
+                    exp_r[rest] = (m - s) * inv
+                ok = len(decoded) == 1
+                if ok:
+                    hdr, spectra, pcm = decoded[0]
+                    ok = (
+                        hdr["rate"] == 44100
+                        and hdr["mode"] == 1
+                        and hdr["mode_ext"] == mode_ext
+                        and pcm.shape == (1152, 2)
+                        and bool(np.isfinite(pcm).all())
+                    )
+                    for gr in range(2):
+                        ok = ok and np.allclose(
+                            spectra[gr, 0], exp_l, atol=1e-12
+                        )
+                        ok = ok and np.allclose(
+                            spectra[gr, 1], exp_r, atol=1e-12
+                        )
+                if ok:
+                    rows.append((
+                        d, mode_ext, 1152,
+                        int(left_ix.sum()),
+                        int(np.count_nonzero(left_ix)),
+                        int(right_ix.sum()),
+                        int(np.count_nonzero(right_ix)),
+                    ))
+                else:
+                    rows.append((d, mode_ext, -1, -1, -1, -1, -1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mode_ext", "n_samples",
+                    "sum_ix_left", "nz_left",
+                    "sum_ix_right", "nz_right",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, mode_ext long, n_samples long, "
+            "sum_ix_left long, nz_left long, "
+            "sum_ix_right long, nz_right long"
+        ),
+    )

@@ -1112,3 +1112,120 @@ def test_lsf_and_layer2_through_decode_audio():
                           n_channels=1)
     )
     assert (rate, nch, pcm.shape) == (44100, 1, (1152, 1))
+
+
+# ---------------------------------------------------------------------------
+# short-block intensity stereo (r14: per-window regions, §2.4.3.4.9.3)
+# ---------------------------------------------------------------------------
+
+
+def _short_intensity_fixture():
+    """Pure short blocks, joint stereo: the right channel's windows end
+    at DIFFERENT bands (w0 through band 5, w1 through band 3, w2 all
+    zero), so intensity must start per window (bands 6+/4+/0+).  The
+    right channel carries the positions in its SHORT scalefactors
+    (compress 13 -> slen (3, 3)); (8, w0) is an ILLEGAL position 7."""
+    from processor_edf_spark.operators.mp3 import _SFB_SHORT
+
+    sb = _SFB_SHORT[44100]
+    left_ix = np.zeros(576, dtype=np.int64)
+    right_ix = np.zeros(576, dtype=np.int64)
+    # bitstream (window-major) order: band b occupies
+    # [3*sb[b], 3*sb[b+1]) as w0-chunk, w1-chunk, w2-chunk
+    for b in range(11):
+        width = sb[b + 1] - sb[b]
+        base = 3 * sb[b]
+        for w in range(3):
+            for i in range(width):
+                k = base + w * width + i
+                left_ix[k] = ((1 + k) % 3) - 1
+                if (w == 0 and b <= 5) or (w == 1 and b <= 3):
+                    right_ix[k] = ((5 + k) % 3) - 1
+    sf_r = [[0, 0, 0] for _ in range(13)]
+    for b in range(13):
+        for w in range(3):
+            in_region = (
+                (w == 0 and b >= 6) or (w == 1 and b >= 4) or w == 2
+            )
+            if in_region and b < 12:
+                sf_r[b][w] = (b + w) % 7
+    sf_r[8][0] = 7  # illegal position
+    # left codes its full nonzero extent (through line 317, padded to
+    # 318); right codes through band 5's w0 chunk with coded zeros
+    left = {"ix": left_ix, "big_values_lines": 3 * sb[11],
+            "count1_quads": 0, "global_gain": 210, "block_type": 2}
+    right = {"ix": right_ix, "big_values_lines": 3 * sb[6],
+             "count1_quads": 0, "global_gain": 210, "block_type": 2,
+             "short_sf": sf_r, "scalefac_compress": 13}
+    return left, right, sf_r
+
+
+@pytest.mark.parametrize("mode_ext", [1, 3])
+def test_short_block_intensity_per_window(mode_ext):
+    from processor_edf_spark.operators.mp3 import _SFB_SHORT, _Granule
+
+    left, right, sf_r = _short_intensity_fixture()
+    frames = [[[left, right], [left, right]]]
+    out = decode_mp3_frames(_stream(frames, rate=44100, n_channels=2,
+                                    bitrate_kbps=256,
+                                    mode_ext=mode_ext))
+    spectra = out[0][1]
+    g = _Granule()
+    g.window_switching, g.block_type, g.mixed_block = 1, 2, 0
+    l_in = _reorder_short(left["ix"].astype(float), g, 44100)
+    r_in = _reorder_short(right["ix"].astype(float), g, 44100)
+    exp_l, exp_r = l_in.copy(), r_in.copy()
+    inv = 1.0 / np.sqrt(2.0)
+    sb = _SFB_SHORT[44100]
+    handled = np.zeros(576, bool)
+    firsts = []
+    for w in range(3):
+        fb = 0
+        for b in range(12, -1, -1):
+            width = sb[b + 1] - sb[b]
+            idx = np.arange(3 * sb[b] + w, 3 * sb[b] + 3 * width + w,
+                            3)[:width]
+            if np.any(r_in[idx] != 0):
+                fb = b + 1
+                break
+        firsts.append(fb)
+    assert firsts == [6, 4, 0]  # the construction's intended regions
+    for w, first_band in enumerate(firsts):
+        for b in range(first_band, 13):
+            width = sb[b + 1] - sb[b]
+            idx = np.arange(3 * sb[b] + w, 3 * sb[b] + 3 * width + w,
+                            3)[:width]
+            handled[idx] = True
+            pos = sf_r[b][w] if b < 12 else 0
+            if pos >= 7:
+                if mode_ext == 3:
+                    exp_l[idx] = (l_in[idx] + r_in[idx]) * inv
+                    exp_r[idx] = (l_in[idx] - r_in[idx]) * inv
+                continue
+            ratio = np.tan(pos * np.pi / 12.0)
+            exp_l[idx] = l_in[idx] * (ratio / (1.0 + ratio))
+            exp_r[idx] = l_in[idx] * (1.0 / (1.0 + ratio))
+    if mode_ext == 3:
+        rest = ~handled
+        m, s = exp_l[rest].copy(), exp_r[rest].copy()
+        exp_l[rest] = (m + s) * inv
+        exp_r[rest] = (m - s) * inv
+    for gr in range(2):
+        assert np.allclose(spectra[gr, 0], exp_l, atol=1e-12)
+        assert np.allclose(spectra[gr, 1], exp_r, atol=1e-12)
+
+
+def test_mixed_block_intensity_stays_seam_gated():
+    left, right, _sf = _short_intensity_fixture()
+    left = dict(left, mixed_block=0)
+    # force the right granule to claim mixed: the fixture encoder
+    # cannot emit mixed sf, so build the stream with a long-sf right
+    # and flip the decode path via a mixed-block right granule instead
+    right_mixed = {"ix": right["ix"], "big_values_lines":
+                   right["big_values_lines"], "count1_quads": 0,
+                   "global_gain": 210, "block_type": 2,
+                   "mixed_block": 1}
+    frames = [[[left, right_mixed], [left, right_mixed]]]
+    with pytest.raises(UnsupportedMediaError, match="mixed-block"):
+        decode_mp3_frames(_stream(frames, rate=44100, n_channels=2,
+                                  bitrate_kbps=256, mode_ext=1))

@@ -37,6 +37,7 @@ EXPECTED_FIRST_50 = [
     # r14 priority slots (updated codec rows re-seat on
     # registration): vp8_decode_stats displaces dedup_exact
     # (dedup_text family covered in-window).
+    "mp3_short_intensity_decode_stats",
     "vp8_decode_stats",
     "agg_user_bounds",
     "epoch_functions",
@@ -84,7 +85,6 @@ EXPECTED_FIRST_50 = [
     "filter_project_events",
     "top3_orders_per_customer",
     "set_ops_event_types",
-    "token_stats",
     "table_profile_events",
     "triangle_count_nn",
 ]
@@ -109,8 +109,8 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10/r11 additions + the 10 r12 rows
-    # + the 4 r13 codec rows
-    assert len(QUERIES) == 165
+    # + the 4 r13 codec rows + the r14 rows
+    assert len(QUERIES) == 166
 
 
 def test_every_query_has_a_family():
