@@ -46,10 +46,12 @@ handcrafted MV-predictor/P_Skip rule pins, and the same bit-exact
 round-trip discipline over every P macroblock kind and all 16
 quarter-pel fractions.  The in-loop deblocking filter (§8.7, r12)
 is implemented — see the section comment above `_DB_ALPHA` — so
-filtered streams decode for real too.  The honest one-exception
-contract still names the optional extra for CABAC, B/SP/SI slices,
-reference-list reordering, adaptive (MMCO) reference marking,
-weighted prediction, fields, 8x8 transforms, scaling matrices,
+filtered streams decode for real too.  B slices (r12), weighted
+prediction in all three modes (r13), CABAC I slices (r13) and CABAC
+P/B slices + I_PCM-in-CABAC (r14) decode for real — see the section
+comments.  The honest one-exception contract still names the
+optional extra for SP/SI slices, reference-list reordering, adaptive
+(MMCO) reference marking, fields, 8x8 transforms, scaling matrices,
 >8-bit depth, and entropy-coded 4:0:0.
 
 Decoder coverage:
@@ -374,9 +376,8 @@ def _parse_pps(r: _BitReader) -> _PPS:
     pps = _PPS()
     r.ue()  # pic_parameter_set_id
     r.ue()  # seq_parameter_set_id
-    # entropy_coding_mode_flag: CABAC I slices decode for real (r13,
-    # see the CABAC section comment); CABAC P/B stay seam-gated at the
-    # slice level
+    # entropy_coding_mode_flag: CABAC decodes for real — I slices
+    # since r13, P/B slices since r14 (see the CABAC section comment)
     pps.cabac = bool(r.read(1))
     pps.bottom_field_poc_present = r.read(1)
     if r.ue():  # num_slice_groups_minus1
@@ -1208,6 +1209,8 @@ class _PicCtx:
         "mb_qp", "db_idc", "db_aoff", "db_boff",
         "wp_mode", "wp_l0", "wp_l1", "wp_logwd",
         "mb_kind", "mb_cpm", "mb_cbp", "cbf_dc",
+        # r14 CABAC P/B conditioning state (lazily allocated)
+        "camvd", "cref", "cskip", "cdirect",
     )
 
     def __init__(self, sps: _SPS):
@@ -1746,11 +1749,13 @@ def _decode_pskip(ctx: _PicCtx, mb_idx: int, refp) -> None:
 
 def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
                      mb_idx: int, mb_type: int, dpb,
-                     num_ref: int) -> None:
-    """One CAVLC P macroblock: P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0)
+                     num_ref: int, es=None) -> None:
+    """One P macroblock: P_L0_16x16 / 16x8 / 8x16 / P_8x8(ref0)
     — parse ref_idx (te(v), when num_ref > 1) and MVDs, derive MVs
     (ref-aware median predictor), motion-compensate from the chosen
-    DPB picture, then the inter residual (CBP inter mapping)."""
+    DPB picture, then the inter residual (CBP inter mapping).
+    ``es`` = the CABAC entropy source (r14); None = CAVLC reads from
+    ``r``.  The syntax element ORDER is entropy-agnostic."""
     if ctx.u is None:
         raise UnsupportedMediaError(
             "h264: entropy-coded 4:0:0 macroblocks need the optional "
@@ -1760,7 +1765,9 @@ def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
     br, bc = my * 4, mx * 4
     crow, ccol = my * 2, mx * 2
 
-    def read_ref() -> int:
+    def read_ref(rb, cb, h4, w4) -> int:
+        if es is not None:
+            return es.ref(0, num_ref, rb, cb, h4, w4, mb_idx)
         if num_ref <= 1:
             return 0
         ri = _read_te(r, num_ref - 1)
@@ -1768,10 +1775,21 @@ def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
             raise UnsupportedMediaError("h264: ref_idx out of range")
         return ri
 
+    def read_mvd(rb, cb, h4, w4):
+        if es is not None:
+            return es.mvd(0, rb, cb, h4, w4, mb_idx)
+        return (r.se(), r.se())  # x then y (§7.4.5.1)
+
     if mb_type in (0, 1, 2):
         parts = _P_PARTS[mb_type]
-        refs = [read_ref() for _ in parts]  # all ref_idx first (§7.3.5.1)
-        mvds = [(r.se(), r.se()) for _ in parts]  # x then y (§7.4.5.1)
+        refs = [
+            read_ref(br + ro, bc + co, h4, w4)
+            for ro, co, h4, w4, _sp in parts
+        ]  # all ref_idx first (§7.3.5.1)
+        mvds = [
+            read_mvd(br + ro, bc + co, h4, w4)
+            for ro, co, h4, w4, _sp in parts
+        ]
         for (r_off, c_off, h4, w4, special), ri, (dx, dy) in zip(
             parts, refs, mvds
         ):
@@ -1784,20 +1802,28 @@ def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
                 px_ + dx, py_ + dy, ref_idx=ri,
             )
     else:  # 3 / 4: P_8x8 / P_8x8ref0
-        subs = [r.ue() for _ in range(4)]
-        if any(s > 3 for s in subs):
-            raise UnsupportedMediaError("h264: invalid sub_mb_type")
+        if es is not None:
+            subs = [es.sub_p() for _ in range(4)]
+        else:
+            subs = [r.ue() for _ in range(4)]
+            if any(s > 3 for s in subs):
+                raise UnsupportedMediaError("h264: invalid sub_mb_type")
         # syntax order (§7.3.5.2): all sub_mb_types, then one ref_idx
         # per 8x8 (absent for P_8x8ref0), then the mvds
         if mb_type == 3:
-            refs8 = [read_ref() for _ in range(4)]
+            refs8 = [
+                read_ref(br + 2 * (i8 // 2), bc + 2 * (i8 % 2), 2, 2)
+                for i8 in range(4)
+            ]
         else:
             refs8 = [0, 0, 0, 0]
         for i8 in range(4):
             base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
             ri = refs8[i8]
             for r_off, c_off, h4, w4 in _P_SUB_PARTS[subs[i8]]:
-                dx, dy = r.se(), r.se()
+                dx, dy = read_mvd(
+                    br + base_r + r_off, bc + base_c + c_off, h4, w4
+                )
                 px_, py_ = _mvp(
                     ctx, mb_idx, br + base_r + r_off,
                     bc + base_c + c_off, w4, h4, cur_ref=ri,
@@ -1808,7 +1834,10 @@ def _decode_inter_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS,
                     ref_idx=ri,
                 )
 
-    _inter_residual(r, ctx, pps, mb_idx)
+    if es is not None:
+        es.residual(ctx, pps, mb_idx)
+    else:
+        _inter_residual(r, ctx, pps, mb_idx)
 
 
 def _inter_residual(r: _BitReader, ctx: _PicCtx, pps: _PPS,
@@ -2239,12 +2268,13 @@ def _decode_bskip(ctx: _PicCtx, mb_idx: int, l0, l1, spatial: bool,
 
 def _decode_b_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS, mb_idx: int,
                  mb_type: int, l0, l1, spatial: bool,
-                 inference: bool) -> None:
-    """One CAVLC B macroblock, mb_type 0..22 (Table 7-14): parse
+                 inference: bool, es=None) -> None:
+    """One B macroblock, mb_type 0..22 (Table 7-14): parse
     ref_idx per list (te(v)), all list-0 MVDs then all list-1 MVDs
     (§7.3.5.1/.2), derive each list's median predictor in partition
     order, motion-compensate (bi partitions average), then the shared
-    inter residual."""
+    inter residual.  ``es`` = the CABAC entropy source (r14); None =
+    CAVLC reads from ``r``."""
     if ctx.u is None:
         raise UnsupportedMediaError(
             "h264: entropy-coded 4:0:0 macroblocks need the optional "
@@ -2254,11 +2284,19 @@ def _decode_b_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS, mb_idx: int,
     br, bc = my * 4, mx * 4
     n0, n1 = len(l0), len(l1)
 
-    def read_ref(n: int) -> int:
+    def read_ref(n: int, lx: int, rb: int, cb: int,
+                 h4: int, w4: int) -> int:
+        if es is not None:
+            return es.ref(lx, n, rb, cb, h4, w4, mb_idx)
         ri = _read_te(r, n - 1) if n > 1 else 0
         if ri >= n:
             raise UnsupportedMediaError("h264: ref_idx out of range")
         return ri
+
+    def read_mvd(lx: int, rb: int, cb: int, h4: int, w4: int):
+        if es is not None:
+            return es.mvd(lx, rb, cb, h4, w4, mb_idx)
+        return (r.se(), r.se())
 
     if mb_type == 0:  # B_Direct_16x16
         for e in _derive_direct(ctx, mb_idx, l0, l1, spatial,
@@ -2270,12 +2308,18 @@ def _decode_b_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS, mb_idx: int,
         for lx, n in ((0, n0), (1, n1)):
             for p, m in enumerate(masks):
                 if m & (1 << lx):
-                    refs[lx][p] = read_ref(n)
+                    ro, co, h4, w4, _sp = geom[p]
+                    refs[lx][p] = read_ref(
+                        n, lx, br + ro, bc + co, h4, w4
+                    )
         mvds = ({}, {})
         for lx in (0, 1):
             for p, m in enumerate(masks):
                 if m & (1 << lx):
-                    mvds[lx][p] = (r.se(), r.se())
+                    ro, co, h4, w4, _sp = geom[p]
+                    mvds[lx][p] = read_mvd(
+                        lx, br + ro, bc + co, h4, w4
+                    )
         derived = ({}, {})
         for lx, lst in ((0, l0), (1, l1)):
             for p, ((ro, co, h4, w4, special), m) in enumerate(
@@ -2304,7 +2348,10 @@ def _decode_b_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS, mb_idx: int,
             _mc_part_b(ctx, l0, l1, mb_idx, ro, co, h4, w4,
                        r0, m0, r1, m1)
     else:  # 22: B_8x8
-        subs = [r.ue() for _ in range(4)]
+        if es is not None:
+            subs = [es.sub_b() for _ in range(4)]
+        else:
+            subs = [r.ue() for _ in range(4)]
         if any(s > 12 for s in subs):
             raise UnsupportedMediaError("h264: invalid B sub_mb_type")
         direct_quads = [i8 for i8 in range(4) if subs[i8] == 0]
@@ -2317,15 +2364,23 @@ def _decode_b_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS, mb_idx: int,
         for lx, n in ((0, n0), (1, n1)):
             for i8 in range(4):
                 if subs[i8] and _B_SUBTYPES[subs[i8]][1] & (1 << lx):
-                    refs8[lx][i8] = read_ref(n)
+                    refs8[lx][i8] = read_ref(
+                        n, lx, br + 2 * (i8 // 2), bc + 2 * (i8 % 2),
+                        2, 2,
+                    )
         mvds = ({}, {})
         for lx in (0, 1):
             for i8 in range(4):
                 if subs[i8]:
                     parts, m = _B_SUBTYPES[subs[i8]]
                     if m & (1 << lx):
-                        for s_i in range(len(parts)):
-                            mvds[lx][i8, s_i] = (r.se(), r.se())
+                        base_r = 2 * (i8 // 2)
+                        base_c = 2 * (i8 % 2)
+                        for s_i, (ro, co, h4, w4) in enumerate(parts):
+                            mvds[lx][i8, s_i] = read_mvd(
+                                lx, br + base_r + ro,
+                                bc + base_c + co, h4, w4,
+                            )
         derived = ({}, {})
         d_by_quad = {}
         for e in direct_entries:
@@ -2380,7 +2435,10 @@ def _decode_b_mb(r: _BitReader, ctx: _PicCtx, pps: _PPS, mb_idx: int,
                     ctx, l0, l1, mb_idx, base_r + ro, base_c + co,
                     h4, w4, r0, m0, r1, m1,
                 )
-    _inter_residual(r, ctx, pps, mb_idx)
+    if es is not None:
+        es.residual(ctx, pps, mb_idx)
+    else:
+        _inter_residual(r, ctx, pps, mb_idx)
 
 
 # ---------------------------------------------------------------------------
@@ -2703,11 +2761,12 @@ def _deblock_picture(ctx: _PicCtx, chroma_qp_offset: int) -> None:
 
 def decode_h264(payload: bytes):
     """Annex-B H.264 → (width, height, [(Y, U, V)]) for the implemented
-    subset — I_PCM, CAVLC intra, CABAC intra, P-slice inter,
-    deblocked, B-slice bi-predicted, and weighted-prediction streams
+    subset — I_PCM (CAVLC and CABAC), CAVLC intra, CABAC intra,
+    P-slice inter, deblocked, B-slice bi-predicted, CABAC P/B
+    (r14), and weighted-prediction streams
     (see the module docstring); raises UnsupportedMediaError naming
-    the optional extra past the seam (CABAC P/B slices, ref-list
-    modification/MMCO, fields, 8x8 transforms, POC type 1 B
+    the optional extra past the seam (ref-list modification/MMCO,
+    fields, 8x8 transforms, POC type 1 B
     streams).  Frames are returned in
     DISPLAY order (POC-sorted within each IDR GOP) — the plugin
     contract shared with a PyAV replacement."""
@@ -2781,11 +2840,6 @@ def decode_h264(payload: bytes):
                 )
             is_p = st == 0
             is_b = st == 1
-            if (is_p or is_b) and pps is not None and pps.cabac:
-                raise UnsupportedMediaError(
-                    "h264: CABAC P/B slices need the optional codec "
-                    "library (av) — CABAC decodes I slices"
-                )
             if (is_p or is_b) and nal_type == 5:
                 raise UnsupportedMediaError(
                     "h264: IDR pictures cannot contain P/B slices"
@@ -2981,14 +3035,13 @@ def decode_h264(payload: bytes):
             cur.wp_l1 = wp_l1
             cur.wp_logwd = wp_logwd
             if pps.cabac:
-                if is_p or is_b:
-                    raise UnsupportedMediaError(
-                        "h264: CABAC P/B slices need the optional "
-                        "codec library (av) — CABAC decodes I slices"
-                    )
                 _decode_cabac_slice_data(
                     r, cur, pps, first_mb, n_mbs, slice_serial,
                     (db_idc, db_aoff, db_boff),
+                    slice_kind="B" if is_b else ("P" if is_p else "I"),
+                    dpb=dpb, num_ref=num_ref, bl0=bl0, bl1=bl1,
+                    spatial=spatial_direct if is_b else False,
+                    inference=sps.direct_8x8,
                 )
                 continue  # next NAL
             mb = first_mb
@@ -4794,9 +4847,16 @@ def _encode_b_frame(w, ctx, mb_w, mb_lo, mb_hi, slice_id, f_idx, qp,
 # recall is certain: sigma 1 -> 0, sigma 2 -> 1, sigma 62 -> 38 — the
 # derivation reproduces all three (pinned in tests/test_h264_cabac.py).
 #
-# Scope: I slices (I_NxN + I_16x16, full residual path).  CABAC P/B
-# slices and I_PCM-inside-CABAC (the EncodeFlush/rewind corner) raise
-# the one exception type naming the optional extra.
+# Scope (r14): I, P and B slices.  I slices: I_NxN + I_16x16 + I_PCM
+# (the EncodeFlush + byte-aligned raw samples + mid-slice engine
+# re-initialisation path, §9.3.1.2), full residual path.  P/B slices:
+# mb_skip_flag, the Table 9-34 P and B mb_type / sub_mb_type
+# binarizations (including the intra-in-P/B fixed-context suffix),
+# U-binarized ref_idx with neighbor conditioning, UEG3 mvd with the
+# per-component |mvd|-sum contexts, the inter CBP/residual path with
+# the spec's inter cbf asymmetry — all over the SHARED motion
+# machinery (MC, direct modes, weighted prediction, DPB) of the CAVLC
+# layers, so the entropy layer is the only new surface.
 # ---------------------------------------------------------------------------
 
 import math as _math
@@ -4834,7 +4894,19 @@ _CC_CBF = 34      # 5 cats x 4 (inc 0..3)
 _CC_SIG = 54      # 5 cats x 15 positions
 _CC_LAST = 129    # 5 cats x 15
 _CC_LVL = 204     # 5 cats x 10 (bin0 inc 0..4, bins1+ inc 5..9)
-_N_CABAC_CTX = 254
+# ---- r14: P/B slice contexts (structure-exact, our numbering) ----
+_CC_SKIP_P = 254  # 3: mb_skip_flag (P), inc = notSkippedA + notSkippedB
+_CC_SKIP_B = 257  # 3: mb_skip_flag (B)
+_CC_PMBT = 260    # 4: P mb_type prefix (bin0; bin1; bin2 after 0/1)
+_CC_PSUB = 264    # 3: P sub_mb_type bins
+_CC_BMBT = 267    # 6: B mb_type (bin0 inc 0..2; +3 bin1; +4; +5 rest)
+_CC_BSUB = 273    # 4: B sub_mb_type bins (bin0..2 + shared tail)
+_CC_IMBT_P = 277  # 6: intra mb_type suffix in P (bin0, cbpl, cbpc x2,
+_CC_IMBT_B = 283  # 6:   mode x2); same layout for B
+_CC_REF = 289     # 6: ref_idx (bin0 inc 0..3; bin1; bins2+)
+_CC_MVDX = 295    # 7: mvd x (bin0 inc 0..2; bins 1..3; bins4+)
+_CC_MVDY = 302    # 7: mvd y
+_N_CABAC_CTX = 309
 
 # residual block categories
 _CAT_L16DC, _CAT_L16AC, _CAT_L4, _CAT_CDC, _CAT_CAC = range(5)
@@ -4908,6 +4980,18 @@ class _CabacDec:
             return 1
         self._renorm()
         return 0
+
+    def reinit(self) -> None:
+        """§9.3.1.2 re-initialisation after I_PCM samples: fresh
+        codIRange/codIOffset from the (byte-aligned) reader, contexts
+        RETAINED.  In this engine the reader position after
+        terminate() == 1 equals the encoder's emitted-bit count
+        exactly (property-pinned in tests), so alignment is plain
+        byte alignment on the reader."""
+        self.range = 510
+        self.offset = 0
+        for _ in range(9):
+            self.offset = (self.offset << 1) | self._bit()
 
 
 class _CabacEnc:
@@ -4986,6 +5070,24 @@ class _CabacEnc:
         else:
             self._renorm()
 
+    def put_pcm(self, data: bytes) -> None:
+        """pcm_alignment_zero_bit(s) + raw sample bytes, straight into
+        the bit list (the CABAC data starts byte-aligned in the NAL,
+        so list-length alignment IS byte alignment)."""
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        for byte in data:
+            for i in range(7, -1, -1):
+                self.bits.append((byte >> i) & 1)
+
+    def reinit(self) -> None:
+        """§9.3.4.1 re-initialisation after I_PCM samples (contexts
+        retained, firstBitFlag reset)."""
+        self.low = 0
+        self.range = 510
+        self.n_out = 0
+        self.first = True
+
 
 # ---- neighbor-derived context increments ---------------------------------
 
@@ -5003,13 +5105,15 @@ def _mb_nbrs(ctx: _PicCtx, mb: int):
 
 
 def _cbf_ctx(ctx: _PicCtx, cat: int, mb: int, rb: int, cb_: int,
-             comp: int) -> int:
+             comp: int, intra: bool = True) -> int:
     """coded_block_flag ctxIdxInc = condA + 2*condB (§9.3.3.1.1.9);
-    unavailable neighbors read 1 (all MBs here are intra)."""
+    unavailable neighbors read 1 when the CURRENT macroblock is intra
+    and 0 when it is inter (the spec's asymmetry, r14)."""
+    un = 1 if intra else 0
 
     def blk_cbf(arr, r_, c_, sz) -> int:
         if not ctx._blk_avail(arr, r_, c_, mb, sz):
-            return 1
+            return un
         return 1 if arr[r_, c_] > 0 else 0
 
     if cat in (_CAT_L16AC, _CAT_L4):
@@ -5024,7 +5128,7 @@ def _cbf_ctx(ctx: _PicCtx, cat: int, mb: int, rb: int, cb_: int,
 
         def mb_cbf(n: int) -> int:
             if n < 0 or ctx.mb_kind[n] < 0:
-                return 1  # unavailable, intra current MB
+                return un  # unavailable: 1 intra-current, 0 inter
             v = ctx.cbf_dc[n, slot]
             return int(v) if v >= 0 else 0
 
@@ -5033,11 +5137,14 @@ def _cbf_ctx(ctx: _PicCtx, cat: int, mb: int, rb: int, cb_: int,
 
 
 def _decode_res_cabac(cd: _CabacDec, ctx: _PicCtx, cat: int, mb: int,
-                      rb: int, cb_: int, comp: int, n: int) -> list:
+                      rb: int, cb_: int, comp: int, n: int,
+                      intra: bool = True) -> list:
     """residual_block_cabac (§7.3.5.3.3) -> zigzag coefficient list of
     length ``n`` (same shape _decode_residual returns for CAVLC)."""
     coeffs = [0] * n
-    cbf = cd.decision(_CC_CBF + cat * 4 + _cbf_ctx(ctx, cat, mb, rb, cb_, comp))
+    cbf = cd.decision(
+        _CC_CBF + cat * 4 + _cbf_ctx(ctx, cat, mb, rb, cb_, comp, intra)
+    )
     if not cbf:
         return coeffs
     sig = []
@@ -5170,11 +5277,486 @@ def _enc_qp_delta(ce: _CabacEnc, delta: int, prev_nonzero: bool) -> None:
         ce.decision(_CC_QPD + 3, 0)
 
 
+# ---------------------------------------------------------------------------
+# CABAC P/B slices (r14): inter syntax binarizations + context
+# increments over the r13 engine.  The motion machinery (MC, direct,
+# WP, DPB) is shared with the CAVLC path; only the entropy layer is
+# new.  Same derived-init honesty pattern as the I-slice section.
+# ---------------------------------------------------------------------------
+
+
+def _ensure_cabac_inter_state(ctx: _PicCtx) -> None:
+    """Per-picture conditioning state for the inter syntax elements:
+    |mvd| and ref_idx per 4x4 PER LIST as decoded (skip/direct/intra
+    partitions stay at the 0 / -1 defaults, which the spec's condTerm
+    rules read as 'no contribution'); per-MB skip and direct flags."""
+    if hasattr(ctx, "camvd"):
+        return
+    h4, w4 = ctx.ref.shape
+    ctx.camvd = np.zeros((2, h4, w4, 2), np.int32)
+    ctx.cref = np.full((2, h4, w4), -1, np.int32)
+    n_mb = ctx.mb_kind.shape[0]
+    ctx.cskip = np.zeros(n_mb, np.uint8)
+    ctx.cdirect = np.zeros(n_mb, np.uint8)
+
+
+def _skip_flag_ctx(ctx: _PicCtx, mb: int) -> int:
+    """mb_skip_flag ctxIdxInc: one per available NOT-skipped
+    neighbor (§9.3.3.1.1.1)."""
+    left, top = _mb_nbrs(ctx, mb)
+
+    def cond(n: int) -> int:
+        return 1 if (n >= 0 and not ctx.cskip[n]) else 0
+
+    return cond(left) + cond(top)
+
+
+def _bmbt_ctx(ctx: _PicCtx, mb: int) -> int:
+    """B mb_type bin0 ctxIdxInc: one per available neighbor that is
+    neither B_Skip nor B_Direct_16x16 (§9.3.3.1.1.3)."""
+    left, top = _mb_nbrs(ctx, mb)
+
+    def cond(n: int) -> int:
+        return 1 if (
+            n >= 0 and not ctx.cskip[n] and not ctx.cdirect[n]
+        ) else 0
+
+    return cond(left) + cond(top)
+
+
+def _ref_idx_ctx(ctx: _PicCtx, lx: int, rb: int, cb: int, mb: int) -> int:
+    """ref_idx bin0 ctxIdxInc = condA + 2*condB, condTerm = 1 only for
+    an available neighbor 4x4 explicitly coded with ref_idx > 0 in the
+    same list (§9.3.3.1.1.6; skip/direct/intra read 0)."""
+
+    def cond(r_, c_):
+        if not ctx._blk_avail(ctx.nc_y, r_, c_, mb, 4):
+            return 0
+        return 1 if ctx.cref[lx, r_, c_] > 0 else 0
+
+    return cond(rb, cb - 1) + 2 * cond(rb - 1, cb)
+
+
+def _mvd_comp_ctx(ctx: _PicCtx, lx: int, comp: int, rb: int, cb: int,
+                  mb: int) -> int:
+    """mvd bin0 ctxIdxInc from the neighbor |mvd| sum for the same
+    component and list: < 3 -> 0, 3..32 -> 1, > 32 -> 2
+    (§9.3.3.1.1.7)."""
+    s = 0
+    for r_, c_ in ((rb, cb - 1), (rb - 1, cb)):
+        if ctx._blk_avail(ctx.nc_y, r_, c_, mb, 4):
+            s += int(ctx.camvd[lx, r_, c_, comp])
+    return 0 if s < 3 else (1 if s <= 32 else 2)
+
+
+class _CabacInterES:
+    """Entropy source for the shared inter macroblock parse: CABAC
+    reads for ref_idx / mvd / sub_mb_type / residual, storing the
+    conditioning state at read time (decode order, as the spec's
+    neighbor derivations require).  The CAVLC path passes es=None and
+    keeps its ue/se/te reads."""
+
+    def __init__(self, cd: _CabacDec, ctx: _PicCtx):
+        self.cd = cd
+        self.ctx = ctx
+        self.prev_qpd = False
+        _ensure_cabac_inter_state(ctx)
+
+    def ref(self, lx, n, rb, cb, h4, w4, mb) -> int:
+        cd, ctx = self.cd, self.ctx
+        ri = 0
+        if n > 1:
+            if cd.decision(_CC_REF + _ref_idx_ctx(ctx, lx, rb, cb, mb)):
+                ri = 1
+                while cd.decision(_CC_REF + (4 if ri == 1 else 5)):
+                    ri += 1
+                    if ri >= n:
+                        raise UnsupportedMediaError(
+                            "h264: ref_idx out of range"
+                        )
+        ctx.cref[lx, rb : rb + h4, cb : cb + w4] = ri
+        return ri
+
+    def _mvd_comp(self, lx, comp, rb, cb, mb) -> int:
+        cd = self.cd
+        base = _CC_MVDX if comp == 0 else _CC_MVDY
+        if not cd.decision(
+            base + _mvd_comp_ctx(self.ctx, lx, comp, rb, cb, mb)
+        ):
+            return 0
+        v = 1
+        while v < 9:
+            if not cd.decision(base + 3 + min(v - 1, 3)):
+                break
+            v += 1
+        if v == 9:  # UEG3 bypass suffix
+            k = 3
+            while cd.bypass():
+                v += 1 << k
+                k += 1
+                if k > 24:
+                    raise UnsupportedMediaError(
+                        "h264: CABAC mvd suffix overrun"
+                    )
+            while k:
+                k -= 1
+                v += cd.bypass() << k
+        return -v if cd.bypass() else v
+
+    def mvd(self, lx, rb, cb, h4, w4, mb):
+        ctx = self.ctx
+        dx = self._mvd_comp(lx, 0, rb, cb, mb)
+        ctx.camvd[lx, rb : rb + h4, cb : cb + w4, 0] = abs(dx)
+        dy = self._mvd_comp(lx, 1, rb, cb, mb)
+        ctx.camvd[lx, rb : rb + h4, cb : cb + w4, 1] = abs(dy)
+        return dx, dy
+
+    def sub_p(self) -> int:
+        cd = self.cd
+        if cd.decision(_CC_PSUB):
+            return 0
+        if not cd.decision(_CC_PSUB + 1):
+            return 1
+        return 2 if cd.decision(_CC_PSUB + 2) else 3
+
+    def sub_b(self) -> int:
+        cd = self.cd
+        if not cd.decision(_CC_BSUB):
+            return 0
+        if not cd.decision(_CC_BSUB + 1):
+            return 1 + cd.decision(_CC_BSUB + 3)
+        t = 3
+        if cd.decision(_CC_BSUB + 2):
+            if cd.decision(_CC_BSUB + 3):
+                return 11 + cd.decision(_CC_BSUB + 3)
+            t += 4
+        t += 2 * cd.decision(_CC_BSUB + 3)
+        t += cd.decision(_CC_BSUB + 3)
+        return t
+
+    def residual(self, ctx, pps, mb) -> None:
+        self.prev_qpd = _inter_residual_cabac(
+            self.cd, ctx, pps, mb, self.prev_qpd
+        )
+
+
+def _inter_residual_cabac(cd: _CabacDec, ctx: _PicCtx, pps: _PPS,
+                          mb_idx: int, prev_qpd: bool) -> bool:
+    """CABAC twin of :func:`_inter_residual`: CBP bins, mb_qp_delta,
+    residual blocks (inter context asymmetry), reconstruction onto the
+    MC prediction already in the picture planes.  Returns whether
+    mb_qp_delta was nonzero."""
+    my, mx = divmod(mb_idx, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    crow, ccol = my * 2, mx * 2
+    cy0, cx0 = my * 8, mx * 8
+    cbp_luma = 0
+    for b in range(4):
+        if cd.decision(
+            _CC_CBP_L + _cbp_luma_ctx(ctx, mb_idx, b, cbp_luma)
+        ):
+            cbp_luma |= 1 << b
+    cbp_chroma = 0
+    if cd.decision(_CC_CBP_C + _cbp_chroma_ctx(ctx, mb_idx, 0)):
+        cbp_chroma = (
+            2 if cd.decision(_CC_CBP_C + _cbp_chroma_ctx(ctx, mb_idx, 1))
+            else 1
+        )
+    qpd_nonzero = False
+    if cbp_luma or cbp_chroma:
+        delta = _dec_qp_delta(cd, prev_qpd)
+        qpd_nonzero = delta != 0
+        ctx.qp = (ctx.qp + delta + 52) % 52
+    qpc = _chroma_qp(ctx.qp, pps.chroma_qp_index_offset)
+    for blk in range(16):
+        dy, dx = _BLK4_ORDER[blk]
+        rb, cb_ = br + dy, bc + dx
+        py, px = rb * 4, cb_ * 4
+        if cbp_luma & (1 << (blk // 4)):
+            coeffs = _decode_res_cabac(
+                cd, ctx, _CAT_L4, mb_idx, rb, cb_, 0, 16, intra=False
+            )
+            ctx.nc_y[rb, cb_] = 16 - coeffs.count(0)
+            res = _itransform4x4(_dequant4x4(coeffs, ctx.qp, False))
+            pred = ctx.y[py : py + 4, px : px + 4].astype(np.int64)
+            ctx.y[py : py + 4, px : px + 4] = _clip_u8(pred + res)
+        else:
+            ctx.nc_y[rb, cb_] = 0
+    dc_lists = [[0] * 4, [0] * 4]
+    if cbp_chroma:
+        for comp in range(2):
+            dc_lists[comp] = _decode_res_cabac(
+                cd, ctx, _CAT_CDC, mb_idx, crow, ccol, comp, 4,
+                intra=False,
+            )
+            ctx.cbf_dc[mb_idx, 1 + comp] = (
+                1 if any(dc_lists[comp]) else 0
+            )
+    else:
+        ctx.cbf_dc[mb_idx, 1] = ctx.cbf_dc[mb_idx, 2] = 0
+    ac_lists = [[None] * 4, [None] * 4]
+    if cbp_chroma & 2:
+        for comp in range(2):
+            for blk in range(4):
+                cdy, cdx = divmod(blk, 2)
+                ac = _decode_res_cabac(
+                    cd, ctx, _CAT_CAC, mb_idx,
+                    crow + cdy, ccol + cdx, comp, 15, intra=False,
+                )
+                ac_lists[comp][blk] = ac
+                ctx.nc_c[comp][crow + cdy, ccol + cdx] = (
+                    15 - ac.count(0)
+                )
+    else:
+        for comp in range(2):
+            ctx.nc_c[comp][crow : crow + 2, ccol : ccol + 2] = 0
+    if cbp_chroma:
+        for comp, plane in ((0, ctx.u), (1, ctx.v)):
+            cmat = np.array(
+                [[dc_lists[comp][0], dc_lists[comp][1]],
+                 [dc_lists[comp][2], dc_lists[comp][3]]],
+                np.int64,
+            )
+            dcc = _scale_chroma_dc(_hadamard2x2(cmat), qpc)
+            for blk in range(4):
+                cdy, cdx = divmod(blk, 2)
+                ac = ac_lists[comp][blk]
+                d = (
+                    _dequant4x4(ac, qpc, True)
+                    if ac is not None
+                    else np.zeros((4, 4), np.int64)
+                )
+                d[0, 0] = dcc[cdy, cdx]
+                res = _itransform4x4(d)
+                py, px = cy0 + cdy * 4, cx0 + cdx * 4
+                pred = plane[py : py + 4, px : px + 4].astype(np.int64)
+                plane[py : py + 4, px : px + 4] = _clip_u8(pred + res)
+    ctx.mode4[br : br + 4, bc : bc + 4] = 2
+    ctx.mb_cbp[mb_idx] = cbp_luma | (cbp_chroma << 4)
+    ctx.cbf_dc[mb_idx, 0] = -1
+    return qpd_nonzero
+
+
+class _CabacInterWriter:
+    """Encoder twin of :class:`_CabacInterES`: identical context
+    trajectory by construction (same conditioning reads, same storage
+    order)."""
+
+    def __init__(self, ce: _CabacEnc, ctx: _PicCtx):
+        self.ce = ce
+        self.ctx = ctx
+        self.prev_qpd = False
+        _ensure_cabac_inter_state(ctx)
+
+    def ref(self, lx, n, ri, rb, cb, h4, w4, mb) -> None:
+        ce, ctx = self.ce, self.ctx
+        if n > 1:
+            for b in range(ri):
+                ce.decision(
+                    _CC_REF + (
+                        _ref_idx_ctx(ctx, lx, rb, cb, mb) if b == 0
+                        else (4 if b == 1 else 5)
+                    ),
+                    1,
+                )
+            ce.decision(
+                _CC_REF + (
+                    _ref_idx_ctx(ctx, lx, rb, cb, mb) if ri == 0
+                    else (4 if ri == 1 else 5)
+                ),
+                0,
+            )
+        ctx.cref[lx, rb : rb + h4, cb : cb + w4] = ri
+
+    def _mvd_comp(self, lx, comp, d, rb, cb, mb) -> None:
+        ce = self.ce
+        base = _CC_MVDX if comp == 0 else _CC_MVDY
+        v = abs(d)
+        inc0 = _mvd_comp_ctx(self.ctx, lx, comp, rb, cb, mb)
+        for b in range(min(v, 9)):
+            ce.decision(base + (inc0 if b == 0 else 3 + min(b - 1, 3)), 1)
+        if v < 9:
+            ce.decision(base + (inc0 if v == 0 else 3 + min(v - 1, 3)), 0)
+        else:  # UEG3 bypass suffix
+            u = v - 9
+            k = 3
+            while u >= (1 << k):
+                ce.bypass(1)
+                u -= 1 << k
+                k += 1
+            ce.bypass(0)
+            for i in range(k - 1, -1, -1):
+                ce.bypass((u >> i) & 1)
+        if v:
+            ce.bypass(1 if d < 0 else 0)
+
+    def mvd(self, lx, dx, dy, rb, cb, h4, w4, mb) -> None:
+        ctx = self.ctx
+        self._mvd_comp(lx, 0, dx, rb, cb, mb)
+        ctx.camvd[lx, rb : rb + h4, cb : cb + w4, 0] = abs(dx)
+        self._mvd_comp(lx, 1, dy, rb, cb, mb)
+        ctx.camvd[lx, rb : rb + h4, cb : cb + w4, 1] = abs(dy)
+
+    def sub_p(self, s: int) -> None:
+        ce = self.ce
+        if s == 0:
+            ce.decision(_CC_PSUB, 1)
+            return
+        ce.decision(_CC_PSUB, 0)
+        if s == 1:
+            ce.decision(_CC_PSUB + 1, 0)
+            return
+        ce.decision(_CC_PSUB + 1, 1)
+        ce.decision(_CC_PSUB + 2, 1 if s == 2 else 0)
+
+    def sub_b(self, s: int) -> None:
+        ce = self.ce
+        if s == 0:
+            ce.decision(_CC_BSUB, 0)
+            return
+        ce.decision(_CC_BSUB, 1)
+        if s in (1, 2):
+            ce.decision(_CC_BSUB + 1, 0)
+            ce.decision(_CC_BSUB + 3, s - 1)
+            return
+        ce.decision(_CC_BSUB + 1, 1)
+        if s in (11, 12):
+            ce.decision(_CC_BSUB + 2, 1)
+            ce.decision(_CC_BSUB + 3, 1)
+            ce.decision(_CC_BSUB + 3, s - 11)
+            return
+        if s >= 7:
+            ce.decision(_CC_BSUB + 2, 1)
+            ce.decision(_CC_BSUB + 3, 0)
+            rem = s - 7
+        else:
+            ce.decision(_CC_BSUB + 2, 0)
+            rem = s - 3
+        ce.decision(_CC_BSUB + 3, (rem >> 1) & 1)
+        ce.decision(_CC_BSUB + 3, rem & 1)
+
+    def p_mbtype(self, t: int) -> None:
+        ce = self.ce
+        ce.decision(_CC_PMBT, 0)
+        if t in (0, 3):
+            ce.decision(_CC_PMBT + 1, 0)
+            ce.decision(_CC_PMBT + 2, 1 if t == 3 else 0)
+        else:
+            ce.decision(_CC_PMBT + 1, 1)
+            ce.decision(_CC_PMBT + 3, 1 if t == 1 else 0)
+
+    def b_mbtype(self, mb: int, t: int) -> None:
+        ce, ctx = self.ce, self.ctx
+        if t == 0:
+            ce.decision(_CC_BMBT + _bmbt_ctx(ctx, mb), 0)
+            return
+        ce.decision(_CC_BMBT + _bmbt_ctx(ctx, mb), 1)
+        if t in (1, 2):
+            ce.decision(_CC_BMBT + 3, 0)
+            ce.decision(_CC_BMBT + 5, t - 1)
+            return
+        ce.decision(_CC_BMBT + 3, 1)
+        if 3 <= t <= 10:
+            bits, extra = t - 3, None
+        elif t == 11:
+            bits, extra = 14, None
+        elif t == 22:
+            bits, extra = 15, None
+        else:  # 12..21 -> 5-bit code (t + 4)
+            code = t + 4
+            bits, extra = code >> 1, code & 1
+        ce.decision(_CC_BMBT + 4, (bits >> 3) & 1)
+        ce.decision(_CC_BMBT + 5, (bits >> 2) & 1)
+        ce.decision(_CC_BMBT + 5, (bits >> 1) & 1)
+        ce.decision(_CC_BMBT + 5, bits & 1)
+        if extra is not None:
+            ce.decision(_CC_BMBT + 5, extra)
+
+    def residual(self, ctx, mb, cbp, lcoeffs, cdcq, cacq) -> None:
+        self.prev_qpd = _enc_inter_residual_cabac(
+            self.ce, ctx, mb, cbp, lcoeffs, cdcq, cacq, self.prev_qpd
+        )
+
+
+def _enc_inter_residual_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
+                              cbp: int, lcoeffs, cdcq, cacq,
+                              prev_qpd: bool) -> bool:
+    """CABAC-emit the inter residual with the decoder's exact context
+    trajectory and nC/cbf bookkeeping (qp delta always 0 — the fixture
+    encoders keep one QP)."""
+    my, mx = divmod(mb, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    crow, ccol = my * 2, mx * 2
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    bits = 0
+    for b in range(4):
+        v = (cbp_luma >> b) & 1
+        ce.decision(_CC_CBP_L + _cbp_luma_ctx(ctx, mb, b, bits), v)
+        bits |= v << b
+    ce.decision(
+        _CC_CBP_C + _cbp_chroma_ctx(ctx, mb, 0),
+        1 if cbp_chroma else 0,
+    )
+    if cbp_chroma:
+        ce.decision(
+            _CC_CBP_C + _cbp_chroma_ctx(ctx, mb, 1),
+            1 if cbp_chroma == 2 else 0,
+        )
+    qpd = False
+    if cbp:
+        _enc_qp_delta(ce, 0, prev_qpd)
+    for blk in range(16):
+        dy, dx = _BLK4_ORDER[blk]
+        rb, cb_ = br + dy, bc + dx
+        if cbp_luma & (1 << (blk // 4)):
+            _enc_res_cabac(
+                ce, ctx, _CAT_L4, mb, rb, cb_, 0, lcoeffs[blk],
+                intra=False,
+            )
+            ctx.nc_y[rb, cb_] = 16 - list(lcoeffs[blk]).count(0)
+        else:
+            ctx.nc_y[rb, cb_] = 0
+    if cbp_chroma:
+        for comp in range(2):
+            _enc_res_cabac(
+                ce, ctx, _CAT_CDC, mb, crow, ccol, comp,
+                list(cdcq[comp]), intra=False,
+            )
+            ctx.cbf_dc[mb, 1 + comp] = (
+                1 if any(cdcq[comp]) else 0
+            )
+    else:
+        ctx.cbf_dc[mb, 1] = ctx.cbf_dc[mb, 2] = 0
+    if cbp_chroma & 2:
+        for comp in range(2):
+            for blk in range(4):
+                cdy, cdx = divmod(blk, 2)
+                _enc_res_cabac(
+                    ce, ctx, _CAT_CAC, mb, crow + cdy, ccol + cdx,
+                    comp, list(cacq[comp][blk]), intra=False,
+                )
+                ctx.nc_c[comp][crow + cdy, ccol + cdx] = (
+                    15 - list(cacq[comp][blk]).count(0)
+                )
+    else:
+        for comp in range(2):
+            ctx.nc_c[comp][crow : crow + 2, ccol : ccol + 2] = 0
+    ctx.mode4[br : br + 4, bc : bc + 4] = 2
+    ctx.mb_cbp[mb] = cbp_luma | (cbp_chroma << 4)
+    ctx.cbf_dc[mb, 0] = -1
+    return qpd
+
+
 def _decode_intra_mb_cabac(cd: _CabacDec, ctx: _PicCtx, pps: _PPS,
-                           mb_idx: int, prev_qpd_nonzero: bool) -> bool:
-    """One CABAC intra macroblock (I slice): parse via the arithmetic
-    engine, reconstruct via the SAME prediction/dequant/IDCT helpers
-    as the CAVLC path.  Returns whether mb_qp_delta was nonzero."""
+                           mb_idx: int, prev_qpd_nonzero: bool,
+                           mbt_base: int | None = None) -> bool:
+    """One CABAC intra macroblock: parse via the arithmetic engine,
+    reconstruct via the SAME prediction/dequant/IDCT helpers as the
+    CAVLC path.  ``mbt_base`` None = I-slice mb_type (bin0
+    neighbor-conditioned on the shared _CC_MBTYPE block); else the
+    intra SUFFIX inside a P/B macroblock (fixed per-bin contexts at
+    the given base, no neighbor conditioning — r14).  Returns whether
+    mb_qp_delta was nonzero."""
     if ctx.u is None:
         raise UnsupportedMediaError(
             "h264: entropy-coded 4:0:0 macroblocks need the optional "
@@ -5189,25 +5771,52 @@ def _decode_intra_mb_cabac(cd: _CabacDec, ctx: _PicCtx, pps: _PPS,
     ctx.ref1[br : br + 4, bc : bc + 4] = -1
     qpd_nonzero = False
 
-    # ---- mb_type (Table 9-36 I tree)
-    if not cd.decision(_CC_MBTYPE + _mbtype_ctx(ctx, mb_idx)):
+    # ---- mb_type (Table 9-36 I tree / the P-B intra suffix)
+    if mbt_base is None:
+        bin0 = cd.decision(_CC_MBTYPE + _mbtype_ctx(ctx, mb_idx))
+        c_cbpl, c_cbpc, c_mode = _CC_I16_CBPL, _CC_I16_CBPC, _CC_I16_MODE
+    else:
+        bin0 = cd.decision(mbt_base)
+        c_cbpl, c_cbpc, c_mode = mbt_base + 1, mbt_base + 2, mbt_base + 4
+    if not bin0:
         i16 = False
         ctx.mb_kind[mb_idx] = 0
     else:
         if cd.terminate():
-            raise UnsupportedMediaError(
-                "h264: I_PCM inside CABAC slices needs the optional "
-                "codec library (av)"
-            )
+            # I_PCM (r14): byte-align the reader (this engine's
+            # post-terminate position equals the emitted-bit count,
+            # property-pinned), read the raw samples, re-init the
+            # engine with contexts retained (§9.3.1.2)
+            r = cd.r
+            while r.pos & 7:
+                if r.read(1):
+                    raise UnsupportedMediaError(
+                        "h264: pcm_alignment_zero_bit is one"
+                    )
+            luma = np.frombuffer(r.bytes_at(256), np.uint8)
+            ctx.y[y0 : y0 + 16, x0 : x0 + 16] = luma.reshape(16, 16)
+            cb = np.frombuffer(r.bytes_at(64), np.uint8)
+            cr = np.frombuffer(r.bytes_at(64), np.uint8)
+            ctx.u[cy0 : cy0 + 8, cx0 : cx0 + 8] = cb.reshape(8, 8)
+            ctx.v[cy0 : cy0 + 8, cx0 : cx0 + 8] = cr.reshape(8, 8)
+            ctx.nc_y[br : br + 4, bc : bc + 4] = 16
+            ctx.nc_c[0][crow : crow + 2, ccol : ccol + 2] = 16
+            ctx.nc_c[1][crow : crow + 2, ccol : ccol + 2] = 16
+            ctx.mode4[br : br + 4, bc : bc + 4] = 2
+            ctx.mb_kind[mb_idx] = 2
+            ctx.cbf_dc[mb_idx] = 1  # I_PCM cbf reads 1 (§9.3.3.1.1.9)
+            ctx.mb_qp[mb_idx] = 0  # QPY of I_PCM is 0 (§7.4.5)
+            cd.reinit()
+            return False  # mb_qp_delta treated as 0
         i16 = True
         ctx.mb_kind[mb_idx] = 1
-        cbp_luma = 15 if cd.decision(_CC_I16_CBPL) else 0
-        if not cd.decision(_CC_I16_CBPC):
+        cbp_luma = 15 if cd.decision(c_cbpl) else 0
+        if not cd.decision(c_cbpc):
             cbp_chroma = 0
         else:
-            cbp_chroma = 2 if cd.decision(_CC_I16_CBPC + 1) else 1
-        pred16_mode = (cd.decision(_CC_I16_MODE) << 1) | cd.decision(
-            _CC_I16_MODE + 1
+            cbp_chroma = 2 if cd.decision(c_cbpc + 1) else 1
+        pred16_mode = (cd.decision(c_mode) << 1) | cd.decision(
+            c_mode + 1
         )
 
     if not i16:
@@ -5385,10 +5994,16 @@ def _decode_intra_mb_cabac(cd: _CabacDec, ctx: _PicCtx, pps: _PPS,
 
 def _decode_cabac_slice_data(r: _BitReader, ctx: _PicCtx, pps: _PPS,
                              first_mb: int, n_mbs: int,
-                             slice_serial: int, db) -> int:
+                             slice_serial: int, db,
+                             slice_kind: str = "I", dpb=None,
+                             num_ref: int = 0, bl0=None, bl1=None,
+                             spatial: bool = False,
+                             inference: bool = False) -> int:
     """CABAC slice_data (§7.3.4 with entropy_coding_mode_flag): align,
-    init the engine, decode MBs until end_of_slice_flag.  Returns the
-    next undecoded MB index."""
+    init the engine, decode MBs until end_of_slice_flag.  I slices
+    (r13) and P/B slices (r14: mb_skip_flag, the Table 9-34 P/B
+    mb_type and sub_mb_type binarizations, ref_idx/mvd contexts, the
+    shared motion machinery).  Returns the next undecoded MB index."""
     db_idc, db_aoff, db_boff = db
     # cabac_alignment_one_bit(s): all 1 up to the byte boundary
     while r.pos & 7:
@@ -5397,6 +6012,7 @@ def _decode_cabac_slice_data(r: _BitReader, ctx: _PicCtx, pps: _PPS,
                 "h264: cabac_alignment_one_bit is zero"
             )
     cd = _CabacDec(r, _cabac_init_ctxs())
+    es = _CabacInterES(cd, ctx) if slice_kind != "I" else None
     mb = first_mb
     prev_qpd = False
     while True:
@@ -5408,8 +6024,73 @@ def _decode_cabac_slice_data(r: _BitReader, ctx: _PicCtx, pps: _PPS,
         ctx.db_idc[mb] = db_idc
         ctx.db_aoff[mb] = db_aoff
         ctx.db_boff[mb] = db_boff
-        prev_qpd = _decode_intra_mb_cabac(cd, ctx, pps, mb, prev_qpd)
-        ctx.mb_qp[mb] = ctx.qp
+        if slice_kind == "I":
+            prev_qpd = _decode_intra_mb_cabac(cd, ctx, pps, mb, prev_qpd)
+        elif slice_kind == "P":
+            if cd.decision(_CC_SKIP_P + _skip_flag_ctx(ctx, mb)):
+                ctx.cskip[mb] = 1
+                _decode_pskip(ctx, mb, dpb[0])
+                ctx.mb_kind[mb] = 3
+                prev_qpd = False
+            elif not cd.decision(_CC_PMBT):
+                # P mb_type prefix: '00x' -> 16x16 / P_8x8, '01x' ->
+                # 16x8 / 8x16 (Table 9-34 via the prefix tree)
+                if not cd.decision(_CC_PMBT + 1):
+                    t = 3 if cd.decision(_CC_PMBT + 2) else 0
+                else:
+                    t = 1 if cd.decision(_CC_PMBT + 3) else 2
+                es.prev_qpd = prev_qpd
+                _decode_inter_mb(
+                    r, ctx, pps, mb, t, dpb, num_ref, es=es
+                )
+                ctx.mb_kind[mb] = 3
+                prev_qpd = es.prev_qpd
+            else:  # intra-in-P suffix (fixed contexts)
+                prev_qpd = _decode_intra_mb_cabac(
+                    cd, ctx, pps, mb, prev_qpd, mbt_base=_CC_IMBT_P
+                )
+        else:  # B
+            if cd.decision(_CC_SKIP_B + _skip_flag_ctx(ctx, mb)):
+                ctx.cskip[mb] = 1
+                _decode_bskip(ctx, mb, bl0, bl1, spatial, inference)
+                ctx.mb_kind[mb] = 3
+                prev_qpd = False
+            else:
+                t = None
+                if not cd.decision(_CC_BMBT + _bmbt_ctx(ctx, mb)):
+                    t = 0  # B_Direct_16x16
+                    ctx.cdirect[mb] = 1
+                elif not cd.decision(_CC_BMBT + 3):
+                    t = 1 + cd.decision(_CC_BMBT + 5)
+                else:
+                    bits = cd.decision(_CC_BMBT + 4) << 3
+                    bits |= cd.decision(_CC_BMBT + 5) << 2
+                    bits |= cd.decision(_CC_BMBT + 5) << 1
+                    bits |= cd.decision(_CC_BMBT + 5)
+                    if bits < 8:
+                        t = bits + 3
+                    elif bits == 13:
+                        t = None  # intra-in-B suffix below
+                    elif bits == 14:
+                        t = 11
+                    elif bits == 15:
+                        t = 22
+                    else:
+                        t = ((bits << 1) | cd.decision(_CC_BMBT + 5)) - 4
+                if t is None:
+                    prev_qpd = _decode_intra_mb_cabac(
+                        cd, ctx, pps, mb, prev_qpd, mbt_base=_CC_IMBT_B
+                    )
+                else:
+                    es.prev_qpd = prev_qpd
+                    _decode_b_mb(
+                        r, ctx, pps, mb, t, bl0, bl1, spatial,
+                        inference, es=es,
+                    )
+                    ctx.mb_kind[mb] = 3
+                    prev_qpd = es.prev_qpd
+        if ctx.mb_kind[mb] != 2:  # I_PCM pinned its QPY of 0
+            ctx.mb_qp[mb] = ctx.qp
         mb += 1
         ctx.filled = mb
         if cd.terminate():  # end_of_slice_flag
@@ -5417,13 +6098,15 @@ def _decode_cabac_slice_data(r: _BitReader, ctx: _PicCtx, pps: _PPS,
 
 
 def _enc_res_cabac(ce: _CabacEnc, ctx: _PicCtx, cat: int, mb: int,
-                   rb: int, cb_: int, comp: int, coeffs: list) -> None:
+                   rb: int, cb_: int, comp: int, coeffs: list,
+                   intra: bool = True) -> None:
     """Encoder twin of :func:`_decode_res_cabac` — identical context
     trajectory by construction (same neighbor-state reads, same order)."""
     n = len(coeffs)
     cbf = 1 if any(coeffs) else 0
     ce.decision(
-        _CC_CBF + cat * 4 + _cbf_ctx(ctx, cat, mb, rb, cb_, comp), cbf
+        _CC_CBF + cat * 4 + _cbf_ctx(ctx, cat, mb, rb, cb_, comp, intra),
+        cbf,
     )
     if not cbf:
         return
@@ -5473,11 +6156,15 @@ def _enc_res_cabac(ce: _CabacEnc, ctx: _PicCtx, cat: int, mb: int,
 def _encode_one_mb_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
                          f_idx: int, qp: int, qpc: int,
                          y_pad, u_pad, v_pad,
-                         prev_qpd_nonzero: bool) -> bool:
+                         prev_qpd_nonzero: bool,
+                         mbt_base: int | None = None) -> bool:
     """One CABAC intra macroblock: the SAME deterministic decision mix
     and reconstruction as :func:`_encode_one_mb` (I_PCM replaced by
     I_16x16 — I_PCM-inside-CABAC is seam-gated), emitted through the
-    arithmetic engine.  Returns whether mb_qp_delta was nonzero."""
+    arithmetic engine.  ``mbt_base`` mirrors the decoder: None = the
+    I-slice mb_type contexts, else the fixed-context intra suffix
+    inside a P/B macroblock (r14).  Returns whether mb_qp_delta was
+    nonzero."""
     my, mx = divmod(mb, ctx.mb_w)
     br, bc = my * 4, mx * 4
     crow, ccol = my * 2, mx * 2
@@ -5487,6 +6174,30 @@ def _encode_one_mb_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
     ctx.ref1[br : br + 4, bc : bc + 4] = -1
     ctx.mb_qp[mb] = qp
     kind = (mb * 5 + f_idx) % 7
+    if kind == 6:  # I_PCM (r14: EncodeFlush + raw bytes + reinit)
+        if mbt_base is None:
+            ce.decision(_CC_MBTYPE + _mbtype_ctx(ctx, mb), 1)
+        else:
+            ce.decision(mbt_base, 1)
+        ce.terminate(1)
+        luma = y_pad[y0 : y0 + 16, x0 : x0 + 16]
+        cb = u_pad[cy0 : cy0 + 8, cx0 : cx0 + 8]
+        cr = v_pad[cy0 : cy0 + 8, cx0 : cx0 + 8]
+        ce.put_pcm(
+            luma.tobytes() + cb.tobytes() + cr.tobytes()
+        )
+        ce.reinit()
+        ctx.y[y0 : y0 + 16, x0 : x0 + 16] = luma
+        ctx.u[cy0 : cy0 + 8, cx0 : cx0 + 8] = cb
+        ctx.v[cy0 : cy0 + 8, cx0 : cx0 + 8] = cr
+        ctx.nc_y[br : br + 4, bc : bc + 4] = 16
+        ctx.nc_c[0][crow : crow + 2, ccol : ccol + 2] = 16
+        ctx.nc_c[1][crow : crow + 2, ccol : ccol + 2] = 16
+        ctx.mode4[br : br + 4, bc : bc + 4] = 2
+        ctx.mb_kind[mb] = 2
+        ctx.cbf_dc[mb] = 1
+        ctx.mb_qp[mb] = 0
+        return False  # mb_qp_delta treated as 0
 
     a_l_mb = ctx._blk_avail(ctx.nc_y, br, bc - 1, mb, 4)
     a_t_mb = ctx._blk_avail(ctx.nc_y, br - 1, bc, mb, 4)
@@ -5647,16 +6358,21 @@ def _encode_one_mb_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
             )
 
     # ---- CABAC emission (bitstream order == the decoder's reads)
-    ce.decision(_CC_MBTYPE + _mbtype_ctx(ctx, mb), 1 if i16 else 0)
+    if mbt_base is None:
+        ce.decision(_CC_MBTYPE + _mbtype_ctx(ctx, mb), 1 if i16 else 0)
+        c_cbpl, c_cbpc, c_mode = _CC_I16_CBPL, _CC_I16_CBPC, _CC_I16_MODE
+    else:
+        ce.decision(mbt_base, 1 if i16 else 0)
+        c_cbpl, c_cbpc, c_mode = mbt_base + 1, mbt_base + 2, mbt_base + 4
     ctx.mb_kind[mb] = 1 if i16 else 0
     if i16:
         ce.terminate(0)  # not I_PCM
-        ce.decision(_CC_I16_CBPL, 1 if cbp_luma else 0)
-        ce.decision(_CC_I16_CBPC, 1 if cbp_chroma else 0)
+        ce.decision(c_cbpl, 1 if cbp_luma else 0)
+        ce.decision(c_cbpc, 1 if cbp_chroma else 0)
         if cbp_chroma:
-            ce.decision(_CC_I16_CBPC + 1, 1 if cbp_chroma == 2 else 0)
-        ce.decision(_CC_I16_MODE, (pred16_mode >> 1) & 1)
-        ce.decision(_CC_I16_MODE + 1, pred16_mode & 1)
+            ce.decision(c_cbpc + 1, 1 if cbp_chroma == 2 else 0)
+        ce.decision(c_mode, (pred16_mode >> 1) & 1)
+        ce.decision(c_mode + 1, pred16_mode & 1)
     else:
         for blk in range(16):
             dy, dx = _BLK4_ORDER[blk]
@@ -5855,3 +6571,535 @@ def encode_h264_cabac_recon(frames, width: int, height: int,
             )
         )
     return bytes(out), recons
+
+
+def encode_h264_cabac_pb_recon(frames, width: int, height: int,
+                               qp: int = 28,
+                               spatial_direct: bool = True,
+                               inference: bool = True):
+    """CABAC twin of the inter/bipred fixture encoders (r14): coded
+    order I0, P2, B1, … (``_b_gop``), entropy_coding_mode_flag = 1.
+    P macroblock mix: mb_skip_flag, P_L0_16x16 / 16x8 / 8x16 / P_8x8
+    (all four sub-types), multi-ref ref_idx bins, intra-in-P.  B mix:
+    B_Skip, B_Direct_16x16, the Table 7-14 explicit kinds (L0/L1/Bi
+    16x16 and mixed-list 16x8/8x16), B_8x8 with the full sub-type
+    wheel (including B_Direct_8x8), intra-in-B.  -> (annexb_bytes,
+    [(Y, U, V)] reconstructions in DISPLAY order, stats).  The
+    reconstruction loop calls the decoder's own derivation/MC/dequant
+    helpers and the encoder shares every context derivation with the
+    decoder, so a conforming decode must be bit-exact."""
+    if width % 2 or height % 2:
+        raise UnsupportedMediaError("h264 encoder: dimensions must be even")
+    if not 8 <= qp <= 44:
+        raise UnsupportedMediaError("h264 encoder: qp out of supported range")
+    if len(frames) * 2 >= 256:
+        raise UnsupportedMediaError("h264 encoder: GOP exceeds POC lsb")
+    mb_w = -(-width // 16)
+    mb_h = -(-height // 16)
+    crop_right = mb_w * 16 - width
+    crop_bottom = mb_h * 16 - height
+
+    w = _BitWriter()
+    w.write(66, 8)
+    w.write(0xC0, 8)
+    w.write(30, 8)
+    w.ue(0)
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type 0
+    w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4 -> 8 bits
+    w.ue(2)  # max_num_ref_frames (sliding window of 2)
+    w.write(0, 1)
+    w.ue(mb_w - 1)
+    w.ue(mb_h - 1)
+    w.write(1, 1)
+    w.write(1 if inference else 0, 1)
+    if crop_right or crop_bottom:
+        w.write(1, 1)
+        w.ue(0)
+        w.ue(crop_right // 2)
+        w.ue(0)
+        w.ue(crop_bottom // 2)
+    else:
+        w.write(0, 1)
+    w.write(0, 1)
+    w.trailing_bits()
+    out = bytearray(_nal(3, 7, w.getvalue()))
+
+    w = _BitWriter()
+    w.ue(0)
+    w.ue(0)
+    w.write(1, 1)  # entropy_coding_mode_flag: CABAC
+    w.write(0, 1)
+    w.ue(0)
+    w.ue(0)
+    w.ue(0)
+    w.write(0, 1)
+    w.write(0, 2)
+    w.se(qp - 26)
+    w.se(0)
+    w.se(0)
+    w.write(1, 1)  # deblocking_filter_control_present_flag
+    w.write(0, 1)
+    w.write(0, 1)
+    w.trailing_bits()
+    out += _nal(3, 8, w.getvalue())
+
+    sps = _SPS()
+    sps.mb_width, sps.mb_height = mb_w, mb_h
+    sps.monochrome = False
+    qpc = _chroma_qp(qp, 0)
+    n_mbs = mb_w * mb_h
+    recons = []
+    stats = {
+        "P_Skip": 0, "P_16x16": 0, "P_16x8": 0, "P_8x16": 0,
+        "P_8x8": 0, "intra_in_p": 0, "multiref": 0,
+        "B_Skip": 0, "B_Direct": 0, "B_16x16": 0, "B_16x8": 0,
+        "B_8x16": 0, "B_8x8": 0, "intra_in_b": 0, "bi_parts": 0,
+        "direct_sub": 0, "sub_kinds": set(), "order": [],
+    }
+    dpb: list[_RefPic] = []
+    n_refs_seen = 0
+    for coded_idx, (disp, kind) in enumerate(_b_gop(len(frames))):
+        y, u, v = frames[disp]
+        y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
+        y_pad[:height, :width] = np.asarray(y, np.uint8)
+        u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        v_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
+        u_pad[: height // 2, : width // 2] = np.asarray(u, np.uint8)
+        v_pad[: height // 2, : width // 2] = np.asarray(v, np.uint8)
+
+        ctx = _PicCtx(sps)
+        ctx.mb_slice[:] = 1
+        ctx.qp = qp
+        ctx.serial = coded_idx + 1
+        ctx.poc = 2 * disp
+        fn = n_refs_seen % 16
+        is_ref = kind in ("I", "P")
+        stats["order"].append((disp, kind))
+        active = a0 = a1 = 1
+        if kind == "P":
+            active = min(2, len(dpb))
+        elif kind == "B":
+            l0_full, l1_full = _b_default_lists(dpb, ctx.poc)
+            a0 = min(2, len(l0_full))
+            a1 = min(2, len(l1_full))
+            l0e, l1e = l0_full[:a0], l1_full[:a1]
+        w = _BitWriter()
+        w.ue(0)  # first_mb_in_slice
+        if kind == "I":
+            w.ue(7)
+            w.ue(0)
+            w.write(fn, 4)
+            w.ue(0)  # idr_pic_id
+            w.write(ctx.poc & 0xFF, 8)
+            w.write(0, 2)
+        elif kind == "P":
+            w.ue(5)
+            w.ue(0)
+            w.write(fn, 4)
+            w.write(ctx.poc & 0xFF, 8)
+            if active > 1:
+                w.write(1, 1)  # num_ref_idx_active_override_flag
+                w.ue(active - 1)
+            else:
+                w.write(0, 1)
+            w.write(0, 1)  # ref_pic_list_modification_flag_l0
+            w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
+        else:
+            w.ue(6)
+            w.ue(0)
+            w.write(fn, 4)
+            w.write(ctx.poc & 0xFF, 8)
+            w.write(1 if spatial_direct else 0, 1)
+            if (a0, a1) != (1, 1):
+                w.write(1, 1)
+                w.ue(a0 - 1)
+                w.ue(a1 - 1)
+            else:
+                w.write(0, 1)
+            w.write(0, 1)
+            w.write(0, 1)
+        w.se(0)  # slice_qp_delta
+        w.ue(1)  # disable_deblocking_filter_idc
+        while w.nacc:  # cabac_alignment_one_bit(s)
+            w.write(1, 1)
+        ce = _CabacEnc(_cabac_init_ctxs())
+        wri = _CabacInterWriter(ce, ctx)
+        for mb in range(n_mbs):
+            my, mx = divmod(mb, mb_w)
+            br, bc = my * 4, mx * 4
+            ctx.mb_qp[mb] = qp
+            if kind == "I":
+                wri.prev_qpd = _encode_one_mb_cabac(
+                    ce, ctx, mb, coded_idx, qp, qpc, y_pad, u_pad,
+                    v_pad, wri.prev_qpd,
+                )
+            elif kind == "P":
+                _enc_cabac_p_mb(
+                    ce, wri, ctx, mb, coded_idx, qp, qpc,
+                    y_pad, u_pad, v_pad, dpb, active, stats,
+                )
+            else:
+                _enc_cabac_b_mb(
+                    ce, wri, ctx, mb, coded_idx, qp, qpc,
+                    y_pad, u_pad, v_pad, l0e, l1e, a0, a1,
+                    spatial_direct, inference, stats,
+                )
+            ce.terminate(1 if mb == n_mbs - 1 else 0)
+        for b in ce.bits:
+            w.write(b, 1)
+        w.align_zero()
+        out += _nal(
+            3 if kind == "I" else (2 if kind == "P" else 0),
+            5 if kind == "I" else 1,
+            w.getvalue(),
+        )
+        if kind == "I":
+            dpb.clear()
+        if is_ref:
+            dpb.insert(0, _RefPic(ctx, frame_num=fn))
+            del dpb[2:]
+            n_refs_seen += 1
+        recons.append(
+            (
+                disp,
+                ctx.y[:height, :width].copy(),
+                ctx.u[: height // 2, : width // 2].copy(),
+                ctx.v[: height // 2, : width // 2].copy(),
+            )
+        )
+    recons.sort(key=lambda t: t[0])
+    return bytes(out), [t[1:] for t in recons], stats
+
+
+def _enc_cabac_p_mb(ce, wri, ctx, mb, f_idx, qp, qpc,
+                    y_pad, u_pad, v_pad, dpb, active, stats) -> None:
+    """One CABAC P macroblock (same deterministic mix as
+    encode_h264_inter_recon's P loop, per-MB skip flags instead of
+    runs)."""
+    my, mx = divmod(mb, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    kind = (mb * 5 + f_idx * 3) % 8
+    if kind == 7:  # intra-in-P
+        ce.decision(_CC_SKIP_P + _skip_flag_ctx(ctx, mb), 0)
+        ce.decision(_CC_PMBT, 1)  # intra suffix
+        wri.prev_qpd = _encode_one_mb_cabac(
+            ce, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
+            wri.prev_qpd, mbt_base=_CC_IMBT_P,
+        )
+        stats["intra_in_p"] += 1
+        return
+    if kind == 0:  # skip attempt
+        skx, sky = _skip_mv(ctx, mb)
+        parts = [(0, 0, 4, 4, None, skx, sky, 0)]
+        preds = _mc_pred_mb(ctx, dpb, mb, parts)
+        cbp, lq, cdq, caq = _quant_inter_mb(
+            ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+        )
+        if cbp == 0:
+            ce.decision(_CC_SKIP_P + _skip_flag_ctx(ctx, mb), 1)
+            ctx.cskip[mb] = 1
+            ctx.mb_kind[mb] = 3
+            wri.prev_qpd = False
+            stats["P_Skip"] += 1
+            _recon_inter_mb(ctx, mb, qp, qpc, 0, lq, cdq, caq, *preds)
+            return
+        ce.decision(_CC_SKIP_P + _skip_flag_ctx(ctx, mb), 0)
+        wri.p_mbtype(0)
+        wri.ref(0, active, 0, br, bc, 4, 4, mb)
+        mpx, mpy = _mvp(ctx, mb, br, bc, 4, 4, cur_ref=0)
+        wri.mvd(0, skx - mpx, sky - mpy, br, bc, 4, 4, mb)
+        ctx.mv[br : br + 4, bc : bc + 4, 0] = skx
+        ctx.mv[br : br + 4, bc : bc + 4, 1] = sky
+        ctx.ref[br : br + 4, bc : bc + 4] = 0
+        ctx.mb_kind[mb] = 3
+        stats["P_16x16"] += 1
+        wri.residual(ctx, mb, cbp, lq, cdq, caq)
+        _recon_inter_mb(ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds)
+        return
+    ce.decision(_CC_SKIP_P + _skip_flag_ctx(ctx, mb), 0)
+    if kind in (1, 2, 3):
+        geom = [(0, 0, 4, 4, None)]
+        mvs = [_enc_mv(mb, f_idx, 0)]
+        mb_type = 0
+        stats["P_16x16"] += 1
+    elif kind == 4:
+        geom = _P_PARTS[1]
+        mvs = [_enc_mv(mb, f_idx, p) for p in range(2)]
+        mb_type = 1
+        stats["P_16x8"] += 1
+    elif kind == 5:
+        geom = _P_PARTS[2]
+        mvs = [_enc_mv(mb, f_idx, p) for p in range(2)]
+        mb_type = 2
+        stats["P_8x16"] += 1
+    else:  # P_8x8
+        subs = [(mb + i8 + f_idx) % 4 for i8 in range(4)]
+        geom = []
+        for i8 in range(4):
+            base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+            for r_off, c_off, h4, w4 in _P_SUB_PARTS[subs[i8]]:
+                geom.append(
+                    (base_r + r_off, base_c + c_off, h4, w4, None)
+                )
+        mvs = [_enc_mv(mb, f_idx, p) for p in range(len(geom))]
+        mb_type = 3
+        stats["P_8x8"] += 1
+    if mb_type == 3:
+        refs8 = [(mb * 3 + f_idx + i8) % active for i8 in range(4)]
+        prefs = []
+        for i8 in range(4):
+            prefs += [refs8[i8]] * len(_P_SUB_PARTS[subs[i8]])
+    else:
+        prefs = [
+            (mb * 3 + f_idx + p * 5) % active for p in range(len(geom))
+        ]
+    wri.p_mbtype(mb_type)
+    if mb_type == 3:
+        for s in subs:
+            wri.sub_p(s)
+        for i8 in range(4):
+            wri.ref(
+                0, active, refs8[i8],
+                br + 2 * (i8 // 2), bc + 2 * (i8 % 2), 2, 2, mb,
+            )
+    else:
+        for (ro, co, h4, w4, _sp), ri in zip(geom, prefs):
+            wri.ref(0, active, ri, br + ro, bc + co, h4, w4, mb)
+    parts = []
+    for (r_off, c_off, h4, w4, special), (mvx, mvy), ri in zip(
+        geom, mvs, prefs
+    ):
+        mpx, mpy = _mvp(
+            ctx, mb, br + r_off, bc + c_off, w4, h4, special,
+            cur_ref=ri,
+        )
+        wri.mvd(
+            0, mvx - mpx, mvy - mpy,
+            br + r_off, bc + c_off, h4, w4, mb,
+        )
+        if ri:
+            stats["multiref"] += 1
+        r, c = br + r_off, bc + c_off
+        ctx.mv[r : r + h4, c : c + w4, 0] = mvx
+        ctx.mv[r : r + h4, c : c + w4, 1] = mvy
+        ctx.ref[r : r + h4, c : c + w4] = ri
+        parts.append((r_off, c_off, h4, w4, special, mvx, mvy, ri))
+    ctx.mb_kind[mb] = 3
+    preds = _mc_pred_mb(ctx, dpb, mb, parts)
+    cbp, lq, cdq, caq = _quant_inter_mb(
+        ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+    )
+    wri.residual(ctx, mb, cbp, lq, cdq, caq)
+    _recon_inter_mb(ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds)
+
+
+def _enc_cabac_b_mb(ce, wri, ctx, mb, f_idx, qp, qpc,
+                    y_pad, u_pad, v_pad, l0e, l1e, a0, a1,
+                    spatial, inference, stats) -> None:
+    """One CABAC B macroblock (the _encode_b_frame kind wheel, per-MB
+    skip flags instead of runs)."""
+    my, mx = divmod(mb, ctx.mb_w)
+    br, bc = my * 4, mx * 4
+    kind = (mb * 7 + f_idx * 5) % 12
+    if kind == 11:  # intra-in-B
+        ce.decision(_CC_SKIP_B + _skip_flag_ctx(ctx, mb), 0)
+        ce.decision(_CC_BMBT + _bmbt_ctx(ctx, mb), 1)
+        ce.decision(_CC_BMBT + 3, 1)
+        ce.decision(_CC_BMBT + 4, 1)  # bits = 13 (1101): intra suffix
+        ce.decision(_CC_BMBT + 5, 1)
+        ce.decision(_CC_BMBT + 5, 0)
+        ce.decision(_CC_BMBT + 5, 1)
+        wri.prev_qpd = _encode_one_mb_cabac(
+            ce, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
+            wri.prev_qpd, mbt_base=_CC_IMBT_B,
+        )
+        stats["intra_in_b"] += 1
+        return
+    if kind in (0, 1):  # B_Skip attempt / B_Direct_16x16
+        try:
+            entries = _derive_direct(ctx, mb, l0e, l1e, spatial,
+                                     inference)
+        except UnsupportedMediaError:
+            kind = 4  # temporal map unavailable -> explicit bi
+    if kind in (0, 1):
+        for ro, co, h4, w4, r0, m0, r1, m1 in entries:
+            _b_store_fields(ctx, mb, ro, co, h4, w4, 0, r0, m0, l0e)
+            _b_store_fields(ctx, mb, ro, co, h4, w4, 1, r1, m1, l1e)
+        preds = _b_pred_mb(ctx, l0e, l1e, mb, entries)
+        cbp, lq, cdq, caq = _quant_inter_mb(
+            ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+        )
+        if kind == 0 and cbp == 0:
+            ce.decision(_CC_SKIP_B + _skip_flag_ctx(ctx, mb), 1)
+            ctx.cskip[mb] = 1
+            ctx.mb_kind[mb] = 3
+            wri.prev_qpd = False
+            stats["B_Skip"] += 1
+            _recon_inter_mb(ctx, mb, qp, qpc, 0, lq, cdq, caq, *preds)
+            return
+        ce.decision(_CC_SKIP_B + _skip_flag_ctx(ctx, mb), 0)
+        wri.b_mbtype(mb, 0)
+        ctx.cdirect[mb] = 1
+        ctx.mb_kind[mb] = 3
+        stats["B_Direct"] += 1
+        wri.residual(ctx, mb, cbp, lq, cdq, caq)
+        _recon_inter_mb(ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds)
+        return
+    ce.decision(_CC_SKIP_B + _skip_flag_ctx(ctx, mb), 0)
+    if kind == 10:  # B_8x8
+        subs = [(mb + 3 * i8 + f_idx) % 13 for i8 in range(4)]
+        stats["B_8x8"] += 1
+        stats["sub_kinds"].update(subs)
+        direct_quads = [i8 for i8 in range(4) if subs[i8] == 0]
+        direct_entries = []
+        if direct_quads:
+            try:
+                direct_entries = _derive_direct(
+                    ctx, mb, l0e, l1e, spatial, inference,
+                    quads=direct_quads,
+                )
+                stats["direct_sub"] += len(direct_quads)
+            except UnsupportedMediaError:
+                subs = [3 if s == 0 else s for s in subs]
+                direct_quads = []
+        refs8 = ({}, {})
+        mvs8 = ({}, {})
+        for lx, act in ((0, a0), (1, a1)):
+            for i8 in range(4):
+                if subs[i8] and _B_SUBTYPES[subs[i8]][1] & (1 << lx):
+                    refs8[lx][i8] = (mb + i8 + lx) % act
+        d_by_quad = {}
+        for e in direct_entries:
+            d_by_quad.setdefault(
+                (e[0] // 2) * 2 + (e[1] // 2), []
+            ).append(e)
+        derived = ({}, {})
+        for lx, lst in ((0, l0e), (1, l1e)):
+            for i8 in range(4):
+                base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+                if subs[i8] == 0:
+                    for ro, co, h4, w4, d0, dm0, d1, dm1 in (
+                        d_by_quad[i8]
+                    ):
+                        ref, mv = (d0, dm0) if lx == 0 else (d1, dm1)
+                        _b_store_fields(
+                            ctx, mb, ro, co, h4, w4, lx, ref, mv, lst
+                        )
+                    continue
+                parts, m = _B_SUBTYPES[subs[i8]]
+                for s_i, (ro, co, h4, w4) in enumerate(parts):
+                    rr, cc = base_r + ro, base_c + co
+                    if m & (1 << lx):
+                        ri = refs8[lx][i8]
+                        mv = _enc_mv(mb, f_idx, i8 * 4 + s_i + 8 * lx + 1)
+                        mpx, mpy = _mvp(
+                            ctx, mb, br + rr, bc + cc, w4, h4,
+                            None, ri, lx,
+                        )
+                        mvs8[lx][i8, s_i] = (mv[0] - mpx, mv[1] - mpy)
+                        derived[lx][i8, s_i] = (ri, mv)
+                        _b_store_fields(
+                            ctx, mb, rr, cc, h4, w4, lx, ri, mv, lst
+                        )
+                    else:
+                        _b_store_fields(
+                            ctx, mb, rr, cc, h4, w4, lx, -1, (0, 0),
+                            lst,
+                        )
+        wri.b_mbtype(mb, 22)
+        for s in subs:
+            wri.sub_b(s)
+        for lx, act in ((0, a0), (1, a1)):
+            for i8 in range(4):
+                if i8 in refs8[lx]:
+                    wri.ref(
+                        lx, act, refs8[lx][i8],
+                        br + 2 * (i8 // 2), bc + 2 * (i8 % 2), 2, 2,
+                        mb,
+                    )
+        for lx in (0, 1):
+            for i8 in range(4):
+                if subs[i8]:
+                    parts, m = _B_SUBTYPES[subs[i8]]
+                    if m & (1 << lx):
+                        base_r = 2 * (i8 // 2)
+                        base_c = 2 * (i8 % 2)
+                        for s_i, (ro, co, h4, w4) in enumerate(parts):
+                            dx, dy = mvs8[lx][i8, s_i]
+                            wri.mvd(
+                                lx, dx, dy, br + base_r + ro,
+                                bc + base_c + co, h4, w4, mb,
+                            )
+        entries = list(direct_entries)
+        for i8 in range(4):
+            if subs[i8] == 0:
+                continue
+            base_r, base_c = 2 * (i8 // 2), 2 * (i8 % 2)
+            parts, _m = _B_SUBTYPES[subs[i8]]
+            for s_i, (ro, co, h4, w4) in enumerate(parts):
+                r0, m0 = derived[0].get((i8, s_i), (-1, (0, 0)))
+                r1, m1 = derived[1].get((i8, s_i), (-1, (0, 0)))
+                if r0 >= 0 and r1 >= 0:
+                    stats["bi_parts"] += 1
+                entries.append(
+                    (base_r + ro, base_c + co, h4, w4, r0, m0, r1, m1)
+                )
+    else:  # explicit 16x16 / 16x8 / 8x16
+        if kind in (2, 3, 4):
+            stats["B_16x16"] += 1
+        mb_type = _B_KIND_TYPES[kind]
+        geom, masks = _B_MBTYPES[mb_type]
+        if geom is _P_PARTS[1]:
+            stats["B_16x8"] += 1
+        elif geom is _P_PARTS[2]:
+            stats["B_8x16"] += 1
+        refs = ({}, {})
+        derived = ({}, {})
+        mvds = ({}, {})
+        for lx, (lst, act) in ((0, (l0e, a0)), (1, (l1e, a1))):
+            for p, ((ro, co, h4, w4, special), m) in enumerate(
+                zip(geom, masks)
+            ):
+                if m & (1 << lx):
+                    ri = (mb + p + lx) % act
+                    mv = _enc_mv(mb, f_idx, p + 8 * lx + 1)
+                    mpx, mpy = _mvp(
+                        ctx, mb, br + ro, bc + co, w4, h4,
+                        special, ri, lx,
+                    )
+                    refs[lx][p] = ri
+                    mvds[lx][p] = (mv[0] - mpx, mv[1] - mpy)
+                    derived[lx][p] = (ri, mv)
+                    _b_store_fields(
+                        ctx, mb, ro, co, h4, w4, lx, ri, mv, lst
+                    )
+                else:
+                    _b_store_fields(
+                        ctx, mb, ro, co, h4, w4, lx, -1, (0, 0), lst
+                    )
+        wri.b_mbtype(mb, mb_type)
+        for lx, act in ((0, a0), (1, a1)):
+            for p in sorted(refs[lx]):
+                ro, co, h4, w4, _sp = geom[p]
+                wri.ref(lx, act, refs[lx][p], br + ro, bc + co,
+                        h4, w4, mb)
+        for lx in (0, 1):
+            for p in sorted(mvds[lx]):
+                ro, co, h4, w4, _sp = geom[p]
+                dx, dy = mvds[lx][p]
+                wri.mvd(lx, dx, dy, br + ro, bc + co, h4, w4, mb)
+        entries = []
+        for p, (ro, co, h4, w4, _sp) in enumerate(geom):
+            r0, m0 = derived[0].get(p, (-1, (0, 0)))
+            r1, m1 = derived[1].get(p, (-1, (0, 0)))
+            if r0 >= 0 and r1 >= 0:
+                stats["bi_parts"] += 1
+            entries.append((ro, co, h4, w4, r0, m0, r1, m1))
+    ctx.mb_kind[mb] = 3
+    preds = _b_pred_mb(ctx, l0e, l1e, mb, entries)
+    cbp, lq, cdq, caq = _quant_inter_mb(
+        ctx, mb, qp, qpc, *preds, y_pad, u_pad, v_pad
+    )
+    wri.residual(ctx, mb, cbp, lq, cdq, caq)
+    _recon_inter_mb(ctx, mb, qp, qpc, cbp, lq, cdq, caq, *preds)

@@ -203,6 +203,12 @@ _CANONICAL = [
     # token_stats to 51+ (text family stays covered in-window via
     # normalize_text / chunk_documents and more; token_stats keeps its
     # r11 green).
+    # h264_cabac_pb_decode_stats (r14: CABAC P/B slices +
+    # I_PCM-in-CABAC) takes an r14 priority slot, displacing
+    # filter_project_events to 51+ (events family stays covered
+    # in-window via pivot_daily_event_counts / json_props_stats
+    # and more; it keeps its r11 green).
+    "h264_cabac_pb_decode_stats",
     "mp3_short_intensity_decode_stats",
     "vp8_decode_stats",
     "agg_user_bounds",
@@ -248,12 +254,12 @@ _CANONICAL = [
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
-    "filter_project_events",
-    "top3_orders_per_customer",
     "set_ops_event_types",
+    "top3_orders_per_customer",
     "table_profile_events",
     "triangle_count_nn",
     # ---- 51+: family-covered seats with driver greens on record
+    "filter_project_events",
     "token_stats",
     "dedup_exact",
     # (staleness-ordered: r11 remainder, r12 block, r13 window) ----
@@ -521,6 +527,7 @@ FAMILY = {
     "mp3_lsf_decode_stats": "multimodal",
     "mp3_layer2_decode_stats": "multimodal",
     "mp3_short_intensity_decode_stats": "multimodal",
+    "h264_cabac_pb_decode_stats": "multimodal",
     # r12 additions
     "pq_adc_exact": "ann",
     "ivf_pq_search_exact": "ann",

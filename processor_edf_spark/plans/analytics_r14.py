@@ -234,3 +234,150 @@ def mp3_short_intensity_decode_stats(spark, sf_dir):
             "sum_ix_right long, nz_right long"
         ),
     )
+
+
+@register(
+    "h264_cabac_pb_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               48 AS w,
+               32 AS h,
+               4 + doc_id % 2 AS nf,
+               22 + (doc_id % 3) * 7 AS qp
+        FROM documents
+        WHERE doc_id % 8 = 7
+    ),
+    ysum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 3 + c.j * 5 + d.doc_id + f.j * 17) % 160
+                        + 40) AS BIGINT) AS y_sum
+        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 5) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    ),
+    csum AS (
+        SELECT d.doc_id,
+               CAST(SUM((r.j * 7 + c.j * 11 + d.doc_id + f.j * 5) % 100
+                        + 78) AS BIGINT) AS u_sum,
+               CAST(SUM((r.j * 5 + c.j * 3 + 2 * d.doc_id + f.j * 9) % 120
+                        + 60) AS BIGINT) AS v_sum
+        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 5) f(j)
+        WHERE f.j < d.nf
+        GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(d.nf AS BIGINT) AS n_frames,
+           CAST(d.qp AS BIGINT) AS qp,
+           ysum.y_sum, csum.u_sum, csum.v_sum
+    FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
+    """,
+)
+def h264_cabac_pb_decode_stats(spark, sf_dir):
+    """The H.264 CABAC P/B entropy layer (spec §9.3, operators/h264.py
+    r14) as a driver-hashed row: per document a deterministic YUV420
+    sequence is encoded as a CABAC GOP (coded order I0 P2 B1 … via the
+    shared ``_b_gop``) whose macroblock wheels cover mb_skip_flag, the
+    Table 9-34 P and B mb_type binarizations (every P partition shape,
+    B direct / L0 / L1 / Bi and mixed-list 16x8/8x16, B_8x8 sub-type
+    wheel), U-binarized multi-ref ref_idx, UEG3 mvd, intra-in-P/B
+    suffixes and the I_PCM-in-CABAC engine re-initialisation — decoded
+    back through the production ``decode_h264``, and required
+    BIT-EXACT against the encoder's reconstruction loop (which reuses
+    the decoder's MC/direct/dequant helpers), so any binarization/
+    context/engine drift desyncs the arithmetic decode and reds the
+    row via the -1 sentinel.  The in-row gate also requires the
+    macroblock mix to have actually run (every wheel count > 0 summed
+    over the GOP).  The emitted sums are closed forms over the INPUT
+    construction, recomputed independently by the oracle.  Scale:
+    decode-heavy/emit-light per-doc pure-python kernel under
+    spread(), same class as the sibling codec rows."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 8 = 7"))
+
+    def gen(batches):
+        from processor_edf_spark.operators.h264 import (
+            decode_h264,
+            encode_h264_cabac_pb_recon,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                W, H = 48, 32
+                nf = 4 + d % 2
+                qp = 22 + (d % 3) * 7
+                frames = []
+                for f in range(nf):
+                    r = np.arange(H)[:, None]
+                    c = np.arange(W)[None, :]
+                    y = (((r * 3 + c * 5 + d + f * 17) % 160) + 40).astype(
+                        np.uint8
+                    )
+                    r2 = np.arange(H // 2)[:, None]
+                    c2 = np.arange(W // 2)[None, :]
+                    u = (((r2 * 7 + c2 * 11 + d + f * 5) % 100) + 78).astype(
+                        np.uint8
+                    )
+                    v = (
+                        ((r2 * 5 + c2 * 3 + 2 * d + f * 9) % 120) + 60
+                    ).astype(np.uint8)
+                    frames.append((y, u, v))
+                stream, recons, stats = encode_h264_cabac_pb_recon(
+                    frames, W, H, qp=qp,
+                    spatial_direct=bool(d % 2),
+                )
+                dw, dh, decoded = decode_h264(stream)
+                bit_exact = (
+                    (dw, dh) == (W, H)
+                    and len(decoded) == nf
+                    and all(
+                        np.array_equal(a, b)
+                        for rec, dec in zip(recons, decoded)
+                        for a, b in zip(rec, dec)
+                    )
+                )
+                mix_ran = all(
+                    stats[k] > 0
+                    for k in ("P_16x16", "B_Direct", "B_16x16",
+                              "intra_in_p")
+                )
+                err_ok = all(
+                    int(
+                        np.abs(
+                            rec[0].astype(np.int64)
+                            - frm[0].astype(np.int64)
+                        ).max()
+                    )
+                    <= 64
+                    for rec, frm in zip(recons, frames)
+                )
+                if bit_exact and mix_ran and err_ok:
+                    sums = [
+                        int(sum(np.sum(frm[k], dtype=np.int64)
+                                for frm in frames))
+                        for k in range(3)
+                    ]
+                    rows.append((d, nf, qp, *sums))
+                else:
+                    rows.append((d, nf, qp, -1, -1, -1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "qp",
+                    "y_sum", "u_sum", "v_sum",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, n_frames long, qp long, "
+            "y_sum long, u_sum long, v_sum long"
+        ),
+    )

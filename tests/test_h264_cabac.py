@@ -247,10 +247,11 @@ def test_cabac_smaller_than_cavlc_ballpark():
 # ---------------------------------------------------------------------------
 
 
-def test_cabac_pb_slices_seam_gated():
-    """A P slice under a CABAC PPS must raise the one exception naming
-    the optional extra (CABAC decodes I slices only) — BEFORE any
-    reference/DPB validation, so the seam is the loud failure."""
+def test_cabac_p_slice_without_reference_raises():
+    """CABAC P slices decode for real since r14 — the old seam test is
+    replaced by the standard reference validation: a well-formed CABAC
+    P slice with an EMPTY DPB (it arrives before any reference
+    picture) must raise the no-reference error, same as CAVLC."""
     from processor_edf_spark.operators.h264 import (
         _BitWriter,
         _nal,
@@ -265,12 +266,18 @@ def test_cabac_pb_slices_seam_gated():
     w.ue(5)  # slice_type: P
     w.ue(0)  # pic_parameter_set_id
     w.write(0, 4)  # frame_num
+    w.write(0, 1)  # num_ref_idx_active_override_flag
+    w.write(0, 1)  # ref_pic_list_modification_flag_l0
+    w.write(0, 1)  # adaptive_ref_pic_marking_mode_flag
+    w.se(0)  # slice_qp_delta
+    w.ue(1)  # disable_deblocking_filter_idc
     w.trailing_bits()
     out = (
-        b"".join(b"\x00\x00\x00\x01" + n for n in nals)
-        + _nal(2, 1, w.getvalue())
+        b"\x00\x00\x00\x01" + nals[0]      # SPS
+        + b"\x00\x00\x00\x01" + nals[1]    # PPS (CABAC)
+        + _nal(2, 1, w.getvalue())         # P before any reference
     )
-    with pytest.raises(UnsupportedMediaError, match="CABAC P/B"):
+    with pytest.raises(UnsupportedMediaError, match="reference"):
         decode_h264_ipcm(out)
 
 
@@ -315,3 +322,192 @@ def test_cabac_through_video_plugin(spark):
     for r, rec in zip(out, recons):
         luma = decode_png(bytes(r["frame"]))
         assert np.array_equal(luma[:, :, 0], rec[0])
+
+
+# ---------------------------------------------------------------------------
+# r14: CABAC P/B slices
+# ---------------------------------------------------------------------------
+
+
+def _decode_all(stream):
+    from processor_edf_spark.operators.h264 import decode_h264
+
+    return decode_h264(stream)
+
+
+def _assert_bitexact(dec, recons):
+    assert len(dec) == len(recons)
+    for d, r in zip(dec, recons):
+        assert np.array_equal(d[0], r[0])
+        assert np.array_equal(d[1], r[1])
+        assert np.array_equal(d[2], r[2])
+
+
+@pytest.mark.parametrize("qp", [20, 28, 36])
+def test_cabac_pb_round_trip_bit_exact(qp):
+    from processor_edf_spark.operators.h264 import (
+        encode_h264_cabac_pb_recon,
+    )
+
+    fs = _frames(5, seed=2)
+    stream, recons, stats = encode_h264_cabac_pb_recon(fs, 64, 48, qp=qp)
+    dw, dh, dec = _decode_all(stream)
+    assert (dw, dh) == (64, 48)
+    _assert_bitexact(dec, recons)
+    # the mix really ran: every P shape, B direct, bi partitions,
+    # intra-in-P and intra-in-B, multi-ref bins
+    for key in ("P_16x16", "P_16x8", "P_8x16", "P_8x8", "intra_in_p",
+                "multiref", "B_Direct", "B_16x16", "B_16x8", "B_8x16",
+                "B_8x8", "intra_in_b", "bi_parts"):
+        assert stats[key] > 0, key
+
+
+def test_cabac_pb_static_content_forms_skips():
+    """Identical frames quantize to zero residuals: mb_skip_flag = 1
+    macroblocks (P and B) form and the stream stays bit-exact."""
+    from processor_edf_spark.operators.h264 import (
+        encode_h264_cabac_pb_recon,
+    )
+
+    # flat planes: every residual quantizes to zero, so each kind-0
+    # macroblock's skip attempt succeeds in both P and B pictures
+    base = (
+        np.full((48, 64), 100, np.uint8),
+        np.full((24, 32), 110, np.uint8),
+        np.full((24, 32), 120, np.uint8),
+    )
+    fs = [base] * 6
+    stream, recons, stats = encode_h264_cabac_pb_recon(fs, 64, 48, qp=30)
+    _, _, dec = _decode_all(stream)
+    _assert_bitexact(dec, recons)
+    assert stats["P_Skip"] > 0
+    assert stats["B_Skip"] > 0
+
+
+@pytest.mark.parametrize("spatial", [True, False])
+def test_cabac_pb_direct_modes(spatial):
+    from processor_edf_spark.operators.h264 import (
+        encode_h264_cabac_pb_recon,
+    )
+
+    fs = _frames(7, W=80, H=64, seed=6)
+    stream, recons, stats = encode_h264_cabac_pb_recon(
+        fs, 80, 64, qp=26, spatial_direct=spatial
+    )
+    _, _, dec = _decode_all(stream)
+    _assert_bitexact(dec, recons)
+    assert stats["B_Direct"] > 0
+    if spatial:
+        # B_Direct_8x8 sub-partitions ran (temporal-direct 8x8 quads
+        # may legitimately fall back when the colocated reference is
+        # not mappable, as in the CAVLC bipred encoder)
+        assert stats["direct_sub"] > 0
+
+
+def test_cabac_pb_odd_crop_geometry():
+    from processor_edf_spark.operators.h264 import (
+        encode_h264_cabac_pb_recon,
+    )
+
+    fs = _frames(4, W=52, H=36, seed=9)
+    stream, recons, _stats = encode_h264_cabac_pb_recon(fs, 52, 36, qp=28)
+    dw, dh, dec = _decode_all(stream)
+    assert (dw, dh) == (52, 36)
+    _assert_bitexact(dec, recons)
+
+
+def test_cabac_pb_corruption_fuzz_never_escapes():
+    from processor_edf_spark.operators.h264 import (
+        encode_h264_cabac_pb_recon,
+    )
+
+    fs = _frames(3, W=48, H=32, seed=5)
+    stream, _, _ = encode_h264_cabac_pb_recon(fs, 48, 32, qp=30)
+    data = bytearray(stream)
+    rng = np.random.default_rng(17)
+    for _ in range(200):
+        i = int(rng.integers(0, len(data)))
+        old = data[i]
+        data[i] = int(rng.integers(0, 256))
+        try:
+            _decode_all(bytes(data))
+        except UnsupportedMediaError:
+            pass
+        data[i] = old
+    for cut in range(0, len(stream), 53):
+        try:
+            _decode_all(stream[:cut])
+        except UnsupportedMediaError:
+            pass
+
+
+# ---------------------------------------------------------------------------
+# r14: I_PCM inside CABAC slices
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [3, 21])
+def test_engine_position_equals_emitted_after_terminate(seed):
+    """The invariant the I_PCM byte-alignment rests on: after
+    terminate() == 1 the decoder's reader position equals the
+    encoder's emitted-bit count EXACTLY (the 9-bit init lookahead is
+    balanced by the discarded first bit and the flush structure)."""
+    rng = np.random.default_rng(seed)
+    ce = _CabacEnc(_cabac_init_ctxs())
+    ops = []
+    for _ in range(int(rng.integers(5, 500))):
+        k = int(rng.integers(0, 3))
+        b = int(rng.integers(0, 2))
+        if k == 0:
+            i = int(rng.integers(0, 60))
+            ce.decision(i, b)
+            ops.append(("d", i, b))
+        elif k == 1:
+            ce.bypass(b)
+            ops.append(("b", 0, b))
+        else:
+            ce.terminate(0)
+            ops.append(("t", 0, 0))
+    ce.terminate(1)
+    n_emitted = len(ce.bits)
+    r = _BitReader(_pack(list(ce.bits) + [0] * 24))
+    cd = _CabacDec(r, _cabac_init_ctxs())
+    for k, i, b in ops:
+        got = cd.decision(i) if k == "d" else (
+            cd.bypass() if k == "b" else cd.terminate()
+        )
+        assert got == b
+    assert cd.terminate() == 1
+    assert r.pos == n_emitted
+
+
+def test_cabac_ipcm_macroblocks_decode_raw():
+    """The CABAC intra mix codes kind-6 macroblocks as I_PCM since
+    r14: those regions decode to the SOURCE samples exactly (raw
+    bytes, no quantization), the engine re-initialises mid-slice, and
+    the whole frame stays bit-exact vs the encoder recon."""
+    frames = _frames(2, W=64, H=48, seed=13)
+    stream, recons = encode_h264_cabac_recon(frames, 64, 48, qp=40)
+    dw, dh, dec = decode_h264_ipcm(stream)
+    assert (dw, dh) == (64, 48)
+    for rec, d in zip(recons, dec):
+        for a, b in zip(rec, d):
+            assert np.array_equal(a, b)
+    # kind = (mb*5 + f_idx) % 7 == 6 -> I_PCM; frame 0, mb 4 qualifies
+    # (4*5 + 0 = 20... use the known mapping to find one)
+    mb_w = 4
+    found = False
+    for f_idx in range(2):
+        for mb in range(12):
+            if (mb * 5 + f_idx) % 7 == 6:
+                my, mx = divmod(mb, mb_w)
+                src = frames[f_idx][0][
+                    my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16
+                ]
+                got = dec[f_idx][0][
+                    my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16
+                ]
+                if src.shape == (16, 16):
+                    assert np.array_equal(got, src)
+                    found = True
+    assert found

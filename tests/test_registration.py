@@ -37,6 +37,7 @@ EXPECTED_FIRST_50 = [
     # r14 priority slots (updated codec rows re-seat on
     # registration): vp8_decode_stats displaces dedup_exact
     # (dedup_text family covered in-window).
+    "h264_cabac_pb_decode_stats",
     "mp3_short_intensity_decode_stats",
     "vp8_decode_stats",
     "agg_user_bounds",
@@ -82,9 +83,8 @@ EXPECTED_FIRST_50 = [
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
-    "filter_project_events",
-    "top3_orders_per_customer",
     "set_ops_event_types",
+    "top3_orders_per_customer",
     "table_profile_events",
     "triangle_count_nn",
 ]
@@ -110,7 +110,7 @@ def test_every_query_has_an_oracle():
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10/r11 additions + the 10 r12 rows
     # + the 4 r13 codec rows + the r14 rows
-    assert len(QUERIES) == 166
+    assert len(QUERIES) == 167
 
 
 def test_every_query_has_a_family():
