@@ -208,6 +208,13 @@ _CANONICAL = [
     # filter_project_events to 51+ (events family stays covered
     # in-window via pivot_daily_event_counts / json_props_stats
     # and more; it keeps its r11 green).
+    # image_phash_dedup (r14: perceptual image near-dup dedup, the
+    # multimodal sibling of the text dedup family — new family
+    # dedup_image) takes an r14 priority slot, displacing
+    # quantize_embeddings_int8 to 51+ (similarity family stays covered
+    # in-window via knn_graph_* / dedup_embedding_cosine and more; it
+    # keeps its r11 green).
+    "image_phash_dedup",
     "h264_cabac_pb_decode_stats",
     "mp3_short_intensity_decode_stats",
     "vp8_decode_stats",
@@ -253,12 +260,12 @@ _CANONICAL = [
     "edf_header_parse",
     "ngram_lang_profile",
     "doc_length_histogram",
-    "quantize_embeddings_int8",
     "set_ops_event_types",
     "top3_orders_per_customer",
     "table_profile_events",
     "triangle_count_nn",
     # ---- 51+: family-covered seats with driver greens on record
+    "quantize_embeddings_int8",
     "filter_project_events",
     "token_stats",
     "dedup_exact",
@@ -528,6 +535,7 @@ FAMILY = {
     "mp3_layer2_decode_stats": "multimodal",
     "mp3_short_intensity_decode_stats": "multimodal",
     "h264_cabac_pb_decode_stats": "multimodal",
+    "image_phash_dedup": "dedup_image",
     # r12 additions
     "pq_adc_exact": "ann",
     "ivf_pq_search_exact": "ann",

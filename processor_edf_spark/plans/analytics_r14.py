@@ -381,3 +381,97 @@ def h264_cabac_pb_decode_stats(spark, sf_dir):
             "y_sum long, u_sum long, v_sum long"
         ),
     )
+
+
+@register(
+    "image_phash_dedup",
+    """
+    WITH d AS (
+        SELECT doc_id, doc_id // 8 AS base
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY base) AS group_min,
+           COUNT(*) OVER (PARTITION BY base) AS group_size,
+           CAST(1 AS BIGINT) AS phash_groups
+    FROM d
+    """,
+)
+def image_phash_dedup(spark, sf_dir):
+    """Perceptual image near-dup dedup (operators/image_dedup.py, r14)
+    as a driver-hashed row — the multimodal sibling of the text dedup
+    family: per document a deterministic 24x24 RGB image is built from
+    base = doc_id//8, brightness-shifted by the member index
+    ((doc_id%8)//2 * 2 — dHash and pHash are EXACTLY invariant to
+    constant shifts by construction), encoded through the real PNG
+    writer, decoded through the real decoder registry, dHashed, and
+    grouped through the LINEAR LSH-components path
+    (perceptual_dedup_components, bucket-star edges + pointer
+    jumping).  The oracle recomputes the groups from the doc_id
+    arithmetic alone: equality holds ONLY if decode -> hash -> bucket
+    -> closure reproduced the base partition exactly (a decode
+    failure, a hash drift breaking shift invariance, or a cross-base
+    hash collision all mismatch).  phash_groups pins the pHash's
+    invariance per group (count of distinct pHashes, expected 1).
+    Scale: hashing is per-doc linear; grouping is the measured linear
+    dedup path (dedup_lsh_components x32 sweep)."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 2 = 0"))
+
+    def build(batches):
+        from processor_edf_spark.operators.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d // 8
+                shift = (d % 8) // 2 * 2
+                # avalanche-mixed per-cell noise keyed by (base, cell):
+                # distinct bases give effectively independent images
+                # (a linear-in-base pattern mod 120 would collide for
+                # bases 120 apart and chain groups together)
+                r = np.arange(24, dtype=np.uint64)[:, None, None]
+                c = np.arange(24, dtype=np.uint64)[None, :, None]
+                ch = np.arange(3, dtype=np.uint64)[None, None, :]
+                cell = r * np.uint64(72) + c * np.uint64(3) + ch
+                x = (
+                    np.uint64((base + 1) * 2654435761 % (1 << 61))
+                    + cell * np.uint64(1099511628211)
+                )
+                x = x * np.uint64(0x9E3779B97F4A7C15)
+                x ^= x >> np.uint64(31)
+                x = x * np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(29)
+                mix = (x % np.uint64(120)).astype(np.int64)
+                img = (40 + mix + shift).astype(np.uint8)
+                rows.append((d, encode_png(img)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    from processor_edf_spark.operators.image_dedup import (
+        image_perceptual_hashes,
+        perceptual_dedup_components,
+    )
+    from pyspark.sql import functions as F
+
+    hashes = image_perceptual_hashes(media)
+    comps = perceptual_dedup_components(hashes, "dhash", max_hamming=0)
+    labeled = hashes.join(comps, "doc_id")
+    gstats = labeled.groupBy("component").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("phash").alias("phash_groups"),
+    )
+    return (
+        labeled.join(gstats, "component")
+        .select(
+            F.col("doc_id"),
+            F.col("component").alias("group_min"),
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("phash_groups").cast("long").alias("phash_groups"),
+        )
+    )
