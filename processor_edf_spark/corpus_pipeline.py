@@ -38,13 +38,20 @@ def run_corpus_job(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    classifier: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Returns (clean_docs, report).
 
     ``clean_docs``: (doc_id, text, norm_text, n_words, quality flags …,
     split) — one row per surviving document, text PII-scrubbed.
     ``report``: (stage, rows_in, rows_out, dropped) in pipeline order.
-    """
+
+    ``classifier`` (r14, optional): kwargs for
+    ``operators.embed.quality_classifier_scores`` (weights / bias /
+    threshold / dim / ngram) — when given, a fastText-style
+    classifier gate runs AFTER the rule gate (on the normalized text,
+    like the rules) and adds a ``classifier_gate`` report row; None
+    keeps the r12 pipeline and report exactly."""
     from processor_edf_spark.plans.text_dedup import minhash_buckets_frame
 
     n0 = docs.count()
@@ -70,12 +77,34 @@ def run_corpus_job(
     gated = gated_all.filter(F.col("passes")).drop("passes")
     gated = gated.localCheckpoint(eager=True)  # reused 4× below
 
+    # 1b (optional). classifier gate: linear probe over the hashing-
+    # trick embedding of the NORMALIZED text; shuffle-free like the
+    # rule gate.  Checkpointed for the same three-consumer reason.
+    clf_keep = None
+    if classifier is not None:
+        from processor_edf_spark.operators.embed import (
+            quality_classifier_scores,
+        )
+
+        clf_keep = (
+            quality_classifier_scores(
+                gated.select("doc_id", F.col("norm_text").alias("text")),
+                **classifier,
+            )
+            .filter(F.col("keep"))
+            .select("doc_id")
+            .localCheckpoint(eager=True)
+        )
+        clf = gated.join(clf_keep, "doc_id")
+    else:
+        clf = gated
+
     # 2. exact dedup on the NORMALIZED text (lowest doc_id survives).
     # Checkpointed: the keep-set feeds three consumers (the near-dup
     # bucket frame, the clean output's join, and the accounting agg) —
     # without the checkpoint each would re-run the md5 shuffle.
     exact_keep = (
-        gated.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("sha"))
+        clf.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("sha"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
         .localCheckpoint(eager=True)
@@ -101,27 +130,30 @@ def run_corpus_job(
     # holds).  Stage exactness is unchanged — the flags encode the very
     # joins the stage frames run — but the audit now costs one shuffle
     # over gated instead of three full stage recomputations.
-    stage_counts = (
-        gated.join(
-            exact_keep.withColumn("_ex", F.lit(1)), "doc_id", "left"
-        )
-        .join(
-            survivors.select("doc_id").withColumn("_nr", F.lit(1)),
-            "doc_id",
-            "left",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n1"),
-            F.count("_ex").alias("n2"),
-            F.count(F.when(F.col("_ex").isNotNull(), F.col("_nr"))).alias(
-                "n3"
-            ),
-        )
-        .collect()[0]
+    audited = gated.join(
+        exact_keep.withColumn("_ex", F.lit(1)), "doc_id", "left"
+    ).join(
+        survivors.select("doc_id").withColumn("_nr", F.lit(1)),
+        "doc_id",
+        "left",
     )
+    aggs = [
+        F.count(F.lit(1)).alias("n1"),
+        F.count("_ex").alias("n2"),
+        F.count(F.when(F.col("_ex").isNotNull(), F.col("_nr"))).alias(
+            "n3"
+        ),
+    ]
+    if clf_keep is not None:
+        audited = audited.join(
+            clf_keep.withColumn("_cl", F.lit(1)), "doc_id", "left"
+        )
+        aggs.append(F.count("_cl").alias("n1c"))
+    stage_counts = audited.agg(*aggs).collect()[0]
     n1, n2, n3 = int(stage_counts["n1"]), int(stage_counts["n2"]), int(
         stage_counts["n3"]
     )
+    n1c = int(stage_counts["n1c"]) if clf_keep is not None else n1
 
     # 4. PII scrub + split assignment (projections, no shuffle) — the
     # EXACT split_assignment query construction, so pipeline membership
@@ -146,14 +178,19 @@ def run_corpus_job(
     # back to counting its own output).
     n4 = n3
 
+    rows = [
+        ("input", n0, n0, 0),
+        ("rule_gate", n0, n1, n0 - n1),
+    ]
+    if clf_keep is not None:
+        rows.append(("classifier_gate", n1, n1c, n1 - n1c))
+    rows += [
+        ("exact_dedup", n1c, n2, n1c - n2),
+        ("near_dedup_lsh", n2, n3, n2 - n3),
+        ("scrub_and_split", n3, n4, n3 - n4),
+    ]
     report = spark.createDataFrame(
-        [
-            ("input", n0, n0, 0),
-            ("rule_gate", n0, n1, n0 - n1),
-            ("exact_dedup", n1, n2, n1 - n2),
-            ("near_dedup_lsh", n2, n3, n2 - n3),
-            ("scrub_and_split", n3, n4, n3 - n4),
-        ],
+        rows,
         "stage string, rows_in long, rows_out long, dropped long",
     )
     return clean, report

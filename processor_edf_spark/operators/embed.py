@@ -70,3 +70,56 @@ def hash_embed(
     return df.select(id_col, text_col).mapInPandas(
         gen, f"{out_id} long, {out_col} array<double>"
     )
+
+
+def default_quality_weights(dim: int = 64) -> list:
+    """A fixed linear probe in [-1, 1]: w[j] = ((j*37 + 11) % 21 - 10)
+    / 10 — closed-form, so a DuckDB oracle can recompute the scores
+    from first principles (the deployment path swaps in TRAINED
+    weights; the inference shape is identical)."""
+    return [((j * 37 + 11) % 21 - 10) / 10.0 for j in range(dim)]
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    ngram: int = 3,
+    weights: list | None = None,
+    bias: float = 0.0,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style quality classifier INFERENCE (linear model over
+    the hashing-trick bag of character n-grams): (id, logit, score,
+    keep).  logit = w . hash_embed(text) + bias; score = sigmoid;
+    keep = logit >= threshold (sigmoid is monotone, so the gate is the
+    logit comparison — float-stable across engines).
+
+    Scale shape: the embedding is one Arrow pass and the dot product
+    folds JVM-side over a LITERAL weight array (64 doubles ride the
+    plan — the broadcast-weights pattern without even a broadcast
+    join); shuffle-free end to end, so the gate rides the corpus scan
+    at 100 TB like the gopher rule gate does."""
+    from pyspark.sql import functions as F
+
+    if weights is None:
+        weights = default_quality_weights(dim)
+    if len(weights) != dim:
+        raise ValueError("weights length must equal dim")
+    emb = hash_embed(
+        df, text_col=text_col, id_col=id_col, dim=dim, ngram=ngram,
+        out_id=id_col,
+    )
+    w_arr = F.array(*[F.lit(float(x)) for x in weights])
+    logit = F.aggregate(
+        F.zip_with("embedding", w_arr, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) + F.lit(float(bias))
+    return emb.select(
+        F.col(id_col),
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+        (logit >= F.lit(float(threshold))).alias("keep"),
+    )

@@ -214,6 +214,12 @@ _CANONICAL = [
     # quantize_embeddings_int8 to 51+ (similarity family stays covered
     # in-window via knn_graph_* / dedup_embedding_cosine and more; it
     # keeps its r11 green).
+    # quality_classifier_score (r14: fastText-style classifier
+    # inference over the hash embedding, new family "quality") takes
+    # an r14 priority slot, displacing doc_length_histogram to 51+
+    # (text family stays covered in-window via normalize_text /
+    # chunk_documents and more; it keeps its r11 green).
+    "quality_classifier_score",
     "image_phash_dedup",
     "h264_cabac_pb_decode_stats",
     "mp3_short_intensity_decode_stats",
@@ -259,12 +265,12 @@ _CANONICAL = [
     "video_frame_stats",
     "edf_header_parse",
     "ngram_lang_profile",
-    "doc_length_histogram",
     "set_ops_event_types",
     "top3_orders_per_customer",
     "table_profile_events",
     "triangle_count_nn",
     # ---- 51+: family-covered seats with driver greens on record
+    "doc_length_histogram",
     "quantize_embeddings_int8",
     "filter_project_events",
     "token_stats",
@@ -536,6 +542,7 @@ FAMILY = {
     "mp3_short_intensity_decode_stats": "multimodal",
     "h264_cabac_pb_decode_stats": "multimodal",
     "image_phash_dedup": "dedup_image",
+    "quality_classifier_score": "quality",
     # r12 additions
     "pq_adc_exact": "ann",
     "ivf_pq_search_exact": "ann",

@@ -475,3 +475,86 @@ def image_phash_dedup(spark, sf_dir):
             F.col("phash_groups").cast("long").alias("phash_groups"),
         )
     )
+
+
+@register(
+    "quality_classifier_score",
+    """
+    WITH d AS (
+        SELECT doc_id, ' ' || lower(text) || ' ' AS t FROM documents
+    ),
+    g AS (
+        SELECT d.doc_id, md5(substr(d.t, tp.p + 1, 3)) AS hx
+        FROM d JOIN range(0, 700) tp(p) ON tp.p < length(d.t) - 2
+    ),
+    hb AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(hx, 16, 1)) - 1))
+                   % 64 AS dim,
+               CASE WHEN strpos('0123456789abcdef', substr(hx, 1, 1)) - 1
+                         >= 8
+                    THEN 1 ELSE -1 END AS sgn
+        FROM g
+    ),
+    acc AS (
+        SELECT doc_id, dim, CAST(SUM(sgn) AS DOUBLE) AS v
+        FROM hb GROUP BY doc_id, dim
+    ),
+    dense AS (
+        SELECT d.doc_id, td.dim, COALESCE(acc.v, 0.0) AS v
+        FROM d CROSS JOIN range(0, 64) td(dim)
+        LEFT JOIN acc ON acc.doc_id = d.doc_id AND acc.dim = td.dim
+    ),
+    nrm AS (
+        SELECT doc_id, sqrt(SUM(v * v)) AS n FROM dense GROUP BY doc_id
+    ),
+    w AS (
+        SELECT dim, (((dim * 37 + 11) % 21) - 10) / 10.0 AS wv
+        FROM range(0, 64) t(dim)
+    ),
+    z AS (
+        SELECT dense.doc_id,
+               SUM((CASE WHEN nrm.n > 0 THEN dense.v / nrm.n
+                         ELSE 0.0 END) * w.wv) AS logit
+        FROM dense
+        JOIN nrm USING (doc_id)
+        JOIN w ON w.dim = dense.dim
+        GROUP BY dense.doc_id
+    )
+    SELECT doc_id,
+           ROUND(logit, 6) AS logit,
+           CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS keep
+    FROM z
+    """,
+)
+def quality_classifier_score(spark, sf_dir):
+    """fastText-style quality-classifier inference
+    (operators/embed.py ``quality_classifier_scores``, r14) under the
+    value oracle: a linear probe over the hashing-trick character
+    3-gram embedding — the oracle recomputes the ENTIRE path from
+    first principles in SQL (the hash_embed_stats embedding CTE, the
+    closed-form weight vector ((dim*37+11)%21-10)/10, the dot
+    product, the logit-sign gate).  The emitted gate compares LOGITS
+    (sigmoid is monotone), so no engine exp() enters the hashed
+    values.  Scale shape: one Arrow pass + a JVM-side fold over a
+    literal weight array — shuffle-free, riding the corpus scan like
+    the gopher rule gate."""
+    from pyspark.sql import functions as F
+
+    from processor_edf_spark.operators.embed import (
+        quality_classifier_scores,
+    )
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    scored = quality_classifier_scores(
+        spread(spark, docs.select("doc_id", "text"))
+    )
+    return scored.select(
+        "doc_id",
+        F.round("logit", 6).alias("logit"),
+        F.col("keep").cast("long").alias("keep"),
+    )
