@@ -7,13 +7,14 @@ Specification") — decodable with nothing but bit reading, canonical
 prefix codes and integer pixel transforms, so it gets the same
 pure-python treatment as the LZW TIFF plugin: decodes for REAL in every
 environment, no optional wheel.  The LOSSY profile (``VP8 `` chunk)
-decodes for real too since r13 — the keyframe intra subset in
-operators/vp8.py (boolean arithmetic coder, whole-MB prediction,
-Y2 WHT + DCT residual tokens; derived-table deviations documented
-there), routed via :func:`decode_webp_lossy`; its honest residue
-(B_PRED, interframes, loop-filtered frames, third-party probability
-tables) still raises through ``media_codecs.decode_webp``'s
-optional-extra contract.
+decodes for real too since r13 — the keyframe path in
+operators/vp8.py (boolean arithmetic coder, whole-MB AND B_PRED
+per-4x4 prediction, Y2 WHT + DCT residual tokens, the full §15
+normal/simple in-loop deblocking filter since r14; derived-table
+deviations documented there), routed via :func:`decode_webp_lossy`;
+its honest residue (interframes, segmentation, multiple token
+partitions, third-party probability tables) still raises through
+``media_codecs.decode_webp``'s optional-extra contract.
 
 Decoder coverage (everything the lossless spec allows):
 
@@ -811,8 +812,9 @@ def encode_webp_lossless(
 
 def decode_webp_lossy(payload: bytes) -> np.ndarray:
     """RIFF/WEBP payload -> HxWx3 uint8 RGB via the pure-python VP8
-    keyframe path (operators/vp8.py, r13 — the keyframe intra subset
-    with its documented derived-table deviations)."""
+    keyframe path (operators/vp8.py — whole-MB + B_PRED prediction
+    and the §15 in-loop filter since r14, with the documented
+    derived-table deviations)."""
     frame = None
     for tag, body in _riff_chunks(payload):
         if tag == b"VP8 ":

@@ -109,6 +109,12 @@ SF_DIR = "/root/testdata/sf0.001"
 # and projection-position [NOT] EXISTS inside CASE.
 # Seeds 0-859 keep rendering their earlier grammars byte-for-byte (the
 # regression corpus that found the ROLLUP and RANGE-frame divergences).
+# Seeds 1550+ use the r14 grammar v9: the portable dense_rank/max
+# COUNT(DISTINCT)-per-partition rewrite (probing the engines' opposite
+# window null ordering without comparing rank values), epoch-µs
+# date/interval arithmetic (trunc-division bucketing, negative
+# day-differences probing dividend-sign %), and explicit NULLS
+# FIRST/LAST pagination over REAL outer-join nulls.
 # Seeds 1350+ use the r13 grammar v8: QUALIFY-style window filters
 # (windowed subquery, outer filter on the window column — top-k per
 # partition, dedup-keep-first), multi-level CTE chains consumed by
@@ -116,7 +122,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # aggregate subqueries in HAVING (Spark's outer-join-aggregate
 # rewrite, the classic COUNT-bug site — probed portable on both
 # engines before the band was added).
-N_SEEDS = 1550
+N_SEEDS = 1650
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -1729,6 +1735,200 @@ def gen_having_corr(rng, pools):
     }
 
 
+def gen_distinct_window(rng, pools):
+    """r14 grammar v9 lead axis (seeds 1550+): per-partition COUNT
+    (DISTINCT) via the portable dense_rank/max rewrite — Spark rejects
+    DISTINCT window aggregates natively while DuckDB accepts them, so
+    the rewrite IS the cross-engine form.  It also walks the engines'
+    OPPOSITE window null ordering (Spark ASC = NULLS FIRST, DuckDB =
+    NULLS LAST): with a nullable rank key the dense_rank VALUES
+    differ per row, but the partition MAX is the distinct count either
+    way — only the max is emitted."""
+    t = rng.choice([n for n in TABLES if n != "fz_region"])
+    cols, uniq = TABLES[t], UNIQUE[t]
+    coltypes = dict(cols)
+    part = _col(rng.choice(["i", "s"]), rng, cols) or uniq[0]
+    x = _col(rng.choice(["i", "s", "f"]), rng, cols) or uniq[0]
+    if rng.random() < 0.4:
+        # nullable rank key: the asymmetric-null-order probe
+        lit = _lit(coltypes.get(x, "i"), rng, pools, t, cols)
+        xkey = f"NULLIF({x}, {lit})"
+    else:
+        xkey = x
+    inner_items = [
+        {"alias": f"c{j}", "sql": u, "fallback": None,
+         "typ": coltypes.get(u, "i")}
+        for j, u in enumerate(uniq)
+    ]
+    inner_items.append(
+        {"alias": "pk", "sql": part, "fallback": None,
+         "typ": coltypes.get(part, "i")}
+    )
+    inner_items.append(
+        {
+            "alias": "dr",
+            "sql": (
+                f"CAST(DENSE_RANK() OVER (PARTITION BY {part} "
+                f"ORDER BY {xkey}) AS BIGINT)"
+            ),
+            "fallback": None,
+            "typ": "i",
+        }
+    )
+    inner = {
+        "kind": "select",
+        "from": t,
+        "items": inner_items,
+        "where": gen_pred(rng, cols, pools, t)
+        if rng.random() < 0.4 else None,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+    out_items = [
+        {"alias": it["alias"], "sql": it["alias"], "fallback": None,
+         "typ": it["typ"]}
+        for it in inner_items
+        if it["alias"] != "dr"
+    ]
+    out_items.append(
+        {
+            "alias": "n_distinct",
+            "sql": "MAX(dr) OVER (PARTITION BY pk)",
+            "fallback": None,
+            "typ": "i",
+        }
+    )
+    return {
+        "kind": "select",
+        "from": None,
+        "inner": inner,
+        "items": out_items,
+        "where": None,
+        "group": None,
+        "having": None,
+        "distinct": False,
+    }
+
+
+# epoch-µs divisors with exact (x - x%d)/d double division (results
+# far below 2^53)
+_EPOCH_DIVS = (3600000000, 86400000000, 604800000000)
+_TS_COLS = {
+    "fz_orders": "o_date_us",
+    "fz_lineitem": "l_ship_us",
+    "fz_events": "ts_us",
+}
+
+
+def _trunc_div(x: str, d: int) -> str:
+    """Portable truncating integer division: `div` is Spark-only and
+    `//` DuckDB-only; both engines' % takes the dividend's sign, so
+    (x - x%d)/d is exact trunc-toward-zero division in both, and the
+    double division is exact because the numerator is a multiple of d
+    with a small quotient."""
+    return f"CAST(({x} - ({x} % {d})) / {d} AS BIGINT)"
+
+
+def gen_epoch_bucket(rng, pools):
+    """r14 grammar v9 axis #2: epoch-µs date/interval arithmetic —
+    hour/day/week bucketing via the portable trunc division (with an
+    optional hour-shift so bucket boundaries are walked), grouped
+    aggregation on the bucket; or the FK-join day-difference form
+    (ship date minus order date), whose negative differences probe
+    both engines' dividend-sign %."""
+    if rng.random() < 0.6:
+        t = rng.choice(list(_TS_COLS))
+        cols, uniq = TABLES[t], UNIQUE[t]
+        ts = _TS_COLS[t]
+        d = rng.choice(_EPOCH_DIVS)
+        shift = rng.randint(-6, 6)
+        x = f"({ts} + {shift * 3600000000})" if shift else ts
+        bucket = _trunc_div(x, d)
+        num = _col("f", rng, cols) or uniq[0]
+        items = [
+            f"{bucket} AS b",
+            "CAST(COUNT(*) AS BIGINT) AS n",
+            f"ROUND(SUM({num}), 4) AS s",
+            f"CAST(MIN({ts}) AS BIGINT) AS lo",
+            f"CAST(MAX({ts}) AS BIGINT) AS hi",
+        ]
+        where = (
+            gen_pred(rng, cols, pools, t, 1)
+            if rng.random() < 0.4 else None
+        )
+        sql = f"SELECT {', '.join(items)} FROM {t}"
+        if where:
+            sql += f" WHERE {where}"
+        sql += " GROUP BY 1"
+        return {"kind": "raw", "sql": sql}
+    # day-difference across the orders->lineitem FK (differences can
+    # be negative: the dividend-sign % probe)
+    diff = "(fz_lineitem.l_ship_us - fz_orders.o_date_us)"
+    dd = _trunc_div(diff, 86400000000)
+    sql = (
+        f"SELECT {dd} AS dd, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"ROUND(SUM(fz_lineitem.l_quantity), 4) AS q "
+        f"FROM fz_lineitem JOIN fz_orders "
+        f"ON fz_lineitem.l_orderkey = fz_orders.o_orderkey "
+        f"GROUP BY 1"
+    )
+    if rng.random() < 0.5:
+        sql += f" HAVING COUNT(*) >= {rng.randint(1, 3)}"
+    return {"kind": "raw", "sql": sql}
+
+
+def gen_outer_null_page(rng, pools):
+    """r14 grammar v9 axis #3: explicit NULLS FIRST/LAST ordering on
+    NULL-EXTENDED columns of a parent LEFT JOIN child join, under
+    LIMIT/OFFSET — real outer-join nulls in the sort key (not
+    NULLIF-made ones), where the engines' opposite default null order
+    makes the explicit clause load-bearing; every nullable tiebreak
+    key also carries an explicit clause, and the parent unique key
+    closes the total order."""
+    lt, lc, rt, rc = rng.choice(FK_JOINS)
+    lcols, luniq = TABLES[lt], UNIQUE[lt]
+    runiq = UNIQUE[rt]
+    lcoltypes = dict(lcols)
+    # parent (rt) LEFT JOIN child (lt): parents without children get
+    # null-extended child columns
+    sc = _col(rng.choice(["i", "f", "s"]), rng, lcols) or luniq[0]
+    direction = rng.choice(["ASC", "DESC"])
+    nulls = rng.choice(["NULLS FIRST", "NULLS LAST"])
+    items = [f"{rt}.{u} AS r{j}" for j, u in enumerate(runiq)]
+    items += [
+        f"{lt}.{u} AS l{j}" for j, u in enumerate(luniq)
+    ]
+    items.append(f"{lt}.{sc} AS cs")
+    tiebreak = ", ".join(
+        f"{lt}.{u} {rng.choice(['ASC', 'DESC'])} "
+        f"{rng.choice(['NULLS FIRST', 'NULLS LAST'])}"
+        for u in luniq
+    )
+    order = (
+        f"{lt}.{sc} {direction} {nulls}, {tiebreak}, "
+        + ", ".join(f"{rt}.{u}" for u in runiq)
+    )
+    sql = (
+        f"SELECT {', '.join(items)} FROM {rt} LEFT JOIN {lt} "
+        f"ON {lt}.{lc} = {rt}.{rc} ORDER BY {order} "
+        f"LIMIT {rng.randint(1, 40)} OFFSET {rng.randint(0, 10)}"
+    )
+    return {"kind": "raw", "sql": sql}
+
+
+def gen_query_v9(rng, pools) -> dict:
+    """Seeds 1550+ (r14): the dense_rank COUNT(DISTINCT) rewrite
+    leads, with epoch-µs date arithmetic and outer-join null-ordered
+    pagination behind."""
+    shape = rng.randrange(10)
+    if shape < 4:
+        return gen_distinct_window(rng, pools)
+    if shape < 7:
+        return gen_epoch_bucket(rng, pools)
+    return gen_outer_null_page(rng, pools)
+
+
 def gen_query_v8(rng, pools) -> dict:
     """Seeds 1350+ (r13): QUALIFY-style window filters lead, with
     CTE-chain set-ops and correlated HAVING aggregates behind."""
@@ -1816,6 +2016,8 @@ def gen_query_v2(rng, pools) -> dict:
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 1550:
+        return gen_query_v9(rng, pools)
     if seed >= 1350:
         return gen_query_v8(rng, pools)
     if seed >= 1250:

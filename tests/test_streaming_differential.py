@@ -10,7 +10,7 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Thirteen differential contracts:
+Fourteen differential contracts:
 
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
@@ -64,6 +64,11 @@ Thirteen differential contracts:
   and the stateless stages equal the batch operators recomputed on
   every survivor — randomized mutation shapes, PII density, gated-doc
   density, and per-drop micro-batches.
+- ``stream_edf_ingest`` (r14) incremental EDF directory ingest under
+  file churn / late files: availableNow catch-up passes over one
+  checkpoint decode each file exactly once, and the accumulated
+  samples equal the batch pipeline over the final directory in BOTH
+  flavors (whole-file and record-aligned ranged).
 """
 
 from __future__ import annotations
@@ -1220,3 +1225,101 @@ def test_ann_concurrent_append_differential(spark, tmp_path, seed):
     sa = ann_index_staleness(spark, conc_dir)
     sb = ann_index_staleness(spark, ser_dir)
     assert sa == sb
+
+
+# ---------------------------------------------------------------------------
+# contract 14 (r14): incremental EDF directory ingest (availableNow)
+# vs the batch pipeline under file churn / late files
+# ---------------------------------------------------------------------------
+
+N_EDF_INGEST_SEEDS = 3
+
+
+@pytest.mark.parametrize("seed", range(N_EDF_INGEST_SEEDS))
+def test_stream_edf_ingest_differential(spark, tmp_path, seed):
+    """EDF files land in WAVES — including a late straggler that
+    arrives only after the first availableNow pass already committed —
+    and every wave is caught up with trigger(availableNow=True) over
+    the SAME checkpoint.  Invariants:
+
+    - exactly-once file decode across passes (the checkpointed file
+      source never re-emits a processed file: accumulated row count
+      equals the batch count, so churn cannot double wave-1 samples);
+    - the accumulated streamed sample multiset equals the BATCH
+      pipeline recomputed over the final directory, row for row —
+      in both the whole-file flavor and the record-aligned ranged
+      flavor (samples_target_bytes small enough to split files), which
+      are bit-identical to each other by the r12 contract."""
+    import math
+
+    from processor_edf_spark.pipeline import process_edf_directory
+    from processor_edf_spark.streaming.sessions import (
+        stream_edf_directory,
+    )
+    from tests.edf_fixtures import write_edf
+
+    rng = random.Random(14_000 + seed)
+    in_dir = tmp_path / "edf_in"
+    in_dir.mkdir()
+    out_dir = str(tmp_path / "edf_out")
+    ckpt = str(tmp_path / "edf_ckpt")
+
+    def make_file(i: int) -> None:
+        rate = rng.choice([8, 16, 32])
+        sigs = [
+            {
+                "label": f"s{seed}f{i}c{j}",
+                "unit": "uV",
+                "rate": rate,
+                "gen": (
+                    lambda f: lambda t: 40.0 * np.sin(2 * math.pi * f * t)
+                )(j + 1.0),
+            }
+            for j in range(rng.randint(1, 3))
+        ]
+        write_edf(str(in_dir / f"f{i:02d}.edf"), sigs, rng.randint(2, 5))
+
+    n_files = rng.randint(3, 6)
+    waves = np.array_split(np.arange(n_files), rng.randint(2, 3))
+
+    def catch_up():
+        (
+            stream_edf_directory(spark, str(in_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(300)
+        )
+
+    for wave in waves:
+        for i in wave:
+            make_file(int(i))
+        catch_up()  # the earlier waves' files are already committed
+
+    streamed = (
+        spark.read.parquet(out_dir)
+        .withColumn("file", F.element_at(F.split("file", "/"), -1))
+    )
+    batch, _ch, _ann = process_edf_directory(spark, str(in_dir))
+    ranged, _chr, _annr = process_edf_directory(
+        spark, str(in_dir), samples_target_bytes=512
+    )
+
+    def rows(df):
+        return sorted(
+            (r["file"], r["channel"], r["t_usec"], r["value"])
+            for r in df.collect()
+        )
+
+    got = rows(streamed)
+    for flavor in (batch, ranged):
+        want = rows(
+            flavor.withColumn(
+                "file", F.element_at(F.split("file", "/"), -1)
+            )
+        )
+        assert len(got) == len(want)
+        assert got == want
