@@ -73,14 +73,20 @@ def box_resize(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
         ri = (np.arange(out_h) * h) // out_h
         ci = (np.arange(out_w) * w) // out_w
         return g[np.ix_(ri, ci)]
-    out = np.empty((out_h, out_w), np.int64)
-    rb = [(i * h) // out_h for i in range(out_h + 1)]
-    cb = [(j * w) // out_w for j in range(out_w + 1)]
-    for i in range(out_h):
-        for j in range(out_w):
-            box = g[rb[i] : rb[i + 1], cb[j] : cb[j + 1]]
-            out[i, j] = int(box.sum()) // box.size
-    return out
+    # vectorized box sums via the 2D prefix-sum (one pass regardless
+    # of output geometry), floor-divided by the per-box cell count
+    ps = np.zeros((h + 1, w + 1), np.int64)
+    ps[1:, 1:] = g.cumsum(0).cumsum(1)
+    rb = (np.arange(out_h + 1) * h) // out_h
+    cb = (np.arange(out_w + 1) * w) // out_w
+    sums = (
+        ps[np.ix_(rb[1:], cb[1:])]
+        - ps[np.ix_(rb[:-1], cb[1:])]
+        - ps[np.ix_(rb[1:], cb[:-1])]
+        + ps[np.ix_(rb[:-1], cb[:-1])]
+    )
+    counts = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    return sums // counts
 
 
 def dhash64(rgb: np.ndarray) -> int:

@@ -243,16 +243,16 @@ def mp3_short_intensity_decode_stats(spark, sf_dir):
         SELECT doc_id,
                48 AS w,
                32 AS h,
-               4 + doc_id % 2 AS nf,
+               3 + doc_id % 2 AS nf,
                22 + (doc_id % 3) * 7 AS qp
         FROM documents
-        WHERE doc_id % 8 = 7
+        WHERE doc_id % 16 = 7
     ),
     ysum AS (
         SELECT d.doc_id,
                CAST(SUM((r.j * 3 + c.j * 5 + d.doc_id + f.j * 17) % 160
                         + 40) AS BIGINT) AS y_sum
-        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 5) f(j)
+        FROM d, range(0, 32) r(j), range(0, 48) c(j), range(0, 4) f(j)
         WHERE f.j < d.nf
         GROUP BY d.doc_id
     ),
@@ -262,7 +262,7 @@ def mp3_short_intensity_decode_stats(spark, sf_dir):
                         + 78) AS BIGINT) AS u_sum,
                CAST(SUM((r.j * 5 + c.j * 3 + 2 * d.doc_id + f.j * 9) % 120
                         + 60) AS BIGINT) AS v_sum
-        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 5) f(j)
+        FROM d, range(0, 16) r(j), range(0, 24) c(j), range(0, 4) f(j)
         WHERE f.j < d.nf
         GROUP BY d.doc_id
     )
@@ -297,7 +297,7 @@ def h264_cabac_pb_decode_stats(spark, sf_dir):
     (docs,) = load(spark, sf_dir, "documents")
     from processor_edf_spark.plans.registry import spread
 
-    docs = spread(spark, docs.select("doc_id").filter("doc_id % 8 = 7"))
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 16 = 7"))
 
     def gen(batches):
         from processor_edf_spark.operators.h264 import (
@@ -310,7 +310,7 @@ def h264_cabac_pb_decode_stats(spark, sf_dir):
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 W, H = 48, 32
-                nf = 4 + d % 2
+                nf = 3 + d % 2
                 qp = 22 + (d % 3) * 7
                 frames = []
                 for f in range(nf):
