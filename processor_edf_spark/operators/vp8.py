@@ -62,8 +62,9 @@ Spec-exactness, stated precisely (RFC 6386):
   are unaffected.
 - **Out of scope** (UnsupportedMediaError naming the optional extra):
   interframes, segmentation maps, loop-filter per-mode/ref deltas,
-  multiple token partitions, and the quantizer delta fields (encoder
-  emits none).
+  and the quantizer delta fields (encoder emits none).  Multiple
+  token partitions (§9.5 row-split with the 3-byte size trailer)
+  decode AND encode since r14.
 
 Same safety contracts as the sibling codecs: one exception type,
 pixel-inflation guard, malformed input never escapes as a raw
@@ -894,10 +895,9 @@ def decode_vp8_planes(payload: bytes):
     sharpness = hd.literal(3)
     if hd.read(128):  # loop_filter_adj_enable
         raise UnsupportedMediaError("vp8: loop-filter deltas unsupported")
-    if hd.literal(2) != 0:
-        raise UnsupportedMediaError(
-            "vp8: multiple token partitions unsupported"
-        )
+    # log2_nbr_of_dct_partitions (§9.5): 1, 2, 4 or 8 token
+    # partitions; macroblock ROW r reads partition r % n (r14)
+    n_part = 1 << hd.literal(2)
     qi = hd.literal(7)
     for _ in range(5):  # y1dc/y2dc/y2ac/uvdc/uvac deltas
         if hd.read(128):
@@ -948,7 +948,30 @@ def decode_vp8_planes(payload: bytes):
             "vp8: first partition not consumed (probable desync)"
         )
 
-    td = _BoolDec(payload[10 + first_part_size :])
+    # token partitions: after the first partition, (n-1) 3-byte LE
+    # sizes, then the partitions back to back (the last one's size is
+    # implicit — the rest of the frame)
+    rest = payload[10 + first_part_size :]
+    if n_part == 1:
+        tds = [_BoolDec(rest)]
+    else:
+        trailer = 3 * (n_part - 1)
+        if len(rest) < trailer:
+            raise UnsupportedMediaError(
+                "vp8: token partition sizes truncated"
+            )
+        off = trailer
+        tds = []
+        for i in range(n_part - 1):
+            sz = int.from_bytes(rest[3 * i : 3 * i + 3], "little")
+            if off + sz > len(rest):
+                raise UnsupportedMediaError(
+                    "vp8: token partition truncated"
+                )
+            tds.append(_BoolDec(rest[off : off + sz]))
+            off += sz
+        tds.append(_BoolDec(rest[off:]))
+    td = tds[0]
     q = _quantizers(qi)
     Y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
     U = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
@@ -968,10 +991,11 @@ def decode_vp8_planes(payload: bytes):
     }
 
     mb_nz = [False]  # any nonzero coefficient in the current MB
+    cur_td = [td]  # the current MB row's token partition
 
     def block_coeffs(plane_key, first, row, col, dq):
         ctx = int(nz_left[plane_key][row]) + int(nz_above[plane_key][col])
-        coeffs, nz = _read_coeffs(td, first, ctx)
+        coeffs, nz = _read_coeffs(cur_td[0], first, ctx)
         nz_left[plane_key][row] = 1 if nz else 0
         nz_above[plane_key][col] = 1 if nz else 0
         mb_nz[0] = mb_nz[0] or nz
@@ -985,6 +1009,7 @@ def decode_vp8_planes(payload: bytes):
     skip_lf = np.zeros((mb_h, mb_w), bool)
 
     for my in range(mb_h):
+        cur_td[0] = tds[my % n_part]
         for mx in range(mb_w):
             ym = int(ymodes[my, mx])
             uvm = int(uvmodes[my, mx])
@@ -1074,14 +1099,17 @@ def decode_vp8_planes(payload: bytes):
                     V[cy0 : cy0 + 8, cx0 : cx0 + 8] = tgt
             skip_lf[my, mx] = (not mb_nz[0]) and ym != _BPRED
 
-    # token partition consumed within a small slack — the complement of
-    # the _fill overrun guard: a desync that UNDER-consumes (flat-prob
-    # garbage decode completing all macroblocks early) is rejected here
-    # rather than returned as a successful decode (ADVICE r13)
-    if len(td.data) - td.pos > 8:
-        raise UnsupportedMediaError(
-            "vp8: token partition not consumed (probable desync)"
-        )
+    # every token partition consumed within a small slack — the
+    # complement of the _fill overrun guard: a desync that
+    # UNDER-consumes (flat-prob garbage decode completing all
+    # macroblocks early) is rejected here rather than returned as a
+    # successful decode (ADVICE r13); inner partitions carry EXACT
+    # declared sizes, so the check applies to each
+    for pt in tds[: min(n_part, mb_h)]:
+        if len(pt.data) - pt.pos > 8:
+            raise UnsupportedMediaError(
+                "vp8: token partition not consumed (probable desync)"
+            )
 
     _loop_filter(
         Y, U, V, mb_w, mb_h, filter_level, sharpness,
@@ -1126,7 +1154,8 @@ def _quant(x: float, q: int) -> int:
 
 def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
                         sharpness: int = 0, simple_filter: bool = False,
-                        bpred_every: int = 0):
+                        bpred_every: int = 0,
+                        token_partitions: int = 1):
     """(Y, U, V) uint8 planes (YUV420; chroma = ceil-half dims) -> a
     REAL VP8 keyframe (module docstring subset) plus the encoder's own
     reconstruction planes.  The recon loop runs the decoder's exact
@@ -1134,7 +1163,10 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
     in-loop filter when ``filter_level`` > 0), so a conforming decode
     must be bit-exact.  ``bpred_every`` = N codes every Nth macroblock
     (raster index) as B_PRED, cycling the 10 §12.3 submodes across its
-    subblocks.  -> (frame_bytes, (reconY, reconU, reconV))."""
+    subblocks.  ``token_partitions`` (1/2/4/8, §9.5) splits the
+    coefficient tokens by macroblock row across that many partitions
+    with the 3-byte LE size trailer.
+    -> (frame_bytes, (reconY, reconU, reconV))."""
     y = np.asarray(y, np.uint8)
     u = np.asarray(u, np.uint8)
     v = np.asarray(v, np.uint8)
@@ -1144,6 +1176,10 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
         raise UnsupportedMediaError("vp8 encoder: bad dimensions")
     if not 0 <= filter_level <= 63 or not 0 <= sharpness <= 7:
         raise UnsupportedMediaError("vp8 encoder: bad filter params")
+    if token_partitions not in (1, 2, 4, 8):
+        raise UnsupportedMediaError(
+            "vp8 encoder: token_partitions must be 1, 2, 4 or 8"
+        )
     y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
     y_pad[:height, :width] = y
     u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
@@ -1324,7 +1360,7 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
     he.literal(filter_level, 6)
     he.literal(sharpness, 3)
     he.write(0, 128)  # loop_filter_adj_enable
-    he.literal(0, 2)  # log2 token partitions = 0
+    he.literal(token_partitions.bit_length() - 1, 2)  # log2 partitions
     he.literal(qi, 7)  # y_ac_qi
     for _ in range(5):
         he.write(0, 128)  # no quantizer deltas
@@ -1360,8 +1396,9 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
     part1 = he.finish()
 
     # ---- token partition
-    te = _BoolEnc()
-    for skip, ym, _uvm, y2q, yq, uq, vq, _bm in per_mb:
+    te_list = [_BoolEnc() for _ in range(token_partitions)]
+    for idx, (skip, ym, _uvm, y2q, yq, uq, vq, _bm) in enumerate(per_mb):
+        te = te_list[(idx // mb_w) % token_partitions]  # row partition
         if skip:
             continue
         if ym == _BPRED:
@@ -1373,7 +1410,13 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
                 _write_coeffs(te, 1, cq)
         for cq in uq + vq:
             _write_coeffs(te, 0, cq)
-    part2 = te.finish()
+    parts = [t.finish() for t in te_list]
+    part2 = (
+        b"".join(
+            len(pt).to_bytes(3, "little") for pt in parts[:-1]
+        )
+        + b"".join(parts)
+    )
 
     tag = (0) | (0 << 1) | (1 << 4) | (len(part1) << 5)
     header = (

@@ -479,7 +479,9 @@ def h264_cabac_decode_stats(spark, sf_dir):
                32 AS h,
                10 + ((doc_id // 8) % 4) * 20 AS qi,
                (doc_id // 8) % 3 AS bpred_every,
-               ((doc_id // 8) * 13) % 64 AS filter_level
+               ((doc_id // 8) * 13) % 64 AS filter_level,
+               CASE (doc_id // 8) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
+                    ELSE 4 END AS n_token_parts
         FROM documents
         WHERE doc_id % 8 = 6
     ),
@@ -505,6 +507,7 @@ def h264_cabac_decode_stats(spark, sf_dir):
            CAST(d.qi AS BIGINT) AS qindex,
            CAST(d.bpred_every AS BIGINT) AS bpred_every,
            CAST(d.filter_level AS BIGINT) AS filter_level,
+           CAST(d.n_token_parts AS BIGINT) AS n_token_parts,
            ysum.y_sum, csum.u_sum, csum.v_sum
     FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
     """,
@@ -516,7 +519,8 @@ def vp8_decode_stats(spark, sf_dir):
     (every plane a pure integer function of doc_id) is encoded into a
     REAL VP8 keyframe (boolean arithmetic coder, whole-MB DC/V/H/TM
     AND per-4x4 B_PRED prediction mixes, Y2 WHT + 4x4 DCT residual
-    tokens, normal/simple loop filter at doc-derived levels and
+    tokens split across 1/2/4 §9.5 token partitions, normal/simple
+    loop filter at doc-derived levels and
     sharpness), decoded back through the production
     ``decode_vp8_planes``, and required BIT-EXACT in the plane domain
     against the encoder's reconstruction loop — which runs the
@@ -552,6 +556,7 @@ def vp8_decode_stats(spark, sf_dir):
                 filter_level = (k * 13) % 64
                 sharpness = (k // 3) % 8
                 simple = k % 2 == 1
+                n_tp = (1, 2, 4)[k % 3]
                 r = np.arange(H)[:, None]
                 c = np.arange(W)[None, :]
                 y = (((r * 3 + c * 5 + d) % 160) + 40).astype(np.uint8)
@@ -564,7 +569,7 @@ def vp8_decode_stats(spark, sf_dir):
                 frame, (rY, rU, rV) = encode_vp8_keyframe(
                     y, u, v, qi=qi, bpred_every=bpred_every,
                     filter_level=filter_level, sharpness=sharpness,
-                    simple_filter=simple,
+                    simple_filter=simple, token_partitions=n_tp,
                 )
                 dw, dh, dY, dU, dV = decode_vp8_planes(frame)
                 ok = (
@@ -580,7 +585,7 @@ def vp8_decode_stats(spark, sf_dir):
                 ) <= (48 if qi <= 40 else 128)
                 if ok:
                     rows.append((
-                        d, W, H, qi, bpred_every, filter_level,
+                        d, W, H, qi, bpred_every, filter_level, n_tp,
                         int(np.sum(y, dtype=np.int64)),
                         int(np.sum(u, dtype=np.int64)),
                         int(np.sum(v, dtype=np.int64)),
@@ -588,13 +593,13 @@ def vp8_decode_stats(spark, sf_dir):
                 else:
                     rows.append(
                         (d, W, H, qi, bpred_every, filter_level,
-                         -1, -1, -1)
+                         n_tp, -1, -1, -1)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "width", "height", "qindex",
-                    "bpred_every", "filter_level",
+                    "bpred_every", "filter_level", "n_token_parts",
                     "y_sum", "u_sum", "v_sum",
                 ],
             )
@@ -603,7 +608,7 @@ def vp8_decode_stats(spark, sf_dir):
         gen,
         schema=(
             "doc_id long, width long, height long, qindex long, "
-            "bpred_every long, filter_level long, "
+            "bpred_every long, filter_level long, n_token_parts long, "
             "y_sum long, u_sum long, v_sum long"
         ),
     )

@@ -429,3 +429,35 @@ def test_bpred_filtered_corruption_fuzz_never_escapes():
         except UnsupportedMediaError:
             pass
         data[i] = old
+
+
+@pytest.mark.parametrize("n_parts", [2, 4, 8])
+def test_token_partitions_round_trip(n_parts):
+    """§9.5 multiple token partitions: macroblock rows split across
+    the partitions with the 3-byte LE size trailer; round trips stay
+    bit-exact, including combined with B_PRED and the loop filter."""
+    y, u, v = _planes(64, 80, seed=11)
+    frame, (rY, rU, rV) = encode_vp8_keyframe(
+        y, u, v, qi=30, token_partitions=n_parts,
+        bpred_every=3, filter_level=20,
+    )
+    dw, dh, dY, dU, dV = decode_vp8_planes(frame)
+    assert (dw, dh) == (64, 80)
+    assert np.array_equal(dY, rY)
+    assert np.array_equal(dU, rU)
+    assert np.array_equal(dV, rV)
+
+
+def test_token_partition_truncation_raises():
+    y, u, v = _planes(64, 64, seed=12)
+    frame, _ = encode_vp8_keyframe(y, u, v, qi=30, token_partitions=4)
+    # corrupt the size trailer: the first partition size over-declares
+    first_part_size = int.from_bytes(frame[:3], "little") >> 5
+    bad = bytearray(frame)
+    off = 10 + first_part_size
+    bad[off : off + 3] = b"\xff\xff\xff"
+    with pytest.raises(UnsupportedMediaError, match="truncated"):
+        decode_vp8_planes(bytes(bad))
+    from processor_edf_spark.operators.vp8 import encode_vp8_keyframe as _e
+    with pytest.raises(UnsupportedMediaError, match="token_partitions"):
+        _e(y, u, v, token_partitions=3)
