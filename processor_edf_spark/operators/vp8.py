@@ -61,10 +61,12 @@ Spec-exactness, stated precisely (RFC 6386):
   127 fill.  The fixture encoder shares the helper, so round trips
   are unaffected.
 - **Out of scope** (UnsupportedMediaError naming the optional extra):
-  interframes, segmentation maps, loop-filter per-mode/ref deltas,
-  and the quantizer delta fields (encoder emits none).  Multiple
-  token partitions (§9.5 row-split with the 3-byte size trailer)
-  decode AND encode since r14.
+  interframes and loop-filter per-mode/ref deltas.  Multiple token
+  partitions (§9.5 row-split with the 3-byte size trailer),
+  segmentation (§9.3 — per-segment quantizer/loop-filter features in
+  absolute and delta modes, the 3-prob tree-coded per-MB id map, and
+  per-macroblock filter levels), and the five §9.6 frame-header
+  quantizer index deltas decode AND encode since r14.
 
 Same safety contracts as the sibling codecs: one exception type,
 pixel-inflation guard, malformed input never escapes as a raw
@@ -334,14 +336,22 @@ def _fwht4x4(res: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _quantizers(qi: int) -> dict:
-    qi = max(0, min(127, qi))
-    y1dc = int(_DC_Q[qi])
-    y1ac = int(_AC_Q[qi])
-    y2dc = y1dc * 2
-    y2ac = max(8, (y1ac * 155) // 100)
-    uvdc = min(132, y1dc)
-    uvac = y1ac
+def _quantizers(qi: int, deltas=(0, 0, 0, 0, 0)) -> dict:
+    """Per-plane dequant factors for base index ``qi`` with the §9.6
+    frame-header index deltas ``(y1dc, y2dc, y2ac, uvdc, uvac)`` —
+    each delta shifts the LUT INDEX (clamped 0..127) before lookup;
+    the y2/uv value scalings then apply to the looked-up value, and
+    y1ac always uses the unshifted base index."""
+
+    def _idx(d: int) -> int:
+        return max(0, min(127, qi + d))
+
+    y1dc = int(_DC_Q[_idx(deltas[0])])
+    y1ac = int(_AC_Q[_idx(0)])
+    y2dc = int(_DC_Q[_idx(deltas[1])]) * 2
+    y2ac = max(8, (int(_AC_Q[_idx(deltas[2])]) * 155) // 100)
+    uvdc = min(132, int(_DC_Q[_idx(deltas[3])]))
+    uvac = int(_AC_Q[_idx(deltas[4])])
     return {
         "y1": (y1dc, y1ac),
         "y2": (y2dc, y2ac),
@@ -801,19 +811,26 @@ def _lf_simple(seg: np.ndarray, edge: int) -> np.ndarray:
     return new
 
 
-def _loop_filter(Y, U, V, mb_w: int, mb_h: int, level: int,
+def _loop_filter(Y, U, V, mb_w: int, mb_h: int, levels,
                  sharpness: int, simple: bool, skip_lf: np.ndarray):
     """Apply the §15 in-loop filter in place on the padded planes.
+    ``levels`` is a scalar filter level or a per-macroblock (mb_h,
+    mb_w) array (segmentation, §9.3): each macroblock's edges filter
+    at ITS OWN level, and a level-0 macroblock is not filtered at all.
     ``skip_lf[my, mx]`` is True for macroblocks whose INTERIOR edges
     are not filtered (no nonzero coefficients and a whole-MB prediction
     mode).  MB raster order; per MB: left edge, interior vertical
     edges, top edge, interior horizontal edges — each reading pixels
     already filtered by earlier edges, as the spec requires."""
-    if level == 0:
+    levels = np.asarray(levels, np.int64)
+    if levels.ndim == 0:
+        levels = np.full((mb_h, mb_w), int(levels), np.int64)
+    if not levels.any():
         return
-    interior, hev_t, mbe, sube = _lf_limits(level, sharpness)
+    limits_cache = {}
 
-    def edge(plane, pos, span0, n, horiz, mb):
+    def edge(plane, pos, span0, n, horiz, mb, limits):
+        interior, hev_t, mbe, sube = limits
         if simple:
             seg = _lf_gather(plane, pos, span0, n, horiz, 2)
             new = _lf_simple(seg, mbe if mb else sube)
@@ -827,31 +844,37 @@ def _loop_filter(Y, U, V, mb_w: int, mb_h: int, level: int,
 
     for my in range(mb_h):
         for mx in range(mb_w):
+            level = int(levels[my, mx])
+            if level == 0:
+                continue
+            if level not in limits_cache:
+                limits_cache[level] = _lf_limits(level, sharpness)
+            lim = limits_cache[level]
             y0, x0 = my * 16, mx * 16
             cy0, cx0 = my * 8, mx * 8
             inner = not skip_lf[my, mx]
             if mx > 0:
-                edge(Y, x0, y0, 16, False, True)
+                edge(Y, x0, y0, 16, False, True, lim)
                 if not simple:
-                    edge(U, cx0, cy0, 8, False, True)
-                    edge(V, cx0, cy0, 8, False, True)
+                    edge(U, cx0, cy0, 8, False, True, lim)
+                    edge(V, cx0, cy0, 8, False, True, lim)
             if inner:
                 for dx in (4, 8, 12):
-                    edge(Y, x0 + dx, y0, 16, False, False)
+                    edge(Y, x0 + dx, y0, 16, False, False, lim)
                 if not simple:
-                    edge(U, cx0 + 4, cy0, 8, False, False)
-                    edge(V, cx0 + 4, cy0, 8, False, False)
+                    edge(U, cx0 + 4, cy0, 8, False, False, lim)
+                    edge(V, cx0 + 4, cy0, 8, False, False, lim)
             if my > 0:
-                edge(Y, y0, x0, 16, True, True)
+                edge(Y, y0, x0, 16, True, True, lim)
                 if not simple:
-                    edge(U, cy0, cx0, 8, True, True)
-                    edge(V, cy0, cx0, 8, True, True)
+                    edge(U, cy0, cx0, 8, True, True, lim)
+                    edge(V, cy0, cx0, 8, True, True, lim)
             if inner:
                 for dy in (4, 8, 12):
-                    edge(Y, y0 + dy, x0, 16, True, False)
+                    edge(Y, y0 + dy, x0, 16, True, False, lim)
                 if not simple:
-                    edge(U, cy0 + 4, cx0, 8, True, False)
-                    edge(V, cy0 + 4, cx0, 8, True, False)
+                    edge(U, cy0 + 4, cx0, 8, True, False, lim)
+                    edge(V, cy0 + 4, cx0, 8, True, False, lim)
 
 
 # ---------------------------------------------------------------------------
@@ -886,10 +909,36 @@ def decode_vp8_planes(payload: bytes):
     if hd.literal(1):
         raise UnsupportedMediaError("vp8: reserved color space")
     hd.literal(1)  # clamping_type (both values decode identically here)
-    if hd.read(128):
-        raise UnsupportedMediaError(
-            "vp8: segmentation needs the optional codec library (PIL)"
-        )
+
+    def _sigval(bits: int) -> int:
+        # flag-gated sign-magnitude update value (§19.2): flag, then
+        # L(bits) magnitude, then sign
+        if not hd.read(128):
+            return 0
+        mag = hd.literal(bits)
+        return -mag if hd.literal(1) else mag
+
+    # segmentation (§9.3): per-segment quantizer / loop-filter
+    # features (absolute or delta vs the frame baseline) and the
+    # 3-prob tree-coded per-MB segment id map
+    seg_enabled = bool(hd.read(128))
+    seg_update_map = False
+    seg_abs = False
+    seg_quant = [0, 0, 0, 0]
+    seg_lf = [0, 0, 0, 0]
+    seg_tree_probs = [255, 255, 255]
+    if seg_enabled:
+        seg_update_map = bool(hd.literal(1))
+        if hd.literal(1):  # update_segment_feature_data
+            seg_abs = bool(hd.literal(1))  # 1 = absolute, 0 = delta
+            for i in range(4):
+                seg_quant[i] = _sigval(7)
+            for i in range(4):
+                seg_lf[i] = _sigval(6)
+        if seg_update_map:
+            for i in range(3):
+                if hd.read(128):
+                    seg_tree_probs[i] = hd.literal(8)
     filter_type = hd.literal(1)  # 0 = normal, 1 = simple
     filter_level = hd.literal(6)
     sharpness = hd.literal(3)
@@ -899,9 +948,8 @@ def decode_vp8_planes(payload: bytes):
     # partitions; macroblock ROW r reads partition r % n (r14)
     n_part = 1 << hd.literal(2)
     qi = hd.literal(7)
-    for _ in range(5):  # y1dc/y2dc/y2ac/uvdc/uvac deltas
-        if hd.read(128):
-            raise UnsupportedMediaError("vp8: quantizer deltas unsupported")
+    # y1dc/y2dc/y2ac/uvdc/uvac index deltas (§9.6)
+    q_deltas = tuple(_sigval(4) for _ in range(5))
     hd.read(128)  # refresh_entropy_probs (keyframe: no-op here)
     # coefficient probability update flags (4*8*3*11)
     for _ in range(4 * 8 * 3 * 11):
@@ -918,8 +966,19 @@ def decode_vp8_planes(payload: bytes):
     uvmodes = np.empty((mb_h, mb_w), np.int8)
     skips = np.zeros((mb_h, mb_w), np.int8)
     bmodes = np.zeros((mb_h, mb_w, 16), np.int8)
+    seg_ids = np.zeros((mb_h, mb_w), np.int8)
     for my in range(mb_h):
         for mx in range(mb_w):
+            if seg_update_map:
+                # segment id tree {{0,1},{2,3}} (§10)
+                if not hd.read(seg_tree_probs[0]):
+                    seg_ids[my, mx] = (
+                        1 if hd.read(seg_tree_probs[1]) else 0
+                    )
+                else:
+                    seg_ids[my, mx] = (
+                        3 if hd.read(seg_tree_probs[2]) else 2
+                    )
             skips[my, mx] = hd.read(prob_skip)
             # kf ymode tree: B_PRED | ((DC|V) | (H|TM))
             if not hd.read(_KF_YMODE_PROBS[0]):
@@ -972,7 +1031,16 @@ def decode_vp8_planes(payload: bytes):
             off += sz
         tds.append(_BoolDec(rest[off:]))
     td = tds[0]
-    q = _quantizers(qi)
+
+    # per-segment effective quantizer index (abs or baseline+delta,
+    # clamped), then the per-plane §9.6 index deltas on top
+    def _seg_qindex(s: int) -> int:
+        if not seg_enabled:
+            return qi
+        base = seg_quant[s] if seg_abs else qi + seg_quant[s]
+        return max(0, min(127, base))
+
+    qsegs = [_quantizers(_seg_qindex(s), q_deltas) for s in range(4)]
     Y = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
     U = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
     V = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
@@ -1013,6 +1081,7 @@ def decode_vp8_planes(payload: bytes):
         for mx in range(mb_w):
             ym = int(ymodes[my, mx])
             uvm = int(uvmodes[my, mx])
+            q = qsegs[int(seg_ids[my, mx])]
             y0, x0 = my * 16, mx * 16
             cy0, cx0 = my * 8, mx * 8
             mb_nz[0] = False
@@ -1111,8 +1180,15 @@ def decode_vp8_planes(payload: bytes):
                 "vp8: token partition not consumed (probable desync)"
             )
 
+    if seg_enabled:
+        lf_levels = np.empty((mb_h, mb_w), np.int64)
+        for s in range(4):
+            lvl = seg_lf[s] if seg_abs else filter_level + seg_lf[s]
+            lf_levels[seg_ids == s] = max(0, min(63, lvl))
+    else:
+        lf_levels = np.full((mb_h, mb_w), filter_level, np.int64)
     _loop_filter(
-        Y, U, V, mb_w, mb_h, filter_level, sharpness,
+        Y, U, V, mb_w, mb_h, lf_levels, sharpness,
         filter_type == 1, skip_lf,
     )
 
@@ -1155,7 +1231,10 @@ def _quant(x: float, q: int) -> int:
 def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
                         sharpness: int = 0, simple_filter: bool = False,
                         bpred_every: int = 0,
-                        token_partitions: int = 1):
+                        token_partitions: int = 1,
+                        q_deltas=None,
+                        segment_map=None, segment_quant=None,
+                        segment_lf=None, segment_abs: bool = False):
     """(Y, U, V) uint8 planes (YUV420; chroma = ceil-half dims) -> a
     REAL VP8 keyframe (module docstring subset) plus the encoder's own
     reconstruction planes.  The recon loop runs the decoder's exact
@@ -1165,7 +1244,13 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
     (raster index) as B_PRED, cycling the 10 §12.3 submodes across its
     subblocks.  ``token_partitions`` (1/2/4/8, §9.5) splits the
     coefficient tokens by macroblock row across that many partitions
-    with the 3-byte LE size trailer.
+    with the 3-byte LE size trailer.  ``q_deltas`` = the five §9.6
+    frame-header index deltas (y1dc, y2dc, y2ac, uvdc, uvac), each
+    in -15..15.  ``segment_map`` (mb_h, mb_w) ids 0..3 enables §9.3
+    segmentation: ``segment_quant`` / ``segment_lf`` give the four
+    per-segment quantizer / loop-filter feature values, interpreted
+    as absolute when ``segment_abs`` else as deltas vs the frame
+    baseline; the map is coded with count-derived tree probabilities.
     -> (frame_bytes, (reconY, reconU, reconV))."""
     y = np.asarray(y, np.uint8)
     u = np.asarray(u, np.uint8)
@@ -1180,6 +1265,41 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
         raise UnsupportedMediaError(
             "vp8 encoder: token_partitions must be 1, 2, 4 or 8"
         )
+    q_deltas = tuple(q_deltas) if q_deltas is not None else (0,) * 5
+    if len(q_deltas) != 5 or any(
+        not -15 <= d <= 15 for d in q_deltas
+    ):
+        raise UnsupportedMediaError(
+            "vp8 encoder: q_deltas must be five values in -15..15"
+        )
+    seg_on = segment_map is not None
+    if seg_on:
+        segment_map = np.asarray(segment_map, np.int64)
+        if segment_map.shape != (mb_h, mb_w) or (
+            segment_map.min() < 0 or segment_map.max() > 3
+        ):
+            raise UnsupportedMediaError(
+                "vp8 encoder: segment_map must be (mb_h, mb_w) ids 0..3"
+            )
+        segment_quant = list(segment_quant or (0, 0, 0, 0))
+        segment_lf = list(segment_lf or (0, 0, 0, 0))
+        if (
+            len(segment_quant) != 4
+            or len(segment_lf) != 4
+            or any(not -127 <= s <= 127 for s in segment_quant)
+            or any(not -63 <= s <= 63 for s in segment_lf)
+            or (
+                segment_abs
+                and (min(segment_quant) < 0 or min(segment_lf) < 0)
+            )
+        ):
+            raise UnsupportedMediaError(
+                "vp8 encoder: bad segment feature values"
+            )
+    elif segment_quant is not None or segment_lf is not None:
+        raise UnsupportedMediaError(
+            "vp8 encoder: segment features need a segment_map"
+        )
     y_pad = np.zeros((mb_h * 16, mb_w * 16), np.uint8)
     y_pad[:height, :width] = y
     u_pad = np.zeros((mb_h * 8, mb_w * 8), np.uint8)
@@ -1188,7 +1308,13 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
     u_pad[:ch, :cw] = u
     v_pad[:ch, :cw] = v
 
-    q = _quantizers(qi)
+    def _seg_qindex(s: int) -> int:
+        if not seg_on:
+            return qi
+        base = segment_quant[s] if segment_abs else qi + segment_quant[s]
+        return max(0, min(127, base))
+
+    qsegs = [_quantizers(_seg_qindex(s), q_deltas) for s in range(4)]
     Y = np.zeros_like(y_pad)
     U = np.zeros_like(u_pad)
     V = np.zeros_like(v_pad)
@@ -1198,6 +1324,7 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
     skip_lf = np.zeros((mb_h, mb_w), bool)
     for my in range(mb_h):
         for mx in range(mb_w):
+            q = qsegs[int(segment_map[my, mx])] if seg_on else qsegs[0]
             y0, x0 = my * 16, mx * 16
             cy0, cx0 = my * 8, mx * 8
             bpred = bool(
@@ -1355,21 +1482,65 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
     he = _BoolEnc()
     he.literal(0, 1)  # color_space
     he.literal(0, 1)  # clamping_type
-    he.write(0, 128)  # segmentation_enabled
+
+    def _put_sigval(val: int, bits: int) -> None:
+        if val == 0:
+            he.write(0, 128)
+            return
+        he.write(1, 128)
+        he.literal(abs(val), bits)
+        he.literal(1 if val < 0 else 0, 1)
+
+    if seg_on:
+        # count-derived segment-id tree probabilities (clamped 1..254)
+        counts = np.bincount(segment_map.reshape(-1), minlength=4)
+
+        def _p(a: int, b: int) -> int:
+            t = a + b
+            return 128 if t == 0 else max(1, min(254, (a * 255) // t))
+
+        seg_tree_probs = [
+            _p(counts[0] + counts[1], counts[2] + counts[3]),
+            _p(counts[0], counts[1]),
+            _p(counts[2], counts[3]),
+        ]
+        he.write(1, 128)  # segmentation_enabled
+        he.literal(1, 1)  # update_mb_segmentation_map
+        he.literal(1, 1)  # update_segment_feature_data
+        he.literal(1 if segment_abs else 0, 1)
+        for s in range(4):
+            _put_sigval(segment_quant[s], 7)
+        for s in range(4):
+            _put_sigval(segment_lf[s], 6)
+        for i in range(3):
+            he.write(1, 128)
+            he.literal(seg_tree_probs[i], 8)
+    else:
+        he.write(0, 128)  # segmentation_enabled
     he.literal(1 if simple_filter else 0, 1)  # filter_type
     he.literal(filter_level, 6)
     he.literal(sharpness, 3)
     he.write(0, 128)  # loop_filter_adj_enable
     he.literal(token_partitions.bit_length() - 1, 2)  # log2 partitions
     he.literal(qi, 7)  # y_ac_qi
-    for _ in range(5):
-        he.write(0, 128)  # no quantizer deltas
+    for d in q_deltas:
+        _put_sigval(d, 4)
     he.write(1, 128)  # refresh_entropy_probs
     for _ in range(4 * 8 * 3 * 11):
         he.write(0, _UPDATE_PROB)  # no coefficient prob updates
     he.write(1, 128)  # mb_no_coeff_skip
     he.literal(prob_skip, 8)
-    for skip, ymode, uvmode, _y2q, _yq, _uq, _vq, bmodes in per_mb:
+    for idx, (skip, ymode, uvmode, _y2q, _yq, _uq, _vq, bmodes) in (
+        enumerate(per_mb)
+    ):
+        if seg_on:
+            sid = int(segment_map[idx // mb_w, idx % mb_w])
+            if sid < 2:
+                he.write(0, seg_tree_probs[0])
+                he.write(sid & 1, seg_tree_probs[1])
+            else:
+                he.write(1, seg_tree_probs[0])
+                he.write(sid & 1, seg_tree_probs[2])
         he.write(1 if skip else 0, prob_skip)
         if ymode == _BPRED:
             he.write(0, _KF_YMODE_PROBS[0])
@@ -1430,8 +1601,17 @@ def encode_vp8_keyframe(y, u, v, qi: int = 40, filter_level: int = 0,
     # the decoder's recon includes the in-loop filter — run the SAME
     # filter on the encoder's recon so the returned planes are the
     # bit-exact decode target
+    if seg_on:
+        lf_levels = np.empty((mb_h, mb_w), np.int64)
+        for s in range(4):
+            lvl = segment_lf[s] if segment_abs else (
+                filter_level + segment_lf[s]
+            )
+            lf_levels[segment_map == s] = max(0, min(63, lvl))
+    else:
+        lf_levels = np.full((mb_h, mb_w), filter_level, np.int64)
     _loop_filter(
-        Y, U, V, mb_w, mb_h, filter_level, sharpness,
+        Y, U, V, mb_w, mb_h, lf_levels, sharpness,
         simple_filter, skip_lf,
     )
     return frame, (Y, U, V)

@@ -481,7 +481,9 @@ def h264_cabac_decode_stats(spark, sf_dir):
                (doc_id // 8) % 3 AS bpred_every,
                ((doc_id // 8) * 13) % 64 AS filter_level,
                CASE (doc_id // 8) % 3 WHEN 0 THEN 1 WHEN 1 THEN 2
-                    ELSE 4 END AS n_token_parts
+                    ELSE 4 END AS n_token_parts,
+               CASE ((doc_id // 8) // 3) % 3 WHEN 0 THEN 1 WHEN 1
+                    THEN 2 ELSE 4 END AS n_segments
         FROM documents
         WHERE doc_id % 8 = 6
     ),
@@ -508,6 +510,7 @@ def h264_cabac_decode_stats(spark, sf_dir):
            CAST(d.bpred_every AS BIGINT) AS bpred_every,
            CAST(d.filter_level AS BIGINT) AS filter_level,
            CAST(d.n_token_parts AS BIGINT) AS n_token_parts,
+           CAST(d.n_segments AS BIGINT) AS n_segments,
            ysum.y_sum, csum.u_sum, csum.v_sum
     FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
     """,
@@ -557,6 +560,21 @@ def vp8_decode_stats(spark, sf_dir):
                 sharpness = (k // 3) % 8
                 simple = k % 2 == 1
                 n_tp = (1, 2, 4)[k % 3]
+                n_seg = (1, 2, 4)[(k // 3) % 3]
+                if n_seg > 1:
+                    mb_h, mb_w = -(-H // 16), -(-W // 16)
+                    mr = np.arange(mb_h)[:, None]
+                    mc = np.arange(mb_w)[None, :]
+                    seg_map = (mr * 2 + mc) % n_seg
+                    # delta mode, non-positive quant deltas: effective
+                    # quantizers only get FINER, so the plausibility
+                    # threshold below stays an upper bound
+                    seg_quant = [0, -5, -9, -13]
+                    seg_lf = [0, -7, 6, -14]
+                    qd = (-(k % 5), 0, -(k % 3), -(k % 7 % 4), 0)
+                else:
+                    seg_map = seg_quant = seg_lf = None
+                    qd = None
                 r = np.arange(H)[:, None]
                 c = np.arange(W)[None, :]
                 y = (((r * 3 + c * 5 + d) % 160) + 40).astype(np.uint8)
@@ -570,6 +588,8 @@ def vp8_decode_stats(spark, sf_dir):
                     y, u, v, qi=qi, bpred_every=bpred_every,
                     filter_level=filter_level, sharpness=sharpness,
                     simple_filter=simple, token_partitions=n_tp,
+                    q_deltas=qd, segment_map=seg_map,
+                    segment_quant=seg_quant, segment_lf=seg_lf,
                 )
                 dw, dh, dY, dU, dV = decode_vp8_planes(frame)
                 ok = (
@@ -585,7 +605,8 @@ def vp8_decode_stats(spark, sf_dir):
                 ) <= (48 if qi <= 40 else 128)
                 if ok:
                     rows.append((
-                        d, W, H, qi, bpred_every, filter_level, n_tp,
+                        d, W, H, qi, bpred_every, filter_level,
+                        n_tp, n_seg,
                         int(np.sum(y, dtype=np.int64)),
                         int(np.sum(u, dtype=np.int64)),
                         int(np.sum(v, dtype=np.int64)),
@@ -593,14 +614,14 @@ def vp8_decode_stats(spark, sf_dir):
                 else:
                     rows.append(
                         (d, W, H, qi, bpred_every, filter_level,
-                         n_tp, -1, -1, -1)
+                         n_tp, n_seg, -1, -1, -1)
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "width", "height", "qindex",
                     "bpred_every", "filter_level", "n_token_parts",
-                    "y_sum", "u_sum", "v_sum",
+                    "n_segments", "y_sum", "u_sum", "v_sum",
                 ],
             )
 
@@ -609,6 +630,6 @@ def vp8_decode_stats(spark, sf_dir):
         schema=(
             "doc_id long, width long, height long, qindex long, "
             "bpred_every long, filter_level long, n_token_parts long, "
-            "y_sum long, u_sum long, v_sum long"
+            "n_segments long, y_sum long, u_sum long, v_sum long"
         ),
     )

@@ -461,3 +461,124 @@ def test_token_partition_truncation_raises():
     from processor_edf_spark.operators.vp8 import encode_vp8_keyframe as _e
     with pytest.raises(UnsupportedMediaError, match="token_partitions"):
         _e(y, u, v, token_partitions=3)
+
+
+# ---------------------------------------------------------------------------
+# segmentation (§9.3) + quantizer index deltas (§9.6)
+# ---------------------------------------------------------------------------
+
+
+def _seg_map(mb_h, mb_w, n_seg):
+    r = np.arange(mb_h)[:, None]
+    c = np.arange(mb_w)[None, :]
+    return ((r * 2 + c) % n_seg).astype(np.int64)
+
+
+@pytest.mark.parametrize("seg_abs", [False, True])
+def test_segmentation_round_trip(seg_abs):
+    """Per-segment quantizer AND loop-filter features, both feature
+    modes, 4-segment tree-coded map: bit-exact round trip."""
+    y, u, v = _planes(80, 64, seed=21)
+    m = _seg_map(4, 5, 4)
+    if seg_abs:
+        sq = [20, 35, 50, 65]
+        sl = [0, 10, 25, 40]
+    else:
+        sq = [0, -6, -12, 8]
+        sl = [0, -8, 12, -20]
+    frame, (rY, rU, rV) = encode_vp8_keyframe(
+        y, u, v, qi=44, filter_level=24, sharpness=2,
+        segment_map=m, segment_quant=sq, segment_lf=sl,
+        segment_abs=seg_abs,
+    )
+    dw, dh, dY, dU, dV = decode_vp8_planes(frame)
+    assert (dw, dh) == (80, 64)
+    assert np.array_equal(dY, rY)
+    assert np.array_equal(dU, rU)
+    assert np.array_equal(dV, rV)
+
+
+def test_segmentation_level_zero_mb_not_filtered():
+    """A segment whose effective filter level is 0 must leave its
+    macroblocks unfiltered while neighbours still filter."""
+    y, u, v = _planes(64, 64, seed=7)
+    m = _seg_map(4, 4, 2)
+    frame, recon = encode_vp8_keyframe(
+        y, u, v, qi=30, filter_level=40,
+        segment_map=m, segment_lf=[-40, 0, 0, 0],
+        segment_quant=[0, 0, 0, 0],
+    )
+    # level-0 segment == re-encode of the same MBs with filter off in
+    # a uniform frame would differ; here we just require the round
+    # trip to stay bit-exact through the mixed-level filter pass
+    dw, dh, dY, dU, dV = decode_vp8_planes(frame)
+    assert np.array_equal(dY, recon[0])
+    assert np.array_equal(dU, recon[1])
+    assert np.array_equal(dV, recon[2])
+
+
+def test_q_deltas_round_trip():
+    """All five §9.6 index deltas, mixed signs, with B_PRED and the
+    simple filter in the mix."""
+    y, u, v = _planes(64, 80, seed=3)
+    frame, (rY, rU, rV) = encode_vp8_keyframe(
+        y, u, v, qi=60, q_deltas=(-4, 3, -2, 15, -15),
+        bpred_every=4, filter_level=12, simple_filter=True,
+    )
+    dw, dh, dY, dU, dV = decode_vp8_planes(frame)
+    assert np.array_equal(dY, rY)
+    assert np.array_equal(dU, rU)
+    assert np.array_equal(dV, rV)
+
+
+def test_segmentation_combined_with_partitions_and_bpred():
+    y, u, v = _planes(96, 48, seed=5)
+    m = _seg_map(3, 6, 3)
+    frame, (rY, rU, rV) = encode_vp8_keyframe(
+        y, u, v, qi=50, filter_level=18,
+        segment_map=m, segment_quant=[0, -8, -16, 0],
+        segment_lf=[4, -6, 0, 0], token_partitions=2,
+        bpred_every=3, q_deltas=(2, 0, -3, 0, 1),
+    )
+    dw, dh, dY, dU, dV = decode_vp8_planes(frame)
+    assert np.array_equal(dY, rY)
+    assert np.array_equal(dU, rU)
+    assert np.array_equal(dV, rV)
+
+
+def test_segmentation_bad_params_raise():
+    y, u, v = _planes(32, 32, seed=1)
+    with pytest.raises(UnsupportedMediaError, match="segment_map"):
+        encode_vp8_keyframe(y, u, v, segment_map=np.zeros((3, 3)))
+    with pytest.raises(UnsupportedMediaError, match="segment"):
+        encode_vp8_keyframe(y, u, v, segment_quant=[1, 2, 3, 4])
+    with pytest.raises(UnsupportedMediaError, match="feature"):
+        encode_vp8_keyframe(
+            y, u, v, segment_map=np.zeros((2, 2), int),
+            segment_quant=[-1, 0, 0, 0], segment_abs=True,
+        )
+    with pytest.raises(UnsupportedMediaError, match="q_deltas"):
+        encode_vp8_keyframe(y, u, v, q_deltas=(16, 0, 0, 0, 0))
+
+
+def test_segmentation_corruption_fuzz_never_escapes():
+    """Bit flips across a segmented+delta frame either decode or raise
+    the one exception type — never a raw IndexError/ValueError."""
+    y, u, v = _planes(48, 48, seed=13)
+    m = _seg_map(3, 3, 4)
+    frame, _ = encode_vp8_keyframe(
+        y, u, v, qi=40, filter_level=20, segment_map=m,
+        segment_quant=[0, -5, -9, -13], segment_lf=[0, 5, -5, 10],
+        q_deltas=(1, -1, 2, -2, 3),
+    )
+    data = bytearray(frame)
+    rng = np.random.default_rng(99)
+    for _ in range(160):
+        i = int(rng.integers(0, len(data)))
+        old = data[i]
+        data[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_vp8_planes(bytes(data))
+        except UnsupportedMediaError:
+            pass
+        data[i] = old
