@@ -222,7 +222,13 @@ _CANONICAL = [
     # an r14 priority slot, displacing doc_length_histogram to 51+
     # (text family stays covered in-window via normalize_text /
     # chunk_documents and more; it keeps its r11 green).
+    # audio_fingerprint_dedup (r14: perceptual audio near-dup dedup,
+    # the audio sibling of image_phash_dedup — new family dedup_audio)
+    # takes an r14 priority slot, displacing ngram_lang_profile to 51+
+    # (text family stays covered in-window via normalize_text /
+    # boilerplate_ngrams and more; it keeps its r11 green).
     "quality_classifier_score",
+    "audio_fingerprint_dedup",
     "image_phash_dedup",
     "h264_cabac_pb_decode_stats",
     "mp3_short_intensity_decode_stats",
@@ -267,12 +273,12 @@ _CANONICAL = [
     "corpus_job_report",
     "video_frame_stats",
     "edf_header_parse",
-    "ngram_lang_profile",
     "set_ops_event_types",
     "top3_orders_per_customer",
     "table_profile_events",
     "triangle_count_nn",
     # ---- 51+: family-covered seats with driver greens on record
+    "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
     "filter_project_events",
@@ -545,6 +551,7 @@ FAMILY = {
     "mp3_short_intensity_decode_stats": "multimodal",
     "h264_cabac_pb_decode_stats": "multimodal",
     "image_phash_dedup": "dedup_image",
+    "audio_fingerprint_dedup": "dedup_audio",
     "quality_classifier_score": "quality",
     # r12 additions
     "pq_adc_exact": "ann",

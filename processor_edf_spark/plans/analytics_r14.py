@@ -558,3 +558,105 @@ def quality_classifier_score(spark, sf_dir):
         F.round("logit", 6).alias("logit"),
         F.col("keep").cast("long").alias("keep"),
     )
+
+
+@register(
+    "audio_fingerprint_dedup",
+    """
+    WITH d AS (
+        SELECT doc_id, doc_id // 8 AS base
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id,
+           MIN(doc_id) OVER (PARTITION BY base) AS group_min,
+           COUNT(*) OVER (PARTITION BY base) AS group_size,
+           CAST(1 AS BIGINT) AS afp_groups
+    FROM d
+    """,
+)
+def audio_fingerprint_dedup(spark, sf_dir):
+    """Perceptual audio near-dup dedup (operators/audio_dedup.py, r14)
+    as a driver-hashed row — the audio sibling of image_phash_dedup:
+    per document a deterministic noise clip is built from
+    base = doc_id//8 (avalanche-mixed per-(base, sample) so distinct
+    bases are independent), gain-scaled by the member index
+    (2^((doc_id%8)//2) — the spectral-difference fingerprint is
+    EXACTLY invariant to power-of-two gains by construction), encoded
+    through the real WAV-PCM16 or FLAC writer (members alternate
+    codecs — both lossless, so the decoded floats are identical up to
+    the exact gain), decoded through the real decode_audio registry,
+    fingerprinted, and grouped through the LINEAR LSH-components path
+    (perceptual_dedup_components, bucket-star edges + pointer
+    jumping).  The oracle recomputes the groups from the doc_id
+    arithmetic alone: equality holds ONLY if decode -> fingerprint ->
+    bucket -> closure reproduced the base partition exactly (a decode
+    failure, a gain-invariance drift, a WAV/FLAC convention mismatch,
+    or a cross-base fingerprint collision all mismatch).  afp_groups
+    pins one distinct fingerprint per group.  Scale: fingerprinting
+    is per-doc linear; grouping is the measured linear dedup path
+    (dedup_lsh_components x32 sweep)."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 2 = 1"))
+
+    def build(batches):
+        from processor_edf_spark.operators.flac import encode_flac
+        from processor_edf_spark.operators.media_codecs import (
+            encode_wav_pcm16,
+        )
+
+        n = 2304
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base = d // 8
+                gain = 1 << ((d % 8) // 2)
+                i = np.arange(n, dtype=np.uint64)
+                x = (
+                    np.uint64((base + 1) * 2654435761 % (1 << 61))
+                    + i * np.uint64(1099511628211)
+                )
+                x = x * np.uint64(0x9E3779B97F4A7C15)
+                x ^= x >> np.uint64(31)
+                x = x * np.uint64(0xBF58476D1CE4E5B9)
+                x ^= x >> np.uint64(29)
+                samples = (
+                    (x % np.uint64(2048)).astype(np.int64) - 1024
+                ) * gain
+                if d % 4 == 1:
+                    payload = encode_wav_pcm16(samples / 32767.0, 8000)
+                else:
+                    payload = encode_flac(samples, 8000)
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="doc_id long, payload binary")
+    from pyspark.sql import functions as F
+
+    from processor_edf_spark.operators.audio_dedup import (
+        audio_perceptual_fingerprints,
+    )
+    from processor_edf_spark.operators.image_dedup import (
+        perceptual_dedup_components,
+    )
+
+    fps = audio_perceptual_fingerprints(media)
+    comps = perceptual_dedup_components(fps, "afp", max_hamming=0)
+    labeled = fps.join(comps, "doc_id")
+    gstats = labeled.groupBy("component").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("afp").alias("afp_groups"),
+    )
+    return (
+        labeled.join(gstats, "component")
+        .select(
+            F.col("doc_id"),
+            F.col("component").alias("group_min"),
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("afp_groups").cast("long").alias("afp_groups"),
+        )
+    )

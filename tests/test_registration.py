@@ -38,6 +38,7 @@ EXPECTED_FIRST_50 = [
     # registration): vp8_decode_stats displaces dedup_exact
     # (dedup_text family covered in-window).
     "quality_classifier_score",
+    "audio_fingerprint_dedup",
     "image_phash_dedup",
     "h264_cabac_pb_decode_stats",
     "mp3_short_intensity_decode_stats",
@@ -82,7 +83,6 @@ EXPECTED_FIRST_50 = [
     "corpus_job_report",
     "video_frame_stats",
     "edf_header_parse",
-    "ngram_lang_profile",
     "set_ops_event_types",
     "top3_orders_per_customer",
     "table_profile_events",
@@ -109,8 +109,9 @@ def test_every_query_has_an_oracle():
 
 def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10/r11 additions + the 10 r12 rows
-    # + the 4 r13 codec rows + the r14 rows
-    assert len(QUERIES) == 169
+    # + the 4 r13 codec rows + the r14 rows (incl. the continuation's
+    # audio_fingerprint_dedup)
+    assert len(QUERIES) == 170
 
 
 def test_every_query_has_a_family():
