@@ -72,6 +72,17 @@ Spec-exactness, stated precisely (ISO/IEC 11172-3):
   patterns, grouped 3/5/9-level codes, and Table B.4 requantization
   reproduced EXACTLY by its closed forms (C = 2^k/n, D = 2^(1-k),
   grouped D = 1/2) — through the shared polyphase synthesis.
+- **Mixed blocks** (r14) decode for real in both MPEG-1 (8 long
+  scalefactors + short bands 3..11) and LSF (form-2 partition rows:
+  6 long + short from band 3) layouts: long requantization below
+  line 36 with preflag/pretab, short bands with subblock gains above,
+  reorder from band 3, long-window IMDCT on the first two subbands,
+  alias reduction across their boundary — round trips pinned per
+  rate.  The one carve-out: at 8000 Hz the long table's 36-line point
+  (3 bands) and the short table's band 3 (line 72) do not meet, so
+  the spec's mixed layout is self-inconsistent there; both the
+  decoder and the fixture encoder treat mixed@8000 as an honest seam
+  rather than guessing a bridge.
 - **Out of scope** (UnsupportedMediaError, seam-gated): free-format
   bitrate, MIXED-block intensity stereo (the long/short interplay of
   §2.4.3.4.9.3's mixed case), and LSF intensity stereo (its sqrt-2
@@ -591,6 +602,16 @@ def _requantize(
                 xr[lo : lo + w_band] *= 2.0 ** gain
         return xr
     mixed = g.window_switching and g.block_type == 2 and g.mixed_block
+    if mixed and 3 * _SFB_SHORT[rate][3] != 36:
+        # at 8000 Hz the long table's 36-line point (3 bands) and the
+        # short table's band 3 (line 72) do not meet — the spec's
+        # mixed layout is self-inconsistent there and real encoders
+        # never emit it; honest seam rather than a silently mis-bound
+        # requantization
+        raise UnsupportedMediaError(
+            "mp3: mixed blocks unsupported at this sample rate (the "
+            "long/short scalefactor-band tables do not meet at line 36)"
+        )
     bounds = _SFB_LONG[rate]
     for b in range(22):
         lo, hi = bounds[b], bounds[b + 1]
@@ -1553,24 +1574,38 @@ def _encode_granule_bits(ix: np.ndarray, g_params: dict) -> tuple[bytes, _Granul
     skip_groups = g_params.get("skip_groups", ())
     lsf = g_params.get("lsf", False)
     if lsf:
-        if g_params.get("block_type", 0) != 0:
-            raise ValueError("LSF fixture: long blocks only")
+        bt = g_params.get("block_type", 0)
+        mixed = g_params.get("mixed_block", 0)
         probe = _Granule()
         probe.scalefac_compress = compress
-        probe.window_switching = 0
-        probe.block_type = 0
-        probe.mixed_block = 0
+        probe.window_switching = 1 if bt else 0
+        probe.block_type = bt
+        probe.mixed_block = mixed
         slen, nsfb, _pre = _lsf_sf_layout(probe)
+        # sequential values exactly as _read_scalefactors_lsf consumes
+        # them: long bands first (6 for mixed, the long form otherwise),
+        # then short bands band-major window-inner from first_short
+        if bt == 2:
+            short_sf = g_params.get(
+                "short_sf", [[0, 0, 0] for _ in range(13)]
+            )
+            first_short = 3 if mixed else 0
+            vals = list(long_sf[:6]) if mixed else []
+            n_short = (sum(nsfb) - len(vals)) // 3
+            for sb in range(first_short, first_short + n_short):
+                vals.extend(short_sf[sb])
+        else:
+            vals = list(long_sf)
         b = 0
         for part in range(4):
             for _ in range(nsfb[part]):
-                if slen[part] and (long_sf[b] >> slen[part]):
+                if slen[part] and (vals[b] >> slen[part]):
                     raise ValueError(
                         "fixture encoder: scalefactor exceeds slen"
                     )
                 if slen[part]:
-                    w.write(long_sf[b], slen[part])
-                elif long_sf[b]:
+                    w.write(vals[b], slen[part])
+                elif vals[b]:
                     raise ValueError(
                         "fixture encoder: nonzero sf in zero-width part"
                     )
@@ -1586,23 +1621,33 @@ def _encode_granule_bits(ix: np.ndarray, g_params: dict) -> tuple[bytes, _Granul
                     if long_sf[b] >> sl:
                         raise ValueError("fixture encoder: scalefactor exceeds slen")
                     w.write(long_sf[b], sl)
-        elif "short_sf" in g_params:
-            # pure-short scalefactor emission (r14, for the intensity
-            # fixtures): bands 0..5 at slen1, 6..11 at slen2, window
-            # inner — mirrors _read_scalefactors exactly
+        elif "short_sf" in g_params or g_params.get("mixed_block", 0):
+            # short/mixed scalefactor emission mirroring
+            # _read_scalefactors exactly: mixed writes long bands 0..7
+            # at slen1 then short bands 3..5 at slen1; pure short
+            # writes bands 0..5 at slen1; both then 6..11 at slen2,
+            # window inner
+            short_sf = g_params.get(
+                "short_sf", [[0, 0, 0] for _ in range(13)]
+            )
+
+            def _put(v, sl):
+                if v >> sl:
+                    raise ValueError(
+                        "fixture encoder: scalefactor exceeds slen"
+                    )
+                w.write(v, sl)
+
             if g_params.get("mixed_block", 0):
-                raise ValueError(
-                    "fixture encoder: mixed-block sf emission unsupported"
-                )
-            short_sf = g_params["short_sf"]
-            for b in range(12):
+                for b in range(8):
+                    _put(long_sf[b], slen1)
+                first_short = 3
+            else:
+                first_short = 0
+            for b in range(first_short, 12):
                 sl = slen1 if b < 6 else slen2
                 for wi in range(3):
-                    if short_sf[b][wi] >> sl:
-                        raise ValueError(
-                            "fixture encoder: scalefactor exceeds slen"
-                        )
-                    w.write(short_sf[b][wi], sl)
+                    _put(short_sf[b][wi], sl)
     for pos in range(0, big_limit, 2):
         x, y = int(abs(ix[pos])), int(abs(ix[pos + 1]))
         length, code = _TABLE_1_ENC[(x, y)]
@@ -1670,6 +1715,13 @@ def encode_mp3_frames(
         bitrate_idx = _BITRATES_LSF_L23.index(bitrate_kbps)
         ver_code = 2 if version == 2 else 0
     n_gr = 1 if lsf else 2
+    if rate == 8000 and any(
+        g.get("mixed_block", 0) for f in frames_ix for gr in f for g in gr
+    ):
+        raise ValueError(
+            "fixture encoder: mixed blocks unsupported at 8000 Hz "
+            "(band tables do not meet at line 36 — decoder seam)"
+        )
     mode = 3 if n_channels == 1 else (1 if mode_ext else 0)
     out = bytearray()
     for frame in frames_ix:

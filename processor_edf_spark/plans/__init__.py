@@ -227,7 +227,13 @@ _CANONICAL = [
     # takes an r14 priority slot, displacing ngram_lang_profile to 51+
     # (text family stays covered in-window via normalize_text /
     # boilerplate_ngrams and more; it keeps its r11 green).
+    # mp3_mixed_decode_stats (r14: mixed blocks for real across
+    # MPEG-1/LSF) takes an r14 priority slot, displacing
+    # video_frame_stats to 51+ (multimodal stays covered in-window via
+    # vp8/mp3_short_intensity/h264_cabac_pb rows; it keeps its r11
+    # green).
     "quality_classifier_score",
+    "mp3_mixed_decode_stats",
     "audio_fingerprint_dedup",
     "image_phash_dedup",
     "h264_cabac_pb_decode_stats",
@@ -271,13 +277,13 @@ _CANONICAL = [
     "boilerplate_ngrams",
     "zorder_layout",
     "corpus_job_report",
-    "video_frame_stats",
     "edf_header_parse",
     "set_ops_event_types",
     "top3_orders_per_customer",
     "table_profile_events",
     "triangle_count_nn",
     # ---- 51+: family-covered seats with driver greens on record
+    "video_frame_stats",
     "ngram_lang_profile",
     "doc_length_histogram",
     "quantize_embeddings_int8",
@@ -549,6 +555,7 @@ FAMILY = {
     "mp3_lsf_decode_stats": "multimodal",
     "mp3_layer2_decode_stats": "multimodal",
     "mp3_short_intensity_decode_stats": "multimodal",
+    "mp3_mixed_decode_stats": "multimodal",
     "h264_cabac_pb_decode_stats": "multimodal",
     "image_phash_dedup": "dedup_image",
     "audio_fingerprint_dedup": "dedup_audio",

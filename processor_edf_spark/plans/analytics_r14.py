@@ -660,3 +660,157 @@ def audio_fingerprint_dedup(spark, sf_dir):
             F.col("afp_groups").cast("long").alias("afp_groups"),
         )
     )
+
+
+@register(
+    "mp3_mixed_decode_stats",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CASE (doc_id // 16) % 8
+                    WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                    WHEN 2 THEN 32000 WHEN 3 THEN 22050
+                    WHEN 4 THEN 24000 WHEN 5 THEN 16000
+                    WHEN 6 THEN 11025 ELSE 12000 END AS rate,
+               CASE WHEN (doc_id // 16) % 8 <= 2 THEN 1
+                    WHEN (doc_id // 16) % 8 <= 5 THEN 2
+                    ELSE 25 END AS ver
+        FROM documents WHERE doc_id % 16 = 9
+    ),
+    lines AS (
+        SELECT d.doc_id, ((tk.k * 5 + d.doc_id) % 3) - 1 AS v
+        FROM d CROSS JOIN range(0, 48) tk(k)
+    )
+    SELECT d.doc_id,
+           CAST(d.rate AS BIGINT) AS sample_rate,
+           CAST(d.ver AS BIGINT) AS mpeg_version,
+           CAST(CASE WHEN d.ver = 1 THEN 8 ELSE 6 END AS BIGINT)
+               AS n_long_bands,
+           CAST(SUM(l.v) AS BIGINT) AS sum_ix,
+           CAST(SUM(CASE WHEN l.v <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonzero
+    FROM d JOIN lines l USING (doc_id)
+    GROUP BY d.doc_id, d.rate, d.ver
+    """,
+)
+def mp3_mixed_decode_stats(spark, sf_dir):
+    """MP3 mixed blocks (operators/mp3.py, r14 continuation) as a
+    driver-hashed row: per document a mixed-block granule — long
+    scalefactor bands below line 36 (8 for MPEG-1, 6 for LSF) plus
+    short bands 3..11 with doc-derived subblock gains — is encoded to
+    a REAL Layer III stream at one of eight sampling rates spanning
+    MPEG-1, MPEG-2 and MPEG-2.5, decoded through the production
+    ``decode_mp3_frames``, and required EXACT in the spectral domain
+    against the §2.4.3.4.7.1 mixed requantization + band-3-up reorder
+    recomputed inline from the closed forms.  The emitted sums are
+    closed forms over the INPUT construction, recomputed independently
+    by the oracle; any slip in the mixed scalefactor layouts, the
+    36-line boundary, subblock gains, or the reorder flips the -1
+    sentinel.  Scale: per-doc pure-python kernel under spread(), same
+    class as the sibling codec rows (half their doc density)."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 16 = 9"))
+
+    def gen(batches):
+        from processor_edf_spark.operators.mp3 import (
+            _PRETAB,
+            _SFB_LONG,
+            _SFB_SHORT,
+            _Granule,
+            _reorder_short,
+            decode_mp3_frames,
+            encode_mp3_frames,
+        )
+
+        cfg = (
+            (44100, 1), (48000, 1), (32000, 1), (22050, 2),
+            (24000, 2), (16000, 2), (11025, 25), (12000, 25),
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, ver = cfg[(d // 16) % 8]
+                n_long = 8 if ver == 1 else 6
+                long_sf = [(b * 3 + d) % 4 for b in range(n_long)]
+                long_sf += [0] * (22 - n_long)
+                short_sf = [[0, 0, 0]] * 3 + [
+                    [(b + w + d) % 4 for w in range(3)]
+                    for b in range(3, 12)
+                ] + [[0, 0, 0]]
+                sbg = (d % 3, (d // 3) % 3, (d // 9) % 3)
+                sfs = d % 2
+                ix = np.zeros(576, dtype=np.int64)
+                for k in range(48):
+                    ix[k] = ((k * 5 + d) % 3) - 1
+                g = {
+                    "ix": ix, "big_values_lines": 48, "count1_quads": 0,
+                    "global_gain": 210, "block_type": 2,
+                    "mixed_block": 1, "long_sf": long_sf,
+                    "short_sf": short_sf, "subblock_gain": sbg,
+                    "scalefac_scale": sfs,
+                    "scalefac_compress": 9 if ver == 1 else 202,
+                }
+                frame = [[g]] if ver != 1 else [[g], [{
+                    "ix": np.zeros(576, dtype=np.int64),
+                    "big_values_lines": 0, "count1_quads": 0,
+                    "global_gain": 210,
+                }]]
+                payload = encode_mp3_frames(
+                    [frame], rate=rate, n_channels=1,
+                    bitrate_kbps=128 if ver == 1 else 64, version=ver,
+                )
+                decoded = decode_mp3_frames(payload)
+                # independent recomputation of the mixed law
+                exp = ix.astype(np.float64)
+                mult = 1.0 if sfs else 0.5
+                lb = _SFB_LONG[rate]
+                for b in range(n_long):
+                    lo, hi = lb[b], min(lb[b + 1], 36)
+                    exp[lo:hi] *= 2.0 ** (-mult * long_sf[b])
+                sbnd = _SFB_SHORT[rate]
+                for b in range(3, 13):
+                    width = sbnd[b + 1] - sbnd[b]
+                    base = 3 * sbnd[b]
+                    for w in range(3):
+                        exp[base + w * width : base + (w + 1) * width] *= (
+                            2.0 ** (-2 * sbg[w] - mult * short_sf[b][w])
+                        )
+                gg = _Granule()
+                gg.window_switching = 1
+                gg.block_type = 2
+                gg.mixed_block = 1
+                exp = _reorder_short(exp, gg, rate)
+                ok = (
+                    len(decoded) == 1
+                    and decoded[0][0]["rate"] == rate
+                    and bool(
+                        np.array_equal(decoded[0][1][0, 0], exp)
+                    )
+                )
+                if ok:
+                    rows.append((
+                        d, rate, ver, n_long,
+                        int(ix.sum()), int(np.count_nonzero(ix)),
+                    ))
+                else:
+                    rows.append((d, rate, ver, n_long, -1, -1))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "mpeg_version",
+                    "n_long_bands", "sum_ix", "n_nonzero",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, sample_rate long, mpeg_version long, "
+            "n_long_bands long, sum_ix long, n_nonzero long"
+        ),
+    )

@@ -1229,3 +1229,132 @@ def test_mixed_block_intensity_stays_seam_gated():
     with pytest.raises(UnsupportedMediaError, match="mixed-block"):
         decode_mp3_frames(_stream(frames, rate=44100, n_channels=2,
                                   bitrate_kbps=256, mode_ext=1))
+
+
+# ---------------------------------------------------------------------------
+# mixed blocks (long low subbands + short bands 3..12, r14)
+# ---------------------------------------------------------------------------
+
+
+def _mixed_expected(ix, rate, long_sf, short_sf, sbg=(0, 0, 0),
+                    sf_scale=0, preflag=0, n_long_bands=8):
+    """Spec §2.4.3.4.7.1 mixed requantization + reorder, recomputed
+    independently: long bands below line 36, short bands 3..12 with
+    subblock gains, reorder from band 3."""
+    from processor_edf_spark.operators.mp3 import (
+        _PRETAB,
+        _SFB_LONG,
+        _SFB_SHORT,
+        _Granule,
+        _reorder_short,
+    )
+
+    exp = ix.astype(float)
+    mult = 1.0 if sf_scale else 0.5
+    lb = _SFB_LONG[rate]
+    for b in range(n_long_bands):
+        lo, hi = lb[b], min(lb[b + 1], 36)
+        exp[lo:hi] *= 2.0 ** (-mult * (long_sf[b] + preflag * _PRETAB[b]))
+    sb = _SFB_SHORT[rate]
+    for b in range(3, 13):
+        width = sb[b + 1] - sb[b]
+        base = 3 * sb[b]
+        for w in range(3):
+            exp[base + w * width : base + (w + 1) * width] *= 2.0 ** (
+                -2 * sbg[w] - mult * short_sf[b][w]
+            )
+    g = _Granule()
+    g.window_switching, g.block_type, g.mixed_block = 1, 2, 1
+    return _reorder_short(exp, g, rate)
+
+
+@pytest.mark.parametrize("rate", [44100, 48000, 32000])
+def test_mixed_block_round_trip_mpeg1(rate):
+    """MPEG-1 mixed blocks: 8 long scalefactors + short bands 3..11,
+    subblock gains, exact spectral recovery."""
+    long_sf = [1, 2, 3, 1, 2, 3, 1, 2] + [0] * 14
+    short_sf = [[0, 0, 0]] * 3 + [
+        [(b + w) % 4 for w in range(3)] for b in range(3, 12)
+    ] + [[0, 0, 0]]
+    g = _gran(5, n_lines=48, block_type=2, mixed_block=1,
+              scalefac_compress=10, long_sf=long_sf, short_sf=short_sf,
+              subblock_gain=(0, 1, 2), scalefac_scale=1)
+    out = decode_mp3_frames(_stream([[[g], [_gran(3)]]], rate=rate,
+                                    n_channels=1, bitrate_kbps=128))
+    exp = _mixed_expected(g["ix"], rate, long_sf, short_sf,
+                          sbg=(0, 1, 2), sf_scale=1)
+    assert np.array_equal(out[0][1][0, 0], exp)
+
+
+def test_mixed_block_preflag_applies_to_long_bands():
+    long_sf = [0, 1, 0, 1, 0, 1, 0, 1] + [0] * 14
+    g = _gran(2, n_lines=36, block_type=2, mixed_block=1,
+              scalefac_compress=10, long_sf=long_sf, preflag=1,
+              scalefac_scale=1)
+    out = decode_mp3_frames(_stream([[[g], [_gran(3)]]], rate=44100,
+                                    n_channels=1, bitrate_kbps=128))
+    exp = _mixed_expected(g["ix"], 44100, long_sf,
+                          [[0, 0, 0]] * 13, sf_scale=1, preflag=1)
+    assert np.array_equal(out[0][1][0, 0], exp)
+
+
+@pytest.mark.parametrize("version,rate", [(2, 22050), (2, 24000),
+                                          (2, 16000), (25, 12000)])
+def test_lsf_short_blocks_round_trip(version, rate):
+    """LSF short blocks: form-1 slen/partition layout (9,9,9,9 /
+    9,9,12,6 / 18,18), window-inner emission, exact recovery."""
+    short_sf = [[(b + w) % 3 for w in range(3)] for b in range(12)]
+    short_sf.append([0, 0, 0])
+    from processor_edf_spark.operators.mp3 import (
+        _SFB_SHORT,
+        _Granule,
+        _reorder_short,
+    )
+
+    g = _gran(7, n_lines=36, block_type=2, mixed_block=0,
+              scalefac_compress=202,  # slens (2,2,2,2)
+              short_sf=short_sf, subblock_gain=(1, 0, 2),
+              scalefac_scale=1)
+    out = decode_mp3_frames(_stream([[[g]]], rate=rate, n_channels=1,
+                                    bitrate_kbps=64, version=version))
+    sb = _SFB_SHORT[rate]
+    exp = g["ix"].astype(float)
+    for b in range(13):
+        width = sb[b + 1] - sb[b]
+        base = 3 * sb[b]
+        for w, sbg in enumerate((1, 0, 2)):
+            exp[base + w * width : base + (w + 1) * width] *= 2.0 ** (
+                -2 * sbg - 1.0 * short_sf[b][w]
+            )
+    gg = _Granule()
+    gg.window_switching, gg.block_type, gg.mixed_block = 1, 2, 0
+    assert np.array_equal(out[0][1][0, 0], _reorder_short(exp, gg, rate))
+
+
+@pytest.mark.parametrize("version,rate", [(2, 22050), (25, 11025)])
+def test_lsf_mixed_blocks_round_trip(version, rate):
+    """LSF mixed blocks: form-2 layout (6 long + short from band 3),
+    exact recovery — 6 long bands end at line 36 for every LSF rate
+    but 8000."""
+    long_sf = [1, 2, 3, 1, 2, 3] + [0] * 16
+    short_sf = [[0, 0, 0]] * 3 + [
+        [(b * w) % 4 for w in range(3)] for b in range(3, 12)
+    ] + [[0, 0, 0]]
+    g = _gran(9, n_lines=48, block_type=2, mixed_block=1,
+              scalefac_compress=202,
+              long_sf=long_sf, short_sf=short_sf,
+              subblock_gain=(0, 2, 1), scalefac_scale=1)
+    out = decode_mp3_frames(_stream([[[g]]], rate=rate, n_channels=1,
+                                    bitrate_kbps=64, version=version))
+    exp = _mixed_expected(g["ix"], rate, long_sf, short_sf,
+                          sbg=(0, 2, 1), sf_scale=1, n_long_bands=6)
+    assert np.array_equal(out[0][1][0, 0], exp)
+
+
+def test_mixed_blocks_8000hz_seam():
+    """At 8000 Hz the band tables do not meet at line 36: the fixture
+    encoder refuses, and a hand-built stream hits the decoder seam."""
+    g = _gran(1, n_lines=36, block_type=2, mixed_block=1)
+    with pytest.raises(ValueError, match="8000"):
+        _stream([[[g]]], rate=8000, n_channels=1, bitrate_kbps=64,
+                version=25)
