@@ -1062,9 +1062,15 @@ def decode_audio(payload: bytes) -> tuple[int, int, np.ndarray]:
         return decode_wav_pcm(payload)
     if payload[:4] == b"fLaC":
         return decode_flac_audio(payload)
+    if payload[:4] == b"OggS":
+        from processor_edf_spark.operators.vorbis import decode_vorbis
+
+        return decode_vorbis(payload)
     if _is_mp3(payload):
         return decode_mp3(payload)
-    raise UnsupportedMediaError("not a RIFF/WAVE, FLAC or MP3 payload")
+    raise UnsupportedMediaError(
+        "not a RIFF/WAVE, FLAC, Ogg Vorbis or MP3 payload"
+    )
 
 
 # pure-python, so registered unconditionally: the VP8L (WebP lossless)

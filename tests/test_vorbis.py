@@ -124,3 +124,158 @@ def test_codeword_assignment_rejects_bad_trees():
 def test_float32_pack_unpack_round_trip():
     for v in (0.0, 1.0, -1.0, 0.5, -6.25, 1024.0, 3.0 / 64):
         assert float32_unpack(float32_pack(v)) == v
+
+
+# ---------------------------------------------------------------------------
+# window property + full-stream round trips
+# ---------------------------------------------------------------------------
+
+
+def test_window_tdac_power_complement():
+    """The Vorbis window satisfies the Princen-Bradley condition
+    s[k]^2 + s[n-1-k]^2 = 1 on each slope — the property that makes
+    lapped IMDCT reconstruction exact."""
+    from processor_edf_spark.operators.vorbis import _slope
+
+    for n in (32, 128):
+        s = _slope(n)
+        assert np.allclose(s**2 + s[::-1] ** 2, 1.0, atol=1e-12)
+
+
+def _round_trip(payload, expected):
+    from processor_edf_spark.operators.vorbis import decode_vorbis
+
+    rate, ch, pcm = decode_vorbis(payload)
+    exp_rate, exp_ch, exp = expected
+    assert (rate, ch) == (exp_rate, exp_ch)
+    assert pcm.shape == exp.shape
+    assert np.array_equal(pcm, exp)
+
+
+@pytest.mark.parametrize("rtype", [0, 1, 2])
+def test_mono_round_trip_residue_types(rtype):
+    from processor_edf_spark.operators.vorbis import (
+        encode_vorbis_fixture,
+    )
+
+    payload, expected = encode_vorbis_fixture(
+        [0, 0, 0, 0], entry_seed=rtype, channels=1,
+        residue_type=rtype, blocksizes=(64, 256),
+    )
+    _round_trip(payload, expected)
+
+
+def test_mono_long_short_window_splicing():
+    """Mixed block sizes exercise the hybrid windows and the
+    unequal-size overlap-add geometry."""
+    from processor_edf_spark.operators.vorbis import (
+        encode_vorbis_fixture,
+    )
+
+    payload, expected = encode_vorbis_fixture(
+        [0, 1, 1, 0, 1, 0, 0, 1], entry_seed=7, channels=1,
+        residue_type=1, blocksizes=(64, 256),
+    )
+    _round_trip(payload, expected)
+
+
+@pytest.mark.parametrize("coupling", [False, True])
+def test_stereo_round_trip(coupling):
+    from processor_edf_spark.operators.vorbis import (
+        encode_vorbis_fixture,
+    )
+
+    payload, expected = encode_vorbis_fixture(
+        [0, 1, 0, 1], entry_seed=3, channels=2, residue_type=2,
+        coupling=coupling, blocksizes=(64, 256),
+    )
+    _round_trip(payload, expected)
+
+
+def test_sample_counts_match_granule_rule():
+    """Frame k returns (n_{k-1} + n_k) / 4 samples; the first frame
+    returns none."""
+    from processor_edf_spark.operators.vorbis import (
+        decode_vorbis,
+        encode_vorbis_fixture,
+    )
+
+    modes = [0, 1, 1, 0]
+    payload, _ = encode_vorbis_fixture(
+        modes, channels=1, residue_type=1, blocksizes=(64, 256)
+    )
+    _, _, pcm = decode_vorbis(payload)
+    sizes = [64, 256, 256, 64]
+    expect = sum(
+        (sizes[i - 1] + sizes[i]) // 4 for i in range(1, len(sizes))
+    )
+    assert pcm.shape[0] == expect
+
+
+def test_floor0_seam():
+    """A setup declaring floor type 0 routes to the honest named
+    seam (and the fixture's own setup packet parses clean)."""
+    from processor_edf_spark.operators.vorbis import (
+        LSBitWriter,
+        _FixtureConfig,
+        _parse_ident,
+        _parse_setup,
+        _setup_codebook_bits,
+        encode_vorbis_fixture,
+        ogg_packets,
+    )
+
+    payload, _ = encode_vorbis_fixture([0, 0], channels=1,
+                                       residue_type=1)
+    pkts = ogg_packets(payload)
+    st = _parse_ident(pkts[0])
+    _parse_setup(pkts[2], st)  # the fixture setup parses clean
+
+    w = LSBitWriter()
+    w.write(0, 8)  # 1 codebook
+    _setup_codebook_bits(w, [1], None)
+    w.write(0, 6)
+    w.write(0, 16)  # time transform
+    w.write(0, 6)  # 1 floor
+    w.write(0, 16)  # floor type 0
+    with pytest.raises(UnsupportedMediaError, match="floor type 0"):
+        _parse_setup(b"\x05vorbis" + w.finish(), st)
+
+
+def test_corruption_fuzz_never_escapes():
+    from processor_edf_spark.operators.vorbis import (
+        decode_vorbis,
+        encode_vorbis_fixture,
+    )
+
+    payload, _ = encode_vorbis_fixture(
+        [0, 1, 0], entry_seed=1, channels=1, residue_type=1
+    )
+    data = bytearray(payload)
+    rng = np.random.default_rng(5)
+    for _ in range(250):
+        i = int(rng.integers(0, len(data)))
+        old = data[i]
+        data[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_vorbis(bytes(data))
+        except UnsupportedMediaError:
+            pass
+        data[i] = old
+
+
+def test_decode_audio_registry_route():
+    """media_codecs.decode_audio routes OggS payloads to the Vorbis
+    decoder."""
+    from processor_edf_spark.operators.media_codecs import decode_audio
+    from processor_edf_spark.operators.vorbis import (
+        encode_vorbis_fixture,
+    )
+
+    payload, (rate, ch, exp) = encode_vorbis_fixture(
+        [0, 1, 0], entry_seed=2, channels=2, residue_type=2,
+        coupling=True,
+    )
+    got_rate, got_ch, pcm = decode_audio(payload)
+    assert (got_rate, got_ch) == (rate, ch)
+    assert np.array_equal(pcm, exp)
