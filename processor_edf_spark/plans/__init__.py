@@ -232,7 +232,13 @@ _CANONICAL = [
     # video_frame_stats to 51+ (multimodal stays covered in-window via
     # vp8/mp3_short_intensity/h264_cabac_pb rows; it keeps its r11
     # green).
+    # vorbis_decode_stats (r14: Vorbis for real — the self-describing-
+    # codebook codec) takes an r14 priority slot, displacing
+    # edf_header_parse to 51+ (events stays covered in-window via
+    # agg_user_bounds / pivot_daily_event_counts / json_props_stats;
+    # it keeps its r11 green).
     "quality_classifier_score",
+    "vorbis_decode_stats",
     "mp3_mixed_decode_stats",
     "audio_fingerprint_dedup",
     "image_phash_dedup",
@@ -277,12 +283,12 @@ _CANONICAL = [
     "boilerplate_ngrams",
     "zorder_layout",
     "corpus_job_report",
-    "edf_header_parse",
     "set_ops_event_types",
     "top3_orders_per_customer",
     "table_profile_events",
     "triangle_count_nn",
     # ---- 51+: family-covered seats with driver greens on record
+    "edf_header_parse",
     "video_frame_stats",
     "ngram_lang_profile",
     "doc_length_histogram",
@@ -556,6 +562,7 @@ FAMILY = {
     "mp3_layer2_decode_stats": "multimodal",
     "mp3_short_intensity_decode_stats": "multimodal",
     "mp3_mixed_decode_stats": "multimodal",
+    "vorbis_decode_stats": "multimodal",
     "h264_cabac_pb_decode_stats": "multimodal",
     "image_phash_dedup": "dedup_image",
     "audio_fingerprint_dedup": "dedup_audio",

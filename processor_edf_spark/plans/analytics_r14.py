@@ -814,3 +814,105 @@ def mp3_mixed_decode_stats(spark, sf_dir):
             "n_long_bands long, sum_ix long, n_nonzero long"
         ),
     )
+
+
+@register(
+    "vorbis_decode_stats",
+    """
+    SELECT doc_id,
+           CAST(1 + (doc_id // 16) % 2 AS BIGINT) AS channels,
+           CAST(CASE WHEN (doc_id // 16) % 2 = 1 THEN 2
+                     ELSE (doc_id // 16) % 3 END AS BIGINT)
+               AS residue_type,
+           CAST(CASE WHEN (doc_id // 16) % 2 = 1
+                          AND ((doc_id // 16) // 2) % 2 = 1
+                     THEN 1 ELSE 0 END AS BIGINT) AS coupled,
+           CAST(4 + (doc_id // 16) % 3 AS BIGINT) AS n_blocks,
+           CAST((3 + (doc_id // 16) % 3) * 80 AS BIGINT) AS n_samples,
+           CAST(10 + (doc_id // 16) % 50 AS BIGINT) AS floor_c
+    FROM documents WHERE doc_id % 16 = 11
+    """,
+)
+def vorbis_decode_stats(spark, sf_dir):
+    """The Vorbis decoder (operators/vorbis.py, r14 continuation) as a
+    driver-hashed row: per document a REAL Ogg Vorbis stream — Ogg CRC
+    pages, self-describing codebooks, floor1, a doc-derived residue
+    type, optional square-polar stereo coupling, alternating
+    long/short blocks (hybrid window splicing every transition) — is
+    built by the fixture encoder and decoded back through the
+    production ``decode_audio`` registry route; the decode must be
+    BIT-EXACT against the encoder's mirrored synthesis and the PCM
+    length must equal the closed-form granule rule
+    (n_blocks - 1) * (64 + 256) / 4, which the oracle recomputes from
+    doc_id arithmetic alone.  Any slip in Ogg reassembly, codeword
+    assignment, floor/residue decode, coupling, the IMDCT or the
+    overlap-add geometry flips the -1 sentinel.  Scale: per-doc
+    pure-python kernel under spread(), same class as the sibling
+    codec rows (1/16 doc density)."""
+    import pandas as pd
+
+    (docs,) = load(spark, sf_dir, "documents")
+    from processor_edf_spark.plans.registry import spread
+
+    docs = spread(spark, docs.select("doc_id").filter("doc_id % 16 = 11"))
+
+    def gen(batches):
+        from processor_edf_spark.operators.media_codecs import (
+            decode_audio,
+        )
+        from processor_edf_spark.operators.vorbis import (
+            encode_vorbis_fixture,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                k = d // 16
+                channels = 1 + (k % 2)
+                if channels == 2:
+                    rtype = 2
+                    coupled = (k // 2) % 2 == 1
+                else:
+                    rtype = k % 3
+                    coupled = False
+                n_blocks = 4 + (k % 3)
+                floor_c = 10 + (k % 50)
+                modes = [(k + i) % 2 for i in range(n_blocks)]
+                payload, (rate, ch, exp) = encode_vorbis_fixture(
+                    modes, entry_seed=k, channels=channels,
+                    residue_type=rtype, coupling=coupled,
+                    blocksizes=(64, 256), floor_c=floor_c,
+                )
+                got_rate, got_ch, pcm = decode_audio(payload)
+                ok = (
+                    (got_rate, got_ch) == (rate, ch)
+                    and pcm.shape == exp.shape
+                    and bool(np.array_equal(pcm, exp))
+                    and pcm.shape[0] == (n_blocks - 1) * 80
+                )
+                if ok:
+                    rows.append((
+                        d, channels, rtype, 1 if coupled else 0,
+                        n_blocks, (n_blocks - 1) * 80, floor_c,
+                    ))
+                else:
+                    rows.append(
+                        (d, channels, rtype, 1 if coupled else 0,
+                         n_blocks, -1, -1)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "channels", "residue_type", "coupled",
+                    "n_blocks", "n_samples", "floor_c",
+                ],
+            )
+
+    return docs.mapInPandas(
+        gen,
+        schema=(
+            "doc_id long, channels long, residue_type long, "
+            "coupled long, n_blocks long, n_samples long, floor_c long"
+        ),
+    )

@@ -38,6 +38,7 @@ EXPECTED_FIRST_50 = [
     # registration): vp8_decode_stats displaces dedup_exact
     # (dedup_text family covered in-window).
     "quality_classifier_score",
+    "vorbis_decode_stats",
     "mp3_mixed_decode_stats",
     "audio_fingerprint_dedup",
     "image_phash_dedup",
@@ -82,7 +83,6 @@ EXPECTED_FIRST_50 = [
     "boilerplate_ngrams",
     "zorder_layout",
     "corpus_job_report",
-    "edf_header_parse",
     "set_ops_event_types",
     "top3_orders_per_customer",
     "table_profile_events",
@@ -111,7 +111,7 @@ def test_oracle_windowed_set_is_complete():
     # 145 through r8 + the r10/r11 additions + the 10 r12 rows
     # + the 4 r13 codec rows + the r14 rows (incl. the continuation's
     # audio_fingerprint_dedup)
-    assert len(QUERIES) == 171
+    assert len(QUERIES) == 172
 
 
 def test_every_query_has_a_family():
