@@ -129,11 +129,27 @@ def audio_perceptual_fingerprints(
                     ))
                 except UnsupportedMediaError:
                     rows.append((int(rid), None, None, None, False))
+            # nullable Int64 columns: a None row must NOT coerce the
+            # hash column to float64 — float64 silently rounds the low
+            # bits of 64-bit fingerprints, and the rounding differs by
+            # which rows share a batch (the streaming differential
+            # contract caught exactly this)
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    id_col, "afp", "n_samples", "sample_rate", "decoded"
-                ],
+                {
+                    id_col: pd.array(
+                        [r[0] for r in rows], dtype="int64"
+                    ),
+                    "afp": pd.array(
+                        [r[1] for r in rows], dtype="Int64"
+                    ),
+                    "n_samples": pd.array(
+                        [r[2] for r in rows], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [r[3] for r in rows], dtype="Int64"
+                    ),
+                    "decoded": [r[4] for r in rows],
+                }
             )
 
     return media.select(id_col, payload_col).mapInPandas(

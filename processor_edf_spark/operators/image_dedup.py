@@ -177,8 +177,25 @@ def image_perceptual_hashes(
                     ))
                 except UnsupportedMediaError:
                     rows.append((int(rid), None, None, False))
+            # nullable Int64 columns: a None row must NOT coerce the
+            # hash columns to float64 — float64 silently rounds the
+            # low bits of 64-bit hashes, and the rounding differs by
+            # which rows share a batch (the r14 streaming fingerprint
+            # contract caught this in the audio sibling; same latent
+            # bug here — XOR/hamming over rounded hashes is wrong)
             yield pd.DataFrame(
-                rows, columns=[id_col, "dhash", "phash", "decoded"]
+                {
+                    id_col: pd.array(
+                        [r[0] for r in rows], dtype="int64"
+                    ),
+                    "dhash": pd.array(
+                        [r[1] for r in rows], dtype="Int64"
+                    ),
+                    "phash": pd.array(
+                        [r[2] for r in rows], dtype="Int64"
+                    ),
+                    "decoded": [r[3] for r in rows],
+                }
             )
 
     return media.select(id_col, payload_col).mapInPandas(

@@ -122,7 +122,16 @@ SF_DIR = "/root/testdata/sf0.001"
 # aggregate subqueries in HAVING (Spark's outer-join-aggregate
 # rewrite, the classic COUNT-bug site — probed portable on both
 # engines before the band was added).
-N_SEEDS = 1650
+# Seeds 1650+ use the r14-continuation grammar v10: bounded
+# WITH RECURSIVE accumulation chains (Spark 4's new recursive-CTE
+# executor vs DuckDB's mature one) joined back to base tables on
+# modulo keys, FILTER-clause conditional aggregation (multiple
+# filtered aggregates per group + filtered HAVING), and a try_cast
+# gauntlet over deterministically corrupted digit strings.  Fenced by
+# construction: decimal-string -> BIGINT try_cast diverges (Spark
+# NULLs, DuckDB rounds — probed before the axis was added), so BIGINT
+# targets only ever see integer-format or corrupted strings.
+N_SEEDS = 1750
 
 # normalized view schemas: every timestamp is pre-projected to epoch-µs
 # BIGINT in the view DDL (unix_micros in Spark, epoch_us in DuckDB), so
@@ -1917,6 +1926,136 @@ def gen_outer_null_page(rng, pools):
     return {"kind": "raw", "sql": sql}
 
 
+def gen_recursive_cte(rng, pools):
+    """v10 lead axis (seeds 1650+): bounded WITH RECURSIVE series —
+    arithmetic accumulation chains, optionally joined back to a base
+    table on a modulo key and aggregated.  Bounds are literal and
+    small, so both engines terminate identically."""
+    step = rng.randint(1, 7)
+    bound = rng.randint(10, 60)
+    start = rng.randint(0, 5)
+    acc = rng.choice(
+        ["s + n", "s + n * 2", "s + 1", f"s + n % {step + 2}"]
+    )
+    if rng.random() < 0.5:
+        # plain series projection (total order by n)
+        sql = (
+            f"WITH RECURSIVE t(n, s) AS (SELECT {start}, {start} "
+            f"UNION ALL SELECT n + {step}, {acc} FROM t "
+            f"WHERE n < {bound}) "
+            f"SELECT n, CAST(s AS BIGINT) AS s FROM t ORDER BY n"
+        )
+        if rng.random() < 0.5:
+            sql += f" LIMIT {rng.randint(2, 20)}"
+        return {"kind": "raw", "sql": sql}
+    tbl, key = rng.choice(
+        [
+            ("fz_nation", "n_nationkey"),
+            ("fz_region", "r_regionkey"),
+            ("fz_customer", "c_custkey"),
+        ]
+    )
+    mod = rng.randint(3, 30)
+    agg = rng.choice(
+        ["count(*)", "sum(t.s)", "min(t.n)", "max(t.s)"]
+    )
+    sql = (
+        f"WITH RECURSIVE t(n, s) AS (SELECT {start}, {start} "
+        f"UNION ALL SELECT n + {step}, {acc} FROM t WHERE n < {bound}) "
+        f"SELECT t.n % {mod} AS g, CAST({agg} AS BIGINT) AS v "
+        f"FROM t JOIN {tbl} ON {key} % {mod} = t.n % {mod} "
+        f"GROUP BY t.n % {mod}"
+    )
+    return {"kind": "raw", "sql": sql}
+
+
+def gen_filter_agg(rng, pools):
+    """v10 axis #2: FILTER-clause conditional aggregation — several
+    filtered aggregates per group, sometimes a filtered HAVING.
+    Integer-typed aggregates only (exact compare path)."""
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    gb = _col("s", rng, cols) or _col("i", rng, cols) or UNIQUE[t][0]
+    n_aggs = rng.randint(2, 4)
+    parts = [f"{gb} AS g"]
+    first_agg = None
+    for j in range(n_aggs):
+        pred = gen_pred(rng, cols, pools, t, 1)
+        kind = rng.randrange(4)
+        ic = _col("i", rng, cols) or UNIQUE[t][0]
+        if kind == 0:
+            a = f"count(*) FILTER (WHERE {pred})"
+        elif kind == 1:
+            a = f"CAST(sum({ic}) FILTER (WHERE {pred}) AS BIGINT)"
+        elif kind == 2:
+            a = f"count(DISTINCT {ic}) FILTER (WHERE {pred})"
+        else:
+            a = f"min({ic}) FILTER (WHERE {pred})"
+        if first_agg is None and kind in (0, 2):
+            first_agg = a
+        parts.append(f"{a} AS a{j}")
+    sql = f"SELECT {', '.join(parts)} FROM {t}"
+    if rng.random() < 0.4:
+        sql += f" WHERE {gen_pred(rng, cols, pools, t, 1)}"
+    sql += f" GROUP BY {gb}"
+    if first_agg is not None and rng.random() < 0.5:
+        sql += f" HAVING {first_agg} >= {rng.randint(0, 3)}"
+    return {"kind": "raw", "sql": sql}
+
+
+def gen_try_cast(rng, pools):
+    """v10 axis #3: try_cast over deterministically corrupted digit
+    strings.  BIGINT targets only see integer-format or corrupted
+    strings (the decimal-string divergence is fenced by
+    construction); aggregates are integer-exact."""
+    t = rng.choice(list(TABLES))
+    cols = TABLES[t]
+    ic = _col("i", rng, cols) or UNIQUE[t][0]
+    pred = gen_pred(rng, cols, pools, t, 1)
+    corrupt = rng.choice(
+        [
+            f"concat('x', CAST({ic} AS STRING))",
+            f"concat(CAST({ic} AS STRING), '!')",
+            "''",
+            "'  '",
+            "'99999999999999999999'",
+        ]
+    )
+    target = rng.choice(["BIGINT", "DOUBLE"])
+    expr = (
+        f"try_cast(CASE WHEN {pred} THEN CAST({ic} AS STRING) "
+        f"ELSE {corrupt} END AS {target})"
+    )
+    if target == "DOUBLE":
+        # integer-source strings parse exactly in both engines;
+        # compare via integer-exact reductions
+        sql = (
+            f"SELECT count({expr}) AS c, "
+            f"CAST(min({expr}) AS BIGINT) AS lo, "
+            f"CAST(max({expr}) AS BIGINT) AS hi, count(*) AS n "
+            f"FROM {t}"
+        )
+    else:
+        sql = (
+            f"SELECT CAST(sum({expr}) AS BIGINT) AS s, "
+            f"count({expr}) AS c, count(*) AS n FROM {t}"
+        )
+    if rng.random() < 0.4:
+        sql += f" WHERE {gen_pred(rng, cols, pools, t, 1)}"
+    return {"kind": "raw", "sql": sql}
+
+
+def gen_query_v10(rng, pools) -> dict:
+    """Seeds 1650+ (r14 continuation): recursive CTEs lead, with
+    FILTER-clause aggregation and the try_cast gauntlet behind."""
+    shape = rng.randrange(10)
+    if shape < 4:
+        return gen_recursive_cte(rng, pools)
+    if shape < 7:
+        return gen_filter_agg(rng, pools)
+    return gen_try_cast(rng, pools)
+
+
 def gen_query_v9(rng, pools) -> dict:
     """Seeds 1550+ (r14): the dense_rank COUNT(DISTINCT) rewrite
     leads, with epoch-µs date arithmetic and outer-join null-ordered
@@ -2016,6 +2155,8 @@ def gen_query_v2(rng, pools) -> dict:
 
 def gen_query(seed: int, pools) -> dict:
     rng = random.Random(seed)
+    if seed >= 1650:
+        return gen_query_v10(rng, pools)
     if seed >= 1550:
         return gen_query_v9(rng, pools)
     if seed >= 1350:

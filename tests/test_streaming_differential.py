@@ -10,8 +10,12 @@ count and cut points, and (for the upsert twin) arrival ORDER — its
 latest-wins fold is commutative, so the final state must equal the
 batch winner under ANY shuffle of the input across batches.
 
-Fourteen differential contracts:
+Fifteen differential contracts:
 
+- ``stream_fingerprint_dedup`` (r14) bucket partition ≡ the batch
+  ``perceptual_dedup_components`` partition under shuffled multi-batch
+  arrival — the contract that caught the float64 Int64-coercion hash
+  corruption in the fingerprint mappers.
 - ``stream_gaps`` on per-key in-order arrival ≡ the batch
   ``lag(t) OVER (PARTITION BY key ORDER BY t, id)`` window — checked
   both row-wise AND through a downstream gap-histogram aggregation
@@ -1323,3 +1327,142 @@ def test_stream_edf_ingest_differential(spark, tmp_path, seed):
         )
         assert len(got) == len(want)
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# contract 15 (r14): streaming perceptual fingerprint dedup ≡ the batch
+# components partition
+# ---------------------------------------------------------------------------
+
+N_FP_SEEDS = 4
+
+
+@pytest.mark.parametrize("seed", range(N_FP_SEEDS))
+def test_stream_fingerprint_dedup_differential(spark, tmp_path, seed):
+    """Randomized media drops (WAV/FLAC members, power-of-two gain
+    variants, SHUFFLED doc ids split across mtime-ordered files)
+    through the stateful fingerprint registry.  Invariants:
+
+    - the doc partition by emitted rep_id equals the BATCH
+      ``perceptual_dedup_components`` partition exactly (codec + gain
+      invariance holds end-to-end under streaming arrival);
+    - exactly one is_rep per bucket, the rep belongs to its bucket,
+      arrived in the bucket's FIRST batch, and is the smallest doc_id
+      among the bucket's first-batch members;
+    - an undecodable payload never reaches the output."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from processor_edf_spark.operators.audio_dedup import (
+        audio_perceptual_fingerprints,
+    )
+    from processor_edf_spark.operators.flac import encode_flac
+    from processor_edf_spark.operators.image_dedup import (
+        perceptual_dedup_components,
+    )
+    from processor_edf_spark.operators.media_codecs import (
+        encode_wav_pcm16,
+    )
+    from processor_edf_spark.streaming.fingerprint import (
+        stream_fingerprint_dedup,
+    )
+
+    rng = random.Random(15_000 + seed)
+    n_base = rng.randint(3, 7)
+    rows = []
+    doc_id = 0
+    base_of = {}
+    for b in range(n_base):
+        nprng = np.random.default_rng(7_000 + 31 * seed + b)
+        x = nprng.integers(-1024, 1024, size=2304, dtype=np.int64)
+        n_members = rng.randint(2, 4)
+        for m in range(n_members):
+            gain = 1 << rng.randint(0, 3)
+            xi = x * gain
+            if rng.random() < 0.5:
+                payload = encode_wav_pcm16(xi / 32767.0, 8000)
+            else:
+                payload = encode_flac(xi, 8000)
+            rows.append((doc_id, payload))
+            base_of[doc_id] = b
+            doc_id += 1
+    bad_id = doc_id
+    rows.append((bad_id, b"not audio"))
+    rng.shuffle(rows)
+
+    k = rng.randint(1, 4)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    batch_of = {}
+    now = time.time()
+    chunks = np.array_split(np.arange(len(rows)), k)
+    for bi, idxs in enumerate(chunks):
+        chunk = [rows[i] for i in idxs]
+        for d, _p in chunk:
+            batch_of[d] = bi
+        fp = str(in_dir / f"d{bi:02d}.parquet")
+        tbl = pa.Table.from_pydict(
+            {
+                "doc_id": [d for d, _ in chunk],
+                "payload": [p for _, p in chunk],
+            },
+            schema=pa.schema(
+                [("doc_id", pa.int64()), ("payload", pa.binary())]
+            ),
+        )
+        pq.write_table(tbl, fp)
+        os.utime(fp, (now + bi, now + bi))
+
+    out_df = stream_fingerprint_dedup(spark, str(in_dir))
+    (
+        out_df.writeStream.format("memory")
+        .queryName(f"fz_fpdedup_{seed}")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(180)
+    )
+    got = spark.sql(f"select * from fz_fpdedup_{seed}").collect()
+
+    # undecodable payload excluded
+    assert all(r["doc_id"] != bad_id for r in got)
+    assert len(got) == len(rows) - 1
+
+    # batch partition
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary"
+    )
+    fps = audio_perceptual_fingerprints(media)
+    comps = perceptual_dedup_components(fps, "afp", max_hamming=0)
+    batch_part = {}
+    for r in comps.collect():
+        if r["doc_id"] == bad_id:
+            continue
+        batch_part.setdefault(r["component"], set()).add(r["doc_id"])
+
+    stream_part = {}
+    rep_rows = {}
+    for r in got:
+        stream_part.setdefault(r["rep_id"], set()).add(r["doc_id"])
+        if r["is_rep"]:
+            assert r["doc_id"] not in rep_rows
+            rep_rows[r["rep_id"]] = r
+    assert sorted(stream_part.values(), key=min) == sorted(
+        batch_part.values(), key=min
+    )
+    # rep discipline
+    for rep, members in stream_part.items():
+        assert rep in members
+        assert rep_rows[rep]["doc_id"] == rep
+        first_batch = min(batch_of[d] for d in members)
+        firsts = [d for d in members if batch_of[d] == first_batch]
+        assert batch_of[rep] == first_batch
+        assert rep == min(firsts)
+        # every member adopted the same rep
+        for r in got:
+            if r["doc_id"] in members:
+                assert r["rep_id"] == rep
