@@ -279,3 +279,95 @@ def test_decode_audio_registry_route():
     got_rate, got_ch, pcm = decode_audio(payload)
     assert (got_rate, got_ch) == (rate, ch)
     assert np.array_equal(pcm, exp)
+
+
+def test_ordered_and_sparse_codebook_parse():
+    """The ordered and sparse length-list layouts parse to the same
+    codebook as the unordered dense layout."""
+    from processor_edf_spark.operators.vorbis import (
+        _ilog,
+        read_codebook,
+    )
+
+    lengths = [2, 2, 3, 4, 4, 3, 3]  # complete Kraft sum = 1
+
+    def build(ordered, sparse_drop=None):
+        w = LSBitWriter()
+        w.write(0x564342, 24)
+        w.write(1, 16)  # dims
+        n = len(lengths) if sparse_drop is None else len(lengths) + 1
+        w.write(n, 24)
+        if ordered:
+            # ordered layout requires ascending lengths
+            asc = sorted(lengths)
+            w.write(1, 1)
+            w.write(asc[0] - 1, 5)
+            total = 0
+            cur = asc[0]
+            while total < len(asc):
+                num = sum(1 for l in asc if l == cur)
+                w.write(num, _ilog(len(asc) - total))
+                total += num
+                cur += 1
+            w2 = w
+        else:
+            w.write(0, 1)
+            if sparse_drop is None:
+                w.write(0, 1)
+                for l in lengths:
+                    w.write(l - 1, 5)
+            else:
+                w.write(1, 1)
+                for i in range(n):
+                    if i == sparse_drop:
+                        w.write(0, 1)  # unused entry
+                    else:
+                        li = i if i < sparse_drop else i - 1
+                        w.write(1, 1)
+                        w.write(lengths[li] - 1, 5)
+            w2 = w
+        w2.write(0, 4)  # lookup type 0
+        return w2.finish()
+
+    dense = read_codebook(LSBitReader(build(False)))
+    assert dense.lengths == lengths
+    ordered = read_codebook(LSBitReader(build(True)))
+    assert ordered.lengths == sorted(lengths)
+    sparse = read_codebook(LSBitReader(build(False, sparse_drop=3)))
+    assert sparse.lengths[3] == 0
+    assert [l for i, l in enumerate(sparse.lengths) if i != 3] == lengths
+
+
+def test_codebook_huffman_round_trip_random_books():
+    """Random complete prefix codes round trip through the writer /
+    tree-walk reader."""
+    from processor_edf_spark.operators.vorbis import (
+        _build_tree,
+        read_huffman,
+        write_huffman,
+    )
+
+    rng = np.random.default_rng(3)
+
+    class _CB:
+        pass
+
+    for _ in range(20):
+        # random complete tree: start from [1,1], repeatedly split a
+        # random leaf into two one-longer leaves
+        lens = [1, 1]
+        for _ in range(int(rng.integers(0, 12))):
+            i = int(rng.integers(0, len(lens)))
+            lens[i : i + 1] = [lens[i] + 1, lens[i] + 1]
+        arr = np.array(lens)
+        rng.shuffle(arr)
+        lens = [int(x) for x in arr]
+        codes = assign_codewords(lens)
+        cb = _CB()
+        cb.tree = _build_tree(codes)
+        w = LSBitWriter()
+        seq = [int(rng.integers(0, len(lens))) for _ in range(200)]
+        for e in seq:
+            write_huffman(w, codes, e)
+        r = LSBitReader(w.finish())
+        assert [read_huffman(r, cb) for _ in seq] == seq
