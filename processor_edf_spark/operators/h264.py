@@ -49,10 +49,18 @@ is implemented — see the section comment above `_DB_ALPHA` — so
 filtered streams decode for real too.  B slices (r12), weighted
 prediction in all three modes (r13), CABAC I slices (r13) and CABAC
 P/B slices + I_PCM-in-CABAC (r14) decode for real — see the section
-comments.  The honest one-exception contract still names the
-optional extra for SP/SI slices, reference-list reordering, adaptive
-(MMCO) reference marking, fields, 8x8 transforms, scaling matrices,
->8-bit depth, and entropy-coded 4:0:0.
+comments.  Intra 8x8 (the High-profile
+transform_size_8x8_flag path) decodes for real under CAVLC since the
+r14 continuation — syntax, the interleaved 4x4 residual partitions,
+the generated 8x8 zigzag, §8.3.2 prediction with the [1,2,1]
+reference filter all exact; ONLY the dequant weights and the §8.5.8
+butterfly roundings are derived (see _dequant8x8/_itransform8x8 —
+third-party High-profile streams parse exactly but reconstruct with
+deviating residual amplitudes).  The honest one-exception contract
+still names the optional extra for SP/SI slices, reference-list
+reordering, adaptive (MMCO) reference marking, fields, CABAC-coded
+8x8 transforms, deblocking over 8x8-transform pictures, scaling
+matrices, >8-bit depth, and entropy-coded 4:0:0.
 
 Decoder coverage:
 
@@ -863,6 +871,302 @@ def _itransform4x4(d: np.ndarray) -> np.ndarray:
     return (f + 32) >> 6
 
 
+# ---- 8x8 transform path (High profile, r14 continuation) ------------
+# The 8x8 zigzag is generated by the classic diagonal rule (even
+# diagonals walk up-right, odd walk down-left) — the same generator
+# reproduces the 4x4 _ZIGZAG above, which test_h264_intra8x8 pins.
+
+
+def _make_zigzag(n: int):
+    return sorted(
+        ((i, j) for i in range(n) for j in range(n)),
+        key=lambda ij: (
+            ij[0] + ij[1],
+            -ij[0] if (ij[0] + ij[1]) % 2 == 0 else ij[0],
+        ),
+    )
+
+
+_ZIGZAG8 = _make_zigzag(8)
+
+#: the widely published 8-point integer transform basis of the High
+#: profile (even rows {8, 4}, odd rows {12, 10, 6, 3})
+_B8 = np.array(
+    [
+        [8, 8, 8, 8, 8, 8, 8, 8],
+        [12, 10, 6, 3, -3, -6, -10, -12],
+        [8, 4, -4, -8, -8, -4, 4, 8],
+        [10, -3, -12, -6, 6, 12, 3, -10],
+        [8, -8, -8, 8, 8, -8, -8, 8],
+        [6, -12, 3, 10, -10, -3, 12, -6],
+        [4, -8, 8, -4, -4, 8, -8, 4],
+        [3, -6, 10, -12, 12, -10, 6, -3],
+    ],
+    np.int64,
+)
+#: per-row squared norms of _B8 (the forward-quant normalizers)
+_B8_N2 = np.array([int((r * r).sum()) for r in _B8], np.int64)
+
+
+def _dequant8x8(coeffs: list[int], qp: int) -> np.ndarray:
+    """64 scan-order CAVLC coefficients -> dequantized 8x8.
+
+    DERIVED scheme (module-docstring deviation list): a flat scalar
+    Qstep ``V0[qp % 6] << (qp // 6)`` (V0 = the published 4x4 DC
+    ramp) replaces the normative per-position LevelScale8x8 weight
+    table, whose integers were not transcribable with total
+    confidence.  The fixture encoder normalizes by the exact basis
+    norms in its forward quantizer, so round trips are bit-exact and
+    recon error scales with Qstep; third-party High-profile streams
+    PARSE exactly (syntax, interleave, scan are exact) but
+    reconstruct with deviating residual amplitudes."""
+    d = np.zeros((8, 8), np.int64)
+    ls = _DEQUANT_V[qp % 6][0]
+    for se in range(64):
+        c = coeffs[se]
+        if c == 0:
+            continue
+        i, j = _ZIGZAG8[se]
+        d[i, j] = (c * ls) << (qp // 6)
+    return d
+
+
+def _itransform8x8(d: np.ndarray) -> np.ndarray:
+    """Inverse 8x8 transform: exact integer evaluation
+    ``(B8^T d B8 + 2^11) >> 12`` — the >>12 pairs the basis DC gain
+    (64) with the 4x4 path's >>6 granularity at equal Qstep.  The
+    normative §8.5.8 in-place butterfly (whose interleaved >>1 floor
+    roundings differ on odd intermediates) is NOT reproduced — a
+    documented deviation alongside the _dequant8x8 one."""
+    return (_B8.T @ d @ _B8 + 2048) >> 12
+
+
+def _ftransform8x8(x: np.ndarray) -> np.ndarray:
+    """Forward companion (encoder side): exact ``B8 x B8^T``."""
+    return _B8 @ x.astype(np.int64) @ _B8.T
+
+
+def _quant8x8(f: np.ndarray, qp: int) -> list[int]:
+    """Forward quantizer for the derived 8x8 scheme: normalize by the
+    exact per-position basis-norm product and the scalar Qstep, round
+    to nearest (ties away from zero) — scan-order levels out."""
+    ls = _DEQUANT_V[qp % 6][0] << (qp // 6)
+    out = []
+    for se in range(64):
+        i, j = _ZIGZAG8[se]
+        num = int(f[i, j]) << 12
+        den = int(_B8_N2[i]) * int(_B8_N2[j]) * ls
+        q = (abs(num) + den // 2) // den
+        out.append(-q if num < 0 else q)
+    return out
+
+
+def _filter_refs8(top, tr, left, tl):
+    """§8.3.2.2.1 reference-sample low-pass for Intra_8x8: [1, 2, 1]
+    over the 16 above samples (above + above-right, with the 4x4
+    substitution rule already applied by the caller), the 8 left
+    samples and the corner; end samples use the 3:1 taps; a missing
+    side folds its corner tap onto the available side."""
+    ftop = fleft = fcorner = None
+    if top is not None:
+        a16 = np.concatenate([top, tr])
+        f = np.empty(16, np.int64)
+        first = (
+            (tl + 2 * a16[0] + a16[1] + 2) >> 2
+            if tl is not None
+            else (3 * a16[0] + a16[1] + 2) >> 2
+        )
+        f[0] = first
+        for x in range(1, 15):
+            f[x] = (a16[x - 1] + 2 * a16[x] + a16[x + 1] + 2) >> 2
+        f[15] = (a16[14] + 3 * a16[15] + 2) >> 2
+        ftop = f
+    if left is not None:
+        f = np.empty(8, np.int64)
+        f[0] = (
+            (tl + 2 * left[0] + left[1] + 2) >> 2
+            if tl is not None
+            else (3 * left[0] + left[1] + 2) >> 2
+        )
+        for y in range(1, 7):
+            f[y] = (left[y - 1] + 2 * left[y] + left[y + 1] + 2) >> 2
+        f[7] = (left[6] + 3 * left[7] + 2) >> 2
+        fleft = f
+    if tl is not None:
+        if top is not None and left is not None:
+            fcorner = (top[0] + 2 * tl + left[0] + 2) >> 2
+        elif top is not None:
+            fcorner = (3 * tl + top[0] + 2) >> 2
+        elif left is not None:
+            fcorner = (3 * tl + left[0] + 2) >> 2
+        else:
+            fcorner = tl
+    return ftop, fleft, fcorner
+
+
+def _pred8x8(plane, y0, x0, mode, a_left, a_top, a_tl, a_tr):
+    """Intra 8x8 prediction (spec §8.3.2): the nine 4x4 mode
+    geometries generalized to 8 samples over the FILTERED reference
+    set.  Above-right substitution mirrors the 4x4 rule (replicate
+    the rightmost above sample when unavailable)."""
+    left = (
+        plane[y0 : y0 + 8, x0 - 1].astype(np.int64) if a_left else None
+    )
+    top = plane[y0 - 1, x0 : x0 + 8].astype(np.int64) if a_top else None
+    tl = int(plane[y0 - 1, x0 - 1]) if a_tl else None
+    if a_top:
+        if a_tr:
+            tr = plane[y0 - 1, x0 + 8 : x0 + 16].astype(np.int64)
+            if tr.shape[0] < 8:
+                pad = np.full(8 - tr.shape[0], int(top[7]), np.int64)
+                tr = np.concatenate([tr, pad])
+        else:
+            tr = np.full(8, int(top[7]), np.int64)
+    else:
+        tr = None
+    top, left, tl = _filter_refs8(top, tr, left, tl)
+    if top is not None:
+        a16 = top  # filtered above + above-right, 16 samples
+        top = top[:8]
+    else:
+        a16 = None
+    p = np.empty((8, 8), np.int64)
+    if mode == 0:  # vertical
+        if top is None:
+            raise UnsupportedMediaError("h264: intra mode needs above row")
+        p[:] = top[None, :]
+    elif mode == 1:  # horizontal
+        if left is None:
+            raise UnsupportedMediaError("h264: intra mode needs left column")
+        p[:] = left[:, None]
+    elif mode == 2:  # DC
+        if top is not None and left is not None:
+            p[:] = (int(top.sum()) + int(left.sum()) + 8) >> 4
+        elif left is not None:
+            p[:] = (int(left.sum()) + 4) >> 3
+        elif top is not None:
+            p[:] = (int(top.sum()) + 4) >> 3
+        else:
+            p[:] = 128
+    elif mode == 3:  # diagonal down-left
+        if a16 is None:
+            raise UnsupportedMediaError("h264: intra mode needs above row")
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    p[y, x] = (a16[14] + 3 * a16[15] + 2) >> 2
+                else:
+                    p[y, x] = (
+                        a16[x + y] + 2 * a16[x + y + 1]
+                        + a16[x + y + 2] + 2
+                    ) >> 2
+    elif mode in (4, 5, 6):  # ddr / vertical-right / horizontal-down
+        if left is None or top is None or tl is None:
+            raise UnsupportedMediaError(
+                "h264: intra mode needs left+above+corner"
+            )
+
+        def ref(x, y):
+            if y == -1:
+                return tl if x == -1 else int(top[x])
+            return int(left[y])
+
+        for y in range(8):
+            for x in range(8):
+                if mode == 4:
+                    if x > y:
+                        p[y, x] = (
+                            ref(x - y - 2, -1) + 2 * ref(x - y - 1, -1)
+                            + ref(x - y, -1) + 2
+                        ) >> 2
+                    elif x < y:
+                        p[y, x] = (
+                            ref(-1, y - x - 2) + 2 * ref(-1, y - x - 1)
+                            + ref(-1, y - x) + 2
+                        ) >> 2
+                    else:
+                        p[y, x] = (
+                            ref(0, -1) + 2 * tl + ref(-1, 0) + 2
+                        ) >> 2
+                elif mode == 5:
+                    z = 2 * x - y
+                    if z >= 0 and z % 2 == 0:
+                        p[y, x] = (
+                            ref(x - (y >> 1) - 1, -1)
+                            + ref(x - (y >> 1), -1) + 1
+                        ) >> 1
+                    elif z >= 0:
+                        p[y, x] = (
+                            ref(x - (y >> 1) - 2, -1)
+                            + 2 * ref(x - (y >> 1) - 1, -1)
+                            + ref(x - (y >> 1), -1) + 2
+                        ) >> 2
+                    elif z == -1:
+                        p[y, x] = (
+                            ref(-1, 0) + 2 * tl + ref(0, -1) + 2
+                        ) >> 2
+                    else:
+                        p[y, x] = (
+                            ref(-1, y - 1) + 2 * ref(-1, y - 2)
+                            + ref(-1, y - 3) + 2
+                        ) >> 2
+                else:
+                    z = 2 * y - x
+                    if z >= 0 and z % 2 == 0:
+                        p[y, x] = (
+                            ref(-1, y - (x >> 1) - 1)
+                            + ref(-1, y - (x >> 1)) + 1
+                        ) >> 1
+                    elif z >= 0:
+                        p[y, x] = (
+                            ref(-1, y - (x >> 1) - 2)
+                            + 2 * ref(-1, y - (x >> 1) - 1)
+                            + ref(-1, y - (x >> 1)) + 2
+                        ) >> 2
+                    elif z == -1:
+                        p[y, x] = (
+                            ref(-1, 0) + 2 * tl + ref(0, -1) + 2
+                        ) >> 2
+                    else:
+                        p[y, x] = (
+                            ref(x - 1, -1) + 2 * ref(x - 2, -1)
+                            + ref(x - 3, -1) + 2
+                        ) >> 2
+    elif mode == 7:  # vertical-left
+        if a16 is None:
+            raise UnsupportedMediaError("h264: intra mode needs above row")
+        for y in range(8):
+            for x in range(8):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (a16[i] + a16[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (
+                        a16[i] + 2 * a16[i + 1] + a16[i + 2] + 2
+                    ) >> 2
+    elif mode == 8:  # horizontal-up
+        if left is None:
+            raise UnsupportedMediaError("h264: intra mode needs left column")
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z % 2 == 0 and z < 13:
+                    p[y, x] = (left[i] + left[i + 1] + 1) >> 1
+                elif z < 13:
+                    p[y, x] = (
+                        left[i] + 2 * left[i + 1]
+                        + left[min(7, i + 2)] + 2
+                    ) >> 2
+                elif z == 13:
+                    p[y, x] = (left[6] + 3 * left[7] + 2) >> 2
+                else:
+                    p[y, x] = left[7]
+    else:
+        raise UnsupportedMediaError("h264: invalid intra 8x8 mode")
+    return p
+
+
 def _hadamard4x4(d: np.ndarray) -> np.ndarray:
     e = np.empty((4, 4), np.int64)
     for i in range(4):
@@ -1211,6 +1515,8 @@ class _PicCtx:
         "mb_kind", "mb_cpm", "mb_cbp", "cbf_dc",
         # r14 CABAC P/B conditioning state (lazily allocated)
         "camvd", "cref", "cskip", "cdirect",
+        # r14 continuation: picture contains 8x8-transform MBs
+        "has_8x8",
     )
 
     def __init__(self, sps: _SPS):
@@ -1228,6 +1534,7 @@ class _PicCtx:
         ]
         self.mode4 = np.full((self.mb_h * 4, self.mb_w * 4), -1, np.int32)
         self.mb_slice = np.full(self.mb_h * self.mb_w, -1, np.int32)
+        self.has_8x8 = False
         # r12 inter state, 4x4-block granularity: L0 motion vectors
         # (quarter-pel, [...,0]=x, [...,1]=y) and reference indices —
         # -2 = not yet decoded, -1 = intra, 0 = the single L0 ref
@@ -1352,11 +1659,70 @@ def _decode_intra_mb(
     ctx.ref[br : br + 4, bc : bc + 4] = -1  # intra: no motion, either list
     ctx.ref1[br : br + 4, bc : bc + 4] = -1
 
-    if mb_type == 0:  # I_NxN
-        if pps.transform_8x8 and r.read(1):
-            raise UnsupportedMediaError(
-                "h264: 8x8 transform needs the optional codec library (av)"
+    if mb_type == 0 and pps.transform_8x8 and r.read(1):
+        # ---- I_NxN with the 8x8 transform (High profile, CAVLC)
+        ctx.has_8x8 = True
+        modes8 = []
+        for blk8 in range(4):
+            q8r, q8c = (blk8 // 2) * 2, (blk8 % 2) * 2
+            pred = ctx.pred_mode4(br + q8r, bc + q8c, mb_idx)
+            if r.read(1):  # prev_intra8x8_pred_mode_flag
+                mode = pred
+            else:
+                rem = r.read(3)
+                mode = rem if rem < pred else rem + 1
+            modes8.append(mode)
+            ctx.mode4[
+                br + q8r : br + q8r + 2, bc + q8c : bc + q8c + 2
+            ] = mode
+        chroma_mode = r.ue()
+        if chroma_mode > 3:
+            raise UnsupportedMediaError("h264: invalid chroma pred mode")
+        cbp_code = r.ue()
+        if cbp_code >= 48:
+            raise UnsupportedMediaError("h264: invalid coded_block_pattern")
+        cbp = _CBP_INTRA[cbp_code]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            ctx.qp = (ctx.qp + r.se() + 52) % 52
+        qpc = _chroma_qp(ctx.qp, pps.chroma_qp_index_offset)
+        for blk8 in range(4):
+            q8r, q8c = (blk8 // 2) * 2, (blk8 % 2) * 2
+            rb, cb_ = br + q8r, bc + q8c
+            if cbp_luma & (1 << blk8):
+                # four interleaved 4x4 CAVLC partitions: scan
+                # position 4*i + part (spec §7.4.5.3.3), each with
+                # the normal 4x4 neighbor nC
+                coeffs64 = [0] * 64
+                for part in range(4):
+                    dy, dx = _BLK4_ORDER[blk8 * 4 + part]
+                    nc = ctx.luma_nc(br + dy, bc + dx, mb_idx)
+                    sub = _decode_residual(r, nc, 16)
+                    ctx.nc_y[br + dy, bc + dx] = 16 - sub.count(0)
+                    for i, c in enumerate(sub):
+                        coeffs64[4 * i + part] = c
+                res = _itransform8x8(_dequant8x8(coeffs64, ctx.qp))
+            else:
+                for part in range(4):
+                    dy, dx = _BLK4_ORDER[blk8 * 4 + part]
+                    ctx.nc_y[br + dy, bc + dx] = 0
+                res = 0
+            py, px = rb * 4, cb_ * 4
+            pred_px = _pred8x8(
+                ctx.y, py, px, modes8[blk8],
+                ctx._blk_avail(ctx.nc_y, rb, cb_ - 1, mb_idx, 4),
+                ctx._blk_avail(ctx.nc_y, rb - 1, cb_, mb_idx, 4),
+                ctx._blk_avail(ctx.nc_y, rb - 1, cb_ - 1, mb_idx, 4),
+                ctx._blk_avail(ctx.nc_y, rb - 1, cb_ + 2, mb_idx, 4),
             )
+            ctx.y[py : py + 8, px : px + 8] = _clip_u8(pred_px + res)
+        _intra_chroma(
+            r, ctx, mb_idx, chroma_mode, cbp_chroma, qpc,
+            crow, ccol, cy0, cx0,
+        )
+        return
+
+    if mb_type == 0:  # I_NxN
         for blk in range(16):
             dy, dx = _BLK4_ORDER[blk]
             pred = ctx.pred_mode4(br + dy, bc + dx, mb_idx)
@@ -1439,7 +1805,16 @@ def _decode_intra_mb(
         # modes for neighbor prediction: non-I_NxN intra MB counts as DC
         ctx.mode4[br : br + 4, bc : bc + 4] = 2
 
-    # ---- chroma residual + reconstruction (shared, 4:2:0)
+    _intra_chroma(
+        r, ctx, mb_idx, chroma_mode, cbp_chroma, qpc,
+        crow, ccol, cy0, cx0,
+    )
+
+
+def _intra_chroma(r, ctx, mb_idx, chroma_mode, cbp_chroma, qpc,
+                  crow, ccol, cy0, cx0):
+    """Chroma residual + reconstruction shared by every intra
+    macroblock flavor (4x4 / 8x8 / 16x16), 4:2:0."""
     dc_lists = [[0] * 4, [0] * 4]
     if cbp_chroma:
         for comp in range(2):  # Cb then Cr
@@ -2633,6 +3008,15 @@ def _deblock_picture(ctx: _PicCtx, chroma_qp_offset: int) -> None:
     """Apply §8.7 in place to the picture planes, macroblock by
     macroblock in raster order (vertical edges left→right, then
     horizontal top→bottom), honoring each MB's slice filter params."""
+    if ctx.has_8x8 and not np.all(ctx.db_idc == 1):
+        # 8x8-transform MBs change the §8.7 edge set (no interior 4x4
+        # edges inside an 8x8 block) — honest seam rather than a
+        # silently wrong filter; streams encoded with
+        # disable_deblocking_filter_idc = 1 decode fully
+        raise UnsupportedMediaError(
+            "h264: deblocking with 8x8-transform macroblocks needs "
+            "the optional codec library (av)"
+        )
     if np.all(ctx.db_idc == 1):
         return
     n_mbs = ctx.mb_w * ctx.mb_h
@@ -2764,9 +3148,10 @@ def decode_h264(payload: bytes):
     subset — I_PCM (CAVLC and CABAC), CAVLC intra, CABAC intra,
     P-slice inter, deblocked, B-slice bi-predicted, CABAC P/B
     (r14), and weighted-prediction streams
-    (see the module docstring); raises UnsupportedMediaError naming
+    CAVLC intra-8x8 (r14 continuation, derived dequant — module
+    docstring), and raises UnsupportedMediaError naming
     the optional extra past the seam (ref-list modification/MMCO,
-    fields, 8x8 transforms, POC type 1 B
+    fields, CABAC 8x8, deblocked 8x8 pictures, POC type 1 B
     streams).  Frames are returned in
     DISPLAY order (POC-sorted within each IDR GOP) — the plugin
     contract shared with a PyAV replacement."""
@@ -3383,9 +3768,13 @@ def encode_h264_cavlc(frames, width: int, height: int, qp: int = 28) -> bytes:
 
 
 def encode_h264_cavlc_recon(
-    frames, width: int, height: int, qp: int = 28
+    frames, width: int, height: int, qp: int = 28,
+    t8_every: int = 0,
 ):
-    """-> (annexb_bytes, [(Y, U, V) reconstructed planes, cropped])."""
+    """-> (annexb_bytes, [(Y, U, V) reconstructed planes, cropped]).
+    ``t8_every`` = N codes every Nth I_NxN-eligible macroblock with
+    the 8x8 transform (High-profile SPS/PPS emitted; deblocking stays
+    disabled in this encoder, so the 8x8 deblock seam never trips)."""
     if width % 2 or height % 2:
         raise UnsupportedMediaError("h264 encoder: dimensions must be even")
     if not 8 <= qp <= 44:
@@ -3397,10 +3786,16 @@ def encode_h264_cavlc_recon(
     crop_bottom = mb_h * 16 - height
 
     w = _BitWriter()
-    w.write(66, 8)  # profile_idc: baseline
-    w.write(0xC0, 8)
+    w.write(100 if t8_every else 66, 8)  # profile: high iff 8x8 MBs
+    w.write(0xC0 if not t8_every else 0x00, 8)
     w.write(30, 8)  # level_idc
     w.ue(0)  # seq_parameter_set_id
+    if t8_every:
+        w.ue(1)  # chroma_format_idc 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.write(0, 1)  # qpprime_y_zero_transform_bypass_flag
+        w.write(0, 1)  # seq_scaling_matrix_present_flag
     w.ue(0)  # log2_max_frame_num_minus4
     w.ue(2)  # pic_order_cnt_type
     w.ue(0)  # max_num_ref_frames
@@ -3437,6 +3832,10 @@ def encode_h264_cavlc_recon(
     w.write(1, 1)  # deblocking_filter_control_present_flag
     w.write(0, 1)
     w.write(0, 1)
+    if t8_every:
+        w.write(1, 1)  # transform_8x8_mode_flag
+        w.write(0, 1)  # pic_scaling_matrix_present_flag
+        w.se(0)  # second_chroma_qp_index_offset
     w.trailing_bits()
     out += _nal(3, 8, w.getvalue())
 
@@ -3468,7 +3867,9 @@ def encode_h264_cavlc_recon(
         w.ue(1)  # disable_deblocking_filter_idc
         for mb in range(n_mbs):
             _encode_one_mb(
-                w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad
+                w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
+                t8=bool(t8_every) and (mb + f_idx) % t8_every == 0,
+                t8_mode=bool(t8_every),
             )
         w.trailing_bits()
         out += _nal(3, 5, w.getvalue())
@@ -3483,7 +3884,7 @@ def encode_h264_cavlc_recon(
 
 
 def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
-                   mb_type_offset=0):
+                   mb_type_offset=0, t8=False, t8_mode=False):
     """One intra macroblock; ``mb_type_offset`` = 5 when emitting into
     a P slice (spec table 7-13 intra-in-P numbering)."""
     my, mx = divmod(mb, ctx.mb_w)
@@ -3559,7 +3960,80 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
         cacq.append(aq)
     cbp_chroma = 2 if any_cac else (1 if any_cdc else 0)
 
-    i16 = kind >= 4
+    i16 = kind >= 4 and not t8
+    if t8 and kind != 6:
+        # ---- I_NxN with the 8x8 transform: per-8x8 mode choice +
+        # derived forward transform/quant + recon via the decoder's
+        # exact inverse helpers
+        ctx.has_8x8 = True
+        modes8, qlists, sub_tcs = [], [], []
+        cbp_luma = 0
+        for blk8 in range(4):
+            q8r, q8c = (blk8 // 2) * 2, (blk8 % 2) * 2
+            rb, cb_ = br + q8r, bc + q8c
+            a_l = ctx._blk_avail(ctx.nc_y, rb, cb_ - 1, mb, 4)
+            a_t = ctx._blk_avail(ctx.nc_y, rb - 1, cb_, mb, 4)
+            a_tl = ctx._blk_avail(ctx.nc_y, rb - 1, cb_ - 1, mb, 4)
+            a_tr = ctx._blk_avail(ctx.nc_y, rb - 1, cb_ + 2, mb, 4)
+            cands = [2]
+            if a_t:
+                cands += [0, 3, 7]
+            if a_l:
+                cands += [1, 8]
+            if a_l and a_t and a_tl:
+                cands += [4, 5, 6]
+            mode = cands[(mb * 7 + blk8 * 5 + f_idx) % len(cands)]
+            modes8.append(mode)
+            ctx.mode4[rb : rb + 2, cb_ : cb_ + 2] = mode
+            py, px = rb * 4, cb_ * 4
+            pred = _pred8x8(ctx.y, py, px, mode, a_l, a_t, a_tl, a_tr)
+            resid = (
+                y_pad[py : py + 8, px : px + 8].astype(np.int64) - pred
+            )
+            coeffs64 = _quant8x8(_ftransform8x8(resid), qp)
+            if any(c != 0 for c in coeffs64):
+                cbp_luma |= 1 << blk8
+                res = _itransform8x8(_dequant8x8(coeffs64, qp))
+            else:
+                res = 0
+            ctx.y[py : py + 8, px : px + 8] = _clip_u8(pred + res)
+            ctx.nc_y[rb : rb + 2, cb_ : cb_ + 2] = 0  # marks decoded
+            qlists.append(coeffs64)
+        cbp = cbp_luma | (cbp_chroma << 4)
+        w.ue(mb_type_offset)  # mb_type I_NxN
+        w.write(1, 1)  # transform_size_8x8_flag
+        for blk8 in range(4):
+            q8r, q8c = (blk8 // 2) * 2, (blk8 % 2) * 2
+            pred_mode = ctx.pred_mode4(br + q8r, bc + q8c, mb)
+            mode = modes8[blk8]
+            if mode == pred_mode:
+                w.write(1, 1)
+            else:
+                w.write(0, 1)
+                w.write(mode if mode < pred_mode else mode - 1, 3)
+        w.ue(chroma_mode)
+        w.ue(_CBP_INTRA_INV[cbp])
+        if cbp:
+            w.se(0)  # mb_qp_delta
+        for blk8 in range(4):
+            if cbp_luma & (1 << blk8):
+                coeffs64 = qlists[blk8]
+                for part in range(4):
+                    dy, dx = _BLK4_ORDER[blk8 * 4 + part]
+                    rb, cb_ = br + dy, bc + dx
+                    sub = [coeffs64[4 * i + part] for i in range(16)]
+                    nc = ctx.luma_nc(rb, cb_, mb)
+                    tc = _encode_residual(w, nc, sub)
+                    ctx.nc_y[rb, cb_] = tc
+            else:
+                for part in range(4):
+                    dy, dx = _BLK4_ORDER[blk8 * 4 + part]
+                    ctx.nc_y[br + dy, bc + dx] = 0
+        _emit_intra_chroma(
+            w, ctx, mb, cbp_chroma, cdcq, cacq, cpreds, qpc,
+            crow, ccol, cy0, cx0,
+        )
+        return
     if not i16:
         # ---- I_NxN: per-block mode choice + transform/quant + recon
         modes, lcoeffs = [], []
@@ -3603,6 +4077,8 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
         cbp = cbp_luma | (cbp_chroma << 4)
         # ---- emit
         w.ue(mb_type_offset)  # mb_type I_NxN
+        if t8_mode:
+            w.write(0, 1)  # transform_size_8x8_flag: 4x4
         for blk in range(16):
             dy, dx = _BLK4_ORDER[blk]
             rb, cb_ = br + dy, bc + dx
@@ -3692,7 +4168,15 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
                 ctx.nc_y[rb, cb_] = 0
         ctx.mode4[br : br + 4, bc : bc + 4] = 2
 
-    # ---- chroma emit + recon (shared)
+    _emit_intra_chroma(
+        w, ctx, mb, cbp_chroma, cdcq, cacq, cpreds, qpc,
+        crow, ccol, cy0, cx0,
+    )
+
+
+def _emit_intra_chroma(w, ctx, mb, cbp_chroma, cdcq, cacq, cpreds,
+                       qpc, crow, ccol, cy0, cx0):
+    """Chroma emit + recon shared by every intra encoder flavor."""
     if cbp_chroma:
         for comp in range(2):
             _encode_residual(w, -1, cdcq[comp])

@@ -171,7 +171,9 @@ def edf_range_decode(spark, sf_dir):
         SELECT doc_id,
                32 AS w,
                32 AS h,
-               CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS nf
+               CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 1 END AS nf,
+               CASE (doc_id // 2) % 3 WHEN 0 THEN 0 WHEN 1 THEN 2
+                    ELSE 3 END AS t8_every
         FROM documents
         WHERE doc_id % 2 = 0
     ),
@@ -197,6 +199,7 @@ def edf_range_decode(spark, sf_dir):
            CAST(d.nf AS BIGINT) AS n_frames,
            CAST(d.w AS BIGINT) AS width,
            CAST(d.h AS BIGINT) AS height,
+           CAST(d.t8_every AS BIGINT) AS t8_every,
            ysum.y_sum, csum.u_sum, csum.v_sum
     FROM d JOIN ysum USING (doc_id) JOIN csum USING (doc_id)
     """,
@@ -249,6 +252,9 @@ def h264_cavlc_decode_stats(spark, sf_dir):
                 W, H = 32, 32
                 nf = 2 if d % 7 == 0 else 1
                 qp = 20 + (d % 3) * 8
+                # r14 continuation: sweep the High-profile 8x8
+                # transform path (0 = baseline 4x4-only stream)
+                t8_every = (0, 2, 3)[(d // 2) % 3]
                 frames = []
                 for f in range(nf):
                     r = np.arange(H)[:, None]
@@ -266,7 +272,7 @@ def h264_cavlc_decode_stats(spark, sf_dir):
                     ).astype(np.uint8)
                     frames.append((y, u, v))
                 stream, recons = encode_h264_cavlc_recon(
-                    frames, W, H, qp=qp
+                    frames, W, H, qp=qp, t8_every=t8_every
                 )
                 dw, dh, decoded = decode_h264_ipcm(stream)
                 bit_exact = (
@@ -285,7 +291,7 @@ def h264_cavlc_decode_stats(spark, sf_dir):
                             - frm[0].astype(np.int64)
                         ).max()
                     )
-                    <= 64
+                    <= (64 if not t8_every else 160)
                     for rec, frm in zip(recons, frames)
                 )
                 if bit_exact and err_ok:
@@ -296,12 +302,14 @@ def h264_cavlc_decode_stats(spark, sf_dir):
                     ]
                 else:
                     sums = [-1, -1, -1]
-                rows.append((d, len(decoded), dw, dh, *sums))
+                rows.append(
+                    (d, len(decoded), dw, dh, t8_every, *sums)
+                )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "doc_id", "n_frames", "width", "height",
-                    "y_sum", "u_sum", "v_sum",
+                    "t8_every", "y_sum", "u_sum", "v_sum",
                 ],
             )
 
@@ -309,6 +317,6 @@ def h264_cavlc_decode_stats(spark, sf_dir):
         gen,
         schema=(
             "doc_id long, n_frames long, width long, height long, "
-            "y_sum long, u_sum long, v_sum long"
+            "t8_every long, y_sum long, u_sum long, v_sum long"
         ),
     )
