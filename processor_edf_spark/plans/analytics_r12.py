@@ -808,7 +808,7 @@ def h264_inter_decode_stats(spark, sf_dir):
                32 AS h,
                CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS nf
         FROM documents
-        WHERE doc_id % 8 = 5
+        WHERE doc_id % 16 = 5
     ),
     ysum AS (
         SELECT d.doc_id,
@@ -837,7 +837,9 @@ def h264_inter_decode_stats(spark, sf_dir):
     """,
 )
 def h264_deblock_decode_stats(spark, sf_dir):
-    """The H.264 in-loop DEBLOCKING path (spec §8.7, operators/h264.py
+    """(Doc density halved to %16 in the r14 continuation — the
+    VERDICT r13 item-10 bench-share guidance; sweep coverage per doc
+    unchanged.)  The H.264 in-loop DEBLOCKING path (spec §8.7, operators/h264.py
     r12) as a driver-hashed row: the same inter GOP shape as
     ``h264_inter_decode_stats`` but with the filter ENABLED (idc 0) at
     the blocking-regime QPs 28/34/40 over low-gradient sawtooth
@@ -860,7 +862,7 @@ def h264_deblock_decode_stats(spark, sf_dir):
     from processor_edf_spark.plans.registry import spread
 
     docs = spread(
-        spark, docs.select("doc_id").filter("doc_id % 8 = 5")
+        spark, docs.select("doc_id").filter("doc_id % 16 = 5")
     )
 
     def gen(batches):
@@ -952,7 +954,7 @@ def h264_deblock_decode_stats(spark, sf_dir):
                32 AS h,
                CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 4 END AS nf
         FROM documents
-        WHERE doc_id % 8 = 3
+        WHERE doc_id % 16 = 3
     ),
     ysum AS (
         SELECT d.doc_id,
@@ -982,7 +984,9 @@ def h264_deblock_decode_stats(spark, sf_dir):
     """,
 )
 def h264_bipred_decode_stats(spark, sf_dir):
-    """The H.264 B-SLICE layer (spec §7.3.5/§8.4.1.2/§8.4.2.3,
+    """(Doc density halved to %16 in the r14 continuation — the
+    VERDICT r13 item-10 bench-share guidance; sweep coverage per doc
+    unchanged.)  The H.264 B-SLICE layer (spec §7.3.5/§8.4.1.2/§8.4.2.3,
     operators/h264.py r12 second ratchet) as a driver-hashed row: the
     first bi-predicted video under the value oracle.  Per document a
     deterministic YUV420 sequence (every plane a pure integer function
@@ -1016,7 +1020,7 @@ def h264_bipred_decode_stats(spark, sf_dir):
     from processor_edf_spark.plans.registry import spread
 
     docs = spread(
-        spark, docs.select("doc_id").filter("doc_id % 8 = 3")
+        spark, docs.select("doc_id").filter("doc_id % 16 = 3")
     )
 
     def gen(batches):
