@@ -907,13 +907,16 @@ def decode_tiff_via_optional(payload: bytes) -> np.ndarray:
 
 
 def _webp_chunk_kind(payload: bytes) -> str | None:
-    """"VP8L" (lossless), "VP8 " (lossy) or None for a RIFF payload —
-    the router between the two pure-python plugins."""
+    """"VP8L" (lossless), "VP8 " (lossy), "ANIM" (animated — an ANMF
+    appears before any top-level image chunk) or None for a RIFF
+    payload — the router between the pure-python plugins."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         return None
     off = 12
     while off + 8 <= len(payload):
         tag = payload[off : off + 4]
+        if tag == b"ANMF":
+            return "ANIM"
         if tag in (b"VP8L", b"VP8 "):
             return tag.decode("ascii")
         (size,) = struct.unpack("<I", payload[off + 4 : off + 8])
@@ -942,6 +945,15 @@ def decode_webp(payload: bytes) -> np.ndarray:
     if plugin is not None:
         return plugin(payload)
     kind = _webp_chunk_kind(payload)
+    if kind == "ANIM":
+        # animated WebP: the still-image API returns the FIRST
+        # composed canvas (the spec-blessed thumbnail); the full
+        # sequence is webp.compose_webp_anim / decode_webp_anim
+        from processor_edf_spark.operators.webp import (
+            compose_webp_anim,
+        )
+
+        return compose_webp_anim(payload)[1][0]
     lossless = get_codec_plugin("webp_lossless")
     if lossless is not None and kind == "VP8L":
         return lossless(payload)

@@ -831,3 +831,153 @@ def decode_webp_lossy(payload: bytes) -> np.ndarray:
     except (struct.error, ValueError, IndexError, KeyError) as e:
         raise UnsupportedMediaError(f"malformed VP8: {e}") from e
     return rgb
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF, r14 continuation)
+# ---------------------------------------------------------------------------
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def decode_webp_anim(payload: bytes):
+    """Animated WebP -> (canvas_w, canvas_h, loop_count, frames) with
+    frames = [(x, y, duration_ms, dispose, rgb)], rgb per frame via
+    the real VP8L / VP8 decoders.  Composition semantics note: the
+    pure-python decoders carry no alpha plane, so frame blending is a
+    rectangle overwrite (identical to spec blending at alpha = 255);
+    the dispose-to-background flag is honored by
+    :func:`compose_webp_anim`."""
+    chunks = list(_riff_chunks(payload))
+    vp8x = next((b for t, b in chunks if t == b"VP8X"), None)
+    if vp8x is None or len(vp8x) < 10 or not (vp8x[0] & 0x02):
+        raise UnsupportedMediaError(
+            "WebP: not an animated (VP8X/ANIM) file"
+        )
+    cw = _u24(vp8x, 4) + 1
+    ch = _u24(vp8x, 7) + 1
+    if cw * ch > MAX_PIXELS:
+        raise UnsupportedMediaError("WebP: canvas exceeds MAX_PIXELS")
+    anim = next((b for t, b in chunks if t == b"ANIM"), None)
+    if anim is None or len(anim) < 6:
+        raise UnsupportedMediaError("WebP: VP8X animation without ANIM")
+    background = (anim[2], anim[1], anim[0])  # BGRA -> RGB
+    loop = anim[4] | (anim[5] << 8)
+    frames = []
+    for tag, body in chunks:
+        if tag != b"ANMF":
+            continue
+        if len(body) < 16:
+            raise UnsupportedMediaError("WebP: ANMF header truncated")
+        fx = _u24(body, 0) * 2
+        fy = _u24(body, 3) * 2
+        fw = _u24(body, 6) + 1
+        fh = _u24(body, 9) + 1
+        duration = _u24(body, 12)
+        flags = body[15]
+        dispose = bool(flags & 0x01)
+        if fx + fw > cw or fy + fh > ch:
+            raise UnsupportedMediaError(
+                "WebP: ANMF frame rectangle outside the canvas"
+            )
+        sub = body[16:]
+        rgb = None
+        off = 0
+        while off + 8 <= len(sub):
+            stag = sub[off : off + 4]
+            (ssize,) = struct.unpack("<I", sub[off + 4 : off + 8])
+            sbody = sub[off + 8 : off + 8 + ssize]
+            if len(sbody) < ssize:
+                raise UnsupportedMediaError("WebP: ANMF subchunk truncated")
+            if stag == b"VP8L":
+                rgb = decode_vp8l(sbody)
+                break
+            if stag == b"VP8 ":
+                from processor_edf_spark.operators.vp8 import (
+                    decode_vp8_keyframe,
+                )
+
+                _w, _h, rgb = decode_vp8_keyframe(sbody)
+                break
+            off += 8 + ssize + (ssize & 1)  # skip ALPH etc.
+        if rgb is None:
+            raise UnsupportedMediaError("WebP: ANMF without image data")
+        if rgb.shape[0] != fh or rgb.shape[1] != fw:
+            raise UnsupportedMediaError(
+                "WebP: ANMF dimensions disagree with the frame payload"
+            )
+        frames.append((fx, fy, duration, dispose, rgb))
+    if not frames:
+        raise UnsupportedMediaError("WebP: animation without frames")
+    return cw, ch, loop, background, frames
+
+
+def compose_webp_anim(payload: bytes):
+    """Animated WebP -> (loop_count, [composed HxWx3 canvases]) — the
+    spec's canvas state machine: start from the background color,
+    overwrite each frame rectangle, dispose-to-background after a
+    frame that asks for it."""
+    cw, ch, loop, background, frames = decode_webp_anim(payload)
+    canvas = np.empty((ch, cw, 3), np.uint8)
+    canvas[:] = np.array(background, np.uint8)
+    out = []
+    for fx, fy, _dur, dispose, rgb in frames:
+        canvas[fy : fy + rgb.shape[0], fx : fx + rgb.shape[1]] = rgb
+        out.append(canvas.copy())
+        if dispose:
+            canvas[fy : fy + rgb.shape[0], fx : fx + rgb.shape[1]] = (
+                np.array(background, np.uint8)
+            )
+    return loop, out
+
+
+def encode_webp_anim(
+    frames, canvas_w: int, canvas_h: int,
+    background=(255, 255, 255), loop: int = 0,
+) -> bytes:
+    """Fixture animated-WebP writer: ``frames`` =
+    [(x, y, duration_ms, dispose, rgb)] with even offsets, each frame
+    a lossless VP8L chunk (bit-exact round trips by construction).
+    -> complete RIFF/WEBP file (VP8X + ANIM + ANMF...)."""
+    body = bytearray()
+    flags = 0x02  # animation
+    vp8x = bytes([flags, 0, 0, 0]) + (
+        (canvas_w - 1).to_bytes(3, "little")
+        + (canvas_h - 1).to_bytes(3, "little")
+    )
+    body += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = bytes(
+        [background[2], background[1], background[0], 255]
+    ) + loop.to_bytes(2, "little")
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for fx, fy, duration, dispose, rgb in frames:
+        if fx % 2 or fy % 2:
+            raise UnsupportedMediaError(
+                "WebP anim: frame offsets must be even"
+            )
+        h, w = rgb.shape[:2]
+        if fx + w > canvas_w or fy + h > canvas_h:
+            raise UnsupportedMediaError(
+                "WebP anim: frame outside the canvas"
+            )
+        chunk = encode_vp8l(np.asarray(rgb, np.uint8))
+        sub = b"VP8L" + struct.pack("<I", len(chunk)) + chunk
+        if len(chunk) & 1:
+            sub += b"\x00"
+        anmf = (
+            (fx // 2).to_bytes(3, "little")
+            + (fy // 2).to_bytes(3, "little")
+            + (w - 1).to_bytes(3, "little")
+            + (h - 1).to_bytes(3, "little")
+            + int(duration).to_bytes(3, "little")
+            + bytes([0x01 if dispose else 0x00])
+            + sub
+        )
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            body += b"\x00"
+    return (
+        b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + bytes(body)
+    )

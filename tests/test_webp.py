@@ -480,3 +480,160 @@ def test_bitflip_fuzz_one_exception_contract():
         except UnsupportedMediaError:
             pass
         payload[i] = old
+
+
+# ---------------------------------------------------------------------------
+# animated WebP (VP8X + ANIM/ANMF, r14 continuation)
+# ---------------------------------------------------------------------------
+
+
+def _rgb(h, w, seed):
+    r = np.arange(h)[:, None]
+    c = np.arange(w)[None, :]
+    return np.stack(
+        [
+            ((r * 3 + c * 5 + seed) % 251).astype(np.uint8),
+            ((r * 7 + c * 2 + 2 * seed) % 241).astype(np.uint8),
+            ((r + c * 11 + 3 * seed) % 239).astype(np.uint8),
+        ],
+        axis=2,
+    )
+
+
+def test_webp_anim_round_trip_and_composition():
+    from processor_edf_spark.operators.webp import (
+        compose_webp_anim,
+        decode_webp_anim,
+        encode_webp_anim,
+    )
+
+    f0 = _rgb(24, 32, 1)
+    f1 = _rgb(10, 12, 2)
+    f2 = _rgb(8, 8, 3)
+    frames = [
+        (0, 0, 100, False, f0),
+        (4, 6, 50, True, f1),   # dispose-to-background after showing
+        (20, 2, 75, False, f2),
+    ]
+    payload = encode_webp_anim(frames, 32, 24, background=(9, 8, 7),
+                               loop=3)
+    cw, ch, loop, bg, got = decode_webp_anim(payload)
+    assert (cw, ch, loop, bg) == (32, 24, 3, (9, 8, 7))
+    assert len(got) == 3
+    for (fx, fy, dur, disp, rgb), (ex, ey, ed, edisp, erg) in zip(
+        got, frames
+    ):
+        assert (fx, fy, dur, disp) == (ex, ey, ed, edisp)
+        assert np.array_equal(rgb, erg)
+    # composition state machine, recomputed independently
+    loop2, canvases = compose_webp_anim(payload)
+    assert loop2 == 3
+    exp = np.empty((24, 32, 3), np.uint8)
+    exp[:] = (9, 8, 7)
+    exp[0:24, 0:32] = f0
+    want0 = exp.copy()
+    exp1 = exp.copy()
+    exp1[6:16, 4:16] = f1
+    want1 = exp1.copy()
+    exp2 = exp.copy()  # frame 1 disposed back to background...
+    exp2[6:16, 4:16] = (9, 8, 7)
+    exp2[2:10, 20:28] = f2
+    want2 = exp2.copy()
+    assert np.array_equal(canvases[0], want0)
+    assert np.array_equal(canvases[1], want1)
+    assert np.array_equal(canvases[2], want2)
+
+
+def test_webp_anim_lossy_frame_decodes():
+    """A hand-built ANMF wrapping a real VP8 keyframe decodes through
+    the animation path bit-exact vs the encoder reconstruction."""
+    import struct as _struct
+
+    from processor_edf_spark.operators.vp8 import (
+        decode_vp8_keyframe,
+        encode_vp8_keyframe,
+    )
+    from processor_edf_spark.operators.webp import decode_webp_anim
+
+    W, H = 32, 16
+    r = np.arange(H)[:, None]
+    c = np.arange(W)[None, :]
+    y = (((r * 3 + c * 5) % 160) + 40).astype(np.uint8)
+    u = (((r[: H // 2] * 7 + c[:, : W // 2] * 11) % 100) + 78).astype(
+        np.uint8
+    )
+    v = (((r[: H // 2] * 5 + c[:, : W // 2] * 3) % 120) + 60).astype(
+        np.uint8
+    )
+    frame, (rY, rU, rV) = encode_vp8_keyframe(y, u, v, qi=30)
+    sub = b"VP8 " + _struct.pack("<I", len(frame)) + frame
+    if len(frame) & 1:
+        sub += b"\x00"
+    anmf = (
+        (0).to_bytes(3, "little") * 2
+        + (W - 1).to_bytes(3, "little")
+        + (H - 1).to_bytes(3, "little")
+        + (40).to_bytes(3, "little")
+        + b"\x00"
+        + sub
+    )
+    vp8x = bytes([0x02, 0, 0, 0]) + (
+        (W - 1).to_bytes(3, "little") + (H - 1).to_bytes(3, "little")
+    )
+    anim = bytes([0, 0, 0, 255]) + (0).to_bytes(2, "little")
+    body = b"VP8X" + _struct.pack("<I", len(vp8x)) + vp8x
+    body += b"ANIM" + _struct.pack("<I", len(anim)) + anim
+    body += b"ANMF" + _struct.pack("<I", len(anmf)) + anmf
+    if len(anmf) & 1:
+        body += b"\x00"
+    payload = (
+        b"RIFF" + _struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    )
+    _cw, _ch, _loop, _bg, frames = decode_webp_anim(payload)
+    rgb = frames[0][4]
+    _w2, _h2, exp = decode_vp8_keyframe(frame)
+    assert np.array_equal(rgb, exp)
+
+
+def test_webp_anim_guards_and_first_frame_route():
+    from processor_edf_spark.operators.media_codecs import decode_image
+    from processor_edf_spark.operators.webp import (
+        encode_webp_anim,
+    )
+
+    f0 = _rgb(8, 8, 5)
+    with pytest.raises(UnsupportedMediaError, match="even"):
+        encode_webp_anim([(1, 0, 10, False, f0)], 16, 16)
+    with pytest.raises(UnsupportedMediaError, match="canvas"):
+        encode_webp_anim([(12, 12, 10, False, f0)], 16, 16)
+    payload = encode_webp_anim(
+        [(0, 0, 10, False, f0), (2, 2, 10, False, _rgb(4, 4, 6))],
+        8, 8, background=(1, 2, 3),
+    )
+    # decode_image on an animated file returns the FIRST composed frame
+    img = decode_image(payload)
+    assert img.shape == (8, 8, 3)
+    assert np.array_equal(img, f0)
+
+
+def test_webp_anim_corruption_fuzz_never_escapes():
+    from processor_edf_spark.operators.webp import (
+        compose_webp_anim,
+        encode_webp_anim,
+    )
+
+    payload = encode_webp_anim(
+        [(0, 0, 10, True, _rgb(16, 16, 7)), (4, 2, 10, False, _rgb(6, 8, 8))],
+        16, 16,
+    )
+    data = bytearray(payload)
+    rng = np.random.default_rng(23)
+    for _ in range(200):
+        i = int(rng.integers(12, len(data)))
+        old = data[i]
+        data[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            compose_webp_anim(bytes(data))
+        except UnsupportedMediaError:
+            pass
+        data[i] = old
