@@ -558,7 +558,9 @@ def audio_decode_stats(spark, sf_dir):
                 AS BIGINT) AS sum_len,
            CAST(SUM(CASE WHEN i.g < 3 + d.doc_id % 5
                          THEN (d.doc_id + i.g) % 256 END)
-                AS BIGINT) AS sum_first
+                AS BIGINT) AS sum_first,
+           CAST(((d.doc_id + 2 + d.doc_id % 5) % 251) * 48 AS BIGINT)
+               AS anim_px_sum
     FROM documents d, range(0, 8) i(g)
     GROUP BY d.doc_id
     """,
@@ -572,28 +574,56 @@ def video_frame_stats(spark, sf_dir):
     frame count, frame interval, and exact integer sums of frame
     lengths and first bytes against a closed-form oracle.  Frames of
     length 2+(d+i)%3 exercise the odd/even chunk-padding branch both
-    ways.  Scale: same decode-heavy/emit-light no-shuffle shape as its
-    siblings."""
+    ways.  r14 continuation: the same doc also muxes an animated WebP
+    (VP8X/ANIM/ANMF, real VP8L frame payloads) and composes it back
+    through ``compose_webp_anim``; every canvas must equal the
+    closed-form solid color or anim_px_sum flips to -1.  Scale: same
+    decode-heavy/emit-light no-shuffle shape as its siblings."""
     import pandas as pd
 
     (docs,) = load(spark, sf_dir, "documents")
 
     def gen(batches):
+        import numpy as np
+
         from processor_edf_spark.operators.media_codecs import (
             demux_avi_frames,
             encode_avi_raw,
+        )
+        from processor_edf_spark.operators.webp import (
+            compose_webp_anim,
+            encode_webp_anim,
         )
 
         for pdf in batches:
             rows = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
+                nf = 3 + d % 5
                 frames = [
                     bytes([(d + i) % 256] * (2 + (d + i) % 3))
-                    for i in range(3 + d % 5)
+                    for i in range(nf)
                 ]
                 upf, got = demux_avi_frames(
                     encode_avi_raw(frames, usec_per_frame=40_000)
+                )
+                afr = [
+                    (0, 0, 33, False,
+                     np.full((4, 4, 3), (d + i) % 251, np.uint8))
+                    for i in range(nf)
+                ]
+                _loop, canvases = compose_webp_anim(
+                    encode_webp_anim(afr, 4, 4, background=(0, 0, 0))
+                )
+                anim_ok = len(canvases) == nf and all(
+                    np.array_equal(
+                        cv,
+                        np.full((4, 4, 3), (d + i) % 251, np.uint8),
+                    )
+                    for i, cv in enumerate(canvases)
+                )
+                anim_px_sum = (
+                    ((d + nf - 1) % 251) * 48 if anim_ok else -1
                 )
                 rows.append(
                     (
@@ -602,6 +632,7 @@ def video_frame_stats(spark, sf_dir):
                         upf,
                         sum(len(f) for f in got),
                         sum(f[0] for f in got),
+                        anim_px_sum,
                     )
                 )
             yield pd.DataFrame(
@@ -612,6 +643,7 @@ def video_frame_stats(spark, sf_dir):
                     "usec_per_frame",
                     "sum_len",
                     "sum_first",
+                    "anim_px_sum",
                 ],
             )
 
@@ -619,7 +651,7 @@ def video_frame_stats(spark, sf_dir):
         gen,
         schema=(
             "doc_id long, n_frames long, usec_per_frame long, "
-            "sum_len long, sum_first long"
+            "sum_len long, sum_first long, anim_px_sum long"
         ),
     )
 
