@@ -186,12 +186,13 @@ from processor_edf_spark.plans import analytics_r14  # noqa: E402,F401
 # test_window_covers_every_family stays the coverage gate.
 # r15 rotation, PRE-DECLARED: the r11-green members left at 51+ lead
 # the rotate-ins in their canonical tail order — 19 after the rotation
-# proper, plus the five the r14 priority slots displaced (dedup_exact,
+# proper, plus the EIGHT the r14 priority slots displaced (dedup_exact,
 # token_stats, filter_project_events, quantize_embeddings_int8,
-# doc_length_histogram), 24 in all; then the stalest of the 48
-# r12-green tail members (rotated out of the window at r13), in their
-# canonical tail order, fill the window.  Anchors and the family gate
-# as above.
+# doc_length_histogram, and the continuation's three:
+# ngram_lang_profile, video_frame_stats, edf_header_parse), 27 in all;
+# then the stalest of the 48 r12-green tail members (rotated out of
+# the window at r13), in their canonical tail order, fill the window.
+# Anchors and the family gate as above.
 _CANONICAL = [
     # ---- r14 driver window (50): the 36 stalest (r5 block + the r7
     # straggler), the two sole-family anchors, then 12 r11-greens
