@@ -2028,11 +2028,16 @@ def gen_try_cast(rng, pools):
     )
     if target == "DOUBLE":
         # integer-source strings parse exactly in both engines;
-        # compare via integer-exact reductions
+        # compare via integer-exact reductions.  try_cast (not CAST)
+        # on the reductions: the overflow corrupt literal parses to
+        # 1e20 as a DOUBLE, and a plain BIGINT cast of it is
+        # ANSI-mode-sensitive in Spark (full-suite session state
+        # flipped it — seed 1661) while try_cast is total in both
+        # engines
         sql = (
             f"SELECT count({expr}) AS c, "
-            f"CAST(min({expr}) AS BIGINT) AS lo, "
-            f"CAST(max({expr}) AS BIGINT) AS hi, count(*) AS n "
+            f"try_cast(min({expr}) AS BIGINT) AS lo, "
+            f"try_cast(max({expr}) AS BIGINT) AS hi, count(*) AS n "
             f"FROM {t}"
         )
     else:
