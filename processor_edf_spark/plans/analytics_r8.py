@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from processor_edf_spark.plans.registry import load, register
+from processor_edf_spark.plans.registry import load, register, spread
 
 # order-preserving equi-width buckets for the two-level CDF; 1024 keeps
 # per-bucket window partitions at rows/1024 per type while the
@@ -450,6 +450,9 @@ def image_decode_stats(spark, sf_dir):
     import pandas as pd
 
     (docs,) = load(spark, sf_dir, "documents")
+    # no spread(): measured 0.48 s single-task vs 0.86 s spread at
+    # sf0.1 — this kernel is ~0.1 ms/doc, lighter than the shuffle it
+    # would ride (video_frame_stats, ~7 ms/doc, is the opposite case)
 
     def gen(batches):
         import numpy as np
@@ -515,6 +518,7 @@ def audio_decode_stats(spark, sf_dir):
     import pandas as pd
 
     (docs,) = load(spark, sf_dir, "documents")
+    # no spread(): same measured trade as image_decode_stats
 
     def gen(batches):
         import numpy as np
@@ -578,10 +582,16 @@ def video_frame_stats(spark, sf_dir):
     (VP8X/ANIM/ANMF, real VP8L frame payloads) and composes it back
     through ``compose_webp_anim``; every canvas must equal the
     closed-form solid color or anim_px_sum flips to -1.  Scale: same
-    decode-heavy/emit-light no-shuffle shape as its siblings."""
+    decode-heavy/emit-light shape as its siblings; the per-doc kernel
+    runs under spread() (the r14-continuation's animated-WebP sweep
+    multiplied per-doc CPU ~100x, and the single-file scan reads as ONE
+    partition — 35.8 s on one core at sf0.1, 1/32 of the host busy;
+    spread() restores the sibling rows' full-width layout, a no-op at
+    real scale where the splitter already yields enough partitions)."""
     import pandas as pd
 
     (docs,) = load(spark, sf_dir, "documents")
+    docs = spread(spark, docs.select("doc_id"))
 
     def gen(batches):
         import numpy as np
