@@ -277,17 +277,28 @@ def perceptual_dedup_components(
 ) -> DataFrame:
     """(id, component): perceptual duplicate groups, component = the
     minimum member id.  max_hamming 0 is the LINEAR scale path (full
-    hash as the bucket key, bucket-star edges); k > 0 verifies banded
-    candidates by hamming first (audit path)."""
+    hash as the bucket key); k > 0 verifies banded candidates by
+    hamming first (audit path)."""
     if max_hamming == 0:
-        buckets = hashes.select(
-            F.col(id_col),
-            F.when(
-                F.col(hash_col).isNotNull(),
-                F.col(hash_col).cast("string"),
-            ).alias("band_key"),
+        # Exactly ONE bucket row per id (the full 64-bit hash), so the
+        # buckets are DISJOINT and the transitive closure is the bucket
+        # partition itself: component = min(id) within each hash value.
+        # The general lsh_components/pointer-jumping path (needed when
+        # ids carry multiple band keys) costs 4+ jobs of checkpoints
+        # and convergence counts here for a closure that is a single
+        # groupBy — one aggregation + one equi-join (AQE skew-splittable,
+        # unlike a window over the hash, when one dup group is huge).
+        # NULL hash (undecoded) matches no root and coalesces to self —
+        # the same singleton discipline as lsh_components.
+        roots = (
+            hashes.filter(F.col(hash_col).isNotNull())
+            .groupBy(hash_col)
+            .agg(F.min(id_col).alias("_root"))
         )
-        return lsh_components(buckets, id_col=id_col)
+        return hashes.join(roots, [hash_col], "left").select(
+            F.col(id_col),
+            F.coalesce(F.col("_root"), F.col(id_col)).alias("component"),
+        )
     pairs = perceptual_near_dup_pairs(
         hashes, hash_col, id_col, max_hamming
     )

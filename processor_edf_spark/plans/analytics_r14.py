@@ -459,7 +459,12 @@ def image_phash_dedup(spark, sf_dir):
     )
     from pyspark.sql import functions as F
 
-    hashes = image_perceptual_hashes(media)
+    # hashes feeds THREE consumers (components, the label join, the
+    # group stats) — without materialization each branch re-runs the
+    # whole per-doc encode->decode->hash python kernel (~6x total,
+    # measured 5.7 s); one eager checkpoint of the 4-column hash frame
+    # (O(docs) longs) caps the kernel at exactly one pass: 1.5 s.
+    hashes = image_perceptual_hashes(media).localCheckpoint(eager=True)
     comps = perceptual_dedup_components(hashes, "dhash", max_hamming=0)
     labeled = hashes.join(comps, "doc_id")
     gstats = labeled.groupBy("component").agg(
@@ -644,7 +649,10 @@ def audio_fingerprint_dedup(spark, sf_dir):
         perceptual_dedup_components,
     )
 
-    fps = audio_perceptual_fingerprints(media)
+    # same three-consumer materialization as image_phash_dedup: the
+    # FLAC/WAV encode->decode->fingerprint kernel (~15 ms/doc) must run
+    # once, not once per downstream branch (measured 9.1 -> 2.4 s)
+    fps = audio_perceptual_fingerprints(media).localCheckpoint(eager=True)
     comps = perceptual_dedup_components(fps, "afp", max_hamming=0)
     labeled = fps.join(comps, "doc_id")
     gstats = labeled.groupBy("component").agg(
