@@ -212,6 +212,9 @@ def jaccard_prefix_pairs(spark, sf_dir):
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin length filter (lossless): J >= t forces t·|x| <= |y| <= |x|/t,
     # so cross-size collisions die as a join residual BEFORE the distinct
+    # na/nb ride the candidate row (functionally dependent on the doc
+    # ids, so the DISTINCT cardinality is unchanged) — the verifier
+    # then never has to re-derive set sizes from the arrays
     cands = (
         a.join(
             b,
@@ -220,7 +223,12 @@ def jaccard_prefix_pairs(spark, sf_dir):
             & (F.col("b.n") * F.lit(PREFIX_JACCARD_T) <= F.col("a.n"))
             & (F.col("a.n") * F.lit(PREFIX_JACCARD_T) <= F.col("b.n")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .distinct()
     )
     arrs = docs.select(
@@ -233,10 +241,26 @@ def jaccard_prefix_pairs(spark, sf_dir):
             "doc_b",
         )
     )
-    n_common = F.size(F.array_intersect("ta", "tb"))
-    union = F.size("ta") + F.size("tb") - n_common
-    jac = n_common / union.cast("double")
-    return ver.filter(jac >= PREFIX_JACCARD_T).select(
+    # The intersection is computed ONCE per candidate into a
+    # materialized stats frame (pairs × 5 longs).  Filtering on a
+    # derived jac column directly makes Catalyst push the threshold
+    # filter through the projection by substituting the alias — the
+    # array_intersect then evaluates TWICE per row (once in the pushed
+    # filter, once in the output) and verification measured exactly 2×
+    # the single-eval cost (4.0 s vs 1.9 s at sf0.1's 2.1 M candidates).
+    # The checkpoint is O(candidates) local longs, the same order as
+    # the join output it truncates.
+    stats = ver.select(
+        "doc_a",
+        "doc_b",
+        "na",
+        "nb",
+        F.size(F.array_intersect("ta", "tb")).alias("n_common"),
+    ).localCheckpoint(eager=True)
+    jac = F.col("n_common") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    ).cast("double")
+    return stats.filter(jac >= PREFIX_JACCARD_T).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 

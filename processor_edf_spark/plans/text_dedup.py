@@ -306,7 +306,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=True)  # feeds sizes + BOTH join sides: one
+    # shingle+md5 pass instead of three (subtree reuse does not cross
+    # broadcast/shuffle branches)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -419,8 +421,14 @@ def minhash_lsh_pairs(spark, sf_dir):
     """MinHash + LSH candidate pairs: signatures → 4 bands of width 2 →
     equi-join on (band, key).  All-equi join on banded keys means no
     quadratic blowup: candidate generation is proportional to true
-    collisions.  This IS the scalable near-dup operator."""
-    sig = minhash_signatures(spark, sf_dir)
+    collisions.  This IS the scalable near-dup operator.
+
+    The signature frame feeds BOTH join sides; Spark cannot reuse the
+    subtree across a broadcast and a shuffle branch (measured: 2 full
+    parquet scans, the shingle+md5 pass twice), so one eager
+    localCheckpoint of the k-int-per-doc frame — O(docs), the same
+    order as the join it feeds — caps the corpus pass at one."""
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(
@@ -529,8 +537,11 @@ def simhash_near_pairs(spark, sf_dir):
     collisions.  32-bit/8-bit bands rather than 16/4: 4-bit bands over a
     few thousand docs put ~6% of the corpus in every bucket (the
     candidate set went quadratic again — 15× slower); byte bands keep
-    buckets sparse."""
-    sims = _simhash_df(spark, sf_dir, SIMHASH_PAIR_BITS)
+    buckets sparse.  The fingerprint frame is checkpointed so the
+    tokenize + 32-bit-vote pass runs once, not once per join side."""
+    sims = _simhash_df(spark, sf_dir, SIMHASH_PAIR_BITS).localCheckpoint(
+        eager=True
+    )
     bands = sims.select(
         "doc_id",
         "simhash",
@@ -1177,8 +1188,10 @@ def minhash_jaccard_estimate(spark, sf_dir):
     extra full shingle+md5 passes over the corpus at 100 TB.  Carrying
     {MINHASH_K} ints through one shuffle is strictly cheaper.  The same
     estimate lands on every band a pair collides in (the mh columns are
-    identical), so the OR-across-bands dedup stays a plain DISTINCT."""
-    sig = minhash_signatures(spark, sf_dir)
+    identical), so the OR-across-bands dedup stays a plain DISTINCT.
+    The signature frame is checkpointed for the same two-join-branch
+    reuse reason as minhash_lsh_pairs (one shingle+md5 pass, not two)."""
+    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
     mh_cols = [f"mh{k}" for k in range(MINHASH_K)]
     band_structs = F.array(
         *[
