@@ -510,6 +510,8 @@ def dup_span_coverage(spark, sf_dir):
             ).alias("sg"),
         )
         .select("doc_id", "sg.s", "sg.gram")
+        .localCheckpoint(eager=True)  # feeds the dup-gram dim AND the
+        # join side: one gram-explode pass instead of two
     )
     dup = (
         g.groupBy("gram")
@@ -940,6 +942,8 @@ def dedup_substring_rewrite(spark, sf_dir):
             ).alias("sg"),
         )
         .select("doc_id", "sg.s", "sg.gram")
+        .localCheckpoint(eager=True)  # feeds the dup-gram dim AND the
+        # join side: one gram-explode pass instead of two
     )
     dup = (
         g.groupBy("gram")

@@ -104,7 +104,10 @@ def bigram_lm_surprisal(spark, sf_dir):
                 ),
             )
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    ).select("doc_id", "bg.w1", "bg.w2").localCheckpoint(eager=True)
+    # ^ the bigram stream feeds the count tables AND the scoring join:
+    # without materialization each branch re-runs scan+tokenize+explode
+    # (subtree reuse does not cross broadcast/shuffle branches)
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = c2.agg(F.countDistinct("w1").alias("v"))
@@ -619,7 +622,11 @@ def dsir_importance(spark, sf_dir):
                 ),
             )
         ).alias("bg"),
-    ).select("doc_id", "source", "bg.w1", "bg.w2")
+    ).select("doc_id", "source", "bg.w1", "bg.w2").localCheckpoint(
+        eager=True
+    )
+    # ^ seven consumers (both models' count tables + the scoring join
+    # chain) — one corpus tokenize+explode pass instead of seven
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     v = c2.agg(F.countDistinct("w1").alias("v"))
@@ -756,7 +763,8 @@ def shingle_novelty(spark, sf_dir):
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=True)  # feeds first-doc agg + the join side:
+    # one shingle+md5 pass instead of two
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)

@@ -1521,7 +1521,10 @@ def token_entropy(spark, sf_dir):
     tok = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)  # feeds the doc-length agg + the join
+    # side: one tokenize+tf pass instead of two
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n"))
     p = F.col("tf") / F.col("n").cast("double")
     contrib = F.round(-p * F.log(p), 12).cast("decimal(28,12)")
