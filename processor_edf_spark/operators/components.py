@@ -71,22 +71,33 @@ def connected_components(
     )
     for _ in range(max_rounds):
         # (1) propagate: node's component := min(component of node,
-        # components of its neighbors)  — one join + one aggregation
+        # components of its neighbors)  — one join + one aggregation.
+        # Checkpointed because step (2) is a SELF-join: without the
+        # materialization both join sides re-run the edges⋈comp
+        # propagation (measured: the whole round's lineage twice).
         neighbor_comp = (
             edges.join(comp.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
             .agg(F.min("comp").alias("nc"))
         )
-        lowered = comp.join(
-            neighbor_comp.withColumnRenamed("a", "node"), "node", "left"
-        ).select(
-            "node",
-            F.least(F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))).alias(
-                "comp"
-            ),
+        lowered = (
+            comp.join(
+                neighbor_comp.withColumnRenamed("a", "node"), "node", "left"
+            )
+            .select(
+                "node",
+                F.col("comp").alias("old"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
         )
         # (2) pointer jump: comp[n] := comp[comp[n]] — label chains halve
-        # every round, giving O(log diameter) total rounds
+        # every round, giving O(log diameter) total rounds.  The round's
+        # previous label rides along as `old` so convergence is read off
+        # the checkpointed result with a local scan instead of a third
+        # join of new-vs-old (which cost two more exchanges per round).
         jump_to = lowered.select(
             F.col("node").alias("comp"), F.col("comp").alias("jc")
         )
@@ -94,6 +105,7 @@ def connected_components(
             lowered.join(jump_to, "comp", "left")
             .select(
                 "node",
+                "old",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))
                 ).alias("comp"),
@@ -102,13 +114,9 @@ def connected_components(
         )
         # converged when no node's component changed this round
         changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
+            new_comp.filter(F.col("comp") != F.col("old")).limit(1).count()
         )
-        comp = new_comp
+        comp = new_comp.select("node", "comp")
         if changed == 0:
             break
     else:

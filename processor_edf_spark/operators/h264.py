@@ -855,20 +855,27 @@ def _dequant4x4(coeffs: list[int], qp: int, skip_dc: bool) -> np.ndarray:
 
 def _itransform4x4(d: np.ndarray) -> np.ndarray:
     """Inverse core transform (spec §8.5.12.2), result pre-clip
-    residual (already includes the (x+32)>>6 rounding)."""
-    e = np.empty((4, 4), np.int64)
-    for i in range(4):
-        d0, d1, d2, d3 = (int(x) for x in d[i])
+    residual (already includes the (x+32)>>6 rounding).  Butterflies
+    run on plain python ints (python's >> floors exactly like the int64
+    arithmetic shift) — per-element ndarray indexing made this the
+    hottest non-entropy function of the codec family."""
+    t = []
+    for d0, d1, d2, d3 in d.tolist():
         e0, e1 = d0 + d2, d0 - d2
         e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
-        e[i] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
-    f = np.empty((4, 4), np.int64)
+        t.append((e0 + e3, e1 + e2, e1 - e2, e0 - e3))
+    t0, t1, t2, t3 = t
+    out = [[0] * 4 for _ in range(4)]
+    o0, o1, o2, o3 = out
     for j in range(4):
-        d0, d1, d2, d3 = (int(x) for x in e[:, j])
+        d0, d1, d2, d3 = t0[j], t1[j], t2[j], t3[j]
         e0, e1 = d0 + d2, d0 - d2
         e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
-        f[:, j] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
-    return (f + 32) >> 6
+        o0[j] = (e0 + e3 + 32) >> 6
+        o1[j] = (e1 + e2 + 32) >> 6
+        o2[j] = (e1 - e2 + 32) >> 6
+        o3[j] = (e0 - e3 + 32) >> 6
+    return np.array(out, np.int64)
 
 
 # ---- 8x8 transform path (High profile, r14 continuation) ------------
@@ -3721,18 +3728,23 @@ def encode_h264_ipcm(frames, width: int, height: int,
 
 
 def _ftransform4x4(x: np.ndarray) -> np.ndarray:
-    """Forward core transform (spec §8.5 inverse's exact adjoint)."""
-    e = np.empty((4, 4), np.int64)
-    for i in range(4):
-        x0, x1, x2, x3 = (int(v) for v in x[i])
+    """Forward core transform (spec §8.5 inverse's exact adjoint).
+    Plain-int butterflies for the same reason as _itransform4x4."""
+    t = []
+    for x0, x1, x2, x3 in np.asarray(x).tolist():
         e0, e1, e2, e3 = x0 + x3, x1 + x2, x1 - x2, x0 - x3
-        e[i] = (e0 + e1, (e3 << 1) + e2, e0 - e1, e3 - (e2 << 1))
-    f = np.empty((4, 4), np.int64)
+        t.append((e0 + e1, (e3 << 1) + e2, e0 - e1, e3 - (e2 << 1)))
+    t0, t1, t2, t3 = t
+    out = [[0] * 4 for _ in range(4)]
+    o0, o1, o2, o3 = out
     for j in range(4):
-        x0, x1, x2, x3 = (int(v) for v in e[:, j])
+        x0, x1, x2, x3 = t0[j], t1[j], t2[j], t3[j]
         e0, e1, e2, e3 = x0 + x3, x1 + x2, x1 - x2, x0 - x3
-        f[:, j] = (e0 + e1, (e3 << 1) + e2, e0 - e1, e3 - (e2 << 1))
-    return f
+        o0[j] = e0 + e1
+        o1[j] = (e3 << 1) + e2
+        o2[j] = e0 - e1
+        o3[j] = e3 - (e2 << 1)
+    return np.array(out, np.int64)
 
 
 def _quant_coeff(c: int, qp: int, pos: int, dc: bool = False) -> int:
@@ -5362,6 +5374,13 @@ def _build_cabac_tables():
 
 
 _CABAC_LPS, _CABAC_TRANS_LPS = _build_cabac_tables()
+# plain-python mirrors for the engines' inner loop: indexing an ndarray
+# with python ints costs ~1 µs/scalar in the hottest function of the
+# whole codec family (profiled: the two decision() bodies were ~35 % of
+# a CABAC GOP encode+decode); tuple indexing is ~20 ns.  The numpy
+# tables stay the public/test surface.
+_CABAC_LPS_PY = tuple(tuple(int(x) for x in row) for row in _CABAC_LPS)
+_CABAC_TRANS_LPS_PY = tuple(int(x) for x in _CABAC_TRANS_LPS)
 
 # context allocation (structure-exact, our numbering)
 _CC_MBTYPE = 0    # 3: bin0, ctxIdxInc 0..2 by neighbor mb kinds
@@ -5410,11 +5429,15 @@ class _CabacDec:
     conventional zero padding, bounded so malformed streams still
     raise)."""
 
-    __slots__ = ("r", "range", "offset", "ctx", "_over")
+    __slots__ = ("r", "range", "offset", "_s", "_m", "_over", "_nbits")
 
     def __init__(self, r: _BitReader, ctx: np.ndarray):
         self.r = r
-        self.ctx = ctx
+        # internal python-list context state (see _CABAC_LPS_PY note);
+        # the (N, 2) ndarray stays the constructor contract
+        self._s = [int(x) for x in ctx[:, 0]]
+        self._m = [int(x) for x in ctx[:, 1]]
+        self._nbits = len(r.data) * 8
         self._over = 0
         self.range = 510
         self.offset = 0
@@ -5422,7 +5445,7 @@ class _CabacDec:
             self.offset = (self.offset << 1) | self._bit()
 
     def _bit(self) -> int:
-        if self.r.pos < len(self.r.data) * 8:
+        if self.r.pos < self._nbits:
             return self.r.read(1)
         self._over += 1
         if self._over > 64:
@@ -5435,21 +5458,24 @@ class _CabacDec:
             self.offset = (self.offset << 1) | self._bit()
 
     def decision(self, idx: int) -> int:
-        s, mps = self.ctx[idx]
-        rlps = int(_CABAC_LPS[s, (self.range >> 6) & 3])
+        s = self._s[idx]
+        mps = self._m[idx]
+        rlps = _CABAC_LPS_PY[s][(self.range >> 6) & 3]
         self.range -= rlps
         if self.offset >= self.range:
             bit = 1 - mps
             self.offset -= self.range
             self.range = rlps
             if s == 0:
-                self.ctx[idx, 1] = 1 - mps
-            self.ctx[idx, 0] = _CABAC_TRANS_LPS[s]
+                self._m[idx] = bit
+            self._s[idx] = _CABAC_TRANS_LPS_PY[s]
         else:
             bit = mps
-            self.ctx[idx, 0] = min(s + 1, 62)
-        self._renorm()
-        return int(bit)
+            if s < 62:
+                self._s[idx] = s + 1
+        if self.range < 256:
+            self._renorm()
+        return bit
 
     def bypass(self) -> int:
         self.offset = (self.offset << 1) | self._bit()
@@ -5481,7 +5507,7 @@ class _CabacDec:
 class _CabacEnc:
     """§9.3.4 arithmetic encoding engine; bits collect in ``bits``."""
 
-    __slots__ = ("low", "range", "bits", "n_out", "first", "ctx")
+    __slots__ = ("low", "range", "bits", "n_out", "first", "_s", "_m")
 
     def __init__(self, ctx: np.ndarray):
         self.low = 0
@@ -5489,7 +5515,9 @@ class _CabacEnc:
         self.bits: list[int] = []
         self.n_out = 0
         self.first = True
-        self.ctx = ctx
+        # same python-list context state as _CabacDec
+        self._s = [int(x) for x in ctx[:, 0]]
+        self._m = [int(x) for x in ctx[:, 1]]
 
     def _put(self, b: int) -> None:
         if self.first:
@@ -5514,18 +5542,21 @@ class _CabacEnc:
             self.range <<= 1
 
     def decision(self, idx: int, b: int) -> None:
-        s, mps = self.ctx[idx]
-        rlps = int(_CABAC_LPS[s, (self.range >> 6) & 3])
+        s = self._s[idx]
+        mps = self._m[idx]
+        rlps = _CABAC_LPS_PY[s][(self.range >> 6) & 3]
         self.range -= rlps
         if b != mps:
             self.low += self.range
             self.range = rlps
             if s == 0:
-                self.ctx[idx, 1] = 1 - mps
-            self.ctx[idx, 0] = _CABAC_TRANS_LPS[s]
+                self._m[idx] = 1 - mps
+            self._s[idx] = _CABAC_TRANS_LPS_PY[s]
         else:
-            self.ctx[idx, 0] = min(s + 1, 62)
-        self._renorm()
+            if s < 62:
+                self._s[idx] = s + 1
+        if self.range < 256:
+            self._renorm()
 
     def bypass(self, b: int) -> None:
         self.low <<= 1

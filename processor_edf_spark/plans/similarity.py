@@ -731,10 +731,21 @@ SEMDEDUP_MAX_CLUSTER = 1 << 14
 def _semdedup_survivors(embeddings, max_cluster: int = SEMDEDUP_MAX_CLUSTER):
     """Core of semdedup_label, parameterized for tests: survivors
     (vec_id, label) after dominated-vector removal, with oversized
-    clusters hash-sub-split per :data:`SEMDEDUP_MAX_CLUSTER`."""
+    clusters hash-sub-split per :data:`SEMDEDUP_MAX_CLUSTER`.
+
+    Pair scoring ships each vector ONCE per (label, sub) group into an
+    applyInPandas kernel (the cosine_pairs block layout) instead of
+    materializing |c|² pair rows each carrying BOTH embeddings through
+    Arrow — the pair join moved O(|c|²·d) floats across the Python
+    boundary to score O(|c|²) cosines; the group kernel moves O(|c|·d).
+    Float parity is the module's standard: ``_block_cosines`` +
+    ``_norms_ltr`` accumulate left-to-right exactly like the
+    ``cosine_pd``/``norm`` fold they replace, the kernel pre-filters at
+    a ``_ROUND_MARGIN`` slack only, and the exact ROUND(cos, 4) ≥ θ
+    threshold is re-applied in Spark."""
     emb = embeddings.select(
         "vec_id", "label", _as_double("embedding").alias("e")
-    ).withColumn("nrm", norm(F.col("e")))
+    )
     # one row per cluster — tiny next to the corpus; plain join, AQE
     # broadcasts it from runtime stats
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("c_sz"))
@@ -747,30 +758,32 @@ def _semdedup_survivors(embeddings, max_cluster: int = SEMDEDUP_MAX_CLUSTER):
             ),
         ),
     )
-    a = keyed.select(
-        "label",
-        "sub",
-        F.col("vec_id").alias("id_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = keyed.select(
-        "label",
-        "sub",
-        F.col("vec_id").alias("id_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    dominated = (
-        a.join(b, ["label", "sub"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(
-            F.round(
-                cosine_pd(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")), 4
+
+    def score(pdf):
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": [], "cos_raw": []})
+        E = np.vstack(pdf["e"].to_numpy())
+        nrm = _norms_ltr(E)
+        tile = max(1, _SCORE_TILE_BYTES // (max(len(E), 1) * 8))
+        out = []
+        for s in range(0, len(E), tile):
+            t = slice(s, s + tile)
+            cos = _block_cosines(E[t], E, nrm[t], nrm)
+            mask = ids[t][:, None] < ids[None, :]
+            r, c = np.nonzero(
+                mask & (cos >= SEMDEDUP_THETA - _ROUND_MARGIN)
             )
-            >= SEMDEDUP_THETA
-        )
-        .select(F.col("id_b").alias("vec_id"))
+            out.append(
+                pd.DataFrame({"vec_id": ids[c], "cos_raw": cos[r, c]})
+            )
+        return pd.concat(out, ignore_index=True)
+
+    dominated = (
+        keyed.groupBy("label", "sub")
+        .applyInPandas(score, "vec_id long, cos_raw double")
+        .filter(F.round("cos_raw", 4) >= SEMDEDUP_THETA)
+        .select("vec_id")
         .distinct()
     )
     return emb.join(dominated, "vec_id", "left_anti").select("vec_id", "label")
