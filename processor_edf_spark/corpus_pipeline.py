@@ -54,8 +54,6 @@ def run_corpus_job(
     keeps the r12 pipeline and report exactly."""
     from processor_edf_spark.plans.text_dedup import minhash_buckets_frame
 
-    n0 = docs.count()
-
     # 1. normalize + rule gate (shuffle-free projections).  The gate
     # runs on the NORMALIZED text so case/whitespace mangling can't
     # change a document's verdict (the stopword rule is lowercase);
@@ -149,11 +147,7 @@ def run_corpus_job(
             clf_keep.withColumn("_cl", F.lit(1)), "doc_id", "left"
         )
         aggs.append(F.count("_cl").alias("n1c"))
-    stage_counts = audited.agg(*aggs).collect()[0]
-    n1, n2, n3 = int(stage_counts["n1"]), int(stage_counts["n2"]), int(
-        stage_counts["n3"]
-    )
-    n1c = int(stage_counts["n1c"]) if clf_keep is not None else n1
+    counts = audited.agg(*aggs)
 
     # 4. PII scrub + split assignment (projections, no shuffle) — the
     # EXACT split_assignment query construction, so pipeline membership
@@ -173,25 +167,50 @@ def run_corpus_job(
         .otherwise("test"),
     )
     # redact_pii is a regexp-replace chain and the split a projection —
-    # both row-preserving by construction, so n4 == n3 exactly (no
-    # fourth action needed; a future stage that FILTERS here must move
-    # back to counting its own output).
-    n4 = n3
-
-    rows = [
-        ("input", n0, n0, 0),
-        ("rule_gate", n0, n1, n0 - n1),
+    # both row-preserving by construction, so scrub_and_split reuses n3
+    # exactly (a future stage that FILTERS here must move back to
+    # counting its own output).
+    #
+    # The report is a LAZY frame: the raw-input count crossJoins the
+    # one-row stage aggregate and stack() pivots the five (six with the
+    # classifier) stages out of it — the whole report computes in ONE
+    # job at whatever action the caller runs, instead of the two
+    # sequential driver actions (docs.count() + the stage collect) the
+    # eager build cost, and callers that never read the report pay
+    # nothing for it.
+    n0_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n0"))
+    stage_rows = [
+        ("'input'", "n0", "n0"),
+        ("'rule_gate'", "n0", "n1"),
     ]
     if clf_keep is not None:
-        rows.append(("classifier_gate", n1, n1c, n1 - n1c))
-    rows += [
-        ("exact_dedup", n1c, n2, n1c - n2),
-        ("near_dedup_lsh", n2, n3, n2 - n3),
-        ("scrub_and_split", n3, n4, n3 - n4),
+        stage_rows.append(("'classifier_gate'", "n1", "n1c"))
+        exact_in = "n1c"
+    else:
+        exact_in = "n1"
+    stage_rows += [
+        ("'exact_dedup'", exact_in, "n2"),
+        ("'near_dedup_lsh'", "n2", "n3"),
+        ("'scrub_and_split'", "n3", "n3"),
     ]
-    report = spark.createDataFrame(
-        rows,
-        "stage string, rows_in long, rows_out long, dropped long",
+    stack_args = ", ".join(
+        f"{s}, CAST({ri} AS LONG), CAST({ro} AS LONG)"
+        for s, ri, ro in stage_rows
+    )
+    report = (
+        counts.crossJoin(n0_df)
+        .select(
+            F.expr(
+                f"stack({len(stage_rows)}, {stack_args}) "
+                "AS (stage, rows_in, rows_out)"
+            )
+        )
+        .select(
+            "stage",
+            "rows_in",
+            "rows_out",
+            (F.col("rows_in") - F.col("rows_out")).alias("dropped"),
+        )
     )
     return clean, report
 

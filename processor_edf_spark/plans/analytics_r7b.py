@@ -290,13 +290,21 @@ def events_job_report(spark, sf_dir):
         ts_usec("ts").alias("t"),
         F.date_trunc("day", F.col("ts")).alias("day"),
     ).localCheckpoint(eager=True)
-    n_input = base.count()
 
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     lagged = base.select(
         (F.col("t") - F.lag("t").over(w)).alias("gap")
     )
-    # sessions + dwell from ONE pass over the same lag window
+    # Every stage count is a LAZY single-row aggregate over the one
+    # checkpointed base, stitched into the report with unions — the
+    # whole report computes in ONE job at the sink instead of five
+    # sequential driver actions (count/collect per stage cost ~0.4 s of
+    # job latency each; at scale they also serialized five scans that
+    # the scheduler can now overlap).  sessions + dwell still share a
+    # single lag-window pass via stack().
+    n_input = base.agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("input").alias("stage"), F.col("n").cast("long").alias("rows_out")
+    )
     sess_dwell = lagged.agg(
         F.sum(
             F.when(
@@ -312,10 +320,21 @@ def events_job_report(spark, sf_dir):
                 1,
             ).otherwise(0)
         ).alias("n_dwell"),
-    ).collect()[0]
-
-    n_daily = base.select("day", "event_type").distinct().count()
-
+    ).select(
+        F.expr(
+            "stack(2, 'sessions', CAST(n_sessions AS LONG), "
+            "'dwell_rows', CAST(n_dwell AS LONG)) AS (stage, rows_out)"
+        )
+    )
+    n_daily = (
+        base.select("day", "event_type")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("daily_rollup").alias("stage"),
+            F.col("n").cast("long").alias("rows_out"),
+        )
+    )
     mx = base.agg(F.max("day").alias("mxd"))
     n_wau = (
         base.select("user_id", "day")
@@ -333,16 +352,10 @@ def events_job_report(spark, sf_dir):
         .filter(F.col("d") <= F.col("mxd"))
         .select("d")
         .distinct()
-        .count()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("wau_days").alias("stage"),
+            F.col("n").cast("long").alias("rows_out"),
+        )
     )
-
-    return spark.createDataFrame(
-        [
-            ("input", n_input),
-            ("sessions", int(sess_dwell["n_sessions"])),
-            ("dwell_rows", int(sess_dwell["n_dwell"])),
-            ("daily_rollup", n_daily),
-            ("wau_days", n_wau),
-        ],
-        "stage string, rows_out long",
-    )
+    return n_input.unionAll(sess_dwell).unionAll(n_daily).unionAll(n_wau)
