@@ -68,7 +68,14 @@ def edf_range_decode(spark, sf_dir):
     import pandas as pd
 
     (events,) = load(spark, sf_dir, "events")
-    users = events.select("user_id").distinct()
+    # AQE coalesces the tiny distinct shuffle to ONE partition, which
+    # serializes the per-user synthesize+decode kernel into a single
+    # task (2.98 s at sf0.1 with 31 cores idle).  An explicit-width
+    # round-robin repartition is exempt from AQE coalescing and restores
+    # the full kernel width; the width is the session's shuffle setting,
+    # not a local constant.
+    n_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    users = events.select("user_id").distinct().repartition(n_width)
 
     def gen(batches):
         from processor_edf_spark.sources.edf import parse_edf_header
