@@ -846,6 +846,9 @@ def triangle_count_nn(spark, sf_dir):
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
             F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dd"),
         )
+        # three consumers (both wedge sides + the closing probe):
+        # lazy-checkpoint so the degree joins run once
+        .localCheckpoint(eager=False)
     )
     o1 = o.select(
         F.col("src"), F.col("dst").alias("y"), F.col("dd").alias("dy")
@@ -861,11 +864,16 @@ def triangle_count_nn(spark, sf_dir):
     tri = wedges.join(closing, ["y", "z"]).select(
         F.col("src").alias("x"), "y", "z"
     )
+    # one pass over the triangle stream: exploding the three corners
+    # replaces the unionAll of three selects, which re-ran the WEDGE
+    # JOIN once per branch (the plan's dominant subtree, three times)
     return (
-        tri.select(F.col("x").alias("id"))
-        .unionAll(tri.select(F.col("y").alias("id")))
-        .unionAll(tri.select(F.col("z").alias("id")))
-        .groupBy(F.col("id").alias("doc_id"))
+        tri.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias(
+                "doc_id"
+            )
+        )
+        .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
 

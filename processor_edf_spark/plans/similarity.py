@@ -1021,8 +1021,10 @@ def knn_graph_lsh(spark, sf_dir):
     approximation itself is oracle-checkable — both engines rank the
     SAME candidate pairs.  Cost: the banded explode shuffle + per-bucket
     m² scoring + a per-key window over each vector's few collisions —
-    near-linear in true collisions, vs the grid's intrinsic quadratic."""
-    pairs = _lsh_pair_frame(spark, sf_dir)
+    near-linear in true collisions, vs the grid's intrinsic quadratic.
+    The pair frame feeds BOTH directions of the symmetrization union —
+    checkpointed so the bucket+score pipeline runs once, not twice."""
+    pairs = _lsh_pair_frame(spark, sf_dir).localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("vec_a").alias("vec_id"),
         F.col("vec_b").alias("neighbor_id"),
