@@ -283,37 +283,46 @@ def gap_fill_hourly(spark, sf_dir):
     The filled value is a raw double passed through untouched (no
     arithmetic) → bit-identical cross-engine.  The grid generation is
     ``sequence``+``explode`` riding the span aggregate (integer-hour
-    steps, no float boundaries).  Scale: every window and join is
-    partitioned by (user, day/hour) — one shuffle family, no hot keys;
-    grid density is bounded at 24 rows/user-day so the explode cannot
-    amplify beyond 24× the span count."""
+    steps, no float boundaries).
+
+    Plan shape (r14): two exchanges total.  The last-of-hour dedup is a
+    max_by aggregation (partial map-side, one exchange on (user, hour))
+    instead of a row_number window; the hour grid and its values come
+    from ONE (user, day) aggregate carrying an hour→value map, so the
+    old grid⋈hourly join (two more exchanges) disappears; the forward-
+    fill window reuses the (user, day) aggregation's partitioning
+    (sort only, no exchange).  max_by's (ts, event_id) struct ordering
+    is exactly the row_number DESC/DESC tie-break (event_id is unique).
+    Scale: grid density is bounded at 24 rows/user-day, so the per-day
+    map holds ≤24 entries."""
     (events,) = load(spark, sf_dir, "events")
-    ranked = events.select(
-        "user_id",
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-        "value",
-        F.row_number()
-        .over(
-            Window.partitionBy(
-                "user_id", F.date_trunc("hour", F.col("ts"))
-            ).orderBy(F.desc("ts"), F.desc("event_id"))
-        )
-        .alias("rn"),
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
+    byday = hourly.groupBy(
+        "user_id", F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
+        F.map_from_entries(
+            F.collect_list(F.struct("hour", "value"))
+        ).alias("m"),
     )
-    hourly = ranked.filter(F.col("rn") == 1).drop("rn")
-    spans = hourly.groupBy("user_id", "day").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    grid = spans.select(
+    grid = byday.select(
         "user_id",
         "day",
+        "m",
         F.explode(
             F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
         ).alias("hour"),
+    ).select(
+        "user_id",
+        "day",
+        "hour",
+        F.element_at("m", F.col("hour")).alias("value"),
     )
     wff = Window.partitionBy("user_id", "day").orderBy("hour")
-    return grid.join(hourly, ["user_id", "day", "hour"], "left").select(
+    return grid.select(
         "user_id",
         ts_usec("hour").alias("hour_usec"),
         F.last("value", ignorenulls=True).over(wff).alias("value_filled"),

@@ -78,36 +78,38 @@ def interp_linear_hourly(spark, sf_dir):
     itself is four window columns over the already-gridded frame — no
     extra shuffle."""
     (events,) = load(spark, sf_dir, "events")
-    ranked = events.select(
-        "user_id",
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
-        "value",
-        F.row_number()
-        .over(
-            Window.partitionBy(
-                "user_id", F.date_trunc("hour", F.col("ts"))
-            ).orderBy(F.desc("ts"), F.desc("event_id"))
-        )
-        .alias("rn"),
+    # gap_fill_hourly's r14 two-exchange shape: max_by dedup (one
+    # exchange on (user, hour)), hour→value map per (user, day) (second
+    # exchange), grid exploded from the span with values looked up in
+    # the map — no grid⋈hourly join; the interpolation windows below
+    # reuse the (user, day) partitioning (sorts only, no exchange).
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("value"))
+    byday = hourly.groupBy(
+        "user_id", F.date_trunc("day", F.col("hour")).alias("day")
+    ).agg(
+        F.min("hour").alias("h0"),
+        F.max("hour").alias("h1"),
+        F.map_from_entries(
+            F.collect_list(F.struct("hour", "value"))
+        ).alias("m"),
     )
-    hourly = ranked.filter(F.col("rn") == 1).drop("rn")
-    spans = hourly.groupBy("user_id", "day").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    grid = spans.select(
+    marked = byday.select(
         "user_id",
         "day",
+        "m",
         F.explode(
             F.sequence(F.col("h0"), F.col("h1"), F.expr("interval 1 hour"))
         ).alias("hour"),
-    )
-    marked = grid.join(hourly, ["user_id", "day", "hour"], "left").select(
+    ).select(
         "user_id",
         "day",
-        "value",
+        F.element_at("m", F.col("hour")).alias("value"),
         ts_usec("hour").alias("h_us"),
-        F.when(F.col("value").isNotNull(), ts_usec("hour")).alias("obs_us"),
+        F.when(
+            F.element_at("m", F.col("hour")).isNotNull(), ts_usec("hour")
+        ).alias("obs_us"),
     )
     w_asc = (
         Window.partitionBy("user_id", "day")
