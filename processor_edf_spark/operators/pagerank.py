@@ -62,7 +62,13 @@ def pagerank(
         # canonical_by_rank's coalesce path keeps every entity a
         # singleton survivor instead of crashing on 1/n.
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = (
+        edges.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        # read twice per round (dangling mass + inflow shares): one
+        # upfront materialization instead of 2·n_iter re-aggregations
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     converged = tol is None
@@ -76,25 +82,33 @@ def pagerank(
                 (F.col("rank") / F.col("deg")).alias("share"),
             )
         )
-        # dangling nodes (no out-edges) leak their whole rank: collect
-        # the scalar and spread it uniformly
-        dangling = (
+        # dangling nodes (no out-edges) leak their whole rank: a
+        # one-row aggregate redistributed uniformly.  It rides the
+        # round's ONE job as a broadcast cross-join instead of a
+        # per-round driver collect (which serialized a second full job
+        # every iteration); the column arithmetic nests exactly like
+        # the old python-side base = (1-d)/n + (d·dangling)/n, so ranks
+        # stay bit-identical (pinned vs numpy power iteration).
+        dang_df = (
             contribs.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
         )
         inbound = (
             contribs.join(edges, contribs["node"] == edges["s"])
             .groupBy(F.col("d").alias("node"))
             .agg(F.sum("share").alias("inflow"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
+        base = (
+            F.lit((1.0 - damping) / n)
+            + F.lit(damping) * F.col("dang") / F.lit(float(n))
+        )
         new_ranks = (
             nodes.join(inbound, "node", "left")
+            .crossJoin(F.broadcast(dang_df))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
