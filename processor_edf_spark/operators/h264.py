@@ -5429,7 +5429,9 @@ class _CabacDec:
     conventional zero padding, bounded so malformed streams still
     raise)."""
 
-    __slots__ = ("r", "range", "offset", "_s", "_m", "_over", "_nbits")
+    __slots__ = (
+        "r", "range", "offset", "_s", "_m", "_over", "_nbits", "_data"
+    )
 
     def __init__(self, r: _BitReader, ctx: np.ndarray):
         self.r = r
@@ -5437,6 +5439,7 @@ class _CabacDec:
         # the (N, 2) ndarray stays the constructor contract
         self._s = [int(x) for x in ctx[:, 0]]
         self._m = [int(x) for x in ctx[:, 1]]
+        self._data = r.data
         self._nbits = len(r.data) * 8
         self._over = 0
         self.range = 510
@@ -5445,8 +5448,12 @@ class _CabacDec:
             self.offset = (self.offset << 1) | self._bit()
 
     def _bit(self) -> int:
-        if self.r.pos < self._nbits:
-            return self.r.read(1)
+        # inlined 1-bit fast path of _BitReader.read (this is called
+        # once per renorm bit — ~15k times per small GOP)
+        p = self.r.pos
+        if p < self._nbits:
+            self.r.pos = p + 1
+            return (self._data[p >> 3] >> (7 - (p & 7))) & 1
         self._over += 1
         if self._over > 64:
             raise UnsupportedMediaError("h264: CABAC bitstream overrun")
