@@ -491,10 +491,23 @@ def _zigzag(v: int) -> int:
 
 
 def _best_rice_param(residuals: list[int], maxparam: int) -> int:
-    """Smallest-cost Rice parameter by exact bit count."""
+    """Smallest-cost Rice parameter by exact bit count.
+
+    Vectorized: the cost scan was maxparam full python passes over the
+    residuals (the encoder's hottest loop, profiled on the audio-dedup
+    row).  Same arithmetic — Σ(z>>p) + n·(1+p) over the zigzagged
+    values, ascending p, strict < keeps the first minimum — so the
+    chosen parameter (and therefore the bitstream) is unchanged.
+    Residuals here are < 2^22 (escape partitions handle the rest), far
+    inside int64."""
+    if not residuals:
+        return 0
+    v = np.asarray(residuals, dtype=np.int64)
+    z = np.where(v >= 0, v << 1, -(v << 1) - 1)
+    n = len(z)
     best, best_cost = 0, None
     for param in range(maxparam):
-        cost = sum((_zigzag(v) >> param) + 1 + param for v in residuals)
+        cost = int((z >> param).sum()) + n * (1 + param)
         if best_cost is None or cost < best_cost:
             best, best_cost = param, cost
     return best
