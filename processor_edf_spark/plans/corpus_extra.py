@@ -167,45 +167,66 @@ def _prefix_pairs_sql() -> str:
 
 @register("jaccard_prefix_pairs", _prefix_pairs_sql())
 def jaccard_prefix_pairs(spark, sf_dir):
-    """Token-set Jaccard join at t=0.95 via PPJoin-style
-    prefix filtering: order every document's distinct tokens by global
-    rarity (document frequency asc, token asc), keep only the first
-    |s| - ceil(t·|s|) + 1 tokens as the document's PREFIX, and generate
-    candidate pairs from prefix-token collisions only — provably lossless
-    for Jaccard >= t, so the result equals the exact shared-token-pairs
-    oracle while the candidate join touches only each document's RAREST
-    tokens (the frequency-ascending order makes prefix collision lists
-    short by construction; the hot-token quadratic blowup of the naive
-    shared-token join never happens).
+    """Token-set Jaccard join at t=0.95 via exact-set GROUPING +
+    PPJoin-style prefix filtering (r15 layout):
 
-    Verification joins the deduped candidate pairs back to per-document
-    token ARRAYS (docs are row-sized; array_intersect is per-pair local
-    work) — two broadcast-or-shuffle equi-joins, no corpus self-join.
+    1. Documents are grouped by their exact distinct-token SET (the
+       sorted array is the group key) — Jaccard depends on the set
+       alone, so every member of a group has the identical jaccard to
+       any third document and intra-group pairs are all exactly 1.0.
+       Candidate generation and verification then run over one
+       REPRESENTATIVE per group (min doc_id); a dup-heavy corpus (the
+       target workload) collapses quadratically: at sf0.1 the 5000 docs
+       hold 3935 distinct sets (one 248-doc exact-dup group), and the
+       candidate self-join falls 2.14 M → 1.19 M pairs.
+    2. Representatives run the r14 PPJoin pipeline: tokens ordered by
+       global rarity (document frequency asc over representatives, token
+       asc — ANY consistent total order keeps the prefix filter lossless,
+       per Chaudhuri et al. 2006), prefix = first |s| - ceil(t·|s|) + 1
+       tokens, candidates from prefix collisions + length filter,
+       verification by array_intersect on the group token arrays.
+    3. Passing representative pairs expand through the group membership
+       lists (same integer (na, nb, n_common) → bit-identical ROUND), and
+       intra-group pairs emit jaccard 1.0 directly — exactly the pairs
+       the shared-token oracle produces.
+
     The threshold compares the RAW double; only the output is rounded
     (the dedup_ngram_jaccard discipline — both engines compute the same
     integer/integer division).
     """
     (documents,) = load(spark, sf_dir, "documents")
     docs = spread(spark, documents)
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    # Group key: the SORTED distinct-token array (exact, no hash
+    # collisions).  Checkpointed: feeds the rep token stream, both
+    # verification array joins, and both expansion membership joins.
+    groups = (
+        docs.select(
+            "doc_id",
+            F.array_sort(F.array_distinct(tokens(F.col("text")))).alias("ts"),
+        )
+        .groupBy("ts")
+        .agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .withColumn("n", F.size("ts"))
+        .localCheckpoint(eager=True)
+    )
+    toks = groups.select(
+        F.col("gid").alias("doc_id"), F.explode("ts").alias("tok"), "n"
     )
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    # rarity rank within each doc; prefix keeps rn <= n - ceil(t*n) + 1
+    # rarity rank within each rep; prefix keeps rn <= n - ceil(t*n) + 1.
+    # (n rides from the group row — the r14 COUNT window is gone.)
     w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
-    ranked = (
-        toks.join(dfreq, "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
     # The prefix frame feeds BOTH sides of the candidate self-join;
     # localCheckpoint materializes it once instead of recomputing the
-    # scan → explode → dfreq join → double window on each side (measured
-    # 2× end-to-end at sf0.1).  It is ~(1-t) of the distinct-token stream
-    # (5% at t=0.95) held on executor-local storage — the same
-    # self-join-reuse discipline as operators/pagerank.py.
+    # stream → dfreq join → window on each side (measured 2× end-to-end
+    # at sf0.1).  It is ~(1-t) of the rep token stream (5% at t=0.95).
     prefix = (
-        ranked.filter(
+        toks.join(dfreq, "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
             F.col("rn")
             <= F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
         )
@@ -215,9 +236,6 @@ def jaccard_prefix_pairs(spark, sf_dir):
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin length filter (lossless): J >= t forces t·|x| <= |y| <= |x|/t,
     # so cross-size collisions die as a join residual BEFORE the distinct
-    # na/nb ride the candidate row (functionally dependent on the doc
-    # ids, so the DISTINCT cardinality is unchanged) — the verifier
-    # then never has to re-derive set sizes from the arrays
     cands = (
         a.join(
             b,
@@ -227,35 +245,43 @@ def jaccard_prefix_pairs(spark, sf_dir):
             & (F.col("a.n") * F.lit(PREFIX_JACCARD_T) <= F.col("b.n")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("ga"),
+            F.col("b.doc_id").alias("gb"),
             F.col("a.n").alias("na"),
             F.col("b.n").alias("nb"),
         )
+        # r15 parallelism fix: a plain .distinct() shuffles with
+        # ENSURE_REQUIREMENTS origin, and AQE coalesces its small-byte
+        # output (1.19 M pairs ≈ 40 MB) to ONE post-shuffle partition —
+        # which serialized the dedup AND the whole array_intersect
+        # verification onto a single core (the r14 row's 8c/32c ratio
+        # was 0.97).  An explicit hash repartition on the pair key is
+        # exempt from AQE coalescing, and the distinct's aggregate then
+        # REUSES that partitioning (same-key subset) — one shuffle, full
+        # width through dedup, joins and verification.  The width tracks
+        # the session shuffle conf, not a local constant.
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "ga", "gb"
+        )
         .distinct()
     )
-    arrs = docs.select(
-        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("ta")
-    )
-    ver = (
-        cands.join(arrs.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            arrs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("ta", "tb"),
-            "doc_b",
-        )
+    arrs = groups.select("gid", "ts")
+    ver = cands.join(
+        arrs.withColumnRenamed("gid", "ga").withColumnRenamed("ts", "ta"), "ga"
+    ).join(
+        arrs.withColumnRenamed("gid", "gb").withColumnRenamed("ts", "tb"), "gb"
     )
     # The intersection is computed ONCE per candidate into a
     # materialized stats frame (pairs × 5 longs).  Filtering on a
     # derived jac column directly makes Catalyst push the threshold
     # filter through the projection by substituting the alias — the
     # array_intersect then evaluates TWICE per row (once in the pushed
-    # filter, once in the output) and verification measured exactly 2×
-    # the single-eval cost (4.0 s vs 1.9 s at sf0.1's 2.1 M candidates).
-    # The checkpoint is O(candidates) local longs, the same order as
-    # the join output it truncates.
+    # filter, once in the output; verification in r14 measured exactly
+    # 2× the single-eval cost).  The checkpoint is O(candidates) local
+    # longs, the same order as the join output it truncates.
     stats = ver.select(
-        "doc_a",
-        "doc_b",
+        "ga",
+        "gb",
         "na",
         "nb",
         F.size(F.array_intersect("ta", "tb")).alias("n_common"),
@@ -263,9 +289,48 @@ def jaccard_prefix_pairs(spark, sf_dir):
     jac = F.col("n_common") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     ).cast("double")
-    return stats.filter(jac >= PREFIX_JACCARD_T).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    gpass = stats.filter(jac >= PREFIX_JACCARD_T).select(
+        "ga", "gb", F.round(jac, 4).alias("jaccard")
     )
+    # Expansion: every member pair across two passing groups carries the
+    # identical (na, nb, n_common) integers, hence the identical rounded
+    # double; intra-group pairs are n/(n+n-n) = 1.0 exactly on both
+    # engines.  Groups are disjoint and reps are ordered (ga < gb), so
+    # each unordered doc pair is emitted exactly once.
+    mem = groups.select("gid", "members")
+    inter = (
+        gpass.join(
+            mem.withColumnRenamed("gid", "ga").withColumnRenamed(
+                "members", "ma"
+            ),
+            "ga",
+        )
+        .join(
+            mem.withColumnRenamed("gid", "gb").withColumnRenamed(
+                "members", "mb"
+            ),
+            "gb",
+        )
+        .select(F.explode("ma").alias("x"), "mb", "jaccard")
+        .select("x", F.explode("mb").alias("y"), "jaccard")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("x"), "members")
+        .select("x", F.explode("members").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------

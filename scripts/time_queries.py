@@ -19,7 +19,11 @@ from processor_edf_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = "/root/testdata/sf0.1"
+    # bench contract defaults (r15, per ADVICE): honor the same env vars
+    # bench.py reads so isolated timings reproduce bench conditions on
+    # any host; flags still override for ad-hoc comparisons.
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     reps = 1
     names = []
     while args:
@@ -28,9 +32,11 @@ def main() -> None:
             sf_dir = args.pop(0)
         elif a == "--reps":
             reps = int(args.pop(0))
+        elif a == "--cpus":
+            cpus = int(args.pop(0))
         else:
             names.append(a)
-    spark = get_spark("time_queries", cpus=32)
+    spark = get_spark("time_queries", cpus=cpus)
     for name in names:
         fn = QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
