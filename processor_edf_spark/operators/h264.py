@@ -576,10 +576,28 @@ _RUN_BEFORE = [
 
 
 def _vlc_tree(table) -> dict:
-    """(length, value) map -> decode dict keyed by (length, value)."""
+    """(length, value) map -> decode dict keyed by (length, value).
+
+    r15: the dict additionally carries a 256-entry first-level table
+    under the string key "f8": entry w = (symbol, length) for the unique
+    code of length <= 8 that prefixes the 8-bit window w (codes are
+    prefix-free; shortest-first fill mirrors the sequential bit scan).
+    _read_vlc resolves almost every code with ONE list index instead of
+    a per-bit loop; codes longer than 8 bits fall back to the dict."""
     if isinstance(table, dict):
-        return {lv: k for k, lv in table.items()}
-    return {lv: i for i, lv in enumerate(table)}
+        tree = {lv: k for k, lv in table.items()}
+    else:
+        tree = {lv: i for i, lv in enumerate(table)}
+    f8 = [None] * 256
+    for (length, value), hit in sorted(tree.items()):
+        if length > 8:
+            continue
+        base = value << (8 - length)
+        for wdw in range(base, base + (1 << (8 - length))):
+            if f8[wdw] is None:
+                f8[wdw] = (hit, length)
+    tree["f8"] = f8
+    return tree
 
 
 _CT_DECODE = {
@@ -606,13 +624,39 @@ def _ct_class(nc: int) -> int:
 
 
 def _read_vlc(r: _BitReader, tree: dict, what: str):
-    length, value = 0, 0
-    while length < 32:
-        value = (value << 1) | r.read(1)
-        length += 1
-        hit = tree.get((length, value))
-        if hit is not None:
+    # r15 kernel pass: peek an 8-bit window and resolve short codes with
+    # ONE first-level table index (see _vlc_tree) — the per-bit read(1)
+    # loop paid a method call per bit and dominated the CAVLC decode
+    # profile.  Decoded (length, value) pairs are exactly the old
+    # loop's; truncation raises at the same bit positions.
+    data = r.data
+    pos = r.pos
+    avail = len(data) * 8 - pos
+    byt = pos >> 3
+    b2 = data[byt : byt + 2]
+    win8 = (
+        (int.from_bytes(b2, "big") << (16 - 8 * len(b2))) >> (8 - (pos & 7))
+    ) & 0xFF
+    ent = tree["f8"][win8]
+    if ent is not None:
+        hit, length = ent
+        if length <= avail:
+            r.pos = pos + length
             return hit
+        raise UnsupportedMediaError("h264: bitstream truncated")
+    # long codes (9..32 bits): walk prefix lengths over a 32-bit window
+    chunk = data[byt : byt + 5]
+    win = int.from_bytes(chunk, "big") << ((5 - len(chunk)) * 8)
+    win = (win >> (8 - (pos & 7))) & 0xFFFFFFFF
+    get = tree.get
+    limit = 32 if avail >= 32 else avail
+    for length in range(9, limit + 1):
+        hit = get((length, win >> (32 - length)))
+        if hit is not None:
+            r.pos = pos + length
+            return hit
+    if avail < 32:
+        raise UnsupportedMediaError("h264: bitstream truncated")
     raise UnsupportedMediaError(f"h264: invalid {what} code")
 
 
@@ -639,11 +683,22 @@ def _write_coeff_token(w: _BitWriter, nc: int, tc: int, t1: int) -> None:
 
 def _read_level(r: _BitReader, suffix_len: int) -> int:
     """One non-trailing level (spec §9.2.2.1)."""
+    # leading-zero scan inline over the byte array (the per-bit read(1)
+    # loop paid a method call per prefix bit) — same truncation/overrun
+    # raises at the same bit positions.
+    data, nbits = r.data, len(r.data) * 8
+    p = r.pos
     prefix = 0
-    while r.read(1) == 0:
+    while True:
+        if p >= nbits:
+            raise UnsupportedMediaError("h264: bitstream truncated")
+        if data[p >> 3] & (0x80 >> (p & 7)):
+            break
+        p += 1
         prefix += 1
         if prefix > 47:
             raise UnsupportedMediaError("h264: level_prefix overrun")
+    r.pos = p + 1
     if prefix == 14 and suffix_len == 0:
         suffix_size = 4
     elif prefix >= 15:
@@ -834,47 +889,85 @@ def _pos_class(i: int, j: int) -> int:
     return 2
 
 
-def _dequant4x4(coeffs: list[int], qp: int, skip_dc: bool) -> np.ndarray:
-    """Scan-order CAVLC coefficients -> dequantized 4x4 (spec
+# (i, j, position class) per zig-zag scan index — hoists the _pos_class
+# branch out of the per-coefficient loops (r15 kernel pass)
+_ZZ_POSCLS = [(i, j, _pos_class(i, j)) for i, j in _ZIGZAG]
+
+
+def _dequant4x4(coeffs: list[int], qp: int, skip_dc: bool) -> list[list[int]]:
+    """Scan-order CAVLC coefficients -> dequantized 4x4 row lists (spec
     §8.5.12.1).  ``skip_dc``: position (0,0) left at 0 (its value comes
     from the separate DC transform for I_16x16 / chroma)."""
-    d = np.zeros((4, 4), np.int64)
+    rows = [[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]]
     v = _DEQUANT_V[qp % 6]
+    shift = qp // 6
     first = 1 if skip_dc else 0
     offs = first  # AC blocks carry 15 coeffs starting at scan index 1
     for s in range(first, 16):
         c = coeffs[s - offs]
         if c == 0:
             continue
-        i, j = _ZIGZAG[s]
-        ls = v[_pos_class(i, j)]
+        i, j, pc = _ZZ_POSCLS[s]
         # pairs with _itransform4x4's final (f + 32) >> 6 rounding
-        d[i, j] = (c * ls) << (qp // 6)
-    return d
+        rows[i][j] = (c * v[pc]) << shift
+    # returns plain-int rows (r15): _itransform4x4 consumes them
+    # directly, skipping one ndarray construction per residual block
+    return rows
 
 
-def _itransform4x4(d: np.ndarray) -> np.ndarray:
+def _itransform4x4(d) -> np.ndarray:
     """Inverse core transform (spec §8.5.12.2), result pre-clip
     residual (already includes the (x+32)>>6 rounding).  Butterflies
     run on plain python ints (python's >> floors exactly like the int64
     arithmetic shift) — per-element ndarray indexing made this the
-    hottest non-entropy function of the codec family."""
-    t = []
-    for d0, d1, d2, d3 in d.tolist():
-        e0, e1 = d0 + d2, d0 - d2
-        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
-        t.append((e0 + e3, e1 + e2, e1 - e2, e0 - e3))
-    t0, t1, t2, t3 = t
-    out = [[0] * 4 for _ in range(4)]
+    hottest non-entropy function of the codec family.  Accepts either
+    an ndarray or the plain row lists _dequant4x4 now returns.  Fully
+    unrolled (r15): loop/tuple scaffolding was ~40% of the call."""
+    r0, r1, r2, r3 = d.tolist() if isinstance(d, np.ndarray) else d
+    a0, a1, a2, a3 = r0
+    b0, b1, b2, b3 = r1
+    c0, c1, c2, c3 = r2
+    d0, d1, d2, d3 = r3
+    # horizontal butterflies (per input row)
+    e0, e1 = a0 + a2, a0 - a2
+    e2, e3 = (a1 >> 1) - a3, a1 + (a3 >> 1)
+    a0, a1, a2, a3 = e0 + e3, e1 + e2, e1 - e2, e0 - e3
+    e0, e1 = b0 + b2, b0 - b2
+    e2, e3 = (b1 >> 1) - b3, b1 + (b3 >> 1)
+    b0, b1, b2, b3 = e0 + e3, e1 + e2, e1 - e2, e0 - e3
+    e0, e1 = c0 + c2, c0 - c2
+    e2, e3 = (c1 >> 1) - c3, c1 + (c3 >> 1)
+    c0, c1, c2, c3 = e0 + e3, e1 + e2, e1 - e2, e0 - e3
+    e0, e1 = d0 + d2, d0 - d2
+    e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+    d0, d1, d2, d3 = e0 + e3, e1 + e2, e1 - e2, e0 - e3
+    # vertical butterflies (per column) + rounding
+    out = [[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]]
     o0, o1, o2, o3 = out
-    for j in range(4):
-        d0, d1, d2, d3 = t0[j], t1[j], t2[j], t3[j]
-        e0, e1 = d0 + d2, d0 - d2
-        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
-        o0[j] = (e0 + e3 + 32) >> 6
-        o1[j] = (e1 + e2 + 32) >> 6
-        o2[j] = (e1 - e2 + 32) >> 6
-        o3[j] = (e0 - e3 + 32) >> 6
+    e0, e1 = a0 + c0, a0 - c0
+    e2, e3 = (b0 >> 1) - d0, b0 + (d0 >> 1)
+    o0[0] = (e0 + e3 + 32) >> 6
+    o1[0] = (e1 + e2 + 32) >> 6
+    o2[0] = (e1 - e2 + 32) >> 6
+    o3[0] = (e0 - e3 + 32) >> 6
+    e0, e1 = a1 + c1, a1 - c1
+    e2, e3 = (b1 >> 1) - d1, b1 + (d1 >> 1)
+    o0[1] = (e0 + e3 + 32) >> 6
+    o1[1] = (e1 + e2 + 32) >> 6
+    o2[1] = (e1 - e2 + 32) >> 6
+    o3[1] = (e0 - e3 + 32) >> 6
+    e0, e1 = a2 + c2, a2 - c2
+    e2, e3 = (b2 >> 1) - d2, b2 + (d2 >> 1)
+    o0[2] = (e0 + e3 + 32) >> 6
+    o1[2] = (e1 + e2 + 32) >> 6
+    o2[2] = (e1 - e2 + 32) >> 6
+    o3[2] = (e0 - e3 + 32) >> 6
+    e0, e1 = a3 + c3, a3 - c3
+    e2, e3 = (b3 >> 1) - d3, b3 + (d3 >> 1)
+    o0[3] = (e0 + e3 + 32) >> 6
+    o1[3] = (e1 + e2 + 32) >> 6
+    o2[3] = (e1 - e2 + 32) >> 6
+    o3[3] = (e0 - e3 + 32) >> 6
     return np.array(out, np.int64)
 
 
@@ -1223,7 +1316,9 @@ def _scale_chroma_dc(f: np.ndarray, qpc: int) -> np.ndarray:
 
 
 def _clip_u8(x: np.ndarray) -> np.ndarray:
-    return np.clip(x, 0, 255).astype(np.uint8)
+    # ndarray method form: np.clip routes through two dispatch wrappers
+    # per call, measurable at one call per residual block
+    return x.clip(0, 255).astype(np.uint8)
 
 
 def _pred4x4(plane, y0, x0, mode, a_left, a_top, a_tl, a_tr):
@@ -1231,44 +1326,48 @@ def _pred4x4(plane, y0, x0, mode, a_left, a_top, a_tl, a_tr):
     Availability flags follow §6.4.11/§8.3.1: when the above-right
     samples are unavailable but the above row is, they substitute the
     rightmost above sample."""
-    left = plane[y0 : y0 + 4, x0 - 1].astype(np.int64) if a_left else None
-    top = plane[y0 - 1, x0 : x0 + 4].astype(np.int64) if a_top else None
+    # python lists + plain ints throughout (r15 kernel pass): the mode
+    # 3-8 branches are per-pixel loops, and per-element ndarray reads/
+    # writes (~1 µs each) dominated them; arithmetic is unchanged.
+    left = plane[y0 : y0 + 4, x0 - 1].tolist() if a_left else None
+    top = plane[y0 - 1, x0 : x0 + 4].tolist() if a_top else None
     tl = int(plane[y0 - 1, x0 - 1]) if a_tl else None
     if a_top:
         if a_tr:
-            tr = plane[y0 - 1, x0 + 4 : x0 + 8].astype(np.int64)
+            tr = plane[y0 - 1, x0 + 4 : x0 + 8].tolist()
         else:
-            tr = np.full(4, top[3], np.int64)
-        a8 = np.concatenate([top, tr])  # p[0..7, -1]
+            tr = [top[3]] * 4
+        a8 = top + tr  # p[0..7, -1]
     else:
         a8 = None
-    p = np.empty((4, 4), np.int64)
     if mode == 0:  # vertical
         if top is None:
             raise UnsupportedMediaError("h264: intra mode needs above row")
-        p[:] = top[None, :]
+        p = [list(top) for _ in range(4)]
     elif mode == 1:  # horizontal
         if left is None:
             raise UnsupportedMediaError("h264: intra mode needs left column")
-        p[:] = left[:, None]
+        p = [[v] * 4 for v in left]
     elif mode == 2:  # DC
         if top is not None and left is not None:
-            p[:] = (int(top.sum()) + int(left.sum()) + 4) >> 3
+            dcv = (sum(top) + sum(left) + 4) >> 3
         elif left is not None:
-            p[:] = (int(left.sum()) + 2) >> 2
+            dcv = (sum(left) + 2) >> 2
         elif top is not None:
-            p[:] = (int(top.sum()) + 2) >> 2
+            dcv = (sum(top) + 2) >> 2
         else:
-            p[:] = 128
+            dcv = 128
+        p = [[dcv] * 4 for _ in range(4)]
     elif mode == 3:  # diagonal down-left
         if a8 is None:
             raise UnsupportedMediaError("h264: intra mode needs above row")
+        p = [[0] * 4 for _ in range(4)]
         for y in range(4):
             for x in range(4):
                 if x == 3 and y == 3:
-                    p[y, x] = (a8[6] + 3 * a8[7] + 2) >> 2
+                    p[y][x] = (a8[6] + 3 * a8[7] + 2) >> 2
                 else:
-                    p[y, x] = (
+                    p[y][x] = (
                         a8[x + y] + 2 * a8[x + y + 1] + a8[x + y + 2] + 2
                     ) >> 2
     elif mode in (4, 5, 6):  # need left + top + top-left
@@ -1276,103 +1375,106 @@ def _pred4x4(plane, y0, x0, mode, a_left, a_top, a_tl, a_tr):
             raise UnsupportedMediaError(
                 "h264: intra mode needs left+above+corner"
             )
+        p = [[0] * 4 for _ in range(4)]
 
         def ref(x, y):  # p[x, -1] / p[-1, y] / p[-1, -1]
             if y == -1:
-                return tl if x == -1 else int(top[x])
-            return int(left[y])
+                return tl if x == -1 else top[x]
+            return left[y]
 
         for y in range(4):
             for x in range(4):
                 if mode == 4:  # diagonal down-right
                     if x > y:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(x - y - 2, -1) + 2 * ref(x - y - 1, -1)
                             + ref(x - y, -1) + 2
                         ) >> 2
                     elif x < y:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(-1, y - x - 2) + 2 * ref(-1, y - x - 1)
                             + ref(-1, y - x) + 2
                         ) >> 2
                     else:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(0, -1) + 2 * tl + ref(-1, 0) + 2
                         ) >> 2
                 elif mode == 5:  # vertical-right
                     z = 2 * x - y
                     if z >= 0 and z % 2 == 0:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(x - (y >> 1) - 1, -1)
                             + ref(x - (y >> 1), -1) + 1
                         ) >> 1
                     elif z >= 0:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(x - (y >> 1) - 2, -1)
                             + 2 * ref(x - (y >> 1) - 1, -1)
                             + ref(x - (y >> 1), -1) + 2
                         ) >> 2
                     elif z == -1:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(-1, 0) + 2 * tl + ref(0, -1) + 2
                         ) >> 2
                     else:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(-1, y - 1) + 2 * ref(-1, y - 2)
                             + ref(-1, y - 3) + 2
                         ) >> 2
                 else:  # horizontal-down
                     z = 2 * y - x
                     if z >= 0 and z % 2 == 0:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(-1, y - (x >> 1) - 1)
                             + ref(-1, y - (x >> 1)) + 1
                         ) >> 1
                     elif z >= 0:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(-1, y - (x >> 1) - 2)
                             + 2 * ref(-1, y - (x >> 1) - 1)
                             + ref(-1, y - (x >> 1)) + 2
                         ) >> 2
                     elif z == -1:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(-1, 0) + 2 * tl + ref(0, -1) + 2
                         ) >> 2
                     else:
-                        p[y, x] = (
+                        p[y][x] = (
                             ref(x - 1, -1) + 2 * ref(x - 2, -1)
                             + ref(x - 3, -1) + 2
                         ) >> 2
     elif mode == 7:  # vertical-left
         if a8 is None:
             raise UnsupportedMediaError("h264: intra mode needs above row")
+        p = [[0] * 4 for _ in range(4)]
         for y in range(4):
             for x in range(4):
                 i = x + (y >> 1)
                 if y % 2 == 0:
-                    p[y, x] = (a8[i] + a8[i + 1] + 1) >> 1
+                    p[y][x] = (a8[i] + a8[i + 1] + 1) >> 1
                 else:
-                    p[y, x] = (a8[i] + 2 * a8[i + 1] + a8[i + 2] + 2) >> 2
+                    p[y][x] = (a8[i] + 2 * a8[i + 1] + a8[i + 2] + 2) >> 2
     elif mode == 8:  # horizontal-up
         if left is None:
             raise UnsupportedMediaError("h264: intra mode needs left column")
+        p = [[0] * 4 for _ in range(4)]
         for y in range(4):
             for x in range(4):
                 z = x + 2 * y
                 i = y + (x >> 1)
                 if z % 2 == 0 and z < 5:
-                    p[y, x] = (left[i] + left[i + 1] + 1) >> 1
+                    p[y][x] = (left[i] + left[i + 1] + 1) >> 1
                 elif z < 5:
-                    p[y, x] = (
+                    p[y][x] = (
                         left[i] + 2 * left[i + 1] + left[min(3, i + 2)] + 2
                     ) >> 2
                 elif z == 5:
-                    p[y, x] = (left[2] + 3 * left[3] + 2) >> 2
+                    p[y][x] = (left[2] + 3 * left[3] + 2) >> 2
                 else:
-                    p[y, x] = left[3]
+                    p[y][x] = left[3]
     else:
         raise UnsupportedMediaError("h264: invalid intra 4x4 mode")
-    return p
+    return np.array(p, np.int64)
 
 
 def _pred_block16(plane, y0, x0, mode, a_left, a_top, size):
@@ -1603,44 +1705,59 @@ class _PicCtx:
         other_mb = (row // blk_per_mb_row) * self.mb_w + (
             col // blk_per_mb_row
         )
-        return self._same_slice(mb_idx, other_mb)
+        # _same_slice inlined (hot: several probes per residual block)
+        ms = self.mb_slice
+        return ms[other_mb] == ms[mb_idx]
+
+    def _blk_at(self, nc, row, col, mb_idx, blk_per_mb_row) -> int:
+        """Value at (row, col) when that block is available in the same
+        slice, else -1 — fuses _blk_avail with the value read (the
+        availability probe and the follow-up read each paid a ~1 µs
+        ndarray scalar access; every stored value is >= 0, so -1 is a
+        safe sentinel)."""
+        if row < 0 or col < 0 or col >= nc.shape[1]:
+            return -1
+        v = nc[row, col]
+        if v < 0:
+            return -1
+        other_mb = (row // blk_per_mb_row) * self.mb_w + (
+            col // blk_per_mb_row
+        )
+        ms = self.mb_slice
+        return int(v) if ms[other_mb] == ms[mb_idx] else -1
 
     def luma_nc(self, row, col, mb_idx) -> int:
         """nC for the luma 4x4 block at block coords (row, col)."""
-        a = self._blk_avail(self.nc_y, row, col - 1, mb_idx, 4)
-        b = self._blk_avail(self.nc_y, row - 1, col, mb_idx, 4)
-        if a and b:
-            return (
-                int(self.nc_y[row, col - 1])
-                + int(self.nc_y[row - 1, col]) + 1
-            ) >> 1
-        if a:
-            return int(self.nc_y[row, col - 1])
-        if b:
-            return int(self.nc_y[row - 1, col])
+        a = self._blk_at(self.nc_y, row, col - 1, mb_idx, 4)
+        b = self._blk_at(self.nc_y, row - 1, col, mb_idx, 4)
+        if a >= 0 and b >= 0:
+            return (a + b + 1) >> 1
+        if a >= 0:
+            return a
+        if b >= 0:
+            return b
         return 0
 
     def chroma_nc(self, comp, row, col, mb_idx) -> int:
         nc = self.nc_c[comp]
-        a = self._blk_avail(nc, row, col - 1, mb_idx, 2)
-        b = self._blk_avail(nc, row - 1, col, mb_idx, 2)
-        if a and b:
-            return (int(nc[row, col - 1]) + int(nc[row - 1, col]) + 1) >> 1
-        if a:
-            return int(nc[row, col - 1])
-        if b:
-            return int(nc[row - 1, col])
+        a = self._blk_at(nc, row, col - 1, mb_idx, 2)
+        b = self._blk_at(nc, row - 1, col, mb_idx, 2)
+        if a >= 0 and b >= 0:
+            return (a + b + 1) >> 1
+        if a >= 0:
+            return a
+        if b >= 0:
+            return b
         return 0
 
     def pred_mode4(self, row, col, mb_idx) -> int:
         """Predicted Intra4x4PredMode = min(modeA, modeB), DC when a
         neighbor is unavailable (§8.3.1.1)."""
-        a_ok = self._blk_avail(self.mode4, row, col - 1, mb_idx, 4)
-        b_ok = self._blk_avail(self.mode4, row - 1, col, mb_idx, 4)
-        if not (a_ok and b_ok):
+        a = self._blk_at(self.mode4, row, col - 1, mb_idx, 4)
+        b = self._blk_at(self.mode4, row - 1, col, mb_idx, 4)
+        if a < 0 or b < 0:
             return 2
-        return min(int(self.mode4[row, col - 1]),
-                   int(self.mode4[row - 1, col]))
+        return a if a < b else b
 
 
 def _decode_intra_mb(
@@ -1801,8 +1918,8 @@ def _decode_intra_mb(
                 tc = 15 - ac.count(0)
                 d = _dequant4x4(ac, ctx.qp, True)
             else:
-                tc, d = 0, np.zeros((4, 4), np.int64)
-            d[0, 0] = dc[dy, dx]
+                tc, d = 0, [[0, 0, 0, 0] for _ in range(4)]
+            d[0][0] = int(dc[dy, dx])
             res = _itransform4x4(d)
             py, px = rb * 4, cb_ * 4
             ctx.y[py : py + 4, px : px + 4] = _clip_u8(
@@ -1864,9 +1981,9 @@ def _intra_chroma(r, ctx, mb_idx, chroma_mode, cbp_chroma, qpc,
             d = (
                 _dequant4x4(ac, qpc, True)
                 if ac is not None
-                else np.zeros((4, 4), np.int64)
+                else [[0, 0, 0, 0] for _ in range(4)]
             )
-            d[0, 0] = dcc[cdy, cdx]
+            d[0][0] = int(dcc[cdy, cdx])
             res = _itransform4x4(d)
             py, px = cy0 + cdy * 4, cx0 + cdx * 4
             plane[py : py + 4, px : px + 4] = _clip_u8(
@@ -1892,12 +2009,24 @@ def _interp_luma(plane, y0, x0, bh, bw, mvy, mvx):
     iy, ix = y0 + (mvy >> 2), x0 + (mvx >> 2)
     fy, fx = mvy & 3, mvx & 3
     hh, ww = plane.shape
-    rows = np.clip(np.arange(iy - 2, iy + bh + 3), 0, hh - 1)
-    cols = np.clip(np.arange(ix - 2, ix + bw + 3), 0, ww - 1)
-    wnd = plane[np.ix_(rows, cols)].astype(np.int32)  # (bh+5, bw+5)
-    g = wnd[2 : 2 + bh, 2 : 2 + bw]
+    # r15: interior blocks (the overwhelming majority) slice the plane
+    # directly instead of building clip/arange/ix_ gather indices —
+    # identical samples, since clipping is a no-op in-bounds.
     if fx == 0 and fy == 0:
-        return g.astype(np.uint8)
+        if 0 <= iy <= hh - bh and 0 <= ix <= ww - bw:
+            return plane[iy : iy + bh, ix : ix + bw].astype(np.uint8)
+        rows = np.clip(np.arange(iy, iy + bh), 0, hh - 1)
+        cols = np.clip(np.arange(ix, ix + bw), 0, ww - 1)
+        return plane[np.ix_(rows, cols)].astype(np.uint8)
+    if 2 <= iy <= hh - bh - 3 and 2 <= ix <= ww - bw - 3:
+        wnd = plane[iy - 2 : iy + bh + 3, ix - 2 : ix + bw + 3].astype(
+            np.int32
+        )  # (bh+5, bw+5)
+    else:
+        rows = np.clip(np.arange(iy - 2, iy + bh + 3), 0, hh - 1)
+        cols = np.clip(np.arange(ix - 2, ix + bw + 3), 0, ww - 1)
+        wnd = plane[np.ix_(rows, cols)].astype(np.int32)  # (bh+5, bw+5)
+    g = wnd[2 : 2 + bh, 2 : 2 + bw]
     # unrounded 6-tap intermediates: horizontal at every row,
     # vertical at every column (the j position filters these again)
     bfull = (
@@ -1948,9 +2077,13 @@ def _interp_chroma(plane, y0, x0, bh, bw, mvy, mvx):
     iy, ix = y0 + (mvy >> 3), x0 + (mvx >> 3)
     fy, fx = mvy & 7, mvx & 7
     hh, ww = plane.shape
-    rows = np.clip(np.arange(iy, iy + bh + 1), 0, hh - 1)
-    cols = np.clip(np.arange(ix, ix + bw + 1), 0, ww - 1)
-    wnd = plane[np.ix_(rows, cols)].astype(np.int32)
+    if 0 <= iy <= hh - bh - 1 and 0 <= ix <= ww - bw - 1:
+        # interior fast path (see _interp_luma)
+        wnd = plane[iy : iy + bh + 1, ix : ix + bw + 1].astype(np.int32)
+    else:
+        rows = np.clip(np.arange(iy, iy + bh + 1), 0, hh - 1)
+        cols = np.clip(np.arange(ix, ix + bw + 1), 0, ww - 1)
+        wnd = plane[np.ix_(rows, cols)].astype(np.int32)
     out = (
         (8 - fx) * (8 - fy) * wnd[:bh, :bw]
         + fx * (8 - fy) * wnd[:bh, 1 : bw + 1]
@@ -2283,9 +2416,9 @@ def _inter_residual(r: _BitReader, ctx: _PicCtx, pps: _PPS,
                 d = (
                     _dequant4x4(ac, qpc, True)
                     if ac is not None
-                    else np.zeros((4, 4), np.int64)
+                    else [[0, 0, 0, 0] for _ in range(4)]
                 )
-                d[0, 0] = dcc[cdy, cdx]
+                d[0][0] = int(dcc[cdy, cdx])
                 res = _itransform4x4(d)
                 py, px = cy0 + cdy * 4, cx0 + cdx * 4
                 pred = plane[py : py + 4, px : px + 4].astype(np.int64)
@@ -3729,22 +3862,44 @@ def encode_h264_ipcm(frames, width: int, height: int,
 
 def _ftransform4x4(x: np.ndarray) -> np.ndarray:
     """Forward core transform (spec §8.5 inverse's exact adjoint).
-    Plain-int butterflies for the same reason as _itransform4x4."""
-    t = []
-    for x0, x1, x2, x3 in np.asarray(x).tolist():
-        e0, e1, e2, e3 = x0 + x3, x1 + x2, x1 - x2, x0 - x3
-        t.append((e0 + e1, (e3 << 1) + e2, e0 - e1, e3 - (e2 << 1)))
-    t0, t1, t2, t3 = t
-    out = [[0] * 4 for _ in range(4)]
+    Plain-int butterflies for the same reason as _itransform4x4; fully
+    unrolled (r15) like it."""
+    r0, r1, r2, r3 = np.asarray(x).tolist()
+    a0, a1, a2, a3 = r0
+    b0, b1, b2, b3 = r1
+    c0, c1, c2, c3 = r2
+    d0, d1, d2, d3 = r3
+    e0, e1, e2, e3 = a0 + a3, a1 + a2, a1 - a2, a0 - a3
+    a0, a1, a2, a3 = e0 + e1, (e3 << 1) + e2, e0 - e1, e3 - (e2 << 1)
+    e0, e1, e2, e3 = b0 + b3, b1 + b2, b1 - b2, b0 - b3
+    b0, b1, b2, b3 = e0 + e1, (e3 << 1) + e2, e0 - e1, e3 - (e2 << 1)
+    e0, e1, e2, e3 = c0 + c3, c1 + c2, c1 - c2, c0 - c3
+    c0, c1, c2, c3 = e0 + e1, (e3 << 1) + e2, e0 - e1, e3 - (e2 << 1)
+    e0, e1, e2, e3 = d0 + d3, d1 + d2, d1 - d2, d0 - d3
+    d0, d1, d2, d3 = e0 + e1, (e3 << 1) + e2, e0 - e1, e3 - (e2 << 1)
+    out = [[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]]
     o0, o1, o2, o3 = out
-    for j in range(4):
-        x0, x1, x2, x3 = t0[j], t1[j], t2[j], t3[j]
-        e0, e1, e2, e3 = x0 + x3, x1 + x2, x1 - x2, x0 - x3
-        o0[j] = e0 + e1
-        o1[j] = (e3 << 1) + e2
-        o2[j] = e0 - e1
-        o3[j] = e3 - (e2 << 1)
-    return np.array(out, np.int64)
+    e0, e1, e2, e3 = a0 + d0, b0 + c0, b0 - c0, a0 - d0
+    o0[0] = e0 + e1
+    o1[0] = (e3 << 1) + e2
+    o2[0] = e0 - e1
+    o3[0] = e3 - (e2 << 1)
+    e0, e1, e2, e3 = a1 + d1, b1 + c1, b1 - c1, a1 - d1
+    o0[1] = e0 + e1
+    o1[1] = (e3 << 1) + e2
+    o2[1] = e0 - e1
+    o3[1] = e3 - (e2 << 1)
+    e0, e1, e2, e3 = a2 + d2, b2 + c2, b2 - c2, a2 - d2
+    o0[2] = e0 + e1
+    o1[2] = (e3 << 1) + e2
+    o2[2] = e0 - e1
+    o3[2] = e3 - (e2 << 1)
+    e0, e1, e2, e3 = a3 + d3, b3 + c3, b3 - c3, a3 - d3
+    o0[3] = e0 + e1
+    o1[3] = (e3 << 1) + e2
+    o2[3] = e0 - e1
+    o3[3] = e3 - (e2 << 1)
+    return out
 
 
 def _quant_coeff(c: int, qp: int, pos: int, dc: bool = False) -> int:
@@ -3759,12 +3914,23 @@ def _quant_coeff(c: int, qp: int, pos: int, dc: bool = False) -> int:
 
 
 def _quant_block(w4: np.ndarray, qp: int, skip_dc: bool) -> list[int]:
-    """Forward-transformed 4x4 -> scan-order quantized levels."""
+    """Forward-transformed 4x4 -> scan-order quantized levels.
+    Inlines :func:`_quant_coeff` (non-DC form) over a one-shot tolist()
+    — the per-coefficient call + ndarray scalar reads were ~13% of the
+    encode profile (r15 kernel pass); arithmetic unchanged."""
+    rows = w4.tolist() if isinstance(w4, np.ndarray) else w4
+    mf3 = _QUANT_MF[qp % 6]
+    qbits = 15 + qp // 6
+    f = (1 << qbits) // 3  # intra rounding
     first = 1 if skip_dc else 0
     out = []
     for s in range(first, 16):
-        i, j = _ZIGZAG[s]
-        out.append(_quant_coeff(int(w4[i, j]), qp, _pos_class(i, j)))
+        i, j, pc = _ZZ_POSCLS[s]
+        c = rows[i][j]
+        if c < 0:
+            out.append(-(((-c) * mf3[pc] + f) >> qbits))
+        else:
+            out.append((c * mf3[pc] + f) >> qbits)
     return out
 
 
@@ -3957,7 +4123,7 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
             w4 = _ftransform4x4(
                 resid[cdy * 4 : cdy * 4 + 4, cdx * 4 : cdx * 4 + 4]
             )
-            dcs[cdy, cdx] = w4[0, 0]
+            dcs[cdy, cdx] = w4[0][0]
             wmats.append(w4)
         hdc = _hadamard2x2(dcs)
         dq = [
@@ -4132,7 +4298,7 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
             w4 = _ftransform4x4(
                 resid[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4]
             )
-            dcs[dy, dx] = w4[0, 0]
+            dcs[dy, dx] = w4[0][0]
             wmats.append(w4)
         hdc = _hadamard4x4(dcs)
         dcq = [
@@ -4155,9 +4321,9 @@ def _encode_one_mb(w, ctx, mb, f_idx, qp, qpc, y_pad, u_pad, v_pad,
             d = (
                 _dequant4x4(acq[blk], qp, True)
                 if cbp_luma
-                else np.zeros((4, 4), np.int64)
+                else [[0, 0, 0, 0] for _ in range(4)]
             )
-            d[0, 0] = dc[dy, dx]
+            d[0][0] = int(dc[dy, dx])
             res = _itransform4x4(d)
             py, px = rb * 4, cb_ * 4
             ctx.y[py : py + 4, px : px + 4] = _clip_u8(
@@ -4206,7 +4372,7 @@ def _emit_intra_chroma(w, ctx, mb, cbp_chroma, cdcq, cacq, cpreds,
             d = (
                 _dequant4x4(cacq[comp][blk], qpc, True)
                 if cbp_chroma == 2
-                else np.zeros((4, 4), np.int64)
+                else [[0, 0, 0, 0] for _ in range(4)]
             )
             if cbp_chroma:
                 cmat = np.array(
@@ -4215,7 +4381,7 @@ def _emit_intra_chroma(w, ctx, mb, cbp_chroma, cdcq, cacq, cpreds,
                     np.int64,
                 )
                 dcc = _scale_chroma_dc(_hadamard2x2(cmat), qpc)
-                d[0, 0] = dcc[cdy, cdx]
+                d[0][0] = int(dcc[cdy, cdx])
             res = _itransform4x4(d)
             py, px = cy0 + cdy * 4, cx0 + cdx * 4
             plane[py : py + 4, px : px + 4] = _clip_u8(
@@ -4313,7 +4479,7 @@ def _quant_inter_mb(ctx, mb, qp, qpc, pred_y, pred_u, pred_v,
             w4m = _ftransform4x4(
                 resid[cdy * 4 : cdy * 4 + 4, cdx * 4 : cdx * 4 + 4]
             )
-            dcs[cdy, cdx] = w4m[0, 0]
+            dcs[cdy, cdx] = w4m[0][0]
             wmats.append(w4m)
         hdc = _hadamard2x2(dcs)
         dq = [
@@ -4365,9 +4531,9 @@ def _recon_inter_mb(ctx, mb, qp, qpc, cbp, lcoeffs, cdcq, cacq,
                 d = (
                     _dequant4x4(cacq[comp][blk], qpc, True)
                     if cbp_chroma == 2
-                    else np.zeros((4, 4), np.int64)
+                    else [[0, 0, 0, 0] for _ in range(4)]
                 )
-                d[0, 0] = dcc[cdy, cdx]
+                d[0][0] = int(dcc[cdy, cdx])
                 res = _itransform4x4(d)
                 out = _clip_u8(pred.astype(np.int64) + res)
             else:
@@ -6046,9 +6212,9 @@ def _inter_residual_cabac(cd: _CabacDec, ctx: _PicCtx, pps: _PPS,
                 d = (
                     _dequant4x4(ac, qpc, True)
                     if ac is not None
-                    else np.zeros((4, 4), np.int64)
+                    else [[0, 0, 0, 0] for _ in range(4)]
                 )
-                d[0, 0] = dcc[cdy, cdx]
+                d[0][0] = int(dcc[cdy, cdx])
                 res = _itransform4x4(d)
                 py, px = cy0 + cdy * 4, cx0 + cdx * 4
                 pred = plane[py : py + 4, px : px + 4].astype(np.int64)
@@ -6419,8 +6585,8 @@ def _decode_intra_mb_cabac(cd: _CabacDec, ctx: _PicCtx, pps: _PPS,
                 tc = 15 - ac.count(0)
                 d = _dequant4x4(ac, ctx.qp, True)
             else:
-                tc, d = 0, np.zeros((4, 4), np.int64)
-            d[0, 0] = dc[dy, dx]
+                tc, d = 0, [[0, 0, 0, 0] for _ in range(4)]
+            d[0][0] = int(dc[dy, dx])
             res = _itransform4x4(d)
             py, px = rb * 4, cb_ * 4
             ctx.y[py : py + 4, px : px + 4] = _clip_u8(
@@ -6503,9 +6669,9 @@ def _decode_intra_mb_cabac(cd: _CabacDec, ctx: _PicCtx, pps: _PPS,
             d = (
                 _dequant4x4(ac, qpc, True)
                 if ac is not None
-                else np.zeros((4, 4), np.int64)
+                else [[0, 0, 0, 0] for _ in range(4)]
             )
-            d[0, 0] = dcc[cdy, cdx]
+            d[0][0] = int(dcc[cdy, cdx])
             res = _itransform4x4(d)
             py, px = cy0 + cdy * 4, cx0 + cdx * 4
             plane[py : py + 4, px : px + 4] = _clip_u8(
@@ -6753,7 +6919,7 @@ def _encode_one_mb_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
             w4 = _ftransform4x4(
                 resid[cdy * 4 : cdy * 4 + 4, cdx * 4 : cdx * 4 + 4]
             )
-            dcs[cdy, cdx] = w4[0, 0]
+            dcs[cdy, cdx] = w4[0][0]
             wmats.append(w4)
         hdc = _hadamard2x2(dcs)
         dq = [
@@ -6825,7 +6991,7 @@ def _encode_one_mb_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
             w4 = _ftransform4x4(
                 resid[dy * 4 : dy * 4 + 4, dx * 4 : dx * 4 + 4]
             )
-            dcs[dy, dx] = w4[0, 0]
+            dcs[dy, dx] = w4[0][0]
             wmats.append(w4)
         hdc = _hadamard4x4(dcs)
         dcq = [
@@ -6844,9 +7010,9 @@ def _encode_one_mb_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
             d = (
                 _dequant4x4(acq[blk], qp, True)
                 if cbp_luma
-                else np.zeros((4, 4), np.int64)
+                else [[0, 0, 0, 0] for _ in range(4)]
             )
-            d[0, 0] = dc[dy, dx]
+            d[0][0] = int(dc[dy, dx])
             res = _itransform4x4(d)
             py, px = rb * 4, cb_ * 4
             ctx.y[py : py + 4, px : px + 4] = _clip_u8(
@@ -6869,9 +7035,9 @@ def _encode_one_mb_cabac(ce: _CabacEnc, ctx: _PicCtx, mb: int,
             d = (
                 _dequant4x4(cacq[comp][blk], qpc, True)
                 if cbp_chroma & 2
-                else np.zeros((4, 4), np.int64)
+                else [[0, 0, 0, 0] for _ in range(4)]
             )
-            d[0, 0] = dcc[cdy, cdx]
+            d[0][0] = int(dcc[cdy, cdx])
             res = _itransform4x4(d)
             py, px = cy0 + cdy * 4, cx0 + cdx * 4
             plane[py : py + 4, px : px + 4] = _clip_u8(
