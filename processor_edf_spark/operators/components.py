@@ -33,6 +33,7 @@ def connected_components(
     src: str = "vec_a",
     dst: str = "vec_b",
     max_rounds: int = 20,
+    assume_deduped: bool = False,
 ) -> DataFrame:
     """Resolve the edge list to (node, component) where component is the
     MINIMUM node id in each connected component — the keep-first-survivor
@@ -41,6 +42,16 @@ def connected_components(
     Singleton nodes (no edges) are the caller's concern: join the result
     back to the entity table with a coalesce(component, id).
 
+    ``assume_deduped`` (r15): the caller guarantees ``pairs`` is already
+    DISTINCT and MATERIALIZED (checkpoint/table).  Both edge directions
+    are then narrow projections over the caller's blocks — the dedup
+    shuffle and this function's own checkpoint are skipped entirely (one
+    exchange and one materialization job fewer).  A bidirectional union
+    of a distinct directed list holds at most two copies of an
+    undirected pair ((a,b) plus the reversal of an explicit (b,a) row),
+    which the min-aggregations below are insensitive to; a caller with a
+    dup-heavy or lazy pair frame must keep the default.
+
     Raises ``RuntimeError`` if ``max_rounds`` is exhausted with labels
     still changing: a silently-unconverged result mislabels components,
     and callers (dedup_survivors) would drop the wrong rows with no way
@@ -48,17 +59,17 @@ def connected_components(
     the default 20 rounds covers ~1M-node chain diameters; raise
     ``max_rounds`` for adversarially deeper graphs.
     """
-    # undirected → both directions, as (node, neighbor).  Checkpointed:
-    # the loop joins `edges` every round, and without lineage truncation
-    # each round would RE-RUN the caller's whole upstream plan (for LSH
-    # dedup that is the minhash scan of the corpus — O(rounds × corpus)
-    # instead of one scan plus O(rounds × edges)).
-    edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=True)
+    # undirected → both directions, as (node, neighbor).  Checkpointed
+    # (default path): the loop joins `edges` every round, and without
+    # lineage truncation each round would RE-RUN the caller's whole
+    # upstream plan (for LSH dedup that is the minhash scan of the
+    # corpus — O(rounds × corpus) instead of one scan plus
+    # O(rounds × edges)).
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).union(
+        pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
+    if not assume_deduped:
+        edges = edges.distinct().localCheckpoint(eager=True)
     # current best-known component per node: min over self + neighbors
     comp = (
         edges.groupBy("a")

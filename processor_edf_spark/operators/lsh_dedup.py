@@ -67,7 +67,12 @@ def lsh_components(
         .localCheckpoint(eager=True)
     )
     edges = sets.filter(F.col("src") != F.col("dst"))
-    comp = connected_components(edges, src="src", dst="dst")
+    # `sets` is distinct and checkpointed, so the star edges are a
+    # narrow filter over its blocks — connected_components can skip its
+    # own dedup shuffle + re-materialization (assume_deduped contract)
+    comp = connected_components(
+        edges, src="src", dst="dst", assume_deduped=True
+    )
     ids = sets.select(F.col("dst").alias(id_col)).distinct()
     return (
         ids.join(comp.withColumnRenamed("node", id_col), id_col, "left")
