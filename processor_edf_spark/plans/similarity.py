@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from processor_edf_spark.plans.registry import load, register, spread
 
@@ -338,6 +338,31 @@ def _band_bucket_col(e, band: int) -> Column:
     return bits
 
 
+_PLANES_ARR = np.array(_PLANES, dtype=np.float64)  # (N_HYPERPLANES, EMB_DIM)
+
+
+@pandas_udf(ArrayType(IntegerType()))
+def _band_buckets_pd(e: pd.Series) -> pd.Series:
+    """All N_BANDS band buckets per row in ONE Arrow batch kernel — the
+    r15 replacement for 16 per-row interpreted ``dot`` folds (zip_with +
+    aggregate HOFs run outside codegen).  The hyperplane dot products
+    accumulate with an explicit left-to-right dimension loop, the exact
+    float fold of the Column path and DuckDB's list_inner_product (the
+    ``dot_pd`` discipline), so every sign bit — and therefore the
+    bucketing and the result set — is unchanged bit-for-bit."""
+    E = np.vstack(e.to_numpy())
+    P = _PLANES_ARR
+    acc = np.zeros((len(E), P.shape[0]), dtype=np.float64)
+    for i in range(P.shape[1]):
+        acc = acc + E[:, i][:, None] * P[None, :, i]
+    bits = acc >= 0
+    buckets = np.zeros((len(E), N_BANDS), dtype=np.int32)
+    for b in range(N_BANDS):
+        for j in range(BITS_PER_BAND):
+            buckets[:, b] += (1 << j) * bits[:, b * BITS_PER_BAND + j]
+    return pd.Series(list(buckets))
+
+
 # Shared CTE block: banded signatures → DISTINCT candidate pairs → exact
 # cosine on candidates only.  cosine_lsh_pairs selects from it directly;
 # dedup_embedding_cosine anti-joins against it.
@@ -394,21 +419,13 @@ def _lsh_pair_frame(spark, sf_dir):
     emb = spread(spark, embeddings).select(
         "vec_id", _as_double("embedding").alias("e")
     )
+    # one ArrowEvalPython node computes all four band buckets per row
+    # (bit-identical to the per-band Column folds — see _band_buckets_pd)
     sig = emb.select(
-        "vec_id",
-        "e",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        _band_bucket_col(F.col("e"), b).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "e", "bb.band", "bb.bucket")
+        "vec_id", "e", _band_buckets_pd(F.col("e")).alias("bks")
+    ).select(
+        "vec_id", "e", F.posexplode("bks").alias("band", "bucket")
+    )
 
     def score_bucket(pdf):
         if len(pdf) < 2:
