@@ -109,22 +109,47 @@ def _model_json(centroids: np.ndarray, codebooks: np.ndarray,
     )
 
 
+#: model memo — the frozen (centroids, codebooks, train_qe) per store.
+#: The model row is written exactly once at build and only ever COPIED
+#: by compaction (frozen-codebook contract), so within a session it can
+#: be reloaded without a snapshot scan + collect per lifecycle stage
+#: (append/search/staleness each paid one).  The key carries the
+#: base-most entry's UUID data-file name: a rebuild into the same path
+#: (tests rmtree + rebuild) or a compaction commits a DIFFERENT uuid,
+#: so a stale hit is impossible; a compaction re-reads once and
+#: re-memoizes the identical model.  This is session metadata like
+#: Spark's file-listing cache — never a query result.
+_MODEL_MEMO: dict[tuple[str, str], tuple] = {}
+
+
 def load_model(spark: SparkSession, index_dir: str):
     """(centroids, codebooks, train_qe) from the current snapshot."""
-    snap = read_store(spark, index_dir)
-    if snap is None:
+    from processor_edf_spark.operators.txstore import snapshot_files
+
+    versions = list_versions(spark, index_dir)
+    files = snapshot_files(spark, index_dir, versions)
+    if not files:
         raise ValueError(f"ann_index: no committed version in {index_dir}")
+    key = (index_dir, files[0])
+    hit = _MODEL_MEMO.get(key)
+    if hit is not None:
+        return hit
+    snap = read_store(spark, index_dir, versions)
     rows = snap.filter(F.col("rec_type") == "model").select("meta_json").collect()
     if len(rows) != 1:
         raise ValueError(
             f"ann_index: expected exactly one model row, found {len(rows)}"
         )
     meta = json.loads(rows[0][0])
-    return (
+    out = (
         np.asarray(meta["centroids"], dtype=np.float64),
         np.asarray(meta["codebooks"], dtype=np.float64),
         float(meta["train_qe"]),
     )
+    if len(_MODEL_MEMO) > 64:  # bound session growth; stores are few
+        _MODEL_MEMO.clear()
+    _MODEL_MEMO[key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +270,13 @@ def ann_index_build(
     name = _write_data_file(spark, index_dir, payload, partition_by=["cell"])
     try:
         commit_version(spark, index_dir, 0, [name], base=True)
+        # seed the model memo — the builder already holds the frozen
+        # model, so the first append/search need not re-collect it
+        _MODEL_MEMO[(index_dir, f"{index_dir.rstrip('/')}/{name}")] = (
+            np.asarray(centroids, dtype=np.float64),
+            np.asarray(codebooks, dtype=np.float64),
+            train_qe,
+        )
     except CommitConflictError as e:
         # a build must NEVER retry like an append would: the loser
         # trained a DIFFERENT model, and interleaving two models'

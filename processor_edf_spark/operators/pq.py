@@ -40,6 +40,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 from processor_edf_spark.operators.kmeans import _distances
 
@@ -237,6 +239,24 @@ def probe_cells(queries: np.ndarray, centroids: np.ndarray, nprobe: int):
     return probe_sets, sorted({int(c) for row in probe_sets for c in row})
 
 
+@pandas_udf(DoubleType())
+def _l2_pd(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Pairwise squared L2 over Arrow batches — the r15 replacement for
+    the per-row zip_with+aggregate fold (interpreted per element,
+    outside codegen).  Accumulation is an explicit left-to-right
+    dimension loop of the identical per-element ops ((aᵢ-bᵢ)·(aᵢ-bᵢ),
+    then ((0+p₀)+p₁)+…), so the double is bit-identical to the old fold
+    and the ROUND(…, 6) boundary cannot move (the similarity module's
+    ``dot_pd`` discipline)."""
+    A = np.vstack(a.to_numpy())
+    B = np.vstack(b.to_numpy())
+    acc = np.zeros(len(A), dtype=np.float64)
+    for i in range(A.shape[1]):
+        d = A[:, i] - B[:, i]
+        acc = acc + d * d
+    return pd.Series(acc)
+
+
 def exact_rerank(
     short: DataFrame,
     vectors: DataFrame,
@@ -280,16 +300,7 @@ def exact_rerank(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        "nvec", "qvec", lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("dist_sq"),
+            F.round(_l2_pd("nvec", "qvec"), 6).alias("dist_sq"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
