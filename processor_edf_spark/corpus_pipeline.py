@@ -31,6 +31,7 @@ from processor_edf_spark.operators.lsh_dedup import lsh_dedup_survivors
 from processor_edf_spark.operators.redaction import redact_pii
 from processor_edf_spark.operators.textfns import hash64, normalized_text
 from processor_edf_spark.plans.corpus_extra import gopher_flag_cols
+from processor_edf_spark.materialize import materialize
 
 
 def run_corpus_job(
@@ -73,7 +74,7 @@ def run_corpus_job(
         ).alias("passes"),
     )
     gated = gated_all.filter(F.col("passes")).drop("passes")
-    gated = gated.localCheckpoint(eager=True)  # reused 4× below
+    gated = materialize(gated)  # reused 4× below
 
     # 1b (optional). classifier gate: linear probe over the hashing-
     # trick embedding of the NORMALIZED text; shuffle-free like the
@@ -84,14 +85,13 @@ def run_corpus_job(
             quality_classifier_scores,
         )
 
-        clf_keep = (
+        clf_keep = materialize(
             quality_classifier_scores(
                 gated.select("doc_id", F.col("norm_text").alias("text")),
                 **classifier,
             )
             .filter(F.col("keep"))
             .select("doc_id")
-            .localCheckpoint(eager=True)
         )
         clf = gated.join(clf_keep, "doc_id")
     else:
@@ -101,11 +101,10 @@ def run_corpus_job(
     # Checkpointed: the keep-set feeds three consumers (the near-dup
     # bucket frame, the clean output's join, and the accounting agg) —
     # without the checkpoint each would re-run the md5 shuffle.
-    exact_keep = (
+    exact_keep = materialize(
         clf.groupBy(F.md5(F.col("norm_text").cast("binary")).alias("sha"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
-        .localCheckpoint(eager=True)
     )
     exact = gated.join(exact_keep, "doc_id")
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from processor_edf_spark.materialize import materialize
 
 
 def connected_components(
@@ -69,16 +70,15 @@ def connected_components(
         pairs.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
     if not assume_deduped:
-        edges = edges.distinct().localCheckpoint(eager=True)
+        edges = materialize(edges.distinct())
     # current best-known component per node: min over self + neighbors
-    comp = (
+    comp = materialize(
         edges.groupBy("a")
         .agg(F.min("b").alias("c"))
         .select(
             F.col("a").alias("node"),
             F.least(F.col("a"), F.col("c")).alias("comp"),
         )
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
         # (1) propagate: node's component := min(component of node,
@@ -91,7 +91,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("nc"))
         )
-        lowered = (
+        lowered = materialize(
             comp.join(
                 neighbor_comp.withColumnRenamed("a", "node"), "node", "left"
             )
@@ -102,7 +102,6 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("nc"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         # (2) pointer jump: comp[n] := comp[comp[n]] — label chains halve
         # every round, giving O(log diameter) total rounds.  The round's
@@ -112,7 +111,7 @@ def connected_components(
         jump_to = lowered.select(
             F.col("node").alias("comp"), F.col("comp").alias("jc")
         )
-        new_comp = (
+        new_comp = materialize(
             lowered.join(jump_to, "comp", "left")
             .select(
                 "node",
@@ -121,7 +120,6 @@ def connected_components(
                     F.col("comp"), F.coalesce(F.col("jc"), F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint(eager=True)
         )
         # converged when no node's component changed this round
         changed = (

@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from processor_edf_spark.materialize import materialize
 
 
 def kcore_vertices(
@@ -49,16 +50,15 @@ def kcore_vertices(
     # would survive symmetrize+distinct as a single edge and inflate v's
     # degree by 1, admitting vertices the k-core definition excludes.
     no_loops = pairs.filter(F.col(src) != F.col(dst))
-    edges = (
+    edges = materialize(
         no_loops.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(no_loops.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_prev = -1
     for _ in range(max_rounds):
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("degree"))
-        live = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
+        live = materialize(deg.filter(F.col("degree") >= k))
         n = live.count()
         if n == 0:
             return live
@@ -66,10 +66,9 @@ def kcore_vertices(
             return live
         n_prev = n
         keep = live.select("a")
-        edges = (
+        edges = materialize(
             edges.join(keep, "a", "left_semi")
             .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
         )
     raise RuntimeError(
         f"k-core peeling did not converge in {max_rounds} rounds"

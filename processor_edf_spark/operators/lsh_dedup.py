@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from processor_edf_spark.operators.components import connected_components
+from processor_edf_spark.materialize import materialize
 
 
 def lsh_components(
@@ -57,14 +58,13 @@ def lsh_components(
     # caller's "unbucketable" marker) matches no root — it must stay in
     # the id universe as a SINGLETON, not silently drop out of the
     # labeling (and out of the survivor keep-list downstream).
-    sets = (
+    sets = materialize(
         bucketed.join(roots, key_col, "left")
         .select(
             F.coalesce(F.col("_root"), F.col(id_col)).alias("src"),
             F.col(id_col).alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
     )
     edges = sets.filter(F.col("src") != F.col("dst"))
     # `sets` is distinct and checkpointed, so the star edges are a

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from processor_edf_spark.materialize import materialize
 
 
 def pagerank(
@@ -48,13 +49,12 @@ def pagerank(
     edges = pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if undirected:
         edges = edges.union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-    edges = edges.distinct().localCheckpoint(eager=True)
+    edges = materialize(edges.distinct())
 
-    nodes = (
+    nodes = materialize(
         edges.select(F.col("s").alias("node"))
         .union(edges.select(F.col("d").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n = nodes.count()
     if n == 0:
@@ -62,12 +62,11 @@ def pagerank(
         # canonical_by_rank's coalesce path keeps every entity a
         # singleton survivor instead of crashing on 1/n.
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = (
+    out_deg = materialize(
         edges.groupBy("s")
         .agg(F.count(F.lit(1)).alias("deg"))
         # read twice per round (dangling mass + inflow shares): one
         # upfront materialization instead of 2·n_iter re-aggregations
-        .localCheckpoint(eager=True)
     )
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
@@ -102,7 +101,7 @@ def pagerank(
             F.lit((1.0 - damping) / n)
             + F.lit(damping) * F.col("dang") / F.lit(float(n))
         )
-        new_ranks = (
+        new_ranks = materialize(
             nodes.join(inbound, "node", "left")
             .crossJoin(F.broadcast(dang_df))
             .select(
@@ -112,7 +111,6 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
         if tol is not None:
             # O(1) driver scalar per round, same discipline as the

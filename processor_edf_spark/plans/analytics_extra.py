@@ -25,6 +25,7 @@ from processor_edf_spark.operators.textfns import tokens
 from processor_edf_spark.plans.registry import load, register, spread, ts_usec
 from processor_edf_spark.plans.relational import money_sum, _msum_sql
 from processor_edf_spark.plans.text_dedup import _TOK_SQL
+from processor_edf_spark.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # Robust anomaly detection (median / MAD z-score)
@@ -502,7 +503,7 @@ def dup_span_coverage(spark, sf_dir):
     d = spread(spark, documents).select(
         "doc_id", tokens(F.col("text")).alias("t")
     )
-    g = (
+    g = materialize(
         d.filter(F.size("t") >= SPAN_K)
         .select(
             "doc_id",
@@ -519,7 +520,7 @@ def dup_span_coverage(spark, sf_dir):
             ).alias("sg"),
         )
         .select("doc_id", "sg.s", "sg.gram")
-        .localCheckpoint(eager=True)  # feeds the dup-gram dim AND the
+        # feeds the dup-gram dim AND the
         # join side: one gram-explode pass instead of two
     )
     dup = (
@@ -942,7 +943,7 @@ def dedup_substring_rewrite(spark, sf_dir):
     d = spread(spark, documents).select(
         "doc_id", tokens(F.col("text")).alias("t")
     )
-    g = (
+    g = materialize(
         d.filter(F.size("t") >= SPAN_K)
         .select(
             "doc_id",
@@ -959,7 +960,7 @@ def dedup_substring_rewrite(spark, sf_dir):
             ).alias("sg"),
         )
         .select("doc_id", "sg.s", "sg.gram")
-        .localCheckpoint(eager=True)  # feeds the dup-gram dim AND the
+        # feeds the dup-gram dim AND the
         # join side: one gram-explode pass instead of two
     )
     dup = (

@@ -57,6 +57,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from processor_edf_spark.plans.registry import load, register
+from processor_edf_spark.materialize import materialize
 
 _M, _SUB, _K = 4, 2, 4  # subspaces, dims per subspace, codes
 _N_Q, _TOPK = 3, 5
@@ -1185,10 +1186,9 @@ def ann_index_lifecycle_exact(spark, sf_dir):
     # one scan of the base table; every lifecycle stage (train sample,
     # encode passes, re-rank joins, counts) reuses the tiny bounded
     # fixture instead of re-reading parquet per action
-    vecs = (
+    vecs = materialize(
         _fixture_vectors(emb.filter(f"vec_id < {_VEC_BOUND}"))
         .repartition(1)  # 512 rows: single-task lifecycle jobs
-        .localCheckpoint(eager=True)
     )
     build_df = vecs.filter("vec_id % 2 = 0")
     drop_df = vecs.filter("vec_id % 2 = 1")

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 
 from processor_edf_spark.plans.registry import load, register
+from processor_edf_spark.materialize import materialize
 
 # 44100 Hz short scalefactor-band bounds (ISO 11172-3), embedded in the
 # oracle SQL below as the right-channel transmitted ranges
@@ -464,7 +465,7 @@ def image_phash_dedup(spark, sf_dir):
     # whole per-doc encode->decode->hash python kernel (~6x total,
     # measured 5.7 s); one eager checkpoint of the 4-column hash frame
     # (O(docs) longs) caps the kernel at exactly one pass: 1.5 s.
-    hashes = image_perceptual_hashes(media).localCheckpoint(eager=True)
+    hashes = materialize(image_perceptual_hashes(media))
     comps = perceptual_dedup_components(hashes, "dhash", max_hamming=0)
     labeled = hashes.join(comps, "doc_id")
     gstats = labeled.groupBy("component").agg(
@@ -652,7 +653,7 @@ def audio_fingerprint_dedup(spark, sf_dir):
     # same three-consumer materialization as image_phash_dedup: the
     # FLAC/WAV encode->decode->fingerprint kernel (~15 ms/doc) must run
     # once, not once per downstream branch (measured 9.1 -> 2.4 s)
-    fps = audio_perceptual_fingerprints(media).localCheckpoint(eager=True)
+    fps = materialize(audio_perceptual_fingerprints(media))
     comps = perceptual_dedup_components(fps, "afp", max_hamming=0)
     labeled = fps.join(comps, "doc_id")
     gstats = labeled.groupBy("component").agg(

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from processor_edf_spark.plans.registry import load, register, ts_usec
 from processor_edf_spark.plans.analytics_r7 import SESSION_GAP_USEC
+from processor_edf_spark.materialize import materialize
 
 
 @register(
@@ -283,13 +284,13 @@ def events_job_report(spark, sf_dir):
     keep the 30 min ``session_dwell_stats`` bound — matching each
     stage's individually verified query."""
     (events,) = load(spark, sf_dir, "events")
-    base = events.select(
+    base = materialize(events.select(
         "user_id",
         "event_id",
         "event_type",
         ts_usec("ts").alias("t"),
         F.date_trunc("day", F.col("ts")).alias("day"),
-    ).localCheckpoint(eager=True)
+    ))
 
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
     lagged = base.select(

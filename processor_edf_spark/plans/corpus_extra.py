@@ -25,6 +25,7 @@ from processor_edf_spark.operators.textfns import (
 )
 from processor_edf_spark.plans.registry import load, register, spread
 from processor_edf_spark.plans.text_dedup import _TOK_SQL
+from processor_edf_spark.materialize import materialize
 
 # ---------------------------------------------------------------------------
 # Bigram language-model surprisal
@@ -93,7 +94,7 @@ def bigram_lm_surprisal(spark, sf_dir):
         .select("doc_id", tokens(F.col("text")).alias("t"))
         .filter(F.size("t") >= 2)
     )
-    big = d.select(
+    big = materialize(d.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -104,7 +105,7 @@ def bigram_lm_surprisal(spark, sf_dir):
                 ),
             )
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2").localCheckpoint(eager=True)
+    ).select("doc_id", "bg.w1", "bg.w2"))
     # ^ the bigram stream feeds the count tables AND the scoring join:
     # without materialization each branch re-runs scan+tokenize+explode
     # (subtree reuse does not cross broadcast/shuffle branches)
@@ -199,7 +200,7 @@ def jaccard_prefix_pairs(spark, sf_dir):
     # Group key: the SORTED distinct-token array (exact, no hash
     # collisions).  Checkpointed: feeds the rep token stream, both
     # verification array joins, and both expansion membership joins.
-    groups = (
+    groups = materialize(
         docs.select(
             "doc_id",
             F.array_sort(F.array_distinct(tokens(F.col("text")))).alias("ts"),
@@ -210,7 +211,6 @@ def jaccard_prefix_pairs(spark, sf_dir):
             F.collect_list("doc_id").alias("members"),
         )
         .withColumn("n", F.size("ts"))
-        .localCheckpoint(eager=True)
     )
     toks = groups.select(
         F.col("gid").alias("doc_id"), F.explode("ts").alias("tok"), "n"
@@ -223,7 +223,7 @@ def jaccard_prefix_pairs(spark, sf_dir):
     # localCheckpoint materializes it once instead of recomputing the
     # stream → dfreq join → window on each side (measured 2× end-to-end
     # at sf0.1).  It is ~(1-t) of the rep token stream (5% at t=0.95).
-    prefix = (
+    prefix = materialize(
         toks.join(dfreq, "tok")
         .withColumn("rn", F.row_number().over(w))
         .filter(
@@ -231,7 +231,6 @@ def jaccard_prefix_pairs(spark, sf_dir):
             <= F.col("n") - F.ceil(F.lit(PREFIX_JACCARD_T) * F.col("n")) + 1
         )
         .select("doc_id", "tok", "n")
-        .localCheckpoint(eager=True)
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # PPJoin length filter (lossless): J >= t forces t·|x| <= |y| <= |x|/t,
@@ -279,13 +278,13 @@ def jaccard_prefix_pairs(spark, sf_dir):
     # filter, once in the output; verification in r14 measured exactly
     # 2× the single-eval cost).  The checkpoint is O(candidates) local
     # longs, the same order as the join output it truncates.
-    stats = ver.select(
+    stats = materialize(ver.select(
         "ga",
         "gb",
         "na",
         "nb",
         F.size(F.array_intersect("ta", "tb")).alias("n_common"),
-    ).localCheckpoint(eager=True)
+    ))
     jac = F.col("n_common") / (
         F.col("na") + F.col("nb") - F.col("n_common")
     ).cast("double")
@@ -823,12 +822,12 @@ def shingle_novelty(spark, sf_dir):
     from processor_edf_spark.operators.textfns import word_shingles
 
     (documents,) = load(spark, sf_dir, "documents")
-    sh = spread(spark, documents).select(
+    sh = materialize(spread(spark, documents).select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
         ).alias("shingle"),
-    ).localCheckpoint(eager=True)  # feeds first-doc agg + the join side:
+    ))  # feeds first-doc agg + the join side:
     # one shingle+md5 pass instead of two
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(

@@ -25,6 +25,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, DoubleType, IntegerType
 
 from processor_edf_spark.plans.registry import load, register, spread
+from processor_edf_spark.materialize import materialize
 
 COSINE_PAIR_THRESHOLD = 0.45
 TOPK = 5
@@ -1041,7 +1042,7 @@ def knn_graph_lsh(spark, sf_dir):
     near-linear in true collisions, vs the grid's intrinsic quadratic.
     The pair frame feeds BOTH directions of the symmetrization union —
     checkpointed so the bucket+score pipeline runs once, not twice."""
-    pairs = _lsh_pair_frame(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = materialize(_lsh_pair_frame(spark, sf_dir))
     sym = pairs.select(
         F.col("vec_a").alias("vec_id"),
         F.col("vec_b").alias("neighbor_id"),

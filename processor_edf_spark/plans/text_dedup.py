@@ -27,6 +27,7 @@ from processor_edf_spark.operators.textfns import (
     word_shingles,
 )
 from processor_edf_spark.plans.registry import load, register, spread
+from processor_edf_spark.materialize import materialize
 
 FP_PRIME = 1_000_000_007
 MINHASH_K = 8  # 8 hash functions → 4 LSH bands of width 2
@@ -301,12 +302,12 @@ def dedup_ngram_jaccard(spark, sf_dir):
     minhash_lsh_pairs instead and verify candidates with this on the
     candidate set only."""
     (documents,) = load(spark, sf_dir, "documents")
-    sh = spread(spark, documents).select(
+    sh = materialize(spread(spark, documents).select(
         "doc_id",
         F.explode(
             F.array_distinct(word_shingles(tokens(F.col("text")), SHINGLE_K))
         ).alias("shingle"),
-    ).localCheckpoint(eager=True)  # feeds sizes + BOTH join sides: one
+    ))  # feeds sizes + BOTH join sides: one
     # shingle+md5 pass instead of three (subtree reuse does not cross
     # broadcast/shuffle branches)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -428,7 +429,7 @@ def minhash_lsh_pairs(spark, sf_dir):
     parquet scans, the shingle+md5 pass twice), so one eager
     localCheckpoint of the k-int-per-doc frame — O(docs), the same
     order as the join it feeds — caps the corpus pass at one."""
-    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    sig = materialize(minhash_signatures(spark, sf_dir))
     band_structs = F.array(
         *[
             F.struct(
@@ -1191,7 +1192,7 @@ def minhash_jaccard_estimate(spark, sf_dir):
     identical), so the OR-across-bands dedup stays a plain DISTINCT.
     The signature frame is checkpointed for the same two-join-branch
     reuse reason as minhash_lsh_pairs (one shingle+md5 pass, not two)."""
-    sig = minhash_signatures(spark, sf_dir).localCheckpoint(eager=True)
+    sig = materialize(minhash_signatures(spark, sf_dir))
     mh_cols = [f"mh{k}" for k in range(MINHASH_K)]
     band_structs = F.array(
         *[
@@ -1521,9 +1522,9 @@ def token_entropy(spark, sf_dir):
     tok = documents.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(
+    tf = materialize(tok.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=True)  # feeds the doc-length agg + the join
+    ))  # feeds the doc-length agg + the join
     # side: one tokenize+tf pass instead of two
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("n"))
     p = F.col("tf") / F.col("n").cast("double")
