@@ -52,7 +52,15 @@ def run_corpus_job(
     threshold / dim / ngram) — when given, a fastText-style
     classifier gate runs AFTER the rule gate (on the normalized text,
     like the rules) and adds a ``classifier_gate`` report row; None
-    keeps the r12 pipeline and report exactly."""
+    keeps the r12 pipeline and report exactly.
+
+    The ``report`` frame is LAZY (r14): nothing is counted until the
+    caller runs an action on it, and EVERY action recomputes the
+    report's aggregation over the pipeline's materialized stage frames
+    (values are deterministic, so repeats agree).  A caller that reads
+    the report more than once should ``materialize(report)``
+    (processor_edf_spark.materialize) after the first use; callers
+    that never read it pay nothing."""
     from processor_edf_spark.plans.text_dedup import minhash_buckets_frame
 
     # 1. normalize + rule gate (shuffle-free projections).  The gate

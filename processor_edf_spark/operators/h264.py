@@ -5602,7 +5602,10 @@ class _CabacDec:
     def __init__(self, r: _BitReader, ctx: np.ndarray):
         self.r = r
         # internal python-list context state (see _CABAC_LPS_PY note);
-        # the (N, 2) ndarray stays the constructor contract
+        # the (N, 2) ndarray stays the constructor contract.  ``ctx`` is
+        # SNAPSHOT-ONLY: adapted state lives in _s/_m and is never
+        # written back to the array — a future cross-slice carry-over
+        # must read it via ctx_snapshot(), not through the shared array.
         self._s = [int(x) for x in ctx[:, 0]]
         self._m = [int(x) for x in ctx[:, 1]]
         self._data = r.data
@@ -5612,6 +5615,14 @@ class _CabacDec:
         self.offset = 0
         for _ in range(9):
             self.offset = (self.offset << 1) | self._bit()
+
+    def ctx_snapshot(self) -> np.ndarray:
+        """Materialize the ADAPTED context state back into an (N, 2)
+        ndarray — the observable twin of the snapshot-only constructor
+        arg (for cross-slice carry-over or state inspection)."""
+        return np.column_stack(
+            (np.asarray(self._s, np.int64), np.asarray(self._m, np.int64))
+        )
 
     def _bit(self) -> int:
         # inlined 1-bit fast path of _BitReader.read (this is called
@@ -5688,9 +5699,18 @@ class _CabacEnc:
         self.bits: list[int] = []
         self.n_out = 0
         self.first = True
-        # same python-list context state as _CabacDec
+        # same python-list context state as _CabacDec; ``ctx`` is
+        # snapshot-only here too (see _CabacDec.__init__)
         self._s = [int(x) for x in ctx[:, 0]]
         self._m = [int(x) for x in ctx[:, 1]]
+
+    def ctx_snapshot(self) -> np.ndarray:
+        """Materialize the ADAPTED context state back into an (N, 2)
+        ndarray — the observable twin of the snapshot-only constructor
+        arg (for cross-slice carry-over or state inspection)."""
+        return np.column_stack(
+            (np.asarray(self._s, np.int64), np.asarray(self._m, np.int64))
+        )
 
     def _put(self, b: int) -> None:
         if self.first:

@@ -798,14 +798,32 @@ _CS = 1.0 / np.sqrt(1.0 + _C_ALIAS * _C_ALIAS)
 _CA = _C_ALIAS / np.sqrt(1.0 + _C_ALIAS * _C_ALIAS)
 
 
+#: gather-index matrices for the vectorized alias reduction, per
+#: boundary count: rows = boundaries, cols = the 8 butterfly lanes
+_ALIAS_IX: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
 def _alias_reduce(xr: np.ndarray, n_long_sb: int) -> None:
-    """8 butterflies across each long-block subband boundary."""
-    for sb in range(1, n_long_sb):
-        for i in range(8):
-            a = xr[18 * sb - 1 - i]
-            b = xr[18 * sb + i]
-            xr[18 * sb - 1 - i] = a * _CS[i] - b * _CA[i]
-            xr[18 * sb + i] = b * _CS[i] + a * _CA[i]
+    """8 butterflies across each long-block subband boundary.
+
+    Vectorized over all boundaries at once (r15): butterfly index sets
+    are disjoint across boundaries (each touches ±8 lines around a
+    multiple of 18), so one fancy-indexed gather/scatter computes the
+    exact same per-element expressions the scalar loop did — this was
+    the top hotspot of the whole Layer III decode profile."""
+    if n_long_sb <= 1:
+        return
+    ix = _ALIAS_IX.get(n_long_sb)
+    if ix is None:
+        sb = 18 * np.arange(1, n_long_sb)[:, None]
+        lane = np.arange(8)[None, :]
+        ix = (sb - 1 - lane, sb + lane)
+        _ALIAS_IX[n_long_sb] = ix
+    ai, bi = ix
+    a = xr[ai]
+    b = xr[bi]
+    xr[ai] = a * _CS - b * _CA
+    xr[bi] = b * _CS + a * _CA
 
 
 def _imdct_matrix(n: int) -> np.ndarray:
@@ -849,11 +867,35 @@ def _imdct_subband(lines18: np.ndarray, block_type: int) -> np.ndarray:
 
 def _hybrid_synthesis(xr: np.ndarray, g: _Granule, overlap: np.ndarray):
     """576 lines -> (18, 32) subband samples via IMDCT + overlap-add;
-    ``overlap`` is the per-channel (32, 18) carry state (mutated)."""
+    ``overlap`` is the per-channel (32, 18) carry state (mutated).
+
+    r15: granules with ONE block type across all 32 subbands (every
+    granule except mixed-block short ones) batch the 32 IMDCTs into a
+    single GEMM — same transform, same windows; per-value agreement
+    with the per-subband path is to BLAS float round-off, which only
+    reaches the synthesized PCM (the spectral domain, where the codec
+    rows demand bit-exactness, is upstream of this function)."""
+    mixed = (
+        g.window_switching and g.block_type == 2 and g.mixed_block
+    )
+    if not mixed:
+        X = xr[: 32 * 18].reshape(32, 18)
+        if g.block_type == 2:
+            Z = np.zeros((32, 36))
+            for w in range(3):
+                Z[:, 6 * (w + 1) : 6 * (w + 1) + 12] += (
+                    X[:, w::3] @ _IMDCT12.T
+                ) * _WIN[2]
+        else:
+            Z = (X @ _IMDCT36.T) * _WIN[g.block_type]
+        ss = np.ascontiguousarray((Z[:, :18] + overlap).T)
+        overlap[:] = Z[:, 18:]
+        ss[1::2, 1::2] *= -1.0
+        return ss
     ss = np.empty((18, 32))
     for sb in range(32):
         bt = g.block_type
-        if g.window_switching and g.block_type == 2 and g.mixed_block and sb < 2:
+        if sb < 2:
             bt = 0
         z = _imdct_subband(xr[18 * sb : 18 * (sb + 1)], bt)
         ss[:, sb] = z[:18] + overlap[sb]

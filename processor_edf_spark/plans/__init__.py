@@ -194,55 +194,154 @@ from processor_edf_spark.plans import analytics_r14  # noqa: E402,F401
 # the window at r13), in their canonical tail order, fill the window.
 # Anchors and the family gate as above.
 _CANONICAL = [
-    # ---- r14 driver window (50): the 36 stalest (r5 block + the r7
-    # straggler), the two sole-family anchors, then 12 r11-greens
-    # (family-coverage swaps noted above).
-    # vp8_decode_stats (updated r14: B_PRED + §15 loop-filter sweep
-    # under the value oracle) re-seats at a priority slot, displacing
-    # dedup_exact to 51+ (dedup_text family stays covered in-window via
-    # dedup_lsh_components / dedup_embedding_cosine and more;
-    # dedup_exact keeps its r11 green).
-    # mp3_short_intensity_decode_stats (r14: MPEG-1 short-block
-    # intensity stereo for real) takes an r14 priority slot, displacing
-    # token_stats to 51+ (text family stays covered in-window via
-    # normalize_text / chunk_documents and more; token_stats keeps its
-    # r11 green).
-    # h264_cabac_pb_decode_stats (r14: CABAC P/B slices +
-    # I_PCM-in-CABAC) takes an r14 priority slot, displacing
-    # filter_project_events to 51+ (events family stays covered
-    # in-window via pivot_daily_event_counts / json_props_stats
-    # and more; it keeps its r11 green).
-    # image_phash_dedup (r14: perceptual image near-dup dedup, the
-    # multimodal sibling of the text dedup family — new family
-    # dedup_image) takes an r14 priority slot, displacing
-    # quantize_embeddings_int8 to 51+ (similarity family stays covered
-    # in-window via knn_graph_* / dedup_embedding_cosine and more; it
-    # keeps its r11 green).
-    # quality_classifier_score (r14: fastText-style classifier
-    # inference over the hash embedding, new family "quality") takes
-    # an r14 priority slot, displacing doc_length_histogram to 51+
-    # (text family stays covered in-window via normalize_text /
-    # chunk_documents and more; it keeps its r11 green).
-    # audio_fingerprint_dedup (r14: perceptual audio near-dup dedup,
-    # the audio sibling of image_phash_dedup — new family dedup_audio)
-    # takes an r14 priority slot, displacing ngram_lang_profile to 51+
-    # (text family stays covered in-window via normalize_text /
-    # boilerplate_ngrams and more; it keeps its r11 green).
-    # mp3_mixed_decode_stats (r14: mixed blocks for real across
-    # MPEG-1/LSF) takes an r14 priority slot, displacing
-    # video_frame_stats to 51+ (multimodal stays covered in-window via
-    # vp8/mp3_short_intensity/h264_cabac_pb rows; it keeps its r11
-    # green).
-    # vorbis_decode_stats (r14: Vorbis for real — the self-describing-
-    # codebook codec) takes an r14 priority slot, displacing
-    # edf_header_parse to 51+ (events stays covered in-window via
-    # agg_user_bounds / pivot_daily_event_counts / json_props_stats;
-    # it keeps its r11 green).
+    # ---- r15 driver window (50), rotation EXECUTED per the r14
+    # pre-declaration amended by VERDICT r14 "Next round" #8: the TEN
+    # r14-REWRITTEN rows whose plans changed in the r14 optimization
+    # round but which the r14 driver window did not sample lead the
+    # window (gap_fill/interp hourly grids, events/corpus job reports,
+    # edf_range_decode, pagerank_type_graph, dup_span/substring/ngram
+    # dedups, h264_cabac) so the driver independently re-hashes them;
+    # then the pre-declared rotate-ins in their canonical tail order
+    # (the 8 rows the r14 priority slots displaced, the r11-green
+    # remainder, the stalest r12 block).  Eight family-coverage swaps
+    # close the window (test_registration's gate): the sole-family rows
+    # quality_classifier_score / audio_fingerprint_dedup / zorder_layout
+    # / image_phash_dedup re-seat from the r14 window, and
+    # approx_distinct_audit / sample_hash_bucket /
+    # except_click_no_purchase / cube_event_user_bucket represent
+    # profiling / sampling / setops / grouping from the stale tail.
+    # Slots 51+: the untouched tail in its prior staleness order, then
+    # the r14-window members rotated out (all carry fresh r14 driver
+    # greens).
+    "gap_fill_hourly",
+    "interp_linear_hourly",
+    "events_job_report",
+    "edf_range_decode",
+    "pagerank_type_graph",
+    "corpus_job_report",
+    "dup_span_coverage",
+    "dedup_substring_rewrite",
+    "dedup_ngram_jaccard",
+    "h264_cabac_decode_stats",
+    "edf_header_parse",
+    "video_frame_stats",
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    "quantize_embeddings_int8",
+    "filter_project_events",
+    "token_stats",
+    "dedup_exact",
+    "cosine_pairs",
+    "ann_ivf_multiprobe",
+    "anomaly_robust_z",
+    "time_weighted_avg_daily",
+    "ewma_user_values",
+    "event_transitions",
+    "rolling_median_user",
+    "scd2_user_value_history",
+    "dedup_events_debounce",
+    "value_percent_rank",
+    "user_value_trend",
+    "full_outer_daily_activity",
+    "user_value_correlation",
+    "q18_large_orders",
+    "rate_crosscheck_users",
+    "session_window_events",
+    "pq_adc_exact",
+    "ivf_pq_search_exact",
+    "mp3_decode_stats",
+    "hash_embed_stats",
+    "mp3_layer1_decode_stats",
+    "h264_inter_decode_stats",
+    "h264_deblock_decode_stats",
+    "h264_bipred_decode_stats",
+    "approx_distinct_audit",
     "quality_classifier_score",
+    "audio_fingerprint_dedup",
+    "zorder_layout",
+    "sample_hash_bucket",
+    "except_click_no_purchase",
+    "cube_event_user_bucket",
+    "image_phash_dedup",
+    "ann_index_lifecycle_exact",
+    "ewma_user_twophase",
+    "webp_decode_stats",
+    "flac_decode_stats",
+    "h264_decode_stats",
+    "tiff_decode_stats",
+    "mode_period_users",
+    "tumbling_daily_stats",
+    "band_join_acctbal",
+    "range_join_close_events",
+    "semi_join_returned_orders",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q3_segment_revenue",
+    "q4_order_priority",
+    "q5_region_revenue",
+    "value_percentiles_per_type",
+    "q1_pricing_summary",
+    "sessionize_events",
+    "timestamp_synthesis",
+    "rollup_event_daily",
+    "multimodal_meta",
+    "dedup_component_sizes",
+    "approx_percentile_audit",
+    "rolling_7d_active_users",
+    "session_dwell_stats",
+    "distinct_users_per_type",
+    "text_quality",
+    "lang_id_heuristic",
+    "bpe_token_count",
+    "array_slice_projection",
+    "ann_ivf_label",
+    "calibrate_events",
+    "mp3_lsf_decode_stats",
+    "mp3_layer2_decode_stats",
+    "edf_date_parse",
+    "overlap_validation",
+    "rolling_fingerprint",
+    "doc_fingerprint",
+    "dow_hour_heatmap",
+    "ntile_value_quartiles",
+    "q2_min_cost_supplier",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_revenue",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q19_disjunctive_revenue",
+    "q20_bulk_suppliers",
+    "q21_lone_fault_supplier",
+    "minhash_signatures",
+    "simhash_16",
+    "sliding_hour_counts",
+    "range_frame_user_avg",
+    "intersect_all_user_days",
+    "embedding_norm_stats",
+    "ann_topk_bruteforce",
+    "anti_join_idle_customers",
+    "moving_avg_daily_revenue",
+    "grouping_sets_revenue",
+    "split_assignment",
+    "h264_cavlc_decode_stats",
+    "heavy_hitters_audit",
+    "merge_upsert_current",
+    "event_cooccurrence_lift",
+    "inter_arrival_histogram",
+    "percent_rank_cdf",
+    "annotations_tal_parse",
+    "cume_dist_cdf",
+    "ntile_cdf",
+    "image_decode_stats",
+    "audio_decode_stats",
     "vorbis_decode_stats",
     "mp3_mixed_decode_stats",
-    "audio_fingerprint_dedup",
-    "image_phash_dedup",
     "h264_cabac_pb_decode_stats",
     "mp3_short_intensity_decode_stats",
     "vp8_decode_stats",
@@ -282,136 +381,10 @@ _CANONICAL = [
     "source_mix_rates",
     "shingle_novelty",
     "boilerplate_ngrams",
-    "zorder_layout",
-    "corpus_job_report",
     "set_ops_event_types",
     "top3_orders_per_customer",
     "table_profile_events",
     "triangle_count_nn",
-    # ---- 51+: family-covered seats with driver greens on record
-    "edf_header_parse",
-    "video_frame_stats",
-    "ngram_lang_profile",
-    "doc_length_histogram",
-    "quantize_embeddings_int8",
-    "filter_project_events",
-    "token_stats",
-    "dedup_exact",
-    # (staleness-ordered: r11 remainder, r12 block, r13 window) ----
-    "cosine_pairs",
-    "ann_ivf_multiprobe",
-    "anomaly_robust_z",
-    "time_weighted_avg_daily",
-    "ewma_user_values",
-    "gap_fill_hourly",
-    "event_transitions",
-    "dup_span_coverage",
-    "rolling_median_user",
-    "scd2_user_value_history",
-    "dedup_substring_rewrite",
-    "dedup_events_debounce",
-    "value_percent_rank",
-    "user_value_trend",
-    "full_outer_daily_activity",
-    "user_value_correlation",
-    "q18_large_orders",
-    "rate_crosscheck_users",
-    "session_window_events",
-    "pq_adc_exact",
-    "ivf_pq_search_exact",
-    "mp3_decode_stats",
-    "hash_embed_stats",
-    "mp3_layer1_decode_stats",
-    "h264_inter_decode_stats",
-    "h264_deblock_decode_stats",
-    "h264_bipred_decode_stats",
-    "ann_index_lifecycle_exact",
-    "ewma_user_twophase",
-    "webp_decode_stats",
-    "flac_decode_stats",
-    "h264_decode_stats",
-    "tiff_decode_stats",
-    "mode_period_users",
-    "tumbling_daily_stats",
-    "band_join_acctbal",
-    "range_join_close_events",
-    "semi_join_returned_orders",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "q17_small_quantity_revenue",
-    "q3_segment_revenue",
-    "q4_order_priority",
-    "q5_region_revenue",
-    "value_percentiles_per_type",
-    "cube_event_user_bucket",
-    "q1_pricing_summary",
-    "sessionize_events",
-    "timestamp_synthesis",
-    "rollup_event_daily",
-    "multimodal_meta",
-    "dedup_component_sizes",
-    "approx_distinct_audit",
-    "approx_percentile_audit",
-    "interp_linear_hourly",
-    "rolling_7d_active_users",
-    "session_dwell_stats",
-    "except_click_no_purchase",
-    "distinct_users_per_type",
-    "text_quality",
-    "lang_id_heuristic",
-    "bpe_token_count",
-    "dedup_ngram_jaccard",
-    "array_slice_projection",
-    "ann_ivf_label",
-    "calibrate_events",
-    "sample_hash_bucket",
-    "mp3_lsf_decode_stats",
-    "mp3_layer2_decode_stats",
-    "h264_cabac_decode_stats",
-    "edf_date_parse",
-    "overlap_validation",
-    "rolling_fingerprint",
-    "doc_fingerprint",
-    "dow_hour_heatmap",
-    "ntile_value_quartiles",
-    "q2_min_cost_supplier",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_revenue",
-    "q11_important_parts",
-    "q12_priority_by_status",
-    "q13_order_count_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q19_disjunctive_revenue",
-    "q20_bulk_suppliers",
-    "q21_lone_fault_supplier",
-    "minhash_signatures",
-    "simhash_16",
-    "sliding_hour_counts",
-    "range_frame_user_avg",
-    "intersect_all_user_days",
-    "embedding_norm_stats",
-    "ann_topk_bruteforce",
-    "anti_join_idle_customers",
-    "moving_avg_daily_revenue",
-    "grouping_sets_revenue",
-    "split_assignment",
-    "edf_range_decode",
-    "h264_cavlc_decode_stats",
-    "heavy_hitters_audit",
-    "merge_upsert_current",
-    "event_cooccurrence_lift",
-    "inter_arrival_histogram",
-    "events_job_report",
-    "percent_rank_cdf",
-    "annotations_tal_parse",
-    "cume_dist_cdf",
-    "ntile_cdf",
-    "pagerank_type_graph",
-    "image_decode_stats",
-    "audio_decode_stats",
 ]
 
 # Operator-family tags.  tests/test_registration.py asserts the first-50

@@ -110,12 +110,37 @@ def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     # plan analysis only (~15 ms).  Same session-lifetime assumption as
     # Spark's own file-listing cache: splitter confs don't move
     # mid-session.
+    # r15 (ADVICE): the 32-bit semanticHash alone can collide, so the
+    # memo stores the CANONICALIZED plan string alongside the count and
+    # confirms it on every hit (Spark's own cache-lookup discipline) —
+    # a collision degrades to a re-probe, never a wrong count.
+    # Remaining assumption (documented, shared with Spark's file-listing
+    # cache): files at a probed path do not change mid-session; a test
+    # that overwrites a path it already probed must call
+    # spread_invalidate(spark) first.
     memo = _SPREAD_MEMO.setdefault(spark, {})
-    key = df._jdf.queryExecution().analyzed().semanticHash()
-    cur = memo.get(key)
-    if cur is None:
+    analyzed = df._jdf.queryExecution().analyzed()
+    key = analyzed.semanticHash()
+    hit = memo.get(key)
+    canon = None
+    if hit is not None:
+        canon = analyzed.canonicalized().toString()
+        if hit[0] == canon:
+            cur = hit[1]
+        else:
+            hit = None
+    if hit is None:
         cur = df.rdd.getNumPartitions()
-        memo[key] = cur
+        if canon is None:
+            canon = analyzed.canonicalized().toString()
+        memo[key] = (canon, cur)
     if cur < n:
         return df.repartition(n)
     return df
+
+
+def spread_invalidate(spark: SparkSession) -> None:
+    """Drop spread()'s partition-count memo for this session — call
+    after overwriting files at a path a query in this session already
+    probed (in-session rewrite paths, tests)."""
+    _SPREAD_MEMO.pop(spark, None)

@@ -26,67 +26,66 @@ import __spark_entry__ as entry_mod
 from processor_edf_spark.plans import FAMILY, ORACLE, QUERIES
 
 EXPECTED_FIRST_50 = [
-    # r14 window: executed stalest-first with the documented deviation
-    # from the r13 pre-declaration (see the r14 rotation note in
-    # plans/__init__.py) — the 35 r5-green tail members the
-    # pre-declaration missed plus boilerplate_ngrams (r7) lead, then
-    # the two sole-family anchors, then 12 r11-greens with two
-    # family-coverage swaps (table_profile_events / triangle_count_nn
-    # for profiling / graph).  New r14 queries take priority slots on
-    # registration.
-    # r14 priority slots (updated codec rows re-seat on
-    # registration): vp8_decode_stats displaces dedup_exact
-    # (dedup_text family covered in-window).
-    "quality_classifier_score",
-    "vorbis_decode_stats",
-    "mp3_mixed_decode_stats",
-    "audio_fingerprint_dedup",
-    "image_phash_dedup",
-    "h264_cabac_pb_decode_stats",
-    "mp3_short_intensity_decode_stats",
-    "vp8_decode_stats",
-    "agg_user_bounds",
-    "epoch_functions",
-    "get_or_create_parts",
-    "asof_last_signup",
-    "pivot_daily_event_counts",
-    "json_props_stats",
-    "minhash_lsh_pairs",
-    "simhash_near_pairs",
-    "cosine_lsh_pairs",
-    "dedup_embedding_cosine",
-    "q22_idle_rich_customers",
-    "semdedup_label",
-    "levenshtein_block_pairs",
-    "tfidf_top_terms",
-    "minhash_jaccard_estimate",
-    "contamination_ngram_overlap",
-    "bm25_top_docs",
-    "knn_graph_bruteforce",
-    "stratified_sample_lang",
-    "funnel_conversion",
-    "knn_graph_lsh",
-    "embedding_dim_stats",
-    "cohort_retention",
-    "token_entropy",
-    "funnel_k_stages",
-    "normalize_text",
-    "dedup_lsh_components",
-    "chunk_documents",
-    "bigram_lm_surprisal",
-    "jaccard_prefix_pairs",
-    "weighted_sample_aes",
-    "gopher_quality_flags",
-    "dsir_importance",
-    "source_mix_rates",
-    "shingle_novelty",
-    "boilerplate_ngrams",
-    "zorder_layout",
+    # r15 window: rotation EXECUTED per the r14 pre-declaration amended
+    # by VERDICT r14 "Next round" #8 — the ten r14-rewritten rows the
+    # r14 driver window did not sample lead, then the pre-declared
+    # rotate-ins (displaced 8, r11 remainder, stalest r12 block) in
+    # canonical tail order, then eight family-coverage swaps (sole-
+    # family rows quality_classifier_score / audio_fingerprint_dedup /
+    # zorder_layout / image_phash_dedup re-seat; approx_distinct_audit /
+    # sample_hash_bucket / except_click_no_purchase /
+    # cube_event_user_bucket cover profiling / sampling / setops /
+    # grouping).  See the r15 rotation note in plans/__init__.py.
+    "gap_fill_hourly",
+    "interp_linear_hourly",
+    "events_job_report",
+    "edf_range_decode",
+    "pagerank_type_graph",
     "corpus_job_report",
-    "set_ops_event_types",
-    "top3_orders_per_customer",
-    "table_profile_events",
-    "triangle_count_nn",
+    "dup_span_coverage",
+    "dedup_substring_rewrite",
+    "dedup_ngram_jaccard",
+    "h264_cabac_decode_stats",
+    "edf_header_parse",
+    "video_frame_stats",
+    "ngram_lang_profile",
+    "doc_length_histogram",
+    "quantize_embeddings_int8",
+    "filter_project_events",
+    "token_stats",
+    "dedup_exact",
+    "cosine_pairs",
+    "ann_ivf_multiprobe",
+    "anomaly_robust_z",
+    "time_weighted_avg_daily",
+    "ewma_user_values",
+    "event_transitions",
+    "rolling_median_user",
+    "scd2_user_value_history",
+    "dedup_events_debounce",
+    "value_percent_rank",
+    "user_value_trend",
+    "full_outer_daily_activity",
+    "user_value_correlation",
+    "q18_large_orders",
+    "rate_crosscheck_users",
+    "session_window_events",
+    "pq_adc_exact",
+    "ivf_pq_search_exact",
+    "mp3_decode_stats",
+    "hash_embed_stats",
+    "mp3_layer1_decode_stats",
+    "h264_inter_decode_stats",
+    "h264_deblock_decode_stats",
+    "h264_bipred_decode_stats",
+    "approx_distinct_audit",
+    "quality_classifier_score",
+    "audio_fingerprint_dedup",
+    "zorder_layout",
+    "sample_hash_bucket",
+    "except_click_no_purchase",
+    "cube_event_user_bucket",
+    "image_phash_dedup",
 ]
 
 
