@@ -192,20 +192,30 @@ class _BoolEnc:
     arbitrary-precision integer (carries resolve arithmetically — no
     explicit carry walk), holding the invariant low + range <=
     2^(nbits+8); :meth:`finish` emits exactly the low bound's bits, a
-    stream provably inside the final interval.  Fixture-scale by
-    design (big-int shifts are quadratic in output size; the encoder
-    exists to make conformant test/driver streams, like the sibling
-    codec fixture encoders)."""
+    stream provably inside the final interval.
 
-    __slots__ = ("range", "low", "nbits")
+    r15: high bits of the low bound on which ``low`` and
+    ``low + range - 1`` already AGREE can never change again (every
+    future refinement stays inside [low, low+range)), so they flush to
+    a byte buffer as they settle — the active big int stays a few bytes
+    instead of growing with the stream (the old per-renorm shift was
+    quadratic in output size).  The emitted byte sequence is
+    bit-identical by construction: finish() concatenates the flushed
+    prefix with the residual low bound, which is exactly the one
+    integer the unflushed encoder would have emitted."""
+
+    __slots__ = ("range", "low", "nbits", "buf")
 
     def __init__(self):
         self.range = 255
         self.low = 0
         self.nbits = 0
+        self.buf = bytearray()
 
     def write(self, bit: int, prob: int) -> None:
-        split = 1 + (((self.range - 1) * prob) >> 8)
+        # int(): numpy scalar probs must not leak into `low`, which the
+        # settled-bit flush below treats as an arbitrary-precision int
+        split = 1 + int(((self.range - 1) * prob) >> 8)
         if bit:
             self.low += split
             self.range -= split
@@ -215,6 +225,17 @@ class _BoolEnc:
             self.range <<= 1
             self.low <<= 1
             self.nbits += 1
+        # flush settled whole bytes (window = active bits still in low)
+        window = self.nbits + 8 - 8 * len(self.buf)
+        if window >= 24:
+            agreed = window - (
+                self.low ^ (self.low + self.range - 1)
+            ).bit_length()
+            nbytes = agreed >> 3
+            if nbytes > 0:
+                shift = window - (nbytes << 3)
+                self.buf += (self.low >> shift).to_bytes(nbytes, "big")
+                self.low &= (1 << shift) - 1
 
     def literal(self, v: int, n: int) -> None:
         for i in range(n - 1, -1, -1):
@@ -227,7 +248,8 @@ class _BoolEnc:
     def finish(self) -> bytes:
         total = self.nbits + 8  # the 8-bit active window
         pad = (-total) % 8
-        return (self.low << pad).to_bytes((total + pad) // 8, "big")
+        rem = (total + pad) // 8 - len(self.buf)
+        return bytes(self.buf) + (self.low << pad).to_bytes(rem, "big")
 
 
 # ---------------------------------------------------------------------------
@@ -236,37 +258,46 @@ class _BoolEnc:
 
 
 def _idct4x4(block: np.ndarray) -> np.ndarray:
-    """§14.3 inverse DCT, integer-exact (20091/35468 multiplier form)."""
-    ip = block.astype(np.int64)
-    tmp = np.empty((4, 4), np.int64)
-    for c in range(4):
-        a1 = ip[0, c] + ip[2, c]
-        b1 = ip[0, c] - ip[2, c]
-        t1 = (ip[1, c] * 35468) >> 16
-        t2 = ip[3, c] + ((ip[3, c] * 20091) >> 16)
-        c1 = t1 - t2
-        t1 = ip[1, c] + ((ip[1, c] * 20091) >> 16)
-        t2 = (ip[3, c] * 35468) >> 16
-        d1 = t1 + t2
-        tmp[0, c] = a1 + d1
-        tmp[3, c] = a1 - d1
-        tmp[1, c] = b1 + c1
-        tmp[2, c] = b1 - c1
-    out = np.empty((4, 4), np.int64)
-    for r in range(4):
-        a1 = tmp[r, 0] + tmp[r, 2]
-        b1 = tmp[r, 0] - tmp[r, 2]
-        t1 = (tmp[r, 1] * 35468) >> 16
-        t2 = tmp[r, 3] + ((tmp[r, 3] * 20091) >> 16)
-        c1 = t1 - t2
-        t1 = tmp[r, 1] + ((tmp[r, 1] * 20091) >> 16)
-        t2 = (tmp[r, 3] * 35468) >> 16
-        d1 = t1 + t2
-        out[r, 0] = (a1 + d1 + 4) >> 3
-        out[r, 3] = (a1 - d1 + 4) >> 3
-        out[r, 1] = (b1 + c1 + 4) >> 3
-        out[r, 2] = (b1 - c1 + 4) >> 3
-    return out
+    """§14.3 inverse DCT, integer-exact (20091/35468 multiplier form).
+    Fully unrolled on plain python ints (r15): per-element ndarray
+    indexing was the hottest non-entropy function of the decode —
+    python's >> floors exactly like the int64 arithmetic shift."""
+    r0, r1, r2, r3 = np.asarray(block).tolist()
+    i00, i01, i02, i03 = r0
+    i10, i11, i12, i13 = r1
+    i20, i21, i22, i23 = r2
+    i30, i31, i32, i33 = r3
+    out = [[0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0], [0, 0, 0, 0]]
+    o0, o1, o2, o3 = out
+    # column pass (unrolled over the 4 columns) -> tmp held in locals
+    t00, t10, t20, t30 = _idct_col(i00, i10, i20, i30)
+    t01, t11, t21, t31 = _idct_col(i01, i11, i21, i31)
+    t02, t12, t22, t32 = _idct_col(i02, i12, i22, i32)
+    t03, t13, t23, t33 = _idct_col(i03, i13, i23, i33)
+    # row pass with the final (x + 4) >> 3 rounding
+    for o, a, b, cc, dd in (
+        (o0, t00, t01, t02, t03),
+        (o1, t10, t11, t12, t13),
+        (o2, t20, t21, t22, t23),
+        (o3, t30, t31, t32, t33),
+    ):
+        a1 = a + cc
+        b1 = a - cc
+        c1 = ((b * 35468) >> 16) - (dd + ((dd * 20091) >> 16))
+        d1 = b + ((b * 20091) >> 16) + ((dd * 35468) >> 16)
+        o[0] = (a1 + d1 + 4) >> 3
+        o[3] = (a1 - d1 + 4) >> 3
+        o[1] = (b1 + c1 + 4) >> 3
+        o[2] = (b1 - c1 + 4) >> 3
+    return np.array(out, np.int64)
+
+
+def _idct_col(x0: int, x1: int, x2: int, x3: int):
+    a1 = x0 + x2
+    b1 = x0 - x2
+    c1 = ((x1 * 35468) >> 16) - (x3 + ((x3 * 20091) >> 16))
+    d1 = x1 + ((x1 * 20091) >> 16) + ((x3 * 35468) >> 16)
+    return a1 + d1, b1 + c1, b1 - c1, a1 - d1
 
 
 def _iwht4x4(block: np.ndarray) -> np.ndarray:
