@@ -48,6 +48,17 @@ def get_spark(app_name: str = "processor_edf_spark", cpus: int | None = None) ->
         # 128 MiB scan splits — the parquet-side default that keeps a 100 TB
         # scan at ~800k tasks rather than millions of tiny ones.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # One BLAS thread per python worker (r15): every executor runs
+        # one worker per task slot, so letting OpenBLAS/MKL spawn a
+        # thread pool per worker oversubscribes cores cores×threads —
+        # measured 16× slower on the small GEMV/GEMM kernels the codec
+        # and similarity rows run (172 µs vs 10.7 µs for a 256×128
+        # matvec under contention).  This is the standard one-thread-
+        # per-task discipline for ANY cluster size, not a local tune;
+        # parallelism comes from Spark's task fan-out.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
