@@ -538,13 +538,26 @@ def simhash_near_pairs(spark, sf_dir):
     collisions.  32-bit/8-bit bands rather than 16/4: 4-bit bands over a
     few thousand docs put ~6% of the corpus in every bucket (the
     candidate set went quadratic again — 15× slower); byte bands keep
-    buckets sparse.  The fingerprint frame is checkpointed so the
-    tokenize + 32-bit-vote pass runs once, not once per join side."""
-    sims = _simhash_df(spark, sf_dir, SIMHASH_PAIR_BITS).localCheckpoint(
-        eager=True
+    buckets sparse.
+
+    r15: hamming distance depends only on the fingerprint VALUE, so docs
+    are grouped by exact simhash first (5000 docs → 3122 distinct values
+    at sf0.1, dup-heavy by construction) and the band join + distinct
+    run over one representative per value; passing value pairs expand
+    through the membership lists and same-value pairs emit hamming 0
+    directly — the identical pair set, with the quadratic dup-cluster
+    blowup collapsed out of the join (the jaccard_prefix_pairs
+    discipline).  The grouped frame is the one materialization (feeds
+    the band self-join and both expansion joins)."""
+    sims = _simhash_df(spark, sf_dir, SIMHASH_PAIR_BITS)
+    groups = materialize(
+        sims.groupBy("simhash").agg(
+            F.min("doc_id").alias("gid"),
+            F.collect_list("doc_id").alias("members"),
+        )
     )
-    bands = sims.select(
-        "doc_id",
+    bands = groups.select(
+        "gid",
         "simhash",
         F.explode(
             F.array(
@@ -557,25 +570,68 @@ def simhash_near_pairs(spark, sf_dir):
                 ]
             )
         ).alias("bn"),
-    ).select("doc_id", "simhash", F.col("bn.band").alias("band"), F.col("bn.key").alias("key"))
+    ).select(
+        "gid", "simhash", F.col("bn.band").alias("band"),
+        F.col("bn.key").alias("key"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    gpairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.gid") < F.col("b.gid")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.gid").alias("ga"),
+            F.col("b.gid").alias("gb"),
             ham.cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        # explicit-width pair-key repartition reused by the distinct:
+        # AQE would coalesce the small-byte dedup to one partition and
+        # serialize it plus the expansion (the jaccard fix)
+        .repartition(
+            int(spark.conf.get("spark.sql.shuffle.partitions")), "ga", "gb"
+        )
         .distinct()
     )
+    mem = groups.select("gid", "members")
+    inter = (
+        gpairs.join(
+            mem.withColumnRenamed("gid", "ga").withColumnRenamed(
+                "members", "ma"
+            ),
+            "ga",
+        )
+        .join(
+            mem.withColumnRenamed("gid", "gb").withColumnRenamed(
+                "members", "mb"
+            ),
+            "gb",
+        )
+        .select(F.explode("ma").alias("x"), "mb", "hamming")
+        .select("x", F.explode("mb").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("doc_a"),
+            F.greatest("x", "y").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        groups.filter(F.size("members") >= 2)
+        .select(F.explode("members").alias("x"), "members")
+        .select("x", F.explode("members").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("doc_a"),
+            F.col("y").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
