@@ -134,9 +134,7 @@ def event_cooccurrence_lift(spark, sf_dir):
     sides are tiny broadcast aggregates.  Exact integers until the one
     ROUND(…, 6)ed ratio."""
     (events,) = load(spark, sf_dir, "events")
-    ut = events.select("user_id", "event_type").distinct().localCheckpoint(
-        eager=True
-    )
+    ut = materialize(events.select("user_id", "event_type").distinct())
     n = events.agg(
         F.countDistinct("user_id").alias("n_users")
     )

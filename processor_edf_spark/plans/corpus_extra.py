@@ -674,7 +674,7 @@ def dsir_importance(spark, sf_dir):
         .select("doc_id", "source", tokens(F.col("text")).alias("t"))
         .filter(F.size("t") >= 2)
     )
-    big = d.select(
+    big = materialize(d.select(
         "doc_id",
         "source",
         F.explode(
@@ -686,9 +686,7 @@ def dsir_importance(spark, sf_dir):
                 ),
             )
         ).alias("bg"),
-    ).select("doc_id", "source", "bg.w1", "bg.w2").localCheckpoint(
-        eager=True
-    )
+    ).select("doc_id", "source", "bg.w1", "bg.w2"))
     # ^ seven consumers (both models' count tables + the scoring join
     # chain) — one corpus tokenize+explode pass instead of seven
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from processor_edf_spark.plans.registry import TS_US, load, register
+from processor_edf_spark.plans.registry import TS_US, load, register, spread
 
 USEC = 1_000_000
 SESSION_GAP_USEC = 4 * 3600 * USEC  # 4h gap → several sessions/user on events
@@ -92,11 +92,26 @@ def _mavg_sql(expr: str, scale: int = 4) -> str:
 )
 def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: scan-heavy groupBy with map-side partial agg.
-    At 100 TB: 4-group output, shuffle moves only partial states."""
+    At 100 TB: 4-group output, shuffle moves only partial states.
+
+    r15: the heaviest per-row work here is the decimal casts/sums of the
+    money_sum contract, and a small single-file scan reads as 3
+    partitions — spread() widens the (projected) filtered rows across
+    the session so the eight decimal aggregates run wide; a no-op once
+    the scan itself is wide (registry.spread), and the filter stays
+    pushed to the scan below the repartition."""
     (lineitem,) = load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        spread(
+            spark,
+            lineitem.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+            ).select(
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+            ),
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_sum(F.col("l_quantity")).alias("sum_qty"),
@@ -1171,8 +1186,13 @@ def q18_large_orders(spark, sf_dir):
     into the semi-join rather than shuffling lineitem twice."""
     customer, orders, lineitem = load(spark, sf_dir, "customer", "orders", "lineitem")
     qty_dec = F.sum(F.round("l_quantity", 4).cast("decimal(28,4)"))
+    # r15: the inner full-table decimal aggregate is the heavy pass
+    # (the post-semi-join outer aggregate sees only the few survivors);
+    # spread() its two-column projection so the partial agg runs wide
+    # (no-op once the scan is wide — registry.spread)
     big = (
-        lineitem.groupBy("l_orderkey")
+        spread(spark, lineitem.select("l_orderkey", "l_quantity"))
+        .groupBy("l_orderkey")
         .agg(qty_dec.alias("_q"))
         .filter(F.col("_q") > 300)
         .select(F.col("l_orderkey").alias("_big_key"))
